@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2 + training-data
+  * pipeline ops); `oracleSql` holds the DuckDB-equivalent SQL for each
+  * (omitted only for ops DuckDB cannot express — those get rows-only
+  * checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirrors the reference's canonical README demo (README.md:12-19):
+    * weekly event counts by category — here over the `events` table.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.t(spark, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("week", "event_type")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreSql.defs
+
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreSql.oracles
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed access to the TESTDATA star schema (TESTDATA.md).
+  *
+  * Scale design: each table is a plain parquet scan, so Catalyst pushes
+  * filters/projections into the reader (`PushedFilters`/`ReadSchema`) and
+  * partition-parallelism follows `spark.sql.files.maxPartitionBytes` — on a
+  * real cluster the same code fans out to one task per ~128MB split. Nothing
+  * here collects to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to broadcast at any scale factor (dimension-like).
+    * region/nation are fixed-size; part/supplier/customer grow with SF but
+    * stay several orders of magnitude below the fact tables — at 100 TB the
+    * facts are lineitem/orders/events, and these remain broadcast candidates
+    * (Spark's own autoBroadcastJoinThreshold also guards this via AQE).
+    */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS) which Spark refuses by default
+    // (TimestampType is micros). Read nanos as long, then integer-divide to
+    // micros — `div` stays in Long (a Double round-trip would lose precision
+    // at 1e18-nanosecond magnitudes). DuckDB truncates ns→µs identically.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view so `spark.sql` queries can use
+    * bare table names (mirrors how the DuckDB oracle sees them). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
