@@ -25,8 +25,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreSql.defs
+    graft.queries.CoreSql.defs ++ graft.queries.PipelineOps.defs
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreSql.oracles
+    graft.queries.CoreSql.oracles ++ graft.queries.PipelineOps.oracles
 }

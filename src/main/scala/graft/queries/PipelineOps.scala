@@ -1,0 +1,417 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over `documents` /
+  * `embeddings` (builder prompt: first-class alongside SURVEY.md §2).
+  *
+  * Every operator is a declarative DataFrame plan designed for the
+  * 100 TB case:
+  *  - dedup/minhash: one shuffle per stage, candidate-pairs-first
+  *    verification (never all-pairs at scale);
+  *  - similarity: brute-force = broadcast(queries) map-side job (no
+  *    shuffle); IVF = centroid pruning cuts the scanned fraction to
+  *    ~probes/nlist of the corpus;
+  *  - text analysis: pure per-row codegen'd expressions, no UDFs,
+  *    no driver round-trips.
+  *
+  * Oracle parity notes: hashes that must match DuckDB use md5 (hex
+  * string, identical in both engines); Spark-internal hashing (minhash
+  * permutations, simhash bits) uses xxhash64 and is never compared
+  * value-wise — only the *verified* output (exact jaccard) is.
+  */
+object PipelineOps {
+
+  /** Word 3-gram shingles, distinct, for docs with ≥3 tokens. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(w) - 2),
+           i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"""
+      ))).as("sh"))
+
+  /** Exact jaccard for given candidate pairs (d1 < d2) via shingle join. */
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.sh") === col("s2.sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("inter") / (col("x.n") + col("y.n") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy("d1", "d2")
+  }
+
+  /** cosine(a, b) for two array<double> columns, fully codegen'd —
+    * higher-order functions, no UDF. */
+  private def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
+        / (sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x))
+           * sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))""")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication -------------------------------------------------
+    "d01_dedup_exact" -> ((s, d) => {
+      // Exact dedup keyed on md5(text): at 100 TB you groupBy the 128-bit
+      // digest (16 bytes shuffled), never the raw text.
+      t(s, d, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_removed"))
+    }),
+
+    "d02_dedup_fingerprint" -> ((s, d) => {
+      // Word-set fingerprint (order-insensitive near-dup): md5 over the
+      // sorted distinct token set. Groups >1 are shuffle-reduced dup
+      // clusters; `keep_id = min(doc_id)` is the canonical survivor.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy("keep_id")
+    }),
+
+    "d03_ngram_jaccard" -> ((s, d) => {
+      // Exact all-pairs jaccard ≥ 0.5 via the inverted shingle index
+      // (pairs only materialize when they share a shingle — never a
+      // cartesian). The correctness baseline for d04's LSH path.
+      val sh = shingles(t(s, d, "documents")).cache()
+      val cand = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      verifiedJaccard(cand, sh, 0.5)
+    }),
+
+    "d04_dedup_minhash" -> ((s, d) => {
+      // MinHash + LSH: 32 xxhash64 permutations → 8 bands × 4 rows →
+      // bucket-join candidates → exact-jaccard verification ≥ 0.9.
+      // Scale path: signatures are one groupBy over the shingle explode;
+      // the band join only shuffles (band, bucket-hash, doc_id) tuples;
+      // verification touches candidate pairs only. Miss probability per
+      // true pair at j=0.98: (1 - 0.98^4)^8 ≈ 1e-9.
+      val sh = shingles(t(s, d, "documents")).cache()
+      val hashAggs = (0 until 32).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val sigs = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+      val bandCols = (0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"h$i")): _*).as("bh"))
+      }
+      val bands = sigs.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      verifiedJaccard(cand, sh, 0.9)
+    }),
+
+    "d05_dedup_simhash" -> ((s, d) => {
+      // SimHash over word 3-gram shingles: 64-bit signature from xxhash64
+      // bit votes; LSH on 8×8-bit chunks (a pair at hamming ≤ 12 almost
+      // surely leaves one chunk untouched); verify hamming via
+      // bit_count(xor). Unigram tokens are useless on a shared-vocabulary
+      // corpus — shingles separate true near-dups (hamming ≤ 10) from the
+      // rest (≥ 18) cleanly. No DuckDB oracle (engine-specific hash) —
+      // rows-only check; d03/d04 cover verified near-dup semantics.
+      val toks = shingles(t(s, d, "documents"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      val bits = toks.select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      val sig = bits.groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0,
+          expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"))
+      val chunks = sig.select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(7))).as("c"))
+        .withColumn("chunk", expr("(sig >> (c * 8)) & 255"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sig").as("s1"), col("b.sig").as("s2"))
+        .distinct()
+      cand.withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+        .filter(col("hamming") <= 12)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- similarity search --------------------------------------------
+    "s01_cosine_topk" -> ((s, d) => {
+      // Brute-force cosine top-5: broadcast the query set, map-side dot
+      // products over the corpus scan, per-query top-k. At 100 TB the
+      // corpus side stays partition-parallel with zero shuffle before
+      // the final tiny top-k aggregation.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(cosine("qe", "e"), 4).as("c"))
+      val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("qid", "rk", "nid", "c")
+        .orderBy("qid", "rk")
+    }),
+
+    "s02_ann_ivf" -> ((s, d) => {
+      // IVF-style ANN: label-bucketed coarse quantizer (centroid = mean
+      // vector per label), probe the 2 nearest centroids, exact search
+      // within probed buckets only. Scale path: scanned fraction ≈
+      // probes/nlist of the corpus; centroids are tiny and broadcast.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      val cent = emb
+        .select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(avg("v").as("v"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("pv"))
+        .select(col("label").as("clabel"), expr("transform(pv, x -> x.v)").as("ce"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val wc = Window.partitionBy("qid").orderBy(col("cc").desc, col("clabel").asc)
+      val probes = q.crossJoin(broadcast(cent))
+        .select(col("qid"), col("qe"), col("clabel"),
+          round(cosine("qe", "ce"), 6).as("cc"))
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") <= 2)
+        .select("qid", "qe", "clabel")
+      val wr = Window.partitionBy("qid").orderBy(col("c").desc, col("nid").asc)
+      probes.join(emb, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(cosine("qe", "e"), 4).as("c"))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 5)
+        .select("qid", "rk", "nid", "c")
+        .orderBy("qid", "rk")
+    }),
+
+    // ---- text analysis -------------------------------------------------
+    "t01_langid" -> ((s, d) => {
+      // Language-ID by marker-token scoring (n-gram heuristic shape:
+      // per-language profile terms, argmax with a fixed tiebreak order).
+      // Pure string expressions — codegen'd, scan-bound at scale.
+      val markers = Seq("en" -> " the ", "de" -> " table ", "es" -> " data ",
+        "fr" -> " query ", "zh" -> " spark ")
+      def score(m: String): Column =
+        (length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(m), ""))) / lit(m.length)
+      val scored = markers.foldLeft(t(s, d, "documents")) { case (df, (l, m)) =>
+        df.withColumn(s"s_$l", score(m))
+      }
+      val mx = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+      val predicted = markers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+        when(col(s"s_$l") === mx, l).otherwise(acc)
+      }
+      scored
+        .select(col("doc_id"), predicted.as("predicted"), col("lang"),
+          (predicted === col("lang")).as("hit"))
+        .orderBy("doc_id")
+    }),
+
+    "t02_quality" -> ((s, d) => {
+      // Quality scoring: token count, type-token ratio, mean token
+      // length, short-doc flag, composite score. All arithmetic stays in
+      // exact integer space before one final rounded division.
+      val docs = t(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("n_distinct", size(array_distinct(col("w"))))
+      docs.select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_distinct"),
+          round(col("n_distinct") / col("n_tokens"), 4).as("ttr"),
+          round((length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"), 4).as("avg_token_len"),
+          (col("n_tokens") < 20).as("is_short"),
+          round(col("n_distinct") / col("n_tokens") * 0.5 +
+            least(col("n_tokens"), lit(100)) / 200.0, 4).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    "t03_token_stats" -> ((s, d) => {
+      // Global token frequencies (top 20): the classic explode → groupBy
+      // — map-side partial aggregation keeps the shuffle at
+      // |vocabulary| × partitions, not corpus size.
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    "t04_token_count_total" -> ((s, d) => {
+      // Corpus-level token accounting (the "how many tokens is this
+      // dataset" pipeline primitive).
+      t(s, d, "documents")
+        .select(size(split(col("text"), " ")).as("n"), col("lang"))
+        .groupBy("lang")
+        .agg(sum("n").cast("long").as("total_tokens"),
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n").cast("double")), 4).as("avg_tokens"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> """
+      SELECT count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique,
+             count(*) - count(DISTINCT md5(text)) AS n_removed
+      FROM documents""",
+
+    "d02_dedup_fingerprint" -> """
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM documents
+      GROUP BY 1 HAVING count(*) > 1
+      ORDER BY keep_id""",
+
+    "d03_ngram_jaccard" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT d1, d2, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+      FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      ORDER BY d1, d2""",
+
+    "d04_dedup_minhash" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT d1, d2, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+      FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.9
+      ORDER BY d1, d2""",
+
+    "s01_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT qid, vec_id AS nid,
+               round(list_cosine_similarity(qe, embedding::DOUBLE[]), 4) AS c
+        FROM q, embeddings WHERE vec_id <> qid
+      ), r AS (
+        SELECT qid, nid, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM scored
+      )
+      SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "s02_ann_ivf" -> """
+      WITH dims AS (
+        SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 10
+      ), qc AS (
+        SELECT qid, qe, clabel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, clabel ASC) AS crk
+        FROM q, cent
+      ), probes AS (SELECT qid, qe, clabel FROM qc WHERE crk <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id AS nid,
+               round(list_cosine_similarity(p.qe, e.embedding::DOUBLE[]), 4) AS c
+        FROM probes p JOIN embeddings e ON e.label = p.clabel AND e.vec_id <> p.qid
+      ), r AS (
+        SELECT qid, nid, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM cand
+      )
+      SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "t01_langid" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+          (length(text) - length(replace(text, ' the ', ''))) / 5 AS s_en,
+          (length(text) - length(replace(text, ' table ', ''))) / 7 AS s_de,
+          (length(text) - length(replace(text, ' data ', ''))) / 6 AS s_es,
+          (length(text) - length(replace(text, ' query ', ''))) / 7 AS s_fr,
+          (length(text) - length(replace(text, ' spark ', ''))) / 7 AS s_zh
+        FROM documents
+      ), p AS (
+        SELECT doc_id, lang,
+          CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+               WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+               WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+               WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+               ELSE 'und' END AS predicted
+        FROM scored
+      )
+      SELECT doc_id, predicted, lang, predicted = lang AS hit
+      FROM p ORDER BY doc_id""",
+
+    "t02_quality" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(n_tokens AS INTEGER) AS n_tokens,
+             CAST(n_distinct AS INTEGER) AS n_distinct,
+             round(n_distinct * 1.0 / n_tokens, 4) AS ttr,
+             round((length(text) - (n_tokens - 1)) * 1.0 / n_tokens, 4) AS avg_token_len,
+             n_tokens < 20 AS is_short,
+             round(n_distinct * 1.0 / n_tokens * 0.5 +
+                   least(n_tokens, 100) / 200.0, 4) AS quality_score
+      FROM d ORDER BY doc_id""",
+
+    "t03_token_stats" -> """
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+
+    "t04_token_count_total" -> """
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             count(*) AS n_docs,
+             round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""
+  )
+}
