@@ -25,7 +25,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreSql.defs ++ graft.queries.PipelineOps.defs
+    graft.queries.CoreSql.defs ++ graft.queries.PipelineOps.defs ++
+      graft.queries.Dashboards.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreSql.oracles ++ graft.queries.PipelineOps.oracles

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.Tables
+import graft.interp.Dashboard
+import graft.interp.Dashboard.RunConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dashboard-interpreter entries in the driver contract: run a full
+  * multi-statement shaper dashboard (LABEL / ::TYPE tags / sections /
+  * variables) through graft.interp.Dashboard and surface the render
+  * result as a DataFrame. Rows-only checks (the render JSON contract has
+  * no DuckDB-SQL equivalent — correctness is covered by DashboardSpec,
+  * transliterated from the reference's get_dashboard_test.go).
+  */
+object Dashboards {
+
+  /** The canonical README demo (README.md:12-19) over `events`. */
+  private val demoContent =
+    """SELECT 'Sessions per Week'::LABEL;
+      |SELECT date_trunc('week', ts)::XAXIS, event_type::CATEGORY,
+      |       count()::BARCHART_STACKED
+      |FROM events GROUP BY ALL ORDER BY ALL;""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sh01_dashboard_render" -> ((s, d) => {
+      val r = Dashboard.run(s, demoContent,
+        RunConfig(dashboardId = "demo", prepare = ss => Tables.registerAll(ss, d)))
+      import s.implicits._
+      r.sections.zipWithIndex.flatMap { case (sec, si) =>
+        sec.queries.zipWithIndex.map { case (q, qi) =>
+          (si, qi, sec.sectionType, q.render.renderType,
+            q.render.label.getOrElse(""), q.columns.map(_.tag).mkString(","),
+            q.rows.length)
+        }
+      }.toDF("section", "query", "section_type", "render_type", "label", "tags", "n_rows")
+    }),
+
+    "sh02_dashboard_json" -> ((s, d) => {
+      val r = Dashboard.run(s, demoContent,
+        RunConfig(dashboardId = "demo", prepare = ss => Tables.registerAll(ss, d)))
+      import s.implicits._
+      Seq(graft.render.Model.toJson(r)).toDF("dashboard_json")
+    }),
+
+    "sh03_dashboard_widgets" -> ((s, d) => {
+      // widgets + variables + sections + gauge in one dashboard
+      val content =
+        """SELECT 'Widget Demo'::SECTION;
+          |SELECT 'click'::DROPDOWN AS evtype UNION ALL SELECT 'view'::DROPDOWN;
+          |SELECT count(*)::GAUGE AS n FROM events WHERE event_type = getvariable('evtype');
+          |SELECT 'Top users'::LABEL;
+          |SELECT user_id, count(*) AS n FROM events
+          |WHERE event_type = getvariable('evtype')
+          |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5;""".stripMargin
+      val r = Dashboard.run(s, content,
+        RunConfig(dashboardId = "widgets", prepare = ss => Tables.registerAll(ss, d)))
+      import s.implicits._
+      r.sections.flatMap(sec => sec.queries.map(q =>
+        (sec.sectionType, q.render.renderType, q.render.label.getOrElse(""),
+          q.rows.length, q.render.gaugeCategories.length)))
+        .toDF("section_type", "render_type", "label", "n_rows", "n_gauge_cats")
+    })
+  )
+}

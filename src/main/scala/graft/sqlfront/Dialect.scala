@@ -1,0 +1,316 @@
+package graft.sqlfront
+
+import graft.types.ShaperTypes
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+/** DuckDB-dialect → Spark SQL rewrites, applied to statement text before
+  * `spark.sql`. Token-level (quote-aware), mirroring the reference's own
+  * string-matching level of rigor (SURVEY.md §7).
+  *
+  * Rewrites:
+  *  - `expr::NAME` for the 48 shaper types → `NAME(expr)` (the functions
+  *    are registered by ShaperTypes.register); cast chains like
+  *    `'x'::TIMESTAMP::XAXIS` resolve outside-in.
+  *  - `::TIMESTAMPTZ` → `::TIMESTAMP` (Spark TIMESTAMP is tz-aware).
+  *  - zero-arg `count()` → `count(*)` (README.md:16 uses it).
+  *  - FROM-first statements (`FROM t ...`) → `SELECT * FROM t ...`.
+  *  - `getvariable('x')` → stored literal (shaper prefixes SET VARIABLE
+  *    statements instead — same observable semantics, ref app.go:574-595).
+  */
+object Dialect {
+
+  sealed trait TokKind
+  case object TWord extends TokKind
+  case object TString extends TokKind
+  case object TQuoted extends TokKind
+  case object TNum extends TokKind
+  case object TColonColon extends TokKind
+  case object TLParen extends TokKind
+  case object TRParen extends TokKind
+  case object TLBracket extends TokKind
+  case object TRBracket extends TokKind
+  case object TDot extends TokKind
+  case object TWs extends TokKind
+  case object TOther extends TokKind
+
+  final case class Tok(kind: TokKind, text: String)
+
+  def tokenize(sql: String): Vector[Tok] = {
+    val toks = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val sb = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          sb.append(ch)
+          if (ch == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        toks += Tok(TString, sb.toString)
+      } else if (c == '"') {
+        val sb = new StringBuilder("\"")
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          sb.append(ch)
+          if (ch == '"') {
+            if (i + 1 < n && sql.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        toks += Tok(TQuoted, sb.toString)
+      } else if (c.isWhitespace) {
+        val s = i
+        while (i < n && sql.charAt(i).isWhitespace) i += 1
+        toks += Tok(TWs, sql.substring(s, i))
+      } else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
+        toks += Tok(TWord, sql.substring(s, i))
+      } else if (c.isDigit) {
+        val s = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '.')) i += 1
+        toks += Tok(TNum, sql.substring(s, i))
+      } else if (c == ':' && i + 1 < n && sql.charAt(i + 1) == ':') {
+        toks += Tok(TColonColon, "::"); i += 2
+      } else {
+        val kind = c match {
+          case '(' => TLParen
+          case ')' => TRParen
+          case '[' => TLBracket
+          case ']' => TRBracket
+          case '.' => TDot
+          case _ => TOther
+        }
+        toks += Tok(kind, c.toString); i += 1
+      }
+    }
+    toks.result()
+  }
+
+  def render(toks: Seq[Tok]): String = toks.iterator.map(_.text).mkString
+
+  private def prevNonWs(toks: Vector[Tok], i: Int): Int = {
+    var j = i
+    while (j >= 0 && toks(j).kind == TWs) j -= 1
+    j
+  }
+
+  /** Start index (inclusive) of the operand ending at token `end`
+    * (inclusive), walking left over parens/brackets, dotted names, literals
+    * and `::` cast chains. Returns -1 if no operand found. */
+  private def operandStart(toks: Vector[Tok], end: Int): Int = {
+    var j = prevNonWs(toks, end)
+    if (j < 0) return -1
+    toks(j).kind match {
+      case TRParen | TRBracket =>
+        val close = toks(j).kind
+        val open = if (close == TRParen) TLParen else TLBracket
+        var depth = 0
+        var k = j
+        var found = -1
+        while (k >= 0 && found < 0) {
+          val t = toks(k).kind
+          if (t == close) depth += 1
+          else if (t == open) {
+            depth -= 1
+            if (depth == 0) found = k
+          }
+          k -= 1
+        }
+        if (found < 0) return -1
+        var s = found
+        // absorb function name / array base directly before the opener
+        val p = prevNonWs(toks, s - 1)
+        if (p >= 0 && (toks(p).kind == TWord || toks(p).kind == TQuoted) &&
+            !isKeywordBarrier(toks(p).text)) {
+          s = absorbDotted(toks, p)
+        }
+        absorbCastChain(toks, s)
+      case TWord | TQuoted | TString | TNum =>
+        val s = absorbDotted(toks, j)
+        absorbCastChain(toks, s)
+      case _ => -1
+    }
+  }
+
+  /** Words that must not be swallowed as a "function name" before `(`. */
+  private def isKeywordBarrier(w: String): Boolean = {
+    val u = w.toUpperCase
+    u == "SELECT" || u == "FROM" || u == "WHERE" || u == "AND" || u == "OR" ||
+    u == "ON" || u == "BY" || u == "AS" || u == "IN" || u == "NOT" ||
+    u == "THEN" || u == "ELSE" || u == "WHEN" || u == "CASE" || u == "END" ||
+    u == "UNION" || u == "ALL" || u == "DISTINCT" || u == "VALUES" ||
+    u == "JOIN" || u == "HAVING" || u == "LIMIT" || u == "OFFSET" || u == "SET"
+  }
+
+  private def absorbDotted(toks: Vector[Tok], start: Int): Int = {
+    var s = start
+    var cont = true
+    while (cont) {
+      cont = false
+      if (s - 1 >= 0 && toks(s - 1).kind == TDot) {
+        val p = s - 2
+        if (p >= 0 && (toks(p).kind == TWord || toks(p).kind == TQuoted)) {
+          s = p; cont = true
+        }
+      }
+    }
+    s
+  }
+
+  private def absorbCastChain(toks: Vector[Tok], start: Int): Int = {
+    val p = prevNonWs(toks, start - 1)
+    if (p >= 0 && toks(p).kind == TColonColon) {
+      val inner = operandStart(toks, p - 1)
+      if (inner >= 0) inner else start
+    } else start
+  }
+
+  /** `operand::NAME` → `NAME(operand)` for the 48 shaper type names. */
+  def rewriteShaperCasts(sql: String): String = {
+    var toks = tokenize(sql)
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length - 1 && !changed) {
+        if (toks(i).kind == TColonColon) {
+          val nx = {
+            var j = i + 1
+            while (j < toks.length && toks(j).kind == TWs) j += 1
+            j
+          }
+          if (nx < toks.length && toks(nx).kind == TWord &&
+              ShaperTypes.names.contains(toks(nx).text.toUpperCase)) {
+            val name = toks(nx).text.toUpperCase
+            val s = operandStart(toks, i - 1)
+            if (s >= 0) {
+              val operand = toks.slice(s, prevNonWs(toks, i - 1) + 1)
+              toks = toks.take(s) ++
+                Vector(Tok(TWord, name), Tok(TLParen, "(")) ++ operand ++
+                Vector(Tok(TRParen, ")")) ++
+                toks.drop(nx + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    render(toks)
+  }
+
+  /** DuckDB `[a, b]` list literals → Spark `array(a, b)`. A `[` directly
+    * after an operand (identifier, `)`, `]`, literal) is a subscript and
+    * is left untouched. */
+  def rewriteArrayLiterals(sql: String): String = {
+    val toks = tokenize(sql)
+    // classify each bracket: literal or subscript
+    val isLiteral = Array.fill(toks.length)(false)
+    val stack = scala.collection.mutable.Stack.empty[(Int, Boolean)] // (idx, literal?)
+    var i = 0
+    while (i < toks.length) {
+      toks(i).kind match {
+        case TLBracket =>
+          val p = prevNonWs(toks, i - 1)
+          val subscript = p >= 0 && (toks(p).kind match {
+            case TWord => !isKeywordBarrier(toks(p).text)
+            case TQuoted | TRParen | TRBracket | TString | TNum => true
+            case _ => false
+          })
+          isLiteral(i) = !subscript
+          stack.push((i, !subscript))
+        case TRBracket =>
+          if (stack.nonEmpty) {
+            val (_, lit) = stack.pop()
+            isLiteral(i) = lit
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    val out = toks.zipWithIndex.map { case (t, idx) =>
+      t.kind match {
+        case TLBracket if isLiteral(idx) => Tok(TLParen, "array(")
+        case TRBracket if isLiteral(idx) => Tok(TRParen, ")")
+        case _ => t
+      }
+    }
+    render(out)
+  }
+
+  /** `::TIMESTAMPTZ` → `::TIMESTAMP` (and CAST(... AS TIMESTAMPTZ)). */
+  def rewriteTimestampTz(sql: String): String = {
+    val toks = tokenize(sql).map { t =>
+      if (t.kind == TWord && t.text.equalsIgnoreCase("TIMESTAMPTZ"))
+        Tok(TWord, "TIMESTAMP")
+      else t
+    }
+    render(toks)
+  }
+
+  /** Zero-arg `count()` → `count(*)`. */
+  def rewriteCountStar(sql: String): String = {
+    val toks = tokenize(sql)
+    val out = ArrayBuffer.empty[Tok]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == TWord && t.text.equalsIgnoreCase("count")) {
+        var j = i + 1
+        while (j < toks.length && toks(j).kind == TWs) j += 1
+        if (j < toks.length && toks(j).kind == TLParen) {
+          var k = j + 1
+          while (k < toks.length && toks(k).kind == TWs) k += 1
+          if (k < toks.length && toks(k).kind == TRParen) {
+            out += t += Tok(TLParen, "(") += Tok(TOther, "*") += Tok(TRParen, ")")
+            i = k + 1
+          } else { out += t; i += 1 }
+        } else { out += t; i += 1 }
+      } else { out += t; i += 1 }
+    }
+    render(out.toSeq)
+  }
+
+  /** `FROM t ...` (FROM-first syntax) → `SELECT * FROM t ...`. */
+  def rewriteFromFirst(sql: String): String = {
+    val trimmed = sql.trim
+    if (trimmed.toUpperCase.startsWith("FROM")) "SELECT * " + trimmed else sql
+  }
+
+  val getVariableRegex: Regex = "(?i)getvariable\\s*\\(\\s*'([^']+)'\\s*\\)".r
+  val setVariableRegex: Regex = "(?i)SET\\s+VARIABLE\\s+([a-zA-Z0-9_]+)".r
+
+  /** Variable names referenced via getvariable(...) in statement text.
+    * (ref: get_dashboard.go:26-28,88-98) */
+  def referencedVariables(sql: String): Seq[String] =
+    getVariableRegex.findAllMatchIn(sql).map(_.group(1)).toSeq
+
+  /** Substitute getvariable('x') with the rendered SQL literal from the
+    * variable store (NULL when unset — DuckDB's behavior for unset vars). */
+  def substituteVariables(sql: String, vars: String => Option[String]): String =
+    getVariableRegex.replaceAllIn(sql, m =>
+      Regex.quoteReplacement("(" + vars(m.group(1)).getOrElse("NULL") + ")"))
+
+  /** Full rewrite pipeline for one statement. */
+  def rewrite(sql: String, vars: String => Option[String] = _ => None): String = {
+    var s = sql
+    s = rewriteArrayLiterals(s)
+    s = rewriteShaperCasts(s)
+    s = rewriteTimestampTz(s)
+    s = rewriteCountStar(s)
+    s = rewriteFromFirst(s)
+    s = substituteVariables(s, vars)
+    s
+  }
+}

@@ -1,0 +1,258 @@
+package graft
+
+import graft.interp.Dashboard
+import graft.interp.Dashboard.RunConfig
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dashboard interpreter tests transliterated from the reference suite
+  * (server/core/get_dashboard_test.go:72-290). One divergence from the
+  * reference, documented in SURVEY.md §7: Spark has no implicit
+  * union-type coercion, so UNION ALL branches must each carry the
+  * `::TYPE` cast (DuckDB coerces the untagged branch automatically).
+  */
+class DashboardSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("Basic query") {
+    val r = Dashboard.run(spark, "SELECT 1 AS val")
+    assert(r.sections.length == 1)
+    assert(r.sections.head.queries.length == 1)
+    assert(r.sections.head.queries.head.rows.length == 1)
+    assert(r.sections.head.queries.head.rows.head.head == 1)
+    assert(r.sections.head.queries.head.render.renderType == "value")
+  }
+
+  test("Linechart with confidence band (get_dashboard_test.go:106-129)") {
+    val r = Dashboard.run(spark,
+      """SELECT
+        |  '2026-01-01'::TIMESTAMP::XAXIS AS ts,
+        |  10.0::LINECHART AS val,
+        |  8.0::BAND_LOWER AS confidence_lower,
+        |  12.0::BAND_UPPER AS confidence_upper""".stripMargin)
+    val q = r.sections.head.queries.head
+    assert(q.render.renderType == "linechart")
+    assert(q.columns(0).tag == "index")
+    assert(q.columns(1).tag == "value")
+    assert(q.columns(2).tag == "band_lower")
+    assert(q.columns(3).tag == "band_upper")
+  }
+
+  test("Scatterplot (get_dashboard_test.go:131-154)") {
+    val r = Dashboard.run(spark,
+      """SELECT
+        |  '2026-01-01'::TIMESTAMP::XAXIS AS ts,
+        |  10.0::SCATTERPLOT AS val,
+        |  'my-category'::SCATTERPLOT_CATEGORY AS cat,
+        |  '#ff0000'::SCATTERPLOT_COLOR AS col""".stripMargin)
+    val q = r.sections.head.queries.head
+    assert(q.render.renderType == "scatterplot")
+    assert(q.columns.map(_.tag) == Seq("index", "value", "category", "color"))
+  }
+
+  test("Query with variables") {
+    val r = Dashboard.run(spark, "SELECT getvariable('myvar') AS val",
+      RunConfig(variables = Map("myvar" -> "hello")))
+    assert(r.sections.head.queries.head.rows.head.head == "hello")
+  }
+
+  test("SECURITY: query param must NOT overwrite JWT variable (get_dashboard_test.go:166-190)") {
+    val content =
+      """SELECT 'secure_val'::DROPDOWN AS myvar, 'Secure'::LABEL AS label
+        |UNION ALL SELECT 'malicious_val'::DROPDOWN, 'Malicious'::LABEL;
+        |SELECT getvariable('myvar') AS val;""".stripMargin
+    val r = Dashboard.run(spark, content, RunConfig(
+      variables = Map("myvar" -> "secure_val"),
+      queryParams = Map("myvar" -> Seq("malicious_val"))))
+    assert(r.sections.length == 2)
+    assert(r.sections(1).queries.head.rows.head.head == "secure_val",
+      "Secure variable was overwritten by query parameter!")
+  }
+
+  test("Variable precedence: normal query param still works") {
+    val content =
+      """SELECT 'val1'::DROPDOWN AS myvar, 'Val 1'::LABEL AS label
+        |UNION ALL SELECT 'val2'::DROPDOWN, 'Val 2'::LABEL;
+        |SELECT getvariable('myvar') AS val;""".stripMargin
+    val r = Dashboard.run(spark, content, RunConfig(
+      queryParams = Map("myvar" -> Seq("val2"))))
+    assert(r.sections.length == 2)
+    assert(r.sections(1).queries.head.rows.head.head == "val2")
+  }
+
+  test("Dropdown default = first row when no param") {
+    val content =
+      """SELECT 'val1'::DROPDOWN AS myvar
+        |UNION ALL SELECT 'val2'::DROPDOWN;
+        |SELECT getvariable('myvar') AS val;""".stripMargin
+    val r = Dashboard.run(spark, content)
+    assert(r.sections(1).queries.head.rows.head.head == "val1")
+  }
+
+  test("Invalid dropdown param is ignored (falls back to first row)") {
+    val content =
+      """SELECT 'val1'::DROPDOWN AS myvar UNION ALL SELECT 'val2'::DROPDOWN;
+        |SELECT getvariable('myvar') AS val;""".stripMargin
+    val r = Dashboard.run(spark, content, RunConfig(
+      queryParams = Map("myvar" -> Seq("not_in_list"))))
+    assert(r.sections(1).queries.head.rows.head.head == "val1")
+  }
+
+  test("Detects unset variables accurately (get_dashboard_test.go:214-228)") {
+    val content =
+      """SELECT getvariable('already_set') AS v1, getvariable('missing_var1') AS v2;
+        |SET VARIABLE local_var = 'foo';
+        |SELECT getvariable('local_var') AS v3, getvariable('missing_var2') AS v4;""".stripMargin
+    val r = Dashboard.run(spark, content,
+      RunConfig(variables = Map("already_set" -> "hello")))
+    assert(r.unsetVariables == Seq("missing_var1", "missing_var2"))
+  }
+
+  test("TIMESTAMPTZ across XLINE/XAXIS/YLINE/YAXIS/DATEPICKER/RELOAD (get_dashboard_test.go:230-280)") {
+    val content =
+      """SELECT '2026-08-04 10:00:00+00'::TIMESTAMPTZ::XLINE;
+        |SELECT
+        |  '2026-08-04 12:00:00+00'::TIMESTAMPTZ::XAXIS AS ts_xaxis,
+        |  10.0::LINECHART AS val;
+        |SELECT '2026-08-04 10:00:00+00'::TIMESTAMPTZ::YLINE;
+        |SELECT
+        |  5.0::BARCHART AS bval,
+        |  '2026-08-04 12:00:00+00'::TIMESTAMPTZ::YAXIS AS ts_yaxis;
+        |SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ AS standalone_tz;
+        |SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ::DATEPICKER AS dp;
+        |SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ::RELOAD;""".stripMargin
+    val r = Dashboard.run(spark, content)
+    assert(r.sections.nonEmpty)
+
+    val q1 = r.sections.head.queries(0)
+    assert(q1.render.renderType == "linechart")
+    assert(q1.columns(0).colType == "timestamp")
+    assert(q1.render.markLines.length == 1)
+    assert(!q1.render.markLines.head.isYaxis)
+    assert(q1.render.markLines.head.value == 1785837600000L)
+
+    val q2 = r.sections.head.queries(1)
+    assert(q2.render.renderType == "barchartVertical")
+    assert(q2.columns(1).colType == "timestamp")
+    assert(q2.render.markLines.length == 1)
+    assert(q2.render.markLines.head.isYaxis)
+
+    val q3 = r.sections.head.queries(2)
+    assert(q3.columns(0).colType == "timestamp")
+
+    val q4 = r.sections(1).queries.head
+    assert(q4.render.renderType == "datepicker")
+
+    assert(r.reloadAt == 1785844800000L)
+  }
+
+  test("LABEL attaches to the next query") {
+    val r = Dashboard.run(spark,
+      "SELECT 'My Chart'::LABEL;\nSELECT 42 AS v;")
+    val q = r.sections.head.queries.head
+    assert(q.render.renderType == "value")
+    assert(q.render.label.contains("My Chart"))
+  }
+
+  test("SECTION creates header; empty SECTION hides following content") {
+    val content =
+      """SELECT 'Overview'::SECTION;
+        |SELECT 1 AS a;
+        |SELECT 'Hidden'::SECTION WHERE 1 = 0;
+        |SELECT 2 AS b;
+        |SELECT 'Visible'::SECTION;
+        |SELECT 3 AS c;""".stripMargin
+    val r = Dashboard.run(spark, content)
+    // the empty SECTION's untitled header is reused by the next SECTION
+    // (ref: get_dashboard.go:145-152)
+    assert(r.sections.map(_.sectionType) ==
+      Seq("header", "content", "header", "content"))
+    assert(r.sections(2).title.contains("Visible"))
+    assert(r.sections.head.title.contains("Overview"))
+    assert(r.name == "Overview")
+    // the hidden content (SELECT 2) must not appear anywhere
+    val allValues = r.sections.flatMap(_.queries).flatMap(_.rows).flatten
+    assert(!allValues.contains(2))
+    assert(allValues.contains(3))
+  }
+
+  test("README demo: weekly stacked barchart over events (README.md:12-19)") {
+    val dir = "/root/testdata/sf0.001"
+    val content =
+      """SELECT 'Sessions per Week'::LABEL;
+        |SELECT date_trunc('week', ts)::XAXIS, event_type::CATEGORY,
+        |       count()::BARCHART_STACKED
+        |FROM events GROUP BY ALL ORDER BY ALL;""".stripMargin
+    val r = Dashboard.run(spark, content, RunConfig(
+      prepare = s => Tables.registerAll(s, dir)))
+    val q = r.sections.head.queries.head
+    assert(q.render.renderType == "barchartHorizontalStacked")
+    assert(q.render.label.contains("Sessions per Week"))
+    assert(q.columns.map(_.tag) == Seq("index", "category", "value"))
+    assert(q.columns(0).colType == "date") // week boundaries at midnight
+    assert(q.rows.nonEmpty)
+    assert(q.rows.head(0).isInstanceOf[Long]) // epoch ms
+    assert(r.minTimeValue <= r.maxTimeValue)
+  }
+
+  test("gauge with default range heuristics (get_dashboard.go:1109-1232)") {
+    val r = Dashboard.run(spark, "SELECT 42.0::GAUGE AS g")
+    val q = r.sections.head.queries.head
+    assert(q.render.renderType == "gauge")
+    assert(q.render.gaugeCategories == Seq(Model0.cat(0.0, 100.0)))
+  }
+
+  test("gauge with explicit RANGE/LABELS/COLORS") {
+    val r = Dashboard.run(spark,
+      """SELECT 42.0::GAUGE AS g, [0.0, 50.0, 100.0]::RANGE,
+        |['low','high']::LABELS, ['#0f0','#f00']::COLORS""".stripMargin)
+    val q = r.sections.head.queries.head
+    assert(q.render.gaugeCategories == Seq(
+      graft.render.Model.GaugeCategory(0.0, 50.0, "low", "#0f0"),
+      graft.render.Model.GaugeCategory(50.0, 100.0, "high", "#f00")))
+  }
+
+  test("BOXPLOT aggregate matches quantile_cont semantics") {
+    val r = Dashboard.run(spark,
+      """SELECT 'g'::XAXIS AS grp, BOXPLOT(v) AS bp
+        |FROM (SELECT 1.0 AS v UNION ALL SELECT 2.0 UNION ALL SELECT 3.0 UNION ALL SELECT 4.0)
+        |GROUP BY 1""".stripMargin)
+    val q = r.sections.head.queries.head
+    assert(q.render.renderType == "boxplot")
+    val bp = q.rows.head(1).asInstanceOf[Map[String, Any]]
+    assert(bp("min") == 1.0 && bp("max") == 4.0)
+    assert(bp("q1") == 1.75 && bp("q2") == 2.5 && bp("q3") == 3.25)
+  }
+
+  test("row cap truncates at 3000 (+1 sentinel row, get_dashboard.go:2231-2242)") {
+    val r = Dashboard.run(spark,
+      "SELECT * FROM (SELECT explode(sequence(1, 5000)) AS v)")
+    assert(r.sections.head.queries.head.rows.length == 3001)
+  }
+
+  test("disallowed statement errors with query index") {
+    val e = intercept[IllegalArgumentException] {
+      Dashboard.run(spark, "SELECT 1;\nDROP TABLE x;")
+    }
+    assert(e.getMessage.contains("query 2"))
+  }
+
+  test("JSON output is well-formed") {
+    val r = Dashboard.run(spark, "SELECT 1 AS val; SELECT 'T'::SECTION;")
+    val json = graft.render.Model.toJson(r)
+    assert(json.startsWith("{") && json.endsWith("}"))
+    assert(json.contains("\"sections\""))
+  }
+}
+
+/** helper to keep gauge assertion short */
+object Model0 {
+  def cat(from: Double, to: Double): graft.render.Model.GaugeCategory =
+    graft.render.Model.GaugeCategory(from, to, "", "")
+}

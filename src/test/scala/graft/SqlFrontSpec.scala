@@ -1,0 +1,165 @@
+package graft
+
+import graft.sqlfront.{Dialect, Gate, SqlText}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate + text-utility tests transliterated from the reference suites
+  * (server/core/sql_validation_test.go:12-150, server/util/util_test.go). */
+class SqlFrontSpec extends AnyFunSuite {
+
+  private val dashboardCases: Seq[(String, Boolean)] = Seq(
+    // Basic Allowed
+    "SELECT * FROM users" -> true,
+    "SUMMARIZE SELECT 1" -> true,
+    "DESCRIBE users" -> true,
+    "SHOW TABLES" -> true,
+    "SHOW ALL TABLES" -> true,
+    "EXPLAIN SELECT 1" -> true,
+    "EXPLAIN ANALYZE SELECT 1" -> true,
+    "PIVOT sales ON region USING SUM(amount)" -> true,
+    "UNPIVOT sales ON region USING SUM(amount)" -> true,
+    // Basic Disallowed
+    "DROP TABLE users" -> false,
+    "DELETE FROM users" -> false,
+    "INSERT INTO users VALUES (1)" -> false,
+    "UPDATE users SET name = 'foo'" -> false,
+    "CREATE TABLE users (id INT)" -> false,
+    "ALTER TABLE users ADD COLUMN name TEXT" -> false,
+    // Side effects
+    "SET VARIABLE x = 1" -> true,
+    "USE other" -> true,
+    "CREATE TEMPORARY TABLE foo AS SELECT 1" -> true,
+    "BEGIN TRANSACTION" -> true,
+    "COMMIT" -> true,
+    // WITH
+    "WITH t AS (SELECT 1) SELECT * FROM t" -> true,
+    "WITH RECURSIVE t AS (SELECT 1) SELECT * FROM t" -> true,
+    "WITH t1 AS (SELECT 1), t2 AS (SELECT 2) SELECT * FROM t1, t2" -> true,
+    "WITH t AS (DROP TABLE x) SELECT 1" -> false,
+    "WITH t AS (SELECT 1) DROP TABLE x" -> false,
+    "WITH t(a, b) AS (SELECT 1, 2) SELECT * FROM t" -> true,
+    "WITH \"my table\" AS (SELECT 1) SELECT * FROM \"my table\"" -> true,
+    // Nested
+    "(SELECT 1)" -> true,
+    "(SELECT 1) UNION SELECT 2" -> true,
+    "(SELECT 1) UNION ALL SELECT 2" -> true,
+    "((SELECT 1) UNION (SELECT 2))" -> true,
+    "(SELECT 1) UNION (DROP TABLE x)" -> false,
+    "(DROP TABLE x)" -> false,
+    // Explain
+    "EXPLAIN" -> true,
+    "EXPLAIN ANALYZE" -> true,
+    "EXPLAIN DROP TABLE x" -> false,
+    "EXPLAIN ANALYZE DROP TABLE x" -> false,
+    // Edge cases
+    "   SELECT 1" -> true,
+    "\nSELECT\n1" -> true,
+    "SELECT 1;" -> true,
+    "SELECT \"DROP\" FROM t" -> true,
+    "SETTINGS" -> false,
+    "" -> true,
+    "   " -> true)
+
+  test("dashboard gate matrix (sql_validation_test.go:12-83)") {
+    dashboardCases.foreach { case (sql, expected) =>
+      assert(Gate.isAllowedStatement(sql) == expected, s"SQL: $sql")
+    }
+  }
+
+  private val taskCases: Seq[(String, Boolean)] = Seq(
+    "SELECT * FROM users" -> true,
+    "INSERT INTO users VALUES (1)" -> true,
+    "UPDATE users SET name = 'foo'" -> true,
+    "DELETE FROM users" -> true,
+    "CREATE TABLE users (id INT)" -> true,
+    "DROP TABLE users" -> true,
+    "INSTALL httpfs" -> true,
+    "LOAD httpfs" -> true,
+    "SET threads = 4" -> false,
+    "RESET threads" -> false,
+    "ATTACH 'file.db' AS other" -> true,
+    "DETACH other" -> true,
+    "CREATE SECRET (TYPE S3)" -> true,
+    "PRAGMA threads=4" -> false,
+    "SET VARIABLE x = 1" -> true,
+    "RESET VARIABLE x" -> true,
+    "BEGIN TRANSACTION" -> true,
+    "COMMIT" -> true,
+    "WITH t AS (SELECT 1) SELECT * FROM t" -> true,
+    "WITH t AS (SELECT 1) INSTALL httpfs" -> true,
+    "WITH t AS (INSTALL httpfs) SELECT 1" -> true,
+    "(SELECT 1)" -> true,
+    "(SELECT 1) UNION SELECT 2" -> true,
+    "(SELECT 1) UNION (INSTALL httpfs)" -> true)
+
+  test("task gate matrix (sql_validation_test.go:85-150)") {
+    taskCases.foreach { case (sql, expected) =>
+      assert(Gate.isAllowedTaskStatement(sql) == expected, s"SQL: $sql")
+    }
+  }
+
+  test("ATTACH is side-effect only in in-memory mode (sql_validation_test.go:152-158)") {
+    assert(Gate.isAllowedStatement("ATTACH 'data.db' AS data"))
+    assert(!Gate.isAllowedStatementStrict("ATTACH 'data.db' AS data"))
+  }
+
+  test("strip comments respects quotes") {
+    assert(SqlText.stripComments("SELECT 1 -- comment\n, 2") == "SELECT 1 \n, 2")
+    assert(SqlText.stripComments("SELECT '--not' -- real\n") == "SELECT '--not' \n")
+    assert(SqlText.stripComments("SELECT \"a--b\" FROM t") == "SELECT \"a--b\" FROM t")
+    assert(SqlText.stripComments("SELECT 'it''s -- fine' --x") == "SELECT 'it''s -- fine' ")
+  }
+
+  test("split queries on ; outside quotes, tracks unclosed quotes") {
+    assert(SqlText.splitQueries("SELECT 1; SELECT 2") == Right(Seq("SELECT 1", "SELECT 2")))
+    assert(SqlText.splitQueries("SELECT 'a;b'; SELECT 2") == Right(Seq("SELECT 'a;b'", "SELECT 2")))
+    assert(SqlText.splitQueries("SELECT 'a''x;y'").isRight)
+    assert(SqlText.splitQueries("SELECT 'oops").isLeft)
+    assert(SqlText.splitQueries("SELECT \"oops").isLeft)
+  }
+
+  test("escape SQL string/identifier") {
+    assert(SqlText.escapeSQLString("it's") == "it''s")
+    assert(SqlText.escapeSQLString("a\nb") == "a b")
+    assert(SqlText.escapeSQLIdentifier("my\"name") == "my\"\"name")
+  }
+
+  test("WITH splitter extracts CTE bodies (sql_validation_test.go:160-226)") {
+    val Right((main, ctes)) =
+      Gate.splitWithStatement("WITH t AS (SELECT 1), u(a) AS (SELECT 2) SELECT * FROM t")
+    assert(ctes == Seq("SELECT 1", "SELECT 2"))
+    assert(main == "SELECT * FROM t")
+  }
+
+  test("::TYPE rewrite for shaper types") {
+    assert(Dialect.rewriteShaperCasts("SELECT count(*)::BARCHART FROM t")
+      == "SELECT BARCHART(count(*)) FROM t")
+    assert(Dialect.rewriteShaperCasts("SELECT date_trunc('week', ts)::XAXIS AS w")
+      == "SELECT XAXIS(date_trunc('week', ts)) AS w")
+    assert(Dialect.rewriteShaperCasts("SELECT 'x'::TIMESTAMP::XAXIS")
+      == "SELECT XAXIS('x'::TIMESTAMP)")
+    assert(Dialect.rewriteShaperCasts("SELECT category::CATEGORY, t.c::COLOR FROM t")
+      == "SELECT CATEGORY(category), COLOR(t.c) FROM t")
+    // non-shaper casts untouched
+    assert(Dialect.rewriteShaperCasts("SELECT x::INT") == "SELECT x::INT")
+    // inside strings untouched
+    assert(Dialect.rewriteShaperCasts("SELECT '::BARCHART'") == "SELECT '::BARCHART'")
+  }
+
+  test("count() and FROM-first rewrites") {
+    assert(Dialect.rewriteCountStar("SELECT count() FROM t") == "SELECT count(*) FROM t")
+    assert(Dialect.rewriteCountStar("SELECT count(x) FROM t") == "SELECT count(x) FROM t")
+    assert(Dialect.rewriteFromFirst("FROM t SELECT 1") == "SELECT * FROM t SELECT 1")
+    assert(Dialect.rewriteFromFirst("FROM lineitem") == "SELECT * FROM lineitem")
+  }
+
+  test("getvariable substitution and detection") {
+    assert(Dialect.referencedVariables("SELECT getvariable('a'), GETVARIABLE( 'b' )")
+      == Seq("a", "b"))
+    val out = Dialect.substituteVariables(
+      "SELECT getvariable('a')", n => if (n == "a") Some("'v'") else None)
+    assert(out == "SELECT ('v')")
+    assert(Dialect.substituteVariables("SELECT getvariable('x')", _ => None)
+      == "SELECT (NULL)")
+  }
+}
