@@ -87,13 +87,22 @@ object PipelineOps {
     "d03_ngram_jaccard" -> ((s, d) => {
       // Exact all-pairs jaccard ≥ 0.5 via the inverted shingle index
       // (pairs only materialize when they share a shingle — never a
-      // cartesian). The correctness baseline for d04's LSH path.
+      // cartesian). Intersection counts come straight out of the
+      // self-join's groupBy — no separate candidate pass. The
+      // correctness baseline for d04's LSH path.
       val sh = shingles(t(s, d, "documents")).cache()
-      val cand = sh.as("a").join(sh.as("b"),
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      verifiedJaccard(cand, sh, 0.5)
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+        .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+        .select(col("d1"), col("d2"),
+          round(col("inter") / (col("x.n") + col("y.n") - col("inter")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("d1", "d2")
     }),
 
     "d04_dedup_minhash" -> ((s, d) => {
@@ -132,13 +141,14 @@ object PipelineOps {
       // rows-only check; d03/d04 cover verified near-dup semantics.
       val toks = shingles(t(s, d, "documents"))
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      val bits = toks.select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(63))).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      val sig = bits.groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0,
-          expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"))
+      // one groupBy with 64 conditional sums — a single map-side-combined
+      // shuffle instead of a 64x bit-explode
+      val voteAggs = (0 until 64).map(b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+      val votes = toks.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      val sigExpr = (0 until 64).map(b =>
+        s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")
+      val sig = votes.select(col("doc_id"), expr(sigExpr).as("sig"))
       val chunks = sig.select(col("doc_id"), col("sig"),
           explode(sequence(lit(0), lit(7))).as("c"))
         .withColumn("chunk", expr("(sig >> (c * 8)) & 255"))
