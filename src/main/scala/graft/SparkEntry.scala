@@ -26,8 +26,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreSql.defs ++ graft.queries.PipelineOps.defs ++
-      graft.queries.Dashboards.defs
+      graft.queries.Dashboards.defs ++ graft.queries.EngineOps.defs
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreSql.oracles ++ graft.queries.PipelineOps.oracles
+    graft.queries.CoreSql.oracles ++ graft.queries.PipelineOps.oracles ++
+      graft.queries.EngineOps.oracles
 }

@@ -1,0 +1,179 @@
+package graft.ingest
+
+import SchemaInfer._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Ingest pipeline: auto CREATE/ALTER TABLE from inferred schema, then
+  * batched append with `_id`/`_ts` injection (ref:
+  * server/ingest/ingest.go:531-778). Tables are Spark catalog tables
+  * (parquet under the warehouse dir) — schema evolution is
+  * `ALTER TABLE ADD COLUMNS`, type changes are not supported, missing
+  * fields insert NULL, exactly like the reference.
+  *
+  * Scale design: `processBatch` builds ONE DataFrame per table per
+  * batch and appends it in a single write job (the analog of the
+  * reference's one-Appender-per-table-per-batch,
+  * ingest.go:653). Wired to Structured Streaming via
+  * `foreachBatch` in [[IngestStream]] — micro-batch trigger mirrors the
+  * reference's 3000 msgs / 2 s batching.
+  */
+object IngestPipeline {
+
+  private def sqlTypeToSpark(t: String): DataType = t match {
+    case TypeBoolean => BooleanType
+    case TypeDouble => DoubleType
+    case TypeTimestamp => TimestampType
+    case TypeDate => DateType
+    case _ => StringType // VARCHAR + JSON (stored as JSON text)
+  }
+
+  private def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Random collision-resistant id (stands in for the reference's cuid2,
+    * ingest.go:697). */
+  def generateId(): String =
+    "c" + java.util.UUID.randomUUID().toString.replace("-", "").take(23)
+
+  /** Convert a parsed JSON value to the target column type
+    * (ref: appender row loop, ingest.go:680-778). */
+  private def convert(v: JValue, sqlType: String): Any = v match {
+    case null | JNull => null
+    case _ => sqlType match {
+      case TypeBoolean => v match {
+        case JBool(b) => b
+        case _ => null
+      }
+      case TypeDouble => v match {
+        case JNumber(n) => n
+        case _ => null
+      }
+      case TypeTimestamp => v match {
+        case JString(s) => parseTimestamp(s)
+        case JNumber(n) => parseUnixTimestamp(n) // unix s/ms heuristic
+        case _ => null
+      }
+      case TypeDate => v match {
+        case JString(s) => parseDate(s)
+        case _ => null
+      }
+      case TypeVarchar => v match {
+        case JString(s) => s
+        case other => toJsonString(other)
+      }
+      case _ => toJsonString(v) // JSON column
+    }
+  }
+
+  /** Existing column name → type, or None if the table doesn't exist. */
+  private def tableColumns(spark: SparkSession, table: String): Option[Seq[StructField]] =
+    if (spark.catalog.tableExists(table)) Some(spark.table(table).schema.fields.toSeq)
+    else None
+
+  /** Process one batch of messages (grouped by table): infer schema,
+    * create/evolve tables, append rows. Returns rows appended per table. */
+  def processBatch(spark: SparkSession, batch: Seq[Message]): Map[String, Long] = {
+    val results = mutable.LinkedHashMap.empty[String, Long]
+    batch.groupBy(_.table).foreach { case (table, messages) =>
+      val (types, order, parsed) = detectSchemaFromBatch(messages)
+
+      tableColumns(spark, table) match {
+        case None =>
+          val colDefs = order.map(c => s"${quoteIdent(c)} ${sparkDDL(types(c))}").mkString(", ")
+          spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoteTable(table)} ($colDefs) USING PARQUET")
+        case Some(existing) =>
+          val existingNames = existing.map(_.name).toSet
+          val newCols = order.filterNot(existingNames.contains)
+          if (newCols.nonEmpty) {
+            val defs = newCols.map(c => s"${quoteIdent(c)} ${sparkDDL(types(c))}").mkString(", ")
+            spark.sql(s"ALTER TABLE ${quoteTable(table)} ADD COLUMNS ($defs)")
+          }
+      }
+
+      // refresh schema after DDL; build rows in table column order
+      val fields = spark.table(table).schema.fields.toSeq
+      val schema = StructType(fields)
+      val rows = messages.zip(parsed).map { case (msg, obj) =>
+        Row.fromSeq(fields.map { f =>
+          f.name match {
+            case IdColumn =>
+              obj.map.get(IdColumn) match {
+                case Some(JString(s)) => s
+                case Some(other) if other != JNull => toJsonString(other)
+                case _ => msg.headerId.filter(_.nonEmpty).getOrElse(generateId())
+              }
+            case TsColumn =>
+              obj.map.get(TsColumn) match {
+                case Some(JString(s)) => parseTimestamp(s)
+                case Some(JNumber(n)) => parseUnixTimestamp(n)
+                case _ => msg.metaTimestamp
+              }
+            case name =>
+              obj.map.get(name) match {
+                case Some(v) => convertTo(v, f.dataType)
+                case None => null // missing field ⇒ NULL (nullable columns)
+              }
+          }
+        })
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toList, 1), schema)
+      df.write.mode("append").insertInto(table)
+      results(table) = rows.length.toLong
+    }
+    results.toMap
+  }
+
+  private def sparkDDL(sqlType: String): String = sqlType match {
+    case TypeBoolean => "BOOLEAN"
+    case TypeDouble => "DOUBLE"
+    case TypeTimestamp => "TIMESTAMP"
+    case TypeDate => "DATE"
+    case _ => "STRING"
+  }
+
+  /** 1-3 dot-separated parts → quoted Spark table identifier
+    * (ref: escapeTableName/resolveTableParts, ingest.go:499-529). */
+  def quoteTable(name: String): String =
+    name.split("\\.").map(quoteIdent).mkString(".")
+
+  /** Convert against the *existing* column type — evolution never
+    * changes types, so a DOUBLE column receives only numbers etc. */
+  private def convertTo(v: JValue, dt: DataType): Any = dt match {
+    case BooleanType => convert(v, TypeBoolean)
+    case DoubleType => convert(v, TypeDouble)
+    case TimestampType => convert(v, TypeTimestamp)
+    case DateType => convert(v, TypeDate)
+    case _ => convert(v, TypeVarchar)
+  }
+}
+
+/** Structured Streaming front-end: a stream of (table, json, headerId,
+  * ts) rows appended through IngestPipeline.processBatch via
+  * foreachBatch — the Spark analog of the reference's NATS consumer
+  * loop (3000 msgs / 2 s batches, ingest.go:86-268). */
+object IngestStream {
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+  /** Expects columns: table STRING, json STRING, header_id STRING,
+    * meta_ts TIMESTAMP. */
+  def start(spark: SparkSession, source: DataFrame,
+      triggerMillis: Long = 2000): StreamingQuery =
+    source.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batchDf: DataFrame, _: Long) =>
+        val messages = batchDf.collect().toSeq.map { r =>
+          SchemaInfer.Message(
+            table = r.getAs[String]("table"),
+            json = r.getAs[String]("json"),
+            headerId = Option(r.getAs[String]("header_id")),
+            metaTimestamp = Option(r.getAs[java.sql.Timestamp]("meta_ts"))
+              .getOrElse(new java.sql.Timestamp(System.currentTimeMillis())))
+        }
+        if (messages.nonEmpty) IngestPipeline.processBatch(spark, messages)
+        ()
+      }
+      .start()
+}

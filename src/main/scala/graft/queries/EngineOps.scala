@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.ingest.{IngestPipeline, SchemaInfer}
+import graft.tasks.Tasks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract entries for the ingest pipeline and task engine.
+  * in01 is fully oracle-checked: explicit `_id`/`_ts` make the ingested
+  * table content deterministic, so DuckDB can assert the whole
+  * schema-inference → create → append path value-by-value.
+  */
+object EngineOps {
+
+  private val fixedNow = () => 1754992800000L // deterministic clock for oracles
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "in01_ingest_e2e" -> ((s, d) => {
+      // JSON batch → inferred schema (_id/_ts prepended, type vote:
+      // DOUBLE/BOOLEAN/TIMESTAMP/VARCHAR/JSON) → table → append
+      s.sql("DROP TABLE IF EXISTS ingest_demo")
+      IngestPipeline.processBatch(s, Seq(
+        SchemaInfer.Message("ingest_demo",
+          """{"_id": "a1", "_ts": "2024-01-01T10:00:00Z", "name": "alpha", "n": 1, "flag": true, "meta": {"k": "v"}}"""),
+        SchemaInfer.Message("ingest_demo",
+          """{"_id": "a2", "_ts": "2024-01-02T10:00:00Z", "name": "beta", "n": 2.5, "flag": false, "meta": {"k": "w"}}"""),
+        SchemaInfer.Message("ingest_demo",
+          """{"_id": "a3", "_ts": 1704274800, "name": "gamma", "n": 3, "flag": true, "meta": null}""")))
+      s.table("ingest_demo").orderBy("_id")
+    }),
+
+    "tk01_task_execute" -> ((s, d) => {
+      // task executor over the star schema: schedule extraction +
+      // stop-on-false + result capture, flattened for the oracle
+      val content =
+        """SELECT (INTERVAL 1 HOUR)::SCHEDULE;
+          |SELECT count(*) > 0 AS has_data FROM lineitem;
+          |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;""".stripMargin
+      val r = Tasks.executeTask(s, content, fixedNow,
+        prepare = ss => graft.Tables.registerAll(ss, d))
+      import s.implicits._
+      val flat = r.queries.zipWithIndex.flatMap { case (q, qi) =>
+        q.resultRows.zipWithIndex.map { case (row, ri) =>
+          (qi, ri, row.map(String.valueOf).mkString("|"))
+        }
+      }
+      val header = Seq((-1, -1,
+        s"success=${r.success};totalQueries=${r.totalQueries};nextRunAt=${r.nextRunAt};type=${r.scheduleType}"))
+      (header ++ flat).toDF("query_idx", "row_idx", "data")
+        .orderBy("query_idx", "row_idx")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "in01_ingest_e2e" -> """
+      SELECT * FROM (VALUES
+        ('a1', TIMESTAMP '2024-01-01 10:00:00', 'alpha', 1.0, true, '{"k":"v"}'),
+        ('a2', TIMESTAMP '2024-01-02 10:00:00', 'beta', 2.5, false, '{"k":"w"}'),
+        ('a3', TIMESTAMP '2024-01-03 09:40:00', 'gamma', 3.0, true, NULL)
+      ) t(_id, _ts, name, n, flag, meta)
+      ORDER BY _id""",
+
+    "tk01_task_execute" -> """
+      SELECT -1 AS query_idx, -1 AS row_idx,
+             'success=true;totalQueries=2;nextRunAt=1754996400000;type=single' AS data
+      UNION ALL
+      SELECT 0, 0, 'true'
+      UNION ALL
+      SELECT 1, n - 1,
+             l_returnflag || '|' || CAST(cnt AS VARCHAR)
+      FROM (SELECT l_returnflag, count(*) AS cnt,
+                   row_number() OVER (ORDER BY l_returnflag) AS n
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY query_idx, row_idx"""
+  )
+}

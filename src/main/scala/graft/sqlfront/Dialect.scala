@@ -136,11 +136,23 @@ object Dialect {
           s = absorbDotted(toks, p)
         }
         absorbCastChain(toks, s)
-      case TWord | TQuoted | TString | TNum =>
+      case TString =>
+        // typed literals: TIMESTAMP '...', DATE '...', INTERVAL '...'
+        val p = prevNonWs(toks, j - 1)
+        val s =
+          if (p >= 0 && toks(p).kind == TWord && isTypedLiteralKeyword(toks(p).text)) p
+          else j
+        absorbCastChain(toks, s)
+      case TWord | TQuoted | TNum =>
         val s = absorbDotted(toks, j)
         absorbCastChain(toks, s)
       case _ => -1
     }
+  }
+
+  private def isTypedLiteralKeyword(w: String): Boolean = {
+    val u = w.toUpperCase
+    u == "TIMESTAMP" || u == "TIMESTAMPTZ" || u == "DATE" || u == "TIME" || u == "INTERVAL"
   }
 
   /** Words that must not be swallowed as a "function name" before `(`. */

@@ -1,0 +1,229 @@
+package graft.tasks
+
+import graft.render.Render
+import graft.sqlfront.{Dialect, Gate, SqlText}
+import graft.types.ShaperTypes
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.StructField
+
+import java.util.concurrent.{Executors, ScheduledExecutorService, ScheduledFuture, TimeUnit}
+import scala.collection.mutable
+
+/** SQL task engine: SCHEDULE extraction, the per-statement executor with
+  * early stop on a single false boolean, and a single-node scheduler
+  * (ref: server/core/schedule_task.go:65-142, run_task.go:36-258).
+  *
+  * Transaction semantics: the reference wraps a task in one DuckDB
+  * transaction unless it contains ATTACH/INSTALL/LOAD/CREATE SECRET
+  * (run_task.go:49-65). Spark has no multi-statement transactions, so
+  * execution is sequential with stop-on-error — a documented divergence
+  * (SURVEY.md §7 hard part 6); `needsNoTransaction` is kept for parity
+  * of the no-TX classification itself.
+  */
+object Tasks {
+
+  final case class TaskQueryResult(
+      sql: String,
+      resultColumns: Seq[String],
+      resultRows: Seq[Seq[Any]],
+      durationMs: Long,
+      error: Option[String],
+      stopExecution: Boolean)
+
+  final case class TaskResult(
+      startedAt: Long,
+      queries: Seq[TaskQueryResult],
+      totalQueries: Int,
+      nextRunAt: Long,
+      scheduleType: String,
+      success: Boolean)
+
+  /** (ref: needsNoTransaction, run_task.go:49-65) */
+  def needsNoTransaction(sql: String): Boolean = {
+    val upper = sql.trim.toUpperCase
+    if (upper.startsWith("ATTACH") || upper.startsWith("DETACH")) return true
+    if (upper.startsWith("CREATE")) {
+      val parts = upper.split("\\s+")
+      if (parts.length >= 2 && parts(0) == "CREATE" && parts(1) == "SECRET") return true
+    }
+    upper.startsWith("INSTALL") || upper.startsWith("LOAD")
+  }
+
+  /** (ref: getScheduleColumn, run_task.go:36-47) */
+  def getScheduleColumn(schema: Seq[StructField], rows: Seq[Row]): Option[String] = {
+    val tpe =
+      if (Render.findColumnByTag(schema, "SCHEDULE").isDefined) Some("single")
+      else if (Render.findColumnByTag(schema, "SCHEDULE_ALL").isDefined) Some("all")
+      else None
+    tpe.filter(_ => rows.isEmpty || (rows.length == 1 && rows.head.length == 1))
+  }
+
+  /** (ref: isScheduleQueryCandidate, schedule_task.go:65-72) */
+  def isScheduleQueryCandidate(sql: String): Boolean = {
+    val upper = sql.trim.toUpperCase
+    upper.contains("SCHEDULE") &&
+      (upper.startsWith("SELECT") || upper.startsWith("WITH") || upper.startsWith("("))
+  }
+
+  /** Run SCHEDULE-candidate statements read-only to compute the next run.
+    * Returns (nextRunAtMillis or None, scheduleType: single|all|init).
+    * (ref: getNextTaskRun, schedule_task.go:74-142) */
+  def getNextTaskRun(spark0: SparkSession, content: String,
+      nowMillis: () => Long = () => System.currentTimeMillis(),
+      prepare: SparkSession => Unit = _ => ()): (Option[Long], String) = {
+    val spark = spark0.newSession()
+    ShaperTypes.register(spark)
+    prepare(spark)
+    val clean = SqlText.stripComments(content)
+    val sqls = SqlText.splitQueries(clean).getOrElse(return (None, "single"))
+    val candidates = sqls.filter(isScheduleQueryCandidate).map(_.trim)
+    candidates.foreach { sql =>
+      try {
+        val df = spark.sql(Dialect.rewrite(sql))
+        val schema = df.schema.fields.toSeq
+        val rows = df.limit(2).collect().toSeq
+        getScheduleColumn(schema, rows).foreach { scheduleType =>
+          val t = Render.getScheduleTime(rows, nowMillis)
+          if (t == -1) return (None, "init")
+          if (t <= 0) return (None, scheduleType)
+          return (Some(t), scheduleType)
+        }
+      } catch { case _: Exception => () } // candidate failed: try the next
+    }
+    (None, "single")
+  }
+
+  /** Execute a task: split → gate → per-statement run, result capture,
+    * early stop on single false boolean, SCHEDULE row excluded from
+    * results, error stops the batch.
+    * (ref: executeTaskOnDB, run_task.go:67-258) */
+  def executeTask(spark0: SparkSession, content: String,
+      nowMillis: () => Long = () => System.currentTimeMillis(),
+      prepare: SparkSession => Unit = _ => ()): TaskResult = {
+    val spark = spark0.newSession()
+    ShaperTypes.register(spark)
+    graft.exprs.Boxplot.register(spark)
+    prepare(spark)
+
+    val startedAt = nowMillis()
+    val clean = SqlText.stripComments(content)
+    val sqls = SqlText.splitQueries(clean) match {
+      case Right(q) => q
+      case Left(err) => return TaskResult(startedAt,
+        Seq(TaskQueryResult(content, Nil, Nil, 0, Some(err), stopExecution = false)),
+        0, 0, "", success = false)
+    }
+    var totalQueries = sqls.length
+    val queries = mutable.ArrayBuffer.empty[TaskQueryResult]
+    var nextRunAt = 0L
+    var scheduleType = ""
+    var success = true
+    var stopped = false
+
+    for (sqlString0 <- sqls if !stopped) {
+      val sqlString = sqlString0.trim
+      if (sqlString.nonEmpty) {
+        if (!Gate.isAllowedTaskStatement(sqlString)) {
+          queries += TaskQueryResult(sqlString, Nil, Nil, 0,
+            Some("Statement not allowed in tasks (e.g., PRAGMA, SET configuration)"),
+            stopExecution = false)
+          success = false
+          stopped = true
+        } else if (needsNoTransaction(sqlString)) {
+          // ATTACH/INSTALL/LOAD/CREATE SECRET: no-op on Spark (documented)
+          queries += TaskQueryResult(sqlString, Nil, Nil, 0, None, stopExecution = false)
+        } else {
+          val start = System.nanoTime()
+          try {
+            val df = spark.sql(Dialect.rewrite(sqlString))
+            val schema = df.schema.fields.toSeq
+            val rows = df.limit(3001).collect().toSeq
+            val duration = (System.nanoTime() - start) / 1000000
+            val serRows = rows.map(r =>
+              schema.indices.map(i => Render.plainify(Render.unwrap(r.get(i)))))
+            val stopExecution = serRows.length == 1 && serRows.head.length == 1 &&
+              (serRows.head.head match {
+                case b: Boolean => !b
+                case b: java.lang.Boolean => !b.booleanValue()
+                case _ => false
+              })
+            val qr = TaskQueryResult(sqlString, schema.map(_.name), serRows,
+              duration, None, stopExecution)
+            getScheduleColumn(schema, rows) match {
+              case Some(st) =>
+                if (nextRunAt != 0) {
+                  queries += qr.copy(error = Some("Multiple SCHEDULE queries in task"))
+                  success = false
+                } else {
+                  val t = Render.getScheduleTime(rows, nowMillis)
+                  scheduleType = if (t == -1) "all" else st
+                  nextRunAt = t
+                  totalQueries = sqls.length - 1 // SCHEDULE row excluded
+                }
+              case None =>
+                queries += qr
+            }
+            if (!success || stopExecution) stopped = true
+          } catch {
+            case e: Exception =>
+              queries += TaskQueryResult(sqlString, Nil, Nil,
+                (System.nanoTime() - start) / 1000000,
+                Some(Option(e.getMessage).getOrElse(e.toString)), stopExecution = false)
+              success = false
+              stopped = true
+          }
+        }
+      }
+    }
+    TaskResult(startedAt, queries.toSeq, totalQueries, nextRunAt, scheduleType, success)
+  }
+}
+
+/** Single-node scheduler: runs tasks at their SCHEDULE-computed times
+  * and reschedules from each run's result (ref: JVM timers in
+  * schedule_task.go:144-209; the NATS work-queue single-node dedup of
+  * the reference is a cluster concern — on Spark the natural analog is
+  * one driver owning the timers).
+  */
+final class TaskScheduler(spark: SparkSession,
+    prepare: SparkSession => Unit = _ => ()) extends AutoCloseable {
+  private val exec: ScheduledExecutorService = Executors.newScheduledThreadPool(1)
+  private val handles = mutable.Map.empty[String, ScheduledFuture[_]]
+  private val results = mutable.Map.empty[String, Tasks.TaskResult]
+
+  def lastResult(taskId: String): Option[Tasks.TaskResult] = results.synchronized {
+    results.get(taskId)
+  }
+
+  /** Schedule (or run-now for init) a task by content. */
+  def schedule(taskId: String, content: String): Unit = {
+    val (nextRunOpt, scheduleType) = Tasks.getNextTaskRun(spark, content, prepare = prepare)
+    scheduleType match {
+      case "init" => runAndReschedule(taskId, content)
+      case _ => nextRunOpt.foreach { at =>
+        val delay = math.max(0L, at - System.currentTimeMillis())
+        val h = exec.schedule(new Runnable {
+          def run(): Unit = runAndReschedule(taskId, content)
+        }, delay, TimeUnit.MILLISECONDS)
+        handles.synchronized { handles(taskId) = h }
+      }
+    }
+  }
+
+  private def runAndReschedule(taskId: String, content: String): Unit = {
+    val result = Tasks.executeTask(spark, content, prepare = prepare)
+    results.synchronized { results(taskId) = result }
+    if (result.success && result.nextRunAt > 0) {
+      val delay = math.max(0L, result.nextRunAt - System.currentTimeMillis())
+      val h = exec.schedule(new Runnable {
+        def run(): Unit = runAndReschedule(taskId, content)
+      }, delay, TimeUnit.MILLISECONDS)
+      handles.synchronized { handles(taskId) = h }
+    }
+  }
+
+  def cancel(taskId: String): Unit =
+    handles.synchronized { handles.remove(taskId).foreach(_.cancel(false)) }
+
+  override def close(): Unit = exec.shutdownNow()
+}

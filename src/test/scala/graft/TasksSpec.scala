@@ -1,0 +1,115 @@
+package graft
+
+import graft.tasks.{TaskScheduler, Tasks}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Task tests transliterated from server/core/task_init_test.go:61-231
+  * (init detection, schedule extraction, stop-on-false, gate rejection). */
+class TasksSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-task-wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private val now = () => 1754992800000L // 2025-08-12 10:00:00 UTC fixed clock
+
+  test("init schedule extraction (task_init_test.go:61-147)") {
+    val (at, tpe) = Tasks.getNextTaskRun(spark,
+      "SELECT 'init'::SCHEDULE;\nSELECT 1 AS x;", now)
+    assert(at.isEmpty && tpe == "init")
+  }
+
+  test("interval schedule: next run = now + 1 hour (task_init_test.go:148-189)") {
+    val (at, tpe) = Tasks.getNextTaskRun(spark,
+      "SELECT (INTERVAL 1 HOUR)::SCHEDULE;", now)
+    assert(tpe == "single")
+    assert(at.contains(now() + 3600 * 1000))
+  }
+
+  test("timestamp schedule") {
+    val (at, tpe) = Tasks.getNextTaskRun(spark,
+      "SELECT TIMESTAMP '2026-08-04 12:00:00'::SCHEDULE;", now)
+    assert(tpe == "single")
+    assert(at.contains(1785844800000L))
+  }
+
+  test("SCHEDULE_ALL ⇒ all-nodes type") {
+    val (_, tpe) = Tasks.getNextTaskRun(spark,
+      "SELECT (INTERVAL 5 MINUTE)::SCHEDULE_ALL;", now)
+    assert(tpe == "all")
+  }
+
+  test("no SCHEDULE statement ⇒ single/no-time") {
+    val (at, tpe) = Tasks.getNextTaskRun(spark, "SELECT 1;", now)
+    assert(at.isEmpty && tpe == "single")
+  }
+
+  test("task executor: CREATE TABLE + INSERT + results captured") {
+    val r = Tasks.executeTask(spark,
+      """CREATE TABLE IF NOT EXISTS task_t1 (x INT) USING PARQUET;
+        |INSERT INTO task_t1 VALUES (1), (2);
+        |SELECT CAST(sum(x) AS BIGINT) AS total FROM task_t1;""".stripMargin, now)
+    assert(r.success)
+    val select = r.queries.last
+    assert(select.resultColumns == Seq("total"))
+    assert(select.resultRows == Seq(Seq(3L)))
+  }
+
+  test("early termination on single false boolean (run_task.go:195-199)") {
+    val r = Tasks.executeTask(spark,
+      """CREATE TABLE IF NOT EXISTS task_t2 (x INT) USING PARQUET;
+        |SELECT count(*) > 0 AS has_rows FROM task_t2 WHERE x > 100;
+        |INSERT INTO task_t2 VALUES (99);""".stripMargin, now)
+    assert(r.success)
+    assert(r.queries.last.stopExecution)
+    // the INSERT after the false boolean must not have run
+    assert(spark.table("task_t2").count() == 0)
+  }
+
+  test("SCHEDULE row excluded from results, nextRunAt set (run_task.go:201-219)") {
+    val r = Tasks.executeTask(spark,
+      """SELECT (INTERVAL 1 HOUR)::SCHEDULE;
+        |SELECT 42 AS v;""".stripMargin, now)
+    assert(r.success)
+    assert(r.nextRunAt == now() + 3600 * 1000)
+    assert(r.scheduleType == "single")
+    assert(r.totalQueries == 1)
+    assert(r.queries.length == 1 && r.queries.head.resultRows == Seq(Seq(42)))
+  }
+
+  test("disallowed statement stops task (task_init_test.go:120-129)") {
+    val r = Tasks.executeTask(spark,
+      "SET threads = 4;\nSELECT 1;", now)
+    assert(!r.success)
+    assert(r.queries.head.error.exists(_.contains("not allowed")))
+    assert(r.queries.length == 1) // SELECT 1 never ran
+  }
+
+  test("error stops batch") {
+    val r = Tasks.executeTask(spark,
+      "SELECT 1 AS a;\nSELECT * FROM nonexistent_table_xyz;\nSELECT 2 AS b;", now)
+    assert(!r.success)
+    assert(r.queries.length == 2)
+    assert(r.queries(1).error.isDefined)
+  }
+
+  test("scheduler runs init task immediately (task_init_test.go:190-231)") {
+    val sched = new TaskScheduler(spark)
+    try {
+      sched.schedule("t-init",
+        """SELECT 'init'::SCHEDULE;
+          |CREATE TABLE IF NOT EXISTS task_init_out USING PARQUET AS SELECT 7 AS v;""".stripMargin)
+      // init runs synchronously in schedule()
+      assert(sched.lastResult("t-init").exists(_.success))
+      assert(spark.table("task_init_out").collect().head.getInt(0) == 7)
+    } finally sched.close()
+  }
+}
