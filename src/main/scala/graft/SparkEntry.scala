@@ -26,9 +26,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreSql.defs ++ graft.queries.PipelineOps.defs ++
-      graft.queries.Dashboards.defs ++ graft.queries.EngineOps.defs
+      graft.queries.Dashboards.defs ++ graft.queries.EngineOps.defs ++
+      graft.queries.MediaCatalogOps.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreSql.oracles ++ graft.queries.PipelineOps.oracles ++
-      graft.queries.EngineOps.oracles
+      graft.queries.EngineOps.oracles ++ graft.queries.MediaCatalogOps.oracles
 }

@@ -1,0 +1,64 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema introspection: databases → tables → columns as both a
+  * DataFrame and a JSON document (ref: server/core/duckdb_schema.go —
+  * the databases()/tables()/columns() catalog walk; enums/constraints
+  * are DuckDB-only and modeled thin, as SURVEY.md §2 notes).
+  */
+object Catalog {
+
+  /** Spark type → the reference's DuckDB-ish type vocabulary. */
+  def duckTypeName(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "VARCHAR"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(et, _) => duckTypeName(et) + "[]"
+    case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+    case s: StructType =>
+      s.fields.map(f => "\"" + f.name + "\" " + duckTypeName(f.dataType))
+        .mkString("STRUCT(", ", ", ")")
+    case _: DayTimeIntervalType | _: YearMonthIntervalType | CalendarIntervalType => "INTERVAL"
+    case other => other.simpleString.toUpperCase
+  }
+
+  /** All columns of all tables/views visible in the session, one row per
+    * column (table_name, column_name, ordinal, data_type, nullable). */
+  def columns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = spark.catalog.listTables().collect().toSeq
+      .sortBy(_.name)
+      .flatMap { t =>
+        val schema = spark.table(t.name).schema
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          (t.name, f.name, i + 1, duckTypeName(f.dataType), f.nullable)
+        }
+      }
+    rows.toDF("table_name", "column_name", "ordinal", "data_type", "nullable")
+  }
+
+  /** JSON schema document (the /api/schema shape: catalog → tables →
+    * columns; one in-memory catalog on Spark local). */
+  def schemaJson(spark: SparkSession): String = {
+    val tables = spark.catalog.listTables().collect().toSeq.sortBy(_.name).map { t =>
+      val cols = spark.table(t.name).schema.fields.map { f =>
+        Map("name" -> f.name, "type" -> duckTypeName(f.dataType), "nullable" -> f.nullable)
+      }.toSeq
+      Map("name" -> t.name, "type" -> t.tableType.toLowerCase, "columns" -> cols)
+    }
+    graft.render.Model.jsonValue(Map("databases" -> Seq(
+      Map("name" -> "memory", "schemas" -> Seq(
+        Map("name" -> "main", "tables" -> tables))))))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import graft.catalog.Catalog
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract entries for multimodal column ops and catalog
+  * introspection. mm01/mm02/ct01 are oracle-checked on the parts DuckDB
+  * can recompute (payload sizes, frame indexing, schema listing); the
+  * stubbed decoder's pixel statistics are covered by MultimodalSpec.
+  */
+object MediaCatalogOps {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mm01_media_meta" -> ((s, d) => {
+      // binary payload + typed metadata: byte sizes and dimensions are
+      // recomputable by the oracle from the source text
+      Multimodal.mediaTable(s, d).toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("meta.format").as("format"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.nBytes").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    "mm02_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(s, d, stride = 2).select("doc_id", "frame_idx")),
+
+    "mm03_image_features" -> ((s, d) =>
+      // decode stub output (mean/max byte) — no SQL oracle; quality
+      // asserted in MultimodalSpec
+      Multimodal.imageFeatures(s, d)),
+
+    "mm04_resize" -> ((s, d) => Multimodal.resize(s, d, maxDim = 64)),
+
+    "ex01_export_roundtrip" -> ((s, d) => {
+      // CSV/JSON/XLSX writers over a real query result; CSV is re-read
+      // by Spark to prove the round trip, XLSX validated as a zip
+      import s.implicits._
+      Tables.registerAll(s, d)
+      val df = s.sql(
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      val csv = { val w = new java.io.StringWriter; graft.export.Export.toCSV(df, w); w.toString }
+      val json = { val w = new java.io.StringWriter; graft.export.Export.toJSON(df, w); w.toString }
+      val xlsx = { val o = new java.io.ByteArrayOutputStream; graft.export.Export.toXLSX(df, o); o.toByteArray }
+      val csvLines = csv.split("\n").filter(_.nonEmpty)
+      val reRead = s.read.option("header", "true").csv(
+        csvLines.toSeq.toDS()).count()
+      val zipEntries = {
+        val z = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(xlsx))
+        Iterator.continually(z.getNextEntry).takeWhile(_ != null).length
+      }
+      Seq(
+        ("csv_rows", csvLines.length.toLong - 1),
+        ("csv_reread_rows", reRead),
+        ("json_objects", json.count(_ == '{').toLong),
+        ("xlsx_zip_entries", zipEntries.toLong)
+      ).toDF("metric", "value").orderBy("metric")
+    }),
+
+    "ct01_catalog_columns" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      Catalog.columns(s)
+        .filter(col("table_name").isin(Tables.names: _*))
+        .orderBy("table_name", "ordinal")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm01_media_meta" -> """
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+             CAST(n_chars % 640 AS INTEGER) AS width,
+             CAST(n_chars % 480 AS INTEGER) AS height,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents ORDER BY doc_id""",
+
+    "mm02_frame_sample" -> """
+      SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
+      FROM (
+        SELECT doc_id, unnest(generate_series(0, CAST(octet_length(encode(text)) // 256 AS BIGINT) - 1, 2)) AS f
+        FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) // 256 >= 1
+      )
+      ORDER BY doc_id, frame_idx""",
+
+    "ex01_export_roundtrip" -> """
+      SELECT 'csv_reread_rows' AS metric, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS value FROM lineitem
+      UNION ALL SELECT 'csv_rows', count(DISTINCT l_returnflag) FROM lineitem
+      UNION ALL SELECT 'json_objects', count(DISTINCT l_returnflag) FROM lineitem
+      UNION ALL SELECT 'xlsx_zip_entries', 5
+      ORDER BY metric""",
+
+    "ct01_catalog_columns" -> """
+      SELECT table_name, column_name, CAST(ordinal_position AS INTEGER) AS ordinal,
+             data_type, true AS nullable
+      FROM information_schema.columns
+      WHERE table_name IN ('region','nation','customer','supplier','part',
+                           'orders','lineitem','events','documents','embeddings')
+      ORDER BY table_name, ordinal"""
+  )
+}

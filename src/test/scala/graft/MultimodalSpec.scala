@@ -1,0 +1,76 @@
+package graft
+
+import graft.catalog.Catalog
+import graft.exprs.Getenv
+import graft.ops.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table: binary payload + typed metadata") {
+    val mt = Multimodal.mediaTable(spark, dir)
+    val row = mt.filter(_.doc_id == 0).collect().head
+    assert(row.media_type == "image" && row.meta.format == "png")
+    assert(row.payload.length.toLong == row.meta.nBytes)
+    val types = mt.toDF().schema("payload").dataType.simpleString
+    assert(types == "binary")
+  }
+
+  test("decode stub: mean/max byte statistics are exact") {
+    val feats = Multimodal.imageFeatures(spark, dir)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val f0 = feats.filter("doc_id = 0").collect().head
+    val bytes = docs(0L).getBytes("UTF-8")
+    val expectedMean = math.round(bytes.map(_ & 0xff).sum.toDouble / bytes.length * 10000) / 10000.0
+    assert(f0.getAs[Double]("mean_byte") == expectedMean)
+    assert(f0.getAs[Int]("max_byte") == bytes.map(_ & 0xff).max)
+    assert(f0.getAs[Long]("n_bytes") == bytes.length.toLong)
+  }
+
+  test("frame sampling: stride applied per-row before explode") {
+    val frames = Multimodal.frameSample(spark, dir, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.nonEmpty)
+    assert(frames.forall { case (id, f) => id % 3 == 2 && f % 2 == 0 })
+  }
+
+  test("resize halves dimensions and payload deterministically") {
+    val r = Multimodal.resize(spark, dir, maxDim = 64).filter("doc_id = 0").collect().head
+    assert(r.getAs[Int]("width") <= 640 && r.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("catalog columns + JSON schema document") {
+    val s2 = spark.newSession()
+    Tables.registerAll(s2, dir)
+    val cols = Catalog.columns(s2)
+      .filter("table_name = 'embeddings'").collect()
+    assert(cols.map(r => (r.getString(1), r.getString(3))).toSeq ==
+      Seq(("vec_id", "BIGINT"), ("embedding", "FLOAT[]"), ("label", "INTEGER")))
+    val json = Catalog.schemaJson(s2)
+    assert(json.contains("\"databases\"") && json.contains("\"lineitem\""))
+  }
+
+  test("getenv UDF gated by init window (util/duckdb.go:14-57)") {
+    val s2 = spark.newSession()
+    Getenv.register(s2)
+    // outside init: empty
+    assert(s2.sql("SELECT getenv('PATH') AS v").collect().head.getString(0) == "")
+    // inside init: real value
+    val v = Getenv.withEnabled {
+      s2.sql("SELECT getenv('PATH') AS v").collect().head.getString(0)
+    }
+    assert(v.nonEmpty)
+  }
+}
