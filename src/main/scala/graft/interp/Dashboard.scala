@@ -324,6 +324,8 @@ object Dashboard {
   private def runQuery(spark: SparkSession, sqlString: String, store: VarStore): DataFrame = {
     val upper = sqlString.toUpperCase
     if (upper.startsWith("SUMMARIZE")) summarize(spark, sqlString, store)
+    else if (graft.sqlfront.PivotStmt.isPivotStatement(sqlString))
+      graft.sqlfront.PivotStmt.execute(spark, Dialect.rewrite(sqlString, store.render))
     else spark.sql(Dialect.rewrite(sqlString, store.render))
   }
 

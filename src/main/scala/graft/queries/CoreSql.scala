@@ -421,6 +421,24 @@ object CoreSql {
         ORDER BY c.c_mktsegment""")
     }),
 
+    "q58_recursive_cte" -> ((s, d) => {
+      // WITH RECURSIVE (Spark 4.x native): org hierarchy walk — here a
+      // numeric series as the portable fixture both engines accept.
+      s.sql("""
+        WITH RECURSIVE t(n) AS (
+          SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS cnt FROM t""")
+    }),
+
+    "q59_pivot_stmt" -> ((s, d) => {
+      // DuckDB PIVOT statement form through the dynamic-pivot handler
+      t(s, d, "orders").createOrReplaceTempView("pv_orders")
+      graft.sqlfront.PivotStmt.execute(s,
+        "PIVOT pv_orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority")
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- events (stream-shaped fact) -----------------------------------
     "q55_events_weekly" -> ((s, d) => {
       t(s, d, "events")
@@ -714,6 +732,19 @@ object CoreSql {
       SELECT c.c_mktsegment, count(*) AS n_cust, CAST(sum(b.n_big) AS BIGINT) AS n_orders
       FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    "q58_recursive_cte" -> """
+      WITH RECURSIVE t(n) AS (
+        SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100
+      )
+      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS cnt FROM t""",
+
+    "q59_pivot_stmt" -> """
+      SELECT o_orderpriority,
+             count(*) FILTER (o_orderstatus = 'F') AS "F",
+             count(*) FILTER (o_orderstatus = 'O') AS "O",
+             count(*) FILTER (o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q55_events_weekly" -> """
       SELECT date_trunc('week', ts) AS week, event_type, count(*) AS n,

@@ -43,6 +43,33 @@ object Dashboards {
       Seq(graft.render.Model.toJson(r)).toDF("dashboard_json")
     }),
 
+    "sh04_secure_dashboard" -> ((s, d) => {
+      // full auth flow: sign JWT with protected variables -> verify ->
+      // render; a malicious URL param must NOT override the JWT value
+      // (the reference's security-critical test, get_dashboard_test.go:166-190)
+      val claims = graft.auth.Auth.Claims(
+        dashboardId = Some("secure-demo"),
+        variables = Map("evtype" -> "purchase"),
+        isPublic = false, longLived = false,
+        exp = System.currentTimeMillis() / 1000 + 900)
+      val token = graft.auth.Auth.sign(claims, "demo-secret")
+      val verified = graft.auth.Auth.verify(token, "demo-secret")
+        .getOrElse(throw new IllegalStateException("token verification failed"))
+      val content =
+        """SELECT 'purchase'::DROPDOWN AS evtype UNION ALL SELECT 'click'::DROPDOWN;
+          |SELECT getvariable('evtype') AS effective, count(*) AS n
+          |FROM events WHERE event_type = getvariable('evtype') GROUP BY 1;""".stripMargin
+      val r = Dashboard.run(s, content, RunConfig(
+        dashboardId = "secure-demo",
+        queryParams = Map("evtype" -> Seq("click")), // attack attempt
+        variables = verified.variables,
+        prepare = ss => Tables.registerAll(ss, d)))
+      import s.implicits._
+      r.sections.flatMap(_.queries).flatMap(_.rows).map(row =>
+        (String.valueOf(row.head), String.valueOf(row.lift(1).getOrElse(""))))
+        .toDF("value", "extra")
+    }),
+
     "sh03_dashboard_widgets" -> ((s, d) => {
       // widgets + variables + sections + gauge in one dashboard
       val content =

@@ -19,6 +19,11 @@ object EngineOps {
       // JSON batch → inferred schema (_id/_ts prepended, type vote:
       // DOUBLE/BOOLEAN/TIMESTAMP/VARCHAR/JSON) → table → append
       s.sql("DROP TABLE IF EXISTS ingest_demo")
+      // the in-memory catalog forgets tables across JVM runs but the
+      // warehouse directory survives — remove the stale location too
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "ingest_demo")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       IngestPipeline.processBatch(s, Seq(
         SchemaInfer.Message("ingest_demo",
           """{"_id": "a1", "_ts": "2024-01-01T10:00:00Z", "name": "alpha", "n": 1, "flag": true, "meta": {"k": "v"}}"""),

@@ -62,6 +62,31 @@ object MediaCatalogOps {
       ).toDF("metric", "value").orderBy("metric")
     }),
 
+    "st01_stream_windowed" -> ((s, d) => {
+      // real Structured Streaming execution: the first 5000 events
+      // replayed through a memory source -> 5-minute tumbling windows ->
+      // memory sink (complete mode so every window materializes)
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val events = graft.Tables.t(s, d, "events")
+        .orderBy("event_id").limit(5000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.Streams.Event].collect().toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Event]
+      val agg = input.toDF()
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+      val name = "st01_sink_" + math.abs(d.hashCode)
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      input.addData(events)
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy("window_start", "event_type")
+    }),
+
     "ct01_catalog_columns" -> ((s, d) => {
       Tables.registerAll(s, d)
       Catalog.columns(s)
@@ -94,6 +119,14 @@ object MediaCatalogOps {
       UNION ALL SELECT 'json_objects', count(DISTINCT l_returnflag) FROM lineitem
       UNION ALL SELECT 'xlsx_zip_entries', 5
       ORDER BY metric""",
+
+    "st01_stream_windowed" -> """
+      WITH first5k AS (
+        SELECT * FROM events ORDER BY event_id LIMIT 5000
+      )
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM first5k GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "ct01_catalog_columns" -> """
       SELECT table_name, column_name, CAST(ordinal_position AS INTEGER) AS ordinal,

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream shape
+  * (event_id, ts, user_id, event_type, value) — the engine's streaming
+  * surface beyond ingest (SURVEY.md §1.1 maps shaper's NATS event
+  * stream to readStream; these are the analytic transforms on top).
+  *
+  * Scale design: watermarks bound state, window aggregation is
+  * hash-partitioned on (window, key) with partial aggregation, and the
+  * sessionizer keeps one small state object per active user that the
+  * watermark timeout reaps.
+  */
+object Streams {
+
+  /** Tumbling-window event counts with a watermark bounding late data
+    * and state size. */
+  def windowedCounts(events: DataFrame, window: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  private object functions {
+    def window(c: org.apache.spark.sql.Column, w: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.window(c, w)
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, nEvents: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization with explicit state: a session closes
+    * after `gapSeconds` of inactivity (event-time via the state
+    * timeout). The streaming analog of q56's batch sessionization. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(last = math.max(s.last, t), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

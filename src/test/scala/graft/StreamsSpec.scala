@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("windowed counts with watermark (complete mode over memory sink)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = Streams.windowedCounts(input.toDF(), "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wc_out").start()
+    input.addData(
+      Event(1, ts("2024-01-01T00:01:00Z"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01T00:02:00Z"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01T00:07:00Z"), 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    input.addData(Event(9, ts("2024-01-01T01:00:00Z"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc_out").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01T00:00:00Z", "click", 2L)))
+    assert(rows.contains(("2024-01-01T00:05:00Z", "view", 1L)))
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Streams.sessionize(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // user 1: two events 2 min apart (one session), then 30 min silence
+    input.addData(
+      Event(1, ts("2024-01-01T00:00:00Z"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01T00:02:00Z"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // a much later event advances the watermark past the session timeout
+    input.addData(Event(3, ts("2024-01-01T02:00:00Z"), 2, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts("2024-01-01T04:00:00Z"), 2, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    assert(rows.contains((1L, 2))) // user 1's 2-event session closed
+  }
+}
