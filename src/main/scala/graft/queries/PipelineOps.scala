@@ -164,6 +164,47 @@ object PipelineOps {
         .orderBy("d1", "d2")
     }),
 
+    "d06_dedup_embedding" -> ((s, d) => {
+      // Embedding-cosine near-dup: pairs with cosine ≥ 0.45 (the synthetic corpus has no planted duplicate vectors; the top similarity tail stands in). Inverted-
+      // index tricks don't apply to dense vectors, so the exact pass is
+      // a self-join bounded by the corpus; the scale path is the
+      // sign-LSH bucketing of d05 applied to embeddings, or s02's IVF
+      // pruning — both cut candidates before the exact cosine verify.
+      // Exact all-pairs is a dense numeric kernel Catalyst can't
+      // vectorize (row-at-a-time array materialization costs ~60x the
+      // FLOPs). The FAISS-flat-style shape: broadcast the normalized
+      // matrix (n·d doubles — 2.5 MB here), partition the row range,
+      // and run a primitive-loop block kernel per partition. Scale
+      // path: tile the broadcast into query blocks (or LSH/IVF-prune
+      // candidates first, see d05/s02) — the kernel is unchanged.
+      import s.implicits._
+      val vecs: Array[(Long, Array[Double])] = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map { r =>
+          val e = r.getSeq[Double](1).toArray
+          var n2 = 0.0; var i = 0
+          while (i < e.length) { n2 += e(i) * e(i); i += 1 }
+          val inv = 1.0 / math.sqrt(n2)
+          i = 0
+          while (i < e.length) { e(i) *= inv; i += 1 }
+          (r.getLong(0), e)
+        }
+        .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(vecs)
+      s.sparkContext.parallelize(vecs.indices, 32).flatMap { i =>
+        val all = bc.value
+        val (id1, e1) = all(i)
+        (i + 1 until all.length).iterator.flatMap { j =>
+          val (id2, e2) = all(j)
+          var acc = 0.0; var k = 0
+          while (k < e1.length) { acc += e1(k) * e2(k); k += 1 }
+          val c = math.round(acc * 10000) / 10000.0
+          if (c >= 0.45) Iterator.single((id1, id2, c)) else Iterator.empty
+        }
+      }.toDF("v1", "v2", "cos").orderBy("v1", "v2")
+    }),
+
     // ---- similarity search --------------------------------------------
     "s01_cosine_topk" -> ((s, d) => {
       // Brute-force cosine top-5: broadcast the query set, map-side dot
@@ -331,6 +372,13 @@ object PipelineOps {
       FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.9
       ORDER BY d1, d2""",
+
+    "d06_dedup_embedding" -> """
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
+      ORDER BY v1, v2""",
 
     "s01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

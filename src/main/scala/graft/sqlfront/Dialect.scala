@@ -314,6 +314,13 @@ object Dialect {
     getVariableRegex.replaceAllIn(sql, m =>
       Regex.quoteReplacement("(" + vars(m.group(1)).getOrElse("NULL") + ")"))
 
+  private val fetchRe =
+    "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b".r
+
+  /** `FETCH FIRST n ROWS ONLY` → `LIMIT n` (Spark has no FETCH). */
+  def rewriteFetch(sql: String): String =
+    fetchRe.replaceAllIn(sql, m => "LIMIT " + m.group(1))
+
   /** Full rewrite pipeline for one statement. */
   def rewrite(sql: String, vars: String => Option[String] = _ => None): String = {
     var s = sql
@@ -321,6 +328,7 @@ object Dialect {
     s = rewriteShaperCasts(s)
     s = rewriteTimestampTz(s)
     s = rewriteCountStar(s)
+    s = rewriteFetch(s)
     s = rewriteFromFirst(s)
     s = substituteVariables(s, vars)
     s

@@ -243,6 +243,25 @@ class DashboardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("query 2"))
   }
 
+  test("DESCRIBE / SHOW TABLES / EXPLAIN / SUMMARIZE render as tables (§2.A surface)") {
+    val dir = "/root/testdata/sf0.001"
+    val prep: org.apache.spark.sql.SparkSession => Unit = s => Tables.registerAll(s, dir)
+    val desc = Dashboard.run(spark, "DESCRIBE region;", RunConfig(prepare = prep))
+    assert(desc.sections.head.queries.head.rows.map(_.head).contains("r_regionkey"))
+    val show = Dashboard.run(spark, "SHOW TABLES;", RunConfig(prepare = prep))
+    assert(show.sections.head.queries.head.rows.map(_(1)).contains("region"))
+    val explain = Dashboard.run(spark, "EXPLAIN SELECT 1;", RunConfig(prepare = prep))
+    assert(explain.sections.head.queries.head.rows.nonEmpty)
+    val summ = Dashboard.run(spark, "SUMMARIZE region;", RunConfig(prepare = prep))
+    val sq = summ.sections.head.queries.head
+    assert(sq.columns.map(_.name).take(4) == Seq("column_name", "column_type", "min", "max"))
+    assert(sq.rows.length == 2) // r_regionkey, r_name
+    val pivot = Dashboard.run(spark,
+      "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority;",
+      RunConfig(prepare = prep))
+    assert(pivot.sections.head.queries.head.rows.length == 5)
+  }
+
   test("JSON output is well-formed") {
     val r = Dashboard.run(spark, "SELECT 1 AS val; SELECT 'T'::SECTION;")
     val json = graft.render.Model.toJson(r)

@@ -22,8 +22,11 @@ class IngestSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  // run-unique prefix: the warehouse dir outlives the in-memory catalog
+  // across JVM runs, so fixed names would collide with stale directories
+  private val runId = java.lang.Long.toString(System.nanoTime(), 36)
   private var counter = 0
-  private def freshTable(): String = { counter += 1; s"ingest_t$counter" }
+  private def freshTable(): String = { counter += 1; s"ingest_${runId}_t$counter" }
 
   test("type vote matrix (ingest_test.go:137-233)") {
     def vote(jsons: String*): String =

@@ -153,6 +153,11 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(Dialect.rewriteFromFirst("FROM lineitem") == "SELECT * FROM lineitem")
   }
 
+  test("FETCH FIRST n ROWS ONLY -> LIMIT n") {
+    assert(Dialect.rewriteFetch("SELECT 1 FETCH FIRST 5 ROWS ONLY") == "SELECT 1 LIMIT 5")
+    assert(Dialect.rewriteFetch("SELECT 1 FETCH NEXT 1 ROW ONLY") == "SELECT 1 LIMIT 1")
+  }
+
   test("getvariable substitution and detection") {
     assert(Dialect.referencedVariables("SELECT getvariable('a'), GETVARIABLE( 'b' )")
       == Seq("a", "b"))

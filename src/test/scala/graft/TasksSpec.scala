@@ -19,6 +19,7 @@ class TasksSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  private val runId = java.lang.Long.toString(System.nanoTime(), 36)
   private val now = () => 1754992800000L // 2025-08-12 10:00:00 UTC fixed clock
 
   test("init schedule extraction (task_init_test.go:61-147)") {
@@ -54,9 +55,9 @@ class TasksSpec extends AnyFunSuite {
 
   test("task executor: CREATE TABLE + INSERT + results captured") {
     val r = Tasks.executeTask(spark,
-      """CREATE TABLE IF NOT EXISTS task_t1 (x INT) USING PARQUET;
-        |INSERT INTO task_t1 VALUES (1), (2);
-        |SELECT CAST(sum(x) AS BIGINT) AS total FROM task_t1;""".stripMargin, now)
+      s"""CREATE TABLE IF NOT EXISTS task_${runId}_t1 (x INT) USING PARQUET;
+        |INSERT INTO task_${runId}_t1 VALUES (1), (2);
+        |SELECT CAST(sum(x) AS BIGINT) AS total FROM task_${runId}_t1;""".stripMargin, now)
     assert(r.success)
     val select = r.queries.last
     assert(select.resultColumns == Seq("total"))
@@ -65,13 +66,13 @@ class TasksSpec extends AnyFunSuite {
 
   test("early termination on single false boolean (run_task.go:195-199)") {
     val r = Tasks.executeTask(spark,
-      """CREATE TABLE IF NOT EXISTS task_t2 (x INT) USING PARQUET;
-        |SELECT count(*) > 0 AS has_rows FROM task_t2 WHERE x > 100;
-        |INSERT INTO task_t2 VALUES (99);""".stripMargin, now)
+      s"""CREATE TABLE IF NOT EXISTS task_${runId}_t2 (x INT) USING PARQUET;
+        |SELECT count(*) > 0 AS has_rows FROM task_${runId}_t2 WHERE x > 100;
+        |INSERT INTO task_${runId}_t2 VALUES (99);""".stripMargin, now)
     assert(r.success)
     assert(r.queries.last.stopExecution)
     // the INSERT after the false boolean must not have run
-    assert(spark.table("task_t2").count() == 0)
+    assert(spark.table(s"task_${runId}_t2").count() == 0)
   }
 
   test("SCHEDULE row excluded from results, nextRunAt set (run_task.go:201-219)") {
@@ -105,11 +106,11 @@ class TasksSpec extends AnyFunSuite {
     val sched = new TaskScheduler(spark)
     try {
       sched.schedule("t-init",
-        """SELECT 'init'::SCHEDULE;
-          |CREATE TABLE IF NOT EXISTS task_init_out USING PARQUET AS SELECT 7 AS v;""".stripMargin)
+        s"""SELECT 'init'::SCHEDULE;
+          |CREATE TABLE IF NOT EXISTS task_${runId}_init_out USING PARQUET AS SELECT 7 AS v;""".stripMargin)
       // init runs synchronously in schedule()
       assert(sched.lastResult("t-init").exists(_.success))
-      assert(spark.table("task_init_out").collect().head.getInt(0) == 7)
+      assert(spark.table(s"task_${runId}_init_out").collect().head.getInt(0) == 7)
     } finally sched.close()
   }
 }
