@@ -31,5 +31,6 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreSql.oracles ++ graft.queries.PipelineOps.oracles ++
-      graft.queries.EngineOps.oracles ++ graft.queries.MediaCatalogOps.oracles
+      graft.queries.EngineOps.oracles ++ graft.queries.MediaCatalogOps.oracles ++
+      graft.queries.DashboardOracles.oracles
 }

@@ -278,6 +278,10 @@ object Dashboard {
     java.util.Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Also used by Download's collect-vars-only replay. */
+  private[interp] def runSideEffectStatement(spark: SparkSession, sqlString: String,
+      store: VarStore): Unit = runSideEffect(spark, sqlString, store)
+
   private def runSideEffect(spark: SparkSession, sqlString: String, store: VarStore): Unit =
     sqlString match {
       case setVarStmt(name, expr) =>

@@ -1,0 +1,118 @@
+package graft.interp
+
+import graft.export.Export
+import graft.render.Render
+import graft.sqlfront.{Dialect, Gate, SqlText}
+import graft.types.ShaperTypes
+import org.apache.spark.sql.SparkSession
+
+import java.io.Writer
+
+/** Dashboard download execution: resolve the target statement for a
+  * csv/xlsx/json download, replay the statements *before* it in
+  * collect-vars-only mode (so dropdown defaults and URL params populate
+  * variables exactly as in a render), then stream the target through
+  * the requested writer (ref: server/core/stream_query.go:69-334,
+  * 737-816 — ops #28-31).
+  */
+object Download {
+
+  /** Run a dashboard download end-to-end. `queryId` overrides target
+    * resolution (the reference's query_id param). */
+  def run(spark0: SparkSession, content: String, format: String, out: Writer,
+      queryId: Option[Int] = None,
+      queryParams: Map[String, Seq[String]] = Map.empty,
+      variables: Map[String, Any] = Map.empty,
+      prepare: SparkSession => Unit = _ => ()): Either[String, Unit] = {
+    val spark = spark0.newSession()
+    ShaperTypes.register(spark)
+    graft.exprs.Boxplot.register(spark)
+    prepare(spark)
+
+    val clean = SqlText.stripComments(content)
+    val sqls = SqlText.splitQueries(clean) match {
+      case Right(q) => q
+      case Left(err) => return Left(err)
+    }
+    val target = queryId match {
+      case Some(id) if id >= 0 && id < sqls.length => id
+      case Some(id) => return Left(s"query_id $id out of range")
+      case None => Export.resolveDownloadQueryID(sqls, format) match {
+        case Right(i) => i
+        case Left(err) => return Left(err)
+      }
+    }
+
+    val store = Dashboard.tokenVars(variables)
+    // vars-before-download replay: run the preceding statements purely to
+    // collect variables, honoring the skip-after-download-button rule
+    // (ref: stream_query.go:737-816)
+    var nextIsDownload = false
+    sqls.take(target).foreach { sqlString0 =>
+      val sqlString = sqlString0.trim
+      if (sqlString.nonEmpty) {
+        if (nextIsDownload) {
+          nextIsDownload = false
+        } else if (Gate.isSideEffect(sqlString)) {
+          // SET VARIABLE etc. must still apply
+          DashboardSideEffects.run(spark, sqlString, store)
+        } else {
+          try {
+            val df = spark.sql(Dialect.rewrite(sqlString, store.render))
+            val schema = df.schema.fields.toSeq
+            val rows = df.limit(3001).collect().toSeq
+            val rInfo = Render.getRenderInfo(schema, rows, "", Nil,
+              () => System.currentTimeMillis())
+            if (rInfo.download == "csv" || rInfo.download == "xlsx" || rInfo.download == "json")
+              nextIsDownload = true
+            val columns = schema.zipWithIndex.map { case (f, i) =>
+              graft.render.Model.ColumnSpec(f.name, Render.mapColType(f, rows, i),
+                f.nullable, Render.mapTag(i, rInfo))
+            }
+            Dashboard.collectVars(store, variables, rInfo.tpe, queryParams,
+              columns, schema, rows)
+          } catch { case _: Exception => () } // replay is best-effort for vars
+        }
+      }
+    }
+
+    val df = spark.sql(Dialect.rewrite(sqls(target), store.render))
+    format match {
+      case "csv" => Export.toCSV(df, out); Right(())
+      case "json" => Export.toJSON(df, out); Right(())
+      case other => Left(s"unsupported writer format: $other (xlsx uses toXLSX(OutputStream))")
+    }
+  }
+}
+
+/** Shared side-effect execution for replay mode (SET/RESET VARIABLE,
+  * temp views) — delegates to the interpreter's handler. */
+private[interp] object DashboardSideEffects {
+  def run(spark: SparkSession, sqlString: String, store: Dashboard.VarStore): Unit =
+    Dashboard.runSideEffectStatement(spark, sqlString, store)
+}
+
+/** `POST /api/sql`: single-statement enforcement + gate + CSV stream
+  * (ref: server/web/handler/sql.go:14-80). */
+object SqlApi {
+  def runSingleToCSV(spark0: SparkSession, sql: String, out: Writer,
+      variables: Map[String, Any] = Map.empty,
+      prepare: SparkSession => Unit = _ => ()): Either[String, Unit] = {
+    val spark = spark0.newSession()
+    ShaperTypes.register(spark)
+    prepare(spark)
+    val clean = SqlText.stripComments(sql)
+    SqlText.splitQueries(clean) match {
+      case Left(err) => Left(err)
+      case Right(stmts) =>
+        val nonEmpty = stmts.map(_.trim).filter(_.nonEmpty)
+        if (nonEmpty.length != 1) Left("exactly one SQL statement required")
+        else if (!Gate.isAllowedStatement(nonEmpty.head)) Left("Disallowed SQL statement")
+        else {
+          val store = Dashboard.tokenVars(variables)
+          Export.toCSV(spark.sql(Dialect.rewrite(nonEmpty.head, store.render)), out)
+          Right(())
+        }
+    }
+  }
+}

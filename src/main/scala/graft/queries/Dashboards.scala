@@ -23,6 +23,24 @@ object Dashboards {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "dl01_download_flow" -> ((s, d) => {
+      // full download path: dropdown default replayed into the variable,
+      // CSV streamed, parsed back for the oracle
+      val content =
+        """SELECT 'click'::DROPDOWN AS evtype UNION ALL SELECT 'view'::DROPDOWN;
+          |SELECT 'evts.csv'::DOWNLOAD_CSV AS dl;
+          |SELECT getvariable('evtype') AS evtype, CAST(count(*) AS BIGINT) AS n
+          |FROM events WHERE event_type = getvariable('evtype') GROUP BY 1;""".stripMargin
+      val w = new java.io.StringWriter
+      graft.interp.Download.run(s, content, "csv", w,
+        prepare = ss => Tables.registerAll(ss, d))
+        .left.foreach(err => throw new IllegalStateException(err))
+      import s.implicits._
+      w.toString.split("\n").drop(1).filter(_.nonEmpty).toSeq
+        .map { line => val p = line.split(","); (p(0), p(1).toLong) }
+        .toDF("evtype", "n")
+    }),
+
     "sh01_dashboard_render" -> ((s, d) => {
       val r = Dashboard.run(s, demoContent,
         RunConfig(dashboardId = "demo", prepare = ss => Tables.registerAll(ss, d)))

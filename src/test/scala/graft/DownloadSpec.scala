@@ -1,0 +1,79 @@
+package graft
+
+import graft.interp.{Download, SqlApi}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.StringWriter
+
+/** Download flow tests (stream_query_test.go:152-188 vars-before-download
+  * + handler/sql_test.go:19-137 single-statement rule). */
+class DownloadSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("download replays vars from dropdown defaults before target") {
+    val content =
+      """SELECT 'alpha'::DROPDOWN AS flavor UNION ALL SELECT 'beta'::DROPDOWN;
+        |SELECT 'data.csv'::DOWNLOAD_CSV AS dl;
+        |SELECT getvariable('flavor') AS chosen, 42 AS n;""".stripMargin
+    val w = new StringWriter
+    val r = Download.run(spark, content, "csv", w)
+    assert(r.isRight)
+    val lines = w.toString.split("\n")
+    assert(lines(0) == "chosen,n")
+    assert(lines(1) == "alpha,42") // dropdown default replayed into the var
+  }
+
+  test("URL param (valid option) overrides dropdown default in download") {
+    val content =
+      """SELECT 'alpha'::DROPDOWN AS flavor UNION ALL SELECT 'beta'::DROPDOWN;
+        |SELECT 'data.csv'::DOWNLOAD_CSV AS dl;
+        |SELECT getvariable('flavor') AS chosen;""".stripMargin
+    val w = new StringWriter
+    Download.run(spark, content, "csv", w, queryParams = Map("flavor" -> Seq("beta")))
+    assert(w.toString.split("\n")(1) == "beta")
+  }
+
+  test("JWT variable protected from URL override in download path too") {
+    val content =
+      """SELECT 'alpha'::DROPDOWN AS flavor UNION ALL SELECT 'evil'::DROPDOWN;
+        |SELECT 'data.csv'::DOWNLOAD_CSV AS dl;
+        |SELECT getvariable('flavor') AS chosen;""".stripMargin
+    val w = new StringWriter
+    Download.run(spark, content, "csv", w,
+      queryParams = Map("flavor" -> Seq("evil")),
+      variables = Map("flavor" -> "alpha"))
+    assert(w.toString.split("\n")(1) == "alpha")
+  }
+
+  test("target resolution: DOWNLOAD_CSV marker points to next statement") {
+    val content =
+      """SELECT 'x'::DROPDOWN AS a;
+        |SELECT 'f.csv'::DOWNLOAD_CSV;
+        |SELECT 7 AS v;""".stripMargin
+    val w = new StringWriter
+    assert(Download.run(spark, content, "csv", w).isRight)
+    assert(w.toString.contains("7"))
+  }
+
+  test("json download") {
+    val w = new StringWriter
+    Download.run(spark, "SELECT 'd.json'::DOWNLOAD_JSON;\nSELECT 1 AS a, 'x' AS b;", "json", w)
+    assert(w.toString == """[{"a":1,"b":"x"}]""")
+  }
+
+  test("SqlApi: exactly one statement enforced (handler/sql_test.go:19-137)") {
+    val w = new StringWriter
+    assert(SqlApi.runSingleToCSV(spark, "SELECT 1 AS a; SELECT 2 AS b;", w).isLeft)
+    assert(SqlApi.runSingleToCSV(spark, "DROP TABLE x", w).isLeft)
+    val w2 = new StringWriter
+    assert(SqlApi.runSingleToCSV(spark, "SELECT 1 AS a -- comment\n;", w2).isRight)
+    assert(w2.toString.startsWith("a\n1"))
+  }
+}
