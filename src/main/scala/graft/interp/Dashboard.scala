@@ -269,6 +269,21 @@ object Dashboard {
       unsetVariables.toSeq)
   }
 
+  /** Validation endpoint semantics: run the full dashboard, report
+    * (valid, durationMs, error) (ref: web/handler/validate.go:25-70). */
+  def validate(spark: SparkSession, content: String,
+      cfg: RunConfig = RunConfig()): (Boolean, Long, Option[String]) = {
+    val t0 = System.nanoTime()
+    try {
+      run(spark, content, cfg)
+      (true, (System.nanoTime() - t0) / 1000000, None)
+    } catch {
+      case e: Exception =>
+        (false, (System.nanoTime() - t0) / 1000000,
+          Some(Option(e.getMessage).getOrElse(e.toString)))
+    }
+  }
+
   // ---- execution -----------------------------------------------------
 
   private def base64Json(params: Map[String, Vector[String]]): String = {

@@ -421,6 +421,20 @@ object CoreSql {
         ORDER BY c.c_mktsegment""")
     }),
 
+    "q60_array_funcs" -> ((s, d) => {
+      // array surface over the embeddings table: size, slice, sort,
+      // element access, contains — DuckDB list functions 1:1
+      t(s, d, "embeddings").createOrReplaceTempView("af_emb")
+      s.sql("""
+        SELECT vec_id,
+               size(embedding) AS dim,
+               round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS first_val,
+               round(CAST(array_max(embedding) AS DOUBLE), 4) AS max_val,
+               round(CAST(array_min(embedding) AS DOUBLE), 4) AS min_val,
+               round(CAST(element_at(array_sort(embedding), 32) AS DOUBLE), 4) AS med_lo
+        FROM af_emb WHERE vec_id < 50 ORDER BY vec_id""")
+    }),
+
     "q58_recursive_cte" -> ((s, d) => {
       // WITH RECURSIVE (Spark 4.x native): org hierarchy walk — here a
       // numeric series as the portable fixture both engines accept.
@@ -732,6 +746,15 @@ object CoreSql {
       SELECT c.c_mktsegment, count(*) AS n_cust, CAST(sum(b.n_big) AS BIGINT) AS n_orders
       FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    "q60_array_funcs" -> """
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+             round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+             round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
+             round(CAST(list_sort(embedding)[32] AS DOUBLE), 4) AS med_lo
+      FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
 
     "q58_recursive_cte" -> """
       WITH RECURSIVE t(n) AS (

@@ -314,6 +314,29 @@ object Dialect {
     getVariableRegex.replaceAllIn(sql, m =>
       Regex.quoteReplacement("(" + vars(m.group(1)).getOrElse("NULL") + ")"))
 
+  /** DuckDB list/string function names → Spark equivalents (only the
+    * 1:1 renames the reference's own SQL exercises, SURVEY.md §2.A). */
+  private val functionRenames = Map(
+    "list_max" -> "array_max", "list_min" -> "array_min",
+    "list_sort" -> "array_sort", "list_distinct" -> "array_distinct",
+    "list_contains" -> "array_contains", "string_split" -> "split",
+    "array_to_string" -> "array_join")
+
+  def rewriteFunctionNames(sql: String): String = {
+    val toks = tokenize(sql)
+    val out = toks.zipWithIndex.map { case (t, i) =>
+      if (t.kind == TWord && functionRenames.contains(t.text.toLowerCase)) {
+        // only when used as a function call: next non-ws token is `(`
+        var j = i + 1
+        while (j < toks.length && toks(j).kind == TWs) j += 1
+        if (j < toks.length && toks(j).kind == TLParen)
+          Tok(TWord, functionRenames(t.text.toLowerCase))
+        else t
+      } else t
+    }
+    render(out)
+  }
+
   private val fetchRe =
     "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b".r
 
@@ -328,6 +351,7 @@ object Dialect {
     s = rewriteShaperCasts(s)
     s = rewriteTimestampTz(s)
     s = rewriteCountStar(s)
+    s = rewriteFunctionNames(s)
     s = rewriteFetch(s)
     s = rewriteFromFirst(s)
     s = substituteVariables(s, vars)

@@ -153,6 +153,14 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(Dialect.rewriteFromFirst("FROM lineitem") == "SELECT * FROM lineitem")
   }
 
+  test("DuckDB function renames (list_max -> array_max etc.)") {
+    assert(Dialect.rewriteFunctionNames("SELECT list_max(a), string_split(s, ' ')")
+      == "SELECT array_max(a), split(s, ' ')")
+    // bare identifiers (not calls) untouched
+    assert(Dialect.rewriteFunctionNames("SELECT list_max FROM t")
+      == "SELECT list_max FROM t")
+  }
+
   test("FETCH FIRST n ROWS ONLY -> LIMIT n") {
     assert(Dialect.rewriteFetch("SELECT 1 FETCH FIRST 5 ROWS ONLY") == "SELECT 1 LIMIT 5")
     assert(Dialect.rewriteFetch("SELECT 1 FETCH NEXT 1 ROW ONLY") == "SELECT 1 LIMIT 1")
