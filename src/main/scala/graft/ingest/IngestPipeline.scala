@@ -81,6 +81,12 @@ object IngestPipeline {
 
       tableColumns(spark, table) match {
         case None =>
+          // multi-part names: ensure the namespace exists (the reference
+          // resolves catalog/schema via duckdb_databases(), ingest.go:508-529;
+          // Spark's session catalog is 2-level, so db.table maps directly)
+          val parts = table.split("\\.")
+          if (parts.length == 2)
+            spark.sql(s"CREATE DATABASE IF NOT EXISTS ${quoteIdent(parts(0))}")
           val colDefs = order.map(c => s"${quoteIdent(c)} ${sparkDDL(types(c))}").mkString(", ")
           spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoteTable(table)} ($colDefs) USING PARQUET")
         case Some(existing) =>

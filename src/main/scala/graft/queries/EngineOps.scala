@@ -31,6 +31,15 @@ object EngineOps {
           """{"_id": "a2", "_ts": "2024-01-02T10:00:00Z", "name": "beta", "n": 2.5, "flag": false, "meta": {"k": "w"}}"""),
         SchemaInfer.Message("ingest_demo",
           """{"_id": "a3", "_ts": 1704274800, "name": "gamma", "n": 3, "flag": true, "meta": null}""")))
+      // also exercise the db.table namespace path; a failure here fails
+      // the whole entry (rows would be missing)
+      s.sql("DROP TABLE IF EXISTS graftdemo.sub_t")
+      val subLoc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graftdemo.db/sub_t")
+      subLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(subLoc, true)
+      IngestPipeline.processBatch(s, Seq(
+        SchemaInfer.Message("graftdemo.sub_t", """{"_id": "s1", "_ts": "2024-01-01T00:00:00Z", "k": 1}""")))
+      require(s.table("graftdemo.sub_t").count() == 1, "2-part namespace ingest failed")
       s.table("ingest_demo").orderBy("_id")
     }),
 

@@ -150,6 +150,10 @@ class IngestSpec extends AnyFunSuite {
   test("multi-part table names (ingest_test.go:422-513)") {
     assert(IngestPipeline.quoteTable("db.schema.t") == "`db`.`schema`.`t`")
     assert(IngestPipeline.quoteTable("plain") == "`plain`")
+    // db.table: namespace auto-created, rows land in the right table
+    val table = s"graftdb_$runId.t1"
+    IngestPipeline.processBatch(spark, Seq(Message(table, """{"x": 1}""")))
+    assert(spark.table(table).count() == 1)
   }
 
   test("streaming ingest via foreachBatch (ingest.go:86-268 analog)") {
