@@ -421,6 +421,60 @@ object CoreSql {
         ORDER BY c.c_mktsegment""")
     }),
 
+    "q61_range_frame" -> ((s, d) => {
+      // RANGE frame over event-time: rolling 1-hour event count per user
+      t(s, d, "events").createOrReplaceTempView("rf_events")
+      s.sql("""
+        SELECT user_id, ts, CAST(count(*) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+        FROM rf_events WHERE user_id <= 3
+        ORDER BY user_id, ts""")
+    }),
+
+    "q62_moving_avg" -> ((s, d) => {
+      // 7-row centered moving average of daily order totals
+      val daily = t(s, d, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum("o_totalprice").as("total"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      daily.select(col("day"), round(avg("total").over(w), 2).as("ma7"))
+        .orderBy("day").limit(100)
+    }),
+
+    "q63_null_handling" -> ((s, d) => {
+      // coalesce/nullif over an outer join with real nulls
+      val n = t(s, d, "nation")
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") > 9000.0)
+      n.join(sup, col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_name"),
+          coalesce(col("s_name"), lit("none")).as("top_supplier"),
+          when(col("s_acctbal").isNull, -1.0)
+            .otherwise(round(col("s_acctbal"), 2)).as("bal"),
+          nullif(col("n_regionkey"), lit(0)).as("nz_region"))
+        .orderBy("n_name", "top_supplier")
+    }),
+
+    "q64_regexp" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          col("p_name").rlike("^(red|blue)").as("is_colored"))
+        .orderBy("p_partkey").limit(500)
+    }),
+
+    "q65_date_arith" -> ((s, d) => {
+      // interval arithmetic + month boundaries + day diffs
+      t(s, d, "orders")
+        .filter(col("o_orderdate") + expr("INTERVAL 30 DAY") >=
+          lit("2001-08-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"))
+        .orderBy("o_orderkey")
+    }),
+
     "q60_array_funcs" -> ((s, d) => {
       // array surface over the embeddings table: size, slice, sort,
       // element access, contains — DuckDB list functions 1:1
@@ -746,6 +800,46 @@ object CoreSql {
       SELECT c.c_mktsegment, count(*) AS n_cust, CAST(sum(b.n_big) AS BIGINT) AS n_orders
       FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    "q61_range_frame" -> """
+      SELECT user_id, ts, count(*) OVER (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+      FROM events WHERE user_id <= 3
+      ORDER BY user_id, ts""",
+
+    "q62_moving_avg" -> """
+      WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS total
+        FROM orders GROUP BY 1
+      )
+      SELECT day, round(avg(total) OVER (
+        ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 2) AS ma7
+      FROM daily ORDER BY day LIMIT 100""",
+
+    "q63_null_handling" -> """
+      SELECT n_name,
+             coalesce(s_name, 'none') AS top_supplier,
+             CASE WHEN s_acctbal IS NULL THEN -1.0 ELSE round(s_acctbal, 2) END AS bal,
+             nullif(n_regionkey, 0) AS nz_region
+      FROM nation LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000.0) s
+        ON n_nationkey = s_nationkey
+      ORDER BY n_name, top_supplier""",
+
+    "q64_regexp" -> """
+      SELECT p_partkey,
+             regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             regexp_matches(p_name, '^(red|blue)') AS is_colored
+      FROM part ORDER BY p_partkey LIMIT 500""",
+
+    "q65_date_arith" -> """
+      SELECT o_orderkey, o_orderdate,
+             o_orderdate + INTERVAL 30 DAY AS due,
+             last_day(o_orderdate) AS month_end,
+             CAST(date_diff('day', o_orderdate, DATE '2002-01-01') AS INTEGER) AS days_to_2002
+      FROM orders
+      WHERE o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '2001-08-01 00:00:00'
+      ORDER BY o_orderkey""",
 
     "q60_array_funcs" -> """
       SELECT vec_id,
