@@ -194,8 +194,16 @@ object Export {
     sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
     sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
     sb.append("""<sheetViews><sheetView workbookViewId="0"><pane ySplit="1" topLeftCell="A2" state="frozen"/></sheetView></sheetViews>""")
-    sb.append("<sheetData>")
     val cols = df.columns
+    // column widths sized from header length (ref: excelize col widths,
+    // stream_query.go:399-651)
+    sb.append("<cols>")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val w = math.max(10, math.min(40, c.length + 4))
+      sb.append(s"""<col min="${i + 1}" max="${i + 1}" width="$w" customWidth="1"/>""")
+    }
+    sb.append("</cols>")
+    sb.append("<sheetData>")
     sb.append("<row r=\"1\">")
     cols.foreach(c => sb.append(s"""<c t="inlineStr"><is><t>${xml(c)}</t></is></c>"""))
     sb.append("</row>")
@@ -219,7 +227,16 @@ object Export {
       sb.append("</row>")
       r += 1
     }
-    sb.append("</sheetData></worksheet>")
+    sb.append("</sheetData>")
+    // autofilter over the header row (ref parity)
+    val lastCol = {
+      var n = cols.length
+      val b = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; b.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      b.toString
+    }
+    sb.append(s"""<autoFilter ref="A1:$lastCol${math.max(1, r - 1)}"/>""")
+    sb.append("</worksheet>")
     entry("xl/worksheets/sheet1.xml", sb.toString)
     zip.finish()
     zip.flush()

@@ -43,6 +43,27 @@ object EngineOps {
       s.table("ingest_demo").orderBy("_id")
     }),
 
+    "ev01_publish_ingest" -> ((s, d) => {
+      // full event path: publish (obj + array fan-out) -> spool ->
+      // Structured Streaming -> inferred table; explicit _id/_ts keep
+      // the result deterministic for the oracle
+      val spool = java.nio.file.Files.createTempDirectory("graft-ev01").toString
+      s.sql("DROP TABLE IF EXISTS ev01_out")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "ev01_out")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      graft.ingest.Events.publish(spool, "ev01_out",
+        """{"_id": "e1", "_ts": "2024-02-01T00:00:00Z", "kind": "view", "amount": 1.5}""")
+      graft.ingest.Events.publish(spool, "ev01_out",
+        """[{"_id": "e2", "_ts": "2024-02-01T01:00:00Z", "kind": "click", "amount": 2.5},
+            {"_id": "e3", "_ts": "2024-02-01T02:00:00Z", "kind": "buy", "amount": 3.5}]""")
+      val q = graft.ingest.IngestStream.start(s, graft.ingest.Events.source(s, spool),
+        triggerMillis = 100)
+      q.processAllAvailable()
+      q.stop()
+      s.table("ev01_out").orderBy("_id")
+    }),
+
     "tk01_task_execute" -> ((s, d) => {
       // task executor over the star schema: schedule extraction +
       // stop-on-false + result capture, flattened for the oracle
@@ -73,6 +94,14 @@ object EngineOps {
         ('a2', TIMESTAMP '2024-01-02 10:00:00', 'beta', 2.5, false, '{"k":"w"}'),
         ('a3', TIMESTAMP '2024-01-03 09:40:00', 'gamma', 3.0, true, NULL)
       ) t(_id, _ts, name, n, flag, meta)
+      ORDER BY _id""",
+
+    "ev01_publish_ingest" -> """
+      SELECT * FROM (VALUES
+        ('e1', TIMESTAMP '2024-02-01 00:00:00', 'view', 1.5),
+        ('e2', TIMESTAMP '2024-02-01 01:00:00', 'click', 2.5),
+        ('e3', TIMESTAMP '2024-02-01 02:00:00', 'buy', 3.5)
+      ) t(_id, _ts, kind, amount)
       ORDER BY _id""",
 
     "tk01_task_execute" -> """
