@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards: the scale-critical plan shapes must not
+  * regress (filter pushdown, column pruning, broadcast dimension joins,
+  * bucketed co-located joins with no shuffle). These assert on
+  * `.explain` output — the same audit `graft.Plans` prints for review.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-plan-wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+  private val dir = "/root/testdata/sf0.001"
+  private val runId = java.lang.Long.toString(System.nanoTime(), 36)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter pushed into the parquet scan, columns pruned") {
+    val df = graft.queries.CoreSql.defs("q01_pricing_summary")(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"))
+    // projection pruning: p_name etc. absent; only the 6 needed columns read
+    assert(scan.contains("ReadSchema") && !scan.contains("l_comment"))
+  }
+
+  test("q10: all dimension joins broadcast (no sort-merge on the star join)") {
+    val plan = planOf(graft.queries.CoreSql.defs("q10_join_star")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("top-k is TakeOrdered, not a global sort") {
+    val plan = planOf(graft.queries.CoreSql.defs("q11_top_orders")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("bucketed co-located join has no shuffle exchange (scale path)") {
+    val li = s"li_bkt_$runId"
+    val o = s"o_bkt_$runId"
+    Tables.t(spark, dir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+    Tables.t(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o)
+    val joined = spark.table(li).join(spark.table(o),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val plan = planOf(joined)
+    // the join itself must not introduce an Exchange on either side
+    val joinSection = plan.substring(0, plan.length)
+    val exchangesBeforeAgg = "Exchange hashpartitioning\\(l_orderkey|Exchange hashpartitioning\\(o_orderkey".r
+      .findAllIn(joinSection).length
+    assert(exchangesBeforeAgg == 0,
+      s"bucketed join should not shuffle join keys:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("partial (map-side) aggregation present on groupBy") {
+    val plan = planOf(graft.queries.CoreSql.defs("q01_pricing_summary")(spark, dir))
+    // two HashAggregate nodes: partial + final
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+}
