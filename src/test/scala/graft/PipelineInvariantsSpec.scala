@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants between the exact and approximate dedup paths — the
+  * checks that caught the unigram-simhash quality bug during round 1
+  * (approximate methods must agree with the exact baseline on this
+  * corpus, not merely run). */
+class PipelineInvariantsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    graft.queries.PipelineOps.defs(name)(spark, dir)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact05 = pairs("d03_ngram_jaccard") // jaccard >= 0.5
+  private lazy val minhash = pairs("d04_dedup_minhash") // LSH + verify >= 0.9
+  private lazy val simhash = pairs("d05_dedup_simhash")
+
+  test("MinHash+LSH finds exactly the exact-jaccard >= 0.9 pairs") {
+    // on this corpus every >= 0.5 pair is also >= 0.9 (clean separation),
+    // so the verified LSH output must equal the exact baseline
+    assert(minhash == exact05)
+    assert(minhash.nonEmpty)
+  }
+
+  test("SimHash pairs are a subset of exact near-dups with high recall, no false positives") {
+    assert(simhash.subsetOf(exact05), "simhash produced a pair the exact baseline rejects")
+    val recall = simhash.size.toDouble / exact05.size
+    assert(recall >= 0.9, s"simhash recall $recall below 0.9 (${simhash.size}/${exact05.size})")
+  }
+
+  test("IVF ANN recall vs brute force (top-5, 2-probe)") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      graft.queries.PipelineOps.defs(name)(spark, dir)
+        .select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = topk("s01_cosine_topk")
+    val ivf = topk("s02_ann_ivf")
+    val recalls = brute.keys.map { q =>
+      (brute(q) intersect ivf.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.length
+    // this synthetic corpus has near-random label clusters (intra-cluster
+    // cosine 0.0016 vs inter 0.0003), so 2-of-10-probe recall is bounded
+    // near the 0.2 random-bucket baseline; assert above-baseline only —
+    // on a corpus with real cluster structure this rises toward 1.0
+    assert(mean > 0.2, s"IVF mean recall $mean at/below the random-probe baseline")
+    info(f"IVF 2-probe mean recall vs brute force: $mean%.2f (random baseline 0.20)")
+  }
+}
