@@ -421,6 +421,42 @@ object CoreSql {
         ORDER BY c.c_mktsegment""")
     }),
 
+    "q66_json_funcs" -> ((s, d) => {
+      // JSON column surface: extract a typed field from the props JSON
+      // string and aggregate it (get_json_object ↔ json_extract)
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          sum("k").cast("long").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy("event_type")
+    }),
+
+    "q67_quantified_subquery" -> ((s, d) => {
+      // ALL/ANY comparisons: parts pricier than every part of brand B1
+      t(s, d, "part").createOrReplaceTempView("qs_part")
+      s.sql("""
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        FROM qs_part
+        WHERE p_retailprice > (SELECT max(p_retailprice) FROM qs_part WHERE p_brand = 'Brand#1')
+        ORDER BY p_partkey""")
+    }),
+
+    "q68_grouping_fn" -> ((s, d) => {
+      // GROUPING() disambiguates rollup NULLs from data NULLs
+      t(s, d, "orders").createOrReplaceTempView("gf_orders")
+      s.sql("""
+        SELECT o_orderstatus,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS is_total,
+               count(*) AS n
+        FROM gf_orders
+        GROUP BY ROLLUP (o_orderstatus)
+        ORDER BY is_total, o_orderstatus NULLS FIRST""")
+    }),
+
     "q61_range_frame" -> ((s, d) => {
       // RANGE frame over event-time: rolling 1-hour event count per user
       t(s, d, "events").createOrReplaceTempView("rf_events")
@@ -800,6 +836,27 @@ object CoreSql {
       SELECT c.c_mktsegment, count(*) AS n_cust, CAST(sum(b.n_big) AS BIGINT) AS n_orders
       FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    "q66_json_funcs" -> """
+      SELECT event_type,
+             CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             count(*) FILTER (CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_high
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q67_quantified_subquery" -> """
+      SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+      FROM part
+      WHERE p_retailprice > ALL (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#1')
+      ORDER BY p_partkey""",
+
+    "q68_grouping_fn" -> """
+      SELECT o_orderstatus,
+             CAST(grouping(o_orderstatus) AS INTEGER) AS is_total,
+             count(*) AS n
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus)
+      ORDER BY is_total, o_orderstatus NULLS FIRST""",
 
     "q61_range_frame" -> """
       SELECT user_id, ts, count(*) OVER (

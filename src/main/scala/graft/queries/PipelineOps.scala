@@ -300,6 +300,18 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "t05_stopword_ratio" -> ((s, d) => {
+      // stopword-density quality signal ('the'/'a' are the corpus's
+      // function words): exact token-level counts via array filtering
+      t(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          size(expr("filter(w, x -> x = 'the' OR x = 'a')")).as("n_stop"))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    }),
+
     "t03_token_stats" -> ((s, d) => {
       // Global token frequencies (top 20): the classic explode → groupBy
       // — map-side partial aggregation keeps the shuffle at
@@ -458,6 +470,14 @@ object PipelineOps {
              n_tokens < 20 AS is_short,
              round(n_distinct * 1.0 / n_tokens * 0.5 +
                    least(n_tokens, 100) / 200.0, 4) AS quality_score
+      FROM d ORDER BY doc_id""",
+
+    "t05_stopword_ratio" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS INTEGER) AS n_stop,
+             round(len(list_filter(w, x -> x = 'the' OR x = 'a')) * 1.0 / len(w), 4) AS stop_ratio
       FROM d ORDER BY doc_id""",
 
     "t03_token_stats" -> """
