@@ -45,12 +45,17 @@ object Download {
 
     val store = Dashboard.tokenVars(variables)
     // vars-before-download replay: run the preceding statements purely to
-    // collect variables, honoring the skip-after-download-button rule
-    // (ref: stream_query.go:737-816)
+    // collect variables, honoring the skip-after-download-button rule.
+    // Every statement — replayed or skipped — must pass the SQL gate, and
+    // query errors abort the download (ref: stream_query.go:752-816).
     var nextIsDownload = false
+    var queryIndex = 0
     sqls.take(target).foreach { sqlString0 =>
       val sqlString = sqlString0.trim
+      queryIndex += 1
       if (sqlString.nonEmpty) {
+        if (!Gate.isAllowedStatement(sqlString))
+          return Left(s"disallowed SQL statement in query $queryIndex")
         if (nextIsDownload) {
           nextIsDownload = false
         } else if (Gate.isSideEffect(sqlString)) {
@@ -60,7 +65,9 @@ object Download {
           try {
             val df = spark.sql(Dialect.rewrite(sqlString, store.render))
             val schema = df.schema.fields.toSeq
-            val rows = df.limit(3001).collect().toSeq
+            // the reference reads ALL rows here (no 3000 cap): the rows feed
+            // only collectVars, so dropdown defaults stay complete
+            val rows = df.collect().toSeq
             val rInfo = Render.getRenderInfo(schema, rows, "", Nil,
               () => System.currentTimeMillis())
             if (rInfo.download == "csv" || rInfo.download == "xlsx" || rInfo.download == "json")
@@ -71,12 +78,18 @@ object Download {
             }
             Dashboard.collectVars(store, variables, rInfo.tpe, queryParams,
               columns, schema, rows)
-          } catch { case _: Exception => () } // replay is best-effort for vars
+          } catch {
+            case e: Exception =>
+              return Left(s"error in query $queryIndex: ${e.getMessage}")
+          }
         }
       }
     }
 
-    val df = spark.sql(Dialect.rewrite(sqls(target), store.render))
+    val targetSql = sqls(target).trim
+    if (!Gate.isAllowedStatement(targetSql))
+      return Left(s"disallowed SQL statement in query ${target + 1}")
+    val df = spark.sql(Dialect.rewrite(targetSql, store.render))
     format match {
       case "csv" => Export.toCSV(df, out); Right(())
       case "json" => Export.toJSON(df, out); Right(())

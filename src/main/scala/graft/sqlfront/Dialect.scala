@@ -300,19 +300,79 @@ object Dialect {
     if (trimmed.toUpperCase.startsWith("FROM")) "SELECT * " + trimmed else sql
   }
 
-  val getVariableRegex: Regex = "(?i)getvariable\\s*\\(\\s*'([^']+)'\\s*\\)".r
   val setVariableRegex: Regex = "(?i)SET\\s+VARIABLE\\s+([a-zA-Z0-9_]+)".r
+
+  private def unquoteString(lit: String): String =
+    lit.stripPrefix("'").stripSuffix("'").replace("''", "'")
+
+  /** Token spans of `getvariable('x')` calls: (start, endExclusive, name).
+    * Quote-aware — the word `getvariable` inside a string literal is a
+    * single TString token and never matches. */
+  private def getVariableSpans(toks: Vector[Tok]): Seq[(Int, Int, String)] = {
+    def nextNonWs(j0: Int): Int = {
+      var j = j0
+      while (j < toks.length && toks(j).kind == TWs) j += 1
+      j
+    }
+    val spans = Vector.newBuilder[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("getvariable")) {
+        val lp = nextNonWs(i + 1)
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          val str = nextNonWs(lp + 1)
+          if (str < toks.length && toks(str).kind == TString) {
+            val rp = nextNonWs(str + 1)
+            if (rp < toks.length && toks(rp).kind == TRParen) {
+              spans += ((i, rp + 1, unquoteString(toks(str).text)))
+              i = rp
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    spans.result()
+  }
 
   /** Variable names referenced via getvariable(...) in statement text.
     * (ref: get_dashboard.go:26-28,88-98) */
   def referencedVariables(sql: String): Seq[String] =
-    getVariableRegex.findAllMatchIn(sql).map(_.group(1)).toSeq
+    getVariableSpans(tokenize(sql)).map(_._3)
 
   /** Substitute getvariable('x') with the rendered SQL literal from the
     * variable store (NULL when unset — DuckDB's behavior for unset vars). */
-  def substituteVariables(sql: String, vars: String => Option[String]): String =
-    getVariableRegex.replaceAllIn(sql, m =>
-      Regex.quoteReplacement("(" + vars(m.group(1)).getOrElse("NULL") + ")"))
+  def substituteVariables(sql: String, vars: String => Option[String]): String = {
+    val toks = tokenize(sql)
+    val spans = getVariableSpans(toks)
+    if (spans.isEmpty) return sql
+    val sb = new StringBuilder
+    var pos = 0
+    spans.foreach { case (s, e, name) =>
+      toks.slice(pos, s).foreach(t => sb.append(t.text))
+      sb.append("(").append(vars(name).getOrElse("NULL")).append(")")
+      pos = e
+    }
+    toks.drop(pos).foreach(t => sb.append(t.text))
+    sb.toString
+  }
+
+  /** Apply a text rewrite only to the stretches of a statement outside
+    * single/double-quoted literals (for regex rewrites whose pattern never
+    * legitimately spans a string token). */
+  private def rewriteOutsideStrings(sql: String)(f: String => String): String = {
+    val toks = tokenize(sql)
+    if (!toks.exists(t => t.kind == TString || t.kind == TQuoted)) return f(sql)
+    val sb = new StringBuilder
+    val run = new StringBuilder
+    def flush(): Unit = { sb.append(f(run.toString)); run.setLength(0) }
+    toks.foreach { t =>
+      if (t.kind == TString || t.kind == TQuoted) { flush(); sb.append(t.text) }
+      else run.append(t.text)
+    }
+    flush()
+    sb.toString
+  }
 
   /** DuckDB list/string function names → Spark equivalents (only the
     * 1:1 renames the reference's own SQL exercises, SURVEY.md §2.A). */
@@ -340,9 +400,10 @@ object Dialect {
   private val fetchRe =
     "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b".r
 
-  /** `FETCH FIRST n ROWS ONLY` → `LIMIT n` (Spark has no FETCH). */
+  /** `FETCH FIRST n ROWS ONLY` → `LIMIT n` (Spark has no FETCH).
+    * Quote-aware: the pattern inside a string literal is left untouched. */
   def rewriteFetch(sql: String): String =
-    fetchRe.replaceAllIn(sql, m => "LIMIT " + m.group(1))
+    rewriteOutsideStrings(sql)(s => fetchRe.replaceAllIn(s, m => "LIMIT " + m.group(1)))
 
   /** Full rewrite pipeline for one statement. */
   def rewrite(sql: String, vars: String => Option[String] = _ => None): String = {

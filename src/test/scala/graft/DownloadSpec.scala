@@ -68,6 +68,34 @@ class DownloadSpec extends AnyFunSuite {
     assert(w.toString == """[{"a":1,"b":"x"}]""")
   }
 
+  test("download gates every statement (stream_query.go:757-760)") {
+    // disallowed statement in the replay prefix aborts the download
+    val content =
+      """DROP TABLE secrets;
+        |SELECT 'data.csv'::DOWNLOAD_CSV AS dl;
+        |SELECT 1 AS v;""".stripMargin
+    val w = new StringWriter
+    val r = Download.run(spark, content, "csv", w)
+    assert(r == Left("disallowed SQL statement in query 1"))
+    assert(w.toString.isEmpty)
+    // disallowed TARGET statement is also rejected (queryId override path)
+    val w2 = new StringWriter
+    val r2 = Download.run(spark, "SELECT 1 AS a;\nDELETE FROM t;", "csv", w2,
+      queryId = Some(1))
+    assert(r2 == Left("disallowed SQL statement in query 2"))
+    assert(w2.toString.isEmpty)
+  }
+
+  test("replay errors abort the download instead of being swallowed") {
+    val content =
+      """SELECT * FROM table_that_does_not_exist_xyz;
+        |SELECT 'data.csv'::DOWNLOAD_CSV AS dl;
+        |SELECT 1 AS v;""".stripMargin
+    val w = new StringWriter
+    val r = Download.run(spark, content, "csv", w)
+    assert(r.isLeft && r.left.exists(_.startsWith("error in query 1")))
+  }
+
   test("SqlApi: exactly one statement enforced (handler/sql_test.go:19-137)") {
     val w = new StringWriter
     assert(SqlApi.runSingleToCSV(spark, "SELECT 1 AS a; SELECT 2 AS b;", w).isLeft)

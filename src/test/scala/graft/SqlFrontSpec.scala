@@ -164,6 +164,10 @@ class SqlFrontSpec extends AnyFunSuite {
   test("FETCH FIRST n ROWS ONLY -> LIMIT n") {
     assert(Dialect.rewriteFetch("SELECT 1 FETCH FIRST 5 ROWS ONLY") == "SELECT 1 LIMIT 5")
     assert(Dialect.rewriteFetch("SELECT 1 FETCH NEXT 1 ROW ONLY") == "SELECT 1 LIMIT 1")
+    // quote-aware: the pattern inside a string literal stays untouched
+    val lit = "SELECT 'use FETCH FIRST 5 ROWS ONLY here' AS doc FETCH FIRST 2 ROWS ONLY"
+    assert(Dialect.rewriteFetch(lit)
+      == "SELECT 'use FETCH FIRST 5 ROWS ONLY here' AS doc LIMIT 2")
   }
 
   test("getvariable substitution and detection") {
@@ -174,5 +178,13 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(out == "SELECT ('v')")
     assert(Dialect.substituteVariables("SELECT getvariable('x')", _ => None)
       == "SELECT (NULL)")
+    // quote-aware: getvariable(...) text inside a string literal untouched
+    assert(Dialect.substituteVariables(
+      "SELECT 'call getvariable(''x'') here' AS doc, getvariable('x')",
+      n => Some("1"))
+      == "SELECT 'call getvariable(''x'') here' AS doc, (1)")
+    assert(Dialect.referencedVariables("SELECT 'getvariable(''a'')'").isEmpty)
+    // escaped quotes in the variable name round-trip
+    assert(Dialect.referencedVariables("SELECT getvariable('a''b')") == Seq("a'b"))
   }
 }

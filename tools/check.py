@@ -13,6 +13,8 @@ import sys, os, json, subprocess, glob
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 ONLY = set(sys.argv[3:])
+SKIP_VERIFY = "--no-verify" in ONLY
+ONLY.discard("--no-verify")
 
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -48,7 +50,7 @@ def norm(v):
     return str(v)
 
 def main():
-    if not ONLY or "--no-verify" not in ONLY:
+    if not SKIP_VERIFY:
         run_verify()
     import duckdb
     con = duckdb.connect()
@@ -82,6 +84,7 @@ def main():
         npass += 1
         print(f"PASS {name} ({len(got)} rows)")
     print(f"== {npass} pass / {nfail} fail ==")
-    sys.exit(1 if nfail else 0)
+    # zero comparisons is itself a failure — a filter typo must not read green
+    sys.exit(1 if (nfail or npass == 0) else 0)
 
 main()
