@@ -576,6 +576,83 @@ object CoreSql {
         .join(firstOf("purchase", "t_purchase"), Seq("user_id"))
         .filter(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
         .agg(count(lit(1)).as("n_converted"))
+    }),
+
+    "q69_qualify" -> ((s, d) => {
+      // DuckDB QUALIFY (window filter) through the dialect rewriter —
+      // Spark has no QUALIFY, so Dialect.rewriteQualify wraps the
+      // predicate as a projected flag. Top spender per nation.
+      t(s, d, "customer").createOrReplaceTempView("qf_customer")
+      s.sql(graft.sqlfront.Dialect.rewrite("""
+        SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal
+        FROM qf_customer
+        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) = 1
+        ORDER BY c_nationkey"""))
+    }),
+
+    "q70_asof_join" -> ((s, d) => {
+      // As-of join (DuckDB ASOF JOIN): each purchase matched to the
+      // latest view at-or-before it per user. Spark-first plan: union
+      // both sides, one shuffle on user_id, sort by (ts, side), then
+      // last(ignoreNulls) carries the most recent view forward — the
+      // merge-join shape that scales linearly instead of a range
+      // self-join. Right side pre-deduped per (user_id, ts) so ties
+      // are deterministic on both engines.
+      val e = t(s, d, "events")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("v_value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val unioned = purchases
+        .select(col("user_id"), col("ts"), lit(1).as("is_l"), col("event_id"),
+          col("value"), lit(null).cast("double").as("v_value"),
+          lit(null).cast("timestamp").as("v_ts"))
+        .unionByName(views.select(col("user_id"), col("ts"), lit(0).as("is_l"),
+          lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+          col("v_value"), col("ts").as("v_ts")))
+      // view rows at the same ts sort before purchases (is_l asc), so
+      // the match is inclusive (ts <= purchase ts) like ASOF's >=
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("is_l").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("view_value", last("v_value", ignoreNulls = true).over(w))
+        .withColumn("view_ts", last("v_ts", ignoreNulls = true).over(w))
+        .filter(col("is_l") === 1 && col("view_value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("value"), col("view_ts"),
+          round(col("view_value"), 2).as("view_value"))
+        .orderBy("event_id")
+    }),
+
+    "q71_band_join" -> ((s, d) => {
+      // Range (band) join against a tiny literal dimension: non-equi
+      // predicate, broadcast nested-loop — the correct physical plan
+      // when one side is a handful of bands (the fact side never
+      // shuffles). Bands are half-open [lo, hi).
+      import s.implicits._
+      val bands = Seq(("low", 0, 20000), ("mid", 20000, 45000), ("high", 45000, 100000))
+        .toDF("band", "lo", "hi")
+      t(s, d, "lineitem")
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum(revenue), 2).as("revenue"))
+        .orderBy("band")
+    }),
+
+    "q72_approx_distinct" -> ((s, d) => {
+      // HLL sketch (approx_count_distinct, rsd=0.01) vs exact — the
+      // sketch is the 100 TB path (mergeable, constant memory); the
+      // entry asserts the estimate lands within 5% so the oracle is
+      // engine-independent (a >5σ event would have to occur to fail).
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_orderkey", 0.01).as("approx"),
+          countDistinct("l_orderkey").as("exact"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")) / col("exact") <= 0.05).as("within_5pct"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -943,6 +1020,39 @@ object CoreSql {
            p AS (SELECT user_id, min(ts) AS t_purchase FROM events WHERE event_type = 'purchase' GROUP BY user_id)
       SELECT count(*) AS n_converted
       FROM v JOIN c USING (user_id) JOIN p USING (user_id)
-      WHERE t_view < t_click AND t_click < t_purchase"""
+      WHERE t_view < t_click AND t_click < t_purchase""",
+
+    "q69_qualify" -> """
+      SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal
+      FROM customer
+      QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey ASC) = 1
+      ORDER BY c_nationkey""",
+
+    "q70_asof_join" -> """
+      WITH v AS (
+        SELECT user_id, ts, max(value) AS v_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+      ), p AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT p.event_id, p.user_id, p.ts, round(p.value, 2) AS value,
+             v.ts AS view_ts, round(v.v_value, 2) AS view_value
+      FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY event_id""",
+
+    "q71_band_join" -> """
+      SELECT band, count(*) AS n,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN (VALUES ('low', 0, 20000), ('mid', 20000, 45000), ('high', 45000, 100000))
+           b(band, lo, hi)
+        ON l_extendedprice >= lo AND l_extendedprice < hi
+      GROUP BY band ORDER BY band""",
+
+    "q72_approx_distinct" -> """
+      SELECT l_returnflag, true AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -64,6 +64,32 @@ object EngineOps {
       s.table("ev01_out").orderBy("_id")
     }),
 
+    "src01_file_sources" -> ((s, d) => {
+      // CSV and JSON sources with explicit schemas (at scale you never
+      // schema-infer a 100 TB directory): write a deterministic slice
+      // with the distributed writers, read each format back, aggregate —
+      // proving parse parity across formats. Decimal-sum before the
+      // final double cast keeps the checksum order-independent.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val slice = graft.Tables.t(s, d, "events")
+        .filter(col("event_id") <= 1000)
+        .select("event_id", "user_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-src01").toString
+      slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      slice.write.mode("overwrite").json(s"$tmp/json")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def summarize(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), countDistinct("user_id").as("n_users"),
+            round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("n_users"), col("sum_value"))
+      summarize(s.read.schema(schema).option("header", "true").csv(s"$tmp/csv"), "csv")
+        .unionByName(summarize(s.read.schema(schema).json(s"$tmp/json"), "json"))
+        .orderBy("format")
+    }),
+
     "tk01_task_execute" -> ((s, d) => {
       // task executor over the star schema: schedule extraction +
       // stop-on-false + result capture, flattened for the oracle
@@ -103,6 +129,13 @@ object EngineOps {
         ('e3', TIMESTAMP '2024-02-01 02:00:00', 'buy', 3.5)
       ) t(_id, _ts, kind, amount)
       ORDER BY _id""",
+
+    "src01_file_sources" -> """
+      WITH sl AS (SELECT event_id, user_id, value FROM events WHERE event_id <= 1000)
+      SELECT f.format, count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+      FROM sl, (VALUES ('csv'), ('json')) f(format)
+      GROUP BY f.format ORDER BY f.format""",
 
     "tk01_task_execute" -> """
       SELECT -1 AS query_idx, -1 AS row_idx,

@@ -171,6 +171,20 @@ object PipelineOps {
         .orderBy("d1", "d2")
     }),
 
+    "d07_window_dedup" -> ((s, d) => {
+      // Window dedup (keep-first): the canonical keep-earliest-per-key
+      // dedup — one shuffle on the key, rank inside the partition,
+      // deterministic tiebreak. At 100 TB this is the cheap exact dedup
+      // when a natural key exists (vs d01's content hashing).
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    }),
+
     "d06_dedup_embedding" -> ((s, d) => {
       // Embedding-cosine near-dup: pairs with cosine ≥ 0.45 (the synthetic corpus has no planted duplicate vectors; the top similarity tail stands in). Inverted-
       // index tricks don't apply to dense vectors, so the exact pass is
@@ -413,6 +427,13 @@ object PipelineOps {
       FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.9
       ORDER BY d1, d2""",
+
+    "d07_window_dedup" -> """
+      SELECT user_id, event_type, event_id, ts
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) = 1
+      ORDER BY user_id, event_type""",
 
     "d06_dedup_embedding" -> """
       SELECT a.vec_id AS v1, b.vec_id AS v2,

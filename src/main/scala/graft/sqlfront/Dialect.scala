@@ -405,6 +405,61 @@ object Dialect {
   def rewriteFetch(sql: String): String =
     rewriteOutsideStrings(sql)(s => fetchRe.replaceAllIn(s, m => "LIMIT " + m.group(1)))
 
+  /** DuckDB `QUALIFY <pred>` (window filter; Spark has no QUALIFY) →
+    * wrap the select with the predicate as a projected flag:
+    * {{{
+    * SELECT <list> FROM ... QUALIFY p [ORDER BY o] [LIMIT n]
+    *   → SELECT * EXCEPT (__qualify)
+    *     FROM (SELECT <list>, (p) AS __qualify FROM ...) __q
+    *     WHERE __qualify [ORDER BY o] [LIMIT n]
+    * }}}
+    * The predicate is injected into the inner select list (before the
+    * top-level FROM), so it can reference any input column or a select
+    * alias (Spark's lateral column aliases resolve those). Top-level
+    * QUALIFY only — subquery QUALIFY is out of scope, like the
+    * reference's own dialect shims. */
+  def rewriteQualify(sql: String): String = {
+    val toks = tokenize(sql)
+    var depth = 0
+    var qIdx = -1
+    var fromIdx = -1
+    var i = 0
+    while (i < toks.length && qIdx < 0) {
+      toks(i).kind match {
+        case TLParen | TLBracket => depth += 1
+        case TRParen | TRBracket => depth -= 1
+        case TWord if depth == 0 =>
+          val u = toks(i).text.toUpperCase
+          if (u == "FROM" && fromIdx < 0) fromIdx = i
+          if (u == "QUALIFY") qIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (qIdx < 0 || fromIdx < 0 || fromIdx > qIdx) return sql
+    // predicate runs until a top-level ORDER / LIMIT / OFFSET / FETCH
+    depth = 0
+    var predEnd = toks.length
+    i = qIdx + 1
+    while (i < toks.length && predEnd == toks.length) {
+      toks(i).kind match {
+        case TLParen | TLBracket => depth += 1
+        case TRParen | TRBracket => depth -= 1
+        case TWord if depth == 0 =>
+          val u = toks(i).text.toUpperCase
+          if (u == "ORDER" || u == "LIMIT" || u == "OFFSET" || u == "FETCH")
+            predEnd = i
+        case _ =>
+      }
+      i += 1
+    }
+    val pred = render(toks.slice(qIdx + 1, predEnd)).trim
+    val selectList = render(toks.slice(0, fromIdx))
+    val fromToQualify = render(toks.slice(fromIdx, qIdx))
+    val tail = render(toks.slice(predEnd, toks.length))
+    s"SELECT * EXCEPT (__qualify) FROM ($selectList, ($pred) AS __qualify $fromToQualify) __q WHERE __qualify $tail".trim
+  }
+
   /** Full rewrite pipeline for one statement. */
   def rewrite(sql: String, vars: String => Option[String] = _ => None): String = {
     var s = sql
@@ -415,6 +470,7 @@ object Dialect {
     s = rewriteFunctionNames(s)
     s = rewriteFetch(s)
     s = rewriteFromFirst(s)
+    s = rewriteQualify(s)
     s = substituteVariables(s, vars)
     s
   }

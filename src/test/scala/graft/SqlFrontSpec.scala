@@ -170,6 +170,18 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT 'use FETCH FIRST 5 ROWS ONLY here' AS doc LIMIT 2")
   }
 
+  test("QUALIFY -> wrapped window-filter subquery") {
+    val in = "SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 5"
+    val out = Dialect.rewriteQualify(in)
+    assert(out == "SELECT * EXCEPT (__qualify) FROM (SELECT a, b , " +
+      "(row_number() OVER (PARTITION BY a ORDER BY b) = 1) AS __qualify " +
+      "FROM t ) __q WHERE __qualify ORDER BY a LIMIT 5")
+    // no top-level QUALIFY: untouched (subquery QUALIFY out of scope)
+    assert(Dialect.rewriteQualify("SELECT a FROM t") == "SELECT a FROM t")
+    assert(Dialect.rewriteQualify("SELECT 'QUALIFY x' AS s FROM t")
+      == "SELECT 'QUALIFY x' AS s FROM t")
+  }
+
   test("getvariable substitution and detection") {
     assert(Dialect.referencedVariables("SELECT getvariable('a'), GETVARIABLE( 'b' )")
       == Seq("a", "b"))
