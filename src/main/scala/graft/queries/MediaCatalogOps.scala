@@ -110,6 +110,39 @@ object MediaCatalogOps {
              octet_length(encode(text)) AS n_bytes
       FROM documents ORDER BY doc_id""",
 
+    // mm03/mm04 oracles recompute the deterministic stub from the text
+    // bytes (corpus is pure ASCII, so unicode(char) == payload byte;
+    // verified octet_length(encode(text)) == length(text) for all docs)
+    "mm03_image_features" -> """
+      WITH ch AS (
+        SELECT doc_id, unicode(c) AS b
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      ), st AS (
+        SELECT doc_id, CAST(sum(b) AS DOUBLE) / count(*) AS mean,
+               max(b) AS mx
+        FROM ch GROUP BY doc_id
+      )
+      SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
+             round(st.mean * 10000) / 10000 AS mean_byte,
+             CAST(st.mx AS INTEGER) AS max_byte,
+             CAST(d.n_chars % 640 AS INTEGER) AS width,
+             CAST(d.n_chars % 480 AS INTEGER) AS height
+      FROM documents d JOIN st USING (doc_id) ORDER BY doc_id""",
+
+    "mm04_resize" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars % 640 AS INTEGER) AS w,
+               CAST(n_chars % 480 AS INTEGER) AS h,
+               octet_length(encode(text)) AS len
+        FROM documents WHERE doc_id % 3 = 0
+      )
+      SELECT doc_id, CAST(w // s AS INTEGER) AS width,
+             CAST(h // s AS INTEGER) AS height,
+             CAST((len - 1) // s + 1 AS BIGINT) AS n_bytes
+      FROM (SELECT *, greatest(1, greatest(w, h) // 64) AS s FROM m)
+      ORDER BY doc_id""",
+
     "mm02_frame_sample" -> """
       SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
       FROM (

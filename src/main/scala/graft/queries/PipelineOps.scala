@@ -51,12 +51,6 @@ object PipelineOps {
       .orderBy("d1", "d2")
   }
 
-  /** cosine(a, b) for two array<double> columns, fully codegen'd —
-    * higher-order functions, no UDF. */
-  private def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
-        / (sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x))
-           * sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))""")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -274,6 +268,9 @@ object PipelineOps {
       // vector per label), probe the 2 nearest centroids, exact search
       // within probed buckets only. Scale path: scanned fraction ≈
       // probes/nlist of the corpus; centroids are tiny and broadcast.
+      // Scoring uses the codegen'd CosineSim expression — the declarative
+      // formulation that stays inside whole-stage codegen.
+      graft.exprs.CosineSim.register(s)
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
       val cent = emb
@@ -287,14 +284,14 @@ object PipelineOps {
       val wc = Window.partitionBy("qid").orderBy(col("cc").desc, col("clabel").asc)
       val probes = q.crossJoin(broadcast(cent))
         .select(col("qid"), col("qe"), col("clabel"),
-          round(cosine("qe", "ce"), 6).as("cc"))
+          round(expr("cosine_sim(qe, ce)"), 6).as("cc"))
         .withColumn("crk", row_number().over(wc))
         .filter(col("crk") <= 2)
         .select("qid", "qe", "clabel")
       val wr = Window.partitionBy("qid").orderBy(col("c").desc, col("nid").asc)
       probes.join(emb, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
-          round(cosine("qe", "e"), 4).as("c"))
+          round(expr("cosine_sim(qe, e)"), 4).as("c"))
         .withColumn("rk", row_number().over(wr))
         .filter(col("rk") <= 5)
         .select("qid", "rk", "nid", "c")

@@ -1,0 +1,74 @@
+package graft
+
+import graft.exprs.CosineSim
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CosineSim: value parity with the higher-order-function formulation,
+  * null propagation, and codegen execution (no CodegenFallback). */
+class CosineSimSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    CosineSim.register(s)
+    s
+  }
+
+  private val hof =
+    """aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
+       / (sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))
+          * sqrt(aggregate(b, 0D, (acc, x) -> acc + x * x)))"""
+
+  test("bit-exact vs higher-order-function formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(-1.0, 0.5, 2.25), Array(3.0, -2.0, 0.125)),
+      (Array(1e-8, 1e8, -7.0), Array(2.0, 2.0, 2.0))
+    ).toDF("a", "b")
+    val rows = df.select(expr("cosine_sim(a, b)").as("c"), expr(hof).as("h")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("orthogonal / identical / null inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(Array(1.0, 0.0)), Option(Array(0.0, 1.0))),
+      (Option(Array(2.0, 2.0)), Option(Array(2.0, 2.0))),
+      (None: Option[Array[Double]], Option(Array(1.0, 1.0)))
+    ).toDF("a", "b")
+    val out = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-15)
+    assert(out(2).isNullAt(0)) // null-intolerant: null in, null out
+  }
+
+  test("executes inside whole-stage codegen (no fallback)") {
+    // non-literal, non-HOF inputs: literals would constant-fold the
+    // projection away, and transform() is itself CodegenFallback
+    val df = spark.range(1, 2)
+      .selectExpr("array(cast(id as double), cast(id * 2 as double)) as a",
+        "array(cast(id * 3 as double), cast(id * 4 as double)) as b")
+      .select(expr("cosine_sim(a, b)").as("c"))
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    // the projection containing cosine_sim must live inside a codegen stage
+    assert(codegenStages.exists(_.toString.contains("cosine_sim")))
+    // interpreted eval agrees with codegen'd eval
+    val viaCodegen = df.collect()(0).getDouble(0)
+    val viaEval = CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3.0, 4.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .eval(null).asInstanceOf[Double]
+    assert(viaCodegen == viaEval)
+  }
+}
