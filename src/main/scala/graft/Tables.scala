@@ -23,20 +23,33 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  // file schemas never change within a run: infer once per path (footer
+  // read + file listing), then pass the schema explicitly — renders open
+  // a fresh session per dashboard and would otherwise re-infer all ten
+  // tables every time
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores TIMESTAMP(NANOS) which Spark refuses by default
     // (TimestampType is micros). Read nanos as long, then integer-divide to
     // micros — `div` stays in Long (a Double round-trip would lose precision
     // at 1e18-nanosecond magnitudes). DuckDB truncates ns→µs identically.
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cached = schemaCache.get(path)
+    val df =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val d = spark.read.parquet(path)
+        schemaCache.put(path, d.schema)
+        d
+      }
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
   }
 
   /** Register every table as a temp view so `spark.sql` queries can use

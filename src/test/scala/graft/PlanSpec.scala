@@ -72,4 +72,21 @@ class PlanSpec extends AnyFunSuite {
     // two HashAggregate nodes: partial + final
     assert("HashAggregate".r.findAllIn(plan).length >= 2)
   }
+
+  test("q70 as-of join: single user_id shuffle, no range self-join") {
+    val plan = planOf(graft.queries.CoreSql.defs("q70_asof_join")(spark, dir))
+    // the merge-sort LOCF shape: no join operator at all — never a
+    // BNLJ/range join. Two hash shuffles total: (user_id, ts) for the
+    // right-side dedup agg and user_id for the window.
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length <= 2,
+      s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("q71 band join: tiny band side broadcast, fact side never shuffles") {
+    val plan = planOf(graft.queries.CoreSql.defs("q71_band_join")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!"Exchange hashpartitioning\\(l_".r.findAllIn(plan).hasNext,
+      s"fact side must not shuffle before the band join:\n$plan")
+  }
 }
