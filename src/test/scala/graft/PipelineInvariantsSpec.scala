@@ -58,4 +58,22 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     assert(mean > 0.2, s"IVF mean recall $mean at/below the random-probe baseline")
     info(f"IVF 2-probe mean recall vs brute force: $mean%.2f (random baseline 0.20)")
   }
+
+  test("sign-LSH ANN recall vs brute force (top-5, 4 chunks of 4 bits)") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      graft.queries.PipelineOps.defs(name)(spark, dir)
+        .select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = topk("s01_cosine_topk")
+    val lsh = topk("s03_ann_lsh")
+    val recalls = brute.keys.map { q =>
+      (brute(q) intersect lsh.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.length
+    // any-of-4-chunks collision keeps ~1 - (1-1/16)^4 ≈ 23% of the corpus
+    // as candidates uniformly, but sign-LSH buckets correlate with cosine
+    // direction, so recall must clear that random-candidate baseline
+    assert(mean > 0.25, s"sign-LSH mean recall $mean at/below the random baseline")
+    info(f"sign-LSH mean recall vs brute force: $mean%.2f (random baseline ~0.23)")
+  }
 }
