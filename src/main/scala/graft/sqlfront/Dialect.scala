@@ -405,6 +405,154 @@ object Dialect {
   def rewriteFetch(sql: String): String =
     rewriteOutsideStrings(sql)(s => fetchRe.replaceAllIn(s, m => "LIMIT " + m.group(1)))
 
+  /** DuckDB allows trailing commas in the SELECT list and in VALUES
+    * lists (the reference's own starter template uses both,
+    * ui/src/routes/new.tsx:52-61); Spark rejects them. Remove any comma
+    * whose next non-whitespace token is FROM or `)` — never valid SQL
+    * otherwise, so the removal cannot change meaning. */
+  def rewriteTrailingComma(sql: String): String = {
+    val toks = tokenize(sql)
+    val drop = Array.fill(toks.length)(false)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TOther && toks(i).text == ",") {
+        var j = i + 1
+        while (j < toks.length && toks(j).kind == TWs) j += 1
+        if (j < toks.length &&
+            ((toks(j).kind == TWord && toks(j).text.equalsIgnoreCase("FROM")) ||
+             toks(j).kind == TRParen)) drop(i) = true
+      }
+      i += 1
+    }
+    if (!drop.exists(identity)) sql
+    else render(toks.zipWithIndex.collect { case (t, k) if !drop(k) => t })
+  }
+
+  /** DuckDB names the columns of a bare `FROM (VALUES ...)` subquery
+    * col0, col1, …; Spark names them col1, col2 — and the reference's
+    * starter template selects `col0`/`col1`. When such a subquery has
+    * no alias, append `__v(col0, …, colN-1)` with the first tuple's
+    * arity so the DuckDB names resolve. */
+  def rewriteValuesAlias(sql: String): String = {
+    var toks = tokenize(sql)
+    def nextNonWs(j0: Int): Int = {
+      var j = j0
+      while (j < toks.length && toks(j).kind == TWs) j += 1
+      j
+    }
+    def matchParen(open: Int): Int = {
+      var depth = 0
+      var k = open
+      while (k < toks.length) {
+        toks(k).kind match {
+          case TLParen => depth += 1
+          case TRParen =>
+            depth -= 1
+            if (depth == 0) return k
+          case _ =>
+        }
+        k += 1
+      }
+      -1
+    }
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("FROM")) {
+        val lp = nextNonWs(i + 1)
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          val inner = nextNonWs(lp + 1)
+          if (inner < toks.length && toks(inner).kind == TWord &&
+              toks(inner).text.equalsIgnoreCase("VALUES")) {
+            val close = matchParen(lp)
+            val after = if (close >= 0) nextNonWs(close + 1) else toks.length
+            val hasAlias = after < toks.length && (toks(after).kind == TQuoted ||
+              (toks(after).kind == TWord && (toks(after).text.equalsIgnoreCase("AS") ||
+                !isKeywordBarrier(toks(after).text) && !isClauseKeyword(toks(after).text))))
+            if (close >= 0 && !hasAlias) {
+              // arity = top-level commas + 1 inside the first tuple
+              val t0 = nextNonWs(inner + 1)
+              if (t0 < toks.length && toks(t0).kind == TLParen) {
+                val t0close = matchParen(t0)
+                var commas = 0
+                var depth = 0
+                var k = t0
+                while (k <= t0close) {
+                  toks(k).kind match {
+                    case TLParen => depth += 1
+                    case TRParen => depth -= 1
+                    case TOther if toks(k).text == "," && depth == 1 => commas += 1
+                    case _ =>
+                  }
+                  k += 1
+                }
+                val cols = (0 to commas).map(c => s"col$c").mkString(", ")
+                toks = toks.take(close + 1) ++
+                  Vector(Tok(TWs, " "), Tok(TWord, "__v"), Tok(TLParen, "("),
+                    Tok(TWord, cols), Tok(TRParen, ")")) ++
+                  toks.drop(close + 1)
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    render(toks)
+  }
+
+  /** Clause keywords that terminate a FROM item (no alias present). */
+  private def isClauseKeyword(w: String): Boolean = {
+    val u = w.toUpperCase
+    u == "WHERE" || u == "GROUP" || u == "ORDER" || u == "HAVING" ||
+    u == "LIMIT" || u == "OFFSET" || u == "FETCH" || u == "QUALIFY" ||
+    u == "UNION" || u == "INTERSECT" || u == "EXCEPT" || u == "JOIN" ||
+    u == "LEFT" || u == "RIGHT" || u == "FULL" || u == "INNER" || u == "CROSS" ||
+    u == "ON" || u == "WINDOW"
+  }
+
+  /** DuckDB interval shorthand (`INTERVAL '1h'`, `'7days 1hour'`) →
+    * Spark's spaced long-unit form (`INTERVAL '1 hour'`). Only literal
+    * strings directly after the INTERVAL keyword are touched, and only
+    * when every `<number><unit>` component maps to a known unit. */
+  def rewriteIntervalShorthand(sql: String): String = {
+    val units = Map(
+      "y" -> "year", "yr" -> "year", "yrs" -> "year", "year" -> "year", "years" -> "year",
+      "mon" -> "month", "mons" -> "month", "month" -> "month", "months" -> "month",
+      "w" -> "week", "week" -> "week", "weeks" -> "week",
+      "d" -> "day", "day" -> "day", "days" -> "day",
+      "h" -> "hour", "hr" -> "hour", "hrs" -> "hour", "hour" -> "hour", "hours" -> "hour",
+      "min" -> "minute", "mins" -> "minute", "minute" -> "minute", "minutes" -> "minute",
+      "s" -> "second", "sec" -> "second", "secs" -> "second",
+      "second" -> "second", "seconds" -> "second",
+      "ms" -> "millisecond", "msec" -> "millisecond",
+      "millisecond" -> "millisecond", "milliseconds" -> "millisecond",
+      "us" -> "microsecond", "usec" -> "microsecond",
+      "microsecond" -> "microsecond", "microseconds" -> "microsecond")
+    val component = "(\\d+)\\s*([a-zA-Z]+)".r
+    val toks = tokenize(sql)
+    val out = toks.zipWithIndex.map { case (t, i) =>
+      val isIntervalString = t.kind == TString && {
+        val p = prevNonWs(toks, i - 1)
+        p >= 0 && toks(p).kind == TWord && toks(p).text.equalsIgnoreCase("INTERVAL")
+      }
+      if (!isIntervalString) t
+      else {
+        val body = unquoteString(t.text).trim
+        val comps = component.findAllMatchIn(body).toSeq
+        val wholeMatch = comps.nonEmpty &&
+          component.replaceAllIn(body, "").trim.isEmpty &&
+          comps.forall(m => units.contains(m.group(2).toLowerCase))
+        if (!wholeMatch) t
+        else {
+          val spaced = comps.map(m => s"${m.group(1)} ${units(m.group(2).toLowerCase)}")
+            .mkString(" ")
+          Tok(TString, "'" + spaced + "'")
+        }
+      }
+    }
+    render(out)
+  }
+
   /** DuckDB `QUALIFY <pred>` (window filter; Spark has no QUALIFY) →
     * wrap the select with the predicate as a projected flag:
     * {{{
@@ -468,6 +616,9 @@ object Dialect {
     s = rewriteTimestampTz(s)
     s = rewriteCountStar(s)
     s = rewriteFunctionNames(s)
+    s = rewriteTrailingComma(s)
+    s = rewriteValuesAlias(s)
+    s = rewriteIntervalShorthand(s)
     s = rewriteFetch(s)
     s = rewriteFromFirst(s)
     s = rewriteQualify(s)

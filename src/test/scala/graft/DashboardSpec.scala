@@ -20,6 +20,38 @@ class DashboardSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("the reference's starter template renders verbatim (ui/src/routes/new.tsx:48-61)") {
+    // DuckDB-isms in one statement: trailing comma in the SELECT list,
+    // trailing comma in VALUES, bare VALUES subquery with col0/col1 names
+    val template =
+      """SELECT 'Dashboard Title'::SECTION;
+        |
+        |SELECT 'Label'::LABEL;
+        |SELECT 'Hello World';
+        |
+        |SELECT
+        |  col0::XAXIS,
+        |  col1::BARCHART,
+        |FROM (
+        |  VALUES
+        |  (1, 10),
+        |  (2, 20),
+        |  (3, 30),
+        |);""".stripMargin
+    val r = Dashboard.run(spark, template)
+    assert(r.sections.map(_.sectionType) == Seq("header", "content"))
+    assert(r.sections.head.title.contains("Dashboard Title"))
+    val qs = r.sections(1).queries
+    assert(qs.length == 2) // 'Hello World' value + the barchart (LABEL attaches)
+    assert(qs(0).render.label.contains("Label"))
+    val chart = qs(1)
+    // numeric (non-temporal) x-axis renders the horizontal variant,
+    // same as the reference's decision tree
+    assert(chart.render.renderType.startsWith("barchart"))
+    assert(chart.rows.length == 3)
+    assert(chart.rows.map(_.last) == Seq(10, 20, 30))
+  }
+
   test("Basic query") {
     val r = Dashboard.run(spark, "SELECT 1 AS val")
     assert(r.sections.length == 1)

@@ -170,6 +170,44 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT 'use FETCH FIRST 5 ROWS ONLY here' AS doc LIMIT 2")
   }
 
+  test("trailing comma before FROM removed (DuckDB starter-template syntax)") {
+    assert(Dialect.rewriteTrailingComma("SELECT a, b, FROM t") == "SELECT a, b FROM t")
+    // the reference's own template shape: trailing comma inside a subquery
+    assert(Dialect.rewriteTrailingComma("SELECT x::XAXIS, y::BARCHART, FROM (SELECT 1, FROM t)")
+      == "SELECT x::XAXIS, y::BARCHART FROM (SELECT 1 FROM t)")
+    // a comma not followed by FROM is untouched
+    assert(Dialect.rewriteTrailingComma("SELECT a, b FROM t") == "SELECT a, b FROM t")
+    assert(Dialect.rewriteTrailingComma("SELECT ', FROM x' AS s FROM t")
+      == "SELECT ', FROM x' AS s FROM t")
+  }
+
+  test("bare (VALUES ...) subquery gets DuckDB col0.. names") {
+    assert(Dialect.rewriteValuesAlias("SELECT col0 FROM (VALUES (1, 10), (2, 20))")
+      == "SELECT col0 FROM (VALUES (1, 10), (2, 20)) __v(col0, col1)")
+    // aliased subqueries untouched
+    assert(Dialect.rewriteValuesAlias("SELECT a FROM (VALUES (1)) v(a)")
+      == "SELECT a FROM (VALUES (1)) v(a)")
+    assert(Dialect.rewriteValuesAlias("SELECT a FROM (VALUES (1)) AS v(a)")
+      == "SELECT a FROM (VALUES (1)) AS v(a)")
+    // non-VALUES subqueries untouched
+    assert(Dialect.rewriteValuesAlias("SELECT a FROM (SELECT 1 AS a)")
+      == "SELECT a FROM (SELECT 1 AS a)")
+  }
+
+  test("DuckDB interval shorthand -> Spark long units") {
+    assert(Dialect.rewriteIntervalShorthand("SELECT INTERVAL '1h'")
+      == "SELECT INTERVAL '1 hour'")
+    assert(Dialect.rewriteIntervalShorthand("SELECT ts + INTERVAL '25h' FROM t")
+      == "SELECT ts + INTERVAL '25 hour' FROM t")
+    assert(Dialect.rewriteIntervalShorthand("SELECT INTERVAL '7days 1hour'")
+      == "SELECT INTERVAL '7 day 1 hour'")
+    // non-shorthand strings untouched
+    assert(Dialect.rewriteIntervalShorthand("SELECT INTERVAL '1 banana'")
+      == "SELECT INTERVAL '1 banana'")
+    assert(Dialect.rewriteIntervalShorthand("SELECT '1h' AS s")
+      == "SELECT '1h' AS s")
+  }
+
   test("QUALIFY -> wrapped window-filter subquery") {
     val in = "SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 5"
     val out = Dialect.rewriteQualify(in)
