@@ -35,6 +35,21 @@ class TasksSpec extends AnyFunSuite {
     assert(at.contains(now() + 3600 * 1000))
   }
 
+  test("the reference's task-template schedules parse verbatim (ui/src/routes/new.tsx:63-76)") {
+    // every-hour shorthand
+    val (at1, tpe1) = Tasks.getNextTaskRun(spark,
+      "SELECT (INTERVAL '1h')::SCHEDULE;", now)
+    assert(tpe1 == "single" && at1.contains(now() + 3600 * 1000))
+    // daily-at-1am shape: date_trunc('day', now()) + INTERVAL '25h'
+    val (at2, tpe2) = Tasks.getNextTaskRun(spark,
+      "SELECT (date_trunc('day', now()) + INTERVAL '25h')::SCHEDULE;", now)
+    assert(tpe2 == "single" && at2.nonEmpty)
+    // weekly shape with multi-unit shorthand
+    val (at3, tpe3) = Tasks.getNextTaskRun(spark,
+      "SELECT (date_trunc('week', now()) + INTERVAL '7days 1hour')::SCHEDULE;", now)
+    assert(tpe3 == "single" && at3.nonEmpty)
+  }
+
   test("timestamp schedule") {
     val (at, tpe) = Tasks.getNextTaskRun(spark,
       "SELECT TIMESTAMP '2026-08-04 12:00:00'::SCHEDULE;", now)
