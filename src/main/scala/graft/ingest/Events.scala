@@ -43,11 +43,22 @@ object Events {
 
     Files.createDirectories(Paths.get(spoolDir))
     val m = graft.render.Model
+    // per-element message id, like the reference: array elements each get
+    // their own id (payload _id or a fresh one, events.go:57-95) — they
+    // never share one, so the consumer's Nats-Msg-Id dedup only drops
+    // true republishes. A caller-supplied msgId applies to single-object
+    // publishes only (the NATS-client-set-header case).
     val lines = payloads.map { p =>
+      val headerId =
+        if (payloads.length == 1) msgId.getOrElse(IngestPipeline.generateId())
+        else SchemaInfer.parseOrdered(p).map.get("_id") match {
+          case Some(SchemaInfer.JString(s)) if s.nonEmpty => s
+          case _ => IngestPipeline.generateId()
+        }
       Seq(
         "\"table\":" + m.jsonValue(table),
         "\"json\":" + m.jsonValue(p),
-        "\"header_id\":" + msgId.map(m.jsonValue).getOrElse("null"),
+        "\"header_id\":" + m.jsonValue(headerId),
         "\"meta_ts\":" + nowMillis()).mkString("{", ",", "}")
     }
     val file = Paths.get(spoolDir, s"events-${System.nanoTime()}.jsonl")

@@ -98,10 +98,25 @@ object IngestPipeline {
           }
       }
 
+      // publish idempotency: the reference's JetStream stream drops
+      // republished Nats-Msg-Ids inside its duplicate window
+      // (events.go:47, default 2 min); the per-micro-batch analog is
+      // first-wins dedup on the explicit id (payload _id or header id —
+      // generated ids are fresh cuid2s and can't collide)
+      val seenIds = mutable.HashSet.empty[String]
+      val unique = messages.zip(parsed).filter { case (msg, obj) =>
+        val explicitId = obj.map.get(IdColumn) match {
+          case Some(JString(s)) if s.nonEmpty => Some(s)
+          case Some(other) if other != JNull => Some(toJsonString(other))
+          case _ => msg.headerId.filter(_.nonEmpty)
+        }
+        explicitId.forall(seenIds.add)
+      }
+
       // refresh schema after DDL; build rows in table column order
       val fields = spark.table(table).schema.fields.toSeq
       val schema = StructType(fields)
-      val rows = messages.zip(parsed).map { case (msg, obj) =>
+      val rows = unique.map { case (msg, obj) =>
         Row.fromSeq(fields.map { f =>
           f.name match {
             case IdColumn =>

@@ -23,18 +23,21 @@ class EventsSnapshotsSpec extends AnyFunSuite {
   test("publish -> spool -> streaming ingest end-to-end (events.go:33-95)") {
     val spool = java.nio.file.Files.createTempDirectory("graft-spool").toString
     val table = s"evt_${runId}_t1"
-    assert(Events.publish(spool, table, """{"x": 1, "kind": "a"}""") == 1)
+    assert(Events.publish(spool, table, """{"x": 1, "kind": "a"}""",
+      msgId = Some("one-1")) == 1)
     // array payload fans out (handler/events.go:27-80)
-    assert(Events.publish(spool, table, """[{"x": 2, "kind": "b"}, {"x": 3, "kind": "c"}]""",
-      msgId = Some("batch-1")) == 2)
+    assert(Events.publish(spool, table, """[{"x": 2, "kind": "b"}, {"x": 3, "kind": "c"}]""") == 2)
     val q = IngestStream.start(spark, Events.source(spark, spool), triggerMillis = 100)
     q.processAllAvailable()
     q.stop()
     val rows = spark.table(table).orderBy("x").collect()
     assert(rows.length == 3)
     assert(rows.map(_.getAs[Double]("x")).toSeq == Seq(1.0, 2.0, 3.0))
-    // header msg-id became _id for the array events
-    assert(rows(1).getAs[String]("_id") == "batch-1")
+    // single publish: header msg-id became _id
+    assert(rows(0).getAs[String]("_id") == "one-1")
+    // array elements each get their own id (events.go:57-95), never shared
+    assert(rows(1).getAs[String]("_id") != rows(2).getAs[String]("_id"))
+    assert(rows(1).getAs[String]("_id").nonEmpty)
     // invalid payload rejected
     intercept[IllegalArgumentException](Events.publish(spool, table, "not json"))
   }

@@ -80,6 +80,22 @@ class IngestSpec extends AnyFunSuite {
     assert(row.getAs[java.sql.Timestamp]("created").toInstant.toString == "2023-01-15T10:30:45Z")
   }
 
+  test("republished message ids dedup within a batch (JetStream Nats-Msg-Id window)") {
+    val table = freshTable()
+    val msgs = Seq(
+      Message(table, """{"_id": "dup-1", "v": 1}"""),
+      Message(table, """{"_id": "dup-1", "v": 1}"""), // exact republish
+      Message(table, """{"v": 2}""", Some("hdr-1")),
+      Message(table, """{"v": 3}""", Some("hdr-1")), // same header id
+      Message(table, """{"v": 4}"""), // no id: generated, never dropped
+      Message(table, """{"v": 5}"""))
+    val counts = IngestPipeline.processBatch(spark, msgs)
+    assert(counts == Map(table -> 4L)) // dup-1 once, hdr-1 once, 2 generated
+    val ids = spark.table(table).collect().map(_.getAs[String]("_id")).toSeq
+    assert(ids.count(_ == "dup-1") == 1)
+    assert(ids.count(_ == "hdr-1") == 1)
+  }
+
   test("_id/_ts precedence: msg > header > generated (ingest_test.go:1427-1514)") {
     val table = freshTable()
     val meta = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
