@@ -14,7 +14,8 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q10_join_star", "q15_local_supplier",
-        "d04_dedup_minhash", "s01_cosine_topk", "t03_token_stats")
+        "q70_asof_join", "q71_band_join", "d04_dedup_minhash",
+        "s01_cosine_topk", "s03_ann_lsh", "t03_token_stats")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

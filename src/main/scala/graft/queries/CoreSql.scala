@@ -641,6 +641,18 @@ object CoreSql {
         .orderBy("band")
     }),
 
+    "q73_distinct_on" -> ((s, d) => {
+      // DuckDB/Postgres DISTINCT ON through the dialect rewriter:
+      // latest order per customer (ORDER BY includes a unique tiebreak
+      // so both engines pick the same row).
+      t(s, d, "orders").createOrReplaceTempView("don_orders")
+      s.sql(graft.sqlfront.Dialect.rewrite("""
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        FROM don_orders
+        WHERE o_custkey <= 100
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey"""))
+    }),
+
     "q72_approx_distinct" -> ((s, d) => {
       // HLL sketch (approx_count_distinct, rsd=0.01) vs exact — the
       // sketch is the 100 TB path (mergeable, constant memory); the
@@ -1050,6 +1062,12 @@ object CoreSql {
            b(band, lo, hi)
         ON l_extendedprice >= lo AND l_extendedprice < hi
       GROUP BY band ORDER BY band""",
+
+    "q73_distinct_on" -> """
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+      FROM orders
+      WHERE o_custkey <= 100
+      ORDER BY o_custkey, o_orderdate DESC, o_orderkey""",
 
     "q72_approx_distinct" -> """
       SELECT l_returnflag, true AS within_5pct

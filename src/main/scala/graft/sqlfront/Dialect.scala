@@ -553,6 +553,167 @@ object Dialect {
     render(out)
   }
 
+  /** DuckDB `* EXCLUDE (cols)` → Spark `* EXCEPT (cols)` (same
+    * semantics, different keyword). Only rewrites EXCLUDE directly
+    * after a `*`. */
+  def rewriteStarExclude(sql: String): String = {
+    val toks = tokenize(sql)
+    val out = toks.zipWithIndex.map { case (t, i) =>
+      if (t.kind == TWord && t.text.equalsIgnoreCase("EXCLUDE")) {
+        val p = prevNonWs(toks, i - 1)
+        if (p >= 0 && toks(p).text == "*") Tok(TWord, "EXCEPT") else t
+      } else t
+    }
+    render(out)
+  }
+
+  /** DuckDB `* REPLACE (expr AS col, …)` → `* EXCEPT (col, …), expr AS
+    * col, …`. Replaced columns move to the end of the projection (the
+    * driver's comparisons are column-order-independent; DuckDB keeps
+    * the original position). */
+  def rewriteStarReplace(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("REPLACE")) {
+        val p = prevNonWs(toks, i - 1)
+        var lp = i + 1
+        while (lp < toks.length && toks(lp).kind == TWs) lp += 1
+        if (p >= 0 && toks(p).text == "*" && lp < toks.length && toks(lp).kind == TLParen) {
+          // find matching close + split top-level commas
+          var depth = 0
+          var close = -1
+          var k = lp
+          while (k < toks.length && close < 0) {
+            toks(k).kind match {
+              case TLParen => depth += 1
+              case TRParen => depth -= 1; if (depth == 0) close = k
+              case _ =>
+            }
+            k += 1
+          }
+          if (close > lp) {
+            val inner = toks.slice(lp + 1, close)
+            val parts = {
+              val acc = Vector.newBuilder[Vector[Tok]]
+              var cur = Vector.newBuilder[Tok]
+              var d = 0
+              inner.foreach { t =>
+                t.kind match {
+                  case TLParen | TLBracket => d += 1; cur += t
+                  case TRParen | TRBracket => d -= 1; cur += t
+                  case TOther if t.text == "," && d == 0 =>
+                    acc += cur.result(); cur = Vector.newBuilder[Tok]
+                  case _ => cur += t
+                }
+              }
+              acc += cur.result()
+              acc.result()
+            }
+            // each part: <expr> AS <name>; name = last word after last AS
+            val names = parts.map { part =>
+              val asIdx = part.lastIndexWhere(t =>
+                t.kind == TWord && t.text.equalsIgnoreCase("AS"))
+              if (asIdx < 0) return sql // malformed: leave untouched
+              render(part.drop(asIdx + 1)).trim
+            }
+            val replacement = "EXCEPT (" + names.mkString(", ") + "), " +
+              parts.map(p => render(p).trim).mkString(", ")
+            return rewriteStarReplace(
+              render(toks.take(i)) + replacement + render(toks.drop(close + 1)))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** DuckDB/Postgres `SELECT DISTINCT ON (keys) list FROM … [ORDER BY
+    * ord] [LIMIT …]` → first-row-per-key via row_number:
+    * {{{
+    * SELECT list FROM (SELECT *, row_number() OVER (PARTITION BY keys
+    *   ORDER BY ord-or-keys) AS __rn FROM …) __d WHERE __rn = 1
+    *   [ORDER BY ord] [LIMIT …]
+    * }}}
+    * The ORDER BY must reference input columns (not select aliases) —
+    * the same restriction DuckDB's own docs give for deterministic
+    * DISTINCT ON. */
+  def rewriteDistinctOn(sql: String): String = {
+    val toks = tokenize(sql)
+    def nextNonWs(j0: Int): Int = {
+      var j = j0
+      while (j < toks.length && toks(j).kind == TWs) j += 1
+      j
+    }
+    // locate top-level SELECT DISTINCT ON (
+    var depth = 0
+    var selIdx = -1
+    var i = 0
+    while (i < toks.length && selIdx < 0) {
+      toks(i).kind match {
+        case TLParen | TLBracket => depth += 1
+        case TRParen | TRBracket => depth -= 1
+        case TWord if depth == 0 && toks(i).text.equalsIgnoreCase("SELECT") => selIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (selIdx < 0) return sql
+    val dIdx = nextNonWs(selIdx + 1)
+    if (dIdx >= toks.length || !toks(dIdx).text.equalsIgnoreCase("DISTINCT")) return sql
+    val onIdx = nextNonWs(dIdx + 1)
+    if (onIdx >= toks.length || !toks(onIdx).text.equalsIgnoreCase("ON")) return sql
+    val lp = nextNonWs(onIdx + 1)
+    if (lp >= toks.length || toks(lp).kind != TLParen) return sql
+    var close = -1
+    depth = 0
+    i = lp
+    while (i < toks.length && close < 0) {
+      toks(i).kind match {
+        case TLParen => depth += 1
+        case TRParen => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return sql
+    val keys = render(toks.slice(lp + 1, close)).trim
+    // clause boundaries after the key list
+    depth = 0
+    var fromIdx = -1
+    var orderIdx = -1
+    var tailIdx = toks.length // LIMIT / OFFSET / FETCH
+    i = close + 1
+    while (i < toks.length) {
+      toks(i).kind match {
+        case TLParen | TLBracket => depth += 1
+        case TRParen | TRBracket => depth -= 1
+        case TWord if depth == 0 =>
+          val u = toks(i).text.toUpperCase
+          if (u == "FROM" && fromIdx < 0) fromIdx = i
+          if (u == "ORDER" && orderIdx < 0) orderIdx = i
+          if ((u == "LIMIT" || u == "OFFSET" || u == "FETCH") && tailIdx == toks.length)
+            tailIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (fromIdx < 0) return sql
+    val list = render(toks.slice(close + 1, fromIdx)).trim
+    val fromEnd = if (orderIdx >= 0) orderIdx else tailIdx
+    val fromRest = render(toks.slice(fromIdx, fromEnd)).trim
+    val orderClause =
+      if (orderIdx >= 0) render(toks.slice(orderIdx, tailIdx)).trim else ""
+    val tail = render(toks.slice(tailIdx, toks.length)).trim
+    val windowOrder =
+      if (orderIdx >= 0) orderClause.replaceAll("(?i)^ORDER\\s+BY\\s+", "") else keys
+    val prefix = render(toks.take(selIdx)) // leading WITH ctes etc.
+    (prefix + s"SELECT $list FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
+      s"ORDER BY $windowOrder) AS __rn $fromRest) __d WHERE __rn = 1 " +
+      s"$orderClause $tail").trim
+  }
+
   /** DuckDB `QUALIFY <pred>` (window filter; Spark has no QUALIFY) →
     * wrap the select with the predicate as a projected flag:
     * {{{
@@ -621,6 +782,9 @@ object Dialect {
     s = rewriteIntervalShorthand(s)
     s = rewriteFetch(s)
     s = rewriteFromFirst(s)
+    s = rewriteStarExclude(s)
+    s = rewriteStarReplace(s)
+    s = rewriteDistinctOn(s)
     s = rewriteQualify(s)
     s = substituteVariables(s, vars)
     s

@@ -208,6 +208,34 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT '1h' AS s")
   }
 
+  test("star EXCLUDE / REPLACE -> Spark EXCEPT forms") {
+    assert(Dialect.rewriteStarExclude("SELECT * EXCLUDE (a, b) FROM t")
+      == "SELECT * EXCEPT (a, b) FROM t")
+    // EXCLUDE as an identifier elsewhere untouched
+    assert(Dialect.rewriteStarExclude("SELECT exclude FROM t")
+      == "SELECT exclude FROM t")
+    assert(Dialect.rewriteStarReplace("SELECT * REPLACE (id * 2 AS id) FROM t")
+      == "SELECT * EXCEPT (id), id * 2 AS id FROM t")
+    assert(Dialect.rewriteStarReplace("SELECT * REPLACE (x + 1 AS x, lower(k) AS k) FROM t")
+      == "SELECT * EXCEPT (x, k), x + 1 AS x, lower(k) AS k FROM t")
+    // replace() the function untouched
+    assert(Dialect.rewriteStarReplace("SELECT replace(s, 'a', 'b') FROM t")
+      == "SELECT replace(s, 'a', 'b') FROM t")
+  }
+
+  test("DISTINCT ON -> row_number window filter") {
+    assert(Dialect.rewriteDistinctOn("SELECT DISTINCT ON (k) id, k FROM t ORDER BY k, id")
+      == "SELECT id, k FROM (SELECT *, row_number() OVER (PARTITION BY k " +
+         "ORDER BY k, id) AS __rn FROM t) __d WHERE __rn = 1 ORDER BY k, id")
+    // no ORDER BY: partition keys order the window
+    assert(Dialect.rewriteDistinctOn("SELECT DISTINCT ON (k) id FROM t")
+      == "SELECT id FROM (SELECT *, row_number() OVER (PARTITION BY k " +
+         "ORDER BY k) AS __rn FROM t) __d WHERE __rn = 1")
+    // plain DISTINCT untouched
+    assert(Dialect.rewriteDistinctOn("SELECT DISTINCT k FROM t")
+      == "SELECT DISTINCT k FROM t")
+  }
+
   test("QUALIFY -> wrapped window-filter subquery") {
     val in = "SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 5"
     val out = Dialect.rewriteQualify(in)
