@@ -641,6 +641,18 @@ object CoreSql {
         .orderBy("band")
     }),
 
+    "q74_strftime" -> ((s, d) => {
+      // DuckDB strftime through the dialect's C-format -> Java-pattern
+      // bridge; grouped so the oracle is tiny and total-ordered
+      t(s, d, "orders").createOrReplaceTempView("sft_orders")
+      s.sql(graft.sqlfront.Dialect.rewrite("""
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               strftime(o_orderdate, '%d %H:%M:%S') AS dhms,
+               count(*) AS n
+        FROM sft_orders
+        GROUP BY 1, 2 ORDER BY ym, dhms"""))
+    }),
+
     "q73_distinct_on" -> ((s, d) => {
       // DuckDB/Postgres DISTINCT ON through the dialect rewriter:
       // latest order per customer (ORDER BY includes a unique tiebreak
@@ -1062,6 +1074,13 @@ object CoreSql {
            b(band, lo, hi)
         ON l_extendedprice >= lo AND l_extendedprice < hi
       GROUP BY band ORDER BY band""",
+
+    "q74_strftime" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             strftime(o_orderdate, '%d %H:%M:%S') AS dhms,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1, 2 ORDER BY ym, dhms""",
 
     "q73_distinct_on" -> """
       SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate

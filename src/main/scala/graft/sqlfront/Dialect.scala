@@ -553,6 +553,88 @@ object Dialect {
     render(out)
   }
 
+  private val strftimeCodes = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'f' -> "SSSSSS", 'p' -> "a", 'j' -> "DDD",
+    'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM")
+
+  /** C strftime format → Java DateTimeFormatter pattern; None when a
+    * code has no safe Java equivalent (caller leaves the SQL as-is). */
+  private def cFormatToJava(fmt: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        if (i + 1 >= fmt.length) return None
+        val code = fmt.charAt(i + 1)
+        if (code == '%') sb.append('%')
+        else strftimeCodes.get(code) match {
+          case Some(j) => sb.append(j)
+          case None => return None
+        }
+        i += 2
+      } else if (c.isLetter) { sb.append('\'').append(c).append('\''); i += 1 }
+      else if (c == '\'') { sb.append("''"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    Some(sb.toString)
+  }
+
+  /** DuckDB `strftime(ts, '%Y-%m-%d')` → Spark `date_format(ts,
+    * 'yyyy-MM-dd')`. Only rewrites when the second argument is a string
+    * literal whose every %-code maps cleanly; otherwise the call is
+    * left untouched (and fails analysis loudly rather than silently
+    * reformatting wrong). */
+  def rewriteStrftime(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("strftime")) {
+        var lp = i + 1
+        while (lp < toks.length && toks(lp).kind == TWs) lp += 1
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          var depth = 0
+          var close = -1
+          var lastComma = -1
+          var k = lp
+          while (k < toks.length && close < 0) {
+            toks(k).kind match {
+              case TLParen | TLBracket => depth += 1
+              case TRParen | TRBracket =>
+                depth -= 1
+                if (depth == 0 && toks(k).kind == TRParen) close = k
+              case TOther if toks(k).text == "," && depth == 1 => lastComma = k
+              case _ =>
+            }
+            k += 1
+          }
+          if (close > 0 && lastComma > 0) {
+            var fmtIdx = lastComma + 1
+            while (fmtIdx < close && toks(fmtIdx).kind == TWs) fmtIdx += 1
+            val onlyString = fmtIdx < close &&
+              toks(fmtIdx).kind == TString &&
+              (fmtIdx + 1 until close).forall(toks(_).kind == TWs)
+            if (onlyString) {
+              cFormatToJava(unquoteString(toks(fmtIdx).text)) match {
+                case Some(javaFmt) =>
+                  val rebuilt = render(toks.take(i)) + "date_format" +
+                    render(toks.slice(lp, lastComma + 1)) +
+                    " '" + javaFmt.replace("'", "''") + "'" +
+                    render(toks.slice(close, toks.length))
+                  return rewriteStrftime(rebuilt)
+                case None => ()
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** DuckDB `* EXCLUDE (cols)` → Spark `* EXCEPT (cols)` (same
     * semantics, different keyword). Only rewrites EXCLUDE directly
     * after a `*`. */
@@ -777,6 +859,7 @@ object Dialect {
     s = rewriteTimestampTz(s)
     s = rewriteCountStar(s)
     s = rewriteFunctionNames(s)
+    s = rewriteStrftime(s)
     s = rewriteTrailingComma(s)
     s = rewriteValuesAlias(s)
     s = rewriteIntervalShorthand(s)

@@ -31,6 +31,17 @@ object Streams {
       org.apache.spark.sql.functions.window(c, w)
   }
 
+  /** Streaming exactly-once-per-id dedup: drops rows whose `idCols`
+    * were already seen, with state bounded by the watermark (the
+    * streaming analog of the ingest path's Nats-Msg-Id window —
+    * JetStream's duplicate window made declarative). At scale the state
+    * store holds only ids newer than the watermark horizon. */
+  def dedupeByKey(events: DataFrame, watermarkCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(watermarkCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Int)

@@ -208,6 +208,24 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT '1h' AS s")
   }
 
+  test("strftime C-format -> date_format Java pattern") {
+    assert(Dialect.rewriteStrftime("SELECT strftime(ts, '%Y-%m-%d') FROM t")
+      == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t")
+    assert(Dialect.rewriteStrftime("SELECT strftime(ts, '%H:%M:%S') FROM t")
+      == "SELECT date_format(ts, 'HH:mm:ss') FROM t")
+    // literal letters get quoted for the Java pattern
+    assert(Dialect.rewriteStrftime("SELECT strftime(ts, '%Yw%m')")
+      == "SELECT date_format(ts, 'yyyy''w''MM')")
+    // %% escapes; unknown codes leave the call untouched
+    assert(Dialect.rewriteStrftime("SELECT strftime(ts, '%d%%')")
+      == "SELECT date_format(ts, 'dd%')")
+    assert(Dialect.rewriteStrftime("SELECT strftime(ts, '%V') FROM t")
+      == "SELECT strftime(ts, '%V') FROM t")
+    // nested expressions in the first argument survive
+    assert(Dialect.rewriteStrftime("SELECT strftime(date_trunc('day', ts), '%Y')")
+      == "SELECT date_format(date_trunc('day', ts), 'yyyy')")
+  }
+
   test("star EXCLUDE / REPLACE -> Spark EXCEPT forms") {
     assert(Dialect.rewriteStarExclude("SELECT * EXCLUDE (a, b) FROM t")
       == "SELECT * EXCEPT (a, b) FROM t")

@@ -40,6 +40,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01T00:05:00Z", "view", 1L)))
   }
 
+  test("streaming dedup drops repeated ids within the watermark window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = Streams.dedupeByKey(input.toDF(), "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    input.addData(
+      Event(1, ts("2024-01-01T00:01:00Z"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01T00:01:00Z"), 1, "click", 1.0), // same batch dup
+      Event(2, ts("2024-01-01T00:02:00Z"), 1, "view", 2.0))
+    q.processAllAvailable()
+    // republish id 1 in a later batch, still inside the window
+    input.addData(Event(1, ts("2024-01-01T00:03:00Z"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd_out").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("stateful sessionization emits closed sessions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
