@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.exprs.CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => graft.exprs.CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("len"),
+      new ExpressionInfo(classOf[graft.exprs.Len].getName, "len"),
+      (exprs: Seq[Expression]) => graft.exprs.Len(exprs.head)))
   }
 }

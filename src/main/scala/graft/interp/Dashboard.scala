@@ -98,6 +98,7 @@ object Dashboard {
     val spark = spark0.newSession()
     ShaperTypes.register(spark)
     graft.exprs.Boxplot.register(spark)
+    graft.exprs.Len.register(spark)
     cfg.prepare(spark)
 
     var nextLabel = ""

@@ -27,6 +27,7 @@ object Download {
     val spark = spark0.newSession()
     ShaperTypes.register(spark)
     graft.exprs.Boxplot.register(spark)
+    graft.exprs.Len.register(spark)
     prepare(spark)
 
     val clean = SqlText.stripComments(content)
@@ -113,6 +114,7 @@ object SqlApi {
       prepare: SparkSession => Unit = _ => ()): Either[String, Unit] = {
     val spark = spark0.newSession()
     ShaperTypes.register(spark)
+    graft.exprs.Len.register(spark)
     prepare(spark)
     val clean = SqlText.stripComments(sql)
     SqlText.splitQueries(clean) match {

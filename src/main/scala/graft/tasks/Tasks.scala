@@ -103,6 +103,7 @@ object Tasks {
     val spark = spark0.newSession()
     ShaperTypes.register(spark)
     graft.exprs.Boxplot.register(spark)
+    graft.exprs.Len.register(spark)
     prepare(spark)
 
     val startedAt = nowMillis()

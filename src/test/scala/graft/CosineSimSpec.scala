@@ -49,6 +49,16 @@ class CosineSimSpec extends AnyFunSuite {
     assert(out(2).isNullAt(0)) // null-intolerant: null in, null out
   }
 
+  test("len() dispatches on type like DuckDB (string chars, list size)") {
+    graft.exprs.Len.register(spark)
+    val r = spark.sql(
+      "SELECT len('hello') AS ls, len(array(1, 2, 3)) AS la, len(map('a', 1)) AS lm")
+      .head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 3 && r.getInt(2) == 1)
+    // null propagation
+    assert(spark.sql("SELECT len(CAST(NULL AS STRING)) AS l").head.isNullAt(0))
+  }
+
   test("executes inside whole-stage codegen (no fallback)") {
     // non-literal, non-HOF inputs: literals would constant-fold the
     // projection away, and transform() is itself CodegenFallback
