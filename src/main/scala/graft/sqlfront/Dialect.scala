@@ -380,7 +380,21 @@ object Dialect {
     "list_max" -> "array_max", "list_min" -> "array_min",
     "list_sort" -> "array_sort", "list_distinct" -> "array_distinct",
     "list_contains" -> "array_contains", "string_split" -> "split",
-    "array_to_string" -> "array_join")
+    "array_to_string" -> "array_join",
+    // lambda syntax (x -> ...) is identical in both engines
+    "list_transform" -> "transform", "list_filter" -> "filter",
+    "list_append" -> "array_append", "list_prepend" -> "array_prepend",
+    "list_concat" -> "concat", "list_reverse" -> "reverse",
+    "array_length" -> "size",
+    // DuckDB regexp_matches(s, p) ≡ Spark rlike(s, p) (2-arg form)
+    "regexp_matches" -> "rlike",
+    // DuckDB to_timestamp(double) is epoch-seconds → timestamp; the
+    // dialect is DuckDB's, so the Spark string-parsing to_timestamp is
+    // intentionally shadowed inside rewritten statements
+    "to_timestamp" -> "timestamp_seconds")
+  // NOT renamed (semantics differ): list_position/list_indexof (NULL vs 0
+  // when missing), list_slice (end-index vs length), list_unique (count,
+  // not dedup)
 
   def rewriteFunctionNames(sql: String): String = {
     val toks = tokenize(sql)

@@ -159,6 +159,15 @@ class SqlFrontSpec extends AnyFunSuite {
     // bare identifiers (not calls) untouched
     assert(Dialect.rewriteFunctionNames("SELECT list_max FROM t")
       == "SELECT list_max FROM t")
+    assert(Dialect.rewriteFunctionNames(
+      "SELECT list_transform(l, x -> x + 1), list_filter(l, x -> x > 0)")
+      == "SELECT transform(l, x -> x + 1), filter(l, x -> x > 0)")
+    assert(Dialect.rewriteFunctionNames("SELECT regexp_matches(s, 'a+')")
+      == "SELECT rlike(s, 'a+')")
+    assert(Dialect.rewriteFunctionNames("SELECT to_timestamp(1704067200)")
+      == "SELECT timestamp_seconds(1704067200)")
+    assert(Dialect.rewriteFunctionNames("SELECT array_length(l), list_concat(a, b)")
+      == "SELECT size(l), concat(a, b)")
   }
 
   test("FETCH FIRST n ROWS ONLY -> LIMIT n") {
