@@ -106,6 +106,62 @@ private[interp] object DashboardSideEffects {
     Dashboard.runSideEffectStatement(spark, sqlString, store)
 }
 
+/** `POST /api/download/:filename` — ad-hoc SQL download: the SQL
+  * becomes a temporary dashboard and streams through the download path
+  * with no explicit target (ref: handler/dashboard.go:592-700,
+  * download_sql_test.go:54-200). Engine slice only: the request
+  * validation (empty SQL, filename extension against the reference's
+  * downloadFileTypes) and the download execution; HTTP/JWT/KV-URL
+  * plumbing stays at the web layer. */
+object DownloadApi {
+  /** Extensions the reference admits (handler/dashboard.go:34-40);
+    * pdf/png are render formats outside the engine scope. */
+  val allowedFileTypes: Set[String] = Set("pdf", "csv", "xlsx", "json")
+  val engineFileTypes: Set[String] = Set("csv", "json")
+
+  def runAdhoc(spark: SparkSession, sql: String, filename: String,
+      out: Writer,
+      variables: Map[String, Any] = Map.empty,
+      prepare: SparkSession => Unit = _ => ()): Either[String, Unit] = {
+    val trimmed = sql.trim
+    if (trimmed.isEmpty) return Left("SQL is required")
+    val fileType = filename.split("\\.") match {
+      case parts if parts.length > 1 => parts.last.toLowerCase
+      case _ => ""
+    }
+    if (!allowedFileTypes.contains(fileType)) return Left("Invalid file type")
+    if (!engineFileTypes.contains(fileType))
+      return Left(s"unsupported writer format: $fileType (xlsx uses toXLSX(OutputStream); pdf/png are render formats)")
+    Download.run(spark, trimmed, fileType, out,
+      variables = variables, prepare = prepare)
+  }
+}
+
+/** `POST /api/validate` — dashboard validation run: executes the full
+  * dashboard and reports valid/error/duration (ref:
+  * handler/validate.go:25-70, op #47). Task validation is rejected like
+  * the reference ("currently not supported"); unknown types error. */
+object ValidateApi {
+  final case class Result(valid: Boolean, error: Option[String], durationMs: Long)
+
+  def validate(spark: SparkSession, tpe: String, sql: String,
+      prepare: SparkSession => Unit = _ => ()): Either[String, Result] = tpe match {
+    case "task" => Left("Task validation is currently not supported")
+    case "dashboard" =>
+      val start = System.nanoTime()
+      def durMs = (System.nanoTime() - start) / 1000000L
+      try {
+        Dashboard.run(spark, sql,
+          Dashboard.RunConfig(dashboardId = "validate", prepare = prepare))
+        Right(Result(valid = true, None, durMs))
+      } catch {
+        case e: Exception => Right(Result(valid = false,
+          Some(Option(e.getMessage).getOrElse(e.toString)), durMs))
+      }
+    case _ => Left("Invalid type. Must be 'dashboard' or 'task'")
+  }
+}
+
 /** `POST /api/sql`: single-statement enforcement + gate + CSV stream
   * (ref: server/web/handler/sql.go:14-80). */
 object SqlApi {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.interp.{Download, SqlApi}
+import graft.interp.{Download, DownloadApi, SqlApi, ValidateApi}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -94,6 +94,35 @@ class DownloadSpec extends AnyFunSuite {
     val w = new StringWriter
     val r = Download.run(spark, content, "csv", w)
     assert(r.isLeft && r.left.exists(_.startsWith("error in query 1")))
+  }
+
+  test("ad-hoc SQL download: validation + CSV stream (download_sql_test.go:54-200)") {
+    val w = new StringWriter
+    // valid SQL download
+    val r = DownloadApi.runAdhoc(spark, "SELECT 1 as id, 'hello' as name", "test.csv", w)
+    assert(r.isRight)
+    assert(w.toString == "id,name\n1,hello\n")
+    // invalid file type
+    assert(DownloadApi.runAdhoc(spark, "SELECT 1", "test.exe", new StringWriter)
+      == Left("Invalid file type"))
+    // missing SQL
+    assert(DownloadApi.runAdhoc(spark, "   ", "test.csv", new StringWriter)
+      == Left("SQL is required"))
+    // disallowed SQL still gated on the download path
+    assert(DownloadApi.runAdhoc(spark, "DROP TABLE x", "test.csv", new StringWriter).isLeft)
+  }
+
+  test("dashboard validation run (validate_test.go:18-115)") {
+    // valid dashboard
+    val ok = ValidateApi.validate(spark, "dashboard", "SELECT 1")
+    assert(ok.exists(r => r.valid && r.error.isEmpty))
+    // invalid SQL: valid=false with an error message, not a failure
+    val bad = ValidateApi.validate(spark, "dashboard", "SELECT * FROM non_existent_table")
+    assert(bad.exists(r => !r.valid && r.error.exists(_.nonEmpty)))
+    // task validation unsupported; unknown type rejected
+    assert(ValidateApi.validate(spark, "task", "SELECT 1")
+      == Left("Task validation is currently not supported"))
+    assert(ValidateApi.validate(spark, "invalid", "SELECT 1").isLeft)
   }
 
   test("SqlApi: exactly one statement enforced (handler/sql_test.go:19-137)") {
