@@ -48,17 +48,36 @@ object Catalog {
     rows.toDF("table_name", "column_name", "ordinal", "data_type", "nullable")
   }
 
-  /** JSON schema document (the /api/schema shape: catalog → tables →
-    * columns; one in-memory catalog on Spark local). */
+  /** JSON schema document (the /api/schema shape: databases → schemas →
+    * tables/views with comments and view definitions, ref:
+    * duckdb_schema.go:10-360 + duckdb_schema_test.go:18-117. Enums and
+    * constraints are DuckDB-only — emitted as empty lists so consumers
+    * of the reference shape parse unchanged. */
   def schemaJson(spark: SparkSession): String = {
-    val tables = spark.catalog.listTables().collect().toSeq.sortBy(_.name).map { t =>
-      val cols = spark.table(t.name).schema.fields.map { f =>
-        Map("name" -> f.name, "type" -> duckTypeName(f.dataType), "nullable" -> f.nullable)
-      }.toSeq
-      Map("name" -> t.name, "type" -> t.tableType.toLowerCase, "columns" -> cols)
+    val all = spark.catalog.listTables().collect().toSeq.sortBy(_.name)
+    def colsOf(name: String) = spark.table(name).schema.fields.map { f =>
+      Map("name" -> f.name, "type" -> duckTypeName(f.dataType),
+        "nullable" -> f.nullable,
+        "comment" -> f.getComment().getOrElse(""))
+    }.toSeq
+    val (viewish, tabley) = all.partition(t =>
+      t.tableType == "VIEW" || t.tableType == "TEMPORARY")
+    val tables = tabley.map { t =>
+      Map("name" -> t.name, "type" -> t.tableType.toLowerCase,
+        "comment" -> Option(t.description).getOrElse(""),
+        "columns" -> colsOf(t.name), "constraints" -> Seq.empty[String])
+    }
+    val views = viewish.map { t =>
+      val definition =
+        try spark.sql(s"SHOW CREATE TABLE `${t.name}`").head.getString(0)
+        catch { case _: Exception => "" } // temp views have no stored DDL
+      Map("name" -> t.name, "type" -> t.tableType.toLowerCase,
+        "comment" -> Option(t.description).getOrElse(""),
+        "definition" -> definition, "columns" -> colsOf(t.name))
     }
     graft.render.Model.jsonValue(Map("databases" -> Seq(
       Map("name" -> "memory", "schemas" -> Seq(
-        Map("name" -> "main", "tables" -> tables))))))
+        Map("name" -> "main", "tables" -> tables, "views" -> views,
+          "enums" -> Seq.empty[String]))))))
   }
 }

@@ -62,6 +62,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(json.contains("\"databases\"") && json.contains("\"lineitem\""))
   }
 
+  test("schema JSON carries comments, view definitions, empty enums (duckdb_schema_test.go:18-117)") {
+    val s2 = spark.newSession()
+    val runId = java.lang.Long.toString(System.nanoTime(), 36)
+    val tbl = s"sch_users_$runId"
+    val vw = s"sch_active_$runId"
+    s2.sql(s"CREATE TABLE $tbl (id INT, name STRING COMMENT 'The user''s full name') " +
+      "USING PARQUET COMMENT 'A table of users'")
+    s2.sql(s"CREATE VIEW $vw AS SELECT * FROM $tbl WHERE name IS NOT NULL")
+    try {
+      val json = Catalog.schemaJson(s2)
+      assert(json.contains("A table of users"))
+      assert(json.contains("The user's full name"))
+      assert(json.contains(s""""name":"$vw""""))
+      // view definition captured and recognizable as SQL
+      assert(json.contains("SELECT"))
+      assert(json.contains("\"enums\":[]"))
+    } finally {
+      s2.sql(s"DROP VIEW IF EXISTS $vw")
+      s2.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("getenv UDF gated by init window (util/duckdb.go:14-57)") {
     val s2 = spark.newSession()
     Getenv.register(s2)
