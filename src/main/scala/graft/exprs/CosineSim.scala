@@ -39,12 +39,53 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+  // the result is also null when an ARRAY ELEMENT is null, so the
+  // declared nullability must include containsNull — reporting false
+  // here would make the analyzed schema NOT NULL and the row decoder
+  // would read the null result as 0.0
+  override def nullable: Boolean = {
+    def elemNullable(dt: DataType): Boolean = dt match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+    left.nullable || right.nullable ||
+      elemNullable(left.dataType) || elemNullable(right.dataType)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosRes")
+      s"""
+         |Double $r = graft.exprs.CosineSim.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+
+  /** Shared kernel for interpreted eval and generated code. Returns
+    * null when either array contains a null element — the same NULL
+    * propagation as the aggregate/zip_with formulation this expression
+    * replaced (toDoubleArray would instead read garbage or throw). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    var i = 0
+    while (i < a.numElements()) { if (a.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < b.numElements()) { if (b.isNullAt(i)) return null; i += 1 }
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
     var dot = 0.0
-    var i = 0
+    i = 0
     while (i < n) { dot += x(i) * y(i); i += 1 }
     var na = 0.0
     i = 0
@@ -55,33 +96,6 @@ case class CosineSim(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val i = ctx.freshName("i")
-      s"""
-         |double[] $x = $a.toDoubleArray();
-         |double[] $y = $b.toDoubleArray();
-         |int $n = Math.min($x.length, $y.length);
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += $x[$i] * $y[$i]; }
-         |for (int $i = 0; $i < $x.length; $i++) { $na += $x[$i] * $x[$i]; }
-         |for (int $i = 0; $i < $y.length; $i++) { $nb += $y[$i] * $y[$i]; }
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSim =
-    copy(left = newLeft, right = newRight)
-}
-
-object CosineSim {
   /** Register `cosine_sim` in the session's function registry so both
     * SQL text and Column expressions can use it. */
   def register(spark: SparkSession): Unit =

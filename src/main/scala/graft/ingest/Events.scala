@@ -26,35 +26,35 @@ object Events {
       msgId: Option[String] = None,
       nowMillis: () => Long = () => System.currentTimeMillis()): Int = {
     val trimmed = json.trim
-    val payloads: Seq[String] =
-      if (trimmed.startsWith("[")) {
-        SchemaInfer.parseOrdered(s"""{"a":$trimmed}""").fields.head._2 match {
-          case SchemaInfer.JArray(items) => items.map {
-            case o: SchemaInfer.JObject => SchemaInfer.toJsonString(o)
-            case other => throw new IllegalArgumentException(
-              s"event array elements must be objects, got ${other.getClass.getSimpleName}")
-          }
-          case _ => Seq(trimmed)
-        }
-      } else if (trimmed.startsWith("{")) {
-        SchemaInfer.parseOrdered(trimmed) // validate
-        Seq(trimmed)
-      } else throw new IllegalArgumentException("event payload must be a JSON object or array")
-
-    Files.createDirectories(Paths.get(spoolDir))
-    val m = graft.render.Model
+    def explicitId(o: SchemaInfer.JObject): Option[String] = o.map.get("_id") match {
+      case Some(SchemaInfer.JString(s)) if s.nonEmpty => Some(s)
+      case _ => None
+    }
     // per-element message id, like the reference: array elements each get
     // their own id (payload _id or a fresh one, events.go:57-95) — they
     // never share one, so the consumer's Nats-Msg-Id dedup only drops
     // true republishes. A caller-supplied msgId applies to single-object
     // publishes only (the NATS-client-set-header case).
-    val lines = payloads.map { p =>
-      val headerId =
-        if (payloads.length == 1) msgId.getOrElse(IngestPipeline.generateId())
-        else SchemaInfer.parseOrdered(p).map.get("_id") match {
-          case Some(SchemaInfer.JString(s)) if s.nonEmpty => s
-          case _ => IngestPipeline.generateId()
+    val payloads: Seq[(String, String)] = // (payload json, header id)
+      if (trimmed.startsWith("[")) {
+        SchemaInfer.parseOrdered(s"""{"a":$trimmed}""").fields.head._2 match {
+          case SchemaInfer.JArray(items) => items.map {
+            case o: SchemaInfer.JObject =>
+              (SchemaInfer.toJsonString(o),
+                explicitId(o).getOrElse(IngestPipeline.generateId()))
+            case other => throw new IllegalArgumentException(
+              s"event array elements must be objects, got ${other.getClass.getSimpleName}")
+          }
+          case _ => Seq((trimmed, msgId.getOrElse(IngestPipeline.generateId())))
         }
+      } else if (trimmed.startsWith("{")) {
+        SchemaInfer.parseOrdered(trimmed) // validate
+        Seq((trimmed, msgId.getOrElse(IngestPipeline.generateId())))
+      } else throw new IllegalArgumentException("event payload must be a JSON object or array")
+
+    Files.createDirectories(Paths.get(spoolDir))
+    val m = graft.render.Model
+    val lines = payloads.map { case (p, headerId) =>
       Seq(
         "\"table\":" + m.jsonValue(table),
         "\"json\":" + m.jsonValue(p),

@@ -66,8 +66,12 @@ object Download {
           try {
             val df = spark.sql(Dialect.rewrite(sqlString, store.render))
             val schema = df.schema.fields.toSeq
-            // the reference reads ALL rows here (no 3000 cap): the rows feed
-            // only collectVars, so dropdown defaults stay complete
+            // the reference reads ALL rows here (no 3000 cap,
+            // stream_query.go:767-790 appends every row): the rows feed
+            // only collectVars, so dropdown defaults stay complete.
+            // Memory profile matches the reference — both materialize the
+            // statement's full result in the serving process; dashboards
+            // put widget queries (small) before download buttons.
             val rows = df.collect().toSeq
             val rInfo = Render.getRenderInfo(schema, rows, "", Nil,
               () => System.currentTimeMillis())

@@ -604,24 +604,27 @@ object CoreSql {
         .groupBy("user_id", "ts").agg(max("value").as("v_value"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id", "value")
+      // the carried right-side columns travel as ONE struct so a single
+      // last(ignoreNulls) keeps (ts, value) from the SAME view row — two
+      // independent windows would desynchronize when a view's value is
+      // NULL (ignoreNulls skips back on one column but not the other)
       val unioned = purchases
         .select(col("user_id"), col("ts"), lit(1).as("is_l"), col("event_id"),
-          col("value"), lit(null).cast("double").as("v_value"),
-          lit(null).cast("timestamp").as("v_ts"))
+          col("value"),
+          lit(null).cast("struct<v_ts:timestamp,v_value:double>").as("vrow"))
         .unionByName(views.select(col("user_id"), col("ts"), lit(0).as("is_l"),
           lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
-          col("v_value"), col("ts").as("v_ts")))
+          struct(col("ts").as("v_ts"), col("v_value")).as("vrow")))
       // view rows at the same ts sort before purchases (is_l asc), so
       // the match is inclusive (ts <= purchase ts) like ASOF's >=
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("is_l").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       unioned
-        .withColumn("view_value", last("v_value", ignoreNulls = true).over(w))
-        .withColumn("view_ts", last("v_ts", ignoreNulls = true).over(w))
-        .filter(col("is_l") === 1 && col("view_value").isNotNull)
+        .withColumn("vlast", last("vrow", ignoreNulls = true).over(w))
+        .filter(col("is_l") === 1 && col("vlast").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value"), 2).as("value"), col("view_ts"),
-          round(col("view_value"), 2).as("view_value"))
+          round(col("value"), 2).as("value"), col("vlast.v_ts").as("view_ts"),
+          round(col("vlast.v_value"), 2).as("view_value"))
         .orderBy("event_id")
     }),
 

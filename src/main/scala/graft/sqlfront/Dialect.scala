@@ -383,9 +383,7 @@ object Dialect {
     "array_to_string" -> "array_join",
     // lambda syntax (x -> ...) is identical in both engines
     "list_transform" -> "transform", "list_filter" -> "filter",
-    "list_append" -> "array_append", "list_prepend" -> "array_prepend",
-    "list_concat" -> "concat", "list_reverse" -> "reverse",
-    "array_length" -> "size",
+    "list_reverse" -> "reverse", "array_length" -> "size",
     // DuckDB regexp_matches(s, p) ≡ Spark rlike(s, p) (2-arg form)
     "regexp_matches" -> "rlike",
     // DuckDB to_timestamp(double) is epoch-seconds → timestamp; the
@@ -394,7 +392,9 @@ object Dialect {
     "to_timestamp" -> "timestamp_seconds")
   // NOT renamed (semantics differ): list_position/list_indexof (NULL vs 0
   // when missing), list_slice (end-index vs length), list_unique (count,
-  // not dedup)
+  // not dedup), list_prepend (argument order is (elem, list) vs Spark's
+  // (array, elem)), list_append/list_concat (DuckDB treats a NULL list
+  // as empty; Spark returns NULL)
 
   def rewriteFunctionNames(sql: String): String = {
     val toks = tokenize(sql)
@@ -664,9 +664,11 @@ object Dialect {
   }
 
   /** DuckDB `* REPLACE (expr AS col, …)` → `* EXCEPT (col, …), expr AS
-    * col, …`. Replaced columns move to the end of the projection (the
-    * driver's comparisons are column-order-independent; DuckDB keeps
-    * the original position). */
+    * col, …`. KNOWN DIVERGENCE: replaced columns move to the end of the
+    * projection (DuckDB keeps their original position), which is
+    * user-visible in rendered tables and CSV/JSON downloads — restoring
+    * position would need the input schema, which a token-level rewrite
+    * doesn't have. */
   def rewriteStarReplace(sql: String): String = {
     val toks = tokenize(sql)
     var i = 0
@@ -825,8 +827,13 @@ object Dialect {
     * reference's own dialect shims. */
   def rewriteQualify(sql: String): String = {
     val toks = tokenize(sql)
+    // QUALIFY binds to the LAST select branch (set operations chain at
+    // lower precedence), so anchor on the last top-level SELECT before
+    // QUALIFY and the first top-level FROM after it — earlier UNION/
+    // INTERSECT/EXCEPT branches pass through untouched
     var depth = 0
     var qIdx = -1
+    var selIdx = -1
     var fromIdx = -1
     var i = 0
     while (i < toks.length && qIdx < 0) {
@@ -835,13 +842,14 @@ object Dialect {
         case TRParen | TRBracket => depth -= 1
         case TWord if depth == 0 =>
           val u = toks(i).text.toUpperCase
+          if (u == "SELECT") { selIdx = i; fromIdx = -1 }
           if (u == "FROM" && fromIdx < 0) fromIdx = i
           if (u == "QUALIFY") qIdx = i
         case _ =>
       }
       i += 1
     }
-    if (qIdx < 0 || fromIdx < 0 || fromIdx > qIdx) return sql
+    if (qIdx < 0 || selIdx < 0 || fromIdx < 0 || fromIdx > qIdx) return sql
     // predicate runs until a top-level ORDER / LIMIT / OFFSET / FETCH
     depth = 0
     var predEnd = toks.length
@@ -859,10 +867,12 @@ object Dialect {
       i += 1
     }
     val pred = render(toks.slice(qIdx + 1, predEnd)).trim
-    val selectList = render(toks.slice(0, fromIdx))
+    val prefix = render(toks.slice(0, selIdx)) // CTEs + earlier set-op branches
+    val selectList = render(toks.slice(selIdx, fromIdx))
     val fromToQualify = render(toks.slice(fromIdx, qIdx))
     val tail = render(toks.slice(predEnd, toks.length))
-    s"SELECT * EXCEPT (__qualify) FROM ($selectList, ($pred) AS __qualify $fromToQualify) __q WHERE __qualify $tail".trim
+    (prefix +
+      s"SELECT * EXCEPT (__qualify) FROM ($selectList, ($pred) AS __qualify $fromToQualify) __q WHERE __qualify $tail").trim
   }
 
   /** Full rewrite pipeline for one statement. */

@@ -47,6 +47,13 @@ class CosineSimSpec extends AnyFunSuite {
     assert(out(0).getDouble(0) == 0.0)
     assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-15)
     assert(out(2).isNullAt(0)) // null-intolerant: null in, null out
+    // a null ELEMENT also yields null (HOF-chain parity), not garbage/NPE
+    val withNullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
+    // the analyzed schema must be nullable too (a false nullable made
+    // the row decoder read the null result as 0.0)
+    assert(withNullElem.schema.head.nullable)
+    assert(withNullElem.head.isNullAt(0))
   }
 
   test("len() dispatches on type like DuckDB (string chars, list size)") {

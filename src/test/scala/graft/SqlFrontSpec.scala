@@ -166,8 +166,11 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT rlike(s, 'a+')")
     assert(Dialect.rewriteFunctionNames("SELECT to_timestamp(1704067200)")
       == "SELECT timestamp_seconds(1704067200)")
-    assert(Dialect.rewriteFunctionNames("SELECT array_length(l), list_concat(a, b)")
-      == "SELECT size(l), concat(a, b)")
+    assert(Dialect.rewriteFunctionNames("SELECT array_length(l)")
+      == "SELECT size(l)")
+    // NULL/arg-order divergent functions stay un-renamed (fail loudly)
+    assert(Dialect.rewriteFunctionNames("SELECT list_prepend(1, l), list_concat(a, b)")
+      == "SELECT list_prepend(1, l), list_concat(a, b)")
   }
 
   test("FETCH FIRST n ROWS ONLY -> LIMIT n") {
@@ -273,6 +276,11 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(Dialect.rewriteQualify("SELECT a FROM t") == "SELECT a FROM t")
     assert(Dialect.rewriteQualify("SELECT 'QUALIFY x' AS s FROM t")
       == "SELECT 'QUALIFY x' AS s FROM t")
+    // set ops: QUALIFY binds to the LAST branch; earlier branches untouched
+    assert(Dialect.rewriteQualify(
+      "SELECT a FROM t1 UNION ALL SELECT a FROM t2 QUALIFY row_number() OVER (ORDER BY a) = 1")
+      == "SELECT a FROM t1 UNION ALL SELECT * EXCEPT (__qualify) FROM (SELECT a , " +
+         "(row_number() OVER (ORDER BY a) = 1) AS __qualify FROM t2 ) __q WHERE __qualify")
   }
 
   test("getvariable substitution and detection") {
