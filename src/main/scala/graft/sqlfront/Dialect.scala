@@ -105,6 +105,29 @@ object Dialect {
     j
   }
 
+  private def nextNonWs(toks: Vector[Tok], j0: Int): Int = {
+    var j = j0
+    while (j < toks.length && toks(j).kind == TWs) j += 1
+    j
+  }
+
+  /** Index of the `)` matching the `(` at `open`, or -1. */
+  private def matchParen(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var k = open
+    while (k < toks.length) {
+      toks(k).kind match {
+        case TLParen => depth += 1
+        case TRParen =>
+          depth -= 1
+          if (depth == 0) return k
+        case _ =>
+      }
+      k += 1
+    }
+    -1
+  }
+
   /** Start index (inclusive) of the operand ending at token `end`
     * (inclusive), walking left over parens/brackets, dotted names, literals
     * and `::` cast chains. Returns -1 if no operand found. */
@@ -309,20 +332,15 @@ object Dialect {
     * Quote-aware — the word `getvariable` inside a string literal is a
     * single TString token and never matches. */
   private def getVariableSpans(toks: Vector[Tok]): Seq[(Int, Int, String)] = {
-    def nextNonWs(j0: Int): Int = {
-      var j = j0
-      while (j < toks.length && toks(j).kind == TWs) j += 1
-      j
-    }
     val spans = Vector.newBuilder[(Int, Int, String)]
     var i = 0
     while (i < toks.length) {
       if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("getvariable")) {
-        val lp = nextNonWs(i + 1)
+        val lp = nextNonWs(toks, i + 1)
         if (lp < toks.length && toks(lp).kind == TLParen) {
-          val str = nextNonWs(lp + 1)
+          val str = nextNonWs(toks, lp + 1)
           if (str < toks.length && toks(str).kind == TString) {
-            val rp = nextNonWs(str + 1)
+            val rp = nextNonWs(toks, str + 1)
             if (rp < toks.length && toks(rp).kind == TRParen) {
               spans += ((i, rp + 1, unquoteString(toks(str).text)))
               i = rp
@@ -449,44 +467,24 @@ object Dialect {
     * arity so the DuckDB names resolve. */
   def rewriteValuesAlias(sql: String): String = {
     var toks = tokenize(sql)
-    def nextNonWs(j0: Int): Int = {
-      var j = j0
-      while (j < toks.length && toks(j).kind == TWs) j += 1
-      j
-    }
-    def matchParen(open: Int): Int = {
-      var depth = 0
-      var k = open
-      while (k < toks.length) {
-        toks(k).kind match {
-          case TLParen => depth += 1
-          case TRParen =>
-            depth -= 1
-            if (depth == 0) return k
-          case _ =>
-        }
-        k += 1
-      }
-      -1
-    }
     var i = 0
     while (i < toks.length) {
       if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("FROM")) {
-        val lp = nextNonWs(i + 1)
+        val lp = nextNonWs(toks, i + 1)
         if (lp < toks.length && toks(lp).kind == TLParen) {
-          val inner = nextNonWs(lp + 1)
+          val inner = nextNonWs(toks, lp + 1)
           if (inner < toks.length && toks(inner).kind == TWord &&
               toks(inner).text.equalsIgnoreCase("VALUES")) {
-            val close = matchParen(lp)
-            val after = if (close >= 0) nextNonWs(close + 1) else toks.length
+            val close = matchParen(toks, lp)
+            val after = if (close >= 0) nextNonWs(toks, close + 1) else toks.length
             val hasAlias = after < toks.length && (toks(after).kind == TQuoted ||
               (toks(after).kind == TWord && (toks(after).text.equalsIgnoreCase("AS") ||
                 !isKeywordBarrier(toks(after).text) && !isClauseKeyword(toks(after).text))))
             if (close >= 0 && !hasAlias) {
               // arity = top-level commas + 1 inside the first tuple
-              val t0 = nextNonWs(inner + 1)
+              val t0 = nextNonWs(toks, inner + 1)
               if (t0 < toks.length && toks(t0).kind == TLParen) {
-                val t0close = matchParen(t0)
+                val t0close = matchParen(toks, t0)
                 var commas = 0
                 var depth = 0
                 var k = t0
@@ -739,11 +737,6 @@ object Dialect {
     * DISTINCT ON. */
   def rewriteDistinctOn(sql: String): String = {
     val toks = tokenize(sql)
-    def nextNonWs(j0: Int): Int = {
-      var j = j0
-      while (j < toks.length && toks(j).kind == TWs) j += 1
-      j
-    }
     // locate top-level SELECT DISTINCT ON (
     var depth = 0
     var selIdx = -1
@@ -758,11 +751,11 @@ object Dialect {
       i += 1
     }
     if (selIdx < 0) return sql
-    val dIdx = nextNonWs(selIdx + 1)
+    val dIdx = nextNonWs(toks, selIdx + 1)
     if (dIdx >= toks.length || !toks(dIdx).text.equalsIgnoreCase("DISTINCT")) return sql
-    val onIdx = nextNonWs(dIdx + 1)
+    val onIdx = nextNonWs(toks, dIdx + 1)
     if (onIdx >= toks.length || !toks(onIdx).text.equalsIgnoreCase("ON")) return sql
-    val lp = nextNonWs(onIdx + 1)
+    val lp = nextNonWs(toks, onIdx + 1)
     if (lp >= toks.length || toks(lp).kind != TLParen) return sql
     var close = -1
     depth = 0
