@@ -644,6 +644,20 @@ object CoreSql {
         .orderBy("band")
     }),
 
+    "q75_window_extras" -> ((s, d) => {
+      // remaining ranking-window surface: percent_rank / cume_dist /
+      // nth_value, all native in both engines
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          round(nth_value(col("c_acctbal"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("second_bal"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
     "q74_strftime" -> ((s, d) => {
       // DuckDB strftime through the dialect's C-format -> Java-pattern
       // bridge; grouped so the oracle is tiny and total-ordered
@@ -1077,6 +1091,18 @@ object CoreSql {
            b(band, lo, hi)
         ON l_extendedprice >= lo AND l_extendedprice < hi
       GROUP BY band ORDER BY band""",
+
+    "q75_window_extras" -> """
+      SELECT c_nationkey, c_custkey,
+             round(percent_rank() OVER w, 4) AS pr,
+             round(cume_dist() OVER w, 4) AS cd,
+             round(nth_value(c_acctbal, 2) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_bal
+      FROM customer
+      WHERE c_custkey <= 200
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+      ORDER BY c_nationkey, c_custkey""",
 
     "q74_strftime" -> """
       SELECT strftime(o_orderdate, '%Y-%m') AS ym,
