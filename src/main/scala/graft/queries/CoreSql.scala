@@ -119,11 +119,17 @@ object CoreSql {
     }),
 
     "q11_top_orders" -> ((s, d) => {
+      // partial aggregation BELOW the join: revenue reduces per order key
+      // on the 4x-larger fact side first, so the join moves one row per
+      // order instead of one per line item — Catalyst doesn't push aggs
+      // through joins on its own, so this is written in explicitly
       val li = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(revenue).as("rev"))
       val o = t(s, d, "orders")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(revenue), 2).as("order_revenue"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          round(col("rev"), 2).as("order_revenue"))
         .orderBy(col("order_revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
