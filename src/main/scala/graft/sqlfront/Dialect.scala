@@ -248,6 +248,70 @@ object Dialect {
   /** DuckDB `[a, b]` list literals → Spark `array(a, b)`. A `[` directly
     * after an operand (identifier, `)`, `]`, literal) is a subscript and
     * is left untouched. */
+  /** DuckDB list comprehensions `[expr FOR x IN list (IF cond)?]` →
+    * `transform(filter(list, x -> cond), x -> expr)` (or plain
+    * `transform` without a condition). Runs before the array-literal
+    * rewrite so the surrounding brackets are consumed here. Nested
+    * comprehensions resolve innermost-first via re-scan. */
+  def rewriteListComprehension(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TLBracket) {
+        // matching close bracket
+        var depth = 0
+        var close = -1
+        var k = i
+        while (k < toks.length && close < 0) {
+          toks(k).kind match {
+            case TLBracket => depth += 1
+            case TRBracket => depth -= 1; if (depth == 0) close = k
+            case _ =>
+          }
+          k += 1
+        }
+        if (close > i) {
+          // top-level FOR / IN / IF positions inside the brackets
+          var d = 0
+          var forIdx = -1
+          var inIdx = -1
+          var ifIdx = -1
+          var j = i + 1
+          while (j < close) {
+            toks(j).kind match {
+              case TLParen | TLBracket => d += 1
+              case TRParen | TRBracket => d -= 1
+              case TWord if d == 0 =>
+                val u = toks(j).text.toUpperCase
+                if (u == "FOR" && forIdx < 0) forIdx = j
+                else if (u == "IN" && forIdx >= 0 && inIdx < 0) inIdx = j
+                else if (u == "IF" && inIdx >= 0 && ifIdx < 0) ifIdx = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (forIdx > i && inIdx > forIdx) {
+            val body = render(toks.slice(i + 1, forIdx)).trim
+            val v = render(toks.slice(forIdx + 1, inIdx)).trim
+            val listEnd = if (ifIdx > 0) ifIdx else close
+            val listExpr = render(toks.slice(inIdx + 1, listEnd)).trim
+            val source =
+              if (ifIdx > 0) {
+                val cond = render(toks.slice(ifIdx + 1, close)).trim
+                s"filter($listExpr, $v -> $cond)"
+              } else listExpr
+            val replaced = render(toks.take(i)) +
+              s"transform($source, $v -> $body)" +
+              render(toks.drop(close + 1))
+            return rewriteListComprehension(replaced)
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   def rewriteArrayLiterals(sql: String): String = {
     val toks = tokenize(sql)
     // classify each bracket: literal or subscript
@@ -871,6 +935,7 @@ object Dialect {
   /** Full rewrite pipeline for one statement. */
   def rewrite(sql: String, vars: String => Option[String] = _ => None): String = {
     var s = sql
+    s = rewriteListComprehension(s)
     s = rewriteArrayLiterals(s)
     s = rewriteShaperCasts(s)
     s = rewriteTimestampTz(s)

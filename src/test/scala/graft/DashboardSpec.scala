@@ -52,6 +52,13 @@ class DashboardSpec extends AnyFunSuite {
     assert(chart.rows.map(_.last) == Seq(10, 20, 30))
   }
 
+  test("list comprehension executes end-to-end through the rewriter") {
+    val r = Dashboard.run(spark,
+      "SELECT [x * 10 FOR x IN [1, 2, 3] IF x < 3] AS l")
+    assert(r.sections.head.queries.head.rows.head.head
+      .asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq(10, 20))
+  }
+
   test("Basic query") {
     val r = Dashboard.run(spark, "SELECT 1 AS val")
     assert(r.sections.length == 1)

@@ -220,6 +220,21 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT '1h' AS s")
   }
 
+  test("list comprehension -> transform/filter") {
+    assert(Dialect.rewriteListComprehension("SELECT [x * 2 FOR x IN l]")
+      == "SELECT transform(l, x -> x * 2)")
+    assert(Dialect.rewriteListComprehension("SELECT [x * 2 FOR x IN l IF x > 1]")
+      == "SELECT transform(filter(l, x -> x > 1), x -> x * 2)")
+    // nested list source + condition referencing functions
+    assert(Dialect.rewriteListComprehension(
+      "SELECT [upper(w) FOR w IN string_split(s, ' ') IF length(w) > 2] FROM t")
+      == "SELECT transform(filter(string_split(s, ' '), w -> length(w) > 2), w -> upper(w)) FROM t")
+    // plain array literals untouched
+    assert(Dialect.rewriteListComprehension("SELECT [1, 2, 3]") == "SELECT [1, 2, 3]")
+    assert(Dialect.rewriteListComprehension("SELECT 'FOR x IN y' AS s")
+      == "SELECT 'FOR x IN y' AS s")
+  }
+
   test("strftime C-format -> date_format Java pattern") {
     assert(Dialect.rewriteStrftime("SELECT strftime(ts, '%Y-%m-%d') FROM t")
       == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t")
