@@ -5,6 +5,11 @@ package graft.queries
 object DashboardOracles {
   val oracles: Map[String, String] = Map(
     "dl01_download_flow" -> """
-      SELECT 'click' AS evtype, count(*) AS n FROM events WHERE event_type = 'click'"""
+      SELECT 'click' AS evtype, count(*) AS n FROM events WHERE event_type = 'click'""",
+
+    "sum01_summarize" -> """
+      SELECT column_name, min AS min_v, max AS max_v, count AS n
+      FROM (SUMMARIZE nation)
+      ORDER BY column_name"""
   )
 }

@@ -41,6 +41,20 @@ object Dashboards {
         .toDF("evtype", "n")
     }),
 
+    "sum01_summarize" -> ((s, d) => {
+      // SUMMARIZE through the interpreter, checked against DuckDB's
+      // native SUMMARIZE on its deterministic columns (min/max/count —
+      // avg/std/quantiles use approximate or differently-formatted
+      // algorithms on each engine)
+      val r = Dashboard.run(s, "SUMMARIZE nation",
+        RunConfig(dashboardId = "sum", prepare = ss => Tables.registerAll(ss, d)))
+      import s.implicits._
+      r.sections.head.queries.head.rows.map { row =>
+        (String.valueOf(row(0)), String.valueOf(row(2)), String.valueOf(row(3)),
+          row(10).toString.toLong)
+      }.toDF("column_name", "min_v", "max_v", "n").orderBy("column_name")
+    }),
+
     "sh01_dashboard_render" -> ((s, d) => {
       val r = Dashboard.run(s, demoContent,
         RunConfig(dashboardId = "demo", prepare = ss => Tables.registerAll(ss, d)))
