@@ -61,6 +61,55 @@ object Boxplot {
     def outputEncoder: Encoder[BoxplotResult] = Encoders.product[BoxplotResult]
   }
 
-  def register(spark: SparkSession): Unit =
+  final case class BoxplotInfoIn(value: java.lang.Double, info: Map[String, String])
+
+  /** `BOXPLOT(val, outlier_info := x)` — the reference macro's THEN
+    * branch (ref: custom_types.go:104-119): Tukey whiskers at
+    * q1 − 1.5·IQR / q3 + 1.5·IQR, plus the list of {value, info}
+    * outliers beyond them. The branch is chosen per group — any non-null
+    * info value switches the whole group, exactly the macro's
+    * `count(*) FILTER (WHERE outlier_info IS NOT NULL) > 0` condition.
+    * Divergence, documented: outliers are sorted by value (DuckDB's
+    * `list()` keeps nondeterministic scan order — sorting makes the
+    * distributed result reproducible). */
+  class BoxplotInfoAgg
+      extends Aggregator[BoxplotInfoIn, List[(Double, Map[String, String])], BoxplotResult] {
+    def zero: List[(Double, Map[String, String])] = Nil
+    def reduce(b: List[(Double, Map[String, String])], a: BoxplotInfoIn): List[(Double, Map[String, String])] =
+      if (a == null || a.value == null) b else (a.value.doubleValue(), a.info) :: b
+    def merge(b1: List[(Double, Map[String, String])], b2: List[(Double, Map[String, String])]): List[(Double, Map[String, String])] =
+      b1 ::: b2
+    def finish(b: List[(Double, Map[String, String])]): BoxplotResult = {
+      if (b.isEmpty) return BoxplotResult(None, None, Nil, None, None, None)
+      val sorted = b.map(_._1).toIndexedSeq.sorted
+      val q1 = quantileCont(sorted, 0.25)
+      val q2 = quantileCont(sorted, 0.5)
+      val q3 = quantileCont(sorted, 0.75)
+      if (!b.exists(_._2 != null))
+        // no info anywhere in the group → the macro's ELSE branch
+        BoxplotResult(Some(sorted.last), Some(sorted.head), Nil,
+          Some(q1), Some(q2), Some(q3))
+      else {
+        val iqr = q3 - q1
+        val hi = q3 + 1.5 * iqr
+        val lo = q1 - 1.5 * iqr
+        val inside = sorted.filter(v => v >= lo && v <= hi)
+        val outliers = b.filter(p => p._1 < lo || p._1 > hi)
+          .sortBy(_._1)
+          .map(p => BoxplotOutlier(p._1, p._2))
+        BoxplotResult(
+          inside.lastOption, inside.headOption, outliers,
+          Some(q1), Some(q2), Some(q3))
+      }
+    }
+    def bufferEncoder: Encoder[List[(Double, Map[String, String])]] =
+      Encoders.kryo[List[(Double, Map[String, String])]]
+    def outputEncoder: Encoder[BoxplotResult] = Encoders.product[BoxplotResult]
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.udf.register("BOXPLOT", functions.udaf(new BoxplotAgg, Encoders.DOUBLE))
+    spark.udf.register("boxplot_info",
+      functions.udaf(new BoxplotInfoAgg, Encoders.product[BoxplotInfoIn]))
+  }
 }

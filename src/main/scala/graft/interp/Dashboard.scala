@@ -3,7 +3,7 @@ package graft.interp
 import graft.render.{Model, Render}
 import graft.render.Model._
 import graft.render.Render._
-import graft.sqlfront.{Dialect, Gate, SqlText}
+import graft.sqlfront.{Dialect, Gate, Macros, SqlText}
 import graft.types.ShaperTypes
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructField
@@ -119,6 +119,7 @@ object Dashboard {
     }
 
     val store = tokenVars(cfg.variables)
+    val macros = new Macros.MacroStore
     val definedVars = mutable.Set.empty[String]
     definedVars ++= store.singleVars.keys
     definedVars ++= store.multiVars.keys
@@ -147,9 +148,9 @@ object Dashboard {
             !canStartSection(sqlString)) {
           // skipped: inside a hidden section
         } else if (Gate.isSideEffect(sqlString)) {
-          runSideEffect(spark, sqlString, store)
+          runSideEffect(spark, sqlString, store, macros)
         } else {
-          val df = runQuery(spark, sqlString, store)
+          val df = runQuery(spark, sqlString, store, macros)
           val schema: Seq[StructField] = df.schema.fields.toSeq
           // reference keeps up to cap+1 rows (append-then-check loop)
           val rows: Seq[Row] = df.limit(QueryMaxRows + 1).collect().toSeq
@@ -296,12 +297,16 @@ object Dashboard {
 
   /** Also used by Download's collect-vars-only replay. */
   private[interp] def runSideEffectStatement(spark: SparkSession, sqlString: String,
-      store: VarStore): Unit = runSideEffect(spark, sqlString, store)
+      store: VarStore, macros: Macros.MacroStore): Unit =
+    runSideEffect(spark, sqlString, store, macros)
 
-  private def runSideEffect(spark: SparkSession, sqlString: String, store: VarStore): Unit =
+  private def runSideEffect(spark: SparkSession, sqlString: String, store: VarStore,
+      macros: Macros.MacroStore): Unit =
     sqlString match {
+      case _ if Macros.isCreateMacro(sqlString) =>
+        Macros.parseCreate(sqlString).foreach(macros.define)
       case setVarStmt(name, expr) =>
-        val rewritten = Dialect.rewrite(expr, store.render)
+        val rewritten = Dialect.rewrite(Macros.expand(expr, macros), store.render)
         val row = spark.sql(s"SELECT ($rewritten) AS v").collect().headOption
         val v = row.map(r => r.get(0)).orNull
         v match {
@@ -317,7 +322,7 @@ object Dashboard {
         store.multiVars.remove(name)
       case createTempView(_, viewName, body) =>
         // CREATE TEMP TABLE ⇒ materialized temp view (cached); TEMP VIEW ⇒ view
-        val rewritten = Dialect.rewrite(body, store.render)
+        val rewritten = Dialect.rewrite(Macros.expand(body, macros), store.render)
         val df = spark.sql(rewritten)
         val clean = viewName.stripPrefix("\"").stripSuffix("\"")
         df.createOrReplaceTempView(clean)
@@ -341,7 +346,9 @@ object Dashboard {
     case other => "'" + SqlText.escapeSQLString(String.valueOf(other)) + "'"
   }
 
-  private def runQuery(spark: SparkSession, sqlString: String, store: VarStore): DataFrame = {
+  private def runQuery(spark: SparkSession, sqlString0: String, store: VarStore,
+      macros: Macros.MacroStore): DataFrame = {
+    val sqlString = Macros.expand(sqlString0, macros)
     val upper = sqlString.toUpperCase
     if (upper.startsWith("SUMMARIZE")) summarize(spark, sqlString, store)
     else if (graft.sqlfront.PivotStmt.isPivotStatement(sqlString))

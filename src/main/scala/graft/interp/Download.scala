@@ -2,7 +2,7 @@ package graft.interp
 
 import graft.export.Export
 import graft.render.Render
-import graft.sqlfront.{Dialect, Gate, SqlText}
+import graft.sqlfront.{Dialect, Gate, Macros, SqlText}
 import graft.types.ShaperTypes
 import org.apache.spark.sql.SparkSession
 
@@ -45,6 +45,7 @@ object Download {
     }
 
     val store = Dashboard.tokenVars(variables)
+    val macros = new Macros.MacroStore
     // vars-before-download replay: run the preceding statements purely to
     // collect variables, honoring the skip-after-download-button rule.
     // Every statement — replayed or skipped — must pass the SQL gate, and
@@ -60,11 +61,12 @@ object Download {
         if (nextIsDownload) {
           nextIsDownload = false
         } else if (Gate.isSideEffect(sqlString)) {
-          // SET VARIABLE etc. must still apply
-          DashboardSideEffects.run(spark, sqlString, store)
+          // SET VARIABLE / CREATE TEMP MACRO etc. must still apply
+          DashboardSideEffects.run(spark, sqlString, store, macros)
         } else {
           try {
-            val df = spark.sql(Dialect.rewrite(sqlString, store.render))
+            val df = spark.sql(
+              Dialect.rewrite(Macros.expand(sqlString, macros), store.render))
             val schema = df.schema.fields.toSeq
             // the reference reads ALL rows here (no 3000 cap,
             // stream_query.go:767-790 appends every row): the rows feed
@@ -94,7 +96,7 @@ object Download {
     val targetSql = sqls(target).trim
     if (!Gate.isAllowedStatement(targetSql))
       return Left(s"disallowed SQL statement in query ${target + 1}")
-    val df = spark.sql(Dialect.rewrite(targetSql, store.render))
+    val df = spark.sql(Dialect.rewrite(Macros.expand(targetSql, macros), store.render))
     format match {
       case "csv" => Export.toCSV(df, out); Right(())
       case "json" => Export.toJSON(df, out); Right(())
@@ -106,8 +108,9 @@ object Download {
 /** Shared side-effect execution for replay mode (SET/RESET VARIABLE,
   * temp views) — delegates to the interpreter's handler. */
 private[interp] object DashboardSideEffects {
-  def run(spark: SparkSession, sqlString: String, store: Dashboard.VarStore): Unit =
-    Dashboard.runSideEffectStatement(spark, sqlString, store)
+  def run(spark: SparkSession, sqlString: String, store: Dashboard.VarStore,
+      macros: Macros.MacroStore): Unit =
+    Dashboard.runSideEffectStatement(spark, sqlString, store, macros)
 }
 
 /** `POST /api/download/:filename` — ad-hoc SQL download: the SQL

@@ -90,6 +90,42 @@ object EngineOps {
         .orderBy("format")
     }),
 
+    "mac01_macro_dashboard" -> ((s, d) => {
+      // CREATE TEMP MACRO execution through the dashboard interpreter:
+      // nested macros + a := named/defaulted parameter, expanded textually
+      // before Catalyst (so the plan is identical to hand-inlined SQL —
+      // full pushdown/codegen, no UDF). Round-2 review item #1.
+      val content =
+        """CREATE TEMP MACRO clamp(x, hi := 1.0) AS least(greatest(x, 0.0), hi);
+          |CREATE OR REPLACE TEMP MACRO disc_price(p, disc) AS p * (1 - clamp(disc, hi := 0.05));
+          |SELECT l_returnflag AS flag,
+          |  round(CAST(sum(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+          |FROM lineitem GROUP BY flag ORDER BY flag;""".stripMargin
+      val r = graft.interp.Dashboard.run(s, content,
+        graft.interp.Dashboard.RunConfig(prepare = ss => graft.Tables.registerAll(ss, d)))
+      import s.implicits._
+      r.sections.head.queries.head.rows
+        .map(row => (String.valueOf(row(0)), row(1).toString.toDouble))
+        .toDF("flag", "revenue").orderBy("flag")
+    }),
+
+    "bp01_boxplot_outliers" -> ((s, d) => {
+      // BOXPLOT(val, outlier_info := …) — the reference macro's Tukey
+      // branch (custom_types.go:104-119): whiskers at q1/q3 ∓ 1.5·IQR,
+      // outliers exploded with their info for a value-level oracle.
+      graft.exprs.Boxplot.register(s)
+      graft.Tables.t(s, d, "orders").createOrReplaceTempView("bp01_orders")
+      s.sql(graft.sqlfront.Dialect.rewrite(
+        """SELECT o_orderpriority AS pri,
+          |  BOXPLOT(o_totalprice, outlier_info := map('k', CAST(o_orderkey AS STRING))) AS bp
+          |FROM bp01_orders GROUP BY o_orderpriority""".stripMargin))
+        .selectExpr("pri",
+          "round(bp.q1, 4) AS q1", "round(bp.q2, 4) AS q2", "round(bp.q3, 4) AS q3",
+          "round(bp.min, 4) AS wmin", "round(bp.max, 4) AS wmax",
+          "inline_outer(transform(bp.outliers, o -> struct(round(o.value, 4) AS oval, o.info['k'] AS okey)))")
+        .orderBy("pri", "oval")
+    }),
+
     "tk01_task_execute" -> ((s, d) => {
       // task executor over the star schema: schedule extraction +
       // stop-on-false + result capture, flattened for the oracle
@@ -136,6 +172,35 @@ object EngineOps {
              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
       FROM sl, (VALUES ('csv'), ('json')) f(format)
       GROUP BY f.format ORDER BY f.format""",
+
+    "mac01_macro_dashboard" -> """
+      SELECT l_returnflag AS flag,
+        round(CAST(sum(CAST(l_extendedprice * (1 - least(greatest(l_discount, 0.0), 0.05)) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      FROM lineitem GROUP BY flag ORDER BY flag""",
+
+    "bp01_boxplot_outliers" -> """
+      WITH q AS (
+        SELECT o_orderpriority AS pri,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.5) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY 1),
+      w AS (
+        SELECT o.o_orderpriority AS pri,
+               min(o.o_totalprice) FILTER (WHERE o.o_totalprice >= q.q1 - 1.5 * (q.q3 - q.q1)) AS wmin,
+               max(o.o_totalprice) FILTER (WHERE o.o_totalprice <= q.q3 + 1.5 * (q.q3 - q.q1)) AS wmax
+        FROM orders o JOIN q ON o.o_orderpriority = q.pri GROUP BY 1),
+      outl AS (
+        SELECT o.o_orderpriority AS pri, o.o_totalprice AS oval,
+               CAST(o.o_orderkey AS VARCHAR) AS okey
+        FROM orders o JOIN q ON o.o_orderpriority = q.pri
+        WHERE o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+           OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1))
+      SELECT q.pri, round(q.q1, 4) AS q1, round(q.q2, 4) AS q2, round(q.q3, 4) AS q3,
+             round(w.wmin, 4) AS wmin, round(w.wmax, 4) AS wmax,
+             round(outl.oval, 4) AS oval, outl.okey
+      FROM q JOIN w ON q.pri = w.pri LEFT JOIN outl ON q.pri = outl.pri
+      ORDER BY q.pri, oval""",
 
     "tk01_task_execute" -> """
       SELECT -1 AS query_idx, -1 AS row_idx,

@@ -99,20 +99,20 @@ object Dialect {
 
   def render(toks: Seq[Tok]): String = toks.iterator.map(_.text).mkString
 
-  private def prevNonWs(toks: Vector[Tok], i: Int): Int = {
+  private[sqlfront] def prevNonWs(toks: Vector[Tok], i: Int): Int = {
     var j = i
     while (j >= 0 && toks(j).kind == TWs) j -= 1
     j
   }
 
-  private def nextNonWs(toks: Vector[Tok], j0: Int): Int = {
+  private[sqlfront] def nextNonWs(toks: Vector[Tok], j0: Int): Int = {
     var j = j0
     while (j < toks.length && toks(j).kind == TWs) j += 1
     j
   }
 
   /** Index of the `)` matching the `(` at `open`, or -1. */
-  private def matchParen(toks: Vector[Tok], open: Int): Int = {
+  private[sqlfront] def matchParen(toks: Vector[Tok], open: Int): Int = {
     var depth = 0
     var k = open
     while (k < toks.length) {
@@ -491,6 +491,58 @@ object Dialect {
       } else t
     }
     render(out)
+  }
+
+  /** `BOXPLOT(x, outlier_info := y)` → `boxplot_info(x, y)` — the
+    * reference defines BOXPLOT as a DuckDB macro with a named-only
+    * defaulted parameter (ref: custom_types.go:102-134); on Spark the
+    * two branches are two registered UDAFs, so the named-arg call form
+    * maps to the info variant. No-arg-name calls stay on the plain
+    * BOXPLOT aggregate. */
+  def rewriteBoxplotInfo(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("BOXPLOT")) {
+        val lp = nextNonWs(toks, i + 1)
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          val close = matchParen(toks, lp)
+          if (close > lp) {
+            // top-level comma split
+            val parts = {
+              val acc = Vector.newBuilder[Vector[Tok]]
+              var cur = Vector.newBuilder[Tok]
+              var d = 0
+              toks.slice(lp + 1, close).foreach { t =>
+                t.kind match {
+                  case TLParen | TLBracket => d += 1; cur += t
+                  case TRParen | TRBracket => d -= 1; cur += t
+                  case TOther if t.text == "," && d == 0 =>
+                    acc += cur.result(); cur = Vector.newBuilder[Tok]
+                  case _ => cur += t
+                }
+              }
+              acc += cur.result()
+              acc.result().map(_.dropWhile(_.kind == TWs))
+            }
+            if (parts.length == 2 && parts(1).nonEmpty &&
+                parts(1).head.kind == TWord &&
+                parts(1).head.text.equalsIgnoreCase("outlier_info")) {
+              val rest = parts(1).drop(1).dropWhile(_.kind == TWs)
+              if (rest.length >= 3 && rest(0).text == ":" && rest(1).text == "=") {
+                val infoExpr = render(rest.drop(2)).trim
+                val valExpr = render(parts(0)).trim
+                return rewriteBoxplotInfo(
+                  render(toks.take(i)) + s"boxplot_info($valExpr, $infoExpr)" +
+                    render(toks.drop(close + 1)))
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
   }
 
   private val fetchRe =
@@ -940,6 +992,7 @@ object Dialect {
     s = rewriteShaperCasts(s)
     s = rewriteTimestampTz(s)
     s = rewriteCountStar(s)
+    s = rewriteBoxplotInfo(s)
     s = rewriteFunctionNames(s)
     s = rewriteStrftime(s)
     s = rewriteTrailingComma(s)

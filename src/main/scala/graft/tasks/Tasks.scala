@@ -1,7 +1,7 @@
 package graft.tasks
 
 import graft.render.Render
-import graft.sqlfront.{Dialect, Gate, SqlText}
+import graft.sqlfront.{Dialect, Gate, Macros, SqlText}
 import graft.types.ShaperTypes
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types.StructField
@@ -115,6 +115,7 @@ object Tasks {
         0, 0, "", success = false)
     }
     var totalQueries = sqls.length
+    val macros = new Macros.MacroStore
     val queries = mutable.ArrayBuffer.empty[TaskQueryResult]
     var nextRunAt = 0L
     var scheduleType = ""
@@ -133,10 +134,24 @@ object Tasks {
         } else if (needsNoTransaction(sqlString)) {
           // ATTACH/INSTALL/LOAD/CREATE SECRET: no-op on Spark (documented)
           queries += TaskQueryResult(sqlString, Nil, Nil, 0, None, stopExecution = false)
+        } else if (Macros.isCreateMacro(sqlString)) {
+          val start = System.nanoTime()
+          try {
+            Macros.parseCreate(sqlString).foreach(macros.define)
+            queries += TaskQueryResult(sqlString, Nil, Nil,
+              (System.nanoTime() - start) / 1000000, None, stopExecution = false)
+          } catch {
+            case e: Exception =>
+              queries += TaskQueryResult(sqlString, Nil, Nil,
+                (System.nanoTime() - start) / 1000000,
+                Some(Option(e.getMessage).getOrElse(e.toString)), stopExecution = false)
+              success = false
+              stopped = true
+          }
         } else {
           val start = System.nanoTime()
           try {
-            val df = spark.sql(Dialect.rewrite(sqlString))
+            val df = spark.sql(Dialect.rewrite(Macros.expand(sqlString, macros)))
             val schema = df.schema.fields.toSeq
             val rows = df.limit(3001).collect().toSeq
             val duration = (System.nanoTime() - start) / 1000000

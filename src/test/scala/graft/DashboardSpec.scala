@@ -269,6 +269,24 @@ class DashboardSpec extends AnyFunSuite {
     assert(bp("q1") == 1.75 && bp("q2") == 2.5 && bp("q3") == 3.25)
   }
 
+  test("BOXPLOT outlier_info := branch computes Tukey whiskers + outliers (custom_types.go:104-119)") {
+    val r = Dashboard.run(spark,
+      """SELECT 'g'::XAXIS AS grp, BOXPLOT(v, outlier_info := map('label', l)) AS bp
+        |FROM (SELECT n * 1.0 AS v, 'ok' AS l
+        |        FROM (SELECT explode(sequence(1, 10)) AS n)
+        |      UNION ALL SELECT 100.0, 'big')
+        |GROUP BY 1""".stripMargin)
+    val bp = r.sections.head.queries.head.rows.head(1).asInstanceOf[Map[String, Any]]
+    // values 1..10 + 100: q1=3.5, q3=8.5, IQR=5 → whiskers [-4, 16]
+    assert(bp("q1") == 3.5 && bp("q3") == 8.5)
+    assert(bp("min") == 1.0 && bp("max") == 10.0) // whisker-clamped, not raw
+    val outliers = bp("outliers").asInstanceOf[Seq[Any]]
+    assert(outliers.length == 1)
+    val o = outliers.head.asInstanceOf[Map[String, Any]]
+    assert(o("value") == 100.0)
+    assert(o("info").asInstanceOf[Map[String, String]] == Map("label" -> "big"))
+  }
+
   test("row cap truncates at 3000 (+1 sentinel row, get_dashboard.go:2231-2242)") {
     val r = Dashboard.run(spark,
       "SELECT * FROM (SELECT explode(sequence(1, 5000)) AS v)")

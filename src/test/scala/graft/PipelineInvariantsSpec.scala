@@ -40,6 +40,31 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"simhash recall $recall below 0.9 (${simhash.size}/${exact05.size})")
   }
 
+  test("d06 LSH-bucketed embedding pairs ⊆ exact all-pairs ≥ 0.45 (exact fallback kernel)") {
+    // the exact small-corpus fallback: broadcast block kernel over all
+    // pairs — the shape d06 used before the scale-safe LSH default
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val exact = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+    } yield {
+      val (id1, e1) = vecs(i); val (id2, e2) = vecs(j)
+      var d = 0.0; var n1 = 0.0; var n2 = 0.0; var k = 0
+      while (k < e1.length) { d += e1(k) * e2(k); n1 += e1(k) * e1(k); n2 += e2(k) * e2(k); k += 1 }
+      (id1, id2, math.round(d / math.sqrt(n1 * n2) * 10000) / 10000.0)
+    }).filter(_._3 >= 0.45).map(p => (p._1, p._2)).toSet
+    val lsh = graft.queries.PipelineOps.defs("d06_dedup_embedding")(spark, dir)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact kernel rejects")
+    assert(lsh.nonEmpty)
+  }
+
   test("IVF ANN recall vs brute force (top-5, 2-probe)") {
     def topk(name: String): Map[Long, Set[Long]] =
       graft.queries.PipelineOps.defs(name)(spark, dir)

@@ -28,6 +28,19 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("d06 embedding near-dup is lazy and bucketed: parquet scan in-plan, no cartesian, no collect") {
+    // round-2 review: the old d06 collected the whole table to the
+    // driver (plan showed only a parallelized RDD). The scale-safe LSH
+    // default must keep the parquet scan inside the plan and join on
+    // bucket keys — never CartesianProduct on the corpus.
+    val df = graft.queries.PipelineOps.defs("d06_dedup_embedding")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("embeddings"), "embeddings parquet scan missing from plan (driver-side collect?)")
+    assert(!plan.contains("CartesianProduct"), "corpus self-join degenerated to a cartesian")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "bucket-key equi-join missing")
+  }
+
   test("q01: shipdate filter pushed into the parquet scan, columns pruned") {
     val df = graft.queries.CoreSql.defs("q01_pricing_summary")(spark, dir)
     val scan = df.queryExecution.executedPlan.toString
