@@ -147,6 +147,51 @@ object EngineOps {
       (header ++ flat).toDF("query_idx", "row_idx", "data")
         .orderBy("query_idx", "row_idx")
     })
+    ,
+
+    "tk02_task_update_delete" -> ((s, d) => {
+      // UPDATE/DELETE DML in tasks (reference default-allows them,
+      // sql_validation.go:274): CTAS → UPDATE → DELETE over a managed
+      // parquet table via rewrite-on-write, oracled on the final table
+      // content. The affected-row Counts (DuckDB's DML result shape)
+      // are asserted inline.
+      s.sql("DROP TABLE IF EXISTS tk02_t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "tk02_t")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      val content =
+        """SELECT (INTERVAL 1 HOUR)::SCHEDULE;
+          |CREATE TABLE tk02_t AS
+          |  SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation;
+          |UPDATE tk02_t SET name = lower(name) WHERE region < 2;
+          |DELETE FROM tk02_t WHERE k % 5 = 0;
+          |SELECT count(*) > 0 FROM tk02_t;""".stripMargin
+      val r = Tasks.executeTask(s, content, fixedNow,
+        prepare = ss => graft.Tables.registerAll(ss, d))
+      require(r.success, "tk02 task failed: " + r.queries.flatMap(_.error).mkString("; "))
+      require(r.queries(1).resultRows == Seq(Seq(10L)),
+        s"UPDATE count: ${r.queries(1).resultRows}")
+      require(r.queries(2).resultRows == Seq(Seq(5L)),
+        s"DELETE count: ${r.queries(2).resultRows}")
+      s.table("tk02_t").orderBy("k")
+    }),
+
+    "tk03_task_schedules" -> ((s, d) => {
+      // getNextTaskRun over the three reference schedule forms
+      // (schedule_task.go:74-142 + getScheduleTime): interval → now +
+      // delta with single-node type, timestamp → absolute time with
+      // SCHEDULE_ALL's every-node type, 'init' → the -1 run-now
+      // sentinel (surfaced as next_run_at = -1 here).
+      import s.implicits._
+      val forms = Seq(
+        ("interval", "SELECT (INTERVAL 30 MINUTE)::SCHEDULE;\nSELECT 1 AS x;"),
+        ("timestamp", "SELECT (TIMESTAMP '2026-01-01 00:00:00')::SCHEDULE_ALL;\nSELECT 1 AS x;"),
+        ("init", "SELECT 'init'::SCHEDULE;\nSELECT 1 AS x;"))
+      forms.map { case (form, content) =>
+        val (at, tpe) = Tasks.getNextTaskRun(s, content, fixedNow)
+        (form, at.getOrElse(-1L), tpe)
+      }.toDF("form", "next_run_at", "schedule_type").orderBy("form")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +246,22 @@ object EngineOps {
              round(outl.oval, 4) AS oval, outl.okey
       FROM q JOIN w ON q.pri = w.pri LEFT JOIN outl ON q.pri = outl.pri
       ORDER BY q.pri, oval""",
+
+    "tk02_task_update_delete" -> """
+      SELECT n_nationkey AS k,
+             CASE WHEN n_regionkey < 2 THEN lower(n_name) ELSE n_name END AS name,
+             n_regionkey AS region
+      FROM nation
+      WHERE n_nationkey % 5 <> 0
+      ORDER BY k""",
+
+    "tk03_task_schedules" -> """
+      SELECT * FROM (VALUES
+        ('init', CAST(-1 AS BIGINT), 'init'),
+        ('interval', CAST(1754994600000 AS BIGINT), 'single'),
+        ('timestamp', CAST(1767225600000 AS BIGINT), 'all')
+      ) t(form, next_run_at, schedule_type)
+      ORDER BY form""",
 
     "tk01_task_execute" -> """
       SELECT -1 AS query_idx, -1 AS row_idx,

@@ -99,20 +99,20 @@ object Dialect {
 
   def render(toks: Seq[Tok]): String = toks.iterator.map(_.text).mkString
 
-  private[sqlfront] def prevNonWs(toks: Vector[Tok], i: Int): Int = {
+  private[graft] def prevNonWs(toks: Vector[Tok], i: Int): Int = {
     var j = i
     while (j >= 0 && toks(j).kind == TWs) j -= 1
     j
   }
 
-  private[sqlfront] def nextNonWs(toks: Vector[Tok], j0: Int): Int = {
+  private[graft] def nextNonWs(toks: Vector[Tok], j0: Int): Int = {
     var j = j0
     while (j < toks.length && toks(j).kind == TWs) j += 1
     j
   }
 
   /** Index of the `)` matching the `(` at `open`, or -1. */
-  private[sqlfront] def matchParen(toks: Vector[Tok], open: Int): Int = {
+  private[graft] def matchParen(toks: Vector[Tok], open: Int): Int = {
     var depth = 0
     var k = open
     while (k < toks.length) {

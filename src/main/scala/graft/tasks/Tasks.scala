@@ -134,6 +134,23 @@ object Tasks {
         } else if (needsNoTransaction(sqlString)) {
           // ATTACH/INSTALL/LOAD/CREATE SECRET: no-op on Spark (documented)
           queries += TaskQueryResult(sqlString, Nil, Nil, 0, None, stopExecution = false)
+        } else if (Mutations.isMutation(sqlString)) {
+          // UPDATE/DELETE: rewrite-on-write over the parquet warehouse;
+          // result is DuckDB's affected-row Count shape (run_task.go
+          // records it like any query result)
+          val start = System.nanoTime()
+          try {
+            val n = Mutations.execute(spark, Macros.expand(sqlString, macros))
+            queries += TaskQueryResult(sqlString, Seq("Count"), Seq(Seq(n)),
+              (System.nanoTime() - start) / 1000000, None, stopExecution = false)
+          } catch {
+            case e: Exception =>
+              queries += TaskQueryResult(sqlString, Nil, Nil,
+                (System.nanoTime() - start) / 1000000,
+                Some(Option(e.getMessage).getOrElse(e.toString)), stopExecution = false)
+              success = false
+              stopped = true
+          }
         } else if (Macros.isCreateMacro(sqlString)) {
           val start = System.nanoTime()
           try {
@@ -242,4 +259,39 @@ final class TaskScheduler(spark: SparkSession,
     handles.synchronized { handles.remove(taskId).foreach(_.cancel(false)) }
 
   override def close(): Unit = exec.shutdownNow()
+}
+
+/** Work-queue distribution semantics (ref: schedule_task.go:215-241 +
+  * runAll/HandleTask 245-340): every node schedules every task; when a
+  * timer fires, a `single`-type run is dispatched through a
+  * message-id-deduplicated queue (NATS MsgID = "taskId-runAtMillis" in
+  * the reference) so exactly one node executes it, while `all`/`init`
+  * runs execute on every node. Modeled in-process so SCHEDULE vs
+  * SCHEDULE_ALL don't collapse; on a real cluster the claim set is a
+  * shared queue exactly like the reference's JetStream stream, and the
+  * claim key is identical — nodes can come and go because every node
+  * publishes the same deduplicated message. */
+final class TaskWorkQueue {
+  private val claimed = mutable.Set.empty[String]
+  /** First claim wins; later claims of the same (task, runAt) lose —
+    * the reference's expected duplicate-message error path. */
+  def tryClaim(taskId: String, runAtMillis: Long): Boolean =
+    claimed.synchronized(claimed.add(s"$taskId-$runAtMillis"))
+}
+
+/** One logical executor node sharing the work queue. */
+final class TaskNode(val nodeId: String, spark: SparkSession, queue: TaskWorkQueue,
+    prepare: SparkSession => Unit = _ => ()) {
+  /** Fire a scheduled run on this node: `all`/`init` always execute
+    * locally (runAll); `single` executes only on the claim winner
+    * (HandleTask). Returns None when another node owns the run. */
+  def fire(taskId: String, content: String, runAtMillis: Long,
+      scheduleType: String): Option[Tasks.TaskResult] = scheduleType match {
+    case "all" | "init" =>
+      Some(Tasks.executeTask(spark, content, prepare = prepare))
+    case _ =>
+      if (queue.tryClaim(taskId, runAtMillis))
+        Some(Tasks.executeTask(spark, content, prepare = prepare))
+      else None
+  }
 }

@@ -117,6 +117,55 @@ class TasksSpec extends AnyFunSuite {
     assert(r.queries(1).error.isDefined)
   }
 
+  test("work queue: exactly one node claims a single run; all/init run everywhere (schedule_task.go:215-241)") {
+    val q = new graft.tasks.TaskWorkQueue
+    val nodes = (1 to 3).map(i => new graft.tasks.TaskNode(s"n$i", spark, q))
+    val content = "SELECT 1 AS x;"
+    assert(nodes.flatMap(_.fire("t1", content, 1000L, "single")).length == 1)
+    // a later fire time is a fresh message id — claimable again
+    assert(nodes.flatMap(_.fire("t1", content, 2000L, "single")).length == 1)
+    // a different task at the same time is independent
+    assert(nodes.flatMap(_.fire("t2", content, 2000L, "single")).length == 1)
+    assert(nodes.flatMap(_.fire("t1", content, 3000L, "all")).length == 3)
+    assert(nodes.flatMap(_.fire("t1", content, 4000L, "init")).length == 3)
+  }
+
+  test("UPDATE/DELETE in tasks: rewrite-on-write with DuckDB Count results") {
+    val t = s"mut_$runId"
+    val res = Tasks.executeTask(spark,
+      s"""CREATE TABLE $t AS SELECT id AS k, CAST(id % 3 AS INT) AS grp FROM range(10);
+         |UPDATE $t SET grp = grp + 10 WHERE k >= 8;
+         |DELETE FROM $t WHERE grp = 1;
+         |SELECT k, grp FROM $t ORDER BY k;""".stripMargin)
+    assert(res.success, res.queries.flatMap(_.error).mkString("; "))
+    assert(res.queries(1).resultColumns == Seq("Count"))
+    assert(res.queries(1).resultRows == Seq(Seq(2L))) // k = 8, 9
+    assert(res.queries(2).resultRows == Seq(Seq(3L))) // grp = 1: k = 1, 4, 7
+    assert(res.queries(3).resultRows.length == 7)
+    // updated row visible with its cast-back type
+    assert(res.queries(3).resultRows.last == Seq(9L, 10))
+  }
+
+  test("UPDATE without WHERE touches every row; DELETE without WHERE truncates") {
+    val t = s"mutall_$runId"
+    val res = Tasks.executeTask(spark,
+      s"""CREATE TABLE $t AS SELECT id AS k FROM range(4);
+         |UPDATE $t SET k = k * 2;
+         |DELETE FROM $t;
+         |SELECT count(*) AS n FROM $t;""".stripMargin)
+    assert(res.success, res.queries.flatMap(_.error).mkString("; "))
+    assert(res.queries(1).resultRows == Seq(Seq(4L)))
+    assert(res.queries(2).resultRows == Seq(Seq(4L)))
+    assert(res.queries(3).resultRows == Seq(Seq(0L)))
+  }
+
+  test("UPDATE on a temp view fails loudly, not silently") {
+    val res = Tasks.executeTask(spark, s"UPDATE v_mut_$runId SET id = 1;",
+      prepare = ss => ss.range(3).createOrReplaceTempView(s"v_mut_$runId"))
+    assert(!res.success)
+    assert(res.queries.head.error.exists(_.contains("managed table")))
+  }
+
   test("scheduler runs init task immediately (task_init_test.go:190-231)") {
     val sched = new TaskScheduler(spark)
     try {
