@@ -23,12 +23,35 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  // file schemas never change within a run: infer once per path (footer
-  // read + file listing), then pass the schema explicitly — renders open
-  // a fresh session per dashboard and would otherwise re-infer all ten
-  // tables every time
+  // file schemas rarely change within a run: infer once per (path,
+  // file-state signature), then pass the schema explicitly — renders
+  // open a fresh session per dashboard and would otherwise re-infer all
+  // ten tables every time. The signature (mtime + length, children for
+  // directories) invalidates the entry when a path is rewritten with a
+  // different schema, so a refreshed warehouse dir never reads through
+  // a stale explicit schema (silent nulls). One stat RPC per read vs a
+  // footer parse + listing is still the win.
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def pathSignature(spark: SparkSession, path: String): String = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        val children = fs.listStatus(p)
+        var acc = 0L
+        children.foreach(c => acc ^= c.getModificationTime * 31 + c.getLen)
+        s"${children.length}:$acc"
+      } else s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Exception => "absent:" + System.nanoTime() }
+  }
+
+  /** Drop cached schemas under a path — for writers that rewrite a
+    * table location in place. */
+  def invalidate(pathPrefix: String): Unit =
+    schemaCache.keySet.removeIf(_.startsWith(pathPrefix))
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores TIMESTAMP(NANOS) which Spark refuses by default
@@ -37,12 +60,13 @@ object Tables {
     // at 1e18-nanosecond magnitudes). DuckDB truncates ns→µs identically.
     val path = s"$dir/$name.parquet"
     if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val cached = schemaCache.get(path)
+    val key = path + "@" + pathSignature(spark, path)
+    val cached = schemaCache.get(key)
     val df =
       if (cached != null) spark.read.schema(cached).parquet(path)
       else {
         val d = spark.read.parquet(path)
-        schemaCache.put(path, d.schema)
+        schemaCache.put(key, d.schema)
         d
       }
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

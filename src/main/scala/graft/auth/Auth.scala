@@ -50,6 +50,19 @@ object Auth {
   val DefaultExpirySeconds = 15L * 60
   val LongLivedExpirySeconds = 30L * 24 * 3600
 
+  /** Sign an arbitrary ordered claim set — the MapClaims analog used by
+    * the TokenAuth issuance path (ref: handler/auth.go:189-231), where
+    * user/API-key identity claims ride beside the standard ones. */
+  def signMap(claims: Seq[(String, Any)], secret: String): String = {
+    val m = graft.render.Model
+    val json = claims.map { case (k, v) => m.jsonValue(k) + ":" + m.jsonValue(v) }
+      .mkString("{", ",", "}")
+    val header = b64url("""{"alg":"HS256","typ":"JWT"}""".getBytes(StandardCharsets.UTF_8))
+    val payload = b64url(json.getBytes(StandardCharsets.UTF_8))
+    val sig = b64url(hmac(secret, s"$header.$payload"))
+    s"$header.$payload.$sig"
+  }
+
   def sign(claims: Claims, secret: String): String = {
     val header = b64url("""{"alg":"HS256","typ":"JWT"}""".getBytes(StandardCharsets.UTF_8))
     val payload = b64url(jsonOf(claims).getBytes(StandardCharsets.UTF_8))

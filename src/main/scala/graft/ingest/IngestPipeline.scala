@@ -105,9 +105,11 @@ object IngestPipeline {
       // generated ids are fresh cuid2s and can't collide)
       val seenIds = mutable.HashSet.empty[String]
       val unique = messages.zip(parsed).filter { case (msg, obj) =>
+        // only non-empty STRING _ids are publisher-set Nats-Msg-Ids
+        // (events.go:72-79) — non-string _ids get fresh cuid2 headers at
+        // publish time and must never collapse two events in one batch
         val explicitId = obj.map.get(IdColumn) match {
           case Some(JString(s)) if s.nonEmpty => Some(s)
-          case Some(other) if other != JNull => Some(toJsonString(other))
           case _ => msg.headerId.filter(_.nonEmpty)
         }
         explicitId.forall(seenIds.add)

@@ -349,6 +349,8 @@ object Dashboard {
   private def runQuery(spark: SparkSession, sqlString0: String, store: VarStore,
       macros: Macros.MacroStore): DataFrame = {
     val sqlString = Macros.expand(sqlString0, macros)
+    if (graft.catalog.CatalogFunctions.referenced(sqlString))
+      graft.catalog.CatalogFunctions.refresh(spark)
     val upper = sqlString.toUpperCase
     if (upper.startsWith("SUMMARIZE")) summarize(spark, sqlString, store)
     else if (graft.sqlfront.PivotStmt.isPivotStatement(sqlString))

@@ -13,6 +13,22 @@ object EngineOps {
 
   private val fixedNow = () => 1754992800000L // deterministic clock for oracles
 
+  /** Temp dir that is removed on JVM exit — repeated gate/bench runs
+    * must not leak scratch CSV/JSON/spool copies in the system temp
+    * dir (deletion can't run earlier: the returned DataFrames read
+    * these paths lazily). */
+  private def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "in01_ingest_e2e" -> ((s, d) => {
@@ -47,7 +63,7 @@ object EngineOps {
       // full event path: publish (obj + array fan-out) -> spool ->
       // Structured Streaming -> inferred table; explicit _id/_ts keep
       // the result deterministic for the oracle
-      val spool = java.nio.file.Files.createTempDirectory("graft-ev01").toString
+      val spool = tempDir("graft-ev01")
       s.sql("DROP TABLE IF EXISTS ev01_out")
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), "ev01_out")
@@ -75,7 +91,7 @@ object EngineOps {
       val slice = graft.Tables.t(s, d, "events")
         .filter(col("event_id") <= 1000)
         .select("event_id", "user_id", "event_type", "value")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-src01").toString
+      val tmp = tempDir("graft-src01")
       slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       slice.write.mode("overwrite").json(s"$tmp/json")
       val schema = StructType(Seq(

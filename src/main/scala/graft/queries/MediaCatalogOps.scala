@@ -97,6 +97,26 @@ object MediaCatalogOps {
       Catalog.columns(s)
         .filter(col("table_name").isin(Tables.names: _*))
         .orderBy("table_name", "ordinal")
+    }),
+
+    "ct02_catalog_sql" -> ((s, d) => {
+      // duckdb_columns() called from dashboard SQL text (round-2 review
+      // item #6): the dialect strips the call parens, the interpreter
+      // rebuilds the catalog views, and DuckDB's real duckdb_columns()
+      // is the oracle — both engines introspect the same parquet.
+      val content =
+        """SELECT table_name, column_name, column_index, data_type, is_nullable
+          |FROM duckdb_columns()
+          |WHERE table_name IN ('region', 'nation')
+          |ORDER BY table_name, column_index;""".stripMargin
+      val r = graft.interp.Dashboard.run(s, content,
+        graft.interp.Dashboard.RunConfig(prepare = ss => Tables.registerAll(ss, d)))
+      import s.implicits._
+      r.sections.head.queries.head.rows.map(row =>
+        (String.valueOf(row(0)), String.valueOf(row(1)), row(2).toString.toInt,
+          String.valueOf(row(3)), row(4).toString.toBoolean))
+        .toDF("table_name", "column_name", "column_index", "data_type", "is_nullable")
+        .orderBy("table_name", "column_index")
     })
   )
 
@@ -165,6 +185,12 @@ object MediaCatalogOps {
       SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM first5k GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "ct02_catalog_sql" -> """
+      SELECT table_name, column_name, column_index, data_type, is_nullable
+      FROM duckdb_columns()
+      WHERE table_name IN ('region', 'nation')
+      ORDER BY table_name, column_index""",
 
     "ct01_catalog_columns" -> """
       SELECT table_name, column_name, CAST(ordinal_position AS INTEGER) AS ordinal,

@@ -493,6 +493,31 @@ object Dialect {
     render(out)
   }
 
+  /** `duckdb_tables()` → `duckdb_tables` etc. — the zero-arg DuckDB
+    * catalog table functions are backed by session temp views
+    * (graft.catalog.CatalogFunctions); stripping the call parens lets
+    * the view resolve in FROM position. Calls with arguments are left
+    * untouched (loud analysis error, like an unknown function). */
+  def rewriteCatalogTableFns(sql: String): String = {
+    val toks = tokenize(sql)
+    val drop = Array.fill(toks.length)(false)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord &&
+          graft.catalog.CatalogFunctions.names.contains(toks(i).text.toLowerCase)) {
+        val lp = nextNonWs(toks, i + 1)
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          val close = nextNonWs(toks, lp + 1)
+          if (close < toks.length && toks(close).kind == TRParen)
+            (lp to close).foreach(drop(_) = true)
+        }
+      }
+      i += 1
+    }
+    if (!drop.exists(identity)) sql
+    else render(toks.zipWithIndex.collect { case (t, k) if !drop(k) => t })
+  }
+
   /** `BOXPLOT(x, outlier_info := y)` → `boxplot_info(x, y)` — the
     * reference defines BOXPLOT as a DuckDB macro with a named-only
     * defaulted parameter (ref: custom_types.go:102-134); on Spark the
@@ -635,7 +660,10 @@ object Dialect {
     u == "LIMIT" || u == "OFFSET" || u == "FETCH" || u == "QUALIFY" ||
     u == "UNION" || u == "INTERSECT" || u == "EXCEPT" || u == "JOIN" ||
     u == "LEFT" || u == "RIGHT" || u == "FULL" || u == "INNER" || u == "CROSS" ||
-    u == "ON" || u == "WINDOW"
+    u == "ON" || u == "WINDOW" ||
+    // FROM-item followers that are not aliases either
+    u == "PIVOT" || u == "UNPIVOT" || u == "TABLESAMPLE" || u == "USING" ||
+    u == "LATERAL" || u == "NATURAL" || u == "SEMI" || u == "ANTI"
   }
 
   /** DuckDB interval shorthand (`INTERVAL '1h'`, `'7days 1hour'`) →
@@ -791,7 +819,17 @@ object Dialect {
         val p = prevNonWs(toks, i - 1)
         var lp = i + 1
         while (lp < toks.length && toks(lp).kind == TWs) lp += 1
-        if (p >= 0 && toks(p).text == "*" && lp < toks.length && toks(lp).kind == TLParen) {
+        // the `*` must be a star projection, not multiplication: it
+        // directly follows SELECT / DISTINCT / a comma / a qualifying
+        // dot (`t.*`) or starts the text
+        val isStarProjection = p >= 0 && toks(p).text == "*" && {
+          val p2 = prevNonWs(toks, p - 1)
+          p2 < 0 || toks(p2).kind == TDot ||
+            (toks(p2).kind == TOther && toks(p2).text == ",") ||
+            (toks(p2).kind == TWord && (toks(p2).text.equalsIgnoreCase("SELECT") ||
+              toks(p2).text.equalsIgnoreCase("DISTINCT")))
+        }
+        if (isStarProjection && lp < toks.length && toks(lp).kind == TLParen) {
           // find matching close + split top-level commas
           var depth = 0
           var close = -1
@@ -822,10 +860,20 @@ object Dialect {
               acc += cur.result()
               acc.result()
             }
-            // each part: <expr> AS <name>; name = last word after last AS
+            // each part: <expr> AS <name>; name follows the last
+            // TOP-LEVEL AS (an AS inside cast(... AS int) sits at
+            // paren depth > 0 and must not split the part)
             val names = parts.map { part =>
-              val asIdx = part.lastIndexWhere(t =>
-                t.kind == TWord && t.text.equalsIgnoreCase("AS"))
+              var d = 0
+              var asIdx = -1
+              part.zipWithIndex.foreach { case (t, k) =>
+                t.kind match {
+                  case TLParen | TLBracket => d += 1
+                  case TRParen | TRBracket => d -= 1
+                  case TWord if d == 0 && t.text.equalsIgnoreCase("AS") => asIdx = k
+                  case _ =>
+                }
+              }
               if (asIdx < 0) return sql // malformed: leave untouched
               render(part.drop(asIdx + 1)).trim
             }
@@ -992,6 +1040,7 @@ object Dialect {
     s = rewriteShaperCasts(s)
     s = rewriteTimestampTz(s)
     s = rewriteCountStar(s)
+    s = rewriteCatalogTableFns(s)
     s = rewriteBoxplotInfo(s)
     s = rewriteFunctionNames(s)
     s = rewriteStrftime(s)

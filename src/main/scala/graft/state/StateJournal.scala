@@ -1,0 +1,285 @@
+package graft.state
+
+import graft.auth.Tokens
+import graft.ingest.SchemaInfer
+import graft.ingest.SchemaInfer.{JValue, JString, JNumber, JBool, JNull, JObject, JArray}
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Event-sourced system state (op #44 — ref: server/core/state.go:29-163).
+  * The reference routes every metadata change through a journal first
+  * (NATS JetStream), applies it with an IDEMPOTENT handler into a
+  * materialized view (SQLite), and checkpoints the last applied
+  * sequence per consumer so a restarted node replays only the tail —
+  * "you can apply them multiple times and the end result looks the
+  * same".
+  *
+  * Spark-native analog: the journal is a directory of one-JSON-file-
+  * per-event segments addressed through the Hadoop FS API (works on
+  * local disk, HDFS, or an object store — the same place the warehouse
+  * lives), the materialized view is the in-memory `MetaStore`, and
+  * consumer checkpoints are tiny seq files. Writes are
+  * segment-per-event because object stores have no append; at metadata
+  * event rates (human-driven dashboard edits) this is far below any
+  * filesystem's small-file threshold, and replay is a bounded listing.
+  */
+object StateJournal {
+
+  final case class Event(seq: Long, event: String, payload: JObject)
+
+  final case class DashboardMeta(id: String, name: String, content: String,
+      folderId: Option[String], visibility: Option[String],
+      createdAtMillis: Long, createdBy: String)
+  final case class TaskMeta(id: String, name: String, content: String,
+      folderId: Option[String], createdAtMillis: Long, createdBy: String)
+  final case class FolderMeta(id: String, name: String, parentId: Option[String])
+
+  private def str(o: JObject, k: String): String =
+    o.map.get(k).collect { case JString(s) => s }.getOrElse("")
+  private def strOpt(o: JObject, k: String): Option[String] =
+    o.map.get(k).collect { case JString(s) => s }
+  private def millis(o: JObject, k: String): Long =
+    o.map.get(k).collect {
+      case JNumber(n) => n.toLong
+      case JString(s) => try {
+        java.time.Instant.parse(s).toEpochMilli
+      } catch { case _: Exception => 0L }
+    }.getOrElse(0L)
+
+  /** Materialized view over the journal — handlers mirror the
+    * reference's HandleCreate*/ /* functions and are idempotent:
+    * create = INSERT OR IGNORE, update = overwrite-if-present,
+    * delete = remove-if-present. API-key/session/user events route
+    * into the auth store (the reference's api_keys/sessions/users
+    * tables). Unknown events return false, like the reference's
+    * unknown-subject handler. */
+  final class MetaStore(val tokens: Tokens.TokenStore = new Tokens.TokenStore()) {
+    val dashboards: mutable.LinkedHashMap[String, DashboardMeta] = mutable.LinkedHashMap.empty
+    val tasks: mutable.LinkedHashMap[String, TaskMeta] = mutable.LinkedHashMap.empty
+    val folders: mutable.LinkedHashMap[String, FolderMeta] = mutable.LinkedHashMap.empty
+
+    /** Apply one event; true = handled (ack + checkpoint). */
+    def apply(event: String, payload: JObject): Boolean = event match {
+      case "create_dashboard" =>
+        val id = str(payload, "id")
+        if (id.isEmpty) false
+        else {
+          if (!dashboards.contains(id)) // INSERT OR IGNORE
+            dashboards(id) = DashboardMeta(id, str(payload, "name"),
+              str(payload, "content"), strOpt(payload, "folderId"),
+              strOpt(payload, "visibility"), millis(payload, "timestamp"),
+              str(payload, "createdBy"))
+          true
+        }
+      case "update_dashboard_content" =>
+        dashboards.get(str(payload, "id")).foreach(d =>
+          dashboards(d.id) = d.copy(content = str(payload, "content")))
+        true
+      case "update_dashboard_name" =>
+        dashboards.get(str(payload, "id")).foreach(d =>
+          dashboards(d.id) = d.copy(name = str(payload, "name")))
+        true
+      case "update_dashboard_visibility" =>
+        dashboards.get(str(payload, "id")).foreach(d =>
+          dashboards(d.id) = d.copy(visibility = strOpt(payload, "visibility")))
+        true
+      case "delete_dashboard" =>
+        dashboards.remove(str(payload, "id")); true
+      case "create_task" =>
+        val id = str(payload, "id")
+        if (id.isEmpty) false
+        else {
+          if (!tasks.contains(id))
+            tasks(id) = TaskMeta(id, str(payload, "name"), str(payload, "content"),
+              strOpt(payload, "folderId"), millis(payload, "timestamp"),
+              str(payload, "createdBy"))
+          true
+        }
+      case "update_task_content" =>
+        tasks.get(str(payload, "id")).foreach(t =>
+          tasks(t.id) = t.copy(content = str(payload, "content")))
+        true
+      case "update_task_name" =>
+        tasks.get(str(payload, "id")).foreach(t =>
+          tasks(t.id) = t.copy(name = str(payload, "name")))
+        true
+      case "delete_task" =>
+        tasks.remove(str(payload, "id")); true
+      case "create_folder" =>
+        val id = str(payload, "id")
+        if (id.isEmpty) false
+        else {
+          if (!folders.contains(id))
+            folders(id) = FolderMeta(id, str(payload, "name"),
+              strOpt(payload, "parentFolderId"))
+          true
+        }
+      case "rename_folder" =>
+        folders.get(str(payload, "id")).foreach(f =>
+          folders(f.id) = f.copy(name = str(payload, "name")))
+        true
+      case "delete_folder" =>
+        folders.remove(str(payload, "id")); true
+      case "move_items" =>
+        val to = strOpt(payload, "toFolderId")
+        payload.map.get("apps").collect { case JArray(items) => items }.getOrElse(Nil)
+          .collect { case JString(id) => id }.foreach { id =>
+            dashboards.get(id).foreach(d => dashboards(id) = d.copy(folderId = to))
+            tasks.get(id).foreach(t => tasks(id) = t.copy(folderId = to))
+          }
+        payload.map.get("folders").collect { case JArray(items) => items }.getOrElse(Nil)
+          .collect { case JString(id) => id }.foreach { id =>
+            folders.get(id).foreach(f => folders(id) = f.copy(parentId = to))
+          }
+        true
+      case "create_api_key" =>
+        val id = str(payload, "id")
+        if (id.isEmpty) false
+        else {
+          if (tokens.getApiKey(id).isEmpty) // INSERT OR IGNORE
+            tokens.putApiKey(Tokens.ApiKeyRecord(id, str(payload, "name"),
+              str(payload, "hash"), str(payload, "salt"),
+              Some(payload.map.get("permissions").collect {
+                case JArray(items) => items.collect { case JString(s) => s }
+              }.getOrElse(Nil)),
+              millis(payload, "timestamp"), str(payload, "createdBy")))
+          true
+        }
+      case "delete_api_key" =>
+        tokens.deleteApiKey(str(payload, "id")); true
+      case "update_api_key_permissions" =>
+        val id = str(payload, "id")
+        tokens.getApiKey(id).foreach { k =>
+          val perms = payload.map.get("permissions").collect {
+            case JArray(items) => items.collect { case JString(s) => s }
+          }.getOrElse(Nil)
+          tokens.putApiKey(k.copy(permissions = Some(perms)))
+        }
+        true
+      case "create_user" =>
+        val id = str(payload, "id")
+        if (id.isEmpty) false
+        else { tokens.putUser(Tokens.UserRecord(id, str(payload, "email"),
+          str(payload, "name"))); true }
+      case "create_session" =>
+        tokens.putSession(Tokens.SessionRecord(str(payload, "id"),
+          str(payload, "userId"), str(payload, "hash"), str(payload, "salt"),
+          millis(payload, "timestamp")))
+        true
+      case "delete_session" =>
+        tokens.logout(str(payload, "id")); true
+      case _ => false // unknown subject: not acked (state.go:37-40)
+    }
+  }
+
+  /** Durable journal + checkpointed consumer. */
+  final class Journal(dir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()) {
+    private val base = new org.apache.hadoop.fs.Path(dir)
+    private val fs = base.getFileSystem(hadoopConf)
+    private val eventsDir = new org.apache.hadoop.fs.Path(base, "events")
+    private val consumersDir = new org.apache.hadoop.fs.Path(base, "consumers")
+    fs.mkdirs(eventsDir)
+    fs.mkdirs(consumersDir)
+
+    private def segName(seq: Long, event: String): String = f"$seq%012d-$event.json"
+
+    def lastSeq(): Long = {
+      val statuses = fs.listStatus(eventsDir)
+      if (statuses.isEmpty) 0L
+      else statuses.map(_.getPath.getName.takeWhile(_.isDigit).toLong).max
+    }
+
+    /** Append one event (the reference's SubmitState publish). */
+    def append(event: String, payloadJson: String): Long = synchronized {
+      val seq = lastSeq() + 1
+      val p = new org.apache.hadoop.fs.Path(eventsDir, segName(seq, event))
+      val out = fs.create(p, false)
+      try out.write(payloadJson.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      seq
+    }
+
+    /** Events after `fromSeq`, in order. */
+    def read(fromSeq: Long): Seq[Event] =
+      fs.listStatus(eventsDir).toSeq
+        .map(_.getPath)
+        .filter(_.getName.endsWith(".json"))
+        .map { p =>
+          val name = p.getName.stripSuffix(".json")
+          val seq = name.takeWhile(_.isDigit).toLong
+          val event = name.dropWhile(_.isDigit).stripPrefix("-")
+          (seq, event, p)
+        }
+        .filter(_._1 > fromSeq)
+        .sortBy(_._1)
+        .map { case (seq, event, p) =>
+          val in = fs.open(p)
+          val bytes =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](8192)
+              var n = in.read(chunk)
+              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+              buf.toByteArray
+            } finally in.close()
+          Event(seq, event, SchemaInfer.parseOrdered(
+            new String(bytes, StandardCharsets.UTF_8)))
+        }
+
+    /** (ref: trackConsumerState / getConsumerStartSeq, state.go:110-163) */
+    def checkpoint(consumer: String, seq: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(consumersDir, consumer)
+      val tmp = new org.apache.hadoop.fs.Path(consumersDir, consumer + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(seq.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
+
+    def consumerSeq(consumer: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(consumersDir, consumer)
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    }
+  }
+
+  val ConsumerName = "internal_shaper_state_consumer" // (state.go:18)
+
+  /** Journal + store + checkpointed apply loop — the reference's
+    * SubmitState → HandleState round trip, single-process. */
+  final class StateApp(dir: String,
+      val store: MetaStore = new MetaStore()) {
+    val journal = new Journal(dir)
+
+    /** Replay unapplied tail on boot (restore-from-partial-state). */
+    def boot(): Int = {
+      val from = journal.consumerSeq(ConsumerName)
+      val events = journal.read(from)
+      var applied = 0
+      events.foreach { e =>
+        if (store.apply(e.event, e.payload)) {
+          journal.checkpoint(ConsumerName, e.seq)
+          applied += 1
+        }
+      }
+      applied
+    }
+
+    /** Journal-first write, then apply + checkpoint (SubmitState). */
+    def submit(event: String, payloadJson: String): Boolean = {
+      val seq = journal.append(event, payloadJson)
+      val ok = store.apply(event,
+        SchemaInfer.parseOrdered(payloadJson))
+      if (ok) journal.checkpoint(ConsumerName, seq)
+      ok
+    }
+  }
+}

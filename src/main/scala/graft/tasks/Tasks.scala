@@ -168,6 +168,8 @@ object Tasks {
         } else {
           val start = System.nanoTime()
           try {
+            if (graft.catalog.CatalogFunctions.referenced(sqlString))
+              graft.catalog.CatalogFunctions.refresh(spark)
             val df = spark.sql(Dialect.rewrite(Macros.expand(sqlString, macros)))
             val schema = df.schema.fields.toSeq
             val rows = df.limit(3001).collect().toSeq

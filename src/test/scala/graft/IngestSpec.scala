@@ -96,6 +96,28 @@ class IngestSpec extends AnyFunSuite {
     assert(ids.count(_ == "hdr-1") == 1)
   }
 
+  test("parquet schema cache invalidates when a path is rewritten (advice r2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "old_col").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(graft.Tables.t(spark, dir, "t").columns.toSeq == Seq("k", "old_col"))
+    assert(graft.Tables.t(spark, dir, "t").columns.toSeq == Seq("k", "old_col")) // cached
+    // rewrite with a different schema: must re-infer, not silently null
+    Seq((2L, 3.5)).toDF("k", "new_col").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(graft.Tables.t(spark, dir, "t").columns.toSeq == Seq("k", "new_col"))
+  }
+
+  test("non-string _id never dedups: publishers set fresh header ids for them (events.go:72-79, advice r2)") {
+    val table = freshTable()
+    // two events sharing a numeric _id in one batch are distinct events —
+    // the reference only sets Nats-Msg-Id from non-empty STRING _ids
+    val msgs = Seq(
+      Message(table, """{"_id": 42, "v": 1}"""),
+      Message(table, """{"_id": 42, "v": 2}"""))
+    val counts = IngestPipeline.processBatch(spark, msgs)
+    assert(counts == Map(table -> 2L))
+  }
+
   test("_id/_ts precedence: msg > header > generated (ingest_test.go:1427-1514)") {
     val table = freshTable()
     val meta = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))

@@ -266,6 +266,28 @@ class SqlFrontSpec extends AnyFunSuite {
     // replace() the function untouched
     assert(Dialect.rewriteStarReplace("SELECT replace(s, 'a', 'b') FROM t")
       == "SELECT replace(s, 'a', 'b') FROM t")
+    // multiplication before replace() is NOT a star projection (advice r2):
+    // every argument carrying a nested AS previously got mangled
+    val mult = "SELECT x * replace(cast(a AS int), cast(b AS int)) FROM t"
+    assert(Dialect.rewriteStarReplace(mult) == mult)
+    // a cast's AS inside parens must not split the projection part
+    assert(Dialect.rewriteStarReplace("SELECT * REPLACE (cast(a AS int) AS a) FROM t")
+      == "SELECT * EXCEPT (a), cast(a AS int) AS a FROM t")
+    // qualified star still rewrites
+    assert(Dialect.rewriteStarReplace("SELECT t.* REPLACE (id * 2 AS id) FROM t")
+      == "SELECT t.* EXCEPT (id), id * 2 AS id FROM t")
+  }
+
+  test("VALUES alias rewrite recognizes PIVOT/TABLESAMPLE/USING as clause keywords (advice r2)") {
+    // PIVOT is a FROM-item follower, not an alias — col0 names must
+    // still be attached
+    val sql = "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) PIVOT (count(*) FOR col1 IN ('a'))"
+    assert(Dialect.rewriteValuesAlias(sql).contains("__v(col0, col1)"))
+    val ts = "SELECT col0 FROM (VALUES (1)) TABLESAMPLE (1 ROWS)"
+    assert(Dialect.rewriteValuesAlias(ts).contains("__v(col0)"))
+    // a genuine alias still suppresses the rewrite
+    assert(Dialect.rewriteValuesAlias("SELECT a FROM (VALUES (1)) v(a)")
+      == "SELECT a FROM (VALUES (1)) v(a)")
   }
 
   test("DISTINCT ON -> row_number window filter") {

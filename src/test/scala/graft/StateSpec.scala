@@ -1,0 +1,90 @@
+package graft
+
+import graft.state.StateJournal
+import graft.state.StateJournal.{MetaStore, StateApp}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-sourced state journal (op #44, state.go:29-163): idempotent
+  * handlers, journal-first writes, checkpointed replay on boot. */
+class StateSpec extends AnyFunSuite {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-state").toString
+
+  test("submit applies and journals; handlers are idempotent (apply twice = same state)") {
+    val app = new StateApp(freshDir())
+    assert(app.submit("create_dashboard",
+      """{"id": "d1", "name": "Sales", "content": "SELECT 1;", "timestamp": "2026-01-01T00:00:00Z", "createdBy": "user:u1"}"""))
+    assert(app.submit("create_dashboard",
+      """{"id": "d1", "name": "OTHER", "content": "SELECT 2;"}""")) // republish: ignored
+    assert(app.store.dashboards("d1").name == "Sales")
+    assert(app.submit("update_dashboard_content",
+      """{"id": "d1", "content": "SELECT 42;"}"""))
+    assert(app.store.dashboards("d1").content == "SELECT 42;")
+    assert(app.store.dashboards.size == 1)
+  }
+
+  test("boot replays the journal into a fresh store (restore from partial state)") {
+    val dir = freshDir()
+    val a = new StateApp(dir)
+    a.submit("create_dashboard", """{"id": "d1", "name": "A", "content": "SELECT 1;"}""")
+    a.submit("create_task", """{"id": "t1", "name": "T", "content": "SELECT 'init'::SCHEDULE;"}""")
+    a.submit("update_dashboard_name", """{"id": "d1", "name": "B"}""")
+    a.submit("delete_task", """{"id": "t1"}""")
+
+    // restart: fresh store, same journal
+    val b = new StateApp(dir)
+    assert(b.boot() == 0) // checkpoint says everything is applied…
+    assert(b.store.dashboards.isEmpty) // …but this store is empty: partial-state restore
+    // so a cold store replays from scratch
+    val c = new StateApp(dir)
+    c.journal.checkpoint(StateJournal.ConsumerName, 0)
+    assert(c.boot() == 4)
+    assert(c.store.dashboards("d1").name == "B")
+    assert(c.store.tasks.isEmpty)
+  }
+
+  test("checkpoint resumes mid-journal, not from zero") {
+    val dir = freshDir()
+    val a = new StateApp(dir)
+    a.submit("create_folder", """{"id": "f1", "name": "Ops"}""")
+    a.submit("create_dashboard", """{"id": "d1", "name": "A", "content": "x"}""")
+    val resumed = new StateApp(dir)
+    resumed.journal.checkpoint(StateJournal.ConsumerName, 1) // folder applied, dashboard not
+    assert(resumed.boot() == 1)
+    assert(resumed.store.folders.isEmpty) // seq 1 skipped per checkpoint
+    assert(resumed.store.dashboards.contains("d1"))
+  }
+
+  test("move_items re-parents apps and folders (folder.go:397-404)") {
+    val app = new StateApp(freshDir())
+    app.submit("create_folder", """{"id": "f1", "name": "Ops"}""")
+    app.submit("create_folder", """{"id": "f2", "name": "Sub"}""")
+    app.submit("create_dashboard", """{"id": "d1", "name": "A", "content": "x"}""")
+    app.submit("move_items", """{"apps": ["d1"], "folders": ["f2"], "toFolderId": "f1"}""")
+    assert(app.store.dashboards("d1").folderId.contains("f1"))
+    assert(app.store.folders("f2").parentId.contains("f1"))
+    app.submit("rename_folder", """{"id": "f1", "name": "Ops2"}""")
+    assert(app.store.folders("f1").name == "Ops2")
+  }
+
+  test("api key and session events route into the auth store") {
+    val app = new StateApp(freshDir())
+    app.submit("create_user", """{"id": "u1", "email": "a@b.c", "name": "Alice"}""")
+    app.submit("create_api_key",
+      """{"id": "k1", "name": "ci", "hash": "h", "salt": "s", "permissions": ["jwt", "data:query"], "timestamp": "2026-01-01T00:00:00Z", "createdBy": "user:u1"}""")
+    assert(app.store.tokens.getApiKey("k1").get.permissions.contains(Seq("jwt", "data:query")))
+    app.submit("update_api_key_permissions", """{"id": "k1", "permissions": ["metrics"]}""")
+    assert(app.store.tokens.getApiKey("k1").get.permissions.contains(Seq("metrics")))
+    app.submit("delete_api_key", """{"id": "k1"}""")
+    assert(app.store.tokens.getApiKey("k1").isEmpty)
+  }
+
+  test("unknown event is not acked (state.go:37-40)") {
+    val app = new StateApp(freshDir())
+    assert(!app.submit("explode_everything", """{"id": "x"}"""))
+    // the event is journaled (journal-first) but the checkpoint did not advance
+    assert(app.journal.lastSeq() == 1)
+    assert(app.journal.consumerSeq(StateJournal.ConsumerName) == 0)
+  }
+}
