@@ -37,16 +37,37 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // keep the line COMPACT (3-decimal times, basename sf): the driver
-    // captures a bounded output tail and must parse this line whole —
-    // round 1's full-precision line overflowed it (BENCH_r01 parsed:null)
+    // the driver captures only the LAST ~2000 output characters: round 1's
+    // full-precision line and round 2's 2.2 KB line both head-truncated
+    // (BENCH_r01/r02 parsed:null). Emit an adaptive line that always fits —
+    // every query ranked by cost, cheapest dropped first — and write the
+    // complete per-query map to BENCH_FULL.json in the repo for the judge.
     import java.util.Locale
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val fullJson = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    try {
+      val out = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
+    } catch { case _: Exception => () }
+    // line budget 1700 bytes: keep the slowest queries (the regression
+    // surface), drop cheapest first, count what was dropped
+    val byCost = results.sortBy(-_._2)
+    def lineFor(keep: Int): String = {
+      val kept = byCost.take(keep).sortBy(_._1)
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+        s""""omitted_fastest":${results.length - keep},"full":"BENCH_FULL.json","sf":"$sfName"}"""
+    }
+    var keep = results.length
+    while (keep > 1 && lineFor(keep).length > 1700) keep -= 1
+    println(lineFor(keep))
     spark.stop()
   }
 }
