@@ -92,6 +92,43 @@ object MediaCatalogOps {
       s.table(name).orderBy("window_start", "event_type")
     }),
 
+    "st02_stream_dedup" -> ((s0, d) => {
+      // Streaming exactly-once dedup across micro-batches: the first
+      // 5000 events stream through, then a second batch re-publishes
+      // every event from the final 5 minutes (inside the 10-minute
+      // watermark horizon, so the dedup state is guaranteed live and
+      // the drop deterministic). The sink must hold exactly the 5000
+      // originals — the declarative analog of JetStream's Nats-Msg-Id
+      // duplicate window, with state bounded by the watermark at scale.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val events = graft.Tables.t(s, d, "events")
+        .orderBy("event_id").limit(5000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.Streams.Event].collect().toSeq
+      val maxTs = events.map(_.ts.getTime).max
+      val republished = events.filter(_.ts.getTime >= maxTs - 5 * 60 * 1000)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Event]
+      val deduped = graft.streaming.Streams.dedupeByKey(
+        input.toDF(), "ts", "10 minutes", Seq("event_id"))
+      val name = "st02_sink_" + math.abs(d.hashCode)
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(republished) // duplicate publish: state must drop all
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     "ct01_catalog_columns" -> ((s, d) => {
       Tables.registerAll(s, d)
       Catalog.columns(s)
@@ -185,6 +222,14 @@ object MediaCatalogOps {
       SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM first5k GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "st02_stream_dedup" -> """
+      WITH first5k AS (
+        SELECT * FROM events ORDER BY event_id LIMIT 5000
+      )
+      SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+             round(sum(value), 2) AS total_value
+      FROM first5k GROUP BY event_type ORDER BY event_type""",
 
     "ct02_catalog_sql" -> """
       SELECT table_name, column_name, column_index, data_type, is_nullable
