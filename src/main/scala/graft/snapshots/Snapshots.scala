@@ -38,3 +38,66 @@ object Snapshots {
     dirs
   }
 }
+
+/** Scheduled snapshot service (ref: server/snapshots/snapshots.go:56-192):
+  * fires daily at a configured `HH:mm`, writes a timestamped snapshot
+  * (the reference's `2006-01-02_15-04-05` layout), and routes each run
+  * through the task work queue so exactly one node snapshots per fire
+  * time even though every node schedules (the reference's
+  * WorkQueuePolicy stream). The snapshot base dir is any Hadoop-FS
+  * path — local, HDFS, or an object store, the reference's S3 target.
+  */
+final class SnapshotService(
+    spark: org.apache.spark.sql.SparkSession,
+    baseDir: String,
+    scheduledTime: String, // "HH:mm", like the reference's config
+    queue: graft.tasks.TaskWorkQueue = new graft.tasks.TaskWorkQueue,
+    nowMillis: () => Long = () => System.currentTimeMillis())
+    extends AutoCloseable {
+
+  private val exec = java.util.concurrent.Executors.newScheduledThreadPool(1)
+  private val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm-ss")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Next fire time: today at HH:mm, or tomorrow if that already passed
+    * (ref: scheduleNext, snapshots.go:123-144). */
+  def nextRunMillis(fromMillis: Long = nowMillis()): Long = {
+    val t = java.time.LocalTime.parse(scheduledTime)
+    val now = java.time.Instant.ofEpochMilli(fromMillis).atZone(java.time.ZoneOffset.UTC)
+    val todayRun = now.toLocalDate.atTime(t).atZone(java.time.ZoneOffset.UTC)
+    val next = if (!todayRun.toInstant.isAfter(now.toInstant)) todayRun.plusDays(1) else todayRun
+    next.toInstant.toEpochMilli
+  }
+
+  /** One snapshot run, work-queue-claimed by fire time; returns the
+    * snapshot directory when this node performed it. */
+  def runOnce(runAtMillis: Long = nowMillis()): Option[String] = {
+    if (!queue.tryClaim("__snapshot__", runAtMillis)) return None
+    val dir = s"$baseDir/${fmt.format(java.time.Instant.ofEpochMilli(runAtMillis))}"
+    Snapshots.create(spark, dir)
+    Some(dir)
+  }
+
+  /** Most recent snapshot directory under the base, if any. */
+  def latest(): Option[String] = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+      .sorted.lastOption.map(n => s"$baseDir/$n")
+  }
+
+  def restoreLatest(): Seq[String] =
+    latest().map(Snapshots.restore(spark, _)).getOrElse(Nil)
+
+  /** Start the daily timer; reschedules itself after each fire. */
+  def start(): Unit = {
+    val at = nextRunMillis()
+    exec.schedule(new Runnable {
+      def run(): Unit = { runOnce(at); start() }
+    }, math.max(0L, at - nowMillis()), java.util.concurrent.TimeUnit.MILLISECONDS)
+    ()
+  }
+
+  override def close(): Unit = exec.shutdownNow()
+}

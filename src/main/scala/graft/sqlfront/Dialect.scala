@@ -348,6 +348,90 @@ object Dialect {
     render(out)
   }
 
+  /** DuckDB struct literals `{key: v, 'key2': v2}` → `named_struct('key',
+    * v, 'key2', v2)` and MAP literals `MAP {'k': v}` → `map('k', v)`
+    * (the reference's own BOXPLOT macro body builds struct literals,
+    * custom_types.go:106-125). Innermost braces rewrite first, so
+    * nested literals resolve on the re-scan; trailing commas inside the
+    * braces are dropped (DuckDB allows them). Anything not shaped like
+    * `key: value` pairs is left untouched. */
+  def rewriteStructLiterals(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TOther && toks(i).text == "{") {
+        // innermost: matching close with no nested '{' inside
+        var close = -1
+        var j = i + 1
+        var nested = false
+        while (j < toks.length && close < 0) {
+          val t = toks(j)
+          if (t.kind == TOther && t.text == "{") { nested = true; close = -2 }
+          else if (t.kind == TOther && t.text == "}") close = j
+          j += 1
+        }
+        if (close == -2) { i = j - 1 } // descend into the nested brace
+        else if (close > i) {
+          val inner = toks.slice(i + 1, close)
+          // split top-level commas (only parens/brackets can nest here)
+          val parts = {
+            val acc = Vector.newBuilder[Vector[Tok]]
+            var cur = Vector.newBuilder[Tok]
+            var d = 0
+            inner.foreach { t =>
+              t.kind match {
+                case TLParen | TLBracket => d += 1; cur += t
+                case TRParen | TRBracket => d -= 1; cur += t
+                case TOther if t.text == "," && d == 0 =>
+                  acc += cur.result(); cur = Vector.newBuilder[Tok]
+                case _ => cur += t
+              }
+            }
+            acc += cur.result()
+            acc.result().map(_.dropWhile(_.kind == TWs))
+              .filter(_.exists(_.kind != TWs)) // trailing comma
+          }
+          // each part: (TWord | TString) ':' value — ':' at top level
+          val kvs = parts.map { part =>
+            if (part.isEmpty || (part.head.kind != TWord && part.head.kind != TString &&
+                part.head.kind != TQuoted))
+              None
+            else {
+              val rest = part.drop(1).dropWhile(_.kind == TWs)
+              if (rest.isEmpty || rest.head.kind != TOther || rest.head.text != ":")
+                None
+              else {
+                val key = part.head.kind match {
+                  case TWord => "'" + part.head.text + "'"
+                  case TQuoted =>
+                    "'" + escapeForSingleQuotes(
+                      part.head.text.stripPrefix("\"").stripSuffix("\"")
+                        .replace("\"\"", "\"")) + "'"
+                  case _ => part.head.text
+                }
+                val value = render(rest.drop(1)).trim
+                if (value.isEmpty) None else Some((key, value))
+              }
+            }
+          }
+          if (parts.nonEmpty && kvs.forall(_.isDefined)) {
+            val pairs = kvs.flatten.map { case (k, v) => s"$k, $v" }.mkString(", ")
+            val p = prevNonWs(toks, i - 1)
+            val isMap = p >= 0 && toks(p).kind == TWord &&
+              toks(p).text.equalsIgnoreCase("MAP")
+            val (prefixEnd, fn) = if (isMap) (p, "map") else (i, "named_struct")
+            return rewriteStructLiterals(
+              render(toks.take(prefixEnd)) + s"$fn($pairs)" +
+                render(toks.drop(close + 1)))
+          }
+          i = close
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** `::TIMESTAMPTZ` → `::TIMESTAMP` (and CAST(... AS TIMESTAMPTZ)). */
   def rewriteTimestampTz(sql: String): String = {
     val toks = tokenize(sql).map { t =>
@@ -391,6 +475,8 @@ object Dialect {
 
   private def unquoteString(lit: String): String =
     lit.stripPrefix("'").stripSuffix("'").replace("''", "'")
+
+  private def escapeForSingleQuotes(s: String): String = s.replace("'", "''")
 
   /** Token spans of `getvariable('x')` calls: (start, endExclusive, name).
     * Quote-aware — the word `getvariable` inside a string literal is a
@@ -1037,6 +1123,7 @@ object Dialect {
     var s = sql
     s = rewriteListComprehension(s)
     s = rewriteArrayLiterals(s)
+    s = rewriteStructLiterals(s)
     s = rewriteShaperCasts(s)
     s = rewriteTimestampTz(s)
     s = rewriteCountStar(s)

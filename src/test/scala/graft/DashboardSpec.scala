@@ -287,6 +287,21 @@ class DashboardSpec extends AnyFunSuite {
     assert(o("info").asInstanceOf[Map[String, String]] == Map("label" -> "big"))
   }
 
+  test("struct literal + BOXPLOT outlier_info end-to-end (the reference macro's own syntax)") {
+    val r = Dashboard.run(spark,
+      """SELECT 'g'::XAXIS AS grp,
+        |  BOXPLOT(v, outlier_info := MAP {'label': l, 'src': 'test'}) AS bp
+        |FROM (SELECT n * 1.0 AS v, 'ok' AS l
+        |        FROM (SELECT explode(sequence(1, 10)) AS n)
+        |      UNION ALL SELECT 500.0, 'big')
+        |GROUP BY 1""".stripMargin)
+    val bp = r.sections.head.queries.head.rows.head(1).asInstanceOf[Map[String, Any]]
+    val o = bp("outliers").asInstanceOf[Seq[Any]].head.asInstanceOf[Map[String, Any]]
+    assert(o("value") == 500.0)
+    assert(o("info").asInstanceOf[Map[String, String]] ==
+      Map("label" -> "big", "src" -> "test"))
+  }
+
   test("row cap truncates at 3000 (+1 sentinel row, get_dashboard.go:2231-2242)") {
     val r = Dashboard.run(spark,
       "SELECT * FROM (SELECT explode(sequence(1, 5000)) AS v)")

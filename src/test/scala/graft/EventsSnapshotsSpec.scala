@@ -54,4 +54,39 @@ class EventsSnapshotsSpec extends AnyFunSuite {
     Snapshots.restore(spark, snap)
     assert(spark.table(table).count() == 100)
   }
+
+  test("snapshot service: daily HH:mm schedule, one-node claim, timestamped dirs, restore latest (snapshots.go:56-192)") {
+    import graft.snapshots.SnapshotService
+    val base = java.nio.file.Files.createTempDirectory("graft-snapsvc").toString
+    var now = java.time.Instant.parse("2026-08-12T10:00:00Z").toEpochMilli
+    val queue = new graft.tasks.TaskWorkQueue
+    val svc = new SnapshotService(spark, base, "10:30", queue, () => now)
+    val svc2 = new SnapshotService(spark, base, "10:30", queue, () => now)
+    try {
+      // 10:00 → today 10:30; at 11:00 → tomorrow 10:30
+      assert(svc.nextRunMillis() == java.time.Instant.parse("2026-08-12T10:30:00Z").toEpochMilli)
+      assert(svc.nextRunMillis(java.time.Instant.parse("2026-08-12T11:00:00Z").toEpochMilli)
+        == java.time.Instant.parse("2026-08-13T10:30:00Z").toEpochMilli)
+
+      val table = s"snapsvc_${runId}_t"
+      spark.sql(s"CREATE TABLE $table USING PARQUET AS SELECT id AS v FROM range(10)")
+      // two nodes fire for the same time: exactly one performs the run
+      val fireAt = svc.nextRunMillis()
+      val r1 = svc.runOnce(fireAt)
+      val r2 = svc2.runOnce(fireAt)
+      assert(r1.isDefined ^ r2.isDefined)
+      assert(r1.orElse(r2).get.endsWith("2026-08-12_10-30-00"))
+      // a later fire time snapshots again; latest() picks it
+      now = java.time.Instant.parse("2026-08-13T10:30:00Z").toEpochMilli
+      spark.sql(s"INSERT INTO $table VALUES (999)")
+      val r3 = svc.runOnce(now)
+      assert(r3.isDefined)
+      assert(svc.latest() == r3)
+      // mutate then restore the latest snapshot (11 rows, incl. 999)
+      spark.sql(s"INSERT INTO $table VALUES (1000)")
+      assert(spark.table(table).count() == 12)
+      assert(svc.restoreLatest().contains(table))
+      assert(spark.table(table).count() == 11)
+    } finally { svc.close(); svc2.close() }
+  }
 }

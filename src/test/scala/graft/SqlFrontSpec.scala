@@ -278,6 +278,28 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT t.* EXCEPT (id), id * 2 AS id FROM t")
   }
 
+  test("DuckDB struct / MAP literals -> named_struct / map (custom_types.go:106-125 shape)") {
+    assert(Dialect.rewriteStructLiterals("SELECT {'a': 1, 'b': 'x'} AS s")
+      == "SELECT named_struct('a', 1, 'b', 'x') AS s")
+    // bare identifier keys and expressions as values
+    assert(Dialect.rewriteStructLiterals("SELECT {name: 'n', value: 4 + 2}")
+      == "SELECT named_struct('name', 'n', 'value', 4 + 2)")
+    // MAP literal
+    assert(Dialect.rewriteStructLiterals("SELECT MAP {'k': 1, 'j': n}")
+      == "SELECT map('k', 1, 'j', n)")
+    // nested structs resolve innermost-first
+    assert(Dialect.rewriteStructLiterals("SELECT {'o': {'i': 1}}")
+      == "SELECT named_struct('o', named_struct('i', 1))")
+    // the reference macro's trailing comma inside the braces
+    assert(Dialect.rewriteStructLiterals("SELECT { 'q3': quantile(v, 0.75), }")
+      == "SELECT named_struct('q3', quantile(v, 0.75))")
+    // braces inside string literals untouched; non-kv braces untouched
+    assert(Dialect.rewriteStructLiterals("SELECT '{not: a struct}' AS s")
+      == "SELECT '{not: a struct}' AS s")
+    assert(Dialect.rewriteStructLiterals("SELECT '{\"json\": 1}'::VARCHAR")
+      == "SELECT '{\"json\": 1}'::VARCHAR")
+  }
+
   test("VALUES alias rewrite recognizes PIVOT/TABLESAMPLE/USING as clause keywords (advice r2)") {
     // PIVOT is a FROM-item follower, not an alias — col0 names must
     // still be attached
