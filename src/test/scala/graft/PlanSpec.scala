@@ -41,6 +41,14 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "bucket-key equi-join missing")
   }
 
+  test("p01 composed pipeline prunes the documents scan to (doc_id, text), no cartesian") {
+    val df = graft.queries.PipelineOps.defs("p01_pipeline_e2e")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must read only the two needed columns")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q01: shipdate filter pushed into the parquet scan, columns pruned") {
     val df = graft.queries.CoreSql.defs("q01_pricing_summary")(spark, dir)
     val scan = df.queryExecution.executedPlan.toString
