@@ -22,7 +22,12 @@ object Auth {
       variables: Map[String, Any],
       isPublic: Boolean,
       longLived: Boolean,
-      exp: Long)
+      exp: Long,
+      /** The reference's PublicAuth puts the dashboard VISIBILITY STRING
+        * in the `public` claim ("public" | "password-protected"), and
+        * its router detects public sessions by the claim being a string
+        * (handler/auth.go:289, routes.go:39). */
+      publicVisibility: Option[String] = None)
 
   private def b64url(b: Array[Byte]): String =
     Base64.getUrlEncoder.withoutPadding.encodeToString(b)
@@ -39,7 +44,7 @@ object Auth {
     val fields = Seq.newBuilder[String]
     c.dashboardId.foreach(d => fields += "\"dashboardId\":" + m.jsonValue(d))
     fields += "\"variables\":" + m.jsonValue(c.variables)
-    fields += "\"public\":" + c.isPublic
+    fields += "\"public\":" + c.publicVisibility.map(m.jsonValue).getOrElse(c.isPublic.toString)
     fields += "\"longLived\":" + c.longLived
     fields += "\"exp\":" + c.exp
     fields.result().mkString("{", ",", "}")
@@ -104,13 +109,28 @@ object Auth {
       case Some(o: SchemaInfer.JObject) => o.fields.map { case (k, v) => k -> toScala(v) }.toMap
       case _ => Map.empty[String, Any]
     }
+    val publicVis = jv("public").collect { case SchemaInfer.JString(s) => s }
     Right(Claims(
       dashboardId = jv("dashboardId").collect { case SchemaInfer.JString(s) => s },
       variables = vars,
-      isPublic = jv("public").collect { case SchemaInfer.JBool(b) => b }.getOrElse(false),
+      // a string-typed public claim IS the public-session marker
+      // (routes.go:39); bool is this engine's internal form
+      isPublic = publicVis.isDefined ||
+        jv("public").collect { case SchemaInfer.JBool(b) => b }.getOrElse(false),
       longLived = jv("longLived").collect { case SchemaInfer.JBool(b) => b }.getOrElse(false),
-      exp = exp))
+      exp = exp,
+      publicVisibility = publicVis))
   }
+
+  /** Public-dashboard token, the reference's PublicAuth claims shape
+    * {exp, dashboardId, public: <visibility>} (handler/auth.go:283-291). */
+  def mintPublicToken(dashboardId: String, visibility: String, secret: String,
+      nowSeconds: Long = System.currentTimeMillis() / 1000,
+      expirySeconds: Long = DefaultExpirySeconds): String =
+    signMap(Seq(
+      "exp" -> (nowSeconds + expirySeconds),
+      "dashboardId" -> dashboardId,
+      "public" -> visibility), secret)
 
   /** A token restricted to one dashboard must not open another
     * (ref: handler/auth_test.go:18-244). */

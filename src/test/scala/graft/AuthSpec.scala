@@ -182,6 +182,22 @@ class AuthSpec extends AnyFunSuite {
     assert(!store.validToken("junk", loginRequired = false).valid)
   }
 
+  test("public token carries the visibility string in the public claim (handler/auth.go:283-291, routes.go:39)") {
+    val token = Auth.mintPublicToken("dash-1", "password-protected", secret, nowSeconds = 1000)
+    val c = Auth.verify(token, secret, nowSeconds = 1000).toOption.get
+    assert(c.dashboardId.contains("dash-1"))
+    assert(c.publicVisibility.contains("password-protected"))
+    assert(c.isPublic) // string-typed claim marks a public session
+    assert(c.exp == 1000 + Auth.DefaultExpirySeconds)
+    // round-trips through sign/verify unchanged
+    val again = Auth.verify(Auth.sign(c, secret), secret, nowSeconds = 1000).toOption.get
+    assert(again.publicVisibility.contains("password-protected"))
+    // bool form still parses as the internal shape
+    val boolTok = Auth.sign(Auth.Claims(None, Map.empty, isPublic = false,
+      longLived = false, exp = 2000), secret)
+    assert(Auth.verify(boolTok, secret, 1000).toOption.get.publicVisibility.isEmpty)
+  }
+
   test("Actor string round trip (auth.go:70-101)") {
     assert(Actor(ActorType.ApiKey, "k1").render == "api_key:k1")
     assert(Actor(ActorType.Task).render == "task")
