@@ -521,14 +521,19 @@ object CoreSql {
       // array surface over the embeddings table: size, slice, sort,
       // element access, contains — DuckDB list functions 1:1
       t(s, d, "embeddings").createOrReplaceTempView("af_emb")
-      s.sql("""
+      // list_position/list_unique run through the DuckDB-dialect rewrite
+      // (renamed/expanded), the rest are Spark-native — both sides of
+      // each column verified edge-exact against DuckDB
+      s.sql(graft.sqlfront.Dialect.rewrite("""
         SELECT vec_id,
                size(embedding) AS dim,
                round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS first_val,
                round(CAST(array_max(embedding) AS DOUBLE), 4) AS max_val,
                round(CAST(array_min(embedding) AS DOUBLE), 4) AS min_val,
-               round(CAST(element_at(array_sort(embedding), 32) AS DOUBLE), 4) AS med_lo
-        FROM af_emb WHERE vec_id < 50 ORDER BY vec_id""")
+               round(CAST(element_at(array_sort(embedding), 32) AS DOUBLE), 4) AS med_lo,
+               list_position(array(CAST(vec_id AS DOUBLE), CAST(7 AS DOUBLE)), CAST(7 AS DOUBLE)) AS pos_found,
+               list_unique(array(label, label, NULL)) AS n_uniq
+        FROM af_emb WHERE vec_id < 50 ORDER BY vec_id"""))
     }),
 
     "q58_recursive_cte" -> ((s, d) => {
@@ -1028,7 +1033,9 @@ object CoreSql {
              round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
              round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
              round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
-             round(CAST(list_sort(embedding)[32] AS DOUBLE), 4) AS med_lo
+             round(CAST(list_sort(embedding)[32] AS DOUBLE), 4) AS med_lo,
+             CAST(list_position([CAST(vec_id AS DOUBLE), CAST(7 AS DOUBLE)], CAST(7 AS DOUBLE)) AS BIGINT) AS pos_found,
+             CAST(list_unique([label, label, NULL]) AS INTEGER) AS n_uniq
       FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
 
     "q58_recursive_cte" -> """

@@ -554,15 +554,45 @@ object Dialect {
     "list_reverse" -> "reverse", "array_length" -> "size",
     // DuckDB regexp_matches(s, p) ≡ Spark rlike(s, p) (2-arg form)
     "regexp_matches" -> "rlike",
+    // verified exact vs DuckDB incl. edges (found→1-based, missing→0,
+    // NULL list→NULL, NULL element→NULL)
+    "list_position" -> "array_position", "list_indexof" -> "array_position",
     // DuckDB to_timestamp(double) is epoch-seconds → timestamp; the
     // dialect is DuckDB's, so the Spark string-parsing to_timestamp is
     // intentionally shadowed inside rewritten statements
     "to_timestamp" -> "timestamp_seconds")
-  // NOT renamed (semantics differ): list_position/list_indexof (NULL vs 0
-  // when missing), list_slice (end-index vs length), list_unique (count,
-  // not dedup), list_prepend (argument order is (elem, list) vs Spark's
-  // (array, elem)), list_append/list_concat (DuckDB treats a NULL list
-  // as empty; Spark returns NULL)
+  // NOT renamed (semantics differ, verified in DuckDB): list_slice
+  // (1-based inclusive end + negative-index clamping vs Spark's
+  // (start, length)), list_prepend/list_append/list_concat (DuckDB
+  // treats a NULL list as empty — list_prepend(0, NULL) = [0]; Spark
+  // returns NULL). Loud analysis failure beats a silent off-by-one.
+  // list_unique is handled by rewriteListUnique (count of distinct
+  // non-NULL elements, NULL list → NULL — verified both engines).
+
+  /** DuckDB `list_unique(l)` (count of distinct non-NULL elements) →
+    * `size(filter(array_distinct(l), __lu -> __lu IS NOT NULL))`.
+    * Verified vs DuckDB: [1,1,2,NULL,NULL] → 2, NULL → NULL in both.
+    * The fresh lambda variable cannot capture user identifiers. */
+  def rewriteListUnique(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("list_unique")) {
+        val lp = nextNonWs(toks, i + 1)
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          val close = matchParen(toks, lp)
+          if (close > lp) {
+            val inner = render(toks.slice(lp + 1, close)).trim
+            return rewriteListUnique(render(toks.take(i)) +
+              s"size(filter(array_distinct($inner), __lu -> __lu IS NOT NULL))" +
+              render(toks.drop(close + 1)))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
 
   def rewriteFunctionNames(sql: String): String = {
     val toks = tokenize(sql)
@@ -1129,6 +1159,7 @@ object Dialect {
     s = rewriteCountStar(s)
     s = rewriteCatalogTableFns(s)
     s = rewriteBoxplotInfo(s)
+    s = rewriteListUnique(s)
     s = rewriteFunctionNames(s)
     s = rewriteStrftime(s)
     s = rewriteTrailingComma(s)

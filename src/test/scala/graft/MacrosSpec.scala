@@ -128,6 +128,18 @@ class MacrosSpec extends AnyFunSuite {
       """CREATE TEMP MACRO nums(n) AS TABLE SELECT * FROM range(n);
         |SELECT count(*) AS c FROM nums(5) AS t;""".stripMargin)
     assert(r.sections.head.queries.head.rows.head.head == 5)
+    // and without an alias (Spark 4 supports unaliased derived tables)
+    val r2 = Dashboard.run(spark,
+      """CREATE TEMP MACRO nums(n) AS TABLE SELECT * FROM range(n);
+        |SELECT count(*) AS c FROM nums(7);""".stripMargin)
+    assert(r2.sections.head.queries.head.rows.head.head == 7)
+  }
+
+  test("VALUES-with-PIVOT dashboard executes (the __v alias lands before the clause)") {
+    val r = Dashboard.run(spark,
+      "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'a')) PIVOT (count(*) AS n FOR col1 IN ('a', 'b'));")
+    val q = r.sections.head.queries.head
+    assert(q.rows.length == 3) // one row per col0 value
   }
 
   test("macro applies inside SET VARIABLE and CREATE TEMP VIEW bodies") {

@@ -278,6 +278,16 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT t.* EXCEPT (id), id * 2 AS id FROM t")
   }
 
+  test("list_position/list_indexof rename + list_unique expansion (edge-verified vs DuckDB)") {
+    assert(Dialect.rewriteFunctionNames("SELECT list_position(l, 2), list_indexof(l, 3)")
+      == "SELECT array_position(l, 2), array_position(l, 3)")
+    assert(Dialect.rewriteListUnique("SELECT list_unique(tags) AS n FROM t")
+      == "SELECT size(filter(array_distinct(tags), __lu -> __lu IS NOT NULL)) AS n FROM t")
+    // nested call args survive
+    assert(Dialect.rewriteListUnique("SELECT list_unique(split(s, ','))")
+      == "SELECT size(filter(array_distinct(split(s, ',')), __lu -> __lu IS NOT NULL))")
+  }
+
   test("DuckDB struct / MAP literals -> named_struct / map (custom_types.go:106-125 shape)") {
     assert(Dialect.rewriteStructLiterals("SELECT {'a': 1, 'b': 'x'} AS s")
       == "SELECT named_struct('a', 1, 'b', 'x') AS s")
