@@ -557,17 +557,22 @@ object Dialect {
     // verified exact vs DuckDB incl. edges (found→1-based, missing→0,
     // NULL list→NULL, NULL element→NULL)
     "list_position" -> "array_position", "list_indexof" -> "array_position",
+    // BIGINT epoch milliseconds in both engines (verified); plain
+    // epoch() stays unmapped — DuckDB returns fractional DOUBLE
+    // seconds, Spark's unix_timestamp truncates to LONG.
+    // date_diff stays unmapped too: DuckDB counts part-boundary
+    // crossings, Spark's timestampdiff counts full intervals.
+    "epoch_ms" -> "unix_millis",
     // DuckDB to_timestamp(double) is epoch-seconds → timestamp; the
     // dialect is DuckDB's, so the Spark string-parsing to_timestamp is
     // intentionally shadowed inside rewritten statements
     "to_timestamp" -> "timestamp_seconds")
-  // NOT renamed (semantics differ, verified in DuckDB): list_slice
-  // (1-based inclusive end + negative-index clamping vs Spark's
-  // (start, length)), list_prepend/list_append/list_concat (DuckDB
-  // treats a NULL list as empty — list_prepend(0, NULL) = [0]; Spark
-  // returns NULL). Loud analysis failure beats a silent off-by-one.
-  // list_unique is handled by rewriteListUnique (count of distinct
-  // non-NULL elements, NULL list → NULL — verified both engines).
+  // NOT renamed (semantics differ, verified in DuckDB):
+  // list_prepend/list_append/list_concat (DuckDB treats a NULL list as
+  // empty — list_prepend(0, NULL) = [0]; Spark returns NULL). Loud
+  // analysis failure beats a silent divergence. list_unique and the
+  // 3-arg list_slice are handled by their edge-verified expression
+  // rewrites below.
 
   /** DuckDB `list_unique(l)` (count of distinct non-NULL elements) →
     * `size(filter(array_distinct(l), __lu -> __lu IS NOT NULL))`.
@@ -586,6 +591,56 @@ object Dialect {
             return rewriteListUnique(render(toks.take(i)) +
               s"size(filter(array_distinct($inner), __lu -> __lu IS NOT NULL))" +
               render(toks.drop(close + 1)))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** DuckDB `list_slice(l, a, b)` (1-based INCLUSIVE end, negative
+    * indices from the end, out-of-range clamped, NULL anywhere → NULL)
+    * → a Spark `slice(l, start, length)` expression. Every edge
+    * verified value-exact against DuckDB: (2,4)→[2,3,4], (2,-1)→tail,
+    * (-3,-2), (0,2) clamps to 1, (4,2)→[], (2,99)/( -99,2) clamp,
+    * NULL list/index → NULL (the explicit CASE — Spark's greatest()
+    * skips NULLs instead of propagating). The 4-arg step form is left
+    * untouched (loud failure). */
+  def rewriteListSlice(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("list_slice")) {
+        val lp = nextNonWs(toks, i + 1)
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          val close = matchParen(toks, lp)
+          if (close > lp) {
+            val parts = {
+              val acc = Vector.newBuilder[String]
+              var cur = Vector.newBuilder[Tok]
+              var d = 0
+              toks.slice(lp + 1, close).foreach { t =>
+                t.kind match {
+                  case TLParen | TLBracket => d += 1; cur += t
+                  case TRParen | TRBracket => d -= 1; cur += t
+                  case TOther if t.text == "," && d == 0 =>
+                    acc += render(cur.result()).trim; cur = Vector.newBuilder[Tok]
+                  case _ => cur += t
+                }
+              }
+              acc += render(cur.result()).trim
+              acc.result()
+            }
+            if (parts.length == 3) {
+              val Seq(l, a, b) = parts.toSeq
+              val start = s"CASE WHEN ($a) < 0 THEN greatest(size($l) + ($a) + 1, 1) ELSE greatest(($a), 1) END"
+              val end = s"CASE WHEN ($b) < 0 THEN size($l) + ($b) + 1 ELSE least(($b), size($l)) END"
+              val replaced = s"CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN NULL " +
+                s"ELSE slice($l, $start, greatest(($end) - ($start) + 1, 0)) END"
+              return rewriteListSlice(
+                render(toks.take(i)) + replaced + render(toks.drop(close + 1)))
+            }
           }
         }
       }
@@ -1160,6 +1215,7 @@ object Dialect {
     s = rewriteCatalogTableFns(s)
     s = rewriteBoxplotInfo(s)
     s = rewriteListUnique(s)
+    s = rewriteListSlice(s)
     s = rewriteFunctionNames(s)
     s = rewriteStrftime(s)
     s = rewriteTrailingComma(s)

@@ -302,6 +302,28 @@ class DashboardSpec extends AnyFunSuite {
       Map("label" -> "big", "src" -> "test"))
   }
 
+  test("list_slice parity with DuckDB on every verified edge") {
+    val r = Dashboard.run(spark,
+      """SELECT list_slice([1, 2, 3, 4, 5], 2, 4) AS a,
+        |       list_slice([1, 2, 3, 4, 5], 2, -1) AS b,
+        |       list_slice([1, 2, 3, 4, 5], -3, -2) AS c,
+        |       list_slice([1, 2, 3, 4, 5], 0, 2) AS d,
+        |       list_slice([1, 2, 3, 4, 5], 4, 2) AS e,
+        |       list_slice([1, 2, 3, 4, 5], 2, 99) AS f,
+        |       list_slice([1, 2, 3, 4, 5], -99, 2) AS g,
+        |       list_slice([1, 2, 3], CAST(NULL AS INT), 2) AS h""".stripMargin)
+    val row = r.sections.head.queries.head.rows.head
+    def seq(v: Any) = v.asInstanceOf[scala.collection.Seq[Any]].toSeq
+    assert(seq(row(0)) == Seq(2, 3, 4))      // inclusive end
+    assert(seq(row(1)) == Seq(2, 3, 4, 5))   // -1 = last
+    assert(seq(row(2)) == Seq(3, 4))         // both negative
+    assert(seq(row(3)) == Seq(1, 2))         // 0 clamps to 1
+    assert(seq(row(4)) == Seq())             // start > end
+    assert(seq(row(5)) == Seq(2, 3, 4, 5))   // end clamped
+    assert(seq(row(6)) == Seq(1, 2))         // start clamped
+    assert(row(7) == null)                   // NULL index propagates
+  }
+
   test("row cap truncates at 3000 (+1 sentinel row, get_dashboard.go:2231-2242)") {
     val r = Dashboard.run(spark,
       "SELECT * FROM (SELECT explode(sequence(1, 5000)) AS v)")

@@ -286,6 +286,12 @@ class SqlFrontSpec extends AnyFunSuite {
     // nested call args survive
     assert(Dialect.rewriteListUnique("SELECT list_unique(split(s, ','))")
       == "SELECT size(filter(array_distinct(split(s, ',')), __lu -> __lu IS NOT NULL))")
+    // epoch_ms: BIGINT milliseconds in both engines (verified)
+    assert(Dialect.rewriteFunctionNames("SELECT epoch_ms(ts) FROM t")
+      == "SELECT unix_millis(ts) FROM t")
+    // not a call → untouched
+    assert(Dialect.rewriteFunctionNames("SELECT epoch_ms FROM t")
+      == "SELECT epoch_ms FROM t")
   }
 
   test("DuckDB struct / MAP literals -> named_struct / map (custom_types.go:106-125 shape)") {
