@@ -30,6 +30,19 @@ class DownloadSpec extends AnyFunSuite {
     assert(lines(1) == "alpha,42") // dropdown default replayed into the var
   }
 
+  test("macro defined before the download target expands in the replay AND the target") {
+    val content =
+      """CREATE TEMP MACRO tag(x) AS 'v:' || x;
+        |SELECT 'm.csv'::DOWNLOAD_CSV AS dl;
+        |SELECT tag('a') AS t, 7 AS n;""".stripMargin
+    val w = new StringWriter
+    val r = Download.run(spark, content, "csv", w)
+    assert(r.isRight, r)
+    val lines = w.toString.split("\n")
+    assert(lines(0) == "t,n")
+    assert(lines(1) == "v:a,7")
+  }
+
   test("URL param (valid option) overrides dropdown default in download") {
     val content =
       """SELECT 'alpha'::DROPDOWN AS flavor UNION ALL SELECT 'beta'::DROPDOWN;
