@@ -66,6 +66,9 @@ object Tables {
       if (cached != null) spark.read.schema(cached).parquet(path)
       else {
         val d = spark.read.parquet(path)
+        // superseded signatures for this path are dead — evict them so
+        // repeated rewrites keep exactly one live entry per path
+        schemaCache.keySet.removeIf(k => k.startsWith(path + "@") && k != key)
         schemaCache.put(key, d.schema)
         d
       }

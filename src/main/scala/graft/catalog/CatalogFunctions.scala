@@ -53,10 +53,15 @@ object CatalogFunctions {
 
     val all = dbs.flatMap { db =>
       spark.catalog.listTables(db).collect().toSeq.map(t => (db, t))
-    }.distinct
-    // temp views are global to the session listing — dedup by name
+    }
+    // temp views repeat in every per-db listing — dedup those by bare
+    // name; persistent tables are distinct per (db, name), so two
+    // same-named tables in different databases both survive
     val seen = scala.collection.mutable.Set.empty[String]
-    val entries = all.filter { case (_, t) => seen.add(t.name) }
+    val entries = all.filter { case (db, t) =>
+      val key = (if (t.tableType == "TEMPORARY") "" else db) + ":" + t.name
+      seen.add(key)
+    }
 
     val (viewish, tabley) = entries.partition { case (_, t) =>
       t.tableType == "VIEW" || t.tableType == "TEMPORARY"

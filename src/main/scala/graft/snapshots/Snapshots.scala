@@ -90,11 +90,17 @@ final class SnapshotService(
   def restoreLatest(): Seq[String] =
     latest().map(Snapshots.restore(spark, _)).getOrElse(Nil)
 
-  /** Start the daily timer; reschedules itself after each fire. */
+  /** Start the daily timer; reschedules itself after each fire — also
+    * after a FAILED fire (a transient FS error must not kill the chain;
+    * the executor would otherwise swallow the throwable silently). */
   def start(): Unit = {
     val at = nextRunMillis()
     exec.schedule(new Runnable {
-      def run(): Unit = { runOnce(at); start() }
+      def run(): Unit =
+        try runOnce(at)
+        catch { case e: Exception =>
+          System.err.println(s"[snapshots] run at $at failed: ${e.getMessage}")
+        } finally start()
     }, math.max(0L, at - nowMillis()), java.util.concurrent.TimeUnit.MILLISECONDS)
     ()
   }

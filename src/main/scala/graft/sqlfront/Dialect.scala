@@ -360,17 +360,18 @@ object Dialect {
     var i = 0
     while (i < toks.length) {
       if (toks(i).kind == TOther && toks(i).text == "{") {
-        // innermost: matching close with no nested '{' inside
+        // innermost-first: stop at the matching close OR the first
+        // nested '{' — whichever comes first — and descend if nested
         var close = -1
+        var nested = -1
         var j = i + 1
-        var nested = false
-        while (j < toks.length && close < 0) {
+        while (j < toks.length && close < 0 && nested < 0) {
           val t = toks(j)
-          if (t.kind == TOther && t.text == "{") { nested = true; close = -2 }
+          if (t.kind == TOther && t.text == "{") nested = j
           else if (t.kind == TOther && t.text == "}") close = j
           j += 1
         }
-        if (close == -2) { i = j - 1 } // descend into the nested brace
+        if (nested >= 0) { i = nested - 1 } // descend; loop re-enters at the inner '{'
         else if (close > i) {
           val inner = toks.slice(i + 1, close)
           // split top-level commas (only parens/brackets can nest here)

@@ -146,10 +146,12 @@ object Macros {
 
   private val MaxDepth = 16
 
-  /** Expand all macro call sites in a statement, innermost calls first
-    * (argument text is substituted verbatim, so nested calls expand on
-    * the re-scan). Throws on arity/unknown-parameter errors — loud, like
-    * DuckDB's binder. */
+  /** Expand all macro call sites in a statement. One pass expands every
+    * call site left-to-right WITHOUT re-scanning the substituted text,
+    * so the depth cap counts nesting LEVELS (macro bodies calling
+    * macros), never sibling calls — a statement applying one macro to
+    * hundreds of columns is one pass. Throws on arity/unknown-parameter
+    * errors — loud, like DuckDB's binder. */
   def expand(sql: String, store: MacroStore): String = {
     if (store.isEmpty) return sql
     var s = sql
@@ -166,11 +168,16 @@ object Macros {
     s
   }
 
+  /** One level: expand each call site, continuing AFTER the expansion
+    * (nested calls inside substituted bodies wait for the next level). */
   private def expandOnce(sql: String, store: MacroStore): String = {
     val toks = Dialect.tokenize(sql)
+    val sb = new StringBuilder
     var i = 0
+    var changedAny = false
     while (i < toks.length) {
       val t = toks(i)
+      var consumed = false
       if (t.kind == TWord) {
         store.get(t.text) match {
           case Some(dfn) =>
@@ -182,25 +189,28 @@ object Macros {
               if (close > lp) {
                 val args = splitTopLevel(toks.slice(lp + 1, close)).filter(_.nonEmpty)
                 val bound = bindArgs(dfn, args)
-                val expanded = substituteParams(dfn.body, bound)
-                return Dialect.render(toks.take(i)) + "(" + expanded + ")" +
-                  Dialect.render(toks.drop(close + 1))
+                sb.append("(").append(substituteParams(dfn.body, bound)).append(")")
+                i = close + 1
+                consumed = true
+                changedAny = true
               }
             }
           case None => ()
         }
       }
-      i += 1
+      if (!consumed) { sb.append(t.text); i += 1 }
     }
-    sql
+    if (changedAny) sb.toString else sql
   }
 
   /** Positional args fill parameters in order; `name := value` args bind
-    * by name; defaults fill the rest (DuckDB: defaulted parameters are
-    * named-only at call sites). */
+    * by name; defaults fill the rest. Like DuckDB's binder, positional
+    * arguments after a named argument and double-bound parameters are
+    * errors, never silent drops. */
   private def bindArgs(dfn: MacroDef, args: Vector[Vector[Tok]]): Map[String, String] = {
     val bound = mutable.LinkedHashMap.empty[String, String]
     val positional = Vector.newBuilder[String]
+    var seenNamed = false
     args.foreach { arg =>
       val named = arg.length >= 3 && arg.head.kind == TWord && {
         val r = arg.drop(1).dropWhile(_.kind == TWs)
@@ -208,23 +218,38 @@ object Macros {
           r(1).kind == TOther && r(1).text == "="
       }
       if (named) {
+        seenNamed = true
         val name = arg.head.text
         val value = Dialect.render(
           arg.drop(1).dropWhile(_.kind == TWs).drop(2)).trim
-        if (!dfn.params.exists(_.name.equalsIgnoreCase(name)))
+        val param = dfn.params.find(_.name.equalsIgnoreCase(name)).getOrElse(
           throw new IllegalArgumentException(
-            s"macro ${dfn.name}: unknown parameter '$name'")
-        bound(dfn.params.find(_.name.equalsIgnoreCase(name)).get.name) = value
-      } else positional += Dialect.render(arg).trim
+            s"macro ${dfn.name}: unknown parameter '$name'"))
+        if (bound.contains(param.name))
+          throw new IllegalArgumentException(
+            s"macro ${dfn.name}: parameter '${param.name}' bound twice")
+        bound(param.name) = value
+      } else {
+        if (seenNamed)
+          throw new IllegalArgumentException(
+            s"macro ${dfn.name}: positional argument after named argument")
+        positional += Dialect.render(arg).trim
+      }
     }
     val pos = positional.result()
     if (pos.length > dfn.params.length)
       throw new IllegalArgumentException(
         s"macro ${dfn.name} expects at most ${dfn.params.length} arguments, got ${pos.length}")
-    dfn.params.zipWithIndex.foreach { case (param, idx) =>
+    pos.zipWithIndex.foreach { case (v, idx) =>
+      val param = dfn.params(idx)
+      if (bound.contains(param.name))
+        throw new IllegalArgumentException(
+          s"macro ${dfn.name}: parameter '${param.name}' bound twice")
+      bound(param.name) = v
+    }
+    dfn.params.foreach { param =>
       if (!bound.contains(param.name)) {
-        if (idx < pos.length) bound(param.name) = pos(idx)
-        else param.default match {
+        param.default match {
           case Some(d) => bound(param.name) = d
           case None => throw new IllegalArgumentException(
             s"macro ${dfn.name}: missing argument for parameter '${param.name}'")

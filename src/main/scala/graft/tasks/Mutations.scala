@@ -220,5 +220,7 @@ object Mutations {
     }
     fs.delete(old, true)
     spark.catalog.refreshTable(table)
+    // a rewritten location invalidates any file-schema cache entry
+    graft.Tables.invalidate(loc.toString)
   }
 }

@@ -168,9 +168,12 @@ object Tasks {
         } else {
           val start = System.nanoTime()
           try {
-            if (graft.catalog.CatalogFunctions.referenced(sqlString))
+            // expand macros FIRST: a duckdb_* reference hidden inside a
+            // macro body must still trigger the catalog refresh
+            val expanded = Macros.expand(sqlString, macros)
+            if (graft.catalog.CatalogFunctions.referenced(expanded))
               graft.catalog.CatalogFunctions.refresh(spark)
-            val df = spark.sql(Dialect.rewrite(Macros.expand(sqlString, macros)))
+            val df = spark.sql(Dialect.rewrite(expanded))
             val schema = df.schema.fields.toSeq
             val rows = df.limit(3001).collect().toSeq
             val duration = (System.nanoTime() - start) / 1000000

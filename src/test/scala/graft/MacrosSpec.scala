@@ -97,6 +97,27 @@ class MacrosSpec extends AnyFunSuite {
     }.getMessage.contains("at most"))
   }
 
+  test("many sibling call sites expand in one level — never hit the recursion cap (review r3)") {
+    val s = storeOf("CREATE TEMP MACRO clamp(x) AS least(greatest(x, 0), 1)")
+    val calls = (1 to 40).map(i => s"clamp(c$i)").mkString(", ")
+    val out = Macros.expand(s"SELECT $calls FROM t", s)
+    assert(out.contains("least(greatest((c40), 0), 1)"))
+    assert(!out.contains("clamp("))
+  }
+
+  test("positional after named and double binding error like DuckDB's binder (review r3)") {
+    val s = storeOf("CREATE TEMP MACRO f(a, b := 2) AS a + b")
+    assert(intercept[IllegalArgumentException] {
+      Macros.expand("SELECT f(a := 1, 5)", s)
+    }.getMessage.contains("positional argument after named"))
+    assert(intercept[IllegalArgumentException] {
+      Macros.expand("SELECT f(5, a := 1)", s)
+    }.getMessage.contains("bound twice"))
+    assert(intercept[IllegalArgumentException] {
+      Macros.expand("SELECT f(a := 1, a := 2)", s)
+    }.getMessage.contains("bound twice"))
+  }
+
   test("macros calling macros expand; direct recursion is depth-capped") {
     val s = storeOf(
       "CREATE TEMP MACRO inc(x) AS x + 1",

@@ -306,6 +306,12 @@ class SqlFrontSpec extends AnyFunSuite {
     // nested structs resolve innermost-first
     assert(Dialect.rewriteStructLiterals("SELECT {'o': {'i': 1}}")
       == "SELECT named_struct('o', named_struct('i', 1))")
+    // a key FOLLOWING a nested struct value must survive (review r3: the
+    // outer brace used to pair with the inner close brace)
+    assert(Dialect.rewriteStructLiterals("SELECT {a: {b: 1}, c: 2}")
+      == "SELECT named_struct('a', named_struct('b', 1), 'c', 2)")
+    assert(Dialect.rewriteStructLiterals("SELECT {a: MAP {'k': 1}, c: {d: 2}}")
+      == "SELECT named_struct('a', map('k', 1), 'c', named_struct('d', 2))")
     // the reference macro's trailing comma inside the braces
     assert(Dialect.rewriteStructLiterals("SELECT { 'q3': quantile(v, 0.75), }")
       == "SELECT named_struct('q3', quantile(v, 0.75))")
