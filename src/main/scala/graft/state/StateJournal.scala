@@ -252,6 +252,66 @@ object StateJournal {
   }
 
   val ConsumerName = "internal_shaper_state_consumer" // (state.go:18)
+  val TaskResultsConsumerName = "internal_task_results_consumer" // (state.go:19)
+
+  /** Last run per task (the reference's task_runs row, upserted with
+    * ON CONFLICT(task_id) DO UPDATE — last write wins). */
+  final case class TaskRunMeta(taskId: String, startedAtMillis: Long,
+      success: Boolean, totalDurationMs: Long, nextRunAtMillis: Option[Long],
+      nextRunType: String)
+
+  /** The task-results stream: a SECOND journal consumer with its own
+    * checkpoint, like the reference's separate JetStream consumer for
+    * publishTaskRunResult → trackTaskRun (schedule_task.go:176-295).
+    * Events are idempotent last-write-per-task upserts. */
+  final class TaskRunLog(dir: String) {
+    val journal = new Journal(dir)
+    val runs: mutable.LinkedHashMap[String, TaskRunMeta] = mutable.LinkedHashMap.empty
+
+    private def applyEvent(payload: JObject): Boolean = {
+      val taskId = str(payload, "taskId")
+      if (taskId.isEmpty) return false
+      runs(taskId) = TaskRunMeta(taskId,
+        millis(payload, "startedAt"),
+        payload.map.get("success").collect { case JBool(b) => b }.getOrElse(false),
+        payload.map.get("totalDurationMs").collect { case JNumber(n) => n.toLong }.getOrElse(0L),
+        payload.map.get("nextRunAt").collect { case JNumber(n) => n.toLong },
+        str(payload, "nextRunType"))
+      true
+    }
+
+    def boot(): Int = {
+      val from = journal.consumerSeq(TaskResultsConsumerName)
+      var applied = 0
+      journal.read(from).foreach { e =>
+        if (e.event == "task_run_result" && applyEvent(e.payload)) {
+          journal.checkpoint(TaskResultsConsumerName, e.seq)
+          applied += 1
+        }
+      }
+      applied
+    }
+
+    /** (ref: publishTaskRunResult payload, schedule_task.go:18-25) */
+    def publish(taskId: String, startedAtMillis: Long, success: Boolean,
+        totalDurationMs: Long, nextRunAtMillis: Option[Long],
+        nextRunType: String): Unit = {
+      val m = graft.render.Model
+      val fields = Seq.newBuilder[String]
+      fields += "\"taskId\":" + m.jsonValue(taskId)
+      fields += "\"startedAt\":" + startedAtMillis
+      fields += "\"success\":" + success
+      fields += "\"totalDurationMs\":" + totalDurationMs
+      nextRunAtMillis.foreach(t => fields += "\"nextRunAt\":" + t)
+      if (nextRunType.nonEmpty) fields += "\"nextRunType\":" + m.jsonValue(nextRunType)
+      val json = fields.result().mkString("{", ",", "}")
+      val seq = journal.append("task_run_result", json)
+      if (applyEvent(SchemaInfer.parseOrdered(json)))
+        journal.checkpoint(TaskResultsConsumerName, seq)
+    }
+
+    def lastRun(taskId: String): Option[TaskRunMeta] = runs.get(taskId)
+  }
 
   /** Journal + store + checkpointed apply loop — the reference's
     * SubmitState → HandleState round trip, single-process. */

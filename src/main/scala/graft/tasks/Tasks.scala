@@ -286,17 +286,30 @@ final class TaskWorkQueue {
 
 /** One logical executor node sharing the work queue. */
 final class TaskNode(val nodeId: String, spark: SparkSession, queue: TaskWorkQueue,
-    prepare: SparkSession => Unit = _ => ()) {
+    prepare: SparkSession => Unit = _ => (),
+    /** When set, executed runs publish their result payload — the
+      * reference's publishTaskRunResult → task_runs upsert
+      * (schedule_task.go:284-295). */
+    runLog: Option[graft.state.StateJournal.TaskRunLog] = None) {
   /** Fire a scheduled run on this node: `all`/`init` always execute
     * locally (runAll); `single` executes only on the claim winner
     * (HandleTask). Returns None when another node owns the run. */
   def fire(taskId: String, content: String, runAtMillis: Long,
-      scheduleType: String): Option[Tasks.TaskResult] = scheduleType match {
-    case "all" | "init" =>
-      Some(Tasks.executeTask(spark, content, prepare = prepare))
-    case _ =>
-      if (queue.tryClaim(taskId, runAtMillis))
+      scheduleType: String): Option[Tasks.TaskResult] = {
+    val result = scheduleType match {
+      case "all" | "init" =>
         Some(Tasks.executeTask(spark, content, prepare = prepare))
-      else None
+      case _ =>
+        if (queue.tryClaim(taskId, runAtMillis))
+          Some(Tasks.executeTask(spark, content, prepare = prepare))
+        else None
+    }
+    result.foreach { r =>
+      runLog.foreach(_.publish(taskId, r.startedAt, r.success,
+        r.queries.map(_.durationMs).sum,
+        if (r.nextRunAt > 0) Some(r.nextRunAt) else None,
+        if (r.scheduleType.isEmpty) "single" else r.scheduleType))
+    }
+    result
   }
 }

@@ -80,6 +80,27 @@ class StateSpec extends AnyFunSuite {
     assert(app.store.tokens.getApiKey("k1").isEmpty)
   }
 
+  test("task run results flow through their own journal consumer and survive restart") {
+    val dir = freshDir()
+    val log = new StateJournal.TaskRunLog(dir)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val queue = new graft.tasks.TaskWorkQueue
+    val node = new graft.tasks.TaskNode("n1", spark, queue, runLog = Some(log))
+    val r = node.fire("t1", "SELECT 1 AS x;", 1000L, "single")
+    assert(r.isDefined)
+    assert(log.lastRun("t1").exists(_.success))
+    // a losing node publishes nothing
+    val node2 = new graft.tasks.TaskNode("n2", spark, queue, runLog = Some(log))
+    assert(node2.fire("t1", "SELECT 1 AS x;", 1000L, "single").isEmpty)
+    // restart: fresh log over the same journal replays the history
+    val log2 = new StateJournal.TaskRunLog(dir)
+    assert(log2.boot() == 0) // checkpoint already advanced by the writer
+    log2.journal.checkpoint(StateJournal.TaskResultsConsumerName, 0)
+    assert(log2.boot() == 1)
+    assert(log2.lastRun("t1").exists(m => m.success && m.nextRunType == "single"))
+  }
+
   test("unknown event is not acked (state.go:37-40)") {
     val app = new StateApp(freshDir())
     assert(!app.submit("explode_everything", """{"id": "x"}"""))
