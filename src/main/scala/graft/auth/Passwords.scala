@@ -1,0 +1,71 @@
+package graft.auth
+
+import java.nio.charset.StandardCharsets
+import java.security.SecureRandom
+import java.util.Base64
+import javax.crypto.SecretKeyFactory
+import javax.crypto.spec.PBEKeySpec
+
+/** Password hashing for user login and password-protected dashboards
+  * (ref: core/users.go:63, edit_dashboard.go:242-276 — the reference
+  * uses bcrypt at DefaultCost). DOCUMENTED DIVERGENCE: bcrypt is not
+  * available on the Spark classpath, so the KDF here is PBKDF2-HMAC-
+  * SHA256 at 100k iterations with a 16-byte salt — the same contract
+  * (slow, salted, one-way, constant-time verify, self-describing hash
+  * string), a different algorithm. The modular format
+  * `pbkdf2-sha256$<iters>$<salt-b64>$<dk-b64>` keeps iteration counts
+  * upgradable without invalidating stored hashes.
+  */
+object Passwords {
+
+  private val DefaultIterations = 100000
+  private val KeyBits = 256
+
+  def hash(password: String,
+      random: SecureRandom = new SecureRandom(),
+      iterations: Int = DefaultIterations): String = {
+    val salt = new Array[Byte](16)
+    random.nextBytes(salt)
+    val dk = derive(password, salt, iterations)
+    "pbkdf2-sha256$" + iterations + "$" +
+      Base64.getEncoder.encodeToString(salt) + "$" +
+      Base64.getEncoder.encodeToString(dk)
+  }
+
+  def verify(password: String, stored: String): Boolean =
+    stored.split("\\$", -1) match {
+      case Array("pbkdf2-sha256", iters, saltB64, dkB64) =>
+        try {
+          val salt = Base64.getDecoder.decode(saltB64)
+          val expected = Base64.getDecoder.decode(dkB64)
+          val dk = derive(password, salt, iters.toInt)
+          java.security.MessageDigest.isEqual(dk, expected)
+        } catch { case _: Exception => false }
+      case _ => false
+    }
+
+  private def derive(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
+    val spec = new PBEKeySpec(password.toCharArray, salt, iterations, KeyBits)
+    try SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+    finally spec.clearPassword()
+  }
+
+  /** Login flow (ref: core/auth.go:215-237): case-folded trimmed email
+    * lookup, password verify against the stored hash, then a fresh
+    * session token. The password table is injected (the reference reads
+    * users.password_hash from SQLite). */
+  def login(store: Tokens.TokenStore, passwordHashByUserId: String => Option[String],
+      emailToUserId: String => Option[String], email: String,
+      password: String): Either[String, String] = {
+    val normalized = email.trim.toLowerCase
+    emailToUserId(normalized) match {
+      case None => Left("error finding user")
+      case Some(userId) =>
+        passwordHashByUserId(userId) match {
+          case Some(h) if verify(password, h) => Right(store.createSessionForUser(userId))
+          case _ => Left("invalid password")
+        }
+    }
+  }
+}

@@ -30,7 +30,8 @@ object StateJournal {
 
   final case class DashboardMeta(id: String, name: String, content: String,
       folderId: Option[String], visibility: Option[String],
-      createdAtMillis: Long, createdBy: String)
+      createdAtMillis: Long, createdBy: String,
+      passwordHash: Option[String] = None)
   final case class TaskMeta(id: String, name: String, content: String,
       folderId: Option[String], createdAtMillis: Long, createdBy: String)
   final case class FolderMeta(id: String, name: String, parentId: Option[String])
@@ -83,6 +84,11 @@ object StateJournal {
       case "update_dashboard_visibility" =>
         dashboards.get(str(payload, "id")).foreach(d =>
           dashboards(d.id) = d.copy(visibility = strOpt(payload, "visibility")))
+        true
+      case "update_dashboard_password" =>
+        dashboards.get(str(payload, "id")).foreach(d =>
+          dashboards(d.id) = d.copy(
+            passwordHash = strOpt(payload, "passwordHash").filter(_.nonEmpty)))
         true
       case "delete_dashboard" =>
         dashboards.remove(str(payload, "id")); true
@@ -170,6 +176,42 @@ object StateJournal {
       case "delete_session" =>
         tokens.logout(str(payload, "id")); true
       case _ => false // unknown subject: not acked (state.go:37-40)
+    }
+
+    /** (ref: VerifyDashboardPassword, edit_dashboard.go:259-280):
+      * Left = not found / no password set; Right(bool) = match. */
+    def verifyDashboardPassword(id: String, password: String): Either[String, Boolean] =
+      dashboards.get(id).flatMap(_.passwordHash) match {
+        case None => Left("dashboard not found")
+        case Some(h) => Right(graft.auth.Passwords.verify(password, h))
+      }
+
+    /** The PublicAuth decision + mint (ref: handler/auth.go:234-300):
+      * private/unshared → not found; password-protected requires a
+      * verified password; success mints a {exp, dashboardId,
+      * public: visibility} token. */
+    def publicAuth(dashboardId: String, password: Option[String], secret: String,
+        noPublicSharing: Boolean = false, noPasswordSharing: Boolean = false,
+        nowSeconds: Long = System.currentTimeMillis() / 1000): Either[String, String] = {
+      val d = dashboards.get(dashboardId).getOrElse(return Left("not found"))
+      d.visibility match {
+        case None | Some("private") => Left("not found")
+        case Some("public") if noPublicSharing => Left("not found")
+        case Some("password-protected") if noPasswordSharing => Left("not found")
+        case Some("password-protected") =>
+          password match {
+            case None | Some("") => Left("Password required")
+            case Some(pw) => verifyDashboardPassword(dashboardId, pw) match {
+              case Right(true) => Right(graft.auth.Auth.mintPublicToken(
+                dashboardId, "password-protected", secret, nowSeconds))
+              case Right(false) => Left("Invalid password")
+              case Left(e) => Left(e)
+            }
+          }
+        case Some("public") => Right(graft.auth.Auth.mintPublicToken(
+          dashboardId, "public", secret, nowSeconds))
+        case Some(_) => Left("not found")
+      }
     }
   }
 

@@ -80,6 +80,57 @@ class StateSpec extends AnyFunSuite {
     assert(app.store.tokens.getApiKey("k1").isEmpty)
   }
 
+  test("password hashing: salted, self-describing, constant-time verify (users.go:63 contract)") {
+    import graft.auth.Passwords
+    val rnd = new java.security.SecureRandom(Array[Byte](42))
+    val h1 = Passwords.hash("s3cret", rnd, iterations = 1000)
+    val h2 = Passwords.hash("s3cret", rnd, iterations = 1000)
+    assert(h1 != h2) // per-hash salt
+    assert(h1.startsWith("pbkdf2-sha256$1000$"))
+    assert(Passwords.verify("s3cret", h1) && Passwords.verify("s3cret", h2))
+    assert(!Passwords.verify("wrong", h1))
+    assert(!Passwords.verify("s3cret", "garbage"))
+    assert(!Passwords.verify("s3cret", "bcrypt$unsupported$x"))
+  }
+
+  test("login: email folding, wrong password, session mint (auth.go:215-237)") {
+    import graft.auth.{Passwords, Tokens}
+    val store = new Tokens.TokenStore(random = new java.util.Random(7))
+    store.putUser(Tokens.UserRecord("u1", "a@b.c", "Alice"))
+    val hash = Passwords.hash("pw-1", iterations = 1000)
+    val emails = Map("a@b.c" -> "u1")
+    val hashes = Map("u1" -> hash)
+    val ok = Passwords.login(store, hashes.get, emails.get, "  A@B.C ", "pw-1")
+    assert(ok.isRight)
+    assert(store.validToken(ok.toOption.get).isUser)
+    assert(Passwords.login(store, hashes.get, emails.get, "a@b.c", "nope") ==
+      Left("invalid password"))
+    assert(Passwords.login(store, hashes.get, emails.get, "x@y.z", "pw-1").isLeft)
+  }
+
+  test("dashboard passwords + public auth decision (edit_dashboard.go:242-280, handler/auth.go:234-300)") {
+    import graft.auth.{Auth, Passwords}
+    val app = new StateApp(freshDir())
+    app.submit("create_dashboard", """{"id": "d1", "name": "A", "content": "x"}""")
+    // private (no visibility) → not found
+    assert(app.store.publicAuth("d1", None, "sec") == Left("not found"))
+    app.submit("update_dashboard_visibility", """{"id": "d1", "visibility": "public"}""")
+    val tok = app.store.publicAuth("d1", None, "sec", nowSeconds = 1000).toOption.get
+    assert(Auth.verify(tok, "sec", 1000).toOption.get.publicVisibility.contains("public"))
+    // password-protected: requires a verified password
+    val h = Passwords.hash("letmein", iterations = 1000)
+    app.submit("update_dashboard_visibility", """{"id": "d1", "visibility": "password-protected"}""")
+    app.submit("update_dashboard_password", s"""{"id": "d1", "passwordHash": "$h"}""")
+    assert(app.store.publicAuth("d1", None, "sec") == Left("Password required"))
+    assert(app.store.publicAuth("d1", Some("wrong"), "sec") == Left("Invalid password"))
+    val tok2 = app.store.publicAuth("d1", Some("letmein"), "sec", nowSeconds = 1000).toOption.get
+    assert(Auth.verify(tok2, "sec", 1000).toOption.get.publicVisibility.contains("password-protected"))
+    // sharing kill switches
+    assert(app.store.publicAuth("d1", Some("letmein"), "sec", noPasswordSharing = true) == Left("not found"))
+    app.submit("update_dashboard_visibility", """{"id": "d1", "visibility": "public"}""")
+    assert(app.store.publicAuth("d1", None, "sec", noPublicSharing = true) == Left("not found"))
+  }
+
   test("task run results flow through their own journal consumer and survive restart") {
     val dir = freshDir()
     val log = new StateJournal.TaskRunLog(dir)
