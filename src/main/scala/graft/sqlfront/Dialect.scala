@@ -742,6 +742,52 @@ object Dialect {
     sql
   }
 
+  /** DuckDB `USING SAMPLE n% / n PERCENT / n ROWS [(method[, seed])]`
+    * → Spark `TABLESAMPLE (n PERCENT | n ROWS)`. The sampling METHOD
+    * and seed are dropped (the engines' samplers differ anyway — a
+    * seeded DuckDB sample and a seeded Spark sample never pick the
+    * same rows, so only the statistical contract carries over;
+    * deterministic sampling is d08's hash-threshold operator). */
+  def rewriteUsingSample(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("USING")) {
+        val sIdx = nextNonWs(toks, i + 1)
+        if (sIdx < toks.length && toks(sIdx).kind == TWord &&
+            toks(sIdx).text.equalsIgnoreCase("SAMPLE")) {
+          val nIdx = nextNonWs(toks, sIdx + 1)
+          if (nIdx < toks.length && toks(nIdx).kind == TNum) {
+            val n = toks(nIdx).text
+            var after = nextNonWs(toks, nIdx + 1)
+            val unit =
+              if (after < toks.length && toks(after).kind == TOther &&
+                  toks(after).text == "%") { after += 1; Some("PERCENT") }
+              else if (after < toks.length && toks(after).kind == TWord &&
+                  toks(after).text.equalsIgnoreCase("PERCENT")) {
+                after = after + 1; Some("PERCENT")
+              } else if (after < toks.length && toks(after).kind == TWord &&
+                  toks(after).text.equalsIgnoreCase("ROWS")) {
+                after = after + 1; Some("ROWS")
+              } else Some("ROWS") // DuckDB: bare `USING SAMPLE 100` = rows
+            // optional (method[, seed]) group
+            val mIdx = nextNonWs(toks, after)
+            val end =
+              if (mIdx < toks.length && toks(mIdx).kind == TLParen) {
+                val close = matchParen(toks, mIdx)
+                if (close > mIdx) close + 1 else after
+              } else after
+            return rewriteUsingSample(
+              render(toks.take(i)) + s"TABLESAMPLE ($n ${unit.get})" +
+                render(toks.drop(end)))
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   private val fetchRe =
     "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY\\b".r
 
@@ -1223,6 +1269,7 @@ object Dialect {
     s = rewriteValuesAlias(s)
     s = rewriteIntervalShorthand(s)
     s = rewriteFetch(s)
+    s = rewriteUsingSample(s)
     s = rewriteFromFirst(s)
     s = rewriteStarExclude(s)
     s = rewriteStarReplace(s)

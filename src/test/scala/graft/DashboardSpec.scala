@@ -302,6 +302,15 @@ class DashboardSpec extends AnyFunSuite {
       Map("label" -> "big", "src" -> "test"))
   }
 
+  test("USING SAMPLE executes through the dashboard (rows form is exact-count)") {
+    val prep: org.apache.spark.sql.SparkSession => Unit =
+      s => s.range(1000).createOrReplaceTempView("sample_t")
+    val r = Dashboard.run(spark,
+      "SELECT count(*) AS n FROM sample_t USING SAMPLE 10 ROWS;",
+      RunConfig(prepare = prep))
+    assert(r.sections.head.queries.head.rows.head.head == 10)
+  }
+
   test("list_slice parity with DuckDB on every verified edge") {
     val r = Dashboard.run(spark,
       """SELECT list_slice([1, 2, 3, 4, 5], 2, 4) AS a,

@@ -294,6 +294,20 @@ class SqlFrontSpec extends AnyFunSuite {
       == "SELECT epoch_ms FROM t")
   }
 
+  test("USING SAMPLE -> TABLESAMPLE (bare n = rows, %/PERCENT, method+seed dropped)") {
+    assert(Dialect.rewriteUsingSample("SELECT * FROM t USING SAMPLE 100")
+      == "SELECT * FROM t TABLESAMPLE (100 ROWS)")
+    assert(Dialect.rewriteUsingSample("SELECT * FROM t USING SAMPLE 10 ROWS")
+      == "SELECT * FROM t TABLESAMPLE (10 ROWS)")
+    assert(Dialect.rewriteUsingSample("SELECT * FROM t USING SAMPLE 5%")
+      == "SELECT * FROM t TABLESAMPLE (5 PERCENT)")
+    assert(Dialect.rewriteUsingSample("SELECT * FROM t USING SAMPLE 5 PERCENT (bernoulli, 42)")
+      == "SELECT * FROM t TABLESAMPLE (5 PERCENT)")
+    // JOIN ... USING (cols) untouched
+    assert(Dialect.rewriteUsingSample("SELECT * FROM a JOIN b USING (k)")
+      == "SELECT * FROM a JOIN b USING (k)")
+  }
+
   test("DuckDB struct / MAP literals -> named_struct / map (custom_types.go:106-125 shape)") {
     assert(Dialect.rewriteStructLiterals("SELECT {'a': 1, 'b': 'x'} AS s")
       == "SELECT named_struct('a', 1, 'b', 'x') AS s")
