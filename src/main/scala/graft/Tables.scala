@@ -49,9 +49,19 @@ object Tables {
   }
 
   /** Drop cached schemas under a path — for writers that rewrite a
-    * table location in place. */
-  def invalidate(pathPrefix: String): Unit =
-    schemaCache.keySet.removeIf(_.startsWith(pathPrefix))
+    * table location in place. Scheme-insensitive: `file:/x/t.parquet`
+    * and `/x/t.parquet` refer to the same files, and callers hold
+    * whichever form their API produced (catalog locations are
+    * scheme-qualified URIs; reads use raw paths). */
+  def invalidate(pathPrefix: String): Unit = {
+    def bare(p: String): String =
+      try new org.apache.hadoop.fs.Path(p).toUri.getPath match {
+        case null | "" => p
+        case x => x
+      } catch { case _: Exception => p }
+    val prefix = bare(pathPrefix)
+    schemaCache.keySet.removeIf(k => bare(k.takeWhile(_ != '@')).startsWith(prefix))
+  }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores TIMESTAMP(NANOS) which Spark refuses by default

@@ -576,9 +576,10 @@ object Dialect {
   // rewrites below.
 
   /** DuckDB `list_unique(l)` (count of distinct non-NULL elements) →
-    * `size(filter(array_distinct(l), __lu -> __lu IS NOT NULL))`.
-    * Verified vs DuckDB: [1,1,2,NULL,NULL] → 2, NULL → NULL in both.
-    * The fresh lambda variable cannot capture user identifiers. */
+    * `size(array_distinct(array_compact(l)))`. Verified vs DuckDB:
+    * [1,1,2,NULL,NULL] → 2, NULL → NULL in both. Pure kernel
+    * expressions — an earlier lambda-HOF form paid the 60-88x
+    * CodegenFallback tax on every row. */
   def rewriteListUnique(sql: String): String = {
     val toks = tokenize(sql)
     var i = 0
@@ -590,7 +591,7 @@ object Dialect {
           if (close > lp) {
             val inner = render(toks.slice(lp + 1, close)).trim
             return rewriteListUnique(render(toks.take(i)) +
-              s"size(filter(array_distinct($inner), __lu -> __lu IS NOT NULL))" +
+              s"size(array_distinct(array_compact($inner)))" +
               render(toks.drop(close + 1)))
           }
         }

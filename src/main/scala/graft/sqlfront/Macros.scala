@@ -237,11 +237,16 @@ object Macros {
       }
     }
     val pos = positional.result()
-    if (pos.length > dfn.params.length)
+    // DuckDB binds positionals to the REQUIRED (non-defaulted) params
+    // only — f(a, b := 2) called as f(1, 5) is a binder error there,
+    // not a silent bind of 5 to b (verified against DuckDB 1.0)
+    val required = dfn.params.filter(_.default.isEmpty)
+    if (pos.length > required.length)
       throw new IllegalArgumentException(
-        s"macro ${dfn.name} expects at most ${dfn.params.length} arguments, got ${pos.length}")
+        s"macro ${dfn.name} requires ${required.length} positional argument(s), " +
+          s"but ${pos.length} were provided")
     pos.zipWithIndex.foreach { case (v, idx) =>
-      val param = dfn.params(idx)
+      val param = required(idx)
       if (bound.contains(param.name))
         throw new IllegalArgumentException(
           s"macro ${dfn.name}: parameter '${param.name}' bound twice")

@@ -305,9 +305,14 @@ object StateJournal {
   /** The task-results stream: a SECOND journal consumer with its own
     * checkpoint, like the reference's separate JetStream consumer for
     * publishTaskRunResult → trackTaskRun (schedule_task.go:176-295).
-    * Events are idempotent last-write-per-task upserts. */
+    * Events are idempotent last-write-per-task upserts. The journal
+    * lives in a `task-results` SUBDIRECTORY of the given dir, so a
+    * StateApp over the same base never races this writer's sequence
+    * allocation (the reference separates the streams the same way);
+    * instance methods are synchronized — task timers fire from
+    * multiple scheduler threads. */
   final class TaskRunLog(dir: String) {
-    val journal = new Journal(dir)
+    val journal = new Journal(dir + "/task-results")
     val runs: mutable.LinkedHashMap[String, TaskRunMeta] = mutable.LinkedHashMap.empty
 
     private def applyEvent(payload: JObject): Boolean = {
@@ -322,7 +327,7 @@ object StateJournal {
       true
     }
 
-    def boot(): Int = {
+    def boot(): Int = synchronized {
       val from = journal.consumerSeq(TaskResultsConsumerName)
       var applied = 0
       journal.read(from).foreach { e =>
@@ -337,7 +342,7 @@ object StateJournal {
     /** (ref: publishTaskRunResult payload, schedule_task.go:18-25) */
     def publish(taskId: String, startedAtMillis: Long, success: Boolean,
         totalDurationMs: Long, nextRunAtMillis: Option[Long],
-        nextRunType: String): Unit = {
+        nextRunType: String): Unit = synchronized {
       val m = graft.render.Model
       val fields = Seq.newBuilder[String]
       fields += "\"taskId\":" + m.jsonValue(taskId)
@@ -352,7 +357,7 @@ object StateJournal {
         journal.checkpoint(TaskResultsConsumerName, seq)
     }
 
-    def lastRun(taskId: String): Option[TaskRunMeta] = runs.get(taskId)
+    def lastRun(taskId: String): Option[TaskRunMeta] = synchronized { runs.get(taskId) }
   }
 
   /** Journal + store + checkpointed apply loop — the reference's

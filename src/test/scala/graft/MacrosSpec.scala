@@ -94,7 +94,12 @@ class MacrosSpec extends AnyFunSuite {
     }.getMessage.contains("unknown parameter"))
     assert(intercept[IllegalArgumentException] {
       Macros.expand("SELECT g(1, 2, 3)", s)
-    }.getMessage.contains("at most"))
+    }.getMessage.contains("positional argument"))
+    // defaulted params are named-only at call sites (DuckDB binder:
+    // "requires a single positional argument, but 2 were provided")
+    assert(intercept[IllegalArgumentException] {
+      Macros.expand("SELECT g(1, 5)", s)
+    }.getMessage.contains("requires 1 positional argument"))
   }
 
   test("many sibling call sites expand in one level — never hit the recursion cap (review r3)") {

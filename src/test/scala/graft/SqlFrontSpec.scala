@@ -282,10 +282,10 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(Dialect.rewriteFunctionNames("SELECT list_position(l, 2), list_indexof(l, 3)")
       == "SELECT array_position(l, 2), array_position(l, 3)")
     assert(Dialect.rewriteListUnique("SELECT list_unique(tags) AS n FROM t")
-      == "SELECT size(filter(array_distinct(tags), __lu -> __lu IS NOT NULL)) AS n FROM t")
+      == "SELECT size(array_distinct(array_compact(tags))) AS n FROM t")
     // nested call args survive
     assert(Dialect.rewriteListUnique("SELECT list_unique(split(s, ','))")
-      == "SELECT size(filter(array_distinct(split(s, ',')), __lu -> __lu IS NOT NULL))")
+      == "SELECT size(array_distinct(array_compact(split(s, ','))))")
     // epoch_ms: BIGINT milliseconds in both engines (verified)
     assert(Dialect.rewriteFunctionNames("SELECT epoch_ms(ts) FROM t")
       == "SELECT unix_millis(ts) FROM t")
