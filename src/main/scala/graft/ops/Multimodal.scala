@@ -42,6 +42,58 @@ object Multimodal {
     }
   }
 
+  /** A REAL image codec needing no native libraries: PPM (P6) — ASCII
+    * header `P6\n<w> <h>\n<maxval>\n` + RGB raster. One format decodes
+    * for real (byte-level header parse + raster extraction, loud errors
+    * on corrupt input); png/wav/mp4 stay behind FakeDecoder because
+    * their codecs aren't in this container. Demonstrates that the
+    * binary-column plumbing carries genuine decoding, not just the
+    * stub. */
+  object PpmCodec {
+    def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == 3 * width * height, "raster size mismatch")
+      val header = s"P6\n$width $height\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Parse a P6 payload → (width, height, rgb raster). Handles
+      * whitespace runs and `#` comments per the PPM spec; throws on a
+      * bad magic number, maxval ≠ 255, or a truncated raster. */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var i = 0
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go && i < payload.length) {
+          val c = payload(i).toChar
+          if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+          else if (c.isWhitespace) i += 1
+          else go = false
+        }
+      }
+      def token(): String = {
+        skipWsAndComments()
+        val start = i
+        while (i < payload.length && !payload(i).toChar.isWhitespace) i += 1
+        new String(payload, start, i - start, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      val magic = token()
+      if (magic != "P6") throw new IllegalArgumentException(s"not a P6 PPM (magic '$magic')")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      if (maxval != 255) throw new IllegalArgumentException(s"unsupported maxval $maxval")
+      i += 1 // single whitespace after maxval, then raster
+      val need = 3 * w * h
+      if (payload.length - i < need)
+        throw new IllegalArgumentException(
+          s"truncated raster: need $need bytes, have ${payload.length - i}")
+      (w, h, java.util.Arrays.copyOfRange(payload, i, i + need))
+    }
+  }
+
   /** Build the media table from `documents`: payload = UTF-8 bytes of
     * the text (a deterministic opaque blob), metadata derived from it.
     * In production this is `spark.read.format("binaryFile")` or a
@@ -77,6 +129,50 @@ object Multimodal {
         }
       }
       .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Real decode end-to-end: deterministic PPM images (pixel i =
+    * (doc_id·31 + i) mod 256) are ENCODED to genuine P6 binary on the
+    * executors, then DECODED back — header parse, raster extraction —
+    * and reduced to per-channel means. The oracle recomputes the same
+    * stats arithmetically from the pixel formula, so a decoder bug
+    * (off-by-one in the header skip, channel interleave mixup) is a
+    * value mismatch, not a silent pass. */
+  def ppmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (6 + id % 12).toInt
+          val pixels = Array.tabulate(3 * w * h)(i => ((id * 31 + i) % 256).toByte)
+          (id, PpmCodec.encode(w, h, pixels))
+        }
+      }
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, raster) = PpmCodec.decode(payload)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < raster.length) {
+            val v = raster(i) & 0xff
+            (i % 3) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case _ => sb += v
+            }
+            i += 1
+          }
+          val n = w * h
+          def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+          (id, w, h, raster.length.toLong,
+            r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n))
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_bytes", "mean_r", "mean_g", "mean_b")
       .orderBy("doc_id")
   }
 

@@ -92,6 +92,11 @@ object MediaCatalogOps {
       s.table(name).orderBy("window_start", "event_type")
     }),
 
+    "mm05_ppm_decode" -> ((s, d) =>
+      // real (non-stub) image decode: P6 PPM encode → binary column →
+      // parse + channel stats; oracle recomputes from the pixel formula
+      Multimodal.ppmFeatures(s, d)),
+
     "st02_stream_dedup" -> ((s0, d) => {
       // Streaming exactly-once dedup across micro-batches: the first
       // 5000 events stream through, then a second batch re-publishes
@@ -226,6 +231,24 @@ object MediaCatalogOps {
       SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM first5k GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "mm05_ppm_decode" -> """
+      WITH img AS (
+        SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), px AS (
+        -- constant series bound (max w=23, h=17 → 1173 bytes), filtered
+        -- per image: DuckDB's generate_series takes no lateral columns
+        SELECT doc_id, w, h, i, (doc_id * 31 + i) % 256 AS v
+        FROM img, generate_series(0, 3 * 23 * 17 - 1) t(i)
+        WHERE i < 3 * w * h
+      )
+      SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             CAST(count(*) AS BIGINT) AS n_bytes,
+             round(avg(CASE WHEN i % 3 = 0 THEN v END), 4) AS mean_r,
+             round(avg(CASE WHEN i % 3 = 1 THEN v END), 4) AS mean_g,
+             round(avg(CASE WHEN i % 3 = 2 THEN v END), 4) AS mean_b
+      FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "st02_stream_dedup" -> """
       WITH first5k AS (

@@ -39,6 +39,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.getAs[Long]("n_bytes") == bytes.length.toLong)
   }
 
+  test("PPM codec: real encode/decode round trip, comments, loud corruption errors") {
+    import graft.ops.Multimodal.PpmCodec
+    val pixels = Array.tabulate(3 * 4 * 2)(i => (i * 7 % 256).toByte)
+    val payload = PpmCodec.encode(4, 2, pixels)
+    assert(new String(payload.take(2)) == "P6")
+    val (w, h, raster) = PpmCodec.decode(payload)
+    assert(w == 4 && h == 2)
+    assert(raster.toSeq == pixels.toSeq)
+    // header comments per the PPM spec
+    val commented = "P6\n# made by a test\n4 2\n255\n".getBytes("US-ASCII") ++ pixels
+    assert(PpmCodec.decode(commented)._3.toSeq == pixels.toSeq)
+    // corruption fails loudly
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.decode("P5\n4 2\n255\n".getBytes("US-ASCII") ++ pixels)
+    }.getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.decode(payload.dropRight(5))
+    }.getMessage.contains("truncated"))
+  }
+
   test("frame sampling: stride applied per-row before explode") {
     val frames = Multimodal.frameSample(spark, dir, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
