@@ -94,6 +94,7 @@ object EngineOps {
       val tmp = tempDir("graft-src01")
       slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       slice.write.mode("overwrite").json(s"$tmp/json")
+      slice.write.mode("overwrite").orc(s"$tmp/orc")
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
@@ -103,6 +104,7 @@ object EngineOps {
           .select(lit(fmt).as("format"), col("n_rows"), col("n_users"), col("sum_value"))
       summarize(s.read.schema(schema).option("header", "true").csv(s"$tmp/csv"), "csv")
         .unionByName(summarize(s.read.schema(schema).json(s"$tmp/json"), "json"))
+        .unionByName(summarize(s.read.schema(schema).orc(s"$tmp/orc"), "orc"))
         .orderBy("format")
     }),
 
@@ -231,7 +233,7 @@ object EngineOps {
       WITH sl AS (SELECT event_id, user_id, value FROM events WHERE event_id <= 1000)
       SELECT f.format, count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-      FROM sl, (VALUES ('csv'), ('json')) f(format)
+      FROM sl, (VALUES ('csv'), ('json'), ('orc')) f(format)
       GROUP BY f.format ORDER BY f.format""",
 
     "mac01_macro_dashboard" -> """
