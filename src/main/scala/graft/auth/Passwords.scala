@@ -51,6 +51,29 @@ object Passwords {
     finally spec.clearPassword()
   }
 
+  /** Password change (ref: UpdateUserPassword, users.go:186-218):
+    * verify the CURRENT password against the stored hash, then emit the
+    * update event (new hash + exclude-session id) through the supplied
+    * journal submitter — the handler invalidates every other session. */
+  def updateUserPassword(store: Tokens.TokenStore,
+      submit: (String, String) => Boolean, userId: String,
+      currentPassword: String, newPassword: String,
+      excludeSessionId: String): Either[String, Unit] = {
+    val user = store.getUser(userId).getOrElse(return Left("user not found"))
+    user.passwordHash match {
+      case Some(h) if verify(currentPassword, h) =>
+        val m = graft.render.Model
+        val json = Seq(
+          "\"userId\":" + m.jsonValue(userId),
+          "\"passwordHash\":" + m.jsonValue(hash(newPassword)),
+          "\"excludeSessionId\":" + m.jsonValue(excludeSessionId)
+        ).mkString("{", ",", "}")
+        if (submit("update_user_password", json)) Right(())
+        else Left("failed to submit password update")
+      case _ => Left("invalid current password")
+    }
+  }
+
   /** Login flow (ref: core/auth.go:215-237): case-folded trimmed email
     * lookup, password verify against the stored hash, then a fresh
     * session token. The password table is injected (the reference reads

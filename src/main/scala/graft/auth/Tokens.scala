@@ -68,7 +68,10 @@ object Tokens {
   final case class SessionRecord(id: String, userId: String, hash: String,
       salt: String, createdAtMillis: Long)
 
-  final case class UserRecord(id: String, email: String, name: String)
+  final case class UserRecord(id: String, email: String, name: String,
+      passwordHash: Option[String] = None,
+      /** Soft delete (users.go:402-440 keeps the row, sets deleted_at). */
+      deletedAtMillis: Option[Long] = None)
 
   /** (ref: auth.go:128-137) */
   final case class AuthInfo(valid: Boolean, isUser: Boolean = false,
@@ -128,6 +131,24 @@ object Tokens {
     }
 
     def putUser(u: UserRecord): Unit = users(u.id) = u
+    def getUser(id: String): Option[UserRecord] = users.get(id)
+    /** Live-user lookup by folded email (Login's WHERE deleted_at IS
+      * NULL AND email = $1, auth.go:222-228). */
+    def userByEmail(email: String): Option[UserRecord] =
+      users.values.find(u => u.deletedAtMillis.isEmpty &&
+        u.email.equalsIgnoreCase(email.trim))
+    def updateUser(id: String)(f: UserRecord => UserRecord): Unit =
+      users.get(id).foreach(u => users(id) = f(u))
+    /** (ref: HandleUpdateUserPassword/HandleDeleteUser session sweeps) */
+    def deleteSessionsForUser(userId: String, except: Option[String] = None): Int = {
+      val victims = sessions.collect {
+        case (id, s) if s.userId == userId && !except.contains(id) => id
+      }.toSeq
+      victims.foreach(sessions.remove)
+      victims.size
+    }
+    def sessionCountForUser(userId: String): Int =
+      sessions.values.count(_.userId == userId)
     def putApiKey(k: ApiKeyRecord): Unit = apiKeys(k.id) = k
     def getApiKey(id: String): Option[ApiKeyRecord] = apiKeys.get(id)
     def deleteApiKey(id: String): Unit = apiKeys.remove(id)
@@ -228,7 +249,8 @@ object Tokens {
       if (!loginRequired && token.isEmpty) return AuthInfo(valid = true)
       if (token.startsWith(SessionTokenPrefix)) {
         val sessionId = token.stripPrefix(SessionTokenPrefix).split("\\.")(0)
-        sessions.get(sessionId).flatMap(s => users.get(s.userId)) match {
+        sessions.get(sessionId).flatMap(s => users.get(s.userId))
+            .filter(_.deletedAtMillis.isEmpty) match {
           case Some(u) if validateSessionToken(token) =>
             return AuthInfo(valid = true, isUser = true, userId = u.id,
               userEmail = u.email, userName = u.name, sessionId = sessionId)

@@ -167,7 +167,26 @@ object StateJournal {
         val id = str(payload, "id")
         if (id.isEmpty) false
         else { tokens.putUser(Tokens.UserRecord(id, str(payload, "email"),
-          str(payload, "name"))); true }
+          str(payload, "name"), strOpt(payload, "passwordHash"))); true }
+      case "update_user_name" =>
+        tokens.updateUser(str(payload, "id"))(_.copy(name = str(payload, "name")))
+        true
+      case "update_user_password" =>
+        // new hash + invalidate every OTHER session for the user
+        // (ref: HandleUpdateUserPassword, users.go:220-269)
+        val userId = str(payload, "userId")
+        tokens.updateUser(userId)(_.copy(
+          passwordHash = strOpt(payload, "passwordHash")))
+        tokens.deleteSessionsForUser(userId,
+          except = strOpt(payload, "excludeSessionId").filter(_.nonEmpty))
+        true
+      case "delete_user" =>
+        // sessions hard-deleted, user SOFT-deleted (users.go:402-440)
+        val id = str(payload, "id")
+        tokens.deleteSessionsForUser(id)
+        tokens.updateUser(id)(_.copy(
+          deletedAtMillis = Some(millis(payload, "timestamp"))))
+        true
       case "create_session" =>
         tokens.putSession(Tokens.SessionRecord(str(payload, "id"),
           str(payload, "userId"), str(payload, "hash"), str(payload, "salt"),

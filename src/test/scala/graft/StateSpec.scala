@@ -131,6 +131,44 @@ class StateSpec extends AnyFunSuite {
     assert(app.store.publicAuth("d1", None, "sec", noPublicSharing = true) == Left("not found"))
   }
 
+  test("password update invalidates other sessions, keeps the excluded one (users_test.go:15-107)") {
+    import graft.auth.Passwords
+    val app = new StateApp(freshDir())
+    val oldHash = Passwords.hash("old-password", iterations = 1000)
+    app.submit("create_user",
+      s"""{"id": "user-1", "email": "test@example.com", "name": "Test User", "passwordHash": "$oldHash"}""")
+    val tokens = app.store.tokens
+    val keepToken = tokens.createSessionForUser("user-1")
+    val dropToken = tokens.createSessionForUser("user-1")
+    assert(tokens.sessionCountForUser("user-1") == 2)
+    val keepId = keepToken.stripPrefix("shapersession.").split("\\.")(0)
+    // command side: wrong current password rejected
+    assert(Passwords.updateUserPassword(tokens, app.submit, "user-1",
+      "WRONG", "new-password", keepId) == Left("invalid current password"))
+    // correct current password: hash rotates, other session dies
+    assert(Passwords.updateUserPassword(tokens, app.submit, "user-1",
+      "old-password", "new-password", keepId).isRight)
+    assert(Passwords.verify("new-password", tokens.getUser("user-1").get.passwordHash.get))
+    assert(tokens.sessionCountForUser("user-1") == 1)
+    assert(tokens.validateSessionToken(keepToken))
+    assert(!tokens.validateSessionToken(dropToken))
+  }
+
+  test("user rename and soft delete (users_test.go:109-160, users.go:402-440)") {
+    val app = new StateApp(freshDir())
+    app.submit("create_user", """{"id": "u1", "email": "a@b.c", "name": "Old Name"}""")
+    app.submit("update_user_name", """{"id": "u1", "name": "New Name"}""")
+    assert(app.store.tokens.getUser("u1").get.name == "New Name")
+    val token = app.store.tokens.createSessionForUser("u1")
+    assert(app.store.tokens.validToken(token).valid)
+    app.submit("delete_user", """{"id": "u1", "timestamp": "2026-01-02T00:00:00Z"}""")
+    // sessions hard-deleted; user soft-deleted: row remains, auth dead
+    assert(app.store.tokens.sessionCountForUser("u1") == 0)
+    assert(!app.store.tokens.validToken(token).valid)
+    assert(app.store.tokens.getUser("u1").exists(_.deletedAtMillis.isDefined))
+    assert(app.store.tokens.userByEmail("a@b.c").isEmpty)
+  }
+
   test("task run results flow through their own journal consumer and survive restart") {
     val dir = freshDir()
     val log = new StateJournal.TaskRunLog(dir)
