@@ -35,6 +35,8 @@ object StateJournal {
   final case class TaskMeta(id: String, name: String, content: String,
       folderId: Option[String], createdAtMillis: Long, createdBy: String)
   final case class FolderMeta(id: String, name: String, parentId: Option[String])
+  final case class InviteMeta(code: String, email: String,
+      createdAtMillis: Long, createdBy: String)
 
   private def str(o: JObject, k: String): String =
     o.map.get(k).collect { case JString(s) => s }.getOrElse("")
@@ -59,6 +61,7 @@ object StateJournal {
     val dashboards: mutable.LinkedHashMap[String, DashboardMeta] = mutable.LinkedHashMap.empty
     val tasks: mutable.LinkedHashMap[String, TaskMeta] = mutable.LinkedHashMap.empty
     val folders: mutable.LinkedHashMap[String, FolderMeta] = mutable.LinkedHashMap.empty
+    val invites: mutable.LinkedHashMap[String, InviteMeta] = mutable.LinkedHashMap.empty
 
     /** Apply one event; true = handled (ack + checkpoint). */
     def apply(event: String, payload: JObject): Boolean = event match {
@@ -194,6 +197,29 @@ object StateJournal {
         true
       case "delete_session" =>
         tokens.logout(str(payload, "id")); true
+      case "create_invite" =>
+        // INSERT OR IGNORE by code (users.go:544-560)
+        val code = str(payload, "code")
+        if (code.isEmpty) false
+        else {
+          if (!invites.contains(code))
+            invites(code) = InviteMeta(code, str(payload, "email"),
+              millis(payload, "timestamp"), str(payload, "createdBy"))
+          true
+        }
+      case "delete_invite" =>
+        invites.remove(str(payload, "code")); true
+      case "claim_invite" =>
+        // create the user and burn the invite (users.go:642-700)
+        val userId = str(payload, "userId")
+        if (userId.isEmpty) false
+        else {
+          if (tokens.getUser(userId).isEmpty)
+            tokens.putUser(Tokens.UserRecord(userId, str(payload, "email"),
+              str(payload, "name"), strOpt(payload, "passwordHash")))
+          invites.remove(str(payload, "code"))
+          true
+        }
       case _ => false // unknown subject: not acked (state.go:37-40)
     }
 
@@ -310,6 +336,31 @@ object StateJournal {
         finally in.close()
       }
     }
+  }
+
+  /** Command-side invite claim (ref: ClaimInvite, users.go:594-641):
+    * validate code, expiry, and email uniqueness BEFORE hashing the
+    * password and journaling the claim event. Returns the new user id. */
+  def claimInvite(store: MetaStore, submit: (String, String) => Boolean,
+      code: String, name: String, password: String,
+      inviteExpMillis: Long = 7L * 24 * 3600 * 1000,
+      nowMillis: () => Long = () => System.currentTimeMillis()): Either[String, String] = {
+    val invite = store.invites.get(code).getOrElse(return Left("invalid invite code"))
+    if (nowMillis() - invite.createdAtMillis > inviteExpMillis)
+      return Left("invite has expired")
+    if (store.tokens.userByEmail(invite.email).isDefined)
+      return Left("email is already registered")
+    val userId = store.tokens.newId()
+    val m = graft.render.Model
+    val json = Seq(
+      "\"code\":" + m.jsonValue(code),
+      "\"email\":" + m.jsonValue(invite.email),
+      "\"name\":" + m.jsonValue(name),
+      "\"passwordHash\":" + m.jsonValue(graft.auth.Passwords.hash(password)),
+      "\"userId\":" + m.jsonValue(userId)
+    ).mkString("{", ",", "}")
+    if (submit("claim_invite", json)) Right(userId)
+    else Left("failed to submit claim invite state")
   }
 
   val ConsumerName = "internal_shaper_state_consumer" // (state.go:18)

@@ -131,6 +131,36 @@ class StateSpec extends AnyFunSuite {
     assert(app.store.publicAuth("d1", None, "sec", noPublicSharing = true) == Left("not found"))
   }
 
+  test("invite lifecycle: create, claim (validations, user mint, burn), delete (users.go:479-700)") {
+    import graft.auth.Passwords
+    val app = new StateApp(freshDir())
+    var now = 1000L
+    app.submit("create_invite",
+      """{"code": "inv-1", "email": "new@x.y", "timestamp": 500, "createdBy": "user:u0"}""")
+    assert(app.store.invites.contains("inv-1"))
+    // republish ignored (INSERT OR IGNORE)
+    app.submit("create_invite", """{"code": "inv-1", "email": "OTHER@x.y"}""")
+    assert(app.store.invites("inv-1").email == "new@x.y")
+    assert(StateJournal.claimInvite(app.store, app.submit, "nope", "N", "pw",
+      nowMillis = () => now) == Left("invalid invite code"))
+    // expiry
+    assert(StateJournal.claimInvite(app.store, app.submit, "inv-1", "N", "pw",
+      inviteExpMillis = 100, nowMillis = () => now) == Left("invite has expired"))
+    // happy path: user exists with working password, invite burned
+    val userId = StateJournal.claimInvite(app.store, app.submit, "inv-1", "Newbie",
+      "pw-9", nowMillis = () => now).toOption.get
+    assert(app.store.invites.isEmpty)
+    val u = app.store.tokens.getUser(userId).get
+    assert(u.email == "new@x.y" && u.name == "Newbie")
+    assert(Passwords.verify("pw-9", u.passwordHash.get))
+    // duplicate email rejected on a fresh invite
+    app.submit("create_invite", """{"code": "inv-2", "email": "new@x.y", "timestamp": 900}""")
+    assert(StateJournal.claimInvite(app.store, app.submit, "inv-2", "Dup", "pw",
+      nowMillis = () => now) == Left("email is already registered"))
+    app.submit("delete_invite", """{"code": "inv-2"}""")
+    assert(app.store.invites.isEmpty)
+  }
+
   test("password update invalidates other sessions, keeps the excluded one (users_test.go:15-107)") {
     import graft.auth.Passwords
     val app = new StateApp(freshDir())
