@@ -1,5 +1,11 @@
 package graft.ops
 
+import java.awt.geom.AffineTransform
+import java.awt.image.{AffineTransformOp, BufferedImage, DataBufferByte}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,48 +13,286 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators (builder prompt: first-class pipeline ops).
   *
-  * The actual codec step is STUBBED with a deterministic fake (image
-  * and audio libraries are not in this container): `FakeDecoder`
-  * derives pixel statistics from the payload bytes. Everything around
-  * it — the binary-column schema, the metadata struct, the
-  * mapPartitions batch shape, partition parallelism, and the
-  * explode-based frame sampling — is the real Spark plumbing a
-  * production decoder would drop into (swap `FakeDecoder.decode` for a
-  * JNI/javacpp codec; the operator contracts don't change).
+  * All decode paths are REAL, JDK-built-in codecs — no stubs:
+  *   - images: PNG via `javax.imageio.ImageIO` (lossless, so the decoded
+  *     raster is byte-exact against the generator formula),
+  *   - audio: 8-bit unsigned PCM WAV via `javax.sound.sampled.AudioSystem`,
+  *   - video: a trivial length-prefixed container ("GVID") of PNG frames,
+  *     each frame decoded with ImageIO.
+  * Payloads are generated deterministically on the executors from pixel /
+  * sample formulas, so the DuckDB oracle recomputes every statistic from
+  * the same formula: a decoder bug (channel interleave mixup, header
+  * off-by-one, rounding drift) is a value mismatch, not a silent pass.
   *
-  * Scale notes: decode runs as mapPartitions over the binary column —
-  * embarrassingly parallel, no shuffle; frame sampling explodes to one
-  * row per sampled frame *after* per-row pruning (sample stride applied
-  * inside the row, not post-explode).
+  * Scale notes: generation + decode run as mapPartitions over the binary
+  * column — embarrassingly parallel, no shuffle; frame sampling applies
+  * the stride inside the row before exploding to one row per sampled
+  * frame. In production the table comes from
+  * `spark.read.format("binaryFile")` or a parquet BINARY column — the
+  * operator contracts are unchanged.
   */
 object Multimodal {
 
-  final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
-  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte], meta: MediaMeta)
-  final case class ImageFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
-      max_byte: Int, width: Int, height: Int)
+  final case class MediaRow(doc_id: Long, media_type: String, format: String,
+      payload: Array[Byte])
 
-  /** Deterministic stand-in for an image/audio codec. */
-  object FakeDecoder {
-    /** "Decode" a payload: interpret bytes as grayscale pixels. */
-    def decode(payload: Array[Byte]): (Double, Int) = {
-      if (payload.isEmpty) (0.0, 0)
-      else {
-        var sum = 0L
-        var max = 0
-        payload.foreach { b => val u = b & 0xff; sum += u; if (u > max) max = u }
-        (sum.toDouble / payload.length, max)
+  /** Deterministic generator formulas + real JDK codecs. The formulas are
+    * the oracle contract: everything the operators report is recomputable
+    * from them in plain SQL.
+    */
+  object Codecs {
+    val FrameW = 16
+    val FrameH = 12
+    /** Nearest-neighbor downscale factor for [[resize]]; image dims are
+      * generated as multiples of this so the resample never inverse-maps
+      * outside the source raster (AffineTransformOp leaves such dst
+      * pixels unpainted).
+      */
+    val ResizeK = 4
+
+    def pixel(id: Long, i: Int): Int = ((id * 31 + i) % 256).toInt
+    def framePixel(id: Long, f: Int, i: Int): Int = ((id * 31 + f * 7 + i) % 256).toInt
+    def sample(id: Long, i: Int): Int = ((id * 17 + i) % 256).toInt
+    def imageDims(id: Long): (Int, Int) =
+      ((4 * (2 + id % 5)).toInt, (4 * (2 + id % 4)).toInt)
+    def audioSampleCount(id: Long): Int = (256 + id % 512).toInt
+    def videoFrameCount(id: Long): Int = (4 + id % 8).toInt
+
+    /** Encode an RGB-interleaved pixel formula (flat index = (y·w + x)·3
+      * + channel, channels R,G,B) as a genuine PNG. TYPE_3BYTE_BGR stores
+      * B,G,R per pixel, hence the swapped writes.
+      */
+    def encodePng(w: Int, h: Int, px: Int => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      val data = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+      var p = 0
+      while (p < w * h) {
+        val base = p * 3
+        data(base) = px(base + 2).toByte
+        data(base + 1) = px(base + 1).toByte
+        data(base + 2) = px(base).toByte
+        p += 1
       }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decodeImage(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) throw new IllegalArgumentException("undecodable image payload")
+      img
+    }
+
+    private def wavFormat = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+
+    /** 8-bit unsigned mono PCM → RIFF/WAVE via AudioSystem. */
+    def encodeWav(samples: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(samples), wavFormat, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Parse a WAV payload → (frame count from the header, raw samples). */
+    def decodeWav(payload: Array[Byte]): (Long, Array[Byte]) = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try (in.getFrameLength, in.readAllBytes()) finally in.close()
+    }
+
+    /** "GVID" container: magic + frame count, then per frame a 4-byte
+      * big-endian length + PNG bytes. Stands in for a real video
+      * container; the frames themselves are genuine PNGs.
+      */
+    def encodeVideo(id: Long): Array[Byte] = {
+      val n = videoFrameCount(id)
+      val bos = new ByteArrayOutputStream()
+      val dos = new DataOutputStream(bos)
+      dos.writeBytes("GVID")
+      dos.writeInt(n)
+      var f = 0
+      while (f < n) {
+        val frame = encodePng(FrameW, FrameH, i => framePixel(id, f, i))
+        dos.writeInt(frame.length)
+        dos.write(frame)
+        f += 1
+      }
+      bos.toByteArray
+    }
+
+    def decodeVideo(payload: Array[Byte]): Vector[Array[Byte]] = {
+      val dis = new DataInputStream(new ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      dis.readFully(magic)
+      if (!java.util.Arrays.equals(magic, "GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+        throw new IllegalArgumentException("bad GVID container magic")
+      val n = dis.readInt()
+      Vector.fill(n) {
+        val len = dis.readInt()
+        val b = new Array[Byte](len)
+        dis.readFully(b)
+        b
+      }
+    }
+
+    final case class ChannelStats(meanR: Double, meanG: Double, meanB: Double,
+        meanAll: Double, maxByte: Int)
+
+    def channelStats(img: BufferedImage): ChannelStats = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          if (r > mx) mx = r
+          if (g > mx) mx = g
+          if (b > mx) mx = b
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ChannelStats(sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+        (sr + sg + sb).toDouble / (3 * n), mx)
     }
   }
 
-  /** A REAL image codec needing no native libraries: PPM (P6) — ASCII
-    * header `P6\n<w> <h>\n<maxval>\n` + RGB raster. One format decodes
-    * for real (byte-level header parse + raster extraction, loud errors
-    * on corrupt input); png/wav/mp4 stay behind FakeDecoder because
-    * their codecs aren't in this container. Demonstrates that the
-    * binary-column plumbing carries genuine decoding, not just the
-    * stub. */
+  private def r4(x: Double): Double = math.round(x * 10000).toDouble / 10000
+
+  /** Build the media table from `documents`: each doc_id gets a real
+    * encoded payload (PNG / WAV / GVID by id mod 3) generated on the
+    * executors from the [[Codecs]] formulas.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id % 3) match {
+            case 0 =>
+              val (w, h) = Codecs.imageDims(id)
+              MediaRow(id, "image", "png", Codecs.encodePng(w, h, i => Codecs.pixel(id, i)))
+            case 1 =>
+              val samples = Array.tabulate(Codecs.audioSampleCount(id))(i => Codecs.sample(id, i).toByte)
+              MediaRow(id, "audio", "wav", Codecs.encodeWav(samples))
+            case _ =>
+              MediaRow(id, "video", "gvid", Codecs.encodeVideo(id))
+          }
+        }
+      }
+  }
+
+  /** mm01: typed metadata extracted by REAL decode — image dims from the
+    * PNG, sample count from the WAV header, frame count + frame dims from
+    * the container. n_units = pixels / samples / frames respectively.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          r.media_type match {
+            case "image" =>
+              val img = Codecs.decodeImage(r.payload)
+              (r.doc_id, r.media_type, r.format, img.getWidth, img.getHeight,
+                img.getWidth.toLong * img.getHeight)
+            case "audio" =>
+              val (frames, _) = Codecs.decodeWav(r.payload)
+              (r.doc_id, r.media_type, r.format, 0, 0, frames)
+            case _ =>
+              val frames = Codecs.decodeVideo(r.payload)
+              val first = Codecs.decodeImage(frames.head)
+              (r.doc_id, r.media_type, r.format, first.getWidth, first.getHeight,
+                frames.length.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "media_type", "format", "width", "height", "n_units")
+      .orderBy("doc_id")
+  }
+
+  /** mm03: decode + feature-extract over the binary column (mapPartitions
+    * — the Scala analog of a pandas-batched UDF): per-channel means + max
+    * byte from the ImageIO-decoded raster.
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Codecs.decodeImage(r.payload)
+          val st = Codecs.channelStats(img)
+          (r.doc_id, img.getWidth, img.getHeight,
+            3L * img.getWidth * img.getHeight,
+            r4(st.meanR), r4(st.meanG), r4(st.meanB), st.maxByte)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_bytes", "mean_r", "mean_g", "mean_b", "max_byte")
+      .orderBy("doc_id")
+  }
+
+  /** mm04: decode, then nearest-neighbor downscale by 1/ResizeK with
+    * `AffineTransformOp`. With the generated dims divisible by ResizeK,
+    * Java2D's inverse mapping reads src pixel (K·x + K/2, K·y + K/2) for
+    * every dst pixel (asserted per-pixel in MultimodalSpec, so a JDK
+    * resampling change fails the suite loudly rather than the oracle
+    * silently) — which is exactly what the SQL oracle recomputes.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type == "image")
+      .mapPartitions { rows =>
+        val k = Codecs.ResizeK
+        val op = new AffineTransformOp(
+          AffineTransform.getScaleInstance(1.0 / k, 1.0 / k),
+          AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+        rows.map { r =>
+          val img = Codecs.decodeImage(r.payload)
+          val small = op.filter(img, null)
+          val st = Codecs.channelStats(small)
+          (r.doc_id, small.getWidth, small.getHeight,
+            r4(st.meanR), r4(st.meanG), r4(st.meanB))
+        }
+      }
+      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .orderBy("doc_id")
+  }
+
+  /** mm02: frame sampling for video payloads — stride applied inside the
+    * row, each sampled frame decoded with ImageIO, one output row per
+    * sampled frame.
+    */
+  def frameSample(spark: SparkSession, dir: String, stride: Int): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type == "video")
+      .flatMap { r =>
+        val frames = Codecs.decodeVideo(r.payload)
+        (0 until frames.length by stride).map { f =>
+          val st = Codecs.channelStats(Codecs.decodeImage(frames(f)))
+          (r.doc_id, f, r4(st.meanAll))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_mean")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** A second real image codec needing no library at all: PPM (P6) —
+    * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
+    * byte level with loud errors on corrupt input.
+    */
   object PpmCodec {
     def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
       require(pixels.length == 3 * width * height, "raster size mismatch")
@@ -94,51 +338,10 @@ object Multimodal {
     }
   }
 
-  /** Build the media table from `documents`: payload = UTF-8 bytes of
-    * the text (a deterministic opaque blob), metadata derived from it.
-    * In production this is `spark.read.format("binaryFile")` or a
-    * parquet table with a BINARY column — same schema either way. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    graft.Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
-      .map { case (id, text, nChars) =>
-        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val mediaType = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-        MediaRow(id, mediaType,
-          payload,
-          MediaMeta(mediaType match {
-            case "image" => "png"
-            case "audio" => "wav"
-            case _ => "mp4"
-          }, (nChars % 640).toInt, (nChars % 480).toInt, payload.length.toLong))
-      }
-  }
-
-  /** Decode + feature-extract over the binary column (mapPartitions —
-    * the Scala analog of a pandas-batched UDF). */
-  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val (mean, max) = FakeDecoder.decode(r.payload)
-          ImageFeatures(r.doc_id, r.meta.nBytes,
-            math.round(mean * 10000).toDouble / 10000, max, r.meta.width, r.meta.height)
-        }
-      }
-      .toDF()
-      .orderBy("doc_id")
-  }
-
-  /** Real decode end-to-end: deterministic PPM images (pixel i =
-    * (doc_id·31 + i) mod 256) are ENCODED to genuine P6 binary on the
-    * executors, then DECODED back — header parse, raster extraction —
-    * and reduced to per-channel means. The oracle recomputes the same
-    * stats arithmetically from the pixel formula, so a decoder bug
-    * (off-by-one in the header skip, channel interleave mixup) is a
-    * value mismatch, not a silent pass. */
+  /** mm05: PPM decode end-to-end — deterministic P6 images encoded on the
+    * executors, decoded back at the byte level, reduced to per-channel
+    * means; oracle recomputes the same stats from the pixel formula.
+    */
   def ppmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.Tables.t(spark, dir, "documents")
@@ -155,7 +358,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           val (w, h, raster) = PpmCodec.decode(payload)
-          var (sr, sg, sb) = (0L, 0L, 0L)
+          var sr = 0L; var sg = 0L; var sb = 0L
           var i = 0
           while (i < raster.length) {
             val v = raster(i) & 0xff
@@ -167,49 +370,11 @@ object Multimodal {
             i += 1
           }
           val n = w * h
-          def r4(x: Double) = math.round(x * 10000).toDouble / 10000
           (id, w, h, raster.length.toLong,
             r4(sr.toDouble / n), r4(sg.toDouble / n), r4(sb.toDouble / n))
         }
       }
       .toDF("doc_id", "width", "height", "n_bytes", "mean_r", "mean_g", "mean_b")
       .orderBy("doc_id")
-  }
-
-  /** Resize: pure metadata + payload transform (stub keeps every k-th
-    * byte — the contract is payload' + updated meta, like a real
-    * resampler). */
-  def resize(spark: SparkSession, dir: String, maxDim: Int): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .filter(_.media_type == "image")
-      .map { r =>
-        val scale = math.max(1, math.max(r.meta.width, r.meta.height) / math.max(maxDim, 1))
-        val resized = r.payload.zipWithIndex.collect { case (b, i) if i % scale == 0 => b }
-        r.copy(payload = resized,
-          meta = r.meta.copy(width = r.meta.width / scale, height = r.meta.height / scale,
-            nBytes = resized.length.toLong))
-      }
-      .map(r => (r.doc_id, r.meta.width, r.meta.height, r.meta.nBytes))
-      .toDF("doc_id", "width", "height", "n_bytes")
-      .orderBy("doc_id")
-  }
-
-  /** Frame sampling for "video" payloads: frame = 256-byte chunk, keep
-    * every `stride`-th frame; one output row per sampled frame. */
-  def frameSample(spark: SparkSession, dir: String, stride: Int): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .filter(_.media_type == "video")
-      .flatMap { r =>
-        val nFrames = r.payload.length / 256
-        (0 until nFrames by stride).map { f =>
-          val frame = r.payload.slice(f * 256, (f + 1) * 256)
-          val (mean, _) = FakeDecoder.decode(frame)
-          (r.doc_id, f, math.round(mean * 10000).toDouble / 10000)
-        }
-      }
-      .toDF("doc_id", "frame_idx", "frame_mean")
-      .orderBy("doc_id", "frame_idx")
   }
 }

@@ -7,33 +7,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract entries for multimodal column ops and catalog
-  * introspection. mm01/mm02/ct01 are oracle-checked on the parts DuckDB
-  * can recompute (payload sizes, frame indexing, schema listing); the
-  * stubbed decoder's pixel statistics are covered by MultimodalSpec.
+  * introspection. Every mm entry decodes real JDK-codec payloads (PNG via
+  * ImageIO, WAV via AudioSystem, PPM at the byte level); the oracle
+  * recomputes every statistic from the generator formulas, so decoder
+  * bugs surface as value mismatches.
   */
 object MediaCatalogOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "mm01_media_meta" -> ((s, d) => {
-      // binary payload + typed metadata: byte sizes and dimensions are
-      // recomputable by the oracle from the source text
-      Multimodal.mediaTable(s, d).toDF()
-        .select(col("doc_id"), col("media_type"),
-          col("meta.format").as("format"), col("meta.width").as("width"),
-          col("meta.height").as("height"), col("meta.nBytes").as("n_bytes"))
-        .orderBy("doc_id")
-    }),
+    "mm01_media_meta" -> ((s, d) =>
+      // typed metadata extracted by real decode: PNG dims, WAV header
+      // frame count, GVID container frame count + frame dims
+      Multimodal.mediaMeta(s, d)),
 
     "mm02_frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(s, d, stride = 2).select("doc_id", "frame_idx")),
+      // container parse + per-sampled-frame ImageIO decode
+      Multimodal.frameSample(s, d, stride = 2)),
 
     "mm03_image_features" -> ((s, d) =>
-      // decode stub output (mean/max byte) — no SQL oracle; quality
-      // asserted in MultimodalSpec
+      // ImageIO PNG decode -> per-channel means + max byte
       Multimodal.imageFeatures(s, d)),
 
-    "mm04_resize" -> ((s, d) => Multimodal.resize(s, d, maxDim = 64)),
+    "mm04_resize" -> ((s, d) =>
+      // decode + AffineTransformOp nearest-neighbor 1/4 downscale
+      Multimodal.resize(s, d)),
 
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
@@ -167,55 +165,75 @@ object MediaCatalogOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // mm01–mm04 oracles recompute the decoded statistics from the
+    // generator formulas (Multimodal.Codecs): pixel i of image id is
+    // (id*31+i)%256, sample i of audio id is (id*17+i)%256, pixel i of
+    // video frame f is (id*31+f*7+i)%256; PNG/WAV are lossless so the
+    // decode must reproduce them exactly.
     "mm01_media_meta" -> """
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
-             CAST(n_chars % 640 AS INTEGER) AS width,
-             CAST(n_chars % 480 AS INTEGER) AS height,
-             octet_length(encode(text)) AS n_bytes
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gvid' END AS format,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 4 * (2 + doc_id % 5) WHEN 1 THEN 0 ELSE 16 END AS INTEGER) AS width,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 4 * (2 + doc_id % 4) WHEN 1 THEN 0 ELSE 12 END AS INTEGER) AS height,
+             CAST(CASE doc_id % 3
+                  WHEN 0 THEN (4 * (2 + doc_id % 5)) * (4 * (2 + doc_id % 4))
+                  WHEN 1 THEN 256 + doc_id % 512
+                  ELSE 4 + doc_id % 8 END AS BIGINT) AS n_units
       FROM documents ORDER BY doc_id""",
 
-    // mm03/mm04 oracles recompute the deterministic stub from the text
-    // bytes (corpus is pure ASCII, so unicode(char) == payload byte;
-    // verified octet_length(encode(text)) == length(text) for all docs)
-    "mm03_image_features" -> """
-      WITH ch AS (
-        SELECT doc_id, unicode(c) AS b
-        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
-      ), st AS (
-        SELECT doc_id, CAST(sum(b) AS DOUBLE) / count(*) AS mean,
-               max(b) AS mx
-        FROM ch GROUP BY doc_id
+    "mm02_frame_sample" -> """
+      WITH vids AS (
+        SELECT doc_id, 4 + doc_id % 8 AS nf FROM documents WHERE doc_id % 3 = 2
+      ), fr AS (
+        SELECT doc_id, f FROM vids, generate_series(0, 10, 2) t(f) WHERE f < nf
+      ), px AS (
+        SELECT doc_id, f, (doc_id * 31 + f * 7 + i) % 256 AS v
+        FROM fr, generate_series(0, 16 * 12 * 3 - 1) s(i)
       )
-      SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
-             round(st.mean * 10000) / 10000 AS mean_byte,
-             CAST(st.mx AS INTEGER) AS max_byte,
-             CAST(d.n_chars % 640 AS INTEGER) AS width,
-             CAST(d.n_chars % 480 AS INTEGER) AS height
-      FROM documents d JOIN st USING (doc_id) ORDER BY doc_id""",
+      SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+             round(avg(v), 4) AS frame_mean
+      FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""",
+
+    "mm03_image_features" -> """
+      WITH img AS (
+        SELECT doc_id, 4 * (2 + doc_id % 5) AS w, 4 * (2 + doc_id % 4) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), px AS (
+        -- constant series bound (max w=24, h=20 -> 1440 bytes), filtered
+        -- per image: DuckDB's generate_series takes no lateral columns
+        SELECT doc_id, w, h, i, (doc_id * 31 + i) % 256 AS v
+        FROM img, generate_series(0, 3 * 24 * 20 - 1) t(i)
+        WHERE i < 3 * w * h
+      )
+      SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             CAST(count(*) AS BIGINT) AS n_bytes,
+             round(avg(CASE WHEN i % 3 = 0 THEN v END), 4) AS mean_r,
+             round(avg(CASE WHEN i % 3 = 1 THEN v END), 4) AS mean_g,
+             round(avg(CASE WHEN i % 3 = 2 THEN v END), 4) AS mean_b,
+             CAST(max(v) AS INTEGER) AS max_byte
+      FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "mm04_resize" -> """
-      WITH m AS (
-        SELECT doc_id,
-               CAST(n_chars % 640 AS INTEGER) AS w,
-               CAST(n_chars % 480 AS INTEGER) AS h,
-               octet_length(encode(text)) AS len
+      WITH img AS (
+        SELECT doc_id, 4 * (2 + doc_id % 5) AS w, 4 * (2 + doc_id % 4) AS h
         FROM documents WHERE doc_id % 3 = 0
+      ), px AS (
+        -- AffineTransformOp nearest-neighbor at scale 1/4 reads source
+        -- pixel (4x+2, 4y+2) for dst (x,y) (pinned by MultimodalSpec)
+        SELECT doc_id, w // 4 AS w2, h // 4 AS h2, x, y, c,
+               (doc_id * 31 + ((4 * y + 2) * w + (4 * x + 2)) * 3 + c) % 256 AS v
+        FROM img,
+             generate_series(0, 5) tx(x),
+             generate_series(0, 4) ty(y),
+             generate_series(0, 2) tc(c)
+        WHERE x < w // 4 AND y < h // 4
       )
-      SELECT doc_id, CAST(w // s AS INTEGER) AS width,
-             CAST(h // s AS INTEGER) AS height,
-             CAST((len - 1) // s + 1 AS BIGINT) AS n_bytes
-      FROM (SELECT *, greatest(1, greatest(w, h) // 64) AS s FROM m)
-      ORDER BY doc_id""",
-
-    "mm02_frame_sample" -> """
-      SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
-      FROM (
-        SELECT doc_id, unnest(generate_series(0, CAST(octet_length(encode(text)) // 256 AS BIGINT) - 1, 2)) AS f
-        FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) // 256 >= 1
-      )
-      ORDER BY doc_id, frame_idx""",
+      SELECT doc_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+             round(avg(CASE WHEN c = 0 THEN v END), 4) AS mean_r,
+             round(avg(CASE WHEN c = 1 THEN v END), 4) AS mean_g,
+             round(avg(CASE WHEN c = 2 THEN v END), 4) AS mean_b
+      FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""",
 
     "ex01_export_roundtrip" -> """
       SELECT 'csv_reread_rows' AS metric, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS value FROM lineitem

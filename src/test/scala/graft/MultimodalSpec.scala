@@ -17,26 +17,95 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("media table: binary payload + typed metadata") {
+  test("media table: real encoded binary payloads + format tags") {
     val mt = Multimodal.mediaTable(spark, dir)
-    val row = mt.filter(_.doc_id == 0).collect().head
-    assert(row.media_type == "image" && row.meta.format == "png")
-    assert(row.payload.length.toLong == row.meta.nBytes)
-    val types = mt.toDF().schema("payload").dataType.simpleString
-    assert(types == "binary")
+    val img = mt.filter(_.doc_id == 0).collect().head
+    assert(img.media_type == "image" && img.format == "png")
+    // genuine PNG magic
+    assert((img.payload(0) & 0xff) == 0x89 && new String(img.payload.slice(1, 4)) == "PNG")
+    val wav = mt.filter(_.doc_id == 1).collect().head
+    assert(wav.format == "wav" && new String(wav.payload.take(4)) == "RIFF")
+    val vid = mt.filter(_.doc_id == 2).collect().head
+    assert(vid.format == "gvid" && new String(vid.payload.take(4)) == "GVID")
+    assert(mt.toDF().schema("payload").dataType.simpleString == "binary")
   }
 
-  test("decode stub: mean/max byte statistics are exact") {
+  test("PNG codec: ImageIO roundtrip is byte-exact against the pixel formula") {
+    import Multimodal.Codecs
+    val id = 42L
+    val (w, h) = Codecs.imageDims(id)
+    val png = Codecs.encodePng(w, h, i => Codecs.pixel(id, i))
+    val img = Codecs.decodeImage(png)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == Codecs.pixel(id, base))
+      assert(((rgb >> 8) & 0xff) == Codecs.pixel(id, base + 1))
+      assert((rgb & 0xff) == Codecs.pixel(id, base + 2))
+    }
+  }
+
+  test("WAV codec: AudioSystem roundtrip is sample-exact; header frame count honest") {
+    import Multimodal.Codecs
+    val id = 7L
+    val samples = Array.tabulate(Codecs.audioSampleCount(id))(i => Codecs.sample(id, i).toByte)
+    val wav = Codecs.encodeWav(samples)
+    val (frames, back) = Codecs.decodeWav(wav)
+    assert(frames == samples.length.toLong)
+    assert(back.toSeq == samples.toSeq)
+  }
+
+  test("GVID container: frame count + per-frame PNG decode against the frame formula") {
+    import Multimodal.Codecs
+    val id = 5L
+    val frames = Codecs.decodeVideo(Codecs.encodeVideo(id))
+    assert(frames.length == Codecs.videoFrameCount(id))
+    val f1 = Codecs.decodeImage(frames(1))
+    assert(f1.getWidth == Codecs.FrameW && f1.getHeight == Codecs.FrameH)
+    val rgb = f1.getRGB(3, 2)
+    val base = (2 * Codecs.FrameW + 3) * 3
+    assert(((rgb >> 16) & 0xff) == Codecs.framePixel(id, 1, base))
+    // corrupt magic fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Codecs.decodeVideo("NOPE".getBytes ++ Array[Byte](0, 0, 0, 0))
+    }.getMessage.contains("magic"))
+  }
+
+  test("image features: decoded channel means match the formula") {
+    import Multimodal.Codecs
     val feats = Multimodal.imageFeatures(spark, dir)
-    val docs = Tables.t(spark, dir, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val f0 = feats.filter("doc_id = 0").collect().head
-    val bytes = docs(0L).getBytes("UTF-8")
-    val expectedMean = math.round(bytes.map(_ & 0xff).sum.toDouble / bytes.length * 10000) / 10000.0
-    assert(f0.getAs[Double]("mean_byte") == expectedMean)
-    assert(f0.getAs[Int]("max_byte") == bytes.map(_ & 0xff).max)
-    assert(f0.getAs[Long]("n_bytes") == bytes.length.toLong)
+    val (w, h) = Codecs.imageDims(0L)
+    val n = w * h
+    val byChan = Array.tabulate(3)(c =>
+      (0 until n).map(p => Codecs.pixel(0L, p * 3 + c)).sum.toDouble / n)
+    def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+    assert(f0.getAs[Int]("width") == w && f0.getAs[Int]("height") == h)
+    assert(f0.getAs[Double]("mean_r") == r4(byChan(0)))
+    assert(f0.getAs[Double]("mean_b") == r4(byChan(2)))
+    assert(f0.getAs[Int]("max_byte") == (0 until 3 * n).map(Codecs.pixel(0L, _)).max)
+  }
+
+  test("resize: AffineTransformOp nearest-neighbor mapping is src=(4x+2, 4y+2), per-pixel") {
+    import java.awt.geom.AffineTransform
+    import java.awt.image.AffineTransformOp
+    import Multimodal.Codecs
+    val k = Codecs.ResizeK
+    for (id <- Seq(0L, 3L, 6L, 9L, 12L)) {
+      val (w, h) = Codecs.imageDims(id)
+      assert(w % k == 0 && h % k == 0)
+      val img = Codecs.decodeImage(Codecs.encodePng(w, h, i => Codecs.pixel(id, i)))
+      val op = new AffineTransformOp(
+        AffineTransform.getScaleInstance(1.0 / k, 1.0 / k),
+        AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+      val small = op.filter(img, null)
+      assert(small.getWidth == w / k && small.getHeight == h / k)
+      for (y <- 0 until small.getHeight; x <- 0 until small.getWidth)
+        assert(small.getRGB(x, y) == img.getRGB(k * x + k / 2, k * y + k / 2),
+          s"mapping drift at id=$id dst($x,$y) — JDK resample semantics changed; " +
+            "update the mm04 oracle to match")
+    }
   }
 
   test("PPM codec: real encode/decode round trip, comments, loud corruption errors") {
@@ -59,16 +128,16 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("truncated"))
   }
 
-  test("frame sampling: stride applied per-row before explode") {
+  test("frame sampling: stride applied per-row before explode; frames really decoded") {
+    import Multimodal.Codecs
     val frames = Multimodal.frameSample(spark, dir, stride = 2)
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     assert(frames.nonEmpty)
-    assert(frames.forall { case (id, f) => id % 3 == 2 && f % 2 == 0 })
-  }
-
-  test("resize halves dimensions and payload deterministically") {
-    val r = Multimodal.resize(spark, dir, maxDim = 64).filter("doc_id = 0").collect().head
-    assert(r.getAs[Int]("width") <= 640 && r.getAs[Long]("n_bytes") > 0)
+    assert(frames.forall { case (id, f, _) => id % 3 == 2 && f % 2 == 0 })
+    val (id, f, mean) = frames.head
+    val n = 3 * Codecs.FrameW * Codecs.FrameH
+    val expected = (0 until n).map(Codecs.framePixel(id, f, _)).sum.toDouble / n
+    assert(mean == math.round(expected * 10000).toDouble / 10000)
   }
 
   test("catalog columns + JSON schema document") {
