@@ -554,6 +554,20 @@ object CoreSql {
         .orderBy("o_orderpriority")
     }),
 
+    "q42_values_pivot" -> ((s, d) => {
+      // FROM (VALUES ...) PIVOT through the dialect: rewriteValuesAlias
+      // must recognize PIVOT as a clause keyword and land the
+      // col0-naming alias on the VALUES derived table BEFORE the clause
+      // (advice r2 — executed against the DuckDB oracle here, not just
+      // unit-tested). coalesce on both sides: DuckDB fills absent pivot
+      // cells with 0 for count, Spark with NULL.
+      s.sql(graft.sqlfront.Dialect.rewrite(
+        """SELECT col0, coalesce(a, 0) AS a, coalesce(b, 0) AS b
+           FROM (VALUES (1, 'a'), (2, 'b'), (3, 'a'))
+           PIVOT (count(*) FOR col1 IN ('a', 'b'))
+           ORDER BY col0"""))
+    }),
+
     // ---- events (stream-shaped fact) -----------------------------------
     "q55_events_weekly" -> ((s, d) => {
       t(s, d, "events")
@@ -1050,6 +1064,12 @@ object CoreSql {
              count(*) FILTER (o_orderstatus = 'O') AS "O",
              count(*) FILTER (o_orderstatus = 'P') AS "P"
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q42_values_pivot" -> """
+      SELECT col0, coalesce(a, 0) AS a, coalesce(b, 0) AS b
+      FROM (VALUES (1, 'a'), (2, 'b'), (3, 'a'))
+      PIVOT (count(*) FOR col1 IN ('a', 'b'))
+      ORDER BY col0""",
 
     "q55_events_weekly" -> """
       SELECT date_trunc('week', ts) AS week, event_type, count(*) AS n,
