@@ -58,6 +58,22 @@ object Dashboards {
     "sh01_dashboard_render" -> ((s, d) => {
       val r = Dashboard.run(s, demoContent,
         RunConfig(dashboardId = "demo", prepare = ss => Tables.registerAll(ss, d)))
+      // golden render contract, asserted in-entry so the driver gate
+      // (not just the unit suite) pins it: one content section, a
+      // stacked barchart with the LABEL captured, columns tagged
+      // index/category/value in select-list order
+      val q0 = r.sections.head.queries.head
+      require(r.sections.length == 1, s"expected 1 section, got ${r.sections.length}")
+      require(q0.render.renderType == "barchartHorizontalStacked",
+        s"render type drifted: ${q0.render.renderType}") // get_dashboard.go:986
+      require(q0.render.label.contains("Sessions per Week"),
+        s"label drifted: ${q0.render.label}")
+      require(q0.columns.map(_.tag) == Seq("index", "category", "value"),
+        s"tags drifted: ${q0.columns.map(_.tag)}")
+      // week-truncated values are all midnight, so type inference reports
+      // "date" (ref: getTimestampType value inspection, get_dashboard.go:1349)
+      require(q0.columns.head.colType == "date",
+        s"XAXIS column type drifted: ${q0.columns.head.colType}")
       import s.implicits._
       r.sections.zipWithIndex.flatMap { case (sec, si) =>
         sec.queries.zipWithIndex.map { case (q, qi) =>
@@ -96,6 +112,12 @@ object Dashboards {
         queryParams = Map("evtype" -> Seq("click")), // attack attempt
         variables = verified.variables,
         prepare = ss => Tables.registerAll(ss, d)))
+      // the security golden (get_dashboard_test.go:166-190): the JWT's
+      // protected value must win over the URL param, asserted in-entry
+      val effective = r.sections.flatMap(_.queries).flatMap(_.rows)
+        .collectFirst { case row if row.length > 1 => String.valueOf(row.head) }
+      require(effective.contains("purchase"),
+        s"protected variable overridden by query param: effective=$effective")
       import s.implicits._
       r.sections.flatMap(_.queries).flatMap(_.rows).map(row =>
         (String.valueOf(row.head), String.valueOf(row.lift(1).getOrElse(""))))
@@ -114,11 +136,65 @@ object Dashboards {
           |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5;""".stripMargin
       val r = Dashboard.run(s, content,
         RunConfig(dashboardId = "widgets", prepare = ss => Tables.registerAll(ss, d)))
+      // golden widget contract asserted in-entry: the SECTION retitles
+      // the content section, the dropdown lands in a header section,
+      // the gauge renders as gauge, and the LABEL binds to the table
+      val renderTypes = r.sections.flatMap(_.queries).map(_.render.renderType)
+      require(renderTypes.contains("gauge") && renderTypes.contains("dropdown"),
+        s"widget render types drifted: $renderTypes")
+      val labeled = r.sections.flatMap(_.queries)
+        .find(_.render.label.contains("Top users"))
+      require(labeled.exists(_.rows.length == 5),
+        s"labeled table drifted: ${labeled.map(_.rows.length)}")
       import s.implicits._
       r.sections.flatMap(sec => sec.queries.map(q =>
         (sec.sectionType, q.render.renderType, q.render.label.getOrElse(""),
           q.rows.length, q.render.gaugeCategories.length)))
         .toDF("section_type", "render_type", "label", "n_rows", "n_gauge_cats")
+    }),
+
+    "sh05_render_golden" -> ((s, d) => {
+      // TIMESTAMPTZ / markline / reload golden values transliterated
+      // from the reference render test (get_dashboard_test.go:230-280)
+      // and asserted IN-ENTRY, so the driver's gate pins them every
+      // round: XLINE markline = 2026-08-04 10:00 UTC as epoch ms on the
+      // following linechart, YLINE flagged as y-axis on the vertical
+      // barchart, RELOAD = 2026-08-04 12:00 UTC epoch ms.
+      val content =
+        """SELECT '2026-08-04 10:00:00+00'::TIMESTAMPTZ::XLINE;
+          |SELECT
+          |  '2026-08-04 12:00:00+00'::TIMESTAMPTZ::XAXIS AS ts_xaxis,
+          |  10.0::LINECHART AS val;
+          |SELECT '2026-08-04 10:00:00+00'::TIMESTAMPTZ::YLINE;
+          |SELECT
+          |  5.0::BARCHART AS bval,
+          |  '2026-08-04 12:00:00+00'::TIMESTAMPTZ::YAXIS AS ts_yaxis;
+          |SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ AS standalone_tz;
+          |SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ::DATEPICKER AS dp;
+          |SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ::RELOAD;""".stripMargin
+      val r = Dashboard.run(s, content,
+        RunConfig(dashboardId = "golden", prepare = ss => Tables.registerAll(ss, d)))
+      val qs = r.sections.flatMap(_.queries)
+      val line = qs.find(_.render.renderType == "linechart")
+        .getOrElse(throw new IllegalStateException("no linechart rendered"))
+      require(line.render.markLines.length == 1 &&
+        line.render.markLines.head.value == 1785837600000L &&
+        !line.render.markLines.head.isYaxis,
+        s"XLINE markline drifted: ${line.render.markLines}")
+      require(line.columns.head.colType == "timestamp",
+        s"TIMESTAMPTZ XAXIS column type drifted: ${line.columns.head.colType}")
+      val bar = qs.find(_.render.renderType == "barchartVertical")
+        .getOrElse(throw new IllegalStateException("no vertical barchart rendered"))
+      require(bar.render.markLines.length == 1 && bar.render.markLines.head.isYaxis,
+        s"YLINE markline drifted: ${bar.render.markLines}")
+      require(qs.exists(_.render.renderType == "datepicker"),
+        s"no datepicker rendered: ${qs.map(_.render.renderType)}")
+      require(r.reloadAt == 1785844800000L, s"reloadAt drifted: ${r.reloadAt}")
+      import s.implicits._
+      Seq((line.render.markLines.head.value.toString.toLong,
+          bar.render.markLines.head.isYaxis, r.reloadAt,
+          line.columns.head.colType, qs.length))
+        .toDF("xline_ms", "yline_is_y", "reload_at", "xaxis_type", "n_queries")
     })
   )
 }
