@@ -1,0 +1,250 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.io.StringWriter
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+
+import graft.auth.{Auth, Tokens}
+import graft.ingest.{IngestPipeline, SchemaInfer}
+import graft.interp.{Dashboard, SqlApi, ValidateApi}
+import graft.render.Model
+import graft.state.StateJournal
+
+/** Thin HTTP slice over the engine — the four data-plane routes of the
+  * reference's router (ref: server/web/routes.go:154-217), wired over
+  * the existing interpreter / ingest / auth components with the
+  * JDK-built-in `com.sun.net.httpserver` (no new dependencies):
+  *
+  *   - `POST /api/sql`            — API-key auth (query-data permission),
+  *     single-statement gate, CSV stream (handler/sql.go:14-80)
+  *   - `GET  /api/dashboards/:id` — JWT auth, dashboardId claim scoping,
+  *     render JSON (handler/dashboard.go:321-357)
+  *   - `POST /api/data/:table`    — API-key auth (ingest permission),
+  *     single object or array, returns accepted ids
+  *     (handler/events.go:27-80)
+  *   - `POST /api/validate`       — JWT auth, dashboard-restricted
+  *     tokens rejected, {valid, duration, error}
+  *     (handler/validate.go:25-70)
+  *
+  * plus `GET /health` (routes.go:158). Control-plane routes (folders,
+  * users, keys, invites) exist as programmatic StateJournal/Tokens ops;
+  * the slice here is the data plane a query/ingest client needs.
+  *
+  * Scale note: the server is a stateless front — every request delegates
+  * to the same Spark session the engine runs on, so the HTTP layer adds
+  * no per-node state beyond the in-memory MetaStore it is handed (which
+  * is itself journal-replayable on any node).
+  */
+final class HttpApi(
+    spark: SparkSession,
+    store: StateJournal.MetaStore,
+    jwtSecret: String,
+    prepare: SparkSession => Unit = _ => ()) {
+
+  private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Start on the given port (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/health", exchange(handleHealth))
+    server.createContext("/api/sql", exchange(handleSql))
+    server.createContext("/api/validate", exchange(handleValidate))
+    server.createContext("/api/data/", exchange(handleData))
+    server.createContext("/api/dashboards/", exchange(handleDashboard))
+    // daemon threads + explicit shutdown: a forgotten stop() must never
+    // keep the JVM alive after main returns
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
+  }
+
+  // ---- plumbing ------------------------------------------------------
+
+  private def exchange(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: Exception =>
+          respond(ex, 500, jsonError(Option(e.getMessage).getOrElse(e.toString)))
+      } finally ex.close()
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+  }
+
+  private def jsonError(msg: String): String =
+    "{\"error\":" + Model.jsonValue(msg) + "}"
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def bearer(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.stripPrefix("Bearer ").trim)
+
+  private def queryParams(ex: HttpExchange): Map[String, Seq[String]] =
+    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).map { q =>
+      q.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+          case Array(k) => URLDecoder.decode(k, "UTF-8") -> ""
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    }.getOrElse(Map.empty)
+
+  /** API-key auth + permission (routes.go keyAuth + RequirePermission). */
+  private def requireApiKey(ex: HttpExchange, permission: String): Option[Tokens.Actor] =
+    bearer(ex) match {
+      case Some(tok) if store.tokens.validateApiKey(tok) =>
+        val actor = Tokens.Actor(Tokens.ActorType.ApiKey, Tokens.apiKeyId(tok))
+        if (store.tokens.hasPermission(actor, permission)) Some(actor)
+        else { respond(ex, 403, jsonError("Missing required permission: " + permission)); None }
+      case _ => respond(ex, 401, jsonError("Unauthorized")); None
+    }
+
+  private def requireJwt(ex: HttpExchange): Option[Auth.Claims] =
+    bearer(ex).map(Auth.verify(_, jwtSecret)) match {
+      case Some(Right(claims)) => Some(claims)
+      case _ => respond(ex, 401, jsonError("Unauthorized")); None
+    }
+
+  // ---- routes --------------------------------------------------------
+
+  private def handleHealth(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod == "GET" || ex.getRequestMethod == "HEAD")
+      respond(ex, 200, "")
+    else respond(ex, 405, jsonError("method not allowed"))
+
+  /** POST /api/sql — {sql} → one gated statement → CSV (sql.go:14-80). */
+  private def handleSql(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (requireApiKey(ex, Tokens.Permission.QueryData).isEmpty) return
+    val sql = try {
+      SchemaInfer.parseOrdered(body(ex)).map.get("sql") match {
+        case Some(SchemaInfer.JString(s)) => s.trim
+        case _ => ""
+      }
+    } catch { case _: Exception => return respond(ex, 400, jsonError("Invalid request body")) }
+    if (sql.isEmpty) return respond(ex, 400, jsonError("SQL is required"))
+    val out = new StringWriter
+    SqlApi.runSingleToCSV(spark, sql, out, prepare = prepare) match {
+      case Left(err) => respond(ex, 400, jsonError(err))
+      case Right(()) =>
+        ex.getResponseHeaders.set("X-Content-Type-Options", "nosniff")
+        respond(ex, 200, out.toString, contentType = "text/csv")
+    }
+  }
+
+  /** POST /api/validate — {type, sql} → {valid, duration[, error]}
+    * (validate.go:25-70; dashboard-scoped JWTs are rejected). */
+  private def handleValidate(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    requireJwt(ex).foreach { claims =>
+      if (claims.dashboardId.isDefined)
+        return respond(ex, 401, jsonError("Unauthorized"))
+      val (tpe, sql) = try {
+        val o = SchemaInfer.parseOrdered(body(ex))
+        def str(k: String) = o.map.get(k).collect { case SchemaInfer.JString(s) => s }.getOrElse("")
+        (str("type"), str("sql"))
+      } catch { case _: Exception => return respond(ex, 400, jsonError("Invalid request body")) }
+      ValidateApi.validate(spark, tpe, sql, prepare = prepare) match {
+        case Left(err) => respond(ex, 400, jsonError(err))
+        case Right(r) =>
+          val fields = Seq.newBuilder[String]
+          fields += "\"valid\":" + r.valid
+          fields += "\"duration\":" + r.durationMs
+          r.error.foreach(e => fields += "\"error\":" + Model.jsonValue(e))
+          respond(ex, 200, fields.result().mkString("{", ",", "}"))
+      }
+    }
+  }
+
+  /** POST /api/data/:table — object or array payload, synchronous
+    * ingest, returns accepted ids (events.go:27-80; the reference goes
+    * through NATS, this slice feeds the same batch pipeline directly). */
+  private def handleData(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (requireApiKey(ex, Tokens.Permission.IngestData).isEmpty) return
+    val table = ex.getRequestURI.getPath.stripPrefix("/api/data/")
+    if (table.isEmpty || table.contains("/"))
+      return respond(ex, 404, jsonError("table name required"))
+    val raw = body(ex).trim
+    def explicitId(o: SchemaInfer.JObject): Option[String] =
+      o.map.get("_id").collect { case SchemaInfer.JString(s) if s.nonEmpty => s }
+    try {
+      val isArray = raw.startsWith("[")
+      val objs: Seq[SchemaInfer.JObject] =
+        if (isArray)
+          SchemaInfer.parseOrdered(s"""{"a":$raw}""").fields.head._2 match {
+            case SchemaInfer.JArray(items) => items.map {
+              case o: SchemaInfer.JObject => o
+              case _ => throw new IllegalArgumentException(
+                "event array elements must be objects")
+            }
+            case _ => throw new IllegalArgumentException("invalid array payload")
+          }
+        else Seq(SchemaInfer.parseOrdered(raw))
+      val withIds = objs.map(o =>
+        (o, explicitId(o).getOrElse(IngestPipeline.generateId())))
+      val messages = withIds.map { case (o, id) =>
+        SchemaInfer.Message(table, SchemaInfer.toJsonString(o), headerId = Some(id))
+      }
+      IngestPipeline.processBatch(spark, messages)
+      val ids = withIds.map(_._2)
+      val payload =
+        if (isArray)
+          "{\"status\":\"ok\",\"ids\":" + Model.jsonValue(ids) + "}"
+        else
+          "{\"status\":\"ok\",\"id\":" + Model.jsonValue(ids.head) + "}"
+      respond(ex, 202, payload)
+    } catch {
+      case e: Exception =>
+        respond(ex, 400,
+          "{\"status\":\"error\",\"error\":" +
+            Model.jsonValue(Option(e.getMessage).getOrElse("Invalid JSON payload")) + "}")
+    }
+  }
+
+  /** GET /api/dashboards/:id — JWT-scoped render
+    * (dashboard.go:321-357). */
+  private def handleDashboard(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    requireJwt(ex).foreach { claims =>
+      val id = ex.getRequestURI.getPath.stripPrefix("/api/dashboards/")
+      if (id.isEmpty || id.contains("/"))
+        return respond(ex, 404, jsonError("dashboard id required"))
+      if (claims.dashboardId.exists(_ != id))
+        return respond(ex, 401, jsonError("Unauthorized"))
+      store.dashboards.get(id) match {
+        case None => respond(ex, 404, jsonError("dashboard not found"))
+        case Some(meta) =>
+          val result = Dashboard.run(spark, meta.content, Dashboard.RunConfig(
+            dashboardId = id,
+            queryParams = queryParams(ex),
+            variables = claims.variables,
+            prepare = prepare))
+          respond(ex, 200, Model.toJson(result.copy(name = meta.name)))
+      }
+    }
+  }
+}

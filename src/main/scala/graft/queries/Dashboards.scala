@@ -153,6 +153,64 @@ object Dashboards {
         .toDF("section_type", "render_type", "label", "n_rows", "n_gauge_cats")
     }),
 
+    "http01_api_slice" -> ((s, d) => {
+      // the four data-plane HTTP routes end-to-end over a real listening
+      // socket (routes.go:154-217): API-key-gated SQL→CSV, JWT-scoped
+      // dashboard render, synchronous ingest with ids, validate
+      val store = new graft.state.StateJournal.MetaStore()
+      store.dashboards("demo") = graft.state.StateJournal.DashboardMeta(
+        "demo", "Demo", "SELECT r_name FROM region ORDER BY r_name;",
+        None, None, 0L, "gate")
+      val (_, apiKey) = store.tokens.createApiKey("gate-key",
+        Seq(graft.auth.Tokens.Permission.QueryData, graft.auth.Tokens.Permission.IngestData),
+        graft.auth.Tokens.Actor(graft.auth.Tokens.ActorType.User, "gate"))
+      val secret = "gate-secret"
+      val api = new graft.api.HttpApi(s, store, secret,
+        prepare = ss => Tables.registerAll(ss, d))
+      val port = api.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def send(method: String, path: String, payload: String, token: String) = {
+          val b = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          if (token.nonEmpty) b.header("Authorization", s"Bearer $token")
+          val req = if (method == "GET") b.GET().build()
+            else b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload)).build()
+          client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        }
+        s.sql("DROP TABLE IF EXISTS http_gate_t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "http_gate_t")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        val jwt = graft.auth.Auth.sign(graft.auth.Auth.Claims(
+          None, Map.empty, isPublic = false, longLived = false,
+          exp = System.currentTimeMillis() / 1000 + 900), secret)
+
+        val sqlResp = send("POST", "/api/sql",
+          """{"sql": "SELECT count(*) AS n FROM nation"}""", apiKey)
+        val dashResp = send("GET", "/api/dashboards/demo", "", jwt)
+        val dataResp = send("POST", "/api/data/http_gate_t",
+          """[{"_id": "g1", "v": 1}, {"_id": "g2", "v": 2}]""", apiKey)
+        val valResp = send("POST", "/api/validate",
+          """{"type": "dashboard", "sql": "SELECT 1 AS one"}""", jwt)
+        val unauth = send("POST", "/api/sql", """{"sql": "SELECT 1"}""", "")
+        val ingested = s.table("http_gate_t").count()
+        require(ingested == 2, s"HTTP ingest landed $ingested rows, expected 2")
+        require(dashResp.body().contains("AFRICA"), "dashboard render missing rows")
+        import s.implicits._
+        Seq(
+          ("dashboards", dashResp.statusCode().toLong,
+            dashResp.body().contains("\"name\":\"Demo\"")),
+          ("data", dataResp.statusCode().toLong, dataResp.body().contains("g2")),
+          ("sql", sqlResp.statusCode().toLong,
+            sqlResp.body().trim.endsWith("25")),
+          ("unauth", unauth.statusCode().toLong, true),
+          ("validate", valResp.statusCode().toLong,
+            valResp.body().contains("\"valid\":true")))
+          .toDF("route", "status", "ok").orderBy("route")
+      } finally api.stop()
+    }),
+
     "sh05_render_golden" -> ((s, d) => {
       // TIMESTAMPTZ / markline / reload golden values transliterated
       // from the reference render test (get_dashboard_test.go:230-280)

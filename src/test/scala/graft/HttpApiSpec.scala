@@ -1,0 +1,147 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.api.HttpApi
+import graft.auth.{Auth, Tokens}
+import graft.state.StateJournal
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end HTTP slice: boots the JDK HttpServer on an ephemeral port
+  * and drives the four data-plane routes with a real HTTP client —
+  * request/response shapes from the reference handlers
+  * (web/handler/sql.go, validate.go, events.go, dashboard.go:321-357).
+  */
+class HttpApiSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val secret = "http-test-secret"
+
+  private lazy val fixture: (HttpApi, Int, String) = {
+    val store = new StateJournal.MetaStore()
+    store.dashboards("demo") = StateJournal.DashboardMeta(
+      "demo", "Demo", "SELECT 'hi'::LABEL;\nSELECT r_name FROM region ORDER BY r_name;",
+      None, None, 0L, "test")
+    val (_, apiKey) = store.tokens.createApiKey("test-key",
+      Seq(Tokens.Permission.QueryData, Tokens.Permission.IngestData),
+      Tokens.Actor(Tokens.ActorType.User, "u1"))
+    val api = new HttpApi(spark, store, secret,
+      prepare = ss => Tables.registerAll(ss, dir))
+    val port = api.start()
+    (api, port, apiKey)
+  }
+
+  private def client = HttpClient.newHttpClient()
+
+  private def get(path: String, token: Option[String] = None): HttpResponse[String] = {
+    val (_, port, _) = fixture
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def post(path: String, payload: String, token: Option[String] = None): HttpResponse[String] = {
+    val (_, port, _) = fixture
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.POST(HttpRequest.BodyPublishers.ofString(payload)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def jwt(dashboardId: Option[String] = None,
+      variables: Map[String, Any] = Map.empty): String =
+    Auth.sign(Auth.Claims(dashboardId, variables, isPublic = false,
+      longLived = false, exp = System.currentTimeMillis() / 1000 + 900), secret)
+
+  test("GET /health is open") {
+    assert(get("/health").statusCode() == 200)
+  }
+
+  test("POST /api/sql streams CSV for one gated statement (sql.go:14-80)") {
+    val (_, _, key) = fixture
+    val r = post("/api/sql", """{"sql": "SELECT r_name FROM region ORDER BY r_name"}""",
+      Some(key))
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/csv"))
+    val lines = r.body().split("\n").map(_.trim).filter(_.nonEmpty)
+    assert(lines.head == "r_name")
+    assert(lines.contains("EUROPE") && lines.length == 6)
+  }
+
+  test("POST /api/sql rejects: no key, multi-statement, disallowed, empty") {
+    val (_, _, key) = fixture
+    assert(post("/api/sql", """{"sql": "SELECT 1"}""").statusCode() == 401)
+    assert(post("/api/sql", """{"sql": "SELECT 1; SELECT 2"}""", Some(key)).statusCode() == 400)
+    assert(post("/api/sql", """{"sql": "DROP TABLE region"}""", Some(key)).statusCode() == 400)
+    val empty = post("/api/sql", """{"sql": ""}""", Some(key))
+    assert(empty.statusCode() == 400 && empty.body().contains("SQL is required"))
+  }
+
+  test("GET /api/dashboards/:id renders JSON under a JWT (dashboard.go:321-357)") {
+    val r = get("/api/dashboards/demo", Some(jwt()))
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"name\":\"Demo\""))
+    assert(r.body().contains("EUROPE"))
+    assert(r.body().contains("\"sections\""))
+  }
+
+  test("dashboard auth scoping: id-mismatch 401, missing 404, no token 401") {
+    assert(get("/api/dashboards/demo", Some(jwt(Some("other")))).statusCode() == 401)
+    assert(get("/api/dashboards/demo", Some(jwt(Some("demo")))).statusCode() == 200)
+    assert(get("/api/dashboards/nope", Some(jwt())).statusCode() == 404)
+    assert(get("/api/dashboards/demo").statusCode() == 401)
+    assert(get("/api/dashboards/demo", Some("garbage.token.sig")).statusCode() == 401)
+  }
+
+  test("POST /api/data/:table ingests object and array, returns ids (events.go:27-80)") {
+    val (_, _, key) = fixture
+    val s2 = spark
+    s2.sql("DROP TABLE IF EXISTS http_ingest")
+    val loc = new org.apache.hadoop.fs.Path(
+      s2.conf.get("spark.sql.warehouse.dir"), "http_ingest")
+    loc.getFileSystem(s2.sparkContext.hadoopConfiguration).delete(loc, true)
+
+    val single = post("/api/data/http_ingest",
+      """{"_id": "h1", "v": 1, "kind": "a"}""", Some(key))
+    assert(single.statusCode() == 202)
+    assert(single.body().contains("\"id\":\"h1\""))
+
+    val arr = post("/api/data/http_ingest",
+      """[{"v": 2, "kind": "b"}, {"v": 3, "kind": "c"}]""", Some(key))
+    assert(arr.statusCode() == 202)
+    assert(arr.body().contains("\"ids\":["))
+
+    assert(spark.table("http_ingest").count() == 3)
+    // no key / bad payload
+    assert(post("/api/data/http_ingest", """{"v": 9}""").statusCode() == 401)
+    val bad = post("/api/data/http_ingest", "not json", Some(key))
+    assert(bad.statusCode() == 400 && bad.body().contains("\"status\":\"error\""))
+  }
+
+  test("POST /api/validate: valid, invalid SQL, task rejected, dashboard-JWT rejected (validate.go:25-70)") {
+    val ok = post("/api/validate",
+      """{"type": "dashboard", "sql": "SELECT r_name FROM region"}""", Some(jwt()))
+    assert(ok.statusCode() == 200)
+    assert(ok.body().contains("\"valid\":true") && ok.body().contains("\"duration\":"))
+
+    val bad = post("/api/validate",
+      """{"type": "dashboard", "sql": "SELECT FROM nowhere_t"}""", Some(jwt()))
+    assert(bad.statusCode() == 200)
+    assert(bad.body().contains("\"valid\":false") && bad.body().contains("\"error\":"))
+
+    val task = post("/api/validate", """{"type": "task", "sql": "SELECT 1"}""", Some(jwt()))
+    assert(task.statusCode() == 400 && task.body().contains("not supported"))
+
+    assert(post("/api/validate", """{"type": "dashboard", "sql": "SELECT 1"}""",
+      Some(jwt(Some("demo")))).statusCode() == 401)
+  }
+}
