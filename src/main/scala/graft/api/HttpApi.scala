@@ -56,6 +56,8 @@ final class HttpApi(
     server.createContext("/api/validate", exchange(handleValidate))
     server.createContext("/api/data/", exchange(handleData))
     server.createContext("/api/dashboards/", exchange(handleDashboard))
+    server.createContext("/api/schema", exchange(handleSchema))
+    server.createContext("/api/download/", exchange(handleDownload))
     // daemon threads + explicit shutdown: a forgotten stop() must never
     // keep the JVM alive after main returns
     pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
@@ -222,6 +224,58 @@ final class HttpApi(
         respond(ex, 400,
           "{\"status\":\"error\",\"error\":" +
             Model.jsonValue(Option(e.getMessage).getOrElse("Invalid JSON payload")) + "}")
+    }
+  }
+
+  /** JWT (non-dashboard-scoped) or API key with the given permission —
+    * the reference's jwtOrAPIKeyMiddleware + RequirePermission combo. */
+  private def requireJwtOrApiKey(ex: HttpExchange, permission: String): Boolean =
+    bearer(ex) match {
+      case Some(tok) if Tokens.isApiKeyToken(tok) =>
+        if (store.tokens.validateApiKey(tok) &&
+            store.tokens.hasPermission(
+              Tokens.Actor(Tokens.ActorType.ApiKey, Tokens.apiKeyId(tok)), permission))
+          true
+        else { respond(ex, 401, jsonError("Unauthorized")); false }
+      case Some(tok) => Auth.verify(tok, jwtSecret) match {
+        case Right(claims) if claims.dashboardId.isEmpty => true
+        case _ => respond(ex, 401, jsonError("Unauthorized")); false
+      }
+      case None => respond(ex, 401, jsonError("Unauthorized")); false
+    }
+
+  /** GET /api/schema — databases/tables/columns JSON
+    * (handler/schema.go:13-33; dashboard-scoped JWTs rejected). */
+  private def handleSchema(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireJwtOrApiKey(ex, Tokens.Permission.ReadSchema)) return
+    val ss = spark.newSession()
+    prepare(ss)
+    respond(ex, 200, graft.catalog.Catalog.schemaJson(ss))
+  }
+
+  /** POST /api/download/:filename — {sql} ad-hoc download in the format
+    * the filename extension names (handler routes the dashboard variant
+    * through a render worker; the engine slice serves csv/json). */
+  private def handleDownload(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (requireApiKey(ex, Tokens.Permission.QueryData).isEmpty) return
+    val filename = ex.getRequestURI.getPath.stripPrefix("/api/download/")
+    if (filename.isEmpty || filename.contains("/"))
+      return respond(ex, 404, jsonError("filename required"))
+    val sql = try {
+      SchemaInfer.parseOrdered(body(ex)).map.get("sql") match {
+        case Some(SchemaInfer.JString(s)) => s
+        case _ => ""
+      }
+    } catch { case _: Exception => return respond(ex, 400, jsonError("Invalid request body")) }
+    val out = new StringWriter
+    graft.interp.DownloadApi.runAdhoc(spark, sql, filename, out, prepare = prepare) match {
+      case Left(err) => respond(ex, 400, jsonError(err))
+      case Right(()) =>
+        val ct = if (filename.endsWith(".json")) "application/json" else "text/csv"
+        ex.getResponseHeaders.set("Content-Disposition", s"""attachment; filename="$filename"""")
+        respond(ex, 200, out.toString, contentType = ct)
     }
   }
 

@@ -25,7 +25,14 @@ case class Len(child: Expression) extends UnaryExpression with RuntimeReplaceabl
 }
 
 object Len {
+  // once per session: re-registering on every dashboard/bench call spams
+  // "function len replaced a previously registered function" WARNs.
+  // WeakHashMap so discarded sessions don't pin registry state.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "len", exprs => Len(exprs.head), "scala_udf")
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "len", exprs => Len(exprs.head), "scala_udf")
 }

@@ -270,6 +270,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** mm06: audio feature extraction — AudioSystem WAV decode, then
+    * mean/max/RMS over the raw unsigned samples. The header-declared
+    * frame count is cross-checked against the decoded byte count, so a
+    * truncated or mis-framed payload fails loudly.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type == "audio")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (frames, samples) = Codecs.decodeWav(r.payload)
+          if (frames != samples.length.toLong)
+            throw new IllegalStateException(
+              s"WAV frame count $frames != decoded ${samples.length}")
+          var sum = 0L; var sq = 0.0; var mx = 0
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i) & 0xff
+            sum += v; sq += v.toDouble * v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val n = samples.length
+          (r.doc_id, n.toLong, r4(sum.toDouble / n), mx, r4(math.sqrt(sq / n)))
+        }
+      }
+      .toDF("doc_id", "n_samples", "mean_sample", "max_sample", "rms")
+      .orderBy("doc_id")
+  }
+
   /** mm02: frame sampling for video payloads — stride applied inside the
     * row, each sampled frame decoded with ImageIO, one output row per
     * sampled frame.

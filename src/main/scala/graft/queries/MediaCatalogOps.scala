@@ -33,6 +33,10 @@ object MediaCatalogOps {
       // decode + AffineTransformOp nearest-neighbor 1/4 downscale
       Multimodal.resize(s, d)),
 
+    "mm06_audio_features" -> ((s, d) =>
+      // AudioSystem WAV decode -> sample mean/max/RMS
+      Multimodal.audioFeatures(s, d)),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -213,6 +217,19 @@ object MediaCatalogOps {
              round(avg(CASE WHEN i % 3 = 2 THEN v END), 4) AS mean_b,
              CAST(max(v) AS INTEGER) AS max_byte
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    "mm06_audio_features" -> """
+      WITH aud AS (
+        SELECT doc_id, 256 + doc_id % 512 AS n FROM documents WHERE doc_id % 3 = 1
+      ), smp AS (
+        SELECT doc_id, n, i, (doc_id * 17 + i) % 256 AS v
+        FROM aud, generate_series(0, 767) t(i) WHERE i < n
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+             round(avg(v), 4) AS mean_sample,
+             CAST(max(v) AS INTEGER) AS max_sample,
+             round(sqrt(avg(CAST(v AS DOUBLE) * v)), 4) AS rms
+      FROM smp GROUP BY doc_id ORDER BY doc_id""",
 
     "mm04_resize" -> """
       WITH img AS (

@@ -127,6 +127,32 @@ class HttpApiSpec extends AnyFunSuite {
     assert(bad.statusCode() == 400 && bad.body().contains("\"status\":\"error\""))
   }
 
+  test("GET /api/schema serves catalog JSON under JWT or API key (schema.go:13-33)") {
+    val (_, _, key) = fixture
+    val viaJwt = get("/api/schema", Some(jwt()))
+    assert(viaJwt.statusCode() == 200)
+    assert(viaJwt.body().contains("\"databases\"") && viaJwt.body().contains("lineitem"))
+    // dashboard-scoped JWT rejected; API key needs read-schema permission
+    assert(get("/api/schema", Some(jwt(Some("demo")))).statusCode() == 401)
+    assert(get("/api/schema", Some(key)).statusCode() == 401) // key lacks read-schema
+    assert(get("/api/schema").statusCode() == 401)
+  }
+
+  test("POST /api/download/:filename returns the query in the named format") {
+    val (_, _, key) = fixture
+    val csv = post("/api/download/r.csv",
+      """{"sql": "SELECT r_name FROM region ORDER BY r_name"}""", Some(key))
+    assert(csv.statusCode() == 200)
+    assert(csv.headers().firstValue("Content-Disposition").orElse("").contains("r.csv"))
+    assert(csv.body().startsWith("r_name"))
+    val json = post("/api/download/r.json",
+      """{"sql": "SELECT r_name FROM region ORDER BY r_name"}""", Some(key))
+    assert(json.statusCode() == 200 && json.body().contains("\"r_name\""))
+    // bad extension + pdf (render format, not engine) rejected
+    assert(post("/api/download/r.exe", """{"sql": "SELECT 1"}""", Some(key)).statusCode() == 400)
+    assert(post("/api/download/r.pdf", """{"sql": "SELECT 1"}""", Some(key)).statusCode() == 400)
+  }
+
   test("POST /api/validate: valid, invalid SQL, task rejected, dashboard-JWT rejected (validate.go:25-70)") {
     val ok = post("/api/validate",
       """{"type": "dashboard", "sql": "SELECT r_name FROM region"}""", Some(jwt()))
