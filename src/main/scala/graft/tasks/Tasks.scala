@@ -276,12 +276,57 @@ final class TaskScheduler(spark: SparkSession,
   * shared queue exactly like the reference's JetStream stream, and the
   * claim key is identical — nodes can come and go because every node
   * publishes the same deduplicated message. */
-final class TaskWorkQueue {
+class TaskWorkQueue {
   private val claimed = mutable.Set.empty[String]
   /** First claim wins; later claims of the same (task, runAt) lose —
     * the reference's expected duplicate-message error path. */
   def tryClaim(taskId: String, runAtMillis: Long): Boolean =
     claimed.synchronized(claimed.add(s"$taskId-$runAtMillis"))
+}
+
+/** Cross-JVM work-queue claim over shared storage: the claim key
+  * "taskId-runAtMillis" becomes an exclusively-created file, so the node
+  * whose atomic create wins owns the run — the same
+  * exactly-one-consumer guarantee the reference gets from its NATS
+  * WorkQueuePolicy stream with MaxMsgsPerSubject=1
+  * (schedule_task.go:144-241), but carried by the filesystem every Spark
+  * node already shares (HDFS and local FS give atomic create-exclusive;
+  * object stores need their conditional-put connector semantics).
+  * [[expire]] bounds the claim set like JetStream's duplicate window.
+  */
+final class FsWorkQueue(claimDir: String,
+    conf: org.apache.hadoop.conf.Configuration) extends TaskWorkQueue {
+  private val dirPath = new org.apache.hadoop.fs.Path(claimDir)
+  private val fs = dirPath.getFileSystem(conf)
+  fs.mkdirs(dirPath)
+
+  override def tryClaim(taskId: String, runAtMillis: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dirPath, s"$taskId-$runAtMillis.claim")
+    fs match {
+      // FileSystem.createNewFile is exists()-then-create — NOT atomic on
+      // the local filesystem (verified: 2 winners in an 8-way race). The
+      // JDK's File.createNewFile is O_CREAT|O_EXCL, which is.
+      case lfs: org.apache.hadoop.fs.LocalFileSystem =>
+        try lfs.pathToFile(p).createNewFile()
+        catch { case _: java.io.IOException => false }
+      // HDFS: create(overwrite=false) is an atomic namespace operation
+      case _ =>
+        try { fs.create(p, false).close(); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Delete claims older than the horizon; returns how many were
+    * removed. Fire times are strictly increasing per task, so a claim
+    * older than the longest schedule interval can never be contended
+    * again. */
+  def expire(olderThanMillis: Long): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val old = fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getModificationTime < cutoff)
+    old.foreach(st => fs.delete(st.getPath, false))
+    old.length
+  }
 }
 
 /** One logical executor node sharing the work queue. */

@@ -130,6 +130,40 @@ class TasksSpec extends AnyFunSuite {
     assert(nodes.flatMap(_.fire("t1", content, 4000L, "init")).length == 3)
   }
 
+  test("FsWorkQueue: cross-JVM claim via atomic create-exclusive on shared storage") {
+    val claimDir = java.nio.file.Files.createTempDirectory("fswq").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    // two INDEPENDENT queue instances (two nodes' views of the same dir)
+    val qa = new graft.tasks.FsWorkQueue(claimDir, conf)
+    val qb = new graft.tasks.FsWorkQueue(claimDir, conf)
+    assert(qa.tryClaim("t1", 1000L))
+    assert(!qb.tryClaim("t1", 1000L)) // other node loses the same msg id
+    assert(!qa.tryClaim("t1", 1000L)) // replays lose too
+    assert(qb.tryClaim("t1", 2000L))  // fresh fire time claimable
+    assert(qa.tryClaim("t2", 1000L))  // other task independent
+
+    // many nodes racing concurrently on one msg id: exactly one winner
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val wins = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            new graft.tasks.FsWorkQueue(claimDir, conf).tryClaim("race", 5000L)
+        })
+      }.count(_.get())
+      assert(wins == 1)
+    } finally pool.shutdownNow()
+
+    // TaskNodes over the shared-fs queue: one executes, the rest skip
+    val nodes = Seq(new graft.tasks.TaskNode("n1", spark, qa),
+      new graft.tasks.TaskNode("n2", spark, qb))
+    assert(nodes.flatMap(_.fire("t3", "SELECT 1 AS x;", 9000L, "single")).length == 1)
+
+    // expiry bounds the claim set (duplicate-window analog)
+    assert(qa.expire(olderThanMillis = 0L) > 0)
+    assert(qa.tryClaim("t1", 1000L)) // expired claims are re-claimable
+  }
+
   test("UPDATE/DELETE in tasks: rewrite-on-write with DuckDB Count results") {
     val t = s"mut_$runId"
     val res = Tasks.executeTask(spark,
