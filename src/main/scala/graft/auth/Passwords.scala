@@ -8,32 +8,25 @@ import javax.crypto.spec.PBEKeySpec
 
 /** Password hashing for user login and password-protected dashboards
   * (ref: core/users.go:63, edit_dashboard.go:242-276 — the reference
-  * uses bcrypt at DefaultCost). DOCUMENTED DIVERGENCE: bcrypt is not
-  * available on the Spark classpath, so the KDF here is PBKDF2-HMAC-
-  * SHA256 at 100k iterations with a 16-byte salt — the same contract
-  * (slow, salted, one-way, constant-time verify, self-describing hash
-  * string), a different algorithm. The modular format
-  * `pbkdf2-sha256$<iters>$<salt-b64>$<dk-b64>` keeps iteration counts
-  * upgradable without invalidating stored hashes.
+  * uses bcrypt at DefaultCost=10). New hashes are bcrypt `$2b$`
+  * ([[Bcrypt]], pure Scala), byte-compatible with a reference
+  * deployment's stored `$2a$`/`$2b$`/`$2y$` hashes in both directions.
+  * `verify` additionally accepts this repo's earlier
+  * `pbkdf2-sha256$<iters>$<salt-b64>$<dk-b64>` format so hashes minted
+  * before the bcrypt port keep working.
   */
 object Passwords {
 
-  private val DefaultIterations = 100000
   private val KeyBits = 256
 
   def hash(password: String,
       random: SecureRandom = new SecureRandom(),
-      iterations: Int = DefaultIterations): String = {
-    val salt = new Array[Byte](16)
-    random.nextBytes(salt)
-    val dk = derive(password, salt, iterations)
-    "pbkdf2-sha256$" + iterations + "$" +
-      Base64.getEncoder.encodeToString(salt) + "$" +
-      Base64.getEncoder.encodeToString(dk)
-  }
+      cost: Int = Bcrypt.DefaultCost): String =
+    Bcrypt.hash(password, cost, random)
 
   def verify(password: String, stored: String): Boolean =
-    stored.split("\\$", -1) match {
+    if (stored.startsWith("$2")) Bcrypt.verify(password, stored)
+    else stored.split("\\$", -1) match {
       case Array("pbkdf2-sha256", iters, saltB64, dkB64) =>
         try {
           val salt = Base64.getDecoder.decode(saltB64)

@@ -83,21 +83,31 @@ class StateSpec extends AnyFunSuite {
   test("password hashing: salted, self-describing, constant-time verify (users.go:63 contract)") {
     import graft.auth.Passwords
     val rnd = new java.security.SecureRandom(Array[Byte](42))
-    val h1 = Passwords.hash("s3cret", rnd, iterations = 1000)
-    val h2 = Passwords.hash("s3cret", rnd, iterations = 1000)
+    val h1 = Passwords.hash("s3cret", rnd, cost = 4)
+    val h2 = Passwords.hash("s3cret", rnd, cost = 4)
     assert(h1 != h2) // per-hash salt
-    assert(h1.startsWith("pbkdf2-sha256$1000$"))
+    assert(h1.startsWith("$2b$04$") && h1.length == 60)
     assert(Passwords.verify("s3cret", h1) && Passwords.verify("s3cret", h2))
     assert(!Passwords.verify("wrong", h1))
     assert(!Passwords.verify("s3cret", "garbage"))
     assert(!Passwords.verify("s3cret", "bcrypt$unsupported$x"))
+    // hashes minted before the bcrypt port still verify
+    val legacy = "pbkdf2-sha256$1000$" +
+      java.util.Base64.getEncoder.encodeToString(Array.fill[Byte](16)(1)) + "$" + {
+        val spec = new javax.crypto.spec.PBEKeySpec(
+          "s3cret".toCharArray, Array.fill[Byte](16)(1), 1000, 256)
+        java.util.Base64.getEncoder.encodeToString(
+          javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+            .generateSecret(spec).getEncoded)
+      }
+    assert(Passwords.verify("s3cret", legacy) && !Passwords.verify("wrong", legacy))
   }
 
   test("login: email folding, wrong password, session mint (auth.go:215-237)") {
     import graft.auth.{Passwords, Tokens}
     val store = new Tokens.TokenStore(random = new java.util.Random(7))
     store.putUser(Tokens.UserRecord("u1", "a@b.c", "Alice"))
-    val hash = Passwords.hash("pw-1", iterations = 1000)
+    val hash = Passwords.hash("pw-1", cost = 4)
     val emails = Map("a@b.c" -> "u1")
     val hashes = Map("u1" -> hash)
     val ok = Passwords.login(store, hashes.get, emails.get, "  A@B.C ", "pw-1")
@@ -118,7 +128,7 @@ class StateSpec extends AnyFunSuite {
     val tok = app.store.publicAuth("d1", None, "sec", nowSeconds = 1000).toOption.get
     assert(Auth.verify(tok, "sec", 1000).toOption.get.publicVisibility.contains("public"))
     // password-protected: requires a verified password
-    val h = Passwords.hash("letmein", iterations = 1000)
+    val h = Passwords.hash("letmein", cost = 4)
     app.submit("update_dashboard_visibility", """{"id": "d1", "visibility": "password-protected"}""")
     app.submit("update_dashboard_password", s"""{"id": "d1", "passwordHash": "$h"}""")
     assert(app.store.publicAuth("d1", None, "sec") == Left("Password required"))
@@ -164,7 +174,7 @@ class StateSpec extends AnyFunSuite {
   test("password update invalidates other sessions, keeps the excluded one (users_test.go:15-107)") {
     import graft.auth.Passwords
     val app = new StateApp(freshDir())
-    val oldHash = Passwords.hash("old-password", iterations = 1000)
+    val oldHash = Passwords.hash("old-password", cost = 4)
     app.submit("create_user",
       s"""{"id": "user-1", "email": "test@example.com", "name": "Test User", "passwordHash": "$oldHash"}""")
     val tokens = app.store.tokens
