@@ -58,6 +58,7 @@ final class HttpApi(
     server.createContext("/api/dashboards/", exchange(handleDashboard))
     server.createContext("/api/schema", exchange(handleSchema))
     server.createContext("/api/download/", exchange(handleDownload))
+    server.createContext("/api/render/", exchange(handleRender))
     // daemon threads + explicit shutdown: a forgotten stop() must never
     // keep the JVM alive after main returns
     pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
@@ -298,6 +299,36 @@ final class HttpApi(
             variables = claims.variables,
             prepare = prepare))
           respond(ex, 200, Model.toJson(result.copy(name = meta.name)))
+      }
+    }
+  }
+
+  /** `GET /api/render/:id` — the reference's rendered-download route
+    * (pdf.go:33-342 screenshots the page via a browser; here the same
+    * GetResult is painted headless by [[graft.render.Png]]). Same auth
+    * and scoping as the JSON dashboard route. */
+  private def handleRender(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    requireJwt(ex).foreach { claims =>
+      val id = ex.getRequestURI.getPath.stripPrefix("/api/render/")
+      if (id.isEmpty || id.contains("/"))
+        return respond(ex, 404, jsonError("dashboard id required"))
+      if (claims.dashboardId.exists(_ != id))
+        return respond(ex, 401, jsonError("Unauthorized"))
+      store.dashboards.get(id) match {
+        case None => respond(ex, 404, jsonError("dashboard not found"))
+        case Some(meta) =>
+          val result = Dashboard.run(spark, meta.content, Dashboard.RunConfig(
+            dashboardId = id,
+            queryParams = queryParams(ex),
+            variables = claims.variables,
+            prepare = prepare))
+          val png = graft.render.Png.render(result.copy(name = meta.name))
+          ex.getResponseHeaders.set("Content-Type", "image/png")
+          ex.getResponseHeaders.set("Content-Disposition",
+            "attachment; filename=\"" + meta.name + ".png\"")
+          ex.sendResponseHeaders(200, png.length.toLong)
+          ex.getResponseBody.write(png)
       }
     }
   }

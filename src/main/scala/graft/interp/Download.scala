@@ -122,7 +122,8 @@ private[interp] object DashboardSideEffects {
   * plumbing stays at the web layer. */
 object DownloadApi {
   /** Extensions the reference admits (handler/dashboard.go:34-40);
-    * pdf/png are render formats outside the engine scope. */
+    * pdf/png are whole-dashboard render formats served by
+    * [[graft.render.Png]] via `GET /api/render/:id`, not row writers. */
   val allowedFileTypes: Set[String] = Set("pdf", "csv", "xlsx", "json")
   val engineFileTypes: Set[String] = Set("csv", "json")
 

@@ -12,6 +12,18 @@ object DashboardOracles {
       FROM (SUMMARIZE nation)
       ORDER BY column_name""",
 
+    // op #33 PNG render: geometry-only goldens (page dims + exact
+    // palette pixel counts — text pixels are ink-colored and excluded,
+    // so these constants depend only on chart geometry; captured at
+    // sf0.01, the gate's scale)
+    "png01_png_render" -> """
+      SELECT metric, CAST(v AS BIGINT) AS value
+      FROM (VALUES
+        ('#3b6fb6', 37433), ('#3f9e63', 32232), ('#4fa9b8', 0),
+        ('#7d5fa8', 32266), ('#d95f4b', 32776), ('#e0a83a', 32844),
+        ('height', 1178), ('width', 1200)) t(metric, v)
+      ORDER BY metric""",
+
     // the HTTP slice's golden status codes + payload checks: the entry
     // asserts body contents in-process; the oracle pins the contract
     "http01_api_slice" -> """

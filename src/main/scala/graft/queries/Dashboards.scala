@@ -84,6 +84,35 @@ object Dashboards {
       }.toDF("section", "query", "section_type", "render_type", "label", "tags", "n_rows")
     }),
 
+    "png01_png_render" -> ((s, d) => {
+      // op #33 (ref: server/pdf/pdf.go:33-342): the reference screenshots
+      // the browser page; here the same GetResult payload is painted
+      // headless (render/Png.scala) and fingerprinted geometry-only —
+      // page dimensions plus exact-palette pixel counts, which depend on
+      // chart geometry but never on font rasterization, so the oracle
+      // can pin them as golden constants
+      val content =
+        """SELECT 'Overview'::SECTION;
+          |SELECT 'Sessions per Week'::LABEL;
+          |SELECT date_trunc('week', ts)::XAXIS, event_type::CATEGORY,
+          |       count()::BARCHART_STACKED
+          |FROM events GROUP BY ALL ORDER BY ALL;
+          |SELECT 'Monthly order volume'::LABEL;
+          |SELECT date_trunc('month', o_orderdate)::XAXIS,
+          |       round(sum(o_totalprice))::LINECHART
+          |FROM orders GROUP BY ALL ORDER BY ALL;
+          |SELECT count(*) AS customers FROM customer;
+          |SELECT n_name, n_regionkey FROM nation ORDER BY n_name LIMIT 10;""".stripMargin
+      val r = Dashboard.run(s, content,
+        RunConfig(dashboardId = "png", prepare = ss => Tables.registerAll(ss, d)))
+      val png = graft.render.Png.render(r)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      import s.implicits._
+      (Seq("width" -> img.getWidth.toLong, "height" -> img.getHeight.toLong) ++
+        graft.render.Png.paletteCounts(png))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     "sh02_dashboard_json" -> ((s, d) => {
       val r = Dashboard.run(s, demoContent,
         RunConfig(dashboardId = "demo", prepare = ss => Tables.registerAll(ss, d)))

@@ -94,6 +94,22 @@ class HttpApiSpec extends AnyFunSuite {
     assert(r.body().contains("\"sections\""))
   }
 
+  test("GET /api/render/:id serves a PNG of the dashboard (pdf.go:33-342 analog)") {
+    val (_, port, _) = fixture
+    val b = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/api/render/demo"))
+      .header("Authorization", s"Bearer ${jwt()}")
+    val r = client.send(b.GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "image/png")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.body()))
+    assert(img != null && img.getWidth == 1200 && img.getHeight > 100)
+    // same auth rules as the JSON route
+    assert(get("/api/render/demo").statusCode() == 401)
+    assert(get("/api/render/nope", Some(jwt())).statusCode() == 404)
+    assert(get("/api/render/demo", Some(jwt(Some("other")))).statusCode() == 401)
+  }
+
   test("dashboard auth scoping: id-mismatch 401, missing 404, no token 401") {
     assert(get("/api/dashboards/demo", Some(jwt(Some("other")))).statusCode() == 401)
     assert(get("/api/dashboards/demo", Some(jwt(Some("demo")))).statusCode() == 200)
