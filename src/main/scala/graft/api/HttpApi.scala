@@ -78,10 +78,16 @@ final class HttpApi(
 
   // ---- plumbing ------------------------------------------------------
 
+  /** Client-fault escape hatch: thrown by helpers that detect a bad
+    * request after the handler has already started. */
+  private final class HttpError(val status: Int, msg: String)
+    extends RuntimeException(msg)
+
   private def exchange(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) =>
       try f(ex)
       catch {
+        case e: HttpError => respond(ex, e.status, jsonError(e.getMessage))
         case e: Exception =>
           respond(ex, 500, jsonError(Option(e.getMessage).getOrElse(e.toString)))
       } finally ex.close()
@@ -97,8 +103,16 @@ final class HttpApi(
   private def jsonError(msg: String): String =
     "{\"error\":" + Model.jsonValue(msg) + "}"
 
-  private def body(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+  /** Whole-body payloads share the Spark driver JVM, so cap them —
+    * unbounded readAllBytes is an OOM lever for any client. */
+  private val MaxBodyBytes = 32 * 1024 * 1024
+
+  private def body(ex: HttpExchange): String = {
+    val bytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    if (bytes.length > MaxBodyBytes)
+      throw new HttpError(413, s"request body exceeds $MaxBodyBytes bytes")
+    new String(bytes, StandardCharsets.UTF_8)
+  }
 
   private def bearer(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("Authorization"))
@@ -107,13 +121,26 @@ final class HttpApi(
 
   private def queryParams(ex: HttpExchange): Map[String, Seq[String]] =
     Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).map { q =>
+      // malformed %-escapes are the client's fault, not a 500
+      def decode(s: String): String =
+        try URLDecoder.decode(s, "UTF-8")
+        catch {
+          case _: IllegalArgumentException =>
+            throw new HttpError(400, "malformed query string")
+        }
       q.split("&").toSeq.filter(_.nonEmpty).map { kv =>
         kv.split("=", 2) match {
-          case Array(k, v) => URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
-          case Array(k) => URLDecoder.decode(k, "UTF-8") -> ""
+          case Array(k, v) => decode(k) -> decode(v)
+          case Array(k) => decode(k) -> ""
         }
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
     }.getOrElse(Map.empty)
+
+  /** Strip header-breaking characters from a value embedded in
+    * Content-Disposition (CR/LF would split the header, quotes and
+    * backslashes would escape the quoted-string). */
+  private def headerSafe(s: String): String =
+    s.replaceAll("[\\p{Cntrl}\"\\\\]", "_")
 
   /** API-key auth + permission (routes.go keyAuth + RequirePermission). */
   private def requireApiKey(ex: HttpExchange, permission: String): Option[Tokens.Actor] =
@@ -207,13 +234,23 @@ final class HttpApi(
             case _ => throw new IllegalArgumentException("invalid array payload")
           }
         else Seq(SchemaInfer.parseOrdered(raw))
-      val withIds = objs.map(o =>
-        (o, explicitId(o).getOrElse(IngestPipeline.generateId())))
-      val messages = withIds.map { case (o, id) =>
-        SchemaInfer.Message(table, SchemaInfer.toJsonString(o), headerId = Some(id))
+      val resolved = objs.map { o =>
+        val eid = explicitId(o)
+        (o, eid.getOrElse(IngestPipeline.generateId()), eid.isDefined)
       }
-      IngestPipeline.processBatch(spark, messages)
-      val ids = withIds.map(_._2)
+      // cross-request idempotency: drop explicit ids republished inside
+      // the duplicate window, exactly like the reference's JetStream
+      // stream drops repeated Nats-Msg-Ids (events.go:47); the response
+      // still reports the id as accepted — in the reference the publish
+      // succeeds and the drop happens inside the stream
+      val fresh = admitExplicitIds(table,
+        resolved.collect { case (_, id, true) => id })
+      val messages = resolved.collect {
+        case (o, id, isExplicit) if !isExplicit || fresh(id) =>
+          SchemaInfer.Message(table, SchemaInfer.toJsonString(o), headerId = Some(id))
+      }
+      if (messages.nonEmpty) IngestPipeline.processBatch(spark, messages)
+      val ids = resolved.map(_._2)
       val payload =
         if (isArray)
           "{\"status\":\"ok\",\"ids\":" + Model.jsonValue(ids) + "}"
@@ -227,6 +264,40 @@ final class HttpApi(
             Model.jsonValue(Option(e.getMessage).getOrElse("Invalid JSON payload")) + "}")
     }
   }
+
+  /** Duplicate window for explicit `_id`s, the JetStream
+    * duplicates-window analog (events.go:47, default 2 min): entries
+    * expire after the window, insertion order doubles as age order, and
+    * a hard cap bounds memory under id-spray. */
+  private val DupWindowMillis = 2 * 60 * 1000L
+  private val MaxTrackedIds = 1 << 20
+  private val recentIds = new java.util.LinkedHashMap[String, java.lang.Long]()
+
+  /** First occurrence of each (table, id) inside the window wins;
+    * returns the admitted subset. */
+  private def admitExplicitIds(table: String, ids: Seq[String],
+      now: Long = System.currentTimeMillis()): Set[String] =
+    recentIds.synchronized {
+      val it = recentIds.entrySet().iterator()
+      var scanning = true
+      while (scanning && it.hasNext) {
+        if (now - it.next().getValue > DupWindowMillis) it.remove()
+        else scanning = false
+      }
+      while (recentIds.size >= MaxTrackedIds) {
+        val eldest = recentIds.keySet().iterator()
+        eldest.next(); eldest.remove()
+      }
+      val admitted = Set.newBuilder[String]
+      ids.foreach { id =>
+        val key = table + " " + id
+        if (!recentIds.containsKey(key)) {
+          recentIds.put(key, now)
+          admitted += id
+        }
+      }
+      admitted.result()
+    }
 
   /** JWT (non-dashboard-scoped) or API key with the given permission —
     * the reference's jwtOrAPIKeyMiddleware + RequirePermission combo. */
@@ -275,17 +346,20 @@ final class HttpApi(
       case Left(err) => respond(ex, 400, jsonError(err))
       case Right(()) =>
         val ct = if (filename.endsWith(".json")) "application/json" else "text/csv"
-        ex.getResponseHeaders.set("Content-Disposition", s"""attachment; filename="$filename"""")
+        ex.getResponseHeaders.set("Content-Disposition",
+          s"""attachment; filename="${headerSafe(filename)}"""")
         respond(ex, 200, out.toString, contentType = ct)
     }
   }
 
-  /** GET /api/dashboards/:id — JWT-scoped render
-    * (dashboard.go:321-357). */
-  private def handleDashboard(ex: HttpExchange): Unit = {
+  /** Shared auth/scoping/lookup/run for the dashboard routes: GET-only,
+    * JWT-verified, dashboardId-claim scoped, then the interpreter run
+    * with URL params + claim variables (dashboard.go:321-357). */
+  private def withDashboardResult(ex: HttpExchange, prefix: String)(
+      serve: Model.GetResult => Unit): Unit = {
     if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
     requireJwt(ex).foreach { claims =>
-      val id = ex.getRequestURI.getPath.stripPrefix("/api/dashboards/")
+      val id = ex.getRequestURI.getPath.stripPrefix(prefix)
       if (id.isEmpty || id.contains("/"))
         return respond(ex, 404, jsonError("dashboard id required"))
       if (claims.dashboardId.exists(_ != id))
@@ -298,38 +372,29 @@ final class HttpApi(
             queryParams = queryParams(ex),
             variables = claims.variables,
             prepare = prepare))
-          respond(ex, 200, Model.toJson(result.copy(name = meta.name)))
+          serve(result.copy(name = meta.name))
       }
     }
   }
+
+  /** GET /api/dashboards/:id — JWT-scoped render JSON
+    * (dashboard.go:321-357). */
+  private def handleDashboard(ex: HttpExchange): Unit =
+    withDashboardResult(ex, "/api/dashboards/") { result =>
+      respond(ex, 200, Model.toJson(result))
+    }
 
   /** `GET /api/render/:id` — the reference's rendered-download route
     * (pdf.go:33-342 screenshots the page via a browser; here the same
     * GetResult is painted headless by [[graft.render.Png]]). Same auth
     * and scoping as the JSON dashboard route. */
-  private def handleRender(ex: HttpExchange): Unit = {
-    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
-    requireJwt(ex).foreach { claims =>
-      val id = ex.getRequestURI.getPath.stripPrefix("/api/render/")
-      if (id.isEmpty || id.contains("/"))
-        return respond(ex, 404, jsonError("dashboard id required"))
-      if (claims.dashboardId.exists(_ != id))
-        return respond(ex, 401, jsonError("Unauthorized"))
-      store.dashboards.get(id) match {
-        case None => respond(ex, 404, jsonError("dashboard not found"))
-        case Some(meta) =>
-          val result = Dashboard.run(spark, meta.content, Dashboard.RunConfig(
-            dashboardId = id,
-            queryParams = queryParams(ex),
-            variables = claims.variables,
-            prepare = prepare))
-          val png = graft.render.Png.render(result.copy(name = meta.name))
-          ex.getResponseHeaders.set("Content-Type", "image/png")
-          ex.getResponseHeaders.set("Content-Disposition",
-            "attachment; filename=\"" + meta.name + ".png\"")
-          ex.sendResponseHeaders(200, png.length.toLong)
-          ex.getResponseBody.write(png)
-      }
+  private def handleRender(ex: HttpExchange): Unit =
+    withDashboardResult(ex, "/api/render/") { result =>
+      val png = graft.render.Png.render(result)
+      ex.getResponseHeaders.set("Content-Type", "image/png")
+      ex.getResponseHeaders.set("Content-Disposition",
+        "attachment; filename=\"" + headerSafe(result.name) + ".png\"")
+      ex.sendResponseHeaders(200, png.length.toLong)
+      ex.getResponseBody.write(png)
     }
-  }
 }

@@ -215,13 +215,16 @@ object Png {
   private def paintPie(g: Graphics2D, q: QueryOut,
       px: Int, py: Int, pw: Int, ph: Int, donut: Boolean): Unit = {
     val valueCol = numericCols(q).headOption.getOrElse(return)
-    val vals = q.rows.flatMap(numAt(_, valueCol)).filter(_ > 0)
-    val total = vals.sum
+    // keep the ROW index for the color so slice colors stay aligned with
+    // the category order even when zero/negative rows paint no slice
+    val vals = q.rows.zipWithIndex
+      .flatMap { case (r, i) => numAt(r, valueCol).filter(_ > 0).map((_, i)) }
+    val total = vals.map(_._1).sum
     if (total <= 0) return
     val d = math.min(pw, ph) - 8
     val cx = px + (pw - d) / 2; val cy = py + (ph - d) / 2
     var start = 90.0
-    vals.zipWithIndex.foreach { case (v, i) =>
+    vals.foreach { case (v, i) =>
       val sweep = -v / total * 360.0
       g.setColor(Palette(i % Palette.length))
       g.fillArc(cx, cy, d, d, math.round(start).toInt, math.round(sweep).toInt)

@@ -51,7 +51,7 @@ final class SnapshotService(
     spark: org.apache.spark.sql.SparkSession,
     baseDir: String,
     scheduledTime: String, // "HH:mm", like the reference's config
-    queue: graft.tasks.TaskWorkQueue = new graft.tasks.TaskWorkQueue,
+    queue: graft.tasks.WorkQueue = new graft.tasks.TaskWorkQueue,
     nowMillis: () => Long = () => System.currentTimeMillis())
     extends AutoCloseable {
 

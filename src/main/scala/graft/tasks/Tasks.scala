@@ -276,10 +276,15 @@ final class TaskScheduler(spark: SparkSession,
   * shared queue exactly like the reference's JetStream stream, and the
   * claim key is identical — nodes can come and go because every node
   * publishes the same deduplicated message. */
-class TaskWorkQueue {
-  private val claimed = mutable.Set.empty[String]
+trait WorkQueue {
   /** First claim wins; later claims of the same (task, runAt) lose —
     * the reference's expected duplicate-message error path. */
+  def tryClaim(taskId: String, runAtMillis: Long): Boolean
+}
+
+/** In-process claim set — one JVM's view of the queue. */
+class TaskWorkQueue extends WorkQueue {
+  private val claimed = mutable.Set.empty[String]
   def tryClaim(taskId: String, runAtMillis: Long): Boolean =
     claimed.synchronized(claimed.add(s"$taskId-$runAtMillis"))
 }
@@ -295,19 +300,25 @@ class TaskWorkQueue {
   * [[expire]] bounds the claim set like JetStream's duplicate window.
   */
 final class FsWorkQueue(claimDir: String,
-    conf: org.apache.hadoop.conf.Configuration) extends TaskWorkQueue {
+    conf: org.apache.hadoop.conf.Configuration) extends WorkQueue {
   private val dirPath = new org.apache.hadoop.fs.Path(claimDir)
   private val fs = dirPath.getFileSystem(conf)
   fs.mkdirs(dirPath)
 
-  override def tryClaim(taskId: String, runAtMillis: Long): Boolean = {
+  def tryClaim(taskId: String, runAtMillis: Long): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dirPath, s"$taskId-$runAtMillis.claim")
     fs match {
       // FileSystem.createNewFile is exists()-then-create — NOT atomic on
       // the local filesystem (verified: 2 winners in an 8-way race). The
-      // JDK's File.createNewFile is O_CREAT|O_EXCL, which is.
+      // JDK's File.createNewFile is O_CREAT|O_EXCL, which is. Both the
+      // checksummed wrapper and the raw local FS (fs.file.impl is often
+      // retargeted to RawLocalFileSystem to suppress .crc files) must
+      // take this branch.
       case lfs: org.apache.hadoop.fs.LocalFileSystem =>
         try lfs.pathToFile(p).createNewFile()
+        catch { case _: java.io.IOException => false }
+      case raw: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try raw.pathToFile(p).createNewFile()
         catch { case _: java.io.IOException => false }
       // HDFS: create(overwrite=false) is an atomic namespace operation
       case _ =>
@@ -330,7 +341,7 @@ final class FsWorkQueue(claimDir: String,
 }
 
 /** One logical executor node sharing the work queue. */
-final class TaskNode(val nodeId: String, spark: SparkSession, queue: TaskWorkQueue,
+final class TaskNode(val nodeId: String, spark: SparkSession, queue: WorkQueue,
     prepare: SparkSession => Unit = _ => (),
     /** When set, executed runs publish their result payload — the
       * reference's publishTaskRunResult → task_runs upsert

@@ -141,6 +141,31 @@ class HttpApiSpec extends AnyFunSuite {
     assert(post("/api/data/http_ingest", """{"v": 9}""").statusCode() == 401)
     val bad = post("/api/data/http_ingest", "not json", Some(key))
     assert(bad.statusCode() == 400 && bad.body().contains("\"status\":\"error\""))
+
+    // retried explicit _id inside the duplicate window: accepted response
+    // (the reference's publish succeeds) but no second row lands — the
+    // JetStream duplicates-window behavior (events.go:47)
+    val retry = post("/api/data/http_ingest",
+      """{"_id": "h1", "v": 1, "kind": "a"}""", Some(key))
+    assert(retry.statusCode() == 202 && retry.body().contains("\"id\":\"h1\""))
+    assert(spark.table("http_ingest").count() == 3)
+  }
+
+  test("client faults are 4xx, not 500: bad %-escape in the query string") {
+    // the JDK HttpClient refuses to even build this URI, so drive the
+    // server with a raw socket
+    val (_, port, _) = fixture
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = new java.io.PrintWriter(sock.getOutputStream)
+      out.print("GET /api/dashboards/demo?x=%zz HTTP/1.1\r\nHost: t\r\n" +
+        s"Authorization: Bearer ${jwt()}\r\nConnection: close\r\n\r\n")
+      out.flush()
+      val resp = scala.io.Source.fromInputStream(sock.getInputStream).mkString
+      assert(resp.startsWith("HTTP/1.1 400"), s"got: ${resp.takeWhile(_ != '\r')}")
+    } finally sock.close()
+    // sanity: the handler pipeline still works after the rejected request
+    assert(get("/api/dashboards/demo?x=%20ok", Some(jwt())).statusCode() == 200)
   }
 
   test("GET /api/schema serves catalog JSON under JWT or API key (schema.go:13-33)") {
