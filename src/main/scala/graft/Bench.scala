@@ -32,10 +32,15 @@ object Bench {
     sorted.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // min of two timed passes: single-pass numbers swung up to ~20% on
+    // an idle machine (GC/JIT), drowning real regressions in noise
     val results = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(timed(), timed())
     }
     // the driver captures only the LAST ~2000 output characters: round 1's
     // full-precision line and round 2's 2.2 KB line both head-truncated

@@ -41,6 +41,12 @@ object Multimodal {
     * from them in plain SQL.
     */
   object Codecs {
+    // ImageIO defaults to staging every encode/decode through a temp
+    // FILE; for the tiny per-row images here that disk round-trip is
+    // ~10x the actual codec work, and on executors it also hammers
+    // java.io.tmpdir. Heap-backed streams instead.
+    ImageIO.setUseCache(false)
+
     val FrameW = 16
     val FrameH = 12
     /** Nearest-neighbor downscale factor for [[resize]]; image dims are
