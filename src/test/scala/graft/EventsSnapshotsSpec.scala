@@ -89,4 +89,27 @@ class EventsSnapshotsSpec extends AnyFunSuite {
       assert(spark.table(table).count() == 11)
     } finally { svc.close(); svc2.close() }
   }
+
+  test("snapshot one-node claim holds across JVM-independent queues (FsWorkQueue)") {
+    import graft.snapshots.SnapshotService
+    val base = java.nio.file.Files.createTempDirectory("graft-snapfs").toString
+    val claims = java.nio.file.Files.createTempDirectory("graft-snapfs-claims").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val now = java.time.Instant.parse("2026-08-12T10:00:00Z").toEpochMilli
+    // two services with SEPARATE FsWorkQueue instances — only the shared
+    // claim directory coordinates them, as it would across real nodes
+    val svcA = new SnapshotService(spark, base, "10:30",
+      new graft.tasks.FsWorkQueue(claims, conf), () => now)
+    val svcB = new SnapshotService(spark, base, "10:30",
+      new graft.tasks.FsWorkQueue(claims, conf), () => now)
+    try {
+      val table = s"snapfs_${runId}_t"
+      spark.sql(s"CREATE TABLE $table USING PARQUET AS SELECT id AS v FROM range(5)")
+      val fireAt = svcA.nextRunMillis()
+      val r1 = svcA.runOnce(fireAt)
+      val r2 = svcB.runOnce(fireAt)
+      assert(r1.isDefined ^ r2.isDefined)
+      assert(svcA.latest() == r1.orElse(r2))
+    } finally { svcA.close(); svcB.close() }
+  }
 }
