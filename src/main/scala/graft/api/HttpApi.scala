@@ -384,17 +384,22 @@ final class HttpApi(
       respond(ex, 200, Model.toJson(result))
     }
 
-  /** `GET /api/render/:id` — the reference's rendered-download route
-    * (pdf.go:33-342 screenshots the page via a browser; here the same
-    * GetResult is painted headless by [[graft.render.Png]]). Same auth
+  /** `GET /api/render/:id[?format=pdf]` — the reference's
+    * rendered-download route (pdf.go:33-342 screenshots the page via a
+    * browser; here the same GetResult is painted headless by
+    * [[graft.render.Png]] / wrapped by [[graft.render.Pdf]]). Same auth
     * and scoping as the JSON dashboard route. */
   private def handleRender(ex: HttpExchange): Unit =
     withDashboardResult(ex, "/api/render/") { result =>
-      val png = graft.render.Png.render(result)
-      ex.getResponseHeaders.set("Content-Type", "image/png")
+      val pdf = queryParams(ex).get("format").exists(_.contains("pdf"))
+      val bytes =
+        if (pdf) graft.render.Pdf.render(result)
+        else graft.render.Png.render(result)
+      val (ctype, ext) = if (pdf) ("application/pdf", "pdf") else ("image/png", "png")
+      ex.getResponseHeaders.set("Content-Type", ctype)
       ex.getResponseHeaders.set("Content-Disposition",
-        "attachment; filename=\"" + headerSafe(result.name) + ".png\"")
-      ex.sendResponseHeaders(200, png.length.toLong)
-      ex.getResponseBody.write(png)
+        "attachment; filename=\"" + headerSafe(result.name) + "." + ext + "\"")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
     }
 }

@@ -108,6 +108,14 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get("/api/render/demo").statusCode() == 401)
     assert(get("/api/render/nope", Some(jwt())).statusCode() == 404)
     assert(get("/api/render/demo", Some(jwt(Some("other")))).statusCode() == 401)
+    // ?format=pdf serves the PDF wrap of the same page
+    val bp = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/api/render/demo?format=pdf"))
+      .header("Authorization", s"Bearer ${jwt()}")
+    val rp = client.send(bp.GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(rp.statusCode() == 200)
+    assert(rp.headers().firstValue("Content-Type").orElse("") == "application/pdf")
+    assert(new String(rp.body().take(8), "ASCII").startsWith("%PDF-1.4"))
   }
 
   test("dashboard auth scoping: id-mismatch 401, missing 404, no token 401") {

@@ -41,6 +41,17 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "bucket-key equi-join missing")
   }
 
+  test("d09 prefix-filtered jaccard: equi-joins only, no cartesian, scan in-plan") {
+    // the skew-robust path must itself stay shuffle-sane: the prefix
+    // self-join and the verify joins are all equi-joins on (sh) / (doc
+    // ids) — a cartesian or driver collect here would defeat its purpose
+    val df = graft.queries.PipelineOps.defs("d09_prefix_filter_jaccard")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("documents"), "documents scan missing from plan")
+    assert(!plan.contains("CartesianProduct"), "prefix join degenerated to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
+  }
+
   test("p01 composed pipeline prunes the documents scan to (doc_id, text), no cartesian") {
     val df = graft.queries.PipelineOps.defs("p01_pipeline_e2e")(spark, dir)
     val plan = planOf(df)

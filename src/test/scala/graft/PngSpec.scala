@@ -73,6 +73,28 @@ class PngSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(png, again))
   }
 
+  test("PDF wrap: valid single-page structure, image roundtrips through Flate") {
+    val pdf = graft.render.Pdf.render(result)
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.startsWith("%PDF-1.4"))
+    assert(s.contains("/Subtype /Image") && s.contains("/Width 1200"))
+    assert(s.contains("/MediaBox [0 0 1200 "))
+    assert(s.endsWith("%%EOF\n"))
+    // inflate the image stream back and check it is exactly w*h*3 samples
+    val lenRe = "/Length (\\d+) >>\\nstream\\n".r
+    val m = lenRe.findFirstMatchIn(s.substring(s.indexOf("/Subtype /Image"))).get
+    val start = s.indexOf("/Subtype /Image") + m.end
+    val deflated = pdf.slice(start, start + m.group(1).toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(deflated)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val raw = new Array[Byte](img.getWidth * img.getHeight * 3)
+    val n = inf.inflate(raw)
+    assert(inf.finished() && n == raw.length)
+    // deterministic like the PNG path
+    assert(java.util.Arrays.equals(pdf, graft.render.Pdf.render(result)))
+  }
+
   test("empty-ish dashboards still render (no rows, no sections edge)") {
     val r = Dashboard.run(spark, "SELECT 1 AS x WHERE 1 = 0")
     val bytes = Png.render(r)
