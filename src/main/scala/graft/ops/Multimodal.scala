@@ -178,7 +178,7 @@ object Multimodal {
     * encoded payload (PNG / WAV / GVID by id mod 3) generated on the
     * executors from the [[Codecs]] formulas.
     */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  private def generateMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
@@ -196,6 +196,32 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** The media table as a materialized PARQUET binary column, generated
+    * once per (JVM, dir) and read thereafter — the shape the operators
+    * are specified against ("treat image/audio/video as opaque binary
+    * columns"): a production corpus's payload column exists on disk; an
+    * operator's cost is read + decode + features, not fixture
+    * synthesis. Content is a pure function of doc ids (Codecs
+    * formulas), so a directory left by a previous JVM is valid and
+    * reused. */
+  private val mediaPaths = scala.collection.mutable.Map.empty[String, String]
+
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val path = mediaPaths.synchronized {
+      mediaPaths.getOrElseUpdate(dir, {
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-media-" + Integer.toHexString(dir.hashCode)).getPath
+        if (!new java.io.File(out, "_SUCCESS").exists())
+          generateMedia(spark, dir).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+        out
+      })
+    }
+    spark.read.parquet(path).as[MediaRow]
   }
 
   /** mm01: typed metadata extracted by REAL decode — image dims from the
