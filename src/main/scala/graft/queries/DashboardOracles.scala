@@ -12,6 +12,16 @@ object DashboardOracles {
       FROM (SUMMARIZE nation)
       ORDER BY column_name""",
 
+    // login-surface goldens: every check must hold (constants by design,
+    // like http01 — the entry computes them live against real hashes)
+    "au01_auth_flow" -> """
+      SELECT check_name, true AS ok FROM (VALUES
+        ('folded_email_logs_in'), ('fresh_hash_is_2b10'),
+        ('fresh_hash_roundtrips'), ('reference_hash_verifies'),
+        ('session_validates'), ('unknown_email_fails'),
+        ('wrong_password_fails')) t(check_name)
+      ORDER BY check_name""",
+
     // op #33 PNG render: geometry-only goldens (page dims + exact
     // palette pixel counts — text pixels are ink-colored and excluded,
     // so these constants depend only on chart geometry; captured at

@@ -84,6 +84,36 @@ object Dashboards {
       }.toDF("section", "query", "section_type", "render_type", "label", "tags", "n_rows")
     }),
 
+    "au01_auth_flow" -> ((s, d) => {
+      // the login surface through the driver gate (auth.go:215-237,
+      // users.go:63): bcrypt hash interop — a reference-produced $2a$
+      // hash (public crypt_blowfish vector) verifies, a fresh hash
+      // mints $2b$10$ and round-trips, wrong password and unknown email
+      // fail, the email is case-folded+trimmed, and a successful login
+      // mints a session that validates
+      import graft.auth.{Passwords, Tokens}
+      val store = new Tokens.TokenStore(random = new java.util.Random(7))
+      store.putUser(Tokens.UserRecord("u1", "a@b.c", "Alice"))
+      val freshHash = Passwords.hash("pw-1")
+      val emails = Map("a@b.c" -> "u1")
+      val hashes = Map("u1" -> freshHash)
+      val session = Passwords.login(store, hashes.get, emails.get, "  A@B.C ", "pw-1")
+      val checks = Seq(
+        "reference_hash_verifies" -> Passwords.verify("U*U",
+          "$2a$05$CCCCCCCCCCCCCCCCCCCCC.E5YPO9kmyuRGyh0XouQYb4YMJKvyOeW"),
+        "fresh_hash_is_2b10" -> freshHash.startsWith("$2b$10$"),
+        "fresh_hash_roundtrips" -> Passwords.verify("pw-1", freshHash),
+        "wrong_password_fails" ->
+          Passwords.login(store, hashes.get, emails.get, "a@b.c", "nope").isLeft,
+        "unknown_email_fails" ->
+          Passwords.login(store, hashes.get, emails.get, "x@y.z", "pw-1").isLeft,
+        "folded_email_logs_in" -> session.isRight,
+        "session_validates" ->
+          session.toOption.exists(store.validateSessionToken))
+      import s.implicits._
+      checks.map { case (k, v) => (k, v) }.toDF("check_name", "ok").orderBy("check_name")
+    }),
+
     "png01_png_render" -> ((s, d) => {
       // op #33 (ref: server/pdf/pdf.go:33-342): the reference screenshots
       // the browser page; here the same GetResult payload is painted

@@ -209,6 +209,31 @@ object EngineOps {
         val (at, tpe) = Tasks.getNextTaskRun(s, content, fixedNow)
         (form, at.getOrElse(-1L), tpe)
       }.toDF("form", "next_run_at", "schedule_type").orderBy("form")
+    }),
+
+    "tk04_work_queue" -> ((s, d) => {
+      // work-queue distribution semantics through the driver gate
+      // (schedule_task.go:215-340): two nodes share ONLY a claim
+      // directory (FsWorkQueue — the JetStream WorkQueuePolicy analog);
+      // a `single` run executes on exactly one of them, an `all` run on
+      // both, and a re-fire of the same (task, runAt) on zero.
+      val claims = java.nio.file.Files.createTempDirectory("graft-tk04").toString
+      val conf = s.sparkContext.hadoopConfiguration
+      def node(id: String) = new graft.tasks.TaskNode(id, s,
+        new graft.tasks.FsWorkQueue(claims, conf))
+      val (n1, n2) = (node("n1"), node("n2"))
+      val content = "SELECT 1 AS x;"
+      def fired(results: Option[Tasks.TaskResult]*): Long =
+        results.count(_.isDefined).toLong
+      val singleRun = fired(
+        n1.fire("t1", content, 1000L, "single"), n2.fire("t1", content, 1000L, "single"))
+      val allRun = fired(
+        n1.fire("t1", content, 2000L, "all"), n2.fire("t1", content, 2000L, "all"))
+      val refire = fired(
+        n1.fire("t1", content, 1000L, "single"), n2.fire("t1", content, 1000L, "single"))
+      import s.implicits._
+      Seq(("single", singleRun), ("all", allRun), ("refire", refire))
+        .toDF("run_kind", "executions").orderBy("run_kind")
     })
   )
 
@@ -280,6 +305,16 @@ object EngineOps {
         ('timestamp', CAST(1767225600000 AS BIGINT), 'all')
       ) t(form, next_run_at, schedule_type)
       ORDER BY form""",
+
+    // exactly-one / every-node / duplicate-drop goldens for the shared
+    // work queue (schedule_task.go:215-340 semantics)
+    "tk04_work_queue" -> """
+      SELECT * FROM (VALUES
+        ('all', CAST(2 AS BIGINT)),
+        ('refire', CAST(0 AS BIGINT)),
+        ('single', CAST(1 AS BIGINT))
+      ) t(run_kind, executions)
+      ORDER BY run_kind""",
 
     "tk01_task_execute" -> """
       SELECT -1 AS query_idx, -1 AS row_idx,
