@@ -33,14 +33,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // min of two timed passes: single-pass numbers swung up to ~20% on
-    // an idle machine (GC/JIT), drowning real regressions in noise
+    // an idle machine (GC/JIT), drowning real regressions in noise. A
+    // failed pass must never win the min — a fast throw would otherwise
+    // report a bogus near-zero time and mask the failure.
     val results = sorted.map { case (name, fn) =>
-      def timed(): Double = {
+      def timed(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> math.min(timed(), timed())
+      val (a, aOk) = timed()
+      val (b, bOk) = timed()
+      val v = (aOk, bOk) match {
+        case (true, true) => math.min(a, b)
+        case (true, false) => a
+        case (false, true) => b
+        case _ => math.max(a, b) // both failed: report, don't flatter
+      }
+      name -> v
     }
     // the driver captures only the LAST ~2000 output characters: round 1's
     // full-precision line and round 2's 2.2 KB line both head-truncated

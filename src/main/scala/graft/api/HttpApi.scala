@@ -242,14 +242,18 @@ final class HttpApi(
       // the duplicate window, exactly like the reference's JetStream
       // stream drops repeated Nats-Msg-Ids (events.go:47); the response
       // still reports the id as accepted — in the reference the publish
-      // succeeds and the drop happens inside the stream
-      val fresh = admitExplicitIds(table,
-        resolved.collect { case (_, id, true) => id })
+      // succeeds and the drop happens inside the stream. Ids are
+      // recorded only AFTER the batch lands (a failed batch must stay
+      // retryable); in-batch repeats of one id are collapsed first-wins
+      // by processBatch itself.
+      val explicitIds = resolved.collect { case (_, id, true) => id }
+      val fresh = freshExplicitIds(table, explicitIds)
       val messages = resolved.collect {
         case (o, id, isExplicit) if !isExplicit || fresh(id) =>
           SchemaInfer.Message(table, SchemaInfer.toJsonString(o), headerId = Some(id))
       }
       if (messages.nonEmpty) IngestPipeline.processBatch(spark, messages)
+      recordExplicitIds(table, fresh)
       val ids = resolved.map(_._2)
       val payload =
         if (isArray)
@@ -268,14 +272,21 @@ final class HttpApi(
   /** Duplicate window for explicit `_id`s, the JetStream
     * duplicates-window analog (events.go:47, default 2 min): entries
     * expire after the window, insertion order doubles as age order, and
-    * a hard cap bounds memory under id-spray. */
+    * a hard cap bounds memory under id-spray. Scope boundary, same as
+    * the reference's: JetStream's window is stream-global because every
+    * node publishes into ONE stream; this window is per server
+    * instance, so a multi-node deployment gets the global window by
+    * fronting ingest with a shared queue (the Events/IngestStream
+    * boundary this repo models) or pinning a table's writers. */
   private val DupWindowMillis = 2 * 60 * 1000L
   private val MaxTrackedIds = 1 << 20
   private val recentIds = new java.util.LinkedHashMap[String, java.lang.Long]()
 
-  /** First occurrence of each (table, id) inside the window wins;
-    * returns the admitted subset. */
-  private def admitExplicitIds(table: String, ids: Seq[String],
+  /** Read-only pass: the subset of `ids` not seen inside the window.
+    * Recording is a separate step ([[recordExplicitIds]]) because the
+    * reference registers a Nats-Msg-Id when the stream ACCEPTS the
+    * publish — an id from a failed batch must stay retryable. */
+  private def freshExplicitIds(table: String, ids: Seq[String],
       now: Long = System.currentTimeMillis()): Set[String] =
     recentIds.synchronized {
       val it = recentIds.entrySet().iterator()
@@ -284,19 +295,21 @@ final class HttpApi(
         if (now - it.next().getValue > DupWindowMillis) it.remove()
         else scanning = false
       }
-      while (recentIds.size >= MaxTrackedIds) {
-        val eldest = recentIds.keySet().iterator()
-        eldest.next(); eldest.remove()
-      }
-      val admitted = Set.newBuilder[String]
+      ids.filter(id => !recentIds.containsKey(table + "\u0000" + id)).toSet
+    }
+
+  /** Record ids once their batch landed; the cap is enforced per insert
+    * so the map never exceeds MaxTrackedIds. */
+  private def recordExplicitIds(table: String, ids: Iterable[String],
+      now: Long = System.currentTimeMillis()): Unit =
+    recentIds.synchronized {
       ids.foreach { id =>
-        val key = table + " " + id
-        if (!recentIds.containsKey(key)) {
-          recentIds.put(key, now)
-          admitted += id
+        if (recentIds.size >= MaxTrackedIds) {
+          val eldest = recentIds.keySet().iterator()
+          eldest.next(); eldest.remove()
         }
+        recentIds.put(table + "\u0000" + id, now)
       }
-      admitted.result()
     }
 
   /** JWT (non-dashboard-scoped) or API key with the given permission —

@@ -198,27 +198,49 @@ object Multimodal {
       }
   }
 
+  /** Bump when any [[Codecs]] payload formula changes — a stale corpus
+    * directory from an older formula version must never be reused, or
+    * the Spark side decodes OLD payloads while the DuckDB oracles
+    * recompute from the NEW formulas. */
+  private val CorpusVersion = 1
+
   /** The media table as a materialized PARQUET binary column, generated
     * once per (JVM, dir) and read thereafter — the shape the operators
     * are specified against ("treat image/audio/video as opaque binary
-    * columns"): a production corpus's payload column exists on disk; an
-    * operator's cost is read + decode + features, not fixture
-    * synthesis. Content is a pure function of doc ids (Codecs
-    * formulas), so a directory left by a previous JVM is valid and
-    * reused. */
+    * columns"): a production corpus's payload column exists on disk (on
+    * a cluster it is a real warehouse table; the local tmpdir here is a
+    * test-fixture stand-in); an operator's cost is read + decode +
+    * features, not fixture synthesis. Content is a pure function of doc
+    * ids (Codecs formulas, versioned above), so a directory left by a
+    * previous JVM is valid and reused; the key embeds the sanitized
+    * full dir path (no hash collisions), and publication is
+    * write-to-temp + atomic rename so two JVMs generating concurrently
+    * can't see each other's partial output. */
   private val mediaPaths = scala.collection.mutable.Map.empty[String, String]
 
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val path = mediaPaths.synchronized {
       mediaPaths.getOrElseUpdate(dir, {
-        val out = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-media-" + Integer.toHexString(dir.hashCode)).getPath
-        if (!new java.io.File(out, "_SUCCESS").exists())
+        val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-media-v$CorpusVersion-$key").toPath
+        if (!out.resolve("_SUCCESS").toFile.exists()) {
+          val tmp = out.resolveSibling(
+            out.getFileName.toString + ".tmp-" + ProcessHandle.current().pid())
           generateMedia(spark, dir).write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-        out
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+          try java.nio.file.Files.move(tmp, out,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // another JVM published first; its content is identical
+            case _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.AccessDeniedException |
+                _: java.nio.file.DirectoryNotEmptyException =>
+              org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          }
+        }
+        out.toString
       })
     }
     spark.read.parquet(path).as[MediaRow]

@@ -111,7 +111,7 @@ object Dashboards {
         "session_validates" ->
           session.toOption.exists(store.validateSessionToken))
       import s.implicits._
-      checks.map { case (k, v) => (k, v) }.toDF("check_name", "ok").orderBy("check_name")
+      checks.toDF("check_name", "ok").orderBy("check_name")
     }),
 
     "png01_png_render" -> ((s, d) => {

@@ -16,10 +16,8 @@ object Pdf {
 
   /** Render the dashboard page and wrap it as a one-page PDF (1 px =
     * 1 pt, i.e. 72 dpi). */
-  def render(result: Model.GetResult): Array[Byte] = {
-    val png = Png.render(result)
-    fromImage(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
-  }
+  def render(result: Model.GetResult): Array[Byte] =
+    fromImage(Png.paint(result))
 
   def fromImage(img: BufferedImage): Array[Byte] = {
     val w = img.getWidth; val h = img.getHeight

@@ -45,8 +45,22 @@ object Png {
     case _ => 300 // charts, gauge, boxplot, pie, donut
   }
 
+  // heap-backed ImageIO streams (the default stages every encode/decode
+  // through a temp file); global flag, also set by Multimodal.Codecs —
+  // idempotent, but this painter must not depend on that class loading
+  ImageIO.setUseCache(false)
+
   /** Render the full dashboard to PNG bytes. */
   def render(result: GetResult): Array[Byte] = {
+    val img = paint(result)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Paint the full dashboard page (the PDF wrap embeds this image
+    * directly, skipping a PNG encode/decode roundtrip). */
+  def paint(result: GetResult): BufferedImage = {
     val heights = result.sections.flatMap { sec =>
       (if (sec.title.isDefined) Seq(40) else Nil) ++
         sec.queries.map(q => heightOf(q) + 16)
@@ -85,9 +99,7 @@ object Png {
         g.drawString(link, Margin, y + 20)
       }
     } finally g.dispose()
-    val bos = new java.io.ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
 
   // ---- element painters -----------------------------------------------
