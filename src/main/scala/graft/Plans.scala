@@ -15,8 +15,9 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q10_join_star", "q15_local_supplier",
         "q70_asof_join", "q71_band_join", "d04_dedup_minhash",
-        "d06_dedup_embedding", "p01_pipeline_e2e",
-        "s01_cosine_topk", "s03_ann_lsh", "t03_token_stats")
+        "d06_dedup_embedding", "d09_prefix_filter_jaccard",
+        "p01_pipeline_e2e", "s01_cosine_topk", "s03_ann_lsh",
+        "t03_token_stats", "mm03_image_features")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
