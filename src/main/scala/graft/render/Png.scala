@@ -32,6 +32,7 @@ object Png {
   private val Ink = new Color(0x222222)
   private val Grid = new Color(0xdddddd)
   private val CardEdge = new Color(0xbbbbbb)
+  private val MarkLine = new Color(0x888888)
 
   private val PageW = 1200
   private val Margin = 24
@@ -175,6 +176,30 @@ object Png {
         }
       }
     }
+    // numeric YLINE marklines: dashed horizontal rules at the marked
+    // values, scaled like the series (get_dashboard.go:795-852 — the
+    // frontend draws these; string/x-axis marks need category geometry
+    // the engine-side page doesn't model, so only numeric y marks paint)
+    paintYMarkLines(g, q, px, py, pw, ph, lo, span)
+  }
+
+  private def paintYMarkLines(g: Graphics2D, q: QueryOut,
+      px: Int, py: Int, pw: Int, ph: Int, lo: Double, span: Double): Unit = {
+    val marks = q.render.markLines.collect {
+      case m if m.isYaxis => m.value match {
+        case n: Number => Some(n.doubleValue())
+        case _ => None
+      }
+    }.flatten
+    if (marks.isEmpty) return
+    g.setColor(MarkLine)
+    g.setStroke(new BasicStroke(1f, BasicStroke.CAP_BUTT, BasicStroke.JOIN_MITER,
+      10f, Array(4f, 4f), 0f))
+    marks.foreach { v =>
+      val sy = py + ph - ((v - lo) / span * (ph - 4)).toInt
+      if (sy >= py && sy <= py + ph) g.drawLine(px, sy, px + pw, sy)
+    }
+    g.setStroke(new BasicStroke(1f))
   }
 
   /** Vertical/horizontal bars; with a category column, stack segments
@@ -222,6 +247,10 @@ object Png {
         }
       }
     }
+    // vertical bars have a numeric y axis → dashed y marklines scale
+    // against the stacked max (horizontal bars' value axis is x and is
+    // left to the frontend, same as string marks)
+    if (!horizontal) paintYMarkLines(g, q, px, py, pw, ph, 0.0, maxTotal)
   }
 
   private def paintPie(g: Graphics2D, q: QueryOut,

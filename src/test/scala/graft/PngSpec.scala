@@ -73,6 +73,21 @@ class PngSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(png, again))
   }
 
+  test("numeric YLINE marklines paint as dashed rules in the chart band") {
+    val r = Dashboard.run(spark,
+      """SELECT 20.0::YLINE AS mark, 'cap'::LABEL AS l;
+        |SELECT col0::XAXIS, col1::LINECHART FROM (VALUES (1, 10), (2, 30));""".stripMargin)
+    val chart = r.sections.flatMap(_.queries).find(_.render.renderType == "linechart").get
+    assert(chart.render.markLines.exists(_.isYaxis),
+      s"markline missing from render spec: ${chart.render.markLines}")
+    val bytes = Png.render(r)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var markPixels = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) & 0xffffff) == 0x888888) markPixels += 1
+    assert(markPixels > 100, s"dashed markline not painted ($markPixels pixels)")
+  }
+
   test("PDF wrap: valid single-page structure, image roundtrips through Flate") {
     val pdf = graft.render.Pdf.render(result)
     val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
