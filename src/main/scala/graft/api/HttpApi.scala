@@ -30,9 +30,14 @@ import graft.state.StateJournal
   *     tokens rejected, {valid, duration, error}
   *     (handler/validate.go:25-70)
   *
-  * plus `GET /health` (routes.go:158). Control-plane routes (folders,
-  * users, keys, invites) exist as programmatic StateJournal/Tokens ops;
-  * the slice here is the data plane a query/ingest client needs.
+  * plus `GET /health` (routes.go:158), the rendered-download route
+  * (`GET /api/render/:id[?format=pdf]`), and the auth plane
+  * (`POST /api/auth/login`, `/api/auth/token`, `/api/auth/public` —
+  * handler/auth.go:42-300: session mint, dashboard-JWT issue/refresh
+  * with the scoping/long-lived guard rules, public/password dashboard
+  * tokens). Control-plane routes (folders, users, keys, invites) exist
+  * as programmatic StateJournal/Tokens ops; the slice here is what a
+  * query/ingest/embed client needs.
   *
   * Scale note: the server is a stateless front — every request delegates
   * to the same Spark session the engine runs on, so the HTTP layer adds
@@ -59,6 +64,9 @@ final class HttpApi(
     server.createContext("/api/schema", exchange(handleSchema))
     server.createContext("/api/download/", exchange(handleDownload))
     server.createContext("/api/render/", exchange(handleRender))
+    server.createContext("/api/auth/login", exchange(handleLogin))
+    server.createContext("/api/auth/token", exchange(handleToken))
+    server.createContext("/api/auth/public", exchange(handlePublicAuth))
     // daemon threads + explicit shutdown: a forgotten stop() must never
     // keep the JVM alive after main returns
     pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
@@ -415,4 +423,114 @@ final class HttpApi(
       ex.sendResponseHeaders(200, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
     }
+
+  // ---- auth routes (handler/auth.go:42-300) ---------------------------
+
+  private def parsedBody(ex: HttpExchange): Option[SchemaInfer.JObject] =
+    try Some(SchemaInfer.parseOrdered(body(ex)))
+    catch { case e: HttpError => throw e
+            case _: Exception => None }
+
+  private def jStr(o: SchemaInfer.JObject, k: String): String =
+    o.map.get(k).collect { case SchemaInfer.JString(s) => s }.getOrElse("")
+
+  /** POST /api/auth/login — {email, password} → {token: session}
+    * (handler/auth.go:42-63 over core.Login; one 401 for both unknown
+    * email and bad password — no account enumeration). */
+  private def handleLogin(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    val o = parsedBody(ex).getOrElse(
+      return respond(ex, 400, jsonError("Invalid request body")))
+    graft.auth.Passwords.login(store.tokens,
+      id => store.tokens.getUser(id).flatMap(_.passwordHash),
+      email => store.tokens.userByEmail(email).map(_.id),
+      jStr(o, "email"), jStr(o, "password")) match {
+      case Right(tok) => respond(ex, 200, "{\"token\":" + Model.jsonValue(tok) + "}")
+      case Left(_) => respond(ex, 401, jsonError("Invalid email or password"))
+    }
+  }
+
+  private def jsonToVariables(o: SchemaInfer.JObject): Map[String, Any] =
+    o.map.get("variables") match {
+      case Some(vs: SchemaInfer.JObject) =>
+        vs.fields.map { case (k, v) =>
+          k -> (v match {
+            case SchemaInfer.JString(s) => s: Any
+            case SchemaInfer.JArray(items) => items.map {
+              case SchemaInfer.JString(s) => s: Any
+              case SchemaInfer.JNumber(n) => n: Any
+              case SchemaInfer.JBool(b) => b: Any
+              case other => other: Any
+            }
+            // non-string scalars pass through so issueJwt rejects them
+            // with the reference's "Invalid variables format" error
+            case SchemaInfer.JNumber(n) => n: Any
+            case SchemaInfer.JBool(b) => b: Any
+            case other => other: Any
+          })
+        }.toMap
+      case _ => Map.empty
+    }
+
+  /** POST /api/auth/token — mint a dashboard JWT (handler/auth.go:83-231).
+    * A verifying JWT (header, or an `ey…` body token from old CLI
+    * clients) takes the refresh path under [[Tokens.canMintFrom]]'s
+    * rules: dashboard-scoped tokens never mint, long-lived never mints
+    * long-lived. Otherwise the body token (session or API key) goes
+    * through [[Tokens.issueJwt]]: `jwt` permission required, API keys
+    * must scope to a dashboard, variables must be strings or string
+    * arrays. */
+  private def handleToken(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    val o = parsedBody(ex).getOrElse(
+      return respond(ex, 400, jsonError("Invalid request body")))
+    val bodyToken = jStr(o, "token")
+    val dashboardId = Some(jStr(o, "dashboardId")).filter(_.nonEmpty)
+    val longLived = o.map.get("longLived")
+      .collect { case SchemaInfer.JBool(b) => b }.getOrElse(false)
+    val variables = jsonToVariables(o)
+    val jwtCandidate = bearer(ex).orElse(
+      Some(bodyToken).filter(t => t.startsWith("ey") && t.split("\\.").length == 3))
+    jwtCandidate.map(Auth.verify(_, jwtSecret)) match {
+      case Some(Right(claims)) =>
+        Tokens.canMintFrom(claims, longLived) match {
+          case Left(err) => respond(ex, 401, jsonError(err))
+          case Right(()) =>
+            val now = System.currentTimeMillis() / 1000
+            val minted = claims.copy(
+              dashboardId = dashboardId.orElse(claims.dashboardId),
+              variables = if (variables.nonEmpty) variables else claims.variables,
+              longLived = claims.longLived || longLived,
+              exp = if (longLived) now + Auth.LongLivedExpirySeconds else claims.exp)
+            respond(ex, 200,
+              "{\"jwt\":" + Model.jsonValue(Auth.sign(minted, jwtSecret)) + "}")
+        }
+      case _ =>
+        Tokens.issueJwt(store.tokens, bodyToken, dashboardId, variables,
+            longLived, jwtSecret) match {
+          case Right(t) => respond(ex, 200, "{\"jwt\":" + Model.jsonValue(t) + "}")
+          case Left(err) if err == "Invalid token" => respond(ex, 401, jsonError(err))
+          case Left(err) if err.startsWith("Missing required permission") =>
+            respond(ex, 403, jsonError(err))
+          case Left(err) => respond(ex, 400, jsonError(err))
+        }
+    }
+  }
+
+  /** POST /api/auth/public — {dashboardId, password?} → public-view JWT
+    * for public / password-protected dashboards
+    * (handler/auth.go:237-300 over the MetaStore's publicAuth). */
+  private def handlePublicAuth(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    val o = parsedBody(ex).getOrElse(
+      return respond(ex, 400, jsonError("Invalid request body")))
+    store.publicAuth(jStr(o, "dashboardId"),
+        Some(jStr(o, "password")).filter(_.nonEmpty), jwtSecret) match {
+      case Right(jwt) => respond(ex, 200, "{\"jwt\":" + Model.jsonValue(jwt) + "}")
+      case Left("not found") => respond(ex, 404, jsonError("not found"))
+      case Left(err @ ("Password required" | "Invalid password")) =>
+        respond(ex, 401, jsonError(err))
+      case Left(err) => respond(ex, 400, jsonError(err))
+    }
+  }
 }

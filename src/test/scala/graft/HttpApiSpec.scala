@@ -26,13 +26,16 @@ class HttpApiSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val secret = "http-test-secret"
 
+  private lazy val fixtureStore = new StateJournal.MetaStore()
+
   private lazy val fixture: (HttpApi, Int, String) = {
-    val store = new StateJournal.MetaStore()
+    val store = fixtureStore
     store.dashboards("demo") = StateJournal.DashboardMeta(
       "demo", "Demo", "SELECT 'hi'::LABEL;\nSELECT r_name FROM region ORDER BY r_name;",
       None, None, 0L, "test")
     val (_, apiKey) = store.tokens.createApiKey("test-key",
-      Seq(Tokens.Permission.QueryData, Tokens.Permission.IngestData),
+      Seq(Tokens.Permission.QueryData, Tokens.Permission.IngestData,
+        Tokens.Permission.GenerateJWT),
       Tokens.Actor(Tokens.ActorType.User, "u1"))
     val api = new HttpApi(spark, store, secret,
       prepare = ss => Tables.registerAll(ss, dir))
@@ -200,6 +203,65 @@ class HttpApiSpec extends AnyFunSuite {
     // bad extension + pdf (render format, not engine) rejected
     assert(post("/api/download/r.exe", """{"sql": "SELECT 1"}""", Some(key)).statusCode() == 400)
     assert(post("/api/download/r.pdf", """{"sql": "SELECT 1"}""", Some(key)).statusCode() == 400)
+  }
+
+  test("POST /api/auth/login mints a session; one 401 for bad email or password (auth.go:42-63)") {
+    val (_, _, _) = fixture
+    val store = fixtureStore
+    store.tokens.putUser(Tokens.UserRecord("lu1", "login@test.io", "L",
+      passwordHash = Some(graft.auth.Passwords.hash("pw-http", cost = 4))))
+    val ok = post("/api/auth/login", """{"email": " LOGIN@TEST.IO ", "password": "pw-http"}""")
+    assert(ok.statusCode() == 200 && ok.body().contains("\"token\":"))
+    assert(post("/api/auth/login", """{"email": "login@test.io", "password": "nope"}""").statusCode() == 401)
+    assert(post("/api/auth/login", """{"email": "ghost@test.io", "password": "pw-http"}""").statusCode() == 401)
+    assert(post("/api/auth/login", "not json").statusCode() == 400)
+  }
+
+  test("POST /api/auth/token: issue + refresh rules (auth.go:83-231)") {
+    val (_, _, key) = fixture
+    // API key with the jwt permission mints a dashboard-scoped JWT...
+    val minted = post("/api/auth/token",
+      s"""{"token": "$key", "dashboardId": "demo", "variables": {"v": "1"}}""")
+    assert(minted.statusCode() == 200 && minted.body().contains("\"jwt\":"), minted.body())
+    val jwtTok = minted.body().split("\"jwt\":\"")(1).stripSuffix("\"}")
+    // ...which opens the dashboard route
+    assert(get("/api/dashboards/demo", Some(jwtTok)).statusCode() == 200)
+    // API key without dashboardId → 400 (auth.go:206-210)
+    assert(post("/api/auth/token", s"""{"token": "$key"}""").statusCode() == 400)
+    // invalid token → 401; bad variables → 400
+    assert(post("/api/auth/token", """{"token": "garbage", "dashboardId": "demo"}""").statusCode() == 401)
+    assert(post("/api/auth/token",
+      s"""{"token": "$key", "dashboardId": "demo", "variables": {"v": 7}}""").statusCode() == 400)
+    // dashboard-scoped JWT can never re-mint (auth.go:117-121)
+    assert(post("/api/auth/token", """{"dashboardId": "other"}""",
+      Some(jwtTok)).statusCode() == 401)
+    // non-scoped JWT refresh works, and long-lived-from-long-lived is refused
+    val userJwt = jwt()
+    val refreshed = post("/api/auth/token", """{"dashboardId": "demo"}""", Some(userJwt))
+    assert(refreshed.statusCode() == 200)
+    val ll = post("/api/auth/token", """{"longLived": true}""", Some(userJwt))
+    assert(ll.statusCode() == 200)
+    val llTok = ll.body().split("\"jwt\":\"")(1).stripSuffix("\"}")
+    assert(post("/api/auth/token", """{"longLived": true}""", Some(llTok)).statusCode() == 401)
+  }
+
+  test("POST /api/auth/public: visibility flow (auth.go:237-300)") {
+    val (_, _, _) = fixture
+    val store = fixtureStore
+    // private → 404
+    assert(post("/api/auth/public", """{"dashboardId": "demo"}""").statusCode() == 404)
+    store.dashboards("pub") = StateJournal.DashboardMeta(
+      "pub", "Pub", "SELECT 1;", None, Some("public"), 0L, "t")
+    val ok = post("/api/auth/public", """{"dashboardId": "pub"}""")
+    assert(ok.statusCode() == 200 && ok.body().contains("\"jwt\":"))
+    store.dashboards("locked") = StateJournal.DashboardMeta(
+      "locked", "Locked", "SELECT 1;", None, Some("password-protected"), 0L, "t",
+      passwordHash = Some(graft.auth.Passwords.hash("s3cret", cost = 4)))
+    assert(post("/api/auth/public", """{"dashboardId": "locked"}""").statusCode() == 401)
+    assert(post("/api/auth/public",
+      """{"dashboardId": "locked", "password": "wrong"}""").statusCode() == 401)
+    assert(post("/api/auth/public",
+      """{"dashboardId": "locked", "password": "s3cret"}""").statusCode() == 200)
   }
 
   test("POST /api/validate: valid, invalid SQL, task rejected, dashboard-JWT rejected (validate.go:25-70)") {
