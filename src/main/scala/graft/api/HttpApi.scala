@@ -48,7 +48,15 @@ final class HttpApi(
     spark: SparkSession,
     store: StateJournal.MetaStore,
     jwtSecret: String,
-    prepare: SparkSession => Unit = _ => ()) {
+    prepare: SparkSession => Unit = _ => (),
+    /** Control-plane write path. The default applies straight to the
+      * MetaStore; a deployment with a [[StateJournal.StateApp]] passes
+      * `app.submit` so writes go journal-first (SubmitState). */
+    submit: (String, String) => Boolean = null) {
+
+  private val submitFn: (String, String) => Boolean =
+    if (submit != null) submit
+    else (event, json) => store.apply(event, SchemaInfer.parseOrdered(json))
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -60,7 +68,9 @@ final class HttpApi(
     server.createContext("/api/sql", exchange(handleSql))
     server.createContext("/api/validate", exchange(handleValidate))
     server.createContext("/api/data/", exchange(handleData))
-    server.createContext("/api/dashboards/", exchange(handleDashboard))
+    server.createContext("/api/dashboards/", exchange(handleDashboardPath))
+    server.createContext("/api/dashboards", exchange(handleCreateDashboard))
+    server.createContext("/api/logout", exchange(handleLogout))
     server.createContext("/api/schema", exchange(handleSchema))
     server.createContext("/api/download/", exchange(handleDownload))
     server.createContext("/api/render/", exchange(handleRender))
@@ -398,12 +408,98 @@ final class HttpApi(
     }
   }
 
-  /** GET /api/dashboards/:id — JWT-scoped render JSON
-    * (dashboard.go:321-357). */
-  private def handleDashboard(ex: HttpExchange): Unit =
-    withDashboardResult(ex, "/api/dashboards/") { result =>
-      respond(ex, 200, Model.toJson(result))
+  /** User-level auth for control-plane writes (the reference's
+    * apiWithAuth group): a valid session token, or a JWT that is NOT
+    * dashboard-scoped. */
+  private def requireUserAuth(ex: HttpExchange): Boolean =
+    bearer(ex) match {
+      case Some(tok) if store.tokens.validateSessionToken(tok) => true
+      case Some(tok) => Auth.verify(tok, jwtSecret) match {
+        case Right(claims) if claims.dashboardId.isEmpty => true
+        case _ => respond(ex, 401, jsonError("Unauthorized")); false
+      }
+      case None => respond(ex, 401, jsonError("Unauthorized")); false
     }
+
+  /** Dispatcher for `/api/dashboards/:id[...]` — GET render JSON
+    * (dashboard.go:321-357), DELETE, and the field-update posts
+    * (routes.go:190-196), which submit the corresponding journal events
+    * (edit_dashboard.go; password hashed server-side like
+    * edit_dashboard.go:242-276). */
+  private def handleDashboardPath(ex: HttpExchange): Unit = {
+    val parts = ex.getRequestURI.getPath.stripPrefix("/api/dashboards/")
+      .split("/").filter(_.nonEmpty)
+    (ex.getRequestMethod, parts) match {
+      case ("GET", Array(_)) =>
+        withDashboardResult(ex, "/api/dashboards/") { result =>
+          respond(ex, 200, Model.toJson(result))
+        }
+      case ("DELETE", Array(id)) =>
+        if (requireUserAuth(ex)) {
+          if (!store.dashboards.contains(id))
+            respond(ex, 404, jsonError("dashboard not found"))
+          else {
+            submitFn("delete_dashboard", s"""{"id":${Model.jsonValue(id)}}""")
+            respond(ex, 200, "{\"status\":\"ok\"}")
+          }
+        }
+      case ("POST", Array(id, field @ ("query" | "name" | "visibility" | "password"))) =>
+        if (requireUserAuth(ex)) {
+          if (!store.dashboards.contains(id))
+            return respond(ex, 404, jsonError("dashboard not found"))
+          val o = parsedBody(ex).getOrElse(
+            return respond(ex, 400, jsonError("Invalid request body")))
+          val (event, payload) = field match {
+            case "query" => ("update_dashboard_content",
+              s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(jStr(o, "content"))}}""")
+            case "name" => ("update_dashboard_name",
+              s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))}}""")
+            case "visibility" => ("update_dashboard_visibility",
+              s"""{"id":${Model.jsonValue(id)},"visibility":${Model.jsonValue(jStr(o, "visibility"))}}""")
+            case "password" => ("update_dashboard_password",
+              s"""{"id":${Model.jsonValue(id)},"passwordHash":${
+                Model.jsonValue(graft.auth.Passwords.hash(jStr(o, "password")))}}""")
+          }
+          if (submitFn(event, payload)) respond(ex, 200, "{\"status\":\"ok\"}")
+          else respond(ex, 400, jsonError("update rejected"))
+        }
+      case _ => respond(ex, 405, jsonError("method not allowed"))
+    }
+  }
+
+  /** POST /api/dashboards — create (routes.go:188, create_dashboard
+    * event); returns the generated id. */
+  private def handleCreateDashboard(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    val o = parsedBody(ex).getOrElse(
+      return respond(ex, 400, jsonError("Invalid request body")))
+    val id = Some(jStr(o, "id")).filter(_.nonEmpty)
+      .getOrElse(store.tokens.newId())
+    val name = Some(jStr(o, "name")).filter(_.nonEmpty).getOrElse("New Dashboard")
+    val folder = Some(jStr(o, "folderId")).filter(_.nonEmpty)
+      .map(f => s""","folderId":${Model.jsonValue(f)}""").getOrElse("")
+    val ok = submitFn("create_dashboard",
+      s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(name)},""" +
+        s""""content":${Model.jsonValue(jStr(o, "content"))}$folder}""")
+    if (ok) respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
+    else respond(ex, 400, jsonError("create rejected"))
+  }
+
+  /** POST /api/logout — invalidate the presented session
+    * (routes.go:183). */
+  private def handleLogout(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    bearer(ex).filter(store.tokens.validateSessionToken) match {
+      case None => respond(ex, 401, jsonError("Unauthorized"))
+      case Some(tok) =>
+        val sessionId = tok.stripPrefix(Tokens.SessionTokenPrefix).split("\\.")(0)
+        store.tokens.logout(sessionId) match {
+          case Right(()) => respond(ex, 200, "{\"status\":\"ok\"}")
+          case Left(err) => respond(ex, 400, jsonError(err))
+        }
+    }
+  }
 
   /** `GET /api/render/:id[?format=pdf]` — the reference's
     * rendered-download route (pdf.go:33-342 screenshots the page via a

@@ -245,6 +245,62 @@ class HttpApiSpec extends AnyFunSuite {
     assert(post("/api/auth/token", """{"longLived": true}""", Some(llTok)).statusCode() == 401)
   }
 
+  test("dashboard control plane: create, edit fields, render reflects edits, delete (routes.go:188-196)") {
+    val (_, _, _) = fixture
+    val store = fixtureStore
+    store.tokens.putUser(Tokens.UserRecord("cp1", "cp@test.io", "CP"))
+    val session = store.tokens.createSessionForUser("cp1")
+    // create with generated id
+    val created = post("/api/dashboards",
+      """{"name": "CP Board", "content": "SELECT 1 AS one;"}""", Some(session))
+    assert(created.statusCode() == 200, created.body())
+    val id = created.body().split("\"id\":\"")(1).stripSuffix("\"}")
+    assert(store.dashboards(id).name == "CP Board")
+    // edits apply through the journal events
+    assert(post(s"/api/dashboards/$id/name", """{"name": "Renamed"}""",
+      Some(session)).statusCode() == 200)
+    assert(post(s"/api/dashboards/$id/query",
+      """{"content": "SELECT 2 AS two;"}""", Some(session)).statusCode() == 200)
+    assert(post(s"/api/dashboards/$id/visibility",
+      """{"visibility": "password-protected"}""", Some(session)).statusCode() == 200)
+    assert(post(s"/api/dashboards/$id/password",
+      """{"password": "cp-pass"}""", Some(session)).statusCode() == 200)
+    assert(store.dashboards(id).name == "Renamed")
+    assert(store.dashboards(id).visibility.contains("password-protected"))
+    // the stored hash is bcrypt and verifies via the public-auth flow
+    assert(post("/api/auth/public",
+      s"""{"dashboardId": "$id", "password": "cp-pass"}""").statusCode() == 200)
+    // the render route serves the edited content
+    val rendered = get(s"/api/dashboards/$id", Some(jwt()))
+    assert(rendered.statusCode() == 200 && rendered.body().contains("\"two\""))
+    // auth rules: no token 401, dashboard-scoped JWT 401, unknown id 404
+    assert(post(s"/api/dashboards/$id/name", """{"name": "x"}""").statusCode() == 401)
+    assert(post(s"/api/dashboards/$id/name", """{"name": "x"}""",
+      Some(jwt(Some(id)))).statusCode() == 401)
+    assert(post("/api/dashboards/nope/name", """{"name": "x"}""",
+      Some(session)).statusCode() == 404)
+    // delete
+    val del = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${fixture._2}/api/dashboards/$id"))
+      .header("Authorization", s"Bearer $session").DELETE().build()
+    assert(client.send(del, HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+    assert(!store.dashboards.contains(id))
+  }
+
+  test("POST /api/logout invalidates the session (routes.go:183)") {
+    val (_, _, _) = fixture
+    val store = fixtureStore
+    store.tokens.putUser(Tokens.UserRecord("lo1", "lo@test.io", "LO"))
+    val session = store.tokens.createSessionForUser("lo1")
+    assert(post("/api/dashboards", """{"name": "T", "content": ""}""",
+      Some(session)).statusCode() == 200)
+    assert(post("/api/logout", "", Some(session)).statusCode() == 200)
+    // session no longer authenticates
+    assert(post("/api/dashboards", """{"name": "T2", "content": ""}""",
+      Some(session)).statusCode() == 401)
+    assert(post("/api/logout", "", Some(session)).statusCode() == 401)
+  }
+
   test("POST /api/auth/public: visibility flow (auth.go:237-300)") {
     val (_, _, _) = fixture
     val store = fixtureStore
