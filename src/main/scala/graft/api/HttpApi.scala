@@ -31,13 +31,15 @@ import graft.state.StateJournal
   *     (handler/validate.go:25-70)
   *
   * plus `GET /health` (routes.go:158), the rendered-download route
-  * (`GET /api/render/:id[?format=pdf]`), and the auth plane
+  * (`GET /api/render/:id[?format=pdf]`), the auth plane
   * (`POST /api/auth/login`, `/api/auth/token`, `/api/auth/public` —
   * handler/auth.go:42-300: session mint, dashboard-JWT issue/refresh
   * with the scoping/long-lived guard rules, public/password dashboard
-  * tokens). Control-plane routes (folders, users, keys, invites) exist
-  * as programmatic StateJournal/Tokens ops; the slice here is what a
-  * query/ingest/embed client needs.
+  * tokens), and the control plane (routes.go:183-217): dashboard
+  * create/edit/delete, folders + move, task CRUD + ad-hoc run, user
+  * list/rename/password-rotation/delete, invite create/read/claim,
+  * API-key CRUD, logout. Control-plane writes are journal events
+  * through `submitFn` (journal-first when a StateApp is wired).
   *
   * Scale note: the server is a stateless front — every request delegates
   * to the same Spark session the engine runs on, so the HTTP layer adds
@@ -77,6 +79,18 @@ final class HttpApi(
     server.createContext("/api/auth/login", exchange(handleLogin))
     server.createContext("/api/auth/token", exchange(handleToken))
     server.createContext("/api/auth/public", exchange(handlePublicAuth))
+    server.createContext("/api/folders", exchange(handleFolders))
+    server.createContext("/api/folders/", exchange(handleFolderPath))
+    server.createContext("/api/move", exchange(handleMove))
+    server.createContext("/api/tasks", exchange(handleTasks))
+    server.createContext("/api/tasks/", exchange(handleTaskPath))
+    server.createContext("/api/run/task", exchange(handleRunTask))
+    server.createContext("/api/users", exchange(handleUsers))
+    server.createContext("/api/users/", exchange(handleUserPath))
+    server.createContext("/api/invites", exchange(handleInvites))
+    server.createContext("/api/invites/", exchange(handleInvitePath))
+    server.createContext("/api/keys", exchange(handleKeys))
+    server.createContext("/api/keys/", exchange(handleKeyPath))
     // daemon threads + explicit shutdown: a forgotten stop() must never
     // keep the JVM alive after main returns
     pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
@@ -484,6 +498,226 @@ final class HttpApi(
         s""""content":${Model.jsonValue(jStr(o, "content"))}$folder}""")
     if (ok) respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
     else respond(ex, 400, jsonError("create rejected"))
+  }
+
+  // ---- remaining control plane (routes.go:183-217) --------------------
+  // Every write is a journal event through submitFn; every handler is
+  // user-auth gated except the public invite read/claim pair.
+
+  private def ok(ex: HttpExchange): Unit = respond(ex, 200, "{\"status\":\"ok\"}")
+
+  private def pathParts(ex: HttpExchange, prefix: String): Array[String] =
+    ex.getRequestURI.getPath.stripPrefix(prefix).split("/").filter(_.nonEmpty)
+
+  /** POST /api/folders — create_folder with a generated id. */
+  private def handleFolders(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+    val id = store.tokens.newId()
+    val parent = Some(jStr(o, "parentId")).filter(_.nonEmpty)
+      .map(p => s""","parentId":${Model.jsonValue(p)}""").getOrElse("")
+    if (submitFn("create_folder",
+        s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))}$parent}"""))
+      respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
+    else respond(ex, 400, jsonError("create rejected"))
+  }
+
+  /** DELETE /api/folders/:id and POST /api/folders/:id/name. */
+  private def handleFolderPath(ex: HttpExchange): Unit = {
+    if (!requireUserAuth(ex)) return
+    (ex.getRequestMethod, pathParts(ex, "/api/folders/")) match {
+      case ("DELETE", Array(id)) =>
+        submitFn("delete_folder", s"""{"id":${Model.jsonValue(id)}}"""); ok(ex)
+      case ("POST", Array(id, "name")) =>
+        val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        if (submitFn("rename_folder",
+            s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))}}"""))
+          ok(ex)
+        else respond(ex, 404, jsonError("folder not found"))
+      case _ => respond(ex, 405, jsonError("method not allowed"))
+    }
+  }
+
+  /** POST /api/move — {apps, folders, folderId} → move_items. */
+  private def handleMove(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    parsedBody(ex) match {
+      case None => respond(ex, 400, jsonError("Invalid request body"))
+      case Some(o) =>
+        submitFn("move_items", SchemaInfer.toJsonString(o)); ok(ex)
+    }
+  }
+
+  /** POST /api/tasks — create_task with a generated id. */
+  private def handleTasks(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+    val id = store.tokens.newId()
+    if (submitFn("create_task",
+        s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))},""" +
+          s""""content":${Model.jsonValue(jStr(o, "content"))}}"""))
+      respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
+    else respond(ex, 400, jsonError("create rejected"))
+  }
+
+  /** GET/DELETE /api/tasks/:id, POST /api/tasks/:id/content|name. */
+  private def handleTaskPath(ex: HttpExchange): Unit = {
+    if (!requireUserAuth(ex)) return
+    (ex.getRequestMethod, pathParts(ex, "/api/tasks/")) match {
+      case ("GET", Array(id)) =>
+        store.tasks.get(id) match {
+          case None => respond(ex, 404, jsonError("task not found"))
+          case Some(t) => respond(ex, 200,
+            s"""{"id":${Model.jsonValue(t.id)},"name":${Model.jsonValue(t.name)},""" +
+              s""""content":${Model.jsonValue(t.content)}}""")
+        }
+      case ("DELETE", Array(id)) =>
+        submitFn("delete_task", s"""{"id":${Model.jsonValue(id)}}"""); ok(ex)
+      case ("POST", Array(id, field @ ("content" | "name"))) =>
+        if (!store.tasks.contains(id)) return respond(ex, 404, jsonError("task not found"))
+        val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        submitFn(s"update_task_$field",
+          s"""{"id":${Model.jsonValue(id)},"$field":${Model.jsonValue(jStr(o, field))}}""")
+        ok(ex)
+      case _ => respond(ex, 405, jsonError("method not allowed"))
+    }
+  }
+
+  /** POST /api/run/task — {content} → ad-hoc task execution
+    * (handler RunTask → run_task.go:67-258); returns per-statement
+    * results. */
+  private def handleRunTask(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+    val r = graft.tasks.Tasks.executeTask(spark, jStr(o, "content"), prepare = prepare)
+    val queries = r.queries.map { q =>
+      s"""{"sql":${Model.jsonValue(q.sql)},"durationMs":${q.durationMs},""" +
+        s""""rows":${q.resultRows.length},"error":${Model.jsonValue(q.error.orNull)}}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200, s"""{"success":${r.success},"queries":$queries}""")
+  }
+
+  /** GET /api/users — active users. */
+  private def handleUsers(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    val users = store.tokens.listUsers.map { u =>
+      s"""{"id":${Model.jsonValue(u.id)},"email":${Model.jsonValue(u.email)},""" +
+        s""""name":${Model.jsonValue(u.name)}}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200, s"""{"users":$users}""")
+  }
+
+  /** POST /api/users/:id/password|name, DELETE /api/users/:id. */
+  private def handleUserPath(ex: HttpExchange): Unit = {
+    if (!requireUserAuth(ex)) return
+    (ex.getRequestMethod, pathParts(ex, "/api/users/")) match {
+      case ("DELETE", Array(id)) =>
+        submitFn("delete_user", s"""{"id":${Model.jsonValue(id)}}"""); ok(ex)
+      case ("POST", Array(id, "name")) =>
+        val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        submitFn("update_user_name",
+          s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))}}""")
+        ok(ex)
+      case ("POST", Array(id, "password")) =>
+        // current-password verify + other-session invalidation
+        // (users.go:186-218); the presented session survives
+        val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        val sessionId = bearer(ex).filter(store.tokens.validateSessionToken)
+          .map(_.stripPrefix(Tokens.SessionTokenPrefix).split("\\.")(0)).getOrElse("")
+        graft.auth.Passwords.updateUserPassword(store.tokens, submitFn, id,
+            jStr(o, "currentPassword"), jStr(o, "newPassword"), sessionId) match {
+          case Right(()) => ok(ex)
+          case Left(err) => respond(ex, 400, jsonError(err))
+        }
+      case _ => respond(ex, 405, jsonError("method not allowed"))
+    }
+  }
+
+  /** POST /api/invites — create_invite with a generated code. */
+  private def handleInvites(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+    val code = store.tokens.generateRandomString(16)
+    if (submitFn("create_invite",
+        s"""{"code":${Model.jsonValue(code)},"email":${Model.jsonValue(jStr(o, "email"))},""" +
+          s""""timestamp":${System.currentTimeMillis()}}"""))
+      respond(ex, 200, "{\"code\":" + Model.jsonValue(code) + "}")
+    else respond(ex, 400, jsonError("create rejected"))
+  }
+
+  /** GET /api/invites/:code (public), POST /api/invites/:code/claim
+    * (public — mints the user), DELETE /api/invites/:code (authed). */
+  private def handleInvitePath(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, pathParts(ex, "/api/invites/")) match {
+      case ("GET", Array(code)) =>
+        store.invites.get(code) match {
+          case None => respond(ex, 404, jsonError("invalid invite code"))
+          case Some(i) => respond(ex, 200,
+            s"""{"code":${Model.jsonValue(i.code)},"email":${Model.jsonValue(i.email)}}""")
+        }
+      case ("POST", Array(code, "claim")) =>
+        val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        StateJournal.claimInvite(store, submitFn, code,
+            jStr(o, "name"), jStr(o, "password")) match {
+          case Right(userId) =>
+            respond(ex, 200, "{\"userId\":" + Model.jsonValue(userId) + "}")
+          case Left(err) => respond(ex, 400, jsonError(err))
+        }
+      case ("DELETE", Array(code)) =>
+        if (!requireUserAuth(ex)) return
+        submitFn("delete_invite", s"""{"code":${Model.jsonValue(code)}}"""); ok(ex)
+      case _ => respond(ex, 405, jsonError("method not allowed"))
+    }
+
+  /** GET/POST /api/keys — list / create_api_key (the secret is shown
+    * once, like the reference). */
+  private def handleKeys(ex: HttpExchange): Unit = {
+    if (!requireUserAuth(ex)) return
+    ex.getRequestMethod match {
+      case "GET" =>
+        val keys = store.tokens.listApiKeys.map { case (id, name, perms) =>
+          s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(name)},""" +
+            s""""permissions":${Model.jsonValue(perms)}}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, s"""{"keys":$keys}""")
+      case "POST" =>
+        val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        val perms = o.map.get("permissions") match {
+          case Some(SchemaInfer.JArray(items)) =>
+            items.collect { case SchemaInfer.JString(s) => s }
+          case _ => Nil
+        }
+        val (_, token) = store.tokens.createApiKey(jStr(o, "name"), perms,
+          Tokens.Actor(Tokens.ActorType.User, ""))
+        respond(ex, 200, "{\"key\":" + Model.jsonValue(token) + "}")
+      case _ => respond(ex, 405, jsonError("method not allowed"))
+    }
+  }
+
+  /** POST /api/keys/:id/permissions, DELETE /api/keys/:id. */
+  private def handleKeyPath(ex: HttpExchange): Unit = {
+    if (!requireUserAuth(ex)) return
+    (ex.getRequestMethod, pathParts(ex, "/api/keys/")) match {
+      case ("DELETE", Array(id)) =>
+        submitFn("delete_api_key", s"""{"id":${Model.jsonValue(id)}}"""); ok(ex)
+      case ("POST", Array(id, "permissions")) =>
+        val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        val perms = o.map.get("permissions") match {
+          case Some(SchemaInfer.JArray(items)) =>
+            items.collect { case SchemaInfer.JString(s) => s }
+          case _ => Nil
+        }
+        submitFn("update_api_key_permissions",
+          s"""{"id":${Model.jsonValue(id)},"permissions":${Model.jsonValue(perms)}}""")
+        ok(ex)
+      case _ => respond(ex, 405, jsonError("method not allowed"))
+    }
   }
 
   /** POST /api/logout — invalidate the presented session

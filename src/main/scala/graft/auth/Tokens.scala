@@ -244,6 +244,11 @@ object Tokens {
       apiKeys.values.toSeq.sortBy(-_.createdAtMillis)
         .map(k => (k.id, k.name, k.permissions.getOrElse(Nil)))
 
+    /** Active (non-soft-deleted) users in creation order
+      * (ref: ListUsers, users.go:119-150 filters deleted_at IS NULL). */
+    def listUsers: Seq[UserRecord] =
+      users.values.toSeq.filter(_.deletedAtMillis.isEmpty)
+
     /** (ref: auth.go:342-402 ValidToken) */
     def validToken(token: String, loginRequired: Boolean = true): AuthInfo = {
       if (!loginRequired && token.isEmpty) return AuthInfo(valid = true)

@@ -287,6 +287,76 @@ class HttpApiSpec extends AnyFunSuite {
     assert(!store.dashboards.contains(id))
   }
 
+  test("folders, move, tasks, users, invites, keys control plane (routes.go:183-217)") {
+    val (_, _, _) = fixture
+    val store = fixtureStore
+    store.tokens.putUser(Tokens.UserRecord("ctl1", "ctl@test.io", "Ctl",
+      passwordHash = Some(graft.auth.Passwords.hash("ctl-pass", cost = 4))))
+    val session = store.tokens.createSessionForUser("ctl1")
+    def s = Some(session)
+
+    // folders: create → rename → move a dashboard in → delete
+    val folder = post("/api/folders", """{"name": "F1"}""", s)
+    assert(folder.statusCode() == 200)
+    val fid = folder.body().split("\"id\":\"")(1).stripSuffix("\"}")
+    assert(post(s"/api/folders/$fid/name", """{"name": "F2"}""", s).statusCode() == 200)
+    assert(store.folders(fid).name == "F2")
+    assert(post("/api/move",
+      s"""{"apps": ["demo"], "toFolderId": "$fid"}""", s).statusCode() == 200)
+    assert(store.dashboards("demo").folderId.contains(fid))
+    assert(post("/api/move", """{"apps": ["demo"]}""", s).statusCode() == 200) // back to root
+
+    // tasks: create → get → edit → run ad-hoc → delete
+    val task = post("/api/tasks", """{"name": "T", "content": "SELECT 1;"}""", s)
+    assert(task.statusCode() == 200)
+    val tid = task.body().split("\"id\":\"")(1).stripSuffix("\"}")
+    assert(get(s"/api/tasks/$tid", s).body().contains("\"name\":\"T\""))
+    assert(post(s"/api/tasks/$tid/content", """{"content": "SELECT 2;"}""", s).statusCode() == 200)
+    assert(store.tasks(tid).content == "SELECT 2;")
+    val run = post("/api/run/task", """{"content": "SELECT 41 + 1 AS v;"}""", s)
+    assert(run.statusCode() == 200 && run.body().contains("\"success\":true"), run.body())
+    val delT = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${fixture._2}/api/tasks/$tid"))
+      .header("Authorization", s"Bearer $session").DELETE().build()
+    assert(client.send(delT, HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+    assert(!store.tasks.contains(tid))
+
+    // users: list includes ctl1; rename; password change keeps this session
+    assert(get("/api/users", s).body().contains("ctl@test.io"))
+    assert(post("/api/users/ctl1/name", """{"name": "Ctl2"}""", s).statusCode() == 200)
+    assert(store.tokens.getUser("ctl1").get.name == "Ctl2")
+    assert(post("/api/users/ctl1/password",
+      """{"currentPassword": "wrong", "newPassword": "x"}""", s).statusCode() == 400)
+    assert(post("/api/users/ctl1/password",
+      """{"currentPassword": "ctl-pass", "newPassword": "ctl-pass-2"}""", s).statusCode() == 200)
+    assert(post("/api/users", "", s).statusCode() == 405) // still authed: session survived
+
+    // invites: create → public read → claim mints a user → login works
+    val inv = post("/api/invites", """{"email": "new@test.io"}""", s)
+    assert(inv.statusCode() == 200)
+    val code = inv.body().split("\"code\":\"")(1).stripSuffix("\"}")
+    assert(get(s"/api/invites/$code").body().contains("new@test.io")) // public
+    val claim = post(s"/api/invites/$code/claim",
+      """{"name": "Newbie", "password": "n3w-pass"}""")
+    assert(claim.statusCode() == 200, claim.body())
+    assert(store.invites.isEmpty || !store.invites.contains(code))
+    assert(post("/api/auth/login",
+      """{"email": "new@test.io", "password": "n3w-pass"}""").statusCode() == 200)
+    assert(post(s"/api/invites/$code/claim",
+      """{"name": "Again", "password": "x"}""").statusCode() == 400) // burned
+
+    // keys: create → list → narrow permissions → the narrowed key loses /api/sql
+    val keyResp = post("/api/keys",
+      """{"name": "k-ctl", "permissions": ["data:query"]}""", s)
+    assert(keyResp.statusCode() == 200)
+    val newKey = keyResp.body().split("\"key\":\"")(1).stripSuffix("\"}")
+    assert(get("/api/keys", s).body().contains("k-ctl"))
+    assert(post("/api/sql", """{"sql": "SELECT 1 AS x"}""", Some(newKey)).statusCode() == 200)
+    val kid = graft.auth.Tokens.apiKeyId(newKey)
+    assert(post(s"/api/keys/$kid/permissions", """{"permissions": []}""", s).statusCode() == 200)
+    assert(post("/api/sql", """{"sql": "SELECT 1 AS x"}""", Some(newKey)).statusCode() == 403)
+  }
+
   test("POST /api/logout invalidates the session (routes.go:183)") {
     val (_, _, _) = fixture
     val store = fixtureStore
