@@ -25,7 +25,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "lineitem").selectExpr("count(*)").collect()
 
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional comma-separated name filter for local isolation runs
+    // (unset for the driver's full-suite run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val sorted = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     // steady-state measurement: one untimed pass per query first, so the
     // timed pass reports execution cost, not first-run plan compilation
     // and codegen (cold runs measured ~2x warm across the suite)
@@ -66,10 +71,12 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    try {
-      val out = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
-      java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
-    } catch { case _: Exception => () }
+    if (only.isEmpty) { // filtered isolation runs must not clobber the full map
+      try {
+        val out = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+        java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
+      } catch { case _: Exception => () }
+    }
     // line budget 1700 bytes: keep the slowest queries (the regression
     // surface), drop cheapest first, count what was dropped
     val byCost = results.sortBy(-_._2)
