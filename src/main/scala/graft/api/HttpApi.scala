@@ -41,11 +41,38 @@ import graft.state.StateJournal
   * API-key CRUD, logout. Control-plane writes are journal events
   * through `submitFn` (journal-first when a StateApp is wired).
   *
+  * Round-4 completion of the router surface: `GET /api/system/config` +
+  * `GET /api/version` (system.go), `POST /api/auth/setup` first-user
+  * bootstrap, `GET /api/apps` listing with sort/path/query/paging
+  * (apps.go over core.ListApps), `GET /api/dashboards/:id/info` +
+  * `GET /api/public/:id/status`, `POST /api/deploy` batch
+  * create/update/delete with folder auto-creation (deploy.go),
+  * the download-intent pair `GET /api/dashboards/:id/download/:filename`
+  * → `GET /api/download/:key/:filename` (unguessable-key redemption,
+  * dashboard.go:390-590), `POST /api/admin/reset-jwt-secret`, and
+  * `GET /metrics` Prometheus counters. Not mapped, by design: the
+  * frontend asset/embed routes (routes.go:225-252) — static-file
+  * serving for a React bundle is not an analytics-engine workload.
+  *
   * Scale note: the server is a stateless front — every request delegates
   * to the same Spark session the engine runs on, so the HTTP layer adds
   * no per-node state beyond the in-memory MetaStore it is handed (which
   * is itself journal-replayable on any node).
   */
+object HttpApi {
+  /** Deployment switches surfaced by `GET /api/system/config`
+    * (ref: handler/system.go:12-24 over the App flags). */
+  final case class Config(
+      loginRequired: Boolean = true,
+      tasksEnabled: Boolean = true,
+      editEnabled: Boolean = true,
+      publicSharingEnabled: Boolean = true,
+      passwordProtectedSharingEnabled: Boolean = true,
+      ssoLoginUrl: String = "",
+      jwtSecretStatic: Boolean = false,
+      version: String = "graft-dev")
+}
+
 final class HttpApi(
     spark: SparkSession,
     store: StateJournal.MetaStore,
@@ -54,11 +81,18 @@ final class HttpApi(
     /** Control-plane write path. The default applies straight to the
       * MetaStore; a deployment with a [[StateJournal.StateApp]] passes
       * `app.submit` so writes go journal-first (SubmitState). */
-    submit: (String, String) => Boolean = null) {
+    submit: (String, String) => Boolean = null,
+    config: HttpApi.Config = HttpApi.Config()) {
 
   private val submitFn: (String, String) => Boolean =
     if (submit != null) submit
     else (event, json) => store.apply(event, SchemaInfer.parseOrdered(json))
+
+  /** The signing secret, rotatable at runtime by
+    * `POST /api/admin/reset-jwt-secret` (ref: handler/auth.go:341-358 —
+    * every outstanding JWT is invalidated; sessions and API keys,
+    * which don't involve the secret, survive). */
+  @volatile private var secret: String = jwtSecret
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -91,6 +125,14 @@ final class HttpApi(
     server.createContext("/api/invites/", exchange(handleInvitePath))
     server.createContext("/api/keys", exchange(handleKeys))
     server.createContext("/api/keys/", exchange(handleKeyPath))
+    server.createContext("/metrics", exchange(handleMetrics))
+    server.createContext("/api/system/config", exchange(handleSystemConfig))
+    server.createContext("/api/version", exchange(handleVersion))
+    server.createContext("/api/auth/setup", exchange(handleSetup))
+    server.createContext("/api/apps", exchange(handleApps))
+    server.createContext("/api/public/", exchange(handlePublicStatus))
+    server.createContext("/api/deploy", exchange(handleDeploy))
+    server.createContext("/api/admin/reset-jwt-secret", exchange(handleResetJwtSecret))
     // daemon threads + explicit shutdown: a forgotten stop() must never
     // keep the JVM alive after main returns
     pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
@@ -124,8 +166,22 @@ final class HttpApi(
           respond(ex, 500, jsonError(Option(e.getMessage).getOrElse(e.toString)))
       } finally ex.close()
 
+  /** Request counters behind `GET /metrics` (the reference mounts
+    * echoprometheus there, routes.go:163). Keyed by (route-context,
+    * method, status) — the CONTEXT path, not the raw request path, so
+    * per-id URLs can't grow the map without bound. */
+  private val requestCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.util.concurrent.atomic.LongAdder]
+
+  private def countRequest(ex: HttpExchange, status: Int): Unit = {
+    val route = Option(ex.getHttpContext).map(_.getPath).getOrElse("?")
+    requestCounts.computeIfAbsent((route, ex.getRequestMethod, status),
+      _ => new java.util.concurrent.atomic.LongAdder).increment()
+  }
+
   private def respond(ex: HttpExchange, status: Int, body: String,
       contentType: String = "application/json"): Unit = {
+    countRequest(ex, status)
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length.toLong)
@@ -185,7 +241,7 @@ final class HttpApi(
     }
 
   private def requireJwt(ex: HttpExchange): Option[Auth.Claims] =
-    bearer(ex).map(Auth.verify(_, jwtSecret)) match {
+    bearer(ex).map(Auth.verify(_, secret)) match {
       case Some(Right(claims)) => Some(claims)
       case _ => respond(ex, 401, jsonError("Unauthorized")); None
     }
@@ -354,7 +410,7 @@ final class HttpApi(
               Tokens.Actor(Tokens.ActorType.ApiKey, Tokens.apiKeyId(tok)), permission))
           true
         else { respond(ex, 401, jsonError("Unauthorized")); false }
-      case Some(tok) => Auth.verify(tok, jwtSecret) match {
+      case Some(tok) => Auth.verify(tok, secret) match {
         case Right(claims) if claims.dashboardId.isEmpty => true
         case _ => respond(ex, 401, jsonError("Unauthorized")); false
       }
@@ -375,6 +431,15 @@ final class HttpApi(
     * the filename extension names (handler routes the dashboard variant
     * through a render worker; the engine slice serves csv/json). */
   private def handleDownload(ex: HttpExchange): Unit = {
+    // two routes share the prefix: POST /api/download/:filename (ad-hoc
+    // SQL, routes.go:178) and GET /api/download/:key/:filename (intent
+    // minted by the dashboard download route, routes.go:198 — public:
+    // the unguessable key IS the credential)
+    pathParts(ex, "/api/download/") match {
+      case Array(key, filename) if ex.getRequestMethod == "GET" =>
+        return handleDownloadByKey(ex, key, filename)
+      case _ =>
+    }
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
     if (requireApiKey(ex, Tokens.Permission.QueryData).isEmpty) return
     val filename = ex.getRequestURI.getPath.stripPrefix("/api/download/")
@@ -428,7 +493,7 @@ final class HttpApi(
   private def requireUserAuth(ex: HttpExchange): Boolean =
     bearer(ex) match {
       case Some(tok) if store.tokens.validateSessionToken(tok) => true
-      case Some(tok) => Auth.verify(tok, jwtSecret) match {
+      case Some(tok) => Auth.verify(tok, secret) match {
         case Right(claims) if claims.dashboardId.isEmpty => true
         case _ => respond(ex, 401, jsonError("Unauthorized")); false
       }
@@ -448,6 +513,20 @@ final class HttpApi(
         withDashboardResult(ex, "/api/dashboards/") { result =>
           respond(ex, 200, Model.toJson(result))
         }
+      case ("GET", Array(id, "info")) =>
+        // ref: handler/dashboard.go:120-146 — dashboard-scoped JWTs
+        // rejected, folder id resolved to a /path/
+        if (requireUserAuth(ex)) {
+          store.dashboards.get(id) match {
+            case None => respond(ex, 404, jsonError("dashboard not found"))
+            case Some(d) => respond(ex, 200, appJson(
+              d.id, folderPath(d.folderId), d.folderId, d.name, Some(d.content),
+              d.createdAtMillis, Some(d.createdBy).filter(_.nonEmpty),
+              d.visibility, "dashboard"))
+          }
+        }
+      case ("GET", Array(id, "download", filename)) =>
+        handleRequestDashboardDownload(ex, id, filename)
       case ("DELETE", Array(id)) =>
         if (requireUserAuth(ex)) {
           if (!store.dashboards.contains(id))
@@ -821,7 +900,7 @@ final class HttpApi(
     val variables = jsonToVariables(o)
     val jwtCandidate = bearer(ex).orElse(
       Some(bodyToken).filter(t => t.startsWith("ey") && t.split("\\.").length == 3))
-    jwtCandidate.map(Auth.verify(_, jwtSecret)) match {
+    jwtCandidate.map(Auth.verify(_, secret)) match {
       case Some(Right(claims)) =>
         Tokens.canMintFrom(claims, longLived) match {
           case Left(err) => respond(ex, 401, jsonError(err))
@@ -833,11 +912,11 @@ final class HttpApi(
               longLived = claims.longLived || longLived,
               exp = if (longLived) now + Auth.LongLivedExpirySeconds else claims.exp)
             respond(ex, 200,
-              "{\"jwt\":" + Model.jsonValue(Auth.sign(minted, jwtSecret)) + "}")
+              "{\"jwt\":" + Model.jsonValue(Auth.sign(minted, secret)) + "}")
         }
       case _ =>
         Tokens.issueJwt(store.tokens, bodyToken, dashboardId, variables,
-            longLived, jwtSecret) match {
+            longLived, secret) match {
           case Right(t) => respond(ex, 200, "{\"jwt\":" + Model.jsonValue(t) + "}")
           case Left(err) if err == "Invalid token" => respond(ex, 401, jsonError(err))
           case Left(err) if err.startsWith("Missing required permission") =>
@@ -855,12 +934,472 @@ final class HttpApi(
     val o = parsedBody(ex).getOrElse(
       return respond(ex, 400, jsonError("Invalid request body")))
     store.publicAuth(jStr(o, "dashboardId"),
-        Some(jStr(o, "password")).filter(_.nonEmpty), jwtSecret) match {
+        Some(jStr(o, "password")).filter(_.nonEmpty), secret) match {
       case Right(jwt) => respond(ex, 200, "{\"jwt\":" + Model.jsonValue(jwt) + "}")
       case Left("not found") => respond(ex, 404, jsonError("not found"))
       case Left(err @ ("Password required" | "Invalid password")) =>
         respond(ex, 401, jsonError(err))
       case Left(err) => respond(ex, 400, jsonError(err))
+    }
+  }
+
+  // ---- system / listing / deploy plane --------------------------------
+
+  private def isoTime(millis: Long): String =
+    java.time.Instant.ofEpochMilli(millis).toString
+
+  /** Resolve a folder id to the reference's `/name1/name2/` path form
+    * (list_apps.go:104-121 recursive CTE; root = "/"). Cycle-guarded —
+    * a corrupt parent chain resolves to root rather than spinning. */
+  private def folderPath(folderId: Option[String]): String = {
+    val names = List.newBuilder[String]
+    var cur = folderId
+    var hops = 0
+    while (cur.isDefined && hops < 64) {
+      store.folders.get(cur.get) match {
+        case Some(f) => names += f.name; cur = f.parentId
+        case None => cur = None
+      }
+      hops += 1
+    }
+    val segs = names.result().reverse
+    if (hops >= 64 || segs.isEmpty) "/" else segs.mkString("/", "/", "/")
+  }
+
+  /** One `api.App` JSON object (reference shape: api/types.go:37-50).
+    * DIVERGENCE, documented: the journal tracks creation but not a
+    * separate updated_at, so `updatedAt` mirrors `createdAt`. */
+  private def appJson(id: String, path: String, folderId: Option[String],
+      name: String, content: Option[String], createdMillis: Long,
+      createdBy: Option[String], visibility: Option[String], tpe: String): String = {
+    val sb = new StringBuilder("{")
+    sb ++= "\"id\":" + Model.jsonValue(id)
+    sb ++= ",\"path\":" + Model.jsonValue(path)
+    folderId.foreach(f => sb ++= ",\"folderId\":" + Model.jsonValue(f))
+    sb ++= ",\"name\":" + Model.jsonValue(name)
+    content.foreach(c => sb ++= ",\"content\":" + Model.jsonValue(c))
+    sb ++= ",\"createdAt\":" + Model.jsonValue(isoTime(createdMillis))
+    sb ++= ",\"updatedAt\":" + Model.jsonValue(isoTime(createdMillis))
+    createdBy.foreach(c => sb ++= ",\"createdBy\":" + Model.jsonValue(c))
+    visibility.foreach(v => sb ++= ",\"visibility\":" + Model.jsonValue(v))
+    sb ++= ",\"type\":" + Model.jsonValue(tpe)
+    sb.append("}").result()
+  }
+
+  /** GET /api/system/config — deployment switches, public
+    * (handler/system.go:12-24). */
+  private def handleSystemConfig(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    respond(ex, 200,
+      s"""{"loginRequired":${config.loginRequired},""" +
+        s""""tasksEnabled":${config.tasksEnabled},""" +
+        s""""editEnabled":${config.editEnabled},""" +
+        s""""publicSharingEnabled":${config.publicSharingEnabled},""" +
+        s""""passwordProtectedSharingEnabled":${config.passwordProtectedSharingEnabled},""" +
+        s""""ssoLoginUrl":${Model.jsonValue(config.ssoLoginUrl)},""" +
+        s""""jwtSecretStatic":${config.jwtSecretStatic}}""")
+  }
+
+  /** GET /api/version — authed (routes.go:181). */
+  private def handleVersion(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    respond(ex, 200, "{\"version\":" + Model.jsonValue(config.version) + "}")
+  }
+
+  /** POST /api/auth/setup — first-user bootstrap (handler/auth.go:302-339):
+    * open only while no user exists, then 409 forever. Mints a session
+    * so the UI can proceed without a second login round-trip. */
+  private def handleSetup(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    val o = parsedBody(ex).getOrElse(
+      return respond(ex, 400, jsonError("Invalid request body")))
+    val (email, name, password) = (jStr(o, "email"), jStr(o, "name"), jStr(o, "password"))
+    if (email.isEmpty) return respond(ex, 400, jsonError("Email is required"))
+    if (password.isEmpty) return respond(ex, 400, jsonError("Password is required"))
+    if (store.tokens.listUsers.nonEmpty)
+      return respond(ex, 409, jsonError("User setup already completed"))
+    val id = store.tokens.newId()
+    val ok = submitFn("create_user",
+      s"""{"id":${Model.jsonValue(id)},"email":${Model.jsonValue(email)},""" +
+        s""""name":${Model.jsonValue(name)},""" +
+        s""""passwordHash":${Model.jsonValue(graft.auth.Passwords.hash(password))}}""")
+    if (!ok) return respond(ex, 500, jsonError("Failed to create user"))
+    val token = store.tokens.createSessionForUser(id)
+    respond(ex, 200,
+      "{\"id\":" + Model.jsonValue(id) + ",\"token\":" + Model.jsonValue(token) + "}")
+  }
+
+  /** GET /api/apps — the dashboard/task listing (handler/apps.go:15-100
+    * over core.ListApps): sort/order/path/query/recursive/limit/offset/
+    * include_content. The listing walks the in-memory MetaStore — the
+    * same data the reference pulls from its apps table. */
+  private def handleApps(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    val q = queryParams(ex)
+    def p(k: String): String = q.get(k).flatMap(_.headOption).getOrElse("")
+    def boolParam(k: String): Either[String, Boolean] = p(k) match {
+      case "" => Right(false)
+      case "true" | "1" => Right(true)
+      case "false" | "0" => Right(false)
+      case _ => Left(s"invalid $k value")
+    }
+    def intParam(k: String): Either[String, Int] = p(k) match {
+      case "" => Right(0)
+      case s => s.toIntOption.filter(_ >= 0).toRight(s"invalid $k value")
+    }
+    val (recursive, includeContent, limit, offset) = (for {
+      r <- boolParam("recursive")
+      c <- boolParam("include_content")
+      l <- intParam("limit")
+      o <- intParam("offset")
+    } yield (r, c, l, o)) match {
+      case Right(t) => t
+      case Left(err) => return respond(ex, 400, jsonError(err))
+    }
+    val path = Some(p("path")).filter(_.nonEmpty).getOrElse("/")
+    val query = p("query").toLowerCase
+    // (name, createdMillis, json-thunk) triples, dashboards then tasks
+    final case class Item(name: String, createdMillis: Long, json: String)
+    def keep(itemPath: String, name: String): Boolean = {
+      val pathOk =
+        if (recursive) path == "/" || itemPath == path || itemPath.startsWith(path)
+        else itemPath == path
+      pathOk && (query.isEmpty || name.toLowerCase.contains(query))
+    }
+    val dashboards = store.dashboards.values.flatMap { d =>
+      val ip = folderPath(d.folderId)
+      if (keep(ip, d.name)) Some(Item(d.name, d.createdAtMillis,
+        appJson(d.id, ip, d.folderId, d.name,
+          Some(d.content).filter(_ => includeContent), d.createdAtMillis,
+          Some(d.createdBy).filter(_.nonEmpty), d.visibility, "dashboard")))
+      else None
+    }
+    val tasks =
+      if (!config.tasksEnabled) Nil
+      else store.tasks.values.flatMap { t =>
+        val ip = folderPath(t.folderId)
+        if (keep(ip, t.name)) Some(Item(t.name, t.createdAtMillis,
+          appJson(t.id, ip, t.folderId, t.name,
+            Some(t.content).filter(_ => includeContent), t.createdAtMillis,
+            Some(t.createdBy).filter(_.nonEmpty), None, "task")))
+        else None
+      }
+    val all = (dashboards ++ tasks).toVector
+    val sorted = (p("sort") match {
+      case "name" => all.sortBy(_.name)
+      case "created" => all.sortBy(_.createdMillis)
+      case _ => all.sortBy(_.createdMillis) // updated_at mirrors created
+    }) match {
+      case s if p("order") == "asc" => s
+      case s => s.reverse // desc is the reference default
+    }
+    val windowed = sorted.drop(offset)
+      .take(if (limit > 0) limit else Int.MaxValue)
+    val page = if (limit > 0) offset / limit + 1 else 1
+    val pageSize = if (limit > 0) limit else windowed.size
+    respond(ex, 200, windowed.map(_.json)
+      .mkString("{\"apps\":[", ",", s"],\"page\":$page,\"pageSize\":$pageSize}"))
+  }
+
+  /** GET /api/public/:id/status — publicly probeable visibility
+    * (handler/dashboard.go:857-881): private or disabled sharing modes
+    * answer 404, indistinguishable from absent. */
+  private def handlePublicStatus(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    pathParts(ex, "/api/public/") match {
+      case Array(id, "status") =>
+        store.dashboards.get(id).flatMap(_.visibility) match {
+          case Some(v @ "public") if config.publicSharingEnabled =>
+            respond(ex, 200, "{\"visibility\":" + Model.jsonValue(v) + "}")
+          case Some(v @ "password-protected") if config.passwordProtectedSharingEnabled =>
+            respond(ex, 200, "{\"visibility\":" + Model.jsonValue(v) + "}")
+          case _ => respond(ex, 404, jsonError("Dashboard Not Found"))
+        }
+      case _ => respond(ex, 404, jsonError("not found"))
+    }
+  }
+
+  /** POST /api/admin/reset-jwt-secret — rotate the signing secret;
+    * every outstanding JWT dies, sessions survive
+    * (handler/auth.go:341-358). */
+  private def handleResetJwtSecret(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    if (!requireUserAuth(ex)) return
+    secret = store.tokens.generateRandomString(64)
+    respond(ex, 200, "{\"ok\":true}")
+  }
+
+  /** GET /metrics — Prometheus text format behind an API key with the
+    * metrics permission (routes.go:163). */
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    if (requireApiKey(ex, Tokens.Permission.ReadMetrics).isEmpty) return
+    val sb = new StringBuilder
+    sb ++= "# HELP graft_http_requests_total HTTP requests served, by route/method/status.\n"
+    sb ++= "# TYPE graft_http_requests_total counter\n"
+    import scala.jdk.CollectionConverters._
+    requestCounts.asScala.toSeq.sortBy(_._1.toString).foreach {
+      case ((route, method, status), count) =>
+        sb ++= s"""graft_http_requests_total{route="$route",method="$method",status="$status"} ${count.sum}""" + "\n"
+    }
+    respond(ex, 200, sb.result(), contentType = "text/plain; version=0.0.4; charset=utf-8")
+  }
+
+  // ---- deploy (handler/deploy.go:26-220) ------------------------------
+
+  /** Walk/create the folder chain for a `/a/b/` path; returns the leaf
+    * folder id (None = root). Folders are matched by (parent, name)
+    * and created through the journal like ensureFolderPathExists. */
+  private def ensureFolderPath(path: String): Either[String, Option[String]] = {
+    val segs = path.split("/").filter(_.nonEmpty)
+    var parent: Option[String] = None
+    segs.foreach { seg =>
+      store.folders.values.find(f => f.parentId == parent && f.name == seg) match {
+        case Some(f) => parent = Some(f.id)
+        case None =>
+          val id = store.tokens.newId()
+          val pj = parent.map(p => s""","parentFolderId":${Model.jsonValue(p)}""").getOrElse("")
+          if (!submitFn("create_folder",
+              s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(seg)}$pj}"""))
+            return Left(s"failed to create folder '$seg'")
+          parent = Some(id)
+      }
+    }
+    Right(parent)
+  }
+
+  /** POST /api/deploy — batch create/update/delete of dashboards and
+    * tasks from config files (handler/deploy.go:26-93): first failing
+    * operation aborts with `apps[i]: reason`; applied prefix stays
+    * applied (the reference loops the same way — no transaction). */
+  private def handleDeploy(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
+    // jwtOrAPIKey: an API key needs the deploy permission; otherwise a
+    // user session / non-dashboard JWT. NoEdit blocks only USER actors —
+    // a deploy-permitted API key still deploys (deploy.go:41-46).
+    val isApiKey = bearer(ex).exists(_.startsWith(Tokens.ApiKeyPrefix))
+    val authed =
+      if (isApiKey) requireApiKey(ex, Tokens.Permission.Deploy).isDefined
+      else requireUserAuth(ex)
+    if (!authed) return
+    if (!config.editEnabled && !isApiKey)
+      return respond(ex, 403, jsonError("User deployment is disabled on this server because editing is disabled"))
+    val o = parsedBody(ex).getOrElse(
+      return respond(ex, 400, jsonError("invalid request body")))
+    val items = o.map.get("apps") match {
+      case Some(SchemaInfer.JArray(xs)) if xs.nonEmpty => xs
+      case _ => return respond(ex, 400, jsonError("apps array is required"))
+    }
+    val results = Vector.newBuilder[String]
+    items.zipWithIndex.foreach {
+      case (item: SchemaInfer.JObject, idx) =>
+        deployOne(item, idx) match {
+          case Right(json) => results += json
+          case Left(err) => return respond(ex, 400, jsonError(err))
+        }
+      case (_, idx) => return respond(ex, 400, jsonError(s"apps[$idx]: invalid entry"))
+    }
+    respond(ex, 200, results.result().mkString("{\"results\":[", ",", "]}"))
+  }
+
+  private def deployOne(item: SchemaInfer.JObject, idx: Int): Either[String, String] = {
+    val op = jStr(item, "operation").trim.toLowerCase
+    val tpe = jStr(item, "type").trim.toLowerCase
+    if (tpe != "dashboard" && tpe != "task")
+      return Left(s"apps[$idx]: unsupported type \"${jStr(item, "type")}\"")
+    val data = item.map.get("data") match {
+      case Some(d: SchemaInfer.JObject) => d
+      case _ => SchemaInfer.JObject(Vector.empty)
+    }
+    def field(k: String): Option[String] =
+      data.map.get(k).collect { case SchemaInfer.JString(s) => s }
+    def result(status: String, id: String): String =
+      s"""{"operation":${Model.jsonValue(op)},"type":${Model.jsonValue(tpe)},""" +
+        s""""id":${Model.jsonValue(id)},"status":${Model.jsonValue(status)}}"""
+    val exists: String => Boolean =
+      if (tpe == "task") store.tasks.contains else store.dashboards.contains
+    op match {
+      case "create" =>
+        val name = field("name").map(_.trim).filter(_.nonEmpty)
+          .getOrElse(return Left(s"apps[$idx]: name is required for create operations"))
+        val path = field("path")
+          .getOrElse(return Left(s"apps[$idx]: path is required for create operations"))
+        val content = field("content")
+          .getOrElse(return Left(s"apps[$idx]: content is required for create operations"))
+        val requested = field("id").map(_.trim)
+        if (requested.exists(_.isEmpty))
+          return Left(s"apps[$idx]: id cannot be empty when provided")
+        val folderId = ensureFolderPath(path) match {
+          case Right(f) => f
+          case Left(err) => return Left(s"apps[$idx]: $err")
+        }
+        val id = requested.getOrElse(store.tokens.newId())
+        if (exists(id)) return Left(s"apps[$idx]: id already exists")
+        val fj = folderId.map(f => s""","folderId":${Model.jsonValue(f)}""").getOrElse("")
+        if (!submitFn(s"create_$tpe",
+            s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(name)},""" +
+              s""""content":${Model.jsonValue(content)}$fj}"""))
+          Left(s"apps[$idx]: create rejected")
+        else Right(result("created", id))
+      case "update" =>
+        val id = field("id").map(_.trim).filter(_.nonEmpty)
+          .getOrElse(return Left(s"apps[$idx]: id is required for update operations"))
+        if (!exists(id)) return Left(s"apps[$idx]: $tpe not found")
+        field("content").foreach(c => submitFn(s"update_${tpe}_content",
+          s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(c)}}"""))
+        field("name").map(_.trim).filter(_.nonEmpty).foreach(n =>
+          submitFn(s"update_${tpe}_name",
+            s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(n)}}"""))
+        field("path").foreach { path =>
+          val folderId = ensureFolderPath(path) match {
+            case Right(f) => f
+            case Left(err) => return Left(s"apps[$idx]: $err")
+          }
+          val to = folderId.map(f => s""""toFolderId":${Model.jsonValue(f)},""").getOrElse("")
+          submitFn("move_items", s"""{$to"apps":[${Model.jsonValue(id)}]}""")
+        }
+        Right(result("updated", id))
+      case "delete" =>
+        val id = field("id").map(_.trim).filter(_.nonEmpty)
+          .getOrElse(return Left(s"apps[$idx]: id is required for delete operations"))
+        if (!exists(id)) return Left(s"apps[$idx]: $tpe not found")
+        submitFn(s"delete_$tpe", s"""{"id":${Model.jsonValue(id)}}""")
+        Right(result("deleted", id))
+      case other => Left(s"apps[$idx]: unsupported operation \"$other\"")
+    }
+  }
+
+  // ---- dashboard download intents (handler/dashboard.go:390-590) ------
+
+  private final case class DownloadIntent(dashboardId: String, filename: String,
+      queryId: Option[Int], queryParams: Map[String, Seq[String]],
+      variables: Map[String, Any], expiresAtMillis: Long)
+
+  /** Intent KV — the reference's DownloadsKv NATS bucket with a 10 min
+    * TTL (main.go:443). Expired entries are purged on every mint, so
+    * the map is bounded by the active-intent window. */
+  private val downloads =
+    new java.util.concurrent.ConcurrentHashMap[String, DownloadIntent]
+  private val DownloadTtlMillis = 10L * 60 * 1000
+
+  private def mintDownloadKey(): String = {
+    val bytes = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(bytes)
+    bytes.map("%02x".format(_)).mkString
+  }
+
+  /** GET /api/dashboards/:id/download/:filename — authenticate, resolve
+    * vars, mint an unguessable one-time URL carrying a DownloadIntent
+    * (handler/dashboard.go:390-560). The browser then GETs the URL with
+    * no auth header — the key is the credential. */
+  private def handleRequestDashboardDownload(ex: HttpExchange, id: String,
+      filename: String): Unit = {
+    val fileType = filename.split("\\.") match {
+      case parts if parts.length > 1 => parts.last.toLowerCase
+      case _ => ""
+    }
+    if (!graft.interp.DownloadApi.allowedFileTypes.contains(fileType) && fileType != "png")
+      return respond(ex, 400, jsonError("Invalid file type"))
+    // auth: a JWT (dashboard-scoped must match this id), or an API key
+    // with the dashboard-read permission
+    val claimVars: Map[String, Any] = bearer(ex) match {
+      case Some(tok) if tok.startsWith(Tokens.ApiKeyPrefix) =>
+        requireApiKey(ex, Tokens.Permission.ReadDashboard) match {
+          case Some(_) => Map.empty
+          case None => return
+        }
+      case Some(tok) => Auth.verify(tok, secret) match {
+        case Right(claims) =>
+          if (claims.dashboardId.exists(_ != id))
+            return respond(ex, 401, jsonError("Unauthorized"))
+          claims.variables
+        case Left(_) => return respond(ex, 401, jsonError("Unauthorized"))
+      }
+      case None => return respond(ex, 401, jsonError("Unauthorized"))
+    }
+    if (!store.dashboards.contains(id))
+      return respond(ex, 404, jsonError("dashboard not found"))
+    val q = queryParams(ex)
+    // ?vars= is base64(JSON url.Values): {"name": ["v1", ...], ...}
+    val vars: Map[String, Seq[String]] = q.get("vars").flatMap(_.headOption) match {
+      case None => Map.empty
+      case Some(b64) =>
+        try {
+          val json = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+          SchemaInfer.parseOrdered(json).fields.map { case (k, v) =>
+            k -> (v match {
+              case SchemaInfer.JArray(items) =>
+                items.collect { case SchemaInfer.JString(s) => s }
+              case SchemaInfer.JString(s) => Seq(s)
+              case _ => Seq.empty[String]
+            })
+          }.toMap
+        } catch {
+          case _: Exception =>
+            return respond(ex, 400, jsonError("Invalid vars query parameter"))
+        }
+    }
+    val queryId = q.get("query_id").flatMap(_.headOption).flatMap(_.toIntOption)
+    val now = System.currentTimeMillis()
+    downloads.entrySet().removeIf(e => e.getValue.expiresAtMillis < now)
+    val key = mintDownloadKey()
+    downloads.put(key, DownloadIntent(id, filename, queryId, vars, claimVars,
+      now + DownloadTtlMillis))
+    respond(ex, 200, "{\"url\":" + Model.jsonValue(s"/api/download/$key/$filename") + "}")
+  }
+
+  /** GET /api/download/:key/:filename — redeem a DownloadIntent
+    * (handler/dashboard.go:565-590): csv/json/xlsx stream the target
+    * query through the download writers; pdf/png render the whole
+    * dashboard. */
+  private def handleDownloadByKey(ex: HttpExchange, key: String, filename: String): Unit = {
+    val intent = Option(downloads.get(key))
+      .filter(_.expiresAtMillis >= System.currentTimeMillis())
+      .getOrElse(return respond(ex, 404, jsonError("Download not found or expired")))
+    val meta = store.dashboards.get(intent.dashboardId)
+      .getOrElse(return respond(ex, 404, jsonError("dashboard not found")))
+    val fileType = filename.split("\\.").last.toLowerCase
+    def attach(ct: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", ct)
+      ex.getResponseHeaders.set("Content-Disposition",
+        s"""attachment; filename="${headerSafe(filename)}"""")
+    }
+    fileType match {
+      case "pdf" | "png" =>
+        val result = Dashboard.run(spark, meta.content, Dashboard.RunConfig(
+          dashboardId = intent.dashboardId,
+          queryParams = intent.queryParams,
+          variables = intent.variables,
+          prepare = prepare)).copy(name = meta.name)
+        val bytes = if (fileType == "pdf") graft.render.Pdf.render(result)
+          else graft.render.Png.render(result)
+        countRequest(ex, 200)
+        attach(if (fileType == "pdf") "application/pdf" else "image/png")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      case "csv" | "json" | "xlsx" =>
+        val out = new StringWriter
+        val bin = new java.io.ByteArrayOutputStream
+        graft.interp.Download.run(spark, meta.content, fileType, out,
+            queryId = intent.queryId, queryParams = intent.queryParams,
+            variables = intent.variables, prepare = prepare, binOut = bin) match {
+          case Left(err) => respond(ex, 500, jsonError(err))
+          case Right(()) =>
+            if (fileType == "xlsx") {
+              val bytes = bin.toByteArray
+              countRequest(ex, 200)
+              attach("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+            } else {
+              attach(if (fileType == "json") "application/json" else "text/csv")
+              respond(ex, 200, out.toString,
+                contentType = if (fileType == "json") "application/json" else "text/csv")
+            }
+        }
+      case other => respond(ex, 400, jsonError(s"Invalid file type: $other"))
     }
   }
 }

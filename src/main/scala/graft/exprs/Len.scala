@@ -31,8 +31,19 @@ object Len {
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  def register(spark: SparkSession): Unit =
+  // newSession()/cloned sessions INHERIT the parent's registry entry, so
+  // their own (needed) registration still logs "replaced a previously
+  // registered function" — deliberate overrides, not drift. Quiet that
+  // one logger rather than spamming every gate/bench run.
+  private lazy val registryLogQuieted: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      classOf[org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry].getName,
+      org.apache.logging.log4j.Level.ERROR)
+
+  def register(spark: SparkSession): Unit = {
+    registryLogQuieted
     if (registered.put(spark, java.lang.Boolean.TRUE) == null)
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "len", exprs => Len(exprs.head), "scala_udf")
+  }
 }

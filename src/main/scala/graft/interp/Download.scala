@@ -23,7 +23,10 @@ object Download {
       queryId: Option[Int] = None,
       queryParams: Map[String, Seq[String]] = Map.empty,
       variables: Map[String, Any] = Map.empty,
-      prepare: SparkSession => Unit = _ => ()): Either[String, Unit] = {
+      prepare: SparkSession => Unit = _ => (),
+      /** Binary sink for the xlsx writer (POI writes a zip container, so
+        * a character Writer can't carry it). */
+      binOut: java.io.OutputStream = null): Either[String, Unit] = {
     val spark = spark0.newSession()
     ShaperTypes.register(spark)
     graft.exprs.Boxplot.register(spark)
@@ -100,6 +103,7 @@ object Download {
     format match {
       case "csv" => Export.toCSV(df, out); Right(())
       case "json" => Export.toJSON(df, out); Right(())
+      case "xlsx" if binOut != null => Export.toXLSX(df, binOut); Right(())
       case other => Left(s"unsupported writer format: $other (xlsx uses toXLSX(OutputStream))")
     }
   }

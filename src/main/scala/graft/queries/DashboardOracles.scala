@@ -41,6 +41,17 @@ object DashboardOracles {
       FROM (VALUES ('dashboards', 200, true), ('data', 202, true),
                    ('sql', 200, true), ('unauth', 401, true),
                    ('validate', 200, true)) t(route, status, ok)
+      ORDER BY route""",
+
+    // round-4 control/listing/deploy/download-intent plane goldens
+    "http02_control_plane" -> """
+      SELECT route, CAST(status AS BIGINT) AS status, ok
+      FROM (VALUES ('apps', 200, true), ('config', 200, true),
+                   ('deploy', 200, true), ('download', 200, true),
+                   ('info', 200, true), ('metrics', 200, true),
+                   ('reset', 200, true), ('setup', 200, true),
+                   ('status', 200, true), ('version', 200, true))
+        t(route, status, ok)
       ORDER BY route"""
   )
 }

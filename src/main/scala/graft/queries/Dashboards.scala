@@ -270,6 +270,78 @@ object Dashboards {
       } finally api.stop()
     }),
 
+    "http02_control_plane" -> ((s, d) => {
+      // the round-4 plane end-to-end over one listening socket: setup
+      // bootstrap (auth.go:302), system config + version (system.go),
+      // deploy with folder auto-creation (deploy.go:26-220), apps
+      // listing (apps.go:15-100), dashboard info + public status
+      // (dashboard.go:120,857), download intent mint/redeem
+      // (dashboard.go:390-590), metrics, and JWT-secret rotation
+      val store = new graft.state.StateJournal.MetaStore()
+      val secret = "gate2-secret"
+      val api = new graft.api.HttpApi(s, store, secret,
+        prepare = ss => Tables.registerAll(ss, d))
+      val port = api.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def send(method: String, path: String, payload: String, token: String) = {
+          val b = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          if (token.nonEmpty) b.header("Authorization", s"Bearer $token")
+          val req = if (method == "GET") b.GET().build()
+            else b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload)).build()
+          client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        }
+        val setup = send("POST", "/api/auth/setup",
+          """{"email": "op@gate.io", "name": "Op", "password": "gate-pw"}""", "")
+        val session = setup.body().split("\"token\":\"")(1).stripSuffix("\"}")
+        val config = send("GET", "/api/system/config", "", "")
+        val version = send("GET", "/api/version", "", session)
+        val deploy = send("POST", "/api/deploy",
+          """{"apps": [{"operation": "create", "type": "dashboard",
+            "data": {"id": "gd1", "name": "Gate Board", "path": "/f1/",
+                     "content": "SELECT r_name FROM region ORDER BY r_name;"}}]}""",
+          session)
+        val apps = send("GET", "/api/apps?path=/f1/", "", session)
+        val info = send("GET", "/api/dashboards/gd1/info", "", session)
+        send("POST", "/api/dashboards/gd1/visibility",
+          """{"visibility": "public"}""", session)
+        val status = send("GET", "/api/public/gd1/status", "", "")
+        val jwt = graft.auth.Auth.sign(graft.auth.Auth.Claims(
+          Some("gd1"), Map.empty, isPublic = false, longLived = false,
+          exp = System.currentTimeMillis() / 1000 + 900), secret)
+        val mint = send("GET", "/api/dashboards/gd1/download/rows.csv?query_id=0", "", jwt)
+        val redeemed = send("GET",
+          mint.body().split("\"url\":\"")(1).stripSuffix("\"}"), "", "")
+        val (_, mKey) = store.tokens.createApiKey("m",
+          Seq(graft.auth.Tokens.Permission.ReadMetrics),
+          graft.auth.Tokens.Actor(graft.auth.Tokens.ActorType.User, "op"))
+        val metrics = send("GET", "/metrics", "", mKey)
+        val reset = send("POST", "/api/admin/reset-jwt-secret", "", session)
+        val jwtDead = send("GET", "/api/dashboards/gd1", "", jwt)
+        import s.implicits._
+        Seq(
+          ("apps", apps.statusCode().toLong,
+            apps.body().contains("\"id\":\"gd1\"") && apps.body().contains("\"path\":\"/f1/\"")),
+          ("config", config.statusCode().toLong,
+            config.body().contains("\"loginRequired\":true")),
+          ("deploy", deploy.statusCode().toLong,
+            deploy.body().contains("\"status\":\"created\"")),
+          ("download", redeemed.statusCode().toLong,
+            redeemed.body().contains("EUROPE")),
+          ("info", info.statusCode().toLong,
+            info.body().contains("\"path\":\"/f1/\"")),
+          ("metrics", metrics.statusCode().toLong,
+            metrics.body().contains("graft_http_requests_total")),
+          ("reset", reset.statusCode().toLong, jwtDead.statusCode() == 401),
+          ("setup", setup.statusCode().toLong, setup.body().contains("\"token\":")),
+          ("status", status.statusCode().toLong,
+            status.body().contains("\"visibility\":\"public\"")),
+          ("version", version.statusCode().toLong, version.body().contains("\"version\":")))
+          .toDF("route", "status", "ok").orderBy("route")
+      } finally api.stop()
+    }),
+
     "sh05_render_golden" -> ((s, d) => {
       // TIMESTAMPTZ / markline / reload golden values transliterated
       // from the reference render test (get_dashboard_test.go:230-280)

@@ -407,4 +407,246 @@ class HttpApiSpec extends AnyFunSuite {
     assert(post("/api/validate", """{"type": "dashboard", "sql": "SELECT 1"}""",
       Some(jwt(Some("demo")))).statusCode() == 401)
   }
+
+  test("GET /api/system/config is public; /api/version needs auth (system.go:12-31)") {
+    val r = get("/api/system/config")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"loginRequired\":true"))
+    assert(r.body().contains("\"tasksEnabled\":true"))
+    assert(r.body().contains("\"jwtSecretStatic\":false"))
+    assert(get("/api/version").statusCode() == 401)
+    val v = get("/api/version", Some(jwt()))
+    assert(v.statusCode() == 200 && v.body().contains("\"version\":"))
+  }
+
+  test("POST /api/auth/setup: open only while no user exists (auth.go:302-339)") {
+    val store2 = new StateJournal.MetaStore()
+    val api2 = new HttpApi(spark, store2, "setup-secret")
+    val port2 = api2.start()
+    try {
+      def post2(path: String, payload: String, token: Option[String] = None) = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port2$path"))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.POST(HttpRequest.BodyPublishers.ofString(payload)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      assert(post2("/api/auth/setup", """{"name": "A", "password": "pw"}""")
+        .statusCode() == 400) // email required
+      assert(post2("/api/auth/setup", """{"email": "a@t.io", "name": "A"}""")
+        .statusCode() == 400) // password required
+      val ok = post2("/api/auth/setup",
+        """{"email": "a@t.io", "name": "A", "password": "pw-setup"}""")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(ok.body().contains("\"id\":") && ok.body().contains("\"token\":"))
+      val token = ok.body().split("\"token\":\"")(1).stripSuffix("\"}")
+      // the minted session authenticates immediately
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port2/api/version"))
+        .header("Authorization", s"Bearer $token")
+      assert(client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 200)
+      // and the door is now shut
+      assert(post2("/api/auth/setup",
+        """{"email": "b@t.io", "password": "x"}""").statusCode() == 409)
+      // the created password round-trips through login
+      assert(post2("/api/auth/login",
+        """{"email": "a@t.io", "password": "pw-setup"}""").statusCode() == 200)
+    } finally api2.stop()
+  }
+
+  test("POST /api/deploy: create with folder path, update, delete, errors (deploy.go:26-220)") {
+    val store = fixtureStore
+    store.tokens.putUser(Tokens.UserRecord("dep1", "dep@test.io", "Dep"))
+    val session = store.tokens.createSessionForUser("dep1")
+    def s = Some(session)
+    // create a dashboard deep in an auto-created folder chain + a task
+    val created = post("/api/deploy",
+      """{"apps": [
+        {"operation": "create", "type": "dashboard",
+         "data": {"id": "depl-d1", "name": "Deployed", "path": "/depl/sub/",
+                  "content": "SELECT 1 AS one;"}},
+        {"operation": "create", "type": "task",
+         "data": {"id": "depl-t1", "name": "DeployedTask", "path": "/",
+                  "content": "SELECT 2;"}}
+      ]}""", s)
+    assert(created.statusCode() == 200, created.body())
+    assert(created.body().contains("\"status\":\"created\""))
+    assert(store.dashboards.contains("depl-d1") && store.tasks.contains("depl-t1"))
+    val folderId = store.dashboards("depl-d1").folderId
+    assert(folderId.isDefined)
+    assert(store.folders(folderId.get).name == "sub")
+    // update content + move path
+    val updated = post("/api/deploy",
+      """{"apps": [{"operation": "update", "type": "dashboard",
+        "data": {"id": "depl-d1", "content": "SELECT 9 AS nine;", "path": "/"}}]}""", s)
+    assert(updated.statusCode() == 200, updated.body())
+    assert(store.dashboards("depl-d1").content == "SELECT 9 AS nine;")
+    assert(store.dashboards("depl-d1").folderId.isEmpty)
+    // errors: duplicate create id, unknown type, missing fields, not found
+    assert(post("/api/deploy",
+      """{"apps": [{"operation": "create", "type": "dashboard",
+        "data": {"id": "depl-d1", "name": "X", "path": "/", "content": ""}}]}""",
+      s).statusCode() == 400)
+    val badType = post("/api/deploy",
+      """{"apps": [{"operation": "create", "type": "widget", "data": {}}]}""", s)
+    assert(badType.statusCode() == 400 && badType.body().contains("apps[0]"))
+    assert(post("/api/deploy", """{"apps": []}""", s).statusCode() == 400)
+    assert(post("/api/deploy",
+      """{"apps": [{"operation": "delete", "type": "task", "data": {"id": "ghost"}}]}""",
+      s).statusCode() == 400)
+    assert(post("/api/deploy", """{"apps": [{"operation": "create"}]}""").statusCode() == 401)
+    // delete both
+    val deleted = post("/api/deploy",
+      """{"apps": [
+        {"operation": "delete", "type": "dashboard", "data": {"id": "depl-d1"}},
+        {"operation": "delete", "type": "task", "data": {"id": "depl-t1"}}
+      ]}""", s)
+    assert(deleted.statusCode() == 200)
+    assert(!store.dashboards.contains("depl-d1") && !store.tasks.contains("depl-t1"))
+  }
+
+  test("GET /api/apps lists dashboards+tasks with path/query/sort/limit (apps.go:15-100)") {
+    val store = fixtureStore
+    store.tokens.putUser(Tokens.UserRecord("ls1", "ls@test.io", "Ls"))
+    val session = store.tokens.createSessionForUser("ls1")
+    def s = Some(session)
+    assert(post("/api/deploy",
+      """{"apps": [
+        {"operation": "create", "type": "dashboard",
+         "data": {"id": "ls-d1", "name": "Alpha Board", "path": "/ls/", "content": "SELECT 1;"}},
+        {"operation": "create", "type": "dashboard",
+         "data": {"id": "ls-d2", "name": "Beta Board", "path": "/ls/", "content": "SELECT 2;"}},
+        {"operation": "create", "type": "task",
+         "data": {"id": "ls-t1", "name": "Gamma Task", "path": "/ls/", "content": "SELECT 3;"}}
+      ]}""", s).statusCode() == 200)
+    // path-scoped listing, name-sorted ascending
+    val r = get("/api/apps?path=/ls/&sort=name&order=asc", s)
+    assert(r.statusCode() == 200, r.body())
+    val ids = "\"id\":\"(ls-[a-z0-9]+)\"".r.findAllMatchIn(r.body()).map(_.group(1)).toList
+    assert(ids == List("ls-d1", "ls-d2", "ls-t1"), ids)
+    assert(!r.body().contains("\"content\"")) // content withheld by default
+    assert(r.body().contains("\"path\":\"/ls/\""))
+    assert(r.body().contains("\"type\":\"task\""))
+    // name query filter + include_content
+    val q = get("/api/apps?path=/ls/&query=beta&include_content=true", s)
+    assert(q.body().contains("ls-d2") && !q.body().contains("ls-d1"))
+    assert(q.body().contains("\"content\":\"SELECT 2;\""))
+    // root non-recursive misses them; recursive finds them
+    assert(!get("/api/apps", s).body().contains("ls-d1"))
+    assert(get("/api/apps?recursive=true", s).body().contains("ls-d1"))
+    // limit/offset window + page math
+    val lim = get("/api/apps?path=/ls/&sort=name&order=asc&limit=2&offset=2", s)
+    assert(lim.body().contains("ls-t1") && !lim.body().contains("ls-d1"))
+    assert(lim.body().contains("\"page\":2") && lim.body().contains("\"pageSize\":2"))
+    // invalid params are 400s; auth rules hold
+    assert(get("/api/apps?limit=-1", s).statusCode() == 400)
+    assert(get("/api/apps?recursive=maybe", s).statusCode() == 400)
+    assert(get("/api/apps").statusCode() == 401)
+    assert(get("/api/apps", Some(jwt(Some("demo")))).statusCode() == 401)
+    // cleanup
+    post("/api/deploy",
+      """{"apps": [
+        {"operation": "delete", "type": "dashboard", "data": {"id": "ls-d1"}},
+        {"operation": "delete", "type": "dashboard", "data": {"id": "ls-d2"}},
+        {"operation": "delete", "type": "task", "data": {"id": "ls-t1"}}
+      ]}""", s)
+  }
+
+  test("GET /api/dashboards/:id/info and /api/public/:id/status (dashboard.go:120,857)") {
+    val store = fixtureStore
+    store.tokens.putUser(Tokens.UserRecord("in1", "in@test.io", "In"))
+    val session = store.tokens.createSessionForUser("in1")
+    val info = get("/api/dashboards/demo/info", Some(session))
+    assert(info.statusCode() == 200, info.body())
+    assert(info.body().contains("\"id\":\"demo\"") && info.body().contains("\"path\":\"/\""))
+    assert(info.body().contains("\"type\":\"dashboard\"") && info.body().contains("\"content\":"))
+    assert(get("/api/dashboards/nope/info", Some(session)).statusCode() == 404)
+    assert(get("/api/dashboards/demo/info").statusCode() == 401)
+    assert(get("/api/dashboards/demo/info", Some(jwt(Some("demo")))).statusCode() == 401)
+    // status: private → 404 (indistinguishable from missing), public → 200
+    assert(get("/api/public/demo/status").statusCode() == 404)
+    assert(get("/api/public/ghost/status").statusCode() == 404)
+    store.dashboards("pubst") = StateJournal.DashboardMeta(
+      "pubst", "P", "SELECT 1;", None, Some("public"), 0L, "t")
+    val st = get("/api/public/pubst/status")
+    assert(st.statusCode() == 200 && st.body().contains("\"visibility\":\"public\""))
+    store.dashboards.remove("pubst")
+  }
+
+  test("dashboard download intent: mint URL, redeem csv/xlsx/png, expiry semantics (dashboard.go:390-590)") {
+    // mint with a dashboard-scoped JWT and an explicit query_id
+    val mint = get("/api/dashboards/demo/download/data.csv?query_id=1",
+      Some(jwt(Some("demo"))))
+    assert(mint.statusCode() == 200, mint.body())
+    val url = mint.body().split("\"url\":\"")(1).stripSuffix("\"}")
+    assert(url.startsWith("/api/download/") && url.endsWith("/data.csv"))
+    // redeem with NO auth header — the key is the credential
+    val got = get(url)
+    assert(got.statusCode() == 200, got.body())
+    assert(got.body().startsWith("r_name") && got.body().contains("EUROPE"))
+    assert(got.headers().firstValue("Content-Disposition").orElse("").contains("data.csv"))
+    // xlsx comes back as a real zip container (PK magic)
+    val mintX = get("/api/dashboards/demo/download/data.xlsx?query_id=1", Some(jwt()))
+    val urlX = mintX.body().split("\"url\":\"")(1).stripSuffix("\"}")
+    val (_, port, _) = fixture
+    val rx = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port$urlX")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(rx.statusCode() == 200)
+    assert(rx.body()(0) == 'P'.toByte && rx.body()(1) == 'K'.toByte)
+    // png renders the whole dashboard
+    val mintP = get("/api/dashboards/demo/download/board.png", Some(jwt()))
+    val urlP = mintP.body().split("\"url\":\"")(1).stripSuffix("\"}")
+    val rp = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port$urlP")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(rp.statusCode() == 200)
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rp.body())) != null)
+    // guard rails: bad extension 400, wrong-dashboard JWT 401, no auth 401,
+    // unknown key 404
+    assert(get("/api/dashboards/demo/download/data.exe", Some(jwt())).statusCode() == 400)
+    assert(get("/api/dashboards/demo/download/data.csv",
+      Some(jwt(Some("other")))).statusCode() == 401)
+    assert(get("/api/dashboards/demo/download/data.csv").statusCode() == 401)
+    assert(get("/api/download/" + "0" * 64 + "/data.csv").statusCode() == 404)
+  }
+
+  test("POST /api/admin/reset-jwt-secret kills JWTs, spares sessions (auth.go:341-358)") {
+    val store3 = new StateJournal.MetaStore()
+    store3.dashboards("d3") = StateJournal.DashboardMeta(
+      "d3", "D3", "SELECT 1;", None, None, 0L, "t")
+    store3.tokens.putUser(Tokens.UserRecord("r1", "r@t.io", "R"))
+    val session = store3.tokens.createSessionForUser("r1")
+    val api3 = new HttpApi(spark, store3, "rot-secret")
+    val port3 = api3.start()
+    try {
+      def req(path: String, token: String, postBody: Option[String] = None) = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port3$path"))
+          .header("Authorization", s"Bearer $token")
+        postBody.foreach(p => b.POST(HttpRequest.BodyPublishers.ofString(p)))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val oldJwt = Auth.sign(Auth.Claims(None, Map.empty, isPublic = false,
+        longLived = false, exp = System.currentTimeMillis() / 1000 + 900), "rot-secret")
+      assert(req("/api/dashboards/d3", oldJwt).statusCode() == 200)
+      assert(req("/api/admin/reset-jwt-secret", session, Some("")).statusCode() == 200)
+      // every outstanding JWT is dead; the session still works
+      assert(req("/api/dashboards/d3", oldJwt).statusCode() == 401)
+      assert(req("/api/version", session).statusCode() == 200)
+    } finally api3.stop()
+  }
+
+  test("GET /metrics serves Prometheus counters behind the metrics permission (routes.go:163)") {
+    val store = fixtureStore
+    val (_, metricsKey) = store.tokens.createApiKey("metrics-key",
+      Seq(Tokens.Permission.ReadMetrics), Tokens.Actor(Tokens.ActorType.User, "u1"))
+    get("/health") // ensure at least one counted request
+    assert(get("/metrics").statusCode() == 401)
+    val (_, _, queryKey) = fixture
+    assert(get("/metrics", Some(queryKey)).statusCode() == 403) // lacks metrics perm
+    val r = get("/metrics", Some(metricsKey))
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+    assert(r.body().contains("# TYPE graft_http_requests_total counter"))
+    assert(r.body().contains("""graft_http_requests_total{route="/health",method="GET",status="200"}"""))
+  }
 }
