@@ -88,11 +88,15 @@ final class HttpApi(
     if (submit != null) submit
     else (event, json) => store.apply(event, SchemaInfer.parseOrdered(json))
 
-  /** The signing secret, rotatable at runtime by
-    * `POST /api/admin/reset-jwt-secret` (ref: handler/auth.go:341-358 —
-    * every outstanding JWT is invalidated; sessions and API keys,
-    * which don't involve the secret, survive). */
-  @volatile private var secret: String = jwtSecret
+  /** The signing secret, rotatable by `POST /api/admin/reset-jwt-secret`
+    * (ref: handler/auth.go:341-358 — every outstanding JWT is
+    * invalidated; sessions and API keys, which don't involve the
+    * secret, survive). The rotated value lives in the MetaStore and is
+    * set through a `reset_jwt_secret` journal event, so it survives a
+    * restart and reaches every replaying node — an in-process field
+    * would silently revert to the constructor secret and resurrect the
+    * leaked JWTs the rotation was meant to kill. */
+  private def secret: String = store.jwtSecretOverride.getOrElse(jwtSecret)
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -826,6 +830,7 @@ final class HttpApi(
         if (pdf) graft.render.Pdf.render(result)
         else graft.render.Png.render(result)
       val (ctype, ext) = if (pdf) ("application/pdf", "pdf") else ("image/png", "png")
+      countRequest(ex, 200) // direct write path bypasses respond()
       ex.getResponseHeaders.set("Content-Type", ctype)
       ex.getResponseHeaders.set("Content-Disposition",
         "attachment; filename=\"" + headerSafe(result.name) + "." + ext + "\"")
@@ -1017,17 +1022,26 @@ final class HttpApi(
     val (email, name, password) = (jStr(o, "email"), jStr(o, "name"), jStr(o, "password"))
     if (email.isEmpty) return respond(ex, 400, jsonError("Email is required"))
     if (password.isEmpty) return respond(ex, 400, jsonError("Password is required"))
-    if (store.tokens.listUsers.nonEmpty)
-      return respond(ex, 409, jsonError("User setup already completed"))
+    // hash outside the lock (bcrypt is deliberately slow); the
+    // no-user-exists check and the create must be one atomic step or two
+    // racing setup calls both pass the gate on this security boundary
+    val hash = graft.auth.Passwords.hash(password)
     val id = store.tokens.newId()
-    val ok = submitFn("create_user",
-      s"""{"id":${Model.jsonValue(id)},"email":${Model.jsonValue(email)},""" +
-        s""""name":${Model.jsonValue(name)},""" +
-        s""""passwordHash":${Model.jsonValue(graft.auth.Passwords.hash(password))}}""")
-    if (!ok) return respond(ex, 500, jsonError("Failed to create user"))
-    val token = store.tokens.createSessionForUser(id)
-    respond(ex, 200,
-      "{\"id\":" + Model.jsonValue(id) + ",\"token\":" + Model.jsonValue(token) + "}")
+    val ok = store.synchronized {
+      if (store.tokens.listUsers.nonEmpty) None
+      else Some(submitFn("create_user",
+        s"""{"id":${Model.jsonValue(id)},"email":${Model.jsonValue(email)},""" +
+          s""""name":${Model.jsonValue(name)},""" +
+          s""""passwordHash":${Model.jsonValue(hash)}}"""))
+    }
+    ok match {
+      case None => respond(ex, 409, jsonError("User setup already completed"))
+      case Some(false) => respond(ex, 500, jsonError("Failed to create user"))
+      case Some(true) =>
+        val token = store.tokens.createSessionForUser(id)
+        respond(ex, 200,
+          "{\"id\":" + Model.jsonValue(id) + ",\"token\":" + Model.jsonValue(token) + "}")
+    }
   }
 
   /** GET /api/apps — the dashboard/task listing (handler/apps.go:15-100
@@ -1058,35 +1072,49 @@ final class HttpApi(
       case Right(t) => t
       case Left(err) => return respond(ex, 400, jsonError(err))
     }
-    val path = Some(p("path")).filter(_.nonEmpty).getOrElse("/")
+    // normalize to the canonical '/a/b/' form folderPath emits: '/f1'
+    // must mean the same folder as '/f1/', and a recursive prefix match
+    // on '/f1' must not swallow '/f10/'
+    val path = p("path") match {
+      case "" | "/" => "/"
+      case s =>
+        val lead = if (s.startsWith("/")) s else "/" + s
+        if (lead.endsWith("/")) lead else lead + "/"
+    }
     val query = p("query").toLowerCase
-    // (name, createdMillis, json-thunk) triples, dashboards then tasks
-    final case class Item(name: String, createdMillis: Long, json: String)
+    // json is a thunk: only the paged window is serialized (content can
+    // be the full dashboard SQL — building it for every filtered-out
+    // item would be pure waste)
+    final case class Item(name: String, createdMillis: Long, json: () => String)
     def keep(itemPath: String, name: String): Boolean = {
       val pathOk =
-        if (recursive) path == "/" || itemPath == path || itemPath.startsWith(path)
+        if (recursive) path == "/" || itemPath.startsWith(path)
         else itemPath == path
       pathOk && (query.isEmpty || name.toLowerCase.contains(query))
     }
-    val dashboards = store.dashboards.values.flatMap { d =>
-      val ip = folderPath(d.folderId)
-      if (keep(ip, d.name)) Some(Item(d.name, d.createdAtMillis,
-        appJson(d.id, ip, d.folderId, d.name,
-          Some(d.content).filter(_ => includeContent), d.createdAtMillis,
-          Some(d.createdBy).filter(_.nonEmpty), d.visibility, "dashboard")))
-      else None
-    }
-    val tasks =
-      if (!config.tasksEnabled) Nil
-      else store.tasks.values.flatMap { t =>
-        val ip = folderPath(t.folderId)
-        if (keep(ip, t.name)) Some(Item(t.name, t.createdAtMillis,
-          appJson(t.id, ip, t.folderId, t.name,
-            Some(t.content).filter(_ => includeContent), t.createdAtMillis,
-            Some(t.createdBy).filter(_.nonEmpty), None, "task")))
+    // snapshot under the store monitor: deploy/delete on other pool
+    // threads mutate these maps mid-iteration otherwise
+    val all = store.synchronized {
+      val dashboards = store.dashboards.values.flatMap { d =>
+        val ip = folderPath(d.folderId)
+        if (keep(ip, d.name)) Some(Item(d.name, d.createdAtMillis, () =>
+          appJson(d.id, ip, d.folderId, d.name,
+            Some(d.content).filter(_ => includeContent), d.createdAtMillis,
+            Some(d.createdBy).filter(_.nonEmpty), d.visibility, "dashboard")))
         else None
       }
-    val all = (dashboards ++ tasks).toVector
+      val tasks =
+        if (!config.tasksEnabled) Nil
+        else store.tasks.values.flatMap { t =>
+          val ip = folderPath(t.folderId)
+          if (keep(ip, t.name)) Some(Item(t.name, t.createdAtMillis, () =>
+            appJson(t.id, ip, t.folderId, t.name,
+              Some(t.content).filter(_ => includeContent), t.createdAtMillis,
+              Some(t.createdBy).filter(_.nonEmpty), None, "task")))
+          else None
+        }
+      (dashboards ++ tasks).toVector
+    }
     val sorted = (p("sort") match {
       case "name" => all.sortBy(_.name)
       case "created" => all.sortBy(_.createdMillis)
@@ -1099,7 +1127,7 @@ final class HttpApi(
       .take(if (limit > 0) limit else Int.MaxValue)
     val page = if (limit > 0) offset / limit + 1 else 1
     val pageSize = if (limit > 0) limit else windowed.size
-    respond(ex, 200, windowed.map(_.json)
+    respond(ex, 200, windowed.map(_.json())
       .mkString("{\"apps\":[", ",", s"],\"page\":$page,\"pageSize\":$pageSize}"))
   }
 
@@ -1127,8 +1155,10 @@ final class HttpApi(
   private def handleResetJwtSecret(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
     if (!requireUserAuth(ex)) return
-    secret = store.tokens.generateRandomString(64)
-    respond(ex, 200, "{\"ok\":true}")
+    val fresh = store.tokens.generateRandomString(64)
+    if (submitFn("reset_jwt_secret", s"""{"secret":${Model.jsonValue(fresh)}}"""))
+      respond(ex, 200, "{\"ok\":true}")
+    else respond(ex, 500, jsonError("Failed to reset JWT secret"))
   }
 
   /** GET /metrics — Prometheus text format behind an API key with the
@@ -1152,7 +1182,10 @@ final class HttpApi(
   /** Walk/create the folder chain for a `/a/b/` path; returns the leaf
     * folder id (None = root). Folders are matched by (parent, name)
     * and created through the journal like ensureFolderPathExists. */
-  private def ensureFolderPath(path: String): Either[String, Option[String]] = {
+  private def ensureFolderPath(path: String): Either[String, Option[String]] = store.synchronized {
+    // under the store monitor: the find-or-create per segment must be
+    // atomic against concurrent deploys (or both mint the same folder
+    // name twice), and the values iteration races apply() otherwise
     val segs = path.split("/").filter(_.nonEmpty)
     var parent: Option[String] = None
     segs.foreach { seg =>
@@ -1179,7 +1212,7 @@ final class HttpApi(
     // jwtOrAPIKey: an API key needs the deploy permission; otherwise a
     // user session / non-dashboard JWT. NoEdit blocks only USER actors —
     // a deploy-permitted API key still deploys (deploy.go:41-46).
-    val isApiKey = bearer(ex).exists(_.startsWith(Tokens.ApiKeyPrefix))
+    val isApiKey = bearer(ex).exists(Tokens.isApiKeyToken)
     val authed =
       if (isApiKey) requireApiKey(ex, Tokens.Permission.Deploy).isDefined
       else requireUserAuth(ex)
@@ -1247,18 +1280,24 @@ final class HttpApi(
         val id = field("id").map(_.trim).filter(_.nonEmpty)
           .getOrElse(return Left(s"apps[$idx]: id is required for update operations"))
         if (!exists(id)) return Left(s"apps[$idx]: $tpe not found")
-        field("content").foreach(c => submitFn(s"update_${tpe}_content",
-          s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(c)}}"""))
+        // a journal-first submit can fail (write error) — reporting
+        // "updated" over a dropped event would be silent data loss
+        field("content").foreach(c =>
+          if (!submitFn(s"update_${tpe}_content",
+              s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(c)}}"""))
+            return Left(s"apps[$idx]: content update rejected"))
         field("name").map(_.trim).filter(_.nonEmpty).foreach(n =>
-          submitFn(s"update_${tpe}_name",
-            s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(n)}}"""))
+          if (!submitFn(s"update_${tpe}_name",
+              s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(n)}}"""))
+            return Left(s"apps[$idx]: name update rejected"))
         field("path").foreach { path =>
           val folderId = ensureFolderPath(path) match {
             case Right(f) => f
             case Left(err) => return Left(s"apps[$idx]: $err")
           }
           val to = folderId.map(f => s""""toFolderId":${Model.jsonValue(f)},""").getOrElse("")
-          submitFn("move_items", s"""{$to"apps":[${Model.jsonValue(id)}]}""")
+          if (!submitFn("move_items", s"""{$to"apps":[${Model.jsonValue(id)}]}"""))
+            return Left(s"apps[$idx]: move rejected")
         }
         Right(result("updated", id))
       case "delete" =>
@@ -1291,9 +1330,12 @@ final class HttpApi(
   }
 
   /** GET /api/dashboards/:id/download/:filename — authenticate, resolve
-    * vars, mint an unguessable one-time URL carrying a DownloadIntent
-    * (handler/dashboard.go:390-560). The browser then GETs the URL with
-    * no auth header — the key is the credential. */
+    * vars, mint an unguessable short-lived URL carrying a
+    * DownloadIntent (handler/dashboard.go:390-560). The browser then
+    * GETs the URL with no auth header — the key is the credential.
+    * Like the reference's KV entry, the key stays redeemable until the
+    * TTL expires (DownloadFileByKey only Gets, never deletes — browsers
+    * retry downloads), so the TTL is the whole exposure window. */
   private def handleRequestDashboardDownload(ex: HttpExchange, id: String,
       filename: String): Unit = {
     val fileType = filename.split("\\.") match {
@@ -1305,7 +1347,7 @@ final class HttpApi(
     // auth: a JWT (dashboard-scoped must match this id), or an API key
     // with the dashboard-read permission
     val claimVars: Map[String, Any] = bearer(ex) match {
-      case Some(tok) if tok.startsWith(Tokens.ApiKeyPrefix) =>
+      case Some(tok) if Tokens.isApiKeyToken(tok) =>
         requireApiKey(ex, Tokens.Permission.ReadDashboard) match {
           case Some(_) => Map.empty
           case None => return
@@ -1357,10 +1399,14 @@ final class HttpApi(
   private def handleDownloadByKey(ex: HttpExchange, key: String, filename: String): Unit = {
     val intent = Option(downloads.get(key))
       .filter(_.expiresAtMillis >= System.currentTimeMillis())
+      // the filename (and so the format) was validated at MINT time —
+      // honoring a rewritten extension would let a key holder escalate
+      // a single-query csv intent into a whole-dashboard pdf render
+      .filter(_.filename == filename)
       .getOrElse(return respond(ex, 404, jsonError("Download not found or expired")))
     val meta = store.dashboards.get(intent.dashboardId)
       .getOrElse(return respond(ex, 404, jsonError("dashboard not found")))
-    val fileType = filename.split("\\.").last.toLowerCase
+    val fileType = intent.filename.split("\\.").last.toLowerCase
     def attach(ct: String): Unit = {
       ex.getResponseHeaders.set("Content-Type", ct)
       ex.getResponseHeaders.set("Content-Disposition",

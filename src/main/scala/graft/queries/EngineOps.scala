@@ -217,7 +217,7 @@ object EngineOps {
       // directory (FsWorkQueue — the JetStream WorkQueuePolicy analog);
       // a `single` run executes on exactly one of them, an `all` run on
       // both, and a re-fire of the same (task, runAt) on zero.
-      val claims = java.nio.file.Files.createTempDirectory("graft-tk04").toString
+      val claims = tempDir("graft-tk04")
       val conf = s.sparkContext.hadoopConfiguration
       def node(id: String) = new graft.tasks.TaskNode(id, s,
         new graft.tasks.FsWorkQueue(claims, conf))

@@ -64,7 +64,19 @@ object StateJournal {
     val invites: mutable.LinkedHashMap[String, InviteMeta] = mutable.LinkedHashMap.empty
 
     /** Apply one event; true = handled (ack + checkpoint). */
-    def apply(event: String, payload: JObject): Boolean = event match {
+    /** Signing-secret override journaled by `reset_jwt_secret` — replay
+      * restores a rotation across restarts and onto every node (the
+      * reference persists the rotated secret the same way its other
+      * state flows through the journal/KV). */
+    @volatile var jwtSecretOverride: Option[String] = None
+
+    /** Apply one event; true = handled (ack + checkpoint). Synchronized:
+      * the HTTP pool serves full-scan reads (apps listing, folder-path
+      * walks) concurrently with these writes, and the LinkedHashMaps are
+      * not thread-safe — readers take the same monitor. */
+    def apply(event: String, payload: JObject): Boolean = this.synchronized { applyLocked(event, payload) }
+
+    private def applyLocked(event: String, payload: JObject): Boolean = event match {
       case "create_dashboard" =>
         val id = str(payload, "id")
         if (id.isEmpty) false
@@ -209,6 +221,9 @@ object StateJournal {
         }
       case "delete_invite" =>
         invites.remove(str(payload, "code")); true
+      case "reset_jwt_secret" =>
+        val s = str(payload, "secret")
+        if (s.isEmpty) false else { jwtSecretOverride = Some(s); true }
       case "claim_invite" =>
         // create the user and burn the invite (users.go:642-700)
         val userId = str(payload, "userId")

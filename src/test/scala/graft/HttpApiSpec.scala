@@ -533,6 +533,16 @@ class HttpApiSpec extends AnyFunSuite {
     // root non-recursive misses them; recursive finds them
     assert(!get("/api/apps", s).body().contains("ls-d1"))
     assert(get("/api/apps?recursive=true", s).body().contains("ls-d1"))
+    // missing trailing slash means the same folder, and a recursive
+    // prefix on /ls must not swallow a sibling /ls2/
+    assert(get("/api/apps?path=/ls", s).body().contains("ls-d1"))
+    assert(post("/api/deploy",
+      """{"apps": [{"operation": "create", "type": "dashboard",
+        "data": {"id": "ls2-d9", "name": "Sib", "path": "/ls2/", "content": ""}}]}""",
+      s).statusCode() == 200)
+    assert(!get("/api/apps?path=/ls&recursive=true", s).body().contains("ls2-d9"))
+    post("/api/deploy",
+      """{"apps": [{"operation": "delete", "type": "dashboard", "data": {"id": "ls2-d9"}}]}""", s)
     // limit/offset window + page math
     val lim = get("/api/apps?path=/ls/&sort=name&order=asc&limit=2&offset=2", s)
     assert(lim.body().contains("ls-t1") && !lim.body().contains("ls-d1"))
@@ -608,6 +618,10 @@ class HttpApiSpec extends AnyFunSuite {
       Some(jwt(Some("other")))).statusCode() == 401)
     assert(get("/api/dashboards/demo/download/data.csv").statusCode() == 401)
     assert(get("/api/download/" + "0" * 64 + "/data.csv").statusCode() == 404)
+    // a rewritten extension must not escalate a csv intent into a
+    // whole-dashboard render: the redeemed filename is pinned at mint
+    val key = url.stripPrefix("/api/download/").stripSuffix("/data.csv")
+    assert(get(s"/api/download/$key/data.pdf").statusCode() == 404)
   }
 
   test("POST /api/admin/reset-jwt-secret kills JWTs, spares sessions (auth.go:341-358)") {
@@ -632,6 +646,18 @@ class HttpApiSpec extends AnyFunSuite {
       // every outstanding JWT is dead; the session still works
       assert(req("/api/dashboards/d3", oldJwt).statusCode() == 401)
       assert(req("/api/version", session).statusCode() == 200)
+      // the rotation is journaled state, not a process field: a second
+      // HttpApi over the same store (a restarted/replayed node) must
+      // also refuse the old secret's JWTs
+      assert(store3.jwtSecretOverride.isDefined)
+      val api4 = new HttpApi(spark, store3, "rot-secret")
+      val port4 = api4.start()
+      try {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port4/api/dashboards/d3"))
+          .header("Authorization", s"Bearer $oldJwt")
+        assert(client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+          .statusCode() == 401)
+      } finally api4.stop()
     } finally api3.stop()
   }
 
