@@ -82,7 +82,11 @@ final class HttpApi(
       * MetaStore; a deployment with a [[StateJournal.StateApp]] passes
       * `app.submit` so writes go journal-first (SubmitState). */
     submit: (String, String) => Boolean = null,
-    config: HttpApi.Config = HttpApi.Config()) {
+    config: HttpApi.Config = HttpApi.Config(),
+    /** Optional task-runs journal consumer: when wired, the apps
+      * listing carries each task's last/next-run `taskInfo` like the
+      * reference's task_runs join (list_apps.go:164-190). */
+    taskRuns: StateJournal.TaskRunLog = null) {
 
   private val submitFn: (String, String) => Boolean =
     if (submit != null) submit
@@ -525,7 +529,7 @@ final class HttpApi(
             case None => respond(ex, 404, jsonError("dashboard not found"))
             case Some(d) => respond(ex, 200, appJson(
               d.id, folderPath(d.folderId), d.folderId, d.name, Some(d.content),
-              d.createdAtMillis, Some(d.createdBy).filter(_.nonEmpty),
+              d.createdAtMillis, d.updatedAt, Some(d.createdBy).filter(_.nonEmpty),
               d.visibility, "dashboard"))
           }
         }
@@ -546,16 +550,18 @@ final class HttpApi(
             return respond(ex, 404, jsonError("dashboard not found"))
           val o = parsedBody(ex).getOrElse(
             return respond(ex, 400, jsonError("Invalid request body")))
+          // journaled edit time — feeds updatedAt in info/apps listings
+          val ts = s""","timestamp":${System.currentTimeMillis()}"""
           val (event, payload) = field match {
             case "query" => ("update_dashboard_content",
-              s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(jStr(o, "content"))}}""")
+              s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(jStr(o, "content"))}$ts}""")
             case "name" => ("update_dashboard_name",
-              s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))}}""")
+              s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))}$ts}""")
             case "visibility" => ("update_dashboard_visibility",
-              s"""{"id":${Model.jsonValue(id)},"visibility":${Model.jsonValue(jStr(o, "visibility"))}}""")
+              s"""{"id":${Model.jsonValue(id)},"visibility":${Model.jsonValue(jStr(o, "visibility"))}$ts}""")
             case "password" => ("update_dashboard_password",
               s"""{"id":${Model.jsonValue(id)},"passwordHash":${
-                Model.jsonValue(graft.auth.Passwords.hash(jStr(o, "password")))}}""")
+                Model.jsonValue(graft.auth.Passwords.hash(jStr(o, "password")))}$ts}""")
           }
           if (submitFn(event, payload)) respond(ex, 200, "{\"status\":\"ok\"}")
           else respond(ex, 400, jsonError("update rejected"))
@@ -629,7 +635,12 @@ final class HttpApi(
     parsedBody(ex) match {
       case None => respond(ex, 400, jsonError("Invalid request body"))
       case Some(o) =>
-        submitFn("move_items", SchemaInfer.toJsonString(o)); ok(ex)
+        // re-serialize with the journaled edit time appended
+        val base = SchemaInfer.toJsonString(o).trim.stripSuffix("}")
+        val sep = if (base == "{") "" else ","
+        submitFn("move_items",
+          base + sep + s""""timestamp":${System.currentTimeMillis()}}""")
+        ok(ex)
     }
   }
 
@@ -663,7 +674,8 @@ final class HttpApi(
         if (!store.tasks.contains(id)) return respond(ex, 404, jsonError("task not found"))
         val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
         submitFn(s"update_task_$field",
-          s"""{"id":${Model.jsonValue(id)},"$field":${Model.jsonValue(jStr(o, field))}}""")
+          s"""{"id":${Model.jsonValue(id)},"$field":${Model.jsonValue(jStr(o, field))},""" +
+            s""""timestamp":${System.currentTimeMillis()}}""")
         ok(ex)
       case _ => respond(ex, 405, jsonError("method not allowed"))
     }
@@ -972,11 +984,14 @@ final class HttpApi(
   }
 
   /** One `api.App` JSON object (reference shape: api/types.go:37-50).
-    * DIVERGENCE, documented: the journal tracks creation but not a
-    * separate updated_at, so `updatedAt` mirrors `createdAt`. */
+    * `updatedAt` is the journaled edit time (creation time until the
+    * first edit); `taskInfo` carries the task-runs row when a
+    * [[StateJournal.TaskRunLog]] is wired (api/types.go:28-34). */
   private def appJson(id: String, path: String, folderId: Option[String],
       name: String, content: Option[String], createdMillis: Long,
-      createdBy: Option[String], visibility: Option[String], tpe: String): String = {
+      updatedMillis: Long, createdBy: Option[String],
+      visibility: Option[String], tpe: String,
+      taskInfo: Option[StateJournal.TaskRunMeta] = None): String = {
     val sb = new StringBuilder("{")
     sb ++= "\"id\":" + Model.jsonValue(id)
     sb ++= ",\"path\":" + Model.jsonValue(path)
@@ -984,9 +999,18 @@ final class HttpApi(
     sb ++= ",\"name\":" + Model.jsonValue(name)
     content.foreach(c => sb ++= ",\"content\":" + Model.jsonValue(c))
     sb ++= ",\"createdAt\":" + Model.jsonValue(isoTime(createdMillis))
-    sb ++= ",\"updatedAt\":" + Model.jsonValue(isoTime(createdMillis))
+    sb ++= ",\"updatedAt\":" + Model.jsonValue(isoTime(updatedMillis))
     createdBy.foreach(c => sb ++= ",\"createdBy\":" + Model.jsonValue(c))
     visibility.foreach(v => sb ++= ",\"visibility\":" + Model.jsonValue(v))
+    taskInfo.foreach { r =>
+      sb ++= ",\"taskInfo\":{\"lastRunAt\":" + Model.jsonValue(isoTime(r.startedAtMillis))
+      sb ++= ",\"lastRunSuccess\":" + r.success
+      sb ++= ",\"lastRunDuration\":" + r.totalDurationMs
+      r.nextRunAtMillis.foreach(n => sb ++= ",\"nextRunAt\":" + Model.jsonValue(isoTime(n)))
+      if (r.nextRunType.nonEmpty)
+        sb ++= ",\"nextRunType\":" + Model.jsonValue(r.nextRunType)
+      sb ++= "}"
+    }
     sb ++= ",\"type\":" + Model.jsonValue(tpe)
     sb.append("}").result()
   }
@@ -1085,7 +1109,8 @@ final class HttpApi(
     // json is a thunk: only the paged window is serialized (content can
     // be the full dashboard SQL — building it for every filtered-out
     // item would be pure waste)
-    final case class Item(name: String, createdMillis: Long, json: () => String)
+    final case class Item(name: String, createdMillis: Long,
+        updatedMillis: Long, json: () => String)
     def keep(itemPath: String, name: String): Boolean = {
       val pathOk =
         if (recursive) path == "/" || itemPath.startsWith(path)
@@ -1097,20 +1122,24 @@ final class HttpApi(
     val all = store.synchronized {
       val dashboards = store.dashboards.values.flatMap { d =>
         val ip = folderPath(d.folderId)
-        if (keep(ip, d.name)) Some(Item(d.name, d.createdAtMillis, () =>
+        if (keep(ip, d.name)) Some(Item(d.name, d.createdAtMillis, d.updatedAt, () =>
           appJson(d.id, ip, d.folderId, d.name,
             Some(d.content).filter(_ => includeContent), d.createdAtMillis,
-            Some(d.createdBy).filter(_.nonEmpty), d.visibility, "dashboard")))
+            d.updatedAt, Some(d.createdBy).filter(_.nonEmpty), d.visibility,
+            "dashboard")))
         else None
       }
       val tasks =
         if (!config.tasksEnabled) Nil
         else store.tasks.values.flatMap { t =>
           val ip = folderPath(t.folderId)
-          if (keep(ip, t.name)) Some(Item(t.name, t.createdAtMillis, () =>
+          val runInfo = Option(taskRuns)
+            .flatMap(tr => tr.synchronized(tr.runs.get(t.id)))
+          if (keep(ip, t.name)) Some(Item(t.name, t.createdAtMillis, t.updatedAt, () =>
             appJson(t.id, ip, t.folderId, t.name,
               Some(t.content).filter(_ => includeContent), t.createdAtMillis,
-              Some(t.createdBy).filter(_.nonEmpty), None, "task")))
+              t.updatedAt, Some(t.createdBy).filter(_.nonEmpty), None, "task",
+              taskInfo = runInfo)))
           else None
         }
       (dashboards ++ tasks).toVector
@@ -1118,7 +1147,7 @@ final class HttpApi(
     val sorted = (p("sort") match {
       case "name" => all.sortBy(_.name)
       case "created" => all.sortBy(_.createdMillis)
-      case _ => all.sortBy(_.createdMillis) // updated_at mirrors created
+      case _ => all.sortBy(_.updatedMillis) // the reference's default
     }) match {
       case s if p("order") == "asc" => s
       case s => s.reverse // desc is the reference default
@@ -1282,13 +1311,14 @@ final class HttpApi(
         if (!exists(id)) return Left(s"apps[$idx]: $tpe not found")
         // a journal-first submit can fail (write error) — reporting
         // "updated" over a dropped event would be silent data loss
+        val ts = s""","timestamp":${System.currentTimeMillis()}"""
         field("content").foreach(c =>
           if (!submitFn(s"update_${tpe}_content",
-              s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(c)}}"""))
+              s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(c)}$ts}"""))
             return Left(s"apps[$idx]: content update rejected"))
         field("name").map(_.trim).filter(_.nonEmpty).foreach(n =>
           if (!submitFn(s"update_${tpe}_name",
-              s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(n)}}"""))
+              s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(n)}$ts}"""))
             return Left(s"apps[$idx]: name update rejected"))
         field("path").foreach { path =>
           val folderId = ensureFolderPath(path) match {
@@ -1296,7 +1326,7 @@ final class HttpApi(
             case Left(err) => return Left(s"apps[$idx]: $err")
           }
           val to = folderId.map(f => s""""toFolderId":${Model.jsonValue(f)},""").getOrElse("")
-          if (!submitFn("move_items", s"""{$to"apps":[${Model.jsonValue(id)}]}"""))
+          if (!submitFn("move_items", s"""{$to"apps":[${Model.jsonValue(id)}]$ts}"""))
             return Left(s"apps[$idx]: move rejected")
         }
         Right(result("updated", id))

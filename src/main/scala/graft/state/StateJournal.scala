@@ -31,12 +31,29 @@ object StateJournal {
   final case class DashboardMeta(id: String, name: String, content: String,
       folderId: Option[String], visibility: Option[String],
       createdAtMillis: Long, createdBy: String,
-      passwordHash: Option[String] = None)
+      passwordHash: Option[String] = None,
+      /** Last edit time from the update event's journaled `timestamp`
+        * (0 = never edited). Journaled, not wall-clock-at-apply, so a
+        * replay on another node reconstructs identical state. */
+      updatedAtMillis: Long = 0L) {
+    def updatedAt: Long = if (updatedAtMillis > 0) updatedAtMillis else createdAtMillis
+  }
   final case class TaskMeta(id: String, name: String, content: String,
-      folderId: Option[String], createdAtMillis: Long, createdBy: String)
+      folderId: Option[String], createdAtMillis: Long, createdBy: String,
+      updatedAtMillis: Long = 0L) {
+    def updatedAt: Long = if (updatedAtMillis > 0) updatedAtMillis else createdAtMillis
+  }
   final case class FolderMeta(id: String, name: String, parentId: Option[String])
   final case class InviteMeta(code: String, email: String,
       createdAtMillis: Long, createdBy: String)
+
+  /** Edit-time bump for update events: take the payload's journaled
+    * `timestamp` when present, otherwise keep the previous value (old
+    * journals without the field replay unchanged). */
+  private def bump(payload: JObject, prev: Long): Long = {
+    val t = millis(payload, "timestamp")
+    if (t > 0) t else prev
+  }
 
   private def str(o: JObject, k: String): String =
     o.map.get(k).collect { case JString(s) => s }.getOrElse("")
@@ -90,20 +107,24 @@ object StateJournal {
         }
       case "update_dashboard_content" =>
         dashboards.get(str(payload, "id")).foreach(d =>
-          dashboards(d.id) = d.copy(content = str(payload, "content")))
+          dashboards(d.id) = d.copy(content = str(payload, "content"),
+            updatedAtMillis = bump(payload, d.updatedAtMillis)))
         true
       case "update_dashboard_name" =>
         dashboards.get(str(payload, "id")).foreach(d =>
-          dashboards(d.id) = d.copy(name = str(payload, "name")))
+          dashboards(d.id) = d.copy(name = str(payload, "name"),
+            updatedAtMillis = bump(payload, d.updatedAtMillis)))
         true
       case "update_dashboard_visibility" =>
         dashboards.get(str(payload, "id")).foreach(d =>
-          dashboards(d.id) = d.copy(visibility = strOpt(payload, "visibility")))
+          dashboards(d.id) = d.copy(visibility = strOpt(payload, "visibility"),
+            updatedAtMillis = bump(payload, d.updatedAtMillis)))
         true
       case "update_dashboard_password" =>
         dashboards.get(str(payload, "id")).foreach(d =>
           dashboards(d.id) = d.copy(
-            passwordHash = strOpt(payload, "passwordHash").filter(_.nonEmpty)))
+            passwordHash = strOpt(payload, "passwordHash").filter(_.nonEmpty),
+            updatedAtMillis = bump(payload, d.updatedAtMillis)))
         true
       case "delete_dashboard" =>
         dashboards.remove(str(payload, "id")); true
@@ -119,11 +140,13 @@ object StateJournal {
         }
       case "update_task_content" =>
         tasks.get(str(payload, "id")).foreach(t =>
-          tasks(t.id) = t.copy(content = str(payload, "content")))
+          tasks(t.id) = t.copy(content = str(payload, "content"),
+            updatedAtMillis = bump(payload, t.updatedAtMillis)))
         true
       case "update_task_name" =>
         tasks.get(str(payload, "id")).foreach(t =>
-          tasks(t.id) = t.copy(name = str(payload, "name")))
+          tasks(t.id) = t.copy(name = str(payload, "name"),
+            updatedAtMillis = bump(payload, t.updatedAtMillis)))
         true
       case "delete_task" =>
         tasks.remove(str(payload, "id")); true
@@ -146,8 +169,10 @@ object StateJournal {
         val to = strOpt(payload, "toFolderId")
         payload.map.get("apps").collect { case JArray(items) => items }.getOrElse(Nil)
           .collect { case JString(id) => id }.foreach { id =>
-            dashboards.get(id).foreach(d => dashboards(id) = d.copy(folderId = to))
-            tasks.get(id).foreach(t => tasks(id) = t.copy(folderId = to))
+            dashboards.get(id).foreach(d => dashboards(id) = d.copy(folderId = to,
+              updatedAtMillis = bump(payload, d.updatedAtMillis)))
+            tasks.get(id).foreach(t => tasks(id) = t.copy(folderId = to,
+              updatedAtMillis = bump(payload, t.updatedAtMillis)))
           }
         payload.map.get("folders").collect { case JArray(items) => items }.getOrElse(Nil)
           .collect { case JString(id) => id }.foreach { id =>

@@ -661,6 +661,50 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api3.stop()
   }
 
+  test("updatedAt tracks journaled edits; taskInfo rides the apps listing (list_apps.go:164-190)") {
+    val store5 = new StateJournal.MetaStore()
+    store5.tokens.putUser(Tokens.UserRecord("up1", "up@t.io", "Up"))
+    val session = store5.tokens.createSessionForUser("up1")
+    val runsDir = java.nio.file.Files.createTempDirectory("graft-runs").toString
+    val runs = new StateJournal.TaskRunLog(runsDir)
+    runs.publish("up-t1", 1700000000000L, success = true, 42L, Some(1700003600000L), "interval")
+    runs.boot()
+    val api5 = new HttpApi(spark, store5, "up-secret", taskRuns = runs)
+    val port5 = api5.start()
+    try {
+      def req(method: String, path: String, payload: String) = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port5$path"))
+          .header("Authorization", s"Bearer $session")
+        val r = if (method == "GET") b.GET() else
+          b.POST(HttpRequest.BodyPublishers.ofString(payload))
+        client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(req("POST", "/api/deploy",
+        """{"apps": [
+          {"operation": "create", "type": "dashboard",
+           "data": {"id": "up-d1", "name": "U", "path": "/", "content": "SELECT 1;"}},
+          {"operation": "create", "type": "task",
+           "data": {"id": "up-t1", "name": "UT", "path": "/", "content": "SELECT 2;"}}
+        ]}""").statusCode() == 200)
+      val before = store5.dashboards("up-d1").updatedAt
+      Thread.sleep(5)
+      assert(req("POST", "/api/dashboards/up-d1/name", """{"name": "U2"}""").statusCode() == 200)
+      val after = store5.dashboards("up-d1").updatedAt
+      assert(after > before, s"updatedAt did not move: $before -> $after")
+      val listed = req("GET", "/api/apps", "")
+      assert(listed.body().contains("\"updatedAt\":" +
+        "\"" + java.time.Instant.ofEpochMilli(after).toString + "\""))
+      // the edited dashboard now outranks the task under the default
+      // updated_at desc sort
+      val order = "\"id\":\"(up-[a-z0-9]+)\"".r.findAllMatchIn(listed.body()).map(_.group(1)).toList
+      assert(order.head == "up-d1", order)
+      // taskInfo from the TaskRunLog consumer
+      assert(listed.body().contains("\"taskInfo\":{\"lastRunAt\":\"2023-11-14T22:13:20Z\"") &&
+        listed.body().contains("\"lastRunSuccess\":true") &&
+        listed.body().contains("\"nextRunType\":\"interval\""), listed.body())
+    } finally api5.stop()
+  }
+
   test("GET /metrics serves Prometheus counters behind the metrics permission (routes.go:163)") {
     val store = fixtureStore
     val (_, metricsKey) = store.tokens.createApiKey("metrics-key",
