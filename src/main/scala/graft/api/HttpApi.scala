@@ -1384,8 +1384,21 @@ final class HttpApi(
         }
       case Some(tok) => Auth.verify(tok, secret) match {
         case Right(claims) =>
-          if (claims.dashboardId.exists(_ != id))
-            return respond(ex, 401, jsonError("Unauthorized"))
+          claims.dashboardId.filter(_ != id) match {
+            case Some(sourceId) if fileType == "pdf" =>
+              // cross-dashboard pdf: allowed only when the SOURCE
+              // dashboard renders a pdf button targeting this id
+              // (dashboard.go:444-466 over ValidateDashboardDownload)
+              val ok = store.dashboards.get(sourceId).exists(src =>
+                graft.interp.DownloadAuth.validateDashboardDownload(
+                  spark, src.content, sourceId, id,
+                  queryParams = queryParams(ex), variables = claims.variables,
+                  prepare = prepare))
+              if (!ok) return respond(ex, 401, jsonError("Unauthorized"))
+            case Some(_) =>
+              return respond(ex, 401, jsonError("Unauthorized"))
+            case None =>
+          }
           claims.variables
         case Left(_) => return respond(ex, 401, jsonError("Unauthorized"))
       }

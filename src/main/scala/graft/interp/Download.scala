@@ -109,6 +109,38 @@ object Download {
   }
 }
 
+object DownloadAuth {
+  /** Cross-dashboard PDF authorization (ref: ValidateDashboardDownload,
+    * get_dashboard.go:402-520): a JWT scoped to SOURCE may download
+    * TARGET as pdf iff rendering SOURCE — with the same query params
+    * and claim variables — yields a pdf download button pointing at
+    * TARGET. Rendering through the full interpreter gives the
+    * reference's walk for free: section hiding, the skip-after-
+    * download-button rule, variable collection, and the ID-column
+    * indirection are all already applied by the time the button row
+    * carries its synthesized `api/dashboards/<id>/download/…pdf` URL. */
+  def validateDashboardDownload(spark: SparkSession, sourceContent: String,
+      sourceId: String, targetId: String,
+      queryParams: Map[String, Seq[String]] = Map.empty,
+      variables: Map[String, Any] = Map.empty,
+      prepare: SparkSession => Unit = _ => ()): Boolean = {
+    val r = Dashboard.run(spark, sourceContent, Dashboard.RunConfig(
+      dashboardId = sourceId, queryParams = queryParams,
+      variables = variables, prepare = prepare))
+    val prefix = s"api/dashboards/$targetId/download/"
+    r.sections.exists(_.queries.exists { q =>
+      q.render.renderType == "button" &&
+        q.columns.zipWithIndex.exists { case (c, i) =>
+          c.tag == "download" && q.rows.headOption.exists { row =>
+            row.lift(i).collect { case s: String => s }
+              .exists(u => u.startsWith(prefix) &&
+                u.takeWhile(_ != '?').endsWith(".pdf"))
+          }
+        }
+    })
+  }
+}
+
 /** Shared side-effect execution for replay mode (SET/RESET VARIABLE,
   * temp views) — delegates to the interpreter's handler. */
 private[interp] object DashboardSideEffects {

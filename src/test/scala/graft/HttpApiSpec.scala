@@ -622,6 +622,24 @@ class HttpApiSpec extends AnyFunSuite {
     // whole-dashboard render: the redeemed filename is pinned at mint
     val key = url.stripPrefix("/api/download/").stripSuffix("/data.csv")
     assert(get(s"/api/download/$key/data.pdf").statusCode() == 404)
+    // cross-dashboard pdf (ValidateDashboardDownload,
+    // get_dashboard.go:402-520): a JWT scoped to a SOURCE dashboard may
+    // mint a pdf for a TARGET only when the source renders a pdf button
+    // pointing at that target
+    fixtureStore.dashboards("linker") = StateJournal.DashboardMeta(
+      "linker", "Linker", "SELECT 'report'::DOWNLOAD_PDF, 'demo'::ID;",
+      None, None, 0L, "t")
+    assert(get("/api/dashboards/demo/download/report.pdf",
+      Some(jwt(Some("linker")))).statusCode() == 200)
+    // ...but not a csv, and not a target the source never links
+    assert(get("/api/dashboards/demo/download/report.csv",
+      Some(jwt(Some("linker")))).statusCode() == 401)
+    fixtureStore.dashboards("unlinked") = StateJournal.DashboardMeta(
+      "unlinked", "U", "SELECT 1 AS one;", None, None, 0L, "t")
+    assert(get("/api/dashboards/demo/download/report.pdf",
+      Some(jwt(Some("unlinked")))).statusCode() == 401)
+    fixtureStore.dashboards.remove("linker")
+    fixtureStore.dashboards.remove("unlinked")
   }
 
   test("POST /api/admin/reset-jwt-secret kills JWTs, spares sessions (auth.go:341-358)") {
