@@ -70,7 +70,10 @@ object HttpApi {
       passwordProtectedSharingEnabled: Boolean = true,
       ssoLoginUrl: String = "",
       jwtSecretStatic: Boolean = false,
-      version: String = "graft-dev")
+      version: String = "graft-dev",
+      /** `db` / `db.schema` / `db.schema.object` entries hidden from
+        * GET /api/schema (the reference's --schema-ignore flags). */
+      schemaIgnore: Seq[String] = Nil)
 }
 
 final class HttpApi(
@@ -432,7 +435,7 @@ final class HttpApi(
     if (!requireJwtOrApiKey(ex, Tokens.Permission.ReadSchema)) return
     val ss = spark.newSession()
     prepare(ss)
-    respond(ex, 200, graft.catalog.Catalog.schemaJson(ss))
+    respond(ex, 200, graft.catalog.Catalog.schemaJson(ss, config.schemaIgnore))
   }
 
   /** POST /api/download/:filename — {sql} ad-hoc download in the format

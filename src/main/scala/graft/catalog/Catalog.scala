@@ -53,8 +53,27 @@ object Catalog {
     * duckdb_schema.go:10-360 + duckdb_schema_test.go:18-117. Enums and
     * constraints are DuckDB-only — emitted as empty lists so consumers
     * of the reference shape parse unchanged. */
-  def schemaJson(spark: SparkSession): String = {
+  /** Ignore-list semantics from the reference (duckdb_schema.go:346-360):
+    * `db` hides a whole database, `db.schema` a schema, `db.schema.obj`
+    * one table/view. The Spark catalog surfaces as database `memory`,
+    * schema `main` — the reference's in-memory-mode names. */
+  private def shouldIgnore(ignore: Seq[String], database: String,
+      schema: String, obj: String): Boolean =
+    ignore.exists(_.split("\\.") match {
+      case Array(d) => database == d
+      case Array(d, s) => schema.nonEmpty && database == d && schema == s
+      case Array(d, s, o) => obj.nonEmpty && database == d && schema == s && obj == o
+      case _ => false
+    })
+
+  def schemaJson(spark: SparkSession, ignore: Seq[String] = Nil): String = {
+    if (shouldIgnore(ignore, "memory", "", ""))
+      return graft.render.Model.jsonValue(Map("databases" -> Seq.empty[String]))
+    if (shouldIgnore(ignore, "memory", "main", ""))
+      return graft.render.Model.jsonValue(Map("databases" -> Seq(
+        Map("name" -> "memory", "schemas" -> Seq.empty[String]))))
     val all = spark.catalog.listTables().collect().toSeq.sortBy(_.name)
+      .filterNot(t => shouldIgnore(ignore, "memory", "main", t.name))
     def colsOf(name: String) = spark.table(name).schema.fields.map { f =>
       Map("name" -> f.name, "type" -> duckTypeName(f.dataType),
         "nullable" -> f.nullable,

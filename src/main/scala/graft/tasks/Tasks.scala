@@ -93,6 +93,38 @@ object Tasks {
     (None, "single")
   }
 
+  /** Boot-time init-task selection (ref: GetInitTasks,
+    * schedule_task.go:37-63): tasks whose last journaled run left
+    * `nextRunType = 'init'`, ordered shallow-folder-first, then by
+    * folder path, then task name — parents' setup SQL runs before
+    * their subfolders' on every restart. */
+  def initTasks(store: graft.state.StateJournal.MetaStore,
+      runs: graft.state.StateJournal.TaskRunLog): Seq[graft.state.StateJournal.TaskMeta] = {
+    def depthAndPath(folderId: Option[String]): (Int, String) = {
+      val names = List.newBuilder[String]
+      var cur = folderId
+      var hops = 0
+      while (cur.isDefined && hops < 64) {
+        store.folders.get(cur.get) match {
+          case Some(f) => names += f.name; cur = f.parentId
+          case None => cur = None
+        }
+        hops += 1
+      }
+      val segs = names.result().reverse
+      (segs.length, segs.mkString("/"))
+    }
+    val initIds = runs.synchronized {
+      runs.runs.values.filter(_.nextRunType == "init").map(_.taskId).toSet
+    }
+    store.synchronized {
+      store.tasks.values.toSeq.filter(t => initIds.contains(t.id))
+        .map(t => (depthAndPath(t.folderId), t))
+        .sortBy { case ((depth, path), t) => (depth, path, t.name) }
+        .map(_._2)
+    }
+  }
+
   /** Execute a task: split → gate → per-statement run, result capture,
     * early stop on single false boolean, SCHEDULE row excluded from
     * results, error stops the batch.

@@ -408,6 +408,24 @@ class HttpApiSpec extends AnyFunSuite {
       Some(jwt(Some("demo")))).statusCode() == 401)
   }
 
+  test("schema ignore-list hides db/schema/object entries (duckdb_schema.go:346-360)") {
+    val ss = spark.newSession()
+    Tables.registerAll(ss, dir)
+    val full = graft.catalog.Catalog.schemaJson(ss)
+    assert(full.contains("\"lineitem\"") && full.contains("\"region\""))
+    // one object
+    val noLineitem = graft.catalog.Catalog.schemaJson(ss, Seq("memory.main.lineitem"))
+    assert(!noLineitem.contains("\"lineitem\"") && noLineitem.contains("\"region\""))
+    // whole schema / whole database
+    val noSchema = graft.catalog.Catalog.schemaJson(ss, Seq("memory.main"))
+    assert(!noSchema.contains("\"lineitem\"") && noSchema.contains("\"schemas\":[]"))
+    val noDb = graft.catalog.Catalog.schemaJson(ss, Seq("memory"))
+    assert(noDb.contains("\"databases\":[]"))
+    // non-matching entries hide nothing
+    val other = graft.catalog.Catalog.schemaJson(ss, Seq("otherdb", "memory.other"))
+    assert(other.contains("\"lineitem\""))
+  }
+
   test("GET /api/system/config is public; /api/version needs auth (system.go:12-31)") {
     val r = get("/api/system/config")
     assert(r.statusCode() == 200)

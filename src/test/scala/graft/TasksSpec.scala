@@ -200,6 +200,31 @@ class TasksSpec extends AnyFunSuite {
     assert(res.queries.head.error.exists(_.contains("managed table")))
   }
 
+  test("init tasks order shallow-folder-first, then path, then name (GetInitTasks, schedule_task.go:37-63)") {
+    import graft.state.StateJournal
+    val store = new StateJournal.MetaStore()
+    val runsDir = java.nio.file.Files.createTempDirectory("graft-init-runs").toString
+    val runs = new StateJournal.TaskRunLog(runsDir)
+    // folders: /a and /a/b
+    store.folders("fa") = StateJournal.FolderMeta("fa", "a", None)
+    store.folders("fb") = StateJournal.FolderMeta("fb", "b", Some("fa"))
+    // tasks: two at root (names z, m), one in /a, one in /a/b, plus a
+    // non-init task that must not appear
+    def task(id: String, name: String, folder: Option[String]) =
+      store.tasks(id) = StateJournal.TaskMeta(id, name, "SELECT 'init'::SCHEDULE;", folder, 0L, "t")
+    task("t-root-z", "z", None)
+    task("t-root-m", "m", None)
+    task("t-a", "in-a", Some("fa"))
+    task("t-ab", "in-ab", Some("fb"))
+    task("t-single", "s", None)
+    Seq("t-root-z", "t-root-m", "t-a", "t-ab").foreach(id =>
+      runs.publish(id, 1000L, success = true, 1L, None, "init"))
+    runs.publish("t-single", 1000L, success = true, 1L, Some(2000L), "single")
+    runs.boot()
+    val ordered = Tasks.initTasks(store, runs).map(_.id)
+    assert(ordered == Seq("t-root-m", "t-root-z", "t-a", "t-ab"), ordered)
+  }
+
   test("scheduler runs init task immediately (task_init_test.go:190-231)") {
     val sched = new TaskScheduler(spark)
     try {
