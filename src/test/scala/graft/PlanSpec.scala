@@ -126,6 +126,21 @@ class PlanSpec extends AnyFunSuite {
     assert(s01.contains("WindowGroupLimit"))
   }
 
+  test("d10 winnowing dedup: self-join reuses one fingerprint exchange, no cartesian") {
+    // the fingerprint lineage (position explode + two windows) is the
+    // expensive subtree; both self-join sides must share ONE exchange
+    // (measured 22 s -> 4.5 s at sf0.1 when the df-cap moved onto the
+    // join's own fp-partitioned shuffle)
+    val df = graft.queries.PipelineOps.defs("d10_winnowing_dedup")(spark, dir)
+    assert(!planOf(df).contains("CartesianProduct"),
+      "fingerprint self-join degenerated to a cartesian")
+    df.collect() // AQE only materializes ReusedExchange in the FINAL plan
+                 // (and only for THIS QueryExecution — count() would spawn its own)
+    val finalPlan = planOf(df)
+    assert(finalPlan.contains("ReusedExchange"),
+      "self-join sides recompute the fingerprint lineage instead of reusing the exchange")
+  }
+
   test("q71 band join: tiny band side broadcast, fact side never shuffles") {
     val plan = planOf(graft.queries.CoreSql.defs("q71_band_join")(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin"))
