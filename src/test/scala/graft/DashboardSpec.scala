@@ -20,6 +20,34 @@ class DashboardSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("the reference README's front-page dashboard runs verbatim (README.md:11-18)") {
+    // LABEL + date_trunc XAXIS + CATEGORY + zero-arg count() +
+    // BARCHART_STACKED + trailing comma + GROUP/ORDER BY ALL — the
+    // public showcase query, unmodified except the dataset view name
+    val content =
+      """SELECT 'Sessions per Week'::LABEL;
+        |SELECT
+        |  date_trunc('week', created_at)::XAXIS,
+        |  category::CATEGORY,
+        |  count()::BARCHART_STACKED,
+        |FROM dataset
+        |GROUP BY ALL ORDER BY ALL;""".stripMargin
+    val r = graft.interp.Dashboard.run(spark, content, RunConfig(prepare = ss => {
+      Tables.registerAll(ss, "/root/testdata/sf0.001")
+      ss.sql("""CREATE OR REPLACE TEMP VIEW dataset AS
+        SELECT ts AS created_at, event_type AS category FROM events""")
+    }))
+    val qs = r.sections.flatMap(_.queries)
+    val chart = qs.find(_.render.renderType == "barchartHorizontalStacked")
+      .getOrElse(fail(s"no stacked barchart rendered: ${qs.map(_.render.renderType)}"))
+    assert(chart.render.label.contains("Sessions per Week"))
+    assert(chart.columns.map(_.tag) == Seq("index", "category", "value"), chart.columns)
+    assert(chart.rows.nonEmpty)
+    // week buckets serialize as epoch-ms index values, ascending
+    val idx = chart.rows.map(_.head.asInstanceOf[Long])
+    assert(idx == idx.sorted)
+  }
+
   test("the reference's starter template renders verbatim (ui/src/routes/new.tsx:48-61)") {
     // DuckDB-isms in one statement: trailing comma in the SELECT list,
     // trailing comma in VALUES, bare VALUES subquery with col0/col1 names
