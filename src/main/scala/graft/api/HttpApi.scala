@@ -493,7 +493,7 @@ final class HttpApi(
             queryParams = queryParams(ex),
             variables = claims.variables,
             prepare = prepare))
-          serve(result.copy(name = meta.name))
+          serve(result.copy(name = meta.name, visibility = meta.visibility))
       }
     }
   }
@@ -667,9 +667,28 @@ final class HttpApi(
       case ("GET", Array(id)) =>
         store.tasks.get(id) match {
           case None => respond(ex, 404, jsonError("task not found"))
-          case Some(t) => respond(ex, 200,
-            s"""{"id":${Model.jsonValue(t.id)},"name":${Model.jsonValue(t.name)},""" +
-              s""""content":${Model.jsonValue(t.content)}}""")
+          case Some(t) =>
+            // full reference Task shape (core/task.go:16-31): path +
+            // timestamps + last/next run info when a TaskRunLog is wired
+            val sb = new StringBuilder("{")
+            sb ++= "\"id\":" + Model.jsonValue(t.id)
+            t.folderId.foreach(f => sb ++= ",\"folderId\":" + Model.jsonValue(f))
+            sb ++= ",\"path\":" + Model.jsonValue(folderPath(t.folderId))
+            sb ++= ",\"name\":" + Model.jsonValue(t.name)
+            sb ++= ",\"content\":" + Model.jsonValue(t.content)
+            sb ++= ",\"createdAt\":" + Model.jsonValue(isoTime(t.createdAtMillis))
+            sb ++= ",\"updatedAt\":" + Model.jsonValue(isoTime(t.updatedAt))
+            if (t.createdBy.nonEmpty)
+              sb ++= ",\"createdBy\":" + Model.jsonValue(t.createdBy)
+            Option(taskRuns).flatMap(tr => tr.synchronized(tr.runs.get(t.id))).foreach { r =>
+              r.nextRunAtMillis.foreach(n => sb ++= ",\"nextRunAt\":" + Model.jsonValue(isoTime(n)))
+              if (r.nextRunType.nonEmpty)
+                sb ++= ",\"nextRunType\":" + Model.jsonValue(r.nextRunType)
+              sb ++= ",\"lastRunAt\":" + Model.jsonValue(isoTime(r.startedAtMillis))
+              sb ++= ",\"lastRunSuccess\":" + r.success
+              sb ++= ",\"lastRunDuration\":" + r.totalDurationMs
+            }
+            respond(ex, 200, sb.append("}").result())
         }
       case ("DELETE", Array(id)) =>
         submitFn("delete_task", s"""{"id":${Model.jsonValue(id)}}"""); ok(ex)

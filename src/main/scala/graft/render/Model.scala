@@ -35,7 +35,10 @@ object Model {
       reloadAt: Long,
       headerImage: Option[String],
       footerLink: Option[String],
-      unsetVariables: Seq[String])
+      unsetVariables: Seq[String],
+      /** Set by the serving layer from dashboard metadata
+        * (ref: GetResult.Visibility, core/dashboard.go:27-37). */
+      visibility: Option[String] = None)
 
   // ---- JSON ----------------------------------------------------------
 
@@ -75,6 +78,7 @@ object Model {
   def toJson(r: GetResult): String = {
     val sb = new StringBuilder("{")
     sb.append("\"name\":").append(esc(r.name))
+    r.visibility.foreach(v => sb.append(",\"visibility\":").append(esc(v)))
     sb.append(",\"sections\":[")
     sb.append(r.sections.map { s =>
       val q = s.queries.map { qo =>

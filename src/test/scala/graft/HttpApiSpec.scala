@@ -597,7 +597,20 @@ class HttpApiSpec extends AnyFunSuite {
       "pubst", "P", "SELECT 1;", None, Some("public"), 0L, "t")
     val st = get("/api/public/pubst/status")
     assert(st.statusCode() == 200 && st.body().contains("\"visibility\":\"public\""))
+    // the render JSON carries visibility from metadata (GetResult shape,
+    // core/dashboard.go:27-37); a private dashboard omits the field
+    val rendered = get("/api/dashboards/pubst", Some(jwt()))
+    assert(rendered.body().contains("\"visibility\":\"public\""), rendered.body())
+    assert(!get("/api/dashboards/demo", Some(jwt())).body().contains("\"visibility\""))
     store.dashboards.remove("pubst")
+    // full task shape on GET /api/tasks/:id (core/task.go:16-31)
+    assert(post("/api/tasks", """{"name": "TS", "content": "SELECT 5;"}""",
+      Some(session)).statusCode() == 200)
+    val tid2 = store.tasks.values.find(_.name == "TS").get.id
+    val taskJson = get(s"/api/tasks/$tid2", Some(session)).body()
+    assert(taskJson.contains("\"path\":\"/\"") && taskJson.contains("\"createdAt\":") &&
+      taskJson.contains("\"updatedAt\":"), taskJson)
+    store.tasks.remove(tid2)
   }
 
   test("dashboard download intent: mint URL, redeem csv/xlsx/png, expiry semantics (dashboard.go:390-590)") {
