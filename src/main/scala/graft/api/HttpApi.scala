@@ -587,7 +587,8 @@ final class HttpApi(
       .map(f => s""","folderId":${Model.jsonValue(f)}""").getOrElse("")
     val ok = submitFn("create_dashboard",
       s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(name)},""" +
-        s""""content":${Model.jsonValue(jStr(o, "content"))}$folder}""")
+        s""""content":${Model.jsonValue(jStr(o, "content"))}$folder,""" +
+        s""""timestamp":${System.currentTimeMillis()}}""")
     if (ok) respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
     else respond(ex, 400, jsonError("create rejected"))
   }
@@ -655,7 +656,8 @@ final class HttpApi(
     val id = store.tokens.newId()
     if (submitFn("create_task",
         s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))},""" +
-          s""""content":${Model.jsonValue(jStr(o, "content"))}}"""))
+          s""""content":${Model.jsonValue(jStr(o, "content"))},""" +
+          s""""timestamp":${System.currentTimeMillis()}}"""))
       respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
     else respond(ex, 400, jsonError("create rejected"))
   }
@@ -665,7 +667,7 @@ final class HttpApi(
     if (!requireUserAuth(ex)) return
     (ex.getRequestMethod, pathParts(ex, "/api/tasks/")) match {
       case ("GET", Array(id)) =>
-        store.tasks.get(id) match {
+        store.getTask(id) match {
           case None => respond(ex, 404, jsonError("task not found"))
           case Some(t) =>
             // full reference Task shape (core/task.go:16-31): path +
@@ -680,14 +682,8 @@ final class HttpApi(
             sb ++= ",\"updatedAt\":" + Model.jsonValue(isoTime(t.updatedAt))
             if (t.createdBy.nonEmpty)
               sb ++= ",\"createdBy\":" + Model.jsonValue(t.createdBy)
-            Option(taskRuns).flatMap(tr => tr.synchronized(tr.runs.get(t.id))).foreach { r =>
-              r.nextRunAtMillis.foreach(n => sb ++= ",\"nextRunAt\":" + Model.jsonValue(isoTime(n)))
-              if (r.nextRunType.nonEmpty)
-                sb ++= ",\"nextRunType\":" + Model.jsonValue(r.nextRunType)
-              sb ++= ",\"lastRunAt\":" + Model.jsonValue(isoTime(r.startedAtMillis))
-              sb ++= ",\"lastRunSuccess\":" + r.success
-              sb ++= ",\"lastRunDuration\":" + r.totalDurationMs
-            }
+            lastTaskRun(t.id).foreach(r =>
+              taskRunFields(r).foreach(f => sb ++= "," + f))
             respond(ex, 200, sb.append("}").result())
         }
       case ("DELETE", Array(id)) =>
@@ -988,22 +984,29 @@ final class HttpApi(
     java.time.Instant.ofEpochMilli(millis).toString
 
   /** Resolve a folder id to the reference's `/name1/name2/` path form
-    * (list_apps.go:104-121 recursive CTE; root = "/"). Cycle-guarded —
-    * a corrupt parent chain resolves to root rather than spinning. */
-  private def folderPath(folderId: Option[String]): String = {
-    val names = List.newBuilder[String]
-    var cur = folderId
-    var hops = 0
-    while (cur.isDefined && hops < 64) {
-      store.folders.get(cur.get) match {
-        case Some(f) => names += f.name; cur = f.parentId
-        case None => cur = None
-      }
-      hops += 1
+    * (list_apps.go:104-121 recursive CTE; root = "/"). */
+  private def folderPath(folderId: Option[String]): String =
+    store.folderSegments(folderId) match {
+      case Nil => "/"
+      case segs => segs.mkString("/", "/", "/")
     }
-    val segs = names.result().reverse
-    if (hops >= 64 || segs.isEmpty) "/" else segs.mkString("/", "/", "/")
+
+  /** The five task-run fields shared by the apps listing's `taskInfo`
+    * and the task GET (api/types.go:28-34 / core/task.go:26-30) —
+    * one serializer so a new field can't drift between the two. */
+  private def taskRunFields(r: StateJournal.TaskRunMeta): Seq[String] = {
+    val fields = Seq.newBuilder[String]
+    fields += "\"lastRunAt\":" + Model.jsonValue(isoTime(r.startedAtMillis))
+    fields += "\"lastRunSuccess\":" + r.success
+    fields += "\"lastRunDuration\":" + r.totalDurationMs
+    r.nextRunAtMillis.foreach(n => fields += "\"nextRunAt\":" + Model.jsonValue(isoTime(n)))
+    if (r.nextRunType.nonEmpty)
+      fields += "\"nextRunType\":" + Model.jsonValue(r.nextRunType)
+    fields.result()
   }
+
+  private def lastTaskRun(taskId: String): Option[StateJournal.TaskRunMeta] =
+    Option(taskRuns).flatMap(_.lastRun(taskId))
 
   /** One `api.App` JSON object (reference shape: api/types.go:37-50).
     * `updatedAt` is the journaled edit time (creation time until the
@@ -1024,15 +1027,8 @@ final class HttpApi(
     sb ++= ",\"updatedAt\":" + Model.jsonValue(isoTime(updatedMillis))
     createdBy.foreach(c => sb ++= ",\"createdBy\":" + Model.jsonValue(c))
     visibility.foreach(v => sb ++= ",\"visibility\":" + Model.jsonValue(v))
-    taskInfo.foreach { r =>
-      sb ++= ",\"taskInfo\":{\"lastRunAt\":" + Model.jsonValue(isoTime(r.startedAtMillis))
-      sb ++= ",\"lastRunSuccess\":" + r.success
-      sb ++= ",\"lastRunDuration\":" + r.totalDurationMs
-      r.nextRunAtMillis.foreach(n => sb ++= ",\"nextRunAt\":" + Model.jsonValue(isoTime(n)))
-      if (r.nextRunType.nonEmpty)
-        sb ++= ",\"nextRunType\":" + Model.jsonValue(r.nextRunType)
-      sb ++= "}"
-    }
+    taskInfo.foreach(r =>
+      sb ++= ",\"taskInfo\":" + taskRunFields(r).mkString("{", ",", "}"))
     sb ++= ",\"type\":" + Model.jsonValue(tpe)
     sb.append("}").result()
   }
@@ -1155,13 +1151,13 @@ final class HttpApi(
         if (!config.tasksEnabled) Nil
         else store.tasks.values.flatMap { t =>
           val ip = folderPath(t.folderId)
-          val runInfo = Option(taskRuns)
-            .flatMap(tr => tr.synchronized(tr.runs.get(t.id)))
+          // run-info lookup lives in the thunk: filtered-out and
+          // unpaged items must not pay the TaskRunLog monitor
           if (keep(ip, t.name)) Some(Item(t.name, t.createdAtMillis, t.updatedAt, () =>
             appJson(t.id, ip, t.folderId, t.name,
               Some(t.content).filter(_ => includeContent), t.createdAtMillis,
               t.updatedAt, Some(t.createdBy).filter(_.nonEmpty), None, "task",
-              taskInfo = runInfo)))
+              taskInfo = lastTaskRun(t.id))))
           else None
         }
       (dashboards ++ tasks).toVector
@@ -1324,7 +1320,8 @@ final class HttpApi(
         val fj = folderId.map(f => s""","folderId":${Model.jsonValue(f)}""").getOrElse("")
         if (!submitFn(s"create_$tpe",
             s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(name)},""" +
-              s""""content":${Model.jsonValue(content)}$fj}"""))
+              s""""content":${Model.jsonValue(content)}$fj,""" +
+              s""""timestamp":${System.currentTimeMillis()}}"""))
           Left(s"apps[$idx]: create rejected")
         else Right(result("created", id))
       case "update" =>
@@ -1411,9 +1408,9 @@ final class HttpApi(
               // cross-dashboard pdf: allowed only when the SOURCE
               // dashboard renders a pdf button targeting this id
               // (dashboard.go:444-466 over ValidateDashboardDownload)
-              val ok = store.dashboards.get(sourceId).exists(src =>
+              val ok = store.getDashboard(sourceId).exists(src =>
                 graft.interp.DownloadAuth.validateDashboardDownload(
-                  spark, src.content, sourceId, id,
+                  spark, src.content, sourceId, id, filename,
                   queryParams = queryParams(ex), variables = claims.variables,
                   prepare = prepare))
               if (!ok) return respond(ex, 401, jsonError("Unauthorized"))

@@ -120,21 +120,27 @@ object DownloadAuth {
     * indirection are all already applied by the time the button row
     * carries its synthesized `api/dashboards/<id>/download/…pdf` URL. */
   def validateDashboardDownload(spark: SparkSession, sourceContent: String,
-      sourceId: String, targetId: String,
+      sourceId: String, targetId: String, filename: String,
       queryParams: Map[String, Seq[String]] = Map.empty,
       variables: Map[String, Any] = Map.empty,
       prepare: SparkSession => Unit = _ => ()): Boolean = {
+    if (!filename.toLowerCase.endsWith(".pdf")) return false
     val r = Dashboard.run(spark, sourceContent, Dashboard.RunConfig(
       dashboardId = sourceId, queryParams = queryParams,
       variables = variables, prepare = prepare))
-    val prefix = s"api/dashboards/$targetId/download/"
+    // only the exact download the source renders is authorized — the
+    // interpreter builds button URLs as
+    // api/dashboards/<id>/download/<urlencoded base>.pdf, so pin the
+    // whole path, not just the prefix
+    val expected = s"api/dashboards/$targetId/download/" +
+      java.net.URLEncoder.encode(filename.dropRight(".pdf".length),
+        java.nio.charset.StandardCharsets.UTF_8) + ".pdf"
     r.sections.exists(_.queries.exists { q =>
       q.render.renderType == "button" &&
         q.columns.zipWithIndex.exists { case (c, i) =>
           c.tag == "download" && q.rows.headOption.exists { row =>
             row.lift(i).collect { case s: String => s }
-              .exists(u => u.startsWith(prefix) &&
-                u.takeWhile(_ != '?').endsWith(".pdf"))
+              .exists(_.takeWhile(_ != '?') == expected)
           }
         }
     })

@@ -93,6 +93,30 @@ object StateJournal {
       * not thread-safe — readers take the same monitor. */
     def apply(event: String, payload: JObject): Boolean = this.synchronized { applyLocked(event, payload) }
 
+    /** Monitor-taking point reads for callers outside this class — the
+      * backing LinkedHashMaps are not safe against a concurrent
+      * apply(). */
+    def getDashboard(id: String): Option[DashboardMeta] = this.synchronized(dashboards.get(id))
+    def getTask(id: String): Option[TaskMeta] = this.synchronized(tasks.get(id))
+
+    /** Folder chain as path segments, root-first (cycle-guarded: a
+      * corrupt parent chain resolves to root rather than spinning).
+      * The single shared walk behind the HTTP layer's `/a/b/` paths and
+      * the init-task depth ordering. */
+    def folderSegments(folderId: Option[String]): List[String] = this.synchronized {
+      val names = List.newBuilder[String]
+      var cur = folderId
+      var hops = 0
+      while (cur.isDefined && hops < 64) {
+        folders.get(cur.get) match {
+          case Some(f) => names += f.name; cur = f.parentId
+          case None => cur = None
+        }
+        hops += 1
+      }
+      if (hops >= 64) Nil else names.result().reverse
+    }
+
     private def applyLocked(event: String, payload: JObject): Boolean = event match {
       case "create_dashboard" =>
         val id = str(payload, "id")

@@ -100,29 +100,19 @@ object Tasks {
     * their subfolders' on every restart. */
   def initTasks(store: graft.state.StateJournal.MetaStore,
       runs: graft.state.StateJournal.TaskRunLog): Seq[graft.state.StateJournal.TaskMeta] = {
-    def depthAndPath(folderId: Option[String]): (Int, String) = {
-      val names = List.newBuilder[String]
-      var cur = folderId
-      var hops = 0
-      while (cur.isDefined && hops < 64) {
-        store.folders.get(cur.get) match {
-          case Some(f) => names += f.name; cur = f.parentId
-          case None => cur = None
-        }
-        hops += 1
-      }
-      val segs = names.result().reverse
-      (segs.length, segs.mkString("/"))
-    }
     val initIds = runs.synchronized {
       runs.runs.values.filter(_.nextRunType == "init").map(_.taskId).toSet
     }
-    store.synchronized {
+    val candidates = store.synchronized {
       store.tasks.values.toSeq.filter(t => initIds.contains(t.id))
-        .map(t => (depthAndPath(t.folderId), t))
-        .sortBy { case ((depth, path), t) => (depth, path, t.name) }
-        .map(_._2)
     }
+    candidates
+      .map { t =>
+        val segs = store.folderSegments(t.folderId)
+        ((segs.length, segs.mkString("/")), t)
+      }
+      .sortBy { case ((depth, path), t) => (depth, path, t.name) }
+      .map(_._2)
   }
 
   /** Execute a task: split → gate → per-statement run, result capture,

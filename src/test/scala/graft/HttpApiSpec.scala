@@ -662,6 +662,9 @@ class HttpApiSpec extends AnyFunSuite {
       None, None, 0L, "t")
     assert(get("/api/dashboards/demo/download/report.pdf",
       Some(jwt(Some("linker")))).statusCode() == 200)
+    // only the EXACT filename the source renders is authorized
+    assert(get("/api/dashboards/demo/download/other.pdf",
+      Some(jwt(Some("linker")))).statusCode() == 401)
     // ...but not a csv, and not a target the source never links
     assert(get("/api/dashboards/demo/download/report.csv",
       Some(jwt(Some("linker")))).statusCode() == 401)
