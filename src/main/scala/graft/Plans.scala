@@ -16,8 +16,9 @@ object Plans {
       else Seq("q01_pricing_summary", "q10_join_star", "q15_local_supplier",
         "q70_asof_join", "q71_band_join", "d04_dedup_minhash",
         "d06_dedup_embedding", "d09_prefix_filter_jaccard",
-        "p01_pipeline_e2e", "s01_cosine_topk", "s03_ann_lsh",
-        "t03_token_stats", "mm03_image_features")
+        "d10_winnowing_dedup", "p01_pipeline_e2e", "s01_cosine_topk",
+        "s03_ann_lsh", "s04_kmeans_cluster", "t03_token_stats",
+        "t07_bpe_token_count", "mm03_image_features")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
