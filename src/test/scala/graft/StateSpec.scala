@@ -1,5 +1,6 @@
 package graft
 
+import graft.ingest.SchemaInfer
 import graft.state.StateJournal
 import graft.state.StateJournal.{MetaStore, StateApp}
 import org.scalatest.funsuite.AnyFunSuite
@@ -228,6 +229,52 @@ class StateSpec extends AnyFunSuite {
     log2.journal.checkpoint(StateJournal.TaskResultsConsumerName, 0)
     assert(log2.boot() == 1)
     assert(log2.lastRun("t1").exists(m => m.success && m.nextRunType == "single"))
+  }
+
+  test("MetaStore survives concurrent writers and full-scan readers") {
+    // regression guard for the round-4 synchronization: apply() and the
+    // listing-style scans (folderSegments + values walks) take the same
+    // monitor, so hammering both concurrently must neither throw
+    // (ConcurrentModificationException) nor corrupt the maps
+    val store = new StateJournal.MetaStore()
+    val m = graft.render.Model
+    val errors = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def run(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errors.compareAndSet(null, e); () })
+      t.start(); t
+    }
+    val writers = (0 until 4).map { w =>
+      run {
+        (0 until 300).foreach { i =>
+          val id = s"cc-$w-$i"
+          store.apply("create_dashboard", SchemaInfer.parseOrdered(
+            s"""{"id":${m.jsonValue(id)},"name":"N","content":"","timestamp":${1000 + i}}"""))
+          store.apply("create_folder", SchemaInfer.parseOrdered(
+            s"""{"id":${m.jsonValue("f" + id)},"name":${m.jsonValue("f" + i)}}"""))
+          if (i % 3 == 0)
+            store.apply("delete_dashboard",
+              SchemaInfer.parseOrdered(s"""{"id":${m.jsonValue(id)}}"""))
+        }
+      }
+    }
+    val readers = (0 until 4).map { _ =>
+      run {
+        (0 until 300).foreach { _ =>
+          val snapshot = store.synchronized {
+            store.dashboards.values.map(d =>
+              (d.id, store.folderSegments(d.folderId))).toVector
+          }
+          assert(snapshot.forall(_._1.nonEmpty))
+          store.folderSegments(Some("missing")) // point walk off-monitor
+        }
+      }
+    }
+    (writers ++ readers).foreach(_.join(30000))
+    assert(errors.get() == null, s"concurrent access failed: ${errors.get()}")
+    // 4 writers x 300 creates, every 3rd deleted
+    assert(store.dashboards.size == 4 * 200, store.dashboards.size)
+    assert(store.folders.size == 4 * 300)
   }
 
   test("unknown event is not acked (state.go:37-40)") {
