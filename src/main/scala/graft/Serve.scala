@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.HttpApi
+import graft.state.StateJournal
+import graft.tasks.{TaskScheduler, Tasks}
+
+/** The `shaper serve` equivalent — one runnable that boots the whole
+  * engine (ref: main.go + server wiring):
+  *
+  *   1. SparkSession (local[N] here; under spark-submit the cluster
+  *      session config wins),
+  *   2. journal replay into the MetaStore (StateApp.boot — restore
+  *      from any partial state on shared storage) plus the task-runs
+  *      consumer,
+  *   3. init tasks re-run shallow-folder-first (GetInitTasks order),
+  *      then every stored task (re)scheduled from its SCHEDULE rows,
+  *   4. optional daily parquet snapshots (GRAFT_SNAPSHOT_TIME=HH:mm),
+  *   5. the full HTTP router on GRAFT_PORT (reference default 5454);
+  *      first boot is claimed through `POST /api/auth/setup`.
+  *
+  * Environment: GRAFT_STATE_DIR (journal; default under the Spark
+  * warehouse so every node of a shared-storage deployment replays the
+  * same state), GRAFT_PORT, GRAFT_JWT_SECRET, GRAFT_SNAPSHOT_TIME,
+  * SPARK_GRAFT_CPUS.
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stateDir = sys.env.getOrElse("GRAFT_STATE_DIR",
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "_graft_state").getPath)
+    val app = new StateJournal.StateApp(stateDir)
+    val replayed = app.boot()
+    val taskRuns = new StateJournal.TaskRunLog(stateDir)
+    val runsReplayed = taskRuns.boot()
+    println(s"[serve] state replayed: $replayed events, $runsReplayed task runs from $stateDir")
+
+    // init tasks first (parents before subfolders), then everything on
+    // its own SCHEDULE; results feed the task-runs journal so the next
+    // boot re-derives the same picture
+    val scheduler = new TaskScheduler(spark, runLog = Some(taskRuns))
+    val initial = Tasks.initTasks(app.store, taskRuns)
+    initial.foreach(t => scheduler.schedule(t.id, t.content))
+    val initIds = initial.map(_.id).toSet
+    app.store.synchronized { app.store.tasks.values.toVector }
+      .filterNot(t => initIds.contains(t.id))
+      .foreach(t => scheduler.schedule(t.id, t.content))
+    println(s"[serve] scheduled ${initial.size} init + " +
+      s"${app.store.tasks.size - initial.size} stored tasks")
+
+    val snapshots = sys.env.get("GRAFT_SNAPSHOT_TIME").map { hhmm =>
+      val svc = new graft.snapshots.SnapshotService(spark,
+        new java.io.File(stateDir, "snapshots").getPath, hhmm)
+      svc.start()
+      println(s"[serve] daily snapshots at $hhmm UTC")
+      svc
+    }
+
+    val secret = sys.env.getOrElse("GRAFT_JWT_SECRET",
+      app.store.tokens.generateRandomString(64))
+    val api = new HttpApi(spark, app.store, secret,
+      submit = app.submit, taskRuns = taskRuns)
+    val port = api.start(sys.env.get("GRAFT_PORT").flatMap(_.toIntOption).getOrElse(5454))
+    println(s"[serve] listening on http://0.0.0.0:$port " +
+      s"(setup ${if (app.store.tokens.listUsers.isEmpty) "OPEN — POST /api/auth/setup" else "complete"})")
+
+    sys.addShutdownHook {
+      api.stop()
+      scheduler.close()
+      snapshots.foreach(_.close())
+    }
+    // serve until killed
+    Thread.currentThread().join()
+  }
+}

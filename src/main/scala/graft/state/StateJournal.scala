@@ -461,10 +461,12 @@ object StateJournal {
       true
     }
 
+    /** Full-journal replay, like [[StateApp.boot]]: the runs map is
+      * in-memory, so a fresh process must not resume from the cursor.
+      * Upserts are last-write-per-task — replay converges. */
     def boot(): Int = synchronized {
-      val from = journal.consumerSeq(TaskResultsConsumerName)
       var applied = 0
-      journal.read(from).foreach { e =>
+      journal.read(0L).foreach { e =>
         if (e.event == "task_run_result" && applyEvent(e.payload)) {
           journal.checkpoint(TaskResultsConsumerName, e.seq)
           applied += 1
@@ -500,10 +502,16 @@ object StateJournal {
       val store: MetaStore = new MetaStore()) {
     val journal = new Journal(dir)
 
-    /** Replay unapplied tail on boot (restore-from-partial-state). */
+    /** Rebuild the in-memory store by replaying the FULL journal. The
+      * reference resumes from its consumer cursor because the
+      * materialized view lives in SQLite; here the view is in-memory
+      * and a fresh process starts empty, so resuming from the cursor
+      * would silently drop all pre-restart state. Handlers are
+      * idempotent (INSERT OR IGNORE creates, last-write updates), so a
+      * replay over an already-warm store converges; the checkpoint is
+      * still advanced as the applied-watermark diagnostic. */
     def boot(): Int = {
-      val from = journal.consumerSeq(ConsumerName)
-      val events = journal.read(from)
+      val events = journal.read(0L)
       var applied = 0
       events.foreach { e =>
         if (store.apply(e.event, e.payload)) {

@@ -216,7 +216,11 @@ object Tasks {
                   success = false
                 } else {
                   val t = Render.getScheduleTime(rows, nowMillis)
-                  scheduleType = if (t == -1) "all" else st
+                  // 'init' is recorded as its own next_run_type so the
+                  // next boot's GetInitTasks selection re-runs it
+                  // (schedule_task.go:37-63); execution-wise it behaves
+                  // like 'all' (every node, TaskNode.fire)
+                  scheduleType = if (t == -1) "init" else st
                   nextRunAt = t
                   totalQueries = sqls.length - 1 // SCHEDULE row excluded
                 }
@@ -246,7 +250,11 @@ object Tasks {
   * one driver owning the timers).
   */
 final class TaskScheduler(spark: SparkSession,
-    prepare: SparkSession => Unit = _ => ()) extends AutoCloseable {
+    prepare: SparkSession => Unit = _ => (),
+    /** When wired, every run publishes to the task-runs journal — the
+      * apps listing's taskInfo and the next boot's init ordering both
+      * read from it (publishTaskRunResult, schedule_task.go:176-295). */
+    runLog: Option[graft.state.StateJournal.TaskRunLog] = None) extends AutoCloseable {
   private val exec: ScheduledExecutorService = Executors.newScheduledThreadPool(1)
   private val handles = mutable.Map.empty[String, ScheduledFuture[_]]
   private val results = mutable.Map.empty[String, Tasks.TaskResult]
@@ -273,6 +281,9 @@ final class TaskScheduler(spark: SparkSession,
   private def runAndReschedule(taskId: String, content: String): Unit = {
     val result = Tasks.executeTask(spark, content, prepare = prepare)
     results.synchronized { results(taskId) = result }
+    runLog.foreach(_.publish(taskId, result.startedAt, result.success,
+      System.currentTimeMillis() - result.startedAt,
+      Some(result.nextRunAt).filter(_ > 0), result.scheduleType))
     if (result.success && result.nextRunAt > 0) {
       val delay = math.max(0L, result.nextRunAt - System.currentTimeMillis())
       val h = exec.schedule(new Runnable {

@@ -25,7 +25,7 @@ class StateSpec extends AnyFunSuite {
     assert(app.store.dashboards.size == 1)
   }
 
-  test("boot replays the journal into a fresh store (restore from partial state)") {
+  test("boot rebuilds a fresh store by replaying the FULL journal (restart)") {
     val dir = freshDir()
     val a = new StateApp(dir)
     a.submit("create_dashboard", """{"id": "d1", "name": "A", "content": "SELECT 1;"}""")
@@ -33,28 +33,25 @@ class StateSpec extends AnyFunSuite {
     a.submit("update_dashboard_name", """{"id": "d1", "name": "B"}""")
     a.submit("delete_task", """{"id": "t1"}""")
 
-    // restart: fresh store, same journal
+    // restart: fresh in-memory store, same journal — the advanced
+    // checkpoint must NOT suppress the replay (the state the cursor
+    // refers to died with the old process)
     val b = new StateApp(dir)
-    assert(b.boot() == 0) // checkpoint says everything is applied…
-    assert(b.store.dashboards.isEmpty) // …but this store is empty: partial-state restore
-    // so a cold store replays from scratch
-    val c = new StateApp(dir)
-    c.journal.checkpoint(StateJournal.ConsumerName, 0)
-    assert(c.boot() == 4)
-    assert(c.store.dashboards("d1").name == "B")
-    assert(c.store.tasks.isEmpty)
+    assert(b.boot() == 4)
+    assert(b.store.dashboards("d1").name == "B")
+    assert(b.store.tasks.isEmpty)
   }
 
-  test("checkpoint resumes mid-journal, not from zero") {
+  test("boot replay is idempotent over an already-warm store") {
     val dir = freshDir()
     val a = new StateApp(dir)
     a.submit("create_folder", """{"id": "f1", "name": "Ops"}""")
     a.submit("create_dashboard", """{"id": "d1", "name": "A", "content": "x"}""")
-    val resumed = new StateApp(dir)
-    resumed.journal.checkpoint(StateJournal.ConsumerName, 1) // folder applied, dashboard not
-    assert(resumed.boot() == 1)
-    assert(resumed.store.folders.isEmpty) // seq 1 skipped per checkpoint
-    assert(resumed.store.dashboards.contains("d1"))
+    // booting the SAME app again re-applies everything onto the warm
+    // store; INSERT OR IGNORE / last-write handlers converge
+    assert(a.boot() == 2)
+    assert(a.store.folders.size == 1 && a.store.dashboards.size == 1)
+    assert(a.store.dashboards("d1").name == "A")
   }
 
   test("move_items re-parents apps and folders (folder.go:397-404)") {
@@ -223,10 +220,10 @@ class StateSpec extends AnyFunSuite {
     // a losing node publishes nothing
     val node2 = new graft.tasks.TaskNode("n2", spark, queue, runLog = Some(log))
     assert(node2.fire("t1", "SELECT 1 AS x;", 1000L, "single").isEmpty)
-    // restart: fresh log over the same journal replays the history
+    // restart: a fresh log over the same journal replays the FULL
+    // history — the runs map is in-memory, so resuming from the old
+    // cursor would silently start empty
     val log2 = new StateJournal.TaskRunLog(dir)
-    assert(log2.boot() == 0) // checkpoint already advanced by the writer
-    log2.journal.checkpoint(StateJournal.TaskResultsConsumerName, 0)
     assert(log2.boot() == 1)
     assert(log2.lastRun("t1").exists(m => m.success && m.nextRunType == "single"))
   }
