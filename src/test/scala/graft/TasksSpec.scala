@@ -236,4 +236,25 @@ class TasksSpec extends AnyFunSuite {
       assert(spark.table(s"task_${runId}_init_out").collect().head.getInt(0) == 7)
     } finally sched.close()
   }
+
+  test("scheduler publishes runs to the journal with next_run_type=init for boot rerun") {
+    import graft.state.StateJournal
+    val runsDir = java.nio.file.Files.createTempDirectory("graft-sched-runs").toString
+    val runs = new StateJournal.TaskRunLog(runsDir)
+    val sched = new TaskScheduler(spark, runLog = Some(runs))
+    try {
+      sched.schedule("t-init-pub", "SELECT 'init'::SCHEDULE;\nSELECT 3 AS x;")
+      val run = runs.lastRun("t-init-pub")
+      assert(run.exists(r => r.success && r.nextRunType == "init"), run)
+      assert(run.exists(_.nextRunAtMillis.isEmpty))
+      // a fresh consumer over the same journal (a restarted node) sees
+      // the run, so Tasks.initTasks re-selects this task at boot
+      val store = new StateJournal.MetaStore()
+      store.tasks("t-init-pub") = StateJournal.TaskMeta(
+        "t-init-pub", "I", "SELECT 'init'::SCHEDULE;", None, 0L, "t")
+      val replayed = new StateJournal.TaskRunLog(runsDir)
+      replayed.boot()
+      assert(Tasks.initTasks(store, replayed).map(_.id) == Seq("t-init-pub"))
+    } finally sched.close()
+  }
 }
