@@ -37,9 +37,11 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Hadoop Path, not java.io.File: the warehouse may be s3a://…/hdfs://…
+    // and File.getPath folds the authority into the path
     val stateDir = sys.env.getOrElse("GRAFT_STATE_DIR",
-      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), "_graft_state").getPath)
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "_graft_state").toString)
     val app = new StateJournal.StateApp(stateDir)
     val replayed = app.boot()
     val taskRuns = new StateJournal.TaskRunLog(stateDir)
@@ -61,16 +63,20 @@ object Serve {
 
     val snapshots = sys.env.get("GRAFT_SNAPSHOT_TIME").map { hhmm =>
       val svc = new graft.snapshots.SnapshotService(spark,
-        new java.io.File(stateDir, "snapshots").getPath, hhmm)
+        new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm)
       svc.start()
       println(s"[serve] daily snapshots at $hhmm UTC")
       svc
     }
 
+    // static iff the operator pinned it — clients read this flag to
+    // decide whether JWTs survive restarts (system.go:12-24)
+    val secretStatic = sys.env.contains("GRAFT_JWT_SECRET")
     val secret = sys.env.getOrElse("GRAFT_JWT_SECRET",
       app.store.tokens.generateRandomString(64))
     val api = new HttpApi(spark, app.store, secret,
-      submit = app.submit, taskRuns = taskRuns)
+      submit = app.submit, taskRuns = taskRuns, scheduler = scheduler,
+      config = HttpApi.Config(jwtSecretStatic = secretStatic))
     val port = api.start(sys.env.get("GRAFT_PORT").flatMap(_.toIntOption).getOrElse(5454))
     println(s"[serve] listening on http://0.0.0.0:$port " +
       s"(setup ${if (app.store.tokens.listUsers.isEmpty) "OPEN — POST /api/auth/setup" else "complete"})")

@@ -89,7 +89,12 @@ final class HttpApi(
     /** Optional task-runs journal consumer: when wired, the apps
       * listing carries each task's last/next-run `taskInfo` like the
       * reference's task_runs join (list_apps.go:164-190). */
-    taskRuns: StateJournal.TaskRunLog = null) {
+    taskRuns: StateJournal.TaskRunLog = null,
+    /** Optional live scheduler: when wired (graft.Serve does), task
+      * create/content-update (re)schedules and delete cancels, so API
+      * writes take effect without a restart — the reference's handlers
+      * call ScheduleTask/UnscheduleTask the same way. */
+    scheduler: graft.tasks.TaskScheduler = null) {
 
   private val submitFn: (String, String) => Boolean =
     if (submit != null) submit
@@ -657,9 +662,10 @@ final class HttpApi(
     if (submitFn("create_task",
         s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))},""" +
           s""""content":${Model.jsonValue(jStr(o, "content"))},""" +
-          s""""timestamp":${System.currentTimeMillis()}}"""))
+          s""""timestamp":${System.currentTimeMillis()}}""")) {
+      Option(scheduler).foreach(_.schedule(id, jStr(o, "content")))
       respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
-    else respond(ex, 400, jsonError("create rejected"))
+    } else respond(ex, 400, jsonError("create rejected"))
   }
 
   /** GET/DELETE /api/tasks/:id, POST /api/tasks/:id/content|name. */
@@ -687,13 +693,17 @@ final class HttpApi(
             respond(ex, 200, sb.append("}").result())
         }
       case ("DELETE", Array(id)) =>
-        submitFn("delete_task", s"""{"id":${Model.jsonValue(id)}}"""); ok(ex)
+        submitFn("delete_task", s"""{"id":${Model.jsonValue(id)}}""")
+        Option(scheduler).foreach(_.cancel(id))
+        ok(ex)
       case ("POST", Array(id, field @ ("content" | "name"))) =>
         if (!store.tasks.contains(id)) return respond(ex, 404, jsonError("task not found"))
         val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
         submitFn(s"update_task_$field",
           s"""{"id":${Model.jsonValue(id)},"$field":${Model.jsonValue(jStr(o, field))},""" +
             s""""timestamp":${System.currentTimeMillis()}}""")
+        if (field == "content")
+          Option(scheduler).foreach(_.schedule(id, jStr(o, field)))
         ok(ex)
       case _ => respond(ex, 405, jsonError("method not allowed"))
     }
@@ -1323,7 +1333,10 @@ final class HttpApi(
               s""""content":${Model.jsonValue(content)}$fj,""" +
               s""""timestamp":${System.currentTimeMillis()}}"""))
           Left(s"apps[$idx]: create rejected")
-        else Right(result("created", id))
+        else {
+          if (tpe == "task") Option(scheduler).foreach(_.schedule(id, content))
+          Right(result("created", id))
+        }
       case "update" =>
         val id = field("id").map(_.trim).filter(_.nonEmpty)
           .getOrElse(return Left(s"apps[$idx]: id is required for update operations"))
@@ -1331,10 +1344,12 @@ final class HttpApi(
         // a journal-first submit can fail (write error) — reporting
         // "updated" over a dropped event would be silent data loss
         val ts = s""","timestamp":${System.currentTimeMillis()}"""
-        field("content").foreach(c =>
+        field("content").foreach { c =>
           if (!submitFn(s"update_${tpe}_content",
               s"""{"id":${Model.jsonValue(id)},"content":${Model.jsonValue(c)}$ts}"""))
-            return Left(s"apps[$idx]: content update rejected"))
+            return Left(s"apps[$idx]: content update rejected")
+          if (tpe == "task") Option(scheduler).foreach(_.schedule(id, c))
+        }
         field("name").map(_.trim).filter(_.nonEmpty).foreach(n =>
           if (!submitFn(s"update_${tpe}_name",
               s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(n)}$ts}"""))
@@ -1354,6 +1369,7 @@ final class HttpApi(
           .getOrElse(return Left(s"apps[$idx]: id is required for delete operations"))
         if (!exists(id)) return Left(s"apps[$idx]: $tpe not found")
         submitFn(s"delete_$tpe", s"""{"id":${Model.jsonValue(id)}}""")
+        if (tpe == "task") Option(scheduler).foreach(_.cancel(id))
         Right(result("deleted", id))
       case other => Left(s"apps[$idx]: unsupported operation \"$other\"")
     }

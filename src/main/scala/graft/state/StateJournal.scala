@@ -466,12 +466,14 @@ object StateJournal {
       * Upserts are last-write-per-task — replay converges. */
     def boot(): Int = synchronized {
       var applied = 0
+      var lastSeq = 0L
       journal.read(0L).foreach { e =>
         if (e.event == "task_run_result" && applyEvent(e.payload)) {
-          journal.checkpoint(TaskResultsConsumerName, e.seq)
+          lastSeq = e.seq
           applied += 1
         }
       }
+      if (applied > 0) journal.checkpoint(TaskResultsConsumerName, lastSeq)
       applied
     }
 
@@ -513,12 +515,16 @@ object StateJournal {
     def boot(): Int = {
       val events = journal.read(0L)
       var applied = 0
+      var lastSeq = 0L
       events.foreach { e =>
         if (store.apply(e.event, e.payload)) {
-          journal.checkpoint(ConsumerName, e.seq)
+          lastSeq = e.seq
           applied += 1
         }
       }
+      // once, after the loop: per-event checkpointing is ~5 FS metadata
+      // ops each — O(journal) rewrites of a purely diagnostic cursor
+      if (applied > 0) journal.checkpoint(ConsumerName, lastSeq)
       applied
     }
 

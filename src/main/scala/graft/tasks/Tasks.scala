@@ -263,8 +263,12 @@ final class TaskScheduler(spark: SparkSession,
     results.get(taskId)
   }
 
-  /** Schedule (or run-now for init) a task by content. */
+  /** Schedule (or run-now for init) a task by content. Re-scheduling an
+    * already-scheduled id replaces its pending timer — without the
+    * cancel, a content update would leave the OLD timer firing the old
+    * SQL alongside the new one. */
   def schedule(taskId: String, content: String): Unit = {
+    cancel(taskId)
     val (nextRunOpt, scheduleType) = Tasks.getNextTaskRun(spark, content, prepare = prepare)
     scheduleType match {
       case "init" => runAndReschedule(taskId, content)
@@ -281,9 +285,13 @@ final class TaskScheduler(spark: SparkSession,
   private def runAndReschedule(taskId: String, content: String): Unit = {
     val result = Tasks.executeTask(spark, content, prepare = prepare)
     results.synchronized { results(taskId) = result }
+    // "" (no SCHEDULE row reached, e.g. an early failure) normalizes to
+    // "single" exactly like TaskNode.fire — the two publishers must
+    // agree on the journal record shape for the same run
     runLog.foreach(_.publish(taskId, result.startedAt, result.success,
       System.currentTimeMillis() - result.startedAt,
-      Some(result.nextRunAt).filter(_ > 0), result.scheduleType))
+      Some(result.nextRunAt).filter(_ > 0),
+      Some(result.scheduleType).filter(_.nonEmpty).getOrElse("single")))
     if (result.success && result.nextRunAt > 0) {
       val delay = math.max(0L, result.nextRunAt - System.currentTimeMillis())
       val h = exec.schedule(new Runnable {

@@ -757,6 +757,36 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api5.stop()
   }
 
+  test("task API writes reach a wired live scheduler without a restart") {
+    val store6 = new StateJournal.MetaStore()
+    store6.tokens.putUser(Tokens.UserRecord("sc1", "sc@t.io", "Sc"))
+    val session = store6.tokens.createSessionForUser("sc1")
+    val sched = new graft.tasks.TaskScheduler(spark)
+    val api6 = new HttpApi(spark, store6, "sched-secret", scheduler = sched)
+    val port6 = api6.start()
+    try {
+      def req(method: String, path: String, payload: String) = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port6$path"))
+          .header("Authorization", s"Bearer $session")
+        val r = method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case _ => b.POST(HttpRequest.BodyPublishers.ofString(payload))
+        }
+        client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      // create with an init SCHEDULE: the wired scheduler runs it NOW
+      val created = req("POST", "/api/tasks",
+        """{"name": "Live", "content": "SELECT 'init'::SCHEDULE;\nSELECT 6 AS v;"}""")
+      assert(created.statusCode() == 200)
+      val id = created.body().split("\"id\":\"")(1).stripSuffix("\"}")
+      assert(sched.lastResult(id).exists(_.success),
+        "API-created task did not reach the live scheduler")
+      // delete cancels any pending timer (no throw = handle removed)
+      assert(req("DELETE", s"/api/tasks/$id", "").statusCode() == 200)
+    } finally { api6.stop(); sched.close() }
+  }
+
   test("GET /metrics serves Prometheus counters behind the metrics permission (routes.go:163)") {
     val store = fixtureStore
     val (_, metricsKey) = store.tokens.createApiKey("metrics-key",
