@@ -1383,7 +1383,11 @@ final class HttpApi(
 
   /** Intent KV — the reference's DownloadsKv NATS bucket with a 10 min
     * TTL (main.go:443). Expired entries are purged on every mint, so
-    * the map is bounded by the active-intent window. */
+    * the map is bounded by the active-intent window. DIVERGENCE,
+    * documented: the reference's bucket is cluster-shared; this map is
+    * per-process, so behind a multi-node load balancer the redeem must
+    * be routed to the minting node (session affinity) — or this map
+    * swapped for a small shared-store table via the same interface. */
   private val downloads =
     new java.util.concurrent.ConcurrentHashMap[String, DownloadIntent]
   private val DownloadTtlMillis = 10L * 60 * 1000
