@@ -669,6 +669,24 @@ object CoreSql {
         .orderBy("band")
     }),
 
+    "q76_lateral_join" -> ((s, d) => {
+      // correlated LATERAL subqueries — native in Spark 4 and DuckDB
+      // alike; Catalyst decorrelates to a plain aggregate + join, so
+      // the plan is a broadcast join, not a per-row re-execution
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT r.r_name,
+               t.n_nations,
+               cast(round(t2.max_bal, 2) as decimal(12,2)) AS max_bal
+        FROM region r,
+        LATERAL (SELECT count(*) AS n_nations
+                 FROM nation n WHERE n.n_regionkey = r.r_regionkey) t,
+        LATERAL (SELECT max(c_acctbal) AS max_bal
+                 FROM customer c JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                 WHERE n2.n_regionkey = r.r_regionkey) t2
+        ORDER BY r.r_name""")
+    }),
+
     "q75_window_extras" -> ((s, d) => {
       // remaining ranking-window surface: percent_rank / cume_dist /
       // nth_value, all native in both engines
@@ -1124,6 +1142,18 @@ object CoreSql {
            b(band, lo, hi)
         ON l_extendedprice >= lo AND l_extendedprice < hi
       GROUP BY band ORDER BY band""",
+
+    "q76_lateral_join" -> """
+      SELECT r.r_name,
+             t.n_nations,
+             CAST(round(t2.max_bal, 2) AS DECIMAL(12,2)) AS max_bal
+      FROM region r,
+      LATERAL (SELECT count(*) AS n_nations
+               FROM nation n WHERE n.n_regionkey = r.r_regionkey) t,
+      LATERAL (SELECT max(c_acctbal) AS max_bal
+               FROM customer c JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+               WHERE n2.n_regionkey = r.r_regionkey) t2
+      ORDER BY r.r_name""",
 
     "q75_window_extras" -> """
       SELECT c_nationkey, c_custkey,
