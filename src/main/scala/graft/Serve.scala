@@ -51,7 +51,12 @@ object Serve {
     // init tasks first (parents before subfolders), then everything on
     // its own SCHEDULE; results feed the task-runs journal so the next
     // boot re-derives the same picture
-    val scheduler = new TaskScheduler(spark, runLog = Some(taskRuns))
+    // GRAFT_CLAIM_DIR (a shared directory) turns on multi-node task
+    // dedup: every node runs the timers, `single` runs execute once
+    val queue = sys.env.get("GRAFT_CLAIM_DIR").map(dir =>
+      new graft.tasks.FsWorkQueue(dir, spark.sparkContext.hadoopConfiguration))
+    val scheduler = new TaskScheduler(spark, runLog = Some(taskRuns),
+      queue = queue)
     val initial = Tasks.initTasks(app.store, taskRuns)
     initial.foreach(t => scheduler.schedule(t.id, t.content))
     val initIds = initial.map(_.id).toSet

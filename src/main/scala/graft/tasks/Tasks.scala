@@ -254,7 +254,12 @@ final class TaskScheduler(spark: SparkSession,
     /** When wired, every run publishes to the task-runs journal — the
       * apps listing's taskInfo and the next boot's init ordering both
       * read from it (publishTaskRunResult, schedule_task.go:176-295). */
-    runLog: Option[graft.state.StateJournal.TaskRunLog] = None) extends AutoCloseable {
+    runLog: Option[graft.state.StateJournal.TaskRunLog] = None,
+    /** Multi-node mode: every node runs the same timers, and `single`
+      * runs execute only on the (task, runAt) claim winner — the
+      * reference's JVM-timers + NATS-work-queue combination
+      * (schedule_task.go:144-241). None = single node, no claims. */
+    queue: Option[WorkQueue] = None) extends AutoCloseable {
   private val exec: ScheduledExecutorService = Executors.newScheduledThreadPool(1)
   private val handles = mutable.Map.empty[String, ScheduledFuture[_]]
   private val results = mutable.Map.empty[String, Tasks.TaskResult]
@@ -267,37 +272,56 @@ final class TaskScheduler(spark: SparkSession,
     * already-scheduled id replaces its pending timer — without the
     * cancel, a content update would leave the OLD timer firing the old
     * SQL alongside the new one. */
+  /** Per-node (task, runAt) dedup, always on: a re-evaluated SCHEDULE
+    * that lands on a time already run (e.g. a fixed timestamp in the
+    * past) must not re-execute in a tight loop. The reference gets the
+    * same property from its NATS msg-id dedup, which applies on the
+    * single-node deployment too. */
+  private val localClaims = new TaskWorkQueue
+
   def schedule(taskId: String, content: String): Unit = {
     cancel(taskId)
     val (nextRunOpt, scheduleType) = Tasks.getNextTaskRun(spark, content, prepare = prepare)
     scheduleType match {
-      case "init" => runAndReschedule(taskId, content)
-      case _ => nextRunOpt.foreach { at =>
-        val delay = math.max(0L, at - System.currentTimeMillis())
-        val h = exec.schedule(new Runnable {
-          def run(): Unit = runAndReschedule(taskId, content)
-        }, delay, TimeUnit.MILLISECONDS)
-        handles.synchronized { handles(taskId) = h }
-      }
+      // init re-runs on every (re)schedule: claim key = the call time
+      case "init" => runAndReschedule(taskId, content, System.currentTimeMillis(), "init")
+      case st => nextRunOpt.foreach(at => scheduleAt(taskId, content, at, st))
     }
   }
 
-  private def runAndReschedule(taskId: String, content: String): Unit = {
-    val result = Tasks.executeTask(spark, content, prepare = prepare)
-    results.synchronized { results(taskId) = result }
-    // "" (no SCHEDULE row reached, e.g. an early failure) normalizes to
-    // "single" exactly like TaskNode.fire — the two publishers must
-    // agree on the journal record shape for the same run
-    runLog.foreach(_.publish(taskId, result.startedAt, result.success,
-      System.currentTimeMillis() - result.startedAt,
-      Some(result.nextRunAt).filter(_ > 0),
-      Some(result.scheduleType).filter(_.nonEmpty).getOrElse("single")))
-    if (result.success && result.nextRunAt > 0) {
-      val delay = math.max(0L, result.nextRunAt - System.currentTimeMillis())
-      val h = exec.schedule(new Runnable {
-        def run(): Unit = runAndReschedule(taskId, content)
-      }, delay, TimeUnit.MILLISECONDS)
-      handles.synchronized { handles(taskId) = h }
+  private def scheduleAt(taskId: String, content: String, runAtMillis: Long,
+      scheduleType: String): Unit = {
+    val delay = math.max(0L, runAtMillis - System.currentTimeMillis())
+    val h = exec.schedule(new Runnable {
+      def run(): Unit = runAndReschedule(taskId, content, runAtMillis, scheduleType)
+    }, delay, TimeUnit.MILLISECONDS)
+    handles.synchronized { handles(taskId) = h }
+  }
+
+  private def runAndReschedule(taskId: String, content: String,
+      runAtMillis: Long, scheduleType: String): Unit = {
+    // `single` claims on the shared queue (exactly one node executes);
+    // all/init run on EVERY node, deduped per node per runAt. A lost
+    // claim ends this node's chain — like the reference, only the run
+    // winner reschedules (its NATS consumer is the only receiver), so
+    // a stale fixed-timestamp schedule converges instead of looping.
+    val owns = scheduleType match {
+      case "all" | "init" => localClaims.tryClaim(taskId, runAtMillis)
+      case _ => queue.getOrElse(localClaims).tryClaim(taskId, runAtMillis)
+    }
+    if (owns) {
+      val result = Tasks.executeTask(spark, content, prepare = prepare)
+      results.synchronized { results(taskId) = result }
+      // "" (no SCHEDULE row reached, e.g. an early failure) normalizes to
+      // "single" exactly like TaskNode.fire — the two publishers must
+      // agree on the journal record shape for the same run
+      runLog.foreach(_.publish(taskId, result.startedAt, result.success,
+        System.currentTimeMillis() - result.startedAt,
+        Some(result.nextRunAt).filter(_ > 0),
+        Some(result.scheduleType).filter(_.nonEmpty).getOrElse("single")))
+      if (result.success && result.nextRunAt > 0)
+        scheduleAt(taskId, content, result.nextRunAt,
+          Some(result.scheduleType).filter(_.nonEmpty).getOrElse("single"))
     }
   }
 

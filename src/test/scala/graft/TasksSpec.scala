@@ -237,6 +237,35 @@ class TasksSpec extends AnyFunSuite {
     } finally sched.close()
   }
 
+  test("two queue-wired schedulers run a single-type task exactly once") {
+    // the serve-mode multi-node contract: both nodes hold the timer,
+    // the claim winner executes, the loser just re-arms
+    val queue = new graft.tasks.TaskWorkQueue // shared claim set = shared storage stand-in
+    val s1 = new TaskScheduler(spark, queue = Some(queue))
+    val s2 = new TaskScheduler(spark, queue = Some(queue))
+    try {
+      // a FIXED timestamp, so both nodes derive the same (task, runAt)
+      // claim key — interval schedules are per-node clocks and cannot
+      // dedup, which is also true of the reference's msg-id scheme
+      val at = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1200))
+      val content =
+        s"""SELECT TIMESTAMP '$at'::SCHEDULE;
+          |CREATE TABLE IF NOT EXISTS task_${runId}_mn USING PARQUET AS SELECT 1 AS v;
+          |INSERT INTO task_${runId}_mn SELECT 1;""".stripMargin
+      s1.schedule("mn-t", content)
+      s2.schedule("mn-t", content)
+      Thread.sleep(4500)
+      val ran = Seq(s1, s2).flatMap(_.lastResult("mn-t"))
+      assert(ran.count(_.success) == 1,
+        s"expected exactly one winner, got ${ran.size} results")
+      // CTAS(1) + ONE insert: a single winner ran a single round, and
+      // the stale fixed timestamp did not re-fire in a loop
+      assert(spark.table(s"task_${runId}_mn").count() == 2)
+    } finally { s1.close(); s2.close() }
+  }
+
   test("scheduler publishes runs to the journal with next_run_type=init for boot rerun") {
     import graft.state.StateJournal
     val runsDir = java.nio.file.Files.createTempDirectory("graft-sched-runs").toString
