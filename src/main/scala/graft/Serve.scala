@@ -52,7 +52,12 @@ object Serve {
     // its own SCHEDULE; results feed the task-runs journal so the next
     // boot re-derives the same picture
     // GRAFT_CLAIM_DIR (a shared directory) turns on multi-node task
-    // dedup: every node runs the timers, `single` runs execute once
+    // dedup: every node runs the timers, and a `single` fire executes
+    // on one node per (task, runAt) claim. Like the reference's
+    // taskId+runAt msg-id scheme, cross-node dedup requires the
+    // schedule to evaluate to ALIGNED times (fixed timestamps,
+    // bucket-aligned expressions) — `now() + INTERVAL` is a per-node
+    // clock and fires per node on either engine
     val queue = sys.env.get("GRAFT_CLAIM_DIR").map(dir =>
       new graft.tasks.FsWorkQueue(dir, spark.sparkContext.hadoopConfiguration))
     val scheduler = new TaskScheduler(spark, runLog = Some(taskRuns),

@@ -278,13 +278,19 @@ final class TaskScheduler(spark: SparkSession,
     * same property from its NATS msg-id dedup, which applies on the
     * single-node deployment too. */
   private val localClaims = new TaskWorkQueue
+  /** Monotonic init-run keys: two rapid schedule() calls (create
+    * immediately followed by a content update) must both run, so the
+    * claim key cannot be the wall-clock millisecond. Negative values
+    * never collide with real fire times. */
+  private val initSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** JetStream-duplicate-window analog for claim stores. */
+  private val ClaimWindowMillis = 6L * 3600 * 1000
 
   def schedule(taskId: String, content: String): Unit = {
     cancel(taskId)
     val (nextRunOpt, scheduleType) = Tasks.getNextTaskRun(spark, content, prepare = prepare)
     scheduleType match {
-      // init re-runs on every (re)schedule: claim key = the call time
-      case "init" => runAndReschedule(taskId, content, System.currentTimeMillis(), "init")
+      case "init" => runAndReschedule(taskId, content, initSeq.decrementAndGet(), "init")
       case st => nextRunOpt.foreach(at => scheduleAt(taskId, content, at, st))
     }
   }
@@ -300,11 +306,12 @@ final class TaskScheduler(spark: SparkSession,
 
   private def runAndReschedule(taskId: String, content: String,
       runAtMillis: Long, scheduleType: String): Unit = {
-    // `single` claims on the shared queue (exactly one node executes);
-    // all/init run on EVERY node, deduped per node per runAt. A lost
-    // claim ends this node's chain — like the reference, only the run
-    // winner reschedules (its NATS consumer is the only receiver), so
-    // a stale fixed-timestamp schedule converges instead of looping.
+    // `single` claims on the shared queue (one executor per aligned
+    // fire time); all/init run on EVERY node, deduped per node per
+    // runAt. Claim stores are pruned to a duplicate window so
+    // long-running processes don't accumulate keys/files without bound.
+    localClaims.expire(ClaimWindowMillis)
+    queue.foreach(_.expire(ClaimWindowMillis))
     val owns = scheduleType match {
       case "all" | "init" => localClaims.tryClaim(taskId, runAtMillis)
       case _ => queue.getOrElse(localClaims).tryClaim(taskId, runAtMillis)
@@ -315,13 +322,21 @@ final class TaskScheduler(spark: SparkSession,
       // "" (no SCHEDULE row reached, e.g. an early failure) normalizes to
       // "single" exactly like TaskNode.fire — the two publishers must
       // agree on the journal record shape for the same run
+      val nextType = Some(result.scheduleType).filter(_.nonEmpty).getOrElse("single")
       runLog.foreach(_.publish(taskId, result.startedAt, result.success,
         System.currentTimeMillis() - result.startedAt,
-        Some(result.nextRunAt).filter(_ > 0),
-        Some(result.scheduleType).filter(_.nonEmpty).getOrElse("single")))
+        Some(result.nextRunAt).filter(_ > 0), nextType))
       if (result.success && result.nextRunAt > 0)
-        scheduleAt(taskId, content, result.nextRunAt,
-          Some(result.scheduleType).filter(_.nonEmpty).getOrElse("single"))
+        scheduleAt(taskId, content, result.nextRunAt, nextType)
+    } else {
+      // lost the claim: another node owns THIS fire, but this node's
+      // timer chain must survive the winner's death. Re-arm from a
+      // read-only schedule evaluation — only if the schedule has moved
+      // past the lost fire time (a stale fixed timestamp re-evaluates
+      // to the SAME instant and must converge, not spin).
+      val (nextOpt, st) = Tasks.getNextTaskRun(spark, content, prepare = prepare)
+      nextOpt.filter(_ > runAtMillis)
+        .foreach(at => scheduleAt(taskId, content, at, st))
     }
   }
 
@@ -345,13 +360,27 @@ trait WorkQueue {
   /** First claim wins; later claims of the same (task, runAt) lose —
     * the reference's expected duplicate-message error path. */
   def tryClaim(taskId: String, runAtMillis: Long): Boolean
+
+  /** Drop claims older than the horizon (JetStream's duplicate-window
+    * analog); returns how many were removed. Fire times are strictly
+    * increasing per task, so an old claim can never be contended again. */
+  def expire(olderThanMillis: Long): Int
 }
 
 /** In-process claim set — one JVM's view of the queue. */
 class TaskWorkQueue extends WorkQueue {
-  private val claimed = mutable.Set.empty[String]
-  def tryClaim(taskId: String, runAtMillis: Long): Boolean =
-    claimed.synchronized(claimed.add(s"$taskId-$runAtMillis"))
+  private val claimed = mutable.Map.empty[String, Long] // key -> claim time
+  def tryClaim(taskId: String, runAtMillis: Long): Boolean = claimed.synchronized {
+    val key = s"$taskId-$runAtMillis"
+    if (claimed.contains(key)) false
+    else { claimed(key) = System.currentTimeMillis(); true }
+  }
+  def expire(olderThanMillis: Long): Int = claimed.synchronized {
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val old = claimed.collect { case (k, t) if t < cutoff => k }.toSeq
+    old.foreach(claimed.remove)
+    old.size
+  }
 }
 
 /** Cross-JVM work-queue claim over shared storage: the claim key
@@ -379,17 +408,30 @@ final class FsWorkQueue(claimDir: String,
       // checksummed wrapper and the raw local FS (fs.file.impl is often
       // retargeted to RawLocalFileSystem to suppress .crc files) must
       // take this branch.
+      // A transient I/O failure (full disk, NN failover) must NOT read
+      // as "another node won" — that silently drops the run AND kills
+      // the loser's reschedule chain. Claim=true on error means
+      // at-least-once under storage faults, matching the reference's
+      // redeliver-unacked NATS semantics.
       case lfs: org.apache.hadoop.fs.LocalFileSystem =>
         try lfs.pathToFile(p).createNewFile()
-        catch { case _: java.io.IOException => false }
+        catch { case e: java.io.IOException => claimError(p, e) }
       case raw: org.apache.hadoop.fs.RawLocalFileSystem =>
         try raw.pathToFile(p).createNewFile()
-        catch { case _: java.io.IOException => false }
+        catch { case e: java.io.IOException => claimError(p, e) }
       // HDFS: create(overwrite=false) is an atomic namespace operation
       case _ =>
         try { fs.create(p, false).close(); true }
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException => claimError(p, e)
+        }
     }
+  }
+
+  private def claimError(p: org.apache.hadoop.fs.Path, e: java.io.IOException): Boolean = {
+    System.err.println(s"[workqueue] claim I/O error on $p (running anyway): $e")
+    true
   }
 
   /** Delete claims older than the horizon; returns how many were
