@@ -1,9 +1,33 @@
 package graft.queries
 
-/** Oracles for the dashboard-flow entries that ARE recomputable by
-  * DuckDB (the render-JSON entries sh01-sh04 stay rows-only). */
+/** Oracles for the dashboard-flow entries. The render-tree entries
+  * sh01-sh04 pin CONSTANTS (like au01/http01): DuckDB cannot recompute
+  * a render tree, but the entries are deterministic functions of the
+  * fixed sf0.01 corpus — the golden shapes, counts, serialized JSON,
+  * and JWT-variable precedence values are pinned verbatim, so ANY
+  * interpreter/render/serialization drift hash-fails the gate. */
 object DashboardOracles {
   val oracles: Map[String, String] = Map(
+    "sh01_dashboard_render" -> """
+      SELECT * FROM (VALUES (0, 0, 'content', 'barchartHorizontalStacked',
+        'Sessions per Week', 'index,category,value', 25))
+        t(section, "query", section_type, render_type, label, tags, n_rows)""",
+
+    "sh02_dashboard_json" -> ("SELECT '" +
+      """{"name":"","sections":[{"type":"content","title":null,"queries":[{"render":{"type":"barchartHorizontalStacked","label":"Sessions per Week"},"columns":[{"name":"XAXIS(date_trunc(week, ts))","type":"date","nullable":false,"tag":"index"},{"name":"CATEGORY(event_type)","type":"string","nullable":false,"tag":"category"},{"name":"BARCHART_STACKED(count(1))","type":"number","nullable":false,"tag":"value"}],"rows":[[1704067200000,"click",493],[1704067200000,"error",459],[1704067200000,"purchase",488],[1704067200000,"signup",460],[1704067200000,"view",448],[1704672000000,"click",432],[1704672000000,"error",470],[1704672000000,"purchase",446],[1704672000000,"signup",493],[1704672000000,"view",479],[1705276800000,"click",481],[1705276800000,"error",497],[1705276800000,"purchase",450],[1705276800000,"signup",469],[1705276800000,"view",431],[1705881600000,"click",469],[1705881600000,"error",461],[1705881600000,"purchase",454],[1705881600000,"signup",468],[1705881600000,"view",478],[1706486400000,"click",131],[1706486400000,"error",127],[1706486400000,"purchase",143],[1706486400000,"signup",127],[1706486400000,"view",146]]}]}],"minTimeValue":1704067200000,"maxTimeValue":1706486400000}""" +
+      "' AS dashboard_json"),
+
+    "sh03_dashboard_widgets" -> """
+      SELECT * FROM (VALUES
+        ('header', 'dropdown', '', 2, 0),
+        ('content', 'gauge', '', 1, 1),
+        ('content', 'table', 'Top users', 5, 0))
+        t(section_type, render_type, label, n_rows, n_gauge_cats)""",
+
+    "sh04_secure_dashboard" -> """
+      SELECT * FROM (VALUES ('purchase', ''), ('click', ''), ('purchase', '1981'))
+        t("value", extra)""",
+
     "dl01_download_flow" -> """
       SELECT 'click' AS evtype, count(*) AS n FROM events WHERE event_type = 'click'""",
 
