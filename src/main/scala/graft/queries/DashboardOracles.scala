@@ -28,6 +28,12 @@ object DashboardOracles {
       SELECT * FROM (VALUES ('purchase', ''), ('click', ''), ('purchase', '1981'))
         t("value", extra)""",
 
+    "sh05_render_golden" -> """
+      SELECT * FROM (VALUES
+        (CAST(1785837600000 AS BIGINT), true, CAST(1785844800000 AS BIGINT),
+         'timestamp', 4))
+        t(xline_ms, yline_is_y, reload_at, xaxis_type, n_queries)""",
+
     "dl01_download_flow" -> """
       SELECT 'click' AS evtype, count(*) AS n FROM events WHERE event_type = 'click'""",
 

@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Dashboard-interpreter entries in the driver contract: run a full
   * multi-statement shaper dashboard (LABEL / ::TYPE tags / sections /
   * variables) through graft.interp.Dashboard and surface the render
-  * result as a DataFrame. Rows-only checks (the render JSON contract has
-  * no DuckDB-SQL equivalent — correctness is covered by DashboardSpec,
-  * transliterated from the reference's get_dashboard_test.go).
+  * result as a DataFrame. Every entry is gate-checked against a pinned
+  * CONSTANT oracle (DashboardOracles — DuckDB can't recompute a render
+  * tree, but the outputs are deterministic over the fixed sf0.01 gate
+  * corpus); behavior is additionally covered by DashboardSpec,
+  * transliterated from the reference's get_dashboard_test.go.
   */
 object Dashboards {
 
