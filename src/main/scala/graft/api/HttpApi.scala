@@ -699,12 +699,15 @@ final class HttpApi(
       case ("POST", Array(id, field @ ("content" | "name"))) =>
         if (!store.tasks.contains(id)) return respond(ex, 404, jsonError("task not found"))
         val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
-        submitFn(s"update_task_$field",
-          s"""{"id":${Model.jsonValue(id)},"$field":${Model.jsonValue(jStr(o, field))},""" +
-            s""""timestamp":${System.currentTimeMillis()}}""")
-        if (field == "content")
-          Option(scheduler).foreach(_.schedule(id, jStr(o, field)))
-        ok(ex)
+        // journal-first like deployOne: a rejected write must not leave
+        // the live scheduler running content the journal never recorded
+        if (submitFn(s"update_task_$field",
+            s"""{"id":${Model.jsonValue(id)},"$field":${Model.jsonValue(jStr(o, field))},""" +
+              s""""timestamp":${System.currentTimeMillis()}}""")) {
+          if (field == "content")
+            Option(scheduler).foreach(_.schedule(id, jStr(o, field)))
+          ok(ex)
+        } else respond(ex, 400, jsonError("update rejected"))
       case _ => respond(ex, 405, jsonError("method not allowed"))
     }
   }

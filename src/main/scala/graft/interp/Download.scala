@@ -71,13 +71,18 @@ object Download {
             val df = spark.sql(
               Dialect.rewrite(Macros.expand(sqlString, macros), store.render))
             val schema = df.schema.fields.toSeq
-            // the reference reads ALL rows here (no 3000 cap,
-            // stream_query.go:767-790 appends every row): the rows feed
-            // only collectVars, so dropdown defaults stay complete.
-            // Memory profile matches the reference — both materialize the
-            // statement's full result in the serving process; dashboards
-            // put widget queries (small) before download buttons.
-            val rows = df.collect().toSeq
+            // the reference reads ALL rows here (stream_query.go:767-790
+            // appends every row), but the rows feed only collectVars —
+            // dropdown option/default extraction — and the render path
+            // caps the same statements at QueryMaxRows anyway, so any
+            // option visible in a render fits under the cap. Cap the
+            // replay collect too: a huge widget query before a download
+            // button must not materialize fully in the serving process
+            // (deliberate divergence, logged when it engages).
+            val rows = df.limit(Dashboard.QueryMaxRows + 1).collect().toSeq
+            if (rows.length > Dashboard.QueryMaxRows)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"download var-replay truncated query $queryIndex at ${Dashboard.QueryMaxRows} rows")
             val rInfo = Render.getRenderInfo(schema, rows, "", Nil,
               () => System.currentTimeMillis())
             if (rInfo.download == "csv" || rInfo.download == "xlsx" || rInfo.download == "json")

@@ -29,7 +29,59 @@ object EngineOps {
     dir.toString
   }
 
+  /** Cheap per-sf corpus invariants, pinned: the golden entries
+    * (sh01–sh05, png01, au01, the DashboardOracles constants) bind to
+    * the driver corpus's CONTENT, so a regenerated corpus would surface
+    * as N opaque hash mismatches. This guard fails FIRST with an
+    * explicit "corpus changed — re-pin goldens" message instead. Keys:
+    * sf-dir basename → (metric → pinned value). */
+  private val corpusPins: Map[String, Map[String, String]] = Map(
+    "sf0.001" -> Map(
+      "count_customer" -> "150", "count_documents" -> "500",
+      "count_embeddings" -> "500", "count_events" -> "1000",
+      "count_nation" -> "25", "count_orders" -> "1500",
+      "events_ts_min" -> "2024-01-01 00:09:58.778",
+      "events_ts_max" -> "2024-01-30 23:26:16.220"),
+    "sf0.01" -> Map(
+      "count_customer" -> "1500", "count_documents" -> "500",
+      "count_embeddings" -> "500", "count_events" -> "10000",
+      "count_nation" -> "25", "count_orders" -> "15000",
+      "events_ts_min" -> "2024-01-01 00:00:07.179",
+      "events_ts_max" -> "2024-01-30 23:57:12.194"),
+    "sf0.1" -> Map(
+      "count_customer" -> "15000", "count_documents" -> "5000",
+      "count_embeddings" -> "2000", "count_events" -> "100000",
+      "count_nation" -> "25", "count_orders" -> "150000",
+      "events_ts_min" -> "2024-01-01 00:00:11.172",
+      "events_ts_max" -> "2024-01-30 23:59:25.261"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "guard01_corpus_pin" -> ((s, d) => {
+      // one pass per table (counts are metadata-only parquet reads) +
+      // one min/max agg over events.ts formatted to the millisecond —
+      // both engines floor sub-ms precision, so the strings agree
+      import org.apache.spark.sql.functions._
+      val counts = Seq("customer", "documents", "embeddings", "events",
+        "nation", "orders").map(t => s"count_$t" -> graft.Tables.t(s, d, t).count().toString)
+      val mm = graft.Tables.t(s, d, "events").agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSS"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSS")).head()
+      val metrics = counts ++ Seq(
+        "events_ts_max" -> mm.getString(1), "events_ts_min" -> mm.getString(0))
+      corpusPins.get(new java.io.File(d).getName).foreach { pins =>
+        val got = metrics.toMap
+        pins.foreach { case (k, v) =>
+          require(got.get(k).contains(v),
+            s"CORPUS CHANGED: $k = ${got.getOrElse(k, "<missing>")}, pinned $v — " +
+              "the driver test corpus was regenerated; re-pin the golden " +
+              "constants (sh01–sh05, png01, au01, DashboardOracles) and " +
+              "EngineOps.corpusPins before trusting other hash mismatches")
+        }
+      }
+      import s.implicits._
+      metrics.sortBy(_._1).toDF("metric", "value")
+    }),
 
     "in01_ingest_e2e" -> ((s, d) => {
       // JSON batch → inferred schema (_id/_ts prepended, type vote:
@@ -238,6 +290,20 @@ object EngineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "guard01_corpus_pin" -> """
+      SELECT metric, value FROM (
+        SELECT 'count_customer' AS metric, CAST(count(*) AS VARCHAR) AS value FROM customer
+        UNION ALL SELECT 'count_documents', CAST(count(*) AS VARCHAR) FROM documents
+        UNION ALL SELECT 'count_embeddings', CAST(count(*) AS VARCHAR) FROM embeddings
+        UNION ALL SELECT 'count_events', CAST(count(*) AS VARCHAR) FROM events
+        UNION ALL SELECT 'count_nation', CAST(count(*) AS VARCHAR) FROM nation
+        UNION ALL SELECT 'count_orders', CAST(count(*) AS VARCHAR) FROM orders
+        UNION ALL SELECT 'events_ts_max',
+          strftime(max(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%g') FROM events
+        UNION ALL SELECT 'events_ts_min',
+          strftime(min(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%g') FROM events
+      ) ORDER BY metric""",
+
     "in01_ingest_e2e" -> """
       SELECT * FROM (VALUES
         ('a1', TIMESTAMP '2024-01-01 10:00:00', 'alpha', 1.0, true, '{"k":"v"}'),

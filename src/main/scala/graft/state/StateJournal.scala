@@ -332,8 +332,15 @@ object StateJournal {
     private val fs = base.getFileSystem(hadoopConf)
     private val eventsDir = new org.apache.hadoop.fs.Path(base, "events")
     private val consumersDir = new org.apache.hadoop.fs.Path(base, "consumers")
+    /** Seq-only claim files: event filenames embed the event NAME, so two
+      * nodes minting the same seq for different events would both create
+      * successfully and replay order would be nondeterministic. The claim
+      * file's name is the bare seq — cross-process atomic create decides
+      * the winner, the loser retries with the next seq. */
+    private val seqLocksDir = new org.apache.hadoop.fs.Path(base, "seqlocks")
     fs.mkdirs(eventsDir)
     fs.mkdirs(consumersDir)
+    fs.mkdirs(seqLocksDir)
 
     private def segName(seq: Long, event: String): String = f"$seq%012d-$event.json"
 
@@ -343,9 +350,35 @@ object StateJournal {
       else statuses.map(_.getPath.getName.takeWhile(_.isDigit).toLong).max
     }
 
-    /** Append one event (the reference's SubmitState publish). */
+    /** Atomically claim a seq number across processes. Same branch logic
+      * as FsWorkQueue.tryClaim (Tasks.scala): Hadoop's local-FS
+      * create(overwrite=false) is exists-then-create (NOT atomic), the
+      * JDK's File.createNewFile is O_CREAT|O_EXCL; HDFS create IS
+      * atomic-exclusive. Unlike the work queue, an I/O fault here must
+      * surface — appends cannot silently drop. */
+    private def claimSeq(seq: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(seqLocksDir, f"$seq%012d.seq")
+      fs match {
+        case lfs: org.apache.hadoop.fs.LocalFileSystem => lfs.pathToFile(p).createNewFile()
+        case raw: org.apache.hadoop.fs.RawLocalFileSystem => raw.pathToFile(p).createNewFile()
+        case other =>
+          try { other.create(p, false).close(); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+      }
+    }
+
+    /** Append one event (the reference's SubmitState publish). The JVM
+      * monitor serializes local writers; the seq claim file serializes
+      * writers on OTHER nodes sharing this journal dir. NOTE: peers still
+      * observe each other's appends only at their next boot-time replay —
+      * multi-node serve has boot-time-only state convergence (documented
+      * in README "Deployment envelope"). */
     def append(event: String, payloadJson: String): Long = synchronized {
-      val seq = lastSeq() + 1
+      var seq = lastSeq() + 1
+      while (!claimSeq(seq)) seq += 1
       val p = new org.apache.hadoop.fs.Path(eventsDir, segName(seq, event))
       val out = fs.create(p, false)
       try out.write(payloadJson.getBytes(StandardCharsets.UTF_8))

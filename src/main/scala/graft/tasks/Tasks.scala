@@ -262,6 +262,14 @@ final class TaskScheduler(spark: SparkSession,
     queue: Option[WorkQueue] = None) extends AutoCloseable {
   private val exec: ScheduledExecutorService = Executors.newScheduledThreadPool(1)
   private val handles = mutable.Map.empty[String, ScheduledFuture[_]]
+  /** Per-task epoch, bumped by schedule()/cancel() and captured in every
+    * timer closure: an in-flight runAndReschedule for a task that was
+    * deleted or content-updated mid-run must NOT re-arm its old SQL
+    * chain (and must not overwrite the new chain's handle) when it
+    * completes — without the epoch, cancel() only stops the PENDING
+    * timer and the old chain resurrects on run completion. Guarded by
+    * the handles monitor so handle and epoch mutate together. */
+  private val generations = mutable.Map.empty[String, Long]
   private val results = mutable.Map.empty[String, Tasks.TaskResult]
 
   def lastResult(taskId: String): Option[Tasks.TaskResult] = results.synchronized {
@@ -287,25 +295,40 @@ final class TaskScheduler(spark: SparkSession,
   private val ClaimWindowMillis = 6L * 3600 * 1000
 
   def schedule(taskId: String, content: String): Unit = {
-    cancel(taskId)
+    val gen = handles.synchronized {
+      handles.remove(taskId).foreach(_.cancel(false))
+      val g = generations.getOrElse(taskId, 0L) + 1
+      generations(taskId) = g
+      g
+    }
     val (nextRunOpt, scheduleType) = Tasks.getNextTaskRun(spark, content, prepare = prepare)
     scheduleType match {
-      case "init" => runAndReschedule(taskId, content, initSeq.decrementAndGet(), "init")
-      case st => nextRunOpt.foreach(at => scheduleAt(taskId, content, at, st))
+      case "init" => runAndReschedule(taskId, content, initSeq.decrementAndGet(), "init", gen)
+      case st => nextRunOpt.foreach(at => scheduleAt(taskId, content, at, st, gen))
     }
   }
 
   private def scheduleAt(taskId: String, content: String, runAtMillis: Long,
-      scheduleType: String): Unit = {
+      scheduleType: String, gen: Long): Unit = {
     val delay = math.max(0L, runAtMillis - System.currentTimeMillis())
-    val h = exec.schedule(new Runnable {
-      def run(): Unit = runAndReschedule(taskId, content, runAtMillis, scheduleType)
-    }, delay, TimeUnit.MILLISECONDS)
-    handles.synchronized { handles(taskId) = h }
+    handles.synchronized {
+      // a stale chain (schedule()/cancel() happened since this closure's
+      // epoch) must neither re-arm nor clobber the current chain's handle
+      if (generations.getOrElse(taskId, 0L) == gen) {
+        val h = exec.schedule(new Runnable {
+          def run(): Unit = runAndReschedule(taskId, content, runAtMillis, scheduleType, gen)
+        }, delay, TimeUnit.MILLISECONDS)
+        handles(taskId) = h
+      }
+    }
   }
 
   private def runAndReschedule(taskId: String, content: String,
-      runAtMillis: Long, scheduleType: String): Unit = {
+      runAtMillis: Long, scheduleType: String, gen: Long): Unit = {
+    // fire-time epoch check: the timer may have been cancelled between
+    // arming and firing (cancel(false) doesn't stop an already-running
+    // Runnable) — a stale fire must not execute the old content
+    if (handles.synchronized { generations.getOrElse(taskId, 0L) != gen }) return
     // `single` claims on the shared queue (one executor per aligned
     // fire time); all/init run on EVERY node, deduped per node per
     // runAt. Claim stores are pruned to a duplicate window so
@@ -327,7 +350,7 @@ final class TaskScheduler(spark: SparkSession,
         System.currentTimeMillis() - result.startedAt,
         Some(result.nextRunAt).filter(_ > 0), nextType))
       if (result.success && result.nextRunAt > 0)
-        scheduleAt(taskId, content, result.nextRunAt, nextType)
+        scheduleAt(taskId, content, result.nextRunAt, nextType, gen)
     } else {
       // lost the claim: another node owns THIS fire, but this node's
       // timer chain must survive the winner's death. Re-arm from a
@@ -336,12 +359,15 @@ final class TaskScheduler(spark: SparkSession,
       // to the SAME instant and must converge, not spin).
       val (nextOpt, st) = Tasks.getNextTaskRun(spark, content, prepare = prepare)
       nextOpt.filter(_ > runAtMillis)
-        .foreach(at => scheduleAt(taskId, content, at, st))
+        .foreach(at => scheduleAt(taskId, content, at, st, gen))
     }
   }
 
   def cancel(taskId: String): Unit =
-    handles.synchronized { handles.remove(taskId).foreach(_.cancel(false)) }
+    handles.synchronized {
+      generations(taskId) = generations.getOrElse(taskId, 0L) + 1
+      handles.remove(taskId).foreach(_.cancel(false))
+    }
 
   override def close(): Unit = exec.shutdownNow()
 }

@@ -1,0 +1,162 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import graft.api.HttpApi
+import graft.auth.{Auth, Tokens}
+import graft.state.StateJournal
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `graft.Dev` watch workflow — metadata stamping semantics mirror the
+  * reference's dev/watch_test.go cases; the end-to-end case drives a
+  * real Watcher + HttpPusher against a live HttpApi and observes the
+  * save→deploy round trip through `/api/apps`, the reference's
+  * file-save → dashboard-version flow (watch.go:70-260). */
+class DevSpec extends AnyFunSuite {
+
+  // --- metadata extraction (watch_test.go TestHasLeadingShaperIDComment)
+
+  test("extractAppMeta: id comment detection matches the reference matrix") {
+    def hasId(c: String): Boolean = Dev.extractAppMeta(c).id.nonEmpty
+    assert(!hasId("select 1"))
+    assert(hasId("-- shaperid:ckb0example12345678901234\nselect 1"))
+    assert(hasId("-- shaperid:ckb0example12345678901234"))
+    // trailing spaces / extra text invalidate the id
+    assert(!hasId("-- shaperid:ckb0example12345678901234   \nselect 1"))
+    assert(!hasId("-- shaperid:ckb0example12345678901234 extra\nselect 1"))
+    // scan stops at the first non-empty non-metadata line
+    assert(!hasId("select 1\n-- shaperid:ckb0example12345678901234"))
+  }
+
+  test("prependAppMeta matches the reference formatting matrix") {
+    assert(Dev.prependAppMeta("testid", None, "select 1") ==
+      "-- shaperid:testid\n\nselect 1")
+    assert(Dev.prependAppMeta("testid", None, "\nselect 1") ==
+      "-- shaperid:testid\n\nselect 1")
+    assert(Dev.prependAppMeta("testid", None, "") == "-- shaperid:testid\n\n")
+    // sync timestamp rides along on its own line
+    assert(Dev.prependAppMeta("testid", Some("2026-01-01T00:00:00Z"), "select 1") ==
+      "-- shaperid:testid\n-- shapersync:2026-01-01T00:00:00Z\n\nselect 1")
+  }
+
+  test("ensureIdForFile stamps once and is idempotent (watch_test.go)") {
+    val tmp = Files.createTempDirectory("graft-dev")
+    try {
+      val p = tmp.resolve("sample.dashboard.sql")
+      Files.write(p, "select 1".getBytes(UTF_8))
+      val (content, updated, id) = Dev.ensureIdForFile(p)
+      assert(updated && id.nonEmpty)
+      assert(content.startsWith("-- shaperid:" + id))
+      assert(new String(Files.readAllBytes(p), UTF_8) == content)
+      val (_, updatedAgain, idAgain) = Dev.ensureIdForFile(p)
+      assert(!updatedAgain && idAgain == id)
+      // blank files are left alone
+      val blank = tmp.resolve("blank.dashboard.sql")
+      Files.write(blank, "  \n".getBytes(UTF_8))
+      val (_, blankUpdated, blankId) = Dev.ensureIdForFile(blank)
+      assert(!blankUpdated && blankId.isEmpty)
+    } finally deleteTree(tmp)
+  }
+
+  test("ensureIdsForDir walks nested dirs and counts app files") {
+    val tmp = Files.createTempDirectory("graft-dev")
+    try {
+      val nested = Files.createDirectories(tmp.resolve("nested"))
+      Files.write(tmp.resolve("with.dashboard.sql"),
+        "-- shaperid:test123\nselect 1".getBytes(UTF_8))
+      Files.write(nested.resolve("without.dashboard.sql"), "select 2".getBytes(UTF_8))
+      Files.write(nested.resolve("job.task.sql"), "select 3".getBytes(UTF_8))
+      Files.write(tmp.resolve("stray.sql"), "select 4".getBytes(UTF_8))
+      var warned = false
+      val n = Dev.ensureIdsForDir(tmp, m => if (m.contains("stray.sql")) warned = true)
+      assert(n == 3 && warned)
+      val ensured = new String(Files.readAllBytes(nested.resolve("without.dashboard.sql")), UTF_8)
+      assert(ensured.startsWith("-- shaperid:"))
+      // stray .sql untouched
+      assert(new String(Files.readAllBytes(tmp.resolve("stray.sql")), UTF_8) == "select 4")
+    } finally deleteTree(tmp)
+  }
+
+  // --- end-to-end: save → deploy → /api/apps version change
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("watcher pushes dashboard saves to /api/deploy; /api/apps shows the change") {
+    val store = new StateJournal.MetaStore()
+    val secret = "dev-spec-secret"
+    val (_, apiKey) = store.tokens.createApiKey("dev-key",
+      Seq(Tokens.Permission.Deploy), Tokens.Actor(Tokens.ActorType.User, "u1"))
+    val api = new HttpApi(spark, store, secret)
+    val port = api.start()
+    val tmp = Files.createTempDirectory("graft-dev-e2e")
+    val watcher = new Dev.Watcher(tmp, new Dev.HttpPusher(s"http://127.0.0.1:$port", apiKey),
+      throttleMillis = 0)
+    try {
+      watcher.start()
+      val userJwt = Auth.sign(Auth.Claims(None, Map.empty, isPublic = false,
+        longLived = false, exp = System.currentTimeMillis() / 1000 + 900), secret)
+      def apps(): String = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/api/apps?recursive=true&include_content=true"))
+          .header("Authorization", s"Bearer $userJwt")
+        HttpClient.newHttpClient()
+          .send(b.GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      }
+      def await(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (!cond) {
+          if (System.currentTimeMillis() > deadline) fail(s"timed out waiting for $what")
+          Thread.sleep(100)
+        }
+      }
+      // create: file appears → dashboard deployed under its stamped id
+      val f = tmp.resolve("sales.dashboard.sql")
+      Files.write(f, "SELECT 'v1'::LABEL;".getBytes(UTF_8))
+      await("create deploy")(apps().contains("\"name\":\"sales\""))
+      val id = Dev.extractAppMeta(new String(Files.readAllBytes(f), UTF_8)).id.get
+      assert(store.dashboards.contains(id))
+      assert(store.dashboards(id).content.contains("'v1'"))
+      // update: same id, new content version visible through /api/apps
+      Files.write(f, (new String(Files.readAllBytes(f), UTF_8))
+        .replace("'v1'", "'v2'").getBytes(UTF_8))
+      await("update deploy")(apps().contains("v2"))
+      assert(store.dashboards(id).content.contains("'v2'"))
+      assert(store.dashboards.count(_._2.name == "sales") == 1)
+      // nested dir → folder path; task file → id stamped, NOT deployed
+      val sub = Files.createDirectories(tmp.resolve("team"))
+      // watcher registers new dirs asynchronously; write after a beat
+      Thread.sleep(300)
+      val nestedFile = sub.resolve("ops.dashboard.sql")
+      Files.write(nestedFile, "SELECT 'nested'::LABEL;".getBytes(UTF_8))
+      await("nested deploy")(apps().contains("\"name\":\"ops\""))
+      val nestedId = Dev.extractAppMeta(
+        new String(Files.readAllBytes(nestedFile), UTF_8)).id.get
+      val folderId = store.dashboards(nestedId).folderId
+      assert(folderId.nonEmpty && store.folders(folderId.get).name == "team")
+      val task = tmp.resolve("job.task.sql")
+      Files.write(task, "SELECT 1;".getBytes(UTF_8))
+      await("task id stamp")(new String(Files.readAllBytes(task), UTF_8)
+        .startsWith("-- shaperid:"))
+      assert(store.tasks.isEmpty)
+    } finally {
+      watcher.close()
+      api.stop()
+      deleteTree(tmp)
+    }
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+      try Files.deleteIfExists(f) catch { case _: Exception => () })
+  }
+}

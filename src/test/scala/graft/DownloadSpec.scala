@@ -30,6 +30,35 @@ class DownloadSpec extends AnyFunSuite {
     assert(lines(1) == "alpha,42") // dropdown default replayed into the var
   }
 
+  test("var-replay caps the collect: a huge pre-download statement does not materialize fully") {
+    // Download.scala divergence note: replayed statements feed ONLY
+    // collectVars, so the collect is capped at QueryMaxRows+1 — a
+    // 100k-row widget query before a download button must not pull all
+    // 100k rows into the serving process. The per-row UDF counts how
+    // many rows Spark actually evaluated for the replay collect.
+    DlCapCounter.evaluated.set(0)
+    val content =
+      """SELECT dl_cap_touch(id) AS big FROM range(100000);
+        |SELECT 'data.csv'::DOWNLOAD_CSV AS dl;
+        |SELECT 7 AS n;""".stripMargin
+    val w = new StringWriter
+    // Download runs in a fresh newSession(), so the counting UDF rides
+    // in through `prepare`; the counter is a JVM-global singleton
+    // because Spark serializes UDF closures even on local[*] — an
+    // instance capture would count on a deserialized copy
+    val r = Download.run(spark, content, "csv", w,
+      prepare = ss => ss.udf.register("dl_cap_touch",
+        (id: Long) => { DlCapCounter.evaluated.incrementAndGet(); id }))
+    assert(r.isRight, r)
+    assert(w.toString.split("\n")(1) == "7")
+    // CollectLimit evaluates a bounded prefix (per-partition slack is
+    // fine); full materialization would be 100000, zero would mean the
+    // counter never saw the executor
+    val n = DlCapCounter.evaluated.get()
+    assert(n > 0, "counter never engaged — instrumentation broken")
+    assert(n < 50000, s"replay evaluated $n rows — the cap is not engaging")
+  }
+
   test("macro defined before the download target expands in the replay AND the target") {
     val content =
       """CREATE TEMP MACRO tag(x) AS 'v:' || x;
@@ -146,4 +175,10 @@ class DownloadSpec extends AnyFunSuite {
     assert(SqlApi.runSingleToCSV(spark, "SELECT 1 AS a -- comment\n;", w2).isRight)
     assert(w2.toString.startsWith("a\n1"))
   }
+}
+
+/** JVM-global row counter for the cap test — see the in-test note on
+  * closure serialization. */
+object DlCapCounter {
+  val evaluated = new java.util.concurrent.atomic.AtomicLong
 }

@@ -55,6 +55,37 @@ class EventsSnapshotsSpec extends AnyFunSuite {
     assert(spark.table(table).count() == 100)
   }
 
+  test("restore drill: snapshot, destroy the warehouse, restore, dashboard renders green (snapshots/restore.go boot path)") {
+    // the reference's restore-on-boot flow end-to-end: the snapshot is
+    // the ONLY surviving copy — the table is dropped AND its files
+    // deleted — and after restore a dashboard over the table renders
+    // exactly as before the loss
+    val snap = java.nio.file.Files.createTempDirectory("graft-drill").toString
+    val table = s"drill_${runId}_events"
+    spark.sql(s"CREATE TABLE $table USING PARQUET AS " +
+      "SELECT concat('u', id % 7) AS user_id, " +
+      "CASE WHEN id % 3 = 0 THEN 'click' ELSE 'view' END AS kind FROM range(60)")
+    val content =
+      s"""SELECT 'Drill'::LABEL;
+         |SELECT kind, count(*) AS n FROM $table GROUP BY kind ORDER BY kind;""".stripMargin
+    def render(): Seq[Seq[Any]] = graft.interp.Dashboard.run(spark, content,
+      graft.interp.Dashboard.RunConfig(dashboardId = "drill"))
+      .sections.flatMap(_.queries).flatMap(_.rows)
+    val before = render()
+    assert(before.nonEmpty)
+    assert(Snapshots.create(spark, snap, Some(Seq(table))) == Seq(table))
+    // destroy: drop from the catalog and remove the data files
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    spark.sql(s"DROP TABLE $table")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    intercept[Exception](spark.table(table).count())
+    // restore from the snapshot and re-run the dashboard
+    assert(Snapshots.restore(spark, snap).contains(table))
+    assert(spark.table(table).count() == 60)
+    assert(render() == before)
+  }
+
   test("snapshot service: daily HH:mm schedule, one-node claim, timestamped dirs, restore latest (snapshots.go:56-192)") {
     import graft.snapshots.SnapshotService
     val base = java.nio.file.Files.createTempDirectory("graft-snapsvc").toString

@@ -266,6 +266,52 @@ class TasksSpec extends AnyFunSuite {
     } finally { s1.close(); s2.close() }
   }
 
+  test("content update mid-run: the old chain must not resurrect (per-task generation)") {
+    // the cancel/generation race: schedule content A on a 1 s interval,
+    // replace it with content B while A's run is STILL EXECUTING — the
+    // in-flight runAndReschedule completes after the replacement and,
+    // without the epoch check, would re-arm A's interval chain forever
+    // alongside B's (and clobber B's handle in `handles`)
+    // counters live in a JVM-global object, NOT closure captures: Spark
+    // serializes UDF closures even on local[*], so a captured
+    // AtomicInteger would be incremented on a deserialized COPY
+    GenChainCounters.a.set(0); GenChainCounters.b.set(0)
+    def aCount = GenChainCounters.a
+    def bCount = GenChainCounters.b
+    val contentA = s"SELECT (INTERVAL 1 SECOND)::SCHEDULE;\nSELECT gen_slow_a_$runId() AS v;"
+    val contentB = s"SELECT (INTERVAL 1 SECOND)::SCHEDULE;\nSELECT gen_fast_b_$runId() AS v;"
+    // task execution happens in a fresh newSession() per run — register
+    // the counting UDFs through `prepare`, like any task-visible state
+    val sched = new TaskScheduler(spark, prepare = ss => {
+      ss.udf.register(s"gen_slow_a_$runId",
+        () => { GenChainCounters.a.incrementAndGet(); Thread.sleep(1200); 1 })
+      ss.udf.register(s"gen_fast_b_$runId",
+        () => { GenChainCounters.b.incrementAndGet(); 1 })
+    })
+    try {
+      sched.schedule("gen-t", contentA)
+      // wait for A's run to START (fires ~1 s in, then sleeps 1.2 s)
+      val startDeadline = System.currentTimeMillis() + 5000
+      while (aCount.get() == 0 && System.currentTimeMillis() < startDeadline)
+        Thread.sleep(20)
+      assert(aCount.get() == 1,
+        s"content A never started; lastResult=${sched.lastResult("gen-t")}")
+      // replace mid-run
+      sched.schedule("gen-t", contentB)
+      // A's in-flight run finishes ~1 s from now; give B two+ fire windows
+      Thread.sleep(3500)
+      assert(aCount.get() == 1,
+        s"old content chain resurrected: A ran ${aCount.get()} times after replacement")
+      assert(bCount.get() >= 1, "new content chain never ran")
+      // cancel stops B's chain too — no leaked timer keeps firing
+      sched.cancel("gen-t")
+      val bAfterCancel = bCount.get()
+      Thread.sleep(1600)
+      assert(bCount.get() == bAfterCancel,
+        s"cancelled chain still firing: $bAfterCancel -> ${bCount.get()}")
+    } finally sched.close()
+  }
+
   test("scheduler publishes runs to the journal with next_run_type=init for boot rerun") {
     import graft.state.StateJournal
     val runsDir = java.nio.file.Files.createTempDirectory("graft-sched-runs").toString
@@ -286,4 +332,12 @@ class TasksSpec extends AnyFunSuite {
       assert(Tasks.initTasks(store, replayed).map(_.id) == Seq("t-init-pub"))
     } finally sched.close()
   }
+}
+
+/** JVM-global counters for the generation test: UDF closures are
+  * serialized per task, so instance captures don't observe executor
+  * increments — a module singleton does (same JVM on local[*]). */
+object GenChainCounters {
+  val a = new java.util.concurrent.atomic.AtomicInteger
+  val b = new java.util.concurrent.atomic.AtomicInteger
 }
