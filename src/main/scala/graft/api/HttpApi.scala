@@ -547,10 +547,9 @@ final class HttpApi(
         if (requireUserAuth(ex)) {
           if (!store.dashboards.contains(id))
             respond(ex, 404, jsonError("dashboard not found"))
-          else {
-            submitFn("delete_dashboard", s"""{"id":${Model.jsonValue(id)}}""")
+          else if (submitFn("delete_dashboard", s"""{"id":${Model.jsonValue(id)}}"""))
             respond(ex, 200, "{\"status\":\"ok\"}")
-          }
+          else respond(ex, 400, jsonError("delete rejected"))
         }
       case ("POST", Array(id, field @ ("query" | "name" | "visibility" | "password"))) =>
         if (requireUserAuth(ex)) {
@@ -626,7 +625,8 @@ final class HttpApi(
     if (!requireUserAuth(ex)) return
     (ex.getRequestMethod, pathParts(ex, "/api/folders/")) match {
       case ("DELETE", Array(id)) =>
-        submitFn("delete_folder", s"""{"id":${Model.jsonValue(id)}}"""); ok(ex)
+        if (submitFn("delete_folder", s"""{"id":${Model.jsonValue(id)}}""")) ok(ex)
+        else respond(ex, 400, jsonError("delete rejected"))
       case ("POST", Array(id, "name")) =>
         val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
         if (submitFn("rename_folder",
@@ -647,9 +647,9 @@ final class HttpApi(
         // re-serialize with the journaled edit time appended
         val base = SchemaInfer.toJsonString(o).trim.stripSuffix("}")
         val sep = if (base == "{") "" else ","
-        submitFn("move_items",
-          base + sep + s""""timestamp":${System.currentTimeMillis()}}""")
-        ok(ex)
+        if (submitFn("move_items",
+            base + sep + s""""timestamp":${System.currentTimeMillis()}}""")) ok(ex)
+        else respond(ex, 400, jsonError("move rejected"))
     }
   }
 
@@ -693,9 +693,13 @@ final class HttpApi(
             respond(ex, 200, sb.append("}").result())
         }
       case ("DELETE", Array(id)) =>
-        submitFn("delete_task", s"""{"id":${Model.jsonValue(id)}}""")
-        Option(scheduler).foreach(_.cancel(id))
-        ok(ex)
+        // journal-first like the update path: a rejected delete must not
+        // cancel the live schedule the journal still records (the task
+        // would resurrect on replay while the client was told "deleted")
+        if (submitFn("delete_task", s"""{"id":${Model.jsonValue(id)}}""")) {
+          Option(scheduler).foreach(_.cancel(id))
+          ok(ex)
+        } else respond(ex, 400, jsonError("delete rejected"))
       case ("POST", Array(id, field @ ("content" | "name"))) =>
         if (!store.tasks.contains(id)) return respond(ex, 404, jsonError("task not found"))
         val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
@@ -1371,7 +1375,8 @@ final class HttpApi(
         val id = field("id").map(_.trim).filter(_.nonEmpty)
           .getOrElse(return Left(s"apps[$idx]: id is required for delete operations"))
         if (!exists(id)) return Left(s"apps[$idx]: $tpe not found")
-        submitFn(s"delete_$tpe", s"""{"id":${Model.jsonValue(id)}}""")
+        if (!submitFn(s"delete_$tpe", s"""{"id":${Model.jsonValue(id)}}"""))
+          return Left(s"apps[$idx]: delete rejected")
         if (tpe == "task") Option(scheduler).foreach(_.cancel(id))
         Right(result("deleted", id))
       case other => Left(s"apps[$idx]: unsupported operation \"$other\"")

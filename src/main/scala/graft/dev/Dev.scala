@@ -166,13 +166,21 @@ object Dev {
     * ID... do not preview", watch.go:215-218). One global 500 ms
     * throttle window absorbs editor double-writes and branch switches
     * (watch.go:152-177) — including the MODIFY event our own id-stamp
-    * write triggers. */
+    * write triggers. Divergence from the reference, deliberate: where
+    * watch.go DROPS events inside the window (a second file saved
+    * within 500 ms is never deployed until touched again), throttled
+    * events here are parked and flushed when the window closes, so a
+    * save-all or branch switch converges instead of losing files. */
   final class Watcher(watchDir: Path, pusher: AppPusher,
       throttleMillis: Long = 500, log: String => Unit = _ => ()) extends AutoCloseable {
     private val root = watchDir.toAbsolutePath.normalize
     private val ws: WatchService = root.getFileSystem.newWatchService()
     private val keys = scala.collection.mutable.Map.empty[WatchKey, Path]
     private var lastEventMillis = 0L
+    private val pending = scala.collection.mutable.LinkedHashSet.empty[Path]
+    private val flusher = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-dev-flush"); t.setDaemon(true); t
+    })
     @volatile private var running = true
     private var thread: Thread = _
 
@@ -205,10 +213,21 @@ object Dev {
             case (Some(d), rel: Path) if ev.kind() != StandardWatchEventKinds.OVERFLOW =>
               val p = d.resolve(rel)
               if (Files.isDirectory(p)) {
-                // new subdirectory: watch it too (the reference's
-                // `dir/...` recursive watchpoint)
-                try register(p) catch { case _: Exception => () }
-              } else throttled(() => handleAppFile(p))
+                // new subdirectory: watch it AND process the app files
+                // already inside — a moved-in folder (git checkout, mv)
+                // arrives as one directory CREATE with no per-file
+                // events, so registration alone would silently skip its
+                // dashboards
+                try {
+                  register(p)
+                  Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+                    override def visitFile(f: Path, attrs: BasicFileAttributes): FileVisitResult = {
+                      handleAppFile(f)
+                      FileVisitResult.CONTINUE
+                    }
+                  })
+                } catch { case _: Exception => () }
+              } else throttled(p)
             case _ => ()
           }
         }
@@ -216,13 +235,42 @@ object Dev {
       }
     }
 
-    private def throttled(handler: () => Unit): Unit = {
+    private def throttled(p: Path): Unit = {
       val now = System.currentTimeMillis()
-      val run = synchronized {
-        if (lastEventMillis != 0 && now - lastEventMillis < throttleMillis) false
-        else { lastEventMillis = now; true }
+      val runNow = synchronized {
+        if (lastEventMillis != 0 && now - lastEventMillis < throttleMillis) {
+          pending += p // park, don't drop — flushed after the window
+          false
+        } else { lastEventMillis = now; true }
       }
-      if (run) handler()
+      if (runNow) handleAppFile(p)
+      else flusher.schedule(new Runnable { def run(): Unit = flushPending() },
+        throttleMillis + 10, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+
+    private def flushPending(): Unit = {
+      val (parked, retryIn) = synchronized {
+        if (pending.isEmpty) (Nil: List[Path], -1L)
+        else {
+          val elapsed = System.currentTimeMillis() - lastEventMillis
+          if (elapsed < throttleMillis) {
+            // window refreshed since this flush was scheduled (possibly
+            // by a direct-run event that schedules no flush of its own)
+            // — retry after the remaining window instead of stranding
+            // the parked files
+            (Nil: List[Path], throttleMillis - elapsed + 10)
+          } else {
+            val s = pending.toList
+            pending.clear()
+            lastEventMillis = System.currentTimeMillis()
+            (s, -1L)
+          }
+        }
+      }
+      if (retryIn > 0 && running)
+        flusher.schedule(new Runnable { def run(): Unit = flushPending() },
+          retryIn, java.util.concurrent.TimeUnit.MILLISECONDS)
+      parked.foreach(handleAppFile)
     }
 
     /** Visible for tests: the full per-file pipeline, minus the
@@ -258,6 +306,7 @@ object Dev {
 
     override def close(): Unit = {
       running = false
+      flusher.shutdownNow()
       try ws.close() catch { case _: Exception => () }
       if (thread != null) thread.interrupt()
     }

@@ -107,7 +107,7 @@ object Boxplot {
     def outputEncoder: Encoder[BoxplotResult] = Encoders.product[BoxplotResult]
   }
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = RegistryQuiet.quietly {
     spark.udf.register("BOXPLOT", functions.udaf(new BoxplotAgg, Encoders.DOUBLE))
     spark.udf.register("boxplot_info",
       functions.udaf(new BoxplotInfoAgg, Encoders.product[BoxplotInfoIn]))

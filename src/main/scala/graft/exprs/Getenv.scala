@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
 object Getenv {
   @volatile private var enabled = false
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegistryQuiet.quietly {
     spark.udf.register("getenv", (name: String) =>
       if (enabled) Option(System.getenv(name)).getOrElse("") else "")
+  }
 
   /** Run `body` with getenv enabled (the init-SQL window). */
   def withEnabled[T](body: => T): T = {

@@ -34,20 +34,12 @@ object Len {
   // newSession()/cloned sessions INHERIT the parent's registry entry, so
   // their own (needed) registration still logs "replaced a previously
   // registered function" — a deliberate override, not drift. Quiet the
-  // registry logger only for the duration of OUR registration call, then
-  // restore, so unrelated createOrReplaceTempFunction warnings elsewhere
-  // in the JVM stay visible. (Restore pins the prior EFFECTIVE level as
-  // an explicit one — behaviorally identical unless the root level is
-  // later changed, which Spark doesn't do at runtime.)
-  def register(spark: SparkSession): Unit = registered.synchronized {
-    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
-      val name = classOf[org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry].getName
-      val prev = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        name, org.apache.logging.log4j.Level.ERROR)
-      try spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "len", exprs => Len(exprs.head), "scala_udf")
-      finally org.apache.logging.log4j.core.config.Configurator.setLevel(name, prev)
-    }
-  }
+  // registry logger only around OUR registration (RegistryQuiet), so
+  // unrelated createOrReplaceTempFunction warnings in the JVM stay live.
+  def register(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+      RegistryQuiet.quietly {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "len", exprs => Len(exprs.head), "scala_udf")
+      }
 }

@@ -69,7 +69,8 @@ object Shingles3 {
     new GenericArrayData(out)
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = RegistryQuiet.quietly {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles3", exprs => Shingles3(exprs.head), "scala_udf")
+  }
 }

@@ -383,6 +383,18 @@ object StateJournal {
       val out = fs.create(p, false)
       try out.write(payloadJson.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      // bound the claim-file count (FsWorkQueue.expire's analog):
+      // periodically drop locks far below the current head. The 4096
+      // margin covers listing-lagged writers on eventually-consistent
+      // stores — a writer whose stale lastSeq() trails by less than the
+      // margin still finds those locks present and skips past them.
+      if (seq % 256 == 0) {
+        try fs.listStatus(seqLocksDir)
+          .filter(_.getPath.getName.takeWhile(_.isDigit).toLongOption
+            .exists(_ <= seq - 4096))
+          .foreach(st => fs.delete(st.getPath, false))
+        catch { case _: java.io.IOException => () } // pruning is best-effort
+      }
       seq
     }
 
@@ -413,7 +425,15 @@ object StateJournal {
             new String(bytes, StandardCharsets.UTF_8)))
         }
 
-    /** (ref: trackConsumerState / getConsumerStartSeq, state.go:110-163) */
+    /** (ref: trackConsumerState / getConsumerStartSeq, state.go:110-163)
+      *
+      * CONSTRAINT: the checkpoint is a diagnostic applied-watermark,
+      * never a resume cursor — every boot replays from seq 0 (StateApp
+      * .boot, TaskRunLog.boot). That must stay true under the seq-claim
+      * scheme: a writer that claims seq N and stalls can land its event
+      * AFTER a peer has applied and checkpointed N+1, so resuming a
+      * read at the checkpoint would permanently skip event N. Full
+      * replay (with idempotent handlers) is immune to that gap. */
     def checkpoint(consumer: String, seq: Long): Unit = {
       val p = new org.apache.hadoop.fs.Path(consumersDir, consumer)
       val tmp = new org.apache.hadoop.fs.Path(consumersDir, consumer + ".tmp")

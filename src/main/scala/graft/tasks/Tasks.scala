@@ -262,14 +262,19 @@ final class TaskScheduler(spark: SparkSession,
     queue: Option[WorkQueue] = None) extends AutoCloseable {
   private val exec: ScheduledExecutorService = Executors.newScheduledThreadPool(1)
   private val handles = mutable.Map.empty[String, ScheduledFuture[_]]
-  /** Per-task epoch, bumped by schedule()/cancel() and captured in every
-    * timer closure: an in-flight runAndReschedule for a task that was
-    * deleted or content-updated mid-run must NOT re-arm its old SQL
-    * chain (and must not overwrite the new chain's handle) when it
-    * completes — without the epoch, cancel() only stops the PENDING
-    * timer and the old chain resurrects on run completion. Guarded by
-    * the handles monitor so handle and epoch mutate together. */
+  /** Per-task epoch, set by schedule() and captured in every timer
+    * closure: an in-flight runAndReschedule for a task that was deleted
+    * or content-updated mid-run must NOT re-arm its old SQL chain (and
+    * must not overwrite the new chain's handle) when it completes —
+    * without the epoch, cancel() only stops the PENDING timer and the
+    * old chain resurrects on run completion. Values come from ONE
+    * monotonic counter shared by all tasks, so cancel() can REMOVE the
+    * entry (bounding the map to live tasks) without a later schedule()
+    * ever minting a value an orphaned in-flight chain still holds.
+    * Guarded by the handles monitor so handle and epoch mutate
+    * together. */
   private val generations = mutable.Map.empty[String, Long]
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
   private val results = mutable.Map.empty[String, Tasks.TaskResult]
 
   def lastResult(taskId: String): Option[Tasks.TaskResult] = results.synchronized {
@@ -297,7 +302,7 @@ final class TaskScheduler(spark: SparkSession,
   def schedule(taskId: String, content: String): Unit = {
     val gen = handles.synchronized {
       handles.remove(taskId).foreach(_.cancel(false))
-      val g = generations.getOrElse(taskId, 0L) + 1
+      val g = epoch.incrementAndGet()
       generations(taskId) = g
       g
     }
@@ -365,7 +370,11 @@ final class TaskScheduler(spark: SparkSession,
 
   def cancel(taskId: String): Unit =
     handles.synchronized {
-      generations(taskId) = generations.getOrElse(taskId, 0L) + 1
+      // removing (not bumping) keeps the map bounded by LIVE tasks; an
+      // in-flight run's `generations.getOrElse(taskId, 0L) == gen` check
+      // fails on the absent entry (gen values start at 1), and a future
+      // schedule() mints a fresh global-epoch value no old chain holds
+      generations.remove(taskId)
       handles.remove(taskId).foreach(_.cancel(false))
     }
 

@@ -171,10 +171,14 @@ object ShaperTypes {
   val MemberKey = "shaperMember"
 
   /** Register all 48 types as SQL functions (the `::NAME` cast syntax is
-    * turned into these calls by graft.sqlfront.Dialect). */
-  def register(spark: SparkSession): Unit = all.foreach { td =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      td.name, exprs => ShaperTagged(td.name, exprs.head), "scala_udf")
+    * turned into these calls by graft.sqlfront.Dialect). Quietly:
+    * cloned sessions inherit the parent's entries, so re-registering
+    * would otherwise WARN 48 times per dashboard/task/download run. */
+  def register(spark: SparkSession): Unit = graft.exprs.RegistryQuiet.quietly {
+    all.foreach { td =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        td.name, exprs => ShaperTagged(td.name, exprs.head), "scala_udf")
+    }
   }
 }
 

@@ -81,6 +81,44 @@ class DevSpec extends AnyFunSuite {
     } finally deleteTree(tmp)
   }
 
+  test("throttle parks (not drops) burst saves; moved-in directories are adopted") {
+    val tmp = Files.createTempDirectory("graft-dev-throttle")
+    val pushed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val pusher = new Dev.AppPusher {
+      def push(tpe: String, id: String, name: String, folderPath: String,
+          content: String): Either[String, String] = {
+        pushed.add(folderPath + name); Right("updated")
+      }
+    }
+    val w = new Dev.Watcher(tmp, pusher, throttleMillis = 400)
+    try {
+      w.start()
+      def await(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (!cond) {
+          if (System.currentTimeMillis() > deadline) fail(s"timed out: $what (pushed=$pushed)")
+          Thread.sleep(50)
+        }
+      }
+      // save-all: two files land inside one throttle window — the
+      // reference drops the second; here it parks and flushes
+      Files.write(tmp.resolve("one.dashboard.sql"), "SELECT 1;".getBytes(UTF_8))
+      Files.write(tmp.resolve("two.dashboard.sql"), "SELECT 2;".getBytes(UTF_8))
+      await("both burst saves deployed")(
+        pushed.contains("/one") && pushed.contains("/two"))
+      // a directory moved INTO the watch tree arrives as one CREATE
+      // event with no per-file events — its dashboards must deploy
+      val staging = Files.createTempDirectory("graft-dev-staging")
+      Files.write(staging.resolve("three.dashboard.sql"), "SELECT 3;".getBytes(UTF_8))
+      Thread.sleep(600) // let the throttle window clear
+      Files.move(staging, tmp.resolve("bulk"))
+      await("moved-in directory adopted")(pushed.contains("/bulk/three"))
+    } finally {
+      w.close()
+      deleteTree(tmp)
+    }
+  }
+
   // --- end-to-end: save → deploy → /api/apps version change
 
   private lazy val spark: SparkSession = SparkSession.builder()
