@@ -1109,7 +1109,14 @@ final class HttpApi(
     * same data the reference pulls from its apps table. */
   private def handleApps(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
-    if (!requireUserAuth(ex)) return
+    // jwtOrAPIKey + deploy permission, exactly like /api/deploy: the
+    // reference gates the listing the same way (routes.go:179) so a
+    // CI deploy key can fetch remote state for its diff
+    val isApiKey = bearer(ex).exists(Tokens.isApiKeyToken)
+    val authed =
+      if (isApiKey) requireApiKey(ex, Tokens.Permission.Deploy).isDefined
+      else requireUserAuth(ex)
+    if (!authed) return
     val q = queryParams(ex)
     def p(k: String): String = q.get(k).flatMap(_.headOption).getOrElse("")
     def boolParam(k: String): Either[String, Boolean] = p(k) match {

@@ -312,33 +312,357 @@ object Dev {
     }
   }
 
-  /** CLI: `sbt "runMain graft.Dev <dir>"` with GRAFT_BASE_URL (default
-    * http://localhost:5454, the reference's port) and GRAFT_TOKEN (an
-    * API key with the deploy permission, or a user session token). */
+  // ---- deploy / pull (ref: server/dev/deploy.go, pull.go) -------------
+
+  /** One app as the server lists it (`GET /api/apps`). */
+  final case class RemoteApp(id: String, name: String, tpe: String,
+      path: String, content: String, updatedAt: String)
+
+  /** One app as a local file carries it. `content` keeps the metadata
+    * prefix; [[stripAppMeta]] removes it for comparison/deploy. */
+  final case class LocalApp(id: String, name: String, tpe: String,
+      path: String, content: String, filePath: Path, sync: Option[String])
+
+  /** Remove the id/sync comment lines and the blank separator that
+    * follows them (deploy.go stripAppMetadata:266-288) — the server
+    * never stores the metadata prefix. */
+  def stripAppMeta(content: String): String = {
+    val lines = content.split("\n", -1)
+    val out = Vector.newBuilder[String]
+    var inMeta = true
+    var hadMeta = false
+    var kept = 0
+    for ((line, i) <- lines.zipWithIndex) {
+      val trimmed = line.trim
+      val isMeta = inMeta &&
+        (trimmed.startsWith(IdPrefix) || trimmed.startsWith(SyncPrefix))
+      if (isMeta) hadMeta = true
+      else {
+        if (inMeta) {
+          inMeta = false
+          if (hadMeta && trimmed.isEmpty && kept == 0 && i < lines.length - 1) {
+            // skip the single blank separator after stripped metadata
+          } else { out += line; kept += 1 }
+        } else { out += line; kept += 1 }
+      }
+    }
+    out.result().mkString("\n")
+  }
+
+  /** Path-traversal-safe file name (pull.go:428-433). */
+  def sanitizeFileName(name: String): String =
+    name.replace('/', '_').replace('\\', '_')
+
+  /** Relative dir → the `/a/b/` path form the server uses
+    * (deploy.go normalizeDashboardPath:252-264). */
+  def normalizeAppPath(relDir: String): String = relDir match {
+    case "" | "." => "/"
+    case s =>
+      val fwd = s.replace(java.io.File.separatorChar, '/')
+      val lead = if (fwd.startsWith("/")) fwd else "/" + fwd
+      if (lead.endsWith("/")) lead else lead + "/"
+  }
+
+  /** Walk the tree into id-keyed apps; Left on a file missing its id
+    * comment or on a duplicate id (deploy.go loadLocalApps:189-250). */
+  def loadLocalApps(dir: Path): Either[String, Map[String, LocalApp]] = {
+    val apps = scala.collection.mutable.LinkedHashMap.empty[String, LocalApp]
+    var err: Option[String] = None
+    Files.walkFileTree(dir, new SimpleFileVisitor[Path] {
+      override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
+        if (err.nonEmpty) return FileVisitResult.TERMINATE
+        val fn = p.getFileName.toString
+        val tpe = if (fn.endsWith(DashboardSuffix)) "dashboard"
+          else if (fn.endsWith(TaskSuffix)) "task" else ""
+        if (tpe.nonEmpty) {
+          val content = new String(Files.readAllBytes(p), UTF_8)
+          val meta = extractAppMeta(content)
+          meta.id match {
+            case None =>
+              err = Some(s"$p is missing a shaper id comment (run `graft.Dev ids` to generate)")
+            case Some(id) if apps.contains(id) =>
+              err = Some(s"duplicate app id $id found in ${apps(id).filePath} and $p")
+            case Some(id) =>
+              val suffix = if (tpe == "task") TaskSuffix else DashboardSuffix
+              val rel = dir.toAbsolutePath.normalize
+                .relativize(p.toAbsolutePath.normalize.getParent).toString
+              apps(id) = LocalApp(id, fn.stripSuffix(suffix), tpe,
+                normalizeAppPath(rel), content, p, meta.sync)
+          }
+        }
+        FileVisitResult.CONTINUE
+      }
+    })
+    err.toLeft(apps.toMap)
+  }
+
+  /** Does the local file disagree with the server copy in name, folder,
+    * or (metadata-stripped) content (deploy.go appsDiffer:420-430)? */
+  def appsDiffer(local: LocalApp, remote: RemoteApp): Boolean =
+    local.name != remote.name ||
+      local.path != normalizeAppPath(remote.path.stripPrefix("/")) ||
+      stripAppMeta(local.content) != remote.content
+
+  private def parseInstant(s: String): Option[java.time.Instant] =
+    scala.util.Try(java.time.OffsetDateTime.parse(s).toInstant).toOption
+
+  /** Second-truncated remote updatedAt vs local sync stamp — the
+    * reference truncates before comparing so a stamp written from a
+    * listing round-trips equal (deploy.go:306-318). */
+  private def remoteNewer(remoteUpdatedAt: String, sync: Option[String]): Boolean =
+    (parseInstant(remoteUpdatedAt), sync.flatMap(parseInstant)) match {
+      case (Some(r), Some(s)) =>
+        r.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).isAfter(s)
+      case _ => true // unparseable / absent stamp = assume stale
+    }
+
+  /** Client over the listing + batch-deploy routes. */
+  final class AppsClient(baseUrl: String, token: String) {
+    private val http = java.net.http.HttpClient.newHttpClient()
+    private val base = baseUrl.stripSuffix("/")
+
+    private def send(method: String, path: String, body: String): (Int, String) = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+        .header("Authorization", s"Bearer $token")
+      val req = (if (method == "GET") b.GET()
+        else b.header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))).build()
+      val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+
+    def fetchApps(): Either[String, Seq[RemoteApp]] = {
+      val (st, body) = send("GET", "/api/apps?recursive=true&include_content=true", "")
+      if (st != 200) return Left(s"fetch apps failed ($st): $body")
+      import graft.ingest.SchemaInfer._
+      val o = parseOrdered(body)
+      def s(obj: JObject, k: String): String =
+        obj.map.get(k).collect { case JString(v) => v }.getOrElse("")
+      o.map.get("apps") match {
+        case Some(JArray(items)) => Right(items.collect {
+          case a: JObject if s(a, "type") == "dashboard" || s(a, "type") == "task" =>
+            RemoteApp(s(a, "id"), s(a, "name"), s(a, "type"), s(a, "path"),
+              s(a, "content"), s(a, "updatedAt"))
+        })
+        case _ => Left("fetch apps: malformed response")
+      }
+    }
+
+    /** ops = (operation, type, dataFields). One POST, first failure
+      * aborts server-side exactly like the reference batch. */
+    def deployBatch(ops: Seq[(String, String, Seq[(String, String)])]): Either[String, String] = {
+      if (ops.isEmpty) return Right("nothing to deploy")
+      val items = ops.map { case (op, tpe, data) =>
+        val d = data.map { case (k, v) => s""""$k":${Model.jsonValue(v)}""" }
+          .mkString("{", ",", "}")
+        s"""{"operation":${Model.jsonValue(op)},"type":${Model.jsonValue(tpe)},"data":$d}"""
+      }.mkString("[", ",", "]")
+      val (st, body) = send("POST", "/api/deploy", s"""{"apps":$items}""")
+      if (st == 200) Right(body) else Left(s"deploy failed ($st): $body")
+    }
+  }
+
+  /** `graft.Dev deploy <dir>`: one-shot directory sync to the server —
+    * deletes first, then updates, then creates, exactly the reference's
+    * operation order (deploy.go buildDeployOperations:327-418), with
+    * the staleness guard: a remote app modified after the local file's
+    * sync stamp refuses to deploy until a pull. Divergence, documented:
+    * the reference exempts remote edits made by the SAME actor (CI key
+    * re-deploys); the listing here carries no updatedBy, so the
+    * exemption is absent — after any out-of-band edit, pull first.
+    * After a successful deploy the local sync stamps are refreshed from
+    * a re-fetch, like deploy.go:146-186. */
+  def deploy(dir: Path, client: AppsClient, log: String => Unit = _ => ()): Either[String, String] = {
+    for {
+      remote <- client.fetchApps()
+      local <- loadLocalApps(dir)
+      _ <- {
+        // staleness guard on UPDATES only: the reference also guards
+        // deletions but exempts same-actor edits (updatedBy == this
+        // key); without updatedBy in the listing that exemption can't
+        // exist here, and guarding deletions would make them impossible
+        // (a missing local file has no sync stamp to compare). The
+        // guard is skippable for CI via GRAFT_DEPLOY_FORCE=1.
+        val force = sys.env.get("GRAFT_DEPLOY_FORCE").contains("1")
+        val stale = if (force) None else remote.find(r =>
+          local.get(r.id).exists(l =>
+            appsDiffer(l, r) && remoteNewer(r.updatedAt, l.sync)))
+        stale.map(r => s"remote app ${r.name} (${r.id}) was updated in prod; run `graft.Dev pull` first")
+          .toLeft(())
+      }
+      result <- {
+        val remoteById = remote.map(r => r.id -> r).toMap
+        val ordered = local.values.toSeq.sortBy(l => (l.path, l.name))
+        val creates = ordered.filterNot(l => remoteById.contains(l.id)).map(l =>
+          ("create", l.tpe, Seq("id" -> l.id, "name" -> l.name,
+            "path" -> l.path, "content" -> stripAppMeta(l.content))))
+        val updates = ordered.filter(l =>
+          remoteById.get(l.id).exists(appsDiffer(l, _))).map(l =>
+          ("update", l.tpe, Seq("id" -> l.id, "name" -> l.name,
+            "path" -> l.path, "content" -> stripAppMeta(l.content))))
+        val deletes = remote.filterNot(r => local.contains(r.id))
+          .sortBy(r => (r.path, r.name))
+          .map(r => ("delete", r.tpe, Seq("id" -> r.id)))
+        log(s"changes: create=${creates.size}, update=${updates.size}, delete=${deletes.size}")
+        client.deployBatch(deletes ++ updates ++ creates).map { res =>
+          if (creates.nonEmpty || updates.nonEmpty) restampSync(client, local, log)
+          res
+        }
+      }
+    } yield result
+  }
+
+  /** Post-deploy: refresh local `-- shapersync:` stamps from the
+    * server's new updatedAt values so the next deploy's staleness check
+    * passes without a pull (deploy.go:146-186). */
+  private def restampSync(client: AppsClient, local: Map[String, LocalApp],
+      log: String => Unit): Unit =
+    client.fetchApps() match {
+      case Left(err) => log(s"WARNING: could not refresh sync stamps: $err")
+      case Right(fresh) => fresh.foreach { r =>
+        local.get(r.id).foreach { l =>
+          parseInstant(r.updatedAt).foreach { at =>
+            val stamp = at.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
+            val body = stripAppMeta(new String(Files.readAllBytes(l.filePath), UTF_8))
+            Files.write(l.filePath,
+              prependAppMeta(l.id, Some(stamp), body).getBytes(UTF_8))
+          }
+        }
+      }
+    }
+
+  /** `graft.Dev pull <dir>`: write the server's apps into the directory
+    * (pull.go:21-360) — new apps are created, changed/stale ones
+    * overwritten, a moved app's old file removed, and local files whose
+    * SYNCED app vanished remotely deleted (an unstamped file is never
+    * deleted: it was authored locally, not pulled). Divergence,
+    * documented: no interactive confirmation — this CLI is
+    * non-interactive; callers diff first if they need a preview. */
+  def pull(dir: Path, client: AppsClient, log: String => Unit = _ => ()): Either[String, Int] =
+    for {
+      remote <- client.fetchApps()
+      localIds <- loadLocalAppsLenient(dir)
+      written <- {
+        // duplicate (folder, name) pairs cannot map to distinct files
+        val dup = remote.groupBy(r => (r.path,
+          sanitizeFileName(r.name), r.tpe)).values.find(_.size > 1)
+        if (dup.nonEmpty) {
+          val d = dup.get
+          Left(s"duplicate app name '${d.head.name}' in folder '${d.head.path}' — rename one before pulling")
+        } else {
+          var count = 0
+          remote.foreach { r =>
+            val suffix = if (r.tpe == "task") TaskSuffix else DashboardSuffix
+            val target = dir.resolve(r.path.stripPrefix("/"))
+              .resolve(sanitizeFileName(r.name) + suffix).toAbsolutePath.normalize
+            val existing = localIds.get(r.id)
+            val needsWrite = existing match {
+              case None => true
+              case Some(p) =>
+                val content = new String(Files.readAllBytes(p), UTF_8)
+                val meta = extractAppMeta(content)
+                p != target || remoteNewer(r.updatedAt, meta.sync) ||
+                  stripAppMeta(content) != r.content
+            }
+            if (needsWrite) {
+              Files.createDirectories(target.getParent)
+              val stamp = parseInstant(r.updatedAt)
+                .map(_.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)
+              Files.write(target,
+                prependAppMeta(r.id, stamp, r.content).getBytes(UTF_8))
+              existing.filter(_ != target).foreach { old =>
+                Files.deleteIfExists(old)
+                log(s"moved: $old -> $target")
+              }
+              count += 1
+              log(s"wrote ${r.path}${r.name}$suffix")
+            }
+          }
+          // synced local files whose app no longer exists remotely
+          val remoteIds = remote.map(_.id).toSet
+          localIds.foreach { case (id, p) =>
+            if (!remoteIds.contains(id)) {
+              val meta = extractAppMeta(new String(Files.readAllBytes(p), UTF_8))
+              if (meta.sync.nonEmpty) {
+                Files.deleteIfExists(p)
+                log(s"deleted (removed from prod): $p")
+              }
+            }
+          }
+          Right(count)
+        }
+      }
+    } yield written
+
+  /** id → file map that tolerates unstamped files (pull must not fail
+    * on a half-written local draft the way deploy does). */
+  private def loadLocalAppsLenient(dir: Path): Either[String, Map[String, Path]] = {
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Path]
+    Files.walkFileTree(dir, new SimpleFileVisitor[Path] {
+      override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
+        val fn = p.getFileName.toString
+        if (fn.endsWith(DashboardSuffix) || fn.endsWith(TaskSuffix)) {
+          val meta = extractAppMeta(new String(Files.readAllBytes(p), UTF_8))
+          meta.id.foreach(id => ids(id) = p.toAbsolutePath.normalize)
+        }
+        FileVisitResult.CONTINUE
+      }
+    })
+    Right(ids.toMap)
+  }
+
+  /** CLI: `graft.Dev [watch|deploy|pull|ids] <dir>` with GRAFT_BASE_URL
+    * (default http://localhost:5454, the reference's port) and
+    * GRAFT_TOKEN (an API key with the deploy permission, or a user
+    * session token). Bare `graft.Dev <dir>` means watch. */
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.orElse(sys.env.get("GRAFT_DEV_DIR")).getOrElse {
-      System.err.println("usage: graft.Dev <watch-dir> (or GRAFT_DEV_DIR)")
+    val (cmd, dirArg) = args.toList match {
+      case c :: d :: _ if Set("watch", "deploy", "pull", "ids")(c) => (c, Some(d))
+      case c :: Nil if Set("watch", "deploy", "pull", "ids")(c) => (c, sys.env.get("GRAFT_DEV_DIR"))
+      case d :: _ => ("watch", Some(d))
+      case Nil => ("watch", sys.env.get("GRAFT_DEV_DIR"))
+    }
+    val dir = dirArg.getOrElse {
+      System.err.println("usage: graft.Dev [watch|deploy|pull|ids] <dir> (or GRAFT_DEV_DIR)")
       sys.exit(2)
+    }
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) {
+      System.err.println(s"directory '$dir' does not exist")
+      sys.exit(2)
+    }
+    if (cmd == "ids") {
+      val n = ensureIdsForDir(root, println)
+      println(s"Done. Processed $n app${if (n == 1) "" else "s"}.")
+      return
     }
     val baseUrl = sys.env.getOrElse("GRAFT_BASE_URL", "http://localhost:5454")
     val token = sys.env.getOrElse("GRAFT_TOKEN", {
       System.err.println("GRAFT_TOKEN is required (deploy-permitted API key or session token)")
       sys.exit(2)
     })
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) {
-      System.err.println(s"watch directory '$dir' does not exist")
-      sys.exit(2)
+    cmd match {
+      case "deploy" =>
+        deploy(root, new AppsClient(baseUrl, token), println) match {
+          case Right(_) => println("Deploy completed.")
+          case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
+        }
+      case "pull" =>
+        pull(root, new AppsClient(baseUrl, token), println) match {
+          case Right(n) => println(s"Pull completed ($n files written).")
+          case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
+        }
+      case _ =>
+        val watcher = new Watcher(root, new HttpPusher(baseUrl, token), log = println)
+        val n = watcher.start()
+        println(s"Watching directory: $root")
+        println(s"Found $n app file${if (n == 1) "" else "s"} in watch directory.")
+        println()
+        println(s"Create or edit any file with the $DashboardSuffix extension in the watched directory.")
+        println("The filename before the extension is the dashboard name;")
+        println("sub-directories become folders. Saving deploys to " + baseUrl + ".")
+        // block until interrupted; the watch thread is a daemon
+        Thread.currentThread().join()
     }
-    val watcher = new Watcher(root, new HttpPusher(baseUrl, token), log = println)
-    val n = watcher.start()
-    println(s"Watching directory: $root")
-    println(s"Found $n app file${if (n == 1) "" else "s"} in watch directory.")
-    println()
-    println(s"Create or edit any file with the $DashboardSuffix extension in the watched directory.")
-    println("The filename before the extension is the dashboard name;")
-    println("sub-directories become folders. Saving deploys to " + baseUrl + ".")
-    // block until interrupted; the watch thread is a daemon
-    Thread.currentThread().join()
   }
 }

@@ -192,6 +192,88 @@ class DevSpec extends AnyFunSuite {
     }
   }
 
+  test("stripAppMeta removes the prefix and its blank separator only") {
+    assert(Dev.stripAppMeta("-- shaperid:x\n\nselect 1") == "select 1")
+    assert(Dev.stripAppMeta("-- shaperid:x\n-- shapersync:2026-01-01T00:00:00Z\n\nselect 1")
+      == "select 1")
+    // no metadata: untouched, including leading blank lines
+    assert(Dev.stripAppMeta("\nselect 1") == "\nselect 1")
+    assert(Dev.stripAppMeta("select 1") == "select 1")
+    // blank separator is only eaten when metadata was stripped
+    assert(Dev.stripAppMeta("-- shaperid:x\nselect 1") == "select 1")
+  }
+
+  test("deploy/pull round trip: create, update, stale guard, delete, move") {
+    val store = new StateJournal.MetaStore()
+    val (_, apiKey) = store.tokens.createApiKey("dp-key",
+      Seq(Tokens.Permission.Deploy), Tokens.Actor(Tokens.ActorType.User, "u1"))
+    val api = new HttpApi(spark, store, "dp-secret")
+    val port = api.start()
+    val dir = Files.createTempDirectory("graft-dev-deploy")
+    val pullDir = Files.createTempDirectory("graft-dev-pull")
+    val client = new Dev.AppsClient(s"http://127.0.0.1:$port", apiKey)
+    try {
+      // local tree: root dashboard + nested task
+      Files.write(dir.resolve("alpha.dashboard.sql"),
+        "-- shaperid:appalpha0000000000000001\n\nSELECT 'a'::LABEL;".getBytes(UTF_8))
+      val sub = Files.createDirectories(dir.resolve("jobs"))
+      Files.write(sub.resolve("nightly.task.sql"),
+        "-- shaperid:apptask00000000000000001\n\nSELECT 'init'::SCHEDULE;\nSELECT 1;".getBytes(UTF_8))
+      // deploy #1: both created, sync stamps written back
+      val r1 = Dev.deploy(dir, client)
+      assert(r1.isRight, r1)
+      assert(store.dashboards.contains("appalpha0000000000000001"))
+      assert(store.tasks.contains("apptask00000000000000001"))
+      val stamped = new String(Files.readAllBytes(dir.resolve("alpha.dashboard.sql")), UTF_8)
+      assert(stamped.contains("-- shapersync:"), stamped)
+      // deploy #2 with no changes: no ops, still Right
+      assert(Dev.deploy(dir, client).isRight)
+      // local edit → update flows (sync stamp keeps the guard green)
+      Files.write(dir.resolve("alpha.dashboard.sql"),
+        stamped.replace("'a'", "'a2'").getBytes(UTF_8))
+      assert(Dev.deploy(dir, client).isRight)
+      assert(store.dashboards("appalpha0000000000000001").content.contains("'a2'"))
+      // out-of-band prod edit in the FUTURE vs our stamp → stale guard
+      store.synchronized {
+        val d = store.dashboards("appalpha0000000000000001")
+        store.dashboards(d.id) = d.copy(content = "SELECT 'prod-edit'::LABEL;",
+          updatedAtMillis = System.currentTimeMillis() + 120000)
+      }
+      Files.write(dir.resolve("alpha.dashboard.sql"),
+        stamped.replace("'a'", "'a3'").getBytes(UTF_8))
+      val stale = Dev.deploy(dir, client)
+      assert(stale.isLeft && stale.left.exists(_.contains("pull")), stale)
+      // pull into a fresh dir: files land at path-derived locations
+      val pulled = Dev.pull(pullDir, client)
+      assert(pulled.isRight, pulled)
+      val pulledAlpha = pullDir.resolve("alpha.dashboard.sql")
+      assert(Files.exists(pulledAlpha))
+      assert(Files.exists(pullDir.resolve("jobs/nightly.task.sql")))
+      val pulledContent = new String(Files.readAllBytes(pulledAlpha), UTF_8)
+      assert(pulledContent.contains("prod-edit") && pulledContent.contains("-- shapersync:"))
+      // pull again: converged, nothing written
+      assert(Dev.pull(pullDir, client) == Right(0))
+      // deploy from the pulled dir with a local deletion → remote delete
+      Files.delete(pullDir.resolve("jobs/nightly.task.sql"))
+      assert(Dev.deploy(pullDir, client).isRight)
+      assert(!store.tasks.contains("apptask00000000000000001"))
+      // move remotely (new folder path) → pull relocates the local file
+      store.synchronized {
+        val d = store.dashboards("appalpha0000000000000001")
+        store.folders("fmove") = StateJournal.FolderMeta("fmove", "moved", None)
+        store.dashboards(d.id) = d.copy(folderId = Some("fmove"),
+          updatedAtMillis = System.currentTimeMillis() + 240000)
+      }
+      assert(Dev.pull(pullDir, client).exists(_ >= 1))
+      assert(!Files.exists(pulledAlpha))
+      assert(Files.exists(pullDir.resolve("moved/alpha.dashboard.sql")))
+    } finally {
+      api.stop()
+      deleteTree(dir)
+      deleteTree(pullDir)
+    }
+  }
+
   private def deleteTree(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
     Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
