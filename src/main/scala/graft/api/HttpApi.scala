@@ -606,11 +606,21 @@ final class HttpApi(
   private def pathParts(ex: HttpExchange, prefix: String): Array[String] =
     ex.getRequestURI.getPath.stripPrefix(prefix).split("/").filter(_.nonEmpty)
 
+  /** Folder names feed `/a/b/` path strings that clients (graft.Dev
+    * pull) turn back into filesystem paths — '.', '..', or an embedded
+    * separator would corrupt the path form or invite traversal, so
+    * reject them at the write boundary. */
+  private def validFolderName(name: String): Boolean =
+    name.nonEmpty && name != "." && name != ".." &&
+      !name.contains('/') && !name.contains('\\')
+
   /** POST /api/folders — create_folder with a generated id. */
   private def handleFolders(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
     if (!requireUserAuth(ex)) return
     val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+    if (!validFolderName(jStr(o, "name")))
+      return respond(ex, 400, jsonError("invalid folder name"))
     val id = store.tokens.newId()
     val parent = Some(jStr(o, "parentId")).filter(_.nonEmpty)
       .map(p => s""","parentId":${Model.jsonValue(p)}""").getOrElse("")
@@ -629,6 +639,8 @@ final class HttpApi(
         else respond(ex, 400, jsonError("delete rejected"))
       case ("POST", Array(id, "name")) =>
         val o = parsedBody(ex).getOrElse(return respond(ex, 400, jsonError("Invalid request body")))
+        if (!validFolderName(jStr(o, "name")))
+          return respond(ex, 400, jsonError("invalid folder name"))
         if (submitFn("rename_folder",
             s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(jStr(o, "name"))}}"""))
           ok(ex)
@@ -1258,6 +1270,8 @@ final class HttpApi(
     // atomic against concurrent deploys (or both mint the same folder
     // name twice), and the values iteration races apply() otherwise
     val segs = path.split("/").filter(_.nonEmpty)
+    segs.find(!validFolderName(_)).foreach(bad =>
+      return Left(s"invalid folder name '$bad' in path"))
     var parent: Option[String] = None
     segs.foreach { seg =>
       store.folders.values.find(f => f.parentId == parent && f.name == seg) match {

@@ -129,34 +129,23 @@ object Dev {
   /** HTTP client of `POST /api/deploy` (the server side HttpApi already
     * gates): update-first keyed on the stamped id, falling back to
     * create when the server has never seen it — the watch.go:225-250
-    * expired-dashboard recreate path, folded into deploy semantics. */
+    * expired-dashboard recreate path, folded into deploy semantics.
+    * One transport: delegates to [[AppsClient.deployBatch]]. */
   final class HttpPusher(baseUrl: String, token: String) extends AppPusher {
-    private val http = java.net.http.HttpClient.newHttpClient()
-    private val base = baseUrl.stripSuffix("/")
-
-    private def deploy(op: String, tpe: String, id: String, name: String,
-        folderPath: String, content: String): (Int, String) = {
-      val data = s"""{"id":${Model.jsonValue(id)},"name":${Model.jsonValue(name)},""" +
-        s""""path":${Model.jsonValue(folderPath)},"content":${Model.jsonValue(content)}}"""
-      val body = s"""{"apps":[{"operation":${Model.jsonValue(op)},""" +
-        s""""type":${Model.jsonValue(tpe)},"data":$data}]}"""
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + "/api/deploy"))
-        .header("Authorization", s"Bearer $token")
-        .header("Content-Type", "application/json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-        .build()
-      val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      (r.statusCode(), r.body())
-    }
+    private val client = new AppsClient(baseUrl, token)
 
     def push(tpe: String, id: String, name: String, folderPath: String,
         content: String): Either[String, String] = {
-      val (st, body) = deploy("update", tpe, id, name, folderPath, content)
-      if (st == 200) Right("updated")
-      else if (st == 400 && body.contains("not found")) {
-        val (st2, body2) = deploy("create", tpe, id, name, folderPath, content)
-        if (st2 == 200) Right("created") else Left(s"create failed ($st2): $body2")
-      } else Left(s"update failed ($st): $body")
+      val data = Seq("id" -> id, "name" -> name, "path" -> folderPath,
+        "content" -> content)
+      client.deployBatch(Seq(("update", tpe, data))) match {
+        case Right(_) => Right("updated")
+        case Left(err) if err.contains("not found") =>
+          client.deployBatch(Seq(("create", tpe, data)))
+            .map(_ => "created")
+            .left.map(e => s"create failed: $e")
+        case Left(err) => Left(s"update failed: $err")
+      }
     }
   }
 
@@ -298,7 +287,11 @@ object Dev {
       if (updated) log(s"Set id '$id' for file '$p'")
       if (isTask) return // id stamped; tasks deploy via `graft deploy`, not on save
       if (id.isEmpty) return // blank file — nothing to deploy yet
-      pusher.push("dashboard", id, name, fPath, content) match {
+      // push the metadata-STRIPPED body: the server never stores the id
+      // comment (deploy.go strips it the same way), and deploy/pull
+      // compare stripped local against raw remote — an unstripped watch
+      // push would make every dashboard look permanently divergent
+      pusher.push("dashboard", id, name, fPath, stripAppMeta(content)) match {
         case Right(status) => log(s"${status.capitalize} $fPath$name$DashboardSuffix")
         case Left(err) => log(s"ERROR: failed pushing '$p': $err")
       }
@@ -331,7 +324,6 @@ object Dev {
     val out = Vector.newBuilder[String]
     var inMeta = true
     var hadMeta = false
-    var kept = 0
     for ((line, i) <- lines.zipWithIndex) {
       val trimmed = line.trim
       val isMeta = inMeta &&
@@ -340,14 +332,24 @@ object Dev {
       else {
         if (inMeta) {
           inMeta = false
-          if (hadMeta && trimmed.isEmpty && kept == 0 && i < lines.length - 1) {
+          if (hadMeta && trimmed.isEmpty && i < lines.length - 1) {
             // skip the single blank separator after stripped metadata
-          } else { out += line; kept += 1 }
-        } else { out += line; kept += 1 }
+          } else out += line
+        } else out += line
       }
     }
     out.result().mkString("\n")
   }
+
+  /** Fixed point of a write/strip cycle: prependAppMeta turns a body
+    * starting with '\n' into metadata + that newline as the separator,
+    * and stripAppMeta then eats it — so `"\nselect 1"` never survives a
+    * round trip (the reference shares this asymmetry, watch_test.go's
+    * "content with leading newline keeps newline" case). Comparing
+    * canonical forms makes deploy/pull convergence structural instead
+    * of content-dependent. */
+  def canonicalBody(content: String): String =
+    stripAppMeta(prependAppMeta("z", None, content))
 
   /** Path-traversal-safe file name (pull.go:428-433). */
   def sanitizeFileName(name: String): String =
@@ -397,11 +399,11 @@ object Dev {
   }
 
   /** Does the local file disagree with the server copy in name, folder,
-    * or (metadata-stripped) content (deploy.go appsDiffer:420-430)? */
+    * or (canonicalized) content (deploy.go appsDiffer:420-430)? */
   def appsDiffer(local: LocalApp, remote: RemoteApp): Boolean =
     local.name != remote.name ||
       local.path != normalizeAppPath(remote.path.stripPrefix("/")) ||
-      stripAppMeta(local.content) != remote.content
+      canonicalBody(stripAppMeta(local.content)) != canonicalBody(remote.content)
 
   private def parseInstant(s: String): Option[java.time.Instant] =
     scala.util.Try(java.time.OffsetDateTime.parse(s).toInstant).toOption
@@ -421,14 +423,29 @@ object Dev {
     private val http = java.net.http.HttpClient.newHttpClient()
     private val base = baseUrl.stripSuffix("/")
 
-    private def send(method: String, path: String, body: String): (Int, String) = {
-      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
-        .header("Authorization", s"Bearer $token")
-      val req = (if (method == "GET") b.GET()
-        else b.header("Content-Type", "application/json")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))).build()
-      val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      (r.statusCode(), r.body())
+    /** status 0 = transport failure (connection refused, timeout) — a
+      * thrown IOException must surface as Left, not as a stack trace
+      * out of the CLI (and not AFTER a deploy batch already applied). */
+    private def send(method: String, path: String, body: String): (Int, String) =
+      try {
+        val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(base + path))
+          .header("Authorization", s"Bearer $token")
+        val req = (if (method == "GET") b.GET()
+          else b.header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))).build()
+        val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      } catch {
+        case e: Exception => (0, s"I/O error: ${Option(e.getMessage).getOrElse(e.toString)}")
+      }
+
+    /** tasksEnabled from the public system config — pull/deploy must
+      * know a task-less listing means "tasks disabled", not "every task
+      * was deleted remotely". */
+    def fetchTasksEnabled(): Either[String, Boolean] = {
+      val (st, body) = send("GET", "/api/system/config", "")
+      if (st != 200) Left(s"fetch system config failed ($st): $body")
+      else Right(body.contains("\"tasksEnabled\":true"))
     }
 
     def fetchApps(): Either[String, Seq[RemoteApp]] = {
@@ -474,8 +491,17 @@ object Dev {
     * a re-fetch, like deploy.go:146-186. */
   def deploy(dir: Path, client: AppsClient, log: String => Unit = _ => ()): Either[String, String] = {
     for {
+      tasksEnabled <- client.fetchTasksEnabled()
       remote <- client.fetchApps()
-      local <- loadLocalApps(dir)
+      localAll <- loadLocalApps(dir)
+      local = {
+        // a task-less listing from a tasksEnabled=false server means
+        // "tasks invisible", not "tasks deleted" — local task files
+        // must neither create (id-exists errors) nor delete anything
+        val skipped = localAll.values.filter(l => l.tpe == "task" && !tasksEnabled)
+        skipped.foreach(l => log(s"WARNING: skipping ${l.filePath} — tasks are disabled on this server"))
+        if (tasksEnabled) localAll else localAll.filter(_._2.tpe != "task")
+      }
       _ <- {
         // staleness guard on UPDATES only: the reference also guards
         // deletions but exempts same-actor edits (updatedBy == this
@@ -504,8 +530,10 @@ object Dev {
           .sortBy(r => (r.path, r.name))
           .map(r => ("delete", r.tpe, Seq("id" -> r.id)))
         log(s"changes: create=${creates.size}, update=${updates.size}, delete=${deletes.size}")
+        val changedIds = (creates ++ updates)
+          .flatMap(_._3.collectFirst { case ("id", v) => v }).toSet
         client.deployBatch(deletes ++ updates ++ creates).map { res =>
-          if (creates.nonEmpty || updates.nonEmpty) restampSync(client, local, log)
+          if (changedIds.nonEmpty) restampSync(client, local, changedIds, log)
           res
         }
       }
@@ -514,12 +542,15 @@ object Dev {
 
   /** Post-deploy: refresh local `-- shapersync:` stamps from the
     * server's new updatedAt values so the next deploy's staleness check
-    * passes without a pull (deploy.go:146-186). */
+    * passes without a pull (deploy.go:146-186). Only the files this
+    * deploy actually created/updated are rewritten — restamping the
+    * whole tree would churn mtimes and, with a concurrent `watch` on
+    * the same directory, trigger a redeploy storm. */
   private def restampSync(client: AppsClient, local: Map[String, LocalApp],
-      log: String => Unit): Unit =
+      changedIds: Set[String], log: String => Unit): Unit =
     client.fetchApps() match {
       case Left(err) => log(s"WARNING: could not refresh sync stamps: $err")
-      case Right(fresh) => fresh.foreach { r =>
+      case Right(fresh) => fresh.filter(r => changedIds.contains(r.id)).foreach { r =>
         local.get(r.id).foreach { l =>
           parseInstant(r.updatedAt).foreach { at =>
             val stamp = at.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
@@ -540,6 +571,7 @@ object Dev {
     * non-interactive; callers diff first if they need a preview. */
   def pull(dir: Path, client: AppsClient, log: String => Unit = _ => ()): Either[String, Int] =
     for {
+      tasksEnabled <- client.fetchTasksEnabled()
       remote <- client.fetchApps()
       localIds <- loadLocalAppsLenient(dir)
       written <- {
@@ -550,60 +582,91 @@ object Dev {
           val d = dup.get
           Left(s"duplicate app name '${d.head.name}' in folder '${d.head.path}' — rename one before pulling")
         } else {
+          val root = dir.toAbsolutePath.normalize
           var count = 0
-          remote.foreach { r =>
+          var err: Option[String] = None
+          val writtenTargets = scala.collection.mutable.Set.empty[Path]
+          remote.foreach { r => if (err.isEmpty) {
             val suffix = if (r.tpe == "task") TaskSuffix else DashboardSuffix
-            val target = dir.resolve(r.path.stripPrefix("/"))
-              .resolve(sanitizeFileName(r.name) + suffix).toAbsolutePath.normalize
-            val existing = localIds.get(r.id)
-            val needsWrite = existing match {
-              case None => true
-              case Some(p) =>
-                val content = new String(Files.readAllBytes(p), UTF_8)
-                val meta = extractAppMeta(content)
-                p != target || remoteNewer(r.updatedAt, meta.sync) ||
-                  stripAppMeta(content) != r.content
-            }
-            if (needsWrite) {
-              Files.createDirectories(target.getParent)
-              val stamp = parseInstant(r.updatedAt)
-                .map(_.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)
-              Files.write(target,
-                prependAppMeta(r.id, stamp, r.content).getBytes(UTF_8))
-              existing.filter(_ != target).foreach { old =>
-                Files.deleteIfExists(old)
-                log(s"moved: $old -> $target")
+            // sanitize every path segment AND verify containment: a
+            // folder the server names '..' (nothing stops a user or a
+            // malicious server) must not let pull write outside `dir`
+            val relSegs = r.path.split("/").filter(_.nonEmpty).map(sanitizeFileName)
+            val target = relSegs.foldLeft(root)(_.resolve(_))
+              .resolve(sanitizeFileName(r.name) + suffix).normalize
+            if (!target.startsWith(root)) {
+              err = Some(s"refusing to write outside the pull directory: app '${r.name}' path '${r.path}'")
+            } else {
+              val existing = localIds.get(r.id).map(_._1)
+              val needsWrite = existing match {
+                case None => true
+                case Some(p) =>
+                  val content = new String(Files.readAllBytes(p), UTF_8)
+                  val meta = extractAppMeta(content)
+                  p != target || remoteNewer(r.updatedAt, meta.sync) ||
+                    canonicalBody(stripAppMeta(content)) != canonicalBody(r.content)
               }
-              count += 1
-              log(s"wrote ${r.path}${r.name}$suffix")
+              if (needsWrite) {
+                existing.foreach { p =>
+                  val meta = extractAppMeta(new String(Files.readAllBytes(p), UTF_8))
+                  if (meta.sync.isEmpty)
+                    log(s"WARNING: overwriting local unstamped changes in $p")
+                }
+                Files.createDirectories(target.getParent)
+                val stamp = parseInstant(r.updatedAt)
+                  .map(_.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)
+                Files.write(target,
+                  prependAppMeta(r.id, stamp, r.content).getBytes(UTF_8))
+                writtenTargets += target
+                // a case-only rename on a case-insensitive filesystem
+                // makes old and target distinct Paths over the SAME
+                // file — deleting "old" would delete the fresh write
+                existing.filter(old => old != target &&
+                    !(Files.exists(old) && Files.exists(target) &&
+                      Files.isSameFile(old, target)))
+                  .foreach { old =>
+                    Files.deleteIfExists(old)
+                    log(s"moved: $old -> $target")
+                  }
+                count += 1
+                log(s"wrote ${r.path}${r.name}$suffix")
+              }
             }
-          }
-          // synced local files whose app no longer exists remotely
-          val remoteIds = remote.map(_.id).toSet
-          localIds.foreach { case (id, p) =>
-            if (!remoteIds.contains(id)) {
-              val meta = extractAppMeta(new String(Files.readAllBytes(p), UTF_8))
-              if (meta.sync.nonEmpty) {
+          }}
+          err.toLeft {
+            // previously-SYNCED local files whose app vanished remotely
+            // (an unstamped file was authored locally — never deleted).
+            // Decisions use the PRE-write scan: a remote app that
+            // reuses a deleted app's file name must not have its fresh
+            // write deleted; a tasks-disabled server hides tasks from
+            // the listing without deleting them.
+            val remoteIds = remote.map(_.id).toSet
+            localIds.foreach { case (id, (p, sync)) =>
+              val isTask = p.getFileName.toString.endsWith(TaskSuffix)
+              if (!remoteIds.contains(id) && sync.nonEmpty &&
+                  !writtenTargets.contains(p) && (tasksEnabled || !isTask)) {
                 Files.deleteIfExists(p)
                 log(s"deleted (removed from prod): $p")
               }
             }
+            count
           }
-          Right(count)
         }
       }
     } yield written
 
-  /** id → file map that tolerates unstamped files (pull must not fail
-    * on a half-written local draft the way deploy does). */
-  private def loadLocalAppsLenient(dir: Path): Either[String, Map[String, Path]] = {
-    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Path]
+  /** id → (file, sync stamp) map that tolerates unstamped files (pull
+    * must not fail on a half-written local draft the way deploy does).
+    * The sync stamp is captured HERE, pre-write, so the delete phase
+    * never judges a file by content pull itself just wrote. */
+  private def loadLocalAppsLenient(dir: Path): Either[String, Map[String, (Path, Option[String])]] = {
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, (Path, Option[String])]
     Files.walkFileTree(dir, new SimpleFileVisitor[Path] {
       override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
         val fn = p.getFileName.toString
         if (fn.endsWith(DashboardSuffix) || fn.endsWith(TaskSuffix)) {
           val meta = extractAppMeta(new String(Files.readAllBytes(p), UTF_8))
-          meta.id.foreach(id => ids(id) = p.toAbsolutePath.normalize)
+          meta.id.foreach(id => ids(id) = (p.toAbsolutePath.normalize, meta.sync))
         }
         FileVisitResult.CONTINUE
       }

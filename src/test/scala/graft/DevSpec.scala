@@ -163,6 +163,9 @@ class DevSpec extends AnyFunSuite {
       val id = Dev.extractAppMeta(new String(Files.readAllBytes(f), UTF_8)).id.get
       assert(store.dashboards.contains(id))
       assert(store.dashboards(id).content.contains("'v1'"))
+      // the server stores the metadata-STRIPPED body (deploy.go parity;
+      // deploy/pull comparisons depend on it)
+      assert(!store.dashboards(id).content.contains("shaperid"))
       // update: same id, new content version visible through /api/apps
       Files.write(f, (new String(Files.readAllBytes(f), UTF_8))
         .replace("'v1'", "'v2'").getBytes(UTF_8))
@@ -272,6 +275,68 @@ class DevSpec extends AnyFunSuite {
       deleteTree(dir)
       deleteTree(pullDir)
     }
+  }
+
+  test("pull safety: traversal refusal, tasks-disabled survival, reused-name no self-delete") {
+    val store = new StateJournal.MetaStore()
+    val (_, apiKey) = store.tokens.createApiKey("ps-key",
+      Seq(Tokens.Permission.Deploy), Tokens.Actor(Tokens.ActorType.User, "u1"))
+    // tasks disabled: the listing hides tasks; pull must not read that
+    // as "every task was deleted remotely"
+    val api = new HttpApi(spark, store, "ps-secret",
+      config = HttpApi.Config(tasksEnabled = false))
+    val port = api.start()
+    val dir = Files.createTempDirectory("graft-dev-safety")
+    val client = new Dev.AppsClient(s"http://127.0.0.1:$port", apiKey)
+    try {
+      // a synced local task file + a synced local dashboard whose id no
+      // longer exists remotely but whose NAME a new remote app reuses
+      Files.write(dir.resolve("job.task.sql"),
+        "-- shaperid:tasklocal000000000000001\n-- shapersync:2026-01-01T00:00:00Z\n\nSELECT 1;".getBytes(UTF_8))
+      Files.write(dir.resolve("alpha.dashboard.sql"),
+        "-- shaperid:deadapp00000000000000001\n-- shapersync:2026-01-01T00:00:00Z\n\nSELECT 'old';".getBytes(UTF_8))
+      store.dashboards("newapp000000000000000001") = StateJournal.DashboardMeta(
+        "newapp000000000000000001", "alpha", "SELECT 'new'::LABEL;",
+        None, None, System.currentTimeMillis(), "u1")
+      val r = Dev.pull(dir, client)
+      assert(r.isRight, r)
+      // task survived (tasks disabled ≠ deleted); dead dashboard's file
+      // now carries the NEW app — it must not be deleted post-write
+      assert(Files.exists(dir.resolve("job.task.sql")))
+      val alpha = new String(Files.readAllBytes(dir.resolve("alpha.dashboard.sql")), UTF_8)
+      assert(alpha.contains("newapp000000000000000001") && alpha.contains("'new'"), alpha)
+      // converged on the second run
+      assert(Dev.pull(dir, client) == Right(0))
+      // a folder named '..' (injected past the API's validation, as a
+      // malicious server could) must refuse, not write outside dir
+      store.folders("evil") = StateJournal.FolderMeta("evil", "..", None)
+      store.dashboards("evilapp00000000000000001") = StateJournal.DashboardMeta(
+        "evilapp00000000000000001", "pwn", "SELECT 1;",
+        Some("evil"), None, System.currentTimeMillis(), "u1")
+      val evil = Dev.pull(dir, client)
+      assert(evil.isLeft && evil.left.exists(_.contains("outside")), evil)
+      assert(!Files.exists(dir.getParent.resolve("pwn.dashboard.sql")))
+      // the API itself rejects such folder names outright
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/deploy"))
+          .header("Authorization", s"Bearer $apiKey")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"apps":[{"operation":"create","type":"dashboard",
+               "data":{"id":"x1","name":"n","path":"/../","content":"SELECT 1;"}}]}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 400 && resp.body().contains("invalid folder name"), resp.body())
+    } finally {
+      api.stop()
+      deleteTree(dir)
+    }
+  }
+
+  test("canonicalBody makes leading-blank content converge") {
+    // "\nselect 1" can't round-trip prepend/strip (reference-shared
+    // asymmetry) — canonical comparison must treat the forms as equal
+    assert(Dev.canonicalBody("\nselect 1") == Dev.canonicalBody("select 1"))
+    assert(Dev.canonicalBody("select 1\n\nselect 2")
+      == "select 1\n\nselect 2") // interior blanks preserved
   }
 
   private def deleteTree(p: Path): Unit = {
