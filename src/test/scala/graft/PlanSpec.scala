@@ -52,6 +52,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
   }
 
+  test("dec01 decontamination: benchmark gram set broadcast, corpus side never sort-merges") {
+    // the benchmark set must ride a broadcast (it is ≪ corpus by
+    // construction); a sort-merge join here would shuffle the full
+    // exploded corpus gram stream at 100 TB
+    val df = graft.queries.PipelineOps.defs("dec01_decontaminate")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "benchmark join must be broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus gram stream must not shuffle for the benchmark join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t08 repetition metrics: doc-local, no explode/groupBy shuffle besides the final sort") {
+    // bigram run-counting happens inside the row (array_sort +
+    // aggregate HOF) — the only Exchange allowed is the presentation
+    // orderBy's range partitioning
+    val df = graft.queries.PipelineOps.defs("t08_repetition_metrics")(spark, dir)
+    val plan = planOf(df)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Generate"), "no explode should appear in a doc-local metric")
+    assert(!plan.contains("HashAggregate") || !plan.contains("Generate"),
+      "per-doc bigram counting must not be explode+groupBy")
+  }
+
   test("p01 composed pipeline prunes the documents scan to (doc_id, text), no cartesian") {
     val df = graft.queries.PipelineOps.defs("p01_pipeline_e2e")(spark, dir)
     val plan = planOf(df)
