@@ -293,9 +293,19 @@ final class HttpApi(
     * (validate.go:25-70; dashboard-scoped JWTs are rejected). */
   private def handleValidate(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
-    requireJwt(ex).foreach { claims =>
-      if (claims.dashboardId.isDefined)
-        return respond(ex, 401, jsonError("Unauthorized"))
+    // jwtOrAPIKey + deploy permission, like /api/deploy (the reference
+    // gates validate the same way, routes.go:175) — the dev CLI's
+    // `validate` command runs under a CI deploy key
+    val isApiKey = bearer(ex).exists(Tokens.isApiKeyToken)
+    val authed =
+      if (isApiKey) requireApiKey(ex, Tokens.Permission.Deploy).isDefined
+      else requireJwt(ex) match {
+        case Some(claims) if claims.dashboardId.isDefined =>
+          respond(ex, 401, jsonError("Unauthorized")); false
+        case Some(_) => true
+        case None => false
+      }
+    if (authed) {
       val (tpe, sql) = try {
         val o = SchemaInfer.parseOrdered(body(ex))
         def str(k: String) = o.map.get(k).collect { case SchemaInfer.JString(s) => s }.getOrElse("")

@@ -448,6 +448,21 @@ object Dev {
       else Right(body.contains("\"tasksEnabled\":true"))
     }
 
+    /** Server-side dashboard validation (`POST /api/validate`);
+      * Right((valid, errorOrEmpty)). */
+    def validate(sql: String): Either[String, (Boolean, String)] = {
+      val (st, body) = send("POST", "/api/validate",
+        s"""{"type":"dashboard","sql":${Model.jsonValue(sql)}}""")
+      if (st != 200) Left(s"validate failed ($st): $body")
+      else {
+        import graft.ingest.SchemaInfer._
+        val o = parseOrdered(body)
+        val valid = o.map.get("valid").contains(JBool(true))
+        val err = o.map.get("error").collect { case JString(v) => v }.getOrElse("")
+        Right((valid, err))
+      }
+    }
+
     def fetchApps(): Either[String, Seq[RemoteApp]] = {
       val (st, body) = send("GET", "/api/apps?recursive=true&include_content=true", "")
       if (st != 200) return Left(s"fetch apps failed ($st): $body")
@@ -655,6 +670,35 @@ object Dev {
       }
     } yield written
 
+  /** `graft.Dev validate <dir>`: run every dashboard file through the
+    * server's `POST /api/validate` (ref: dev/validate.go:22-215 — the
+    * CI pre-deploy check). Returns the invalid files; Left only on
+    * transport/auth failure. Task files are skipped like the reference
+    * ("task validation is currently not supported"). */
+  def validate(dir: Path, client: AppsClient,
+      log: String => Unit = _ => ()): Either[String, Seq[(Path, String)]] = {
+    val files = Vector.newBuilder[Path]
+    Files.walkFileTree(dir, new SimpleFileVisitor[Path] {
+      override def visitFile(p: Path, attrs: BasicFileAttributes): FileVisitResult = {
+        if (p.getFileName.toString.endsWith(DashboardSuffix)) files += p
+        FileVisitResult.CONTINUE
+      }
+    })
+    val results = Vector.newBuilder[(Path, String)]
+    var transportErr: Option[String] = None
+    files.result().foreach { p => if (transportErr.isEmpty) {
+      val sql = stripAppMeta(new String(Files.readAllBytes(p), UTF_8))
+      client.validate(sql) match {
+        case Left(err) => transportErr = Some(err)
+        case Right((true, _)) => log(s"ok: $p")
+        case Right((false, err)) =>
+          log(s"INVALID: $p — $err")
+          results += (p -> err)
+      }
+    }}
+    transportErr.toLeft(results.result())
+  }
+
   /** id → (file, sync stamp) map that tolerates unstamped files (pull
     * must not fail on a half-written local draft the way deploy does).
     * The sync stamp is captured HERE, pre-write, so the delete phase
@@ -679,14 +723,15 @@ object Dev {
     * GRAFT_TOKEN (an API key with the deploy permission, or a user
     * session token). Bare `graft.Dev <dir>` means watch. */
   def main(args: Array[String]): Unit = {
+    val commands = Set("watch", "deploy", "pull", "ids", "validate")
     val (cmd, dirArg) = args.toList match {
-      case c :: d :: _ if Set("watch", "deploy", "pull", "ids")(c) => (c, Some(d))
-      case c :: Nil if Set("watch", "deploy", "pull", "ids")(c) => (c, sys.env.get("GRAFT_DEV_DIR"))
+      case c :: d :: _ if commands(c) => (c, Some(d))
+      case c :: Nil if commands(c) => (c, sys.env.get("GRAFT_DEV_DIR"))
       case d :: _ => ("watch", Some(d))
       case Nil => ("watch", sys.env.get("GRAFT_DEV_DIR"))
     }
     val dir = dirArg.getOrElse {
-      System.err.println("usage: graft.Dev [watch|deploy|pull|ids] <dir> (or GRAFT_DEV_DIR)")
+      System.err.println("usage: graft.Dev [watch|deploy|pull|ids|validate] <dir> (or GRAFT_DEV_DIR)")
       sys.exit(2)
     }
     val root = Paths.get(dir)
@@ -713,6 +758,14 @@ object Dev {
       case "pull" =>
         pull(root, new AppsClient(baseUrl, token), println) match {
           case Right(n) => println(s"Pull completed ($n files written).")
+          case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
+        }
+      case "validate" =>
+        validate(root, new AppsClient(baseUrl, token), println) match {
+          case Right(Seq()) => println("All dashboards valid.")
+          case Right(bad) =>
+            System.err.println(s"${bad.size} invalid dashboard(s).")
+            sys.exit(1)
           case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
         }
       case _ =>

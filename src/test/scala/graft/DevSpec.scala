@@ -331,6 +331,30 @@ class DevSpec extends AnyFunSuite {
     }
   }
 
+  test("validate command: per-file server-side validation under a deploy key") {
+    val store = new StateJournal.MetaStore()
+    val (_, apiKey) = store.tokens.createApiKey("v-key",
+      Seq(Tokens.Permission.Deploy), Tokens.Actor(Tokens.ActorType.User, "u1"))
+    val api = new HttpApi(spark, store, "v-secret")
+    val port = api.start()
+    val dir = Files.createTempDirectory("graft-dev-validate")
+    try {
+      Files.write(dir.resolve("good.dashboard.sql"),
+        "-- shaperid:goodapp00000000000000001\n\nSELECT 1 AS one;".getBytes(UTF_8))
+      Files.write(dir.resolve("bad.dashboard.sql"),
+        "-- shaperid:badapp000000000000000001\n\nSELECT * FROM table_that_is_missing;".getBytes(UTF_8))
+      Files.write(dir.resolve("skip.task.sql"), "SELECT 1;".getBytes(UTF_8))
+      val r = Dev.validate(dir, new Dev.AppsClient(s"http://127.0.0.1:$port", apiKey))
+      assert(r.isRight, r)
+      val bad = r.toOption.get
+      assert(bad.map(_._1.getFileName.toString) == Seq("bad.dashboard.sql"))
+      assert(bad.head._2.nonEmpty) // server's error message surfaced
+    } finally {
+      api.stop()
+      deleteTree(dir)
+    }
+  }
+
   test("canonicalBody makes leading-blank content converge") {
     // "\nselect 1" can't round-trip prepend/strip (reference-shared
     // asymmetry) — canonical comparison must treat the forms as equal
