@@ -293,19 +293,7 @@ final class HttpApi(
     * (validate.go:25-70; dashboard-scoped JWTs are rejected). */
   private def handleValidate(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
-    // jwtOrAPIKey + deploy permission, like /api/deploy (the reference
-    // gates validate the same way, routes.go:175) — the dev CLI's
-    // `validate` command runs under a CI deploy key
-    val isApiKey = bearer(ex).exists(Tokens.isApiKeyToken)
-    val authed =
-      if (isApiKey) requireApiKey(ex, Tokens.Permission.Deploy).isDefined
-      else requireJwt(ex) match {
-        case Some(claims) if claims.dashboardId.isDefined =>
-          respond(ex, 401, jsonError("Unauthorized")); false
-        case Some(_) => true
-        case None => false
-      }
-    if (authed) {
+    if (requireDeployKeyOrUser(ex)) {
       val (tpe, sql) = try {
         val o = SchemaInfer.parseOrdered(body(ex))
         def str(k: String) = o.map.get(k).collect { case SchemaInfer.JString(s) => s }.getOrElse("")
@@ -512,6 +500,16 @@ final class HttpApi(
       }
     }
   }
+
+  /** Deploy-permitted API key, or user-level auth — the gate shared by
+    * /api/deploy, /api/apps, and /api/validate (the reference's
+    * jwtOrAPIKeyMiddleware + RequirePermission(Deploy) combo,
+    * routes.go:174-179). One definition: this policy drifted once when
+    * hand-copied per route. */
+  private def requireDeployKeyOrUser(ex: HttpExchange): Boolean =
+    if (bearer(ex).exists(Tokens.isApiKeyToken))
+      requireApiKey(ex, Tokens.Permission.Deploy).isDefined
+    else requireUserAuth(ex)
 
   /** User-level auth for control-plane writes (the reference's
     * apiWithAuth group): a valid session token, or a JWT that is NOT
@@ -1131,14 +1129,7 @@ final class HttpApi(
     * same data the reference pulls from its apps table. */
   private def handleApps(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
-    // jwtOrAPIKey + deploy permission, exactly like /api/deploy: the
-    // reference gates the listing the same way (routes.go:179) so a
-    // CI deploy key can fetch remote state for its diff
-    val isApiKey = bearer(ex).exists(Tokens.isApiKeyToken)
-    val authed =
-      if (isApiKey) requireApiKey(ex, Tokens.Permission.Deploy).isDefined
-      else requireUserAuth(ex)
-    if (!authed) return
+    if (!requireDeployKeyOrUser(ex)) return
     val q = queryParams(ex)
     def p(k: String): String = q.get(k).flatMap(_.headOption).getOrElse("")
     def boolParam(k: String): Either[String, Boolean] = p(k) match {
@@ -1304,14 +1295,10 @@ final class HttpApi(
     * applied (the reference loops the same way — no transaction). */
   private def handleDeploy(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
-    // jwtOrAPIKey: an API key needs the deploy permission; otherwise a
-    // user session / non-dashboard JWT. NoEdit blocks only USER actors —
-    // a deploy-permitted API key still deploys (deploy.go:41-46).
+    // NoEdit blocks only USER actors — a deploy-permitted API key still
+    // deploys (deploy.go:41-46).
     val isApiKey = bearer(ex).exists(Tokens.isApiKeyToken)
-    val authed =
-      if (isApiKey) requireApiKey(ex, Tokens.Permission.Deploy).isDefined
-      else requireUserAuth(ex)
-    if (!authed) return
+    if (!requireDeployKeyOrUser(ex)) return
     if (!config.editEnabled && !isApiKey)
       return respond(ex, 403, jsonError("User deployment is disabled on this server because editing is disabled"))
     val o = parsedBody(ex).getOrElse(

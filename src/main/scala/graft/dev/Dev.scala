@@ -687,8 +687,11 @@ object Dev {
     val results = Vector.newBuilder[(Path, String)]
     var transportErr: Option[String] = None
     files.result().foreach { p => if (transportErr.isEmpty) {
-      val sql = stripAppMeta(new String(Files.readAllBytes(p), UTF_8))
-      client.validate(sql) match {
+      // an unreadable file (permissions, deleted mid-walk) is a Left,
+      // not an uncaught stack trace — the doc promise of this function
+      val sqlOrErr = try Right(stripAppMeta(new String(Files.readAllBytes(p), UTF_8)))
+        catch { case e: java.io.IOException => Left(s"cannot read $p: ${e.getMessage}") }
+      sqlOrErr.flatMap(client.validate) match {
         case Left(err) => transportErr = Some(err)
         case Right((true, _)) => log(s"ok: $p")
         case Right((false, err)) =>
@@ -718,7 +721,7 @@ object Dev {
     Right(ids.toMap)
   }
 
-  /** CLI: `graft.Dev [watch|deploy|pull|ids] <dir>` with GRAFT_BASE_URL
+  /** CLI: `graft.Dev [watch|deploy|pull|ids|validate] <dir>` with GRAFT_BASE_URL
     * (default http://localhost:5454, the reference's port) and
     * GRAFT_TOKEN (an API key with the deploy permission, or a user
     * session token). Bare `graft.Dev <dir>` means watch. */

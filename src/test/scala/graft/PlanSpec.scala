@@ -73,8 +73,8 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$plan")
     assert(!plan.contains("Generate"), "no explode should appear in a doc-local metric")
-    assert(!plan.contains("HashAggregate") || !plan.contains("Generate"),
-      "per-doc bigram counting must not be explode+groupBy")
+    assert(!plan.contains("HashAggregate"),
+      "per-doc bigram counting must stay inside the row, not a groupBy")
   }
 
   test("p01 composed pipeline prunes the documents scan to (doc_id, text), no cartesian") {
