@@ -77,6 +77,16 @@ class PlanSpec extends AnyFunSuite {
       "per-doc bigram counting must stay inside the row, not a groupBy")
   }
 
+  test("s05/t09: quantization and redaction are pure maps — at most the orderBy exchange") {
+    Seq("s05_embedding_quantize", "t09_pii_redact").foreach { name =>
+      val plan = planOf(graft.queries.PipelineOps.defs(name)(spark, dir))
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"$name: expected at most the orderBy exchange, got $exchanges")
+      assert(!plan.contains("Generate"), s"$name must not explode")
+      assert(!plan.contains("HashAggregate"), s"$name must not shuffle an aggregation")
+    }
+  }
+
   test("p01 composed pipeline prunes the documents scan to (doc_id, text), no cartesian") {
     val df = graft.queries.PipelineOps.defs("p01_pipeline_e2e")(spark, dir)
     val plan = planOf(df)
