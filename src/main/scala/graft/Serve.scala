@@ -17,6 +17,9 @@ import graft.tasks.{TaskScheduler, Tasks}
   *   3. init tasks re-run shallow-folder-first (GetInitTasks order),
   *      then every stored task (re)scheduled from its SCHEDULE rows,
   *   4. optional daily parquet snapshots (GRAFT_SNAPSHOT_TIME=HH:mm),
+  *      with restore-on-boot when the managed catalog is empty
+  *      (snapshots/restore.go; opt out via GRAFT_RESTORE_ON_BOOT=0);
+  *      multi-node fires dedup through GRAFT_CLAIM_DIR,
   *   5. the full HTTP router on GRAFT_PORT (reference default 5454);
   *      first boot is claimed through `POST /api/auth/setup`.
   *
@@ -48,18 +51,40 @@ object Serve {
     val runsReplayed = taskRuns.boot()
     println(s"[serve] state replayed: $replayed events, $runsReplayed task runs from $stateDir")
 
+    // GRAFT_CLAIM_DIR (a shared directory) turns on multi-node dedup
+    // for task runs AND snapshot fires: every node runs the timers, and
+    // a `single` fire executes on one node per (task, runAt) claim.
+    // Like the reference's taskId+runAt msg-id scheme, cross-node dedup
+    // requires the schedule to evaluate to ALIGNED times (fixed
+    // timestamps, bucket-aligned expressions) — `now() + INTERVAL` is a
+    // per-node clock and fires per node on either engine
+    val queue = sys.env.get("GRAFT_CLAIM_DIR").map(dir =>
+      new graft.tasks.FsWorkQueue(dir, spark.sparkContext.hadoopConfiguration))
+
+    // snapshots BEFORE task scheduling: the reference restores the
+    // latest snapshot when the database is missing at boot
+    // (snapshots/restore.go:31-49) and only then runs init tasks — here
+    // the analog of "database missing" is an empty managed catalog.
+    // Opt out with GRAFT_RESTORE_ON_BOOT=0 (EnableRestore).
+    val snapshots = sys.env.get("GRAFT_SNAPSHOT_TIME").map { hhmm =>
+      val svc = new graft.snapshots.SnapshotService(spark,
+        new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm,
+        queue = queue.getOrElse(new graft.tasks.TaskWorkQueue))
+      val restoreEnabled = !sys.env.get("GRAFT_RESTORE_ON_BOOT").contains("0")
+      val catalogEmpty = spark.catalog.listTables().isEmpty
+      if (restoreEnabled && catalogEmpty) {
+        val restored = svc.restoreLatest()
+        if (restored.nonEmpty)
+          println(s"[serve] restored ${restored.size} tables from the latest snapshot")
+      }
+      svc.start()
+      println(s"[serve] daily snapshots at $hhmm UTC")
+      svc
+    }
+
     // init tasks first (parents before subfolders), then everything on
     // its own SCHEDULE; results feed the task-runs journal so the next
     // boot re-derives the same picture
-    // GRAFT_CLAIM_DIR (a shared directory) turns on multi-node task
-    // dedup: every node runs the timers, and a `single` fire executes
-    // on one node per (task, runAt) claim. Like the reference's
-    // taskId+runAt msg-id scheme, cross-node dedup requires the
-    // schedule to evaluate to ALIGNED times (fixed timestamps,
-    // bucket-aligned expressions) — `now() + INTERVAL` is a per-node
-    // clock and fires per node on either engine
-    val queue = sys.env.get("GRAFT_CLAIM_DIR").map(dir =>
-      new graft.tasks.FsWorkQueue(dir, spark.sparkContext.hadoopConfiguration))
     val scheduler = new TaskScheduler(spark, runLog = Some(taskRuns),
       queue = queue)
     val initial = Tasks.initTasks(app.store, taskRuns)
@@ -70,14 +95,6 @@ object Serve {
       .foreach(t => scheduler.schedule(t.id, t.content))
     println(s"[serve] scheduled ${initial.size} init + " +
       s"${app.store.tasks.size - initial.size} stored tasks")
-
-    val snapshots = sys.env.get("GRAFT_SNAPSHOT_TIME").map { hhmm =>
-      val svc = new graft.snapshots.SnapshotService(spark,
-        new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm)
-      svc.start()
-      println(s"[serve] daily snapshots at $hhmm UTC")
-      svc
-    }
 
     // static iff the operator pinned it — clients read this flag to
     // decide whether JWTs survive restarts (system.go:12-24)

@@ -733,8 +733,27 @@ object Dev {
       case d :: _ => ("watch", Some(d))
       case Nil => ("watch", sys.env.get("GRAFT_DEV_DIR"))
     }
-    val dir = dirArg.getOrElse {
-      System.err.println("usage: graft.Dev [watch|deploy|pull|ids|validate] <dir> (or GRAFT_DEV_DIR)")
+    // config-file fallback (the reference's shaper.json, config.go):
+    // {"url": "...", "directory": "..."} read from GRAFT_DEV_CONFIG or
+    // ./graft.json; explicit args/env always win
+    val configFile = sys.env.get("GRAFT_DEV_CONFIG").map(Paths.get(_))
+      .orElse(Some(Paths.get("graft.json")).filter(Files.isRegularFile(_)))
+    val config: Map[String, String] = configFile
+      .filter(Files.isRegularFile(_))
+      .flatMap { p =>
+        try {
+          import graft.ingest.SchemaInfer._
+          val o = parseOrdered(new String(Files.readAllBytes(p), UTF_8))
+          Some(o.fields.collect { case (k, JString(v)) => k -> v }.toMap)
+        } catch {
+          case e: Exception =>
+            System.err.println(s"WARNING: ignoring unreadable config $p: ${e.getMessage}")
+            None
+        }
+      }.getOrElse(Map.empty)
+    val dir = dirArg.orElse(config.get("directory")).getOrElse {
+      System.err.println("usage: graft.Dev [watch|deploy|pull|ids|validate] <dir> " +
+        "(or GRAFT_DEV_DIR, or \"directory\" in graft.json)")
       sys.exit(2)
     }
     val root = Paths.get(dir)
@@ -747,7 +766,8 @@ object Dev {
       println(s"Done. Processed $n app${if (n == 1) "" else "s"}.")
       return
     }
-    val baseUrl = sys.env.getOrElse("GRAFT_BASE_URL", "http://localhost:5454")
+    val baseUrl = sys.env.get("GRAFT_BASE_URL").orElse(config.get("url"))
+      .getOrElse("http://localhost:5454")
     val token = sys.env.getOrElse("GRAFT_TOKEN", {
       System.err.println("GRAFT_TOKEN is required (deploy-permitted API key or session token)")
       sys.exit(2)
