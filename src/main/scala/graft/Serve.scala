@@ -61,21 +61,41 @@ object Serve {
     val queue = sys.env.get("GRAFT_CLAIM_DIR").map(dir =>
       new graft.tasks.FsWorkQueue(dir, spark.sparkContext.hadoopConfiguration))
 
+    // the in-memory catalog forgets managed tables at JVM exit while
+    // their parquet stays in the warehouse — re-register them so
+    // dashboards/tasks keep seeing pre-reboot data (the reference's
+    // DuckDB file persists this naturally)
+    val recovered = Tables.registerWarehouse(spark)
+    if (recovered.nonEmpty)
+      println(s"[serve] re-registered ${recovered.size} warehouse tables")
+
     // snapshots BEFORE task scheduling: the reference restores the
     // latest snapshot when the database is missing at boot
     // (snapshots/restore.go:31-49) and only then runs init tasks — here
-    // the analog of "database missing" is an empty managed catalog.
-    // Opt out with GRAFT_RESTORE_ON_BOOT=0 (EnableRestore).
+    // "database missing" means the warehouse holds NO table data (a
+    // per-JVM empty catalog proves nothing: in a shared-warehouse
+    // multi-node deployment a rebooting node must not overwrite live
+    // tables with a stale snapshot). Opt out with
+    // GRAFT_RESTORE_ON_BOOT=0 (EnableRestore).
     val snapshots = sys.env.get("GRAFT_SNAPSHOT_TIME").map { hhmm =>
-      val svc = new graft.snapshots.SnapshotService(spark,
-        new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm,
-        queue = queue.getOrElse(new graft.tasks.TaskWorkQueue))
+      val svc = queue match {
+        case Some(q) => new graft.snapshots.SnapshotService(spark,
+          new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm, q)
+        case None => new graft.snapshots.SnapshotService(spark,
+          new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm)
+      }
       val restoreEnabled = !sys.env.get("GRAFT_RESTORE_ON_BOOT").contains("0")
-      val catalogEmpty = spark.catalog.listTables().isEmpty
-      if (restoreEnabled && catalogEmpty) {
-        val restored = svc.restoreLatest()
-        if (restored.nonEmpty)
-          println(s"[serve] restored ${restored.size} tables from the latest snapshot")
+      if (restoreEnabled && recovered.isEmpty) {
+        // a crash mid-snapshot leaves a partial latest dir — a failed
+        // restore must log and serve from empty, not crash-loop the boot
+        try {
+          val restored = svc.restoreLatest()
+          if (restored.nonEmpty)
+            println(s"[serve] restored ${restored.size} tables from the latest snapshot")
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[serve] snapshot restore failed (serving from empty): ${e.getMessage}")
+        }
       }
       svc.start()
       println(s"[serve] daily snapshots at $hhmm UTC")

@@ -93,4 +93,48 @@ object Tables {
     * bare table names (mirrors how the DuckDB oracle sees them). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Re-register parquet tables a PREVIOUS process left in the
+    * warehouse: the default in-memory catalog forgets every managed
+    * table at JVM exit while the data stays on disk, so without this a
+    * serve reboot makes all ingested/task-created tables invisible
+    * (the reference's DuckDB file database persists naturally; the
+    * Spark analog must rescan). Returns the table-directory names
+    * DETECTED (whether or not registration succeeded) — the caller's
+    * restore-on-boot check needs "does the warehouse hold tables", not
+    * "did every create succeed". Underscore/dot-prefixed directories
+    * are infrastructure (_graft_state, snapshots), never tables.
+    *
+    * Documented divergence: re-registration creates EXTERNAL tables,
+    * so a table dropped AFTER a reboot leaves its files behind (and
+    * would resurrect at the next boot) where the reference's DROP
+    * removes it from the database file. Visibility across reboots is
+    * the contract worth keeping; clean up dropped-table directories
+    * out-of-band if that edge matters. */
+  def registerWarehouse(spark: SparkSession): Seq[String] = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return Nil
+    fs.listStatus(wh).toSeq
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val name = st.getPath.getName
+        val hasParquet =
+          try fs.listStatus(st.getPath).exists(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+          catch { case _: java.io.IOException => false }
+        if (!hasParquet) None
+        else {
+          try {
+            if (!spark.catalog.tableExists(name))
+              spark.catalog.createTable(name, st.getPath.toString, "parquet")
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[tables] could not re-register '$name': ${e.getMessage}")
+          }
+          Some(name)
+        }
+      }
+  }
 }

@@ -736,10 +736,16 @@ object Dev {
     // config-file fallback (the reference's shaper.json, config.go):
     // {"url": "...", "directory": "..."} read from GRAFT_DEV_CONFIG or
     // ./graft.json; explicit args/env always win
-    val configFile = sys.env.get("GRAFT_DEV_CONFIG").map(Paths.get(_))
-      .orElse(Some(Paths.get("graft.json")).filter(Files.isRegularFile(_)))
-    val config: Map[String, String] = configFile
+    val explicitConfig = sys.env.get("GRAFT_DEV_CONFIG").map(Paths.get(_))
+    // an explicitly named config file that is missing deserves a loud
+    // warning — silently falling back to defaults would point a deploy
+    // at localhost instead of the configured server
+    explicitConfig.filterNot(Files.isRegularFile(_)).foreach(p =>
+      System.err.println(s"WARNING: GRAFT_DEV_CONFIG=$p does not exist; using defaults"))
+    val configFile = explicitConfig
+      .orElse(Some(Paths.get("graft.json")))
       .filter(Files.isRegularFile(_))
+    val config: Map[String, String] = configFile
       .flatMap { p =>
         try {
           import graft.ingest.SchemaInfer._

@@ -55,6 +55,27 @@ class EventsSnapshotsSpec extends AnyFunSuite {
     assert(spark.table(table).count() == 100)
   }
 
+  test("registerWarehouse: tables left by a previous process become visible again") {
+    // simulate a reboot: parquet data sits in the warehouse but the
+    // (in-memory) catalog has never heard of it — exactly what a fresh
+    // serve JVM sees after a previous run's saveAsTable
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val orphan = s"reboot_${runId}_t"
+    spark.range(40).selectExpr("id AS v")
+      .write.parquet(new org.apache.hadoop.fs.Path(wh, orphan).toString)
+    // infrastructure dirs must never register as tables
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh, "_graft_state"))
+    assert(!spark.catalog.tableExists(orphan))
+    val detected = Tables.registerWarehouse(spark)
+    assert(detected.contains(orphan), detected)
+    assert(!detected.exists(_.startsWith("_")))
+    assert(spark.table(orphan).count() == 40)
+    // idempotent: a second scan still reports the dir, registers nothing new
+    assert(Tables.registerWarehouse(spark).contains(orphan))
+    assert(spark.table(orphan).count() == 40)
+  }
+
   test("restore drill: snapshot, destroy the warehouse, restore, dashboard renders green (snapshots/restore.go boot path)") {
     // the reference's restore-on-boot flow end-to-end: the snapshot is
     // the ONLY surviving copy — the table is dropped AND its files
