@@ -504,7 +504,10 @@ object Dev {
     * exemption is absent — after any out-of-band edit, pull first.
     * After a successful deploy the local sync stamps are refreshed from
     * a re-fetch, like deploy.go:146-186. */
-  def deploy(dir: Path, client: AppsClient, log: String => Unit = _ => ()): Either[String, String] = {
+  def deploy(dir: Path, client: AppsClient, log: String => Unit = _ => (),
+      /** `--validate-only` (deploy.go:39,134-137): compute and log the
+        * change set, apply nothing. */
+      validateOnly: Boolean = false): Either[String, String] = {
     for {
       tasksEnabled <- client.fetchTasksEnabled()
       remote <- client.fetchApps()
@@ -545,11 +548,15 @@ object Dev {
           .sortBy(r => (r.path, r.name))
           .map(r => ("delete", r.tpe, Seq("id" -> r.id)))
         log(s"changes: create=${creates.size}, update=${updates.size}, delete=${deletes.size}")
-        val changedIds = (creates ++ updates)
-          .flatMap(_._3.collectFirst { case ("id", v) => v }).toSet
-        client.deployBatch(deletes ++ updates ++ creates).map { res =>
-          if (changedIds.nonEmpty) restampSync(client, local, changedIds, log)
-          res
+        if (validateOnly)
+          Right("validation successful — no changes applied (validate-only mode)")
+        else {
+          val changedIds = (creates ++ updates)
+            .flatMap(_._3.collectFirst { case ("id", v) => v }).toSet
+          client.deployBatch(deletes ++ updates ++ creates).map { res =>
+            if (changedIds.nonEmpty) restampSync(client, local, changedIds, log)
+            res
+          }
         }
       }
     } yield result
@@ -727,7 +734,9 @@ object Dev {
     * session token). Bare `graft.Dev <dir>` means watch. */
   def main(args: Array[String]): Unit = {
     val commands = Set("watch", "deploy", "pull", "ids", "validate")
-    val (cmd, dirArg) = args.toList match {
+    val validateOnly = args.contains("--validate-only")
+    val argList = args.filterNot(_.startsWith("--"))
+    val (cmd, dirArg) = argList.toList match {
       case c :: d :: _ if commands(c) => (c, Some(d))
       case c :: Nil if commands(c) => (c, sys.env.get("GRAFT_DEV_DIR"))
       case d :: _ => ("watch", Some(d))
@@ -780,7 +789,9 @@ object Dev {
     })
     cmd match {
       case "deploy" =>
-        deploy(root, new AppsClient(baseUrl, token), println) match {
+        deploy(root, new AppsClient(baseUrl, token), println,
+            validateOnly = validateOnly) match {
+          case Right(msg) if validateOnly => println(msg)
           case Right(_) => println("Deploy completed.")
           case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
         }

@@ -231,6 +231,13 @@ class DevSpec extends AnyFunSuite {
       assert(stamped.contains("-- shapersync:"), stamped)
       // deploy #2 with no changes: no ops, still Right
       assert(Dev.deploy(dir, client).isRight)
+      // validate-only: reports the change set, applies nothing
+      Files.write(dir.resolve("extra.dashboard.sql"),
+        "-- shaperid:appextra0000000000000001\n\nSELECT 'x'::LABEL;".getBytes(UTF_8))
+      val dry = Dev.deploy(dir, client, validateOnly = true)
+      assert(dry.exists(_.contains("validate-only")), dry)
+      assert(!store.dashboards.contains("appextra0000000000000001"))
+      Files.delete(dir.resolve("extra.dashboard.sql"))
       // local edit → update flows (sync stamp keeps the guard green)
       Files.write(dir.resolve("alpha.dashboard.sql"),
         stamped.replace("'a'", "'a2'").getBytes(UTF_8))

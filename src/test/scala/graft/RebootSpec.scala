@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Forked child for RebootSpec: each invocation is a REAL serve-style
+  * boot in its own JVM/SparkContext (an in-process "reboot" can't shed
+  * the shared external catalog). `first` writes state the way a running
+  * server does — journal-first dashboard create + a managed table in
+  * the warehouse; `second` boots fresh and proves the reboot contract:
+  * journal replay restores the dashboard, Tables.registerWarehouse
+  * restores table visibility, and the dashboard renders over the
+  * pre-reboot data. */
+object RebootChild {
+  def main(args: Array[String]): Unit = {
+    val Array(mode, warehouse, stateDir, outFile) = args
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val app = new graft.state.StateJournal.StateApp(stateDir)
+      app.boot()
+      mode match {
+        case "first" =>
+          spark.range(30).selectExpr("CAST(id % 3 AS STRING) AS kind")
+            .write.saveAsTable("reboot_e2e_t")
+          val ok = app.submit("create_dashboard",
+            """{"id":"rb1","name":"Reboot Board","content":"SELECT kind, count(*) AS n FROM reboot_e2e_t GROUP BY kind ORDER BY kind;","timestamp":1}""")
+          Files.write(Paths.get(outFile),
+            (if (ok) "FIRST_OK" else "FIRST_SUBMIT_FAILED").getBytes(UTF_8))
+        case "second" =>
+          val recovered = Tables.registerWarehouse(spark)
+          val dash = app.store.getDashboard("rb1")
+          val result = dash match {
+            case None => "NO_DASHBOARD"
+            case Some(d) =>
+              val r = graft.interp.Dashboard.run(spark, d.content,
+                graft.interp.Dashboard.RunConfig(dashboardId = d.id))
+              val rows = r.sections.flatMap(_.queries).flatMap(_.rows)
+              s"SECOND_OK recovered=${recovered.sorted.mkString(",")} rows=${rows.length} " +
+                rows.map(_.mkString(":")).mkString(";")
+          }
+          Files.write(Paths.get(outFile), result.getBytes(UTF_8))
+      }
+    } finally spark.stop()
+  }
+}
+
+/** The serve reboot contract, across two real JVMs sharing a warehouse
+  * and state dir: everything a running server accumulated — journaled
+  * control-plane state AND managed table data — must be served again
+  * by the next process (ref: the DuckDB+SQLite files give the
+  * reference this for free; the Spark analog is journal replay +
+  * warehouse re-registration). */
+class RebootSpec extends AnyFunSuite {
+
+  test("second JVM serves the first JVM's dashboard over its ingested table") {
+    val tmp = Files.createTempDirectory("graft-reboot")
+    val warehouse = tmp.resolve("wh").toString
+    val stateDir = tmp.resolve("state").toString
+    try {
+      val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      def boot(mode: String): String = {
+        val out = tmp.resolve(s"out-$mode.txt")
+        val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+          "graft.RebootChild", mode, warehouse, stateDir, out.toString)
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true)
+          .redirectOutput(tmp.resolve(s"log-$mode.txt").toFile)
+          .start()
+        assert(proc.waitFor() == 0, s"$mode boot failed: " + new String(
+          Files.readAllBytes(tmp.resolve(s"log-$mode.txt")), UTF_8).takeRight(800))
+        new String(Files.readAllBytes(out), UTF_8)
+      }
+      assert(boot("first") == "FIRST_OK")
+      val second = boot("second")
+      assert(second.startsWith("SECOND_OK"), second)
+      assert(second.contains("reboot_e2e_t"), s"table not re-registered: $second")
+      // the dashboard's groupBy over the restored table: 3 kinds × 10
+      assert(second.contains("rows=3") && second.contains("0:10") &&
+        second.contains("1:10") && second.contains("2:10"), second)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+}
