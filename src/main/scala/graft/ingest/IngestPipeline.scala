@@ -169,6 +169,22 @@ object IngestPipeline {
     case DoubleType => convert(v, TypeDouble)
     case TimestampType => convert(v, TypeTimestamp)
     case DateType => convert(v, TypeDate)
+    // user-created tables (CTAS, tasks, re-registered warehouse dirs)
+    // carry column types ingest never infers — appends must convert
+    // against the ACTUAL column type like the reference's appender,
+    // which switches on the DuckDB column type (ingest.go:680-778),
+    // not the inferred payload type. Falling through to VARCHAR here
+    // put a String in a numeric field and failed row encoding.
+    case LongType => v match { case JNumber(n) => n.toLong; case _ => null }
+    case IntegerType => v match { case JNumber(n) => n.toInt; case _ => null }
+    case ShortType => v match { case JNumber(n) => n.toShort; case _ => null }
+    case ByteType => v match { case JNumber(n) => n.toByte; case _ => null }
+    case FloatType => v match { case JNumber(n) => n.toFloat; case _ => null }
+    case d: DecimalType => v match {
+      case JNumber(n) => new java.math.BigDecimal(n)
+        .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+      case _ => null
+    }
     case _ => convert(v, TypeVarchar)
   }
 }

@@ -74,6 +74,15 @@ class EventsSnapshotsSpec extends AnyFunSuite {
     // idempotent: a second scan still reports the dir, registers nothing new
     assert(Tables.registerWarehouse(spark).contains(orphan))
     assert(spark.table(orphan).count() == 40)
+    // the realistic post-reboot flow: ingest straight into the
+    // re-registered (external) table — schema evolution DDL + append
+    // must both work against it
+    val appended = graft.ingest.IngestPipeline.processBatch(spark, Seq(
+      graft.ingest.SchemaInfer.Message(orphan, """{"_id": "r1", "v": 99, "note": "post-reboot"}""")))
+    assert(appended(orphan) == 1)
+    assert(spark.table(orphan).count() == 41)
+    val row = spark.table(orphan).where("note = 'post-reboot'").collect()
+    assert(row.length == 1 && row.head.getAs[Long]("v") == 99L)
   }
 
   test("restore drill: snapshot, destroy the warehouse, restore, dashboard renders green (snapshots/restore.go boot path)") {
