@@ -78,12 +78,9 @@ object Serve {
     // tables with a stale snapshot). Opt out with
     // GRAFT_RESTORE_ON_BOOT=0 (EnableRestore).
     val snapshots = sys.env.get("GRAFT_SNAPSHOT_TIME").map { hhmm =>
-      val svc = queue match {
-        case Some(q) => new graft.snapshots.SnapshotService(spark,
-          new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm, q)
-        case None => new graft.snapshots.SnapshotService(spark,
-          new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm)
-      }
+      val svc = new graft.snapshots.SnapshotService(spark,
+        new org.apache.hadoop.fs.Path(stateDir, "snapshots").toString, hhmm,
+        queue = queue.getOrElse(new graft.tasks.TaskWorkQueue))
       val restoreEnabled = !sys.env.get("GRAFT_RESTORE_ON_BOOT").contains("0")
       if (restoreEnabled && recovered.isEmpty) {
         // a crash mid-snapshot leaves a partial latest dir — a failed

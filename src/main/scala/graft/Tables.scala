@@ -112,29 +112,67 @@ object Tables {
     * the contract worth keeping; clean up dropped-table directories
     * out-of-band if that edge matters. */
   def registerWarehouse(spark: SparkSession): Seq[String] = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+
+    def directParquet(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path): Boolean =
+      try fs.listStatus(dir).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      catch { case _: java.io.IOException => false }
+
+    // parquet ANYWHERE below — a partitioned table (key=val subdirs)
+    // must still count as DETECTED so the restore-on-boot gate doesn't
+    // read "warehouse empty" and overwrite it, even though
+    // registration below is flat-layout only
+    def anyParquetBelow(fs: org.apache.hadoop.fs.FileSystem,
+        dir: org.apache.hadoop.fs.Path, depth: Int = 0): Boolean =
+      directParquet(fs, dir) || (depth < 3 && {
+        try fs.listStatus(dir).exists(st =>
+          st.isDirectory && anyParquetBelow(fs, st.getPath, depth + 1))
+        catch { case _: java.io.IOException => false }
+      })
+
+    def register(tableName: String, dir: org.apache.hadoop.fs.Path,
+        fs: org.apache.hadoop.fs.FileSystem): Option[String] =
+      if (directParquet(fs, dir)) {
+        try {
+          if (!spark.catalog.tableExists(tableName))
+            spark.catalog.createTable(tableName, dir.toString, "parquet")
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[tables] could not re-register '$tableName': ${e.getMessage}")
+        }
+        Some(tableName)
+      } else if (anyParquetBelow(fs, dir)) {
+        // partitioned or otherwise nested layout: count it (the data
+        // exists!) but leave registration to the operator — an
+        // unpartitioned external mapping would silently drop the
+        // partition columns
+        System.err.println(s"[tables] '$tableName' has a nested/partitioned " +
+          "layout; detected but not auto-registered")
+        Some(tableName)
+      } else None
+
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = wh.getFileSystem(fsConf)
     if (!fs.exists(wh)) return Nil
     fs.listStatus(wh).toSeq
       .filter(st => st.isDirectory &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
       .flatMap { st =>
         val name = st.getPath.getName
-        val hasParquet =
-          try fs.listStatus(st.getPath).exists(f =>
-            f.isFile && f.getPath.getName.endsWith(".parquet"))
-          catch { case _: java.io.IOException => false }
-        if (!hasParquet) None
-        else {
-          try {
-            if (!spark.catalog.tableExists(name))
-              spark.catalog.createTable(name, st.getPath.toString, "parquet")
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[tables] could not re-register '$name': ${e.getMessage}")
-          }
-          Some(name)
-        }
+        if (name.endsWith(".db")) {
+          // non-default database (ingest's db.table support lands at
+          // warehouse/<db>.db/<table>/) — recreate the namespace and
+          // register each table under it
+          val db = name.stripSuffix(".db")
+          try spark.sql(s"CREATE DATABASE IF NOT EXISTS `${db.replace("`", "``")}`")
+          catch { case _: Exception => () }
+          try fs.listStatus(st.getPath).toSeq
+            .filter(t => t.isDirectory && !t.getPath.getName.startsWith("_"))
+            .flatMap(t => register(s"$db.${t.getPath.getName}", t.getPath, fs))
+          catch { case _: java.io.IOException => Nil }
+        } else register(name, st.getPath, fs)
       }
   }
 }

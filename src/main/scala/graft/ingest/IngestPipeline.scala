@@ -174,17 +174,52 @@ object IngestPipeline {
     // against the ACTUAL column type like the reference's appender,
     // which switches on the DuckDB column type (ingest.go:680-778),
     // not the inferred payload type. Falling through to VARCHAR here
-    // put a String in a numeric field and failed row encoding.
-    case LongType => v match { case JNumber(n) => n.toLong; case _ => null }
-    case IntegerType => v match { case JNumber(n) => n.toInt; case _ => null }
-    case ShortType => v match { case JNumber(n) => n.toShort; case _ => null }
-    case ByteType => v match { case JNumber(n) => n.toByte; case _ => null }
-    case FloatType => v match { case JNumber(n) => n.toFloat; case _ => null }
-    case d: DecimalType => v match {
-      case JNumber(n) => new java.math.BigDecimal(n)
-        .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    // put a String in a typed field and failed row encoding.
+    // Out-of-range narrowing yields NULL, never a wrapped/clamped
+    // value: {"b": 300} into a TINYINT must not silently store 44.
+    case LongType => v match {
+      case JNumber(n) if n >= Long.MinValue.toDouble && n <= Long.MaxValue.toDouble => n.toLong
       case _ => null
     }
+    case IntegerType => v match {
+      case JNumber(n) if n >= Int.MinValue && n <= Int.MaxValue => n.toInt
+      case _ => null
+    }
+    case ShortType => v match {
+      case JNumber(n) if n >= Short.MinValue && n <= Short.MaxValue => n.toShort
+      case _ => null
+    }
+    case ByteType => v match {
+      case JNumber(n) if n >= Byte.MinValue && n <= Byte.MaxValue => n.toByte
+      case _ => null
+    }
+    case FloatType => v match { case JNumber(n) => n.toFloat; case _ => null }
+    case d: DecimalType => v match {
+      case JNumber(n) =>
+        // precision overflow → NULL (a too-wide value must fail the
+        // VALUE, not the whole batch write at encoding time)
+        val bd = new java.math.BigDecimal(n).setScale(d.scale, java.math.RoundingMode.HALF_UP)
+        if (bd.precision - bd.scale <= d.precision - d.scale) bd else null
+      case _ => null
+    }
+    // complex columns: recurse on the element/field types — the same
+    // String-in-typed-slot encoding failure applies to a JSON array
+    // landing in an ARRAY<DOUBLE> column
+    case ArrayType(et, _) => v match {
+      case JArray(items) => items.map(convertTo(_, et))
+      case _ => null
+    }
+    case st: StructType => v match {
+      case o: JObject =>
+        Row.fromSeq(st.fields.toSeq.map(f => convertTo(o.map.getOrElse(f.name, JNull), f.dataType)))
+      case _ => null
+    }
+    case MapType(StringType, vt, _) => v match {
+      case o: JObject => o.fields.map { case (k, mv) => k -> convertTo(mv, vt) }.toMap
+      case _ => null
+    }
+    case _: MapType => null // non-string map keys have no JSON form
+    case BinaryType => null // JSON carries no binary representation
     case _ => convert(v, TypeVarchar)
   }
 }

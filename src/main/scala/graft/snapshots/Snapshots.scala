@@ -12,26 +12,40 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object Snapshots {
 
   /** Snapshot all (or the named) tables of the current database.
-    * Returns the table names written. */
+    * Returns the table names written. Persistent tables only — MANAGED
+    * and EXTERNAL both count (a reboot re-registers warehouse tables as
+    * EXTERNAL, and a managed-only filter would silently drop every
+    * pre-reboot table from the daily snapshots — data loss in the exact
+    * disaster-recovery path snapshots exist for); temp views (the
+    * gate's registerAll fixtures) are session state, never snapshotted. */
   def create(spark: SparkSession, snapshotDir: String,
       tables: Option[Seq[String]] = None): Seq[String] = {
     val names = tables.getOrElse(
       spark.catalog.listTables().collect().toSeq
-        .filter(_.tableType.equalsIgnoreCase("MANAGED")).map(_.name))
+        .filter(t => !t.isTemporary).map(_.name))
     names.foreach { t =>
       spark.table(t).write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/$t")
     }
     names
   }
 
-  /** Restore: re-create each snapshotted table from its parquet copy. */
+  /** Restore: re-create each snapshotted table from its parquet copy.
+    * Dropping an EXTERNAL table (what a post-reboot re-registration
+    * produces) leaves its files behind, and the managed re-create then
+    * refuses the occupied location — restore's contract is "replace
+    * with the snapshot copy", so the old location is cleared first. */
   def restore(spark: SparkSession, snapshotDir: String): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(snapshotDir).getFileSystem(conf)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(snapshotDir))
       .filter(_.isDirectory).map(_.getPath.getName).toSeq
     dirs.foreach { t =>
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+      val loc = if (spark.sessionState.catalog.tableExists(ident))
+        Some(new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(ident).location)) else None
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      loc.foreach(p => p.getFileSystem(conf).delete(p, true)) // no-op if DROP removed it
       spark.read.parquet(s"$snapshotDir/$t")
         .write.mode(SaveMode.Overwrite).saveAsTable(t)
     }

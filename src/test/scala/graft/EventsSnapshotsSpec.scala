@@ -83,6 +83,11 @@ class EventsSnapshotsSpec extends AnyFunSuite {
     assert(spark.table(orphan).count() == 41)
     val row = spark.table(orphan).where("note = 'post-reboot'").collect()
     assert(row.length == 1 && row.head.getAs[Long]("v") == 99L)
+    // the daily snapshot must include the re-registered (EXTERNAL)
+    // table — a managed-only filter would drop every pre-reboot table
+    // from the disaster-recovery path
+    val snap = java.nio.file.Files.createTempDirectory("graft-snap-ext").toString
+    assert(Snapshots.create(spark, snap).contains(orphan))
   }
 
   test("restore drill: snapshot, destroy the warehouse, restore, dashboard renders green (snapshots/restore.go boot path)") {

@@ -153,6 +153,27 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.table(table).filter("a IS NULL AND b = 'y'").count() == 1)
   }
 
+  test("append into user-created columns converts by the ACTUAL type; out-of-range narrows to NULL") {
+    // a CTAS table carries types ingest never infers — the conversion
+    // must target the real column type (ref: appender switches on the
+    // DuckDB column type, ingest.go:680-778)
+    val table = freshTable()
+    spark.sql(s"CREATE TABLE $table (_id STRING, _ts TIMESTAMP, " +
+      "n_long BIGINT, n_int INT, n_byte TINYINT, n_dec DECIMAL(6,2), " +
+      "arr ARRAY<DOUBLE>, kv MAP<STRING,BIGINT>) USING PARQUET")
+    IngestPipeline.processBatch(spark, Seq(Message(table,
+      """{"_id": "c1", "n_long": 9000000000, "n_int": 42, "n_byte": 300,
+         "n_dec": 12.345, "arr": [1.5, 2.5], "kv": {"a": 7}}""")))
+    val r = spark.table(table).collect().head
+    assert(r.getAs[Long]("n_long") == 9000000000L)
+    assert(r.getAs[Int]("n_int") == 42)
+    // 300 exceeds TINYINT: NULL, never a wrapped 44
+    assert(r.getAs[Any]("n_byte") == null)
+    assert(r.getAs[java.math.BigDecimal]("n_dec").doubleValue() == 12.35) // scale 2, HALF_UP
+    assert(r.getAs[scala.collection.Seq[Double]]("arr").toSeq == Seq(1.5, 2.5))
+    assert(r.getAs[scala.collection.Map[String, Long]]("kv").toMap == Map("a" -> 7L))
+  }
+
   test("mixed-type column becomes JSON (ingest_test.go:780-862)") {
     val table = freshTable()
     IngestPipeline.processBatch(spark, Seq(
