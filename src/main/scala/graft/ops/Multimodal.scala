@@ -374,6 +374,34 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** mm07: scene-change measurement — the mean absolute pixel
+    * difference between consecutive frames, the primitive every
+    * keyframe/shot-boundary detector thresholds. Decodes the REAL GVID
+    * container and PNG frames (no stubs), then a tight per-byte loop
+    * inside the row: map-side only, one video never leaves its
+    * partition, no shuffle besides the presentation order. */
+  def sceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.media_type == "video")
+      .flatMap { r =>
+        val rasters = Codecs.decodeVideo(r.payload).map { png =>
+          Codecs.decodeImage(png).getRaster.getDataBuffer
+            .asInstanceOf[DataBufferByte].getData
+        }
+        (1 until rasters.length).map { f =>
+          val a = rasters(f - 1)
+          val b = rasters(f)
+          var s = 0L
+          var i = 0
+          while (i < a.length) { s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+          (r.doc_id, f, r4(s.toDouble / a.length))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "diff_mean")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** A second real image codec needing no library at all: PPM (P6) —
     * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
     * byte level with loud errors on corrupt input.

@@ -21,6 +21,8 @@ object MediaCatalogOps {
       // frame count, GVID container frame count + frame dims
       Multimodal.mediaMeta(s, d)),
 
+    "mm07_scene_changes" -> ((s, d) => Multimodal.sceneChanges(s, d)),
+
     "mm02_frame_sample" -> ((s, d) =>
       // container parse + per-sampled-frame ImageIO decode
       Multimodal.frameSample(s, d, stride = 2)),
@@ -185,6 +187,24 @@ object MediaCatalogOps {
                   WHEN 1 THEN 256 + doc_id % 512
                   ELSE 4 + doc_id % 8 END AS BIGINT) AS n_units
       FROM documents ORDER BY doc_id""",
+
+    // consecutive-frame mean |Δpixel| recomputed from the generative
+    // formula — the PNG/GVID round trip is lossless, so the decoded
+    // bytes ARE the formula values
+    "mm07_scene_changes" -> """
+      WITH vids AS (
+        SELECT doc_id, 4 + doc_id % 8 AS nf FROM documents WHERE doc_id % 3 = 2
+      ), fr AS (
+        SELECT doc_id, f FROM vids, generate_series(1, 11) t(f) WHERE f < nf
+      ), px AS (
+        SELECT doc_id, f,
+          abs(((doc_id * 31 + f * 7 + i) % 256) -
+              ((doc_id * 31 + (f - 1) * 7 + i) % 256)) AS dv
+        FROM fr, generate_series(0, 16 * 12 * 3 - 1) s(i)
+      )
+      SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+             round(avg(dv), 4) AS diff_mean
+      FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""",
 
     "mm02_frame_sample" -> """
       WITH vids AS (
