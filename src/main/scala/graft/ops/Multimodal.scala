@@ -385,16 +385,32 @@ object Multimodal {
     mediaTable(spark, dir)
       .filter(_.media_type == "video")
       .flatMap { r =>
+        // channel bytes via getRGB, not a DataBufferByte cast: the
+        // backing raster layout is an ImageIO implementation detail
+        // (a decoder change could hand back int-packed data), while
+        // getRGB is the specified API. Per-pixel ARGB unpack; alpha
+        // constant 255 cancels in the diff.
         val rasters = Codecs.decodeVideo(r.payload).map { png =>
-          Codecs.decodeImage(png).getRaster.getDataBuffer
-            .asInstanceOf[DataBufferByte].getData
+          val img = Codecs.decodeImage(png)
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Int](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val rgb = img.getRGB(p % w, p / w)
+            out(p * 3) = (rgb >> 16) & 0xff
+            out(p * 3 + 1) = (rgb >> 8) & 0xff
+            out(p * 3 + 2) = rgb & 0xff
+            p += 1
+          }
+          out
         }
         (1 until rasters.length).map { f =>
           val a = rasters(f - 1)
           val b = rasters(f)
           var s = 0L
           var i = 0
-          while (i < a.length) { s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+          while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
           (r.doc_id, f, r4(s.toDouble / a.length))
         }
       }

@@ -72,6 +72,29 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("magic"))
   }
 
+  test("scene changes: consecutive-frame diffs match the frame formula per transition") {
+    import graft.ops.Multimodal
+    val rows = Multimodal.sceneChanges(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute doc 2's transitions straight from the generative
+    // formula (decode-independent): frames are 16x12 RGB
+    val id = 2L
+    val nf = Multimodal.Codecs.videoFrameCount(id)
+    val expected = (1 until nf).map { f =>
+      val diffs = (0 until 16 * 12 * 3).map(i => math.abs(
+        Multimodal.Codecs.framePixel(id, f, i) - Multimodal.Codecs.framePixel(id, f - 1, i)))
+      math.round(diffs.sum.toDouble / diffs.length * 10000) / 10000.0
+    }
+    val got = rows.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+      .map(_.getDouble(2)).toSeq
+    assert(got == expected, s"doc $id: $got vs $expected")
+    // every video contributes exactly nf-1 transitions
+    val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    counts.foreach { case (d, n) =>
+      assert(n == Multimodal.Codecs.videoFrameCount(d) - 1, s"doc $d has $n transitions")
+    }
+  }
+
   test("image features: decoded channel means match the formula") {
     import Multimodal.Codecs
     val feats = Multimodal.imageFeatures(spark, dir)

@@ -27,6 +27,27 @@ class PipelineInvariantsSpec extends AnyFunSuite {
   private lazy val minhash = pairs("d04_dedup_minhash") // LSH + verify >= 0.9
   private lazy val simhash = pairs("d05_dedup_simhash")
 
+  test("d11 clusters partition d03's pair graph: co-clustered endpoints, min-id canonical, exact vertex cover") {
+    val pairs = graft.queries.PipelineOps.defs("d03_ngram_jaccard")(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.queries.PipelineOps.defs("d11_dup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toSeq))
+    val clusterOf = clusters.flatMap { case (id, _, ms) => ms.map(_ -> id) }.toMap
+    // every d03 pair lands in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusterOf(a) == clusterOf(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical id is the member minimum; members are disjoint and
+    // cover exactly the pair-graph vertices; n_members is honest
+    clusters.foreach { case (id, n, ms) =>
+      assert(id == ms.min && n == ms.length, s"cluster $id malformed")
+    }
+    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusterOf.keySet == vertices, "cluster membership != pair-graph vertices")
+    assert(clusters.flatMap(_._3).length == clusterOf.size, "overlapping clusters")
+  }
+
   test("MinHash+LSH finds exactly the exact-jaccard >= 0.9 pairs") {
     // on this corpus every >= 0.5 pair is also >= 0.9 (clean separation),
     // so the verified LSH output must equal the exact baseline
