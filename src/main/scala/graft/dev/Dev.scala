@@ -211,7 +211,9 @@ object Dev {
                   register(p)
                   Files.walkFileTree(p, new SimpleFileVisitor[Path] {
                     override def visitFile(f: Path, attrs: BasicFileAttributes): FileVisitResult = {
-                      handleAppFile(f)
+                      // same serialization rule as throttled(): all
+                      // handleAppFile runs happen on the flusher thread
+                      flusher.execute(new Runnable { def run(): Unit = handleAppFile(f) })
                       FileVisitResult.CONTINUE
                     }
                   })
@@ -232,7 +234,11 @@ object Dev {
           false
         } else { lastEventMillis = now; true }
       }
-      if (runNow) handleAppFile(p)
+      // direct runs go through the same single-thread flusher executor
+      // as parked flushes: handleAppFile does a read-modify-write id
+      // stamp, and two threads racing it on a not-yet-stamped file
+      // would mint two ids and push a duplicate dashboard
+      if (runNow) flusher.execute(new Runnable { def run(): Unit = handleAppFile(p) })
       else flusher.schedule(new Runnable { def run(): Unit = flushPending() },
         throttleMillis + 10, java.util.concurrent.TimeUnit.MILLISECONDS)
     }
@@ -322,22 +328,36 @@ object Dev {
   def stripAppMeta(content: String): String = {
     val lines = content.split("\n", -1)
     val out = Vector.newBuilder[String]
+    // blank lines seen while still inside the leading metadata block are
+    // held back, not emitted: extractAppMeta scans PAST blanks for more
+    // metadata lines, so a `-- shapersync:` separated from the id by a
+    // blank line is still metadata and must be stripped here too (else
+    // restampSync prepends a second sync line on every deploy)
+    val held = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var inMeta = true
     var hadMeta = false
     for ((line, i) <- lines.zipWithIndex) {
       val trimmed = line.trim
-      val isMeta = inMeta &&
-        (trimmed.startsWith(IdPrefix) || trimmed.startsWith(SyncPrefix))
-      if (isMeta) hadMeta = true
-      else {
+      if (inMeta && (trimmed.startsWith(IdPrefix) || trimmed.startsWith(SyncPrefix))) {
+        hadMeta = true
+        held.clear() // blanks BETWEEN metadata lines belong to the block
+      } else if (inMeta && trimmed.isEmpty) {
+        held += ((line, i))
+      } else {
         if (inMeta) {
           inMeta = false
-          if (hadMeta && trimmed.isEmpty && i < lines.length - 1) {
-            // skip the single blank separator after stripped metadata
-          } else out += line
-        } else out += line
+          // drop the single blank separator right after stripped metadata
+          val keep = if (hadMeta && held.nonEmpty) held.tail else held.toSeq
+          keep.foreach(out += _._1)
+          held.clear()
+        }
+        out += line
       }
     }
+    // file ended inside the block: keep only a trailing last-line blank
+    // (the split artifact of a final newline) when metadata was present
+    (if (hadMeta) held.filter(_._2 == lines.length - 1) else held)
+      .foreach(out += _._1)
     out.result().mkString("\n")
   }
 
@@ -445,7 +465,16 @@ object Dev {
     def fetchTasksEnabled(): Either[String, Boolean] = {
       val (st, body) = send("GET", "/api/system/config", "")
       if (st != 200) Left(s"fetch system config failed ($st): $body")
-      else Right(body.contains("\"tasksEnabled\":true"))
+      else {
+        // parsed, not substring-matched: a serializer formatting change
+        // (whitespace, field order) must not silently flip this to
+        // tasks-disabled and make deploy skip every local task file
+        import graft.ingest.SchemaInfer._
+        try Right(parseOrdered(body).map.get("tasksEnabled").contains(JBool(true)))
+        catch { case e: Exception =>
+          Left(s"fetch system config: malformed response: ${e.getMessage}")
+        }
+      }
     }
 
     /** Server-side dashboard validation (`POST /api/validate`);
@@ -628,12 +657,22 @@ object Dev {
                   p != target || remoteNewer(r.updatedAt, meta.sync) ||
                     canonicalBody(stripAppMeta(content)) != canonicalBody(r.content)
               }
-              if (needsWrite) {
-                existing.foreach { p =>
-                  val meta = extractAppMeta(new String(Files.readAllBytes(p), UTF_8))
-                  if (meta.sync.isEmpty)
-                    log(s"WARNING: overwriting local unstamped changes in $p")
-                }
+              // an unstamped local file was authored locally, never
+              // pulled — if its body diverges from the server copy,
+              // overwriting it would destroy un-synced local work
+              // (README: pull never touches unstamped local drafts).
+              // Surfaced as a conflict and skipped; resolve by deploying
+              // the draft or deleting the file. The reference prompts
+              // interactively here (pull.go); this CLI is non-interactive.
+              val conflict = needsWrite && existing.exists { p =>
+                val content = new String(Files.readAllBytes(p), UTF_8)
+                extractAppMeta(content).sync.isEmpty &&
+                  canonicalBody(stripAppMeta(content)) != canonicalBody(r.content)
+              }
+              if (conflict) {
+                log(s"CONFLICT: ${existing.get} has un-synced local changes; " +
+                  "not overwriting (deploy it or delete the file, then pull again)")
+              } else if (needsWrite) {
                 Files.createDirectories(target.getParent)
                 val stamp = parseInstant(r.updatedAt)
                   .map(_.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)

@@ -11,18 +11,24 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Snapshots {
 
-  /** Snapshot all (or the named) tables of the current database.
-    * Returns the table names written. Persistent tables only — MANAGED
-    * and EXTERNAL both count (a reboot re-registers warehouse tables as
-    * EXTERNAL, and a managed-only filter would silently drop every
-    * pre-reboot table from the daily snapshots — data loss in the exact
-    * disaster-recovery path snapshots exist for); temp views (the
+  /** Snapshot all (or the named) tables across EVERY database — ingest
+    * supports `db.table` targets and a reboot re-registers those
+    * namespaces, so scanning only the current database would silently
+    * exclude them from the daily disaster-recovery copy. Returns the
+    * (qualified) table names written; a non-default database qualifies
+    * the snapshot directory name as `db.table`. Persistent tables only —
+    * MANAGED and EXTERNAL both count (a reboot re-registers warehouse
+    * tables as EXTERNAL, and a managed-only filter would silently drop
+    * every pre-reboot table from the daily snapshots); temp views (the
     * gate's registerAll fixtures) are session state, never snapshotted. */
   def create(spark: SparkSession, snapshotDir: String,
       tables: Option[Seq[String]] = None): Seq[String] = {
     val names = tables.getOrElse(
-      spark.catalog.listTables().collect().toSeq
-        .filter(t => !t.isTemporary).map(_.name))
+      spark.catalog.listDatabases().collect().toSeq.map(_.name).sorted.flatMap { db =>
+        spark.catalog.listTables(db).collect().toSeq
+          .filter(t => !t.isTemporary)
+          .map(t => if (db == "default") t.name else s"$db.${t.name}")
+      })
     names.foreach { t =>
       spark.table(t).write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/$t")
     }
@@ -40,14 +46,21 @@ object Snapshots {
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(snapshotDir))
       .filter(_.isDirectory).map(_.getPath.getName).toSeq
     dirs.foreach { t =>
-      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+      // a `db.table` directory name is a non-default-namespace snapshot
+      val (db, table) = t.split("\\.", 2) match {
+        case Array(d, n) => (Some(d), n)
+        case _ => (None, t)
+      }
+      db.foreach(d => spark.sql(s"CREATE DATABASE IF NOT EXISTS `$d`"))
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(table, db)
       val loc = if (spark.sessionState.catalog.tableExists(ident))
         Some(new org.apache.hadoop.fs.Path(
           spark.sessionState.catalog.getTableMetadata(ident).location)) else None
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val qualified = db.map(d => s"`$d`.`$table`").getOrElse(s"`$table`")
+      spark.sql(s"DROP TABLE IF EXISTS $qualified")
       loc.foreach(p => p.getFileSystem(conf).delete(p, true)) // no-op if DROP removed it
       spark.read.parquet(s"$snapshotDir/$t")
-        .write.mode(SaveMode.Overwrite).saveAsTable(t)
+        .write.mode(SaveMode.Overwrite).saveAsTable(qualified.replace("`", ""))
     }
     dirs
   }

@@ -204,6 +204,14 @@ class DevSpec extends AnyFunSuite {
     assert(Dev.stripAppMeta("select 1") == "select 1")
     // blank separator is only eaten when metadata was stripped
     assert(Dev.stripAppMeta("-- shaperid:x\nselect 1") == "select 1")
+    // metadata separated by blank lines is still metadata —
+    // extractAppMeta scans past blanks, so strip must agree, or a
+    // deploy would keep the sync line in the body and restampSync
+    // would prepend a second one
+    assert(Dev.stripAppMeta("-- shaperid:x\n\n-- shapersync:2026-01-01T00:00:00Z\n\nselect 1")
+      == "select 1")
+    assert(Dev.extractAppMeta(
+      "-- shaperid:x\n\n-- shapersync:2026-01-01T00:00:00Z\n\nselect 1").sync.nonEmpty)
   }
 
   test("deploy/pull round trip: create, update, stale guard, delete, move") {
@@ -281,6 +289,41 @@ class DevSpec extends AnyFunSuite {
       api.stop()
       deleteTree(dir)
       deleteTree(pullDir)
+    }
+  }
+
+  test("pull never overwrites un-synced local drafts: conflict surfaced, write skipped") {
+    val store = new StateJournal.MetaStore()
+    val (_, apiKey) = store.tokens.createApiKey("pc-key",
+      Seq(Tokens.Permission.Deploy), Tokens.Actor(Tokens.ActorType.User, "u1"))
+    val api = new HttpApi(spark, store, "pc-secret")
+    val port = api.start()
+    val dir = Files.createTempDirectory("graft-dev-conflict")
+    val client = new Dev.AppsClient(s"http://127.0.0.1:$port", apiKey)
+    try {
+      store.dashboards("conflict0000000000000001") = StateJournal.DashboardMeta(
+        "conflict0000000000000001", "alpha", "SELECT 'remote'::LABEL;",
+        None, None, System.currentTimeMillis(), "u1")
+      // same id locally, no sync stamp, diverged body: an un-deployed
+      // local draft — pull must leave it alone and say so
+      val draft = dir.resolve("alpha.dashboard.sql")
+      Files.write(draft,
+        "-- shaperid:conflict0000000000000001\n\nSELECT 'local-draft';".getBytes(UTF_8))
+      val logs = scala.collection.mutable.Buffer.empty[String]
+      val r = Dev.pull(dir, client, logs += _)
+      assert(r.isRight, r)
+      val body = new String(Files.readAllBytes(draft), UTF_8)
+      assert(body.contains("local-draft") && !body.contains("remote"), body)
+      assert(logs.exists(_.startsWith("CONFLICT")), logs)
+      // identical body is NOT a conflict: pull just adds the sync stamp
+      Files.write(draft,
+        "-- shaperid:conflict0000000000000001\n\nSELECT 'remote'::LABEL;".getBytes(UTF_8))
+      assert(Dev.pull(dir, client).exists(_ >= 1))
+      val stamped = new String(Files.readAllBytes(draft), UTF_8)
+      assert(stamped.contains("-- shapersync:") && stamped.contains("'remote'"), stamped)
+    } finally {
+      api.stop()
+      deleteTree(dir)
     }
   }
 

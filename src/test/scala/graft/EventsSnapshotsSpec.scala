@@ -156,6 +156,27 @@ class EventsSnapshotsSpec extends AnyFunSuite {
     } finally { svc.close(); svc2.close() }
   }
 
+  test("snapshots cover non-default databases and restore re-creates them") {
+    // ingest supports `db.table` targets; the daily snapshot must not
+    // silently exclude those namespaces from the disaster-recovery copy
+    val snap = java.nio.file.Files.createTempDirectory("graft-snap-db").toString
+    val db = s"snapdb_$runId"
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"CREATE TABLE $db.t USING PARQUET AS SELECT id AS v FROM range(7)")
+    try {
+      val written = Snapshots.create(spark, snap)
+      assert(written.contains(s"$db.t"), written)
+      // destroy the whole namespace; restore must re-create db AND table
+      spark.sql(s"DROP TABLE $db.t")
+      spark.sql(s"DROP DATABASE $db")
+      assert(Snapshots.restore(spark, snap).contains(s"$db.t"))
+      assert(spark.table(s"$db.t").count() == 7)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $db.t")
+      spark.sql(s"DROP DATABASE IF EXISTS $db")
+    }
+  }
+
   test("snapshot one-node claim holds across JVM-independent queues (FsWorkQueue)") {
     import graft.snapshots.SnapshotService
     val base = java.nio.file.Files.createTempDirectory("graft-snapfs").toString
