@@ -57,12 +57,22 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("cosRes")
-      s"""
-         |Double $r = graft.exprs.CosineSim.compute($a, $b);
-         |if ($r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $r.doubleValue(); }
-       """.stripMargin
+      // when this expression is non-nullable, nullSafeCodeGen replaces
+      // ev.isNull with FalseLiteral AFTER this block is baked — writing
+      // `${ev.isNull} = true` here would reference an undeclared
+      // variable and fail Janino compilation (silently dropping the
+      // whole projection to interpreted mode). Non-nullable means
+      // containsNull=false on both inputs, so the null-element scan is
+      // statically dead: call the primitive kernel directly.
+      if (nullable) {
+        val r = ctx.freshName("cosRes")
+        s"""
+           |Double $r = graft.exprs.CosineSim.compute($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.doubleValue(); }
+         """.stripMargin
+      } else
+        s"${ev.value} = graft.exprs.CosineSim.computeNoNulls($a, $b);"
     })
 
   override protected def withNewChildrenInternal(
@@ -81,11 +91,17 @@ object CosineSim {
     while (i < a.numElements()) { if (a.isNullAt(i)) return null; i += 1 }
     i = 0
     while (i < b.numElements()) { if (b.isNullAt(i)) return null; i += 1 }
+    computeNoNulls(a, b)
+  }
+
+  /** Primitive kernel for the containsNull=false codegen path: no null
+    * scan, no boxing — the hot-loop form a similarity scan runs. */
+  def computeNoNulls(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
     var dot = 0.0
-    i = 0
+    var i = 0
     while (i < n) { dot += x(i) * y(i); i += 1 }
     var na = 0.0
     i = 0

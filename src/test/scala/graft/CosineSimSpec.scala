@@ -88,4 +88,43 @@ class CosineSimSpec extends AnyFunSuite {
       .eval(null).asInstanceOf[Double]
     assert(viaCodegen == viaEval)
   }
+
+  test("no interpreted fallback on ANY dispatch shape (CODEGEN_ONLY)") {
+    // a codegen compile error normally falls back to interpreted mode
+    // with only a WARN — a silent perf cliff in a hot projection. Under
+    // CODEGEN_ONLY + fallback=false every shape below must COMPILE, or
+    // this test throws. The non-nullable shape (containsNull=false
+    // inputs) is the regression case: nullSafeCodeGen swaps ev.isNull
+    // to FalseLiteral, so result code writing `ev.isNull = true`
+    // referenced an undeclared variable and failed Janino.
+    graft.exprs.Len.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // cosine_sim, non-nullable inputs (containsNull=false)
+      val nn = spark.range(1, 3)
+        .selectExpr("array(cast(id as double), cast(id * 2 as double)) as a",
+          "array(cast(id * 3 as double), cast(id * 4 as double)) as b")
+        .selectExpr("cosine_sim(a, b) as c").collect()
+      assert(nn.length == 2 && !nn(0).isNullAt(0))
+      // cosine_sim, nullable child + nullable elements
+      import spark.implicits._
+      val nv = Seq(
+        (Option(Array(1.0, 2.0)), Option(Array(3.0, 4.0))),
+        (None: Option[Array[Double]], Option(Array(1.0, 1.0)))
+      ).toDF("a", "b").selectExpr("cosine_sim(a, b) as c").collect()
+      assert(!nv(0).isNullAt(0) && nv(1).isNullAt(0))
+      // len() dispatch branches: string / array / map / null, all
+      // non-literal so the projection actually runs
+      val l = spark.range(1, 2).selectExpr(
+        "len(cast(id as string)) as ls",
+        "len(array(id, id)) as la",
+        "len(map('a', id)) as lm",
+        "len(if(id < 0, 'x', cast(null as string))) as ln").head
+      assert(l.getInt(0) == 1 && l.getInt(1) == 2 && l.getInt(2) == 1 && l.isNullAt(3))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
