@@ -350,6 +350,19 @@ object StateJournal {
       else statuses.map(_.getPath.getName.takeWhile(_.isDigit).toLong).max
     }
 
+    /** (max seq, event count) in ONE listing — the cheap change probe
+      * the tail poller compares between polls. Count matters as much as
+      * max: a stalled writer can land a claimed seq BELOW an already-
+      * observed head (see the checkpoint constraint note), which only
+      * the count detects. */
+    def headState(): (Long, Int) = {
+      val names = fs.listStatus(eventsDir)
+        .map(_.getPath.getName).filter(_.endsWith(".json"))
+      val max = if (names.isEmpty) 0L
+        else names.map(_.takeWhile(_.isDigit).toLong).max
+      (max, names.length)
+    }
+
     /** Atomically claim a seq number across processes. Same branch logic
       * as FsWorkQueue.tryClaim (Tasks.scala): Hadoop's local-FS
       * create(overwrite=false) is exists-then-create (NOT atomic), the
