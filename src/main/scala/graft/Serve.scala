@@ -113,6 +113,27 @@ object Serve {
     println(s"[serve] scheduled ${initial.size} init + " +
       s"${app.store.tasks.size - initial.size} stored tasks")
 
+    // live multi-node convergence: a tail poller re-replays the journal
+    // when a PEER's append changes the listing, so a dashboard deployed
+    // on node A renders here without a reboot (the reference's NATS
+    // fan-out; see README "Deployment envelope"). After each applied
+    // batch, task schedules are reconciled against the store — a task
+    // created/updated/deleted on a peer starts/stops firing here too.
+    // GRAFT_JOURNAL_POLL_MS tunes the interval (default 2000, 0 = off).
+    var knownTasks: Map[String, String] =
+      app.store.synchronized(app.store.tasks.view.mapValues(_.content).toMap)
+    val pollMs = sys.env.get("GRAFT_JOURNAL_POLL_MS").flatMap(_.toLongOption).getOrElse(2000L)
+    val poller = Option.when(pollMs > 0)(new StateJournal.JournalTailPoller(app, pollMs, _ => {
+      val current = app.store.synchronized(app.store.tasks.view.mapValues(_.content).toMap)
+      current.foreach { case (id, content) =>
+        if (!knownTasks.get(id).contains(content)) scheduler.schedule(id, content)
+      }
+      knownTasks.keys.filterNot(current.contains).foreach(scheduler.cancel)
+      knownTasks = current
+    }))
+    poller.foreach(_.start())
+    poller.foreach(_ => println(s"[serve] journal tail poll every $pollMs ms"))
+
     // static iff the operator pinned it — clients read this flag to
     // decide whether JWTs survive restarts (system.go:12-24)
     val secretStatic = sys.env.contains("GRAFT_JWT_SECRET")
@@ -127,6 +148,7 @@ object Serve {
 
     sys.addShutdownHook {
       api.stop()
+      poller.foreach(_.close())
       scheduler.close()
       snapshots.foreach(_.close())
     }

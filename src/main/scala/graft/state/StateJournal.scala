@@ -385,10 +385,10 @@ object StateJournal {
 
     /** Append one event (the reference's SubmitState publish). The JVM
       * monitor serializes local writers; the seq claim file serializes
-      * writers on OTHER nodes sharing this journal dir. NOTE: peers still
-      * observe each other's appends only at their next boot-time replay —
-      * multi-node serve has boot-time-only state convergence (documented
-      * in README "Deployment envelope"). */
+      * writers on OTHER nodes sharing this journal dir. Peers observe
+      * the append at boot-time replay AND live through their
+      * [[JournalTailPoller]] (Serve starts one by default) — the
+      * shared-FS analog of the reference's NATS fan-out. */
     def append(event: String, payloadJson: String): Long = synchronized {
       var seq = lastSeq() + 1
       while (!claimSeq(seq)) seq += 1
@@ -565,10 +565,19 @@ object StateJournal {
   }
 
   /** Journal + store + checkpointed apply loop — the reference's
-    * SubmitState → HandleState round trip, single-process. */
+    * SubmitState → HandleState round trip. [[pollOnce]] gives a
+    * multi-node deployment LIVE convergence (the reference gets this
+    * from NATS fan-out): peers detect each other's appends from one
+    * directory listing and re-replay. */
   final class StateApp(dir: String,
       val store: MetaStore = new MetaStore()) {
     val journal = new Journal(dir)
+
+    /** Journal head (max seq, event count) as of the last boot/submit —
+      * what [[pollOnce]] compares against a fresh listing. Count AND
+      * max seq: a stalled peer can land a claimed seq BELOW our
+      * observed head, which only the count detects. */
+    private var seenHead: (Long, Int) = (0L, 0)
 
     /** Rebuild the in-memory store by replaying the FULL journal. The
       * reference resumes from its consumer cursor because the
@@ -578,7 +587,7 @@ object StateJournal {
       * idempotent (INSERT OR IGNORE creates, last-write updates), so a
       * replay over an already-warm store converges; the checkpoint is
       * still advanced as the applied-watermark diagnostic. */
-    def boot(): Int = {
+    def boot(): Int = synchronized {
       val events = journal.read(0L)
       var applied = 0
       var lastSeq = 0L
@@ -591,16 +600,61 @@ object StateJournal {
       // once, after the loop: per-event checkpointing is ~5 FS metadata
       // ops each — O(journal) rewrites of a purely diagnostic cursor
       if (applied > 0) journal.checkpoint(ConsumerName, lastSeq)
+      seenHead = (events.lastOption.map(_.seq).getOrElse(0L), events.size)
       applied
     }
 
     /** Journal-first write, then apply + checkpoint (SubmitState). */
-    def submit(event: String, payloadJson: String): Boolean = {
+    def submit(event: String, payloadJson: String): Boolean = synchronized {
       val seq = journal.append(event, payloadJson)
       val ok = store.apply(event,
         SchemaInfer.parseOrdered(payloadJson))
       if (ok) journal.checkpoint(ConsumerName, seq)
+      seenHead = (math.max(seenHead._1, seq), seenHead._2 + 1)
       ok
     }
+
+    /** Tail poll: one listing against the remembered head; on ANY
+      * change, a full idempotent replay (never a from-cursor resume —
+      * see the checkpoint constraint note: a stalled peer's append can
+      * land below an applied watermark, and only full replay is immune
+      * to that gap). Returns the number of newly observed events
+      * (0 = no change). Cost when idle: one directory listing. */
+    def pollOnce(): Int = synchronized {
+      val head = journal.headState()
+      if (head == seenHead) 0
+      else {
+        val before = seenHead._2
+        boot()
+        math.max(0, seenHead._2 - before)
+      }
+    }
+  }
+
+  /** Daemon-thread tail poller for multi-node serve: node B applies
+    * node A's journal writes within `intervalMillis` of landing, so a
+    * dashboard deployed on A renders on B without a reboot — the
+    * engine-side analog of the reference's NATS fan-out (comms.go).
+    * `onApplied` runs after each poll that observed new events (Serve
+    * uses it to reconcile task schedules). */
+  final class JournalTailPoller(app: StateApp, intervalMillis: Long = 2000,
+      onApplied: Int => Unit = _ => ()) extends AutoCloseable {
+    private val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-journal-tail"); t.setDaemon(true); t
+    })
+
+    def start(): Unit = {
+      exec.scheduleWithFixedDelay(new Runnable {
+        def run(): Unit =
+          // a transient FS fault must not kill the poll chain
+          try { val n = app.pollOnce(); if (n > 0) onApplied(n) }
+          catch { case e: Exception =>
+            System.err.println(s"[journal-tail] poll failed: ${e.getMessage}")
+          }
+      }, intervalMillis, intervalMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+      ()
+    }
+
+    override def close(): Unit = exec.shutdownNow()
   }
 }

@@ -52,6 +52,56 @@ object RebootChild {
   }
 }
 
+/** Forked child for the LIVE convergence drill: `reader` boots with an
+  * empty journal, starts a JournalTailPoller, signals readiness, and
+  * waits for a PEER's dashboard to arrive without rebooting; `writer`
+  * submits it from a second JVM. */
+object LiveConvChild {
+  def main(args: Array[String]): Unit = {
+    val Array(mode, stateDir, outFile, readyFile) = args
+    mode match {
+      case "writer" =>
+        val app = new graft.state.StateJournal.StateApp(stateDir)
+        app.boot()
+        val ok = app.submit("create_dashboard",
+          """{"id":"lc1","name":"Live Board","content":"SELECT 'Live'::LABEL;\nSELECT 41 + 1 AS x;","timestamp":5}""")
+        Files.write(Paths.get(outFile),
+          (if (ok) "WRITER_OK" else "WRITER_FAILED").getBytes(UTF_8))
+      case "reader" =>
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[2]")
+          .config("spark.sql.shuffle.partitions", "2")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        try {
+          val app = new graft.state.StateJournal.StateApp(stateDir)
+          app.boot()
+          val poller = new graft.state.StateJournal.JournalTailPoller(app, 100)
+          poller.start()
+          Files.write(Paths.get(readyFile), "READY".getBytes(UTF_8))
+          val deadline = System.currentTimeMillis() + 30000
+          var dash: Option[graft.state.StateJournal.DashboardMeta] = None
+          while (dash.isEmpty && System.currentTimeMillis() < deadline) {
+            dash = app.store.getDashboard("lc1")
+            if (dash.isEmpty) Thread.sleep(50)
+          }
+          val result = dash match {
+            case None => "READER_TIMEOUT"
+            case Some(d) =>
+              // render the peer-deployed dashboard — the GetResult core
+              val r = graft.interp.Dashboard.run(spark, d.content,
+                graft.interp.Dashboard.RunConfig(dashboardId = d.id))
+              val rows = r.sections.flatMap(_.queries).flatMap(_.rows)
+              s"READER_OK rows=${rows.map(_.mkString(":")).mkString(";")}"
+          }
+          poller.close()
+          Files.write(Paths.get(outFile), result.getBytes(UTF_8))
+        } finally spark.stop()
+    }
+  }
+}
+
 /** The serve reboot contract, across two real JVMs sharing a warehouse
   * and state dir: everything a running server accumulated — journaled
   * control-plane state AND managed table data — must be served again
@@ -95,6 +145,52 @@ class RebootSpec extends AnyFunSuite {
       // the dashboard's groupBy over the restored table: 3 kinds × 10
       assert(second.contains("rows=3") && second.contains("0:10") &&
         second.contains("1:10") && second.contains("2:10"), second)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
+  test("live convergence: node B renders node A's new dashboard WITHOUT rebooting") {
+    val tmp = Files.createTempDirectory("graft-liveconv")
+    val stateDir = tmp.resolve("state").toString
+    try {
+      val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      def launch(mode: String, extra: String*): Process = {
+        val out = tmp.resolve(s"out-$mode.txt").toString
+        val ready = tmp.resolve("ready.txt").toString
+        val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+          "graft.LiveConvChild", mode, stateDir, out, ready)
+        new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true)
+          .redirectOutput(tmp.resolve(s"log-$mode.txt").toFile)
+          .start()
+      }
+      // reader first: it must be RUNNING (booted on an empty journal,
+      // poller armed) before the writer's event exists
+      val reader = launch("reader")
+      val deadline = System.currentTimeMillis() + 60000
+      while (!Files.exists(tmp.resolve("ready.txt")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(Files.exists(tmp.resolve("ready.txt")), "reader never became ready")
+      val writer = launch("writer")
+      assert(writer.waitFor() == 0, "writer JVM failed")
+      assert(new String(Files.readAllBytes(tmp.resolve("out-writer.txt")), UTF_8) == "WRITER_OK")
+      assert(reader.waitFor() == 0, "reader JVM failed: " + new String(
+        Files.readAllBytes(tmp.resolve("log-reader.txt")), UTF_8).takeRight(800))
+      val out = new String(Files.readAllBytes(tmp.resolve("out-reader.txt")), UTF_8)
+      assert(out == "READER_OK rows=42", out)
     } finally {
       import scala.jdk.CollectionConverters._
       Files.walk(tmp).iterator().asScala.toSeq.reverse

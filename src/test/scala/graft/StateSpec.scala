@@ -54,6 +54,63 @@ class StateSpec extends AnyFunSuite {
     assert(a.store.dashboards("d1").name == "A")
   }
 
+  test("pollOnce: peer appends converge live; local submits don't re-trigger") {
+    val dir = freshDir()
+    val a = new StateApp(dir)
+    val b = new StateApp(dir)
+    b.boot()
+    // idle poll: one listing, no change
+    assert(b.pollOnce() == 0)
+    // a local submit must NOT make b's own poll see itself as a peer
+    assert(b.submit("create_folder", """{"id": "f0", "name": "Mine"}"""))
+    assert(b.pollOnce() == 0)
+    // peer appends: the next poll observes and applies them
+    a.boot()
+    a.submit("create_dashboard", """{"id": "dp1", "name": "Peer", "content": "SELECT 1;"}""")
+    a.submit("update_dashboard_name", """{"id": "dp1", "name": "Peer2"}""")
+    assert(b.pollOnce() == 2)
+    assert(b.store.dashboards("dp1").name == "Peer2")
+    assert(b.pollOnce() == 0) // converged
+    // and the peer sees b's earlier folder on ITS next poll
+    assert(a.pollOnce() > 0 || a.store.folders.contains("f0"))
+    assert(a.store.folders("f0").name == "Mine")
+  }
+
+  test("pollOnce detects a stalled writer's append landing BELOW the observed head") {
+    val dir = freshDir()
+    val a = new StateApp(dir)
+    a.submit("create_dashboard", """{"id": "d1", "name": "A", "content": "x"}""") // seq 1
+    val b = new StateApp(dir)
+    b.boot()
+    // a "stalled writer" claimed seq 2 long ago and lands it only now,
+    // AFTER b observes seq 3 — max seq alone would miss it; the event
+    // count in headState must catch it
+    a.submit("create_dashboard", """{"id": "d3", "name": "C", "content": "x"}""") // seq 2
+    assert(b.pollOnce() == 1)
+    val events = new java.io.File(dir, "events")
+    // relabel: simulate the stall by moving seq 2's file away and back
+    val f2 = events.listFiles().find(_.getName.startsWith("000000000002")).get
+    val hidden = new java.io.File(dir, f2.getName)
+    assert(f2.renameTo(hidden))
+    val c = new StateApp(dir)
+    c.boot() // c observes only seq 1 — head (1, 1)
+    assert(c.pollOnce() == 0)
+    assert(hidden.renameTo(f2)) // the stalled append lands: head (2, 2)
+    assert(c.pollOnce() == 1)
+    assert(c.store.dashboards.contains("d3"))
+    // now the subtler case: seq 2 hidden while seq 3 exists — count
+    // changes, max does not
+    val d = new StateApp(dir)
+    assert(f2.renameTo(hidden))
+    a.pollOnce() // resync a after the rename games
+    a.submit("create_dashboard", """{"id": "d4", "name": "D", "content": "x"}""") // seq 3
+    d.boot() // d observes seqs {1, 3}: head (3, 2)
+    assert(d.pollOnce() == 0)
+    assert(hidden.renameTo(f2)) // stalled seq 2 lands below head: (3, 3)
+    assert(d.pollOnce() == 1)
+    assert(d.store.dashboards.contains("d3"))
+  }
+
   test("move_items re-parents apps and folders (folder.go:397-404)") {
     val app = new StateApp(freshDir())
     app.submit("create_folder", """{"id": "f1", "name": "Ops"}""")
