@@ -312,6 +312,37 @@ class TasksSpec extends AnyFunSuite {
     } finally sched.close()
   }
 
+  test("cancel DURING an executing run: the post-run re-arm must not resurrect the chain") {
+    // distinct from the content-update case above: here the task is
+    // CANCELLED (deleted) while its run is still executing. cancel()
+    // removes the generation entry; the in-flight runAndReschedule
+    // completes afterwards and its re-arm must fail the epoch check —
+    // without it, a deleted task's interval chain would keep firing
+    // forever on this node
+    GenChainCounters.c.set(0)
+    val content = s"SELECT (INTERVAL 1 SECOND)::SCHEDULE;\nSELECT gen_cancel_c_$runId() AS v;"
+    val sched = new TaskScheduler(spark, prepare = ss => {
+      ss.udf.register(s"gen_cancel_c_$runId",
+        () => { GenChainCounters.c.incrementAndGet(); Thread.sleep(1200); 1 })
+    })
+    try {
+      sched.schedule("cancel-t", content)
+      // wait for the run to START (fires ~1 s in, then sleeps 1.2 s)
+      val startDeadline = System.currentTimeMillis() + 5000
+      while (GenChainCounters.c.get() == 0 && System.currentTimeMillis() < startDeadline)
+        Thread.sleep(20)
+      assert(GenChainCounters.c.get() == 1,
+        s"task never started; lastResult=${sched.lastResult("cancel-t")}")
+      // kill it mid-run
+      sched.cancel("cancel-t")
+      // the in-flight run completes ~1 s from now and would re-arm a
+      // fresh 1 s interval — give that ghost two fire windows to show up
+      Thread.sleep(3500)
+      assert(GenChainCounters.c.get() == 1,
+        s"cancelled task resurrected: ran ${GenChainCounters.c.get()} times after cancel")
+    } finally sched.close()
+  }
+
   test("scheduler publishes runs to the journal with next_run_type=init for boot rerun") {
     import graft.state.StateJournal
     val runsDir = java.nio.file.Files.createTempDirectory("graft-sched-runs").toString
@@ -340,4 +371,5 @@ class TasksSpec extends AnyFunSuite {
 object GenChainCounters {
   val a = new java.util.concurrent.atomic.AtomicInteger
   val b = new java.util.concurrent.atomic.AtomicInteger
+  val c = new java.util.concurrent.atomic.AtomicInteger
 }
