@@ -748,6 +748,161 @@ object Dev {
     transportErr.toLeft(results.result())
   }
 
+  // ---- login (ref: server/dev/login.go, auth.go) ----------------------
+
+  /** Auth-file session cache (auth.go SessionToken/saveTokenLocked):
+    * one trimmed token per file, written 0600 with a trailing newline —
+    * byte-compatible with the reference's `.shaper-auth` file so the
+    * two CLIs can share a login. */
+  def readAuthToken(authFile: Path): Option[String] =
+    if (!Files.isRegularFile(authFile)) None
+    else Some(new String(Files.readAllBytes(authFile), UTF_8).trim).filter(_.nonEmpty)
+
+  def saveAuthToken(authFile: Path, token: String): Unit = {
+    Option(authFile.getParent).foreach(Files.createDirectories(_))
+    Files.write(authFile, (token + "\n").getBytes(UTF_8))
+    try Files.setPosixFilePermissions(authFile,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rw-------"))
+    catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+  }
+
+  /** One-shot localhost callback receiver for the browser login
+    * handshake (auth.go:126-215): the server's `/dev-login` page posts
+    * the minted session token to `POST /token` here. Single-use — the
+    * first valid post wins `{"status":"ok"}`, later posts get 410 Gone;
+    * OPTIONS preflight answers 204; CORS is restricted to the graft
+    * server's origin so other sites cannot push tokens in. */
+  final class TokenCallback(allowedOrigin: String) extends AutoCloseable {
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    private val promise = new java.util.concurrent.CompletableFuture[String]()
+
+    server.createContext("/", ex => {
+      try {
+        val origin = Option(ex.getRequestHeaders.getFirst("Origin")).getOrElse("")
+        if (allowedOrigin.isEmpty || origin == allowedOrigin) {
+          val h = ex.getResponseHeaders
+          val allow = if (allowedOrigin.nonEmpty) allowedOrigin else origin
+          if (allow.nonEmpty) {
+            h.set("Access-Control-Allow-Origin", allow)
+            h.set("Access-Control-Allow-Methods", "POST, OPTIONS")
+            h.set("Access-Control-Allow-Headers", "Content-Type")
+            h.add("Vary", "Origin")
+          }
+        }
+        def respond(code: Int, body: String): Unit = {
+          val b = body.getBytes(UTF_8)
+          ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+          if (b.nonEmpty) { val os = ex.getResponseBody; os.write(b); os.close() }
+        }
+        (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+          case ("OPTIONS", _) => respond(204, "")
+          case ("POST", "/token") =>
+            val token = try {
+              import graft.ingest.SchemaInfer._
+              parseOrdered(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+                .map.get("token").collect { case JString(t) => t.trim }.getOrElse("")
+            } catch { case _: Exception => "" }
+            if (token.isEmpty) respond(400, """{"error":"token required"}""")
+            else if (promise.complete(token)) respond(200, """{"status":"ok"}""")
+            else respond(410, """{"error":"already authenticated"}""")
+          case _ => respond(404, "")
+        }
+      } finally ex.close()
+    })
+    server.setExecutor(null)
+    server.start()
+
+    def port: Int = server.getAddress.getPort
+    def await(timeoutMillis: Long): Option[String] =
+      try Some(promise.get(timeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+      catch { case _: Exception => None }
+    override def close(): Unit = server.stop(0)
+  }
+
+  /** `graft.Dev login`: the session handshake of `shaper dev login`
+    * minus the browser launch (login.go:10-41 — launching a browser is
+    * UI surface; like the reference's `--no-open` the URL prints for a
+    * manual open). Order:
+    *   1. no-op when the server's public config says login isn't
+    *      required;
+    *   2. "Already logged in." when the cached auth-file token still
+    *      passes a listing probe;
+    *   3. credentials (GRAFT_EMAIL/GRAFT_PASSWORD — the headless CI
+    *      path) mint a session via `POST /api/auth/login`;
+    *   4. otherwise the callback handshake: print
+    *      `<base>/dev-login?port=N` and wait for the UI to post the
+    *      token back.
+    * The minted token lands in `authFile`; every other command reads it
+    * when GRAFT_TOKEN is unset. */
+  def login(baseUrl: String, authFile: Path,
+      credentials: Option[(String, String)] = None,
+      log: String => Unit = _ => (),
+      handshakeTimeoutMillis: Long = 300000): Either[String, String] = {
+    val base = baseUrl.stripSuffix("/")
+    log(s"Connecting to graft at: $base")
+    val loginRequired = {
+      val http = java.net.http.HttpClient.newHttpClient()
+      try {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(base + "/api/system/config")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() != 200)
+          return Left(s"system config request failed (${r.statusCode()}): ${r.body()}")
+        import graft.ingest.SchemaInfer._
+        parseOrdered(r.body()).map.get("loginRequired").contains(JBool(true))
+      } catch { case e: Exception => return Left(s"failed to fetch system config: ${e.getMessage}") }
+    }
+    if (!loginRequired) {
+      log("Server does not require login.")
+      return Right("")
+    }
+    readAuthToken(authFile) match {
+      case Some(tok) if new AppsClient(base, tok).fetchApps().isRight =>
+        log("Already logged in.")
+        return Right(tok)
+      case _ => ()
+    }
+    credentials match {
+      case Some((email, password)) =>
+        val http = java.net.http.HttpClient.newHttpClient()
+        val body = s"""{"email":${Model.jsonValue(email)},"password":${Model.jsonValue(password)}}"""
+        val r = try http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(base + "/api/auth/login"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        catch { case e: Exception => return Left(s"login request failed: ${e.getMessage}") }
+        if (r.statusCode() != 200) return Left(s"login failed (${r.statusCode()}): ${r.body()}")
+        import graft.ingest.SchemaInfer._
+        parseOrdered(r.body()).map.get("token").collect { case JString(t) => t } match {
+          case Some(tok) if tok.nonEmpty =>
+            saveAuthToken(authFile, tok)
+            log(s"Authentication successful! Token saved to $authFile")
+            Right(tok)
+          case _ => Left("login response carried no token")
+        }
+      case None =>
+        val origin = try {
+          val u = java.net.URI.create(base)
+          if (u.getScheme != null && u.getHost != null)
+            u.getScheme + "://" + u.getAuthority else ""
+        } catch { case _: Exception => "" }
+        val cb = new TokenCallback(origin)
+        try {
+          log(s"Dev auth callback listening on port ${cb.port}")
+          log(s"Please open the login URL manually:\n$base/dev-login?port=${cb.port}")
+          cb.await(handshakeTimeoutMillis) match {
+            case Some(tok) =>
+              saveAuthToken(authFile, tok)
+              log(s"Authentication successful! Token saved to $authFile")
+              Right(tok)
+            case None => Left("authentication cancelled (no token received)")
+          }
+        } finally cb.close()
+    }
+  }
+
   /** id → (file, sync stamp) map that tolerates unstamped files (pull
     * must not fail on a half-written local draft the way deploy does).
     * The sync stamp is captured HERE, pre-write, so the delete phase
@@ -767,12 +922,13 @@ object Dev {
     Right(ids.toMap)
   }
 
-  /** CLI: `graft.Dev [watch|deploy|pull|ids|validate] <dir>` with GRAFT_BASE_URL
-    * (default http://localhost:5454, the reference's port) and
-    * GRAFT_TOKEN (an API key with the deploy permission, or a user
-    * session token). Bare `graft.Dev <dir>` means watch. */
+  /** CLI: `graft.Dev [watch|deploy|pull|ids|validate|login] <dir>` with
+    * GRAFT_BASE_URL (default http://localhost:5454, the reference's
+    * port) and GRAFT_TOKEN (an API key with the deploy permission, or a
+    * user session token) — falling back to the `login`-minted auth
+    * file. Bare `graft.Dev <dir>` means watch. */
   def main(args: Array[String]): Unit = {
-    val commands = Set("watch", "deploy", "pull", "ids", "validate")
+    val commands = Set("watch", "deploy", "pull", "ids", "validate", "login")
     val validateOnly = args.contains("--validate-only")
     val argList = args.filterNot(_.startsWith("--"))
     val (cmd, dirArg) = argList.toList match {
@@ -805,8 +961,26 @@ object Dev {
             None
         }
       }.getOrElse(Map.empty)
+    val baseUrl = sys.env.get("GRAFT_BASE_URL").orElse(config.get("url"))
+      .getOrElse("http://localhost:5454")
+    // session cache shared by login and every authenticated command
+    // (the reference's defaultAuthFile, resolved next to the config)
+    val authFile = sys.env.get("GRAFT_AUTH_FILE").orElse(config.get("authFile"))
+      .map(Paths.get(_)).getOrElse(
+        configFile.flatMap(p => Option(p.toAbsolutePath.getParent))
+          .getOrElse(Paths.get(".")).resolve(".graft-auth"))
+    if (cmd == "login") {
+      val creds = for {
+        e <- sys.env.get("GRAFT_EMAIL"); p <- sys.env.get("GRAFT_PASSWORD")
+      } yield (e, p)
+      login(baseUrl, authFile, creds, println) match {
+        case Right(_) => ()
+        case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
+      }
+      return
+    }
     val dir = dirArg.orElse(config.get("directory")).getOrElse {
-      System.err.println("usage: graft.Dev [watch|deploy|pull|ids|validate] <dir> " +
+      System.err.println("usage: graft.Dev [watch|deploy|pull|ids|validate|login] <dir> " +
         "(or GRAFT_DEV_DIR, or \"directory\" in graft.json)")
       sys.exit(2)
     }
@@ -820,12 +994,11 @@ object Dev {
       println(s"Done. Processed $n app${if (n == 1) "" else "s"}.")
       return
     }
-    val baseUrl = sys.env.get("GRAFT_BASE_URL").orElse(config.get("url"))
-      .getOrElse("http://localhost:5454")
-    val token = sys.env.getOrElse("GRAFT_TOKEN", {
-      System.err.println("GRAFT_TOKEN is required (deploy-permitted API key or session token)")
+    val token = sys.env.get("GRAFT_TOKEN").orElse(readAuthToken(authFile)).getOrElse {
+      System.err.println("GRAFT_TOKEN is required (deploy-permitted API key or session " +
+        "token), or run `graft.Dev login` first")
       sys.exit(2)
-    })
+    }
     cmd match {
       case "deploy" =>
         deploy(root, new AppsClient(baseUrl, token), println,

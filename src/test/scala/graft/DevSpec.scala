@@ -292,6 +292,98 @@ class DevSpec extends AnyFunSuite {
     }
   }
 
+  test("login: wrong password, credential mint, auth-file cache, already-logged-in") {
+    import graft.auth.Passwords
+    val store = new StateJournal.MetaStore()
+    store.tokens.putUser(Tokens.UserRecord("u9", "dev@example.com", "Dev",
+      Some(Passwords.hash("hunter2"))))
+    val api = new HttpApi(spark, store, "lg-secret")
+    val port = api.start()
+    val tmp = Files.createTempDirectory("graft-dev-login")
+    val authFile = tmp.resolve("sub").resolve(".graft-auth")
+    val base = s"http://127.0.0.1:$port"
+    try {
+      assert(Dev.login(base, authFile, Some(("dev@example.com", "nope"))).isLeft)
+      assert(!Files.exists(authFile))
+      val r = Dev.login(base, authFile, Some(("dev@example.com", "hunter2")))
+      assert(r.isRight, r)
+      val tok = Dev.readAuthToken(authFile)
+      assert(tok == r.toOption.filter(_.nonEmpty), s"auth file $tok vs $r")
+      // reference file format: token + trailing newline, owner-only
+      val raw = new String(Files.readAllBytes(authFile), UTF_8)
+      assert(raw == tok.get + "\n")
+      assert(java.nio.file.Files.getPosixFilePermissions(authFile).toString == "[OWNER_READ, OWNER_WRITE]")
+      // second login short-circuits on the cached session
+      val logs = scala.collection.mutable.Buffer.empty[String]
+      assert(Dev.login(base, authFile, None, logs += _) == r)
+      assert(logs.exists(_.contains("Already logged in")), logs)
+      // and the cached session authenticates the other commands
+      assert(new Dev.AppsClient(base, tok.get).fetchApps().isRight)
+    } finally {
+      api.stop()
+      deleteTree(tmp)
+    }
+  }
+
+  test("login callback handshake: UI posts the token back, single-use, saved to the auth file") {
+    import graft.auth.Passwords
+    val store = new StateJournal.MetaStore()
+    store.tokens.putUser(Tokens.UserRecord("u9", "dev@example.com", "Dev",
+      Some(Passwords.hash("hunter2"))))
+    val api = new HttpApi(spark, store, "cb-secret")
+    val port = api.start()
+    val tmp = Files.createTempDirectory("graft-dev-cb")
+    val authFile = tmp.resolve(".graft-auth")
+    val base = s"http://127.0.0.1:$port"
+    try {
+      // a real session to hand back through the callback
+      val session = Passwords.login(store.tokens,
+        id => store.tokens.getUser(id).flatMap(_.passwordHash),
+        email => store.tokens.userByEmail(email).map(_.id),
+        "dev@example.com", "hunter2").toOption.get
+      val logs = new java.util.concurrent.LinkedBlockingQueue[String]()
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fut = scala.concurrent.Future(
+        Dev.login(base, authFile, None, logs.put, handshakeTimeoutMillis = 30000))
+      // the login flow prints the callback port; play the UI's part
+      val portRe = """callback listening on port (\d+)""".r
+      var cbPort = 0
+      val deadline = System.currentTimeMillis() + 15000
+      while (cbPort == 0 && System.currentTimeMillis() < deadline)
+        Option(logs.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS))
+          .flatMap(portRe.findFirstMatchIn(_)).foreach(m => cbPort = m.group(1).toInt)
+      assert(cbPort != 0, "callback port never printed")
+      val http = HttpClient.newHttpClient()
+      def post(body: String): HttpResponse[String] = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$cbPort/token"))
+          .header("Origin", base).header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post("""{"token":""}""").statusCode() == 400) // blank refused
+      val ok = post(s"""{"token":"$session"}""")
+      assert(ok.statusCode() == 200 && ok.body().contains("ok"), ok.body())
+      val r = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(30, "s"))
+      assert(r == Right(session), r)
+      assert(Dev.readAuthToken(authFile).contains(session))
+      // single-use semantics, driven directly (the login flow above
+      // closes its server on return, so a late post there just refuses)
+      val cb = new Dev.TokenCallback("")
+      try {
+        def postCb(body: String): HttpResponse[String] = http.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${cb.port}/token"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(postCb("""{"token":"one"}""").statusCode() == 200)
+        assert(postCb("""{"token":"two"}""").statusCode() == 410)
+        assert(cb.await(1000).contains("one"))
+      } finally cb.close()
+    } finally {
+      api.stop()
+      deleteTree(tmp)
+    }
+  }
+
   test("pull never overwrites un-synced local drafts: conflict surfaced, write skipped") {
     val store = new StateJournal.MetaStore()
     val (_, apiKey) = store.tokens.createApiKey("pc-key",
