@@ -142,6 +142,50 @@ object MediaCatalogOps {
         .orderBy("event_type")
     }),
 
+    "st03_stream_sessions" -> ((s0, d) => {
+      // Streaming gap-sessionization through flatMapGroupsWithState
+      // (Streams.sessionize): the first 5000 events replay through a
+      // memory source; sessions close mid-stream when a 1800 s gap
+      // appears, and the still-open tail sessions are flushed by two
+      // sentinel batches that push the event-time watermark past every
+      // open session's timeout (timeouts fire on the batch AFTER the
+      // watermark advances, hence two). The oracle recomputes the same
+      // sessions with batch lag arithmetic in MILLISECONDS — matching
+      // sessionize's ms-based gap compare exactly (the event ts carry
+      // microseconds, so second-floored arithmetic would disagree).
+      // At scale: state is one small object per active user, bounded
+      // by the watermark; shuffle is the user_id key only.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val events = graft.Tables.t(s, d, "events")
+        .orderBy("event_id").limit(5000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.Streams.Event].collect().toSeq
+      val maxTs = events.map(_.ts.getTime).max
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Event]
+      val sessions = graft.streaming.Streams.sessionize(input.toDS(), gapSeconds = 1800)
+      val name = "st03_sink_" + math.abs(d.hashCode)
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      input.addData(events)
+      q.processAllAvailable()
+      def sentinel(id: Long, atMs: Long) = graft.streaming.Streams.Event(
+        id, new java.sql.Timestamp(atMs), id, "flush", 0.0)
+      input.addData(Seq(sentinel(-1L, maxTs + 7200 * 1000L)))
+      q.processAllAvailable()
+      input.addData(Seq(sentinel(-2L, maxTs + 10800 * 1000L)))
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").cast("long").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     "ct01_catalog_columns" -> ((s, d) => {
       Tables.registerAll(s, d)
       Catalog.columns(s)
@@ -304,6 +348,23 @@ object MediaCatalogOps {
              round(avg(CASE WHEN i % 3 = 1 THEN v END), 4) AS mean_g,
              round(avg(CASE WHEN i % 3 = 2 THEN v END), 4) AS mean_b
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    // ms-based lag arithmetic (NOT floored seconds): sessionize compares
+    // Timestamp.getTime millis, and the event ts carry microseconds
+    "st03_stream_sessions" -> """
+      WITH first5k AS (
+        SELECT * FROM events ORDER BY event_id LIMIT 5000
+      ), g AS (
+        SELECT user_id,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM first5k
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM g GROUP BY user_id ORDER BY user_id""",
 
     "st02_stream_dedup" -> """
       WITH first5k AS (

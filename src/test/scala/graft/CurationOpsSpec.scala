@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-6 curation operators (quality gating,
+  * duplicated-gram mass, mixture sampling, domain caps, sequence
+  * packing, Bloom decontamination, streaming sessionization) beyond
+  * the DuckDB oracle gate: each test pins a property the hash compare
+  * alone would not explain if it broke.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("t10 gopher rules: pass is the rule conjunction, every doc scored") {
+    val rows = run("t10_gopher_rules").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val conj = r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7)
+      assert(r.getBoolean(8) == conj, s"pass flag disagrees with rules for doc ${r.getLong(0)}")
+    }
+    // the gate must actually discriminate on this corpus (a gate that
+    // passes or fails everything is a broken gate, oracle or not)
+    val passed = rows.count(_.getBoolean(8))
+    assert(passed > 0 && passed < 500, s"degenerate gate: $passed/500 pass")
+  }
+
+  test("d12 duplicated-gram mass: bounded, and near-dup docs carry high dup mass") {
+    val d12 = run("d12_dup_gram_mass").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(d12.size == 500)
+    d12.foreach { case (id, (n, dup, frac)) =>
+      assert(dup >= 0 && dup <= n && frac >= 0.0 && frac <= 1.0, s"doc $id out of bounds")
+    }
+    // every doc in a jaccard >= 0.5 near-dup pair shares most shingles
+    // with its twin, so its duplicated fraction must be at least 0.5
+    val nearDup = run("d03_ngram_jaccard").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    nearDup.foreach { id =>
+      assert(d12(id)._3 >= 0.5, s"near-dup doc $id has dup_frac ${d12(id)._3} < 0.5")
+    }
+  }
+
+  test("samp01 mixture sampling: rate-1.0 stratum intact, rates ordered, deterministic") {
+    val a = run("samp01_mixture_sample").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // de keeps everything (rate 10000/10000)
+    assert(a("de")._1 == a("de")._2, "de stratum must survive whole at rate 1.0")
+    // fr (10%) keeps proportionally less than zh (75%); exact counts are
+    // hash-determined, so just order them
+    val frRate = a("fr")._2.toDouble / a("fr")._1
+    val zhRate = a("zh")._2.toDouble / a("zh")._1
+    assert(frRate < zhRate, s"fr rate $frRate not below zh rate $zhRate")
+    val b = run("samp01_mixture_sample").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, "sampling not deterministic across runs")
+  }
+
+  test("u01 domain cap: two-phase cap equals the single-phase truth") {
+    val twoPhase = run("u01_domain_cap").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // single-phase reference: one global row_number per domain
+    val url = concat(lit("https://h"), col("doc_id") % 40, lit("."),
+      col("source"), lit(".example.com/p/"), col("doc_id"))
+    val docs = Tables.t(spark, dir, "documents")
+      .withColumn("host", regexp_extract(url, "https://([^/]+)/", 1))
+      .withColumn("domain", regexp_extract(col("host"), "^[^.]+\\.(.*)$", 1))
+    val w = Window.partitionBy("domain").orderBy("doc_id")
+    val single = docs.withColumn("r", row_number().over(w)).filter(col("r") <= 15)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id"), max("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(twoPhase.sortBy(_._1).toSeq == single.sortBy(_._1).toSeq)
+    twoPhase.foreach { case (dom, kept, _, _) => assert(kept <= 15, s"$dom over cap") }
+  }
+
+  test("p02 sequence packing: token mass conserved per source, bins honest") {
+    val bins = run("p02_sequence_packing").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val totals = Tables.t(spark, dir, "documents")
+      .groupBy("source").agg(
+        sum(size(split(col("text"), " ")).cast("long")).as("tok"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bins.groupBy(_._1).foreach { case (src, bs) =>
+      assert(bs.map(_._4).sum == totals(src)._1, s"$src token mass not conserved")
+      assert(bs.map(_._3).sum == totals(src)._2, s"$src doc count not conserved")
+      assert(bs.forall(_._2 >= 0), s"$src negative bin id")
+    }
+    bins.foreach { case (src, bin, _, tok, fill) =>
+      assert(math.abs(fill - math.round(tok / 256.0 * 10000) / 10000.0) < 1e-9,
+        s"$src bin $bin fill ratio inconsistent")
+    }
+  }
+
+  test("d13 bloom decontamination: no false negatives vs exact, dec01 agreement") {
+    val rows = run("d13_bloom_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    // the Bloom guarantee: every exact hit is a bloom hit
+    rows.foreach { case (id, n, ex, bl) =>
+      assert(ex <= bl, s"doc $id: bloom missed an exact member ($ex exact > $bl bloom)")
+      assert(bl <= n, s"doc $id: more bloom hits than grams")
+    }
+    // exact counts must agree with dec01's independent broadcast path
+    val dec = run("dec01_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _, ex, _) =>
+      assert(dec.getOrElse(id, 0L) == ex, s"doc $id exact count disagrees with dec01")
+    }
+  }
+
+  test("st03 streaming sessions equal the batch lag-window sessionization (ms arithmetic)") {
+    val streamed = run("st03_stream_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.t(spark, dir, "events").orderBy("event_id").limit(5000)
+      .withColumn("ms", expr("unix_millis(ts)"))
+      .withColumn("prev", lag("ms", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._3).sum == 5000L, "session flush lost or duplicated events")
+  }
+}

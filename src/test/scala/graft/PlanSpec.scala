@@ -103,6 +103,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t10 gopher gate is a pure map — at most the orderBy exchange, no explode") {
+    val plan = planOf(graft.queries.PipelineOps.defs("t10_gopher_rules")(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges")
+    assert(!plan.contains("Generate"), "rule scoring must not explode the token array")
+    assert(!plan.contains("HashAggregate"), "rule scoring must stay inside the row")
+  }
+
+  test("samp01 mixture sampling: map-side filter, the only wide shuffle is the |lang| rollup") {
+    // the keep decision (md5 bucket vs CASE rate) must fold into the
+    // scan-side projection — at 100 TB this runs at scan speed, with
+    // only the 5-row language rollup crossing the wire
+    val plan = planOf(graft.queries.PipelineOps.defs("samp01_mixture_sample")(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected only rollup + orderBy exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("partial"), "language rollup lost its map-side partial aggregation")
+  }
+
+  test("u01 domain cap: equi-window shuffles only, no cartesian, scan pruned") {
+    val plan = planOf(graft.queries.PipelineOps.defs("u01_domain_cap")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cap join degenerated to a non-equi join")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "documents scan must read only (doc_id, source) for the URL derivation")
+  }
+
+  test("d13 bloom decontamination: bit-table joins broadcast, corpus never sort-merges") {
+    // the whole point of the Bloom path is that the membership structure
+    // is broadcast-sized no matter how large the benchmark is — a
+    // sort-merge join on the corpus side would defeat it
+    val plan = planOf(graft.queries.PipelineOps.defs("d13_bloom_decontaminate")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "bit-table membership joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side must not sort-merge against the bit table")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("p02 sequence packing: windows partition per source — no global single-partition sort") {
+    // Window.partitionBy(source) keeps packing parallel; an empty
+    // partitionBy would funnel the whole corpus through one task
+    val plan = planOf(graft.queries.PipelineOps.defs("p02_sequence_packing")(spark, dir))
+    assert(!plan.contains("SinglePartition"),
+      "packing window collapsed to a single partition — global sort at scale")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("p01 composed pipeline prunes the documents scan to (doc_id, text), no cartesian") {
     val df = graft.queries.PipelineOps.defs("p01_pipeline_e2e")(spark, dir)
     val plan = planOf(df)
