@@ -127,7 +127,10 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val batch = Tables.t(spark, dir, "events").orderBy("event_id").limit(5000)
-      .withColumn("ms", expr("unix_millis(ts)"))
+      // ts reads back as TIMESTAMP_NTZ from parquet; cast through LTZ in
+      // the same (UTC) session the Event encoder uses so both sides share
+      // one epoch-ms mapping.
+      .withColumn("ms", expr("unix_millis(cast(ts as timestamp_ltz))"))
       .withColumn("prev", lag("ms", 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L).otherwise(0L))

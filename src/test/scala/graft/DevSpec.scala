@@ -5,6 +5,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import graft.api.HttpApi
 import graft.auth.{Auth, Tokens}
 import graft.state.StateJournal
@@ -312,7 +314,9 @@ class DevSpec extends AnyFunSuite {
       // reference file format: token + trailing newline, owner-only
       val raw = new String(Files.readAllBytes(authFile), UTF_8)
       assert(raw == tok.get + "\n")
-      assert(java.nio.file.Files.getPosixFilePermissions(authFile).toString == "[OWNER_READ, OWNER_WRITE]")
+      assert(java.nio.file.Files.getPosixFilePermissions(authFile).asScala ==
+        Set(java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+          java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
       // second login short-circuits on the cached session
       val logs = scala.collection.mutable.Buffer.empty[String]
       assert(Dev.login(base, authFile, None, logs += _) == r)
