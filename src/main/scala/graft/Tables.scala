@@ -64,10 +64,20 @@ object Tables {
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS) which Spark refuses by default
-    // (TimestampType is micros). Read nanos as long, then integer-divide to
-    // micros — `div` stays in Long (a Double round-trip would lose precision
-    // at 1e18-nanosecond magnitudes). DuckDB truncates ns→µs identically.
+    // Timestamp columns arrive in whatever encoding the corpus writer of
+    // the day used. Two generations seen so far:
+    //   - TIMESTAMP(NANOS): Spark refuses it by default — read as long
+    //     via the legacy flag, then integer-divide to micros (`div`
+    //     stays in Long; a Double round-trip would lose precision at
+    //     1e18-ns magnitudes). DuckDB truncates ns→µs identically.
+    //   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark surfaces it
+    //     as TIMESTAMP_NTZ, on which epoch arithmetic (cast to long,
+    //     unix_millis, range frames over epoch) is undefined. Every
+    //     session here runs in UTC, where NTZ→LTZ is the identity
+    //     wall-clock mapping DuckDB applies to its own naive TIMESTAMP,
+    //     so normalize to TimestampType — in the READ SCHEMA, not a
+    //     post-read cast, which would wrap the column and break parquet
+    //     filter pushdown on it.
     val path = s"$dir/$name.parquet"
     if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val key = path + "@" + pathSignature(spark, path)
@@ -75,12 +85,17 @@ object Tables {
     val df =
       if (cached != null) spark.read.schema(cached).parquet(path)
       else {
-        val d = spark.read.parquet(path)
+        val discovered = spark.read.parquet(path).schema
+        val norm = org.apache.spark.sql.types.StructType(discovered.map {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+            f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          case f => f
+        })
         // superseded signatures for this path are dead — evict them so
         // repeated rewrites keep exactly one live entry per path
         schemaCache.keySet.removeIf(k => k.startsWith(path + "@") && k != key)
-        schemaCache.put(key, d.schema)
-        d
+        schemaCache.put(key, norm)
+        spark.read.schema(norm).parquet(path)
       }
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
