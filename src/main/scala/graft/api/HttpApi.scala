@@ -74,6 +74,10 @@ object HttpApi {
       /** `db` / `db.schema` / `db.schema.object` entries hidden from
         * GET /api/schema (the reference's --schema-ignore flags). */
       schemaIgnore: Seq[String] = Nil)
+
+  /** Temporary-dashboard id prefix, byte-identical to the reference's
+    * (core/dashboard.go:12) so preview ids travel between engines. */
+  val TmpDashboardPrefix = "shaper-tmp."
 }
 
 final class HttpApi(
@@ -488,6 +492,22 @@ final class HttpApi(
         return respond(ex, 404, jsonError("dashboard id required"))
       if (claims.dashboardId.exists(_ != id))
         return respond(ex, 401, jsonError("Unauthorized"))
+      // temporary (preview) dashboards render like journaled ones but
+      // resolve from the TTL'd store, always private
+      // (core/edit_dashboard.go:47-75 feeding get_dashboard.go:522)
+      if (id.startsWith(HttpApi.TmpDashboardPrefix)) {
+        tmpDashboard(id) match {
+          case None => respond(ex, 404, jsonError("dashboard not found"))
+          case Some(t) =>
+            val result = Dashboard.run(spark, t.content, Dashboard.RunConfig(
+              dashboardId = id,
+              queryParams = queryParams(ex),
+              variables = claims.variables,
+              prepare = prepare))
+            serve(result.copy(name = t.name, visibility = Some("private")))
+        }
+        return
+      }
       store.dashboards.get(id) match {
         case None => respond(ex, 404, jsonError("dashboard not found"))
         case Some(meta) =>
@@ -541,7 +561,17 @@ final class HttpApi(
         // ref: handler/dashboard.go:120-146 — dashboard-scoped JWTs
         // rejected, folder id resolved to a /path/
         if (requireUserAuth(ex)) {
-          store.dashboards.get(id) match {
+          if (id.startsWith(HttpApi.TmpDashboardPrefix)) {
+            // tmp info: path from the stored create payload, private,
+            // created = updated = the entry's age (edit_dashboard.go:56-68)
+            tmpDashboard(id) match {
+              case None => respond(ex, 404, jsonError("dashboard not found"))
+              case Some(t) => respond(ex, 200, appJson(
+                id, t.path, None, t.name, Some(t.content),
+                t.touchedAtMillis, t.touchedAtMillis, None,
+                Some("private"), "dashboard"))
+            }
+          } else store.dashboards.get(id) match {
             case None => respond(ex, 404, jsonError("dashboard not found"))
             case Some(d) => respond(ex, 200, appJson(
               d.id, folderPath(d.folderId), d.folderId, d.name, Some(d.content),
@@ -561,6 +591,20 @@ final class HttpApi(
         }
       case ("POST", Array(id, field @ ("query" | "name" | "visibility" | "password"))) =>
         if (requireUserAuth(ex)) {
+          if (id.startsWith(HttpApi.TmpDashboardPrefix)) {
+            // only the content edit resolves tmp ids (SaveDashboardQuery,
+            // edit_dashboard.go:189-205 — the KV Put refreshes the TTL);
+            // name/visibility/password query the apps table and 404
+            if (field != "query")
+              return respond(ex, 404, jsonError("dashboard not found"))
+            val t = tmpDashboard(id).getOrElse(
+              return respond(ex, 404, jsonError("dashboard not found")))
+            val o = parsedBody(ex).getOrElse(
+              return respond(ex, 400, jsonError("Invalid request body")))
+            tmpDashboards.put(id, t.copy(content = jStr(o, "content"),
+              touchedAtMillis = System.currentTimeMillis()))
+            return respond(ex, 200, "{\"status\":\"ok\"}")
+          }
           if (!store.dashboards.contains(id))
             return respond(ex, 404, jsonError("dashboard not found"))
           val o = parsedBody(ex).getOrElse(
@@ -585,13 +629,58 @@ final class HttpApi(
     }
   }
 
+  // ---- temporary dashboards (core/create_dashboard.go:31-52, ----------
+  // core/dashboard.go:12, core/edit_dashboard.go:47-75,189-205)
+
+  /** The reference's TmpDashboardsKv NATS bucket: a TTL'd store for
+    * dev previews and ad-hoc iterations that must never reach the
+    * journal or the apps listing. Render, info, and content-edit
+    * resolve these ids; name/visibility/password edits and DELETE see
+    * them as not-found, exactly like the reference (those paths query
+    * the apps table only). Same per-process divergence as the
+    * downloads map above: behind a multi-node balancer, route preview
+    * traffic with session affinity or swap this for a shared store. */
+  private final case class TmpDashboard(name: String, path: String,
+      content: String, touchedAtMillis: Long)
+  private val tmpDashboards =
+    new java.util.concurrent.ConcurrentHashMap[String, TmpDashboard]
+  /** --tmp-dashboards-ttl (main.go:441), default 24 h; test-settable.
+    * A content edit refreshes the TTL like a KV Put refreshes the
+    * entry's age in the reference. */
+  @volatile var tmpDashboardTtlMillis: Long = 24L * 60 * 60 * 1000
+
+  private def tmpDashboard(id: String): Option[TmpDashboard] =
+    Option(tmpDashboards.get(id)).filter { d =>
+      val live = System.currentTimeMillis() - d.touchedAtMillis <= tmpDashboardTtlMillis
+      if (!live) tmpDashboards.remove(id)
+      live
+    }
+
   /** POST /api/dashboards — create (routes.go:188, create_dashboard
-    * event); returns the generated id. */
+    * event); returns the generated id. `temporary: true` routes to the
+    * TTL'd tmp store instead of the journal; that is the ONLY create an
+    * API key (query-data permission, routes.go:187) may perform, while
+    * user-level auth may do both (handler/dashboard.go:69-82). */
   private def handleCreateDashboard(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
-    if (!requireUserAuth(ex)) return
+    val isApiKey = bearer(ex).exists(Tokens.isApiKeyToken)
+    if (isApiKey) { if (requireApiKey(ex, Tokens.Permission.QueryData).isEmpty) return }
+    else if (!requireUserAuth(ex)) return
     val o = parsedBody(ex).getOrElse(
       return respond(ex, 400, jsonError("Invalid request body")))
+    val temporary = o.map.get("temporary").contains(SchemaInfer.JBool(true))
+    if (isApiKey && !temporary)
+      return respond(ex, 401,
+        jsonError("API keys are only allowed to create temporary dashboards"))
+    if (temporary) {
+      val now = System.currentTimeMillis()
+      tmpDashboards.entrySet.removeIf(e =>
+        now - e.getValue.touchedAtMillis > tmpDashboardTtlMillis)
+      val id = HttpApi.TmpDashboardPrefix + store.tokens.newId()
+      tmpDashboards.put(id,
+        TmpDashboard(jStr(o, "name"), jStr(o, "path"), jStr(o, "content"), now))
+      return respond(ex, 200, "{\"id\":" + Model.jsonValue(id) + "}")
+    }
     val id = Some(jStr(o, "id")).filter(_.nonEmpty)
       .getOrElse(store.tokens.newId())
     val name = Some(jStr(o, "name")).filter(_.nonEmpty).getOrElse("New Dashboard")

@@ -509,6 +509,26 @@ object Dev {
       }
     }
 
+    /** Create a TEMPORARY (preview) dashboard — `POST /api/dashboards`
+      * with `temporary: true` (api_client.go:131-161); returns the
+      * `shaper-tmp.`-prefixed id. Works under a query-data API key,
+      * which may not create journaled dashboards. */
+    def createPreview(name: String, content: String, path: String): Either[String, String] = {
+      val (st, body) = send("POST", "/api/dashboards",
+        s"""{"name":${Model.jsonValue(name)},"content":${Model.jsonValue(content)},""" +
+          s""""path":${Model.jsonValue(path)},"temporary":true}""")
+      if (st != 200) Left(s"create preview failed ($st): $body")
+      else {
+        import graft.ingest.SchemaInfer._
+        try parseOrdered(body).map.get("id") match {
+          case Some(JString(id)) if id.nonEmpty => Right(id)
+          case _ => Left("create preview: response missing id")
+        } catch { case e: Exception =>
+          Left(s"create preview: malformed response: ${e.getMessage}")
+        }
+      }
+    }
+
     /** ops = (operation, type, dataFields). One POST, first failure
       * aborts server-side exactly like the reference batch. */
     def deployBatch(ops: Seq[(String, String, Seq[(String, String)])]): Either[String, String] = {
@@ -748,6 +768,27 @@ object Dev {
     transportErr.toLeft(results.result())
   }
 
+  /** `graft.Dev preview <file>`: push ONE dashboard file as a
+    * temporary dashboard and return its preview URL
+    * (ref: server/dev/preview.go RunPreviewCommand, minus the
+    * browser-open — OpenURL/browser.go is UI surface, excluded with
+    * the rest of it; the reference's --no-open path is exactly this).
+    * The temporary create never touches the journal or apps listing,
+    * so iterating on a preview cannot collide with deployed names. */
+  def preview(file: Path, client: AppsClient, baseUrl: String,
+      log: String => Unit = _ => ()): Either[String, String] = {
+    if (!file.getFileName.toString.endsWith(DashboardSuffix))
+      return Left(s"file $file is not a dashboard (must end with $DashboardSuffix)")
+    val content = try new String(Files.readAllBytes(file), UTF_8)
+      catch { case e: java.io.IOException => return Left(s"cannot read $file: ${e.getMessage}") }
+    val name = file.getFileName.toString.stripSuffix(DashboardSuffix)
+    client.createPreview(name, content, "/").map { id =>
+      val url = s"${baseUrl.stripSuffix("/")}/dashboards/$id?preview=true"
+      log(s"Preview created: $url")
+      url
+    }
+  }
+
   // ---- login (ref: server/dev/login.go, auth.go) ----------------------
 
   /** Auth-file session cache (auth.go SessionToken/saveTokenLocked):
@@ -928,7 +969,7 @@ object Dev {
     * user session token) — falling back to the `login`-minted auth
     * file. Bare `graft.Dev <dir>` means watch. */
   def main(args: Array[String]): Unit = {
-    val commands = Set("watch", "deploy", "pull", "ids", "validate", "login")
+    val commands = Set("watch", "deploy", "pull", "ids", "validate", "login", "preview")
     val validateOnly = args.contains("--validate-only")
     val argList = args.filterNot(_.startsWith("--"))
     val (cmd, dirArg) = argList.toList match {
@@ -979,8 +1020,25 @@ object Dev {
       }
       return
     }
+    if (cmd == "preview") {
+      // preview takes a FILE, not the watch directory (preview.go:13)
+      val file = argList.toList.drop(1).headOption.getOrElse {
+        System.err.println("usage: graft.Dev preview <file" + DashboardSuffix + ">")
+        sys.exit(2)
+      }
+      val token = sys.env.get("GRAFT_TOKEN").orElse(readAuthToken(authFile)).getOrElse {
+        System.err.println("GRAFT_TOKEN is required (query-data API key or session " +
+          "token), or run `graft.Dev login` first")
+        sys.exit(2)
+      }
+      preview(Paths.get(file), new AppsClient(baseUrl, token), baseUrl, println) match {
+        case Right(_) => ()
+        case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
+      }
+      return
+    }
     val dir = dirArg.orElse(config.get("directory")).getOrElse {
-      System.err.println("usage: graft.Dev [watch|deploy|pull|ids|validate|login] <dir> " +
+      System.err.println("usage: graft.Dev [watch|deploy|pull|ids|validate|login|preview] <dir> " +
         "(or GRAFT_DEV_DIR, or \"directory\" in graft.json)")
       sys.exit(2)
     }

@@ -501,6 +501,48 @@ class DevSpec extends AnyFunSuite {
     }
   }
 
+  test("preview command: one file becomes a temporary dashboard, URL printed (preview.go:13-69)") {
+    val store = new StateJournal.MetaStore()
+    val secret = "preview-secret"
+    // preview needs only the query-data permission — it never writes
+    // a journaled dashboard (routes.go:187 + handler/dashboard.go:69)
+    val (_, apiKey) = store.tokens.createApiKey("p-key",
+      Seq(Tokens.Permission.QueryData), Tokens.Actor(Tokens.ActorType.User, "u1"))
+    val api = new HttpApi(spark, store, secret)
+    val port = api.start()
+    val base = s"http://127.0.0.1:$port"
+    val dir = Files.createTempDirectory("graft-dev-preview")
+    try {
+      val f = dir.resolve("my-board.dashboard.sql")
+      Files.write(f, "SELECT 41 + 1 AS answer;".getBytes(UTF_8))
+      // suffix guard mirrors the reference's first check
+      assert(Dev.preview(dir.resolve("notes.txt"),
+        new Dev.AppsClient(base, apiKey), base).isLeft)
+      val logs = scala.collection.mutable.Buffer.empty[String]
+      val r = Dev.preview(f, new Dev.AppsClient(base, apiKey), base, logs += _)
+      assert(r.isRight, r)
+      val url = r.toOption.get
+      assert(url.startsWith(s"$base/dashboards/" + graft.api.HttpApi.TmpDashboardPrefix))
+      assert(url.endsWith("?preview=true"))
+      assert(logs.exists(_.startsWith("Preview created: ")))
+      // the preview renders server-side and never touched the journal
+      val id = url.stripPrefix(s"$base/dashboards/").stripSuffix("?preview=true")
+      val userJwt = Auth.sign(Auth.Claims(None, Map.empty, isPublic = false,
+        longLived = false, exp = System.currentTimeMillis() / 1000 + 900), secret)
+      val b = HttpRequest.newBuilder(URI.create(s"$base/api/dashboards/$id"))
+        .header("Authorization", s"Bearer $userJwt")
+      val resp = HttpClient.newHttpClient()
+        .send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200 && resp.body().contains("\"answer\""), resp.body())
+      assert(store.dashboards.isEmpty)
+      // name derives from the file name before the suffix
+      assert(resp.body().contains("\"name\":\"my-board\""))
+    } finally {
+      api.stop()
+      deleteTree(dir)
+    }
+  }
+
   test("canonicalBody makes leading-blank content converge") {
     // "\nselect 1" can't round-trip prepend/strip (reference-shared
     // asymmetry) — canonical comparison must treat the forms as equal

@@ -801,4 +801,54 @@ class HttpApiSpec extends AnyFunSuite {
     assert(r.body().contains("# TYPE graft_http_requests_total counter"))
     assert(r.body().contains("""graft_http_requests_total{route="/health",method="GET",status="200"}"""))
   }
+
+  test("temporary dashboards: TTL'd preview store, never journaled (create_dashboard.go:31-52)") {
+    val (api, _, apiKey) = fixture
+    val store = fixtureStore
+    // API key (query-data) may create ONLY temporary dashboards
+    // (handler/dashboard.go:69-75)
+    val denied = post("/api/dashboards",
+      """{"name": "T", "content": "SELECT 1 AS x;"}""", Some(apiKey))
+    assert(denied.statusCode() == 401 && denied.body().contains("temporary"))
+    val created = post("/api/dashboards",
+      """{"name": "T", "content": "SELECT 1 AS x;", "path": "/", "temporary": true}""",
+      Some(apiKey))
+    assert(created.statusCode() == 200, created.body())
+    val id = created.body().split("\"id\":\"")(1).stripSuffix("\"}")
+    assert(id.startsWith(HttpApi.TmpDashboardPrefix)) // reference prefix, byte-identical
+    assert(!store.dashboards.contains(id)) // never journaled
+    // renders under a plain JWT like any dashboard, always private
+    val rendered = get(s"/api/dashboards/$id", Some(jwt()))
+    assert(rendered.statusCode() == 200 && rendered.body().contains("\"x\""), rendered.body())
+    assert(rendered.body().contains("\"private\""))
+    // info resolves the tmp entry (edit_dashboard.go:47-75)
+    store.tokens.putUser(Tokens.UserRecord("tmp1", "tmp@test.io", "Tmp"))
+    val session = store.tokens.createSessionForUser("tmp1")
+    val info = get(s"/api/dashboards/$id/info", Some(session))
+    assert(info.statusCode() == 200 && info.body().contains("\"name\":\"T\""))
+    assert(info.body().contains("\"visibility\":\"private\""))
+    // absent from the apps listing
+    assert(!get("/api/apps?recursive=true", Some(session)).body().contains(id))
+    // the content edit updates the store in place; name/visibility 404
+    // (only SaveDashboardQuery resolves tmp ids, edit_dashboard.go:189)
+    assert(post(s"/api/dashboards/$id/query",
+      """{"content": "SELECT 2 AS y;"}""", Some(session)).statusCode() == 200)
+    assert(get(s"/api/dashboards/$id", Some(jwt())).body().contains("\"y\""))
+    assert(post(s"/api/dashboards/$id/name", """{"name": "N"}""",
+      Some(session)).statusCode() == 404)
+    assert(post(s"/api/dashboards/$id/visibility", """{"visibility": "public"}""",
+      Some(session)).statusCode() == 404)
+    // DELETE sees only journaled dashboards (delete_dashboard.go:26-31)
+    val del = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${fixture._2}/api/dashboards/$id"))
+      .header("Authorization", s"Bearer $session").DELETE().build()
+    assert(client.send(del, HttpResponse.BodyHandlers.ofString()).statusCode() == 404)
+    // TTL expiry drops the entry (--tmp-dashboards-ttl, main.go:441)
+    api.tmpDashboardTtlMillis = 1L
+    try {
+      Thread.sleep(10)
+      assert(get(s"/api/dashboards/$id", Some(jwt())).statusCode() == 404)
+      assert(get(s"/api/dashboards/$id/info", Some(session)).statusCode() == 404)
+    } finally api.tmpDashboardTtlMillis = 24L * 60 * 60 * 1000
+  }
 }
