@@ -418,6 +418,81 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** 56-bit difference hash (dHash) of a decoded image: integer
+    * grayscale g = (r+g+b)/3, area-averaged onto an 8×8 grid with the
+    * pixel→cell map cx = x*8/w (total: every cell non-empty for
+    * w,h ≥ 8, the generated minimum), cell value = sum/count (integer
+    * floor), bit (cy*7 + k) set iff cell(k,cy) < cell(k+1,cy) — 7
+    * horizontal gradient comparisons per row × 8 rows. All-integer
+    * arithmetic end to end so the SQL oracle replays it from the pixel
+    * formula bit for bit. */
+  def dHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sum = Array.ofDim[Long](8, 8)
+    val cnt = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        sum(cy)(x * 8 / w) += g
+        cnt(cy)(x * 8 / w) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var k = 0
+      while (k < 7) {
+        if (sum(cy)(k) / cnt(cy)(k) < sum(cy)(k + 1) / cnt(cy)(k + 1))
+          hash |= 1L << (cy * 7 + k)
+        k += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** mm08: perceptual near-duplicate image pairs — decode → [[dHash]]
+    * (map-side, the only pass over pixel bytes) → candidate pairs via
+    * 8 LSH bands × 7 bits → verify by bit_count(xor) ≤ 7.
+    *
+    * The band count is chosen so recall at the threshold is EXACT, not
+    * probabilistic: a pair at hamming ≤ 7 cannot touch all 8 bands
+    * (pigeonhole), so at least one band matches and the pair surfaces
+    * as a candidate. The all-pairs DuckDB oracle therefore *proves*
+    * the banded plan loses nothing. At 100 TB: hashes are 8 bytes/doc,
+    * the self-join shuffles (band, value) keys and ids only — pixel
+    * data never crosses the network — and hot buckets stay bounded
+    * because a 7-bit band has 128 values per band index.
+    */
+  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = mediaTable(spark, dir)
+      .filter(_.media_type == "image")
+      .mapPartitions(rows =>
+        rows.map(r => (r.doc_id, dHash(Codecs.decodeImage(r.payload)))))
+      .toDF("doc_id", "dhash")
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("(dhash >> (band * 7)) & 127"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+      .filter(col("hamming") <= 7)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** A second real image codec needing no library at all: PPM (P6) —
     * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
     * byte level with loud errors on corrupt input.

@@ -39,6 +39,11 @@ object MediaCatalogOps {
       // AudioSystem WAV decode -> sample mean/max/RMS
       Multimodal.audioFeatures(s, d)),
 
+    "mm08_perceptual_dedup" -> ((s, d) =>
+      // dHash over REAL decoded PNGs + 8-band LSH; the all-pairs oracle
+      // proves the banding's recall at hamming<=7 is exact (pigeonhole)
+      Multimodal.perceptualDedup(s, d)),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -294,6 +299,39 @@ object MediaCatalogOps {
              CAST(max(v) AS INTEGER) AS max_sample,
              round(sqrt(avg(CAST(v AS DOUBLE) * v)), 4) AS rms
       FROM smp GROUP BY doc_id ORDER BY doc_id""",
+
+    "mm08_perceptual_dedup" -> """
+      WITH img AS (
+        SELECT doc_id, 4 * (2 + doc_id % 5) AS w, 4 * (2 + doc_id % 4) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), px AS (
+        -- integer grayscale of pixel (x,y): channels are 3 consecutive
+        -- formula bytes, each wrapped mod 256 SEPARATELY (the PNG holds
+        -- them as independent bytes), then floor-averaged
+        SELECT doc_id,
+               (x * 8) // w AS cx, (y * 8) // h AS cy,
+               ((doc_id * 31 + (y * w + x) * 3 + 0) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 1) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 2) % 256) // 3 AS g
+        FROM img, generate_series(0, 23) tx(x), generate_series(0, 19) ty(y)
+        WHERE x < w AND y < h
+      ), cells AS (
+        SELECT doc_id, cx, cy, sum(g) // count(*) AS v
+        FROM px GROUP BY doc_id, cx, cy
+      ), hashes AS (
+        -- bit (cy*7 + cx) = left cell darker than its right neighbor
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN a.v < b.v
+                 THEN 1::BIGINT << (a.cy * 7 + a.cx) ELSE 0 END) AS BIGINT) AS dhash
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        GROUP BY a.doc_id
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+      ORDER BY doc_a, doc_b""",
 
     "mm04_resize" -> """
       WITH img AS (

@@ -244,4 +244,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning\\(l_".r.findAllIn(plan).hasNext,
       s"fact side must not shuffle before the band join:\n$plan")
   }
+
+  test("mm08 perceptual dedup: band-key equi-join only, pixel bytes never shuffle") {
+    // the candidate join must key on (band, band-value) — 8-byte hashes
+    // and ids on the wire, never payloads, never a cartesian; the
+    // decode stays inside the map stage before the first exchange
+    val df = graft.queries.MediaCatalogOps.defs("mm08_perceptual_dedup")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "band join degenerated to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "band-key equi-join missing")
+    // the scan side legitimately reads payload for the map-side decode;
+    // what must never happen is payload bytes riding an exchange
+    assert(!plan.linesIterator.exists(l =>
+      l.toLowerCase.contains("exchange") && l.toLowerCase.contains("payload")),
+      s"binary payload column crossed an exchange:\n$plan")
+  }
+
+  test("chunk01 sliding windows: pure map-side generation, no exchange before the output sort") {
+    val df = graft.queries.PipelineOps.defs("chunk01_sliding_windows")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("documents"), "documents scan missing from plan")
+    // exactly the output-ordering exchange (rangepartitioning for the
+    // orderBy) — any hashpartitioning exchange means the chunker
+    // introduced a shuffle a 100 TB run would pay per-document
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunk generation must not shuffle:\n$plan")
+    assert(plan.contains("Generate explode"), "sequence+explode window generation missing")
+  }
 }
