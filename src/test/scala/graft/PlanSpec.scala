@@ -262,6 +262,21 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
+  test("lm01 LM scoring: model joins broadcast, corpus gram stream never sort-merges") {
+    // the trigram/bigram count tables are the small side — if either
+    // scoring join degrades to a sort-merge, the full corpus gram
+    // stream (the 100 TB-scale explode) shuffles on string keys
+    val df = graft.queries.PipelineOps.defs("lm01_ngram_lm_score")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both model joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus gram stream shuffled into a sort-merge join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "map-side partial aggregation missing on the per-doc rollup")
+  }
+
   test("chunk01 sliding windows: pure map-side generation, no exchange before the output sort") {
     val df = graft.queries.PipelineOps.defs("chunk01_sliding_windows")(spark, dir)
     val plan = planOf(df)
