@@ -262,6 +262,21 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
+  test("sink01 partitioned export: reading one lang prunes to one partition directory") {
+    // the point of the lang-partitioned layout: a single-lang reader
+    // must carry the predicate as a PartitionFilter (directory prune),
+    // not a post-scan row filter over every partition
+    graft.queries.PipelineOps.defs("sink01_partitioned_export")(spark, dir).collect()
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-sink01-" + dir.replaceAll("[^A-Za-z0-9.-]", "_")).getPath
+    val one = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang predicate did not become a partition filter:\n$scan")
+    assert(!scan.contains("PushedFilters: [IsNotNull(lang"),
+      "lang should prune directories, not filter rows post-scan")
+  }
+
   test("lm01 LM scoring: model joins broadcast, corpus gram stream never sort-merges") {
     // the trigram/bigram count tables are the small side — if either
     // scoring join degrades to a sort-merge, the full corpus gram
