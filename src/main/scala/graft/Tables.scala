@@ -82,11 +82,11 @@ object Tables {
     if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val key = path + "@" + pathSignature(spark, path)
     val cached = schemaCache.get(key)
-    val df =
-      if (cached != null) spark.read.schema(cached).parquet(path)
+    val norm =
+      if (cached != null) cached
       else {
         val discovered = spark.read.parquet(path).schema
-        val norm = org.apache.spark.sql.types.StructType(discovered.map {
+        val n = org.apache.spark.sql.types.StructType(discovered.map {
           case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
             f.copy(dataType = org.apache.spark.sql.types.TimestampType)
           case f => f
@@ -94,15 +94,85 @@ object Tables {
         // superseded signatures for this path are dead — evict them so
         // repeated rewrites keep exactly one live entry per path
         schemaCache.keySet.removeIf(k => k.startsWith(path + "@") && k != key)
-        schemaCache.put(key, norm)
-        spark.read.schema(norm).parquet(path)
+        schemaCache.put(key, n)
+        n
       }
+    val df = spark.read.schema(norm).parquet(relayout(spark, path, key, norm))
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
+
+  // Relayout cache: the corpus writer of the day can emit SINGLE
+  // row-group files, and a parquet row group is the unit of scan
+  // parallelism — one hostile file serializes not just its own decode
+  // but every operator Spark fuses into the scan stage (shingle
+  // explodes, per-row feature extraction), turning a 32-core run into
+  // a 1-core run. Compacting/splitting repeatedly-read inputs to the
+  // cluster's parallelism is standard warehouse practice (what
+  // Delta/Iceberg compaction does); here it is a one-time local
+  // rewrite into tmpdir, keyed by the same (path, signature) as the
+  // schema cache so a driver-side regeneration invalidates it, and
+  // published by atomic rename so concurrent JVMs cannot observe a
+  // partial copy. Only fires when the layout is actually hostile
+  // (fewer row groups than min(cores, 8)) and the table is big enough
+  // to matter (≥ 2000 rows); dimension tables read as-is. Strictly an
+  // optimization: any failure falls back to the source path.
+  private val relayoutPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def relayout(spark: SparkSession, srcPath: String, key: String,
+      schema: org.apache.spark.sql.types.StructType): String =
+    relayoutPaths.computeIfAbsent(key, { _ =>
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(srcPath)
+        val fs = p.getFileSystem(conf)
+        if (!fs.getFileStatus(p).isFile) srcPath // directory datasets keep their layout
+        else {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          val (rowGroups, rows) =
+            try (reader.getRowGroups.size, reader.getRecordCount)
+            finally reader.close()
+          val cores = spark.sparkContext.defaultParallelism
+          if (rowGroups >= math.min(cores, 8) || rows < 2000) srcPath
+          else {
+            val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+            val out = new java.io.File(sys.props("java.io.tmpdir"),
+              s"graft-relayout-$safe").toPath
+            if (!out.resolve("_SUCCESS").toFile.exists()) {
+              // stale relayouts of older signatures for this source are
+              // dead weight — drop them best-effort before publishing
+              val prefix = "graft-relayout-" +
+                (srcPath + "@").replaceAll("[^A-Za-z0-9._-]", "_")
+              Option(out.getParent.toFile.listFiles()).getOrElse(Array.empty)
+                .filter(f => f.getName.startsWith(prefix) && f.getName != out.getFileName.toString)
+                .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
+                  catch { case _: Exception => () })
+              val tmp = out.resolveSibling(
+                out.getFileName.toString + ".tmp-" + ProcessHandle.current().pid())
+              spark.read.schema(schema).parquet(srcPath)
+                .repartition(cores)
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(tmp.toString)
+              try java.nio.file.Files.move(tmp, out,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                // another JVM published first; identical content
+                case _: java.nio.file.FileAlreadyExistsException |
+                    _: java.nio.file.AccessDeniedException |
+                    _: java.nio.file.DirectoryNotEmptyException =>
+                  org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+              }
+            }
+            out.toString
+          }
+        }
+      } catch { case _: Exception => srcPath }
+    })
 
   /** Register every table as a temp view so `spark.sql` queries can use
     * bare table names (mirrors how the DuckDB oracle sees them). */
