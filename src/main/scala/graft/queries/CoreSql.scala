@@ -358,11 +358,18 @@ object CoreSql {
 
     "q41_unpivot" -> ((s, d) => {
       // Wide per-brand metrics → long (metric, value) pairs.
+      // avg_price goes through exact integer cents: a double avg() is
+      // accumulation-ORDER-dependent at the last ulp, and Brand#15's
+      // mean sits exactly on a .xx5 rounding boundary — any relayout
+      // or split-count change would flip the rounded value against the
+      // oracle. Summing cents is order-free; the single double
+      // division afterwards is IEEE-deterministic on both engines.
       val wide = t(s, d, "part")
         .groupBy("p_brand")
         .agg(
-          round(avg("p_retailprice"), 2).as("avg_price"),
-          round(avg("p_size").cast("double"), 2).as("avg_size"))
+          round(sum(round(col("p_retailprice") * 100, 0).cast("long")).cast("double")
+            / count(lit(1)) / 100.0, 2).as("avg_price"),
+          round(avg(col("p_size").cast("double")), 2).as("avg_size"))
       wide.unpivot(Array(col("p_brand")),
           Array(col("avg_price"), col("avg_size")), "metric", "value")
         .orderBy("p_brand", "metric")
@@ -956,7 +963,11 @@ object CoreSql {
 
     "q41_unpivot" -> """
       WITH wide AS (
-        SELECT p_brand, round(avg(p_retailprice), 2) AS avg_price,
+        -- exact integer cents, mirroring the Spark side: order-free sum,
+        -- one deterministic double division, then the 2-decimal round
+        SELECT p_brand,
+               round(CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100.0, 2) AS avg_price,
                round(avg(CAST(p_size AS DOUBLE)), 2) AS avg_size
         FROM part GROUP BY p_brand
       )
