@@ -817,6 +817,9 @@ object Dev {
     private val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
     private val promise = new java.util.concurrent.CompletableFuture[String]()
+    // single-use winner, decided separately from the promise so the
+    // response can flush before any waiter observes completion
+    private val won = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     server.createContext("/", ex => {
       try {
@@ -845,8 +848,14 @@ object Dev {
                 .map.get("token").collect { case JString(t) => t.trim }.getOrElse("")
             } catch { case _: Exception => "" }
             if (token.isEmpty) respond(400, """{"error":"token required"}""")
-            else if (promise.complete(token)) respond(200, """{"status":"ok"}""")
-            else respond(410, """{"error":"already authenticated"}""")
+            else if (won.compareAndSet(false, true)) {
+              // respond BEFORE completing the promise: the login thread
+              // wakes on completion and closes this server — completing
+              // first let stop(0) race the in-flight 200 and the UI saw
+              // "header parser received no bytes" (flaked in CI once)
+              respond(200, """{"status":"ok"}""")
+              promise.complete(token)
+            } else respond(410, """{"error":"already authenticated"}""")
           case _ => respond(404, "")
         }
       } finally ex.close()
