@@ -137,8 +137,22 @@ object Tables {
           val (rowGroups, rows) =
             try (reader.getRowGroups.size, reader.getRecordCount)
             finally reader.close()
+          val bytesPerRow = fs.getFileStatus(p).getLen / math.max(rows, 1L)
           val cores = spark.sparkContext.defaultParallelism
-          if (rowGroups >= math.min(cores, 8) || rows < 2000) srcPath
+          // Who benefits from splitting: only tables whose MAP-SIDE
+          // (pre-shuffle) compute is heavy — text/embedding tables
+          // whose scans fuse with shingle explodes, feature extraction,
+          // vector math. Narrow fact tables go scan→shuffle→parallel
+          // compute, so their single-group scan stage is a fast decode
+          // and splitting only adds task overhead (measured: events
+          // 8-way cost q70/d07 +0.3-0.4 s for zero win, while documents
+          // 8-way took d03 from 2.3 s to 1.2 s). Wide rows (≥64 B/row,
+          // compressed) are the signature of the map-heavy class.
+          // Split target capped at 8: beyond that, scheduling overhead
+          // exceeds decode cost at these file sizes (32-way measured
+          // 2x worse than 8-way on every probe).
+          val target = math.max(2L, math.min(math.min(cores, 8).toLong, rows / 625)).toInt
+          if (rowGroups >= target || rows < 2000 || bytesPerRow < 64) srcPath
           else {
             val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
             val out = new java.io.File(sys.props("java.io.tmpdir"),
@@ -155,7 +169,7 @@ object Tables {
               val tmp = out.resolveSibling(
                 out.getFileName.toString + ".tmp-" + ProcessHandle.current().pid())
               spark.read.schema(schema).parquet(srcPath)
-                .repartition(cores)
+                .repartition(target)
                 .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
                 .parquet(tmp.toString)
               try java.nio.file.Files.move(tmp, out,
