@@ -122,6 +122,80 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 incremental dedup equals d03's pairs restricted to the batch/corpus cut") {
+    // the incremental path must lose nothing vs the full self-join: its
+    // output is exactly the d03 pair set with one endpoint on each side
+    // of the cut, oriented batch-first
+    val inc = run("d14_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = run("d03_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 7 == 3) != (b % 7 == 3) }
+      .map { case (a, b, j) => if (a % 7 == 3) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(inc == full, s"incremental pairs diverge from the self-join cut: " +
+      s"only-inc=${inc -- full}, only-full=${full -- inc}")
+    inc.foreach { case (b, c, _) =>
+      assert(b % 7 == 3 && c % 7 != 3, s"pair ($b,$c) crosses the cut wrong")
+    }
+  }
+
+  test("sink02 sharding: total partition of the corpus, balanced, word mass preserved") {
+    val shards = run("sink02_sharded_output").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shards.map(_._1).toSet == (0L until 8L).toSet, "a shard directory is missing")
+    assert(shards.map(_._2).sum == 500L, "sharding must partition every doc exactly once")
+    // md5 interleave: no shard should be pathologically hot or empty
+    val counts = shards.map(_._2)
+    assert(counts.min > 0 && counts.max < 3 * (500 / 8),
+      s"shard skew out of bounds: $counts")
+    val totalWords = Tables.t(spark, dir, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(shards.map(_._3).sum == totalWords, "round trip lost word mass")
+  }
+
+  test("t11 entropy: bounded by log2(distinct chars), degenerate docs at zero") {
+    val rows = run("t11_char_entropy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, k, h) =>
+      assert(h >= 0.0, s"doc $id negative entropy")
+      assert(h <= math.log(k.toDouble) / math.log(2.0) + 1e-4,
+        s"doc $id entropy $h exceeds log2($k)")
+      if (k == 1) assert(h == 0.0, s"single-char doc $id must have zero entropy")
+    }
+    // natural-ish text must not be degenerate: most docs well above 0
+    assert(rows.count(_._3 > 1.0) > 400, "entropy signal is degenerate on this corpus")
+  }
+
+  test("s06 ann recall agrees with a driver-side set intersection of s01 and s02") {
+    val exact = run("s01_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = run("s02_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = run("s06_ann_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(recall.map(_._1).toSet == exact.keySet)
+    recall.foreach { case (qid, hit, rec) =>
+      val expected = (exact(qid) & approx.getOrElse(qid, Set.empty)).size
+      assert(hit == expected, s"query $qid: reported $hit hits, set intersection $expected")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - hit / 5.0) < 1e-9, s"query $qid recall != n_hit/5")
+    }
+  }
+
+  test("cur01 corpus report: accounts every doc, quantiles ordered within bounds") {
+    val rows = run("cur01_corpus_report").collect()
+    assert(rows.map(_.getLong(2)).sum == 500L, "report must account every doc")
+    rows.foreach { r =>
+      val (avg, med, p90) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(med <= p90, s"median > p90 for ${r.getString(0)}/${r.getString(1)}")
+      assert(avg > 0 && med > 0, "degenerate stats")
+    }
+  }
+
   test("st03 streaming sessions equal the batch lag-window sessionization (ms arithmetic)") {
     val streamed = run("st03_stream_sessions").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq

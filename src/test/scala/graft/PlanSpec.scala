@@ -277,6 +277,28 @@ class PlanSpec extends AnyFunSuite {
       "lang should prune directories, not filter rows post-scan")
   }
 
+  test("d14 incremental dedup: gram equi-join only, never a cartesian on either side") {
+    // the incremental path's promise is O(batch · df): batch and corpus
+    // gram streams meet ONLY on the sh equi-key; any nested-loop or
+    // cartesian shape would re-couple the batch to the whole corpus
+    val df = graft.queries.PipelineOps.defs("d14_incremental_dedup")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"batch x corpus cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
+  }
+
+  test("sink02 sharded output: reading one shard prunes to one partition directory") {
+    // the shard layout exists so trainers can read shard i without
+    // touching the other N-1 directories
+    graft.queries.PipelineOps.defs("sink02_sharded_output")(spark, dir).collect()
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-sink02-" + dir.replaceAll("[^A-Za-z0-9.-]", "_")).getPath
+    val one = spark.read.parquet(out).filter(col("shard") === 3)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard predicate did not become a partition filter:\n$scan")
+  }
+
   test("lm01 LM scoring: model joins broadcast, corpus gram stream never sort-merges") {
     // the trigram/bigram count tables are the small side — if either
     // scoring join degrades to a sort-merge, the full corpus gram

@@ -80,7 +80,9 @@ object LiveConvChild {
           val poller = new graft.state.StateJournal.JournalTailPoller(app, 100)
           poller.start()
           Files.write(Paths.get(readyFile), "READY".getBytes(UTF_8))
-          val deadline = System.currentTimeMillis() + 30000
+          // generous: under a full parallel `sbt test` the writer JVM's
+          // boot alone can take tens of seconds of contended CPU
+          val deadline = System.currentTimeMillis() + 150000
           var dash: Option[graft.state.StateJournal.DashboardMeta] = None
           while (dash.isEmpty && System.currentTimeMillis() < deadline) {
             dash = app.store.getDashboard("lc1")
@@ -180,7 +182,7 @@ class RebootSpec extends AnyFunSuite {
       // reader first: it must be RUNNING (booted on an empty journal,
       // poller armed) before the writer's event exists
       val reader = launch("reader")
-      val deadline = System.currentTimeMillis() + 60000
+      val deadline = System.currentTimeMillis() + 180000
       while (!Files.exists(tmp.resolve("ready.txt")) &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(Files.exists(tmp.resolve("ready.txt")), "reader never became ready")
