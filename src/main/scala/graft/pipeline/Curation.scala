@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineOps
+
+/** Public, composable API over the training-data curation operators.
+  *
+  * The named `SparkEntry.queries` entries (d01–d14, t01–t11, …) are the
+  * oracled, benchmarked instantiations of these kernels against the
+  * test corpus; this facade exposes the SAME kernels over arbitrary
+  * DataFrames with caller-chosen column names, so a pipeline author can
+  * compose them programmatically:
+  *
+  * {{{
+  * import graft.pipeline.Curation
+  * val pairs    = Curation.nearDupPairs(docs, minJaccard = 0.8)
+  * val clusters = Curation.dupClusters(docs, minJaccard = 0.8)
+  * val leaks    = Curation.dedupAgainstCorpus(newBatch, corpus, 0.5)
+  * Curation.shardedWrite(clean, "/data/shards", nShards = 1024)
+  * }}}
+  *
+  * Every function is a declarative Spark plan with the scale shapes the
+  * named entries pin in `PlanSpec` (inverted-index equi-joins, broadcast
+  * small sides, no cartesians, map-side text kernels); thresholds and
+  * column names are the only things parameterized. Inputs must expose a
+  * 64-bit-castable id column — ids are canonicalized to `long` so joins
+  * run on fixed-width keys, never on row text.
+  */
+object Curation {
+
+  /** Canonicalize (idCol, textCol) to the kernel schema (doc_id, text).
+    * Rows with a null id or null text are excluded up front — a null id
+    * would silently form its own join/group key, and null text already
+    * drops out of every shingle kernel (null-intolerant expressions);
+    * filtering here makes the contract uniform across all kernels. */
+  private def canon(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+
+  /** Exact all-pairs word-3-gram jaccard ≥ `minJaccard` via the
+    * inverted shingle index (d03's kernel). Returns (d1, d2, jaccard),
+    * d1 < d2. Prefer [[nearDupPairsSkewRobust]] on corpora with
+    * boilerplate-heavy (skewed-shingle) text. */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.exactJaccardPairsOf(canon(docs, idCol, textCol), minJaccard)
+
+  /** Same output as [[nearDupPairs]] through the PPJoin-style prefix
+    * filter (d09's kernel): hot shingles never enter the join, so a
+    * skewed corpus can't melt it (SKEW.md measures the crossover).
+    * Candidate recall is exact — results are identical to
+    * [[nearDupPairs]], only the plan differs. */
+  def nearDupPairsSkewRobust(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.prefixFilterJaccardOf(canon(docs, idCol, textCol), minJaccard)
+
+  /** MinHash+LSH near-dup pairs (d04's kernel): 32 xxhash64
+    * permutations in 8×4 bands; banded candidates verified by exact
+    * jaccard ≥ `minJaccard`. The sub-quadratic default when the
+    * threshold is high (≥ ~0.8) and candidates are rare. */
+  def nearDupPairsMinhash(docs: DataFrame, minJaccard: Double = 0.9,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.minhashNearDupPairsOf(canon(docs, idCol, textCol), minJaccard)
+
+  /** Duplicate-cluster election (d11's kernel): connected components
+    * over the ≥ `minJaccard` near-dup graph by min-label propagation
+    * (`rounds` edge-join rounds; raise it if clusters may be deeper
+    * than 3 hops). Returns (cluster_id, n_members, members). */
+  def dupClusters(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      rounds: Int = 3): DataFrame =
+    PipelineOps.dupClustersOf(
+      nearDupPairs(docs, minJaccard, idCol, textCol).select(col("d1"), col("d2")),
+      rounds)
+
+  /** Incremental batch-vs-corpus dedup (d14's kernel): jaccard ≥
+    * `minJaccard` pairs between a new `batch` and the existing
+    * `corpus`, without ever self-joining the corpus — the daily-ingest
+    * path, O(|batch| · df). Returns (b_id, c_id, jaccard). */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.crossJaccardPairsOf(
+      canon(batch, idCol, textCol), canon(corpus, idCol, textCol), minJaccard)
+
+  /** Per-document character-distribution entropy (t11's kernel) — the
+    * cheap gibberish/boilerplate signal. Returns (doc_id,
+    * n_distinct_chars, entropy). */
+  def charEntropy(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.charEntropyOf(canon(docs, idCol, textCol))
+
+  /** Deterministic md5-interleaved sharded parquet write (sink02's
+    * kernel): every row lands in exactly one of `nShards` directories
+    * keyed by a hash of `idCol` — an unbiased interleave (the "global
+    * shuffle" trainers expect) without a global sort. One shuffle
+    * (`repartition` on the shard key), one file per shard per writer
+    * wave; a reader of shard i prunes to one directory. */
+  def shardedWrite(docs: DataFrame, path: String, nShards: Int,
+      idCol: String = "doc_id"): Unit =
+    docs
+      .withColumn("shard", expr(
+        s"cast(conv(substring(md5(cast(`$idCol` as string)), 1, 8), 16, 10) as bigint) % $nShards"))
+      .repartition(nShards, col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+}

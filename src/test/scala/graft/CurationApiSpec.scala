@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public `graft.pipeline.Curation` facade must be the SAME kernels
+  * the oracled named entries run — each test renames the corpus columns
+  * to arbitrary caller names, runs the facade, and checks exact
+  * agreement with the corresponding `SparkEntry.queries` entry. */
+class CurationApiSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+  // caller-shaped corpus: different column names, extra columns
+  private def userDocs = Tables.t(spark, dir, "documents")
+    .select(col("doc_id").as("docnum"), col("text").as("body"), col("lang"))
+
+  private def entry(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  import graft.pipeline.Curation
+
+  test("nearDupPairs over renamed columns equals the d03 entry") {
+    val api = Curation.nearDupPairs(userDocs, 0.5, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = entry("d03_ngram_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(api == ref)
+    // and the skew-robust plan is output-identical
+    val skew = Curation.nearDupPairsSkewRobust(userDocs, 0.5, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(skew == ref)
+  }
+
+  test("dedupAgainstCorpus equals the d14 entry on the same cut") {
+    val api = Curation.dedupAgainstCorpus(
+        userDocs.filter(col("docnum") % 7 === 3),
+        userDocs.filter(col("docnum") % 7 =!= 3),
+        0.5, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = entry("d14_incremental_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(api == ref)
+  }
+
+  test("dupClusters equals the d11 entry") {
+    val api = Curation.dupClusters(userDocs, 0.5, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val ref = entry("d11_dup_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(api == ref)
+  }
+
+  test("charEntropy equals the t11 entry") {
+    val api = Curation.charEntropy(userDocs, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = entry("t11_char_entropy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(api == ref)
+  }
+
+  test("minhash pairs are a subset of exact pairs at the same threshold") {
+    val mh = Curation.nearDupPairsMinhash(userDocs, 0.9, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Curation.nearDupPairs(userDocs, 0.9, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), "minhash reported a pair exact jaccard rejects")
+  }
+
+  test("shardedWrite round trip: total partition, one directory per shard") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curation-shards").toString
+    Curation.shardedWrite(userDocs, out, nShards = 4, idCol = "docnum")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500L)
+    assert(back.select("shard").distinct().count() == 4L)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.sameElements((0 until 4).map(i => s"shard=$i")))
+  }
+}
