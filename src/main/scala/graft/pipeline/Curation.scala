@@ -85,6 +85,17 @@ object Curation {
     PipelineOps.crossJaccardPairsOf(
       canon(batch, idCol, textCol), canon(corpus, idCol, textCol), minJaccard)
 
+  /** Skew-robust form of [[dedupAgainstCorpus]] (d15's kernel): the
+    * PPJoin prefix filter under a (corpus-df, gram) token order — a
+    * boilerplate gram hot in the existing corpus never enters the
+    * batch's join. Output identical to [[dedupAgainstCorpus]]; prefer
+    * this when the corpus carries mirrored headers/templates. */
+  def dedupAgainstCorpusSkewRobust(batch: DataFrame, corpus: DataFrame,
+      minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.crossJaccardPairsSkewRobustOf(
+      canon(batch, idCol, textCol), canon(corpus, idCol, textCol), minJaccard)
+
   /** Per-document character-distribution entropy (t11's kernel) — the
     * cheap gibberish/boilerplate signal. Returns (doc_id,
     * n_distinct_chars, entropy). */

@@ -147,6 +147,41 @@ object MediaCatalogOps {
         .orderBy("event_type")
     }),
 
+    "st04_stream_decontaminate" -> ((s0, d) => {
+      // Decontamination AT INGEST — the streaming form of dec01's batch
+      // gate: documents stream through a map-side filter against the
+      // broadcast benchmark gram set, and only clean docs reach the
+      // sink (a training corpus that is never contaminated beats one
+      // scrubbed later). The per-doc decision reuses the batch kernel's
+      // tokenization byte-for-byte (Shingles3.compute), so the streamed
+      // verdict is identical to dec01's join verdict — which is exactly
+      // what the oracle replays. Complete-mode per-lang rollup like
+      // st01; at scale the broadcast set is d13's Bloom bit table and
+      // the filter stays map-side with zero state.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docsDf = graft.Tables.t(s, d, "documents")
+      val benchSet = s.sparkContext.broadcast(
+        graft.queries.PipelineOps.shingles(docsDf.filter(col("doc_id") % 50 === 0))
+          .select("sh").distinct().as[String].collect().toSet)
+      val corpus = docsDf.filter(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text", "lang")
+        .as[graft.streaming.Streams.Doc].collect().toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
+      val clean = graft.streaming.Streams.filterContaminated(input.toDS(), benchSet)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_clean"), min("doc_id").as("first_clean"))
+      val name = "st04_sink_" + math.abs(d.hashCode)
+      val q = clean.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      input.addData(corpus)
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy("lang")
+    }),
+
     "st03_stream_sessions" -> ((s0, d) => {
       // Streaming gap-sessionization through flatMapGroupsWithState
       // (Streams.sessionize): the first 5000 events replay through a
@@ -403,6 +438,25 @@ object MediaCatalogOps {
       SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM g GROUP BY user_id ORDER BY user_id""",
+
+    // batch replay of the ingest-time gate: a doc is clean iff it
+    // shares NO 3-gram with the benchmark slice — dec01's verdict,
+    // inverted and rolled up per lang
+    "st04_stream_decontaminate" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+      flagged AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench)
+      )
+      SELECT lang, count(*) AS n_clean, min(doc_id) AS first_clean
+      FROM documents
+      WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+      GROUP BY lang ORDER BY lang""",
 
     "st02_stream_dedup" -> """
       WITH first5k AS (

@@ -51,6 +51,31 @@ object Streams {
   /** Gap-based sessionization with explicit state: a session closes
     * after `gapSeconds` of inactivity (event-time via the state
     * timeout). The streaming analog of q56's batch sessionization. */
+  /** Document shape for streaming curation (st04). */
+  case class Doc(doc_id: Long, text: String, lang: String)
+
+  /** Ingest-time decontamination: drop every streamed document sharing
+    * a word 3-gram with the (broadcast) benchmark gram set. The gate is
+    * a pure map-side filter — the per-doc shingle set is computed by
+    * the same single-pass kernel the batch entries use (byte-identical
+    * tokenization, `Shingles3.compute`), tested against the broadcast
+    * hash set in place. At 100 TB-scale ingest the broadcast is the
+    * d13-style Bloom bit table; here the exact set keeps the streamed
+    * decision identical to the dec01 batch gate. */
+  def filterContaminated(docs: Dataset[Doc],
+      benchGrams: org.apache.spark.broadcast.Broadcast[Set[String]]): Dataset[Doc] =
+    docs.filter { d =>
+      val grams = graft.exprs.Shingles3.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.text))
+      var i = 0
+      var clean = true
+      while (clean && i < grams.numElements()) {
+        if (benchGrams.value.contains(grams.getUTF8String(i).toString)) clean = false
+        i += 1
+      }
+      clean
+    }
+
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

@@ -49,6 +49,17 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("dedupAgainstCorpusSkewRobust is output-identical to the direct cross join") {
+    val api = Curation.dedupAgainstCorpusSkewRobust(
+        userDocs.filter(col("docnum") % 7 === 3),
+        userDocs.filter(col("docnum") % 7 =!= 3),
+        0.5, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = entry("d14_incremental_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(api == ref)
+  }
+
   test("dupClusters equals the d11 entry") {
     val api = Curation.dupClusters(userDocs, 0.5, "docnum", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
@@ -71,6 +82,26 @@ class CurationApiSpec extends AnyFunSuite {
     val exact = Curation.nearDupPairs(userDocs, 0.9, "docnum", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.subsetOf(exact), "minhash reported a pair exact jaccard rejects")
+  }
+
+  test("Similarity facade over renamed columns equals the s01/s02/s06 entries") {
+    import graft.pipeline.Similarity
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"), col("label").as("bucket"))
+    val queries = userEmb.filter(col("vid") < 10)
+    val exact = Similarity.bruteForceTopK(userEmb, queries, k = 5,
+      idCol = "vid", vecCol = "vec")
+    val approx = Similarity.ivfTopK(userEmb, queries, k = 5, probes = 2,
+      idCol = "vid", vecCol = "vec", bucketCol = "bucket")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(asSet(exact) == asSet(entry("s01_cosine_topk")))
+    assert(asSet(approx) == asSet(entry("s02_ann_ivf")))
+    val grade = Similarity.recallAtK(exact, approx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = entry("s06_ann_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(grade == ref)
   }
 
   test("shardedWrite round trip: total partition, one directory per shard") {

@@ -287,6 +287,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
   }
 
+  test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
+    val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the prefix path:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
+  }
+
   test("sink02 sharded output: reading one shard prunes to one partition directory") {
     // the shard layout exists so trainers can read shard i without
     // touching the other N-1 directories

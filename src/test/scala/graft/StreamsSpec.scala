@@ -60,6 +60,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("streamed decontamination gate agrees with the batch dec01 verdict") {
+    // the streamed st04 keeps exactly the corpus docs dec01 does NOT
+    // flag — same tokenization kernel, so the agreement must be exact
+    val dir = "/root/testdata/sf0.01"
+    val flagged = SparkEntry.queries("dec01_decontaminate")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val corpus = Tables.t(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expectClean = corpus.filterNot { case (id, _) => flagged(id) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val streamed = SparkEntry.queries("st04_stream_decontaminate")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == expectClean,
+      s"streamed gate diverges from batch dec01: $streamed vs $expectClean")
+    // and the gate discriminates on this corpus (some flagged, some clean)
+    assert(flagged.nonEmpty && streamed.values.sum > 0)
+  }
+
   test("stateful sessionization emits closed sessions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
