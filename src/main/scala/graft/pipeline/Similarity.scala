@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineOps
+
+/** Public, composable API over the similarity-search operators — the
+  * embedding-side counterpart of [[Curation]]. The named entries
+  * (s01/s02/s06) are the oracled instantiations of these kernels; this
+  * facade exposes them over arbitrary DataFrames with caller-chosen
+  * column names:
+  *
+  * {{{
+  * import graft.pipeline.Similarity
+  * val truth  = Similarity.bruteForceTopK(corpus, sampleQueries, k = 10)
+  * val approx = Similarity.ivfTopK(corpus, sampleQueries, k = 10, probes = 2)
+  * val grade  = Similarity.recallAtK(truth, approx)   // ship the index?
+  * }}}
+  *
+  * Embedding columns must be castable to `array<double>`; ids to
+  * `long`. Query sets are bounded samples (the brute-force side
+  * broadcasts them), which is exactly the ANN-evaluation recipe: grade
+  * the index on a sample, then serve with the approximate path.
+  */
+object Similarity {
+
+  private def canon(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .filter(col("vec_id").isNotNull && col("e").isNotNull)
+
+  /** Exact cosine top-k (s01's kernel): the query sample is collected
+    * and broadcast; the corpus is scanned once, map-side, with a
+    * primitive-loop dot product — zero shuffle before the final tiny
+    * top-k. Returns (qid, rk, nid, c). */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.bruteForceTopKOf(
+      canon(emb, idCol, vecCol), canon(queries, idCol, vecCol), k)
+
+  /** IVF-style ANN top-k (s02's kernel): per-`bucketCol` mean centroids
+    * (broadcast), probe the `probes` nearest, exact search inside the
+    * probed buckets only — scanned fraction ≈ probes/nlist. Returns
+    * (qid, rk, nid, c). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, probes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCol: String = "label"): DataFrame =
+    PipelineOps.ivfTopKOf(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+          col(bucketCol).as("label"),
+          col(vecCol).cast("array<double>").as("e"))
+        .filter(col("vec_id").isNotNull && col("e").isNotNull),
+      canon(queries, idCol, vecCol)
+        .select(col("vec_id").as("qid"), col("e").as("qe")),
+      k, probes)
+
+  /** Recall@k of `approx` against `exact` (s06's kernel) — both in the
+    * (qid, nid) shape the two searches return. Returns (qid, n_hit,
+    * recall). */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    PipelineOps.recallOf(exact, approx)
+}
