@@ -56,6 +56,29 @@ object SkewLab {
     sumPairs(hist)
   }
 
+  /** Join rows d14's batch×corpus gram join materializes: Σ_sh
+    * bdf·cdf over the two sides' gram histograms. */
+  def d14JoinRows(batch: DataFrame, corpus: DataFrame): Long =
+    crossRows(PipelineOps.shingles(batch), PipelineOps.shingles(corpus))
+
+  /** Join rows d15's prefix×prefix cross join materializes (upper
+    * bound: the AllPairs size filter prunes further at execution). */
+  def d15JoinRows(batch: DataFrame, corpus: DataFrame, thr: Double): Long = {
+    val bsh = PipelineOps.shingles(batch)
+    val csh = PipelineOps.shingles(corpus)
+    val dfTab = csh.groupBy("sh").agg(count(lit(1)).as("cdf"))
+    crossRows(PipelineOps.corpusDfRanked(bsh, dfTab, thr),
+      PipelineOps.corpusDfRanked(csh, dfTab, thr))
+  }
+
+  /** Σ_sh na·nb over two gram histograms — the exact row count of the
+    * batch-side × corpus-side equi-join on sh. */
+  private def crossRows(a: DataFrame, b: DataFrame): Long =
+    a.groupBy("sh").agg(count(lit(1)).as("na"))
+      .join(b.groupBy("sh").agg(count(lit(1)).as("nb")), "sh")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("r"))
+      .head.getLong(0)
+
   /** Σ_key C(df, 2) over the key histogram of `df` — the exact row
     * count of an `a.key = b.key AND a.id < b.id` self-join. */
   private def selfJoinRows(rows: DataFrame, key: String): Long =

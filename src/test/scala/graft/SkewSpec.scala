@@ -64,6 +64,29 @@ class SkewSpec extends AnyFunSuite {
       s"uncapped join rows did not explode: $nocapSkew vs capped $capSkew")
   }
 
+  test("incremental path under skew: d14's cross join explodes, d15's stays bounded and exact") {
+    import org.apache.spark.sql.functions.col
+    def cut(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("doc_id") % 7 === 3), df.filter(col("doc_id") % 7 =!= 3))
+    val (bu, cu) = cut(uniform)
+    val (bs, cs) = cut(skewed)
+    val d14Unif = SkewLab.d14JoinRows(bu, cu)
+    val d14Skew = SkewLab.d14JoinRows(bs, cs)
+    val d15Skew = SkewLab.d15JoinRows(bs, cs, 0.5)
+    // every hot shingle contributes (hot batch docs)·(hot corpus docs)
+    // cross rows — the incremental face of the f² law
+    assert(d14Skew > 10 * d14Unif,
+      s"d14 cross-join rows did not explode under skew: $d14Unif -> $d14Skew")
+    // the corpus-df prefix keeps hot grams out of BOTH sides' prefixes
+    assert(d15Skew < d14Skew / 10,
+      s"d15 join rows not bounded vs d14 under skew: $d15Skew vs $d14Skew")
+    // and the remedy stays exact on the adversarial corpus
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(PipelineOps.crossJaccardPairsSkewRobustOf(bs, cs, 0.5)) ==
+      key(PipelineOps.crossJaccardPairsOf(bs, cs, 0.5)))
+  }
+
   test("d09 stays exact under skew: verified output equals d03's") {
     def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
