@@ -76,6 +76,10 @@ object SkewBench {
     // "selfjoin" only the d03/d09/d10cap legs; unset runs everything
     // (incl. the hot10 uncapped-d10 melt).
     val mode = sys.env.getOrElse("SPARK_GRAFT_SKEW_ONLY", "")
+    require(Set("", "incremental", "selfjoin")(mode),
+      s"SPARK_GRAFT_SKEW_ONLY must be 'incremental' or 'selfjoin', got '$mode'")
+    require(corpora.nonEmpty,
+      "SPARK_GRAFT_SKEW_CORPORA matched no corpus (valid: uniform, hot10, hot30, banner50)")
     val incrementalOnly = mode == "incremental"
     val selfJoinOnly = mode == "selfjoin"
     val cells = collection.mutable.LinkedHashMap.empty[String, String]

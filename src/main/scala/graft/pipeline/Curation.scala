@@ -58,9 +58,12 @@ object Curation {
     PipelineOps.prefixFilterJaccardOf(canon(docs, idCol, textCol), minJaccard)
 
   /** MinHash+LSH near-dup pairs (d04's kernel): 32 xxhash64
-    * permutations in 8×4 bands; banded candidates verified by exact
-    * jaccard ≥ `minJaccard`. The sub-quadratic default when the
-    * threshold is high (≥ ~0.8) and candidates are rare. */
+    * permutations, banded BY THE THRESHOLD (8×4 at ≥0.75, 16×2 at
+    * ≥0.4, 32×1 below), so the detection probability at `minJaccard`
+    * stays ≥ ~0.94; banded candidates verified by exact jaccard ≥
+    * `minJaccard`. The sub-quadratic default when the threshold is
+    * high and candidates are rare; candidate recall is probabilistic,
+    * unlike [[nearDupPairs]]/[[nearDupPairsSkewRobust]]. */
   def nearDupPairsMinhash(docs: DataFrame, minJaccard: Double = 0.9,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.minhashNearDupPairsOf(canon(docs, idCol, textCol), minJaccard)
@@ -108,12 +111,15 @@ object Curation {
     * keyed by a hash of `idCol` — an unbiased interleave (the "global
     * shuffle" trainers expect) without a global sort. One shuffle
     * (`repartition` on the shard key), one file per shard per writer
-    * wave; a reader of shard i prunes to one directory. */
+    * wave; a reader of shard i prunes to one directory. Rows with a
+    * null id are excluded (a null id would md5 to a null shard — an
+    * extra `__HIVE_DEFAULT_PARTITION__` directory outside the promised
+    * 0..nShards−1 layout that shard-addressed readers silently miss). */
   def shardedWrite(docs: DataFrame, path: String, nShards: Int,
       idCol: String = "doc_id"): Unit =
     docs
-      .withColumn("shard", expr(
-        s"cast(conv(substring(md5(cast(`$idCol` as string)), 1, 8), 16, 10) as bigint) % $nShards"))
+      .filter(col(idCol).isNotNull)
+      .withColumn("shard", PipelineOps.shardCol(col(idCol), nShards))
       .repartition(nShards, col("shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)

@@ -42,7 +42,10 @@ object Similarity {
   /** IVF-style ANN top-k (s02's kernel): per-`bucketCol` mean centroids
     * (broadcast), probe the `probes` nearest, exact search inside the
     * probed buckets only — scanned fraction ≈ probes/nlist. Returns
-    * (qid, rk, nid, c). */
+    * (qid, rk, nid, c). Rows with a null bucket are excluded along
+    * with null ids/vectors: a null bucket would still form a centroid
+    * and win probe slots, but `label === clabel` can never reach its
+    * members — an unreachable bucket that silently burns probes. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, probes: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bucketCol: String = "label"): DataFrame =
@@ -50,7 +53,8 @@ object Similarity {
       emb.select(col(idCol).cast("long").as("vec_id"),
           col(bucketCol).as("label"),
           col(vecCol).cast("array<double>").as("e"))
-        .filter(col("vec_id").isNotNull && col("e").isNotNull),
+        .filter(col("vec_id").isNotNull && col("e").isNotNull &&
+          col("label").isNotNull),
       canon(queries, idCol, vecCol)
         .select(col("vec_id").as("qid"), col("e").as("qe")),
       k, probes)

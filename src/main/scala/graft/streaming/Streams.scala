@@ -48,9 +48,6 @@ object Streams {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
 
-  /** Gap-based sessionization with explicit state: a session closes
-    * after `gapSeconds` of inactivity (event-time via the state
-    * timeout). The streaming analog of q56's batch sessionization. */
   /** Document shape for streaming curation (st04). */
   case class Doc(doc_id: Long, text: String, lang: String)
 
@@ -61,21 +58,28 @@ object Streams {
     * tokenization, `Shingles3.compute`), tested against the broadcast
     * hash set in place. At 100 TB-scale ingest the broadcast is the
     * d13-style Bloom bit table; here the exact set keeps the streamed
-    * decision identical to the dec01 batch gate. */
+    * decision identical to the dec01 batch gate — including null text,
+    * which the batch kernel's null-intolerant expression drops from the
+    * gram stream (zero grams → clean). */
   def filterContaminated(docs: Dataset[Doc],
       benchGrams: org.apache.spark.broadcast.Broadcast[Set[String]]): Dataset[Doc] =
     docs.filter { d =>
-      val grams = graft.exprs.Shingles3.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d.text))
-      var i = 0
-      var clean = true
-      while (clean && i < grams.numElements()) {
-        if (benchGrams.value.contains(grams.getUTF8String(i).toString)) clean = false
-        i += 1
+      d.text == null || {
+        val grams = graft.exprs.Shingles3.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.text))
+        var i = 0
+        var clean = true
+        while (clean && i < grams.numElements()) {
+          if (benchGrams.value.contains(grams.getUTF8String(i).toString)) clean = false
+          i += 1
+        }
+        clean
       }
-      clean
     }
 
+  /** Gap-based sessionization with explicit state: a session closes
+    * after `gapSeconds` of inactivity (event-time via the state
+    * timeout). The streaming analog of q56's batch sessionization. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

@@ -84,6 +84,34 @@ class CurationApiSpec extends AnyFunSuite {
     assert(mh.subsetOf(exact), "minhash reported a pair exact jaccard rejects")
   }
 
+  test("minhash banding adapts to the threshold: high recall at 0.5, not the 8x4 shape") {
+    // with the fixed 8x4 banding a true jaccard-0.5 pair is detected
+    // with prob ~0.40; the 16x2 regime detects it at ~0.99 — so at
+    // threshold 0.5 the candidate pass must surface (nearly) all exact
+    // pairs, and verification keeps it a subset
+    val mh = Curation.nearDupPairsMinhash(userDocs, 0.5, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Curation.nearDupPairs(userDocs, 0.5, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+    assert(mh.size >= (exact.size * 8) / 10,
+      s"minhash at 0.5 found ${mh.size}/${exact.size} exact pairs — banding not threshold-adapted")
+  }
+
+  test("shardedWrite excludes null ids instead of minting an extra null-shard directory") {
+    val out = java.nio.file.Files.createTempDirectory("graft-null-shards").toString
+    val withNull = userDocs.select(
+      when(col("docnum") === 7, lit(null)).otherwise(col("docnum")).as("docnum"),
+      col("body"))
+    Curation.shardedWrite(withNull, out, nShards = 4, idCol = "docnum")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 499L, "null-id row must be excluded, others kept")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.sameElements((0 until 4).map(i => s"shard=$i")),
+      s"unexpected shard layout: ${dirs.mkString(",")}")
+  }
+
   test("Similarity facade over renamed columns equals the s01/s02/s06 entries") {
     import graft.pipeline.Similarity
     val userEmb = Tables.t(spark, dir, "embeddings")
