@@ -187,7 +187,10 @@ class RebootSpec extends AnyFunSuite {
         System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(Files.exists(tmp.resolve("ready.txt")), "reader never became ready")
       val writer = launch("writer")
-      assert(writer.waitFor() == 0, "writer JVM failed")
+      val writerExit = writer.waitFor()
+      assert(writerExit == 0, s"writer JVM failed (exit $writerExit): " +
+        new String(Files.readAllBytes(tmp.resolve("log-writer.txt")), UTF_8)
+          .takeRight(1500))
       assert(new String(Files.readAllBytes(tmp.resolve("out-writer.txt")), UTF_8) == "WRITER_OK")
       assert(reader.waitFor() == 0, "reader JVM failed: " + new String(
         Files.readAllBytes(tmp.resolve("log-reader.txt")), UTF_8).takeRight(800))

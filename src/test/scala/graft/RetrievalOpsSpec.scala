@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the retrieval/normalization operators added in round 6
+  * (d16 chunk dedup, s07 BM25, s08 random projection, t12 NFC
+  * normalize) beyond the DuckDB oracle gate — each test pins a property
+  * the hash compare alone would not explain if it broke — plus the
+  * plan shapes that must survive 100×.
+  */
+class RetrievalOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ---- d16 chunk dedup -------------------------------------------------
+
+  test("d16: no duplicated chunk survives, survivors reassemble in order") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+    // recompute the chunking independently (plain Scala, not the plan
+    // under test) and derive the expected survivors
+    val chunked = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val w = text.split(" ", -1)
+        id -> w.grouped(10).map(_.mkString(" ")).toVector
+      }.toMap
+    val df = chunked.values.flatten
+      .groupBy(identity).map { case (c, o) => c -> o.size }
+    val expected = chunked.map { case (id, cs) =>
+      id -> cs.filter(c => df(c) == 1)
+    }.filter(_._2.nonEmpty)
+    val got = run("d16_chunk_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == expected.keySet.map(_.toLong))
+    expected.foreach { case (id, kept) =>
+      val (nKept, cleanedMd5) = got(id)
+      assert(nKept == kept.size, s"doc $id kept $nKept, expected ${kept.size}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(cleanedMd5 == h, s"doc $id reassembly hash mismatch")
+    }
+    // the corpus must actually exercise the op
+    val dropped = chunked.values.map(_.size).sum - expected.values.map(_.size).sum
+    assert(dropped > 0, "corpus has no duplicated chunks: op untested")
+  }
+
+  test("d16 plan: equi-joins only, never cartesian, scan in-plan") {
+    val plan = planOf(run("d16_chunk_dedup"))
+    assert(plan.contains("documents"), "documents scan missing from plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "chunk-df join degenerated to a non-equi join")
+  }
+
+  // ---- s07 BM25 --------------------------------------------------------
+
+  test("s07: top-k scores positive, descending, every hit contains a term") {
+    val rows = run("s07_bm25_topk").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0), "a zero-score doc reached the top 20")
+    assert(scores.sameElements(scores.sorted.reverse), "not score-descending")
+    // every top doc must actually contain at least one query term
+    import spark.implicits._
+    val ids = rows.map(_.getLong(0)).toSet
+    val texts = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    ids.foreach { id =>
+      val w = texts(id).split(" ", -1).toSet
+      assert(Seq("spark", "join", "vector").exists(w.contains),
+        s"top doc $id contains no query term")
+    }
+  }
+
+  test("s07: adjacent repeated terms both count (regexp tf is exact)") {
+    import spark.implicits._
+    val tf = Seq("spark spark spark", "a spark b", "sparkle spark", "spark")
+      .toDF("text")
+      .select(regexp_count(col("text"), lit("(?<=^| )spark(?= |$)")).as("tf"))
+      .as[Int].collect()
+    assert(tf.sameElements(Array(3, 1, 1, 1)), tf.mkString(","))
+  }
+
+  test("s07 plan: stats broadcast back, top-k is TakeOrdered (no global sort)") {
+    val plan = planOf(run("s07_bm25_topk"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrderedAndProject, not a global sort+limit")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "single-row stats must broadcast back to the scoring scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "scoring join must never sort-merge the corpus against one row")
+  }
+
+  // ---- s08 random projection ------------------------------------------
+
+  test("s08: matches an independent driver-side projection, exact") {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val got = run("s08_random_projection").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.size == emb.size)
+    // recompute with plain Scala integer accumulation
+    emb.foreach { case (id, e) =>
+      val proj = (0 until 8).map { j =>
+        val acc = (0 until 64).map { i =>
+          val q = math.floor(e(i).toDouble * 1e6 + 0.5).toLong
+          if (graft.queries.PipelineOps.rpSign(i, j) > 0) q else -q
+        }.sum
+        BigDecimal(acc.toDouble / 1e6 * 0.125)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got(id) == proj, s"vec $id projection mismatch")
+    }
+  }
+
+  test("s08 plan: pure map — no exchange before the output ordering") {
+    val plan = planOf(run("s08_random_projection"))
+    assert(plan.contains("embeddings"), "embeddings scan missing from plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), "projection must not explode the vector")
+  }
+
+  // ---- t12 NFC normalize ----------------------------------------------
+
+  test("t12: composes, reorders, and fast-paths per UAX#15") {
+    val rows = run("t12_nfc_normalize").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(1) == ("caf\u00E9", 4L))        // e + acute -> \u00E9
+    assert(rows(2) == ("\u00C5", 1L))             // angstrom -> \u00C5
+    assert(rows(3) == ("\u00C4\u0332", 2L))       // compose \u00C4, keep low line
+    assert(rows(4) == ("\u0121\u0323", 2L))       // reorder, compose over ccc-220
+    assert(rows(5) == ("plain ascii text", 16L)) // identity fast path
+    assert(rows(6) == ("\uAC01", 1L))            // jamo -> syllable
+  }
+
+  test("t12: null in, null out; idempotent on already-normalized text") {
+    graft.exprs.NfcNormalize.register(spark)
+    import spark.implicits._
+    val out = Seq(Option("caf\u00E9"), None).toDF("s")
+      .selectExpr("nfc_normalize(s) as n").collect()
+    assert(out(0).getString(0) == "caf\u00E9")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("t12: no interpreted fallback on any shape (CODEGEN_ONLY)") {
+    graft.exprs.NfcNormalize.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // non-nullable child (regexp output is non-null string)
+      val nn = spark.range(1, 3)
+        .selectExpr("nfc_normalize(concat('x', cast(id as string))) as n")
+        .collect()
+      assert(nn.length == 2 && nn(0).getString(0) == "x1")
+      // nullable child
+      import spark.implicits._
+      val nv = Seq(Option("café"), None).toDF("s")
+        .selectExpr("nfc_normalize(s) as n").collect()
+      assert(nv(0).getString(0) == "café" && nv(1).isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+}
