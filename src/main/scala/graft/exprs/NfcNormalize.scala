@@ -53,6 +53,13 @@ object NfcNormalize {
 
   /** Static entry shared by interpreted eval and generated code. */
   def compute(text: UTF8String): UTF8String = {
+    // all-ASCII fast path: a pure byte scan with zero allocation —
+    // ASCII is closed under NFC, so the input can be returned as-is
+    // without ever decoding to UTF-16
+    var i = 0
+    val n = text.numBytes
+    while (i < n && text.getByte(i) >= 0) i += 1
+    if (i == n) return text
     val s = text.toString
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) text
     else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))

@@ -115,12 +115,14 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val got = run("s08_random_projection").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(got.size == emb.size)
-    // recompute with plain Scala integer accumulation
+    // recompute with plain Scala integer accumulation (sign matrix
+    // hoisted: it is constant across rows)
+    val signs = Array.tabulate(8, 64)((j, i) => graft.queries.PipelineOps.rpSign(i, j))
     emb.foreach { case (id, e) =>
       val proj = (0 until 8).map { j =>
         val acc = (0 until 64).map { i =>
           val q = math.floor(e(i).toDouble * 1e6 + 0.5).toLong
-          if (graft.queries.PipelineOps.rpSign(i, j) > 0) q else -q
+          if (signs(j)(i) > 0) q else -q
         }.sum
         BigDecimal(acc.toDouble / 1e6 * 0.125)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
