@@ -139,6 +139,69 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "projection must not explode the vector")
   }
 
+  // ---- t13 BPE pair counts --------------------------------------------
+
+  test("t13: matches an independent driver-side pair count; ties cut by pair") {
+    import spark.implicits._
+    val texts = Tables.t(spark, dir, "documents")
+      .select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map[String, Long]()
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      var i = 0
+      while (i + 1 < w.length) {
+        val p = w(i) + " " + w(i + 1)
+        counts(p) = counts.getOrElse(p, 0L) + 1
+        i += 1
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = run("t13_bpe_pair_counts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("word_pairs: non-distinct, ordered, codegen with no fallback") {
+    graft.exprs.WordPairs.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val out = Seq("a b a b", "solo", "", "x y").toDF("t")
+        .selectExpr("word_pairs(t) as p").as[Seq[String]].collect()
+      assert(out(0) == Seq("a b", "b a", "a b")) // duplicates kept, in order
+      assert(out(1).isEmpty && out(2).isEmpty)
+      assert(out(3) == Seq("x y"))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
+  // ---- idx01 inverted index -------------------------------------------
+
+  test("idx01: two-phase postings cap is lossless vs the single-phase truth") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val postings = scala.collection.mutable.Map[String, List[Long]]()
+    docs.foreach { case (id, t) =>
+      t.split(" ", -1).distinct.foreach { term =>
+        postings(term) = id :: postings.getOrElse(term, Nil)
+      }
+    }
+    val expected = postings.toSeq
+      .map { case (t, ids) => (t, ids.size.toLong, ids.sorted.take(20)) }
+      .filter(_._2 >= 300).sortBy(_._1)
+    val got = run("idx01_inverted_index").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList)).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "df threshold excluded the whole vocabulary: op untested")
+    got.foreach { case (t, df, heads) =>
+      assert(heads.size == math.min(df, 20L), s"term $t postings head truncated wrong")
+    }
+  }
+
   // ---- t12 NFC normalize ----------------------------------------------
 
   test("t12: composes, reorders, and fast-paths per UAX#15") {
