@@ -106,6 +106,32 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.charEntropyOf(canon(docs, idCol, textCol))
 
+  /** Corpus-level duplicated-chunk removal (d16's kernel — the CCNet/C4
+    * paragraph-dedup shape over fixed `chunkWords`-word windows): a
+    * chunk is dropped everywhere it appears if its content hash occurs
+    * more than once in the corpus; survivors reassemble in document
+    * order. Returns (doc_id, n_kept, cleaned_text); docs whose every
+    * chunk was duplicated drop out. */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.chunkDedupOf(canon(docs, idCol, textCol), chunkWords)
+
+  /** Corpus-wide adjacent word-pair counts, top `k` (t13's kernel —
+    * the BPE-training merge-candidate scan). Returns (pair, n), count
+    * desc with pair tiebreak. */
+  def bpePairCounts(docs: DataFrame, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.bpePairCountsOf(canon(docs, idCol, textCol), k)
+
+  /** Unicode NFC normalization of `textCol` in place (t12's expression:
+    * native codegen over java.text.Normalizer with an allocation-free
+    * all-ASCII fast path) — the mandatory first pass before any
+    * hash-keyed dedup on crawled text. */
+  def nfcNormalized(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.exprs.NfcNormalize.register(docs.sparkSession)
+    docs.withColumn(textCol, expr(s"nfc_normalize(`$textCol`)"))
+  }
+
   /** Deterministic md5-interleaved sharded parquet write (sink02's
     * kernel): every row lands in exactly one of `nShards` directories
     * keyed by a hash of `idCol` — an unbiased interleave (the "global

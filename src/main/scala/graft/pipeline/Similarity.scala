@@ -64,4 +64,15 @@ object Similarity {
     * recall). */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     PipelineOps.recallOf(exact, approx)
+
+  /** Johnson-Lindenstrauss sign random projection (s08's kernel):
+    * `inDims`-wide vectors down to `outDims`, with the ±1 matrix
+    * derived from md5 so every run (and engine) regenerates it — no
+    * model state to ship. Components accumulate as integers, so
+    * results are exact and order-independent. Returns (vec_id, proj).
+    * The scan-speed prepass that shrinks every downstream ANN or
+    * clustering shuffle by inDims/outDims. */
+  def randomProject(emb: DataFrame, inDims: Int, outDims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.randomProjectionOf(canon(emb, idCol, vecCol), inDims, outDims)
 }

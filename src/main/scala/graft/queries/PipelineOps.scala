@@ -38,6 +38,105 @@ object PipelineOps {
     if (hex.charAt(0) < '8') 1 else -1
   }
 
+  /** d16's kernel: corpus-level duplicated-chunk removal over fixed
+    * `chunkWords`-word windows; a chunk is dropped everywhere it
+    * appears if its hash occurs more than once. Returns (doc_id,
+    * n_kept, cleaned_text) — docs whose every chunk was duplicated drop
+    * out. Scale notes at the d16 entry. */
+  private[graft] def chunkDedupOf(docs: DataFrame, chunkWords: Int): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0) as int) - 1), " +
+          s"k -> array_join(slice(w, k * $chunkWords + 1, $chunkWords), ' '))"))
+        .as(Seq("k", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val chunkDf = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    chunks.join(chunkDf, "h")
+      .filter(col("c") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(k, chunk))), x -> x.chunk)"),
+          " ").as("cleaned_text"))
+  }
+
+  /** s07's kernel: BM25 (Lucene idf) scores of `terms` over the corpus,
+    * top `k` docs on the rounded score with doc_id tiebreak. Returns
+    * (doc_id, score). Scale notes at the s07 entry. */
+  private[graft] def bm25TopKOf(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "terms must be plain tokens (they are spliced into a regexp)")
+    var feat = docs
+      .withColumn("dl", size(split(col("text"), " ")).cast("double"))
+    terms.zipWithIndex.foreach { case (tm, i) =>
+      feat = feat.withColumn(s"tf$i",
+        regexp_count(col("text"), lit(s"(?<=^| )$tm(?= |$$)")).cast("double"))
+    }
+    val aggs = Seq(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = feat.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
+      idf * col(s"tf$i") * (k1 + 1) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    feat.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** s08's kernel: JL sign random projection of `vec` (inDims floats)
+    * to outDims, integer-exact accumulation. Returns (vec_id, proj).
+    * Scale notes at the s08 entry. */
+  private[graft] def randomProjectionOf(emb: DataFrame, inDims: Int,
+      outDims: Int): DataFrame = {
+    val de = (i: Int) => element_at(col("e"), i + 1).cast("double")
+    val proj = (0 until outDims).map { j =>
+      val terms = (0 until inDims).map { i =>
+        val q = floor(de(i) * 1000000.0 + lit(0.5)).cast("long")
+        if (rpSign(i, j) > 0) q else -q
+      }
+      round(terms.reduce(_ + _).cast("double") / 1000000.0 /
+        math.sqrt(inDims), 4)
+    }
+    emb.select(col("vec_id"), array(proj: _*).as("proj"))
+  }
+
+  /** t13's kernel: corpus-wide adjacent word-pair counts (the BPE merge
+    * candidate scan), top `k` by count desc / pair asc. Scale notes at
+    * the t13 entry. */
+  private[graft] def bpePairCountsOf(docs: DataFrame, k: Int): DataFrame = {
+    graft.exprs.WordPairs.register(docs.sparkSession)
+    docs
+      .select(explode(expr("word_pairs(text)")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** idx01's kernel: per-term df + two-phase lossless postings-head cap
+    * for terms with df ≥ minDf. Returns (term, df, postings_head).
+    * Scale notes at the idx01 entry. */
+  private[graft] def invertedIndexOf(docs: DataFrame, minDf: Long,
+      headCap: Int): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val pre = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(16)))
+      .orderBy("doc_id")
+    val fin = Window.partitionBy("term").orderBy("doc_id")
+    terms.join(df, "term")
+      .withColumn("rn", row_number().over(pre)).filter(col("rn") <= headCap)
+      .withColumn("rk", row_number().over(fin)).filter(col("rk") <= headCap)
+      .groupBy("term", "df")
+      .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
+  }
+
   /** Word 3-gram shingles, distinct, for docs with ≥3 tokens — via the
     * single-pass native Shingles3 expression (the HOF chain it replaced
     * ran as CodegenFallback and built three intermediate arrays/row). */
@@ -1581,20 +1680,9 @@ object PipelineOps {
       // (c > 1, small by construction) as an anti-filter, the same
       // two-scan shape dec01 uses. Reassembly is one groupBy(doc_id)
       // over surviving chunks only.
-      val chunks = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
-            "k -> array_join(slice(w, k * 10 + 1, 10), ' '))")).as(Seq("k", "chunk")))
-        .withColumn("h", md5(col("chunk")))
-      val chunkDf = chunks.groupBy("h").agg(count(lit(1)).as("c"))
-      chunks.join(chunkDf, "h")
-        .filter(col("c") === 1)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          md5(array_join(expr(
-            "transform(array_sort(collect_list(struct(k, chunk))), x -> x.chunk)"),
-            " ")).as("cleaned_md5"))
+      chunkDedupOf(t(s, d, "documents"), chunkWords = 10)
+        .select(col("doc_id"), col("n_kept"),
+          md5(col("cleaned_text")).as("cleaned_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1611,27 +1699,7 @@ object PipelineOps {
       // engine-exact. 100 TB: two corpus scans (stats + score), both
       // full map-side — the classic search shape without an index; an
       // inverted index replaces the second scan when queries repeat.
-      val terms = Seq("spark", "join", "vector")
-      val k1 = 1.2; val b = 0.75
-      var feat = t(s, d, "documents")
-        .withColumn("dl", size(split(col("text"), " ")).cast("double"))
-      terms.zipWithIndex.foreach { case (tm, i) =>
-        feat = feat.withColumn(s"tf$i",
-          regexp_count(col("text"), lit(s"(?<=^| )$tm(?= |$$)")).cast("double"))
-      }
-      val aggs = Seq(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl")) ++
-        terms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
-      val stats = feat.agg(aggs.head, aggs.tail: _*)
-      val score = terms.indices.map { i =>
-        val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
-        idf * col(s"tf$i") * (k1 + 1) /
-          (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
-      }.reduce(_ + _)
-      feat.crossJoin(broadcast(stats))
-        .select(col("doc_id"), round(score, 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
+      bm25TopKOf(t(s, d, "documents"), Seq("spark", "join", "vector"), k = 20)
     }),
 
     "s08_random_projection" -> ((s, d) => {
@@ -1647,16 +1715,9 @@ object PipelineOps {
       // shuffle, nothing leaves the row. 100 TB: this is the prepass
       // that shrinks every downstream ANN/cluster shuffle 8×; runs at
       // scan speed.
-      val de = (i: Int) => element_at(col("embedding"), i + 1).cast("double")
-      val proj = (0 until 8).map { j =>
-        val terms = (0 until 64).map { i =>
-          val q = floor(de(i) * 1000000.0 + lit(0.5)).cast("long")
-          if (PipelineOps.rpSign(i, j) > 0) q else -q
-        }
-        round(terms.reduce(_ + _).cast("double") / 1000000.0 * 0.125, 4)
-      }
-      t(s, d, "embeddings")
-        .select(col("vec_id"), array(proj: _*).as("proj"))
+      randomProjectionOf(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding").as("e")),
+        inDims = 64, outDims = 8)
         .orderBy("vec_id")
     }),
 
@@ -1672,12 +1733,7 @@ object PipelineOps {
       // hot pairs — by definition the interesting ones — arrive
       // pre-reduced), TakeOrdered for the cut. This per-iteration job
       // IS how BPE vocabularies are trained on web-scale corpora.
-      graft.exprs.WordPairs.register(s)
-      t(s, d, "documents")
-        .select(explode(expr("word_pairs(text)")).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(20)
+      bpePairCountsOf(t(s, d, "documents"), k = 20)
     }),
 
     "idx01_inverted_index" -> ((s, d) => {
@@ -1694,18 +1750,7 @@ object PipelineOps {
       // oracle computes the single-phase truth directly. df is its own
       // partial-aggregated count (never collected), joined back on the
       // tiny hot-term set.
-      val terms = t(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
-      val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 300)
-      val pre = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(16)))
-        .orderBy("doc_id")
-      val fin = Window.partitionBy("term").orderBy("doc_id")
-      terms.join(df, "term")
-        .withColumn("rn", row_number().over(pre)).filter(col("rn") <= 20)
-        .withColumn("rk", row_number().over(fin)).filter(col("rk") <= 20)
-        .groupBy("term", "df")
-        .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
+      invertedIndexOf(t(s, d, "documents"), minDf = 300, headCap = 20)
         .orderBy("term")
     }),
 

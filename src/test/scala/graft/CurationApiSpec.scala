@@ -142,4 +142,59 @@ class CurationApiSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("shard=")).sorted
     assert(dirs.sameElements((0 until 4).map(i => s"shard=$i")))
   }
+
+  test("chunkDedup over renamed columns equals the d16 entry") {
+    val api = Curation.chunkDedup(userDocs, chunkWords = 10,
+        idCol = "docnum", textCol = "body")
+      .select(col("doc_id"), col("n_kept"), md5(col("cleaned_text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val ref = entry("d16_chunk_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(api == ref)
+  }
+
+  test("bpePairCounts over renamed columns equals the t13 entry") {
+    val api = Curation.bpePairCounts(userDocs, k = 20, "docnum", "body")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ref = entry("t13_bpe_pair_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(api == ref)
+  }
+
+  test("nfcNormalized rewrites the text column in place, ASCII untouched") {
+    val out = Curation.nfcNormalized(
+        userDocs.withColumn("body", concat(col("body"), lit("é"))),
+        textCol = "body")
+      .select("body").collect().map(_.getString(0))
+    // the appended decomposed é composes: no bare combining acute left
+    assert(out.forall(s => !s.exists(_ == '\u0301')))
+    assert(out.forall(_.endsWith("\u00E9")))
+  }
+
+  test("Retrieval facade over renamed columns equals the s07/idx01 entries") {
+    import graft.pipeline.Retrieval
+    val bm = Retrieval.bm25TopK(userDocs, Seq("spark", "join", "vector"),
+        k = 20, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bmRef = entry("s07_bm25_topk")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm == bmRef)
+    val ix = Retrieval.invertedIndex(userDocs, minDf = 300, headCap = 20,
+        idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val ixRef = entry("idx01_inverted_index")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(ix == ixRef)
+  }
+
+  test("randomProject over renamed columns equals the s08 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val api = graft.pipeline.Similarity.randomProject(userEmb, 64, 8,
+        idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    val ref = entry("s08_random_projection")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    assert(api == ref)
+  }
 }
