@@ -132,6 +132,15 @@ object Curation {
     docs.withColumn(textCol, expr(s"nfc_normalize(`$textCol`)"))
   }
 
+  /** fastText-shaped linear quality score (t14's kernel): per document
+    * the sigmoid of the mean hash-derived token weight — the dataflow
+    * of model-based quality filtering with zero model state (a trained
+    * model broadcasts a weight table into the same shape). Fully
+    * map-side. Returns (doc_id, n_tokens, score ∈ (0,1)). */
+  def qualityScore(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.qualityScoreOf(canon(docs, idCol, textCol))
+
   /** Deterministic md5-interleaved sharded parquet write (sink02's
     * kernel): every row lands in exactly one of `nShards` directories
     * keyed by a hash of `idCol` — an unbiased interleave (the "global

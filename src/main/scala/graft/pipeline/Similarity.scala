@@ -75,4 +75,25 @@ object Similarity {
   def randomProject(emb: DataFrame, inDims: Int, outDims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.randomProjectionOf(canon(emb, idCol, vecCol), inDims, outDims)
+
+  /** SemDeDup (d17's kernel): k-means the embeddings (`k` clusters,
+    * `iters` Lloyd iterations, deterministic lowest-id init), then drop
+    * every vector whose rounded cosine to a smaller-id cluster-mate
+    * reaches `tau` — near-dup comparison never crosses a cluster
+    * boundary, which is the whole scale story. Returns one row per
+    * DROPPED vector: (vec_id, cluster, kept_by, max_cos); survivors
+    * are the anti-join of the input against this. */
+  def semDedup(emb: DataFrame, k: Int, tau: Double, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.semDedupOf(canon(emb, idCol, vecCol), k, iters, tau)
+
+  /** Product-quantization encode (s09's kernel): `dims`-wide vectors
+    * split into `subs` subspaces, each assigned to its nearest codeword
+    * from a codebook built of the `cbSize` lowest-id vectors'
+    * subvectors. Returns (vec_id, codes, sq_err) — the 32×-compressed
+    * representation IVFPQ serves from, plus the reconstruction error
+    * that grades codebook quality. */
+  def pqEncode(emb: DataFrame, dims: Int, subs: Int, cbSize: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.pqEncodeOf(canon(emb, idCol, vecCol), dims, subs, cbSize)
 }

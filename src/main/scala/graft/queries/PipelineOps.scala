@@ -137,6 +137,105 @@ object PipelineOps {
       .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
   }
 
+  /** s04/d17 shared kernel: Lloyd k-means over an (vec_id, e) frame
+    * with deterministic init (the K lowest vec_ids ARE the first
+    * centroids), squared-L2 assignment with (dist, cluster) tie-break,
+    * centroid components quantized to 9 decimals so partial-aggregation
+    * float noise cannot flip a near-tied assignment in a later
+    * iteration (both engines replay the SAME trajectory). Returns
+    * (vec_id, e, cluster, dist) after `iters` assignment passes. Scale
+    * notes at the s04 entry. */
+  private[graft] def kmeansAssignOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("e").as("ce"))
+    val sqDist = expr(
+      "aggregate(zip_with(e, ce, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    def assign(c: DataFrame) = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster").asc)
+      emb.crossJoin(broadcast(c))
+        .withColumn("dist", sqDist)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("e"), col("cluster"), col("dist"))
+    }
+    var assigned = assign(cent)
+    (2 to iters).foreach { _ =>
+      cent = meanVectors(assigned, "cluster", quantize = Some(9))
+      assigned = assign(cent)
+    }
+    assigned
+  }
+
+  /** d17's kernel — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with k-means, then look for near-duplicates
+    * ONLY within each cluster; a vector is dropped when a smaller-id
+    * cluster-mate's rounded cosine reaches `tau` (the greedy min-id
+    * keep policy — deterministic, fixpoint-free; transitive-cluster
+    * election is d11's job and composes). Returns one row per dropped
+    * vector: (vec_id, cluster, kept_by = smallest matching keeper,
+    * max_cos). `tau` is the paper's ε: a corpus-calibrated knob, not a
+    * constant. Scale notes at the d17 entry. */
+  private[graft] def semDedupOf(emb: DataFrame, k: Int, iters: Int,
+      tau: Double): DataFrame = {
+    graft.exprs.CosineSim.register(emb.sparkSession)
+    val assigned = kmeansAssignOf(emb, k, iters).select("vec_id", "e", "cluster")
+    val keep = assigned.select(col("cluster"), col("vec_id").as("keep_id"),
+      col("e").as("ke"))
+    assigned.join(keep, Seq("cluster"))
+      .filter(col("keep_id") < col("vec_id"))
+      .withColumn("c", round(expr("cosine_sim(ke, e)"), 4))
+      .filter(col("c") >= tau)
+      .groupBy("vec_id", "cluster")
+      .agg(min("keep_id").as("kept_by"), max("c").as("max_cos"))
+  }
+
+  /** t14's kernel — fastText-shaped linear quality classifier: each
+    * token's weight is hash-derived in [-1, 1] with an exactly
+    * representable denominator (m/1024, m integer), so the in-row sum
+    * is EXACT in both engines regardless of association order; the
+    * score is a sigmoid over the mean token weight. A trained model
+    * would broadcast a (token, weight) table; hash-derived weights
+    * keep the dataflow identical with zero model state. Returns
+    * (doc_id, n_tokens, score). Scale notes at the t14 entry. */
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      round(expr(
+        "1 / (1 + exp(-4 * aggregate(transform(split(text, ' '), t -> " +
+          "(cast(pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2049) as double) - 1024) / 1024.0" +
+          "), 0D, (acc, x) -> acc + x) / size(split(text, ' '))))"), 4).as("score"))
+
+  /** s09's kernel — product-quantization encode (Jégou et al. 2011,
+    * the storage half of IVF+PQ): split each `dims`-wide vector into
+    * `subs` subspaces, assign every subvector to its nearest codeword
+    * (squared-L2 quantized to 9 decimals, codeword-id tie-break) from
+    * a codebook built of the `cbSize` lowest vec_ids' subvectors — a
+    * deterministic stand-in for a trained codebook; ENCODE is the part
+    * that runs at corpus scale, training is an offline sample job.
+    * Returns (vec_id, codes, sq_err). Scale notes at the s09 entry. */
+  private[graft] def pqEncodeOf(emb: DataFrame, dims: Int, subs: Int,
+      cbSize: Int): DataFrame = {
+    require(dims % subs == 0, s"dims=$dims not divisible by subs=$subs")
+    val w = dims / subs
+    val sub = emb.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${subs - 1}), k -> slice(e, k * $w + 1, $w))"))
+      .as(Seq("sub", "sv")))
+    val cb = sub.filter(col("vec_id") < cbSize)
+      .select(col("vec_id").cast("int").as("cw"), col("sub").as("csub"),
+        col("sv").as("cv"))
+    sub.join(broadcast(cb), col("sub") === col("csub"))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"), 9))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cw"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.dist").as("dist"),
+        col("m.cw").as("cw"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cw))), x -> x.cw)")
+        .as("codes"),
+        round(sum("dist"), 4).as("sq_err"))
+  }
+
   /** Word 3-gram shingles, distinct, for docs with ≥3 tokens — via the
     * single-pass native Shingles3 expression (the HOF chain it replaced
     * ran as CodegenFallback and built three intermediate arrays/row). */
@@ -986,28 +1085,9 @@ object PipelineOps {
       // centroids broadcast (a few KB); each iteration is one map-side
       // crossJoin + a vec_id-window + one (cluster, dim) aggregation —
       // corpus rows shuffle only for the mean, never pairwise.
-      val K = 8
-      val Iters = 3
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      var cent = emb.filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int").as("cluster"), col("e").as("ce"))
-      val sqDist = expr(
-        "aggregate(zip_with(e, ce, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-      def assign(c: org.apache.spark.sql.DataFrame) = {
-        val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster").asc)
-        emb.crossJoin(broadcast(c))
-          .withColumn("dist", sqDist)
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("e"), col("cluster"), col("dist"))
-      }
-      var assigned = assign(cent)
-      (2 to Iters).foreach { _ =>
-        cent = meanVectors(assigned, "cluster", quantize = Some(9))
-        assigned = assign(cent)
-      }
-      assigned.groupBy("cluster")
+      kmeansAssignOf(emb, k = 8, iters = 3).groupBy("cluster")
         .agg(count(lit(1)).as("n_vecs"), round(avg("dist"), 4).as("avg_sq_dist"))
         .orderBy("cluster")
     }),
@@ -1721,6 +1801,60 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    "d17_semdedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): semantic near-dup removal by
+      // clustering embeddings first (s04's exact k-means trajectory —
+      // shared kernel, shared oracle CTE) and comparing pairs ONLY
+      // within a cluster; a vector is dropped when any smaller-id
+      // cluster-mate's cosine reaches τ=0.4 (τ is the paper's ε — a
+      // corpus-calibrated knob; this synthetic corpus tops out at 0.51
+      // so 0.4 is the "aggressive" setting). Output: every dropped
+      // vector with its smallest keeper and best cosine. 100 TB: the
+      // pairwise stage never crosses clusters, so cost is Σ|cluster|²,
+      // bounded by scaling K with the corpus (SemDeDup runs ~100k
+      // clusters); the join shuffles on cluster id; a hot cluster
+      // splits by raising K or salting with an LSH bit — never
+      // all-pairs. The kmeans prepass is s04's broadcast-centroid
+      // shape: corpus rows shuffle only for centroid means.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      semDedupOf(emb, k = 8, iters = 3, tau = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    "s09_pq_encode" -> ((s, d) => {
+      // Product-quantization encode — the storage half of IVFPQ, the
+      // production ANN standard: 64-dim float vectors compress 32× to
+      // 8 one-byte codes (one per 8-dim subspace, codebook = the 16
+      // lowest vec_ids' subvectors; a trained codebook is an offline
+      // sample job — ENCODE is what touches the full corpus).
+      // Squared-L2 is quantized to 9 decimals with codeword-id
+      // tie-break so both engines pick identical codes. 100 TB: the
+      // codebook broadcasts (128 tiny rows); the subvector explode is
+      // map-side; the ONLY corpus shuffle is the vec_id reassembly
+      // groupBy — and the argmin is a partial-aggregable min(struct),
+      // so candidates reduce map-side before it.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      pqEncodeOf(emb, dims = 64, subs = 8, cbSize = 16)
+        .orderBy("vec_id")
+    }),
+
+    "t14_quality_classifier" -> ((s, d) => {
+      // fastText-shaped linear quality classifier — the model-based
+      // document filter every production corpus runs (pages scored by
+      // a cheap linear model, low scores dropped or downsampled).
+      // Token weights are hash-derived m/1024 rationals (exactly
+      // representable, so the in-row sum is association-order-exact in
+      // both engines); a trained model would broadcast a
+      // (token, weight) table into the same dataflow. Fully map-side:
+      // the whole computation happens inside the row — no explode, no
+      // join, no shuffle before the output sort; at 100 TB this runs
+      // at scan speed like t01-t05.
+      qualityScoreOf(t(s, d, "documents"))
+        .orderBy("doc_id")
+    }),
+
     "t13_bpe_pair_counts" -> ((s, d) => {
       // The BPE-training inner loop: count every adjacent symbol pair
       // corpus-wide and surface the next merge candidates (top 20,
@@ -1783,6 +1917,53 @@ object PipelineOps {
         .orderBy("sid")
     })
   )
+
+  // the 3-iteration Lloyd trajectory shared by the s04 and d17
+  // oracles: deterministic init (lowest vec_ids), (dist, cluster)
+  // tie-break, 9-decimal centroid quantization — ends at a3, the
+  // final assignment
+  private val kmeansOracleCte = """
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      c0 AS (SELECT vec_id::INT AS cluster, e AS ce FROM emb WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, e, cluster, dist FROM (
+          SELECT vec_id, e, cluster, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+          FROM (SELECT m.vec_id, m.e, c.cluster,
+                       list_sum([ (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])
+                                  for i in generate_series(1, 64) ]) AS dist
+                FROM emb m, c0 c))
+        WHERE rk = 1),
+      c1 AS (
+        SELECT cluster, list(v ORDER BY dim) AS ce FROM (
+          SELECT cluster, i AS dim, round(avg(e[i]), 9) AS v
+          FROM a1, generate_series(1, 64) t(i)
+          GROUP BY cluster, i)
+        GROUP BY cluster),
+      a2 AS (
+        SELECT vec_id, e, cluster, dist FROM (
+          SELECT vec_id, e, cluster, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+          FROM (SELECT m.vec_id, m.e, c.cluster,
+                       list_sum([ (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])
+                                  for i in generate_series(1, 64) ]) AS dist
+                FROM emb m, c1 c))
+        WHERE rk = 1),
+      c2 AS (
+        SELECT cluster, list(v ORDER BY dim) AS ce FROM (
+          SELECT cluster, i AS dim, round(avg(e[i]), 9) AS v
+          FROM a2, generate_series(1, 64) t(i)
+          GROUP BY cluster, i)
+        GROUP BY cluster),
+      a3 AS (
+        SELECT vec_id, e, cluster, dist FROM (
+          SELECT vec_id, e, cluster, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+          FROM (SELECT m.vec_id, m.e, c.cluster,
+                       list_sum([ (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])
+                                  for i in generate_series(1, 64) ]) AS dist
+                FROM emb m, c2 c))
+        WHERE rk = 1)"""
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> """
@@ -2081,50 +2262,46 @@ object PipelineOps {
 
     // the same 3 unrolled Lloyd iterations; (dist, cluster) row_number
     // tie-break and 9-decimal centroid quantization mirror the Spark op
-    "s04_kmeans_cluster" -> """
-      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      c0 AS (SELECT vec_id::INT AS cluster, e AS ce FROM emb WHERE vec_id < 8),
-      a1 AS (
-        SELECT vec_id, e, cluster, dist FROM (
-          SELECT vec_id, e, cluster, dist,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-          FROM (SELECT m.vec_id, m.e, c.cluster,
-                       list_sum([ (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])
-                                  for i in generate_series(1, 64) ]) AS dist
-                FROM emb m, c0 c))
-        WHERE rk = 1),
-      c1 AS (
-        SELECT cluster, list(v ORDER BY dim) AS ce FROM (
-          SELECT cluster, i AS dim, round(avg(e[i]), 9) AS v
-          FROM a1, generate_series(1, 64) t(i)
-          GROUP BY cluster, i)
-        GROUP BY cluster),
-      a2 AS (
-        SELECT vec_id, e, cluster, dist FROM (
-          SELECT vec_id, e, cluster, dist,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-          FROM (SELECT m.vec_id, m.e, c.cluster,
-                       list_sum([ (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])
-                                  for i in generate_series(1, 64) ]) AS dist
-                FROM emb m, c1 c))
-        WHERE rk = 1),
-      c2 AS (
-        SELECT cluster, list(v ORDER BY dim) AS ce FROM (
-          SELECT cluster, i AS dim, round(avg(e[i]), 9) AS v
-          FROM a2, generate_series(1, 64) t(i)
-          GROUP BY cluster, i)
-        GROUP BY cluster),
-      a3 AS (
-        SELECT vec_id, e, cluster, dist FROM (
-          SELECT vec_id, e, cluster, dist,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
-          FROM (SELECT m.vec_id, m.e, c.cluster,
-                       list_sum([ (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])
-                                  for i in generate_series(1, 64) ]) AS dist
-                FROM emb m, c2 c))
-        WHERE rk = 1)
+    "s04_kmeans_cluster" -> (kmeansOracleCte + """
       SELECT cluster, count(*) AS n_vecs, round(avg(dist), 4) AS avg_sq_dist
-      FROM a3 GROUP BY cluster ORDER BY cluster""",
+      FROM a3 GROUP BY cluster ORDER BY cluster"""),
+
+    // the SAME unrolled trajectory (shared CTE), then within-cluster
+    // pairs only — min-id keep policy on the rounded cosine
+    "d17_semdedup" -> (kmeansOracleCte + """,
+      pairs AS (
+        SELECT b.vec_id, b.cluster, a.vec_id AS keep_id,
+               round(list_cosine_similarity(a.e, b.e), 4) AS c
+        FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      SELECT vec_id, cluster, min(keep_id) AS kept_by, max(c) AS max_cos
+      FROM pairs WHERE c >= 0.4
+      GROUP BY vec_id, cluster ORDER BY vec_id"""),
+
+    "s09_pq_encode" -> """
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      sub AS (SELECT vec_id, k AS sub, [e[k * 8 + i] for i in generate_series(1, 8)] AS sv
+              FROM emb, generate_series(0, 7) t(k)),
+      cb AS (SELECT vec_id::INT AS cw, sub AS csub, sv AS cv FROM sub WHERE vec_id < 16),
+      d AS (SELECT s.vec_id, s.sub, c.cw,
+              round(list_sum([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                               for i in generate_series(1, 8) ]), 9) AS dist
+            FROM sub s JOIN cb c ON s.sub = c.csub),
+      best AS (SELECT vec_id, sub, cw, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cw) AS rk
+          FROM d) WHERE rk = 1)
+      SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
+      FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // m/1024 rational weights: the in-row sum is exact in both engines,
+    // so the only float ops are one division and one sigmoid per doc
+    "t14_quality_classifier" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(1 / (1 + exp(-4 * list_sum([
+               (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+               for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+      FROM documents ORDER BY doc_id""",
+
 
     "t01_langid" -> """
       WITH scored AS (

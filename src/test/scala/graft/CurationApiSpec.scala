@@ -187,6 +187,31 @@ class CurationApiSpec extends AnyFunSuite {
     assert(ix == ixRef)
   }
 
+  test("qualityScore over renamed columns equals the t14 entry") {
+    val api = Curation.qualityScore(userDocs, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ref = entry("t14_quality_classifier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(api == ref)
+  }
+
+  test("semDedup and pqEncode over renamed columns equal the d17/s09 entries") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val sd = graft.pipeline.Similarity.semDedup(userEmb, k = 8, tau = 0.4,
+        idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val sdRef = entry("d17_semdedup")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sd == sdRef)
+    val pq = graft.pipeline.Similarity.pqEncode(userEmb, dims = 64, subs = 8,
+        idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+    val pqRef = entry("s09_pq_encode")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+    assert(pq == pqRef)
+  }
+
   test("randomProject over renamed columns equals the s08 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))

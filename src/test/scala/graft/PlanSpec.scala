@@ -80,6 +80,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t14 quality classifier: map-side only, no explode/join/groupBy before the sort") {
+    // the whole classifier evaluates inside the row (hash-derived
+    // weights need no model join); the only Exchange allowed is the
+    // presentation orderBy's range partitioning
+    val df = graft.queries.PipelineOps.defs("t14_quality_classifier")(spark, dir)
+    val plan = planOf(df)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Generate"), "no explode should appear in an in-row score")
+    assert(!plan.contains("Join"), "hash-derived weights must not need a model join")
+  }
+
+  test("s09 PQ encode: codebook joins broadcast, no cartesian, no sort-merge") {
+    // the 128-row codebook must broadcast against the exploded
+    // subvector stream; a sort-merge or cartesian would shuffle the
+    // corpus against a constant-size side
+    val df = graft.queries.PipelineOps.defs("s09_pq_encode")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "codebook join is not broadcast")
+    assert(!plan.contains("CartesianProduct"), "subvector join degenerated to a cartesian")
+    assert(!plan.contains("SortMergeJoin"), "constant-size codebook must never sort-merge")
+  }
+
+  test("d17 semdedup: within-cluster pair join is an equi-join, centroids broadcast") {
+    // the pairwise stage must join on the cluster key only (never
+    // all-pairs); the kmeans prepass crossJoins ONLY the broadcast
+    // 8-row centroid table — assert the one BroadcastNestedLoopJoin
+    // per assignment pass is against that tiny side and the pair join
+    // itself is a hash/sort equi-join
+    val df = graft.queries.PipelineOps.defs("d17_semdedup")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "pair join degenerated to a cartesian")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "cluster-key equi-join missing")
+  }
+
   test("t08 repetition metrics: doc-local, no explode/groupBy shuffle besides the final sort") {
     // bigram run-counting happens inside the row (array_sort +
     // aggregate HOF) — the only Exchange allowed is the presentation
