@@ -1,0 +1,23 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared input canonicalization for the public facades: cast the
+  * caller's columns to the kernels' fixed names/types and drop rows
+  * whose id or payload is null (or became null under the cast) — a
+  * null id would otherwise silently form its own join/group key and a
+  * null payload would poison hash/cosine kernels. One copy, so the
+  * contract can't drift between facades. */
+private[pipeline] object Canon {
+
+  def docs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+
+  def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .filter(col("vec_id").isNotNull && col("e").isNotNull)
+}

@@ -30,15 +30,9 @@ import graft.queries.PipelineOps
   */
 object Curation {
 
-  /** Canonicalize (idCol, textCol) to the kernel schema (doc_id, text).
-    * Rows with a null id or null text are excluded up front — a null id
-    * would silently form its own join/group key, and null text already
-    * drops out of every shingle kernel (null-intolerant expressions);
-    * filtering here makes the contract uniform across all kernels. */
+  // shared canonicalization/null contract: see [[Canon]]
   private def canon(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).cast("string").as("text"))
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    Canon.docs(docs, idCol, textCol)
 
   /** Exact all-pairs word-3-gram jaccard ≥ `minJaccard` via the
     * inverted shingle index (d03's kernel). Returns (d1, d2, jaccard),

@@ -24,10 +24,9 @@ import graft.queries.PipelineOps
   */
 object Retrieval {
 
+  // shared canonicalization/null contract: see [[Canon]]
   private def canon(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).cast("string").as("text"))
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    Canon.docs(docs, idCol, textCol)
 
   /** BM25 top-k keyword search (s07's kernel, Lucene idf; k1/b are the
     * standard defaults). `terms` must be plain tokens. Returns

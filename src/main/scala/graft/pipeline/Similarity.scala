@@ -25,10 +25,9 @@ import graft.queries.PipelineOps
   */
 object Similarity {
 
+  // shared canonicalization/null contract: see [[Canon]]
   private def canon(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<double>").as("e"))
-      .filter(col("vec_id").isNotNull && col("e").isNotNull)
+    Canon.vecs(emb, idCol, vecCol)
 
   /** Exact cosine top-k (s01's kernel): the query sample is collected
     * and broadcast; the corpus is scanned once, map-side, with a
@@ -69,9 +68,11 @@ object Similarity {
     * `inDims`-wide vectors down to `outDims`, with the ±1 matrix
     * derived from md5 so every run (and engine) regenerates it — no
     * model state to ship. Components accumulate as integers, so
-    * results are exact and order-independent. Returns (vec_id, proj).
-    * The scan-speed prepass that shrinks every downstream ANN or
-    * clustering shuffle by inDims/outDims. */
+    * results are exact and order-independent; the 1/sqrt(outDims) JL
+    * normalization preserves expected L2 distances, so absolute
+    * distance thresholds survive the projection. Returns (vec_id,
+    * proj). The scan-speed prepass that shrinks every downstream ANN
+    * or clustering shuffle by inDims/outDims. */
   def randomProject(emb: DataFrame, inDims: Int, outDims: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.randomProjectionOf(canon(emb, idCol, vecCol), inDims, outDims)

@@ -44,6 +44,7 @@ object PipelineOps {
     * n_kept, cleaned_text) — docs whose every chunk was duplicated drop
     * out. Scale notes at the d16 entry. */
   private[graft] def chunkDedupOf(docs: DataFrame, chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     val chunks = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
@@ -90,8 +91,11 @@ object PipelineOps {
   }
 
   /** s08's kernel: JL sign random projection of `vec` (inDims floats)
-    * to outDims, integer-exact accumulation. Returns (vec_id, proj).
-    * Scale notes at the s08 entry. */
+    * to outDims, integer-exact accumulation, scaled 1/sqrt(outDims) —
+    * the JL normalization (E[‖Rx‖²] = outDims·‖x‖² for a ±1 matrix),
+    * so projected L2 distances estimate the original ones and absolute
+    * distance thresholds survive the projection. Returns (vec_id,
+    * proj). Scale notes at the s08 entry. */
   private[graft] def randomProjectionOf(emb: DataFrame, inDims: Int,
       outDims: Int): DataFrame = {
     val de = (i: Int) => element_at(col("e"), i + 1).cast("double")
@@ -101,7 +105,7 @@ object PipelineOps {
         if (rpSign(i, j) > 0) q else -q
       }
       round(terms.reduce(_ + _).cast("double") / 1000000.0 /
-        math.sqrt(inDims), 4)
+        math.sqrt(outDims), 4)
     }
     emb.select(col("vec_id"), array(proj: _*).as("proj"))
   }
@@ -145,9 +149,26 @@ object PipelineOps {
     * iteration (both engines replay the SAME trajectory). Returns
     * (vec_id, e, cluster, dist) after `iters` assignment passes. Scale
     * notes at the s04 entry. */
+  /** The `k` lowest vec_ids present, indexed 0..k-1 in id order — the
+    * deterministic seed set kmeansAssignOf/pqEncodeOf build their
+    * initial centroids/codebook from. A TakeOrdered collect of k ids
+    * (k is small by contract: centroids/codebooks broadcast) followed
+    * by a broadcast semi-join, so it works for ARBITRARY caller ids —
+    * seeding by `vec_id < k` would silently select zero rows for
+    * 1-based or hashed id spaces, or half the corpus for signed-hash
+    * ids. On the bench corpus (dense 0-based ids) the seed index
+    * equals the id, which is what the DuckDB oracles pin. */
+  private def seedByRank(emb: DataFrame, k: Int, idxName: String): DataFrame = {
+    val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.join(broadcast(ids.zipWithIndex.toSeq.toDF("vec_id", idxName)), "vec_id")
+  }
+
   private[graft] def kmeansAssignOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("e").as("ce"))
+    var cent = seedByRank(emb, k, "cluster")
+      .select(col("cluster"), col("e").as("ce"))
     val sqDist = expr(
       "aggregate(zip_with(e, ce, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
     def assign(c: DataFrame) = {
@@ -178,7 +199,12 @@ object PipelineOps {
   private[graft] def semDedupOf(emb: DataFrame, k: Int, iters: Int,
       tau: Double): DataFrame = {
     graft.exprs.CosineSim.register(emb.sparkSession)
+    // the pair join puts the SAME Lloyd-trajectory lineage on both
+    // sides; localCheckpoint materializes the assignment once so the
+    // iters-deep kmeans subplan cannot recompute per side (at cluster
+    // scale this is a checkpoint to durable storage, like d11's)
     val assigned = kmeansAssignOf(emb, k, iters).select("vec_id", "e", "cluster")
+      .localCheckpoint()
     val keep = assigned.select(col("cluster"), col("vec_id").as("keep_id"),
       col("e").as("ke"))
     assigned.join(keep, Seq("cluster"))
@@ -220,9 +246,10 @@ object PipelineOps {
     val sub = emb.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${subs - 1}), k -> slice(e, k * $w + 1, $w))"))
       .as(Seq("sub", "sv")))
-    val cb = sub.filter(col("vec_id") < cbSize)
-      .select(col("vec_id").cast("int").as("cw"), col("sub").as("csub"),
-        col("sv").as("cv"))
+    val cb = seedByRank(emb, cbSize, "cw")
+      .select(col("cw"), posexplode(expr(
+        s"transform(sequence(0, ${subs - 1}), k -> slice(e, k * $w + 1, $w))"))
+        .as(Seq("csub", "cv")))
     sub.join(broadcast(cb), col("sub") === col("csub"))
       .withColumn("dist", round(expr(
         "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"), 9))
@@ -2788,7 +2815,7 @@ object PipelineOps {
                s * CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sq
         FROM embeddings, dims),
       comp AS (
-        SELECT vec_id, j, round(sum(sq) / 1000000.0 * 0.125, 4) AS pv
+        SELECT vec_id, j, round(sum(sq) / 1000000.0 / sqrt(8.0), 4) AS pv
         FROM q GROUP BY vec_id, j)
       SELECT vec_id, list(pv ORDER BY j) AS proj
       FROM comp GROUP BY vec_id ORDER BY vec_id""",

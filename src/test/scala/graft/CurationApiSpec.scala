@@ -212,6 +212,29 @@ class CurationApiSpec extends AnyFunSuite {
     assert(pq == pqRef)
   }
 
+  test("semDedup and pqEncode seed by RANK, not id value: offset ids shift, results don't") {
+    // the review-caught defect: seeding centroids/codebook with
+    // `vec_id < k` returns empty results for 1-based/hashed id spaces.
+    // Seeding by rank must make an id-space translation a no-op: same
+    // clusters, same drops, same codes — every id just shifted.
+    val base = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val shifted = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val sd0 = graft.pipeline.Similarity.semDedup(base, k = 8, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sd0.nonEmpty)
+    val sd1 = graft.pipeline.Similarity.semDedup(shifted, k = 8, tau = 0.4)
+      .collect().map(r => (r.getLong(0) - 1000000L, r.getInt(1), r.getLong(2) - 1000000L,
+        r.getDouble(3))).toSet
+    assert(sd1 == sd0)
+    val pq0 = graft.pipeline.Similarity.pqEncode(base, dims = 64, subs = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+    assert(pq0.size == base.count())
+    val pq1 = graft.pipeline.Similarity.pqEncode(shifted, dims = 64, subs = 8)
+      .collect().map(r => (r.getLong(0) - 1000000L, r.getSeq[Int](1), r.getDouble(2))).toSet
+    assert(pq1 == pq0)
+  }
+
   test("randomProject over renamed columns equals the s08 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))

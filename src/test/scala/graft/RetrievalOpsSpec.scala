@@ -124,7 +124,7 @@ class RetrievalOpsSpec extends AnyFunSuite {
           val q = math.floor(e(i).toDouble * 1e6 + 0.5).toLong
           if (signs(j)(i) > 0) q else -q
         }.sum
-        BigDecimal(acc.toDouble / 1e6 * 0.125)
+        BigDecimal(acc.toDouble / 1e6 / math.sqrt(8))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
       assert(got(id) == proj, s"vec $id projection mismatch")
