@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.queries.PipelineOps
@@ -134,6 +134,24 @@ object Curation {
   def qualityScore(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.qualityScoreOf(canon(docs, idCol, textCol))
+
+  /** DSIR importance resampling (samp02's kernel — Xie et al. 2023):
+    * select `n` documents from the corpus, reweighted toward the slice
+    * `isTarget` marks (a Column predicate over the CALLER's schema,
+    * evaluated before canonicalization). Hashed-unigram importance
+    * weights, Gumbel top-n draw with md5-derived noise — fully
+    * deterministic, so the same corpus always yields the same sample.
+    * Returns (doc_id, logw, gumbel_key) for the selected docs. */
+  def importanceResample(docs: DataFrame, isTarget: Column, n: Int,
+      buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.dsirResampleOf(
+      docs.withColumn("__tgt", isTarget.cast("boolean"))
+        .select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"),
+          coalesce(col("__tgt"), lit(false)).as("is_tgt"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+      n, buckets)
 
   /** Deterministic md5-interleaved sharded parquet write (sink02's
     * kernel): every row lands in exactly one of `nShards` directories

@@ -263,6 +263,42 @@ object PipelineOps {
         round(sum("dist"), 4).as("sq_err"))
   }
 
+  /** samp02's kernel — DSIR importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): hashed unigram features (md5 → `buckets`
+    * buckets), per-bucket add-one-smoothed probabilities under the
+    * target slice (`is_tgt`) vs the raw corpus, per-doc importance
+    * log-weight = Σ ln(p_tgt/p_raw) over tokens, then Gumbel top-`n`
+    * selection with md5-derived noise so both engines draw the SAME
+    * sample. Input: (doc_id, text, is_tgt). Returns (doc_id, logw,
+    * gumbel_key), the selected sample. Scale notes at the samp02
+    * entry. */
+  private[graft] def dsirResampleOf(docs: DataFrame, n: Int, buckets: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("is_tgt"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", pmod(
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"),
+        lit(buckets.toLong)))
+      .select("doc_id", "is_tgt", "b")
+    val counts = toks.groupBy("b").agg(count(lit(1)).as("rc"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
+    val tot = counts.agg(sum("rc").as("tr"), sum("tc").as("tt"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("tc") + 1) / (col("tt") + buckets)) -
+          log((col("rc") + 1) / (col("tr") + buckets))).as("w"))
+    toks.join(broadcast(w), "b")
+      .groupBy("doc_id").agg(sum("w").as("logw"))
+      .withColumn("u",
+        (pmod(expr("cast(conv(substring(md5(concat(cast(doc_id as string), '_g')), 1, 15), 16, 10) as bigint)"),
+          lit(1000000L)) + lit(0.5)) / 1000000.0)
+      .withColumn("k", col("logw") - log(-log(col("u"))))
+      .orderBy(round(col("k"), 6).desc, col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), round(col("logw"), 4).as("logw"),
+        round(col("k"), 4).as("gumbel_key"))
+  }
+
   /** Word 3-gram shingles, distinct, for docs with ≥3 tokens — via the
     * single-pass native Shingles3 expression (the HOF chain it replaced
     * ran as CodegenFallback and built three intermediate arrays/row). */
@@ -1867,6 +1903,27 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    "samp02_dsir_resample" -> ((s, d) => {
+      // DSIR importance resampling (Xie et al. 2023) — data SELECTION,
+      // the step after scoring: reweight the raw corpus toward a target
+      // distribution (here the lang='en' slice as the "high-quality"
+      // target) using hashed-unigram importance weights, then draw the
+      // sample by Gumbel top-k so selection is a single deterministic
+      // cut, not a stateful sampler. Both engines regenerate identical
+      // md5 Gumbel noise. On this synthetic corpus the language
+      // unigram distributions barely differ so enrichment is mild (the
+      // spec proves the mechanism on a constructed two-vocabulary
+      // fixture); the DATAFLOW is the paper's. 100 TB: two one-pass
+      // token aggregations (map-side partial) build a `buckets`-row
+      // weight table that broadcasts; the per-doc weight sum partial-
+      // aggregates; the Gumbel cut is a TakeOrdered — the corpus never
+      // shuffles except (doc_id, partial-sum) rows.
+      dsirResampleOf(
+        t(s, d, "documents").select(col("doc_id"), col("text"),
+          (col("lang") === "en").as("is_tgt")),
+        n = 100, buckets = 64)
+    }),
+
     "t14_quality_classifier" -> ((s, d) => {
       // fastText-shaped linear quality classifier — the model-based
       // document filter every production corpus runs (pages scored by
@@ -2318,6 +2375,34 @@ object PipelineOps {
           FROM d) WHERE rk = 1)
       SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
       FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // identical md5 bucket/Gumbel derivations; counts are integers so
+    // every ln() sees the same rational; round(k, 6) stabilizes the cut
+    "samp02_dsir_resample" -> """
+      WITH toks AS (
+        SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b
+        FROM documents, unnest(string_split(text, ' ')) AS u(t)),
+      tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      rc AS (SELECT b, count(*) AS rc FROM toks GROUP BY b),
+      tc AS (SELECT b, count(*) AS tc FROM toks JOIN tgt USING (doc_id) GROUP BY b),
+      tot AS (SELECT (SELECT count(*) FROM toks) AS tr,
+                     (SELECT count(*) FROM toks JOIN tgt USING (doc_id)) AS tt),
+      wtab AS (
+        SELECT rc.b,
+               ln((coalesce(tc.tc, 0) + 1) / (tot.tt + 64.0)) -
+               ln((rc.rc + 1) / (tot.tr + 64.0)) AS w
+        FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+      docw AS (
+        SELECT t.doc_id, sum(w.w) AS logw
+        FROM toks t JOIN wtab w ON t.b = w.b
+        GROUP BY t.doc_id),
+      keyed AS (
+        SELECT doc_id, logw,
+               logw - ln(-ln((('0x' || substring(md5(doc_id::VARCHAR || '_g'), 1, 15))::BIGINT
+                              % 1000000 + 0.5) / 1000000.0)) AS k
+        FROM docw)
+      SELECT doc_id, round(logw, 4) AS logw, round(k, 4) AS gumbel_key
+      FROM keyed ORDER BY round(k, 6) DESC, doc_id LIMIT 100""",
 
     // m/1024 rational weights: the in-row sum is exact in both engines,
     // so the only float ops are one division and one sigmoid per doc

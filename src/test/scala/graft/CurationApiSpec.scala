@@ -235,6 +235,35 @@ class CurationApiSpec extends AnyFunSuite {
     assert(pq1 == pq0)
   }
 
+  test("importanceResample over renamed columns equals the samp02 entry") {
+    val withLang = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("docnum"), col("text").as("body"), col("lang"))
+    val api = Curation.importanceResample(withLang, col("lang") === "en",
+        n = 100, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val ref = entry("samp02_dsir_resample")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(api == ref)
+  }
+
+  test("importanceResample enriches the target on a discriminative fixture") {
+    // the synthetic corpus's language unigrams barely differ, so the
+    // oracled entry shows only mild enrichment; this two-vocabulary
+    // fixture proves the mechanism: target-vocab docs must dominate a
+    // half-corpus selection
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      val vocabA = s"alpha$i beta gamma delta epsilon zeta eta theta"
+      val vocabB = s"omega$i psi chi phi upsilon tau sigma rho"
+      if (i % 2 == 0) (i.toLong, vocabA, true) else (i.toLong, vocabB, false)
+    }.toDF("doc_id", "text", "is_tgt")
+    val picked = Curation.importanceResample(docs, col("is_tgt"), n = 50)
+      .collect().map(_.getLong(0)).toSet
+    val targetShare = picked.count(_ % 2 == 0).toDouble / picked.size
+    assert(targetShare >= 0.9,
+      s"expected the target vocabulary to dominate the draw, got $targetShare")
+  }
+
   test("randomProject over renamed columns equals the s08 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))

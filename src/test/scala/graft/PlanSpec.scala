@@ -116,6 +116,18 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "cluster-key equi-join missing")
   }
 
+  test("samp02 DSIR: weight table broadcast, Gumbel cut is TakeOrdered, no sort-merge") {
+    // the buckets-row weight table must broadcast against the token
+    // stream, and the top-n selection must be a bounded TakeOrdered,
+    // never a global sort of the corpus
+    val df = graft.queries.PipelineOps.defs("samp02_dsir_resample")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "weight-table join is not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "constant-size weight table must never sort-merge")
+    assert(plan.contains("TakeOrderedAndProject"), "Gumbel cut must be TakeOrdered")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
   test("t08 repetition metrics: doc-local, no explode/groupBy shuffle besides the final sort") {
     // bigram run-counting happens inside the row (array_sort +
     // aggregate HOF) — the only Exchange allowed is the presentation
