@@ -122,4 +122,76 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     assert(mean > 0.25, s"sign-LSH mean recall $mean at/below the random baseline")
     info(f"sign-LSH mean recall vs brute force: $mean%.2f (random baseline ~0.23)")
   }
+
+  test("d17 semdedup drops are a subset of the global cosine >= tau pairs, each drop justified") {
+    // clustering only RESTRICTS which pairs are compared: every dropped
+    // vector must have a genuine >= tau cosine to its keeper, and the
+    // (kept_by, vec_id) pair must appear in the unrestricted all-pairs
+    // >= tau set (computed here independently, brute force)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val drops = graft.queries.PipelineOps.defs("d17_semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(drops.nonEmpty)
+    drops.foreach { case (dropped, keeper, maxCos) =>
+      assert(keeper < dropped, s"keeper $keeper not below dropped $dropped")
+      val c = cos(emb(dropped), emb(keeper))
+      assert(c >= 0.4, s"drop ($keeper, $dropped) cosine $c below tau")
+      assert(c <= maxCos + 1e-9, s"reported max_cos $maxCos below keeper cosine $c")
+    }
+  }
+
+  test("s09 PQ: seed vectors encode as themselves with zero error, codes stay in range") {
+    val rows = graft.queries.PipelineOps.defs("s09_pq_encode")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    rows.foreach { case (id, codes, err) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16),
+        s"vec $id codes out of range: $codes")
+      assert(err >= 0.0, s"vec $id negative reconstruction error")
+      if (id < 16) {
+        assert(codes.forall(_ == id.toInt), s"seed vec $id not its own codeword: $codes")
+        assert(err == 0.0, s"seed vec $id nonzero error $err")
+      }
+    }
+  }
+
+  test("new facade kernels tolerate an empty corpus (empty result, no crash)") {
+    import spark.implicits._
+    import graft.pipeline.{Curation, Retrieval, Similarity}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEmb = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Curation.chunkDedup(noDocs).count() == 0)
+    assert(Curation.qualityScore(noDocs).count() == 0)
+    assert(Curation.bpePairCounts(noDocs).count() == 0)
+    assert(Curation.importanceResample(noDocs, org.apache.spark.sql.functions.lit(true),
+      n = 10).count() == 0)
+    assert(Retrieval.bm25TopK(noDocs, Seq("spark"), k = 5).count() == 0)
+    assert(Retrieval.invertedIndex(noDocs, minDf = 1, headCap = 5).count() == 0)
+    assert(Similarity.semDedup(noEmb, k = 4, tau = 0.5).count() == 0)
+    assert(Similarity.pqEncode(noEmb, dims = 64, subs = 8).count() == 0)
+    assert(Similarity.randomProject(noEmb, 64, 8).count() == 0)
+  }
+
+  test("seeded kernels tolerate k/cbSize larger than the corpus") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val tiny = (0 until 5).map { i =>
+      (i.toLong + 7, Array.tabulate(64)(d => (i * 64 + d).toDouble / 1000))
+    }.toDF("vec_id", "embedding")
+    // more centroids than vectors: every vector seeds its own cluster,
+    // so nothing can be dropped; more codewords than vectors: every
+    // vector is its own codeword with zero error
+    assert(Similarity.semDedup(tiny, k = 100, tau = 0.1).count() == 0)
+    val pq = Similarity.pqEncode(tiny, dims = 64, subs = 8, cbSize = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(pq.length == 5 && pq.forall(_._2 == 0.0))
+  }
 }
