@@ -43,23 +43,27 @@ object PipelineOps {
     * appears if its hash occurs more than once. Returns (doc_id,
     * n_kept, cleaned_text) — docs whose every chunk was duplicated drop
     * out. Scale notes at the d16 entry. */
-  private[graft] def chunkDedupOf(docs: DataFrame, chunkWords: Int): DataFrame = {
+  private[graft] def chunkDedupOf(docs: DataFrame, chunkWords: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    // `carry` columns (constant per doc_id) ride along so composed
+    // pipelines (p03) don't need a corpus-keyed join-back for metadata
+    val keyCols = col("doc_id") +: carry.map(col)
     val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(expr(
+      .select(keyCols :+ split(col("text"), " ").as("w"): _*)
+      .select(keyCols :+ posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0) as int) - 1), " +
           s"k -> array_join(slice(w, k * $chunkWords + 1, $chunkWords), ' '))"))
-        .as(Seq("k", "chunk")))
+        .as(Seq("k", "chunk")): _*)
       .withColumn("h", md5(col("chunk")))
     val chunkDf = chunks.groupBy("h").agg(count(lit(1)).as("c"))
     chunks.join(chunkDf, "h")
       .filter(col("c") === 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(expr(
+        (array_join(expr(
           "transform(array_sort(collect_list(struct(k, chunk))), x -> x.chunk)"),
-          " ").as("cleaned_text"))
+          " ").as("cleaned_text") +: carry.map(c => first(col(c)).as(c))): _*)
   }
 
   /** s07's kernel: BM25 (Lucene idf) scores of `terms` over the corpus,
@@ -223,13 +227,18 @@ object PipelineOps {
     * would broadcast a (token, weight) table; hash-derived weights
     * keep the dataflow identical with zero model state. Returns
     * (doc_id, n_tokens, score). Scale notes at the t14 entry. */
+  /** The t14 score as a reusable Column over a `text` column — fully
+    * in-row, so composed pipelines (p03) gate map-side with no join. */
+  private[graft] def qualityScoreExpr: Column =
+    round(expr(
+      "1 / (1 + exp(-4 * aggregate(transform(split(text, ' '), t -> " +
+        "(cast(pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2049) as double) - 1024) / 1024.0" +
+        "), 0D, (acc, x) -> acc + x) / size(split(text, ' '))))"), 4)
+
   private[graft] def qualityScoreOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      round(expr(
-        "1 / (1 + exp(-4 * aggregate(transform(split(text, ' '), t -> " +
-          "(cast(pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2049) as double) - 1024) / 1024.0" +
-          "), 0D, (acc, x) -> acc + x) / size(split(text, ' '))))"), 4).as("score"))
+      qualityScoreExpr.as("score"))
 
   /** s09's kernel — product-quantization encode (Jégou et al. 2011,
     * the storage half of IVF+PQ): split each `dims`-wide vector into
@@ -1903,6 +1912,29 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    "p03_curation_v2" -> ((s, d) => {
+      // Second composed pipeline — this round's operators end to end in
+      // ONE declarative plan: the t14 model-based quality gate (in-row
+      // Column, map-side — no score join), d16 corpus-level chunk dedup
+      // over the survivors (lang carried through the kernel so no
+      // corpus-keyed join-back), then per-lang curation stats: docs
+      // surviving, chunks kept, tokens kept. What a real corpus refresh
+      // runs nightly. 100 TB: the gate prunes BEFORE the chunk
+      // explode's shuffle (fewer chunk rows hashed), the dedup is d16's
+      // two-scan anti-filter shape, and the final stats aggregate is
+      // 5 rows.
+      val kept = t(s, d, "documents")
+        .withColumn("score", qualityScoreExpr)
+        .filter(col("score") >= 0.45)
+        .select("doc_id", "lang", "text")
+      chunkDedupOf(kept, chunkWords = 10, carry = Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_kept").as("n_chunks_kept"),
+          sum(size(split(col("cleaned_text"), " ")).cast("long")).as("n_tokens_kept"))
+        .orderBy("lang")
+    }),
+
     "samp02_dsir_resample" -> ((s, d) => {
       // DSIR importance resampling (Xie et al. 2023) — data SELECTION,
       // the step after scoring: reweight the raw corpus toward a target
@@ -2375,6 +2407,33 @@ object PipelineOps {
           FROM d) WHERE rk = 1)
       SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
       FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // the same t14 gate + d16 dedup composed; the survivor chunk set is
+    // identical in both engines, so the per-lang sums are exact integers
+    "p03_curation_v2" -> """
+      WITH scored AS (
+        SELECT doc_id,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+        FROM documents),
+      kept AS (
+        SELECT d.doc_id, d.text, d.lang FROM documents d JOIN scored s USING (doc_id)
+        WHERE s.score >= 0.45),
+      words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM kept),
+      chunks AS (
+        SELECT doc_id, lang, k, array_to_string(w[(k*10+1):(k*10+10)], ' ') AS chunk
+        FROM words,
+             unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(k)),
+      cf AS (SELECT md5(chunk) AS h, count(*) AS c FROM chunks GROUP BY 1),
+      surv AS (
+        SELECT c.doc_id, c.lang, c.chunk FROM chunks c JOIN cf ON md5(c.chunk) = cf.h
+        WHERE cf.c = 1)
+      SELECT lang,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_chunks_kept,
+             CAST(sum(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens_kept
+      FROM surv GROUP BY lang ORDER BY lang""",
 
     // identical md5 bucket/Gumbel derivations; counts are integers so
     // every ln() sees the same rational; round(k, 6) stabilizes the cut

@@ -128,6 +128,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
   }
 
+  test("p03 composed pipeline: one join total (the chunk-df anti-filter), no metadata join-back") {
+    // the quality gate is an in-row Column (no score join) and lang is
+    // carried through the chunk-dedup kernel (no doc_id join-back), so
+    // the ONLY join in the whole composed plan is d16's chunk-frequency
+    // hash join
+    val df = graft.queries.PipelineOps.defs("p03_curation_v2")(spark, dir)
+    val plan = planOf(df)
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly the chunk-df join, found $joins:\n$plan")
+    assert(plan.contains("Generate"), "chunk explode missing")
+  }
+
   test("t08 repetition metrics: doc-local, no explode/groupBy shuffle besides the final sort") {
     // bigram run-counting happens inside the row (array_sort +
     // aggregate HOF) — the only Exchange allowed is the presentation
