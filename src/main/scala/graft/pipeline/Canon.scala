@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * contract can't drift between facades. */
 private[pipeline] object Canon {
 
-  def docs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).cast("string").as("text"))
+  /** `extra` carries additional pre-computed columns (evaluated against
+    * the CALLER's schema, e.g. a target predicate) through the
+    * canonicalization, so facades needing more than (id, text) don't
+    * re-implement the cast/null contract inline. */
+  def docs(df: DataFrame, idCol: String, textCol: String,
+      extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id") +:
+        col(textCol).cast("string").as("text") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
 
   def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =

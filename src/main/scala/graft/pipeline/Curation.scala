@@ -146,11 +146,8 @@ object Curation {
       buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.dsirResampleOf(
-      docs.withColumn("__tgt", isTarget.cast("boolean"))
-        .select(col(idCol).cast("long").as("doc_id"),
-          col(textCol).cast("string").as("text"),
-          coalesce(col("__tgt"), lit(false)).as("is_tgt"))
-        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("is_tgt" -> coalesce(isTarget.cast("boolean"), lit(false)))),
       n, buckets)
 
   /** Deterministic md5-interleaved sharded parquet write (sink02's

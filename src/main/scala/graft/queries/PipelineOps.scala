@@ -145,6 +145,30 @@ object PipelineOps {
       .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
   }
 
+  /** The `k` lowest vec_ids present, indexed 0..k-1 in id order — the
+    * deterministic seed set kmeansAssignOf/pqEncodeOf build their
+    * initial centroids/codebook from. Fully LAZY: TakeOrdered(k) plus
+    * a row_number over those k rows (k is small by contract:
+    * centroids/codebooks broadcast), broadcast-joined back — no driver
+    * collect, so the seed set is always computed from the same data
+    * the rest of the plan executes against, at execution time. Seeding
+    * by rank (not `vec_id < k`) is what makes ARBITRARY caller id
+    * spaces work: 1-based, offset, or hashed ids all seed correctly.
+    * On the bench corpus (dense 0-based ids) the seed index equals the
+    * id, which is what the DuckDB oracles pin. */
+  private def seedByRank(emb: DataFrame, k: Int, idxName: String): DataFrame = {
+    val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // the literal max-id prefilter PUSHES to the parquet scan (row-group
+    // skip), so the seed subplan — duplicated ~20x across the unrolled
+    // kmeans tree — stays as cheap as the dense-id `vec_id < k` it
+    // replaced, while the rank join keeps arbitrary id spaces correct
+    val pre = if (ids.isEmpty) emb else emb.filter(col("vec_id") <= ids.max)
+    pre.join(broadcast(ids.zipWithIndex.toSeq.toDF("vec_id", idxName)), "vec_id")
+  }
+
   /** s04/d17 shared kernel: Lloyd k-means over an (vec_id, e) frame
     * with deterministic init (the K lowest vec_ids ARE the first
     * centroids), squared-L2 assignment with (dist, cluster) tie-break,
@@ -153,23 +177,6 @@ object PipelineOps {
     * iteration (both engines replay the SAME trajectory). Returns
     * (vec_id, e, cluster, dist) after `iters` assignment passes. Scale
     * notes at the s04 entry. */
-  /** The `k` lowest vec_ids present, indexed 0..k-1 in id order — the
-    * deterministic seed set kmeansAssignOf/pqEncodeOf build their
-    * initial centroids/codebook from. A TakeOrdered collect of k ids
-    * (k is small by contract: centroids/codebooks broadcast) followed
-    * by a broadcast semi-join, so it works for ARBITRARY caller ids —
-    * seeding by `vec_id < k` would silently select zero rows for
-    * 1-based or hashed id spaces, or half the corpus for signed-hash
-    * ids. On the bench corpus (dense 0-based ids) the seed index
-    * equals the id, which is what the DuckDB oracles pin. */
-  private def seedByRank(emb: DataFrame, k: Int, idxName: String): DataFrame = {
-    val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
-      .collect().map(_.getLong(0))
-    val spark = emb.sparkSession
-    import spark.implicits._
-    emb.join(broadcast(ids.zipWithIndex.toSeq.toDF("vec_id", idxName)), "vec_id")
-  }
-
   private[graft] def kmeansAssignOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     var cent = seedByRank(emb, k, "cluster")
       .select(col("cluster"), col("e").as("ce"))
@@ -204,11 +211,12 @@ object PipelineOps {
       tau: Double): DataFrame = {
     graft.exprs.CosineSim.register(emb.sparkSession)
     // the pair join puts the SAME Lloyd-trajectory lineage on both
-    // sides; localCheckpoint materializes the assignment once so the
-    // iters-deep kmeans subplan cannot recompute per side (at cluster
-    // scale this is a checkpoint to durable storage, like d11's)
+    // sides — deliberately NOT checkpointed: the final assignment's
+    // window exchange dedups through ReuseExchange, and forcing a
+    // localCheckpoint measured 1.6x WORSE at sf1 (6.55 s -> 10.67 s
+    // isolated min-of-2) while adding eager execution and non-
+    // replicated executor-local state a long-lived app can lose
     val assigned = kmeansAssignOf(emb, k, iters).select("vec_id", "e", "cluster")
-      .localCheckpoint()
     val keep = assigned.select(col("cluster"), col("vec_id").as("keep_id"),
       col("e").as("ke"))
     assigned.join(keep, Seq("cluster"))
@@ -219,14 +227,6 @@ object PipelineOps {
       .agg(min("keep_id").as("kept_by"), max("c").as("max_cos"))
   }
 
-  /** t14's kernel — fastText-shaped linear quality classifier: each
-    * token's weight is hash-derived in [-1, 1] with an exactly
-    * representable denominator (m/1024, m integer), so the in-row sum
-    * is EXACT in both engines regardless of association order; the
-    * score is a sigmoid over the mean token weight. A trained model
-    * would broadcast a (token, weight) table; hash-derived weights
-    * keep the dataflow identical with zero model state. Returns
-    * (doc_id, n_tokens, score). Scale notes at the t14 entry. */
   /** The t14 score as a reusable Column over a `text` column — fully
     * in-row, so composed pipelines (p03) gate map-side with no join. */
   private[graft] def qualityScoreExpr: Column =
@@ -235,6 +235,14 @@ object PipelineOps {
         "(cast(pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2049) as double) - 1024) / 1024.0" +
         "), 0D, (acc, x) -> acc + x) / size(split(text, ' '))))"), 4)
 
+  /** t14's kernel — fastText-shaped linear quality classifier: each
+    * token's weight is hash-derived in [-1, 1] with an exactly
+    * representable denominator (m/1024, m integer), so the in-row sum
+    * is EXACT in both engines regardless of association order; the
+    * score is a sigmoid over the mean token weight. A trained model
+    * would broadcast a (token, weight) table; hash-derived weights
+    * keep the dataflow identical with zero model state. Returns
+    * (doc_id, n_tokens, score). Scale notes at the t14 entry. */
   private[graft] def qualityScoreOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -282,6 +290,8 @@ object PipelineOps {
     * gumbel_key), the selected sample. Scale notes at the samp02
     * entry. */
   private[graft] def dsirResampleOf(docs: DataFrame, n: Int, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(n >= 0, s"n must be >= 0, got $n")
     val toks = docs
       .select(col("doc_id"), col("is_tgt"),
         explode(split(col("text"), " ")).as("tok"))
@@ -292,12 +302,16 @@ object PipelineOps {
     val counts = toks.groupBy("b").agg(count(lit(1)).as("rc"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
     val tot = counts.agg(sum("rc").as("tr"), sum("tc").as("tt"))
+    // per-bucket weights quantize to integer micro-units (the s05/s08
+    // idiom) so the per-doc sum is association-order-EXACT — partial
+    // aggregation order cannot move a rounded logw or the Gumbel cut
     val w = counts.crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((col("tc") + 1) / (col("tt") + buckets)) -
-          log((col("rc") + 1) / (col("tr") + buckets))).as("w"))
+        floor((log((col("tc") + 1) / (col("tt") + buckets)) -
+          log((col("rc") + 1) / (col("tr") + buckets))) * 1000000.0 + 0.5)
+          .cast("long").as("wq"))
     toks.join(broadcast(w), "b")
-      .groupBy("doc_id").agg(sum("w").as("logw"))
+      .groupBy("doc_id").agg((sum("wq") / 1000000.0).as("logw"))
       .withColumn("u",
         (pmod(expr("cast(conv(substring(md5(concat(cast(doc_id as string), '_g')), 1, 15), 16, 10) as bigint)"),
           lit(1000000L)) + lit(0.5)) / 1000000.0)
@@ -2436,7 +2450,8 @@ object PipelineOps {
       FROM surv GROUP BY lang ORDER BY lang""",
 
     // identical md5 bucket/Gumbel derivations; counts are integers so
-    // every ln() sees the same rational; round(k, 6) stabilizes the cut
+    // every ln() sees the same rational, and bucket weights quantize to
+    // integer micro-units so the per-doc sum is order-exact
     "samp02_dsir_resample" -> """
       WITH toks AS (
         SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b
@@ -2448,11 +2463,11 @@ object PipelineOps {
                      (SELECT count(*) FROM toks JOIN tgt USING (doc_id)) AS tt),
       wtab AS (
         SELECT rc.b,
-               ln((coalesce(tc.tc, 0) + 1) / (tot.tt + 64.0)) -
-               ln((rc.rc + 1) / (tot.tr + 64.0)) AS w
+               CAST(floor((ln((coalesce(tc.tc, 0) + 1) / (tot.tt + 64.0)) -
+                           ln((rc.rc + 1) / (tot.tr + 64.0))) * 1000000 + 0.5) AS BIGINT) AS wq
         FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
       docw AS (
-        SELECT t.doc_id, sum(w.w) AS logw
+        SELECT t.doc_id, sum(w.wq) / 1000000.0 AS logw
         FROM toks t JOIN wtab w ON t.b = w.b
         GROUP BY t.doc_id),
       keyed AS (
