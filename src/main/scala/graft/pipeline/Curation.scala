@@ -150,6 +150,16 @@ object Curation {
         extra = Seq("is_tgt" -> coalesce(isTarget.cast("boolean"), lit(false)))),
       n, buckets)
 
+  /** Corpus snapshot diff (diff01's kernel): one row per doc_id in
+    * either version with status added / removed / changed / unchanged,
+    * compared by content md5 — the audit a cleaning run gets before
+    * its output replaces the corpus. One hash-keyed full outer join;
+    * text never shuffles. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.corpusDiffOf(
+      canon(oldDocs, idCol, textCol), canon(newDocs, idCol, textCol))
+
   /** Deterministic md5-interleaved sharded parquet write (sink02's
     * kernel): every row lands in exactly one of `nShards` directories
     * keyed by a hash of `idCol` — an unbiased interleave (the "global

@@ -227,6 +227,23 @@ object PipelineOps {
       .agg(min("keep_id").as("kept_by"), max("c").as("max_cos"))
   }
 
+  /** diff01's kernel — corpus snapshot diff: full outer join of two
+    * (doc_id, text) versions on doc_id comparing content md5. Returns
+    * one row per doc_id in either version: (doc_id, status) with
+    * status ∈ added/removed/changed/unchanged — the audit primitive a
+    * cleaning run is reviewed with before its output replaces the
+    * corpus. Scale notes at the diff01 entry. */
+  private[graft] def corpusDiffOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** The t14 score as a reusable Column over a `text` column — fully
     * in-row, so composed pipelines (p03) gate map-side with no join. */
   private[graft] def qualityScoreExpr: Column =
@@ -1926,6 +1943,25 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    "diff01_corpus_diff" -> ((s, d) => {
+      // Corpus snapshot diff — the audit step between a cleaning run
+      // and promoting its output: v1 = the raw corpus, v2 = the d16
+      // chunk-deduped rewrite; the diff reports exactly what the run
+      // did (unchanged / changed text / removed docs) before anything
+      // replaces anything. Content compared by md5, never by text.
+      // 100 TB: ONE full-outer shuffle join keyed on doc_id moving
+      // 16-byte hashes — text stays in its scans; the summary is a
+      // 4-row aggregate.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val v2 = chunkDedupOf(docs, chunkWords = 10)
+        .select(col("doc_id"), col("cleaned_text").as("text"))
+      corpusDiffOf(docs, v2)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("status")
+    }),
+
     "p03_curation_v2" -> ((s, d) => {
       // Second composed pipeline — this round's operators end to end in
       // ONE declarative plan: the t14 model-based quality gate (in-row
@@ -2421,6 +2457,32 @@ object PipelineOps {
           FROM d) WHERE rk = 1)
       SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
       FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // the d16 rewrite replayed, then a hash-compare full outer join —
+    // statuses are engine-independent string equalities on md5s
+    "diff01_corpus_diff" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      chunks AS (
+        SELECT doc_id, k, array_to_string(w[(k*10+1):(k*10+10)], ' ') AS chunk
+        FROM words,
+             unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(k)),
+      df AS (SELECT md5(chunk) AS h, count(*) AS c FROM chunks GROUP BY 1),
+      v2 AS (
+        SELECT doc_id, md5(string_agg(chunk, ' ' ORDER BY k)) AS h2
+        FROM (SELECT c.doc_id, c.k, c.chunk FROM chunks c JOIN df ON md5(c.chunk) = df.h
+              WHERE df.c = 1)
+        GROUP BY doc_id),
+      v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      j AS (
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v1.h1 = v2.h2 THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM j GROUP BY status ORDER BY status""",
 
     // the same t14 gate + d16 dedup composed; the survivor chunk set is
     // identical in both engines, so the per-lang sums are exact integers

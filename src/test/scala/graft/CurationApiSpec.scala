@@ -264,6 +264,17 @@ class CurationApiSpec extends AnyFunSuite {
       s"expected the target vocabulary to dominate the draw, got $targetShare")
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged over renamed columns") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("docnum", "body")
+    val v2 = Seq((1L, "alpha beta"), (2L, "gamma CHANGED"), (4L, "zeta"))
+      .toDF("docnum", "body")
+    val got = Curation.corpusDiff(v1, v2, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("randomProject over renamed columns equals the s08 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))
