@@ -182,6 +182,46 @@ object MediaCatalogOps {
       s.table(name).orderBy("lang")
     }),
 
+    "st05_stream_quality_gate" -> ((s0, d) => {
+      // Quality gating AT INGEST with a real FILE sink — the streaming
+      // form of t14's model gate writing curated parquet: documents
+      // stream through the in-row classifier Column (map-side, no
+      // state), survivors append to a parquet sink with a streaming
+      // checkpoint (the exactly-once production ingest path), and the
+      // read-back must equal the batch gate — which is exactly what
+      // the oracle replays. Two micro-batches prove append semantics.
+      // At scale this IS the nightly-crawl ingest: gate cost rides the
+      // stream's map stage, files land partitioned by the sink, and
+      // the checkpoint makes replays idempotent.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val corpus = graft.Tables.t(s, d, "documents")
+        .select("doc_id", "text", "lang")
+        .as[graft.streaming.Streams.Doc].collect().toSeq
+      val (first, second) = corpus.splitAt(corpus.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
+      val base = java.nio.file.Files.createTempDirectory("graft-st05").toString
+      val gated = input.toDF()
+        .withColumn("score", graft.queries.PipelineOps.qualityScoreExpr)
+        .filter(col("score") >= 0.45)
+      val q = gated.writeStream.outputMode("append")
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+          round(avg("score"), 4).as("mean_score"))
+        .orderBy("lang")
+    }),
+
     "st03_stream_sessions" -> ((s0, d) => {
       // Streaming gap-sessionization through flatMapGroupsWithState
       // (Streams.sessionize): the first 5000 events replay through a
@@ -421,6 +461,20 @@ object MediaCatalogOps {
              round(avg(CASE WHEN i % 3 = 1 THEN v END), 4) AS mean_g,
              round(avg(CASE WHEN i % 3 = 2 THEN v END), 4) AS mean_b
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    // the streamed gate must equal the batch gate: same t14 score, same
+    // 0.45 cut — the file sink and micro-batching change nothing
+    "st05_stream_quality_gate" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+        FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             min(doc_id) AS first_kept, round(avg(score), 4) AS mean_score
+      FROM scored WHERE score >= 0.45
+      GROUP BY lang ORDER BY lang""",
 
     // ms-based lag arithmetic (NOT floored seconds): sessionize compares
     // Timestamp.getTime millis, and the event ts carry microseconds
