@@ -154,11 +154,18 @@ object Curation {
     * either version with status added / removed / changed / unchanged,
     * compared by content md5 — the audit a cleaning run gets before
     * its output replaces the corpus. One hash-keyed full outer join;
-    * text never shuffles. */
+    * text never shuffles. Unlike every other facade, NULL text rows
+    * are KEPT (as a distinct content value): an audit that dropped
+    * them would report a run nulling text as `removed` — the very
+    * corruption it exists to catch. Ids must be unique per version. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    PipelineOps.corpusDiffOf(
-      canon(oldDocs, idCol, textCol), canon(newDocs, idCol, textCol))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def keep(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("doc_id").isNotNull)
+    PipelineOps.corpusDiffOf(keep(oldDocs), keep(newDocs))
+  }
 
   /** Deterministic md5-interleaved sharded parquet write (sink02's
     * kernel): every row lands in exactly one of `nShards` directories

@@ -17,7 +17,7 @@ object EngineOps {
     * must not leak scratch CSV/JSON/spool copies in the system temp
     * dir (deletion can't run earlier: the returned DataFrames read
     * these paths lazily). */
-  private def tempDir(prefix: String): String = {
+  private[queries] def tempDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

@@ -202,7 +202,7 @@ object MediaCatalogOps {
         .as[graft.streaming.Streams.Doc].collect().toSeq
       val (first, second) = corpus.splitAt(corpus.length / 2)
       val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
-      val base = java.nio.file.Files.createTempDirectory("graft-st05").toString
+      val base = EngineOps.tempDir("graft-st05") // removed on JVM exit
       val gated = input.toDF()
         .withColumn("score", graft.queries.PipelineOps.qualityScoreExpr)
         .filter(col("score") >= 0.45)
@@ -210,11 +210,12 @@ object MediaCatalogOps {
         .format("parquet").option("path", s"$base/out")
         .option("checkpointLocation", s"$base/ck")
         .start()
-      input.addData(first)
-      q.processAllAvailable()
-      input.addData(second)
-      q.processAllAvailable()
-      q.stop()
+      try {
+        input.addData(first)
+        q.processAllAvailable()
+        input.addData(second)
+        q.processAllAvailable()
+      } finally q.stop() // a failed micro-batch must not leak the file-sink stream
       s.read.parquet(s"$base/out")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),

@@ -232,10 +232,18 @@ object PipelineOps {
     * one row per doc_id in either version: (doc_id, status) with
     * status ∈ added/removed/changed/unchanged — the audit primitive a
     * cleaning run is reviewed with before its output replaces the
-    * corpus. Scale notes at the diff01 entry. */
+    * corpus. NULL text is a distinct PRESENT content value (sentinel
+    * hash), so a run that nulls a doc's text reports `changed`, never
+    * `removed` — the corruption the audit exists to catch. Precondition
+    * both sides: doc_id unique per version (a dirty double-written
+    * snapshot multiplies its id's rows here — diff after dedup, or the
+    * inflated rollup is itself the signal). Scale notes at the diff01
+    * entry. */
   private[graft] def corpusDiffOf(v1: DataFrame, v2: DataFrame): DataFrame = {
-    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
-    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    // "null" (4 chars) cannot collide with a 32-hex md5
+    def h(c: Column) = coalesce(md5(c), lit("null"))
+    val a = v1.select(col("doc_id"), h(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), h(col("text")).as("h2"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("h2").isNull, "removed")

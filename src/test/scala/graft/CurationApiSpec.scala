@@ -273,6 +273,14 @@ class CurationApiSpec extends AnyFunSuite {
     val got = Curation.corpusDiff(v1, v2, idCol = "docnum", textCol = "body")
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // a run that NULLs text must report `changed`, never `removed` —
+    // null text is present-with-corrupt-content, and the audit is the
+    // place that distinction matters most
+    val v2null = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, "epsilon"))
+      .toDF("docnum", "body")
+    val gotNull = Curation.corpusDiff(v1, v2null, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(gotNull == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged"))
   }
 
   test("randomProject over renamed columns equals the s08 entry") {
