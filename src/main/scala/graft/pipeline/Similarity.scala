@@ -97,4 +97,21 @@ object Similarity {
   def pqEncode(emb: DataFrame, dims: Int, subs: Int, cbSize: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.pqEncodeOf(canon(emb, idCol, vecCol), dims, subs, cbSize)
+
+  /** Cluster exemplar selection (s10's kernel): k-means the embeddings
+    * (same deterministic trajectory as [[semDedup]]), then return the
+    * `perCluster` vectors nearest each final centroid — the
+    * representatives you inspect, label, or keep. Returns (cluster,
+    * rk, vec_id, sq_dist); 3K-ish rows however large the corpus. */
+  def clusterExemplars(emb: DataFrame, k: Int, perCluster: Int = 3,
+      iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    PipelineOps.kmeansAssignOf(canon(emb, idCol, vecCol), k, iters)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCluster)
+      .select(col("cluster"), col("rk"), col("vec_id"),
+        round(col("dist"), 4).as("sq_dist"))
+  }
 }

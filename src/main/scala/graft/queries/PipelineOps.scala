@@ -2014,6 +2014,27 @@ object PipelineOps {
         n = 100, buckets = 64)
     }),
 
+    "s10_cluster_exemplars" -> ((s, d) => {
+      // Cluster exemplar selection — the inspection/labeling step after
+      // clustering (and the "keep the representative" half of
+      // SemDeDup-family policies): per k-means cluster, the 3 vectors
+      // nearest their final centroid (squared-L2 asc, vec_id tiebreak).
+      // Shares s04/d17's exact trajectory and oracle CTE. 100 TB: the
+      // per-cluster top-3 is a WindowGroupLimit-able bounded heap over
+      // the assignment — no sort of the corpus; K exemplar sets total
+      // 3K rows however large the corpus is.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      kmeansAssignOf(emb, k = 8, iters = 3)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("cluster"), col("rk"), col("vec_id"),
+          round(col("dist"), 4).as("sq_dist"))
+        .orderBy("cluster", "rk")
+    }),
+
     "t14_quality_classifier" -> ((s, d) => {
       // fastText-shaped linear quality classifier — the model-based
       // document filter every production corpus runs (pages scored by
@@ -2450,6 +2471,14 @@ object PipelineOps {
       SELECT vec_id, cluster, min(keep_id) AS kept_by, max(c) AS max_cos
       FROM pairs WHERE c >= 0.4
       GROUP BY vec_id, cluster ORDER BY vec_id"""),
+
+    // the shared trajectory again; per-cluster top-3 by (dist, vec_id)
+    "s10_cluster_exemplars" -> (kmeansOracleCte + """
+      SELECT cluster, rk, vec_id, round(dist, 4) AS sq_dist FROM (
+        SELECT cluster, vec_id, dist,
+               row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rk
+        FROM a3)
+      WHERE rk <= 3 ORDER BY cluster, rk"""),
 
     "s09_pq_encode" -> """
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -283,6 +283,17 @@ class CurationApiSpec extends AnyFunSuite {
     assert(gotNull == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged"))
   }
 
+  test("clusterExemplars over renamed columns equals the s10 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val api = graft.pipeline.Similarity.clusterExemplars(userEmb, k = 8,
+        idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ref = entry("s10_cluster_exemplars")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(api == ref)
+  }
+
   test("randomProject over renamed columns equals the s08 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))

@@ -141,6 +141,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), "chunk explode missing")
   }
 
+  test("s10 exemplars: per-cluster top-3 is a WindowGroupLimit bounded heap") {
+    // the row_number <= 3 filter must push into a group-limit so no
+    // reducer sorts a whole cluster's membership
+    val df = graft.queries.PipelineOps.defs("s10_cluster_exemplars")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cluster top-k must be a bounded heap, not a full window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
   test("t08 repetition metrics: doc-local, no explode/groupBy shuffle besides the final sort") {
     // bigram run-counting happens inside the row (array_sort +
     // aggregate HOF) — the only Exchange allowed is the presentation
