@@ -1951,6 +1951,38 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    "cur02_dedup_impact" -> ((s, d) => {
+      // Dedup strategy cost report — the question every corpus owner
+      // asks before picking a policy: how many documents and tokens
+      // does each strategy cost? One row per method (exact md5,
+      // order-insensitive word-set fingerprint, d16 chunk-level), each
+      // keeping the min-id survivor per group. 100 TB: three
+      // independent aggregations over one scan lineage, each shuffling
+      // 16-byte digests; the report is 3 rows.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val tot = docs.agg(count(lit(1)).as("n_docs_in"))
+      def report(method: String, agg: DataFrame): DataFrame =
+        agg.crossJoin(broadcast(tot))
+          .select(lit(method).as("method"), col("n_docs_in"),
+            col("n_docs_out"), col("n_tokens_out"))
+      val exact = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min("ntok").as("kt")) // same text => same ntok
+        .agg(count(lit(1)).as("n_docs_out"), sum("kt").as("n_tokens_out"))
+      val fp = docs.groupBy(
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .agg(min(struct(col("doc_id"), col("ntok"))).as("m")) // min-id survivor's tokens
+        .agg(count(lit(1)).as("n_docs_out"), sum("m.ntok").as("n_tokens_out"))
+      val chunk = chunkDedupOf(docs.select("doc_id", "text"), chunkWords = 10)
+        .agg(count(lit(1)).as("n_docs_out"),
+          sum(size(split(col("cleaned_text"), " ")).cast("long")).as("n_tokens_out"))
+      report("chunk", chunk)
+        .unionAll(report("exact", exact))
+        .unionAll(report("fingerprint", fp))
+        .orderBy("method")
+    }),
+
     "diff01_corpus_diff" -> ((s, d) => {
       // Corpus snapshot diff — the audit step between a cleaning run
       // and promoting its output: v1 = the raw corpus, v2 = the d16
@@ -2494,6 +2526,40 @@ object PipelineOps {
           FROM d) WHERE rk = 1)
       SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
       FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // three survivor aggregations; all counts/tokens are exact integers
+    "cur02_dedup_impact" -> """
+      WITH base AS (
+        SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_in FROM base),
+      ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs_out,
+               CAST(sum(kt) AS BIGINT) AS n_tokens_out
+        FROM (SELECT md5(text) AS h, min(ntok) AS kt FROM base GROUP BY 1)),
+      fp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs_out,
+               CAST(sum(kt) AS BIGINT) AS n_tokens_out
+        FROM (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS f,
+                     arg_min(ntok, doc_id) AS kt
+              FROM base GROUP BY 1)),
+      words AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+      chunks AS (
+        SELECT doc_id, k, array_to_string(w[(k*10+1):(k*10+10)], ' ') AS chunk
+        FROM words,
+             unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(k)),
+      cdf AS (SELECT md5(chunk) AS h, count(*) AS c FROM chunks GROUP BY 1),
+      ck AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_out,
+               CAST(sum(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens_out
+        FROM (SELECT c.doc_id, c.chunk FROM chunks c JOIN cdf ON md5(c.chunk) = cdf.h
+              WHERE cdf.c = 1))
+      SELECT 'chunk' AS method, tot.n_docs_in, ck.n_docs_out, ck.n_tokens_out FROM ck, tot
+      UNION ALL
+      SELECT 'exact', tot.n_docs_in, ex.n_docs_out, ex.n_tokens_out FROM ex, tot
+      UNION ALL
+      SELECT 'fingerprint', tot.n_docs_in, fp.n_docs_out, fp.n_tokens_out FROM fp, tot
+      ORDER BY method""",
 
     // the d16 rewrite replayed, then a hash-compare full outer join —
     // statuses are engine-independent string equalities on md5s
