@@ -1951,6 +1951,38 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    "samp03_temperature_sample" -> ((s, d) => {
+      // Temperature-scaled language mixture (the multilingual-training
+      // standard: sample languages ∝ p^α, α=0.7, so low-resource
+      // languages are upweighted without drowning the head): per-lang
+      // quotas from the reweighted distribution, then a deterministic
+      // per-lang draw by md5 rank — the id checksum pins the EXACT
+      // selection, not just its size. 100 TB: quotas come from a
+      // lang-count aggregate (a handful of rows, broadcast); the draw
+      // is one per-lang WindowGroupLimit-able rank; nothing global.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val w = counts
+        .crossJoin(broadcast(counts.agg(sum("n_docs").as("n_total"))))
+        .select(col("lang"), col("n_docs"),
+          pow(col("n_docs") / col("n_total"), 0.7).as("wt"))
+      val quota = w.crossJoin(broadcast(w.agg(sum("wt").as("sum_wt"))))
+        .select(col("lang"), col("n_docs"),
+          floor(lit(200) * col("wt") / col("sum_wt") + 0.5).cast("long").as("quota"))
+      val rw = Window.partitionBy("lang")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit("_s"))), col("doc_id"))
+      val sel = docs.withColumn("r", row_number().over(rw))
+        .join(broadcast(quota.select("lang", "quota")), "lang")
+        .filter(col("r") <= col("quota"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_checksum"))
+      quota.join(sel, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("quota"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+        .orderBy("lang")
+    }),
+
     "cur02_dedup_impact" -> ((s, d) => {
       // Dedup strategy cost report — the question every corpus owner
       // asks before picking a policy: how many documents and tokens
@@ -2526,6 +2558,30 @@ object PipelineOps {
           FROM d) WHERE rk = 1)
       SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
       FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // counts are integers into pow(), md5 rank and the +0.5 floor are
+    // engine-identical; the id checksum pins the exact draw
+    "samp03_temperature_sample" -> """
+      WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+      w AS (SELECT lang, n_docs, pow(n_docs * 1.0 / tot.n_total, 0.7) AS wt FROM counts, tot),
+      sw AS (SELECT sum(wt) AS sum_wt FROM w),
+      quota AS (
+        SELECT lang, n_docs, CAST(floor(200 * wt / sw.sum_wt + 0.5) AS BIGINT) AS quota
+        FROM w, sw),
+      ranked AS (
+        SELECT d.doc_id, d.lang,
+               row_number() OVER (PARTITION BY d.lang
+                 ORDER BY md5(d.doc_id::VARCHAR || '_s'), d.doc_id) AS r
+        FROM documents d),
+      sel AS (
+        SELECT r.lang, r.doc_id FROM ranked r JOIN quota q ON r.lang = q.lang
+        WHERE r.r <= q.quota)
+      SELECT q.lang, q.n_docs, q.quota,
+             CAST(count(s.doc_id) AS BIGINT) AS n_sampled,
+             CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
+      FROM quota q LEFT JOIN sel s ON q.lang = s.lang
+      GROUP BY q.lang, q.n_docs, q.quota ORDER BY q.lang""",
 
     // three survivor aggregations; all counts/tokens are exact integers
     "cur02_dedup_impact" -> """
