@@ -150,6 +150,17 @@ object Curation {
         extra = Seq("is_tgt" -> coalesce(isTarget.cast("boolean"), lit(false)))),
       n, buckets)
 
+  /** Corpus-hapax novelty ratio (t15's kernel): per document, the
+    * fraction of its distinct tokens appearing nowhere else in the
+    * corpus — high = unique content, near-zero = boilerplate assembled
+    * from corpus-common parts. Skew-free by construction (hapax terms
+    * carry their unique owner through the df aggregation; no term
+    * joins back to the corpus). Returns (doc_id, n_terms, n_hapax,
+    * novelty). */
+  def noveltyRatio(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.noveltyRatioOf(canon(docs, idCol, textCol))
+
   /** Corpus snapshot diff (diff01's kernel): one row per doc_id in
     * either version with status added / removed / changed / unchanged,
     * compared by content md5 — the audit a cleaning run gets before

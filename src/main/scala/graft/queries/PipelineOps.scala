@@ -252,6 +252,26 @@ object PipelineOps {
           .otherwise("changed").as("status"))
   }
 
+  /** t15's kernel — corpus-hapax novelty ratio: per doc, the fraction
+    * of its distinct tokens that appear nowhere else in the corpus.
+    * Skew-free: a hapax term's `min(doc_id)` IS its owner, so no term
+    * ever joins back to the corpus. Returns (doc_id, n_terms, n_hapax,
+    * novelty). Scale notes at the t15 entry. */
+  private[graft] def noveltyRatioOf(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+    val perDoc = terms.groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+    val hapax = terms.groupBy("term")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("only_doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_hapax"))
+    perDoc.join(hapax, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_terms"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        round(coalesce(col("n_hapax"), lit(0L)) / col("n_terms"), 4).as("novelty"))
+  }
+
   /** The t14 score as a reusable Column over a `text` column — fully
     * in-row, so composed pipelines (p03) gate map-side with no join. */
   private[graft] def qualityScoreExpr: Column =
@@ -1951,6 +1971,21 @@ object PipelineOps {
         .orderBy("vec_id")
     }),
 
+    "t15_novelty_ratio" -> ((s, d) => {
+      // Corpus-hapax novelty ratio: what fraction of a document's
+      // distinct tokens appear NOWHERE else — the cheap memorization/
+      // novelty signal (high = unique content, near-zero = boilerplate
+      // assembled from corpus-common parts). Skew-free by construction:
+      // a hapax term belongs to exactly one doc, so `min(doc_id)`
+      // carried through the df aggregation IS its owner and no term
+      // ever joins back to the corpus — two partial-aggregated
+      // shuffles plus one doc_id-keyed join of two per-doc frames.
+      // At 100 TB the common-term skew that melts naive df joins
+      // (every doc joining 'the') never materializes.
+      noveltyRatioOf(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
     "samp03_temperature_sample" -> ((s, d) => {
       // Temperature-scaled language mixture (the multilingual-training
       // standard: sample languages ∝ p^α, α=0.7, so low-resource
@@ -2558,6 +2593,22 @@ object PipelineOps {
           FROM d) WHERE rk = 1)
       SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
       FROM best GROUP BY vec_id ORDER BY vec_id""",
+
+    // integer counts throughout; the ratio is one rounded division
+    "t15_novelty_ratio" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+      per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms FROM terms GROUP BY doc_id),
+      hapax AS (
+        SELECT only_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+        FROM (SELECT term, count(*) AS df, min(doc_id) AS only_doc FROM terms GROUP BY term)
+        WHERE df = 1 GROUP BY only_doc)
+      SELECT p.doc_id, p.n_terms,
+             CAST(coalesce(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+             round(coalesce(h.n_hapax, 0) * 1.0 / p.n_terms, 4) AS novelty
+      FROM per_doc p LEFT JOIN hapax h ON p.doc_id = h.doc_id
+      ORDER BY p.doc_id""",
 
     // counts are integers into pow(), md5 rank and the +0.5 floor are
     // engine-identical; the id checksum pins the exact draw

@@ -294,6 +294,14 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("noveltyRatio over renamed columns equals the t15 entry") {
+    val api = Curation.noveltyRatio(userDocs, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ref = entry("t15_novelty_ratio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(api == ref)
+  }
+
   test("randomProject over renamed columns equals the s08 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))
