@@ -105,13 +105,6 @@ object Similarity {
     * rk, vec_id, sq_dist); 3K-ish rows however large the corpus. */
   def clusterExemplars(emb: DataFrame, k: Int, perCluster: Int = 3,
       iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    PipelineOps.kmeansAssignOf(canon(emb, idCol, vecCol), k, iters)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= perCluster)
-      .select(col("cluster"), col("rk"), col("vec_id"),
-        round(col("dist"), 4).as("sq_dist"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.clusterExemplarsOf(canon(emb, idCol, vecCol), k, iters, perCluster)
 }

@@ -252,6 +252,21 @@ object PipelineOps {
           .otherwise("changed").as("status"))
   }
 
+  /** s10's kernel — cluster exemplar selection: k-means (shared
+    * trajectory), then the `perCluster` vectors nearest each final
+    * centroid (squared-L2 asc, vec_id tiebreak). Returns (cluster, rk,
+    * vec_id, sq_dist). Scale notes at the s10 entry. */
+  private[graft] def clusterExemplarsOf(emb: DataFrame, k: Int, iters: Int,
+      perCluster: Int): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    kmeansAssignOf(emb, k, iters)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCluster)
+      .select(col("cluster"), col("rk"), col("vec_id"),
+        round(col("dist"), 4).as("sq_dist"))
+  }
+
   /** t15's kernel — corpus-hapax novelty ratio: per doc, the fraction
     * of its distinct tokens that appear nowhere else in the corpus.
     * Skew-free: a hapax term's `min(doc_id)` IS its owner, so no term
@@ -1997,16 +2012,24 @@ object PipelineOps {
       // is one per-lang WindowGroupLimit-able rank; nothing global.
       val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      // weights quantize to integer micro-units (the s02/s08 idiom):
+      // sum_wq is an exact long, so the quota's floor operand is the
+      // identical double in both engines regardless of merge order
       val w = counts
         .crossJoin(broadcast(counts.agg(sum("n_docs").as("n_total"))))
         .select(col("lang"), col("n_docs"),
-          pow(col("n_docs") / col("n_total"), 0.7).as("wt"))
-      val quota = w.crossJoin(broadcast(w.agg(sum("wt").as("sum_wt"))))
+          floor(pow(col("n_docs") / col("n_total"), 0.7) * 1000000.0 + 0.5)
+            .cast("long").as("wq"))
+      val quota = w.crossJoin(broadcast(w.agg(sum("wq").as("sum_wq"))))
         .select(col("lang"), col("n_docs"),
-          floor(lit(200) * col("wt") / col("sum_wt") + 0.5).cast("long").as("quota"))
+          floor(lit(200) * col("wq") / col("sum_wq") + 0.5).cast("long").as("quota"))
       val rw = Window.partitionBy("lang")
         .orderBy(md5(concat(col("doc_id").cast("string"), lit("_s"))), col("doc_id"))
       val sel = docs.withColumn("r", row_number().over(rw))
+        // literal budget bound FIRST: rank <= 200 right above the Window
+        // is what InferWindowGroupLimit needs for the bounded heap — the
+        // per-lang quota (<= 200 by construction) then cuts exactly
+        .filter(col("r") <= 200)
         .join(broadcast(quota.select("lang", "quota")), "lang")
         .filter(col("r") <= col("quota"))
         .groupBy("lang")
@@ -2124,13 +2147,7 @@ object PipelineOps {
       // 3K rows however large the corpus is.
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val w = Window.partitionBy("cluster")
-        .orderBy(col("dist").asc, col("vec_id").asc)
-      kmeansAssignOf(emb, k = 8, iters = 3)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("cluster"), col("rk"), col("vec_id"),
-          round(col("dist"), 4).as("sq_dist"))
+      clusterExemplarsOf(emb, k = 8, iters = 3, perCluster = 3)
         .orderBy("cluster", "rk")
     }),
 
@@ -2615,10 +2632,12 @@ object PipelineOps {
     "samp03_temperature_sample" -> """
       WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
       tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
-      w AS (SELECT lang, n_docs, pow(n_docs * 1.0 / tot.n_total, 0.7) AS wt FROM counts, tot),
-      sw AS (SELECT sum(wt) AS sum_wt FROM w),
+      w AS (SELECT lang, n_docs,
+                   CAST(floor(pow(n_docs * 1.0 / tot.n_total, 0.7) * 1000000 + 0.5) AS BIGINT) AS wq
+            FROM counts, tot),
+      sw AS (SELECT CAST(sum(wq) AS BIGINT) AS sum_wq FROM w),
       quota AS (
-        SELECT lang, n_docs, CAST(floor(200 * wt / sw.sum_wt + 0.5) AS BIGINT) AS quota
+        SELECT lang, n_docs, CAST(floor(200 * wq / sw.sum_wq + 0.5) AS BIGINT) AS quota
         FROM w, sw),
       ranked AS (
         SELECT d.doc_id, d.lang,

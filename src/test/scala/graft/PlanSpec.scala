@@ -142,13 +142,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("s10 exemplars: per-cluster top-3 is a WindowGroupLimit bounded heap") {
-    // the row_number <= 3 filter must push into a group-limit so no
-    // reducer sorts a whole cluster's membership
+    // the CLUSTER-partitioned window specifically must group-limit: the
+    // kmeans subtree's per-vec_id windows also produce WindowGroupLimit
+    // nodes, so a bare contains() could never fail for the exemplar cut
     val df = graft.queries.PipelineOps.defs("s10_cluster_exemplars")(spark, dir)
     val plan = planOf(df)
-    assert(plan.contains("WindowGroupLimit"),
+    assert("WindowGroupLimit \\[cluster".r.findFirstIn(plan).isDefined,
       s"per-cluster top-k must be a bounded heap, not a full window sort:\n$plan")
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
+  test("samp03 temperature draw: per-lang rank is a WindowGroupLimit bounded heap") {
+    // the literal budget bound (r <= 200) must sit directly above the
+    // Window so the head language never gets fully sorted on one
+    // reducer — the quota filter alone (rank vs joined column) cannot
+    // trigger InferWindowGroupLimit
+    val df = graft.queries.PipelineOps.defs("samp03_temperature_sample")(spark, dir)
+    val plan = planOf(df)
+    assert("WindowGroupLimit \\[lang".r.findFirstIn(plan).isDefined,
+      s"per-lang rank must be a bounded heap:\n$plan")
   }
 
   test("t08 repetition metrics: doc-local, no explode/groupBy shuffle besides the final sort") {
