@@ -393,9 +393,17 @@ object StateJournal {
       var seq = lastSeq() + 1
       while (!claimSeq(seq)) seq += 1
       val p = new org.apache.hadoop.fs.Path(eventsDir, segName(seq, event))
-      val out = fs.create(p, false)
+      // write-then-RENAME publish: every reader filters on ".json", so
+      // the ".w" temp is invisible until the atomic rename — a peer's
+      // replay can never open a half-written payload (the torn read the
+      // concurrent-checkpoint hammer exposed: "expected start of
+      // object, got null" mid-append)
+      val tmp = new org.apache.hadoop.fs.Path(eventsDir, segName(seq, event) + ".w")
+      val out = fs.create(tmp, false)
       try out.write(payloadJson.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not publish event seq $seq")
       // bound the claim-file count (FsWorkQueue.expire's analog):
       // periodically drop locks far below the current head. The 4096
       // margin covers listing-lagged writers on eventually-consistent
@@ -449,12 +457,29 @@ object StateJournal {
       * replay (with idempotent handlers) is immune to that gap. */
     def checkpoint(consumer: String, seq: Long): Unit = {
       val p = new org.apache.hadoop.fs.Path(consumersDir, consumer)
-      val tmp = new org.apache.hadoop.fs.Path(consumersDir, consumer + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(seq.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      fs.delete(p, false)
-      fs.rename(tmp, p)
+      // PER-CALL unique temp name: two NODES checkpoint the same
+      // consumer concurrently (a writer's submit and a peer's tail
+      // poll), and a shared ".tmp" name let one process rename the
+      // other's temp away mid-flight (observed as FileNotFoundException
+      // in the two-JVM convergence drill). Unique temps make the only
+      // remaining race a rename-into-existing-dest, which one writer
+      // wins — fine, because the checkpoint is a best-effort diagnostic
+      // watermark, never a resume cursor (see constraint above).
+      val tmp = new org.apache.hadoop.fs.Path(consumersDir,
+        consumer + ".tmp." + java.util.UUID.randomUUID().toString)
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(seq.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        fs.delete(p, false)
+        fs.rename(tmp, p) // false (peer re-created p first) is benign
+        ()
+      } catch {
+        case _: java.io.IOException => // best-effort: a lost race must
+          // not fail the submit/poll that triggered the checkpoint
+      } finally {
+        try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => }
+      }
     }
 
     def consumerSeq(consumer: String): Long = {

@@ -54,6 +54,29 @@ class StateSpec extends AnyFunSuite {
     assert(a.store.dashboards("d1").name == "A")
   }
 
+  test("concurrent checkpoints from two apps never throw and leave a parseable cursor") {
+    // the two-JVM convergence drill caught this: a writer's submit and
+    // a peer's tail poll checkpoint the same consumer concurrently, and
+    // a SHARED temp-file name let one process rename the other's temp
+    // away mid-flight (FileNotFoundException). Hammer the same shape
+    // in-process: two apps, interleaved submits and polls.
+    val dir = freshDir()
+    val a = new StateApp(dir)
+    val b = new StateApp(dir)
+    b.boot()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try (1 to 100).foreach(i => a.submit("create_folder", s"""{"id": "cf$i", "name": "F$i"}"""))
+      catch { case e: Throwable => errs.add(e); () })
+    val t2 = new Thread(() =>
+      try (1 to 300).foreach(_ => b.pollOnce())
+      catch { case e: Throwable => errs.add(e); () })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"concurrent checkpointing threw: ${errs.peek()}")
+    b.pollOnce()
+    assert(b.store.folders.size == 100)
+  }
+
   test("pollOnce: peer appends converge live; local submits don't re-trigger") {
     val dir = freshDir()
     val a = new StateApp(dir)
