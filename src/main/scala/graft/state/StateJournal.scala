@@ -399,11 +399,19 @@ object StateJournal {
       // concurrent-checkpoint hammer exposed: "expected start of
       // object, got null" mid-append)
       val tmp = new org.apache.hadoop.fs.Path(eventsDir, segName(seq, event) + ".w")
-      val out = fs.create(tmp, false)
-      try out.write(payloadJson.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"could not publish event seq $seq")
+      var published = false
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(payloadJson.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        published = fs.rename(tmp, p)
+        if (!published)
+          throw new java.io.IOException(s"could not publish event seq $seq")
+      } finally if (!published) {
+        // failed publish must not leave an orphaned .w inflating every
+        // future listing (crash-left orphans are pruned below)
+        try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => }
+      }
       // bound the claim-file count (FsWorkQueue.expire's analog):
       // periodically drop locks far below the current head. The 4096
       // margin covers listing-lagged writers on eventually-consistent
@@ -415,6 +423,14 @@ object StateJournal {
             .exists(_ <= seq - 4096))
           .foreach(st => fs.delete(st.getPath, false))
         catch { case _: java.io.IOException => () } // pruning is best-effort
+        // crash-left .w temps (writer died between create and rename):
+        // their claimed seqs are dead, so anything old is safe to drop
+        try fs.listStatus(eventsDir)
+          .filter(st => st.getPath.getName.endsWith(".w") &&
+            st.getPath.getName.takeWhile(_.isDigit).toLongOption
+              .exists(_ <= seq - 4096))
+          .foreach(st => fs.delete(st.getPath, false))
+        catch { case _: java.io.IOException => () }
       }
       seq
     }
@@ -467,28 +483,37 @@ object StateJournal {
       // watermark, never a resume cursor (see constraint above).
       val tmp = new org.apache.hadoop.fs.Path(consumersDir,
         consumer + ".tmp." + java.util.UUID.randomUUID().toString)
+      var renamed = false
       try {
         val out = fs.create(tmp, true)
         try out.write(seq.toString.getBytes(StandardCharsets.UTF_8))
         finally out.close()
         fs.delete(p, false)
-        fs.rename(tmp, p) // false (peer re-created p first) is benign
+        renamed = fs.rename(tmp, p) // false (peer re-created p first) is benign
         ()
       } catch {
         case _: java.io.IOException => // best-effort: a lost race must
           // not fail the submit/poll that triggered the checkpoint
-      } finally {
+      } finally if (!renamed) { // successful rename already consumed tmp
         try { fs.delete(tmp, false); () } catch { case _: java.io.IOException => }
       }
     }
 
+    /** Best-effort cursor read: a peer's concurrent checkpoint has a
+      * delete→rename window where the file briefly does not exist — a
+      * reader must see "0 for a moment", never throw. */
+
     def consumerSeq(consumer: String): Long = {
       val p = new org.apache.hadoop.fs.Path(consumersDir, consumer)
-      if (!fs.exists(p)) 0L
-      else {
-        val in = fs.open(p)
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
+      try {
+        if (!fs.exists(p)) 0L
+        else {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => 0L // raced a checkpoint
       }
     }
   }
