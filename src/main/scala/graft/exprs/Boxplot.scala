@@ -1,7 +1,8 @@
 package graft.exprs
 
-import org.apache.spark.sql.{Encoder, Encoders, SparkSession, functions}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession, functions}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** BOXPLOT(val) aggregate — port of the reference's SQL macro
   * (ref: server/core/custom_types.go:102-134). Without the
@@ -105,6 +106,57 @@ object Boxplot {
     def bufferEncoder: Encoder[List[(Double, Map[String, String])]] =
       Encoders.kryo[List[(Double, Map[String, String])]]
     def outputEncoder: Encoder[BoxplotResult] = Encoders.product[BoxplotResult]
+  }
+
+  /** The outlier_info branch at SCALE — the oracle CTE's own two-pass
+    * shape instead of the UDAF's collect-every-value buffer: exact
+    * quartiles via Spark's partial-aggregable `percentile` (map-side
+    * combine, no per-group value list anywhere), then one join-back of
+    * the rows against the tiny per-group quartile frame (broadcast —
+    * one row per group) for whiskers and the outlier list. Only actual
+    * outliers are ever collected, bounded by the Tukey fences. Output:
+    * groupCols ++ one `bp` struct column matching BoxplotResult field
+    * order, so the render layer is untouched. Semantics are
+    * BoxplotInfoAgg's exactly: any (value, info) pair with non-null
+    * info switches the group to the Tukey branch; whisker min/max are
+    * taken over values inside BOTH fences; outliers sort by value.
+    * This is the 100 TB form of the dashboard UDAF (ref:
+    * custom_types.go:104-119) — same contract, distributed plan. */
+  def tukey(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      infoCol: Column, outCol: String = "bp"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val gcols = groupCols.map(col)
+    val q = df.groupBy(gcols: _*).agg(
+      percentile(v, lit(0.25)).as("_bq1"),
+      percentile(v, lit(0.5)).as("_bq2"),
+      percentile(v, lit(0.75)).as("_bq3"),
+      (count(when(infoCol.isNotNull && v.isNotNull, 1)) > 0).as("_bhas"))
+    val lo = col("_bq1") - lit(1.5) * (col("_bq3") - col("_bq1"))
+    val hi = col("_bq3") + lit(1.5) * (col("_bq3") - col("_bq1"))
+    df.join(broadcast(q), groupCols)
+      .withColumn("_bv", v)
+      .withColumn("_binfo", infoCol)
+      .withColumn("_binside", v >= lo && v <= hi)
+      .groupBy((gcols :+ col("_bq1") :+ col("_bq2") :+ col("_bq3") :+ col("_bhas")): _*)
+      .agg(
+        max(col("_bv")).as("_brawmax"), min(col("_bv")).as("_brawmin"),
+        max(when(col("_binside"), col("_bv"))).as("_bwmax"),
+        min(when(col("_binside"), col("_bv"))).as("_bwmin"),
+        // value-only comparator: maps aren't orderable, so sort_array
+        // over the struct would fail analysis; the UDAF sorted by value
+        expr("array_sort(" +
+          "collect_list(CASE WHEN _bhas AND _bv IS NOT NULL AND NOT _binside " +
+          "THEN struct(_bv AS value, _binfo AS info) END), " +
+          "(a, b) -> CASE WHEN a.value < b.value THEN -1 " +
+          "WHEN a.value > b.value THEN 1 ELSE 0 END)").as("_bout"))
+      .select((gcols :+ struct(
+        when(col("_bhas"), col("_bwmax")).otherwise(col("_brawmax")).as("max"),
+        when(col("_bhas"), col("_bwmin")).otherwise(col("_brawmin")).as("min"),
+        when(col("_bhas"), col("_bout"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRUCT<value: DOUBLE, info: MAP<STRING,STRING>>>)"))
+          .as("outliers"),
+        col("_bq1").as("q1"), col("_bq2").as("q2"), col("_bq3").as("q3"))
+        .as(outCol)): _*)
   }
 
   def register(spark: SparkSession): Unit = RegistryQuiet.quietly {

@@ -183,12 +183,19 @@ object EngineOps {
       // BOXPLOT(val, outlier_info := …) — the reference macro's Tukey
       // branch (custom_types.go:104-119): whiskers at q1/q3 ∓ 1.5·IQR,
       // outliers exploded with their info for a value-level oracle.
-      graft.exprs.Boxplot.register(s)
-      graft.Tables.t(s, d, "orders").createOrReplaceTempView("bp01_orders")
-      s.sql(graft.sqlfront.Dialect.rewrite(
-        """SELECT o_orderpriority AS pri,
-          |  BOXPLOT(o_totalprice, outlier_info := map('k', CAST(o_orderkey AS STRING))) AS bp
-          |FROM bp01_orders GROUP BY o_orderpriority""".stripMargin))
+      // This runs the SCALE form (Boxplot.tukey): exact quartiles via
+      // partial-aggregable percentile + one broadcast join-back for
+      // whiskers/outliers — no per-group value collection anywhere in
+      // the plan (PlanSpec pins it); the UDAF stays for the ≤3000-row
+      // dashboard SQL surface and BoxplotTukeySpec pins their
+      // agreement.
+      import org.apache.spark.sql.functions._
+      graft.exprs.Boxplot.tukey(
+        graft.Tables.t(s, d, "orders")
+          .select(col("o_orderpriority").as("pri"), col("o_totalprice"),
+            col("o_orderkey")),
+        Seq("pri"), "o_totalprice",
+        map(lit("k"), col("o_orderkey").cast("string")))
         .selectExpr("pri",
           "round(bp.q1, 4) AS q1", "round(bp.q2, 4) AS q2", "round(bp.q3, 4) AS q3",
           "round(bp.min, 4) AS wmin", "round(bp.max, 4) AS wmax",

@@ -1940,11 +1940,15 @@ object PipelineOps {
       // codegen'd expression tree: pure map-side, no HOF fallback, no
       // shuffle, nothing leaves the row. 100 TB: this is the prepass
       // that shrinks every downstream ANN/cluster shuffle 8×; runs at
-      // scan speed.
+      // scan speed. The entry posexplodes the projection to scalar
+      // (vec_id, j, pv) rows — the driver comparator can't sort array
+      // cells — while the facade keeps the array form.
       randomProjectionOf(
         t(s, d, "embeddings").select(col("vec_id"), col("embedding").as("e")),
         inDims = 64, outDims = 8)
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("jj", "pv")))
+        .select(col("vec_id"), col("jj").cast("long").as("j"), col("pv"))
+        .orderBy("vec_id", "j")
     }),
 
     "d17_semdedup" -> ((s, d) => {
@@ -1980,9 +1984,16 @@ object PipelineOps {
       // map-side; the ONLY corpus shuffle is the vec_id reassembly
       // groupBy — and the argmin is a partial-aggregable min(struct),
       // so candidates reduce map-side before it.
+      // codes serialize to a comma-joined string (ints render
+      // identically in both engines) — the driver comparator can't
+      // sort array cells; the facade keeps the array form.
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       pqEncodeOf(emb, dims = 64, subs = 8, cbSize = 16)
+        .select(col("vec_id"),
+          array_join(expr("transform(codes, x -> cast(x as string))"), ",")
+            .as("codes"),
+          col("sq_err"))
         .orderBy("vec_id")
     }),
 
@@ -2194,8 +2205,13 @@ object PipelineOps {
       // the same total order, so the refinement is lossless — the
       // oracle computes the single-phase truth directly. df is its own
       // partial-aggregated count (never collected), joined back on the
-      // tiny hot-term set.
+      // tiny hot-term set. The postings head serializes to a
+      // comma-joined string (integer doc_ids render identically in
+      // both engines) — the driver comparator can't sort array cells.
       invertedIndexOf(t(s, d, "documents"), minDf = 300, headCap = 20)
+        .select(col("term"), col("df"),
+          array_join(expr("transform(postings_head, x -> cast(x as string))"), ",")
+            .as("postings_head"))
         .orderBy("term")
     }),
 
@@ -2608,7 +2624,8 @@ object PipelineOps {
       best AS (SELECT vec_id, sub, cw, dist FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cw) AS rk
           FROM d) WHERE rk = 1)
-      SELECT vec_id, list(cw ORDER BY sub) AS codes, round(sum(dist), 4) AS sq_err
+      SELECT vec_id, array_to_string(list(cw ORDER BY sub), ',') AS codes,
+             round(sum(dist), 4) AS sq_err
       FROM best GROUP BY vec_id ORDER BY vec_id""",
 
     // integer counts throughout; the ratio is one rounded division
@@ -3267,8 +3284,8 @@ object PipelineOps {
       comp AS (
         SELECT vec_id, j, round(sum(sq) / 1000000.0 / sqrt(8.0), 4) AS pv
         FROM q GROUP BY vec_id, j)
-      SELECT vec_id, list(pv ORDER BY j) AS proj
-      FROM comp GROUP BY vec_id ORDER BY vec_id""",
+      SELECT vec_id, CAST(j AS BIGINT) AS j, pv
+      FROM comp ORDER BY vec_id, j""",
 
     "t13_bpe_pair_counts" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3283,7 +3300,8 @@ object PipelineOps {
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
         FROM documents),
       df AS (SELECT term, count(*) AS df FROM w GROUP BY term HAVING count(*) >= 300)
-      SELECT d.term, d.df, list_sort(list(w.doc_id))[1:20] AS postings_head
+      SELECT d.term, d.df,
+             array_to_string(list_sort(list(w.doc_id))[1:20], ',') AS postings_head
       FROM df d JOIN w ON w.term = d.term
       GROUP BY d.term, d.df ORDER BY d.term""",
 

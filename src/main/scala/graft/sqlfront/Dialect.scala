@@ -743,6 +743,57 @@ object Dialect {
     sql
   }
 
+  /** `BOXPLOT(x)` (no outlier_info — the reference macro's ELSE branch,
+    * ref: custom_types.go:120-133) → a named_struct of BUILT-IN
+    * partial-aggregable aggregates (max/min/percentile). Spark's
+    * `percentile` is exact linear interpolation — DuckDB quantile_cont
+    * semantics — and aggregates map-side, so the rewritten form runs at
+    * any group size with no per-group value collection (the old UDAF
+    * buffered every value through Kryo). Field order (max, min,
+    * outliers, q1, q2, q3) is the render layer's boxplot detection key.
+    * Runs AFTER rewriteBoxplotInfo, so only the plain single-arg form
+    * remains by the time this sees the text. */
+  def rewriteBoxplotPlain(sql: String): String = {
+    val toks = tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).kind == TWord && toks(i).text.equalsIgnoreCase("BOXPLOT")) {
+        val lp = nextNonWs(toks, i + 1)
+        if (lp < toks.length && toks(lp).kind == TLParen) {
+          val close = matchParen(toks, lp)
+          if (close > lp) {
+            val inner = render(toks.slice(lp + 1, close)).trim
+            // only the single-argument form: a top-level comma means a
+            // call shape this rewrite does not own (shouldn't occur —
+            // the info form was already rewritten away)
+            var d = 0
+            var comma = false
+            toks.slice(lp + 1, close).foreach { t =>
+              t.kind match {
+                case TLParen | TLBracket => d += 1
+                case TRParen | TRBracket => d -= 1
+                case TOther if t.text == "," && d == 0 => comma = true
+                case _ =>
+              }
+            }
+            if (!comma && inner.nonEmpty) {
+              val v = s"CAST(($inner) AS DOUBLE)"
+              val repl =
+                s"named_struct('max', max($v), 'min', min($v), " +
+                  "'outliers', CAST(array() AS ARRAY<STRUCT<value: DOUBLE, info: MAP<STRING,STRING>>>), " +
+                  s"'q1', percentile($v, 0.25D), 'q2', percentile($v, 0.5D), " +
+                  s"'q3', percentile($v, 0.75D))"
+              return rewriteBoxplotPlain(
+                render(toks.take(i)) + repl + render(toks.drop(close + 1)))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** DuckDB `USING SAMPLE n% / n PERCENT / n ROWS [(method[, seed])]`
     * → Spark `TABLESAMPLE (n PERCENT | n ROWS)`. The sampling METHOD
     * and seed are dropped (the engines' samplers differ anyway — a
@@ -1262,6 +1313,7 @@ object Dialect {
     s = rewriteCountStar(s)
     s = rewriteCatalogTableFns(s)
     s = rewriteBoxplotInfo(s)
+    s = rewriteBoxplotPlain(s)
     s = rewriteListUnique(s)
     s = rewriteListSlice(s)
     s = rewriteFunctionNames(s)

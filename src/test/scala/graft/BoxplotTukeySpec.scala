@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the scale-safe Boxplot.tukey kernel (percentile + broadcast
+  * join-back; no per-group value collection) to the BoxplotInfoAgg
+  * UDAF it replaces in bp01 — identical BoxplotResult structs on a
+  * frame that exercises every branch: a group with outliers, a group
+  * with none, null values, null infos (group still switches branches —
+  * the macro's `count(*) FILTER (WHERE outlier_info IS NOT NULL) > 0`
+  * condition, ref: custom_types.go:104-119), and an all-null-info
+  * group that must take the plain ELSE branch. Also pins the plain
+  * `BOXPLOT(x)` dialect rewrite (builtin max/min/percentile struct)
+  * against the same UDAF semantics.
+  */
+class BoxplotTukeySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bp-wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def sampleDf(): DataFrame = {
+    import spark.implicits._
+    val rows =
+      // group a: clear Tukey outliers at both ends + a null value +
+      // one null info (group still has info => Tukey branch)
+      Seq(("a", Some(1000.0), Some("far-hi")), ("a", Some(-500.0), Some("far-lo")),
+        ("a", Some(10.0), Some("i1")), ("a", Some(11.0), Some("i2")),
+        ("a", Some(12.0), Some("i3")), ("a", Some(13.0), Some("i4")),
+        ("a", Some(14.0), None), ("a", None, Some("null-value")),
+        // group b: tight cluster, no outliers
+        ("b", Some(5.0), Some("b1")), ("b", Some(6.0), Some("b2")),
+        ("b", Some(7.0), Some("b3")),
+        // group c: every info null -> ELSE branch (plain min/max)
+        ("c", Some(1.0), None), ("c", Some(100.0), None))
+    rows.map { case (g, v, i) =>
+      (g, v.map(Double.box).orNull.asInstanceOf[java.lang.Double],
+        i.orNull)
+    }.toDF("g", "v", "i")
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    // bp struct -> a stable string: scalars rounded, outliers as
+    // (value, info-k) pairs in value order
+    df.selectExpr("g",
+      "round(bp.q1, 6) AS q1", "round(bp.q2, 6) AS q2", "round(bp.q3, 6) AS q3",
+      "round(bp.min, 6) AS mn", "round(bp.max, 6) AS mx",
+      "transform(bp.outliers, o -> concat(CAST(round(o.value, 6) AS STRING), '@', coalesce(o.info['k'], '<null>'))) AS outl")
+      .orderBy("g")
+      .collect()
+      .map(r => r.toSeq.map {
+        case s: scala.collection.Seq[_] => s.mkString("[", ";", "]")
+        case x => String.valueOf(x)
+      }.mkString("|")).toSeq
+  }
+
+  test("tukey kernel agrees with the boxplot_info UDAF on every branch") {
+    graft.exprs.Boxplot.register(spark)
+    val df = sampleDf()
+    df.createOrReplaceTempView("bp_tukey_src")
+    val udaf = spark.sql(
+      """SELECT g, boxplot_info(CAST(v AS DOUBLE), map('k', i)) AS bp
+        |FROM bp_tukey_src GROUP BY g""".stripMargin)
+    val kernel = graft.exprs.Boxplot.tukey(
+      df, Seq("g"), "v", map(lit("k"), col("i")))
+    assert(canon(kernel) === canon(udaf))
+  }
+
+  test("plain BOXPLOT(x) rewrite (builtin aggregates) matches the UDAF ELSE branch") {
+    graft.exprs.Boxplot.register(spark)
+    sampleDf().createOrReplaceTempView("bp_plain_src")
+    val viaUdaf = spark.sql(
+      "SELECT g, BOXPLOT(CAST(v AS DOUBLE)) AS bp FROM bp_plain_src GROUP BY g")
+    val viaRewrite = spark.sql(graft.sqlfront.Dialect.rewrite(
+      "SELECT g, BOXPLOT(v) AS bp FROM bp_plain_src GROUP BY g"))
+    assert(canon(viaRewrite) === canon(viaUdaf))
+    // and the rewritten form must be builtins: no UDAF in the plan
+    val plan = viaRewrite.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("boxplot"), s"UDAF still in plan:\n$plan")
+    assert(plan.contains("percentile"), "builtin percentile missing from rewritten plan")
+  }
+
+  test("render layer still detects the rewritten/kernel struct as a boxplot") {
+    import org.apache.spark.sql.types._
+    val bpType = StructType(Seq(
+      StructField("max", DoubleType), StructField("min", DoubleType),
+      StructField("outliers", ArrayType(StructType(Seq(
+        StructField("value", DoubleType),
+        StructField("info", MapType(StringType, StringType)))))),
+      StructField("q1", DoubleType), StructField("q2", DoubleType),
+      StructField("q3", DoubleType)))
+    assert(graft.render.Render.isBoxplotStruct(bpType))
+    val kernel = graft.exprs.Boxplot.tukey(
+      sampleDf(), Seq("g"), "v", map(lit("k"), col("i")))
+    assert(graft.render.Render.isBoxplotStruct(
+      kernel.schema("bp").dataType))
+  }
+}

@@ -179,11 +179,14 @@ class CurationApiSpec extends AnyFunSuite {
     val bmRef = entry("s07_bm25_topk")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(bm == bmRef)
+    // the facade keeps the array form; the entry serializes postings to
+    // a comma-joined string for the driver comparator — compare via the
+    // same serialization
     val ix = Retrieval.invertedIndex(userDocs, minDf = 300, headCap = 20,
         idCol = "docnum", textCol = "body")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).mkString(","))).toSet
     val ixRef = entry("idx01_inverted_index")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     assert(ix == ixRef)
   }
 
@@ -204,11 +207,13 @@ class CurationApiSpec extends AnyFunSuite {
     val sdRef = entry("d17_semdedup")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(sd == sdRef)
+    // facade keeps array codes; the entry serializes them for the
+    // driver comparator — compare via the same serialization
     val pq = graft.pipeline.Similarity.pqEncode(userEmb, dims = 64, subs = 8,
         idCol = "vid", vecCol = "vec")
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","), r.getDouble(2))).toSet
     val pqRef = entry("s09_pq_encode")
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(pq == pqRef)
   }
 
@@ -305,11 +310,15 @@ class CurationApiSpec extends AnyFunSuite {
   test("randomProject over renamed columns equals the s08 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    // facade keeps the array; the entry posexplodes to (vec_id, j, pv)
+    // scalar rows for the driver comparator — regroup to compare
     val api = graft.pipeline.Similarity.randomProject(userEmb, 64, 8,
         idCol = "vid", vecCol = "vec")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSet
     val ref = entry("s08_random_projection")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rs) => (id, rs.sortBy(_._2).map(_._3).toVector) }
+      .toSet
     assert(api == ref)
   }
 }

