@@ -123,7 +123,12 @@ object Curation {
     * hash-keyed dedup on crawled text. */
   def nfcNormalized(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.exprs.NfcNormalize.register(docs.sparkSession)
-    docs.withColumn(textCol, expr(s"nfc_normalize(`$textCol`)"))
+    // the caller's column name is spliced into SQL text — double any
+    // backtick (Spark's quoted-identifier escape) so a name containing
+    // one still parses, like every other facade's canonicalization
+    // (r6 advice)
+    val quoted = textCol.replace("`", "``")
+    docs.withColumn(textCol, expr(s"nfc_normalize(`$quoted`)"))
   }
 
   /** fastText-shaped linear quality score (t14's kernel): per document

@@ -76,8 +76,12 @@ object PipelineOps {
     var feat = docs
       .withColumn("dl", size(split(col("text"), " ")).cast("double"))
     terms.zipWithIndex.foreach { case (tm, i) =>
+      // \z (absolute end of input), not $: Java's $ also matches before
+      // a trailing line terminator, so "… term\n" would count here but
+      // not in an exact-token split — oracle parity must not depend on
+      // the corpus containing no trailing newlines (r6 advice)
       feat = feat.withColumn(s"tf$i",
-        regexp_count(col("text"), lit(s"(?<=^| )$tm(?= |$$)")).cast("double"))
+        regexp_count(col("text"), lit(s"(?<=^| )$tm(?= |\\z)")).cast("double"))
     }
     val aggs = Seq(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl")) ++
       terms.indices.map(i =>
@@ -98,20 +102,18 @@ object PipelineOps {
     * to outDims, integer-exact accumulation, scaled 1/sqrt(outDims) —
     * the JL normalization (E[‖Rx‖²] = outDims·‖x‖² for a ±1 matrix),
     * so projected L2 distances estimate the original ones and absolute
-    * distance thresholds survive the projection. Returns (vec_id,
-    * proj). Scale notes at the s08 entry. */
+    * distance thresholds survive the projection. Runs as the native
+    * codegen'd JlProject expression — the old unrolled literal tree
+    * (inDims × outDims add terms) blew Janino's 64 KB method limit at
+    * 64→8 and fell back to interpreted eval, and capped the facade at
+    * toy dims (r6 advice); the loop form handles arbitrary dims at
+    * scan speed. Returns (vec_id, proj). Scale notes at the s08
+    * entry. */
   private[graft] def randomProjectionOf(emb: DataFrame, inDims: Int,
       outDims: Int): DataFrame = {
-    val de = (i: Int) => element_at(col("e"), i + 1).cast("double")
-    val proj = (0 until outDims).map { j =>
-      val terms = (0 until inDims).map { i =>
-        val q = floor(de(i) * 1000000.0 + lit(0.5)).cast("long")
-        if (rpSign(i, j) > 0) q else -q
-      }
-      round(terms.reduce(_ + _).cast("double") / 1000000.0 /
-        math.sqrt(outDims), 4)
-    }
-    emb.select(col("vec_id"), array(proj: _*).as("proj"))
+    graft.exprs.JlProject.register(emb.sparkSession)
+    emb.select(col("vec_id"),
+      expr(s"jl_project(CAST(e AS ARRAY<DOUBLE>), $inDims, $outDims)").as("proj"))
   }
 
   /** t13's kernel: corpus-wide adjacent word-pair counts (the BPE merge
@@ -147,15 +149,22 @@ object PipelineOps {
 
   /** The `k` lowest vec_ids present, indexed 0..k-1 in id order — the
     * deterministic seed set kmeansAssignOf/pqEncodeOf build their
-    * initial centroids/codebook from. Fully LAZY: TakeOrdered(k) plus
-    * a row_number over those k rows (k is small by contract:
-    * centroids/codebooks broadcast), broadcast-joined back — no driver
-    * collect, so the seed set is always computed from the same data
-    * the rest of the plan executes against, at execution time. Seeding
-    * by rank (not `vec_id < k`) is what makes ARBITRARY caller id
-    * spaces work: 1-based, offset, or hashed ids all seed correctly.
-    * On the bench corpus (dense 0-based ids) the seed index equals the
-    * id, which is what the DuckDB oracles pin. */
+    * initial centroids/codebook from. EAGER by deliberate trade-off:
+    * the k seed ids are collected to the driver at plan-construction
+    * time (bounded by contract — k ≤ centroids/codebook size, which
+    * must broadcast anyway) so the literal `vec_id <= max` prefilter
+    * can PUSH to the parquet scan (row-group skip) in every one of the
+    * ~20 unrolled-kmeans copies of this subplan. The cost of eagerness:
+    * each facade call runs one tiny TakeOrdered job up front, and the
+    * seed set reflects the source AS OF plan build, not execution — a
+    * source that mutates between build and execute could seed stale
+    * (irrelevant for the immutable-parquet corpora this targets; a
+    * lazy rank-join variant measured slower by the duplicated full
+    * scans it forces). Seeding by rank (not `vec_id < k`) is what
+    * makes ARBITRARY caller id spaces work: 1-based, offset, or hashed
+    * ids all seed correctly. On the bench corpus (dense 0-based ids)
+    * the seed index equals the id, which is what the DuckDB oracles
+    * pin. */
   private def seedByRank(emb: DataFrame, k: Int, idxName: String): DataFrame = {
     val ids = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
       .collect().map(_.getLong(0))

@@ -171,6 +171,15 @@ class CurationApiSpec extends AnyFunSuite {
     assert(out.forall(_.endsWith("\u00E9")))
   }
 
+  test("nfcNormalized survives a column name containing a backtick (r6 advice)") {
+    import spark.implicits._
+    val weird = Seq("cafe\u0301").toDF("weird")
+      .withColumnRenamed("weird", "we`ird")
+    val out = Curation.nfcNormalized(weird, textCol = "we`ird")
+      .collect().map(_.getString(0))
+    assert(out.sameElements(Array("caf\u00E9")))
+  }
+
   test("Retrieval facade over renamed columns equals the s07/idx01 entries") {
     import graft.pipeline.Retrieval
     val bm = Retrieval.bm25TopK(userDocs, Seq("spark", "join", "vector"),

@@ -95,6 +95,22 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(tf.sameElements(Array(3, 1, 1, 1)), tf.mkString(","))
   }
 
+  test("s07: trailing newline does not count as a token boundary (\\z, not $)") {
+    import spark.implicits._
+    // Java's $ matches before a trailing line terminator, so "… spark\n"
+    // would count under $ but not under an exact-token split — the
+    // oracle's semantics (r6 advice). The kernel must use \z.
+    val docs = Seq((1L, "the spark\n"), (2L, "the spark"), (3L, "spark\njoin"))
+      .toDF("doc_id", "text")
+    val scores = graft.queries.PipelineOps.bm25TopKOf(docs, Seq("spark"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: token is "spark\n", not "spark" -> tf 0 -> score 0
+    // doc 3: token is "spark\njoin" -> tf 0
+    assert(scores(1L) == 0.0, s"trailing-newline text must not match: $scores")
+    assert(scores(3L) == 0.0, s"embedded-newline token must not match: $scores")
+    assert(scores(2L) > 0.0)
+  }
+
   test("s07 plan: stats broadcast back, top-k is TakeOrdered (no global sort)") {
     val plan = planOf(run("s07_bm25_topk"))
     assert(plan.contains("TakeOrderedAndProject"),
@@ -148,6 +164,41 @@ class RetrievalOpsSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("embedding").as("e")),
       inDims = 64, outDims = 8))
     assert(!kplan.contains("Generate"), "projection kernel must not explode the vector")
+  }
+
+  test("jl_project: realistic dims (768→64) run without expression blowup; short/null inputs null out") {
+    import spark.implicits._
+    // the old unrolled literal tree would build ~50k expression nodes
+    // here and blow Janino's 64 KB limit (r6 advice); the native loop
+    // expression must both analyze instantly and stay codegen'd
+    val big = Seq(
+      (1L, Array.tabulate(768)(i => (i % 97).toDouble / 100)),
+      (2L, Array.tabulate(768)(i => ((i * 31) % 89).toDouble / 100)))
+      .toDF("vec_id", "e")
+    val out = graft.queries.PipelineOps.randomProjectionOf(big, 768, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 2 && out.values.forall(_.length == 64))
+    // deterministic: an independent recompute from rpSign agrees
+    val e1 = Array.tabulate(768)(i => (i % 97).toDouble / 100)
+    val expected0 = {
+      val q = e1.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      val acc = q.indices.map(i =>
+        if (graft.queries.PipelineOps.rpSign(i, 0) > 0) q(i) else -q(i)).sum
+      BigDecimal(acc.toDouble / 1e6 / math.sqrt(64))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L).head == expected0, "768-dim component 0 mismatch vs rpSign truth")
+    // element_at semantics preserved: short array or null element -> null proj
+    val edge = Seq(
+      (1L, Array.fill(64)(0.5).map(Option(_))),
+      (2L, Array.fill(63)(0.5).map(Option(_))),
+      (3L, Array.fill(64)(0.5).map(Option(_)).updated(7, None)))
+      .toDF("vec_id", "e")
+    val rows = graft.queries.PipelineOps.randomProjectionOf(edge, 64, 8)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L), "full vector must project")
+    assert(rows(2L), "short vector must null out")
+    assert(rows(3L), "null element must null out")
   }
 
   // ---- t13 BPE pair counts --------------------------------------------
