@@ -139,24 +139,40 @@ object Tables {
             finally reader.close()
           val bytesPerRow = fs.getFileStatus(p).getLen / math.max(rows, 1L)
           val cores = spark.sparkContext.defaultParallelism
-          // Who benefits from splitting: only tables whose MAP-SIDE
-          // (pre-shuffle) compute is heavy — text/embedding tables
-          // whose scans fuse with shingle explodes, feature extraction,
-          // vector math. Narrow fact tables go scan→shuffle→parallel
-          // compute, so their single-group scan stage is a fast decode
-          // and splitting only adds task overhead (measured: events
-          // 8-way cost q70/d07 +0.3-0.4 s for zero win, while documents
-          // 8-way took d03 from 2.3 s to 1.2 s). Wide rows (≥64 B/row,
-          // compressed) are the signature of the map-heavy class.
-          // Split target capped at 8: beyond that, scheduling overhead
-          // exceeds decode cost at these file sizes (32-way measured
-          // 2x worse than 8-way on every probe).
-          val target = math.max(2L, math.min(math.min(cores, 8).toLong, rows / 625)).toInt
-          if (rowGroups >= target || rows < 2000 || bytesPerRow < 64) srcPath
+          // Who benefits from splitting, and how much: split width is
+          // PER-CLASS (r6 verdict — the global 8-way cap starved the
+          // suite's most parallelism-hungry map stages).
+          //   - Wide rows (≥64 B/row compressed: documents, embeddings)
+          //     are the map-heavy class — their scans fuse with shingle
+          //     explodes, feature extraction, vector math, so scan
+          //     parallelism IS compute parallelism. Calibrated r7
+          //     (10-entry doc/emb-heavy subset at sf0.1, idle box, two
+          //     runs each): 8-way 10.8/11.6 s, 16-way 9.0/9.7 s,
+          //     32-way 9.7 s — 16 wins (d09 4.6→3.0 s, d05
+          //     1.46→1.17 s, nothing worse); 32 re-adds scheduling
+          //     overhead on the small scans.
+          //   - Narrow fact tables go scan→shuffle→parallel compute,
+          //     so splitting them is net task overhead. Calibrated r7
+          //     (8-entry fact subset): off 3.35 s, 4-way 3.54 s, 8-way
+          //     3.80 s — bp01's percentile scans DO gain from 4-way
+          //     (1.10→0.93 s) but st01/q70/d07 pay more than that
+          //     combined, so narrow stays OFF (width 0 = leave the
+          //     source layout untouched).
+          // Env overrides exist for recalibration against a future
+          // corpus regen, not for production tuning.
+          val wideW = sys.env.get("SPARK_GRAFT_RELAYOUT_WIDE").map(_.toInt)
+            .getOrElse(math.min(cores, 16))
+          val narrowW = sys.env.get("SPARK_GRAFT_RELAYOUT_NARROW").map(_.toInt)
+            .getOrElse(0)
+          val widthCap = if (bytesPerRow >= 64) wideW else narrowW
+          val target = math.max(2L, math.min(widthCap.toLong, rows / 625)).toInt
+          if (widthCap < 2 || rowGroups >= target || rows < 2000) srcPath
           else {
             val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+            // width in the directory name: a policy/calibration change
+            // must invalidate layouts cached under the old width
             val out = new java.io.File(sys.props("java.io.tmpdir"),
-              s"graft-relayout-$safe").toPath
+              s"graft-relayout-$safe-w$target").toPath
             if (!out.resolve("_SUCCESS").toFile.exists()) {
               // stale relayouts of older signatures for this source are
               // dead weight — drop them best-effort before publishing
