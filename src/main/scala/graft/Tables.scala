@@ -139,18 +139,22 @@ object Tables {
             finally reader.close()
           val bytesPerRow = fs.getFileStatus(p).getLen / math.max(rows, 1L)
           val cores = spark.sparkContext.defaultParallelism
-          // Who benefits from splitting, and how much: split width is
-          // PER-CLASS (r6 verdict — the global 8-way cap starved the
-          // suite's most parallelism-hungry map stages).
+          // Who benefits from splitting, and how much — r7 re-ran the
+          // calibration with run-ORDER controls (alternating configs;
+          // the first sweep after any idle period measures ~1.5x slow
+          // regardless of config, which is exactly the drift that
+          // produced r6's "cap 8 starves d05" watch item):
           //   - Wide rows (≥64 B/row compressed: documents, embeddings)
           //     are the map-heavy class — their scans fuse with shingle
-          //     explodes, feature extraction, vector math, so scan
-          //     parallelism IS compute parallelism. Calibrated r7
-          //     (10-entry doc/emb-heavy subset at sf0.1, idle box, two
-          //     runs each): 8-way 10.8/11.6 s, 16-way 9.0/9.7 s,
-          //     32-way 9.7 s — 16 wins (d09 4.6→3.0 s, d05
-          //     1.46→1.17 s, nothing worse); 32 re-adds scheduling
-          //     overhead on the small scans.
+          //     explodes, feature extraction, vector math. At sf0.1 the
+          //     rows/floor bound binds (documents 8-way, embeddings
+          //     3-way) so cap 8 vs 16 vs 32 measured IDENTICAL once
+          //     drift was controlled. At sf1 (50k docs, cap binds) the
+          //     ordering is monotone AGAINST wider splits: 6-entry
+          //     subset w8 20.2 s / w16 27.7 s / w32 31.4 s, d05 alone
+          //     13.9/20.1/23.5 s — more concurrent map tasks cost more
+          //     in memory pressure than they buy in parallelism here.
+          //     Cap stays 8; the r6 watch item closes as drift.
           //   - Narrow fact tables go scan→shuffle→parallel compute,
           //     so splitting them is net task overhead. Calibrated r7
           //     (8-entry fact subset): off 3.35 s, 4-way 3.54 s, 8-way
@@ -158,14 +162,17 @@ object Tables {
           //     (1.10→0.93 s) but st01/q70/d07 pay more than that
           //     combined, so narrow stays OFF (width 0 = leave the
           //     source layout untouched).
-          // Env overrides exist for recalibration against a future
-          // corpus regen, not for production tuning.
+          // Env overrides (cap per class, per-partition row floor)
+          // exist so the next corpus regen can re-run this calibration
+          // without a code edit.
           val wideW = sys.env.get("SPARK_GRAFT_RELAYOUT_WIDE").map(_.toInt)
-            .getOrElse(math.min(cores, 16))
+            .getOrElse(math.min(cores, 8))
           val narrowW = sys.env.get("SPARK_GRAFT_RELAYOUT_NARROW").map(_.toInt)
             .getOrElse(0)
+          val floor = sys.env.get("SPARK_GRAFT_RELAYOUT_FLOOR").map(_.toLong)
+            .getOrElse(625L)
           val widthCap = if (bytesPerRow >= 64) wideW else narrowW
-          val target = math.max(2L, math.min(widthCap.toLong, rows / 625)).toInt
+          val target = math.max(2L, math.min(widthCap.toLong, rows / floor)).toInt
           if (widthCap < 2 || rowGroups >= target || rows < 2000) srcPath
           else {
             val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
