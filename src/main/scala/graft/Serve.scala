@@ -122,17 +122,32 @@ object Serve {
     // GRAFT_JOURNAL_POLL_MS tunes the interval (default 2000, 0 = off).
     var knownTasks: Map[String, String] =
       app.store.synchronized(app.store.tasks.view.mapValues(_.content).toMap)
-    val pollMs = sys.env.get("GRAFT_JOURNAL_POLL_MS").flatMap(_.toLongOption).getOrElse(2000L)
-    val poller = Option.when(pollMs > 0)(new StateJournal.JournalTailPoller(app, pollMs, _ => {
+    val reconcileTasks: Int => Unit = _ => {
       val current = app.store.synchronized(app.store.tasks.view.mapValues(_.content).toMap)
       current.foreach { case (id, content) =>
         if (!knownTasks.get(id).contains(content)) scheduler.schedule(id, content)
       }
       knownTasks.keys.filterNot(current.contains).foreach(scheduler.cancel)
       knownTasks = current
-    }))
+    }
+    val pollMs = sys.env.get("GRAFT_JOURNAL_POLL_MS").flatMap(_.toLongOption).getOrElse(2000L)
+    val poller = Option.when(pollMs > 0)(
+      new StateJournal.JournalTailPoller(app, pollMs, reconcileTasks))
     poller.foreach(_.start())
     poller.foreach(_ => println(s"[serve] journal tail poll every $pollMs ms"))
+
+    // nodes WITHOUT shared storage: GRAFT_PEERS (comma-separated base
+    // URLs) + GRAFT_SYNC_TOKEN (the comms-token analog, same value on
+    // every node) replicate each node's local journal over HTTP — see
+    // graft.state.PeerSync for the transport contract and its stated
+    // durability trade-off vs a shared GRAFT_STATE_DIR
+    val peers = sys.env.get("GRAFT_PEERS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val syncToken = sys.env.getOrElse("GRAFT_SYNC_TOKEN", "")
+    val peerSync = Option.when(peers.nonEmpty && syncToken.nonEmpty)(
+      new graft.state.PeerSync(app, peers, syncToken, pollMs.max(500), reconcileTasks))
+    peerSync.foreach(_.start())
+    peerSync.foreach(_ => println(s"[serve] peer journal sync with ${peers.size} peer(s)"))
 
     // static iff the operator pinned it — clients read this flag to
     // decide whether JWTs survive restarts (system.go:12-24)
@@ -141,7 +156,9 @@ object Serve {
       app.store.tokens.generateRandomString(64))
     val api = new HttpApi(spark, app.store, secret,
       submit = app.submit, taskRuns = taskRuns, scheduler = scheduler,
-      config = HttpApi.Config(jwtSecretStatic = secretStatic))
+      config = HttpApi.Config(jwtSecretStatic = secretStatic,
+        syncToken = syncToken),
+      journal = app.journal)
     val port = api.start(sys.env.get("GRAFT_PORT").flatMap(_.toIntOption).getOrElse(5454))
     println(s"[serve] listening on http://0.0.0.0:$port " +
       s"(setup ${if (app.store.tokens.listUsers.isEmpty) "OPEN — POST /api/auth/setup" else "complete"})")
@@ -149,6 +166,7 @@ object Serve {
     sys.addShutdownHook {
       api.stop()
       poller.foreach(_.close())
+      peerSync.foreach(_.close())
       scheduler.close()
       snapshots.foreach(_.close())
     }

@@ -73,11 +73,21 @@ object HttpApi {
       version: String = "graft-dev",
       /** `db` / `db.schema` / `db.schema.object` entries hidden from
         * GET /api/schema (the reference's --schema-ignore flags). */
-      schemaIgnore: Seq[String] = Nil)
+      schemaIgnore: Seq[String] = Nil,
+      /** Shared secret gating GET /api/journal/events — the analog of
+        * the reference comms token (comms.go Config.Token: NATS token
+        * auth between nodes). Empty = the endpoint is disabled; journal
+        * events include credential hashes, so this is cluster-internal
+        * material, never a user-facing credential. */
+      syncToken: String = "")
 
   /** Temporary-dashboard id prefix, byte-identical to the reference's
     * (core/dashboard.go:12) so preview ids travel between engines. */
   val TmpDashboardPrefix = "shaper-tmp."
+
+  /** Max events per /api/journal/events response — bounds response
+    * memory; PeerSync re-polls while batches come back full. */
+  val SyncBatchLimit = 1000
 }
 
 final class HttpApi(
@@ -98,7 +108,12 @@ final class HttpApi(
       * create/content-update (re)schedules and delete cancels, so API
       * writes take effect without a restart — the reference's handlers
       * call ScheduleTask/UnscheduleTask the same way. */
-    scheduler: graft.tasks.TaskScheduler = null) {
+    scheduler: graft.tasks.TaskScheduler = null,
+    /** Optional local journal: when wired together with
+      * `config.syncToken`, peers without shared storage replicate this
+      * node's events over GET /api/journal/events (see
+      * [[graft.state.PeerSync]]). */
+    journal: StateJournal.Journal = null) {
 
   private val submitFn: (String, String) => Boolean =
     if (submit != null) submit
@@ -153,6 +168,7 @@ final class HttpApi(
     server.createContext("/api/public/", exchange(handlePublicStatus))
     server.createContext("/api/deploy", exchange(handleDeploy))
     server.createContext("/api/admin/reset-jwt-secret", exchange(handleResetJwtSecret))
+    server.createContext("/api/journal/events", exchange(handleJournalEvents))
     // daemon threads + explicit shutdown: a forgotten stop() must never
     // keep the JVM alive after main returns
     pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
@@ -1382,6 +1398,32 @@ final class HttpApi(
     * tasks from config files (handler/deploy.go:26-93): first failing
     * operation aborts with `apps[i]: reason`; applied prefix stays
     * applied (the reference loops the same way — no transaction). */
+  /** GET /api/journal/events?after=N — this node's own journal tail for
+    * peer replication (PeerSync). Gated by the cluster-internal sync
+    * token (constant-time compare, the comms-token model); 404 when the
+    * deployment hasn't enabled sync, so the route's existence leaks
+    * nothing. Batches are capped: a fresh peer pulling a long history
+    * re-polls until a short batch. */
+  private def handleJournalEvents(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") return respond(ex, 405, jsonError("method not allowed"))
+    if (journal == null || config.syncToken.isEmpty)
+      return respond(ex, 404, jsonError("not found"))
+    val ok = bearer(ex).exists(t => java.security.MessageDigest.isEqual(
+      t.getBytes(StandardCharsets.UTF_8),
+      config.syncToken.getBytes(StandardCharsets.UTF_8)))
+    if (!ok) return respond(ex, 401, jsonError("Unauthorized"))
+    val after = Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&")).collectFirst {
+        case s if s.startsWith("after=") => s.drop(6).toLongOption
+      }.flatten.getOrElse(0L)
+    val events = journal.read(after).take(HttpApi.SyncBatchLimit)
+    val body = events.map { e =>
+      s"""{"seq":${e.seq},"event":${Model.jsonValue(e.event)},""" +
+        s""""payload":${SchemaInfer.toJsonString(e.payload)}}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200, s"""{"events":$body}""")
+  }
+
   private def handleDeploy(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") return respond(ex, 405, jsonError("method not allowed"))
     // NoEdit blocks only USER actors — a deploy-permitted API key still
