@@ -402,6 +402,133 @@ object PipelineOps {
     docs.select(col("doc_id"), explode(expr("shingles3(text)")).as("sh"))
   }
 
+  /** lm01's kernel — CCNet-style char-trigram LM fluency scoring: the
+    * model trains on the deterministic 10% seed slice (doc_id % 10 = 0)
+    * with add-one smoothing and every doc scores as the mean
+    * -log2 P(c3 | c1c2). Returns (doc_id, n_trigrams, avg_bits); docs
+    * shorter than 3 chars drop. Scale notes at the lm01 entry
+    * (broadcast model tables, map-side explode, one partial-agg'd
+    * per-doc rollup). */
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val base = docs.filter(length(col("text")) >= 3)
+    val tris = base
+      .withColumn("i", explode(sequence(lit(1), length(col("text")) - 2)))
+      .select(col("doc_id"), expr("substring(text, i, 3)").as("tri"),
+        expr("substring(text, i, 2)").as("bi"))
+    val seed = tris.filter(col("doc_id") % 10 === 0)
+    val triC = seed.groupBy("tri").agg(count(lit(1)).as("tri_c"))
+    val biC = seed.groupBy("bi").agg(count(lit(1)).as("bi_c"))
+    tris
+      .join(broadcast(triC), Seq("tri"), "left")
+      .join(broadcast(biC), Seq("bi"), "left")
+      .withColumn("nll",
+        -(log(2.0, coalesce(col("tri_c"), lit(0L)) + 1) -
+          log(2.0, coalesce(col("bi_c"), lit(0L)) + 256)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg("nll"), 4).as("avg_bits"))
+  }
+
+  /** lm02's kernel — the CCNet partition itself (Wenzek et al. 2020):
+    * bucket every document into head/middle/tail per LANGUAGE by LM
+    * perplexity terciles. The scalable form computes the two per-lang
+    * tercile THRESHOLDS with partial-aggregable exact `percentile`
+    * (quantile_cont semantics, rounded to 4 like every cross-engine
+    * float), broadcasts that tiny (lang, t1, t2) table, and assigns
+    * buckets map-side — no global window sort over the corpus, which
+    * is what a naive ntile(3) would shuffle at 100 TB. Returns
+    * (doc_id, lang, avg_bits, bucket). */
+  private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
+    val scored = lmScoreOf(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val thresholds = scored.groupBy("lang").agg(
+      round(percentile(col("avg_bits"), lit(1.0 / 3)), 4).as("t1"),
+      round(percentile(col("avg_bits"), lit(2.0 / 3)), 4).as("t2"))
+    scored.join(broadcast(thresholds), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_bits"),
+        when(col("avg_bits") <= col("t1"), "head")
+          .when(col("avg_bits") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** sel01's kernel — quality-budget selection with per-language
+    * coverage FLOORS: pick `totalN` documents maximizing the t14
+    * quality score while guaranteeing each language keeps its
+    * `floorPerLang` best (the coverage constraint quality pruning
+    * alone violates — naive global top-N empties low-resource
+    * languages; u01 caps from above, this floors from below). The
+    * whole selection is ONE ordering: floor docs (per-lang rank ≤
+    * floor, a WindowGroupLimit bounded heap) sort ahead of the rest,
+    * then score desc with doc_id tiebreak, and a single
+    * TakeOrdered-able limit(totalN) cuts — no driver-side count, no
+    * second pass, floors guaranteed whenever langs·floor ≤ totalN.
+    * Returns (doc_id, lang, score, via ∈ floor|global). 100 TB:
+    * scoring is in-row map-side; the floor set materializes through a
+    * rank-≤-literal filter, so WindowGroupLimit keeps a bounded heap
+    * per (lang, map partition) and only ≤floor rows per lang ever
+    * shuffle (PlanSpec pins it); the tiny floor set (langs · floor
+    * rows) broadcasts back as a flag join; the final cut is
+    * TakeOrdered, not a global sort. */
+  private[graft] def qualityFloorSelectOf(docs: DataFrame, floorPerLang: Int,
+      totalN: Int): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("score", qualityScoreExpr)
+    val perLang = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    val floorSet = scored
+      .withColumn("rk", row_number().over(perLang))
+      .filter(col("rk") <= floorPerLang) // literal bound → WindowGroupLimit
+      .select(col("doc_id"), lit(1).as("fl"))
+    scored.join(broadcast(floorSet), Seq("doc_id"), "left")
+      .withColumn("is_floor", coalesce(col("fl"), lit(0)))
+      .orderBy(col("is_floor").desc, col("score").desc, col("doc_id"))
+      .limit(totalN)
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("is_floor") === 1, "floor").otherwise("global").as("via"))
+  }
+
+  /** dec02's kernel — contamination AUDIT, the report side of
+    * decontamination (dec01/d13 FILTER the training corpus; this
+    * grades the EVAL set): per eval document, what fraction of its
+    * distinct word n-grams appears anywhere in the training corpus,
+    * plus the single worst-overlapping train document — the standard
+    * eval-integrity table (the GPT-3 appendix-C / PaLM contamination
+    * analyses report exactly this shape). Returns (eval_id, n_grams,
+    * n_hit, contamination, top_train_id, top_shared); an
+    * uncontaminated eval doc reports 0 / null. Tie-break for the worst
+    * train doc: highest shared count, then highest train_id — a plain
+    * partial-aggregable max(struct), no window. 100 TB: the eval side
+    * is tiny by definition and BROADCASTS; the corpus gram explode is
+    * map-side and the broadcast join emits only matches (rare), so the
+    * only shuffles are the per-eval rollups over hit rows. */
+  private[graft] def contaminationAuditOf(docs: DataFrame,
+      evalPred: Column): DataFrame = {
+    val sh = shingles(docs) // shingles3 emits DISTINCT grams per doc
+    val evalGrams = sh.filter(evalPred)
+      .select(col("doc_id").as("eval_id"), col("sh").as("g"))
+    val trainGrams = sh.filter(!evalPred)
+      .select(col("doc_id").as("train_id"), col("sh").as("g"))
+    val evalSizes = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    val hits = trainGrams.join(broadcast(evalGrams), "g")
+    val perGram = hits.select("eval_id", "g").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_hit"))
+    val worst = hits.groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("shared"))
+      .groupBy("eval_id")
+      .agg(max(struct(col("shared"), col("train_id"))).as("w"))
+      .select(col("eval_id"), col("w.train_id").as("top_train_id"),
+        col("w.shared").as("top_shared"))
+    evalSizes
+      .join(perGram, Seq("eval_id"), "left")
+      .join(worst, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 4)
+          .as("contamination"),
+        col("top_train_id"),
+        coalesce(col("top_shared"), lit(0L)).as("top_shared"))
+  }
+
   /** Elementwise mean of the `e` vector column per key (the centroid
     * computation shared by s02's IVF quantizer and s04's k-means):
     * posexplode → (key, dim) partial-aggregated avg → dim-sorted
@@ -1214,6 +1341,35 @@ object PipelineOps {
     }),
 
     // ---- similarity search --------------------------------------------
+    "dec03_semantic_contamination" -> ((s, d) => {
+      // Semantic contamination audit — dec02's embedding-space sibling
+      // (lexical n-gram overlap misses paraphrased leakage; SemDeDup /
+      // contamination-analysis pipelines therefore also check nearest
+      // EVAL-to-train cosine): per eval vector (vec_id % 50 == 0, the
+      // dec01/dec02 membership convention) the closest training
+      // vector, its rounded cosine, and how many training vectors sit
+      // above τ=0.35. 100 TB: the eval set is tiny by definition and
+      // BROADCASTS against a single map-side pass over the corpus
+      // (cosine_sim is the native codegen'd expression) — one
+      // partial-aggregable rollup keyed by eval id, max(struct) for
+      // the argmax, no window, no corpus self-join; the IVF variant
+      // (s02) replaces the full pass when the corpus no longer scans.
+      graft.exprs.CosineSim.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val ev = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("e").as("qe"))
+      val train = emb.filter(col("vec_id") % 50 =!= 0)
+      train.crossJoin(broadcast(ev))
+        .withColumn("c", round(expr("cosine_sim(e, qe)"), 4))
+        .groupBy("eval_id")
+        .agg(max(struct(col("c"), col("vec_id"))).as("w"),
+          sum(when(col("c") >= 0.35, 1L).otherwise(0L)).as("n_close"))
+        .select(col("eval_id"), col("w.vec_id").as("top_train_id"),
+          col("w.c").as("top_cos"), col("n_close"))
+        .orderBy("eval_id")
+    }),
+
     "s01_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -1324,6 +1480,29 @@ object PipelineOps {
           round(col("n_distinct") / col("n_tokens") * 0.5 +
             least(col("n_tokens"), lit(100)) / 200.0, 4).as("quality_score"))
         .orderBy("doc_id")
+    }),
+
+    "sel01_quality_floor_select" -> ((s, d) => {
+      // Data selection under a budget WITH coverage guarantees: keep
+      // the 100 best-quality docs overall but never fewer than the 8
+      // best of any language — the constraint that separates a usable
+      // multilingual mixture from naive global quality pruning. Scale
+      // notes at the kernel (one bounded-heap rank + one TakeOrdered).
+      qualityFloorSelectOf(t(s, d, "documents"), floorPerLang = 8,
+        totalN = 100)
+        .orderBy("doc_id")
+    }),
+
+    "dec02_contamination_audit" -> ((s, d) => {
+      // The report side of decontamination: dec01 flags TRAIN docs;
+      // this grades each EVAL doc — contamination fraction over its
+      // distinct 3-grams plus the worst-overlapping train doc, the
+      // table an eval-integrity review actually reads. Eval membership
+      // = doc_id % 50 == 0, the same deterministic stand-in dec01/d13
+      // use. Scale notes at the kernel (broadcast eval grams, map-side
+      // corpus explode, rollups only over rare hit rows).
+      contaminationAuditOf(t(s, d, "documents"), col("doc_id") % 50 === 0)
+        .orderBy("eval_id")
     }),
 
     "dec01_decontaminate" -> ((s, d) => {
@@ -1627,6 +1806,18 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    "lm02_ccnet_buckets" -> ((s, d) => {
+      // The CCNet head/middle/tail partition (Wenzek et al. 2020) —
+      // what lm01's fluency score exists FOR: per-language perplexity
+      // terciles decide which slice of a crawl trains. Scale notes at
+      // the kernel: per-lang thresholds via partial-aggregable exact
+      // percentile broadcast back, bucket assignment map-side — never
+      // a corpus-wide window sort.
+      ccnetBucketsOf(t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang")))
+        .orderBy("doc_id")
+    }),
+
     "lm01_ngram_lm_score" -> ((s, d) => {
       // CCNet-style statistical fluency scoring: a char-trigram LM with
       // add-one smoothing trains on the deterministic 10% seed slice
@@ -1640,24 +1831,7 @@ object PipelineOps {
       // trigram tables are bounded; a word-level model would swap these
       // for shuffle joins keyed on the gram); the only corpus-sized
       // shuffle is the per-doc aggregation, partial-agg'd map-side.
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("text")).filter(length(col("text")) >= 3)
-      val tris = docs
-        .withColumn("i", explode(sequence(lit(1), length(col("text")) - 2)))
-        .select(col("doc_id"), expr("substring(text, i, 3)").as("tri"),
-          expr("substring(text, i, 2)").as("bi"))
-      val seed = tris.filter(col("doc_id") % 10 === 0)
-      val triC = seed.groupBy("tri").agg(count(lit(1)).as("tri_c"))
-      val biC = seed.groupBy("bi").agg(count(lit(1)).as("bi_c"))
-      tris
-        .join(broadcast(triC), Seq("tri"), "left")
-        .join(broadcast(biC), Seq("bi"), "left")
-        .withColumn("nll",
-          -(log(2.0, coalesce(col("tri_c"), lit(0L)) + 1) -
-            log(2.0, coalesce(col("bi_c"), lit(0L)) + 256)))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_trigrams"),
-          round(avg("nll"), 4).as("avg_bits"))
+      lmScoreOf(t(s, d, "documents").select(col("doc_id"), col("text")))
         .orderBy("doc_id")
     }),
 
@@ -2848,6 +3022,85 @@ object PipelineOps {
                    least(n_tokens, 100) / 200.0, 4) AS quality_score
       FROM d ORDER BY doc_id""",
 
+    "sel01_quality_floor_select" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+        FROM documents
+      ), ranked AS (
+        SELECT *, CASE WHEN row_number() OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id) <= 8 THEN 1 ELSE 0 END AS is_floor
+        FROM scored
+      ), cut AS (
+        SELECT *, row_number() OVER (
+          ORDER BY is_floor DESC, score DESC, doc_id) AS gr
+        FROM ranked
+      )
+      SELECT doc_id, lang, score,
+             CASE WHEN is_floor = 1 THEN 'floor' ELSE 'global' END AS via
+      FROM cut WHERE gr <= 100 ORDER BY doc_id""",
+
+    "dec02_contamination_audit" -> """
+      WITH grams AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS gs
+        FROM documents
+      ), ev AS (
+        SELECT doc_id AS eval_id, unnest(list_distinct(gs)) AS g
+        FROM grams WHERE doc_id % 50 = 0
+      ), tr AS (
+        SELECT doc_id AS train_id, unnest(list_distinct(gs)) AS g
+        FROM grams WHERE doc_id % 50 <> 0
+      ), sizes AS (
+        SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams FROM ev GROUP BY 1
+      ), hits AS (
+        SELECT e.eval_id, t.train_id, e.g FROM ev e JOIN tr t ON e.g = t.g
+      ), per_gram AS (
+        SELECT eval_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hit
+        FROM hits GROUP BY 1
+      ), worst AS (
+        SELECT eval_id, train_id AS top_train_id, shared AS top_shared FROM (
+          SELECT eval_id, train_id, CAST(count(DISTINCT g) AS BIGINT) AS shared,
+                 row_number() OVER (PARTITION BY eval_id
+                   ORDER BY count(DISTINCT g) DESC, train_id DESC) AS rk
+          FROM hits GROUP BY eval_id, train_id)
+        WHERE rk = 1
+      )
+      SELECT s.eval_id, s.n_grams,
+             CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+             round(coalesce(p.n_hit, 0) * 1.0 / s.n_grams, 4) AS contamination,
+             w.top_train_id,
+             CAST(coalesce(w.top_shared, 0) AS BIGINT) AS top_shared
+      FROM sizes s
+      LEFT JOIN per_gram p ON s.eval_id = p.eval_id
+      LEFT JOIN worst w ON s.eval_id = w.eval_id
+      ORDER BY s.eval_id""",
+
+    "dec03_semantic_contamination" -> """
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      ev AS (SELECT vec_id AS eval_id, e AS qe FROM emb WHERE vec_id % 50 = 0),
+      tr AS (SELECT vec_id, e FROM emb WHERE vec_id % 50 <> 0),
+      pairs AS (
+        SELECT ev.eval_id, tr.vec_id,
+               round(list_cosine_similarity(tr.e, ev.qe), 4) AS c
+        FROM tr, ev),
+      best AS (
+        SELECT eval_id, vec_id AS top_train_id, c AS top_cos FROM (
+          SELECT eval_id, vec_id, c,
+                 row_number() OVER (PARTITION BY eval_id
+                   ORDER BY c DESC, vec_id DESC) AS rk
+          FROM pairs) WHERE rk = 1),
+      close AS (
+        SELECT eval_id,
+               CAST(sum(CASE WHEN c >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        FROM pairs GROUP BY eval_id)
+      SELECT b.eval_id, b.top_train_id, b.top_cos, cl.n_close
+      FROM best b JOIN close cl ON b.eval_id = cl.eval_id
+      ORDER BY b.eval_id""",
+
     "dec01_decontaminate" -> """
       WITH grams AS (
         SELECT doc_id,
@@ -3035,6 +3288,42 @@ object PipelineOps {
       FROM documents
       WHERE len(string_split(text, ' ')) >= 50
       GROUP BY lang ORDER BY lang""",
+
+    "lm02_ccnet_buckets" -> """
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE len(text) >= 3
+      ), tris AS (
+        SELECT doc_id, substring(text, i, 3) AS tri, substring(text, i, 2) AS bi
+        FROM docs, generate_series(1, 1023) t(i)
+        WHERE i <= len(text) - 2
+      ), seed AS (
+        SELECT * FROM tris WHERE doc_id % 10 = 0
+      ), tc AS (
+        SELECT tri, count(*) AS tri_c FROM seed GROUP BY tri
+      ), bc AS (
+        SELECT bi, count(*) AS bi_c FROM seed GROUP BY bi
+      ), scored AS (
+        SELECT t.doc_id,
+               round(avg(-(log2(coalesce(tc.tri_c, 0) + 1)
+                         - log2(coalesce(bc.bi_c, 0) + 256))), 4) AS avg_bits
+        FROM tris t
+        LEFT JOIN tc ON t.tri = tc.tri
+        LEFT JOIN bc ON t.bi = bc.bi
+        GROUP BY t.doc_id
+      ), langd AS (
+        SELECT s.doc_id, d.lang, s.avg_bits
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      ), th AS (
+        SELECT lang, round(quantile_cont(avg_bits, 1.0/3), 4) AS t1,
+               round(quantile_cont(avg_bits, 2.0/3), 4) AS t2
+        FROM langd GROUP BY lang
+      )
+      SELECT l.doc_id, l.lang, l.avg_bits,
+             CASE WHEN l.avg_bits <= th.t1 THEN 'head'
+                  WHEN l.avg_bits <= th.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM langd l JOIN th ON l.lang = th.lang
+      ORDER BY l.doc_id""",
 
     "lm01_ngram_lm_score" -> """
       WITH docs AS (

@@ -416,6 +416,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), "sequence+explode window generation missing")
   }
 
+  test("dec02 contamination audit: eval grams broadcast, corpus explode map-side, no corpus self-join") {
+    val df = graft.queries.PipelineOps.defs("dec02_contamination_audit")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("documents"), "documents scan missing from plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny eval gram set must broadcast against the corpus stream")
+    assert(!plan.contains("CartesianProduct"), "gram join degenerated to a cartesian")
+  }
+
+  test("dec03 semantic contamination: broadcast eval block, single corpus pass, partial-agg argmax") {
+    val df = graft.queries.PipelineOps.defs("dec03_semantic_contamination")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("embeddings"), "embeddings scan missing from plan")
+    // the eval block is deliberately broadcast-nested-loop (tiny side x
+    // full scan, the s01 brute-force shape); what must NOT appear is a
+    // shuffled corpus-x-corpus join or a window over all pairs
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "eval block must broadcast against the corpus scan")
+    assert(!plan.contains("Window"), "argmax must be max(struct), not a window")
+    assert(!plan.contains("SortMergeJoin"), "corpus must never sort-merge here")
+  }
+
+  test("lm02 ccnet buckets: threshold table broadcast back, no corpus-wide window sort") {
+    val df = graft.queries.PipelineOps.defs("lm02_ccnet_buckets")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("documents"), "documents scan missing from plan")
+    assert(plan.contains("percentile"), "tercile thresholds must be partial-aggregable percentile")
+    assert(!plan.contains("Window"),
+      "bucketing must assign via broadcast thresholds, never ntile over the corpus")
+    assert(plan.contains("BroadcastHashJoin"), "threshold/model tables must broadcast")
+  }
+
+  test("sel01 quality floor select: bounded-heap floor rank + TakeOrdered cut") {
+    val df = graft.queries.PipelineOps.defs("sel01_quality_floor_select")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      "floor rank must run as a bounded heap (rank <= literal), not a full per-lang sort")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the budget cut must be top-N, not a global sort + limit")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bp01 boxplot: partial-aggregable percentile + broadcast join-back, no per-group value collection") {
     // round-6 verdict: the old bp01 ran the BoxplotInfoAgg UDAF, which
     // Kryo-collects every (value, info) pair per group — 5.7x on a
