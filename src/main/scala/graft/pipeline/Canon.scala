@@ -22,8 +22,10 @@ private[pipeline] object Canon {
         extra.map { case (n, c) => c.as(n) }: _*)
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
 
-  def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<double>").as("e"))
+  def vecs(df: DataFrame, idCol: String, vecCol: String,
+      extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id") +:
+        col(vecCol).cast("array<double>").as("e") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
       .filter(col("vec_id").isNotNull && col("e").isNotNull)
 }

@@ -155,6 +155,48 @@ object Curation {
         extra = Seq("is_tgt" -> coalesce(isTarget.cast("boolean"), lit(false)))),
       n, buckets)
 
+  /** Contamination audit (dec02's kernel) — the report side of
+    * decontamination: per document where `isEval` holds (a Column
+    * predicate over the CALLER's schema), the fraction of its distinct
+    * word 3-grams found anywhere in the REST of the corpus plus the
+    * single worst-overlapping training document. Returns (eval_id,
+    * n_grams, n_hit, contamination, top_train_id, top_shared);
+    * uncontaminated eval docs report 0 / null. Eval grams broadcast;
+    * rollups run only over (rare) hit rows. */
+  def contaminationAudit(docs: DataFrame, isEval: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.contaminationAuditOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("is_eval" -> coalesce(isEval.cast("boolean"), lit(false)))),
+      col("is_eval"))
+
+  /** CCNet head/middle/tail partition (lm02's kernel, Wenzek et al.
+    * 2020): every document bucketed by per-LANGUAGE LM-perplexity
+    * terciles — thresholds via partial-aggregable exact percentile,
+    * broadcast back; assignment map-side, never a corpus-wide window.
+    * Returns (doc_id, lang, avg_bits, bucket); docs shorter than 3
+    * chars drop (unscorable). */
+  def ccnetBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame =
+    PipelineOps.ccnetBucketsOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string"))))
+
+  /** Quality-budget selection with per-language coverage floors
+    * (sel01's kernel): the `totalN` best-quality documents overall,
+    * guaranteed to include each language's `floorPerLang` best — the
+    * constraint naive global quality pruning violates on low-resource
+    * languages. Returns (doc_id, lang, score, via ∈ floor|global);
+    * floors hold whenever languages·floor ≤ totalN. Bounded-heap floor
+    * rank + one TakeOrdered cut; no driver action. */
+  def qualityFloorSelect(docs: DataFrame, floorPerLang: Int, totalN: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.qualityFloorSelectOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string"))),
+      floorPerLang, totalN)
+
   /** Corpus-hapax novelty ratio (t15's kernel): per document, the
     * fraction of its distinct tokens appearing nowhere else in the
     * corpus — high = unique content, near-zero = boilerplate assembled

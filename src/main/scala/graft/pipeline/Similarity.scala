@@ -88,6 +88,22 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.semDedupOf(canon(emb, idCol, vecCol), k, iters, tau)
 
+  /** Semantic contamination audit (dec03's kernel): per vector where
+    * `isEval` holds (a Column predicate over the CALLER's schema), the
+    * closest TRAINING vector by rounded cosine plus the count of
+    * training vectors at cosine ≥ `tau` — the embedding-space check
+    * that catches paraphrased eval leakage lexical n-gram overlap
+    * misses. Returns (eval_id, top_train_id, top_cos, n_close). The
+    * eval block broadcasts against one map-side corpus pass; swap in
+    * [[ivfTopK]] when the corpus no longer scans. */
+  def semanticContamination(emb: DataFrame, isEval: org.apache.spark.sql.Column,
+      tau: Double = 0.35,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.semanticContaminationOf(
+      Canon.vecs(emb, idCol, vecCol,
+        extra = Seq("is_eval" -> coalesce(isEval.cast("boolean"), lit(false)))),
+      col("is_eval"), tau)
+
   /** Product-quantization encode (s09's kernel): `dims`-wide vectors
     * split into `subs` subspaces, each assigned to its nearest codeword
     * from a codebook built of the `cbSize` lowest-id vectors'

@@ -402,6 +402,27 @@ object PipelineOps {
     docs.select(col("doc_id"), explode(expr("shingles3(text)")).as("sh"))
   }
 
+  /** dec03's kernel — semantic contamination audit: per eval vector
+    * (`evalPred` over the (vec_id, e) frame) the closest TRAINING
+    * vector by rounded cosine, plus how many training vectors sit at
+    * cosine ≥ `tau`. Argmax is a partial-aggregable max(struct) with
+    * (cosine, vec_id) ordering — no window. Scale notes at the dec03
+    * entry (broadcast eval block, one native-cosine corpus pass). */
+  private[graft] def semanticContaminationOf(emb: DataFrame,
+      evalPred: Column, tau: Double): DataFrame = {
+    graft.exprs.CosineSim.register(emb.sparkSession)
+    val ev = emb.filter(evalPred)
+      .select(col("vec_id").as("eval_id"), col("e").as("qe"))
+    val train = emb.filter(!evalPred)
+    train.crossJoin(broadcast(ev))
+      .withColumn("c", round(expr("cosine_sim(e, qe)"), 4))
+      .groupBy("eval_id")
+      .agg(max(struct(col("c"), col("vec_id"))).as("w"),
+        sum(when(col("c") >= tau, 1L).otherwise(0L)).as("n_close"))
+      .select(col("eval_id"), col("w.vec_id").as("top_train_id"),
+        col("w.c").as("top_cos"), col("n_close"))
+  }
+
   /** lm01's kernel — CCNet-style char-trigram LM fluency scoring: the
     * model trains on the deterministic 10% seed slice (doc_id % 10 = 0)
     * with add-one smoothing and every doc scores as the mean
@@ -503,10 +524,12 @@ object PipelineOps {
     * only shuffles are the per-eval rollups over hit rows. */
   private[graft] def contaminationAuditOf(docs: DataFrame,
       evalPred: Column): DataFrame = {
-    val sh = shingles(docs) // shingles3 emits DISTINCT grams per doc
-    val evalGrams = sh.filter(evalPred)
+    // split BEFORE shingling: the eval predicate runs on the doc frame
+    // (facades carry it as a canonicalized flag column) and the filter
+    // pushes ahead of the gram explode on both branches
+    val evalGrams = shingles(docs.filter(evalPred)) // shingles3: DISTINCT grams per doc
       .select(col("doc_id").as("eval_id"), col("sh").as("g"))
-    val trainGrams = sh.filter(!evalPred)
+    val trainGrams = shingles(docs.filter(!evalPred))
       .select(col("doc_id").as("train_id"), col("sh").as("g"))
     val evalSizes = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
     val hits = trainGrams.join(broadcast(evalGrams), "g")
@@ -1354,19 +1377,9 @@ object PipelineOps {
       // partial-aggregable rollup keyed by eval id, max(struct) for
       // the argmax, no window, no corpus self-join; the IVF variant
       // (s02) replaces the full pass when the corpus no longer scans.
-      graft.exprs.CosineSim.register(s)
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val ev = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("eval_id"), col("e").as("qe"))
-      val train = emb.filter(col("vec_id") % 50 =!= 0)
-      train.crossJoin(broadcast(ev))
-        .withColumn("c", round(expr("cosine_sim(e, qe)"), 4))
-        .groupBy("eval_id")
-        .agg(max(struct(col("c"), col("vec_id"))).as("w"),
-          sum(when(col("c") >= 0.35, 1L).otherwise(0L)).as("n_close"))
-        .select(col("eval_id"), col("w.vec_id").as("top_train_id"),
-          col("w.c").as("top_cos"), col("n_close"))
+      semanticContaminationOf(emb, col("vec_id") % 50 === 0, tau = 0.35)
         .orderBy("eval_id")
     }),
 

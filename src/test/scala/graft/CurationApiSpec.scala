@@ -330,4 +330,40 @@ class CurationApiSpec extends AnyFunSuite {
       .toSet
     assert(api == ref)
   }
+
+  test("contaminationAudit over renamed columns equals the dec02 entry") {
+    val api = Curation.contaminationAudit(userDocs, col("docnum") % 50 === 0,
+        idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSet
+    val ref = entry("dec02_contamination_audit")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSet
+    assert(api == ref)
+  }
+
+  test("ccnetBuckets and qualityFloorSelect over renamed columns equal the lm02/sel01 entries") {
+    val cb = Curation.ccnetBuckets(userDocs, idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    val cbRef = entry("lm02_ccnet_buckets")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(cb == cbRef)
+    val sel = Curation.qualityFloorSelect(userDocs, floorPerLang = 8, totalN = 100,
+        idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    val selRef = entry("sel01_quality_floor_select")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(sel == selRef)
+  }
+
+  test("semanticContamination over renamed columns equals the dec03 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val api = graft.pipeline.Similarity.semanticContamination(
+        userEmb, col("vid") % 50 === 0, idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val ref = entry("dec03_semantic_contamination")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(api == ref)
+  }
 }
