@@ -1259,9 +1259,13 @@ object PipelineOps {
       // verify hamming via bit_count(xor). Unigram tokens are useless
       // on a shared-vocabulary corpus — shingles separate true
       // near-dups (hamming ≲ 10) from the rest cleanly.
+      // native md5_bits60: same 60-bit value as the composed
+      // conv(substring(md5(..))) chain but with zero intermediate hex
+      // strings — this is the engine's hottest hash site (every shingle
+      // of every doc)
+      graft.exprs.Md5Bits60.register(s)
       val toks = shingles(t(s, d, "documents"))
-        .select(col("doc_id"),
-          expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
+        .select(col("doc_id"), expr("md5_bits60(sh)").as("h"))
       // one groupBy, bit-votes SIMD-packed: 3 x 16-bit set-bit counters
       // per long, 21 sums instead of 60 conditional aggregates (the
       // unpacked version's generated aggregate took ~4s to compile and

@@ -86,3 +86,43 @@ class SqDistSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Md5Bits60: bit parity with the composed conv(substring(md5(...)))
+  * chain it replaces on the engine's hottest hash path, plus codegen
+  * execution. */
+class Md5Bits60Spec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.exprs.Md5Bits60.register(s)
+    s
+  }
+
+  test("bit-exact vs conv(substring(md5, 1, 15)) across ascii/unicode/empty") {
+    import spark.implicits._
+    val rows = Seq("", "a", "the quick brown fox", "caf\u00e9 \u00fcber",
+      "\u6570\u636e\u5904\u7406 spark", "\ud83d\ude00 emoji",
+      "x" * 1000).toDF("s")
+      .select(expr("md5_bits60(s)").as("n"),
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != chain ${r.getLong(1)}"))
+    assert(rows.forall(_.getLong(0) >= 0L), "60-bit value must be non-negative")
+  }
+
+  test("executes inside whole-stage codegen") {
+    val df = spark.range(1, 100)
+      .selectExpr("md5_bits60(cast(id as string)) as h")
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.exists(_.toString.contains("md5_bits60")))
+    assert(df.collect().map(_.getLong(0)).distinct.length == 99)
+  }
+}
