@@ -41,6 +41,15 @@ import scala.collection.mutable
   * Within one origin, events apply in seq order (the per-request batch
   * is ordered and the cursor only moves forward), so the per-writer
   * program order the churn drill pins holds across the mesh.
+  *
+  * Why cursor RESUME is sound here when the shared-FS poller must
+  * full-replay: a served journal has exactly ONE writer (its own
+  * node, whose `append` is JVM-monitor-serialized and publishes via
+  * atomic rename), so a listing can never observe seq N+1 without N
+  * and no event can land below an advanced cursor. That invariant
+  * breaks if two processes share one GRAFT_STATE_DIR *and* peers pull
+  * it over HTTP — deploy one or the other transport per journal, not
+  * both.
   */
 final class PeerSync(app: StateJournal.StateApp, peers: Seq[String],
     token: String, intervalMillis: Long = 2000,

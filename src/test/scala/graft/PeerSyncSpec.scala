@@ -113,6 +113,58 @@ class PeerSyncSpec extends AnyFunSuite {
     } finally { apiA.stop(); apiB.stop() }
   }
 
+  test("churn: concurrent writers on both nodes converge through live pull threads") {
+    // the HTTP analog of RebootSpec's journal churn drill: both nodes
+    // submit mixed create/update/delete at full speed on writer
+    // threads while both PeerSync pollers run on their own timers; the
+    // expected fixpoint is simulated independently (each writer only
+    // touches its own id prefix, so it is deterministic under any
+    // interleaving)
+    val (a, apiA, portA) = node()
+    val (b, apiB, portB) = node()
+    val syncA = new PeerSync(a, Seq(s"http://127.0.0.1:$portB"), token, intervalMillis = 50)
+    val syncB = new PeerSync(b, Seq(s"http://127.0.0.1:$portA"), token, intervalMillis = 50)
+    try {
+      syncA.start(); syncB.start()
+      def churn(app: StateJournal.StateApp, prefix: String): Thread = {
+        val t = new Thread(() => {
+          (1 to 40).foreach { i =>
+            app.submit("create_dashboard", dash(s"${prefix}_$i", i))
+            if (i % 3 == 0)
+              app.submit("update_dashboard_content",
+                s"""{"id":"${prefix}_${i - 2}","content":"SELECT ${i * 1000} AS x;","timestamp":${i + 1}}""")
+            if (i % 5 == 0)
+              app.submit("delete_dashboard", s"""{"id":"${prefix}_${i - 4}"}""")
+          }
+        })
+        t.start(); t
+      }
+      val ta = churn(a, "hA")
+      val tb = churn(b, "hB")
+      ta.join(30000); tb.join(30000)
+      assert(!ta.isAlive && !tb.isAlive, "writer thread hung")
+      val expected = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        for (prefix <- Seq("hA", "hB"); i <- 1 to 40) {
+          m(s"${prefix}_$i") = s"SELECT $i AS x;"
+          if (i % 3 == 0 && m.contains(s"${prefix}_${i - 2}"))
+            m(s"${prefix}_${i - 2}") = s"SELECT ${i * 1000} AS x;"
+          if (i % 5 == 0) m.remove(s"${prefix}_${i - 4}")
+        }
+        m.toSeq.map { case (id, c) => s"$id=$c" }.sorted.mkString(";")
+      }
+      def summary(app: StateJournal.StateApp): String = app.store.synchronized {
+        app.store.dashboards.toSeq
+          .map { case (id, d) => s"$id=${d.content}" }.sorted.mkString(";")
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while ((summary(a) != expected || summary(b) != expected) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(summary(a) == expected, s"A did not converge:\n${summary(a).take(500)}")
+      assert(summary(b) == expected, s"B did not converge:\n${summary(b).take(500)}")
+    } finally { syncA.close(); syncB.close(); apiA.stop(); apiB.stop() }
+  }
+
   test("batch cap: a history longer than one batch pulls completely via re-polls") {
     val (a, apiA, portA) = node()
     val (b, apiB, _) = node()
