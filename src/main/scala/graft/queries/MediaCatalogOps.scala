@@ -223,6 +223,54 @@ object MediaCatalogOps {
         .orderBy("lang")
     }),
 
+    "st06_stream_incremental_dedup" -> ((s0, d) => {
+      // Incremental near-dedup AT INGEST — d14's batch-vs-corpus cut
+      // as a foreachBatch stage: every micro-batch dedups against the
+      // STATIC corpus with the same crossJaccardPairsOf kernel
+      // (O(batch·df), the corpus never self-joins and never moves),
+      // survivors append to a checkpointed parquet sink. Two
+      // micro-batches prove per-batch independence: each batch joins
+      // only its own grams. The read-back must equal the batch d14
+      // verdict inverted (docs with NO corpus near-dup), which is
+      // exactly what the oracle replays. At 100 TB this IS the nightly
+      // ingest gate: the corpus inverted index is the stored artifact,
+      // the daily slice shuffles only its own grams, and the skew
+      // remedy (d15's prefix filter) drops in unchanged.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docsDf = graft.Tables.t(s, d, "documents")
+      val corpusStatic = docsDf.filter(col("doc_id") % 7 =!= 3)
+        .select("doc_id", "text")
+      val batchDocs = docsDf.filter(col("doc_id") % 7 === 3)
+        .select("doc_id", "text", "lang")
+        .as[graft.streaming.Streams.Doc].collect().toSeq
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
+      val base = EngineOps.tempDir("graft-st06")
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val dupIds = graft.queries.PipelineOps.crossJaccardPairsOf(
+            batch.select("doc_id", "text"), corpusStatic, 0.5)
+            .select(col("b_id").as("doc_id")).distinct()
+          batch.join(dupIds, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
+        .orderBy("lang")
+    }),
+
     "st03_stream_sessions" -> ((s0, d) => {
       // Streaming gap-sessionization through flatMapGroupsWithState
       // (Streams.sessionize): the first 5000 events replay through a
@@ -465,6 +513,31 @@ object MediaCatalogOps {
 
     // the streamed gate must equal the batch gate: same t14 score, same
     // 0.45 cut — the file sink and micro-batching change nothing
+    // d14's pairs CTE inverted: survivors are batch docs with NO
+    // corpus near-dup at 0.5 (short docs have no shingles, so they
+    // trivially survive — both engines agree)
+    "st06_stream_incremental_dedup" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS b_id, b.doc_id AS c_id, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+        GROUP BY 1, 2
+      ), dup AS (
+        SELECT DISTINCT b_id
+        FROM pairs JOIN sizes x ON b_id = x.doc_id JOIN sizes y ON c_id = y.doc_id
+        WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      )
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS first_kept
+      FROM documents
+      WHERE doc_id % 7 = 3 AND doc_id NOT IN (SELECT b_id FROM dup)
+      GROUP BY lang ORDER BY lang""",
+
     "st05_stream_quality_gate" -> """
       WITH scored AS (
         SELECT doc_id, lang,
