@@ -33,5 +33,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("len"),
       new ExpressionInfo(classOf[graft.exprs.Len].getName, "len"),
       (exprs: Seq[Expression]) => graft.exprs.Len(exprs.head)))
+    // the full native-expression surface, so a spark-submit deployment
+    // gets every codegen'd kernel without imperative register() calls
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[graft.exprs.SqDist].getName, "sq_dist"),
+      (exprs: Seq[Expression]) => graft.exprs.SqDist(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.exprs.NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => graft.exprs.NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[graft.exprs.Shingles3].getName, "shingles3"),
+      (exprs: Seq[Expression]) => graft.exprs.Shingles3(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_pairs"),
+      new ExpressionInfo(classOf[graft.exprs.WordPairs].getName, "word_pairs"),
+      (exprs: Seq[Expression]) => graft.exprs.WordPairs(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_bits60"),
+      new ExpressionInfo(classOf[graft.exprs.Md5Bits60].getName, "md5_bits60"),
+      (exprs: Seq[Expression]) => graft.exprs.Md5Bits60(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jl_project"),
+      new ExpressionInfo(classOf[graft.exprs.JlProject].getName, "jl_project"),
+      (exprs: Seq[Expression]) => graft.exprs.JlProject.fromExprs(exprs)))
   }
 }

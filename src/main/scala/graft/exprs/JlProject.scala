@@ -127,11 +127,14 @@ object JlProject {
       s"jl_project $what must be an integer literal, got $other")
   }
 
+  /** Builder from raw call-site expressions (shared by register() and
+    * GraftExtensions): dims must be integer literals — the sign matrix
+    * is derived at plan build. */
+  def fromExprs(exprs: Seq[Expression]): JlProject =
+    JlProject(exprs.head, intLit(exprs(1), "inDims"), intLit(exprs(2), "outDims"))
+
   def register(spark: SparkSession): Unit = RegistryQuiet.quietly {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jl_project",
-      exprs => JlProject(exprs.head,
-        intLit(exprs(1), "inDims"), intLit(exprs(2), "outDims")),
-      "scala_udf")
+      "jl_project", fromExprs, "scala_udf")
   }
 }
