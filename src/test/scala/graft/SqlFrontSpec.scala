@@ -395,4 +395,25 @@ class SqlFrontSpec extends AnyFunSuite {
     // escaped quotes in the variable name round-trip
     assert(Dialect.referencedVariables("SELECT getvariable('a''b')") == Seq("a'b"))
   }
+
+  test("rewriteBoxplotPlain: single-arg BOXPLOT becomes builtin aggregates; strings/idents survive") {
+    import graft.sqlfront.Dialect
+    val out = Dialect.rewriteBoxplotPlain("SELECT g, BOXPLOT(v) AS bp FROM t GROUP BY g")
+    assert(out.contains("percentile") && out.contains("named_struct"), out)
+    assert(!out.toUpperCase.contains("BOXPLOT("), out)
+    // a string literal mentioning BOXPLOT is not a call site
+    val lit = Dialect.rewriteBoxplotPlain("SELECT 'BOXPLOT(v)' AS s FROM t")
+    assert(lit == "SELECT 'BOXPLOT(v)' AS s FROM t", lit)
+    // a bare identifier without a call is untouched
+    val ident = Dialect.rewriteBoxplotPlain("SELECT boxplot FROM t")
+    assert(ident == "SELECT boxplot FROM t", ident)
+    // the info form is NOT this rewrite's business (handled earlier in
+    // the chain); a two-arg call passes through
+    val info = Dialect.rewriteBoxplotPlain("SELECT BOXPLOT(v, outlier_info := x) FROM t")
+    assert(info == "SELECT BOXPLOT(v, outlier_info := x) FROM t", info)
+    // nested parens in the argument stay balanced
+    val nested = Dialect.rewriteBoxplotPlain(
+      "SELECT BOXPLOT(coalesce(v, least(a, b))) AS bp FROM t GROUP BY 1")
+    assert(nested.contains("percentile(CAST((coalesce(v, least(a, b))) AS DOUBLE), 0.25D)"), nested)
+  }
 }
