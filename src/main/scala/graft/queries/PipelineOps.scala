@@ -2306,6 +2306,47 @@ object PipelineOps {
         .orderBy("status")
     }),
 
+    "p04_curation_v3" -> ((s, d) => {
+      // The FineWeb/CCNet-shaped composition of the r7 operators, end
+      // to end: (1) t14's in-row quality gate (map-side, no shuffle),
+      // (2) the CCNet perplexity partition over the SURVIVORS with
+      // per-lang percentile thresholds broadcast back — the worst
+      // tercile drops, (3) dec01-style decontamination of the
+      // survivors against the eval slice's broadcast gram set
+      // (anti-join, map-side), (4) one per-(lang, bucket) rollup.
+      // Exactly ONE corpus-keyed join in the whole plan (the lm-score
+      // attach on doc_id); everything else is broadcast or in-row —
+      // the p03 discipline extended across three of this round's ops.
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val gated = train
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("score", qualityScoreExpr)
+        .filter(col("score") >= 0.45)
+      val lmScored = lmScoreOf(gated.select("doc_id", "text"))
+      val scored = gated
+        .join(lmScored.select("doc_id", "avg_bits"), "doc_id")
+      val th = scored.groupBy("lang").agg(
+        round(percentile(col("avg_bits"), lit(1.0 / 3)), 4).as("t1"),
+        round(percentile(col("avg_bits"), lit(2.0 / 3)), 4).as("t2"))
+      val bucketed = scored.join(broadcast(th), "lang")
+        .withColumn("bucket",
+          when(col("avg_bits") <= col("t1"), "head")
+            .when(col("avg_bits") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .filter(col("bucket") =!= "tail")
+      val evalGrams = shingles(docs.filter(col("doc_id") % 50 === 0))
+        .select(col("sh").as("g")).distinct()
+      val contaminated = shingles(bucketed.select("doc_id", "text"))
+        .join(broadcast(evalGrams), col("sh") === col("g"))
+        .select("doc_id").distinct()
+      bucketed.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+          round(avg("score"), 4).as("mean_score"))
+        .orderBy("lang", "bucket")
+    }),
+
     "p03_curation_v2" -> ((s, d) => {
       // Second composed pipeline — this round's operators end to end in
       // ONE declarative plan: the t14 model-based quality gate (in-row
@@ -3305,6 +3346,68 @@ object PipelineOps {
       FROM documents
       WHERE len(string_split(text, ' ')) >= 50
       GROUP BY lang ORDER BY lang""",
+
+    "p04_curation_v3" -> """
+      WITH train AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0
+      ), g2 AS (
+        SELECT * FROM (
+          SELECT doc_id, lang, text,
+                 round(1 / (1 + exp(-4 * list_sum([
+                   (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                   for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+          FROM train)
+        WHERE score >= 0.45
+      ), docs3 AS (
+        SELECT doc_id, text FROM g2 WHERE len(text) >= 3
+      ), tris AS (
+        SELECT doc_id, substring(text, i, 3) AS tri, substring(text, i, 2) AS bi
+        FROM docs3, generate_series(1, 1023) t(i)
+        WHERE i <= len(text) - 2
+      ), seed AS (
+        SELECT * FROM tris WHERE doc_id % 10 = 0
+      ), tc AS (SELECT tri, count(*) AS tri_c FROM seed GROUP BY tri
+      ), bc AS (SELECT bi, count(*) AS bi_c FROM seed GROUP BY bi
+      ), lmscored AS (
+        SELECT t.doc_id,
+               round(avg(-(log2(coalesce(tc.tri_c, 0) + 1)
+                         - log2(coalesce(bc.bi_c, 0) + 256))), 4) AS avg_bits
+        FROM tris t
+        LEFT JOIN tc ON t.tri = tc.tri
+        LEFT JOIN bc ON t.bi = bc.bi
+        GROUP BY t.doc_id
+      ), scored AS (
+        SELECT g2.doc_id, g2.lang, g2.text, g2.score, l.avg_bits
+        FROM g2 JOIN lmscored l ON g2.doc_id = l.doc_id
+      ), th AS (
+        SELECT lang, round(quantile_cont(avg_bits, 1.0/3), 4) AS t1,
+               round(quantile_cont(avg_bits, 2.0/3), 4) AS t2
+        FROM scored GROUP BY lang
+      ), keep AS (
+        SELECT * FROM (
+          SELECT s.doc_id, s.lang, s.text, s.score,
+                 CASE WHEN s.avg_bits <= th.t1 THEN 'head'
+                      WHEN s.avg_bits <= th.t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM scored s JOIN th ON s.lang = th.lang)
+        WHERE bucket <> 'tail'
+      ), evg AS (
+        SELECT DISTINCT unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS g
+        FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0)
+        WHERE len(w) >= 3
+      ), contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in generate_series(1, len(w) - 2) ])) AS kg
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM keep)
+          WHERE len(w) >= 3) k
+        JOIN evg ON k.kg = evg.g
+      )
+      SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS first_doc, round(avg(score), 4) AS mean_score
+      FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     "lm02_ccnet_buckets" -> """
       WITH docs AS (

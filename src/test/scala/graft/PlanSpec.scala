@@ -141,6 +141,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), "chunk explode missing")
   }
 
+  test("p04 composed pipeline: one corpus-keyed shuffle join, everything else broadcast or in-row") {
+    // quality gate is in-row; lm model tables, tercile thresholds, the
+    // eval gram set, and the contaminated-id anti-filter all broadcast;
+    // the single shuffled join is the lm-score attach on doc_id
+    val df = graft.queries.PipelineOps.defs("p04_curation_v3")(spark, dir)
+    val plan = planOf(df)
+    // at test scale Catalyst may broadcast even the doc_id attach
+    // (0 shuffled joins); at scale AQE keeps it the ONLY shuffled one
+    val shuffled = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
+    assert(shuffled <= 1,
+      s"only the doc_id lm-score attach may shuffle, found $shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    assert(plan.contains("BroadcastHashJoin"), "broadcast sides missing")
+    assert(plan.contains("percentile"), "tercile thresholds must be partial-aggregable percentile")
+  }
+
   test("s10 exemplars: per-cluster top-3 is a WindowGroupLimit bounded heap") {
     // the CLUSTER-partitioned window specifically must group-limit: the
     // kmeans subtree's per-vec_id windows also produce WindowGroupLimit
