@@ -1416,7 +1416,7 @@ final class HttpApi(
       .flatMap(_.split("&")).collectFirst {
         case s if s.startsWith("after=") => s.drop(6).toLongOption
       }.flatten.getOrElse(0L)
-    val events = journal.read(after).take(HttpApi.SyncBatchLimit)
+    val events = journal.read(after, HttpApi.SyncBatchLimit)
     val body = events.map { e =>
       s"""{"seq":${e.seq},"event":${Model.jsonValue(e.event)},""" +
         s""""payload":${SchemaInfer.toJsonString(e.payload)}}"""

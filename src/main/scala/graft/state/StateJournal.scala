@@ -435,8 +435,11 @@ object StateJournal {
       seq
     }
 
-    /** Events after `fromSeq`, in order. */
-    def read(fromSeq: Long): Seq[Event] =
+    /** Events after `fromSeq`, in order. `limit` truncates BEFORE the
+      * payload files are opened (filenames carry seq + event name), so
+      * a batched reader (the /api/journal/events endpoint) never
+      * parses more of the tail than it returns. */
+    def read(fromSeq: Long, limit: Int = Int.MaxValue): Seq[Event] =
       fs.listStatus(eventsDir).toSeq
         .map(_.getPath)
         .filter(_.getName.endsWith(".json"))
@@ -448,6 +451,7 @@ object StateJournal {
         }
         .filter(_._1 > fromSeq)
         .sortBy(_._1)
+        .take(limit)
         .map { case (seq, event, p) =>
           val in = fs.open(p)
           val bytes =
