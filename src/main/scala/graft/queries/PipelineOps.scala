@@ -708,10 +708,18 @@ object PipelineOps {
     * AllPairs size filter + exact verification) — SKEW.md measures it
     * against [[exactJaccardPairsOf]] on a hot-shingle corpus. */
   private[graft] def prefixFilterJaccardOf(docs: DataFrame, thr: Double): DataFrame = {
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
     val sh = shingles(docs)
-    // df as a count-over-sh window, not groupBy+join-back: one shuffle
-    // by sh carries both the frequency and (later) the self-join keys
-    val ranked = prefixRanked(sh, thr)
+    // The CANDIDATE stages run on 60-bit shingle hashes, not strings:
+    // the df window, the prefix rank, and the self-join all shuffle
+    // fixed-width longs instead of ~20-char text. This is lossless for
+    // RECALL: hashing can only merge tokens, so hash-jaccard ≥
+    // string-jaccard — any pair at string-jaccard ≥ t is also at
+    // hash-jaccard ≥ t and must share a prefix hash under the (df,
+    // hash) canonical order; a collision only ever ADDS candidates,
+    // and verification below recomputes jaccard on the exact STRINGS.
+    val hsh = sh.select(col("doc_id"), expr("md5_bits60(sh)").as("sh"))
+    val ranked = prefixRanked(hsh, thr)
     // size filter (AllPairs): jaccard >= t forces t*|A| <= |B| <= |A|/t,
     // so size-incompatible prefix collisions never become candidates
     val cand = ranked.as("a").join(ranked.as("b"),
