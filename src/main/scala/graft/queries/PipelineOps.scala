@@ -933,13 +933,20 @@ object PipelineOps {
     * exact jaccard — output identical to [[crossJaccardPairsOf]]. */
   private[graft] def crossJaccardPairsSkewRobustOf(batch: DataFrame,
       corpus: DataFrame, thr: Double): DataFrame = {
+    graft.exprs.Md5Bits60.register(batch.sparkSession)
     val bsh = shingles(batch)
     val csh = shingles(corpus)
-    val dfTab = csh.groupBy("sh").agg(count(lit(1)).as("cdf"))
+    // candidate stages on 60-bit hashes (the d09 argument verbatim:
+    // hash-jaccard ≥ string-jaccard, so recall survives any collision
+    // and verification below recomputes on the exact strings); the
+    // stored corpus-df table and both prefix ranks shuffle longs
+    val bh = bsh.select(col("doc_id"), expr("md5_bits60(sh)").as("sh"))
+    val ch = csh.select(col("doc_id"), expr("md5_bits60(sh)").as("sh"))
+    val dfTab = ch.groupBy("sh").agg(count(lit(1)).as("cdf"))
     // size filter (AllPairs): jaccard >= t forces t·|B| <= |C| <= |B|/t
-    val cand = corpusDfRanked(bsh, dfTab, thr)
+    val cand = corpusDfRanked(bh, dfTab, thr)
       .select(col("doc_id").as("b_id"), col("sh"), col("n").as("bn"))
-      .join(corpusDfRanked(csh, dfTab, thr)
+      .join(corpusDfRanked(ch, dfTab, thr)
           .select(col("doc_id").as("c_id"), col("sh"), col("n").as("cn")),
         Seq("sh"))
       .filter(col("cn") >= col("bn") * thr && col("cn") <= col("bn") / thr)
