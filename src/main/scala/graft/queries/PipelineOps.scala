@@ -2270,6 +2270,54 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    "samp04_token_budget_mixture" -> ((s, d) => {
+      // Token-budgeted temperature mixture — samp03 quotas DOCUMENTS,
+      // but training mixtures are specified in TOKENS (a lang of long
+      // documents must not get more text for the same quota): per-lang
+      // token budgets ∝ (token mass)^0.7 over a 20k-token total, then
+      // a greedy fill in deterministic md5-rank order — a doc is kept
+      // while the tokens BEFORE it fit the budget (first-overrun doc
+      // included, so every nonzero budget selects at least one doc;
+      // both engines replay the same rule). The fill window runs over
+      // the per-lang rank-≤400 prefix BY SPEC — the literal bound is
+      // what keeps the rank a WindowGroupLimit bounded heap at 100 TB
+      // (never a full per-lang sort); the running token sum then
+      // orders ≤400 rows per lang. Budgets/weights quantize to integer
+      // micro-units (the samp03 idiom) so quotas are engine-exact; the
+      // id checksum pins the EXACT selection.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val mass = docs.groupBy("lang").agg(sum("n_tok").as("tok_mass"))
+      val w = mass
+        .crossJoin(broadcast(mass.agg(sum("tok_mass").as("tok_total"))))
+        .select(col("lang"), col("tok_mass"),
+          floor(pow(col("tok_mass") / col("tok_total"), 0.7) * 1000000.0 + 0.5)
+            .cast("long").as("wq"))
+      val budget = w.crossJoin(broadcast(w.agg(sum("wq").as("sum_wq"))))
+        .select(col("lang"), col("tok_mass"),
+          floor(lit(20000) * col("wq") / col("sum_wq") + 0.5).cast("long").as("tok_budget"))
+      val rw = Window.partitionBy("lang")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit("_t"))), col("doc_id"))
+      val cum = Window.partitionBy("lang")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit("_t"))), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sel = docs.withColumn("r", row_number().over(rw))
+        .filter(col("r") <= 400) // literal bound -> WindowGroupLimit
+        .withColumn("cum_tok", sum("n_tok").over(cum))
+        .join(broadcast(budget.select("lang", "tok_budget")), "lang")
+        .filter(col("cum_tok") - col("n_tok") < col("tok_budget"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("tok_sel"),
+          sum("doc_id").as("id_checksum"))
+      budget.join(sel, Seq("lang"), "left")
+        .select(col("lang"), col("tok_mass"), col("tok_budget"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          coalesce(col("tok_sel"), lit(0L)).as("tok_sel"),
+          coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+        .orderBy("lang")
+    }),
+
     "cur02_dedup_impact" -> ((s, d) => {
       // Dedup strategy cost report — the question every corpus owner
       // asks before picking a policy: how many documents and tokens
@@ -2928,6 +2976,41 @@ object PipelineOps {
              CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
       FROM quota q LEFT JOIN sel s ON q.lang = s.lang
       GROUP BY q.lang, q.n_docs, q.quota ORDER BY q.lang""",
+
+    "samp04_token_budget_mixture" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      mass AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_mass FROM toks GROUP BY lang),
+      tot AS (SELECT CAST(sum(tok_mass) AS BIGINT) AS tok_total FROM mass),
+      w AS (SELECT lang, tok_mass,
+                   CAST(floor(pow(tok_mass * 1.0 / tot.tok_total, 0.7) * 1000000 + 0.5) AS BIGINT) AS wq
+            FROM mass, tot),
+      sw AS (SELECT CAST(sum(wq) AS BIGINT) AS sum_wq FROM w),
+      budget AS (
+        SELECT lang, tok_mass,
+               CAST(floor(20000 * wq / sw.sum_wq + 0.5) AS BIGINT) AS tok_budget
+        FROM w, sw),
+      ranked AS (
+        SELECT t.doc_id, t.lang, t.n_tok,
+               row_number() OVER (PARTITION BY t.lang
+                 ORDER BY md5(t.doc_id::VARCHAR || '_t'), t.doc_id) AS r
+        FROM toks t),
+      filled AS (
+        SELECT lang, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM ranked WHERE r <= 400),
+      sel AS (
+        SELECT f.lang, f.doc_id, f.n_tok
+        FROM filled f JOIN budget b ON f.lang = b.lang
+        WHERE f.cum_tok - f.n_tok < b.tok_budget)
+      SELECT b.lang, b.tok_mass, b.tok_budget,
+             CAST(count(s.doc_id) AS BIGINT) AS n_sel,
+             CAST(coalesce(sum(s.n_tok), 0) AS BIGINT) AS tok_sel,
+             CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
+      FROM budget b LEFT JOIN sel s ON b.lang = s.lang
+      GROUP BY b.lang, b.tok_mass, b.tok_budget ORDER BY b.lang""",
 
     // three survivor aggregations; all counts/tokens are exact integers
     "cur02_dedup_impact" -> """

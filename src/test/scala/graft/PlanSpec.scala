@@ -179,6 +179,17 @@ class PlanSpec extends AnyFunSuite {
       s"per-lang rank must be a bounded heap:\n$plan")
   }
 
+  test("samp04 token-budget fill: per-lang rank is a WindowGroupLimit bounded heap, no cartesian") {
+    // the literal r <= 400 spec bound keeps the md5-rank window a
+    // bounded heap; the running token sum then orders at most 400 rows
+    // per lang — never a full per-lang sort of the corpus
+    val df = graft.queries.PipelineOps.defs("samp04_token_budget_mixture")(spark, dir)
+    val plan = planOf(df)
+    assert("WindowGroupLimit \\[lang".r.findFirstIn(plan).isDefined,
+      s"per-lang rank must be a bounded heap:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
   test("t08 repetition metrics: doc-local, no explode/groupBy shuffle besides the final sort") {
     // bigram run-counting happens inside the row (array_sort +
     // aggregate HOF) — the only Exchange allowed is the presentation
