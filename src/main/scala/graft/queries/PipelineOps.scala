@@ -2270,6 +2270,27 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    "spl01_train_val_test_split" -> ((s, d) => {
+      // Deterministic hash-range train/val/test split — the first
+      // thing every corpus gets and the one split that must NEVER
+      // depend on row order, partitioning, or reruns: md5(doc_id) mod
+      // 100 buckets into 90/5/5. Fully map-side (a pure projection at
+      // scan speed, the d08 idiom); the audit output is per (split,
+      // lang) counts + token mass + id checksum so the oracle pins the
+      // EXACT membership, not just the sizes. At 100 TB the split
+      // column is written once as a partition key and every downstream
+      // job prunes on it.
+      val b = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("split", "lang")
+    }),
+
     "samp04_token_budget_mixture" -> ((s, d) => {
       // Token-budgeted temperature mixture — samp03 quotas DOCUMENTS,
       // but training mixtures are specified in TOKENS (a lang of long
@@ -2976,6 +2997,18 @@ object PipelineOps {
              CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
       FROM quota q LEFT JOIN sel s ON q.lang = s.lang
       GROUP BY q.lang, q.n_docs, q.quota ORDER BY q.lang""",
+
+    "spl01_train_val_test_split" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        FROM documents)
+      SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+             lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "samp04_token_budget_mixture" -> """
       WITH toks AS (
