@@ -197,6 +197,37 @@ object Curation {
         extra = Seq("lang" -> col(langCol).cast("string"))),
       floorPerLang, totalN)
 
+  /** Temperature-scaled language mixture draw (samp03's kernel): the
+    * multilingual-training standard — per-language quotas ∝ p^alpha
+    * over a `total`-document budget, filled by a deterministic per-lang
+    * md5-rank draw (the same corpus always yields the same sample).
+    * Returns the SELECTED (doc_id, lang) rows; join your data back by
+    * id. The rank is a WindowGroupLimit bounded heap. */
+  def temperatureMixture(docs: DataFrame, total: Int, alpha: Double = 0.7,
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame =
+    PipelineOps.temperatureMixtureOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          col(langCol).cast("string").as("lang"))
+        .filter(col("doc_id").isNotNull),
+      total, alpha)
+
+  /** Token-budgeted temperature mixture (samp04's kernel): budgets in
+    * TOKENS, not documents — per-language budgets ∝ (token mass)^alpha
+    * over `totalTokens`, greedy md5-rank fill with the first-overrun
+    * document included. `rankCap` bounds the per-lang fill prefix BY
+    * SPEC (the WindowGroupLimit trigger — the fill never sorts a whole
+    * language). Returns the SELECTED (doc_id, lang, n_tok) rows. */
+  def tokenBudgetMixture(docs: DataFrame, totalTokens: Int,
+      alpha: Double = 0.7, rankCap: Int = 400,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.tokenBudgetMixtureOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string")))
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+      totalTokens, alpha, rankCap)
+
   /** Corpus-hapax novelty ratio (t15's kernel): per document, the
     * fraction of its distinct tokens appearing nowhere else in the
     * corpus — high = unique content, near-zero = boilerplate assembled

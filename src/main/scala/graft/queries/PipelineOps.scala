@@ -508,6 +508,79 @@ object PipelineOps {
         when(col("is_floor") === 1, "floor").otherwise("global").as("via"))
   }
 
+  /** samp03's quota kernel — temperature-scaled per-language DOC
+    * quotas: floor(total · w_l / Σw) with w_l = floor((n_l/N)^α·1e6 +
+    * 0.5) (integer micro-units, engine-exact). Returns (lang, n_docs,
+    * quota) — a handful of rows, always broadcastable. */
+  private[graft] def temperatureQuotasOf(docs: DataFrame, total: Int,
+      alpha: Double): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val w = counts
+      .crossJoin(broadcast(counts.agg(sum("n_docs").as("n_total"))))
+      .select(col("lang"), col("n_docs"),
+        floor(pow(col("n_docs") / col("n_total"), alpha) * 1000000.0 + 0.5)
+          .cast("long").as("wq"))
+    w.crossJoin(broadcast(w.agg(sum("wq").as("sum_wq"))))
+      .select(col("lang"), col("n_docs"),
+        floor(lit(total) * col("wq") / col("sum_wq") + 0.5).cast("long").as("quota"))
+  }
+
+  /** samp03's pick kernel — the deterministic per-lang md5-rank draw
+    * against [[temperatureQuotasOf]]: rank ≤ literal `total` FIRST (the
+    * WindowGroupLimit bounded-heap trigger; every per-lang quota is ≤
+    * total by construction), then the broadcast quota cut. Returns the
+    * SELECTED (doc_id, lang) rows. */
+  private[graft] def temperatureMixtureOf(docs: DataFrame, total: Int,
+      alpha: Double): DataFrame = {
+    val quota = temperatureQuotasOf(docs, total, alpha)
+    val rw = Window.partitionBy("lang")
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit("_s"))), col("doc_id"))
+    docs.withColumn("r", row_number().over(rw))
+      .filter(col("r") <= total)
+      .join(broadcast(quota.select("lang", "quota")), "lang")
+      .filter(col("r") <= col("quota"))
+      .select("doc_id", "lang")
+  }
+
+  /** samp04's budget kernel — per-language TOKEN budgets ∝
+    * (token mass)^α over `totalTokens` (integer micro-unit weights).
+    * Input: (doc_id, lang, n_tok). Returns (lang, tok_mass,
+    * tok_budget). */
+  private[graft] def tokenBudgetsOf(docs: DataFrame, totalTokens: Int,
+      alpha: Double): DataFrame = {
+    val mass = docs.groupBy("lang").agg(sum("n_tok").as("tok_mass"))
+    val w = mass
+      .crossJoin(broadcast(mass.agg(sum("tok_mass").as("tok_total"))))
+      .select(col("lang"), col("tok_mass"),
+        floor(pow(col("tok_mass") / col("tok_total"), alpha) * 1000000.0 + 0.5)
+          .cast("long").as("wq"))
+    w.crossJoin(broadcast(w.agg(sum("wq").as("sum_wq"))))
+      .select(col("lang"), col("tok_mass"),
+        floor(lit(totalTokens) * col("wq") / col("sum_wq") + 0.5)
+          .cast("long").as("tok_budget"))
+  }
+
+  /** samp04's pick kernel — greedy md5-rank token fill against
+    * [[tokenBudgetsOf]]: rank ≤ literal `rankCap` BY SPEC (the
+    * bounded-heap trigger — the fill never sorts a whole language),
+    * running token sum over that prefix, keep while the tokens BEFORE
+    * a doc fit the budget (first-overrun doc included). Returns the
+    * SELECTED (doc_id, lang, n_tok) rows. */
+  private[graft] def tokenBudgetMixtureOf(docs: DataFrame, totalTokens: Int,
+      alpha: Double, rankCap: Int): DataFrame = {
+    val budget = tokenBudgetsOf(docs, totalTokens, alpha)
+    val ord = Seq(md5(concat(col("doc_id").cast("string"), lit("_t"))), col("doc_id"))
+    val rw = Window.partitionBy("lang").orderBy(ord: _*)
+    val cum = Window.partitionBy("lang").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("r", row_number().over(rw))
+      .filter(col("r") <= rankCap) // literal bound -> WindowGroupLimit
+      .withColumn("cum_tok", sum("n_tok").over(cum))
+      .join(broadcast(budget.select("lang", "tok_budget")), "lang")
+      .filter(col("cum_tok") - col("n_tok") < col("tok_budget"))
+      .select("doc_id", "lang", "n_tok")
+  }
+
   /** dec02's kernel — contamination AUDIT, the report side of
     * decontamination (dec01/d13 FILTER the training corpus; this
     * grades the EVAL set): per eval document, what fraction of its
@@ -2240,27 +2313,8 @@ object PipelineOps {
       // lang-count aggregate (a handful of rows, broadcast); the draw
       // is one per-lang WindowGroupLimit-able rank; nothing global.
       val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
-      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      // weights quantize to integer micro-units (the s02/s08 idiom):
-      // sum_wq is an exact long, so the quota's floor operand is the
-      // identical double in both engines regardless of merge order
-      val w = counts
-        .crossJoin(broadcast(counts.agg(sum("n_docs").as("n_total"))))
-        .select(col("lang"), col("n_docs"),
-          floor(pow(col("n_docs") / col("n_total"), 0.7) * 1000000.0 + 0.5)
-            .cast("long").as("wq"))
-      val quota = w.crossJoin(broadcast(w.agg(sum("wq").as("sum_wq"))))
-        .select(col("lang"), col("n_docs"),
-          floor(lit(200) * col("wq") / col("sum_wq") + 0.5).cast("long").as("quota"))
-      val rw = Window.partitionBy("lang")
-        .orderBy(md5(concat(col("doc_id").cast("string"), lit("_s"))), col("doc_id"))
-      val sel = docs.withColumn("r", row_number().over(rw))
-        // literal budget bound FIRST: rank <= 200 right above the Window
-        // is what InferWindowGroupLimit needs for the bounded heap — the
-        // per-lang quota (<= 200 by construction) then cuts exactly
-        .filter(col("r") <= 200)
-        .join(broadcast(quota.select("lang", "quota")), "lang")
-        .filter(col("r") <= col("quota"))
+      val quota = temperatureQuotasOf(docs, total = 200, alpha = 0.7)
+      val sel = temperatureMixtureOf(docs, total = 200, alpha = 0.7)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_checksum"))
       quota.join(sel, Seq("lang"), "left")
@@ -2298,36 +2352,16 @@ object PipelineOps {
       // token budgets ∝ (token mass)^0.7 over a 20k-token total, then
       // a greedy fill in deterministic md5-rank order — a doc is kept
       // while the tokens BEFORE it fit the budget (first-overrun doc
-      // included, so every nonzero budget selects at least one doc;
-      // both engines replay the same rule). The fill window runs over
-      // the per-lang rank-≤400 prefix BY SPEC — the literal bound is
-      // what keeps the rank a WindowGroupLimit bounded heap at 100 TB
-      // (never a full per-lang sort); the running token sum then
-      // orders ≤400 rows per lang. Budgets/weights quantize to integer
-      // micro-units (the samp03 idiom) so quotas are engine-exact; the
-      // id checksum pins the EXACT selection.
+      // included, so every nonzero budget selects at least one doc).
+      // Scale notes at the kernels (bounded-heap rank by the literal
+      // 400 spec cap, ≤400-row fill window per lang, broadcast budget
+      // table); the id checksum pins the EXACT selection.
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val mass = docs.groupBy("lang").agg(sum("n_tok").as("tok_mass"))
-      val w = mass
-        .crossJoin(broadcast(mass.agg(sum("tok_mass").as("tok_total"))))
-        .select(col("lang"), col("tok_mass"),
-          floor(pow(col("tok_mass") / col("tok_total"), 0.7) * 1000000.0 + 0.5)
-            .cast("long").as("wq"))
-      val budget = w.crossJoin(broadcast(w.agg(sum("wq").as("sum_wq"))))
-        .select(col("lang"), col("tok_mass"),
-          floor(lit(20000) * col("wq") / col("sum_wq") + 0.5).cast("long").as("tok_budget"))
-      val rw = Window.partitionBy("lang")
-        .orderBy(md5(concat(col("doc_id").cast("string"), lit("_t"))), col("doc_id"))
-      val cum = Window.partitionBy("lang")
-        .orderBy(md5(concat(col("doc_id").cast("string"), lit("_t"))), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sel = docs.withColumn("r", row_number().over(rw))
-        .filter(col("r") <= 400) // literal bound -> WindowGroupLimit
-        .withColumn("cum_tok", sum("n_tok").over(cum))
-        .join(broadcast(budget.select("lang", "tok_budget")), "lang")
-        .filter(col("cum_tok") - col("n_tok") < col("tok_budget"))
+      val budget = tokenBudgetsOf(docs, totalTokens = 20000, alpha = 0.7)
+      val sel = tokenBudgetMixtureOf(docs, totalTokens = 20000, alpha = 0.7,
+        rankCap = 400)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sel"), sum("n_tok").as("tok_sel"),
           sum("doc_id").as("id_checksum"))

@@ -366,4 +366,25 @@ class CurationApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(api == ref)
   }
+
+  test("temperatureMixture and tokenBudgetMixture over renamed columns equal the samp03/samp04 entries") {
+    val tm = Curation.temperatureMixture(userDocs, total = 200,
+        idCol = "docnum", langCol = "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("ck"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val tmRef = entry("samp03_temperature_sample")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .filter(_._2 > 0).toSet
+    assert(tm == tmRef)
+    val tb = Curation.tokenBudgetMixture(userDocs, totalTokens = 20000,
+        idCol = "docnum", textCol = "body", langCol = "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tk"), sum("doc_id").as("ck"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val tbRef = entry("samp04_token_budget_mixture")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .filter(_._2 > 0).toSet
+    assert(tb == tbRef)
+  }
 }
