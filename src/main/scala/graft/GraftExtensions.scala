@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.exprs.Md5Bits60].getName, "md5_bits60"),
       (exprs: Seq[Expression]) => graft.exprs.Md5Bits60(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[graft.exprs.QualityScore].getName, "quality_score"),
+      (exprs: Seq[Expression]) => graft.exprs.QualityScore(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("jl_project"),
       new ExpressionInfo(classOf[graft.exprs.JlProject].getName, "jl_project"),
       (exprs: Seq[Expression]) => graft.exprs.JlProject.fromExprs(exprs)))

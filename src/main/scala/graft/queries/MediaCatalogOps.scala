@@ -204,7 +204,7 @@ object MediaCatalogOps {
       val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
       val base = EngineOps.tempDir("graft-st05") // removed on JVM exit
       val gated = input.toDF()
-        .withColumn("score", graft.queries.PipelineOps.qualityScoreExpr)
+        .withColumn("score", graft.queries.PipelineOps.qualityScoreCol(s))
         .filter(col("score") >= 0.45)
       val q = gated.writeStream.outputMode("append")
         .format("parquet").option("path", s"$base/out")

@@ -300,12 +300,25 @@ object PipelineOps {
   }
 
   /** The t14 score as a reusable Column over a `text` column — fully
-    * in-row, so composed pipelines (p03) gate map-side with no join. */
+    * in-row, so composed pipelines (p03) gate map-side with no join.
+    * Production path: [[qualityScoreCol]] (the native codegen'd
+    * QualityScore expression). This HOF formulation is kept as the
+    * independent reference implementation QualityScoreSpec pins the
+    * native one against — the two must stay value-identical. */
   private[graft] def qualityScoreExpr: Column =
     round(expr(
       "1 / (1 + exp(-4 * aggregate(transform(split(text, ' '), t -> " +
         "(cast(pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), 2049) as double) - 1024) / 1024.0" +
         "), 0D, (acc, x) -> acc + x) / size(split(text, ' '))))"), 4)
+
+  /** The t14 score as the native codegen'd QualityScore expression —
+    * value-identical to [[qualityScoreExpr]] (QualityScoreSpec pins
+    * it) without the per-token HOF lambda frames; the model-gate
+    * Column five operators ride (t14, sel01, p03, p04, st05). */
+  private[graft] def qualityScoreCol(spark: SparkSession): Column = {
+    graft.exprs.QualityScore.register(spark)
+    expr("quality_score(text)")
+  }
 
   /** t14's kernel — fastText-shaped linear quality classifier: each
     * token's weight is hash-derived in [-1, 1] with an exactly
@@ -318,7 +331,7 @@ object PipelineOps {
   private[graft] def qualityScoreOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      qualityScoreExpr.as("score"))
+      qualityScoreCol(docs.sparkSession).as("score"))
 
   /** s09's kernel — product-quantization encode (Jégou et al. 2011,
     * the storage half of IVF+PQ): split each `dims`-wide vector into
@@ -493,7 +506,7 @@ object PipelineOps {
   private[graft] def qualityFloorSelectOf(docs: DataFrame, floorPerLang: Int,
       totalN: Int): DataFrame = {
     val scored = docs.select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("score", qualityScoreExpr)
+      .withColumn("score", qualityScoreCol(docs.sparkSession))
     val perLang = Window.partitionBy("lang")
       .orderBy(col("score").desc, col("doc_id"))
     val floorSet = scored
@@ -2439,7 +2452,7 @@ object PipelineOps {
       val train = docs.filter(col("doc_id") % 50 =!= 0)
       val gated = train
         .select(col("doc_id"), col("lang"), col("text"))
-        .withColumn("score", qualityScoreExpr)
+        .withColumn("score", qualityScoreCol(s))
         .filter(col("score") >= 0.45)
       val lmScored = lmScoreOf(gated.select("doc_id", "text"))
       val scored = gated
@@ -2477,7 +2490,7 @@ object PipelineOps {
       // two-scan anti-filter shape, and the final stats aggregate is
       // 5 rows.
       val kept = t(s, d, "documents")
-        .withColumn("score", qualityScoreExpr)
+        .withColumn("score", qualityScoreCol(s))
         .filter(col("score") >= 0.45)
         .select("doc_id", "lang", "text")
       chunkDedupOf(kept, chunkWords = 10, carry = Seq("lang"))

@@ -41,6 +41,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val proj = s.sql("SELECT jl_project(array(0.5D, 0.25D), 2, 2) AS p")
         .head.getSeq[Double](0)
       assert(proj.length == 2)
+      val q = s.sql("SELECT quality_score('a b c') AS q").head.getDouble(0)
+      assert(q > 0 && q < 1)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

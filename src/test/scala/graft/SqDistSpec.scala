@@ -126,3 +126,51 @@ class Md5Bits60Spec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).distinct.length == 99)
   }
 }
+
+/** QualityScore: value parity with the HOF reference formulation
+  * (qualityScoreExpr) across tokenization edge cases, plus codegen. */
+class QualityScoreSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.exprs.QualityScore.register(s)
+    s
+  }
+
+  test("bit-exact vs the HOF reference across edge tokenizations") {
+    import spark.implicits._
+    val rows = Seq(
+      "the quick brown fox",
+      "single",
+      "double  space", // empty token between the spaces must count
+      "trailing space ", // trailing empty token must count
+      " leading", "", // empty text is one empty token
+      "caf\u00e9 \u00fcber stra\u00dfe", // non-ascii tokens
+      ("tok " * 200).trim)
+      .toDF("text")
+      .select(expr("quality_score(text)").as("n"),
+        graft.queries.PipelineOps.qualityScoreExpr.as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+  }
+
+  test("executes inside whole-stage codegen; null in, null out") {
+    val df = spark.range(1, 50)
+      .selectExpr("quality_score(concat('tok ', cast(id as string))) as q")
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.exists(_.toString.contains("quality_score")))
+    assert(df.collect().forall(r => r.getDouble(0) > 0 && r.getDouble(0) < 1))
+    import spark.implicits._
+    val n = Seq[Option[String]](None).toDF("text")
+      .selectExpr("quality_score(text) as q").collect()
+    assert(n(0).isNullAt(0))
+  }
+}
