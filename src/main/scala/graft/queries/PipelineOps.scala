@@ -377,12 +377,14 @@ object PipelineOps {
   private[graft] def dsirResampleOf(docs: DataFrame, n: Int, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(n >= 0, s"n must be >= 0, got $n")
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
     val toks = docs
       .select(col("doc_id"), col("is_tgt"),
         explode(split(col("text"), " ")).as("tok"))
-      .withColumn("b", pmod(
-        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"),
-        lit(buckets.toLong)))
+      // native md5_bits60: same 60-bit value as the conv(substring(md5))
+      // chain (Md5Bits60Spec pins it), no hex-string round trip on the
+      // per-token hot path; pmod of a non-negative value == %
+      .withColumn("b", pmod(expr("md5_bits60(tok)"), lit(buckets.toLong)))
       .select("doc_id", "is_tgt", "b")
     val counts = toks.groupBy("b").agg(count(lit(1)).as("rc"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
