@@ -978,10 +978,21 @@ object PipelineOps {
     * whole-stage codegen. `emb`: (vec_id, label, e); `queries`:
     * (qid, qe). Returns (qid, rk, nid, c). */
   private[graft] def ivfTopKOf(emb: DataFrame, queries: DataFrame,
-      k: Int, probes: Int): DataFrame = {
+      k: Int, probes: Int): DataFrame =
+    ivfProbeOf(
+      meanVectors(emb.select(col("label"), col("e")), "label")
+        .select(col("label").as("clabel"), col("ce")),
+      emb, queries, k, probes)
+
+  /** The probe half of IVF, over an ALREADY-BUILT index — `cent`
+    * (clabel, ce) is the centroid table (tiny, broadcast) and `emb`
+    * (vec_id, label, e) the posting lists keyed by cluster. Split out
+    * of [[ivfTopKOf]] so idx02 can run it against the PERSISTED
+    * artifact (centroids + label-partitioned postings read back from
+    * parquet) and prove the round trip is loss-free. */
+  private[graft] def ivfProbeOf(cent: DataFrame, emb: DataFrame,
+      queries: DataFrame, k: Int, probes: Int): DataFrame = {
     graft.exprs.CosineSim.register(emb.sparkSession)
-    val cent = meanVectors(emb.select(col("label"), col("e")), "label")
-      .select(col("label").as("clabel"), col("ce"))
     val wc = Window.partitionBy("qid").orderBy(col("cc").desc, col("clabel").asc)
     val probed = queries.crossJoin(broadcast(cent))
       .select(col("qid"), col("qe"), col("clabel"),
@@ -1494,6 +1505,35 @@ object PipelineOps {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       bruteForceTopKOf(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("qid", "rk")
+    }),
+
+    "s11_ivf_persist" -> ((s, d) => {
+      // IVF as a STORED artifact — the part the in-memory s02 entry
+      // cannot prove: the centroid table and the LABEL-PARTITIONED
+      // posting lists are written to parquet (the on-disk layout where
+      // a probe's cluster filter becomes partition pruning), read back
+      // cold, and probed with s02's exact query set. The result must
+      // be bit-identical to s02 (same oracle SQL) — index build and
+      // serving are separate jobs at 100 TB, and this pins that the
+      // round trip through the artifact is loss-free: centroid doubles
+      // bit-exact through parquet, partition-column values intact,
+      // probe plan unchanged (broadcast centroids, per-query bounded
+      // rank).
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      val base = EngineOps.tempDir("graft-s11")
+      val cent = meanVectors(emb.select(col("label"), col("e")), "label")
+        .select(col("label").as("clabel"), col("ce"))
+      cent.write.mode("overwrite").parquet(s"$base/centroids")
+      emb.write.mode("overwrite").partitionBy("label").parquet(s"$base/postings")
+      val centR = s.read.parquet(s"$base/centroids")
+      val corpusR = s.read.parquet(s"$base/postings")
+      ivfProbeOf(centR, corpusR,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe")),
+        k = 5, probes = 2)
         .orderBy("qid", "rk")
     }),
 
@@ -2932,6 +2972,34 @@ object PipelineOps {
         SELECT qid, nid, c,
                row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
         FROM scored
+      )
+      SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
+    // the persisted-artifact probe must equal the in-memory build exactly
+    "s11_ivf_persist" -> """
+      WITH dims AS (
+        SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 10
+      ), qc AS (
+        SELECT qid, qe, clabel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, clabel ASC) AS crk
+        FROM q, cent
+      ), probes AS (SELECT qid, qe, clabel FROM qc WHERE crk <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id AS nid,
+               round(list_cosine_similarity(p.qe, e.embedding::DOUBLE[]), 4) AS c
+        FROM probes p JOIN embeddings e ON e.label = p.clabel AND e.vec_id <> p.qid
+      ), r AS (
+        SELECT qid, nid, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM cand
       )
       SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
 
