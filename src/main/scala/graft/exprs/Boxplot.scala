@@ -133,7 +133,15 @@ object Boxplot {
       (count(when(infoCol.isNotNull && v.isNotNull, 1)) > 0).as("_bhas"))
     val lo = col("_bq1") - lit(1.5) * (col("_bq3") - col("_bq1"))
     val hi = col("_bq3") + lit(1.5) * (col("_bq3") - col("_bq1"))
-    df.join(broadcast(q), groupCols)
+    // null-safe join-back: GROUP BY emits a result row for a NULL
+    // group key (the UDAF path gets it via groupBy too), so the
+    // join-back must match it — a plain equi-join would drop it
+    val qa = q.select(groupCols.map(c => col(c).as("_bg_" + c)) ++
+      Seq(col("_bq1"), col("_bq2"), col("_bq3"), col("_bhas")): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col("_bg_" + c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    df.join(broadcast(qa), joinCond)
+      .drop(groupCols.map("_bg_" + _): _*)
       .withColumn("_bv", v)
       .withColumn("_binfo", infoCol)
       .withColumn("_binside", v >= lo && v <= hi)

@@ -102,7 +102,7 @@ object JlProject {
       i += 1
     }
     val signs = signMatrix(inDims, outDims)
-    val scale = 1000000.0 * math.sqrt(outDims.toDouble)
+    val sqrtOut = math.sqrt(outDims.toDouble)
     val out = new Array[Double](outDims)
     var j = 0
     while (j < outDims) {
@@ -113,8 +113,12 @@ object JlProject {
         acc += (if (sj(i) > 0) q(i) else -q(i))
         i += 1
       }
-      // exactly Spark's round(x, 4) for doubles: BigDecimal HALF_UP
-      out(j) = java.math.BigDecimal.valueOf(acc.toDouble / scale)
+      // exactly Spark's round(x, 4) for doubles: BigDecimal HALF_UP.
+      // Two SEQUENTIAL divisions, not acc/(1e6*sqrt(n)): the replaced
+      // unrolled tree, the spec's recompute, and the DuckDB oracle all
+      // evaluate (sum / 1e6) / sqrt(n), and IEEE a/(b*c) can differ
+      // from (a/b)/c by 1 ulp — enough to flip HALF_UP on a boundary.
+      out(j) = java.math.BigDecimal.valueOf(acc.toDouble / 1000000.0 / sqrtOut)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
       j += 1
     }

@@ -303,8 +303,9 @@ object PipelineOps {
     * in-row, so composed pipelines (p03) gate map-side with no join.
     * Production path: [[qualityScoreCol]] (the native codegen'd
     * QualityScore expression). This HOF formulation is kept as the
-    * independent reference implementation QualityScoreSpec pins the
-    * native one against — the two must stay value-identical. */
+    * independent reference implementation QualityScoreSpec (a class
+    * in SqDistSpec.scala) pins the native one against — the two must
+    * stay value-identical. */
   private[graft] def qualityScoreExpr: Column =
     round(expr(
       "1 / (1 + exp(-4 * aggregate(transform(split(text, ' '), t -> " +
@@ -312,8 +313,9 @@ object PipelineOps {
         "), 0D, (acc, x) -> acc + x) / size(split(text, ' '))))"), 4)
 
   /** The t14 score as the native codegen'd QualityScore expression —
-    * value-identical to [[qualityScoreExpr]] (QualityScoreSpec pins
-    * it) without the per-token HOF lambda frames; the model-gate
+    * value-identical to [[qualityScoreExpr]] (QualityScoreSpec, a
+    * class in SqDistSpec.scala, pins it) without the per-token HOF
+    * lambda frames; the model-gate
     * Column five operators ride (t14, sel01, p03, p04, st05). */
   private[graft] def qualityScoreCol(spark: SparkSession): Column = {
     graft.exprs.QualityScore.register(spark)
@@ -382,7 +384,8 @@ object PipelineOps {
       .select(col("doc_id"), col("is_tgt"),
         explode(split(col("text"), " ")).as("tok"))
       // native md5_bits60: same 60-bit value as the conv(substring(md5))
-      // chain (Md5Bits60Spec pins it), no hex-string round trip on the
+      // chain (Md5Bits60Spec, a class in SqDistSpec.scala, pins it),
+      // no hex-string round trip on the
       // per-token hot path; pmod of a non-negative value == %
       .withColumn("b", pmod(expr("md5_bits60(tok)"), lit(buckets.toLong)))
       .select("doc_id", "is_tgt", "b")
@@ -800,12 +803,13 @@ object PipelineOps {
     val sh = shingles(docs)
     // The CANDIDATE stages run on 60-bit shingle hashes, not strings:
     // the df window, the prefix rank, and the self-join all shuffle
-    // fixed-width longs instead of ~20-char text. This is lossless for
-    // RECALL: hashing can only merge tokens, so hash-jaccard ≥
-    // string-jaccard — any pair at string-jaccard ≥ t is also at
-    // hash-jaccard ≥ t and must share a prefix hash under the (df,
-    // hash) canonical order; a collision only ever ADDS candidates,
-    // and verification below recomputes jaccard on the exact STRINGS.
+    // fixed-width longs instead of ~20-char text. Collisions are NOT
+    // strictly recall-safe — if two shingles present in BOTH docs
+    // collide, hash-jaccard can drop BELOW string-jaccard (A={a,b,x},
+    // B={a,b,y} with a,b colliding: 1/3 < 1/2), so a true pair could
+    // in principle miss the candidate stage. At 60 bits that is
+    // ~2^-60 per pair — vanishingly rare even at 100 TB — and every
+    // surviving candidate is verified on the exact STRINGS below.
     val hsh = sh.select(col("doc_id"), expr("md5_bits60(sh)").as("sh"))
     val ranked = prefixRanked(hsh, thr)
     // size filter (AllPairs): jaccard >= t forces t*|A| <= |B| <= |A|/t,
@@ -1036,8 +1040,9 @@ object PipelineOps {
     val bsh = shingles(batch)
     val csh = shingles(corpus)
     // candidate stages on 60-bit hashes (the d09 argument verbatim:
-    // hash-jaccard ≥ string-jaccard, so recall survives any collision
-    // and verification below recomputes on the exact strings); the
+    // a both-docs collision can in principle sink hash-jaccard below
+    // string-jaccard, but at 60 bits that is ~2^-60 per pair, and
+    // verification below recomputes on the exact strings); the
     // stored corpus-df table and both prefix ranks shuffle longs
     val bh = bsh.select(col("doc_id"), expr("md5_bits60(sh)").as("sh"))
     val ch = csh.select(col("doc_id"), expr("md5_bits60(sh)").as("sh"))

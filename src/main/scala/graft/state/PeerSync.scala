@@ -53,7 +53,12 @@ import scala.collection.mutable
   */
 final class PeerSync(app: StateJournal.StateApp, peers: Seq[String],
     token: String, intervalMillis: Long = 2000,
-    onApplied: Int => Unit = _ => (), batchLimit: Int = 1000)
+    onApplied: Int => Unit = _ => (),
+    // single source of truth with the serving side: the "keep pulling
+    // while batches come back full" heuristic in pollOnce silently
+    // degrades to one-batch-per-poll if the server cap drops below
+    // the client's — so the default IS the server cap, not a copy
+    batchLimit: Int = graft.api.HttpApi.SyncBatchLimit)
     extends AutoCloseable {
 
   private val cursors = mutable.Map.empty[String, Long]

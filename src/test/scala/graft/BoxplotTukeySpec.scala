@@ -75,6 +75,29 @@ class BoxplotTukeySpec extends AnyFunSuite {
     assert(canon(kernel) === canon(udaf))
   }
 
+  test("tukey kernel keeps the NULL group key row (null-safe join-back)") {
+    // GROUP BY emits a row for the NULL group; a plain equi-join-back
+    // would silently drop it (r7 advice). Pin tukey == UDAF on a frame
+    // where one group key is null.
+    graft.exprs.Boxplot.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 1.0, "x"), (Option("a"), 2.0, "y"),
+      (Option.empty[String], 10.0, "n1"), (Option.empty[String], 11.0, "n2"),
+      (Option.empty[String], 500.0, "n-far"), (Option.empty[String], 12.0, "n3"),
+      (Option.empty[String], 13.0, "n4"))
+      .toDF("g", "v", "i")
+    df.createOrReplaceTempView("bp_nullkey_src")
+    val udaf = spark.sql(
+      """SELECT g, boxplot_info(CAST(v AS DOUBLE), map('k', i)) AS bp
+        |FROM bp_nullkey_src GROUP BY g""".stripMargin)
+    val kernel = graft.exprs.Boxplot.tukey(
+      df, Seq("g"), "v", map(lit("k"), col("i")))
+    assert(kernel.filter(col("g").isNull).count() == 1,
+      "null group key must survive the join-back")
+    assert(canon(kernel) === canon(udaf))
+  }
+
   test("plain BOXPLOT(x) rewrite (builtin aggregates) matches the UDAF ELSE branch") {
     graft.exprs.Boxplot.register(spark)
     sampleDf().createOrReplaceTempView("bp_plain_src")
