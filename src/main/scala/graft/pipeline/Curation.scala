@@ -110,6 +110,19 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.chunkDedupOf(canon(docs, idCol, textCol), chunkWords)
 
+  /** Exact-substring dedup at TOKEN granularity (d18's kernel — Lee
+    * et al. 2022's ExactSubstr): every token covered by an exact
+    * `runLen`-token run occurring more than once anywhere in the
+    * corpus (any doc, any position, a doc's own repeat included) is
+    * removed; survivors reassemble in document order. Unlike
+    * [[chunkDedup]]'s aligned windows, a duplicated passage straddling
+    * a chunk boundary is still caught. Returns (doc_id, n_tokens,
+    * n_dup_tokens, dup_ratio, cleaned_text); every doc survives (a
+    * fully-duplicated doc comes back with empty cleaned_text). */
+  def exactSubstringDedup(docs: DataFrame, runLen: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.exactSubstringDedupOf(canon(docs, idCol, textCol), runLen)
+
   /** Corpus-wide adjacent word-pair counts, top `k` (t13's kernel —
     * the BPE-training merge-candidate scan). Returns (pair, n), count
     * desc with pair tiebreak. */

@@ -66,6 +66,53 @@ object PipelineOps {
           " ").as("cleaned_text") +: carry.map(c => first(col(c)).as(c))): _*)
   }
 
+  /** d18's kernel — exact-substring dedup at token granularity (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": ExactSubstr): every token covered by an exact
+    * `runLen`-token run that occurs >= 2 times in the corpus (any doc,
+    * any position — a doc's own repeat counts, like the paper's
+    * suffix-array criterion) is removed; survivors reassemble in
+    * document order. No suffix array is needed at FIXED run length: a
+    * maximal duplicated run of length >= L contains only duplicated
+    * L-grams (each L-window recurs inside the run's other copy), and a
+    * duplicated L-gram IS a duplicated run — so the duplicated-L-gram
+    * cover equals the >=L duplicated-run cover exactly. Returns
+    * (doc_id, n_tokens, n_dup_tokens, dup_ratio, cleaned_text).
+    * Coverage assembly is per-doc map-side after the joins —
+    * O(n_tok * n_dup_starts) worst case, doc-bounded (a merged-interval
+    * prepass would make it O(n_tok + starts) if ever needed). Scale
+    * notes at the d18 entry. */
+  private[graft] def exactSubstringDedupOf(docs: DataFrame, runLen: Int): DataFrame = {
+    require(runLen >= 1, s"runLen must be >= 1, got $runLen")
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    // gram HASHES are built map-side inside the token array, so every
+    // gram-keyed exchange below carries (doc_id, pos, 60-bit long)
+    // only — corpus text never enters a gram-side shuffle. (The d09
+    // collision note applies: a cross-gram 60-bit collision could
+    // over-mark a run as duplicated, ~2^-60 per gram pair; the oracle
+    // hashes identically, so the gate pins the same cut.)
+    val grams = toks.select(col("doc_id"), posexplode(expr(
+      s"CASE WHEN size(ts) >= $runLen THEN " +
+        s"transform(sequence(0, size(ts) - $runLen), " +
+        s"i -> md5_bits60(array_join(slice(ts, i + 1, $runLen), ' '))) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gh")
+    val dupStarts = grams.join(dup, "gh")
+      .groupBy("doc_id").agg(sort_array(collect_list("pos")).as("ps"))
+    toks.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        s"filter(ts, (x, i) -> NOT exists(ps, p -> p <= i AND i < p + $runLen))"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (size(col("ts")) - size(col("kept"))).cast("long").as("n_dup_tokens"),
+        round((size(col("ts")) - size(col("kept"))) / size(col("ts")), 4)
+          .as("dup_ratio"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   /** s07's kernel: BM25 (Lucene idf) scores of `terms` over the corpus,
     * top `k` docs on the rounded score with doc_id tiebreak. Returns
     * (doc_id, score). Scale notes at the s07 entry. */
@@ -2263,6 +2310,29 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "d18_exact_substring" -> ((s, d) => {
+      // Exact-substring dedup (Lee et al. 2022's ExactSubstr — the
+      // remaining standard production dedup family next to doc-level
+      // d01-d15 and chunk-level d16): any exact 8-token run occurring
+      // >= 2 times anywhere in the corpus has ALL its occurrences'
+      // tokens removed, at token granularity rather than d16's
+      // aligned-chunk granularity (a duplicated passage straddling a
+      // chunk boundary escapes d16 but not this). 100 TB: gram hashes
+      // are built map-side inside each doc's token array (the only
+      // pre-aggregation explode), so the gram-df aggregation and the
+      // dup join-back shuffle fixed-width longs, never text; a
+      // boilerplate gram is a hot key in both (AQE-splittable, output
+      // linear in occurrence count — never pairwise); the corpus TEXT
+      // shuffles exactly once, by doc_id, to meet its dup-start list
+      // (the same single text shuffle d16 pays); coverage assembly and
+      // reassembly are per-doc map-side. PlanSpec pins the shape.
+      exactSubstringDedupOf(
+          t(s, d, "documents").select("doc_id", "text"), runLen = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          col("dup_ratio"), md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     "s07_bm25_topk" -> ((s, d) => {
       // BM25 keyword retrieval (Robertson/Sparck Jones weighting, the
       // Lucene idf variant) — the lexical half of a retrieval pipeline,
@@ -3923,6 +3993,28 @@ object PipelineOps {
       SELECT doc_id, count(*) AS n_kept,
              md5(string_agg(chunk, ' ' ORDER BY k)) AS cleaned_md5
       FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    "d18_exact_substring" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               ('0x' || substring(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+        FROM toks, unnest(generate_series(1, len(w) - 7)) AS t(i)),
+      dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+      cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + o.i AS t
+        FROM grams g JOIN dup USING (gh), unnest(generate_series(0, 7)) AS o(i)),
+      tokpos AS (
+        SELECT doc_id, i - 1 AS t, w[i] AS tok
+        FROM toks, unnest(generate_series(1, len(w))) AS s(i))
+      SELECT tp.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(c.t) AS BIGINT) AS n_dup_tokens,
+             round(count(c.t) * 1.0 / count(*), 4) AS dup_ratio,
+             md5(coalesce(string_agg(CASE WHEN c.t IS NULL THEN tp.tok END,
+                                     ' ' ORDER BY tp.t), '')) AS cleaned_md5
+      FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.t = tp.t
+      GROUP BY tp.doc_id ORDER BY tp.doc_id""",
 
     "s07_bm25_topk" -> """
       WITH feat AS (

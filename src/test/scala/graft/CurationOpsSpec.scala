@@ -53,6 +53,53 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 exact-substring dedup equals a brute-force string-level recompute") {
+    // handcrafted corpus against an independent brute force: collect
+    // every L-token window AS A STRING across all docs, mark windows
+    // with total occurrence count >= 2, remove covered tokens. Cases:
+    // a shared run longer than L (cross-boundary for chunkers), a
+    // doc-internal repeat, a short doc (< L tokens), an untouched doc.
+    import spark.implicits._
+    val L = 4
+    val shared = "alpha beta gamma delta epsilon zeta" // 6-token shared run
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"five six seven $shared"),
+      (3L, "rep rep rep rep rep rep rep rep rep"), // internal repeat
+      (4L, "too short here"),                      // < L tokens
+      (5L, "nothing duplicated in this document at all"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Curation.exactSubstringDedup(docs, runLen = L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+
+    // brute force on strings (no hashing — pins the hash path lossless here)
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    toks.values.foreach { ts =>
+      (0 to ts.length - L).foreach { i =>
+        val g = ts.slice(i, i + L).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0) + 1
+      }
+    }
+    toks.foreach { case (id, ts) =>
+      val covered = Array.fill(ts.length)(false)
+      (0 to ts.length - L).foreach { i =>
+        if (counts(ts.slice(i, i + L).mkString(" ")) >= 2)
+          (i until i + L).foreach(covered(_) = true)
+      }
+      val kept = ts.indices.filterNot(covered).map(ts)
+      val (n, nd, cleaned) = got(id)
+      assert(n == ts.length, s"doc $id n_tokens")
+      assert(nd == covered.count(identity), s"doc $id n_dup_tokens")
+      assert(cleaned == kept.mkString(" "), s"doc $id cleaned text")
+    }
+    // the interesting cases actually fired
+    assert(got(1L)._2 == 6 && got(2L)._2 == 6, "whole shared run must go, not just one window")
+    assert(got(3L)._2 == 9, "doc-internal periodic repeat fully covered")
+    assert(got(4L)._2 == 0 && got(5L)._2 == 0, "short/unique docs untouched")
+  }
+
   test("samp01 mixture sampling: rate-1.0 stratum intact, rates ordered, deterministic") {
     val a = run("samp01_mixture_sample").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -397,6 +397,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
   }
 
+  test("d18 exact-substring dedup: grams-only joins, text shuffles once by doc_id") {
+    // the ExactSubstr promise: corpus TEXT never self-joins — the
+    // gram-df aggregation and the dup join-back run on 60-bit longs
+    // built map-side, and the only text-bearing exchange is the one
+    // doc_id join against each doc's dup-start list
+    val df = graft.queries.PipelineOps.defs("d18_exact_substring")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"corpus cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
+    // gram hashing happens inside the token array BEFORE the explode:
+    // the exploded gram stream carries the hash column, never gram text
+    assert(plan.contains("md5_bits60"), "gram hashing must be the native md5_bits60")
+    // every hash-partitioned exchange keys on gh (the 60-bit gram
+    // hash) or doc_id — never on a text/gram-string column
+    val exchanges = "hashpartitioning\\(([a-zA-Z0-9_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("gh", "doc_id")),
+      s"unexpected shuffle keys $exchanges:\n$plan")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
