@@ -19,6 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Route boxplot_info aggregates (task SQL has no row cap) through
+    // the distributed percentile+join-back plan; runs post-hoc so the
+    // rewritten plan still flows through the full optimizer.
+    ext.injectPostHocResolutionRule(_ => graft.plans.BoxplotScaleRule)
     graft.types.ShaperTypes.all.foreach { td =>
       ext.injectFunction((
         FunctionIdentifier(td.name),

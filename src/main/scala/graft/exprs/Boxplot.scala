@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * the render layer keys boxplot detection on (ref:
   * findBoxlotColumnIndex, get_dashboard.go:749-756).
   *
-  * Scale note: the buffer collects values, which is fine for the
-  * dashboard path (≤3000-row results, reference row cap); for a
-  * 100 TB aggregation you would swap in percentile_approx — the
-  * render contract is unchanged.
+  * Scale note: the UDAF buffers collect values, which is fine for the
+  * dashboard path (≤3000-row results, reference row cap) — but SQL is
+  * not row-capped on the task path, so `register` (and
+  * GraftExtensions) also installs [[graft.plans.BoxplotScaleRule]],
+  * which rewrites boxplot_info aggregates into [[tukey]]'s
+  * percentile + broadcast join-back plan. The UDAFs remain the
+  * reference implementations BoxplotTukeySpec pins both the rule and
+  * the kernel against.
   */
 object Boxplot {
 
@@ -171,5 +175,14 @@ object Boxplot {
     spark.udf.register("BOXPLOT", functions.udaf(new BoxplotAgg, Encoders.DOUBLE))
     spark.udf.register("boxplot_info",
       functions.udaf(new BoxplotInfoAgg, Encoders.product[BoxplotInfoIn]))
+    // SQL-reachable boxplot_info routes through the distributed
+    // percentile+join-back plan (task SQL has no row cap, and the UDAF
+    // would Kryo-collect whole groups); the UDAF stays registered as
+    // the reference implementation BoxplotTukeySpec pins against.
+    // Sessions built with spark.sql.extensions=graft.GraftExtensions
+    // get the same rule at post-hoc resolution instead.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoxplotScaleRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoxplotScaleRule
   }
 }

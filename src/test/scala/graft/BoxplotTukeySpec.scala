@@ -48,6 +48,16 @@ class BoxplotTukeySpec extends AnyFunSuite {
     }.toDF("g", "v", "i")
   }
 
+  /** Runs `body` with BoxplotScaleRule removed from the session, so a
+    * SQL boxplot_info call genuinely executes the UDAF — the
+    * reference implementation these parity pins are against. */
+  private def viaUdaf[A](body: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.BoxplotScaleRule)
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
   private def canon(df: DataFrame): Seq[String] = {
     // bp struct -> a stable string: scalars rounded, outliers as
     // (value, info-k) pairs in value order
@@ -72,7 +82,7 @@ class BoxplotTukeySpec extends AnyFunSuite {
         |FROM bp_tukey_src GROUP BY g""".stripMargin)
     val kernel = graft.exprs.Boxplot.tukey(
       df, Seq("g"), "v", map(lit("k"), col("i")))
-    assert(canon(kernel) === canon(udaf))
+    assert(canon(kernel) === viaUdaf(canon(udaf)))
   }
 
   test("tukey kernel keeps the NULL group key row (null-safe join-back)") {
@@ -95,7 +105,7 @@ class BoxplotTukeySpec extends AnyFunSuite {
       df, Seq("g"), "v", map(lit("k"), col("i")))
     assert(kernel.filter(col("g").isNull).count() == 1,
       "null group key must survive the join-back")
-    assert(canon(kernel) === canon(udaf))
+    assert(canon(kernel) === viaUdaf(canon(udaf)))
   }
 
   test("plain BOXPLOT(x) rewrite (builtin aggregates) matches the UDAF ELSE branch") {
@@ -110,6 +120,64 @@ class BoxplotTukeySpec extends AnyFunSuite {
     val plan = viaRewrite.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("boxplot"), s"UDAF still in plan:\n$plan")
     assert(plan.contains("percentile"), "builtin percentile missing from rewritten plan")
+  }
+
+  test("BoxplotScaleRule: SQL boxplot_info runs the distributed plan, UDAF-identical") {
+    // the r7 weak mark: task SQL reaching boxplot_info Kryo-collected
+    // whole groups. With the rule registered, the physical plan must
+    // carry percentile + collect_list instead of the ScalaAggregator,
+    // and agree with the genuine UDAF on every branch — including
+    // riding alongside other aggregates and a non-attribute group key.
+    graft.exprs.Boxplot.register(spark)
+    sampleDf().createOrReplaceTempView("bp_rule_src")
+    val sql =
+      """SELECT upper(g) AS gu, count(*) AS n, avg(v) AS m,
+        |       boxplot_info(CAST(v AS DOUBLE), map('k', i)) AS bp
+        |FROM bp_rule_src GROUP BY upper(g)""".stripMargin
+    val routed = spark.sql(sql)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("boxplotinfoagg"),
+      s"UDAF still in routed plan:\n$plan")
+    assert(plan.contains("percentile") && plan.contains("collect_list"),
+      s"distributed shape missing:\n$plan")
+    def canonG(df: DataFrame): Seq[String] =
+      canon(df.withColumnRenamed("gu", "g")
+        .selectExpr("g", "bp", "n", "m").withColumn("m", round(col("m"), 6)))
+        .sorted
+    assert(canonG(routed) === viaUdaf(canonG(spark.sql(sql))))
+  }
+
+  test("BoxplotScaleRule: global aggregate (no GROUP BY) and empty input keep UDAF row semantics") {
+    graft.exprs.Boxplot.register(spark)
+    sampleDf().createOrReplaceTempView("bp_glob_src")
+    val sql = "SELECT boxplot_info(CAST(v AS DOUBLE), map('k', i)) AS bp FROM bp_glob_src"
+    def one(df: DataFrame): String =
+      df.selectExpr("round(bp.q1,6) q1", "round(bp.max,6) mx",
+          "size(bp.outliers) no").collect().map(_.toString).mkString("|")
+    assert(one(spark.sql(sql)) === viaUdaf(one(spark.sql(sql))))
+    // empty input: global aggregate still emits exactly ONE row with
+    // null scalars and an EMPTY (not null) outlier list, like finish(zero)
+    val emptySql = sql.replace("bp_glob_src", "bp_glob_src WHERE v > 1e18")
+    val rows = spark.sql(emptySql).collect()
+    val udafRows = viaUdaf(spark.sql(emptySql).collect())
+    assert(rows.length == 1 && udafRows.length == 1)
+    val (r, u) = (rows.head.getStruct(0), udafRows.head.getStruct(0))
+    assert(r.isNullAt(3) && u.isNullAt(3), "q1 must be null on empty input")
+    assert(r.getSeq[Any](2).isEmpty && u.getSeq[Any](2).isEmpty,
+      "outliers must be empty, not null")
+  }
+
+  test("BoxplotScaleRule: FILTERed calls stay on the UDAF (unsupported shape)") {
+    graft.exprs.Boxplot.register(spark)
+    sampleDf().createOrReplaceTempView("bp_filt_src")
+    val df = spark.sql(
+      """SELECT g, boxplot_info(CAST(v AS DOUBLE), map('k', i))
+        |         FILTER (WHERE v IS NOT NULL) AS bp
+        |FROM bp_filt_src GROUP BY g""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("boxplotinfoagg"),
+      s"FILTERed call must not be rewritten:\n$plan")
+    assert(df.count() == 3)
   }
 
   test("render layer still detects the rewritten/kernel struct as a boxplot") {

@@ -397,6 +397,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$plan")
   }
 
+  test("task-SQL BOXPLOT over full lineitem: no per-group value collection (BoxplotScaleRule)") {
+    // r7 weak mark closed: the statement gate imposes no row cap on
+    // task SQL, so BOXPLOT(x, outlier_info := y) over an unbounded
+    // GROUP BY must not reach the Kryo-collect UDAF — the rule routes
+    // it to the percentile + broadcast join-back plan, and only true
+    // Tukey outliers are ever collected
+    graft.exprs.Boxplot.register(spark)
+    graft.Tables.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    val sql = graft.sqlfront.Dialect.rewrite(
+      """SELECT l_returnflag,
+        |  BOXPLOT(l_quantity, outlier_info := map('ok', CAST(l_orderkey AS STRING))) AS bp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    val df = spark.sql(sql)
+    val plan = planOf(df)
+    assert(!plan.toLowerCase.contains("boxplotinfoagg"),
+      s"task SQL still reaches the collect-per-group UDAF:\n$plan")
+    assert(plan.contains("percentile"), s"distributed quartiles missing:\n$plan")
+    assert(df.count() == 3, "lineitem has 3 return flags")
+  }
+
   test("d18 exact-substring dedup: grams-only joins, text shuffles once by doc_id") {
     // the ExactSubstr promise: corpus TEXT never self-joins — the
     // gram-df aggregation and the dup join-back run on 60-bit longs
