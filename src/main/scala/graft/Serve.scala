@@ -145,9 +145,14 @@ object Serve {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val syncToken = sys.env.getOrElse("GRAFT_SYNC_TOKEN", "")
     val peerSync = Option.when(peers.nonEmpty && syncToken.nonEmpty)(
-      new graft.state.PeerSync(app, peers, syncToken, pollMs.max(500), reconcileTasks))
+      new graft.state.PeerSync(app, peers, syncToken, pollMs.max(500), reconcileTasks,
+        // mirror fetched peer events next to the local journal so a
+        // reboot replays them from disk and resumes cursors — without
+        // it every boot re-pulls every peer's full history over HTTP
+        mirrorDir = Some(new org.apache.hadoop.fs.Path(stateDir, "peersync").toString)))
     peerSync.foreach(_.start())
-    peerSync.foreach(_ => println(s"[serve] peer journal sync with ${peers.size} peer(s)"))
+    peerSync.foreach(s => println(s"[serve] peer journal sync with ${peers.size} peer(s); " +
+      s"${s.mirrorReplayed} mirrored peer events replayed"))
 
     // static iff the operator pinned it — clients read this flag to
     // decide whether JWTs survive restarts (system.go:12-24)

@@ -120,10 +120,27 @@ class PeerSyncSpec extends AnyFunSuite {
     // expected fixpoint is simulated independently (each writer only
     // touches its own id prefix, so it is deterministic under any
     // interleaving)
-    val (a, apiA, portA) = node()
-    val (b, apiB, portB) = node()
-    val syncA = new PeerSync(a, Seq(s"http://127.0.0.1:$portB"), token, intervalMillis = 50)
-    val syncB = new PeerSync(b, Seq(s"http://127.0.0.1:$portA"), token, intervalMillis = 50)
+    // inline node construction (vs node()): the post-churn reboot
+    // below needs the journal dirs to boot fresh StateApps over them
+    val dirA = Files.createTempDirectory("graft-churn-a").toString
+    val dirB = Files.createTempDirectory("graft-churn-b").toString
+    val a = new StateJournal.StateApp(dirA); a.boot()
+    val b = new StateJournal.StateApp(dirB); b.boot()
+    val apiA = new HttpApi(spark, a.store, "peer-secret", submit = a.submit,
+      config = HttpApi.Config(syncToken = token), journal = a.journal)
+    val apiB = new HttpApi(spark, b.store, "peer-secret", submit = b.submit,
+      config = HttpApi.Config(syncToken = token), journal = b.journal)
+    val portA = apiA.start()
+    val portB = apiB.start()
+    // churn runs WITH mirrors on: concurrent pull threads hammer the
+    // mirror write path, and the post-churn reboot below proves the
+    // mirrors captured the full peer history
+    val mirrorA = Files.createTempDirectory("graft-churn-mirror-a").toString
+    val mirrorB = Files.createTempDirectory("graft-churn-mirror-b").toString
+    val syncA = new PeerSync(a, Seq(s"http://127.0.0.1:$portB"), token, intervalMillis = 50,
+      mirrorDir = Some(mirrorA))
+    val syncB = new PeerSync(b, Seq(s"http://127.0.0.1:$portA"), token, intervalMillis = 50,
+      mirrorDir = Some(mirrorB))
     try {
       syncA.start(); syncB.start()
       def churn(app: StateJournal.StateApp, prefix: String): Thread = {
@@ -162,7 +179,63 @@ class PeerSyncSpec extends AnyFunSuite {
         System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(summary(a) == expected, s"A did not converge:\n${summary(a).take(500)}")
       assert(summary(b) == expected, s"B did not converge:\n${summary(b).take(500)}")
+      // reboot both nodes AFTER churn, peers' APIs already stopped:
+      // local journal replay + mirror replay alone must reconstruct
+      // the converged state — the mirrors captured every peer event
+      // despite the concurrent writer/puller interleaving
+      syncA.close(); syncB.close(); apiA.stop(); apiB.stop()
+      val a2 = new StateJournal.StateApp(dirA); a2.boot()
+      val b2 = new StateJournal.StateApp(dirB); b2.boot()
+      val sA2 = new PeerSync(a2, Seq(s"http://127.0.0.1:$portB"), token, mirrorDir = Some(mirrorA))
+      val sB2 = new PeerSync(b2, Seq(s"http://127.0.0.1:$portA"), token, mirrorDir = Some(mirrorB))
+      try {
+        assert(summary(a2) == expected, s"A reboot diverged:\n${summary(a2).take(500)}")
+        assert(summary(b2) == expected, s"B reboot diverged:\n${summary(b2).take(500)}")
+      } finally { sA2.close(); sB2.close() }
     } finally { syncA.close(); syncB.close(); apiA.stop(); apiB.stop() }
+  }
+
+  test("mirror: reboot replays peer events from disk and resumes the cursor (no re-fetch from 0)") {
+    val (a, apiA, portA) = node()
+    val dirB = Files.createTempDirectory("graft-peersync-b").toString
+    val mirror = Files.createTempDirectory("graft-peersync-mirror").toString
+    val peerUrl = s"http://127.0.0.1:$portA"
+    try {
+      val b1 = new StateJournal.StateApp(dirB); b1.boot()
+      (1 to 5).foreach(i => assert(a.submit("create_dashboard", dash(s"mr$i", i))))
+      assert(a.submit("update_dashboard_content",
+        """{"id":"mr2","content":"SELECT 22 AS x;","timestamp":8}"""))
+      assert(a.submit("delete_dashboard", """{"id":"mr5"}"""))
+      val s1 = new PeerSync(b1, Seq(peerUrl), token, mirrorDir = Some(mirror))
+      assert(s1.mirrorReplayed == 0) // first boot: empty mirror
+      assert(s1.pollOnce() == 7)
+      s1.close()
+
+      // reboot 1 (peer still up): mirror replay restores the peer
+      // state AND the cursor — the fresh-sync-re-pulls-7 behavior the
+      // no-mirror test pins must NOT happen here
+      val b2 = new StateJournal.StateApp(dirB); b2.boot()
+      val s2 = new PeerSync(b2, Seq(peerUrl), token, mirrorDir = Some(mirror))
+      assert(s2.mirrorReplayed == 7)
+      assert(b2.store.getDashboard("mr2").map(_.content).contains("SELECT 22 AS x;"))
+      assert(b2.store.getDashboard("mr5").isEmpty) // delete replayed after create
+      assert(s2.pollOnce() == 0, "rebooted cursor re-fetched already-mirrored history")
+      // only the delta travels after a live append
+      assert(a.submit("create_dashboard", dash("mr9", 9)))
+      assert(s2.pollOnce() == 1)
+      s2.close()
+
+      // reboot 2 with the peer DOWN: state survives entirely from the
+      // local mirror — the availability gap the in-memory cursors had
+      apiA.stop()
+      val b3 = new StateJournal.StateApp(dirB); b3.boot()
+      val s3 = new PeerSync(b3, Seq(peerUrl), token, mirrorDir = Some(mirror))
+      assert(s3.mirrorReplayed == 8)
+      assert(b3.store.synchronized(b3.store.dashboards.keySet.toSet) ==
+        Set("mr1", "mr2", "mr3", "mr4", "mr9"))
+      assert(s3.pollOnce() == 0) // peer unreachable; nothing lost
+      s3.close()
+    } finally apiA.stop()
   }
 
   test("batch cap: a history longer than one batch pulls completely via re-polls") {
