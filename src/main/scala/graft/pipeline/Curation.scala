@@ -130,6 +130,15 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.bpePairCountsOf(canon(docs, idCol, textCol), k)
 
+  /** The iterated BPE merge-training loop (t16's kernel — Sennrich et
+    * al. 2016): learn `merges` merges over the corpus word-frequency
+    * table, re-pairing after each. Returns one row per learned merge:
+    * (merge_rank, pair, merged, n), rank order. Corpus text is read
+    * exactly once; each iteration shuffles only the word table. */
+  def bpeMergeLoop(docs: DataFrame, merges: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.bpeMergeLoopOf(canon(docs, idCol, textCol), merges)
+
   /** Unicode NFC normalization of `textCol` in place (t12's expression:
     * native codegen over java.text.Normalizer with an allocation-free
     * all-ASCII fast path) — the mandatory first pass before any

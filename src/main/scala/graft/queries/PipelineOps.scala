@@ -175,6 +175,130 @@ object PipelineOps {
       .limit(k)
   }
 
+  /** t16's kernel: the iterated BPE merge-training loop (Sennrich et
+    * al. 2016) — t13 counts ONE iteration's pairs; this runs the
+    * actual tokenizer-training recurrence over the corpus
+    * word-frequency table: count adjacent symbol pairs weighted by
+    * word frequency, merge the argmax pair (count desc, pair asc
+    * tiebreak) in every word, re-count. One row per learned merge:
+    * (merge_rank, pair, merged, n).
+    *
+    * 100 TB: the corpus text is exploded EXACTLY ONCE into the
+    * word-frequency table (one partial-aggregated shuffle over the
+    * corpus); the table of distinct words is orders of magnitude
+    * smaller than the corpus and localCheckpoint'ed, so no iteration
+    * re-reads text (pinned in PlanSpec). Each iteration is then one
+    * partial-agg shuffle over the word table plus a TakeOrdered(1)
+    * argmax — the single-row collect is the algorithm's inherent
+    * sequential dependency, the same bounded driver touch as d11's
+    * fixpoint probe — and the merge application is a pure map.
+    *
+    * The merge is an aggregate-HOF left fold (merge with the
+    * accumulator's tail when it equals the pair's left symbol), which
+    * is EXACTLY the classic greedy left-to-right single-pass merge:
+    * the fold could only diverge if a symbol merged in this pass
+    * matched the pair's left part again, and a||b = a is impossible
+    * for non-empty b (symbols are non-empty by construction). The
+    * char-split uses regexp_replace('(.)' -> '$1 ') so Spark and the
+    * DuckDB replay walk identical trajectories even for words holding
+    * regex-inert control chars. */
+  private[graft] def bpeMergeLoopOf(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = bpeWordTable(docs).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to merges if !exhausted) {
+      val top = bpePairCount(words).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val p = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val Array(a, b) = p.split(" ", 2)
+        learned += ((i, p, a + b, n))
+        words = bpeApplyMerge(words, a, b).localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "pair", "merged", "n")
+      .orderBy("merge_rank")
+  }
+
+  /** The word-frequency table, symbols space-joined: the ONLY stage
+    * that touches corpus text (one partial-agg shuffle). */
+  private[graft] def bpeWordTable(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+    .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+    .groupBy("s").agg(count(lit(1)).as("cnt"))
+
+  /** One iteration's weighted pair counts, argmax order (count desc,
+    * pair asc) — one partial-agg shuffle over the word table, pairs
+    * via the native word_pairs expression. */
+  private[graft] def bpePairCount(words: DataFrame): DataFrame = {
+    graft.exprs.WordPairs.register(words.sparkSession)
+    words
+      .select(explode(expr("word_pairs(s)")).as("p"), col("cnt"))
+      .groupBy("p").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("p"))
+  }
+
+  /** Apply one merge (a,b)->ab to every word — a pure map (zero
+    * shuffles, pinned): the aggregate-HOF left fold documented on
+    * [[bpeMergeLoopOf]]. */
+  private[graft] def bpeApplyMerge(words: DataFrame, a: String, b: String): DataFrame = {
+    val folded = aggregate(
+      split(col("s"), " "),
+      expr("cast(array() as array<string>)"),
+      (acc, x) =>
+        when(size(acc) > lit(0) &&
+            element_at(acc, -1) === lit(a) && (x === lit(b)),
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    words.select(array_join(folded, " ").as("s"), col("cnt"))
+  }
+
+  /** DuckDB replay of [[bpeMergeLoopOf]], generated per iteration:
+    * pair counts via list adjacency, argmax with the same tiebreak,
+    * then the merge applied by a recursive CTE that replaces
+    * ' a b ' -> ' ab ' (space-delimited, sentinel-padded) until no
+    * occurrence remains — leftmost non-overlapping replace iterated to
+    * fixpoint equals the single-pass greedy merge by the same a||b≠a
+    * argument as the Spark fold. */
+  private[graft] def bpeMergeLoopOracle(merges: Int): String = {
+    val head = """
+      words AS (
+        SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g'), ' ') AS s,
+               count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY 1),
+      it0 AS (SELECT s, cnt FROM words)"""
+    val stages = (0 until merges).map { i =>
+      s"""
+      pc$i AS (
+        SELECT p, sum(cnt)::BIGINT AS n FROM (
+          SELECT unnest([ l[j] || ' ' || l[j+1]
+                          for j in generate_series(1, len(l)-1) ]) AS p, cnt
+          FROM (SELECT string_split(s, ' ') AS l, cnt FROM it$i)
+        ) GROUP BY p),
+      m$i AS (SELECT p, ' ' || p || ' ' AS pat,
+                     ' ' || replace(p, ' ', '') || ' ' AS rep, n
+              FROM pc$i ORDER BY n DESC, p LIMIT 1),
+      r$i(s, cnt) AS (
+        SELECT ' ' || s || ' ', cnt FROM it$i
+        UNION ALL
+        SELECT replace(r$i.s, m$i.pat, m$i.rep), r$i.cnt FROM r$i, m$i
+        WHERE position(m$i.pat IN r$i.s) > 0),
+      it${i + 1} AS (
+        SELECT trim(s, ' ') AS s, cnt FROM r$i
+        WHERE position((SELECT pat FROM m$i) IN s) = 0)"""
+    }
+    val finals = (0 until merges).map { i =>
+      s"SELECT $i + 1 AS merge_rank, p AS pair, replace(p, ' ', '') AS merged, n FROM m$i"
+    }
+    "WITH RECURSIVE " + (head +: stages).mkString(",") +
+      s" SELECT * FROM (${finals.mkString(" UNION ALL ")}) ORDER BY merge_rank"
+  }
+
   /** idx01's kernel: per-term df + two-phase lossless postings-head cap
     * for terms with df ≥ minDf. Returns (term, df, postings_head).
     * Scale notes at the idx01 entry. */
@@ -2684,6 +2808,16 @@ object PipelineOps {
       bpePairCountsOf(t(s, d, "documents"), k = 20)
     }),
 
+    "t16_bpe_merge_loop" -> ((s, d) => {
+      // The iterated tokenizer-training loop t13 is one step of:
+      // N=6 BPE merges learned over the corpus word-frequency table,
+      // each iteration re-pairing after the previous merge (merge 6
+      // composes merge 1's output — 'm er' -> 'mer' on this corpus).
+      // Scale/plan notes on the kernel's scaladoc; text explodes
+      // exactly once, iterations shuffle only the word table.
+      bpeMergeLoopOf(t(s, d, "documents"), merges = 6)
+    }),
+
     "idx01_inverted_index" -> ((s, d) => {
       // Inverted-index build — the artifact that upgrades s07's
       // scan-per-query BM25 into an indexed search system: per term
@@ -4060,6 +4194,8 @@ object PipelineOps {
         FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i))
       SELECT pair, count(*) AS n FROM pairs GROUP BY pair
       ORDER BY n DESC, pair LIMIT 20""",
+
+    "t16_bpe_merge_loop" -> bpeMergeLoopOracle(6),
 
     "idx01_inverted_index" -> """
       WITH w AS (

@@ -161,6 +161,14 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("bpeMergeLoop over renamed columns equals the t16 entry") {
+    val api = Curation.bpeMergeLoop(userDocs, merges = 6, "docnum", "body")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val ref = entry("t16_bpe_merge_loop")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(api == ref)
+  }
+
   test("nfcNormalized rewrites the text column in place, ASCII untouched") {
     val out = Curation.nfcNormalized(
         userDocs.withColumn("body", concat(col("body"), lit("é"))),

@@ -100,6 +100,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(4L)._2 == 0 && got(5L)._2 == 0, "short/unique docs untouched")
   }
 
+  test("t16 BPE merge loop: fold equals greedy scan on overlap corners, merges compound") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{bpeApplyMerge, bpeMergeLoopOf}
+    // overlap corner: pair (a,a) over a run merges LEFTMOST
+    // NON-OVERLAPPING occurrences only — 'a a a a a' -> 'aa aa a',
+    // never re-merging a token produced in the same pass
+    def merge1(s: String, a: String, b: String): String =
+      bpeApplyMerge(Seq((s, 1L)).toDF("s", "cnt"), a, b)
+        .collect()(0).getString(0)
+    assert(merge1("a a a a a", "a", "a") == "aa aa a")
+    assert(merge1("a a a a", "a", "a") == "aa aa")
+    // a merge must not fire across symbol boundaries: pair (x,a) has
+    // no occurrence in [x, ab] even though 'x a' appears in the chars
+    assert(merge1("x ab y", "x", "a") == "x ab y")
+    // removal cannot cascade within one pass: [a,a,b] with pair (a,b)
+    // merges at (1,2) only
+    assert(merge1("a a b", "a", "b") == "a ab")
+    // multi-char pairs from earlier merges apply cleanly
+    assert(merge1("th e c at", "th", "e") == "the c at")
+    // end-to-end on a crafted corpus: merges COMPOUND — with 'ab'
+    // learned first, the second merge consumes it
+    val docs = Seq((1L, "abc abc abc abd"), (2L, "abc abq")).toDF("doc_id", "text")
+    val learned = bpeMergeLoopOf(docs, merges = 2).collect()
+    assert(learned.map(_.getString(1)).toSeq == Seq("a b", "ab c"),
+      learned.mkString(", "))
+    assert(learned.map(_.getLong(3)).toSeq == Seq(6L, 4L))
+  }
+
   test("samp01 mixture sampling: rate-1.0 stratum intact, rates ordered, deterministic") {
     val a = run("samp01_mixture_sample").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -437,6 +437,37 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected shuffle keys $exchanges:\n$plan")
   }
 
+  test("t16 BPE merge loop: one shuffle per iteration, no text re-read after iteration 1") {
+    // the tokenizer-training recurrence promise: corpus text explodes
+    // exactly once into the word table; each subsequent iteration is
+    // one partial-agg shuffle over the CHECKPOINTED word table (no
+    // parquet scan in its plan) and the merge application is a pure map
+    import graft.queries.PipelineOps.{bpeWordTable, bpePairCount, bpeApplyMerge}
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val words = bpeWordTable(docs).localCheckpoint()
+    // the loop executes limit(1): the argmax must be TakeOrdered, not
+    // a rangepartitioning sort exchange
+    val count = bpePairCount(words).limit(1)
+    count.collect()
+    val countPlan = count.queryExecution.executedPlan.toString
+    assert(!countPlan.contains("FileScan") && !countPlan.contains("Parquet"),
+      s"iteration re-reads corpus text:\n$countPlan")
+    assert(countPlan.contains("TakeOrderedAndProject"),
+      s"argmax must be a bounded TakeOrdered:\n$countPlan")
+    assert(!countPlan.contains("rangepartitioning"),
+      s"argmax degenerated to a global sort exchange:\n$countPlan")
+    // exactly one hash shuffle (AQE prints Final + Initial plans, so
+    // the same Exchange can appear twice in the string)
+    assert("Exchange hashpartitioning".r.findAllIn(countPlan).size <= 2,
+      s"iteration pair count must be exactly one partial-agg shuffle:\n$countPlan")
+    assert(countPlan.contains("partial_sum"),
+      s"pair count not map-side combined:\n$countPlan")
+    val merge = bpeApplyMerge(words, "e", "r")
+    val mergePlan = merge.queryExecution.executedPlan.toString
+    assert(!mergePlan.contains("Exchange"),
+      s"merge application must be a pure map:\n$mergePlan")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
