@@ -493,6 +493,69 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** mm09: CLIP-style image-text alignment gate — the pair filter a
+    * multimodal curation pipeline runs between captioning and training
+    * (the LAION-style CLIP-score cut): every (image, caption) pair
+    * scores by cosine between an image embedding and the caption's
+    * text embedding, and only pairs at or above `tau` survive, score
+    * out per pair. The image embedding here is a REAL decode product —
+    * the PNG raster pools into 64 buckets (bucket k = mean of the
+    * flat-RGB bytes at index ≡ k mod 64), matching the caption
+    * embedding's 64 dims; production swaps in a model encoder, and the
+    * plumbing (map-side decode → fixed-dim vector → one id-keyed
+    * equi-join → native cosine gate) is the contract.
+    *
+    * Scale: decode + pooling ride mapPartitions (no shuffle, pixel
+    * bytes never leave the executor); pair association is ONE
+    * equi-join on the shared id — image and caption embeddings
+    * co-partition/bucket by that id at 100 TB, so neither corpus-scale
+    * side is broadcast (AQE broadcasts the smaller side at test scale,
+    * which PlanSpec pins along with the join-key shape); the score is
+    * the codegen'd cosine_sim and the gate a map-side filter. No
+    * window, no cartesian, no driver collect.
+    */
+  def imageTextAlignment(spark: SparkSession, dir: String,
+      textEmb: DataFrame, tau: Double): DataFrame = {
+    import spark.implicits._
+    graft.exprs.CosineSim.register(spark)
+    val imgVec = mediaTable(spark, dir)
+      .filter(_.media_type == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Codecs.decodeImage(r.payload)
+          val data = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          val n = img.getWidth * img.getHeight
+          var p = 0
+          while (p < n) {
+            val base = p * 3
+            var c = 0
+            while (c < 3) {
+              // flat RGB index base+c lives at data(base + (2-c)):
+              // TYPE_3BYTE_BGR stores B,G,R per pixel
+              sums((base + c) % 64) += data(base + (2 - c)) & 0xff
+              cnts((base + c) % 64) += 1
+              c += 1
+            }
+            p += 1
+          }
+          // every bucket is populated: the smallest image is 8x8 =
+          // 192 raster bytes at consecutive flat indices >= 64
+          (r.doc_id, Array.tabulate(64)(k => sums(k).toDouble / cnts(k)))
+        }
+      }
+      .toDF("doc_id", "ie")
+    imgVec
+      .join(textEmb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("te")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("align_cos", round(expr("cosine_sim(ie, te)"), 4))
+      .filter(col("align_cos") >= tau)
+      .select("doc_id", "align_cos")
+      .orderBy("doc_id")
+  }
+
   /** A second real image codec needing no library at all: PPM (P6) —
     * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
     * byte level with loud errors on corrupt input.

@@ -44,6 +44,14 @@ object MediaCatalogOps {
       // proves the banding's recall at hamming<=7 is exact (pigeonhole)
       Multimodal.perceptualDedup(s, d)),
 
+    "mm09_image_text_alignment" -> ((s, d) =>
+      // CLIP-style pair gate: decoded-raster 64-bucket image embedding
+      // vs the caption's text embedding through native cosine_sim,
+      // survivors at tau=0.05 with per-pair score (~1/3 pass here —
+      // a real cut, not a pass-through)
+      Multimodal.imageTextAlignment(s, d, Tables.t(s, d, "embeddings"),
+        tau = 0.05)),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -477,6 +485,31 @@ object MediaCatalogOps {
              round(avg(CASE WHEN c = 1 THEN v END), 4) AS mean_g,
              round(avg(CASE WHEN c = 2 THEN v END), 4) AS mean_b
       FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""",
+
+    // the image embedding recomputed from the pixel formula (the PNG
+    // decode is lossless): bucket k = avg of flat-RGB bytes at index
+    // = k mod 64; both engines compute exact sum/count then one IEEE
+    // division, and list_cosine_similarity accumulates left-to-right
+    // exactly like the native cosine_sim (the dec03-pinned parity)
+    "mm09_image_text_alignment" -> """
+      WITH img AS (
+        SELECT doc_id, 4 * (2 + doc_id % 5) AS w, 4 * (2 + doc_id % 4) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), px AS (
+        SELECT doc_id, i % 64 AS k, (doc_id * 31 + i) % 256 AS v
+        FROM img, generate_series(0, 3 * 24 * 20 - 1) t(i)
+        WHERE i < 3 * w * h
+      ), bkt AS (
+        SELECT doc_id, k, avg(v) AS m FROM px GROUP BY doc_id, k
+      ), ie AS (
+        SELECT doc_id, list(m ORDER BY k) AS ie FROM bkt GROUP BY doc_id
+      ), sc AS (
+        SELECT ie.doc_id,
+               round(list_cosine_similarity(ie.ie, e.embedding::DOUBLE[]), 4) AS align_cos
+        FROM ie JOIN embeddings e ON e.vec_id = ie.doc_id
+      )
+      SELECT doc_id, align_cos FROM sc
+      WHERE align_cos >= 0.05 ORDER BY doc_id""",
 
     "ex01_export_roundtrip" -> """
       SELECT 'csv_reread_rows' AS metric, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS value FROM lineitem

@@ -110,6 +110,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f0.getAs[Int]("max_byte") == (0 until 3 * n).map(Codecs.pixel(0L, _)).max)
   }
 
+  test("image-text alignment: pooled embedding matches the formula, gate cuts at tau") {
+    import Multimodal.Codecs
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    // survivors only, every score >= tau and 4-rounded
+    val out = Multimodal.imageTextAlignment(spark, dir, emb, tau = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty && out.size < emb.filter(col("vec_id") % 3 === 0).count(),
+      "gate must cut some pairs and keep some")
+    assert(out.values.forall(c => c >= 0.05 && c == math.round(c * 10000) / 10000.0))
+    // independent recompute for doc 0: 64-bucket pooled image embedding
+    // from the pixel formula, cosine against its text embedding
+    val (w, h) = Codecs.imageDims(0L)
+    val nBytes = 3 * w * h
+    val ie = Array.tabulate(64) { k =>
+      val vs = (0 until nBytes).filter(_ % 64 == k).map(Codecs.pixel(0L, _))
+      vs.sum.toDouble / vs.size
+    }
+    val te = emb.filter(col("vec_id") === 0).collect()
+      .head.getSeq[Float](1).map(_.toDouble).toArray
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- 0 until 64) { dot += ie(i) * te(i); na += ie(i) * ie(i); nb += te(i) * te(i) }
+    val c0 = math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000.0
+    if (c0 >= 0.05) assert(out(0L) == c0, s"doc 0 score ${out.get(0L)} != $c0")
+    else assert(!out.contains(0L), s"doc 0 below tau must be cut, got ${out.get(0L)}")
+  }
+
   test("resize: AffineTransformOp nearest-neighbor mapping is src=(4x+2, 4y+2), per-pixel") {
     import java.awt.geom.AffineTransform
     import java.awt.image.AffineTransformOp

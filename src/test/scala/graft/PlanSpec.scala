@@ -372,6 +372,26 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
+  test("mm09 alignment gate: one id-keyed equi-join, payload never shuffles") {
+    // the pair association must be a single equi-join on the shared id
+    // (co-partitionable at scale; AQE broadcasts the smaller side at
+    // this scale), the decode+pooling stays inside the map stage, and
+    // raster bytes never ride an exchange
+    val df = graft.queries.MediaCatalogOps.defs("mm09_image_text_alignment")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair association degenerated from an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"smaller side not broadcast at test scale:\n$plan")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one pair join, got $joins:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.toLowerCase.contains("exchange") && l.toLowerCase.contains("payload")),
+      s"binary payload column crossed an exchange:\n$plan")
+  }
+
   test("sink01 partitioned export: reading one lang prunes to one partition directory") {
     // the point of the lang-partitioned layout: a single-lang reader
     // must carry the predicate as a PartitionFilter (directory prune),
