@@ -139,6 +139,16 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.bpeMergeLoopOf(canon(docs, idCol, textCol), merges)
 
+  /** Apply the trained tokenizer (t17's kernel): learn `merges` BPE
+    * merges over the corpus, encode it with them, and return one row
+    * per document — (doc_id, n_words, n_tokens) — the token count a
+    * data-budgeting pipeline bills by. Merge work runs on the
+    * distinct-word vocabulary (Zipf reuse), and the word->token-count
+    * table broadcasts back onto the occurrence stream. */
+  def bpeTokenize(docs: DataFrame, merges: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.bpeTokenizeOf(canon(docs, idCol, textCol), merges)
+
   /** Unicode NFC normalization of `textCol` in place (t12's expression:
     * native codegen over java.text.Normalizer with an allocation-free
     * all-ASCII fast path) — the mandatory first pass before any

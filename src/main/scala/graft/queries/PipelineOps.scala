@@ -223,6 +223,45 @@ object PipelineOps {
       .orderBy("merge_rank")
   }
 
+  /** t17's kernel: apply the trained tokenizer — learn `merges` BPE
+    * merges exactly as [[bpeMergeLoopOf]] does, then ENCODE the corpus
+    * with them and roll up per document: (doc_id, n_words, n_tokens).
+    * The token count is the number a data-budgeting pipeline actually
+    * bills by (samp04's budgets, packing in p02), computed under the
+    * real tokenizer rather than the whitespace proxy.
+    *
+    * 100 TB: merges apply to the DISTINCT-word vocabulary, not to
+    * occurrences — Zipf's law makes the vocab orders of magnitude
+    * smaller than the corpus, so the iterated fold work is o(corpus)
+    * (the same reuse trick real tokenizers call the word cache). Text
+    * explodes twice (vocab build; rollup stream) — both map-side from
+    * the scan; the word->token-count table then BROADCASTS back onto
+    * the occurrence stream (natural-language vocabs fit; co-partitioned
+    * join is the fallback) and the per-doc rollup is one
+    * partial-agg'd shuffle keyed by doc_id. Plan-pinned. */
+  private[graft] def bpeTokenizeOf(docs: DataFrame, merges: Int): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = docWords.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      .localCheckpoint()
+    var exhausted = false
+    for (_ <- 1 to merges if !exhausted) {
+      val top = bpePairCount(vocab).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        vocab = bpeApplyMerge(vocab, a, b).localCheckpoint()
+      }
+    }
+    val tok = vocab.select(col("w"), size(split(col("s"), " ")).as("nt"))
+    docWords.join(broadcast(tok), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nt").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** The word-frequency table, symbols space-joined: the ONLY stage
     * that touches corpus text (one partial-agg shuffle). */
   private[graft] def bpeWordTable(docs: DataFrame): DataFrame = docs
@@ -242,8 +281,9 @@ object PipelineOps {
       .orderBy(col("n").desc, col("p"))
   }
 
-  /** Apply one merge (a,b)->ab to every word — a pure map (zero
-    * shuffles, pinned): the aggregate-HOF left fold documented on
+  /** Apply one merge (a,b)->ab to every word's symbol string `s` in
+    * place (carry columns preserved) — a pure map (zero shuffles,
+    * pinned): the aggregate-HOF left fold documented on
     * [[bpeMergeLoopOf]]. */
   private[graft] def bpeApplyMerge(words: DataFrame, a: String, b: String): DataFrame = {
     val folded = aggregate(
@@ -254,24 +294,29 @@ object PipelineOps {
             element_at(acc, -1) === lit(a) && (x === lit(b)),
           concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
-    words.select(array_join(folded, " ").as("s"), col("cnt"))
+    words.withColumn("s", array_join(folded, " "))
   }
 
-  /** DuckDB replay of [[bpeMergeLoopOf]], generated per iteration:
-    * pair counts via list adjacency, argmax with the same tiebreak,
-    * then the merge applied by a recursive CTE that replaces
-    * ' a b ' -> ' ab ' (space-delimited, sentinel-padded) until no
-    * occurrence remains — leftmost non-overlapping replace iterated to
-    * fixpoint equals the single-pass greedy merge by the same a||b≠a
-    * argument as the Spark fold. */
-  private[graft] def bpeMergeLoopOracle(merges: Int): String = {
-    val head = """
-      words AS (
-        SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g'), ' ') AS s,
-               count(*)::BIGINT AS cnt
+  /** The shared DuckDB merge-chain prefix for the BPE oracles,
+    * generated per iteration: pair counts via list adjacency, argmax
+    * with the same tiebreak, then the merge applied by a recursive CTE
+    * that replaces ' a b ' -> ' ab ' (space-delimited, sentinel-padded)
+    * until no occurrence remains — leftmost non-overlapping replace
+    * iterated to fixpoint equals the single-pass greedy merge by the
+    * same a||b≠a argument as the Spark fold. With `carryW` the chain
+    * keys each row by the original word `w` (1:1 with `s` throughout —
+    * identical words merge identically), so [[bpeTokenizeOracle]] can
+    * join the final symbol table back to the corpus word stream. */
+  private def bpeChain(merges: Int, carryW: Boolean): String = {
+    val wCol = if (carryW) "w, " else ""
+    val head = s"""
+      vocab AS (
+        SELECT w, count(*)::BIGINT AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE length(w) > 0 GROUP BY 1),
-      it0 AS (SELECT s, cnt FROM words)"""
+      it0 AS (SELECT ${wCol}trim(regexp_replace(w, '(.)', '\\1 ', 'g'), ' ') AS s,
+                     cnt
+              FROM vocab)"""
     val stages = (0 until merges).map { i =>
       s"""
       pc$i AS (
@@ -283,21 +328,40 @@ object PipelineOps {
       m$i AS (SELECT p, ' ' || p || ' ' AS pat,
                      ' ' || replace(p, ' ', '') || ' ' AS rep, n
               FROM pc$i ORDER BY n DESC, p LIMIT 1),
-      r$i(s, cnt) AS (
-        SELECT ' ' || s || ' ', cnt FROM it$i
+      r$i(${wCol}s, cnt) AS (
+        SELECT $wCol' ' || s || ' ', cnt FROM it$i
         UNION ALL
-        SELECT replace(r$i.s, m$i.pat, m$i.rep), r$i.cnt FROM r$i, m$i
+        SELECT ${if (carryW) s"r$i.w, " else ""}replace(r$i.s, m$i.pat, m$i.rep), r$i.cnt
+        FROM r$i, m$i
         WHERE position(m$i.pat IN r$i.s) > 0),
       it${i + 1} AS (
-        SELECT trim(s, ' ') AS s, cnt FROM r$i
+        SELECT ${wCol}trim(s, ' ') AS s, cnt FROM r$i
         WHERE position((SELECT pat FROM m$i) IN s) = 0)"""
     }
+    "WITH RECURSIVE " + (head +: stages).mkString(",")
+  }
+
+  /** DuckDB replay of [[bpeMergeLoopOf]] — the [[bpeChain]] prefix plus
+    * one row per learned merge. */
+  private[graft] def bpeMergeLoopOracle(merges: Int): String = {
     val finals = (0 until merges).map { i =>
       s"SELECT $i + 1 AS merge_rank, p AS pair, replace(p, ' ', '') AS merged, n FROM m$i"
     }
-    "WITH RECURSIVE " + (head +: stages).mkString(",") +
+    bpeChain(merges, carryW = false) +
       s" SELECT * FROM (${finals.mkString(" UNION ALL ")}) ORDER BY merge_rank"
   }
+
+  /** DuckDB replay of [[bpeTokenizeOf]] — the [[bpeChain]] prefix with
+    * the word key carried, then the final symbol table joined back to
+    * the corpus word stream and rolled up per document. */
+  private[graft] def bpeTokenizeOracle(merges: Int): String =
+    bpeChain(merges, carryW = true) + s""",
+      tok AS (SELECT w, len(string_split(s, ' '))::BIGINT AS nt FROM it$merges),
+      docw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      SELECT doc_id, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens
+      FROM docw JOIN tok USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
 
   /** idx01's kernel: per-term df + two-phase lossless postings-head cap
     * for terms with df ≥ minDf. Returns (term, df, postings_head).
@@ -2818,6 +2882,16 @@ object PipelineOps {
       bpeMergeLoopOf(t(s, d, "documents"), merges = 6)
     }),
 
+    "t17_bpe_tokenize" -> ((s, d) => {
+      // The trained tokenizer APPLIED: learn t16's 6 merges, encode
+      // every document with them, roll up (n_words, n_tokens) per doc
+      // — the token count a data-budgeting pipeline bills by, under
+      // the real tokenizer instead of the whitespace proxy. Scale and
+      // plan notes on the kernel scaladoc (vocab-level merge work,
+      // broadcast token-count table, one doc-keyed rollup shuffle).
+      bpeTokenizeOf(t(s, d, "documents"), merges = 6)
+    }),
+
     "idx01_inverted_index" -> ((s, d) => {
       // Inverted-index build — the artifact that upgrades s07's
       // scan-per-query BM25 into an indexed search system: per term
@@ -4196,6 +4270,8 @@ object PipelineOps {
       ORDER BY n DESC, pair LIMIT 20""",
 
     "t16_bpe_merge_loop" -> bpeMergeLoopOracle(6),
+
+    "t17_bpe_tokenize" -> bpeTokenizeOracle(6),
 
     "idx01_inverted_index" -> """
       WITH w AS (

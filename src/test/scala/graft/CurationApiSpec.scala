@@ -169,6 +169,14 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("bpeTokenize over renamed columns equals the t17 entry") {
+    val api = Curation.bpeTokenize(userDocs, merges = 6, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = entry("t17_bpe_tokenize")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(api == ref)
+  }
+
   test("nfcNormalized rewrites the text column in place, ASCII untouched") {
     val out = Curation.nfcNormalized(
         userDocs.withColumn("body", concat(col("body"), lit("é"))),

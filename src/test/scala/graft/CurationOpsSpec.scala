@@ -128,6 +128,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(learned.map(_.getLong(3)).toSeq == Seq(6L, 4L))
   }
 
+  test("t17 tokenizer apply: per-doc token counts under the learned merges") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.bpeTokenizeOf
+    // same crafted corpus as the t16 test: merges learned are 'a b'
+    // then 'ab c', so abc -> 1 token, abd/abq -> 2 (ab + tail)
+    val docs = Seq((1L, "abc abc abc abd"), (2L, "abc abq")).toDF("doc_id", "text")
+    val out = bpeTokenizeOf(docs, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 4L, 5L), (2L, 2L, 3L)), out.mkString(", "))
+    // more merges than the corpus supports: loop exhausts, encoding
+    // still total (every word fully merged to 1 token here)
+    val tiny = Seq((1L, "xy xy")).toDF("doc_id", "text")
+    val t = bpeTokenizeOf(tiny, merges = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(t == Seq((1L, 2L, 2L)), t.mkString(", "))
+  }
+
   test("samp01 mixture sampling: rate-1.0 stratum intact, rates ordered, deterministic") {
     val a = run("samp01_mixture_sample").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -488,6 +488,28 @@ class PlanSpec extends AnyFunSuite {
       s"merge application must be a pure map:\n$mergePlan")
   }
 
+  test("t17 tokenizer apply: broadcast token-count table, one doc-keyed rollup shuffle") {
+    // the encode promise: merge work happened on the checkpointed
+    // vocab, so the rollup plan is scan -> explode -> BROADCAST join
+    // with the word->n_tokens table -> one partial-agg'd shuffle on
+    // doc_id; never a sort-merge join of the occurrence stream
+    val df = graft.queries.PipelineOps.defs("t17_bpe_tokenize")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token-count table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"occurrence stream must not sort or cross:\n$plan")
+    // one rollup shuffle on doc_id (AQE prints Final+Initial so the
+    // same exchange can appear twice); the presentation orderBy adds
+    // its range exchange on top
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size <= 2,
+      s"expected exactly one doc-keyed rollup shuffle:\n$plan")
+    assert(!"Exchange hashpartitioning\\(w".r.findAllIn(plan).hasNext,
+      s"occurrence stream shuffled by word:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"rollup not map-side combined:\n$plan")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
