@@ -73,6 +73,21 @@ object Curation {
       nearDupPairs(docs, minJaccard, idCol, textCol).select(col("d1"), col("d2")),
       rounds)
 
+  /** The dedup keep decision (d19's kernel): per duplicate cluster of
+    * the ≥ `minJaccard` graph, elect the HIGHEST-quality member (t14's
+    * in-row score, id-asc tiebreak) instead of an arbitrary min id —
+    * boilerplate clusters usually hold one clean and many mangled
+    * variants. Returns (cluster_id, keep_id, keep_score, n_dropped);
+    * docs outside every cluster are implicitly kept. */
+  def qualityKeep(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      rounds: Int = 3): DataFrame = {
+    val c = canon(docs, idCol, textCol)
+    PipelineOps.qualityKeepOf(c,
+      PipelineOps.exactJaccardPairsOf(c, minJaccard).select(col("d1"), col("d2")),
+      rounds)
+  }
+
   /** Incremental batch-vs-corpus dedup (d14's kernel): jaccard ≥
     * `minJaccard` pairs between a new `batch` and the existing
     * `corpus`, without ever self-joining the corpus — the daily-ingest

@@ -1325,7 +1325,15 @@ object PipelineOps {
     * iteration doesn't re-execute the edge lineage (at 100 TB: a
     * reliable checkpoint to cluster storage). Returns (cluster_id,
     * n_members, members-csv). */
-  private[graft] def dupClustersOf(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  private[graft] def dupClustersOf(edges: DataFrame, rounds: Int = 3): DataFrame =
+    dupLabelsOf(edges, rounds)
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        concat_ws(",", sort_array(collect_list(col("v")))).as("members"))
+
+  /** The member-level (v, lbl) cluster assignment behind
+    * [[dupClustersOf]] — shared with d19's keep decision. */
+  private[graft] def dupLabelsOf(edges: DataFrame, rounds: Int): DataFrame = {
     val sym = edges.union(edges.select(col("d2"), col("d1")))
       .toDF("src", "dst").localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
@@ -1336,9 +1344,36 @@ object PipelineOps {
       labels = labels.join(prop, col("v") === col("v2"), "left")
         .select(col("v"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
     }
-    labels.groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("n_members"),
-        concat_ws(",", sort_array(collect_list(col("v")))).as("members"))
+    labels
+  }
+
+  /** d19's kernel — the dedup KEEP DECISION: given the verified
+    * near-dup edge set, elect the HIGHEST-QUALITY member of each
+    * duplicate cluster (t14's in-row score, doc_id-asc tiebreak)
+    * instead of an arbitrary min-id — what a production cut actually
+    * ships, since boilerplate clusters usually contain one clean and
+    * many mangled variants. Returns one row per cluster:
+    * (cluster_id, keep_id, keep_score, n_dropped).
+    *
+    * 100 TB: cluster labels come from the same min-label propagation
+    * as d11 (per-round edge-join shuffles, checkpoint barrier); the
+    * quality score is the native in-row expression (map-side, no model
+    * join); the election is a partial-aggregable max(struct) keyed by
+    * cluster — no window over members, no driver collect. Output is
+    * one row per CLUSTER, vanishing relative to the corpus. */
+  private[graft] def qualityKeepOf(docs: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val scored = docs.select(col("doc_id").as("v"),
+      qualityScoreCol(docs.sparkSession).as("score"))
+    dupLabelsOf(edges, rounds)
+      .join(scored, Seq("v"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(
+        max(struct(col("score"), (-col("v")).as("nv"), col("v").as("kid"))).as("w"),
+        count(lit(1)).cast("long").as("n_members"))
+      .select(col("cluster_id"), col("w.kid").as("keep_id"),
+        col("w.score").as("keep_score"),
+        (col("n_members") - 1).as("n_dropped"))
   }
 
   /** Deterministic md5-interleave shard key (sink02's kernel, shared
@@ -1453,6 +1488,17 @@ object PipelineOps {
       // at 100 TB this is a checkpoint to cluster storage per round.)
       val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
       dupClustersOf(edges, rounds = 3).orderBy("cluster_id")
+    }),
+
+    "d19_quality_keep" -> ((s, d) => {
+      // The dedup KEEP DECISION on top of d11's clusters: keep each
+      // cluster's highest-t14-quality member (doc_id tiebreak) rather
+      // than an arbitrary min id — the cut a production pipeline
+      // ships. Kernel scaladoc has the scale notes (native in-row
+      // score, partial-agg max(struct) election, no window).
+      val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
+      qualityKeepOf(t(s, d, "documents"), edges, rounds = 3)
+        .orderBy("cluster_id")
     }),
 
     "d09_prefix_filter_jaccard" -> ((s, d) => {
@@ -3107,6 +3153,50 @@ object PipelineOps {
         array_to_string(list_sort(list(v)), ',') AS members
       FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
       GROUP BY cluster_id ORDER BY cluster_id""",
+
+    // d11's recursive-CTE fixpoint plus the election: per cluster the
+    // highest t14 score (same md5-weight formula as the t14/st05
+    // oracles, rounded 4 BEFORE comparison on both engines), doc_id
+    // ascending tiebreak
+    "d19_quality_keep" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), edges AS (
+        SELECT d1, d2
+        FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+        WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      ), sym AS (
+        SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+      ), reach(v, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.v
+        WHERE r.lbl < s.src
+      ), mem AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v),
+      scored AS (
+        SELECT doc_id,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+        FROM documents
+      ), ranked AS (
+        SELECT m.cluster_id, m.v, sc.score,
+               row_number() OVER (PARTITION BY m.cluster_id
+                 ORDER BY sc.score DESC, m.v ASC) AS rk,
+               count(*) OVER (PARTITION BY m.cluster_id) AS nm
+        FROM mem m JOIN scored sc ON sc.doc_id = m.v)
+      SELECT cluster_id, v AS keep_id, score AS keep_score,
+             (nm - 1)::BIGINT AS n_dropped
+      FROM ranked WHERE rk = 1 ORDER BY cluster_id""",
 
     // the same md5-derived 60-bit SimHash trajectory, bit for bit:
     // hex-prefix hash, per-bit majority votes, 10×6-bit chunk LSH,

@@ -169,6 +169,16 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("qualityKeep over renamed columns equals the d19 entry") {
+    val api = Curation.qualityKeep(userDocs, 0.5, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val ref = entry("d19_quality_keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(api == ref)
+  }
+
   test("bpeTokenize over renamed columns equals the t17 entry") {
     val api = Curation.bpeTokenize(userDocs, merges = 6, "docnum", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

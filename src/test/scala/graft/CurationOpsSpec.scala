@@ -128,6 +128,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(learned.map(_.getLong(3)).toSeq == Seq(6L, 4L))
   }
 
+  test("d19 quality keep: election is argmax score with id tiebreak, singletons absent") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{qualityKeepOf, qualityScoreOf}
+    // one 3-member near-dup cluster (shared 10-word base, one word
+    // varies -> jaccard >= 0.5) + one exact-pair cluster + a singleton
+    val base = "the quick brown fox jumps over the lazy sleeping dog"
+    val docs = Seq(
+      (1L, s"$base alpha"), (2L, s"$base beta"), (3L, s"$base gamma"),
+      (10L, "completely different words entirely here now today ok fine yes"),
+      (11L, "completely different words entirely here now today ok fine yes"),
+      (99L, "a lone unique document sharing nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val edges = graft.queries.PipelineOps.exactJaccardPairsOf(docs, 0.5)
+      .select(col("d1"), col("d2"))
+    val out = qualityKeepOf(docs, edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val score = qualityScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // cluster 1 = {1,2,3}: expected keep = argmax score, id-asc tiebreak
+    val exp1 = Seq(1L, 2L, 3L).sortBy(id => (-score(id), id)).head
+    // cluster 10 = {10,11}: identical text, equal scores -> id tiebreak
+    assert(out == Seq(
+      (1L, exp1, score(exp1), 2L),
+      (10L, 10L, score(10L), 1L)), out.mkString(", "))
+    assert(!out.exists(_._1 == 99L), "singleton must not form a cluster")
+  }
+
   test("t17 tokenizer apply: per-doc token counts under the learned merges") {
     import spark.implicits._
     import graft.queries.PipelineOps.bpeTokenizeOf

@@ -510,6 +510,20 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("d19 quality keep: windowless partial-agg election, no cartesian") {
+    // the per-cluster argmax must be a partial-aggregable max(struct),
+    // never a window over cluster members; the score stays in-row
+    val df = graft.queries.PipelineOps.defs("d19_quality_keep")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"),
+      s"election degenerated to a window over members:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join sneaked in:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"keep election not map-side combined:\n$plan")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
