@@ -88,6 +88,17 @@ object Curation {
       rounds)
   }
 
+  /** [[qualityKeep]] over a caller-supplied near-dup edge set `(d1,
+    * d2)` — e.g. [[nearDupPairsSkewRobust]] on a boilerplate-heavy
+    * corpus, or [[nearDupPairsMinhash]] when the threshold is high
+    * enough for banding. Any pair source composes with the same
+    * election. */
+  def qualityKeepFromEdges(docs: DataFrame, edges: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      rounds: Int = 3): DataFrame =
+    PipelineOps.qualityKeepOf(canon(docs, idCol, textCol),
+      edges.select(col("d1"), col("d2")), rounds)
+
   /** Incremental batch-vs-corpus dedup (d14's kernel): jaccard ≥
     * `minJaccard` pairs between a new `batch` and the existing
     * `corpus`, without ever self-joining the corpus — the daily-ingest

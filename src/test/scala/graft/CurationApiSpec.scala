@@ -179,6 +179,19 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("qualityKeepFromEdges with the skew-robust pair source equals the exact path") {
+    // the prefix-filter builder is recall-exact, so the election over
+    // its edges must match qualityKeep's verdict identically
+    val edges = Curation.nearDupPairsSkewRobust(userDocs, 0.5, "docnum", "body")
+    val api = Curation.qualityKeepFromEdges(userDocs, edges, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val ref = Curation.qualityKeep(userDocs, 0.5, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(api == ref && api.nonEmpty)
+  }
+
   test("bpeTokenize over renamed columns equals the t17 entry") {
     val api = Curation.bpeTokenize(userDocs, merges = 6, "docnum", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
