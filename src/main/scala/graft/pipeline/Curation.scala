@@ -175,6 +175,15 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.bpeTokenizeOf(canon(docs, idCol, textCol), merges)
 
+  /** Split-leakage audit (spl02's kernel): after the deterministic
+    * md5-mod-100 train/val/test split, report per eval split how many
+    * documents have a ≥ `minJaccard` near-dup in TRAIN — cross-split
+    * contamination that silently inflates eval scores. Returns
+    * (split, n_docs, n_leaked, worst_jaccard). */
+  def splitLeakage(docs: DataFrame, minJaccard: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.splitLeakageOf(canon(docs, idCol, textCol), minJaccard)
+
   /** Unicode NFC normalization of `textCol` in place (t12's expression:
     * native codegen over java.text.Normalizer with an allocation-free
     * all-ASCII fast path) — the mandatory first pass before any

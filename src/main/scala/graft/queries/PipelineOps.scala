@@ -1162,6 +1162,36 @@ object PipelineOps {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** spl02's kernel — split-leakage audit: after spl01's hash split,
+    * find val/test documents with a near-dup (jaccard ≥ `minJ`) in
+    * TRAIN — the cross-split contamination that silently inflates eval
+    * scores, and the reason production pipelines dedup eval slices
+    * against train after ANY split. Returns one row per eval split:
+    * (split, n_docs, n_leaked, worst_jaccard).
+    *
+    * 100 TB: the split tag is the spl01 pure-map projection; the pair
+    * search is [[crossJaccardPairsOf]] with the 5+5% eval side as the
+    * batch — O(eval·df), train never self-joins (and d15's prefix
+    * filter drops in when boilerplate skews the gram df); the rollup
+    * is a partial-aggregable 2-row aggregate, no window. */
+  private[graft] def splitLeakageOf(docs: DataFrame, minJ: Double): DataFrame = {
+    val b = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    val tagged = docs.withColumn("split",
+      when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+    val train = tagged.filter(col("split") === "train").select("doc_id", "text")
+    val eval = tagged.filter(col("split") =!= "train")
+    val leaks = crossJaccardPairsOf(eval.select("doc_id", "text"), train, minJ)
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(max("jaccard").as("worst_j"))
+    eval.select("doc_id", "split")
+      .join(leaks, Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("worst_j").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
+        round(coalesce(max("worst_j"), lit(0.0)), 4).as("worst_jaccard"))
+  }
+
   /** Brute-force cosine top-k (s01's kernel): broadcast the query set,
     * map-side dot products over the corpus scan, per-query top-k. At
     * 100 TB the corpus side stays partition-parallel with zero shuffle
@@ -2709,6 +2739,15 @@ object PipelineOps {
         .orderBy("split", "lang")
     }),
 
+    "spl02_split_leakage" -> ((s, d) => {
+      // The audit every split needs before it ships: val/test docs
+      // with a near-dup in TRAIN (jaccard >= 0.5 over spl01's exact
+      // hash split) inflate eval scores invisibly. Kernel scaladoc has
+      // the scale notes (eval side is the batch of the O(eval*df)
+      // cross join, train never self-joins).
+      splitLeakageOf(t(s, d, "documents"), minJ = 0.5).orderBy("split")
+    }),
+
     "samp04_token_budget_mixture" -> ((s, d) => {
       // Token-budgeted temperature mixture — samp03 quotas DOCUMENTS,
       // but training mixtures are specified in TOKENS (a lang of long
@@ -3499,6 +3538,39 @@ object PipelineOps {
              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              CAST(sum(doc_id) AS BIGINT) AS id_checksum
       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "spl02_split_leakage" -> """
+      WITH sp AS (
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+              FROM documents)),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS e_id, b.doc_id AS t_id, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s
+        JOIN sp ea ON ea.doc_id = a.doc_id AND ea.split <> 'train'
+        JOIN sp tb ON tb.doc_id = b.doc_id AND tb.split = 'train'
+        GROUP BY 1, 2),
+      leaks AS (
+        SELECT e_id, max(j) AS worst_j FROM (
+          SELECT e_id, round(inter * 1.0 / (x.n + y.n - inter), 4) AS j
+          FROM inter JOIN sizes x ON e_id = x.doc_id
+                     JOIN sizes y ON t_id = y.doc_id)
+        WHERE j >= 0.5 GROUP BY e_id)
+      SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN l.e_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+             round(coalesce(max(l.worst_j), 0.0), 4) AS worst_jaccard
+      FROM sp LEFT JOIN leaks l ON l.e_id = sp.doc_id
+      WHERE sp.split <> 'train'
+      GROUP BY sp.split ORDER BY sp.split""",
 
     "samp04_token_budget_mixture" -> """
       WITH toks AS (

@@ -179,6 +179,16 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("splitLeakage over renamed columns equals the spl02 entry") {
+    val api = Curation.splitLeakage(userDocs, 0.5, "docnum", "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val ref = entry("spl02_split_leakage")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(api == ref && api.nonEmpty)
+  }
+
   test("qualityKeepFromEdges with the skew-robust pair source equals the exact path") {
     // the prefix-filter builder is recall-exact, so the election over
     // its edges must match qualityKeep's verdict identically

@@ -128,6 +128,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(learned.map(_.getLong(3)).toSeq == Seq(6L, 4L))
   }
 
+  test("spl02 split leakage: cross-split near-dups counted, within-split ones ignored") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.splitLeakageOf
+    // resolve the md5 split assignment for small ids, then plant one
+    // near-dup pair crossing train->val, one crossing train->test, a
+    // within-eval dup (must NOT count: neither side is train), and
+    // unique filler
+    val b = org.apache.spark.sql.functions.expr(
+      "cast(conv(substring(md5(cast(id as string)), 1, 15), 16, 10) as bigint) % 100")
+    val split = spark.range(0, 200).withColumn("b", b)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 90) "train" else if (r.getLong(1) < 95) "val" else "test")).toMap
+    val trainIds = split.collect { case (id, "train") => id }.toSeq.sorted
+    val valIds = split.collect { case (id, "val") => id }.toSeq.sorted
+    val testIds = split.collect { case (id, "test") => id }.toSeq.sorted
+    assert(trainIds.size >= 2 && valIds.size >= 3 && testIds.size >= 1)
+    val dupA = "one two three four five six seven eight nine ten"
+    val dupB = "ichi ni san shi go roku nana hachi kyu ju"
+    val dupC = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs = Seq(
+      (trainIds(0), dupA), (valIds(0), dupA),            // train->val leak
+      (trainIds(1), dupB), (testIds(0), dupB),           // train->test leak
+      (valIds(1), dupC), (valIds(2), dupC)               // eval-internal: no leak
+    ).toDF("doc_id", "text")
+    val out = splitLeakageOf(docs, 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("val") == ((3L, 1L, 1.0)), out.toString)
+    assert(out("test") == ((1L, 1L, 1.0)), out.toString)
+  }
+
   test("d19 quality keep: election is argmax score with id tiebreak, singletons absent") {
     import spark.implicits._
     import graft.queries.PipelineOps.{qualityKeepOf, qualityScoreOf}

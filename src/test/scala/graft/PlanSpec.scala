@@ -510,6 +510,17 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("spl02 split leakage: equi-joins only, windowless 2-row rollup") {
+    val df = graft.queries.PipelineOps.defs("spl02_split_leakage")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"leak search degenerated from equi-joins:\n$plan")
+    assert(!plan.contains("Window"), s"rollup must not window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"rollup not map-side combined:\n$plan")
+  }
+
   test("d19 quality keep: windowless partial-agg election, no cartesian") {
     // the per-cluster argmax must be a partial-aggregable max(struct),
     // never a window over cluster members; the score stays in-row
