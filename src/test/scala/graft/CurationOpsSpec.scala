@@ -128,6 +128,15 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(learned.map(_.getLong(3)).toSeq == Seq(6L, 4L))
   }
 
+  test("d20 stored dedup index: probe verdict bit-identical to d14's live recompute") {
+    def key(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2)).toSeq
+    val live = key("d14_incremental_dedup")
+    val stored = key("d20_dedup_index_persist")
+    assert(stored == live && live.nonEmpty,
+      s"artifact round trip diverged: ${stored.size} vs ${live.size}")
+  }
+
   test("spl02 split leakage: cross-split near-dups counted, within-split ones ignored") {
     import spark.implicits._
     import graft.queries.PipelineOps.splitLeakageOf

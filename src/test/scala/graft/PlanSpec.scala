@@ -510,6 +510,21 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("d20 stored dedup index: probe reads the parquet artifact, equi-joins only") {
+    // the serve job's plan must scan the STORED postings/sizes (no
+    // corpus text re-shingle on the corpus side) and join on gram/id
+    // keys only — never a cartesian; corpus text appears exactly once
+    // (the batch side's own scan)
+    val df = graft.queries.PipelineOps.defs("d20_dedup_index_persist")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("graft-d20"), s"probe not reading the stored artifact:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe degenerated from equi-joins:\n$plan")
+    assert("shingles3".r.findAllIn(plan).size <= 2,
+      s"corpus side re-shingled despite the stored index (batch side only expected):\n$plan")
+  }
+
   test("spl02 split leakage: equi-joins only, windowless 2-row rollup") {
     val df = graft.queries.PipelineOps.defs("spl02_split_leakage")(spark, dir)
     val plan = planOf(df)
