@@ -2437,9 +2437,10 @@ object PipelineOps {
       // ("the corpus inverted index is the stored artifact") but its
       // in-session entry cannot prove: the corpus (doc_id, sh) posting
       // inventory is written to parquet PARTITIONED by a 16-way md5
-      // gram bucket (the layout a daily batch shuffles its grams into,
-      // so each bucket joins locally and a probe prunes to touched
-      // buckets), the per-doc gram sizes as a second artifact (the
+      // gram bucket (the layout a daily batch shuffles its grams into
+      // so each bucket joins locally; a TARGETED probe could prune to
+      // touched buckets — this full-batch probe reads them all), the
+      // per-doc gram sizes as a second artifact (the
       // verify step never recounts the corpus), both read back COLD
       // and probed with d14's exact batch. Build and serve are
       // separate jobs at 100 TB; the verdict must be bit-identical to
