@@ -33,6 +33,19 @@ object ScaleProbe {
         graft.pipeline.Similarity
           .semDedup(emb, k = args(2).toInt, tau = args(3).toDouble)
           .count()
+      case "bitext" =>
+        // the s12 PRODUCTION config: ANN candidate generation with
+        // kmeans clusters — K scales with the corpus (args: k tau
+        // probes clusters), the d17 K-scaling protocol
+        val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "lang")
+        val emb = Tables.t(spark, sfDir, "embeddings")
+        def side(lang: String) = emb
+          .join(docs.filter(col("lang") === lang), col("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("embedding"))
+        graft.pipeline.Similarity.bitextMineAnn(side("de"), side("en"),
+          k = args(2).toInt, tau = args(3).toDouble,
+          probes = args(4).toInt, clusters = args(5).toInt)
+          .count()
       case other => sys.error(s"unknown kernel: $other")
     }
     run() // warmup pass: plan compilation + codegen

@@ -38,6 +38,41 @@ object Similarity {
     PipelineOps.bruteForceTopKOf(
       canon(emb, idCol, vecCol), canon(queries, idCol, vecCol), k)
 
+  /** Margin-based bitext mining (s12's kernel — Artetxe & Schwenk
+    * 2019's ratio margin, the LASER/CCMatrix parallel-corpus miner):
+    * per source vector in `src`, the best `tgt` match by
+    * cos / mean(avg-top-k-forward, avg-top-k-backward), kept at
+    * margin ≥ `tau`. Returns (a_id, b_id, cos_micro, margin) —
+    * cosines in exact integer micro-units, margins deterministic
+    * across engines. The exhaustive candidate set here is the
+    * baseline; swap in ANN retrieval per side at scale. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      tau: Double = 1.15,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.bitextMineOf(
+      canon(src, idCol, vecCol).select(col("vec_id").as("a_id"), col("e").as("ae")),
+      canon(tgt, idCol, vecCol).select(col("vec_id").as("b_id"), col("e").as("be")),
+      k, tau)
+
+  /** [[bitextMine]]'s production configuration (s12's ANN variant):
+    * candidate generation through the IVF shape on both sides —
+    * each side is kmeans-clustered into `clusters` cells and every
+    * query meets only its `probes` nearest cells' postings, so work
+    * stays linear in corpus size when `clusters` grows with it. kNN
+    * margins are computed within the candidate set (the standard
+    * FAISS-retrieval approximation). With probes = clusters the
+    * output equals [[bitextMine]] exactly. */
+  def bitextMineAnn(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      tau: Double = 1.15, probes: Int = 2, clusters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, id: String, e: String, lb: String) =
+      PipelineOps.kmeansAssignOf(canon(df, idCol, vecCol), clusters, iters = 3)
+        .select(col("vec_id").as(id), col("e").as(e), col("cluster").as(lb))
+    PipelineOps.bitextMineAnnOf(
+      side(src, "a_id", "ae", "alabel"),
+      side(tgt, "b_id", "be", "blabel"), k, tau, probes)
+  }
+
   /** IVF-style ANN top-k (s02's kernel): per-`bucketCol` mean centroids
     * (broadcast), probe the `probes` nearest, exact search inside the
     * probed buckets only — scanned fraction ≈ probes/nlist. Returns

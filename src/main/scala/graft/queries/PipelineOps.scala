@@ -1203,6 +1203,111 @@ object PipelineOps {
         round(coalesce(max("worst_j"), lit(0.0)), 4).as("worst_jaccard"))
   }
 
+  /** s12's kernel — margin-based bitext mining (Artetxe & Schwenk
+    * 2019's ratio margin; the LASER/CCMatrix parallel-corpus miner):
+    * for every source-language vector a, the best target-language
+    * match b by margin = cos(a,b) / mean(avgₖNN(a→B), avgₖNN(b→A)),
+    * kept when margin ≥ `tau` — raw cosine alone over-mines hubs;
+    * the margin normalizes by each side's local neighborhood density.
+    * `a` = (a_id, ae), `b` = (b_id, be); returns
+    * (a_id, b_id, cos_micro, margin), one row per mined source doc.
+    *
+    * Determinism: cosines quantize to integer micro-units
+    * (floor(c·1e6 + 0.5) as long — the samp02/s05 idiom), so the
+    * top-k sums are exact integer arithmetic and the margin is ONE
+    * double expression over integers (cq·2·nₐ·n_b / (sₐ·n_b + s_b·nₐ),
+    * every product < 2⁵³) — bit-identical across engines and immune
+    * to accumulation order.
+    *
+    * 100 TB: the exhaustive |A|×|B| candidate set here is the oracled
+    * BASELINE — production swaps candidate generation for ANN
+    * retrieval per side (s02/s11) and the margin arithmetic is
+    * unchanged. The smaller language block broadcasts and the big
+    * side streams map-side (pairs never materialize: each of the
+    * three consumers re-derives them from the same broadcast — ~3×
+    * map compute traded against checkpointing an |A|×|B| frame); the
+    * two kNN reductions are literal-bounded row_number ranks →
+    * WindowGroupLimit bounded heaps (≤k rows per key leave each
+    * mapper); the per-source election is a partial-aggregable
+    * max(struct), no window over candidates. Plan-pinned. */
+  private[graft] def bitextMineOf(a: DataFrame, b: DataFrame, k: Int,
+      tau: Double): DataFrame = {
+    graft.exprs.CosineSim.register(a.sparkSession)
+    val p = b.crossJoin(broadcast(a))
+      .select(col("a_id"), col("b_id"),
+        floor(expr("cosine_sim(ae, be)") * lit(1000000d) + lit(0.5))
+          .cast("long").as("cq"))
+    bitextElect(p,
+      bitextTopkSum(p, "a_id", "b_id", k),
+      bitextTopkSum(p, "b_id", "a_id", k), tau)
+  }
+
+  /** Per-`key` top-`k` micro-unit cosine sum over a candidate frame —
+    * literal-bounded rank → WindowGroupLimit bounded heap. */
+  private def bitextTopkSum(p: DataFrame, key: String, tiebreak: String,
+      k: Int): DataFrame = p
+    .withColumn("rk", row_number().over(
+      Window.partitionBy(key).orderBy(col("cq").desc, col(tiebreak))))
+    .filter(col("rk") <= lit(k))
+    .groupBy(key).agg(sum("cq").as(key.take(1) + "_s"),
+      count(lit(1)).as(key.take(1) + "_n"))
+
+  /** The margin election shared by the exhaustive and ANN miners:
+    * margins over `p` with the two kNN sum tables broadcast back,
+    * per-source argmax as a partial-aggregable max(struct). */
+  private def bitextElect(p: DataFrame, fa: DataFrame, fb: DataFrame,
+      tau: Double): DataFrame = p
+    .join(broadcast(fa), "a_id").join(broadcast(fb), "b_id")
+    .withColumn("margin", round(
+      col("cq") * lit(2.0) * col("a_n") * col("b_n") /
+        (col("a_s") * col("b_n") + col("b_s") * col("a_n")), 4))
+    .groupBy("a_id")
+    .agg(max(struct(col("margin"), (-col("b_id")).as("nb"),
+      col("b_id").as("bid"), col("cq").as("c"))).as("w"))
+    .select(col("a_id"), col("w.bid").as("b_id"),
+      col("w.c").as("cos_micro"), col("w.margin").as("margin"))
+    .filter(col("margin") >= tau)
+
+  /** The PRODUCTION configuration of [[bitextMineOf]]: candidate
+    * generation through s02's IVF shape on BOTH sides instead of the
+    * exhaustive cross — each source meets only the postings of its
+    * `probes` nearest target clusters (and each target probes the
+    * source side for the backward kNN), so per-query candidate count
+    * is |other side|·probes/K and total work stays LINEAR in corpus
+    * size when K grows with it (d17's K-scaling law; ScaleProbe
+    * measures it). kNN averages are computed within the candidate set
+    * — the standard FAISS-retrieval approximation of the margin
+    * (Artetxe & Schwenk run exactly this). With probes = K the
+    * candidate set is exhaustive and the output equals
+    * [[bitextMineOf]] bit-for-bit (spec-pinned).
+    * `a` = (a_id, ae, alabel), `b` = (b_id, be, blabel). */
+  private[graft] def bitextMineAnnOf(a: DataFrame, b: DataFrame, k: Int,
+      tau: Double, probes: Int): DataFrame = {
+    graft.exprs.CosineSim.register(a.sparkSession)
+    def candidates(q: DataFrame, qid: String, qe: String,
+        post: DataFrame, pid: String, pe: String, plabel: String) = {
+      val cent = meanVectors(
+          post.select(col(plabel).as("label"), col(pe).as("e")), "label")
+        .select(col("label").as("clabel"), col("ce"))
+      val wc = Window.partitionBy(qid).orderBy(col("cc").desc, col("clabel").asc)
+      q.crossJoin(broadcast(cent))
+        .select(col(qid), col(qe), col("clabel"),
+          round(expr(s"cosine_sim($qe, ce)"), 6).as("cc"))
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") <= lit(probes))
+        .select(col(qid), col(qe), col("clabel"))
+        .join(post, col(plabel) === col("clabel"))
+        .select(col("a_id"), col("b_id"),
+          floor(expr(s"cosine_sim(ae, be)") * lit(1000000d) + lit(0.5))
+            .cast("long").as("cq"))
+    }
+    val pf = candidates(a, "a_id", "ae", b, "b_id", "be", "blabel")
+    val pb = candidates(b, "b_id", "be", a, "a_id", "ae", "alabel")
+    bitextElect(pf,
+      bitextTopkSum(pf, "a_id", "b_id", k),
+      bitextTopkSum(pb, "b_id", "a_id", k), tau)
+  }
+
   /** Brute-force cosine top-k (s01's kernel): broadcast the query set,
     * map-side dot products over the corpus scan, per-query top-k. At
     * 100 TB the corpus side stays partition-parallel with zero shuffle
@@ -1833,6 +1938,23 @@ object PipelineOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       bruteForceTopKOf(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("qid", "rk")
+    }),
+
+    "s12_bitext_mining" -> ((s, d) => {
+      // Margin-based bitext mining de->en over the embedding column —
+      // the parallel-corpus construction step of multilingual training
+      // data (LASER/CCMatrix). tau=1.15 keeps ~70% of source docs
+      // here: a real margin cut, not a pass-through. Scale and
+      // determinism notes on the kernel scaladoc.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      def side(lang: String, id: String, e: String) = emb
+        .join(docs.filter(col("lang") === lang), col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as(id), col("e").as(e))
+      bitextMineOf(side("de", "a_id", "ae"), side("en", "b_id", "be"),
+        k = 4, tau = 1.15)
+        .orderBy("a_id")
     }),
 
     "s11_ivf_persist" -> ((s, d) => {
@@ -3869,6 +3991,45 @@ object PipelineOps {
       LEFT JOIN per_gram p ON s.eval_id = p.eval_id
       LEFT JOIN worst w ON s.eval_id = w.eval_id
       ORDER BY s.eval_id""",
+
+    // integer micro-unit margins: top-k sums are exact BIGINT
+    // arithmetic, the margin one double expression over integers —
+    // bit-identical to the Spark trajectory by construction
+    "s12_bitext_mining" -> """
+      WITH de AS (
+        SELECT e.vec_id AS a_id, e.embedding::DOUBLE[] AS ae
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.lang = 'de'),
+      en AS (
+        SELECT e.vec_id AS b_id, e.embedding::DOUBLE[] AS be
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.lang = 'en'),
+      p AS (
+        SELECT a_id, b_id,
+               CAST(floor(list_cosine_similarity(ae, be) * 1000000 + 0.5) AS BIGINT) AS cq
+        FROM de, en),
+      fa AS (
+        SELECT a_id, sum(cq)::BIGINT AS fa_s, count(*)::BIGINT AS fa_n FROM (
+          SELECT a_id, cq,
+                 row_number() OVER (PARTITION BY a_id ORDER BY cq DESC, b_id) AS rk
+          FROM p) WHERE rk <= 4 GROUP BY a_id),
+      fb AS (
+        SELECT b_id, sum(cq)::BIGINT AS fb_s, count(*)::BIGINT AS fb_n FROM (
+          SELECT b_id, cq,
+                 row_number() OVER (PARTITION BY b_id ORDER BY cq DESC, a_id) AS rk
+          FROM p) WHERE rk <= 4 GROUP BY b_id),
+      m AS (
+        SELECT p.a_id, p.b_id, p.cq,
+               round(p.cq * 2.0 * fa.fa_n * fb.fb_n /
+                     (fa.fa_s * fb.fb_n + fb.fb_s * fa.fa_n), 4) AS margin
+        FROM p JOIN fa USING (a_id) JOIN fb USING (b_id)),
+      best AS (
+        SELECT a_id, b_id, cq, margin,
+               row_number() OVER (PARTITION BY a_id
+                 ORDER BY margin DESC, b_id) AS rk
+        FROM m)
+      SELECT a_id, b_id, cq AS cos_micro, margin
+      FROM best WHERE rk = 1 AND margin >= 1.15 ORDER BY a_id""",
 
     "dec03_semantic_contamination" -> """
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

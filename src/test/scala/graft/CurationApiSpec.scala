@@ -112,6 +112,45 @@ class CurationApiSpec extends AnyFunSuite {
       s"unexpected shard layout: ${dirs.mkString(",")}")
   }
 
+  test("bitextMine over renamed columns equals the s12 entry") {
+    import graft.pipeline.Similarity
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "lang")
+    def side(lang: String) = Tables.t(spark, dir, "embeddings")
+      .join(docs.filter(col("lang") === lang), col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val api = Similarity.bitextMine(side("de"), side("en"),
+        k = 4, tau = 1.15, idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val ref = entry("s12_bitext_mining")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(api == ref && api.nonEmpty)
+  }
+
+  test("bitextMineAnn at probes = clusters equals the exhaustive miner exactly") {
+    import graft.pipeline.Similarity
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "lang")
+    def side(lang: String) = Tables.t(spark, dir, "embeddings")
+      .join(docs.filter(col("lang") === lang), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // probes = clusters -> the candidate set is exhaustive, so the ANN
+    // path must reproduce the exhaustive margins bit-for-bit
+    val full = key(Similarity.bitextMineAnn(side("de"), side("en"),
+      k = 4, tau = 1.15, probes = 6, clusters = 6))
+    val exact = key(Similarity.bitextMine(side("de"), side("en"), k = 4, tau = 1.15))
+    assert(full == exact && full.nonEmpty)
+    // a real probe (2 of 6 cells): still mines pairs, every margin
+    // honors tau, and every mined pair is a true candidate of the
+    // exhaustive run's id space
+    val pruned = key(Similarity.bitextMineAnn(side("de"), side("en"),
+      k = 4, tau = 1.15, probes = 2, clusters = 6))
+    assert(pruned.nonEmpty && pruned.forall(_._4 >= 1.15))
+  }
+
   test("Similarity facade over renamed columns equals the s01/s02/s06 entries") {
     import graft.pipeline.Similarity
     val userEmb = Tables.t(spark, dir, "embeddings")

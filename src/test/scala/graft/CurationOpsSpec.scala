@@ -128,6 +128,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(learned.map(_.getLong(3)).toSeq == Seq(6L, 4L))
   }
 
+  test("s12 bitext mining: entry equals a pure-Scala margin recompute") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cq(x: Array[Double], y: Array[Double]): Long = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      // strict left-to-right like CosineSim: three separate loops
+      for (i <- x.indices) dot += x(i) * y(i)
+      for (i <- x.indices) nx += x(i) * x(i)
+      for (i <- y.indices) ny += y(i) * y(i)
+      math.floor(dot / (math.sqrt(nx) * math.sqrt(ny)) * 1000000d + 0.5).toLong
+    }
+    val as = docs.collect { case (id, "de") if emb.contains(id) => id }.toSeq.sorted
+    val bs = docs.collect { case (id, "en") if emb.contains(id) => id }.toSeq.sorted
+    val c = (for (a <- as; b <- bs) yield (a, b) -> cq(emb(a), emb(b))).toMap
+    def topk(keys: Seq[Long], others: Seq[Long], get: (Long, Long) => Long) =
+      keys.map { k =>
+        val top = others.map(o => (get(k, o), o)).sortBy(t => (-t._1, t._2)).take(4)
+        k -> (top.map(_._1).sum, top.size)
+      }.toMap
+    val fa = topk(as, bs, (a, b) => c((a, b)))
+    val fb = topk(bs, as, (b, a) => c((a, b)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = as.flatMap { a =>
+      val cands = bs.map { b =>
+        val (fas, fan) = fa(a); val (fbs, fbn) = fb(b)
+        val m = r4(c((a, b)) * 2.0 * fan * fbn / (fas * fbn + fbs * fan))
+        (m, b)
+      }
+      val (m, b) = cands.maxBy(t => (t._1, -t._2))
+      if (m >= 1.15) Some((a, b, c((a, b)), m)) else None
+    }
+    val got = run("s12_bitext_mining").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
+  }
+
   test("d20 stored dedup index: probe verdict bit-identical to d14's live recompute") {
     def key(name: String) = run(name).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2)).toSeq

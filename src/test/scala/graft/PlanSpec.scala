@@ -510,6 +510,23 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("s12 bitext mining: broadcast candidate pass, bounded-heap kNN, windowless election") {
+    // candidate generation is the documented broadcast nested loop
+    // (dec03's shape: tiny lang block broadcast, big side map-side);
+    // the kNN top-k must run as WindowGroupLimit bounded heaps and the
+    // per-source election as a partial-agg max(struct), never a window
+    val df = graft.queries.PipelineOps.defs("s12_bitext_mining")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate pass must broadcast the smaller language block:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast cartesian sneaked in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"kNN top-k not a bounded heap:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"per-source election not map-side combined:\n$plan")
+  }
+
   test("d20 stored dedup index: probe reads the parquet artifact, equi-joins only") {
     // the serve job's plan must scan the STORED postings/sizes (no
     // corpus text re-shingle on the corpus side) and join on gram/id
