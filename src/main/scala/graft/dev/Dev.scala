@@ -770,13 +770,17 @@ object Dev {
 
   /** `graft.Dev preview <file>`: push ONE dashboard file as a
     * temporary dashboard and return its preview URL
-    * (ref: server/dev/preview.go RunPreviewCommand, minus the
-    * browser-open — OpenURL/browser.go is UI surface, excluded with
-    * the rest of it; the reference's --no-open path is exactly this).
-    * The temporary create never touches the journal or apps listing,
-    * so iterating on a preview cannot collide with deployed names. */
+    * (ref: server/dev/preview.go RunPreviewCommand; with
+    * `noOpen = false` the URL also opens via [[openUrl]], failure
+    * advisory like preview.go:61-66 — the library default is the
+    * reference's `--no-open` path since specs and headless harness
+    * runs must never spawn a browser). The temporary create never
+    * touches the journal or apps listing, so iterating on a preview
+    * cannot collide with deployed names. */
   def preview(file: Path, client: AppsClient, baseUrl: String,
-      log: String => Unit = _ => ()): Either[String, String] = {
+      log: String => Unit = _ => (),
+      noOpen: Boolean = true,
+      opener: String => Either[String, Seq[String]] = openUrl(_)): Either[String, String] = {
     if (!file.getFileName.toString.endsWith(DashboardSuffix))
       return Left(s"file $file is not a dashboard (must end with $DashboardSuffix)")
     val content = try new String(Files.readAllBytes(file), UTF_8)
@@ -785,8 +789,46 @@ object Dev {
     client.createPreview(name, content, "/").map { id =>
       val url = s"${baseUrl.stripSuffix("/")}/dashboards/$id?preview=true"
       log(s"Preview created: $url")
+      if (!noOpen) {
+        log(s"Opening $url in browser...")
+        opener(url).left.foreach(err =>
+          log(s"WARNING: Failed to open browser: $err"))
+      }
       url
     }
+  }
+
+  // ---- browser launch (ref: server/dev/browser.go) --------------------
+
+  /** Platform browser launch — browser.go's OpenURL dispatch exactly:
+    * windows → `rundll32 url.dll,FileProtocolHandler`, darwin →
+    * `open`, WSL → `cmd.exe /c start`, else `xdg-open`; multi-arg
+    * commands get an empty string inserted at args[1] (browser.go:34-37
+    * — keeps a URL starting with a quote from being parsed as the
+    * `start` window title). WSL detection reads the kernel release
+    * for "microsoft" (browser.go isWSL runs `uname -r`; on a Linux
+    * JVM `os.version` IS the uname release, no subprocess needed).
+    * Returns the launched command (specs pin it via a recording
+    * `exec`); failure is advisory — every reference call site falls
+    * back to printing the URL (auth.go:193-198, preview.go:61-66). */
+  def openUrl(url: String,
+      os: String = sys.props.getOrElse("os.name", ""),
+      kernel: String = sys.props.getOrElse("os.version", ""),
+      exec: Seq[String] => Unit = cmd => { new ProcessBuilder(cmd: _*).start(); () })
+      : Either[String, Seq[String]] = {
+    val lower = os.toLowerCase
+    val (bin, args) =
+      if (lower.contains("windows"))
+        ("rundll32", Seq("url.dll,FileProtocolHandler", url))
+      else if (lower.contains("mac") || lower.contains("darwin"))
+        ("open", Seq(url))
+      else if (kernel.toLowerCase.contains("microsoft"))
+        ("cmd.exe", Seq("/c", "start", url))
+      else ("xdg-open", Seq(url))
+    val padded = if (args.length > 1) args.head +: "" +: args.tail else args
+    val cmd = bin +: padded
+    try { exec(cmd); Right(cmd) }
+    catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
   }
 
   // ---- login (ref: server/dev/login.go, auth.go) ----------------------
@@ -870,10 +912,14 @@ object Dev {
     override def close(): Unit = server.stop(0)
   }
 
-  /** `graft.Dev login`: the session handshake of `shaper dev login`
-    * minus the browser launch (login.go:10-41 — launching a browser is
-    * UI surface; like the reference's `--no-open` the URL prints for a
-    * manual open). Order:
+  /** `graft.Dev login`: the full session handshake of `shaper dev
+    * login` (login.go:10-41), browser launch included: with
+    * `noOpen = false` the login URL opens via [[openUrl]]
+    * (auth.go:192-198, failure advisory), otherwise it prints for a
+    * manual open like the reference's `--no-open`. The library
+    * default stays no-open — specs and headless harness runs must
+    * never spawn a browser; the CLI flips it unless `--no-open`.
+    * Order:
     *   1. no-op when the server's public config says login isn't
     *      required;
     *   2. "Already logged in." when the cached auth-file token still
@@ -888,7 +934,9 @@ object Dev {
   def login(baseUrl: String, authFile: Path,
       credentials: Option[(String, String)] = None,
       log: String => Unit = _ => (),
-      handshakeTimeoutMillis: Long = 300000): Either[String, String] = {
+      handshakeTimeoutMillis: Long = 300000,
+      noOpen: Boolean = true,
+      opener: String => Either[String, Seq[String]] = openUrl(_)): Either[String, String] = {
     val base = baseUrl.stripSuffix("/")
     log(s"Connecting to graft at: $base")
     val loginRequired = {
@@ -941,7 +989,14 @@ object Dev {
         val cb = new TokenCallback(origin)
         try {
           log(s"Dev auth callback listening on port ${cb.port}")
-          log(s"Please open the login URL manually:\n$base/dev-login?port=${cb.port}")
+          val loginUrl = s"$base/dev-login?port=${cb.port}"
+          // browser-first like auth.go:192-198; failure is advisory
+          if (noOpen) log(s"Please open the login URL manually:\n$loginUrl")
+          else opener(loginUrl) match {
+            case Right(_) => log(s"Opening $loginUrl ...")
+            case Left(err) => log(s"Failed to open browser automatically: $err\n" +
+              s"Please open the URL manually.\n$loginUrl")
+          }
           cb.await(handshakeTimeoutMillis) match {
             case Some(tok) =>
               saveAuthToken(authFile, tok)
@@ -980,6 +1035,9 @@ object Dev {
   def main(args: Array[String]): Unit = {
     val commands = Set("watch", "deploy", "pull", "ids", "validate", "login", "preview")
     val validateOnly = args.contains("--validate-only")
+    // CLI default matches the reference (browser opens unless
+    // --no-open); the library-level default stays no-open
+    val noOpen = args.contains("--no-open")
     val argList = args.filterNot(_.startsWith("--"))
     val (cmd, dirArg) = argList.toList match {
       case c :: d :: _ if commands(c) => (c, Some(d))
@@ -1023,7 +1081,7 @@ object Dev {
       val creds = for {
         e <- sys.env.get("GRAFT_EMAIL"); p <- sys.env.get("GRAFT_PASSWORD")
       } yield (e, p)
-      login(baseUrl, authFile, creds, println) match {
+      login(baseUrl, authFile, creds, println, noOpen = noOpen) match {
         case Right(_) => ()
         case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
       }
@@ -1040,7 +1098,8 @@ object Dev {
           "token), or run `graft.Dev login` first")
         sys.exit(2)
       }
-      preview(Paths.get(file), new AppsClient(baseUrl, token), baseUrl, println) match {
+      preview(Paths.get(file), new AppsClient(baseUrl, token), baseUrl, println,
+          noOpen = noOpen) match {
         case Right(_) => ()
         case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
       }

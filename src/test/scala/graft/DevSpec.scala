@@ -537,10 +537,43 @@ class DevSpec extends AnyFunSuite {
       assert(store.dashboards.isEmpty)
       // name derives from the file name before the suffix
       assert(resp.body().contains("\"name\":\"my-board\""))
+      // noOpen=false routes the preview URL through the opener
+      // (preview.go:61-66); an opener failure is advisory — the URL
+      // still comes back and the warning lands in the log
+      var opened = ""
+      val logs2 = scala.collection.mutable.Buffer.empty[String]
+      val r2 = Dev.preview(f, new Dev.AppsClient(base, apiKey), base,
+        logs2 += _, noOpen = false, opener = u => { opened = u; Right(Seq("stub", u)) })
+      assert(r2.isRight && opened == r2.toOption.get)
+      assert(logs2.exists(_.startsWith("Opening ")), logs2.mkString("|"))
+      val r3 = Dev.preview(f, new Dev.AppsClient(base, apiKey), base,
+        logs2 += _, noOpen = false, opener = _ => Left("no display"))
+      assert(r3.isRight, r3)
+      assert(logs2.exists(_.contains("Failed to open browser: no display")))
     } finally {
       api.stop()
       deleteTree(dir)
     }
+  }
+
+  test("openUrl: browser.go platform dispatch, arg padding quirk, advisory failure") {
+    def record(url: String, os: String, kernel: String = "6.1.0") = {
+      var got: Seq[String] = Nil
+      val r = Dev.openUrl(url, os, kernel, cmd => got = cmd)
+      assert(r == Right(got)); got
+    }
+    // multi-arg commands get "" inserted at args[1] (browser.go:34-37):
+    // a URL opening with a quote must not become the start window title
+    assert(record("http://x/d?p=1", "Windows 11") ==
+      Seq("rundll32", "url.dll,FileProtocolHandler", "", "http://x/d?p=1"))
+    assert(record("http://x", "Mac OS X") == Seq("open", "http://x"))
+    assert(record("http://x", "Linux", kernel = "5.15.0-microsoft-standard-WSL2") ==
+      Seq("cmd.exe", "/c", "", "start", "http://x"))
+    assert(record("http://x", "Linux") == Seq("xdg-open", "http://x"))
+    // launch failure is advisory: Left with the cause, never a throw
+    val failed = Dev.openUrl("http://x", "Linux", "6.1.0",
+      _ => throw new java.io.IOException("no xdg-open"))
+    assert(failed.isLeft && failed.left.exists(_.contains("no xdg-open")))
   }
 
   test("canonicalBody makes leading-blank content converge") {
