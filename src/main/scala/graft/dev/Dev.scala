@@ -161,7 +161,8 @@ object Dev {
     * events here are parked and flushed when the window closes, so a
     * save-all or branch switch converges instead of losing files. */
   final class Watcher(watchDir: Path, pusher: AppPusher,
-      throttleMillis: Long = 500, log: String => Unit = _ => ()) extends AutoCloseable {
+      throttleMillis: Long = 500, log: String => Unit = _ => (),
+      onDeployed: String => Unit = _ => ()) extends AutoCloseable {
     private val root = watchDir.toAbsolutePath.normalize
     private val ws: WatchService = root.getFileSystem.newWatchService()
     private val keys = scala.collection.mutable.Map.empty[WatchKey, Path]
@@ -298,7 +299,11 @@ object Dev {
       // compare stripped local against raw remote — an unstripped watch
       // push would make every dashboard look permanently divergent
       pusher.push("dashboard", id, name, fPath, stripAppMeta(content)) match {
-        case Right(status) => log(s"${status.capitalize} $fPath$name$DashboardSuffix")
+        case Right(status) =>
+          log(s"${status.capitalize} $fPath$name$DashboardSuffix")
+          // live-reload hook (watch.go:260-290): the CLI notifies the
+          // websocket channel and opens a browser when nobody listens
+          onDeployed(id)
         case Left(err) => log(s"ERROR: failed pushing '$p': $err")
       }
     }
@@ -1147,7 +1152,22 @@ object Dev {
           case Left(err) => System.err.println(s"ERROR: $err"); sys.exit(1)
         }
       case _ =>
-        val watcher = new Watcher(root, new HttpPusher(baseUrl, token), log = println)
+        // live-reload channel (watch.go:321-443): deploys of a
+        // dashboard reload its open tabs; with no tab connected the
+        // dashboard URL opens (or prints under --no-open)
+        val reload = new LiveReload(println)
+        val onDeployed: String => Unit = id => if (!reload.notify(id)) {
+          val url = s"${baseUrl.stripSuffix("/")}/dashboards/$id" +
+            s"?dev=ws://localhost:${reload.port}/ws"
+          if (noOpen) println(s"Dashboard URL: $url")
+          else {
+            println(s"Opening $url ...")
+            openUrl(url).left.foreach(err =>
+              println(s"ERROR: Failed opening '$url' in browser: $err"))
+          }
+        }
+        val watcher = new Watcher(root, new HttpPusher(baseUrl, token),
+          log = println, onDeployed = onDeployed)
         val n = watcher.start()
         println(s"Watching directory: $root")
         println(s"Found $n app file${if (n == 1) "" else "s"} in watch directory.")

@@ -92,7 +92,10 @@ class DevSpec extends AnyFunSuite {
         pushed.add(folderPath + name); Right("updated")
       }
     }
-    val w = new Dev.Watcher(tmp, pusher, throttleMillis = 400)
+    // the live-reload hook fires once per successful dashboard push
+    val deployed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val w = new Dev.Watcher(tmp, pusher, throttleMillis = 400,
+      onDeployed = deployed.add(_))
     try {
       w.start()
       def await(what: String)(cond: => Boolean): Unit = {
@@ -115,6 +118,11 @@ class DevSpec extends AnyFunSuite {
       Thread.sleep(600) // let the throttle window clear
       Files.move(staging, tmp.resolve("bulk"))
       await("moved-in directory adopted")(pushed.contains("/bulk/three"))
+      // every successful push also reached the live-reload hook, with
+      // the stamped dashboard ids (3 distinct files -> 3 distinct ids)
+      await("deploy hook saw all three ids")(deployed.size == 3)
+      import scala.jdk.CollectionConverters._
+      assert(deployed.asScala.forall(_.matches("[a-z][a-z0-9]{23}")), deployed)
     } finally {
       w.close()
       deleteTree(tmp)
@@ -574,6 +582,56 @@ class DevSpec extends AnyFunSuite {
     val failed = Dev.openUrl("http://x", "Linux", "6.1.0",
       _ => throw new java.io.IOException("no xdg-open"))
     assert(failed.isLeft && failed.left.exists(_.contains("no xdg-open")))
+  }
+
+  test("live reload: real websocket handshake, reload broadcast, empty-channel signal") {
+    val logs = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val lr = new LiveReload(logs.put)
+    try {
+      // nobody listening: notify signals "open a browser" (watch.go:416-423)
+      assert(!lr.notify("dash1"))
+      // two real JDK websocket clients on dash1, one on dash2
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      def connect(id: String): java.net.http.WebSocket = {
+        val listener = new java.net.http.WebSocket.Listener {
+          override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+              last: Boolean): java.util.concurrent.CompletionStage[_] = {
+            received.put(data.toString); ws.request(1); null
+          }
+        }
+        HttpClient.newHttpClient().newWebSocketBuilder()
+          .buildAsync(URI.create(s"ws://127.0.0.1:${lr.port}/ws?dashboardId=$id"),
+            listener).join()
+      }
+      val c1 = connect("dash1"); val c2 = connect("dash1"); val c3 = connect("dash2")
+      val deadline = System.currentTimeMillis() + 5000
+      while (lr.connections("dash1") < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(lr.connections("dash1") == 2 && lr.connections("dash2") == 1)
+      // broadcast goes to dash1's two connections only, exact payload
+      assert(lr.notify("dash1"))
+      val m1 = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      val m2 = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(Seq(m1, m2).forall(_ == """{"type":"reload","dashboardId":"dash1"}"""))
+      assert(received.poll(300, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
+        "dash2 must not receive dash1's reload")
+      // client close cleans its registration; the channel empties
+      c1.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+      c2.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+      val d2 = System.currentTimeMillis() + 5000
+      while (lr.connections("dash1") > 0 && System.currentTimeMillis() < d2)
+        Thread.sleep(20)
+      assert(lr.connections("dash1") == 0 && !lr.notify("dash1"))
+      assert(lr.notify("dash2"))
+      c3.abort()
+      // a plain-HTTP request without the upgrade gets a 400, and a
+      // missing dashboardId is rejected like watch.go:353-356
+      val http = HttpClient.newHttpClient()
+      val r = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${lr.port}/ws")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 400 && r.body().contains("dashboardId"))
+    } finally lr.close()
   }
 
   test("canonicalBody makes leading-blank content converge") {
