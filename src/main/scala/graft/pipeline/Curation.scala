@@ -184,6 +184,15 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.splitLeakageOf(canon(docs, idCol, textCol), minJaccard)
 
+  /** Encode `docs` under an ALREADY-LEARNED merge list in rank order
+    * (t18's serve half — the production shape where the tokenizer
+    * trained once and ships as an artifact): same output as
+    * [[bpeTokenize]] when the merges came from [[bpeMergeLoop]] on the
+    * same corpus. */
+  def bpeTokenizeWith(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.bpeTokenizeWith(canon(docs, idCol, textCol), merges)
+
   /** Unicode NFC normalization of `textCol` in place (t12's expression:
     * native codegen over java.text.Normalizer with an allocation-free
     * all-ASCII fast path) — the mandatory first pass before any

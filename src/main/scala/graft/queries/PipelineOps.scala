@@ -262,6 +262,54 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** t18's kernel: [[bpeTokenizeOf]] with the TRAINED TOKENIZER AS A
+    * STORED ARTIFACT — train and encode are separate jobs in
+    * production (the tokenizer trains once, then ships to every
+    * preprocessing run): the learned merge table (merge_rank, pair,
+    * merged, n — t16's exact output) is written to parquet, read back
+    * COLD, and the corpus encodes under the STORED ranks without
+    * relearning. Returns t17's exact shape (doc_id, n_words,
+    * n_tokens); the verdict must be bit-identical to the
+    * learn-and-apply path (t17's oracle verbatim), pinning that the
+    * round trip through the artifact is loss-free. The apply side is
+    * [[bpeTokenizeWith]], shared with the in-session path. */
+  private[graft] def bpeTokenizePersistOf(docs: DataFrame, merges: Int,
+      artifactDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    bpeMergeLoopOf(docs, merges)
+      .write.mode("overwrite").parquet(s"$artifactDir/merges")
+    val stored = spark.read.parquet(s"$artifactDir/merges")
+      .orderBy("merge_rank").collect()
+      .map(r => { val Array(a, b) = r.getString(1).split(" ", 2); (a, b) })
+    bpeTokenizeWith(docs, stored)
+  }
+
+  /** Encode `docs` under an already-learned merge list (rank order) —
+    * t18's serve half, stage-identical to [[bpeTokenizeOf]]'s apply
+    * side (same vocab build, same [[bpeApplyMerge]] fold per merge,
+    * same broadcast token-count rollup; t17 fuses learning into the
+    * same loop, which is why the two kernels share stages rather than
+    * a body). The merge list is tokenizer metadata (vocab-sized,
+    * thousands of rows in production) — the bounded driver collect is
+    * the artifact's contract, not a data-plane collect. */
+  private[graft] def bpeTokenizeWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = docWords.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      .localCheckpoint()
+    merges.foreach { case (a, b) =>
+      vocab = bpeApplyMerge(vocab, a, b).localCheckpoint()
+    }
+    val tok = vocab.select(col("w"), size(split(col("s"), " ")).as("nt"))
+    docWords.join(broadcast(tok), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nt").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** The word-frequency table, symbols space-joined: the ONLY stage
     * that touches corpus text (one partial-agg shuffle). */
   private[graft] def bpeWordTable(docs: DataFrame): DataFrame = docs
@@ -3139,6 +3187,17 @@ object PipelineOps {
       bpeTokenizeOf(t(s, d, "documents"), merges = 6)
     }),
 
+    "t18_tokenizer_artifact" -> ((s, d) => {
+      // The tokenizer as a STORED artifact — t16 trains, the merge
+      // table ships to parquet, and the corpus encodes under the
+      // COLD-read ranks without relearning (train once, encode
+      // everywhere: the s11/d20 build-vs-serve split for the
+      // tokenizer). Must be bit-identical to t17's fused
+      // learn-and-apply (t17's oracle verbatim + spec equality).
+      bpeTokenizePersistOf(t(s, d, "documents"), merges = 6,
+        EngineOps.tempDir("graft-t18"))
+    }),
+
     "idx01_inverted_index" -> ((s, d) => {
       // Inverted-index build — the artifact that upgrades s07's
       // scan-per-query BM25 into an indexed search system: per term
@@ -4654,6 +4713,9 @@ object PipelineOps {
     "t16_bpe_merge_loop" -> bpeMergeLoopOracle(6),
 
     "t17_bpe_tokenize" -> bpeTokenizeOracle(6),
+
+    // the stored-tokenizer round trip must be loss-free => t17's SQL
+    "t18_tokenizer_artifact" -> bpeTokenizeOracle(6),
 
     "idx01_inverted_index" -> """
       WITH w AS (

@@ -249,6 +249,16 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("bpeTokenizeWith under bpeMergeLoop's merges equals bpeTokenize") {
+    val merges = Curation.bpeMergeLoop(userDocs, 6, "docnum", "body")
+      .collect().map(r => { val Array(a, b) = r.getString(1).split(" ", 2); (a, b) }).toSeq
+    val served = Curation.bpeTokenizeWith(userDocs, merges, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fused = Curation.bpeTokenize(userDocs, 6, "docnum", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == fused && served.nonEmpty)
+  }
+
   test("nfcNormalized rewrites the text column in place, ASCII untouched") {
     val out = Curation.nfcNormalized(
         userDocs.withColumn("body", concat(col("body"), lit("é"))),

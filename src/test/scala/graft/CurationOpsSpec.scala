@@ -169,6 +169,15 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("t18 stored tokenizer: cold-read merges encode bit-identically to t17") {
+    def key(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fused = key("t17_bpe_tokenize")
+    val stored = key("t18_tokenizer_artifact")
+    assert(stored == fused && fused.nonEmpty,
+      s"tokenizer artifact round trip diverged: ${stored.size} vs ${fused.size}")
+  }
+
   test("d20 stored dedup index: probe verdict bit-identical to d14's live recompute") {
     def key(name: String) = run(name).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2)).toSeq
