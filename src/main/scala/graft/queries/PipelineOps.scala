@@ -1695,6 +1695,44 @@ object PipelineOps {
         .orderBy("cluster_id")
     }),
 
+    "p05_corpus_release" -> ((s, d) => {
+      // The release gate — what actually ships after a cleaning run,
+      // composing three r8 families in ONE plan: d19's keep decision
+      // drops every near-dup cluster member except its best-quality
+      // doc, spl01's hash split tags the survivors, and the release
+      // card rolls up docs + token mass per (split, lang). 100 TB:
+      // the drop set is cluster members minus keepers — vanishing
+      // relative to the corpus, so the removal is a BROADCAST
+      // anti-join on doc_id; the split tag and token count are
+      // map-side; the card is one partial-agg'd rollup. No window,
+      // no second corpus-keyed shuffle after the labels (plan-pinned).
+      val docs = t(s, d, "documents")
+      val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
+      // ONE propagation feeds both the election and the drop set (the
+      // checkpoint barrier keeps the keep/drop branches from
+      // re-executing the jaccard lineage — measured 2x without it)
+      val labels = dupLabelsOf(edges, rounds = 3).localCheckpoint()
+      val scored = docs.select(col("doc_id").as("v"),
+        qualityScoreCol(s).as("score"))
+      val keep = labels.join(scored, Seq("v"))
+        .groupBy(col("lbl").as("cid"))
+        .agg(max(struct(col("score"), (-col("v")).as("nv"),
+          col("v").as("kid"))).as("w"))
+        .select(col("cid"), col("w.kid").as("keep_id"))
+      val drops = labels.join(keep, col("lbl") === col("cid"))
+        .filter(col("v") =!= col("keep_id"))
+        .select(col("v").as("doc_id"))
+      val b = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     "d09_prefix_filter_jaccard" -> ((s, d) => {
       // The skew remedy d03's scale note points at, shipped and oracled:
       // PPJoin-style prefix filtering (Bayardo et al. WWW'07 "Scaling Up
@@ -3413,6 +3451,59 @@ object PipelineOps {
         array_to_string(list_sort(list(v)), ',') AS members
       FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
       GROUP BY cluster_id ORDER BY cluster_id""",
+
+    // d19's fixpoint + election, inverted into the drop set, then
+    // spl01's split over the survivors and the release rollup
+    "p05_corpus_release" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), edges AS (
+        SELECT d1, d2
+        FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+        WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      ), sym AS (
+        SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+      ), reach(v, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.v
+        WHERE r.lbl < s.src
+      ), mem AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v),
+      scored AS (
+        SELECT doc_id,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+        FROM documents
+      ), keepers AS (
+        SELECT cluster_id, v AS keep_id FROM (
+          SELECT m.cluster_id, m.v,
+                 row_number() OVER (PARTITION BY m.cluster_id
+                   ORDER BY sc.score DESC, m.v ASC) AS rk
+          FROM mem m JOIN scored sc ON sc.doc_id = m.v) WHERE rk = 1
+      ), drops AS (
+        SELECT m.v AS doc_id FROM mem m JOIN keepers k USING (cluster_id)
+        WHERE m.v <> k.keep_id
+      ), surv AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bk
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      )
+      SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM surv GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // d11's recursive-CTE fixpoint plus the election: per cluster the
     // highest t14 score (same md5-weight formula as the t14/st05

@@ -542,6 +542,22 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side re-shingled despite the stored index (batch side only expected):\n$plan")
   }
 
+  test("p05 corpus release: broadcast anti-join removal, windowless, no cartesian") {
+    // the drop set (cluster members minus keepers) must broadcast into
+    // a LeftAnti hash join against the corpus scan; the election and
+    // rollup stay windowless partial aggregations
+    val df = graft.queries.PipelineOps.defs("p05_corpus_release")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"survivor cut not a broadcast anti-join:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked into the release plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join sneaked in:\n$plan")
+    assert(plan.contains("partial_max") && plan.contains("partial_sum"),
+      s"election/rollup not map-side combined:\n$plan")
+  }
+
   test("spl02 split leakage: equi-joins only, windowless 2-row rollup") {
     val df = graft.queries.PipelineOps.defs("spl02_split_leakage")(spark, dir)
     val plan = planOf(df)
