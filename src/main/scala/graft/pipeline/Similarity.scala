@@ -93,6 +93,34 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("e").as("qe")),
       k, probes)
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (s13's kernel —
+    * Cormack et al. 2009): fuse the dense cosine top-`r` over
+    * `emb`/`queriesEmb` with the lexical token-Jaccard top-`r` over
+    * `docs`/`queriesText` (ids align across the two modalities), score
+    * each doc Σ 1/(rrfK + rank) over the systems that retrieved it,
+    * keep the fused top-`k` per query. Returns (qid, frk, nid,
+    * rrf_micro, in_dense, in_lex) — scores in exact integer
+    * micro-units. Query sets are bounded samples (both halves
+    * broadcast them); each half's output is retrieval-budget-bounded,
+    * so the fusion join never sees the corpus. */
+  def hybridTopK(docs: DataFrame, queriesText: DataFrame,
+      emb: DataFrame, queriesEmb: DataFrame, r: Int = 20, k: Int = 10,
+      rrfK: Int = 60, idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.hybridRrfOf(
+      Canon.docs(docs, idCol, textCol),
+      Canon.docs(queriesText, idCol, textCol),
+      canon(emb, vecIdCol, vecCol), canon(queriesEmb, vecIdCol, vecCol),
+      r, k, rrfK)
+
+  /** The lexical half alone (distinct-token Jaccard top-`r` per query
+    * doc) — the BM25-free overlap ranking [[hybridTopK]] fuses with
+    * the dense side. Returns (qid, rk, nid, j). */
+  def lexicalTopK(docs: DataFrame, queries: DataFrame, r: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.lexicalTopKOf(
+      Canon.docs(docs, idCol, textCol), Canon.docs(queries, idCol, textCol), r)
+
   /** Recall@k of `approx` against `exact` (s06's kernel) — both in the
     * (qid, nid) shape the two searches return. Returns (qid, n_hit,
     * recall). */

@@ -1402,6 +1402,81 @@ object PipelineOps {
       .select("qid", "rk", "nid", "c")
   }
 
+  /** s13's lexical half: per-query top-`r` corpus docs by distinct-token
+    * Jaccard overlap. `docs`/`queries`: (doc_id, text); queries are a
+    * bounded sample by contract (the broadcast side). Returns
+    * (qid, rk, nid, j).
+    *
+    * 100 TB: the query token set broadcasts; the corpus token stream is
+    * built map-side (distinct split carried with its own set size, so
+    * no corpus join-back for |doc| — the dn rides each exploded token),
+    * meets the queries through a BroadcastHashJoin, and the overlap
+    * count is ONE (qid, nid)-keyed partial-agg shuffle bounded by
+    * queries × matching docs. The per-query cut is a literal-bounded
+    * row_number → WindowGroupLimit bounded heap. Determinism: inter/qn/
+    * dn are exact ints, the Jaccard is a single IEEE division (identical
+    * across engines), ties break nid asc. */
+  private[graft] def lexicalTopKOf(docs: DataFrame, queries: DataFrame,
+      r: Int): DataFrame = {
+    val q = queries.select(col("doc_id").as("qid"),
+      array_distinct(split(col("text"), " ")).as("qts"))
+    val qTok = q.select(col("qid"), size(col("qts")).as("qn"),
+      explode(col("qts")).as("tok"))
+    val cTok = docs
+      .select(col("doc_id").as("nid"),
+        array_distinct(split(col("text"), " ")).as("cts"))
+      .select(col("nid"), size(col("cts")).as("dn"), explode(col("cts")).as("tok"))
+    cTok.join(broadcast(qTok), Seq("tok"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid", "qn", "dn")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j",
+        col("inter") / (col("qn") + col("dn") - col("inter")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("j").desc, col("nid").asc)))
+      .filter(col("rk") <= r)
+      .select("qid", "rk", "nid", "j")
+  }
+
+  /** s13's kernel — hybrid retrieval with Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher 2009): fuse the dense cosine top-`r`
+    * ([[bruteForceTopKOf]]) with the lexical Jaccard top-`r`
+    * ([[lexicalTopKOf]]) per query, score = Σ 1/(rrfK + rank) over the
+    * systems that retrieved the doc, keep the fused top-`k`. The
+    * standard zero-tuning combiner of a lexical and a dense retriever —
+    * what a production retrieval pipeline ships before it has a learned
+    * reranker. Returns (qid, frk, nid, rrf_micro, in_dense, in_lex).
+    *
+    * 100 TB: each half is its own bounded-output retrieval (scale notes
+    * on the kernels); the fusion joins two ≤ queries×r frames — driver-
+    * irrelevant sizes — so the full-outer join's exchange is bounded by
+    * the retrieval budget, never the corpus. Determinism: each RRF term
+    * is one IEEE division and their sum is two terms in a fixed order
+    * (dense + lexical), identical across engines; the score ships as
+    * integer micro-units (floor(x·1e6 + 0.5) — the house idiom), where
+    * adjacent rank sums stay ≥ ~150 micro-units apart at r ≤ 20, and
+    * ordering ties break nid asc. */
+  private[graft] def hybridRrfOf(docs: DataFrame, queriesText: DataFrame,
+      emb: DataFrame, queriesEmb: DataFrame, r: Int, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val dense = bruteForceTopKOf(emb, queriesEmb, r)
+      .select(col("qid"), col("nid"), col("rk").as("drk"))
+    val lex = lexicalTopKOf(docs, queriesText, r)
+      .select(col("qid"), col("nid"), col("rk").as("lrk"))
+    dense.join(lex, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("drk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lrk")), lit(0.0))).as("rrf"),
+        col("drk").isNotNull.cast("int").as("in_dense"),
+        col("lrk").isNotNull.cast("int").as("in_lex"))
+      .withColumn("rrf_micro",
+        floor(col("rrf") * 1000000 + 0.5).cast("long"))
+      .withColumn("frk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("nid").asc)))
+      .filter(col("frk") <= k)
+      .select("qid", "frk", "nid", "rrf_micro", "in_dense", "in_lex")
+  }
+
   /** IVF-style ANN top-k (s02's kernel): bucket-mean coarse quantizer
     * (centroid = mean vector per `label` bucket), probe the `probes`
     * nearest centroids, exact search within probed buckets only. Scale
@@ -2859,6 +2934,23 @@ object PipelineOps {
       // full map-side — the classic search shape without an index; an
       // inverted index replaces the second scan when queries repeat.
       bm25TopKOf(t(s, d, "documents"), Seq("spark", "join", "vector"), k = 20)
+    }),
+
+    "s13_hybrid_rrf" -> ((s, d) => {
+      // Hybrid retrieval: Reciprocal Rank Fusion of the dense cosine
+      // top-20 (s01's kernel) and the lexical token-Jaccard top-20 per
+      // query — the industry-standard combiner (RRF, Cormack et al.
+      // 2009; what Elasticsearch/Vespa/OpenSearch ship as "hybrid
+      // search"). Queries are docs 0-7 (text and embedding align by
+      // id). Scale + determinism notes on the kernel scaladoc: both
+      // halves are bounded-output retrievals, the fusion join is
+      // budget-sized, scores ship as integer micro-units.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      hybridRrfOf(docs, docs.filter(col("doc_id") < 8),
+        emb, emb.filter(col("vec_id") < 8), r = 20, k = 10)
+        .orderBy("qid", "frk")
     }),
 
     "s08_random_projection" -> ((s, d) => {
@@ -4776,6 +4868,53 @@ object PipelineOps {
           4) AS score
       FROM feat, stats
       ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "s13_hybrid_rrf" -> """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                 FROM embeddings WHERE vec_id < 8),
+      dsc AS (
+        SELECT qid, vec_id AS nid,
+               round(list_cosine_similarity(qe, embedding::DOUBLE[]), 4) AS c
+        FROM q, embeddings WHERE vec_id <> qid),
+      dr AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM dsc),
+      dtop AS (SELECT qid, nid, rk FROM dr WHERE rk <= 20),
+      qt AS (SELECT doc_id AS qid, list_distinct(string_split(text, ' ')) AS ts
+             FROM documents WHERE doc_id < 8),
+      ct AS (SELECT doc_id AS nid, list_distinct(string_split(text, ' ')) AS ts
+             FROM documents),
+      lsc AS (
+        SELECT qid, nid, len(list_intersect(qt.ts, ct.ts)) AS inter,
+               len(qt.ts) AS qn, len(ct.ts) AS dn
+        FROM qt, ct WHERE nid <> qid),
+      lj AS (
+        SELECT qid, nid, inter::DOUBLE / (qn + dn - inter) AS j
+        FROM lsc WHERE inter > 0),
+      lr AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY j DESC, nid ASC) AS rk
+        FROM lj),
+      ltop AS (SELECT qid, nid, rk FROM lr WHERE rk <= 20),
+      fused AS (
+        SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.nid, l.nid) AS nid,
+               coalesce(1.0::DOUBLE / (60 + d.rk), 0) +
+                 coalesce(1.0::DOUBLE / (60 + l.rk), 0) AS rrf,
+               CAST(d.rk IS NOT NULL AS INT) AS in_dense,
+               CAST(l.rk IS NOT NULL AS INT) AS in_lex
+        FROM dtop d FULL JOIN ltop l ON d.qid = l.qid AND d.nid = l.nid),
+      fm AS (
+        SELECT qid, nid, CAST(floor(rrf * 1000000 + 0.5) AS BIGINT) AS rrf_micro,
+               in_dense, in_lex
+        FROM fused),
+      fr AS (
+        SELECT qid, nid, rrf_micro, in_dense, in_lex,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rrf_micro DESC, nid ASC) AS frk
+        FROM fm)
+      SELECT qid, frk, nid, rrf_micro, in_dense, in_lex
+      FROM fr WHERE frk <= 10 ORDER BY qid, frk""",
 
     "s08_random_projection" -> """
       WITH dims AS (

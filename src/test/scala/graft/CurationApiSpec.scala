@@ -406,6 +406,23 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("hybridTopK over renamed columns equals the s13 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val api = graft.pipeline.Similarity.hybridTopK(
+        userDocs, userDocs.filter(col("docnum") < 8),
+        userEmb, userEmb.filter(col("vid") < 8),
+        idCol = "docnum", textCol = "body", vecIdCol = "vid", vecCol = "vec")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSet
+    val ref = entry("s13_hybrid_rrf")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSet
+    assert(api == ref)
+  }
+
   test("noveltyRatio over renamed columns equals the t15 entry") {
     val api = Curation.noveltyRatio(userDocs, idCol = "docnum", textCol = "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet

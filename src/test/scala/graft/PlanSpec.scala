@@ -168,6 +168,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
   }
 
+  test("s13 hybrid RRF: query tokens broadcast, bounded per-query heaps, no cartesian") {
+    // the lexical half must meet the corpus token stream through a
+    // BroadcastHashJoin (queries are the bounded sample), both the
+    // per-query lexical rank and the fused rank must be literal-bounded
+    // heaps, and nothing may degenerate to a cartesian — the fusion's
+    // full-outer join sees only the two top-r frames
+    val df = graft.queries.PipelineOps.defs("s13_hybrid_rrf")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "query token block must broadcast onto the corpus token stream")
+    assert("WindowGroupLimit \\[qid".r.findAllIn(plan).size >= 2,
+      s"lexical and fused per-query ranks must both be bounded heaps:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
+  }
+
   test("samp03 temperature draw: per-lang rank is a WindowGroupLimit bounded heap") {
     // the literal budget bound (r <= 200) must sit directly above the
     // Window so the head language never gets fully sorted on one

@@ -309,4 +309,61 @@ class RetrievalOpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.fallback", "true")
     }
   }
+
+  // ---- s13 hybrid RRF ---------------------------------------------------
+
+  test("s13: plain-Scala recompute of both rankings and the fusion matches exactly") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // dense: rounded cosine top-20 per query, nid-asc tiebreak
+    val qs = emb.filter(_._1 < 8)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val dense = qs.map { case (qid, qe) =>
+      val qn = norm(qe)
+      val ranked = emb.filter(_._1 != qid).map { case (nid, e) =>
+        (nid, round4(qe.zip(e).map { case (a, b) => a * b }.sum / (qn * norm(e))))
+      }.sortBy { case (nid, c) => (-c, nid) }.take(20).zipWithIndex
+        .map { case ((nid, _), i) => nid -> (i + 1) }.toMap
+      qid -> ranked
+    }.toMap
+    // lexical: distinct-token jaccard top-20 per query
+    val tokSets = docs.map { case (id, t) => id -> t.split(" ", -1).distinct.toSet }.toMap
+    val lex = qs.map(_._1).map { qid =>
+      val qt = tokSets(qid)
+      val ranked = tokSets.iterator
+        .filter { case (nid, ts) => nid != qid && (qt & ts).nonEmpty }
+        .map { case (nid, ts) =>
+          (nid, (qt & ts).size.toDouble / (qt | ts).size) }
+        .toArray.sortBy { case (nid, j) => (-j, nid) }.take(20).zipWithIndex
+        .map { case ((nid, _), i) => nid -> (i + 1) }.toMap
+      qid -> ranked
+    }.toMap
+    // fuse: micro-unit RRF, top-10 per query
+    val expected = qs.map(_._1).sorted.flatMap { qid =>
+      val cands = (dense(qid).keySet ++ lex(qid).keySet).toArray
+      val scored = cands.map { nid =>
+        val rrf = dense(qid).get(nid).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          lex(qid).get(nid).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (nid, math.floor(rrf * 1000000 + 0.5).toLong,
+          dense(qid).contains(nid), lex(qid).contains(nid))
+      }.sortBy { case (nid, m, _, _) => (-m, nid) }.take(10).zipWithIndex
+      scored.map { case ((nid, m, ind, inl), i) =>
+        (qid, i + 1, nid, m, if (ind) 1 else 0, if (inl) 1 else 0) }
+    }
+    val got = run("s13_hybrid_rrf").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(got.toSeq == expected.toSeq)
+    // the fusion must be a real blend on this corpus: some fused doc
+    // must come from only one system in each direction
+    assert(got.exists(r => r._5 == 1 && r._6 == 0), "no dense-only doc fused")
+    assert(got.exists(r => r._5 == 0 && r._6 == 1), "no lexical-only doc fused")
+    assert(got.exists(r => r._5 == 1 && r._6 == 1), "no doc retrieved by both")
+  }
 }
