@@ -175,6 +175,19 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.bpeTokenizeOf(canon(docs, idCol, textCol), merges)
 
+  /** Tokenizer fairness audit (t19's kernel — Petrov et al. 2023):
+    * train the [[bpeMergeLoop]] tokenizer on the whole corpus, then
+    * measure per language the fertility (tokens per word) and the
+    * compression (chars per token) — the table a multilingual pipeline
+    * reviews before a tokenizer ships. Returns (lang, n_words,
+    * n_tokens, n_chars, fertility, chars_per_token). */
+  def bpeFertility(docs: DataFrame, merges: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.bpeFertilityOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string"))), merges)
+
   /** Split-leakage audit (spl02's kernel): after the deterministic
     * md5-mod-100 train/val/test split, report per eval split how many
     * documents have a ≥ `minJaccard` near-dup in TRAIN — cross-split

@@ -243,6 +243,20 @@ object PipelineOps {
     val docWords = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
+    val tok = bpeLearnTokenCounts(docWords, merges)
+    docWords.join(broadcast(tok), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nt").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The learn half shared by t17/t19: distinct-word vocabulary from an
+    * exploded occurrence stream (any carry columns welcome — counting
+    * groups on `w` alone), `merges` BPE merges learned over it exactly
+    * as [[bpeMergeLoopOf]] does, returned as the word → token-count
+    * table (w, nt) the encode side broadcasts. */
+  private[graft] def bpeLearnTokenCounts(docWords: DataFrame,
+      merges: Int): DataFrame = {
     var vocab = docWords.groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
       .localCheckpoint()
@@ -255,11 +269,39 @@ object PipelineOps {
         vocab = bpeApplyMerge(vocab, a, b).localCheckpoint()
       }
     }
-    val tok = vocab.select(col("w"), size(split(col("s"), " ")).as("nt"))
+    vocab.select(col("w"), size(split(col("s"), " ")).as("nt"))
+  }
+
+  /** t19's kernel — the tokenizer FAIRNESS audit (Petrov et al. 2023,
+    * "Language Model Tokenizers Introduce Unfairness Between
+    * Languages"): one tokenizer trained on the whole corpus, fertility
+    * measured per language. Fertility (tokens per word) and compression
+    * (chars per token) are THE tokenizer-evaluation numbers — a
+    * language with outsized fertility pays more context window and more
+    * compute per sentence, and a multilingual pipeline checks this
+    * table before a tokenizer ships. Returns (lang, n_words, n_tokens,
+    * n_chars, fertility, chars_per_token), one row per language.
+    *
+    * 100 TB: identical scale shape to t17 (merge work on the
+    * checkpointed distinct-word vocab — o(corpus) by Zipf; the
+    * word → token-count table broadcasts onto the occurrence stream;
+    * the rollup is one partial-agg'd shuffle, here keyed by lang —
+    * languages-count rows out at any corpus size). Determinism: counts
+    * are exact ints; each ratio is a single IEEE division rounded to 6,
+    * identical across engines. */
+  private[graft] def bpeFertilityOf(docs: DataFrame, merges: Int): DataFrame = {
+    val docWords = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tok = bpeLearnTokenCounts(docWords, merges)
     docWords.join(broadcast(tok), Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("nt").cast("long").as("n_tokens"))
-      .orderBy("doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("nt").cast("long").as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .withColumn("fertility", round(col("n_tokens") / col("n_words"), 6))
+      .withColumn("chars_per_token", round(col("n_chars") / col("n_tokens"), 6))
+      .orderBy("lang")
   }
 
   /** t18's kernel: [[bpeTokenizeOf]] with the TRAINED TOKENIZER AS A
@@ -410,6 +452,23 @@ object PipelineOps {
       SELECT doc_id, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens
       FROM docw JOIN tok USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** DuckDB replay of [[bpeFertilityOf]] — the same merge chain, word
+    * stream carried with its language, per-lang rollup. (Empty-string
+    * words drop on both sides: the Spark stream filters them, the
+    * oracle's join can't match them — the vocab was built length>0.) */
+  private[graft] def bpeFertilityOracle(merges: Int): String =
+    bpeChain(merges, carryW = true) + s""",
+      tok AS (SELECT w, len(string_split(s, ' '))::BIGINT AS nt FROM it$merges),
+      docw AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      j AS (SELECT lang, nt, length(w)::BIGINT AS nc
+            FROM docw JOIN tok USING (w))
+      SELECT lang, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens,
+             sum(nc)::BIGINT AS n_chars,
+             round(sum(nt)::DOUBLE / count(*), 6) AS fertility,
+             round(sum(nc)::DOUBLE / sum(nt), 6) AS chars_per_token
+      FROM j GROUP BY lang ORDER BY lang"""
 
   /** idx01's kernel: per-term df + two-phase lossless postings-head cap
     * for terms with df ≥ minDf. Returns (term, df, postings_head).
@@ -3317,6 +3376,17 @@ object PipelineOps {
       bpeTokenizeOf(t(s, d, "documents"), merges = 6)
     }),
 
+    "t19_tokenizer_fertility" -> ((s, d) => {
+      // Tokenizer fairness audit (Petrov et al. 2023): the t16/t17
+      // tokenizer trained on the WHOLE corpus, fertility
+      // (tokens/word) and compression (chars/token) measured per
+      // language — the table a multilingual pipeline reviews before a
+      // tokenizer ships, since an over-segmented language pays more
+      // context window and compute per sentence. Scale notes on the
+      // kernel scaladoc (t17's shape; rollup keyed by lang).
+      bpeFertilityOf(t(s, d, "documents"), merges = 6)
+    }),
+
     "t18_tokenizer_artifact" -> ((s, d) => {
       // The tokenizer as a STORED artifact — t16 trains, the merge
       // table ships to parquet, and the corpus encodes under the
@@ -4943,6 +5013,8 @@ object PipelineOps {
     "t16_bpe_merge_loop" -> bpeMergeLoopOracle(6),
 
     "t17_bpe_tokenize" -> bpeTokenizeOracle(6),
+
+    "t19_tokenizer_fertility" -> bpeFertilityOracle(6),
 
     // the stored-tokenizer round trip must be loss-free => t17's SQL
     "t18_tokenizer_artifact" -> bpeTokenizeOracle(6),

@@ -249,6 +249,17 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("bpeFertility over renamed columns equals the t19 entry") {
+    val api = Curation.bpeFertility(userDocs, merges = 6,
+        idCol = "docnum", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val ref = entry("t19_tokenizer_fertility")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(api == ref)
+  }
+
   test("bpeTokenizeWith under bpeMergeLoop's merges equals bpeTokenize") {
     val merges = Curation.bpeMergeLoop(userDocs, 6, "docnum", "body")
       .collect().map(r => { val Array(a, b) = r.getString(1).split(" ", 2); (a, b) }).toSeq

@@ -169,6 +169,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("t19 fertility: equals t17 aggregated by lang, ratios exact, chars recomputed") {
+    import spark.implicits._
+    val langs = Tables.t(spark, dir, "documents").select("doc_id", "lang")
+    val exp = run("t17_bpe_tokenize").join(langs, "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").cast("long").as("w"), sum("n_tokens").cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run("t19_tokenizer_fertility").collect()
+    assert(got.map(_.getString(0)).toSeq == exp.keySet.toSeq.sorted,
+      "one ordered row per language")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { r =>
+      val (lang, nw, nt, nc) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((nw, nt) == exp(lang), s"$lang disagrees with t17's rollup")
+      assert(r.getDouble(4) == r6(nt.toDouble / nw), s"$lang fertility rounding")
+      assert(r.getDouble(5) == r6(nc.toDouble / nt), s"$lang compression rounding")
+      assert(r.getDouble(4) >= 1.0, "a word is at least one token")
+    }
+    // n_chars: independent plain-Scala recompute
+    val chars = Tables.t(spark, dir, "documents").select("lang", "text")
+      .as[(String, String)].collect()
+      .flatMap { case (l, t) =>
+        t.split(" ", -1).filter(_.nonEmpty).map(w => l -> w.length.toLong) }
+      .groupBy(_._1).map { case (l, ws) => l -> ws.map(_._2).sum }
+    got.foreach(r => assert(r.getLong(3) == chars(r.getString(0)),
+      s"${r.getString(0)} char mass mismatch"))
+    // the audit must show a real spread on this corpus — a flat table
+    // would mean the fixture can't exercise the fairness signal
+    val fs = got.map(_.getDouble(4))
+    assert(fs.max > fs.min, "no fertility spread across languages")
+  }
+
   test("t18 stored tokenizer: cold-read merges encode bit-identically to t17") {
     def key(name: String) = run(name).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

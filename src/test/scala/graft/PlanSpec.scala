@@ -526,6 +526,26 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("t19 fertility audit: broadcast token-count table, one lang-keyed rollup shuffle") {
+    // t17's encode shape with the rollup keyed by lang: the word ->
+    // token-count table broadcasts onto the occurrence stream, the
+    // occurrence stream never sorts or shuffles by word, and the only
+    // data shuffle is the partial-agg'd lang rollup (languages-count
+    // rows out at any corpus size)
+    val df = graft.queries.PipelineOps.defs("t19_tokenizer_fertility")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token-count table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"occurrence stream must not sort or cross:\n$plan")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(plan).size <= 2,
+      s"expected exactly one lang-keyed rollup shuffle (AQE may print it twice):\n$plan")
+    assert(!"Exchange hashpartitioning\\(w".r.findAllIn(plan).hasNext,
+      s"occurrence stream shuffled by word:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"rollup not map-side combined:\n$plan")
+  }
+
   test("s12 bitext mining: broadcast candidate pass, bounded-heap kNN, windowless election") {
     // candidate generation is the documented broadcast nested loop
     // (dec03's shape: tiny lang block broadcast, big side map-side);
