@@ -175,6 +175,36 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.bpeTokenizeOf(canon(docs, idCol, textCol), merges)
 
+  /** Domain blocklist / opt-out audit (u02's kernel): for each rule in
+    * `rules` (exact host, or a registered domain covering every
+    * subdomain — label-boundary suffix semantics) that matched
+    * anything, the count of blocked docs, distinct hosts, and the id
+    * range. The report a takedown or opt-out request gets back. */
+  def domainBlocklistAudit(docs: DataFrame, rules: Seq[String],
+      idCol: String = "doc_id", hostCol: String = "host"): DataFrame =
+    PipelineOps.domainBlocklistAuditOf(hosts(docs, idCol, hostCol), rules)
+
+  /** The enforcement side of [[domainBlocklistAudit]]: the corpus with
+    * every blocked doc removed. Runs as a PURE MAP at scan speed — the
+    * host's label-bounded suffix chain is built in-row and checked
+    * against the rule list with `arrays_overlap` (a runtime hash set),
+    * so no join, no shuffle, nothing leaves the row; the rule list
+    * ships in the plan (fine to ~100k rules — opt-out lists are
+    * metadata-sized; beyond that, the audit kernel's broadcast-join
+    * shape is the fallback). Returns the caller's rows unchanged. */
+  def domainBlocklistKeep(docs: DataFrame, rules: Seq[String],
+      hostCol: String = "host"): DataFrame =
+    docs.filter(!arrays_overlap(
+      expr(s"transform(sequence(1, size(split($hostCol, '\\\\.'))), " +
+        s"i -> array_join(slice(split($hostCol, '\\\\.'), i, " +
+        s"size(split($hostCol, '\\\\.')) - i + 1), '.'))"),
+      typedLit(rules)))
+
+  private def hosts(docs: DataFrame, idCol: String, hostCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(hostCol).cast("string").as("host"))
+      .filter(col("doc_id").isNotNull && col("host").isNotNull)
+
   /** Tokenizer fairness audit (t19's kernel — Petrov et al. 2023):
     * train the [[bpeMergeLoop]] tokenizer on the whole corpus, then
     * measure per language the fertility (tokens per word) and the

@@ -1536,6 +1536,47 @@ object PipelineOps {
       .select("qid", "frk", "nid", "rrf_micro", "in_dense", "in_lex")
   }
 
+  /** u02's match stream — domain blocklist / opt-out filtering (the
+    * governance gate every crawl pipeline runs: site opt-outs, takedown
+    * lists, license blocklists). A rule blocks a host when it equals
+    * the host or is a label-boundary suffix of it ("src3.example.com"
+    * covers every subdomain — the standard opt-out semantics), so each
+    * host explodes into its suffix chain (bounded by its label count,
+    * ~4-10 — never content-sized) map-side and meets the rule table
+    * through a BroadcastHashJoin: the corpus never shuffles to be
+    * matched. `docs`: (doc_id, host). Returns one row per (rule,
+    * doc_id, host) match — a doc under several rules appears once per
+    * rule, which is what a per-rule audit needs. */
+  private[graft] def domainBlocklistMatchesOf(docs: DataFrame,
+      rules: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ruleDf = rules.toDF("rule")
+    docs
+      .withColumn("l", split(col("host"), "\\."))
+      .select(col("doc_id"), col("host"), explode(expr(
+        "transform(sequence(1, size(l)), " +
+          "i -> array_join(slice(l, i, size(l) - i + 1), '.'))")).as("suffix"))
+      .join(broadcast(ruleDf), col("suffix") === col("rule"))
+      .select("rule", "doc_id", "host")
+  }
+
+  /** u02's kernel: the per-rule blocklist AUDIT — for each rule that
+    * matched anything, how many docs and distinct hosts it blocks and
+    * the id range (the report a takedown/opt-out request gets back;
+    * rules matching nothing emit no row, inner-join semantics). One
+    * partial-agg'd shuffle keyed by rule — rules-count rows out at any
+    * corpus size. The keep side is the same match stream anti-joined
+    * (facade: `Curation.domainBlocklistKeep`). */
+  private[graft] def domainBlocklistAuditOf(docs: DataFrame,
+      rules: Seq[String]): DataFrame =
+    domainBlocklistMatchesOf(docs, rules)
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n_blocked"),
+        countDistinct("host").as("n_hosts"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("rule")
+
   /** IVF-style ANN top-k (s02's kernel): bucket-mean coarse quantizer
     * (centroid = mean vector per `label` bucket), probe the `probes`
     * nearest centroids, exact search within probed buckets only. Scale
@@ -2605,6 +2646,22 @@ object PipelineOps {
       totals.join(kept, Seq("domain"))
         .select("domain", "n_total", "n_hosts", "n_kept", "kept_min_id", "kept_max_id")
         .orderBy("domain")
+    }),
+
+    "u02_domain_blocklist" -> ((s, d) => {
+      // Domain blocklist / opt-out audit over u01's synthetic hosts
+      // (host = h{doc_id%40}.{source}.example.com): one whole-domain
+      // opt-out (src3.example.com — suffix semantics, covers both its
+      // hosts), two exact-host takedowns (one nested under the src3
+      // opt-out, so multi-rule matches are exercised), and one rule
+      // matching nothing (example.org — emits no row by design). Scale
+      // notes on the kernel scaladoc: suffix chain is label-bounded
+      // and map-side, rules broadcast, one rule-keyed rollup shuffle.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), concat(lit("h"), col("doc_id") % 40, lit("."),
+          col("source"), lit(".example.com")).as("host"))
+      domainBlocklistAuditOf(docs, Seq("src3.example.com",
+        "h7.src7.example.com", "h23.src3.example.com", "example.org"))
     }),
 
     "sink01_partitioned_export" -> ((s, d) => {
@@ -4543,6 +4600,23 @@ object PipelineOps {
       )
       SELECT domain, n_total, n_hosts, n_kept, kept_min_id, kept_max_id
       FROM tot JOIN kept USING (domain) ORDER BY domain""",
+
+    "u02_domain_blocklist" -> """
+      WITH u AS (
+        SELECT doc_id,
+               'h' || (doc_id % 40) || '.' || source || '.example.com' AS host
+        FROM documents),
+      sfx AS (
+        SELECT doc_id, host, array_to_string(l[i:], '.') AS suffix
+        FROM (SELECT doc_id, host, string_split(host, '.') AS l FROM u),
+             unnest(generate_series(1, len(l))) AS t(i)),
+      rules AS (SELECT unnest(['src3.example.com', 'h7.src7.example.com',
+                               'h23.src3.example.com', 'example.org']) AS rule),
+      m AS (SELECT rule, doc_id, host FROM sfx JOIN rules ON suffix = rule)
+      SELECT rule, count(*)::BIGINT AS n_blocked,
+             count(DISTINCT host)::BIGINT AS n_hosts,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM m GROUP BY rule ORDER BY rule""",
 
     "sink01_partitioned_export" -> """
       SELECT lang,

@@ -169,6 +169,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("u02 blocklist: plain-Scala recompute, suffix semantics, keep complements the audit") {
+    import spark.implicits._
+    val rules = Seq("src3.example.com", "h7.src7.example.com",
+      "h23.src3.example.com", "example.org")
+    def suffixes(host: String): Seq[String] = {
+      val l = host.split("\\.")
+      l.indices.map(i => l.drop(i).mkString("."))
+    }
+    val hosts = Tables.t(spark, dir, "documents").select("doc_id", "source")
+      .as[(Long, String)].collect()
+      .map { case (id, src) => id -> s"h${id % 40}.$src.example.com" }
+    // independent audit recompute
+    val expected = rules.flatMap { rule =>
+      val m = hosts.filter { case (_, h) => suffixes(h).contains(rule) }
+      if (m.isEmpty) None
+      else Some((rule, m.length.toLong, m.map(_._2).distinct.length.toLong,
+        m.map(_._1).min, m.map(_._1).max))
+    }.sortBy(_._1)
+    val got = run("u02_domain_blocklist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // semantics corners the fixture must exercise: a whole-domain rule
+    // covering >1 host, a host matched by two rules, a no-match rule
+    assert(expected.exists(_._3 > 1), "no multi-host domain rule bit")
+    assert(!got.exists(_._1 == "example.org"), "no-match rule must emit no row")
+    val blocked = hosts.filter { case (_, h) =>
+      suffixes(h).exists(rules.contains) }.map(_._1).toSet
+    assert(blocked.nonEmpty && blocked.size < hosts.length)
+    // keep facade: exact complement, caller columns untouched
+    val docsDf = hosts.toSeq.toDF("doc_id", "host").withColumn("extra", lit(1))
+    val kept = graft.pipeline.Curation.domainBlocklistKeep(docsDf, rules)
+    assert(kept.columns.toSeq == Seq("doc_id", "host", "extra"))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == hosts.map(_._1).toSet -- blocked)
+    // and the keep is a pure map: no exchange, no join in its plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"keep must run at scan speed:\n$plan")
+  }
+
   test("t19 fertility: equals t17 aggregated by lang, ratios exact, chars recomputed") {
     import spark.implicits._
     val langs = Tables.t(spark, dir, "documents").select("doc_id", "lang")

@@ -526,6 +526,19 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("u02 blocklist: rules broadcast onto the map-side suffix chain, no cartesian") {
+    // the corpus must never shuffle to be matched: the label-bounded
+    // suffix explode is map-side and the rule table rides a broadcast;
+    // the only exchanges belong to the tiny per-rule rollup
+    val df = graft.queries.PipelineOps.defs("u02_domain_blocklist")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "rule table must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"suffix stream must not sort or cross:\n$plan")
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).hasNext,
+      s"corpus shuffled by doc_id to be matched:\n$plan")
+  }
+
   test("t19 fertility audit: broadcast token-count table, one lang-keyed rollup shuffle") {
     // t17's encode shape with the rollup keyed by lang: the word ->
     // token-count table broadcasts onto the occurrence stream, the
