@@ -347,6 +347,24 @@ object Curation {
           size(split(col("text"), " ")).cast("long").as("n_tok")),
       totalTokens, alpha, rankCap)
 
+  /** Data-constrained epoch plan (samp05's kernel — Muennighoff et al.
+    * 2023): per-language token budgets ∝ mass^alpha served as up to
+    * `maxEpochs` whole epochs plus one deterministic fractional epoch;
+    * over-cap budget reports as unserved_tokens — the signal to source
+    * more data rather than over-repeat. Returns one row per language
+    * (lang, n_docs, tok_mass, tok_budget, n_full_epochs, frac_docs,
+    * frac_tokens, served_tokens, unserved_tokens, frac_id_checksum). */
+  def epochPlan(docs: DataFrame, totalTokens: Int, alpha: Double = 0.7,
+      maxEpochs: Int = 4, rankCap: Int = 400,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.epochPlanOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string")))
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+      totalTokens, alpha, maxEpochs, rankCap)
+
   /** Corpus-hapax novelty ratio (t15's kernel): per document, the
     * fraction of its distinct tokens appearing nowhere else in the
     * corpus — high = unique content, near-zero = boilerplate assembled

@@ -941,6 +941,63 @@ object PipelineOps {
       .select("doc_id", "lang", "n_tok")
   }
 
+  /** samp05's kernel — the data-constrained epoch plan (Muennighoff et
+    * al. 2023, "Scaling Data-Constrained Language Models": repeating
+    * data is near-free up to ~4 epochs and close to worthless beyond).
+    * Per-language token budgets ∝ mass^alpha ([[tokenBudgetsOf]]'s
+    * integer-quantized weights) are served as
+    * n_full = min(budget DIV mass, maxEpochs) WHOLE epochs plus one
+    * FRACTIONAL epoch covering the integer remainder in deterministic
+    * md5-rank order (samp04's first-overrun-included fill); budget
+    * beyond maxEpochs·mass is reported UNSERVED — the actionable
+    * signal to source more data rather than over-repeat. Returns one
+    * row per language: (lang, n_docs, tok_mass, tok_budget,
+    * n_full_epochs, frac_docs, frac_tokens, served_tokens,
+    * unserved_tokens, frac_id_checksum).
+    *
+    * 100 TB: per-lang mass is one partial-agg shuffle; the epoch
+    * arithmetic is all exact BIGINT on the broadcast-sized lang table
+    * (DIV, not float division — no rounding to disagree on); the
+    * fractional fill is samp04's literal-rankCap bounded heap +
+    * ≤rankCap-row running sum per lang; the checksum pins the exact
+    * fractional membership. Langs-count rows out at any corpus size. */
+  private[graft] def epochPlanOf(docs: DataFrame, totalTokens: Int,
+      alpha: Double, maxEpochs: Int, rankCap: Int): DataFrame = {
+    val base = tokenBudgetsOf(docs, totalTokens, alpha)
+      .withColumn("n_full_epochs",
+        least(expr("tok_budget div tok_mass"), lit(maxEpochs.toLong)))
+      .withColumn("remainder",
+        when(col("n_full_epochs") >= maxEpochs, lit(0L))
+          .otherwise(col("tok_budget") - col("n_full_epochs") * col("tok_mass")))
+    val ord = Seq(md5(concat(col("doc_id").cast("string"), lit("_e"))), col("doc_id"))
+    val rw = Window.partitionBy("lang").orderBy(ord: _*)
+    val cum = Window.partitionBy("lang").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frac = docs.withColumn("r", row_number().over(rw))
+      .filter(col("r") <= rankCap) // literal bound -> WindowGroupLimit
+      .withColumn("cum_tok", sum("n_tok").over(cum))
+      .join(broadcast(base.select("lang", "remainder")
+        .filter(col("remainder") > 0)), "lang")
+      .filter(col("cum_tok") - col("n_tok") < col("remainder"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("frac_docs"),
+        sum("n_tok").cast("long").as("frac_tokens"),
+        sum("doc_id").as("frac_id_checksum"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    base.join(counts, "lang").join(frac, Seq("lang"), "left")
+      .withColumn("frac_docs", coalesce(col("frac_docs"), lit(0L)))
+      .withColumn("frac_tokens", coalesce(col("frac_tokens"), lit(0L)))
+      .withColumn("frac_id_checksum", coalesce(col("frac_id_checksum"), lit(0L)))
+      .withColumn("served_tokens",
+        col("n_full_epochs") * col("tok_mass") + col("frac_tokens"))
+      .withColumn("unserved_tokens",
+        greatest(col("tok_budget") - col("served_tokens"), lit(0L)))
+      .select("lang", "n_docs", "tok_mass", "tok_budget", "n_full_epochs",
+        "frac_docs", "frac_tokens", "served_tokens", "unserved_tokens",
+        "frac_id_checksum")
+      .orderBy("lang")
+  }
+
   /** dec02's kernel — contamination AUDIT, the report side of
     * decontamination (dec01/d13 FILTER the training corpus; this
     * grades the EVAL set): per eval document, what fraction of its
@@ -3232,6 +3289,23 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    "samp05_epoch_plan" -> ((s, d) => {
+      // Data-constrained epoch plan (Muennighoff et al. 2023): when
+      // the token budget EXCEEDS the corpus, a lang's allocation is
+      // served as whole epochs (capped at 4 — repetition past that is
+      // near-worthless) plus one deterministic fractional epoch, with
+      // over-cap budget reported UNSERVED. At this 100k budget four
+      // langs hit the 4-epoch cap (real unserved mass) and en takes 3
+      // full epochs + a fractional fill — both branches live. Scale
+      // notes on the kernel scaladoc (exact-BIGINT epoch math on the
+      // broadcast lang table, samp04's bounded-heap fractional fill).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      epochPlanOf(docs, totalTokens = 100000, alpha = 0.7,
+        maxEpochs = 4, rankCap = 400)
+    }),
+
     "cur02_dedup_impact" -> ((s, d) => {
       // Dedup strategy cost report — the question every corpus owner
       // asks before picking a policy: how many documents and tokens
@@ -4137,6 +4211,59 @@ object PipelineOps {
              CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
       FROM budget b LEFT JOIN sel s ON b.lang = s.lang
       GROUP BY b.lang, b.tok_mass, b.tok_budget ORDER BY b.lang""",
+
+    "samp05_epoch_plan" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      mass AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_mass FROM toks GROUP BY lang),
+      tot AS (SELECT CAST(sum(tok_mass) AS BIGINT) AS tok_total FROM mass),
+      w AS (SELECT lang, tok_mass,
+                   CAST(floor(pow(tok_mass * 1.0 / tot.tok_total, 0.7) * 1000000 + 0.5) AS BIGINT) AS wq
+            FROM mass, tot),
+      sw AS (SELECT CAST(sum(wq) AS BIGINT) AS sum_wq FROM w),
+      budget AS (
+        SELECT lang, tok_mass,
+               CAST(floor(100000 * wq / sw.sum_wq + 0.5) AS BIGINT) AS tok_budget
+        FROM w, sw),
+      base AS (
+        SELECT lang, tok_mass, tok_budget,
+               CAST(least(tok_budget // tok_mass, 4) AS BIGINT) AS n_full_epochs,
+               CASE WHEN tok_budget // tok_mass >= 4 THEN 0
+                    ELSE tok_budget - least(tok_budget // tok_mass, 4) * tok_mass
+               END AS remainder
+        FROM budget),
+      ranked AS (
+        SELECT doc_id, lang, n_tok,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(doc_id::VARCHAR || '_e'), doc_id) AS r
+        FROM toks),
+      filled AS (
+        SELECT lang, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM ranked WHERE r <= 400),
+      sel AS (
+        SELECT f.lang, f.doc_id, f.n_tok
+        FROM filled f JOIN base b ON f.lang = b.lang
+        WHERE b.remainder > 0 AND f.cum_tok - f.n_tok < b.remainder),
+      fr AS (
+        SELECT lang, count(*)::BIGINT AS frac_docs,
+               sum(n_tok)::BIGINT AS frac_tokens,
+               sum(doc_id)::BIGINT AS frac_id_checksum
+        FROM sel GROUP BY lang),
+      cnt AS (SELECT lang, count(*)::BIGINT AS n_docs FROM toks GROUP BY lang)
+      SELECT b.lang, cnt.n_docs, b.tok_mass, b.tok_budget, b.n_full_epochs,
+             coalesce(fr.frac_docs, 0)::BIGINT AS frac_docs,
+             coalesce(fr.frac_tokens, 0)::BIGINT AS frac_tokens,
+             (b.n_full_epochs * b.tok_mass + coalesce(fr.frac_tokens, 0))::BIGINT
+               AS served_tokens,
+             greatest(b.tok_budget
+               - (b.n_full_epochs * b.tok_mass + coalesce(fr.frac_tokens, 0)),
+               0)::BIGINT AS unserved_tokens,
+             coalesce(fr.frac_id_checksum, 0)::BIGINT AS frac_id_checksum
+      FROM base b JOIN cnt USING (lang) LEFT JOIN fr USING (lang)
+      ORDER BY lang""",
 
     // three survivor aggregations; all counts/tokens are exact integers
     "cur02_dedup_impact" -> """

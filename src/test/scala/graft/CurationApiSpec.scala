@@ -249,6 +249,15 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("epochPlan over renamed columns equals the samp05 entry") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    val api = key(Curation.epochPlan(userDocs, totalTokens = 100000,
+      idCol = "docnum", textCol = "body"))
+    assert(api == key(entry("samp05_epoch_plan")))
+  }
+
   test("bpeFertility over renamed columns equals the t19 entry") {
     val api = Curation.bpeFertility(userDocs, merges = 6,
         idCol = "docnum", textCol = "body")

@@ -169,6 +169,52 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("samp05 epoch plan: plain-Scala recompute, cap and fractional branches live") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, l, t) => (id, l, t.split(" ", -1).length.toLong) }
+    val mass = docs.groupBy(_._2).map { case (l, xs) => l -> xs.map(_._3).sum }
+    val tot = mass.values.sum
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val wq = mass.map { case (l, m) =>
+      l -> math.floor(math.pow(m.toDouble / tot, 0.7) * 1000000 + 0.5).toLong }
+    val sumWq = wq.values.sum
+    val budget = wq.map { case (l, q) =>
+      l -> math.floor((100000L * q).toDouble / sumWq + 0.5).toLong }
+    val expected = mass.keys.toSeq.sorted.map { l =>
+      val m = mass(l); val b = budget(l)
+      val nFull = math.min(b / m, 4L)
+      val remainder = if (b / m >= 4L) 0L else b - nFull * m
+      val ordered = docs.filter(_._2 == l)
+        .sortBy { case (id, _, _) => (md5hex(s"${id}_e"), id) }
+      var cum = 0L
+      val frac = ordered.takeWhile { case (_, _, n) =>
+        val before = cum; cum += n; remainder > 0 && before < remainder }
+      val fracTok = frac.map(_._3).sum
+      val served = nFull * m + fracTok
+      (l, docs.count(_._2 == l).toLong, m, b, nFull, frac.length.toLong,
+        fracTok, served, math.max(b - served, 0L), frac.map(_._1).sum)
+    }
+    val got = run("samp05_epoch_plan").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(got.toSeq == expected)
+    // both branches must be live on this corpus: langs at the 4-epoch
+    // cap report real unserved budget and zero fractional fill; at
+    // least one lang takes whole epochs plus a non-empty fraction
+    val capped = got.filter(_._5 == 4L)
+    assert(capped.nonEmpty, "no lang hits the epoch cap")
+    capped.foreach { r =>
+      assert(r._6 == 0L && r._9 > 0L, s"${r._1}: cap must zero the fraction and leave unserved budget") }
+    assert(got.exists(r => r._5 > 0L && r._5 < 4L && r._6 > 0L),
+      "no lang exercises whole-epochs + fractional fill")
+    // uncapped langs must be served at least their budget (first-overrun rule)
+    got.filter(_._5 < 4L).foreach { r =>
+      assert(r._8 >= r._4 && r._9 == 0L, s"${r._1}: under-served without cap") }
+  }
+
   test("u02 blocklist: plain-Scala recompute, suffix semantics, keep complements the audit") {
     import spark.implicits._
     val rules = Seq("src3.example.com", "h7.src7.example.com",

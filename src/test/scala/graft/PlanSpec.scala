@@ -526,6 +526,19 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("samp05 epoch plan: fractional fill is a bounded heap, no cartesian") {
+    // the fractional-epoch fill must reuse samp04's shape: literal
+    // rankCap bound -> WindowGroupLimit per lang, remainder table
+    // broadcast; the only crossJoins are the documented broadcast-tiny
+    // stat frames inside tokenBudgetsOf
+    val df = graft.queries.PipelineOps.defs("samp05_epoch_plan")(spark, dir)
+    val plan = planOf(df)
+    assert("WindowGroupLimit \\[lang".r.findFirstIn(plan).isDefined,
+      s"fractional fill rank must be a bounded heap:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    assert(plan.contains("BroadcastHashJoin"), "remainder/budget tables must broadcast")
+  }
+
   test("u02 blocklist: rules broadcast onto the map-side suffix chain, no cartesian") {
     // the corpus must never shuffle to be matched: the label-bounded
     // suffix explode is map-side and the rule table rides a broadcast;
