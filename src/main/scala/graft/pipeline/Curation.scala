@@ -289,6 +289,20 @@ object Curation {
         extra = Seq("is_eval" -> coalesce(isEval.cast("boolean"), lit(false)))),
       col("is_eval"))
 
+  /** Span-level decontamination (dec04's kernel — the GPT-3 appendix-C
+    * remedy): remove from every train doc exactly the `runLen`-token
+    * runs it shares with the eval slice (`isEval`, evaluated against
+    * the caller's frame) and keep the rest, instead of dropping
+    * contaminated docs wholesale. Production window is ~13 tokens.
+    * Returns one row per train doc: (doc_id, n_tokens, n_removed,
+    * contamination, cleaned_text). */
+  def spanDecontaminate(docs: DataFrame, isEval: Column, runLen: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.spanDecontaminateOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("is_eval" -> coalesce(isEval.cast("boolean"), lit(false)))),
+      col("is_eval"), runLen)
+
   /** CCNet head/middle/tail partition (lm02's kernel, Wenzek et al.
     * 2020): every document bucketed by per-LANGUAGE LM-perplexity
     * terciles — thresholds via partial-aggregable exact percentile,

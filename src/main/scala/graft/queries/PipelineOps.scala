@@ -113,6 +113,52 @@ object PipelineOps {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
+  /** dec04's kernel — SPAN-level decontamination (the GPT-3
+    * appendix-C remedy: Brown et al. 2020 removed a window around
+    * each 13-gram eval collision rather than the whole document;
+    * dec01 drops whole docs, this salvages the rest of a contaminated
+    * one): every train-doc token covered by an exact `runLen`-token
+    * run that also appears in ANY eval doc is removed, survivors
+    * reassemble in document order. Same fixed-L gram-cover identity
+    * as [[exactSubstringDedupOf]] (a shared run ≥ L is exactly the
+    * union of its shared L-grams). Returns one row per TRAIN doc:
+    * (doc_id, n_tokens, n_removed, contamination, cleaned_text) —
+    * untouched docs report 0 / original text.
+    *
+    * 100 TB: the eval side is tiny by definition and its distinct
+    * gram hashes BROADCAST (dec01's shape at token granularity); the
+    * corpus gram stream is built map-side inside the token array
+    * (60-bit hashes — text never enters a gram exchange), the
+    * broadcast join emits only matches (rare), and the only shuffle
+    * is the per-doc hit-position rollup over those rare rows.
+    * Coverage marking and reassembly are per-doc map-side. */
+  private[graft] def spanDecontaminateOf(docs: DataFrame, evalPred: Column,
+      runLen: Int): DataFrame = {
+    require(runLen >= 1, s"runLen must be >= 1, got $runLen")
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    val flagged = docs.select(col("doc_id"), split(col("text"), " ").as("ts"),
+      evalPred.as("is_eval"))
+    def grams(df: DataFrame) = df.select(col("doc_id"), posexplode(expr(
+      s"CASE WHEN size(ts) >= $runLen THEN " +
+        s"transform(sequence(0, size(ts) - $runLen), " +
+        s"i -> md5_bits60(array_join(slice(ts, i + 1, $runLen), ' '))) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as(Seq("pos", "gh")))
+    val toks = flagged.filter(!col("is_eval")).select("doc_id", "ts")
+    val evalGrams = grams(flagged.filter(col("is_eval"))).select("gh").distinct()
+    val hitStarts = grams(toks).join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(sort_array(collect_list("pos")).as("ps"))
+    toks.join(hitStarts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        s"filter(ts, (x, i) -> NOT exists(ps, p -> p <= i AND i < p + $runLen))"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed"),
+        round((size(col("ts")) - size(col("kept"))) / size(col("ts")), 4)
+          .as("contamination"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   /** s07's kernel: BM25 (Lucene idf) scores of `terms` over the corpus,
     * top `k` docs on the rounded score with doc_id tiebreak. Returns
     * (doc_id, score). Scale notes at the s07 entry. */
@@ -2430,6 +2476,23 @@ object PipelineOps {
       // corpus explode, rollups only over rare hit rows).
       contaminationAuditOf(t(s, d, "documents"), col("doc_id") % 50 === 0)
         .orderBy("eval_id")
+    }),
+
+    "dec04_span_decontaminate" -> ((s, d) => {
+      // Span-level decontamination: instead of dropping a contaminated
+      // train doc wholesale (dec01), remove exactly the token runs it
+      // shares with the eval set and keep the rest — the GPT-3
+      // appendix-C remedy. Eval membership = doc_id % 50 == 0 (the
+      // dec-family convention); runLen 4 is the synthetic corpus's
+      // discriminative stand-in for the production 13-gram window
+      // (19 of 490 train docs lose spans here). Scale notes on the
+      // kernel scaladoc (broadcast eval grams, map-side 60-bit gram
+      // stream, rollup only over rare hit rows).
+      spanDecontaminateOf(t(s, d, "documents").select("doc_id", "text"),
+          col("doc_id") % 50 === 0, runLen = 4)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("contamination"), md5(col("cleaned_text")).as("cleaned_md5"))
+        .orderBy("doc_id")
     }),
 
     "dec01_decontaminate" -> ((s, d) => {
@@ -5117,6 +5180,31 @@ object PipelineOps {
              md5(coalesce(string_agg(CASE WHEN c.t IS NULL THEN tp.tok END,
                                      ' ' ORDER BY tp.t), '')) AS cleaned_md5
       FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.t = tp.t
+      GROUP BY tp.doc_id ORDER BY tp.doc_id""",
+
+    "dec04_span_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w, doc_id % 50 = 0 AS ev
+        FROM documents),
+      grams AS (
+        SELECT doc_id, ev, i - 1 AS pos,
+               ('0x' || substring(md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS gh
+        FROM t, unnest(generate_series(1, len(w) - 3)) AS u(i)),
+      evg AS (SELECT DISTINCT gh FROM grams WHERE ev),
+      cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + o.i AS tpos
+        FROM grams g JOIN evg USING (gh), unnest(generate_series(0, 3)) AS o(i)
+        WHERE NOT g.ev),
+      tokpos AS (
+        SELECT doc_id, i - 1 AS tpos, w[i] AS tok
+        FROM t, unnest(generate_series(1, len(w))) AS s(i) WHERE NOT ev)
+      SELECT tp.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(c.tpos) AS BIGINT) AS n_removed,
+             round(count(c.tpos) * 1.0 / count(*), 4) AS contamination,
+             md5(coalesce(string_agg(CASE WHEN c.tpos IS NULL THEN tp.tok END,
+                                     ' ' ORDER BY tp.tpos), '')) AS cleaned_md5
+      FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.tpos = tp.tpos
       GROUP BY tp.doc_id ORDER BY tp.doc_id""",
 
     "s07_bm25_topk" -> """

@@ -249,6 +249,19 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("spanDecontaminate over renamed columns equals the dec04 entry") {
+    val api = Curation.spanDecontaminate(userDocs, col("docnum") % 50 === 0,
+        runLen = 4, idCol = "docnum", textCol = "body")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("contamination"), md5(col("cleaned_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    val ref = entry("dec04_span_decontaminate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSet
+    assert(api == ref)
+  }
+
   test("epochPlan over renamed columns equals the samp05 entry") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),

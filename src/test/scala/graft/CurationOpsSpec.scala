@@ -169,6 +169,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("dec04 span decontamination: plain-Scala recompute, fixture discriminates") {
+    import spark.implicits._
+    val L = 4
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().map { case (id, t) => (id, t.split(" ", -1)) }
+    val evalGrams = docs.filter(_._1 % 50 == 0)
+      .flatMap { case (_, w) => w.sliding(L).filter(_.length == L).map(_.mkString(" ")) }
+      .toSet
+    val expected = docs.filter(_._1 % 50 != 0).sortBy(_._1).map { case (id, w) =>
+      val starts = (0 to w.length - L)
+        .filter(i => evalGrams.contains(w.slice(i, i + L).mkString(" ")))
+      val covered = starts.flatMap(p => p until p + L).toSet
+      val kept = w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (id, w.length.toLong, covered.size.toLong, h)
+    }
+    val got = run("dec04_span_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(got.toSeq == expected.toSeq)
+    // the fixture must exercise the cut without emptying the corpus
+    val touched = got.count(_._3 > 0)
+    assert(touched > 0 && touched < got.length,
+      s"span cut untested: $touched of ${got.length} docs touched")
+    // eval docs themselves never appear in the output
+    assert(got.forall(_._1 % 50 != 0))
+  }
+
   test("samp05 epoch plan: plain-Scala recompute, cap and fractional branches live") {
     import spark.implicits._
     val docs = Tables.t(spark, dir, "documents").select("doc_id", "lang", "text")

@@ -526,6 +526,18 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("dec04 span decontamination: eval grams broadcast, corpus gram stream never sorts") {
+    // dec01's shape at token granularity: the eval gram set must ride
+    // a broadcast; a sort-merge join here would shuffle the full
+    // corpus gram stream at 100 TB
+    val df = graft.queries.PipelineOps.defs("dec04_span_decontaminate")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "eval gram join must be broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus gram stream must not shuffle for the eval join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
   test("samp05 epoch plan: fractional fill is a bounded heap, no cartesian") {
     // the fractional-epoch fill must reuse samp04's shape: literal
     // rankCap bound -> WindowGroupLimit per lang, remainder table
