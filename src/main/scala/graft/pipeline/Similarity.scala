@@ -121,6 +121,28 @@ object Similarity {
     PipelineOps.lexicalTopKOf(
       Canon.docs(docs, idCol, textCol), Canon.docs(queries, idCol, textCol), r)
 
+  /** IVF-PQ search (s14's kernel — Jégou et al. 2011, the FAISS
+    * workhorse): coarse IVF pruning to `probes` of the `bucketCol`
+    * cells, then asymmetric distance computation over the
+    * [[pqEncode]]-style codes — candidates are scored from `subs`
+    * table lookups on 1-byte codes, never from raw vectors. Returns
+    * (qid, rk, nid, adc_micro) with distances in exact integer
+    * micro-units. The null contract matches [[ivfTopK]] (null
+    * id/vector/bucket rows are excluded). */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      dims: Int = 64, subs: Int = 8, cbSize: Int = 16, probes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCol: String = "label"): DataFrame =
+    PipelineOps.ivfPqSearchOf(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+          col(bucketCol).as("label"),
+          col(vecCol).cast("array<double>").as("e"))
+        .filter(col("vec_id").isNotNull && col("e").isNotNull &&
+          col("label").isNotNull),
+      canon(queries, idCol, vecCol)
+        .select(col("vec_id").as("qid"), col("e").as("qe")),
+      dims, subs, cbSize, k, probes)
+
   /** Recall@k of `approx` against `exact` (s06's kernel) — both in the
     * (qid, nid) shape the two searches return. Returns (qid, n_hit,
     * recall). */

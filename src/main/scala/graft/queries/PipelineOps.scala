@@ -732,27 +732,105 @@ object PipelineOps {
     * that runs at corpus scale, training is an offline sample job.
     * Returns (vec_id, codes, sq_err). Scale notes at the s09 entry. */
   private[graft] def pqEncodeOf(emb: DataFrame, dims: Int, subs: Int,
+      cbSize: Int): DataFrame =
+    pqCodesOf(emb, dims, subs, cbSize)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cw))), x -> x.cw)")
+        .as("codes"),
+        round(sum("dist"), 4).as("sq_err"))
+
+  /** The id-rank-seeded PQ codebook shared by s09/s14: codeword `cw`'s
+    * `csub`-th subvector is `cv`. Broadcast-sized (cbSize × subs). */
+  private[graft] def pqCodebookOf(emb: DataFrame, dims: Int, subs: Int,
       cbSize: Int): DataFrame = {
+    require(dims % subs == 0, s"dims=$dims not divisible by subs=$subs")
+    val w = dims / subs
+    seedByRank(emb, cbSize, "cw")
+      .select(col("cw"), posexplode(expr(
+        s"transform(sequence(0, ${subs - 1}), k -> slice(e, k * $w + 1, $w))"))
+        .as(Seq("csub", "cv")))
+  }
+
+  /** The code-assignment half of s09, shared with s14's serve side:
+    * per (vector, subspace), the nearest codeword under 9-decimal
+    * squared L2 with codeword-id tiebreak. Returns (vec_id, sub, dist,
+    * cw) — s09 rolls this up to the code array + reconstruction error,
+    * s14 keeps the rows as the compressed corpus the ADC scan reads. */
+  private[graft] def pqCodesOf(emb: DataFrame, dims: Int, subs: Int,
+      cbSize: Int): DataFrame =
+    pqCodesWith(emb, pqCodebookOf(emb, dims, subs, cbSize), dims, subs)
+
+  /** [[pqCodesOf]] against an already-built codebook — so a caller
+    * composing encode with other stages (s14) builds the codebook (and
+    * its bounded seed collect) exactly once. */
+  private[graft] def pqCodesWith(emb: DataFrame, cb: DataFrame, dims: Int,
+      subs: Int): DataFrame = {
     require(dims % subs == 0, s"dims=$dims not divisible by subs=$subs")
     graft.exprs.SqDist.register(emb.sparkSession)
     val w = dims / subs
     val sub = emb.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${subs - 1}), k -> slice(e, k * $w + 1, $w))"))
       .as(Seq("sub", "sv")))
-    val cb = seedByRank(emb, cbSize, "cw")
-      .select(col("cw"), posexplode(expr(
-        s"transform(sequence(0, ${subs - 1}), k -> slice(e, k * $w + 1, $w))"))
-        .as(Seq("csub", "cv")))
     sub.join(broadcast(cb), col("sub") === col("csub"))
       .withColumn("dist", round(expr("sq_dist(sv, cv)"), 9))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cw"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.dist").as("dist"),
         col("m.cw").as("cw"))
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(sub, cw))), x -> x.cw)")
-        .as("codes"),
-        round(sum("dist"), 4).as("sq_err"))
+  }
+
+  /** s14's kernel — IVF-PQ search (Jégou, Douze & Schmid 2011; the
+    * FAISS IVFPQ workhorse): the coarse IVF quantizer prunes the
+    * corpus to `probes` cells, and inside them distances are computed
+    * on s09's PRODUCT-QUANTIZED codes via the asymmetric distance
+    * computation (ADC) — the query precomputes its distance to every
+    * (subspace, codeword) pair once, and a candidate's distance is
+    * just the sum of `subs` table lookups. The memory layout that
+    * serves billion-vector indexes: the scan reads 8-byte codes, never
+    * raw vectors. `emb`: (vec_id, label, e); `queries`: (qid, qe).
+    * Returns (qid, rk, nid, adc_micro).
+    *
+    * 100 TB: centroids and the codebook are broadcast-tiny; the
+    * per-query ADC table (queries × subs × cbSize) broadcasts; the
+    * candidate (qid, nid) pairs are probe-bounded and broadcast onto
+    * the CODE stream — at scale the codes live label-partitioned like
+    * s11's postings, so the probe is partition pruning and the raw
+    * vector column is never read (the entry reads codes only).
+    * Determinism: 9-decimal centroid/probe/code pins (s04/s09's), ADC
+    * partials in integer micro-units so the sum is exact and
+    * association-order-free, ties break on codeword/label/nid asc. */
+  private[graft] def ivfPqSearchOf(emb: DataFrame, queries: DataFrame,
+      dims: Int, subs: Int, cbSize: Int, k: Int, probes: Int): DataFrame = {
+    graft.exprs.SqDist.register(emb.sparkSession)
+    val w = dims / subs
+    val base = emb.select(col("vec_id"), col("e"))
+    val cent = meanVectors(emb.select(col("label"), col("e")), "label", Some(9))
+      .select(col("label").as("clabel"), col("ce"))
+    val cb = pqCodebookOf(base, dims, subs, cbSize).localCheckpoint()
+    val codes = pqCodesWith(base, cb, dims, subs)
+    val wc = Window.partitionBy("qid").orderBy(col("cd").asc, col("clabel").asc)
+    val probed = queries.crossJoin(broadcast(cent))
+      .select(col("qid"), col("clabel"),
+        round(expr("sq_dist(qe, ce)"), 9).as("cd"))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= probes)
+      .select("qid", "clabel")
+    val dt = queries.crossJoin(broadcast(cb))
+      .select(col("qid"), col("csub").as("sub"), col("cw"),
+        floor(expr(s"sq_dist(slice(qe, csub * $w + 1, $w), cv)")
+          * 1000000.0 + 0.5).cast("long").as("dq"))
+    val lab = emb.select(col("vec_id").as("nid"), col("label"))
+    val cand = lab.join(broadcast(probed),
+        col("label") === col("clabel") && col("nid") =!= col("qid"))
+      .select("qid", "nid")
+    val adc = codes.select(col("vec_id").as("nid"), col("sub"), col("cw"))
+      .join(broadcast(cand), "nid")
+      .join(broadcast(dt), Seq("qid", "sub", "cw"))
+      .groupBy("qid", "nid").agg(sum("dq").as("adc_micro"))
+    val wr = Window.partitionBy("qid").orderBy(col("adc_micro").asc, col("nid").asc)
+    adc.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select("qid", "rk", "nid", "adc_micro")
   }
 
   /** samp02's kernel — DSIR importance resampling (Xie et al. 2023,
@@ -2319,6 +2397,24 @@ object PipelineOps {
       bitextMineOf(side("de", "a_id", "ae"), side("en", "b_id", "be"),
         k = 4, tau = 1.15)
         .orderBy("a_id")
+    }),
+
+    "s14_ivfpq_search" -> ((s, d) => {
+      // IVF-PQ (the FAISS workhorse): coarse quantizer prunes to 2 of
+      // 10 cells, then asymmetric distance computation over s09's
+      // 8-subspace / 16-codeword codes — the candidate scan reads
+      // 8-byte codes, never the raw vectors. Scale + determinism notes
+      // on the kernel scaladoc (broadcast ADC table, probe-bounded
+      // candidate pairs broadcast onto the code stream, integer
+      // micro-unit distance sums).
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      ivfPqSearchOf(emb,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe")),
+        dims = 64, subs = 8, cbSize = 16, k = 5, probes = 2)
+        .orderBy("qid", "rk")
     }),
 
     "s11_ivf_persist" -> ((s, d) => {
@@ -4136,6 +4232,49 @@ object PipelineOps {
                row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rk
         FROM a3)
       WHERE rk <= 3 ORDER BY cluster, rk"""),
+
+    "s14_ivfpq_search" -> """
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT label AS clabel, i AS dim, round(avg(e[i]), 9) AS v
+        FROM emb, generate_series(1, 64) t(i) GROUP BY label, i),
+      centv AS (SELECT clabel, list(v ORDER BY dim) AS ce FROM cent GROUP BY clabel),
+      sub AS (SELECT vec_id, k AS sub, [e[k * 8 + i] for i in generate_series(1, 8)] AS sv
+              FROM emb, generate_series(0, 7) t(k)),
+      cb AS (SELECT vec_id::INT AS cw, sub AS csub, sv AS cv FROM sub WHERE vec_id < 16),
+      dd AS (SELECT s.vec_id, s.sub, c.cw,
+               round(list_sum([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                for i in generate_series(1, 8) ]), 9) AS dist
+             FROM sub s JOIN cb c ON s.sub = c.csub),
+      codes AS (SELECT vec_id, sub, cw FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cw) AS rk
+          FROM dd) WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+      pd AS (SELECT qid, clabel,
+               round(list_sum([ (qe[i] - ce[i]) * (qe[i] - ce[i])
+                                for i in generate_series(1, 64) ]), 9) AS cd
+             FROM q, centv),
+      pr AS (SELECT qid, clabel FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, clabel) AS crk
+          FROM pd) WHERE crk <= 2),
+      dt AS (SELECT qid, csub AS sub, cw,
+               CAST(floor(list_sum([ (qe[csub * 8 + i] - cv[i]) * (qe[csub * 8 + i] - cv[i])
+                                     for i in generate_series(1, 8) ]) * 1000000 + 0.5)
+                 AS BIGINT) AS dq
+             FROM q, cb),
+      cand AS (
+        SELECT p.qid, e.vec_id AS nid
+        FROM pr p JOIN emb e ON e.label = p.clabel AND e.vec_id <> p.qid),
+      adc AS (
+        SELECT c.qid, c.nid, CAST(sum(dt.dq) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.nid
+        JOIN dt ON dt.qid = c.qid AND dt.sub = k.sub AND dt.cw = k.cw
+        GROUP BY c.qid, c.nid),
+      r AS (SELECT qid, nid, adc_micro,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rk
+            FROM adc)
+      SELECT qid, rk, nid, adc_micro FROM r WHERE rk <= 5 ORDER BY qid, rk""",
 
     "s09_pq_encode" -> """
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

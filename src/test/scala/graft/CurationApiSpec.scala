@@ -439,6 +439,20 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("ivfPqTopK over renamed columns equals the s14 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"), col("label").as("cell"))
+    val api = graft.pipeline.Similarity.ivfPqTopK(
+        userEmb, userEmb.filter(col("vid") < 10), k = 5,
+        idCol = "vid", vecCol = "vec", bucketCol = "cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val ref = entry("s14_ivfpq_search")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(api == ref)
+  }
+
   test("hybridTopK over renamed columns equals the s13 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))
