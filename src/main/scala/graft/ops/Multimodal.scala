@@ -556,6 +556,51 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** mm10: audio-caption alignment gate — [[imageTextAlignment]]'s
+    * exact contract for the AUDIO modality (the CLAP-style pair cut a
+    * speech/music curation pipeline runs between captioning and
+    * training): the decoded WAV samples pool into 64 buckets (bucket
+    * k = mean of the unsigned samples at index ≡ k mod 64 — every
+    * bucket populated, the shortest clip holds 256 samples), cosine
+    * against the caption's 64-dim text embedding, survivors at or
+    * above `tau` with the score out. Production swaps in a model
+    * encoder; the plumbing (map-side decode → fixed-dim vector → one
+    * id-keyed equi-join → native cosine gate) is the contract, shared
+    * shape with mm09 (its scale notes apply verbatim). */
+  def audioTextAlignment(spark: SparkSession, dir: String,
+      textEmb: DataFrame, tau: Double): DataFrame = {
+    import spark.implicits._
+    graft.exprs.CosineSim.register(spark)
+    val audVec = mediaTable(spark, dir)
+      .filter(_.media_type == "audio")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (frames, samples) = Codecs.decodeWav(r.payload)
+          if (frames != samples.length.toLong)
+            throw new IllegalStateException(
+              s"WAV frame count $frames != decoded ${samples.length}")
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var i = 0
+          while (i < samples.length) {
+            sums(i % 64) += samples(i) & 0xff
+            cnts(i % 64) += 1
+            i += 1
+          }
+          (r.doc_id, Array.tabulate(64)(k => sums(k).toDouble / cnts(k)))
+        }
+      }
+      .toDF("doc_id", "ae")
+    audVec
+      .join(textEmb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("te")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("align_cos", round(expr("cosine_sim(ae, te)"), 4))
+      .filter(col("align_cos") >= tau)
+      .select("doc_id", "align_cos")
+      .orderBy("doc_id")
+  }
+
   /** A second real image codec needing no library at all: PPM (P6) —
     * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
     * byte level with loud errors on corrupt input.

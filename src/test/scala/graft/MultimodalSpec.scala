@@ -137,6 +137,31 @@ class MultimodalSpec extends AnyFunSuite {
     else assert(!out.contains(0L), s"doc 0 below tau must be cut, got ${out.get(0L)}")
   }
 
+  test("audio-text alignment: pooled embedding matches the sample formula, gate cuts at tau") {
+    import Multimodal.Codecs
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val out = Multimodal.audioTextAlignment(spark, dir, emb, tau = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty && out.size < emb.filter(col("vec_id") % 3 === 1).count(),
+      "gate must cut some pairs and keep some")
+    assert(out.values.forall(c => c >= 0.05 && c == math.round(c * 10000) / 10000.0))
+    // independent recompute for audio doc 1: 64-bucket pooled clip
+    // embedding from the sample formula, cosine against its caption
+    val n = Codecs.audioSampleCount(1L)
+    val ae = Array.tabulate(64) { k =>
+      val vs = (0 until n).filter(_ % 64 == k).map(Codecs.sample(1L, _))
+      vs.sum.toDouble / vs.size
+    }
+    val te = emb.filter(col("vec_id") === 1).collect()
+      .head.getSeq[Float](1).map(_.toDouble).toArray
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- 0 until 64) { dot += ae(i) * te(i); na += ae(i) * ae(i); nb += te(i) * te(i) }
+    val c1 = math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000.0
+    if (c1 >= 0.05) assert(out(1L) == c1, s"doc 1 score ${out.get(1L)} != $c1")
+    else assert(!out.contains(1L), s"doc 1 below tau must be cut, got ${out.get(1L)}")
+  }
+
   test("resize: AffineTransformOp nearest-neighbor mapping is src=(4x+2, 4y+2), per-pixel") {
     import java.awt.geom.AffineTransform
     import java.awt.image.AffineTransformOp
