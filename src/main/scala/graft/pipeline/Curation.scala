@@ -407,6 +407,24 @@ object Curation {
     PipelineOps.corpusDiffOf(keep(oldDocs), keep(newDocs))
   }
 
+  /** Corpus distribution drift monitor (guard02's kernel — the release
+    * gate next to [[corpusDiff]]: diff answers WHICH docs changed,
+    * this answers did the MIXTURE move): per `dimCol` cell (lang,
+    * source, any mixture key), both corpora's token-mass shares in
+    * exact integer micro-units plus the absolute per-cell drift; cells
+    * present in only one corpus report the other side at 0, so an
+    * appeared or vanished source is loud. Σ drift_micro is the L1
+    * distance (2× total variation) a release gate thresholds on.
+    * Returns (dim, ref_share_micro, cur_share_micro, drift_micro). */
+  def corpusDrift(refDocs: DataFrame, curDocs: DataFrame,
+      dimCol: String = "lang", textCol: String = "text"): DataFrame = {
+    def cells(df: DataFrame) =
+      df.select(col(dimCol).cast("string").as("dim"),
+          size(split(col(textCol).cast("string"), " ")).cast("long").as("n_tok"))
+        .filter(col("dim").isNotNull && col("n_tok").isNotNull)
+    PipelineOps.corpusDriftOf(cells(refDocs), cells(curDocs))
+  }
+
   /** Deterministic md5-interleaved sharded parquet write (sink02's
     * kernel): every row lands in exactly one of `nShards` directories
     * keyed by a hash of `idCol` — an unbiased interleave (the "global

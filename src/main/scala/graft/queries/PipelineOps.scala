@@ -1065,6 +1065,40 @@ object PipelineOps {
       .select("doc_id", "lang", "n_tok")
   }
 
+  /** guard02's kernel — corpus distribution drift monitor (the check a
+    * pipeline runs between corpus releases: did a scraper change, a
+    * filter regression, or an upstream source shift move the mixture?).
+    * `ref` and `cur` are two corpora as (dim, n_tok) — `dim` is
+    * whatever mixture cell matters (lang, source, lang/source) — and
+    * the report is each cell's token-mass SHARE in integer micro-units
+    * (floor(mass/total·1e6 + 0.5): one double division per cell, then
+    * exact integers) plus the absolute per-cell drift; rows come back
+    * for every cell present in EITHER corpus (full outer, absent side
+    * at share 0, so an appeared/vanished source is loud). Σ drift_micro
+    * is the L1 distance (= 2× total variation) in micro-units — the
+    * number a release gate thresholds on.
+    *
+    * 100 TB: one partial-agg shuffle per corpus to cell masses, the
+    * scalar totals broadcast back, and the full-outer join sees two
+    * cells-count frames — never corpus rows. All comparisons happen on
+    * exact integers. */
+  private[graft] def corpusDriftOf(ref: DataFrame, cur: DataFrame): DataFrame = {
+    def shares(df: DataFrame, out: String) = {
+      val m = df.groupBy("dim").agg(sum("n_tok").as("mass"))
+      m.crossJoin(broadcast(m.agg(sum("mass").as("tot"))))
+        .select(col("dim"),
+          floor(col("mass") / col("tot") * 1000000.0 + 0.5).cast("long").as(out))
+    }
+    shares(ref, "ref_share_micro")
+      .join(shares(cur, "cur_share_micro"), Seq("dim"), "full_outer")
+      .select(col("dim"),
+        coalesce(col("ref_share_micro"), lit(0L)).as("ref_share_micro"),
+        coalesce(col("cur_share_micro"), lit(0L)).as("cur_share_micro"))
+      .withColumn("drift_micro",
+        abs(col("ref_share_micro") - col("cur_share_micro")))
+      .orderBy("dim")
+  }
+
   /** samp05's kernel — the data-constrained epoch plan (Muennighoff et
     * al. 2023, "Scaling Data-Constrained Language Models": repeating
     * data is near-free up to ~4 epochs and close to worthless beyond).
@@ -3448,6 +3482,25 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    "guard02_distribution_drift" -> ((s, d) => {
+      // Distribution drift between two corpus snapshots (the release
+      // gate next to diff01's content diff: diff01 answers WHICH docs
+      // changed, this answers did the MIXTURE move). Cells are
+      // lang/source; the doc_id mod-3 halves stand in for the previous
+      // and the candidate release (mod 3 is coprime with the id-derived
+      // source cycle, so cells MIX across the halves — an even/odd
+      // split would put every cell wholly on one side and measure
+      // nothing but appearance/vanish). Scale
+      // notes on the kernel scaladoc (one partial-agg shuffle per
+      // corpus, broadcast totals, integer micro-unit shares).
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("lang"), lit("/"), col("source")).as("dim"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      corpusDriftOf(toks.filter(col("doc_id") % 3 === 0),
+        toks.filter(col("doc_id") % 3 =!= 0))
+    }),
+
     "samp05_epoch_plan" -> ((s, d) => {
       // Data-constrained epoch plan (Muennighoff et al. 2023): when
       // the token budget EXCEEDS the corpus, a lang's allocation is
@@ -4413,6 +4466,29 @@ object PipelineOps {
              CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
       FROM budget b LEFT JOIN sel s ON b.lang = s.lang
       GROUP BY b.lang, b.tok_mass, b.tok_budget ORDER BY b.lang""",
+
+    "guard02_distribution_drift" -> """
+      WITH toks AS (
+        SELECT doc_id, lang || '/' || source AS dim,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      rm AS (SELECT dim, CAST(sum(n_tok) AS BIGINT) AS mass FROM toks
+             WHERE doc_id % 3 = 0 GROUP BY dim),
+      rt AS (SELECT CAST(sum(mass) AS BIGINT) AS tot FROM rm),
+      rs AS (SELECT dim, CAST(floor(mass / rt.tot * 1000000 + 0.5) AS BIGINT)
+               AS ref_share_micro FROM rm, rt),
+      cm AS (SELECT dim, CAST(sum(n_tok) AS BIGINT) AS mass FROM toks
+             WHERE doc_id % 3 <> 0 GROUP BY dim),
+      ct AS (SELECT CAST(sum(mass) AS BIGINT) AS tot FROM cm),
+      cs AS (SELECT dim, CAST(floor(mass / ct.tot * 1000000 + 0.5) AS BIGINT)
+               AS cur_share_micro FROM cm, ct)
+      SELECT coalesce(rs.dim, cs.dim) AS dim,
+             coalesce(ref_share_micro, 0) AS ref_share_micro,
+             coalesce(cur_share_micro, 0) AS cur_share_micro,
+             abs(coalesce(ref_share_micro, 0) - coalesce(cur_share_micro, 0))
+               AS drift_micro
+      FROM rs FULL JOIN cs ON rs.dim = cs.dim
+      ORDER BY dim""",
 
     "samp05_epoch_plan" -> """
       WITH toks AS (

@@ -249,6 +249,17 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("corpusDrift over renamed columns matches the guard02 math on lang cells") {
+    val ref = userDocs.filter(col("docnum") % 3 === 0)
+    val cur = userDocs.filter(col("docnum") % 3 =!= 0)
+    val api = Curation.corpusDrift(ref, cur, dimCol = "lang", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shares sum to ~1e6 on each side (floor+0.5 rounding, one cell off at most a few units)
+    assert(math.abs(api.map(_._2).sum - 1000000L) <= api.length)
+    assert(math.abs(api.map(_._3).sum - 1000000L) <= api.length)
+    assert(api.map(_._1).toSeq == api.map(_._1).sorted.toSeq && api.nonEmpty)
+  }
+
   test("spanDecontaminate over renamed columns equals the dec04 entry") {
     val api = Curation.spanDecontaminate(userDocs, col("docnum") % 50 === 0,
         runLen = 4, idCol = "docnum", textCol = "body")

@@ -169,6 +169,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("guard02 drift: plain-Scala recompute, L1 identity, one-sided cells loud") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[(Long, String, String, String)].collect()
+      .map { case (id, l, s, t) => (id, s"$l/$s", t.split(" ", -1).length.toLong) }
+    def shares(half: Array[(Long, String, Long)]): Map[String, Long] = {
+      val m = half.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._3).sum }
+      val tot = m.values.sum
+      m.map { case (d, mass) =>
+        d -> math.floor(mass.toDouble / tot * 1000000 + 0.5).toLong }
+    }
+    val rs = shares(docs.filter(_._1 % 3 == 0))
+    val cs = shares(docs.filter(_._1 % 3 != 0))
+    val expected = (rs.keySet ++ cs.keySet).toSeq.sorted.map { d =>
+      val (r, c) = (rs.getOrElse(d, 0L), cs.getOrElse(d, 0L))
+      (d, r, c, math.abs(r - c))
+    }
+    val got = run("guard02_distribution_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // the fixture must exercise both failure modes the gate exists
+    // for: real drift on shared cells and a cell present in only one
+    // release (one side at share 0)
+    assert(got.exists(r => r._2 > 0 && r._3 > 0 && r._4 > 0), "no shared-cell drift")
+    assert(got.exists(r => r._2 == 0 || r._3 == 0), "no one-sided cell in the fixture")
+    // Σ drift is the L1 distance between the micro-share distributions
+    val l1 = expected.map(_._4).sum
+    assert(got.map(_._4).sum == l1 && l1 > 0)
+  }
+
   test("dec04 span decontamination: plain-Scala recompute, fixture discriminates") {
     import spark.implicits._
     val L = 4

@@ -544,6 +544,18 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("guard02 drift: cell rollups map-side combined, corpus never joins corpus") {
+    // the only exchanges are the two per-corpus cell rollups (plus the
+    // presentation sort); the full-outer join sees cells-count frames,
+    // and no corpus-row join exists to degenerate
+    val df = graft.queries.PipelineOps.defs("guard02_distribution_drift")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    assert(plan.contains("partial_sum"), "cell masses not map-side combined")
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).hasNext,
+      s"corpus rows shuffled by doc_id:\n$plan")
+  }
+
   test("dec04 span decontamination: eval grams broadcast, corpus gram stream never sorts") {
     // dec01's shape at token granularity: the eval gram set must ride
     // a broadcast; a sort-merge join here would shuffle the full
