@@ -407,6 +407,21 @@ object Curation {
     PipelineOps.corpusDiffOf(keep(oldDocs), keep(newDocs))
   }
 
+  /** Positional-index build (idx02's build half): (term, doc, pos)
+    * postings written to `path` partitioned by a 16-way md5 term
+    * bucket, so [[phraseSearch]] prunes each term's read to one
+    * directory. One map-side posexplode; text never shuffles. */
+  def buildPositionalIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    PipelineOps.positionalIndexBuild(canon(docs, idCol, textCol), path)
+
+  /** Phrase search over a stored positional index (idx02's serve
+    * half): per-term pruned scans + (doc, pos − i) adjacency
+    * equi-joins — the serve plan touches df(term) rows, never the
+    * corpus. Returns (doc_id, n_hits, first_pos) per matching doc. */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame =
+    PipelineOps.phraseSearchOf(index, phrase)
+
   /** Corpus distribution drift monitor (guard02's kernel — the release
     * gate next to [[corpusDiff]]: diff answers WHICH docs changed,
     * this answers did the MIXTURE move): per `dimCol` cell (lang,

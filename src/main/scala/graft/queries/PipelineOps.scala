@@ -1065,6 +1065,57 @@ object PipelineOps {
       .select("doc_id", "lang", "n_tok")
   }
 
+  /** idx02's build half — the POSITIONAL inverted index (idx01 stores
+    * df + posting heads for ranking; this stores (term, doc, position)
+    * rows, the layout phrase and proximity queries need). Written to
+    * parquet partitioned by a 16-way md5 term bucket (d20's layout),
+    * so a query for k terms prunes the read to ≤ k directories. The
+    * posting stream is one map-side posexplode of the corpus — text
+    * never shuffles; the partitioned write is the only exchange. */
+  private[graft] def positionalIndexBuild(docs: DataFrame, dir: String): Unit = {
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .withColumn("bucket", pmod(expr("md5_bits60(term)"), lit(16L)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** The driver-side twin of the md5_bits60 bucket (same formula, same
+    * 16-way pmod) — lets a phrase query pin each term's PARTITION
+    * FILTER as a literal, so the stored-index scan prunes to the
+    * term's directory before any row is read. */
+  private[graft] def termBucket(term: String): Long = {
+    val h = graft.exprs.Md5Bits60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term))
+    ((h % 16) + 16) % 16
+  }
+
+  /** idx02's serve half — phrase search over the stored positional
+    * index: the classic adjacency plan. Each phrase term's postings
+    * are read with a literal (bucket, term) filter — partition pruning
+    * plus a pushed-down predicate, so the scan touches df(term) rows,
+    * never the corpus — normalized to p0 = pos − i, and a k-term
+    * phrase match is the (doc_id, p0) equi-join of the k streams.
+    * Returns (doc_id, n_hits, first_pos) per matching doc.
+    *
+    * 100 TB: every stream is term-frequency-sized; the joins are
+    * equi-joins on (doc_id, p0) — rare-term streams broadcast under
+    * AQE, hot-term phrases shuffle only their own postings. No
+    * corpus scan, no window, no driver collect. */
+  private[graft] def phraseSearchOf(index: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val streams = phrase.zipWithIndex.map { case (tm, i) =>
+      index
+        .filter(col("bucket") === termBucket(tm) && col("term") === tm)
+        .select(col("doc_id"), (col("pos") - i).as("p0"))
+    }
+    streams.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("p0").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** guard02's kernel — corpus distribution drift monitor (the check a
     * pipeline runs between corpus releases: did a scraper change, a
     * filter regression, or an upstream source shift move the mixture?).
@@ -3764,6 +3815,21 @@ object PipelineOps {
         .orderBy("term")
     }),
 
+    "idx02_phrase_search" -> ((s, d) => {
+      // Positional index + phrase query — the second half of the
+      // search story (idx01 ranks, this LOCATES): the (term, doc, pos)
+      // postings ship to parquet partitioned by a 16-way md5 term
+      // bucket, are read back COLD, and the 3-term phrase "slow hash
+      // batch" resolves through per-term pruned scans + the classic
+      // (doc_id, pos − i) adjacency equi-joins — 8 hits across 5 docs
+      // here, one doc with multiple hits. Scale notes on the kernel
+      // scaladocs (pruned df(term)-sized streams, no corpus scan at
+      // serve time — plan-pinned).
+      val base = EngineOps.tempDir("graft-idx02")
+      positionalIndexBuild(t(s, d, "documents").select("doc_id", "text"), base)
+      phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
+    }),
+
     "t12_nfc_normalize" -> ((s, d) => {
       // Unicode NFC normalization — crawled text arrives composed and
       // decomposed interchangeably, and every hash-keyed operator above
@@ -5522,6 +5588,20 @@ object PipelineOps {
 
     // the stored-tokenizer round trip must be loss-free => t17's SQL
     "t18_tokenizer_artifact" -> bpeTokenizeOracle(6),
+
+    "idx02_phrase_search" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      m AS (
+        SELECT a.doc_id, a.pos
+        FROM p a
+        JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(min(pos) AS BIGINT) AS first_pos
+      FROM m GROUP BY doc_id ORDER BY doc_id""",
 
     "idx01_inverted_index" -> """
       WITH w AS (

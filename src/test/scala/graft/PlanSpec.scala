@@ -441,6 +441,22 @@ class PlanSpec extends AnyFunSuite {
       "lang should prune directories, not filter rows post-scan")
   }
 
+  test("idx02 phrase search: per-term scans prune to their bucket partitions, equi-joins only") {
+    // the stored-index promise: each phrase term's scan must carry its
+    // literal bucket as a PartitionFilter (directory prune) and its
+    // term as a pushed predicate — the serve plan touches df(term)
+    // rows, never the corpus; adjacency is (doc_id, p0) equi-joins
+    val df = graft.queries.PipelineOps.defs("idx02_phrase_search")(spark, dir)
+    val plan = planOf(df)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket literal did not become a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the index scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"adjacency degenerated from an equi-join:\n$plan")
+  }
+
   test("d14 incremental dedup: gram equi-join only, never a cartesian on either side") {
     // the incremental path's promise is O(batch · df): batch and corpus
     // gram streams meet ONLY on the sh equi-key; any nested-loop or

@@ -310,6 +310,49 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- idx02 positional phrase search ------------------------------------
+
+  test("idx02: adjacency corners (overlap, edges, repeats, miss) + corpus recompute") {
+    import spark.implicits._
+    // crafted corners through the FULL build+serve round trip
+    val docs = Seq(
+      (1L, "a b a b a"),          // overlapping hits of "a b a" at 0 and 2
+      (2L, "slow hash batch end"), // phrase at doc start
+      (3L, "x slow hash batch"),   // phrase at doc end
+      (4L, "slow hash x slow hash batch"), // near-miss prefix then a hit
+      (5L, "batch hash slow"))     // all terms present, wrong order
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx02-spec").toString
+    graft.pipeline.Curation.buildPositionalIndex(docs, idxDir)
+    val index = spark.read.parquet(idxDir)
+    def hits(phrase: Seq[String]) =
+      graft.pipeline.Curation.phraseSearch(index, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hits(Seq("a", "b", "a")) == Seq((1L, 2L, 0L)),
+      "overlapping occurrences must both count")
+    assert(hits(Seq("slow", "hash", "batch")) ==
+      Seq((2L, 1L, 0L), (3L, 1L, 1L), (4L, 1L, 3L)),
+      "edges hit, wrong order and bare prefix miss")
+    assert(hits(Seq("slow")) ==
+      Seq((2L, 1L, 0L), (3L, 1L, 1L), (4L, 2L, 0L), (5L, 1L, 2L)),
+      "single-term phrase = plain postings lookup")
+    assert(hits(Seq("absent", "term")).isEmpty)
+    // corpus entry vs plain-Scala recompute
+    val corpus = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val expected = corpus.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      val ps = (0 to w.length - 3).filter(i =>
+        w(i) == "slow" && w(i + 1) == "hash" && w(i + 2) == "batch")
+      if (ps.isEmpty) None else Some((id, ps.length.toLong, ps.min.toLong))
+    }.sortBy(_._1)
+    val got = run("idx02_phrase_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.map(_._2).sum == 8L && got.length == 5,
+      "fixture drift: expected 8 hits across 5 docs")
+  }
+
   // ---- s14 IVF-PQ search --------------------------------------------------
 
   test("s14: plain-Scala recompute of the whole IVFPQ pipeline matches exactly") {
