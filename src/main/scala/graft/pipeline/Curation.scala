@@ -303,6 +303,17 @@ object Curation {
         extra = Seq("is_eval" -> coalesce(isEval.cast("boolean"), lit(false)))),
       col("is_eval"), runLen)
 
+  /** Interpolated Kneser-Ney bigram fluency scoring (lm03's kernel —
+    * the KenLM-family smoothing CCNet's production filter runs):
+    * model on the deterministic 10% seed slice, every doc scored as
+    * mean bits over its in-vocabulary word bigrams, OOV bigrams
+    * counted not scored, unseen bigrams of seen words scored through
+    * the continuation backoff. Returns (doc_id, n_bigrams, n_scored,
+    * avg_bits). */
+  def knBigramScore(docs: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.knBigramScoreOf(canon(docs, idCol, textCol), discount)
+
   /** CCNet head/middle/tail partition (lm02's kernel, Wenzek et al.
     * 2020): every document bucketed by per-LANGUAGE LM-perplexity
     * terciles — thresholds via partial-aggregable exact percentile,

@@ -934,6 +934,62 @@ object PipelineOps {
         round(avg("nll"), 4).as("avg_bits"))
   }
 
+  /** lm03's kernel — interpolated Kneser-Ney bigram scoring (the
+    * KenLM-family smoothing CCNet's real filter runs; lm01's add-one
+    * trigram is the baseline, this is the production-grade estimator:
+    * absolute discount D=0.75 with the CONTINUATION-count backoff that
+    * makes KN the standard —
+    * P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1,·)/c1)·(N1+(·,w2)/N1+(··))).
+    * The model trains on the deterministic 10% seed slice (lm01's
+    * convention) over WORD bigrams; every doc scores as the mean bits
+    * −log2 P over its in-vocabulary bigrams. A bigram whose w1 has no
+    * seed continuations or whose w2 was never a seed continuation is
+    * OOV — counted, not scored (the standard KN-over-train-vocab
+    * contract); an UNSEEN bigram of SEEN words scores through the
+    * backoff term alone, which is the whole point of KN. Returns
+    * (doc_id, n_bigrams, n_scored, avg_bits) — avg_bits null when
+    * nothing scored.
+    *
+    * 100 TB: all four model tables derive from the distinct-bigram
+    * table (one partial-agg shuffle over the seed slice, then
+    * bigram-table-sized aggs); they broadcast onto the map-side doc
+    * bigram stream (vocab-sized — co-partition by bigram key is the
+    * fallback), and the rollup is one doc-keyed partial-agg shuffle.
+    * Determinism: per-bigram bits quantize to integer micro-units
+    * BEFORE the sum (association-order-free); the float path is a
+    * fixed IEEE op sequence both engines replay (the oracle mirrors
+    * every cast), and the avg is one division rounded at 4. */
+  private[graft] def knBigramScoreOf(docs: DataFrame,
+      d: Double = 0.75): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bis = words.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> struct(w[i] as w1, w[i+1] as w2))"))
+      .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val seed = bis.filter(col("doc_id") % 10 === 0)
+    val big = seed.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val w1t = big.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
+    val w2t = big.groupBy("w2").agg(count(lit(1)).as("n1w2"))
+    val tot = big.agg(count(lit(1)).as("n1tot"))
+    bis
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(w1t), Seq("w1"), "left")
+      .join(broadcast(w2t), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        when(col("c1").isNotNull && col("n1w2").isNotNull,
+          greatest(coalesce(col("c12"), lit(0L)) - lit(d), lit(0.0)) / col("c1") +
+            (lit(d) * col("n1w1") / col("c1")) * (col("n1w2") / col("n1tot"))))
+      .withColumn("bm",
+        floor(-(log(col("p")) / log(lit(2.0))) * 1000000.0 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("bm")).as("n_scored"),
+        round(sum("bm") / (count(col("bm")) * lit(1000000.0)), 4).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
   /** lm02's kernel — the CCNet partition itself (Wenzek et al. 2020):
     * bucket every document into head/middle/tail per LANGUAGE by LM
     * perplexity terciles. The scalable form computes the two per-lang
@@ -3003,6 +3059,17 @@ object PipelineOps {
       ccnetBucketsOf(t(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang")))
         .orderBy("doc_id")
+    }),
+
+    "lm03_kneser_ney" -> ((s, d) => {
+      // Interpolated Kneser-Ney bigram fluency scoring — the
+      // KenLM-family smoothing CCNet's production filter actually
+      // runs, next to lm01's add-one baseline. Model on the 10% seed
+      // slice, every doc scored over its word bigrams, OOV bigrams
+      // counted not scored, unseen-but-in-vocab bigrams scored through
+      // the continuation backoff (KN's whole point). Scale and
+      // determinism notes on the kernel scaladoc.
+      knBigramScoreOf(t(s, d, "documents").select("doc_id", "text"))
     }),
 
     "lm01_ngram_lm_score" -> ((s, d) => {
@@ -5195,6 +5262,35 @@ object PipelineOps {
                   ELSE 'tail' END AS bucket
       FROM langd l JOIN th ON l.lang = th.lang
       ORDER BY l.doc_id""",
+
+    "lm03_kneser_ney" -> """
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bis AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM w, unnest(generate_series(1, len(w) - 1)) t(i)),
+      seed AS (SELECT * FROM bis WHERE doc_id % 10 = 0),
+      big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM seed GROUP BY w1, w2),
+      w1t AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1w1
+              FROM big GROUP BY w1),
+      w2t AS (SELECT w2, count(*)::BIGINT AS n1w2 FROM big GROUP BY w2),
+      tot AS (SELECT count(*)::BIGINT AS n1tot FROM big),
+      sc AS (
+        SELECT b.doc_id,
+          CASE WHEN w1t.c1 IS NOT NULL AND w2t.n1w2 IS NOT NULL THEN
+            CAST(floor(-(ln(
+                greatest(coalesce(big.c12, 0) - 0.75::DOUBLE, 0.0::DOUBLE) / w1t.c1
+                + (0.75::DOUBLE * w1t.n1w1 / w1t.c1) * (w2t.n1w2 / tot.n1tot)
+              ) / ln(2.0::DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+          END AS bm
+        FROM bis b
+        LEFT JOIN big ON b.w1 = big.w1 AND b.w2 = big.w2
+        LEFT JOIN w1t ON b.w1 = w1t.w1
+        LEFT JOIN w2t ON b.w2 = w2t.w2, tot)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams, count(bm)::BIGINT AS n_scored,
+             round(sum(bm)::DOUBLE / (count(bm) * 1000000), 4) AS avg_bits
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     "lm01_ngram_lm_score" -> """
       WITH docs AS (

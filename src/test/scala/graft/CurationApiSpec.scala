@@ -249,6 +249,14 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("knBigramScore over renamed columns equals the lm03 entry") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toSeq
+    val api = key(Curation.knBigramScore(userDocs, idCol = "docnum", textCol = "body"))
+    assert(api == key(entry("lm03_kneser_ney")))
+  }
+
   test("corpusDrift over renamed columns matches the guard02 math on lang cells") {
     val ref = userDocs.filter(col("docnum") % 3 === 0)
     val cur = userDocs.filter(col("docnum") % 3 =!= 0)

@@ -169,6 +169,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("lm03 Kneser-Ney: plain-Scala recompute, backoff and OOV branches live") {
+    import spark.implicits._
+    val D = 0.75
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ", -1)) }
+      .filter(_._2.length >= 2)
+    def bigrams(w: Array[String]) = (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+    val seedBis = docs.filter(_._1 % 10 == 0).flatMap(d => bigrams(d._2))
+    val c12 = seedBis.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1w1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1w2 = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val n1tot = c12.size.toLong
+    var backoffSeen = false
+    val expected = docs.sortBy(_._1).map { case (id, w) =>
+      val bs = bigrams(w)
+      val scored = bs.flatMap { case (a, b) =>
+        if (!c1.contains(a) || !n1w2.contains(b)) None
+        else {
+          if (!c12.contains((a, b))) backoffSeen = true
+          val p = math.max(c12.getOrElse((a, b), 0L) - D, 0.0) / c1(a) +
+            (D * n1w1(a) / c1(a)) * (n1w2(b).toDouble / n1tot)
+          Some(math.floor(-(math.log(p) / math.log(2.0)) * 1000000 + 0.5).toLong)
+        }
+      }
+      val avg =
+        if (scored.isEmpty) null
+        else java.lang.Double.valueOf(BigDecimal(
+          scored.sum.toDouble / (scored.size * 1000000.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (id, bs.size.toLong, scored.size.toLong, avg)
+    }
+    val got = run("lm03_kneser_ney").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+    assert(got.toSeq == expected.toSeq)
+    assert(backoffSeen, "no unseen-bigram-of-seen-words: backoff branch untested")
+    assert(got.exists(r => r._3 < r._2), "no OOV bigram: vocab cut untested")
+    assert(got.forall(r => r._3 == 0 || r._4.asInstanceOf[Double] > 0.0),
+      "bits must be positive (P < 1 for every bigram here)")
+  }
+
   test("guard02 drift: plain-Scala recompute, L1 identity, one-sided cells loud") {
     import spark.implicits._
     val docs = Tables.t(spark, dir, "documents")

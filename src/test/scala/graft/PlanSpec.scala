@@ -560,6 +560,21 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("lm03 Kneser-Ney: model tables broadcast, doc bigram stream never sorts") {
+    // the four model tables (bigram counts, left/continuation stats,
+    // scalar total) are vocab-sized and must broadcast onto the
+    // map-side doc bigram stream; the only data shuffle is the
+    // doc-keyed rollup
+    val df = graft.queries.PipelineOps.defs("lm03_kneser_ney")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "model tables must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      s"doc bigram stream must not shuffle for the model join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size <= 2,
+      s"expected exactly one doc-keyed rollup shuffle:\n$plan")
+  }
+
   test("guard02 drift: cell rollups map-side combined, corpus never joins corpus") {
     // the only exchanges are the two per-corpus cell rollups (plus the
     // presentation sort); the full-outer join sees cells-count frames,
