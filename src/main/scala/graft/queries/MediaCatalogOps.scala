@@ -287,6 +287,50 @@ object MediaCatalogOps {
         .orderBy("lang")
     }),
 
+    "st07_stream_drift" -> ((s0, d) => {
+      // Distribution drift AT INGEST — guard02's release gate as a
+      // streaming stage: the candidate corpus arrives in micro-batches,
+      // each foreachBatch appends its per-cell token masses
+      // (partial aggregation — the only state that persists is
+      // cells-count rows per batch, never documents), and the gate
+      // reads the merged masses back and runs the same integer
+      // micro-unit share/drift math against the STATIC reference.
+      // Two batches prove merge correctness: the result must equal
+      // the batch guard02 verdict exactly (same oracle SQL). At
+      // 100 TB this is the live mixture monitor on the ingest path —
+      // per-batch work is one partial-agg shuffle of the batch, the
+      // reference shares are a stored artifact.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val toks = graft.Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("lang"), lit("/"), col("source")).as("dim"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val ref = toks.filter(col("doc_id") % 3 === 0).select("dim", "n_tok")
+      val streamRows = toks.filter(col("doc_id") % 3 =!= 0)
+        .as[(Long, String, Long)].collect().toSeq
+      val (b1, b2) = streamRows.splitAt(streamRows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+      val base = EngineOps.tempDir("graft-st07")
+      val q = input.toDF().toDF("doc_id", "dim", "n_tok").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy("dim").agg(sum("n_tok").as("n_tok"))
+            .write.mode("append").parquet(s"$base/cells")
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.queries.PipelineOps.corpusDriftOf(ref,
+        s.read.parquet(s"$base/cells").select("dim", "n_tok"))
+    }),
+
     "st03_stream_sessions" -> ((s0, d) => {
       // Streaming gap-sessionization through flatMapGroupsWithState
       // (Streams.sessionize): the first 5000 events replay through a
@@ -577,6 +621,31 @@ object MediaCatalogOps {
     // d14's pairs CTE inverted: survivors are batch docs with NO
     // corpus near-dup at 0.5 (short docs have no shingles, so they
     // trivially survive — both engines agree)
+    // the streamed drift gate must equal the batch guard02 verdict:
+    // micro-batch partial masses merge losslessly (sums of integers)
+    "st07_stream_drift" -> """
+      WITH toks AS (
+        SELECT doc_id, lang || '/' || source AS dim,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      rm AS (SELECT dim, CAST(sum(n_tok) AS BIGINT) AS mass FROM toks
+             WHERE doc_id % 3 = 0 GROUP BY dim),
+      rt AS (SELECT CAST(sum(mass) AS BIGINT) AS tot FROM rm),
+      rs AS (SELECT dim, CAST(floor(mass / rt.tot * 1000000 + 0.5) AS BIGINT)
+               AS ref_share_micro FROM rm, rt),
+      cm AS (SELECT dim, CAST(sum(n_tok) AS BIGINT) AS mass FROM toks
+             WHERE doc_id % 3 <> 0 GROUP BY dim),
+      ct AS (SELECT CAST(sum(mass) AS BIGINT) AS tot FROM cm),
+      cs AS (SELECT dim, CAST(floor(mass / ct.tot * 1000000 + 0.5) AS BIGINT)
+               AS cur_share_micro FROM cm, ct)
+      SELECT coalesce(rs.dim, cs.dim) AS dim,
+             coalesce(ref_share_micro, 0) AS ref_share_micro,
+             coalesce(cur_share_micro, 0) AS cur_share_micro,
+             abs(coalesce(ref_share_micro, 0) - coalesce(cur_share_micro, 0))
+               AS drift_micro
+      FROM rs FULL JOIN cs ON rs.dim = cs.dim
+      ORDER BY dim""",
+
     "st06_stream_incremental_dedup" -> """
       WITH sh AS (
         SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]

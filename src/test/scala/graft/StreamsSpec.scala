@@ -102,4 +102,16 @@ class StreamsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(3)))
     assert(rows.contains((1L, 2))) // user 1's 2-event session closed
   }
+
+  test("streamed drift gate equals the batch guard02 verdict exactly") {
+    // st07 appends per-batch partial cell masses; the merged read-back
+    // must reproduce guard02's shares bit-for-bit (integer sums merge
+    // losslessly across micro-batches)
+    val dir = "/root/testdata/sf0.01"
+    def key(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val streamed = key("st07_stream_drift")
+    val batch = key("guard02_distribution_drift")
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
