@@ -133,30 +133,36 @@ object PipelineOps {
     * is the per-doc hit-position rollup over those rare rows.
     * Coverage marking and reassembly are per-doc map-side. */
   private[graft] def spanDecontaminateOf(docs: DataFrame, evalPred: Column,
-      runLen: Int): DataFrame = {
+      runLen: Int, carry: Seq[String] = Nil): DataFrame = {
     require(runLen >= 1, s"runLen must be >= 1, got $runLen")
     graft.exprs.Md5Bits60.register(docs.sparkSession)
-    val flagged = docs.select(col("doc_id"), split(col("text"), " ").as("ts"),
-      evalPred.as("is_eval"))
+    // `carry` columns (constant per doc_id) ride the token frame so
+    // composed pipelines (p06) don't need a corpus-keyed join-back
+    val keyCols = col("doc_id") +: carry.map(col)
+    val flagged = docs.select(
+      keyCols :+ split(col("text"), " ").as("ts") :+ evalPred.as("is_eval"): _*)
     def grams(df: DataFrame) = df.select(col("doc_id"), posexplode(expr(
       s"CASE WHEN size(ts) >= $runLen THEN " +
         s"transform(sequence(0, size(ts) - $runLen), " +
         s"i -> md5_bits60(array_join(slice(ts, i + 1, $runLen), ' '))) " +
         "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as(Seq("pos", "gh")))
-    val toks = flagged.filter(!col("is_eval")).select("doc_id", "ts")
+    val toks = flagged.filter(!col("is_eval"))
+      .select(keyCols :+ col("ts"): _*)
     val evalGrams = grams(flagged.filter(col("is_eval"))).select("gh").distinct()
-    val hitStarts = grams(toks).join(broadcast(evalGrams), "gh")
+    val hitStarts = grams(toks.select("doc_id", "ts"))
+      .join(broadcast(evalGrams), "gh")
       .groupBy("doc_id").agg(sort_array(collect_list("pos")).as("ps"))
     toks.join(hitStarts, Seq("doc_id"), "left")
       .withColumn("ps", coalesce(col("ps"), expr("CAST(array() AS ARRAY<INT>)")))
       .withColumn("kept", expr(
         s"filter(ts, (x, i) -> NOT exists(ps, p -> p <= i AND i < p + $runLen))"))
-      .select(col("doc_id"),
-        size(col("ts")).cast("long").as("n_tokens"),
-        (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed"),
+      .select(col("doc_id") +:
+        size(col("ts")).cast("long").as("n_tokens") +:
+        (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed") +:
         round((size(col("ts")) - size(col("kept"))) / size(col("ts")), 4)
-          .as("contamination"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+          .as("contamination") +:
+        array_join(col("kept"), " ").as("cleaned_text") +:
+        carry.map(col): _*)
   }
 
   /** s07's kernel: BM25 (Lucene idf) scores of `terms` over the corpus,
@@ -3687,6 +3693,46 @@ object PipelineOps {
         .orderBy("status")
     }),
 
+    "p06_governed_release" -> ((s, d) => {
+      // The GOVERNED-release composition of this round's operators,
+      // end to end in one plan: (1) u02's opt-out gate — host suffix
+      // chain vs the blocklist as a PURE MAP (in-row arrays_overlap,
+      // no join); (2) dec04's span decontamination of the survivors
+      // against the eval slice (broadcast eval grams, span surgery
+      // instead of doc drops, lang carried so nothing joins back);
+      // (3) t14's in-row quality gate scored on the CLEANED text;
+      // (4) spl01's hash split tag, map-side; (5) the release card per
+      // (split, lang) with the id checksum pinning exact membership.
+      // ZERO corpus-keyed shuffle joins: the one doc_id join attaches
+      // the rare hit-position rows (broadcastable by rarity), and
+      // every other stage is broadcast or in-row. The p03/p04/p05
+      // discipline extended across the r8 governance ops.
+      graft.exprs.QualityScore.register(s)
+      val rules = Seq("src3.example.com", "h7.src7.example.com")
+      val sfx = expr("transform(sequence(1, size(hl)), " +
+        "i -> array_join(slice(hl, i, size(hl) - i + 1), '.'))")
+      val allowed = t(s, d, "documents")
+        .withColumn("hl", split(concat(lit("h"), col("doc_id") % 40, lit("."),
+          col("source"), lit(".example.com")), "\\."))
+        .filter(!arrays_overlap(sfx, typedLit(rules)))
+        .select("doc_id", "lang", "text")
+      val cleaned = spanDecontaminateOf(allowed,
+          col("doc_id") % 50 === 0, runLen = 4, carry = Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          (col("n_tokens") - col("n_removed")).as("n_tok"), col("cleaned_text"))
+      val b = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+      cleaned
+        .withColumn("score", expr("quality_score(cleaned_text)"))
+        .filter(col("score") >= 0.45)
+        .withColumn("split",
+          when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          round(avg("score"), 4).as("mean_score"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("split", "lang")
+    }),
+
     "p04_curation_v3" -> ((s, d) => {
       // The FineWeb/CCNet-shaped composition of the r7 operators, end
       // to end: (1) t14's in-row quality gate (map-side, no shuffle),
@@ -5164,6 +5210,60 @@ object PipelineOps {
       FROM documents
       WHERE len(string_split(text, ' ')) >= 50
       GROUP BY lang ORDER BY lang""",
+
+    "p06_governed_release" -> """
+      WITH hosts AS (
+        SELECT doc_id, lang, text,
+               'h' || (doc_id % 40) || '.' || source || '.example.com' AS host
+        FROM documents),
+      sfxp AS (
+        SELECT doc_id, array_to_string(l[i:], '.') AS suffix
+        FROM (SELECT doc_id, string_split(host, '.') AS l FROM hosts),
+             unnest(generate_series(1, len(l))) AS t(i)),
+      blocked AS (
+        SELECT DISTINCT doc_id FROM sfxp
+        WHERE suffix IN ('src3.example.com', 'h7.src7.example.com')),
+      allowed AS (
+        SELECT doc_id, lang, text FROM hosts
+        WHERE doc_id NOT IN (SELECT doc_id FROM blocked)),
+      t2 AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w, doc_id % 50 = 0 AS ev
+        FROM allowed),
+      grams AS (
+        SELECT doc_id, ev, i - 1 AS pos,
+               ('0x' || substring(md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT AS gh
+        FROM t2, unnest(generate_series(1, len(w) - 3)) AS u(i)),
+      evg AS (SELECT DISTINCT gh FROM grams WHERE ev),
+      cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + o.i AS tpos
+        FROM grams g JOIN evg USING (gh), unnest(generate_series(0, 3)) AS o(i)
+        WHERE NOT g.ev),
+      tokpos AS (
+        SELECT doc_id, lang, i - 1 AS tpos, w[i] AS tok
+        FROM t2, unnest(generate_series(1, len(w))) AS s(i) WHERE NOT ev),
+      cleaned AS (
+        SELECT tp.doc_id, tp.lang,
+               CAST(count(*) - count(c.tpos) AS BIGINT) AS n_tok,
+               coalesce(string_agg(CASE WHEN c.tpos IS NULL THEN tp.tok END,
+                                   ' ' ORDER BY tp.tpos), '') AS ct
+        FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.tpos = tp.tpos
+        GROUP BY tp.doc_id, tp.lang),
+      gated AS (
+        SELECT doc_id, lang, n_tok,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(ct, ' ') ]) / len(string_split(ct, ' ')))), 4) AS score
+        FROM cleaned),
+      sel AS (
+        SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        FROM gated WHERE score >= 0.45)
+      SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             round(avg(score), 4) AS mean_score,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM sel GROUP BY 1, 2 ORDER BY split, lang""",
 
     "p04_curation_v3" -> """
       WITH train AS (

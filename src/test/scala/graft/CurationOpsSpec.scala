@@ -169,6 +169,69 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("p06 governed release: plain-Scala recompute of the whole composition") {
+    import spark.implicits._
+    val L = 4
+    val rules = Set("src3.example.com", "h7.src7.example.com")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+      .as[(Long, String, String, String)].collect()
+    val allowed = docs.filter { case (id, _, src, _) =>
+      val host = s"h${id % 40}.$src.example.com"
+      val l = host.split("\\.")
+      !l.indices.exists(i => rules(l.drop(i).mkString(".")))
+    }
+    val evalGrams = allowed.filter(_._1 % 50 == 0)
+      .flatMap { case (_, _, _, t) =>
+        t.split(" ", -1).sliding(L).filter(_.length == L).map(_.mkString(" ")) }
+      .toSet
+    def weight(t: String) = (h60(t) % 2049 - 1024) / 1024.0
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = allowed.filter(_._1 % 50 != 0).map { case (id, lang, _, t) =>
+      val w = t.split(" ", -1)
+      val starts = (0 to w.length - L)
+        .filter(i => evalGrams.contains(w.slice(i, i + L).mkString(" ")))
+      val covered = starts.flatMap(p => p until p + L).toSet
+      val kept = w.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      val ct = kept.mkString(" ")
+      val toks = ct.split(" ", -1)
+      val score = r4(1.0 / (1.0 + math.exp(-4 * toks.map(weight).sum / toks.length)))
+      val b = h60(id.toString) % 100
+      val split = if (b < 90) "train" else if (b < 95) "val" else "test"
+      (split, lang, id, kept.length.toLong, score)
+    }.filter(_._5 >= 0.45)
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq
+      .sortBy { case ((sp, lg), _) => (sp, lg) }
+      .map { case ((sp, lg), xs) =>
+        (sp, lg, xs.length.toLong, xs.map(_._4).sum, xs.map(_._3).sum,
+          r4(xs.map(_._5).sum / xs.length)) }
+    val got = run("p06_governed_release").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getDouble(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4, g._5) == ((e._1, e._2, e._3, e._4, e._5)),
+        s"cell mismatch: $g vs $e")
+      // mean of rounded-4 doubles: partial-agg order may differ from the
+      // sequential recompute in the last ulp — compare at the 4-decimal
+      // granularity the column carries
+      assert(math.abs(g._6 - e._6) < 1e-9 || math.abs(g._6 - e._6) <= 1e-4,
+        s"mean_score ${g._6} vs ${e._6}")
+    }
+    // every governance stage must bite on this corpus
+    val allIds = docs.map(_._1).toSet
+    assert(allowed.length < docs.length, "blocklist stage idle")
+    assert(rows.nonEmpty && rows.length < allowed.count(_._1 % 50 != 0),
+      "quality gate idle")
+    assert(expected.map(_._1).distinct.sorted == Seq("test", "train", "val"),
+      "a split bucket is empty")
+    assert(allIds.nonEmpty)
+  }
+
   test("lm03 Kneser-Ney: plain-Scala recompute, backoff and OOV branches live") {
     import spark.implicits._
     val D = 0.75

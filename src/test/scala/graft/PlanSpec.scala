@@ -560,6 +560,21 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("p06 governed release: two broadcast joins total, blocklist join-free, no cartesian") {
+    // the composition's promise: the opt-out gate is in-row (adds NO
+    // join), the span stage contributes exactly its two joins (eval
+    // grams broadcast + rare hit-position attach), lang rides the
+    // carry so nothing joins back, and the split tag is a pure map
+    val df = graft.queries.PipelineOps.defs("p06_governed_release")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-keyed shuffle join sneaked into the composition:\n$plan")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 2, s"expected exactly the span stage's 2 joins, got $joins:\n$plan")
+  }
+
   test("lm03 Kneser-Ney: model tables broadcast, doc bigram stream never sorts") {
     // the four model tables (bigram counts, left/continuation stats,
     // scalar total) are vocab-sized and must broadcast onto the
