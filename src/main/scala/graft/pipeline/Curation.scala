@@ -418,6 +418,32 @@ object Curation {
     PipelineOps.corpusDiffOf(keep(oldDocs), keep(newDocs))
   }
 
+  /** Per-source datasheet (cur03's kernel — Gebru et al. 2018): docs,
+    * tokens, language spread, mean model-quality score, and the count
+    * of within-source fingerprint duplicates per provenance — the
+    * summary table a corpus release publishes. Returns (source,
+    * n_docs, n_tokens, n_langs, mean_quality, n_dup_docs). */
+  def sourceDatasheet(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.sourceDatasheetOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("source" -> col(sourceCol).cast("string"),
+          "lang" -> col(langCol).cast("string"))))
+
+  /** Temporal split + boundary-leakage audit (spl03's kernel): train
+    * strictly before `cutoff`, test after, and the count of users
+    * whose activity SPANS the boundary — the population whose
+    * memorized train behavior contaminates their test events. Returns
+    * one row per side (split, n_events, n_users, n_spanning_users). */
+  def temporalSplitAudit(events: DataFrame, cutoff: String,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    PipelineOps.temporalSplitAuditOf(
+      events.select(col(userCol).cast("long").as("user_id"),
+          col(tsCol).cast("timestamp").as("ts"))
+        .filter(col("user_id").isNotNull && col("ts").isNotNull),
+      cutoff)
+
   /** Positional-index build (idx02's build half): (term, doc, pos)
     * postings written to `path` partitioned by a 16-way md5 term
     * bucket, so [[phraseSearch]] prunes each term's read to one

@@ -1178,6 +1178,79 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** cur03's kernel — the per-source DATASHEET ("Datasheets for
+    * Datasets", Gebru et al. 2018 — the per-provenance summary table a
+    * corpus release publishes): for every source, document and token
+    * counts, language spread, mean model-quality score, and the count
+    * of within-source exact duplicates. `docs`: (doc_id, source, lang,
+    * text). The duplicate count uses d02's order-insensitive content
+    * FINGERPRINT (md5 of the sorted distinct token set) — the cheap
+    * near-dup signal a datasheet reports (raw-text md5 misses
+    * reordered/boilerplate twins; this corpus has zero byte-exact
+    * dups but 25 within-source fingerprint dups). Returns (source,
+    * n_docs, n_tokens, n_langs, mean_quality, n_dup_docs) ordered by
+    * source.
+    *
+    * 100 TB: everything per-row (token count, native quality score,
+    * content md5) is map-side; the card is ONE source-keyed partial-agg
+    * shuffle plus the duplicate count's (source, hash)-keyed rollup —
+    * sources-count rows out at any corpus size; nothing joins the
+    * corpus to anything. */
+  private[graft] def sourceDatasheetOf(docs: DataFrame): DataFrame = {
+    graft.exprs.QualityScore.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      expr("quality_score(text)").as("score"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+        .as("h"))
+    val card = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        round(avg("score"), 4).as("mean_quality"))
+    val dups = base.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy("source").agg(sum("c").as("n_dup_docs"))
+    card.join(dups, Seq("source"), "left")
+      .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+      .orderBy("source")
+  }
+
+  /** spl03's kernel — TEMPORAL split + boundary-leakage audit (the
+    * eval-design check for time-series/eventlog corpora: train on the
+    * past, evaluate on the future — and report the users whose
+    * activity SPANS the cutoff, because a model that memorized user
+    * behavior from train events leaks into their test events even
+    * though no row crosses the boundary). `events`: (user_id, ts).
+    * Returns one row per side of `cutoff` (split, n_events, n_users,
+    * n_spanning_users) — n_spanning_users identical on both rows by
+    * construction (it is the boundary set's size).
+    *
+    * 100 TB: the split tag is a pure map on ts (a partition-pruned
+    * scan when the table is date-partitioned, the universal eventlog
+    * layout); per-user flags are one user-keyed partial-agg shuffle;
+    * the rollup is a 2-row aggregation. */
+  private[graft] def temporalSplitAuditOf(events: DataFrame,
+      cutoff: String): DataFrame = {
+    val tagged = events.select(col("user_id"),
+      when(col("ts") < lit(cutoff).cast("timestamp"), "train")
+        .otherwise("test").as("split"))
+    val perUser = tagged.groupBy("user_id")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .withColumn("spanning", col("n_train") > 0 && col("n_test") > 0)
+    val spanning = perUser.agg(
+      sum(when(col("spanning"), 1L).otherwise(0L)).as("n_spanning_users"))
+    val sides = Seq(("train", col("n_train")), ("test", col("n_test"))).map {
+      case (name, n) => perUser.filter(n > 0).agg(
+        lit(name).as("split"), sum(n).as("n_events"),
+        count(lit(1)).as("n_users"))
+    }
+    sides.reduce(_ unionByName _)
+      .crossJoin(broadcast(spanning))
+      .select("split", "n_events", "n_users", "n_spanning_users")
+      .orderBy("split")
+  }
+
   /** guard02's kernel — corpus distribution drift monitor (the check a
     * pipeline runs between corpus releases: did a scraper change, a
     * filter regression, or an upstream source shift move the mixture?).
@@ -3606,6 +3679,28 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    "cur03_source_datasheet" -> ((s, d) => {
+      // The per-source datasheet a release publishes (Gebru et al.
+      // 2018): docs, tokens, language spread, mean quality, exact
+      // within-source duplicates — per provenance, the table a data
+      // consumer reads before training. Scale notes on the kernel
+      // scaladoc (map-side rows, two partial-agg rollups, no corpus
+      // joins).
+      sourceDatasheetOf(
+        t(s, d, "documents").select("doc_id", "source", "lang", "text"))
+    }),
+
+    "spl03_temporal_split" -> ((s, d) => {
+      // Temporal train/test split over the event log (train strictly
+      // strictly before 2024-01-30 20:00, test after) with the leakage
+      // audit: users active on BOTH sides — the population whose
+      // memorized train behavior contaminates their test events.
+      // Scale notes on the kernel scaladoc.
+      temporalSplitAuditOf(
+        t(s, d, "events").select(col("user_id"), col("ts")),
+        "2024-01-30 20:00:00")
+    }),
+
     "guard02_distribution_drift" -> ((s, d) => {
       // Distribution drift between two corpus snapshots (the release
       // gate next to diff01's content diff: diff01 answers WHICH docs
@@ -4645,6 +4740,49 @@ object PipelineOps {
              CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
       FROM budget b LEFT JOIN sel s ON b.lang = s.lang
       GROUP BY b.lang, b.tok_mass, b.tok_budget ORDER BY b.lang""",
+
+    "cur03_source_datasheet" -> """
+      WITH base AS (
+        SELECT doc_id, source, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+        FROM documents),
+      card AS (
+        SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               round(avg(score), 4) AS mean_quality
+        FROM base GROUP BY source),
+      dups AS (
+        SELECT source, sum(c)::BIGINT AS n_dup_docs
+        FROM (SELECT source, h, count(*) AS c FROM base GROUP BY source, h) t
+        WHERE c >= 2 GROUP BY source)
+      SELECT card.source, n_docs, n_tokens, n_langs, mean_quality,
+             coalesce(n_dup_docs, 0)::BIGINT AS n_dup_docs
+      FROM card LEFT JOIN dups ON card.source = dups.source
+      ORDER BY card.source""",
+
+    "spl03_temporal_split" -> """
+      WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-30 20:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS n_train,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-30 20:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS n_test
+        FROM events GROUP BY user_id),
+      sp AS (SELECT sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0
+                        END)::BIGINT AS n_spanning_users FROM pu)
+      SELECT * FROM (
+        SELECT 'test' AS split, sum(n_test)::BIGINT AS n_events,
+               count(*)::BIGINT AS n_users, sp.n_spanning_users
+        FROM pu, sp WHERE n_test > 0 GROUP BY sp.n_spanning_users
+        UNION ALL
+        SELECT 'train', sum(n_train)::BIGINT, count(*)::BIGINT,
+               sp.n_spanning_users
+        FROM pu, sp WHERE n_train > 0 GROUP BY sp.n_spanning_users)
+      ORDER BY split""",
 
     "guard02_distribution_drift" -> """
       WITH toks AS (

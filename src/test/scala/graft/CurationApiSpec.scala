@@ -249,6 +249,28 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("sourceDatasheet and temporalSplitAudit over renamed columns equal the entries") {
+    val userFull = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("docnum"), col("text").as("body"),
+        col("lang").as("language"), col("source").as("origin"))
+    val api = Curation.sourceDatasheet(userFull, idCol = "docnum",
+        textCol = "body", sourceCol = "origin", langCol = "language")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    val ref = entry("cur03_source_datasheet")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(api == ref)
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id").as("uid"), col("ts").as("at"))
+    val apiT = Curation.temporalSplitAudit(ev, "2024-01-30 20:00:00",
+        userCol = "uid", tsCol = "at")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val refT = entry("spl03_temporal_split")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(apiT == refT)
+  }
+
   test("knBigramScore over renamed columns equals the lm03 entry") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -169,6 +169,62 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("cur03 datasheet: plain-Scala recompute, fingerprint dups live") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect()
+    val rows = docs.map { case (_, src, lang, t) =>
+      val toks = t.split(" ", -1)
+      val score = r4(1.0 / (1.0 + math.exp(
+        -4 * toks.map(tok => (h60(tok) % 2049 - 1024) / 1024.0).sum / toks.length)))
+      (src, lang, toks.length.toLong, score,
+        md5hex(toks.distinct.sorted.mkString(" ")))
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val dups = xs.groupBy(_._5).values.filter(_.size >= 2).map(_.size).sum
+      (src, xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).distinct.length.toLong,
+        r4(xs.map(_._4).sum / xs.length), dups.toLong)
+    }
+    val got = run("cur03_source_datasheet").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4, g._6) == ((e._1, e._2, e._3, e._4, e._6)), s"$g vs $e")
+      assert(math.abs(g._5 - e._5) <= 1e-4, s"${g._1} mean_quality ${g._5} vs ${e._5}")
+    }
+    // the dup signal must be live: this corpus has no byte-exact dups,
+    // but the order-insensitive fingerprint finds reordered twins
+    assert(got.map(_._6).sum > 0, "no fingerprint dup in any source: column dead")
+    assert(got.exists(_._6 == 0), "every source has dups: fixture can't discriminate")
+  }
+
+  test("spl03 temporal split: plain-Scala recompute, spanning users a strict subset") {
+    import spark.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-30 20:00:00")
+    val ev = Tables.t(spark, dir, "events").select("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)].collect()
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.count(_._2.before(cutoff)).toLong,
+        xs.count(!_._2.before(cutoff)).toLong) }.toSeq
+    val spanning = perUser.count(x => x._2 > 0 && x._3 > 0).toLong
+    val expected = Seq(
+      ("test", perUser.map(_._3).sum, perUser.count(_._3 > 0).toLong, spanning),
+      ("train", perUser.map(_._2).sum, perUser.count(_._2 > 0).toLong, spanning))
+    val got = run("spl03_temporal_split").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(spanning > 0 && spanning < perUser.length,
+      "boundary must be spanned by some users but not all")
+    assert(got.forall(_._2 > 0), "a split side is empty")
+  }
+
   test("p06 governed release: plain-Scala recompute of the whole composition") {
     import spark.implicits._
     val L = 4

@@ -560,6 +560,19 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("cur03 datasheet + spl03 temporal audit: map-side rows, partial-agg rollups, no corpus joins") {
+    val c3 = planOf(graft.queries.PipelineOps.defs("cur03_source_datasheet")(spark, dir))
+    assert(!c3.contains("CartesianProduct") && !c3.contains("SortMergeJoin"),
+      s"datasheet must not join the corpus:\n$c3")
+    assert(c3.contains("partial_count") || c3.contains("partial_sum"),
+      "datasheet rollups not map-side combined")
+    val s3 = planOf(graft.queries.PipelineOps.defs("spl03_temporal_split")(spark, dir))
+    assert(!s3.contains("CartesianProduct") && !s3.contains("SortMergeJoin"),
+      s"temporal audit must not join the corpus:\n$s3")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(s3).size <= 4,
+      s"per-user flags must be one rollup per side at most:\n$s3")
+  }
+
   test("p06 governed release: two broadcast joins total, blocklist join-free, no cartesian") {
     // the composition's promise: the opt-out gate is in-row (adds NO
     // join), the span stage contributes exactly its two joins (eval
