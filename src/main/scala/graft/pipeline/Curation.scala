@@ -205,6 +205,15 @@ object Curation {
         col(hostCol).cast("string").as("host"))
       .filter(col("doc_id").isNotNull && col("host").isNotNull)
 
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation (t20's
+    * kernel — Kudo 2018): exact optimal segmentation of every word
+    * under an occurrence-weighted substring piece model, ties resolved
+    * to the fewest pieces through a packed integer DP key. Returns
+    * (doc_id, n_words, n_pieces, bits_micro) per document. */
+  def unigramSegment(docs: DataFrame, maxPiece: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.unigramSegmentOf(canon(docs, idCol, textCol), maxPiece)
+
   /** Tokenizer fairness audit (t19's kernel — Petrov et al. 2023):
     * train the [[bpeMergeLoop]] tokenizer on the whole corpus, then
     * measure per language the fertility (tokens per word) and the

@@ -1178,6 +1178,120 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** t20's kernel — unigram-LM (SentencePiece-style) Viterbi
+    * segmentation (Kudo 2018), the OTHER production tokenizer family
+    * next to the BPE line (t13/t16-t19): pieces are every 1..`maxPiece`
+    * char substring of the corpus words with occurrence-weighted
+    * frequencies, piece cost = −log2(freq/total) in integer
+    * micro-units, and each word segments by the exact Viterbi DP over
+    * its positions — minimizing (total bits, then piece count), both
+    * packed into ONE integer key (key = Σ(bits_micro·64 + 1), piece
+    * count < 64 by the length bound), so the DP is pure integer min
+    * and bit-identical across engines, no float tie ambiguity.
+    * Returns (doc_id, n_words, n_pieces, bits_micro) per document.
+    *
+    * 100 TB: the piece inventory derives from the DISTINCT-word
+    * frequency table (Zipf — o(corpus)) in one partial-agg shuffle and
+    * is tokenizer METADATA (SentencePiece vocabs are ~32k pieces): the
+    * bounded driver collect ships it into the plan as a map literal
+    * (a broadcast variable in a mapPartitions serves the same role at
+    * vocab sizes where a literal is unwieldy). The DP runs IN-ROW over
+    * the distinct-word table (an aggregate HOF over the word's
+    * positions — arbitrary word length, only the ORACLE's replay
+    * unrolls to a fixed bound), the word → (key) table broadcasts onto
+    * the occurrence stream, and the rollup is one doc-keyed
+    * partial-agg shuffle — t17's exact serve shape. Single chars are
+    * always pieces, so the DP never strands (closure guarantee). */
+  private[graft] def unigramSegmentOf(docs: DataFrame,
+      maxPiece: Int = 4): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = docWords.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val pieceFreq = vocab.select(col("w"), col("cnt"), posexplode(expr(
+      s"flatten(transform(sequence(1, length(w)), " +
+        s"st -> transform(sequence(1, least($maxPiece, length(w) - st + 1)), " +
+        s"k -> substring(w, st, k))))")).as(Seq("junk", "p")))
+      .groupBy("p").agg(sum("cnt").as("freq"))
+    val total = pieceFreq.agg(sum("freq")).head().getLong(0)
+    // the piece model is tokenizer metadata: bounded, collected once,
+    // shipped as a literal map (the t18 stored-artifact contract)
+    val pieces: Map[String, Long] = pieceFreq.collect().map { r =>
+      val bits = -(math.log(r.getLong(1).toDouble / total) / math.log(2.0))
+      r.getString(0) -> math.floor(bits * 1000000 + 0.5).toLong
+    }.toMap
+    val inf = 1000000000000000000L
+    val cands = (1 to maxPiece).map { k =>
+      val prev = s"element_at(acc, i - ${k - 1})"
+      val piece = s"substring(w, i - ${k - 1}, $k)"
+      if (k == 1) s"coalesce($prev + element_at(pm, $piece) * 64 + 1, ${inf}L)"
+      else s"coalesce(CASE WHEN i >= $k THEN " +
+        s"$prev + element_at(pm, $piece) * 64 + 1 END, ${inf}L)"
+    }
+    val wkeys = vocab.withColumn("pm", typedLit(pieces))
+      .withColumn("key", expr(
+        s"element_at(aggregate(sequence(1, length(w)), array(0L), " +
+          s"(acc, i) -> concat(acc, array(least(${cands.mkString(", ")})))), -1)"))
+      .select(col("w"), expr("key div 64").as("bits_micro"),
+        pmod(col("key"), lit(64L)).as("n_pieces"))
+      // t16/t17 discipline: the vocab-sized DP result materializes once
+      // (its build owns the only word-keyed shuffle), so the serve plan
+      // is scan -> explode -> broadcast join -> doc rollup
+      .localCheckpoint()
+    docWords.join(broadcast(wkeys), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").cast("long").as("n_pieces"),
+        sum("bits_micro").cast("long").as("bits_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[unigramSegmentOf]] — the piece model from the
+    * same weighted substring explode, then the Viterbi DP unrolled to
+    * `maxLen` per-position stages (the corpus word-length bound; the
+    * Spark DP itself is unbounded). Same packed integer key, so min()
+    * resolves ties identically. */
+  private[graft] def unigramSegmentOracle(maxPiece: Int, maxLen: Int): String = {
+    val stages = (1 to maxLen).map { i =>
+      val cands = (1 to math.min(maxPiece, i)).map { k =>
+        s"""SELECT b.w, b.klen, st.key + p.bits * 64 + 1 AS key
+            FROM base b JOIN st${i - k} st ON st.w = b.w
+            JOIN pieces p ON p.p = substring(b.w, ${i - k + 1}, $k)
+            WHERE b.klen >= $i"""
+      }
+      s"st$i AS (SELECT w, klen, min(key) AS key FROM (${cands.mkString(" UNION ALL ")}) GROUP BY w, klen)"
+    }
+    val finals = (1 to maxLen).map(i => s"SELECT w, key FROM st$i WHERE klen = $i")
+    s"""
+      WITH docw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      vocab AS (
+        SELECT w, count(*)::BIGINT AS cnt FROM docw WHERE length(w) > 0 GROUP BY w),
+      pf AS (
+        SELECT substring(w, st, k) AS p, sum(cnt)::BIGINT AS freq
+        FROM vocab,
+             unnest(generate_series(1, length(w))) AS t(st),
+             unnest(generate_series(1, $maxPiece)) AS u(k)
+        WHERE st + k - 1 <= length(w)
+        GROUP BY 1),
+      tot AS (SELECT sum(freq)::BIGINT AS total FROM pf),
+      pieces AS (
+        SELECT p, CAST(floor(-(ln(freq / tot.total) / ln(2.0::DOUBLE))
+          * 1000000 + 0.5) AS BIGINT) AS bits
+        FROM pf, tot),
+      base AS (SELECT w, length(w) AS klen FROM vocab),
+      st0 AS (SELECT w, klen, 0::BIGINT AS key FROM base),
+      ${stages.mkString(",\n      ")},
+      wkeys AS (
+        SELECT w, key // 64 AS bits_micro, key % 64 AS n_pieces
+        FROM (${finals.mkString(" UNION ALL ")}))
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(n_pieces)::BIGINT AS n_pieces,
+             sum(bits_micro)::BIGINT AS bits_micro
+      FROM docw JOIN wkeys USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** cur03's kernel — the per-source DATASHEET ("Datasheets for
     * Datasets", Gebru et al. 2018 — the per-provenance summary table a
     * corpus release publishes): for every source, document and token
@@ -3978,6 +4092,18 @@ object PipelineOps {
       bpeTokenizeOf(t(s, d, "documents"), merges = 6)
     }),
 
+    "t20_unigram_segmentation" -> ((s, d) => {
+      // The OTHER tokenizer family: SentencePiece-style unigram-LM
+      // Viterbi segmentation (Kudo 2018) — exact optimal segmentation
+      // of every word under an occurrence-weighted substring piece
+      // model, (bits, piece-count) packed into one integer DP key so
+      // the optimum is bit-identical across engines. Per-doc rollup
+      // of piece counts and total bits. Scale notes on the kernel
+      // scaladoc (distinct-word DP, metadata-sized piece model,
+      // t17's broadcast serve shape).
+      unigramSegmentOf(t(s, d, "documents").select("doc_id", "text"))
+    }),
+
     "t19_tokenizer_fertility" -> ((s, d) => {
       // Tokenizer fairness audit (Petrov et al. 2023): the t16/t17
       // tokenizer trained on the WHOLE corpus, fertility
@@ -5919,6 +6045,8 @@ object PipelineOps {
     "t17_bpe_tokenize" -> bpeTokenizeOracle(6),
 
     "t19_tokenizer_fertility" -> bpeFertilityOracle(6),
+
+    "t20_unigram_segmentation" -> unigramSegmentOracle(4, 8),
 
     // the stored-tokenizer round trip must be loss-free => t17's SQL
     "t18_tokenizer_artifact" -> bpeTokenizeOracle(6),

@@ -312,6 +312,13 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == key(entry("samp05_epoch_plan")))
   }
 
+  test("unigramSegment over renamed columns equals the t20 entry") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val api = key(Curation.unigramSegment(userDocs, idCol = "docnum", textCol = "body"))
+    assert(api == key(entry("t20_unigram_segmentation")))
+  }
+
   test("bpeFertility over renamed columns equals the t19 entry") {
     val api = Curation.bpeFertility(userDocs, merges = 6,
         idCol = "docnum", textCol = "body")

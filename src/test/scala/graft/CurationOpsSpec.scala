@@ -169,6 +169,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
+  test("t20 unigram segmentation: plain-Scala Viterbi recompute, optimality invariant") {
+    import spark.implicits._
+    val maxPiece = 4
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ", -1).filter(_.nonEmpty)) }
+    val vocab = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val pf = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, cnt) =>
+      for (st <- 0 until w.length; k <- 1 to math.min(maxPiece, w.length - st))
+        pf(w.substring(st, st + k)) = pf.getOrElse(w.substring(st, st + k), 0L) + cnt
+    }
+    val total = pf.values.sum
+    val bits = pf.map { case (p, f) =>
+      p -> math.floor(-(math.log(f.toDouble / total) / math.log(2.0)) * 1000000 + 0.5).toLong }
+    def viterbi(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue / 4); dp(0) = 0L
+      for (i <- 1 to w.length; k <- 1 to math.min(maxPiece, i))
+        bits.get(w.substring(i - k, i)).foreach { b =>
+          dp(i) = math.min(dp(i), dp(i - k) + b * 64 + 1) }
+      dp(w.length)
+    }
+    val wkey = vocab.keys.map(w => w -> viterbi(w)).toMap
+    val expected = docs.sortBy(_._1).map { case (id, ws) =>
+      (id, ws.length.toLong, ws.map(w => wkey(w) % 64).sum,
+        ws.map(w => wkey(w) / 64).sum)
+    }
+    val got = run("t20_unigram_segmentation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    // optimality: the DP can never lose to the trivial all-single-chars
+    // segmentation, and on this corpus it must strictly beat it for
+    // some word (multi-char pieces actually chosen)
+    val strict = vocab.keys.exists { w =>
+      wkey(w) / 64 < w.map(c => bits(c.toString)).sum }
+    vocab.keys.foreach { w =>
+      assert(wkey(w) / 64 <= w.map(c => bits(c.toString)).sum, s"DP beaten on $w") }
+    assert(strict, "no word benefits from multi-char pieces: DP untested")
+    assert(vocab.keys.forall(w => wkey(w) % 64 <= w.length), "piece count exceeds chars")
+  }
+
   test("cur03 datasheet: plain-Scala recompute, fingerprint dups live") {
     import spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

@@ -560,6 +560,19 @@ class PlanSpec extends AnyFunSuite {
       s"rollup not map-side combined:\n$plan")
   }
 
+  test("t20 unigram segmentation: word-key table broadcast, one doc-keyed rollup") {
+    // t17's serve shape: the DP ran on the distinct-word table, the
+    // word -> key table broadcasts onto the occurrence stream, the
+    // occurrence stream never sorts or shuffles by word
+    val df = graft.queries.PipelineOps.defs("t20_unigram_segmentation")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "word-key table not broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"occurrence stream must not sort or cross:\n$plan")
+    assert(!"Exchange hashpartitioning\\(w".r.findAllIn(plan).hasNext,
+      s"occurrence stream shuffled by word:\n$plan")
+  }
+
   test("cur03 datasheet + spl03 temporal audit: map-side rows, partial-agg rollups, no corpus joins") {
     val c3 = planOf(graft.queries.PipelineOps.defs("cur03_source_datasheet")(spark, dir))
     assert(!c3.contains("CartesianProduct") && !c3.contains("SortMergeJoin"),
