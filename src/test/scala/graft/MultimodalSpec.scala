@@ -162,6 +162,32 @@ class MultimodalSpec extends AnyFunSuite {
     else assert(!out.contains(1L), s"doc 1 below tau must be cut, got ${out.get(1L)}")
   }
 
+  test("video-text alignment: all-frame pooling matches the formula, gate cuts at tau") {
+    import Multimodal.Codecs
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val out = Multimodal.videoTextAlignment(spark, dir, emb, tau = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty && out.size < emb.filter(col("vec_id") % 3 === 2).count(),
+      "gate must cut some pairs and keep some")
+    assert(out.values.forall(c => c >= 0.05 && c == math.round(c * 10000) / 10000.0))
+    // independent recompute for video doc 2: pool every frame's
+    // flat-RGB stream (576 bytes, 64-aligned) from the pixel formula
+    val nf = Codecs.videoFrameCount(2L)
+    val ve = Array.tabulate(64) { k =>
+      val vs = for (f <- 0 until nf; i <- 0 until 576 if i % 64 == k)
+        yield Codecs.framePixel(2L, f, i)
+      vs.sum.toDouble / vs.size
+    }
+    val te = emb.filter(col("vec_id") === 2).collect()
+      .head.getSeq[Float](1).map(_.toDouble).toArray
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- 0 until 64) { dot += ve(i) * te(i); na += ve(i) * ve(i); nb += te(i) * te(i) }
+    val c2 = math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000.0
+    if (c2 >= 0.05) assert(out(2L) == c2, s"doc 2 score ${out.get(2L)} != $c2")
+    else assert(!out.contains(2L), s"doc 2 below tau must be cut, got ${out.get(2L)}")
+  }
+
   test("resize: AffineTransformOp nearest-neighbor mapping is src=(4x+2, 4y+2), per-pixel") {
     import java.awt.geom.AffineTransform
     import java.awt.image.AffineTransformOp

@@ -426,6 +426,23 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
+  test("mm11 video alignment gate: one id-keyed equi-join, payload never shuffles") {
+    // mm09/mm10's pin for the video modality
+    val df = graft.queries.MediaCatalogOps.defs("mm11_video_text_alignment")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair association degenerated from an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"smaller side not broadcast at test scale:\n$plan")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one pair join, got $joins:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.toLowerCase.contains("exchange") && l.toLowerCase.contains("payload")),
+      s"binary payload column crossed an exchange:\n$plan")
+  }
+
   test("sink01 partitioned export: reading one lang prunes to one partition directory") {
     // the point of the lang-partitioned layout: a single-lang reader
     // must carry the predicate as a PartitionFilter (directory prune),
