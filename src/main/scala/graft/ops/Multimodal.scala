@@ -653,6 +653,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** mm12: video near-duplicate pairs by frame-fingerprint shingling —
+    * the clip-level dedup a video corpus runs before training (the
+    * re-upload / re-edit cut: same footage trimmed, re-cut, or
+    * re-containered). Each container frame PNG-decodes and hashes
+    * through [[dHash]] map-side (the only pass over pixel bytes); a
+    * clip's signature is its DISTINCT frame-hash set; candidate pairs
+    * surface by equi-join on a shared frame hash (two clips sharing
+    * even one fingerprinted frame meet in one hash bucket), and
+    * survivors at frame-set Jaccard ≥ `tau` come out with the
+    * shared-frame count and score. mm08 is this idea for single
+    * images; here the *sequence* reduces to a set of per-frame
+    * fingerprints, the shape YouTube-style content-matching and
+    * video-corpus dedup actually use at the first stage.
+    *
+    * Scale: signatures are 8 bytes/frame — a 100 TB video corpus
+    * reduces to a few GB of (doc_id, fhash) rows before anything
+    * shuffles; the candidate join keys on the 64-bit frame hash with
+    * ids-only on the wire (payload never crosses an exchange,
+    * plan-pinned); per-clip frame counts ride along from the decode so
+    * the Jaccard needs NO second join. Pair count follows d09/mm08's
+    * f² law on a hash's clip-frequency — the standard remedy for
+    * pathological shared frames (intros, color bars, black frames
+    * common to thousands of clips) is a stop-frame df cap, composing
+    * here as one df-filter on `fhash` before the join.
+    */
+  def videoNearDup(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    import spark.implicits._
+    val frames = mediaTable(spark, dir)
+      .filter(_.media_type == "video")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val hs = Codecs.decodeVideo(r.payload)
+            .map(fb => dHash(Codecs.decodeImage(fb))).toSet
+          hs.iterator.map(h => (r.doc_id, h, hs.size))
+        }
+      }
+      .toDF("doc_id", "fhash", "nf")
+    frames.as("a").join(frames.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nf").as("na"), col("b.nf").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** A second real image codec needing no library at all: PPM (P6) —
     * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
     * byte level with loud errors on corrupt input.

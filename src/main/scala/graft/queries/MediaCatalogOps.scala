@@ -68,6 +68,13 @@ object MediaCatalogOps {
       Multimodal.videoTextAlignment(s, d, Tables.t(s, d, "embeddings"),
         tau = 0.05)),
 
+    "mm12_video_near_dup" -> ((s, d) =>
+      // clip-level near-dup: per-frame dHash set signatures, candidate
+      // pairs by equi-join on a shared frame hash, survivors at
+      // frame-set Jaccard >= 0.4 with shared count + score (283 of
+      // 13,695 possible pairs at sf0.01 — a real cut)
+      Multimodal.videoNearDup(s, d, tau = 0.4)),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -611,6 +618,47 @@ object MediaCatalogOps {
       )
       SELECT doc_id, align_cos FROM sc
       WHERE align_cos >= 0.05 ORDER BY doc_id""",
+
+    "mm12_video_near_dup" -> """
+      WITH vids AS (
+        SELECT doc_id, 4 + doc_id % 8 AS nfr
+        FROM documents WHERE doc_id % 3 = 2
+      ), fr AS (
+        SELECT doc_id, f FROM vids, generate_series(0, 10) t(f) WHERE f < nfr
+      ), px AS (
+        -- grayscale of frame pixel (x,y): the three formula bytes wrap
+        -- mod 256 SEPARATELY then floor-average; 16x12 frames map to
+        -- dHash cells cx = x*8//16, cy = y*8//12
+        SELECT doc_id, f, (x * 8) // 16 AS cx, (y * 8) // 12 AS cy,
+               ((doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 0) % 256
+              + (doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 1) % 256
+              + (doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 2) % 256) // 3 AS g
+        FROM fr, generate_series(0, 15) tx(x), generate_series(0, 11) ty(y)
+      ), cells AS (
+        SELECT doc_id, f, cx, cy, sum(g) // count(*) AS v
+        FROM px GROUP BY doc_id, f, cx, cy
+      ), fhashes AS (
+        -- bit (cy*7 + cx) = left cell darker than its right neighbor;
+        -- DISTINCT collapses the per-clip hash multiset to its set
+        SELECT DISTINCT a.doc_id,
+               CAST(sum(CASE WHEN a.v < b.v
+                 THEN 1::BIGINT << (a.cy * 7 + a.cx) ELSE 0 END) AS BIGINT) AS fhash
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy AND b.cx = a.cx + 1
+        GROUP BY a.doc_id, a.f
+      ), sig AS (
+        SELECT doc_id, fhash, count(*) OVER (PARTITION BY doc_id) AS nf
+        FROM fhashes
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared,
+             round(count(*)::DOUBLE
+               / (any_value(a.nf) + any_value(b.nf) - count(*)), 4) AS jac
+      FROM sig a JOIN sig b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(count(*)::DOUBLE
+               / (any_value(a.nf) + any_value(b.nf) - count(*)), 4) >= 0.4
+      ORDER BY doc_a, doc_b""",
 
     "ex01_export_roundtrip" -> """
       SELECT 'csv_reread_rows' AS metric, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS value FROM lineitem

@@ -188,6 +188,43 @@ class MultimodalSpec extends AnyFunSuite {
     else assert(!out.contains(2L), s"doc 2 below tau must be cut, got ${out.get(2L)}")
   }
 
+  test("video near-dup: frame-hash shingling matches an all-pairs formula recompute") {
+    import Multimodal.Codecs
+    import org.apache.spark.sql.functions.col
+    // independent recompute: per-frame dHash from the pixel formula
+    // (not through the codec path the operator uses), all-pairs
+    // Jaccard over the distinct-hash sets, tau = 0.4
+    def fhash(id: Long, f: Int): Long = {
+      val sum = Array.ofDim[Long](8, 8); val cnt = Array.ofDim[Long](8, 8)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val base = (y * 16 + x) * 3
+        val g = (Codecs.framePixel(id, f, base) + Codecs.framePixel(id, f, base + 1) +
+          Codecs.framePixel(id, f, base + 2)) / 3
+        sum(y * 8 / 12)(x * 8 / 16) += g; cnt(y * 8 / 12)(x * 8 / 16) += 1
+      }
+      var h = 0L
+      for (cy <- 0 until 8; k <- 0 until 7)
+        if (sum(cy)(k) / cnt(cy)(k) < sum(cy)(k + 1) / cnt(cy)(k + 1)) h |= 1L << (cy * 7 + k)
+      h
+    }
+    val ids = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val sets = ids.map(id => id -> (0 until Codecs.videoFrameCount(id)).map(fhash(id, _)).toSet).toMap
+    val expected = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = ids(i); b = ids(j)
+      sh = (sets(a) & sets(b)).size if sh > 0
+      jac = math.round(sh.toDouble / (sets(a) ++ sets(b)).size * 10000) / 10000.0
+      if jac >= 0.4
+    } yield (a, b, sh.toLong, jac)).sorted
+    val out = Multimodal.videoNearDup(spark, dir, tau = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    assert(expected.nonEmpty, "fixture must produce at least one near-dup clip pair")
+    assert(expected.size < ids.length * (ids.length - 1) / 2, "gate must cut most pairs")
+    assert(out == expected, s"operator pairs != formula recompute:\n$out\nvs\n$expected")
+  }
+
   test("resize: AffineTransformOp nearest-neighbor mapping is src=(4x+2, 4y+2), per-pixel") {
     import java.awt.geom.AffineTransform
     import java.awt.image.AffineTransformOp

@@ -426,6 +426,23 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
+  test("mm12 video near-dup: frame-hash equi-join only, payload never shuffles") {
+    // the candidate join must key on the 64-bit frame hash — 8-byte
+    // signatures and ids on the wire, never payloads, never a
+    // cartesian; decode + dHash stay inside the map stage, and the
+    // per-clip frame count rides along so Jaccard needs no second join
+    val df = graft.queries.MediaCatalogOps.defs("mm12_video_near_dup")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "hash join degenerated to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one candidate join, got $joins:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.toLowerCase.contains("exchange") && l.toLowerCase.contains("payload")),
+      s"binary payload column crossed an exchange:\n$plan")
+  }
+
   test("mm11 video alignment gate: one id-keyed equi-join, payload never shuffles") {
     // mm09/mm10's pin for the video modality
     val df = graft.queries.MediaCatalogOps.defs("mm11_video_text_alignment")(spark, dir)
