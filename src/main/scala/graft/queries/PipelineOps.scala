@@ -839,6 +839,43 @@ object PipelineOps {
       .select("qid", "rk", "nid", "adc_micro")
   }
 
+  /** s15's kernel — two-stage retrieval refine (the FAISS
+    * `index.refine` / production ANN-serving pattern): s14's IVF-PQ
+    * ADC pass produces a `kShort`-deep candidate shortlist from the
+    * 8-byte codes, then ONLY those candidates' raw vectors are fetched
+    * and re-scored with the exact squared distance, and the final
+    * top-`k` ranks on the exact score. This is the stage that converts
+    * PQ's lossy speed into served accuracy: ADC recall@kShort is high
+    * even when its rank order is wrong, and the exact re-rank fixes
+    * the order while touching kShort vectors per query instead of the
+    * corpus.
+    *
+    * 100 TB: the shortlist is queries × kShort ids — broadcast-tiny by
+    * construction — and joins onto the vector table by vec_id, so the
+    * refine is one semi-join pass that reads raw vectors ONLY for
+    * shortlisted ids (on a cluster the vector table is bucketed by
+    * vec_id and this is a point-lookup scan; the corpus-wide stage
+    * before it never read vectors at all). The final window partitions
+    * by qid over ≤ kShort rows — a bounded per-query heap, no global
+    * sort. Determinism: exact distances round to 9 decimals, ties
+    * break on nid asc. */
+  private[graft] def pqRerankOf(emb: DataFrame, queries: DataFrame,
+      dims: Int, subs: Int, cbSize: Int, k: Int, kShort: Int,
+      probes: Int): DataFrame = {
+    graft.exprs.SqDist.register(emb.sparkSession)
+    val shortlist = ivfPqSearchOf(emb, queries, dims, subs, cbSize,
+        kShort, probes)
+      .select(col("qid"), col("nid"))
+    val wr = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid").asc)
+    emb.select(col("vec_id").as("nid"), col("e"))
+      .join(broadcast(shortlist), "nid")
+      .join(broadcast(queries), "qid")
+      .withColumn("dist", round(expr("sq_dist(qe, e)"), 9))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select("qid", "rk", "nid", "dist")
+  }
+
   /** samp02's kernel — DSIR importance resampling (Xie et al. 2023,
     * arXiv:2302.03169): hashed unigram features (md5 → `buckets`
     * buckets), per-bucket add-one-smoothed probabilities under the
@@ -2748,6 +2785,22 @@ object PipelineOps {
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("e").as("qe")),
         dims = 64, subs = 8, cbSize = 16, k = 5, probes = 2)
+        .orderBy("qid", "rk")
+    }),
+
+    "s15_pq_rerank" -> ((s, d) => {
+      // two-stage serve: s14's ADC shortlist 20 deep, exact re-rank to
+      // top 5 on raw vectors fetched ONLY for shortlisted ids — the
+      // refine step that turns PQ's lossy speed into served accuracy.
+      // Scale + determinism notes on the kernel scaladoc (broadcast
+      // shortlist semi-join, bounded per-query heap).
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      pqRerankOf(emb,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe")),
+        dims = 64, subs = 8, cbSize = 16, k = 5, kShort = 20, probes = 2)
         .orderBy("qid", "rk")
     }),
 
@@ -4728,6 +4781,57 @@ object PipelineOps {
               row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rk
             FROM adc)
       SELECT qid, rk, nid, adc_micro FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "s15_pq_rerank" -> """
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT label AS clabel, i AS dim, round(avg(e[i]), 9) AS v
+        FROM emb, generate_series(1, 64) t(i) GROUP BY label, i),
+      centv AS (SELECT clabel, list(v ORDER BY dim) AS ce FROM cent GROUP BY clabel),
+      sub AS (SELECT vec_id, k AS sub, [e[k * 8 + i] for i in generate_series(1, 8)] AS sv
+              FROM emb, generate_series(0, 7) t(k)),
+      cb AS (SELECT vec_id::INT AS cw, sub AS csub, sv AS cv FROM sub WHERE vec_id < 16),
+      dd AS (SELECT s.vec_id, s.sub, c.cw,
+               round(list_sum([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                for i in generate_series(1, 8) ]), 9) AS dist
+             FROM sub s JOIN cb c ON s.sub = c.csub),
+      codes AS (SELECT vec_id, sub, cw FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cw) AS rk
+          FROM dd) WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+      pd AS (SELECT qid, clabel,
+               round(list_sum([ (qe[i] - ce[i]) * (qe[i] - ce[i])
+                                for i in generate_series(1, 64) ]), 9) AS cd
+             FROM q, centv),
+      pr AS (SELECT qid, clabel FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, clabel) AS crk
+          FROM pd) WHERE crk <= 2),
+      dt AS (SELECT qid, csub AS sub, cw,
+               CAST(floor(list_sum([ (qe[csub * 8 + i] - cv[i]) * (qe[csub * 8 + i] - cv[i])
+                                     for i in generate_series(1, 8) ]) * 1000000 + 0.5)
+                 AS BIGINT) AS dq
+             FROM q, cb),
+      cand AS (
+        SELECT p.qid, e.vec_id AS nid
+        FROM pr p JOIN emb e ON e.label = p.clabel AND e.vec_id <> p.qid),
+      adc AS (
+        SELECT c.qid, c.nid, CAST(sum(dt.dq) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.nid
+        JOIN dt ON dt.qid = c.qid AND dt.sub = k.sub AND dt.cw = k.cw
+        GROUP BY c.qid, c.nid),
+      sl AS (SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc_micro, nid) AS rk
+          FROM adc) WHERE rk <= 20),
+      ex AS (
+        SELECT sl.qid, sl.nid,
+               round(list_sum([ (q.qe[i] - e.e[i]) * (q.qe[i] - e.e[i])
+                                for i in generate_series(1, 64) ]), 9) AS dist
+        FROM sl JOIN emb e ON e.vec_id = sl.nid JOIN q ON q.qid = sl.qid),
+      rr AS (SELECT qid, nid, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
+             FROM ex)
+      SELECT qid, rk, nid, dist FROM rr WHERE rk <= 5 ORDER BY qid, rk""",
 
     "s09_pq_encode" -> """
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -400,6 +400,61 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("s15: ADC shortlist + exact re-rank matches a plain-Scala recompute") {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Int, Array[Double])].collect().sortBy(_._1)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val embMap = emb.map(e => e._1 -> e._3).toMap
+    val cents = emb.groupBy(_._2).map { case (l, xs) =>
+      l -> Array.tabulate(64)(i => r9(xs.map(_._3(i)).sum / xs.length))
+    }
+    val cb = emb.map(_._1).sorted.take(16).zipWithIndex.map { case (id, rk) =>
+      rk -> embMap(id)
+    }.toMap
+    def subv(v: Array[Double], k: Int) = v.slice(k * 8, k * 8 + 8)
+    val codes = emb.map { case (id, _, e) =>
+      id -> Array.tabulate(8) { k =>
+        (0 until 16).map(cw => (r9(sqd(subv(e, k), subv(cb(cw), k))), cw))
+          .minBy { case (d, cw) => (d, cw) }._2
+      }
+    }.toMap
+    val queries = emb.filter(_._1 < 10)
+    val expected = queries.flatMap { case (qid, _, qe) =>
+      val probed = cents.toSeq
+        .map { case (l, ce) => (r9(sqd(qe, ce)), l) }.sorted.take(2).map(_._2).toSet
+      val dt = Array.tabulate(8, 16) { (k, cw) =>
+        math.floor(sqd(subv(qe, k), subv(cb(cw), k)) * 1000000 + 0.5).toLong }
+      val shortlist = emb.filter { case (nid, l, _) => probed(l) && nid != qid }
+        .map { case (nid, _, _) =>
+          (nid, codes(nid).zipWithIndex.map { case (cw, k) => dt(k)(cw) }.sum) }
+        .sortBy { case (nid, adc) => (adc, nid) }.take(20).map(_._1)
+      shortlist.map(nid => (nid, r9(sqd(qe, embMap(nid)))))
+        .sortBy { case (nid, d) => (d, nid) }.take(5).zipWithIndex
+        .map { case ((nid, d), i) => (qid, i + 1, nid, d) }
+    }
+    val got = run("s15_pq_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("s15 plan: shortlist broadcasts onto the vector fetch, no corpus shuffle join") {
+    val df = run("s15_pq_rerank")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "shortlist / query frames must broadcast onto the vector table")
+    assert(!plan.contains("SortMergeJoin"),
+      s"refine must not shuffle the corpus to fetch kShort vectors:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
   test("s14 plan: broadcast ADC/candidate joins, code stream never sort-merges") {
     val df = run("s14_ivfpq_search")
     val plan = planOf(df)
