@@ -2422,6 +2422,37 @@ object PipelineOps {
         .orderBy("cluster_id")
     }),
 
+    "d21_soft_dedup_weights" -> ((s, d) => {
+      // SOFT dedup — the duplicate-aware DOWNWEIGHTING alternative to
+      // d19's hard drop (the DataComp-LM-style recipe: keep every
+      // copy, scale its sampling weight so a duplicate CLUSTER
+      // contributes one document's worth of gradient mass): weight =
+      // 1/|cluster|, singletons weight 1.0, plus the doc's token count
+      // and its weighted effective mass so the table feeds a sampler
+      // directly. Invariant the spec pins: sum(weight) over any
+      // cluster = 1, so total effective doc mass = n_docs − n_dups.
+      // 100 TB: the label frame covers only clustered docs (vanishing
+      // vs the corpus), its size rollup is partial-agg'd tiny, and the
+      // weight attach is ONE id-keyed broadcast left join onto a
+      // map-side token-count scan — no new corpus shuffle beyond
+      // d11's propagation (plan-pinned).
+      val docs = t(s, d, "documents")
+      val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
+      val labels = dupLabelsOf(edges, rounds = 3)
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      val w = labels.join(sizes, "lbl")
+        .select(col("v").as("doc_id"), col("csize"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(broadcast(w), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"),
+          round(lit(1.0) / coalesce(col("csize"), lit(1L)), 4).as("weight"),
+          round(col("n_tok") / coalesce(col("csize"), lit(1L)), 4)
+            .as("eff_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "p05_corpus_release" -> ((s, d) => {
       // The release gate — what actually ships after a cleaning run,
       // composing three r8 families in ONE plan: d19's keep decision
@@ -4409,6 +4440,42 @@ object PipelineOps {
         array_to_string(list_sort(list(v)), ',') AS members
       FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
       GROUP BY cluster_id ORDER BY cluster_id""",
+
+    // d11's fixpoint labels + cluster sizes, left-joined onto every doc
+    "d21_soft_dedup_weights" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), edges AS (
+        SELECT d1, d2
+        FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+        WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      ), sym AS (
+        SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+      ), reach(v, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.v
+        WHERE r.lbl < s.src
+      ), lab AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+      cs AS (SELECT lbl, count(*) AS csize FROM lab GROUP BY lbl),
+      wt AS (SELECT l.v AS doc_id, c.csize FROM lab l JOIN cs c ON l.lbl = c.lbl)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+             CAST(coalesce(w.csize, 1) AS BIGINT) AS cluster_size,
+             round(1.0 / coalesce(w.csize, 1), 4) AS weight,
+             round(len(string_split(d.text, ' ')) * 1.0 / coalesce(w.csize, 1), 4)
+               AS eff_tokens
+      FROM documents d LEFT JOIN wt w ON d.doc_id = w.doc_id
+      ORDER BY d.doc_id""",
 
     // d19's fixpoint + election, inverted into the drop set, then
     // spl01's split over the survivors and the release rollup

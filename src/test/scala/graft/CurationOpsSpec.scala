@@ -630,6 +630,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 99L), "singleton must not form a cluster")
   }
 
+  test("d21 soft dedup: weight is 1/cluster-size, every cluster sums to exactly one doc") {
+    val rows = run("d21_soft_dedup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "soft dedup keeps EVERY doc")
+    // per-row invariants: weight = round(1/csize, 4), eff = round(n_tok/csize, 4)
+    assert(rows.forall { case (_, nt, cs, w, eff) =>
+      cs >= 1 && w == math.round(10000.0 / cs) / 10000.0 &&
+        eff == math.round(nt * 10000.0 / cs) / 10000.0
+    })
+    // cross-check cluster sizes against the oracle-verified d11 entry:
+    // every member of a d11 cluster carries that cluster's size, and
+    // docs outside any cluster carry size 1 / weight 1.0
+    val clustered = run("d11_dup_clusters").collect()
+      .flatMap { r =>
+        val members = r.getString(2).split(",").map(_.toLong)
+        members.map(_ -> members.length.toLong)
+      }.toMap
+    val sizes = rows.map(r => r._1 -> r._3).toMap
+    assert(clustered.forall { case (id, n) => sizes(id) == n },
+      "cluster members must carry the d11 cluster size")
+    assert(rows.filterNot(r => clustered.contains(r._1)).forall(_._3 == 1L),
+      "unclustered docs are weight-1 singletons")
+    // the defining invariant: total effective doc mass = docs - dups
+    // (4-decimal weight rounding leaves ≤ 5e-5 per member, e.g. a
+    // 3-cluster sums to 0.9999 — bound the drift, don't demand exact)
+    val dups = clustered.size - run("d11_dup_clusters").count()
+    val mass = rows.map(_._4).sum
+    assert(math.abs(mass - (nDocs - dups)) < nDocs * 5e-5,
+      s"sum(weight)=$mass != ${nDocs - dups}")
+  }
+
   test("t17 tokenizer apply: per-doc token counts under the learned merges") {
     import spark.implicits._
     import graft.queries.PipelineOps.bpeTokenizeOf
