@@ -793,6 +793,21 @@ class PlanSpec extends AnyFunSuite {
       s"keep election not map-side combined:\n$plan")
   }
 
+  test("d21 soft dedup: broadcast weight attach, no window, no cartesian") {
+    // the per-doc weight attach must be a broadcast left join of the
+    // (tiny) clustered-id weight table onto the map-side token scan —
+    // the corpus itself must not shuffle again after d11's propagation
+    val df = graft.queries.PipelineOps.defs("d21_soft_dedup_weights")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"),
+      s"weight attach must not window the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join sneaked in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight table not broadcast onto the corpus scan:\n$plan")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
