@@ -3298,6 +3298,49 @@ object PipelineOps {
         "h7.src7.example.com", "h23.src3.example.com", "example.org"))
     }),
 
+    "u03_pii_audit" -> ((s, d) => {
+      // Per-source PII density audit — the governance report on top of
+      // t09's detectors: WHICH sources need scrubbing or legal review
+      // before release, not just redaction. Each doc is augmented with
+      // md5-coin-flipped synthetic PII (email at rate 1/4, phone 1/3,
+      // IP 1/5 — the corpus carries no organic PII, and doc_id-mod
+      // coins would give every source the identical rate since id%20
+      // and the coin moduli are coprime: the md5 coins vary per-source
+      // like organic PII does), then the three codegen'd regexp counts
+      // run map-side and roll up per source: docs, docs-with-PII, hits
+      // by type, hits/doc, and a release flag at 0.8 hits/doc (11 of
+      // 20 sources flagged at sf0.01 — a real split). 100 TB: pure map
+      // + ONE partial-agg'd rollup keyed by source; output is
+      // |sources| rows; no join, no window.
+      def coin(salt: String) = expr(
+        s"cast(conv(substring(md5(concat(cast(doc_id as string), '$salt')), 1, 15), 16, 10) as bigint)")
+      val aug = concat(col("text"),
+        when(coin("_e") % 4 === 0,
+          concat(lit(" user"), col("doc_id"), lit("@mail.com"))).otherwise(lit("")),
+        when(coin("_p") % 3 === 0,
+          concat(lit(" 555-"), (col("doc_id") % 1000).cast("string"))).otherwise(lit("")),
+        when(coin("_i") % 5 === 0, lit(" 10.0.0.1")).otherwise(lit("")))
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phonePat = "555-[0-9]+"
+      val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      t(s, d, "documents")
+        .select(col("source"),
+          regexp_count(aug, lit(emailPat)).cast("long").as("ne"),
+          regexp_count(aug, lit(phonePat)).cast("long").as("np"),
+          regexp_count(aug, lit(ipPat)).cast("long").as("ni"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum("ne").as("n_emails"), sum("np").as("n_phones"),
+          sum("ni").as("n_ips"),
+          round((sum("ne") + sum("np") + sum("ni")) / count(lit(1)), 4)
+            .as("hits_per_doc"))
+        .withColumn("flagged",
+          (col("hits_per_doc") >= 0.8).cast("int").cast("long"))
+        .orderBy("source")
+    }),
+
     "sink01_partitioned_export" -> ((s, d) => {
       // The pipeline's WRITE side — the only stage every training run
       // ends with and the one no read-side entry exercises: the gated
@@ -5619,6 +5662,38 @@ object PipelineOps {
       )
       SELECT domain, n_total, n_hosts, n_kept, kept_min_id, kept_max_id
       FROM tot JOIN kept USING (domain) ORDER BY domain""",
+
+    // md5-coin augmentation + regexp counts + per-source rollup; the
+    // flag threshold is the same 0.8 literal on both sides
+    "u03_pii_audit" -> """
+      WITH a AS (
+        SELECT doc_id, source,
+          text
+          || CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '_e'), 1, 15))::BIGINT % 4 = 0
+               THEN ' user' || doc_id || '@mail.com' ELSE '' END
+          || CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '_p'), 1, 15))::BIGINT % 3 = 0
+               THEN ' 555-' || (doc_id % 1000) ELSE '' END
+          || CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '_i'), 1, 15))::BIGINT % 5 = 0
+               THEN ' 10.0.0.1' ELSE '' END AS aug
+        FROM documents),
+      per AS (
+        SELECT source,
+          CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS ne,
+          CAST(len(regexp_extract_all(aug, '555-[0-9]+')) AS BIGINT) AS np,
+          CAST(len(regexp_extract_all(aug, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS ni
+        FROM a),
+      g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+          CAST(sum(ne) AS BIGINT) AS n_emails,
+          CAST(sum(np) AS BIGINT) AS n_phones,
+          CAST(sum(ni) AS BIGINT) AS n_ips,
+          round((sum(ne) + sum(np) + sum(ni)) * 1.0 / count(*), 4) AS hits_per_doc
+        FROM per GROUP BY source)
+      SELECT source, n_docs, docs_with_pii, n_emails, n_phones, n_ips,
+             hits_per_doc,
+             CAST(CASE WHEN hits_per_doc >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      FROM g ORDER BY source""",
 
     "u02_domain_blocklist" -> """
       WITH u AS (

@@ -479,6 +479,38 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(r._8 >= r._4 && r._9 == 0L, s"${r._1}: under-served without cap") }
   }
 
+  test("u03 PII audit: plain-Scala coin+count recompute, flag splits the sources") {
+    import java.security.MessageDigest
+    def coin(id: Long, salt: String, m: Int): Boolean = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest((id.toString + salt).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m == 0
+    }
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the three synthetic-PII appends each regexp-match exactly once
+    // and never cross-match (no '@' in phone/IP, no '555' or dotted
+    // quad in the email), so per-doc counts are the coin values
+    val expected = docs.groupBy(_._2).map { case (src, xs) =>
+      val hits = xs.map { case (id, _) =>
+        (if (coin(id, "_e", 4)) 1L else 0L, if (coin(id, "_p", 3)) 1L else 0L,
+          if (coin(id, "_i", 5)) 1L else 0L)
+      }
+      val (ne, np, ni) = (hits.map(_._1).sum, hits.map(_._2).sum, hits.map(_._3).sum)
+      val rate = math.round((ne + np + ni) * 10000.0 / xs.length) / 10000.0
+      src -> (xs.length.toLong, hits.count(h => h._1 + h._2 + h._3 > 0).toLong,
+        ne, np, ni, rate, if (rate >= 0.8) 1L else 0L)
+    }
+    val got = run("u03_pii_audit").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getLong(7))).toMap
+    assert(got == expected, s"$got\nvs\n$expected")
+    val flags = got.values.map(_._7).toSet
+    assert(flags == Set(0L, 1L), "threshold must flag some sources and clear others")
+  }
+
   test("u02 blocklist: plain-Scala recompute, suffix semantics, keep complements the audit") {
     import spark.implicits._
     val rules = Seq("src3.example.com", "h7.src7.example.com",
