@@ -2835,6 +2835,43 @@ object PipelineOps {
         .orderBy("qid", "rk")
     }),
 
+    "s16_embedding_outliers" -> ((s, d) => {
+      // Embedding-space outlier audit — the cluster-hygiene cut run
+      // beside SemDeDup (d17): vectors far from their own cluster
+      // centroid are noise/mislabeled-encode suspects and get flagged
+      // before the cluster is trusted for dedup or mixture decisions.
+      // Rule: per label, distance-to-own-centroid above the in-label
+      // p95 (exact `percentile` — Spark's matches DuckDB quantile_cont,
+      // the bp01/lm02-proven parity; distances rounded to 6 decimals
+      // first so the threshold compare is engine-exact). Out: per
+      // label n_vectors, the p95, outlier count + id checksum, max
+      // distance. 100 TB: centroids broadcast-tiny; the distance is
+      // ONE map-side native sq_dist pass; the per-label p95 is
+      // partial-aggregable and broadcasts back; the rollup is
+      // partial-agg'd. No window, no self-join, output = |labels| rows.
+      graft.exprs.SqDist.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      val cent = meanVectors(emb.select(col("label"), col("e")), "label",
+        Some(9)).select(col("label").as("clabel"), col("ce"))
+      val dist = emb.join(broadcast(cent), col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"),
+          round(expr("sq_dist(e, ce)"), 6).as("dist"))
+      val thr = dist.groupBy(col("label").as("tlabel"))
+        .agg(round(percentile(col("dist"), lit(0.95)), 6).as("p95"))
+      dist.join(broadcast(thr), col("label") === col("tlabel"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          first(col("p95")).as("p95"),
+          sum(when(col("dist") > col("p95"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          coalesce(sum(when(col("dist") > col("p95"), col("vec_id"))), lit(0L))
+            .as("id_checksum"),
+          round(max(col("dist")), 6).as("max_dist"))
+        .orderBy("label")
+    }),
+
     "s11_ivf_persist" -> ((s, d) => {
       // IVF as a STORED artifact — the part the in-memory s02 entry
       // cannot prove: the centroid table and the LABEL-PARTITIONED
@@ -4942,6 +4979,28 @@ object PipelineOps {
                row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
              FROM ex)
       SELECT qid, rk, nid, dist FROM rr WHERE rk <= 5 ORDER BY qid, rk""",
+
+    // centroid replay + quantile_cont (Spark percentile parity) + rollup
+    "s16_embedding_outliers" -> """
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (
+        SELECT label, i AS dim, round(avg(e[i]), 9) AS v
+        FROM emb, generate_series(1, 64) t(i) GROUP BY label, i),
+      centv AS (SELECT label, list(v ORDER BY dim) AS ce FROM cent GROUP BY label),
+      d AS (
+        SELECT vec_id, emb.label,
+               round(list_sum([ (e[i] - ce[i]) * (e[i] - ce[i])
+                                for i in generate_series(1, 64) ]), 6) AS dist
+        FROM emb JOIN centv ON emb.label = centv.label),
+      thr AS (SELECT label, round(quantile_cont(dist, 0.95), 6) AS p95
+              FROM d GROUP BY label)
+      SELECT d.label, CAST(count(*) AS BIGINT) AS n_vectors,
+             any_value(p95) AS p95,
+             CAST(sum(CASE WHEN dist > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             CAST(coalesce(sum(CASE WHEN dist > p95 THEN vec_id END), 0) AS BIGINT) AS id_checksum,
+             round(max(dist), 6) AS max_dist
+      FROM d JOIN thr ON d.label = thr.label
+      GROUP BY d.label ORDER BY d.label""",
 
     "s09_pq_encode" -> """
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

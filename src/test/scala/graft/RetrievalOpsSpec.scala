@@ -455,6 +455,46 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
   }
 
+  test("s16: per-label outlier cut matches a plain-Scala centroid+quantile recompute") {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Int, Array[Double])].collect()
+    def rd(x: Double, p: Int) =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = emb.groupBy(_._2).map { case (l, xs) =>
+      val ce = Array.tabulate(64)(i => rd(xs.map(_._3(i)).sum / xs.length, 9))
+      val ds = xs.map { case (id, _, e) =>
+        var s = 0.0; var i = 0
+        while (i < 64) { val d = e(i) - ce(i); s += d * d; i += 1 }
+        (id, rd(s, 6))
+      }
+      val p95 = rd(graft.exprs.Boxplot.quantileCont(
+        ds.map(_._2).sorted.toIndexedSeq, 0.95), 6)
+      val out = ds.filter(_._2 > p95)
+      l -> (xs.length.toLong, p95, out.length.toLong, out.map(_._1).sum,
+        rd(ds.map(_._2).max, 6))
+    }
+    val got = run("s16_embedding_outliers").collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    assert(got == expected, s"$got\nvs\n$expected")
+    assert(got.values.forall(_._3 > 0), "every label should have p95 outliers")
+  }
+
+  test("s16 plan: broadcast centroid/threshold joins, windowless partial-agg rollup") {
+    val df = run("s16_embedding_outliers")
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"outlier cut must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroids/thresholds must broadcast onto the vector pass:\n$plan")
+    assert(plan.contains("partial_percentile") || plan.contains("percentile"),
+      s"per-label p95 not the partial-aggregable percentile:\n$plan")
+  }
+
   test("s14 plan: broadcast ADC/candidate joins, code stream never sort-merges") {
     val df = run("s14_ivfpq_search")
     val plan = planOf(df)
