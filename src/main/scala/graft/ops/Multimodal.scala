@@ -702,6 +702,44 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** mm13: cross-modal containment — still images that ARE a frame of
+    * some video (the thumbnail / extracted-frame case: a video's key
+    * frame re-uploaded as an image duplicates content the clip already
+    * contributes, and image-only dedup (mm08) can never see it). Every
+    * image dHashes once; every clip contributes its distinct per-frame
+    * dHash set (mm12's signature); containment = fingerprint EQUALITY
+    * join — exact, because containment asks "is this image one of the
+    * clip's frames", not "is it similar to the clip" (the mm09 cosine
+    * gate answers that). Out: (img_id, vid_id, fhash) per containment.
+    *
+    * Scale: both sides reduce to 8-byte fingerprints map-side before
+    * anything shuffles; the join keys on the 64-bit hash with ids-only
+    * on the wire; a pathologically common frame (black/intro) fans out
+    * f²-style — the same stop-frame df cap as mm12/d09 composes as one
+    * filter before the join. Payload bytes never cross an exchange
+    * (plan-pinned).
+    */
+  def frameContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    val imgs = media.filter(_.media_type == "image")
+      .mapPartitions(rows =>
+        rows.map(r => (r.doc_id, dHash(Codecs.decodeImage(r.payload)))))
+      .toDF("img_id", "fhash")
+    val frames = media.filter(_.media_type == "video")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          Codecs.decodeVideo(r.payload)
+            .map(fb => dHash(Codecs.decodeImage(fb)))
+            .toSet[Long].iterator.map(h => (r.doc_id, h))
+        }
+      }
+      .toDF("vid_id", "fhash")
+    imgs.join(frames, "fhash")
+      .select(col("img_id"), col("vid_id"), col("fhash"))
+      .orderBy("img_id", "vid_id")
+  }
+
   /** A second real image codec needing no library at all: PPM (P6) —
     * ASCII header `P6\n<w> <h>\n<maxval>\n` + RGB raster, parsed at the
     * byte level with loud errors on corrupt input.

@@ -75,6 +75,13 @@ object MediaCatalogOps {
       // 13,695 possible pairs at sf0.01 — a real cut)
       Multimodal.videoNearDup(s, d, tau = 0.4)),
 
+    "mm13_frame_containment" -> ((s, d) =>
+      // cross-modal containment: images that ARE a frame of some video
+      // (thumbnail/extracted-frame dedup) by exact fingerprint
+      // equality — 108 containments at sf0.01 out of 167x166 possible
+      // pairs; mm08 can never see these (it only compares images)
+      Multimodal.frameContainment(s, d)),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -659,6 +666,54 @@ object MediaCatalogOps {
       HAVING round(count(*)::DOUBLE
                / (any_value(a.nf) + any_value(b.nf) - count(*)), 4) >= 0.4
       ORDER BY doc_a, doc_b""",
+
+    "mm13_frame_containment" -> """
+      WITH img AS (
+        SELECT doc_id, 4 * (2 + doc_id % 5) AS w, 4 * (2 + doc_id % 4) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), ipx AS (
+        SELECT doc_id,
+               (x * 8) // w AS cx, (y * 8) // h AS cy,
+               ((doc_id * 31 + (y * w + x) * 3 + 0) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 1) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 2) % 256) // 3 AS g
+        FROM img, generate_series(0, 23) tx(x), generate_series(0, 19) ty(y)
+        WHERE x < w AND y < h
+      ), icells AS (
+        SELECT doc_id, cx, cy, sum(g) // count(*) AS v
+        FROM ipx GROUP BY doc_id, cx, cy
+      ), ihash AS (
+        SELECT a.doc_id AS img_id,
+               CAST(sum(CASE WHEN a.v < b.v
+                 THEN 1::BIGINT << (a.cy * 7 + a.cx) ELSE 0 END) AS BIGINT) AS fhash
+        FROM icells a JOIN icells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        GROUP BY a.doc_id
+      ), vids AS (
+        SELECT doc_id, 4 + doc_id % 8 AS nfr
+        FROM documents WHERE doc_id % 3 = 2
+      ), fr AS (
+        SELECT doc_id, f FROM vids, generate_series(0, 10) t(f) WHERE f < nfr
+      ), vpx AS (
+        SELECT doc_id, f, (x * 8) // 16 AS cx, (y * 8) // 12 AS cy,
+               ((doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 0) % 256
+              + (doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 1) % 256
+              + (doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 2) % 256) // 3 AS g
+        FROM fr, generate_series(0, 15) tx(x), generate_series(0, 11) ty(y)
+      ), vcells AS (
+        SELECT doc_id, f, cx, cy, sum(g) // count(*) AS v
+        FROM vpx GROUP BY doc_id, f, cx, cy
+      ), vhash AS (
+        SELECT DISTINCT a.doc_id AS vid_id,
+               CAST(sum(CASE WHEN a.v < b.v
+                 THEN 1::BIGINT << (a.cy * 7 + a.cx) ELSE 0 END) AS BIGINT) AS fhash
+        FROM vcells a JOIN vcells b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy AND b.cx = a.cx + 1
+        GROUP BY a.doc_id, a.f
+      )
+      SELECT i.img_id, v.vid_id, i.fhash
+      FROM ihash i JOIN vhash v ON i.fhash = v.fhash
+      ORDER BY img_id, vid_id""",
 
     "ex01_export_roundtrip" -> """
       SELECT 'csv_reread_rows' AS metric, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS value FROM lineitem

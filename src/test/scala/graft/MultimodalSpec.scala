@@ -225,6 +225,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == expected, s"operator pairs != formula recompute:\n$out\nvs\n$expected")
   }
 
+  test("frame containment: image-vs-frame fingerprint equality matches the formula recompute") {
+    import Multimodal.Codecs
+    // sf0.01: the sf0.001 slice happens to contain no containments
+    // (empty would be a vacuous pin); at 500 docs there are 108
+    val d01 = "/root/testdata/sf0.01"
+    def hashOf(px: Int => Int, w: Int, h: Int): Long = {
+      val sum = Array.ofDim[Long](8, 8); val cnt = Array.ofDim[Long](8, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (y * w + x) * 3
+        val g = (px(base) + px(base + 1) + px(base + 2)) / 3
+        sum(y * 8 / h)(x * 8 / w) += g; cnt(y * 8 / h)(x * 8 / w) += 1
+      }
+      var v = 0L
+      for (cy <- 0 until 8; k <- 0 until 7)
+        if (sum(cy)(k) / cnt(cy)(k) < sum(cy)(k + 1) / cnt(cy)(k + 1)) v |= 1L << (cy * 7 + k)
+      v
+    }
+    val ids = graft.Tables.t(spark, d01, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val imgs = ids.filter(_ % 3 == 0).map { id =>
+      val (w, h) = Codecs.imageDims(id)
+      id -> hashOf(i => Codecs.pixel(id, i), w, h)
+    }
+    val vids = ids.filter(_ % 3 == 2).map { id =>
+      id -> (0 until Codecs.videoFrameCount(id))
+        .map(f => hashOf(i => Codecs.framePixel(id, f, i), 16, 12)).toSet
+    }
+    val expected = (for {
+      (iid, ih) <- imgs; (vid, hs) <- vids if hs(ih)
+    } yield (iid, vid, ih)).sortBy(t => (t._1, t._2)).toSeq
+    val got = Multimodal.frameContainment(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expected.nonEmpty && expected.size < imgs.length * vids.length / 10,
+      "containment must be a sparse, non-empty cut")
+    assert(got == expected, s"${got.take(5)}... vs ${expected.take(5)}...")
+  }
+
   test("resize: AffineTransformOp nearest-neighbor mapping is src=(4x+2, 4y+2), per-pixel") {
     import java.awt.geom.AffineTransform
     import java.awt.image.AffineTransformOp

@@ -443,6 +443,21 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
+  test("mm13 frame containment: hash equi-join only, payload never shuffles") {
+    // both modalities reduce to 8-byte fingerprints map-side; the
+    // containment join keys on the 64-bit hash, ids-only on the wire
+    val df = graft.queries.MediaCatalogOps.defs("mm13_frame_containment")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "hash join degenerated to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one containment join, got $joins:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.toLowerCase.contains("exchange") && l.toLowerCase.contains("payload")),
+      s"binary payload column crossed an exchange:\n$plan")
+  }
+
   test("mm11 video alignment gate: one id-keyed equi-join, payload never shuffles") {
     // mm09/mm10's pin for the video modality
     val df = graft.queries.MediaCatalogOps.defs("mm11_video_text_alignment")(spark, dir)
