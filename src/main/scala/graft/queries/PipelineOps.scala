@@ -2453,6 +2453,42 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "p07_weighted_release" -> ((s, d) => {
+      // The SOFT-dedup release card — p05's accounting under d21's
+      // downweighting instead of d19's hard drop: every doc ships, and
+      // the card reports both raw mass and EFFECTIVE mass (weight =
+      // 1/|cluster|) per (split, lang) so a trainer can compare the
+      // soft and hard recipes from the same artifacts. Per-doc weights
+      // are integer micro-units (1000000 div csize) so group sums are
+      // exact longs — association-order-free, the s05/samp02 idiom —
+      // and divide back out only at the card. 100 TB: one propagation
+      // (d11's), a broadcast weight left-join onto the map-side
+      // token/split scan, ONE partial-agg rollup; no window
+      // (plan-pinned).
+      val docs = t(s, d, "documents")
+      val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
+      val labels = dupLabelsOf(edges, rounds = 3)
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      val w = labels.join(sizes, "lbl")
+        .select(col("v").as("doc_id"), col("csize"))
+      val b = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+      docs.join(broadcast(w), Seq("doc_id"), "left")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          coalesce(col("csize"), lit(1L)).as("cs"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+            .as("split"))
+        .withColumn("wq", expr("1000000 div cs"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(sum(col("wq")) / 1000000.0, 4).as("eff_docs"),
+          round(sum(col("n_tok") * col("wq")) / 1000000.0, 4)
+            .as("eff_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     "p05_corpus_release" -> ((s, d) => {
       // The release gate — what actually ships after a cleaning run,
       // composing three r8 families in ONE plan: d19's keep decision
@@ -4556,6 +4592,46 @@ object PipelineOps {
                AS eff_tokens
       FROM documents d LEFT JOIN wt w ON d.doc_id = w.doc_id
       ORDER BY d.doc_id""",
+
+    // d21's fixpoint + sizes, micro-unit weights, spl01's split, one card
+    "p07_weighted_release" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), edges AS (
+        SELECT d1, d2
+        FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+        WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      ), sym AS (
+        SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+      ), reach(v, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.v
+        WHERE r.lbl < s.src
+      ), lab AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+      cs AS (SELECT lbl, count(*) AS csize FROM lab GROUP BY lbl),
+      wt AS (SELECT l.v AS doc_id, c.csize FROM lab l JOIN cs c ON l.lbl = c.lbl),
+      x AS (
+        SELECT d.lang,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+               coalesce(w.csize, 1) AS c,
+               ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        FROM documents d LEFT JOIN wt w ON d.doc_id = w.doc_id)
+      SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+             lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             round(sum(1000000 // c) / 1000000.0, 4) AS eff_docs,
+             round(sum(n_tok * (1000000 // c)) / 1000000.0, 4) AS eff_tokens
+      FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // d19's fixpoint + election, inverted into the drop set, then
     // spl01's split over the survivors and the release rollup

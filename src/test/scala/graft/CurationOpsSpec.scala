@@ -695,6 +695,36 @@ class CurationOpsSpec extends AnyFunSuite {
       s"sum(weight)=$mass != ${nDocs - dups}")
   }
 
+  test("p07 weighted release: card equals d21 weights x spl01 split, recomputed") {
+    import java.security.MessageDigest
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val langs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // d21 is oracle-verified; derive the card from its rows + the split
+    val d21 = run("d21_soft_dedup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = d21.groupBy { case (id, _, _) =>
+      val b = bucket(id)
+      (if (b < 90) "train" else if (b < 95) "val" else "test", langs(id))
+    }.map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._2).sum,
+        math.round(xs.map(x => 1000000L / x._3).sum / 100.0) / 10000.0,
+        math.round(xs.map(x => x._2 * (1000000L / x._3)).sum / 100.0) / 10000.0)
+    }
+    val got = run("p07_weighted_release").collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == expected, s"$got\nvs\n$expected")
+    // soft dedup ships everything: raw doc mass equals the corpus
+    assert(got.values.map(_._1).sum == langs.size.toLong)
+  }
+
   test("t17 tokenizer apply: per-doc token counts under the learned merges") {
     import spark.implicits._
     import graft.queries.PipelineOps.bpeTokenizeOf

@@ -823,6 +823,22 @@ class PlanSpec extends AnyFunSuite {
       s"weight table not broadcast onto the corpus scan:\n$plan")
   }
 
+  test("p07 weighted release: broadcast weight join, windowless partial-agg card") {
+    // d21's weight table broadcasts onto the map-side token/split
+    // scan; the card is one partial-agg'd rollup — no window, no
+    // cartesian, no second corpus-keyed shuffle after the labels
+    val df = graft.queries.PipelineOps.defs("p07_weighted_release")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"card must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join sneaked in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight table not broadcast onto the corpus scan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"card not map-side combined:\n$plan")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
