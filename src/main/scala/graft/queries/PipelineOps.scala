@@ -2871,6 +2871,54 @@ object PipelineOps {
         .orderBy("qid", "rk")
     }),
 
+    "s17_ivf_incremental" -> ((s, d) => {
+      // Incremental ANN index maintenance — the vector-side analog of
+      // d20/st06's daily-ingest story: new vectors become SEARCHABLE
+      // without rebuilding the index. The corpus's s11 artifact
+      // (centroids + label-partitioned postings) is built once; the
+      // incoming batch (vec_id % 17 == 3, ~6%) is assigned to its
+      // nearest centroid (max rounded cosine, label-asc ties — the
+      // windowless max(struct) election) and APPENDED to the stored
+      // postings partition-wise; the merged artifact is read back cold
+      // and probed with s02's query set. 100 TB: centroids broadcast;
+      // assignment is map-side over the batch only; the append writes
+      // only the batch's partitions; the probe is unchanged partition
+      // pruning. Centroids deliberately stay STALE (the FAISS/IVF
+      // production trade: assignment drift until the next rebuild,
+      // bounded by batch fraction — the spec pins that served results
+      // equal a live recompute over corpus ∪ assigned batch, i.e. the
+      // artifact path loses nothing).
+      graft.exprs.CosineSim.register(s)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      val corpus = emb.filter(col("vec_id") % 17 =!= 3)
+      val batch = emb.filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id"), col("e"))
+      val base = EngineOps.tempDir("graft-s17")
+      val cent = meanVectors(corpus.select(col("label"), col("e")), "label")
+        .select(col("label").as("clabel"), col("ce"))
+      cent.write.mode("overwrite").parquet(s"$base/centroids")
+      corpus.write.mode("overwrite").partitionBy("label")
+        .parquet(s"$base/postings")
+      val centR = s.read.parquet(s"$base/centroids")
+      val asg = batch.crossJoin(broadcast(centR))
+        .select(col("vec_id"), col("clabel"),
+          round(expr("cosine_sim(e, ce)"), 6).as("cc"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cc"), (-col("clabel")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).cast("int").as("label"))
+      batch.join(asg, "vec_id")
+        .select(col("vec_id"), col("e"), col("label"))
+        .write.mode("append").partitionBy("label").parquet(s"$base/postings")
+      val merged = s.read.parquet(s"$base/postings")
+      ivfProbeOf(centR, merged,
+        corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe")),
+        k = 5, probes = 2)
+        .orderBy("qid", "rk")
+    }),
+
     "s16_embedding_outliers" -> ((s, d) => {
       // Embedding-space outlier audit — the cluster-hygiene cut run
       // beside SemDeDup (d17): vectors far from their own cluster
@@ -5055,6 +5103,47 @@ object PipelineOps {
                row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rk
              FROM ex)
       SELECT qid, rk, nid, dist FROM rr WHERE rk <= 5 ORDER BY qid, rk""",
+
+    // corpus centroids, batch assignment by max rounded cosine (label-asc
+    // ties), union, then s02's probe verbatim over the merged postings
+    "s17_ivf_incremental" -> """
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      corpus AS (SELECT * FROM emb WHERE vec_id % 17 <> 3),
+      batch AS (SELECT vec_id, e FROM emb WHERE vec_id % 17 = 3),
+      dims AS (
+        SELECT label, i AS dim, avg(e[i]) AS v
+        FROM corpus, generate_series(1, 64) t(i) GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), asg AS (
+        SELECT vec_id, clabel AS label, e FROM (
+          SELECT b.vec_id, c.clabel, b.e,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY round(list_cosine_similarity(b.e, c.ce), 6) DESC,
+                            c.clabel ASC) AS rk
+          FROM batch b, cent c) WHERE rk = 1
+      ), merged AS (
+        SELECT vec_id, label, e FROM corpus
+        UNION ALL SELECT vec_id, label, e FROM asg
+      ), q AS (
+        SELECT vec_id AS qid, e AS qe FROM corpus WHERE vec_id < 10
+      ), qc AS (
+        SELECT qid, qe, clabel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC,
+                          clabel ASC) AS crk
+        FROM q, cent
+      ), probes AS (SELECT qid, qe, clabel FROM qc WHERE crk <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id AS nid,
+               round(list_cosine_similarity(p.qe, e.e), 4) AS c
+        FROM probes p JOIN merged e ON e.label = p.clabel AND e.vec_id <> p.qid
+      ), r AS (
+        SELECT qid, nid, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM cand
+      )
+      SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
 
     // centroid replay + quantile_cont (Spark percentile parity) + rollup
     "s16_embedding_outliers" -> """

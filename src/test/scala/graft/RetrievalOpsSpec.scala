@@ -455,6 +455,47 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
   }
 
+  test("s17: merged-artifact probe equals a live recompute; batch vectors become searchable") {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Int, Array[Double])].collect().sortBy(_._1)
+    def rd(x: Double, p: Int) =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = emb.filter(_._1 % 17 != 3)
+    val batch = emb.filter(_._1 % 17 == 3)
+    val cents = corpus.groupBy(_._2).map { case (l, xs) =>
+      l -> Array.tabulate(64)(i => xs.map(_._3(i)).sum / xs.length)
+    }.toSeq.sortBy(_._1)
+    // stale-centroid assignment: max rounded cosine, label-asc ties
+    val assigned = batch.map { case (id, _, e) =>
+      val l = cents.map { case (cl, ce) => (-rd(cos(e, ce), 6), cl) }.min._2
+      (id, l, e)
+    }
+    val merged = corpus ++ assigned
+    val expected = corpus.filter(_._1 < 10).flatMap { case (qid, _, qe) =>
+      val probed = cents.map { case (cl, ce) => (-rd(cos(qe, ce), 6), cl) }
+        .sorted.take(2).map(_._2).toSet
+      merged.filter { case (nid, l, _) => probed(l) && nid != qid }
+        .map { case (nid, _, e) => (nid, rd(cos(qe, e), 4)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).zipWithIndex
+        .map { case ((nid, c), i) => (qid, i + 1, nid, c) }
+    }
+    val got = run("s17_ivf_incremental").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq,
+      s"${got.take(6).toSeq} vs ${expected.take(6)}")
+    // the point of the op: appended vectors are served without a rebuild
+    assert(got.exists(_._3 % 17 == 3),
+      "no batch vector reached a served top-5 — the append is vacuous")
+  }
+
   test("s16: per-label outlier cut matches a plain-Scala centroid+quantile recompute") {
     import spark.implicits._
     val emb = Tables.t(spark, dir, "embeddings")
