@@ -82,6 +82,65 @@ object MediaCatalogOps {
       // pairs; mm08 can never see these (it only compares images)
       Multimodal.frameContainment(s, d)),
 
+    "st08_stream_media_dedup" -> ((s0, d) => {
+      // Cross-modal dedup AT INGEST — mm13's containment cut as a
+      // foreachBatch stage: the corpus's frame-fingerprint index is a
+      // STORED parquet artifact (built once from every clip's distinct
+      // frame dHashes — 8 bytes/frame, the only thing that persists);
+      // incoming images arrive in micro-batches, each batch decodes +
+      // dHashes map-side and keeps only images NOT contained in any
+      // clip (left_anti on the 64-bit hash), survivors append to a
+      // checkpointed parquet sink. Two micro-batches prove per-batch
+      // independence. The read-back must equal batch mm13 inverted
+      // over the image side — exactly what the oracle replays. At
+      // 100 TB this is the thumbnail gate on the media ingest path:
+      // the frame index is the artifact, each batch joins only its own
+      // hashes, payload bytes never cross an exchange.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val media = Multimodal.mediaTable(s, d)
+      val base = EngineOps.tempDir("graft-st08")
+      media.filter(_.media_type == "video")
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            Multimodal.Codecs.decodeVideo(r.payload)
+              .map(fb => Multimodal.dHash(Multimodal.Codecs.decodeImage(fb)))
+              .toSet[Long].iterator.map(h => (r.doc_id, h))
+          }
+        }.toDF("vid_id", "fhash")
+        .write.mode("overwrite").parquet(s"$base/frames")
+      val frames = s.read.parquet(s"$base/frames")
+        .select("fhash").distinct()
+      val imgs = media.filter(_.media_type == "image").collect().toSeq
+      val (b1, b2) = imgs.splitAt(imgs.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Multimodal.MediaRow]
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bh = batch.as[Multimodal.MediaRow]
+            .mapPartitions(rows => rows.map(r =>
+              (r.doc_id, Multimodal.dHash(Multimodal.Codecs.decodeImage(r.payload)))))
+            .toDF("doc_id", "fhash")
+          bh.join(frames, Seq("fhash"), "left_anti")
+            .select("doc_id")
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_checksum"),
+          min(col("doc_id")).as("first_kept"),
+          max(col("doc_id")).as("last_kept"))
+    }),
+
     "ex01_export_roundtrip" -> ((s, d) => {
       // CSV/JSON/XLSX writers over a real query result; CSV is re-read
       // by Spark to prove the round trip, XLSX validated as a zip
@@ -714,6 +773,55 @@ object MediaCatalogOps {
       SELECT i.img_id, v.vid_id, i.fhash
       FROM ihash i JOIN vhash v ON i.fhash = v.fhash
       ORDER BY img_id, vid_id""",
+
+    // mm13's two dHash pipelines, inverted into the kept-image rollup
+    "st08_stream_media_dedup" -> """
+      WITH img AS (
+        SELECT doc_id, 4 * (2 + doc_id % 5) AS w, 4 * (2 + doc_id % 4) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), ipx AS (
+        SELECT doc_id,
+               (x * 8) // w AS cx, (y * 8) // h AS cy,
+               ((doc_id * 31 + (y * w + x) * 3 + 0) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 1) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 2) % 256) // 3 AS g
+        FROM img, generate_series(0, 23) tx(x), generate_series(0, 19) ty(y)
+        WHERE x < w AND y < h
+      ), icells AS (
+        SELECT doc_id, cx, cy, sum(g) // count(*) AS v
+        FROM ipx GROUP BY doc_id, cx, cy
+      ), ihash AS (
+        SELECT a.doc_id AS img_id,
+               CAST(sum(CASE WHEN a.v < b.v
+                 THEN 1::BIGINT << (a.cy * 7 + a.cx) ELSE 0 END) AS BIGINT) AS fhash
+        FROM icells a JOIN icells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        GROUP BY a.doc_id
+      ), vids AS (
+        SELECT doc_id, 4 + doc_id % 8 AS nfr
+        FROM documents WHERE doc_id % 3 = 2
+      ), fr AS (
+        SELECT doc_id, f FROM vids, generate_series(0, 10) t(f) WHERE f < nfr
+      ), vpx AS (
+        SELECT doc_id, f, (x * 8) // 16 AS cx, (y * 8) // 12 AS cy,
+               ((doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 0) % 256
+              + (doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 1) % 256
+              + (doc_id * 31 + f * 7 + (y * 16 + x) * 3 + 2) % 256) // 3 AS g
+        FROM fr, generate_series(0, 15) tx(x), generate_series(0, 11) ty(y)
+      ), vcells AS (
+        SELECT doc_id, f, cx, cy, sum(g) // count(*) AS v
+        FROM vpx GROUP BY doc_id, f, cx, cy
+      ), vhash AS (
+        SELECT DISTINCT CAST(sum(CASE WHEN a.v < b.v
+                 THEN 1::BIGINT << (a.cy * 7 + a.cx) ELSE 0 END) AS BIGINT) AS fhash
+        FROM vcells a JOIN vcells b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy AND b.cx = a.cx + 1
+        GROUP BY a.doc_id, a.f
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(img_id) AS BIGINT) AS id_checksum,
+             min(img_id) AS first_kept, max(img_id) AS last_kept
+      FROM ihash WHERE fhash NOT IN (SELECT fhash FROM vhash)""",
 
     "ex01_export_roundtrip" -> """
       SELECT 'csv_reread_rows' AS metric, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS value FROM lineitem

@@ -262,6 +262,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected, s"${got.take(5)}... vs ${expected.take(5)}...")
   }
 
+  test("st08 streaming media dedup: sink equals batch mm13 inverted over the image side") {
+    import org.apache.spark.sql.functions.col
+    val d01 = "/root/testdata/sf0.01"
+    // mm13 is oracle-verified; the streaming gate must keep exactly
+    // the images mm13 does NOT contain in any clip
+    val contained = graft.queries.MediaCatalogOps
+      .defs("mm13_frame_containment")(spark, d01)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    val imgs = graft.Tables.t(spark, d01, "documents")
+      .filter(col("doc_id") % 3 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    val kept = imgs.filterNot(contained)
+    assert(kept.length < imgs.length, "the gate must drop contained images")
+    val row = graft.queries.MediaCatalogOps
+      .defs("st08_stream_media_dedup")(spark, d01).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((kept.length.toLong, kept.sum, kept.min, kept.max)), row.toString)
+  }
+
   test("resize: AffineTransformOp nearest-neighbor mapping is src=(4x+2, 4y+2), per-pixel") {
     import java.awt.geom.AffineTransform
     import java.awt.image.AffineTransformOp
