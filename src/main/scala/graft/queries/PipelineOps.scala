@@ -4412,6 +4412,32 @@ object PipelineOps {
       phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
     }),
 
+    "idx03_index_merge" -> ((s, d) => {
+      // Index segment merge — the maintenance op that completes the
+      // artifact lifecycle (idx02 builds, idx02 serves, s17 appends,
+      // this COMPACTS): two index generations built from disjoint
+      // corpus halves (the daily-build reality: each ingest era ships
+      // its own segment) merge into one artifact with the same 16-way
+      // term-bucket layout, and the phrase probe over the merged
+      // artifact must answer EXACTLY what a single full-corpus build
+      // answers — the Lucene segment-merge contract. 100 TB: the merge
+      // reads and rewrites only postings (8-byte-ish rows, text never
+      // reappears), stays partition-aligned (bucket in = bucket out,
+      // one partitioned write, no extra shuffle), and serve-time
+      // pruning is unchanged (literal bucket PartitionFilter +
+      // pushed term predicate — plan-pinned).
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val base = EngineOps.tempDir("graft-idx03")
+      positionalIndexBuild(docs.filter(col("doc_id") % 2 === 0), s"$base/gen0")
+      positionalIndexBuild(docs.filter(col("doc_id") % 2 === 1), s"$base/gen1")
+      s.read.parquet(s"$base/gen0")
+        .unionByName(s.read.parquet(s"$base/gen1"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$base/merged")
+      phraseSearchOf(s.read.parquet(s"$base/merged"),
+        Seq("slow", "hash", "batch"))
+    }),
+
     "t12_nfc_normalize" -> ((s, d) => {
       // Unicode NFC normalization — crawled text arrives composed and
       // decomposed interchangeably, and every hash-keyed operator above
@@ -6520,6 +6546,22 @@ object PipelineOps {
 
     // the stored-tokenizer round trip must be loss-free => t17's SQL
     "t18_tokenizer_artifact" -> bpeTokenizeOracle(6),
+
+    // the merge must be lossless: the oracle is the full-corpus truth,
+    // identical to idx02's (segment structure must never show through)
+    "idx03_index_merge" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      m AS (
+        SELECT a.doc_id, a.pos
+        FROM p a
+        JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(min(pos) AS BIGINT) AS first_pos
+      FROM m GROUP BY doc_id ORDER BY doc_id""",
 
     "idx02_phrase_search" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

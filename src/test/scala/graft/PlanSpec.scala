@@ -506,6 +506,26 @@ class PlanSpec extends AnyFunSuite {
       s"adjacency degenerated from an equi-join:\n$plan")
   }
 
+  test("idx03 index merge: merged-artifact probe prunes and equals the single build") {
+    // segment merge must be invisible at serve time: same partition
+    // pruning + pushed term predicate as idx02, and the answer over
+    // the merged artifact is bit-identical to the single-build index
+    val df = graft.queries.PipelineOps.defs("idx03_index_merge")(spark, dir)
+    val plan = planOf(df)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket literal did not become a partition filter on the merged index:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the merged-index scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"adjacency degenerated from an equi-join:\n$plan")
+    val merged = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val single = graft.queries.PipelineOps.defs("idx02_phrase_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq == single.toSeq,
+      "merged-segment probe diverged from the single-build index")
+  }
+
   test("d14 incremental dedup: gram equi-join only, never a cartesian on either side") {
     // the incremental path's promise is O(batch · df): batch and corpus
     // gram streams meet ONLY on the sh equi-key; any nested-loop or
