@@ -268,6 +268,32 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.qualityScoreOf(canon(docs, idCol, textCol))
 
+  /** Soft dedup (d21's kernel): duplicate-aware DOWNWEIGHTING instead
+    * of removal — every doc survives with weight 1/|near-dup cluster|
+    * (singletons 1.0), plus token count and weighted effective mass,
+    * ready to feed a sampler. Each duplicate cluster contributes
+    * exactly one document's worth of mass. Returns (doc_id, n_tok,
+    * cluster_size, weight, eff_tokens). */
+  def softDedupWeights(docs: DataFrame, minJaccard: Double = 0.5,
+      rounds: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.softDedupWeightsOf(canon(docs, idCol, textCol), minJaccard, rounds)
+
+  /** Per-source PII density audit (u03's kernel): the three standard
+    * detectors (email, 555-phone, dotted-quad IP) as codegen'd regexp
+    * counts over `textCol`, rolled up per `sourceCol` with docs,
+    * docs-with-PII, hits by type, hits/doc, and a release flag at
+    * `tau` hits/doc — which sources need scrubbing or legal review
+    * before release. Returns (source, n_docs, docs_with_pii, n_emails,
+    * n_phones, n_ips, hits_per_doc, flagged). */
+  def piiAudit(docs: DataFrame, tau: Double = 0.8,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    PipelineOps.piiAuditOf(
+      docs.select(col(sourceCol).cast("string").as("source"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("source").isNotNull && col("text").isNotNull),
+      tau)
+
   /** DSIR importance resampling (samp02's kernel — Xie et al. 2023):
     * select `n` documents from the corpus, reweighted toward the slice
     * `isTarget` marks (a Column predicate over the CALLER's schema,

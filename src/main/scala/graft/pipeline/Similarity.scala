@@ -143,6 +143,45 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("e").as("qe")),
       dims, subs, cbSize, k, probes)
 
+  /** Two-stage ANN refine (s15's kernel — the FAISS `refine` serving
+    * pattern): [[ivfPqTopK]]'s ADC pass shortlists `kShort` candidates
+    * per query from the 8-byte codes, then ONLY those candidates' raw
+    * vectors are fetched (broadcast semi-join on the id) and re-scored
+    * with the exact squared distance; the final top-`k` ranks on the
+    * exact score. Returns (qid, rk, nid, dist). The stage that turns
+    * PQ's lossy speed into served accuracy. */
+  def pqRerank(emb: DataFrame, queries: DataFrame, k: Int,
+      kShort: Int = 20, dims: Int = 64, subs: Int = 8, cbSize: Int = 16,
+      probes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCol: String = "label"): DataFrame =
+    PipelineOps.pqRerankOf(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+          col(bucketCol).as("label"),
+          col(vecCol).cast("array<double>").as("e"))
+        .filter(col("vec_id").isNotNull && col("e").isNotNull &&
+          col("label").isNotNull),
+      canon(queries, idCol, vecCol)
+        .select(col("vec_id").as("qid"), col("e").as("qe")),
+      dims, subs, cbSize, k, kShort, probes)
+
+  /** Per-cluster embedding outlier audit (s16's kernel): vectors whose
+    * distance to their own `bucketCol` centroid exceeds the in-cluster
+    * `p` quantile (exact percentile, 6-decimal distance pin). Returns
+    * per cluster (label, n_vectors, p95, n_outliers, id_checksum,
+    * max_dist) — the hygiene gate to run before a clustering is
+    * trusted for dedup or mixture decisions. */
+  def embeddingOutliers(emb: DataFrame, p: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCol: String = "label"): DataFrame =
+    PipelineOps.embeddingOutliersOf(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+          col(bucketCol).as("label"),
+          col(vecCol).cast("array<double>").as("e"))
+        .filter(col("vec_id").isNotNull && col("e").isNotNull &&
+          col("label").isNotNull),
+      p)
+
   /** Recall@k of `approx` against `exact` (s06's kernel) — both in the
     * (qid, nid) shape the two searches return. Returns (qid, n_hit,
     * recall). */

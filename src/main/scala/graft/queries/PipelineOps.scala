@@ -839,6 +839,85 @@ object PipelineOps {
       .select("qid", "rk", "nid", "adc_micro")
   }
 
+  /** u03's kernel — per-source PII density audit over whatever text
+    * the caller supplies (the entry feeds a synthetic-PII-augmented
+    * corpus; a production caller feeds raw text): the three detectors
+    * (email, 555-phone, dotted-quad IP) run as codegen'd regexp counts
+    * map-side, ONE partial-agg rollup per `source`, release flag at
+    * `tau` hits/doc. Input: (source, text). Returns (source, n_docs,
+    * docs_with_pii, n_emails, n_phones, n_ips, hits_per_doc, flagged). */
+  private[graft] def piiAuditOf(docs: DataFrame, tau: Double): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "555-[0-9]+"
+    val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    docs
+      .select(col("source"),
+        regexp_count(col("text"), lit(emailPat)).cast("long").as("ne"),
+        regexp_count(col("text"), lit(phonePat)).cast("long").as("np"),
+        regexp_count(col("text"), lit(ipPat)).cast("long").as("ni"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum("ne").as("n_emails"), sum("np").as("n_phones"),
+        sum("ni").as("n_ips"),
+        round((sum("ne") + sum("np") + sum("ni")) / count(lit(1)), 4)
+          .as("hits_per_doc"))
+      .withColumn("flagged",
+        (col("hits_per_doc") >= tau).cast("int").cast("long"))
+  }
+
+  /** s16's kernel — per-cluster embedding outlier audit: vectors whose
+    * distance to their OWN `label` centroid exceeds the in-label `p`
+    * quantile (exact partial-aggregable percentile; distances rounded
+    * to 6 decimals so the threshold compare is engine-exact). Input:
+    * (vec_id, label, e). Returns per label (label, n_vectors, p95,
+    * n_outliers, id_checksum, max_dist) — scale notes at the s16
+    * entry. */
+  private[graft] def embeddingOutliersOf(emb: DataFrame, p: Double): DataFrame = {
+    graft.exprs.SqDist.register(emb.sparkSession)
+    val cent = meanVectors(emb.select(col("label"), col("e")), "label",
+      Some(9)).select(col("label").as("clabel"), col("ce"))
+    val dist = emb.join(broadcast(cent), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        round(expr("sq_dist(e, ce)"), 6).as("dist"))
+    val thr = dist.groupBy(col("label").as("tlabel"))
+      .agg(round(percentile(col("dist"), lit(p)), 6).as("p95"))
+    dist.join(broadcast(thr), col("label") === col("tlabel"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        first(col("p95")).as("p95"),
+        sum(when(col("dist") > col("p95"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        coalesce(sum(when(col("dist") > col("p95"), col("vec_id"))), lit(0L))
+          .as("id_checksum"),
+        round(max(col("dist")), 6).as("max_dist"))
+  }
+
+  /** d21's kernel — soft dedup (duplicate-aware downweighting): every
+    * doc survives with weight 1/|near-dup cluster| (singletons 1.0),
+    * plus token count and weighted effective mass. Edges are exact
+    * jaccard ≥ `minJ` pairs; clusters are [[dupLabelsOf]]'s fixpoint.
+    * Returns (doc_id, n_tok, cluster_size, weight, eff_tokens) —
+    * scale notes at the d21 entry (broadcast weight attach, no corpus
+    * shuffle beyond the propagation). */
+  private[graft] def softDedupWeightsOf(docs: DataFrame, minJ: Double,
+      rounds: Int): DataFrame = {
+    val edges = exactJaccardPairsOf(docs, minJ).select(col("d1"), col("d2"))
+    val labels = dupLabelsOf(edges, rounds)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    val w = labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("csize"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(broadcast(w), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("csize"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("csize"), lit(1L)), 4).as("weight"),
+        round(col("n_tok") / coalesce(col("csize"), lit(1L)), 4)
+          .as("eff_tokens"))
+  }
+
   /** s15's kernel — two-stage retrieval refine (the FAISS
     * `index.refine` / production ANN-serving pattern): s14's IVF-PQ
     * ADC pass produces a `kShort`-deep candidate shortlist from the
@@ -2436,20 +2515,7 @@ object PipelineOps {
       // weight attach is ONE id-keyed broadcast left join onto a
       // map-side token-count scan — no new corpus shuffle beyond
       // d11's propagation (plan-pinned).
-      val docs = t(s, d, "documents")
-      val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
-      val labels = dupLabelsOf(edges, rounds = 3)
-      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
-      val w = labels.join(sizes, "lbl")
-        .select(col("v").as("doc_id"), col("csize"))
-      docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .join(broadcast(w), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("csize"), lit(1L)).as("cluster_size"),
-          round(lit(1.0) / coalesce(col("csize"), lit(1L)), 4).as("weight"),
-          round(col("n_tok") / coalesce(col("csize"), lit(1L)), 4)
-            .as("eff_tokens"))
+      softDedupWeightsOf(t(s, d, "documents"), minJ = 0.5, rounds = 3)
         .orderBy("doc_id")
     }),
 
@@ -2933,27 +2999,10 @@ object PipelineOps {
       // ONE map-side native sq_dist pass; the per-label p95 is
       // partial-aggregable and broadcasts back; the rollup is
       // partial-agg'd. No window, no self-join, output = |labels| rows.
-      graft.exprs.SqDist.register(s)
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("e"))
-      val cent = meanVectors(emb.select(col("label"), col("e")), "label",
-        Some(9)).select(col("label").as("clabel"), col("ce"))
-      val dist = emb.join(broadcast(cent), col("label") === col("clabel"))
-        .select(col("vec_id"), col("label"),
-          round(expr("sq_dist(e, ce)"), 6).as("dist"))
-      val thr = dist.groupBy(col("label").as("tlabel"))
-        .agg(round(percentile(col("dist"), lit(0.95)), 6).as("p95"))
-      dist.join(broadcast(thr), col("label") === col("tlabel"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_vectors"),
-          first(col("p95")).as("p95"),
-          sum(when(col("dist") > col("p95"), 1L).otherwise(0L))
-            .as("n_outliers"),
-          coalesce(sum(when(col("dist") > col("p95"), col("vec_id"))), lit(0L))
-            .as("id_checksum"),
-          round(max(col("dist")), 6).as("max_dist"))
-        .orderBy("label")
+      embeddingOutliersOf(emb, p = 0.95).orderBy("label")
     }),
 
     "s11_ivf_persist" -> ((s, d) => {
@@ -3441,24 +3490,8 @@ object PipelineOps {
         when(coin("_p") % 3 === 0,
           concat(lit(" 555-"), (col("doc_id") % 1000).cast("string"))).otherwise(lit("")),
         when(coin("_i") % 5 === 0, lit(" 10.0.0.1")).otherwise(lit("")))
-      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
-      val phonePat = "555-[0-9]+"
-      val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
-      t(s, d, "documents")
-        .select(col("source"),
-          regexp_count(aug, lit(emailPat)).cast("long").as("ne"),
-          regexp_count(aug, lit(phonePat)).cast("long").as("np"),
-          regexp_count(aug, lit(ipPat)).cast("long").as("ni"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))
-            .as("docs_with_pii"),
-          sum("ne").as("n_emails"), sum("np").as("n_phones"),
-          sum("ni").as("n_ips"),
-          round((sum("ne") + sum("np") + sum("ni")) / count(lit(1)), 4)
-            .as("hits_per_doc"))
-        .withColumn("flagged",
-          (col("hits_per_doc") >= 0.8).cast("int").cast("long"))
+      piiAuditOf(t(s, d, "documents").select(col("source"), aug.as("text")),
+        tau = 0.8)
         .orderBy("source")
     }),
 

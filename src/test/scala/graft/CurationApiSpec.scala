@@ -501,6 +501,65 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("pqRerank over renamed columns equals the s15 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"), col("label").as("cell"))
+    val api = graft.pipeline.Similarity.pqRerank(
+        userEmb, userEmb.filter(col("vid") < 10), k = 5,
+        idCol = "vid", vecCol = "vec", bucketCol = "cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ref = entry("s15_pq_rerank")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(api == ref)
+  }
+
+  test("embeddingOutliers over renamed columns equals the s16 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"), col("label").as("cell"))
+    val api = graft.pipeline.Similarity.embeddingOutliers(
+        userEmb, idCol = "vid", vecCol = "vec", bucketCol = "cell")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val ref = entry("s16_embedding_outliers")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(api == ref)
+  }
+
+  test("softDedupWeights over renamed columns equals the d21 entry") {
+    val api = Curation.softDedupWeights(userDocs, 0.5, idCol = "docnum", textCol = "body")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    val ref = entry("d21_soft_dedup_weights")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(api == ref)
+  }
+
+  test("piiAudit counts organic PII over caller text and flags by rate") {
+    import spark.implicits._
+    // the entry audits synthetic-augmented text; the facade takes
+    // whatever text the caller has — here literal organic PII
+    val docs = Seq(
+      ("a", "contact bob@corp.com or 555-123 at 10.0.0.1 thanks"),
+      ("a", "no sensitive content here at all"),
+      ("b", "plain text"), ("b", "more plain text"), ("b", "even more")
+    ).toDF("origin", "body")
+    val out = graft.pipeline.Curation.piiAudit(docs, tau = 0.5,
+        sourceCol = "origin", textCol = "body")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getLong(7))).toMap
+    assert(out("a") == ((2L, 1L, 1L, 1L, 1L, 1.5, 1L)), out.toString)
+    assert(out("b") == ((3L, 0L, 0L, 0L, 0L, 0.0, 0L)), out.toString)
+  }
+
   test("hybridTopK over renamed columns equals the s13 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"))
