@@ -2941,8 +2941,10 @@ object PipelineOps {
       // Incremental ANN index maintenance — the vector-side analog of
       // d20/st06's daily-ingest story: new vectors become SEARCHABLE
       // without rebuilding the index. The corpus's s11 artifact
-      // (centroids + label-partitioned postings) is built once; the
-      // incoming batch (vec_id % 17 == 3, ~6%) is assigned to its
+      // (centroids + label-partitioned postings) is the stored base —
+      // rebuilt here each run for determinism, built ONCE in a real
+      // deployment with only appends after; the incoming batch
+      // (vec_id % 17 == 3, ~6%) is assigned to its
       // nearest centroid (max rounded cosine, label-asc ties — the
       // windowless max(struct) election) and APPENDED to the stored
       // postings partition-wise; the merged artifact is read back cold
@@ -3474,9 +3476,11 @@ object PipelineOps {
       // before release, not just redaction. Each doc is augmented with
       // md5-coin-flipped synthetic PII (email at rate 1/4, phone 1/3,
       // IP 1/5 — the corpus carries no organic PII, and doc_id-mod
-      // coins would give every source the identical rate since id%20
-      // and the coin moduli are coprime: the md5 coins vary per-source
-      // like organic PII does), then the three codegen'd regexp counts
+      // coins degenerate against the 20-way source cycle: a modulus
+      // coprime to 20 (3) gives every source the identical rate, a
+      // non-coprime one (4) pins each source at rate 0 or 1; the md5
+      // coins vary per-source like organic PII does), then the three
+      // codegen'd regexp counts
       // run map-side and roll up per source: docs, docs-with-PII, hits
       // by type, hits/doc, and a release flag at 0.8 hits/doc (11 of
       // 20 sources flagged at sf0.01 — a real split). 100 TB: pure map

@@ -662,7 +662,7 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 99L), "singleton must not form a cluster")
   }
 
-  test("d21 soft dedup: weight is 1/cluster-size, every cluster sums to exactly one doc") {
+  test("d21 soft dedup: weight is 1/cluster-size, total mass = docs minus dups (4dp-bounded)") {
     val rows = run("d21_soft_dedup_weights").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4)))
