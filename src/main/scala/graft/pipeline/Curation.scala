@@ -268,6 +268,15 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.qualityScoreOf(canon(docs, idCol, textCol))
 
+  /** Intra-document dedup (d22's kernel — the RefinedWeb/C4 "remove
+    * duplicated lines within a page" pass): each doc's fixed
+    * `chunkWords`-word windows dedupe keeping the FIRST occurrence,
+    * survivors reassembled in order — entirely in-row, a pure map over
+    * the scan. Returns (doc_id, n_chunks, n_removed, cleaned_md5). */
+  def intraDocDedup(docs: DataFrame, chunkWords: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.intraDocDedupOf(canon(docs, idCol, textCol), chunkWords)
+
   /** Soft dedup (d21's kernel): duplicate-aware DOWNWEIGHTING instead
     * of removal — every doc survives with weight 1/|near-dup cluster|
     * (singletons 1.0), plus token count and weighted effective mass,

@@ -839,6 +839,28 @@ object PipelineOps {
       .select("qid", "rk", "nid", "adc_micro")
   }
 
+  /** d22's kernel — INTRA-document dedup (the RefinedWeb/C4 "remove
+    * duplicated lines within a page" pass; corpus-level d16 can never
+    * see a repeat that lives inside one doc): each doc's fixed
+    * `chunkWords`-word windows dedupe KEEPING THE FIRST occurrence
+    * (array_distinct preserves first-occurrence order), survivors
+    * reassemble in order. Entirely IN-ROW: no explode, no join, no
+    * window — a pure map over the document scan, the cheapest plan an
+    * operator can have at 100 TB (plan-pinned: zero joins/windows;
+    * the only exchange is the presentation sort). Returns (doc_id,
+    * n_chunks, n_removed, cleaned_md5). */
+  private[graft] def intraDocDedupOf(docs: DataFrame, chunkWords: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("chunks", expr(
+        s"IF(size(w) = 0, array(), " +
+          s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0) as int) - 1), " +
+          s"k -> concat_ws(' ', slice(w, k * $chunkWords + 1, $chunkWords))))"))
+      .withColumn("kept", array_distinct(col("chunks")))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        (size(col("chunks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("cleaned_md5"))
+
   /** u03's kernel — per-source PII density audit over whatever text
     * the caller supplies (the entry feeds a synthetic-PII-augmented
     * corpus; a production caller feeds raw text): the three detectors
@@ -3859,6 +3881,20 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "d22_intradoc_dedup" -> ((s, d) => {
+      // Intra-document line dedup (RefinedWeb/C4's within-page pass —
+      // d16 is corpus-level and can never see these): fixed 2-word
+      // windows here (the width is the kernel's knob; production uses
+      // newline-delimited lines, this corpus has none, and 2 words is
+      // the width at which the fixture actually repeats — 246 dup
+      // windows across ~200 docs at sf0.01, wider widths are
+      // repeat-free). First occurrence kept, survivors reassembled in
+      // order, all in-row: a pure map over the scan, zero shuffles
+      // besides the presentation sort (plan-pinned).
+      intraDocDedupOf(t(s, d, "documents"), chunkWords = 2)
+        .orderBy("doc_id")
+    }),
+
     "d18_exact_substring" -> ((s, d) => {
       // Exact-substring dedup (Lee et al. 2022's ExactSubstr — the
       // remaining standard production dedup family next to doc-level
@@ -6433,6 +6469,27 @@ object PipelineOps {
       SELECT doc_id, count(*) AS n_kept,
              md5(string_agg(chunk, ' ' ORDER BY k)) AS cleaned_md5
       FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // keep-first replayed via (doc, chunk) row_number over window order
+    // (list_distinct's order is unspecified in DuckDB, so the oracle
+    // pins first-occurrence semantics explicitly)
+    "d22_intradoc_dedup" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      chunks AS (
+        SELECT doc_id, k, array_to_string(w[(k*2+1):(k*2+2)], ' ') AS chunk
+        FROM words,
+             unnest(generate_series(0, CAST(ceil(len(w)/2.0) AS INT) - 1)) AS t(k)),
+      tot AS (SELECT doc_id, count(*) AS n FROM chunks GROUP BY doc_id),
+      kept AS (
+        SELECT doc_id, k, chunk FROM (
+          SELECT doc_id, k, chunk,
+                 row_number() OVER (PARTITION BY doc_id, chunk ORDER BY k) AS rn
+          FROM chunks) WHERE rn = 1)
+      SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_chunks,
+             CAST(t.n - count(*) AS BIGINT) AS n_removed,
+             md5(string_agg(c.chunk, ' ' ORDER BY c.k)) AS cleaned_md5
+      FROM kept c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id, t.n ORDER BY c.doc_id""",
 
     "d18_exact_substring" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

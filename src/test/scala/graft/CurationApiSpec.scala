@@ -530,6 +530,16 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("intraDocDedup over renamed columns equals the d22 entry") {
+    val api = Curation.intraDocDedup(userDocs, 2, idCol = "docnum", textCol = "body")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val ref = entry("d22_intradoc_dedup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(api == ref)
+  }
+
   test("softDedupWeights over renamed columns equals the d21 entry") {
     val api = Curation.softDedupWeights(userDocs, 0.5, idCol = "docnum", textCol = "body")
       .collect()

@@ -725,6 +725,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == langs.size.toLong)
   }
 
+  test("d22 intra-doc dedup: keep-first semantics on crafted repeats + corpus recompute") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.intraDocDedupOf
+    // crafted: in-doc repeats, including a repeat of the FIRST window
+    // and a doc that is one window repeated; order must be preserved
+    val crafted = Seq(
+      (1L, "a b c d a b e f"),     // [ab, cd, ab, ef] -> keep [ab, cd, ef]
+      (2L, "x y x y x y"),         // [xy, xy, xy]     -> keep [xy]
+      (3L, "p q r s t")            // odd tail: [pq, rs, t] all distinct
+    ).toDF("doc_id", "text")
+    val got = intraDocDedupOf(crafted, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((4L, 1L, m("a b c d e f"))), got(1L).toString)
+    assert(got(2L) == ((3L, 2L, m("x y"))), got(2L).toString)
+    assert(got(3L) == ((3L, 0L, m("p q r s t"))), got(3L).toString)
+    // full corpus recompute: keep-first over 2-word windows
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val chunks = t.split(" ", -1).grouped(2).map(_.mkString(" ")).toSeq
+      val kept = chunks.distinct
+      id -> (chunks.size.toLong, (chunks.size - kept.size).toLong,
+        m(kept.mkString(" ")))
+    }.toMap
+    val full = run("d22_intradoc_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(full == expected)
+    assert(full.values.exists(_._2 > 0), "corpus must exercise a real in-doc cut")
+  }
+
   test("t17 tokenizer apply: per-doc token counts under the learned merges") {
     import spark.implicits._
     import graft.queries.PipelineOps.bpeTokenizeOf

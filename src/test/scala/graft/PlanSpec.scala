@@ -859,6 +859,18 @@ class PlanSpec extends AnyFunSuite {
       s"card not map-side combined:\n$plan")
   }
 
+  test("d22 intra-doc dedup: pure map — no join, no window, no hash exchange") {
+    // the whole operator is in-row; the only exchange permitted is the
+    // presentation sort's range partitioning
+    val df = graft.queries.PipelineOps.defs("d22_intradoc_dedup")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"in-row operator grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"in-row operator grew a window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"in-row operator grew an aggregation shuffle:\n$plan")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
