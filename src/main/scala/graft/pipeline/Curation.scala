@@ -108,6 +108,20 @@ object Curation {
     PipelineOps.crossJaccardPairsOf(
       canon(batch, idCol, textCol), canon(corpus, idCol, textCol), minJaccard)
 
+  /** Bloom-prefiltered EXACT chunk-membership gate (d23's kernel, the
+    * Dolma-style ingest deduper): the batch's fixed `chunkWords`-word
+    * windows probe a broadcast Bloom sketch of the corpus's chunk
+    * hashes map-side; sketch positives are exact-confirmed, so the
+    * verdict is exactly plain exact membership — the sketch only
+    * shrinks the confirm join. A doc keeps iff its dup-chunk ratio <
+    * `tau`. Returns (doc_id, n_chunks, n_dup, dup_ratio, keep). */
+  def bloomDedupGate(batch: DataFrame, corpus: DataFrame,
+      chunkWords: Int = 3, tau: Double = 0.5, fpp: Double = 0.03,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.bloomDedupGateOf(
+      canon(batch, idCol, textCol), canon(corpus, idCol, textCol),
+      chunkWords, tau, fpp)
+
   /** Skew-robust form of [[dedupAgainstCorpus]] (d15's kernel): the
     * PPJoin prefix filter under a (corpus-df, gram) token order — a
     * boilerplate gram hot in the existing corpus never enters the
@@ -276,6 +290,21 @@ object Curation {
   def intraDocDedup(docs: DataFrame, chunkWords: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.intraDocDedupOf(canon(docs, idCol, textCol), chunkWords)
+
+  /** C4-style line-level cleaning gate (t21's kernel, Raffel et al.
+    * 2020 §2.2): per-line rules (min word count, line blocklist)
+    * decide which lines survive, doc-level rules cascade on the
+    * survivors (doc blocklist, min surviving lines). Lines are fixed
+    * `lineWords`-word windows (production splits on newlines; see the
+    * kernel doc). Entirely in-row — a pure map at scan speed. Returns
+    * (doc_id, n_lines, n_kept, verdict, cleaned_md5 — NULL unless
+    * kept). */
+  def c4LineGate(docs: DataFrame, lineWords: Int = 10,
+      minLineWords: Int = 6, lineBlock: Seq[String] = Seq("javascript"),
+      docBlock: Seq[String] = Seq("lorem"), minKeptLines: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.c4LineGateOf(canon(docs, idCol, textCol), lineWords,
+      minLineWords, lineBlock, docBlock, minKeptLines)
 
   /** Soft dedup (d21's kernel): duplicate-aware DOWNWEIGHTING instead
     * of removal — every doc survives with weight 1/|near-dup cluster|

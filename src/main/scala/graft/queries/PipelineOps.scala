@@ -861,6 +861,110 @@ object PipelineOps {
         (size(col("chunks")) - size(col("kept"))).cast("long").as("n_removed"),
         md5(array_join(col("kept"), " ")).as("cleaned_md5"))
 
+  /** t21's kernel — C4-style LINE-level cleaning gate (Raffel et al.
+    * 2020 §2.2, the most-cited cleaning pipeline in the literature):
+    * per-line rules (minimum word count — C4's "at least 5 words" —
+    * and a line blocklist — C4's "any line with the word Javascript")
+    * decide which lines survive, then DOC-level rules cascade on the
+    * survivors (a doc blocklist — C4's "lorem ipsum" / dirty-word
+    * list — and a minimum surviving-line count — C4's "fewer than 3
+    * sentences"). Production lines are newline-delimited; this corpus
+    * has no newlines (or punctuation), so callers choose the line
+    * width: lines here are fixed `lineWords`-word windows, the same
+    * adaptation d22 documents. Entirely IN-ROW — windowing, line
+    * filter (HOF `filter`), blocklist tests (`arrays_overlap` against
+    * literal arrays), verdict CASE, and the survivors' md5 all happen
+    * inside one projection: a pure map at scan speed, zero exchanges
+    * beyond the presentation sort (plan-pinned). Returns (doc_id,
+    * n_lines, n_kept, verdict['doc_blocklist'|'too_few_lines'|'kept'],
+    * cleaned_md5 — NULL unless kept). Verdict precedence: the doc
+    * blocklist fires even when the line count would also fail. */
+  private[graft] def c4LineGateOf(docs: DataFrame, lineWords: Int,
+      minLineWords: Int, lineBlock: Seq[String], docBlock: Seq[String],
+      minKeptLines: Int): DataFrame = {
+    require(lineBlock.nonEmpty && docBlock.nonEmpty, "empty blocklist")
+    def lit(ts: Seq[String]) =
+      ts.map(t => s"'${t.replace("'", "''")}'")
+        .mkString("array(", ",", ")")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("lines", expr(
+        s"transform(sequence(0, cast(ceil(size(w) / ${lineWords}.0) as int) - 1), " +
+          s"k -> slice(w, k * $lineWords + 1, $lineWords))"))
+      .withColumn("kept", expr(
+        s"filter(lines, l -> size(l) >= $minLineWords " +
+          s"AND NOT arrays_overlap(l, ${lit(lineBlock)}))"))
+      .withColumn("verdict", expr(
+        s"CASE WHEN arrays_overlap(w, ${lit(docBlock)}) THEN 'doc_blocklist' " +
+          s"WHEN size(kept) < $minKeptLines THEN 'too_few_lines' " +
+          "ELSE 'kept' END"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        col("verdict"),
+        when(col("verdict") === "kept",
+          md5(expr("array_join(transform(kept, l -> array_join(l, ' ')), ' ')")))
+          .as("cleaned_md5"))
+  }
+
+  /** d23's kernel — Bloom-prefiltered EXACT chunk-membership dedup
+    * gate, the Dolma-style ingest-time deduper: "has this batch
+    * chunk been seen in the corpus?" answered by a broadcast Bloom
+    * sketch BEFORE anything shuffles. Three stages:
+    *   1. BUILD (a separate job, d20's artifact discipline): the
+    *      corpus's distinct chunk hashes tree-aggregate into a Bloom
+    *      sketch (`DataFrameStatFunctions.bloomFilter` merges partial
+    *      sketches executor-side — the build never collects hashes).
+    *      The sketch is the broadcastable artifact: ~1.2 GB at 10^9
+    *      chunks / 1% fpp — when that outgrows executor memory, shard
+    *      it by hash prefix or fall back to d20's partitioned posting
+    *      index.
+    *   2. PROBE: each batch chunk tests the broadcast sketch in a
+    *      map-side filter. The probe is a Scala UDF by necessity —
+    *      Spark has no public might_contain expression (the internal
+    *      runtime-filter one expects its own xxhash sketch format) —
+    *      and it sits on the PREFILTER path only: it can only shrink
+    *      the join input, never decide the verdict.
+    *   3. CONFIRM: sketch-positive chunks exact-semi-join the corpus
+    *      hash set, which removes the sketch's false positives — the
+    *      reported verdict is EXACTLY the plain exact-membership
+    *      answer (spec-pinned against the sketchless recompute), the
+    *      sketch is purely a cost reducer: at a true-dup rate p and
+    *      false-positive rate f, the confirm join's batch side shrinks
+    *      from |batch chunks| to (p + f(1-p))·|batch chunks|.
+    * Chunks are fixed `chunkWords`-word windows hashed through native
+    * md5_bits60; a doc keeps iff its dup-chunk ratio < tau. Returns
+    * (doc_id, n_chunks, n_dup, dup_ratio, keep). */
+  private[graft] def bloomDedupGateOf(batch: DataFrame, corpus: DataFrame,
+      chunkWords: Int, tau: Double, fpp: Double): DataFrame = {
+    graft.exprs.Md5Bits60.register(batch.sparkSession)
+    def chunked(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0) as int) - 1), " +
+          s"k -> md5_bits60(concat_ws(' ', slice(w, k * $chunkWords + 1, $chunkWords))))")
+        .as("hs"))
+    val corpusH = chunked(corpus).select(explode(col("hs")).as("h")).distinct()
+    // build stage: one count to size the sketch, one tree-aggregated
+    // sketch build — both bounded driver actions on the BUILD path,
+    // exactly like d20's artifact write
+    val nDistinct = math.max(corpusH.count(), 1L)
+    val bloom = corpusH.stat.bloomFilter("h", nDistinct, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    val sizes = chunked(batch)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_chunks"))
+    val confirmed = chunked(batch)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .filter(might(col("h")))                     // map-side sketch probe
+      .join(corpusH, Seq("h"), "left_semi")        // exact confirm
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    sizes.join(broadcast(confirmed), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup") / col("n_chunks"), 4).as("dup_ratio"),
+        (col("n_dup") / col("n_chunks") < tau).as("keep"))
+  }
+
   /** u03's kernel — per-source PII density audit over whatever text
     * the caller supplies (the entry feeds a synthetic-PII-augmented
     * corpus; a production caller feeds raw text): the three detectors
@@ -3895,6 +3999,41 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "t21_c4_line_gate" -> ((s, d) => {
+      // C4-style line-level cleaning (Raffel et al. 2020 §2.2): the
+      // line filter → doc cascade no doc-level gate (t10) expresses.
+      // Corpus instantiation (no newlines/punctuation here, so the
+      // rules bind to corpus-meaningful analogs): lines = 10-word
+      // windows; a line survives with >= 6 words (the "at least 5
+      // words" rule — drops short tail windows) and no 'vector' token
+      // (the "Javascript" line blocklist); a doc ships only without
+      // the rare token 'dup' (df 25/500 — the "lorem ipsum" doc
+      // blocklist) and with >= 2 surviving lines (the "fewer than 3
+      // sentences" cut). All three branches bite at sf0.01:
+      // 25 doc_blocklist / 63 too_few_lines / 412 kept. Pure in-row
+      // map at scan speed, plan-pinned like d22.
+      c4LineGateOf(t(s, d, "documents"), lineWords = 10,
+        minLineWords = 6, lineBlock = Seq("vector"),
+        docBlock = Seq("dup"), minKeptLines = 2)
+        .orderBy("doc_id")
+    }),
+
+    "d23_bloom_dedup_gate" -> ((s, d) => {
+      // Bloom-prefiltered exact ingest dedup (the Dolma deduper's
+      // shape): the daily batch (doc_id % 7 == 3, d14's slice) gates
+      // against the existing corpus's chunk-hash Bloom sketch, sketch
+      // positives exact-confirmed so the verdict carries no false
+      // positives. 3-word windows: at sf0.01 the batch's mean dup
+      // ratio is 0.35 with full 0..1 spread, so both verdicts bite
+      // (12 of 71 docs reject at tau=0.5).
+      val docs = t(s, d, "documents")
+      bloomDedupGateOf(
+        docs.filter(col("doc_id") % 7 === 3),
+        docs.filter(col("doc_id") % 7 =!= 3),
+        chunkWords = 3, tau = 0.5, fpp = 0.03)
+        .orderBy("doc_id")
+    }),
+
     "d18_exact_substring" -> ((s, d) => {
       // Exact-substring dedup (Lee et al. 2022's ExactSubstr — the
       // remaining standard production dedup family next to doc-level
@@ -6490,6 +6629,52 @@ object PipelineOps {
              md5(string_agg(c.chunk, ' ' ORDER BY c.k)) AS cleaned_md5
       FROM kept c JOIN tot t USING (doc_id)
       GROUP BY c.doc_id, t.n ORDER BY c.doc_id""",
+
+    // line windows replayed via generate_series + array slices; the
+    // survivors' md5 via FILTERed string_agg in window order
+    "t21_c4_line_gate" -> """
+      WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      lines AS (
+        SELECT d.doc_id, k, w[(k*10+1):(k*10+10)] AS line,
+               list_has_any(w, ['dup']) AS doc_block
+        FROM d, unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT)-1)) AS t(k)),
+      flag AS (
+        SELECT doc_id, k, line, doc_block,
+               (len(line) >= 6 AND NOT list_has_any(line, ['vector'])) AS keep_line
+        FROM lines),
+      per_doc AS (
+        SELECT doc_id, count(*) AS n_lines,
+               CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               bool_or(doc_block) AS doc_block,
+               md5(string_agg(array_to_string(line,' '), ' ' ORDER BY k)
+                   FILTER (WHERE keep_line)) AS kept_md5
+        FROM flag GROUP BY doc_id)
+      SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, n_kept,
+             CASE WHEN doc_block THEN 'doc_blocklist'
+                  WHEN n_kept < 2 THEN 'too_few_lines' ELSE 'kept' END AS verdict,
+             CASE WHEN NOT doc_block AND n_kept >= 2 THEN kept_md5 END AS cleaned_md5
+      FROM per_doc ORDER BY doc_id""",
+
+    // the sketch is invisible to the verdict (exact confirm removes
+    // its false positives), so the oracle replays plain exact
+    // membership on the same 60-bit chunk hashes
+    "d23_bloom_dedup_gate" -> """
+      WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      ch AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(array_to_string(w[(k*3+1):(k*3+3)], ' ')), 1, 15))::BIGINT AS h
+        FROM d, unnest(generate_series(0, CAST(ceil(len(w)/3.0) AS INT)-1)) AS t(k)),
+      corpus AS (SELECT DISTINCT h FROM ch WHERE doc_id % 7 <> 3),
+      batch AS (SELECT doc_id, h FROM ch WHERE doc_id % 7 = 3),
+      j AS (
+        SELECT b.doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM batch b LEFT JOIN corpus c USING (h) GROUP BY 1)
+      SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+             CAST(n_dup AS BIGINT) AS n_dup,
+             round(n_dup * 1.0 / n_chunks, 4) AS dup_ratio,
+             (n_dup * 1.0 / n_chunks < 0.5) AS keep
+      FROM j ORDER BY doc_id""",
 
     "d18_exact_substring" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -530,6 +530,28 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("bloomDedupGate over renamed columns equals the d23 entry") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val api = Curation.bloomDedupGate(
+      userDocs.filter(col("docnum") % 7 === 3),
+      userDocs.filter(col("docnum") % 7 =!= 3),
+      3, 0.5, 0.03, idCol = "docnum", textCol = "body")
+      .collect().map(key).toSet
+    val ref = entry("d23_bloom_dedup_gate").collect().map(key).toSet
+    assert(api == ref)
+  }
+
+  test("c4LineGate over renamed columns equals the t21 entry") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) "" else r.getString(4))
+    val api = Curation.c4LineGate(userDocs, 10, 6, Seq("vector"), Seq("dup"), 2,
+      idCol = "docnum", textCol = "body").collect().map(key).toSet
+    val ref = entry("t21_c4_line_gate").collect().map(key).toSet
+    assert(api == ref)
+  }
+
   test("intraDocDedup over renamed columns equals the d22 entry") {
     val api = Curation.intraDocDedup(userDocs, 2, idCol = "docnum", textCol = "body")
       .collect()

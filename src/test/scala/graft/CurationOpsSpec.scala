@@ -725,6 +725,88 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == langs.size.toLong)
   }
 
+  test("d23 bloom dedup gate: crafted multiplicity/tau-boundary + sketchless corpus recompute") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.bloomDedupGateOf
+    // crafted: batch-chunk multiplicity counts per OCCURRENCE, and the
+    // tau boundary rejects (keep iff ratio < tau, strictly)
+    val corpus = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c a b c x y z"),  // [abc][abc][xyz]: dup 2/3 -> reject
+      (2L, "a b c x x x"),        // dup 1/2 = tau exactly  -> reject
+      (3L, "p q r s t u")         // dup 0/2               -> keep
+    ).toDF("doc_id", "text")
+    val got = bloomDedupGateOf(batch, corpus, 3, 0.5, 0.03).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == ((3L, 2L, 0.6667, false)), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, 0.5, false)), got(2L).toString)
+    assert(got(3L) == ((2L, 0L, 0.0, true)), got(3L).toString)
+    // corpus recompute WITHOUT the sketch: the verdict must be exactly
+    // plain exact membership — the bloom is a cost reducer only
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def chunks(t: String) = t.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+    val corpusSet = docs.filter(_._1 % 7 != 3).flatMap(d => chunks(d._2)).toSet
+    val expected = docs.filter(_._1 % 7 == 3).map { case (id, t) =>
+      val cs = chunks(t)
+      val dup = cs.count(corpusSet.contains)
+      val ratio = BigDecimal(dup.toDouble / cs.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((cs.size.toLong, dup.toLong, ratio, dup.toDouble / cs.size < 0.5))
+    }.toMap
+    val full = run("d23_bloom_dedup_gate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(full == expected)
+    assert(full.values.exists(!_._4) && full.values.exists(_._4),
+      "both verdicts must bite on the corpus")
+  }
+
+  test("t21 C4 line gate: every rule branch on crafted docs + corpus recompute") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.c4LineGateOf
+    // crafted at lineWords=3/minLineWords=2/lineBlock=[bad]/docBlock=[evil]/minKept=2:
+    // short-tail drop, line-blocklist drop, too_few_lines verdict, and
+    // doc-blocklist PRECEDENCE over the line-count cut
+    val crafted = Seq(
+      (1L, "a b c d e f g"),      // [abc][def][g]: tail g < 2 words -> kept 2, verdict kept
+      (2L, "a b bad d e f"),      // [ab bad][def]: line 1 blocked -> kept 1, too_few_lines
+      (3L, "evil b c d e f"),     // doc blocklist, though 2 lines would survive
+      (4L, "x y bad evil z")      // doc blocklist wins over too_few_lines
+    ).toDF("doc_id", "text")
+    val got = c4LineGateOf(crafted, 3, 2, Seq("bad"), Seq("evil"), 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((3L, 2L, "kept", Some(m("a b c d e f")))), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, "too_few_lines", None)), got(2L).toString)
+    assert(got(3L) == ((2L, 2L, "doc_blocklist", None)), got(3L).toString)
+    assert(got(4L) == ((2L, 1L, "doc_blocklist", None)), got(4L).toString)
+    // full corpus recompute under the entry's parameters
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val lines = w.grouped(10).toSeq
+      val kept = lines.filter(l => l.length >= 6 && !l.contains("vector"))
+      val verdict =
+        if (w.contains("dup")) "doc_blocklist"
+        else if (kept.size < 2) "too_few_lines" else "kept"
+      id -> ((lines.size.toLong, kept.size.toLong, verdict,
+        if (verdict == "kept") Some(m(kept.map(_.mkString(" ")).mkString(" ")))
+        else None))
+    }.toMap
+    val full = run("t21_c4_line_gate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))).toMap
+    assert(full == expected)
+    val verdicts = full.values.map(_._3).toSet
+    assert(verdicts == Set("kept", "too_few_lines", "doc_blocklist"),
+      s"every rule branch must bite on the corpus: $verdicts")
+  }
+
   test("d22 intra-doc dedup: keep-first semantics on crafted repeats + corpus recompute") {
     import spark.implicits._
     import graft.queries.PipelineOps.intraDocDedupOf

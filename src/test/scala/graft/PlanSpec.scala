@@ -859,6 +859,33 @@ class PlanSpec extends AnyFunSuite {
       s"card not map-side combined:\n$plan")
   }
 
+  test("d23 bloom dedup gate: sketch probe filters before the semi join, no cartesian") {
+    val df = graft.queries.PipelineOps.defs("d23_bloom_dedup_gate")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian grew:\n$plan")
+    // the map-side sketch probe must sit in the plan (a UDF filter on
+    // the batch side, BELOW the exact-confirm semi join)
+    assert(plan.contains("UDF"), s"bloom probe filter missing:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact confirm join missing:\n$plan")
+    // the per-doc rollup joins back broadcast — batch sizes never
+    // shuffle to meet the dup counts
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rollup join-back not broadcast:\n$plan")
+  }
+
+  test("t21 C4 line gate: pure map — no join, no window, no hash exchange") {
+    // line filter + doc cascade are all in-row; the only exchange
+    // permitted is the presentation sort's range partitioning
+    val df = graft.queries.PipelineOps.defs("t21_c4_line_gate")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"in-row operator grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"in-row operator grew a window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"in-row operator grew an aggregation shuffle:\n$plan")
+  }
+
   test("d22 intra-doc dedup: pure map — no join, no window, no hash exchange") {
     // the whole operator is in-row; the only exchange permitted is the
     // presentation sort's range partitioning
