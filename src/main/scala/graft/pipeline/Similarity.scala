@@ -247,4 +247,15 @@ object Similarity {
       iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.clusterExemplarsOf(canon(emb, idCol, vecCol), k, iters, perCluster)
+
+  /** k-nearest-neighbor graph (s18's kernel): each vector's `topK`
+    * highest-cosine neighbors within its k-means cell (same
+    * deterministic trajectory as [[semDedup]]) — the edge-list
+    * artifact NN-descent refinement, graph clustering, and
+    * connectivity-based dedup start from. Exact within-cell; raise
+    * `k` with the corpus so Σ|cell|² stays bounded. Returns (vec_id,
+    * rk, nbr_id, cos). */
+  def knnGraph(emb: DataFrame, k: Int, topK: Int = 3, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.knnGraphOf(canon(emb, idCol, vecCol), k, iters, topK)
 }

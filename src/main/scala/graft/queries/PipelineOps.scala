@@ -673,6 +673,34 @@ object PipelineOps {
         round(col("dist"), 4).as("sq_dist"))
   }
 
+  /** s18's kernel — k-nearest-neighbor GRAPH over the embeddings, the
+    * artifact graph-based curation starts from (NN-descent refinement,
+    * graph clustering, connectivity-based SemDeDup variants): each
+    * vector's `topK` highest-cosine neighbors AMONG ITS K-MEANS CELL
+    * (s04's shared deterministic trajectory — exact within-cell, the
+    * standard blocked approximation globally; raise `k` with the
+    * corpus so Σ|cell|² stays bounded, exactly d17's scale argument).
+    * Neighbor election is a literal-bounded rank → WindowGroupLimit
+    * bounded heap, never a full sort of the pair stream. Cosine rounds
+    * to 4 before ranking (nbr_id tiebreak) so both engines elect
+    * identical edges. Singleton cells emit no rows for their vector.
+    * Returns (vec_id, rk, nbr_id, cos). */
+  private[graft] def knnGraphOf(emb: DataFrame, k: Int, iters: Int,
+      topK: Int): DataFrame = {
+    graft.exprs.CosineSim.register(emb.sparkSession)
+    val assigned = kmeansAssignOf(emb, k, iters).select("vec_id", "e", "cluster")
+    val nbrs = assigned.select(col("cluster"), col("vec_id").as("nbr_id"),
+      col("e").as("ne"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    assigned.join(nbrs, Seq("cluster"))
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .withColumn("cos", round(expr("cosine_sim(e, ne)"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
   /** t15's kernel — corpus-hapax novelty ratio: per doc, the fraction
     * of its distinct tokens that appear nowhere else in the corpus.
     * Skew-free: a hapax term's `min(doc_id)` IS its owner, so no term
@@ -4502,6 +4530,22 @@ object PipelineOps {
         .orderBy("cluster", "rk")
     }),
 
+    "s18_knn_graph" -> ((s, d) => {
+      // kNN graph — the edge-list artifact graph-based curation starts
+      // from (NN-descent, graph clustering, connectivity SemDeDup):
+      // each vector's top-3 cosine neighbors within its k-means cell
+      // (s04/d17's shared trajectory and oracle CTE; exact within-cell,
+      // blocked globally). 100 TB: the pair stage never crosses cells
+      // (Σ|cell|², K scales with the corpus — d17's argument), the
+      // per-vector top-k is a WindowGroupLimit bounded heap over the
+      // pair stream, and the output is topK rows per vector — an
+      // edge list a graph engine consumes directly.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      knnGraphOf(emb, k = 8, iters = 3, topK = 3)
+        .orderBy("vec_id", "rk")
+    }),
+
     "t14_quality_classifier" -> ((s, d) => {
       // fastText-shaped linear quality classifier — the model-based
       // document filter every production corpus runs (pages scored by
@@ -5239,6 +5283,19 @@ object PipelineOps {
       SELECT vec_id, cluster, min(keep_id) AS kept_by, max(c) AS max_cos
       FROM pairs WHERE c >= 0.4
       GROUP BY vec_id, cluster ORDER BY vec_id"""),
+
+    // the shared trajectory again; per-vector top-3 neighbors by
+    // (cos desc, nbr_id) within the final cell
+    "s18_knn_graph" -> (kmeansOracleCte + """,
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+      SELECT vec_id, rk, nbr_id, cos FROM (
+        SELECT vec_id, nbr_id, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+        FROM pairs)
+      WHERE rk <= 3 ORDER BY vec_id, rk"""),
 
     // the shared trajectory again; per-cluster top-3 by (dist, vec_id)
     "s10_cluster_exemplars" -> (kmeansOracleCte + """

@@ -487,6 +487,17 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("knnGraph over renamed columns equals the s18 entry") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val api = graft.pipeline.Similarity.knnGraph(userEmb, k = 8,
+        idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ref = entry("s18_knn_graph")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(api == ref)
+  }
+
   test("ivfPqTopK over renamed columns equals the s14 entry") {
     val userEmb = Tables.t(spark, dir, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("vec"), col("label").as("cell"))

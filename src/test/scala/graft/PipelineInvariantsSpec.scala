@@ -149,6 +149,35 @@ class PipelineInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("s18 knn graph equals a brute-force within-cell recompute, edge by edge") {
+    import org.apache.spark.sql.functions._
+    // independent recompute: take the SAME deterministic assignment,
+    // then brute-force every vector's within-cell top-3 in plain Scala
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val assigned = graft.queries.PipelineOps.kmeansAssignOf(emb, 8, 3)
+      .select("vec_id", "e", "cluster").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = assigned.groupBy(_._3)
+    val expected = assigned.flatMap { case (id, e, cell) =>
+      byCell(cell).filter(_._1 != id)
+        .map { case (nid, ne, _) => (nid, cos(e, ne)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, c), i) => (id, i + 1, nid, c) }
+    }.toSet
+    val got = graft.queries.PipelineOps.defs("s18_knn_graph")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.exists(_._2 == 3), "graph must have depth-3 edges")
+  }
+
   test("s09 PQ: seed vectors encode as themselves with zero error, codes stay in range") {
     // the entry serializes codes as a comma-joined string (driver
     // comparator can't sort array cells) — parse it back

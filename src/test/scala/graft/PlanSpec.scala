@@ -168,6 +168,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
   }
 
+  test("s18 knn graph: cell equi-join pairs, per-vector top-k is a bounded heap") {
+    // the pair stage must join on the cluster key only, and the
+    // neighbor election must be a WindowGroupLimit over (cos desc) —
+    // match the ORDER spec so the kmeans subtree's own per-vec_id
+    // windows (dist asc) can't satisfy the assertion
+    val df = graft.queries.PipelineOps.defs("s18_knn_graph")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "pair join degenerated to a cartesian")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "cluster-key equi-join missing")
+    assert("WindowGroupLimit \\[vec_id[^\\]]*\\], \\[cos".r.findFirstIn(plan).isDefined,
+      s"per-vector top-k must be a bounded heap over cos:\n$plan")
+  }
+
   test("s13 hybrid RRF: query tokens broadcast, bounded per-query heaps, no cartesian") {
     // the lexical half must meet the corpus token stream through a
     // BroadcastHashJoin (queries are the bounded sample), both the
