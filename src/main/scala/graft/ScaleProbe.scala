@@ -46,6 +46,14 @@ object ScaleProbe {
           k = args(2).toInt, tau = args(3).toDouble,
           probes = args(4).toInt, clusters = args(5).toInt)
           .count()
+      case "knngraph" =>
+        // the s18 PRODUCTION config: K scales with the corpus so
+        // per-cell pair cost stays flat (args: k topK) — the d17
+        // K-scaling protocol
+        val emb = Tables.t(spark, sfDir, "embeddings")
+        graft.pipeline.Similarity
+          .knnGraph(emb, k = args(2).toInt, topK = args(3).toInt)
+          .count()
       case other => sys.error(s"unknown kernel: $other")
     }
     run() // warmup pass: plan compilation + codegen
