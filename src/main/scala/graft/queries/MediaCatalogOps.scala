@@ -368,6 +368,54 @@ object MediaCatalogOps {
         .orderBy("lang")
     }),
 
+    "st09_stream_bloom_gate" -> ((s0, d) => {
+      // Bloom-gated ingest AT STREAM TIME — d23's sketch as a
+      // PERSISTED artifact (the Dolma deduper's deployment shape):
+      // built once from the static corpus, written with
+      // write-then-rename, read back COLD by the streaming job, and
+      // probed map-side per micro-batch; sketch positives
+      // exact-confirm against the corpus hash set (at 100 TB that
+      // side is d20's stored posting artifact) so the verdict carries
+      // no false positives. Two micro-batches prove per-batch
+      // independence; verdict rows append to a checkpointed sink and
+      // the read-back must equal batch d23 exactly (same oracle SQL).
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docsDf = graft.Tables.t(s, d, "documents")
+      val corpusStatic = docsDf.filter(col("doc_id") % 7 =!= 3)
+        .select("doc_id", "text")
+      val base = EngineOps.tempDir("graft-st09")
+      // BUILD: sketch artifact to disk
+      val corpusH = graft.queries.PipelineOps.bloomCorpusHashes(corpusStatic, 3)
+      graft.queries.PipelineOps.bloomPersist(
+        graft.queries.PipelineOps.bloomSketchOf(corpusH, 0.03), s"$base/sketch", s)
+      // SERVE: cold read — no lineage to the build-side sketch object
+      val served = graft.queries.PipelineOps.bloomLoad(s"$base/sketch", s)
+      val batchDocs = docsDf.filter(col("doc_id") % 7 === 3)
+        .select("doc_id", "text", "lang")
+        .as[graft.streaming.Streams.Doc].collect().toSeq
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.queries.PipelineOps.bloomGateWith(
+            batch.select("doc_id", "text"), corpusH, served,
+            chunkWords = 3, tau = 0.5)
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("doc_id")
+    }),
+
     "st07_stream_drift" -> ((s0, d) => {
       // Distribution drift AT INGEST — guard02's release gate as a
       // streaming stage: the candidate corpus arrives in micro-batches,
@@ -907,6 +955,26 @@ object MediaCatalogOps {
       FROM documents
       WHERE doc_id % 7 = 3 AND doc_id NOT IN (SELECT b_id FROM dup)
       GROUP BY lang ORDER BY lang""",
+
+    // the stream's sink must equal batch d23 exactly (batches
+    // partition the slice, the gate is per-doc) ⇒ d23's SQL verbatim
+    "st09_stream_bloom_gate" -> """
+      WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      ch AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(array_to_string(w[(k*3+1):(k*3+3)], ' ')), 1, 15))::BIGINT AS h
+        FROM d, unnest(generate_series(0, CAST(ceil(len(w)/3.0) AS INT)-1)) AS t(k)),
+      corpus AS (SELECT DISTINCT h FROM ch WHERE doc_id % 7 <> 3),
+      batch AS (SELECT doc_id, h FROM ch WHERE doc_id % 7 = 3),
+      j AS (
+        SELECT b.doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM batch b LEFT JOIN corpus c USING (h) GROUP BY 1)
+      SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+             CAST(n_dup AS BIGINT) AS n_dup,
+             round(n_dup * 1.0 / n_chunks, 4) AS dup_ratio,
+             (n_dup * 1.0 / n_chunks < 0.5) AS keep
+      FROM j ORDER BY doc_id""",
 
     "st05_stream_quality_gate" -> """
       WITH scored AS (

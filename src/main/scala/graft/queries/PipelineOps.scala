@@ -964,24 +964,66 @@ object PipelineOps {
     * (doc_id, n_chunks, n_dup, dup_ratio, keep). */
   private[graft] def bloomDedupGateOf(batch: DataFrame, corpus: DataFrame,
       chunkWords: Int, tau: Double, fpp: Double): DataFrame = {
-    graft.exprs.Md5Bits60.register(batch.sparkSession)
-    def chunked(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val corpusH = bloomCorpusHashes(corpus, chunkWords)
+    bloomGateWith(batch, corpusH, bloomSketchOf(corpusH, fpp), chunkWords, tau)
+  }
+
+  /** Fixed-window chunk hashes per doc: (doc_id, hs: array<long>). */
+  private def bloomChunked(df: DataFrame, chunkWords: Int): DataFrame = {
+    graft.exprs.Md5Bits60.register(df.sparkSession)
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), expr(
         s"transform(sequence(0, cast(ceil(size(w) / ${chunkWords}.0) as int) - 1), " +
           s"k -> md5_bits60(concat_ws(' ', slice(w, k * $chunkWords + 1, $chunkWords))))")
         .as("hs"))
-    val corpusH = chunked(corpus).select(explode(col("hs")).as("h")).distinct()
-    // build stage: one count to size the sketch, one tree-aggregated
-    // sketch build — both bounded driver actions on the BUILD path,
-    // exactly like d20's artifact write
-    val nDistinct = math.max(corpusH.count(), 1L)
-    val bloom = corpusH.stat.bloomFilter("h", nDistinct, fpp)
+  }
+
+  /** The corpus's distinct chunk-hash set — the exact-confirm side (at
+    * scale, d20's stored posting artifact plays this role). */
+  private[graft] def bloomCorpusHashes(corpus: DataFrame, chunkWords: Int): DataFrame =
+    bloomChunked(corpus, chunkWords).select(explode(col("hs")).as("h")).distinct()
+
+  /** BUILD stage: one count to size the sketch, one tree-aggregated
+    * sketch build — both bounded driver actions on the BUILD path,
+    * exactly like d20's artifact write. */
+  private[graft] def bloomSketchOf(corpusH: DataFrame,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    corpusH.stat.bloomFilter("h", math.max(corpusH.count(), 1L), fpp)
+
+  /** Persist the sketch artifact with the journal's write-then-rename
+    * discipline (Hadoop FS — cloud-path-safe like d20/s11). */
+  private[graft] def bloomPersist(bloom: org.apache.spark.util.sketch.BloomFilter,
+      dir: String, spark: SparkSession): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
+    val tmp = new org.apache.hadoop.fs.Path(base, "_sketch.bin.tmp")
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(base, "sketch.bin")
+    fs.delete(fin, false)
+    fs.rename(tmp, fin)
+  }
+
+  /** Cold-read the persisted sketch artifact. */
+  private[graft] def bloomLoad(dir: String,
+      spark: SparkSession): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(dir, "sketch.bin")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** PROBE + CONFIRM + rollup against a given sketch (see
+    * [[bloomDedupGateOf]] for the contract and scale notes). */
+  private[graft] def bloomGateWith(batch: DataFrame, corpusH: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      chunkWords: Int, tau: Double): DataFrame = {
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((h: Long) => bc.value.mightContainLong(h))
-    val sizes = chunked(batch)
+    val sizes = bloomChunked(batch, chunkWords)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_chunks"))
-    val confirmed = chunked(batch)
+    val confirmed = bloomChunked(batch, chunkWords)
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .filter(might(col("h")))                     // map-side sketch probe
       .join(corpusH, Seq("h"), "left_semi")        // exact confirm

@@ -763,6 +763,32 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("st09 streaming bloom gate: sink equals batch d23, sketch artifact round-trips bit-exact") {
+    import graft.queries.PipelineOps
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    // d23 is oracle-verified; the streamed sink must equal it exactly
+    val batchVerdict = run("d23_bloom_dedup_gate").collect().map(key).toSet
+    val streamed = graft.queries.MediaCatalogOps
+      .defs("st09_stream_bloom_gate")(spark, dir).collect().map(key).toSet
+    assert(streamed == batchVerdict)
+    // artifact round trip: persisted-then-loaded sketch serializes to
+    // the same bytes as the built one
+    val corpusH = PipelineOps.bloomCorpusHashes(
+      graft.Tables.t(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 3)
+        .select("doc_id", "text"), 3)
+    val built = PipelineOps.bloomSketchOf(corpusH, 0.03)
+    val tmp = java.nio.file.Files.createTempDirectory("bloom-rt").toString
+    PipelineOps.bloomPersist(built, tmp, spark)
+    val loaded = PipelineOps.bloomLoad(tmp, spark)
+    def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(bytes(built), bytes(loaded)),
+      "sketch artifact round trip is not bit-exact")
+  }
+
   test("t21 C4 line gate: every rule branch on crafted docs + corpus recompute") {
     import spark.implicits._
     import graft.queries.PipelineOps.c4LineGateOf
