@@ -702,6 +702,60 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** mm14: audio near-dup by frame-fingerprint shingling — mm12's
+    * re-upload/re-edit cut for the audio modality (the
+    * chromaprint/AcoustID deployment shape: a clip's signature is a
+    * SET of short-window fingerprints, robust to trims and
+    * concatenation, which sample-exact hashing (d01-style) can never
+    * see). Every WAV decodes map-side (real AudioSystem codec); its
+    * non-overlapping `frameLen`-sample windows fingerprint through the
+    * engine's 60-bit md5 (unsigned sample values comma-joined — a
+    * production system swaps in spectral peaks; the PLUMBING — decode,
+    * window, fingerprint-set, join — is what this operator pins);
+    * candidate pairs meet on a shared fingerprint equi-join, survivors
+    * at set-Jaccard ≥ `tau` with shared count + score. Per-clip
+    * fingerprint counts ride along from the decode so Jaccard needs no
+    * second join (mm12's trick). Short tail windows are dropped — a
+    * trailing partial window would hash differently for the same
+    * leading content.
+    *
+    * Scale: payloads reduce to 8-byte fingerprints map-side before
+    * anything shuffles; the join keys on the 60-bit hash, ids-only on
+    * the wire; a pathologically common window (silence) fans out
+    * f²-style — mm12/d09's stop-frame df cap composes as one filter
+    * before the join. Payload bytes never cross an exchange
+    * (plan-pinned).
+    */
+  def audioNearDup(spark: SparkSession, dir: String, frameLen: Int,
+      tau: Double): DataFrame = {
+    import spark.implicits._
+    val prints = mediaTable(spark, dir)
+      .filter(_.media_type == "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (_, samples) = Codecs.decodeWav(r.payload)
+          val fps = samples.grouped(frameLen)
+            .filter(_.length == frameLen)
+            .map(w => graft.exprs.Md5Bits60.compute(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                w.map(b => (b & 0xff).toString).mkString(","))))
+            .toSet
+          fps.iterator.map(h => (r.doc_id, h, fps.size))
+        }
+      }
+      .toDF("doc_id", "fp", "nf")
+    prints.as("a").join(prints.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.nf").as("na"), col("b.nf").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** mm13: cross-modal containment — still images that ARE a frame of
     * some video (the thumbnail / extracted-frame case: a video's key
     * frame re-uploaded as an image duplicates content the clip already

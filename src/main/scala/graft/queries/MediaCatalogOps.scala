@@ -44,6 +44,14 @@ object MediaCatalogOps {
       // proves the banding's recall at hamming<=7 is exact (pigeonhole)
       Multimodal.perceptualDedup(s, d)),
 
+    "mm14_audio_near_dup" -> ((s, d) =>
+      // chromaprint-shaped audio near-dup: 20-sample window
+      // fingerprints, candidate pairs on a shared print, Jaccard >=
+      // 0.5 — a real cut on this fixture (725 of 2554 candidate pairs
+      // survive; the sample arithmetic gives partial overlaps, so the
+      // score spans 0.02..0.84 rather than degenerate 0/1)
+      Multimodal.audioNearDup(s, d, frameLen = 20, tau = 0.5)),
+
     "mm09_image_text_alignment" -> ((s, d) =>
       // CLIP-style pair gate: decoded-raster 64-bucket image embedding
       // vs the caption's text embedding through native cosine_sim,
@@ -599,6 +607,28 @@ object MediaCatalogOps {
              round(avg(CASE WHEN i % 3 = 2 THEN v END), 4) AS mean_b,
              CAST(max(v) AS INTEGER) AS max_byte
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    // the WAV fixture is sample[i] = (doc_id*17 + i) % 256 (mm06's
+    // oracle pins the decode); the fingerprint is the engine's 60-bit
+    // md5 of the comma-joined unsigned samples per 20-sample window
+    "mm14_audio_near_dup" -> """
+      WITH aud AS (
+        SELECT doc_id, 256 + doc_id % 512 AS n FROM documents WHERE doc_id % 3 = 1),
+      fr AS (
+        SELECT DISTINCT doc_id,
+          ('0x' || substring(md5(array_to_string(
+             [ (doc_id*17 + k*20 + j) % 256 for j in generate_series(0, 19) ], ',')), 1, 15))::BIGINT AS fp
+        FROM aud, generate_series(0, 37) t(k) WHERE (k+1)*20 <= n),
+      sizes AS (SELECT doc_id, count(*) AS s FROM fr GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared,
+             round(shared * 1.0 / (x.s + y.s - shared), 4) AS jac
+      FROM pairs JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE round(shared * 1.0 / (x.s + y.s - shared), 4) >= 0.5
+      ORDER BY doc_a, doc_b""",
 
     "mm06_audio_features" -> """
       WITH aud AS (

@@ -225,6 +225,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == expected, s"operator pairs != formula recompute:\n$out\nvs\n$expected")
   }
 
+  test("mm14 audio near-dup: fingerprint-set Jaccard matches the formula recompute") {
+    import Multimodal.Codecs
+    import org.apache.spark.sql.functions.col
+    def fp(id: Long, k: Int): Long =
+      graft.exprs.Md5Bits60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          (0 until 20).map(j => Codecs.sample(id, k * 20 + j)).mkString(",")))
+    val ids = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 1).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val sets = ids.map { id =>
+      val n = Codecs.audioSampleCount(id)
+      id -> (0 until n / 20).map(fp(id, _)).toSet
+    }.toMap
+    val expected = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = ids(i); b = ids(j)
+      sh = (sets(a) & sets(b)).size if sh > 0
+      jac = math.round(sh.toDouble / (sets(a) ++ sets(b)).size * 10000) / 10000.0
+      if jac >= 0.5
+    } yield (a, b, sh.toLong, jac)).sorted
+    val out = Multimodal.audioNearDup(spark, dir, frameLen = 20, tau = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    assert(expected.nonEmpty, "fixture must produce at least one near-dup audio pair")
+    assert(expected.size < ids.length * (ids.length - 1) / 2, "gate must cut most pairs")
+    assert(out == expected, s"operator pairs != formula recompute:\n${out.take(5)}\nvs\n${expected.take(5)}")
+  }
+
   test("frame containment: image-vs-frame fingerprint equality matches the formula recompute") {
     import Multimodal.Codecs
     // sf0.01: the sf0.001 slice happens to contain no containments

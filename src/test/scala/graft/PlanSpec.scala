@@ -457,6 +457,22 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
+  test("mm14 audio near-dup: print equi-join only, payload never shuffles") {
+    // decode + window fingerprinting stay inside the map stage; the
+    // candidate join keys on the 60-bit print with ids-only on the
+    // wire, and the per-clip print count rides along (no second join)
+    val df = graft.queries.MediaCatalogOps.defs("mm14_audio_near_dup")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "print join degenerated to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one candidate join, got $joins:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.toLowerCase.contains("exchange") && l.toLowerCase.contains("payload")),
+      s"binary payload column crossed an exchange:\n$plan")
+  }
+
   test("mm13 frame containment: hash equi-join only, payload never shuffles") {
     // both modalities reduce to 8-byte fingerprints map-side; the
     // containment join keys on the 64-bit hash, ids-only on the wire
