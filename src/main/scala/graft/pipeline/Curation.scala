@@ -73,6 +73,23 @@ object Curation {
       nearDupPairs(docs, minJaccard, idCol, textCol).select(col("d1"), col("d2")),
       rounds)
 
+  /** Duplicate-cluster election by the alternating large-star/
+    * small-star contraction (d24's kernel, Kiveris et al. 2014):
+    * the same clusters as [[dupClusters]], reached in O(log n)
+    * verified-fixpoint rounds regardless of cluster DIAMETER — prefer
+    * this when duplicate chains may be deeper than a few hops (long
+    * boilerplate chains defeat any fixed propagation unrolling).
+    * Returns (cluster_id, n_members, members). */
+  def dupClustersAlternating(docs: DataFrame, minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.ccAlternatingOf(
+      nearDupPairs(docs, minJaccard, idCol, textCol).select(col("d1"), col("d2")))
+
+  /** [[dupClustersAlternating]] over a caller-supplied edge set
+    * `(d1, d2)` — any pair source composes. */
+  def dupClustersAlternatingFromEdges(edges: DataFrame): DataFrame =
+    PipelineOps.ccAlternatingOf(edges.select(col("d1"), col("d2")))
+
   /** The dedup keep decision (d19's kernel): per duplicate cluster of
     * the ≥ `minJaccard` graph, elect the HIGHEST-quality member (t14's
     * in-row score, id-asc tiebreak) instead of an arbitrary min id —

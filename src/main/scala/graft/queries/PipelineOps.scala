@@ -2543,6 +2543,78 @@ object PipelineOps {
     labels
   }
 
+  /** d24's kernel — connected components by the ALTERNATING
+    * large-star/small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): each round,
+    * large-star hangs every node's larger neighbors off its
+    * neighborhood minimum, small-star re-points every node's smaller
+    * neighbors at it — the edge set contracts toward star graphs
+    * rooted at each component's minimum in O(log n) rounds REGARDLESS
+    * OF DIAMETER, where d11's min-label propagation needs
+    * diameter-many rounds (a 100-doc boilerplate chain defeats any
+    * fixed unrolling; the crafted-path spec pins exactly that case).
+    * Rounds loop to an EXACT fixpoint: the edge set is compared
+    * set-equal round over round (two bounded control-plane jobs per
+    * round over the contracting star edges — never the corpus), so
+    * convergence is verified, not assumed; `maxRounds` only guards a
+    * runaway. Per round: two groupBy-min shuffles + two equi-joins on
+    * node ids, a localCheckpoint barrier per round (d11's note: at
+    * 100 TB a reliable checkpoint to cluster storage). Output contract
+    * is [[dupClustersOf]]'s exactly: (cluster_id, n_members,
+    * members-csv), labels = component minima. */
+  /** One large-star round: every node's larger neighbors re-point at
+    * its neighborhood minimum (self included). Equi-joins only. */
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val g = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(g, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(g.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: each edge directed larger→smaller, every
+    * node's smaller neighbors re-point at their minimum. */
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val g = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(g, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(g.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private[graft] def ccAlternatingOf(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
+    def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
+    var e = edges.select(col("d1").as("u"), col("d2").as("v"))
+      .distinct().localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      round += 1
+    }
+    require(converged, s"alternating CC did not converge in $maxRounds rounds")
+    // at the fixpoint e is child→root stars; roots label themselves
+    val childL = e.groupBy("u").agg(min("v").as("lbl"))
+      .select(col("u").as("node"), col("lbl"))
+    val rootL = e.select(col("v").as("node")).distinct()
+      .join(childL.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("lbl"))
+    childL.union(rootL)
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        concat_ws(",", sort_array(collect_list(col("node")))).as("members"))
+  }
+
   /** d19's kernel — the dedup KEEP DECISION: given the verified
     * near-dup edge set, elect the HIGHEST-QUALITY member of each
     * duplicate cluster (t14's in-row score, doc_id-asc tiebreak)
@@ -2684,6 +2756,17 @@ object PipelineOps {
       // at 100 TB this is a checkpoint to cluster storage per round.)
       val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
       dupClustersOf(edges, rounds = 3).orderBy("cluster_id")
+    }),
+
+    "d24_cc_largestar" -> ((s, d) => {
+      // The same duplicate clusters as d11, computed by the alternating
+      // large-star/small-star contraction instead of bounded-round
+      // propagation — O(log n) rounds regardless of cluster DIAMETER
+      // (the failure mode of any fixed unrolling: a long boilerplate
+      // chain). Loops to a verified fixpoint; same edge set, same
+      // output contract, same oracle (the true recursive-CTE fixpoint).
+      val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
+      ccAlternatingOf(edges).orderBy("cluster_id")
     }),
 
     "d19_quality_keep" -> ((s, d) => {
@@ -4900,6 +4983,37 @@ object PipelineOps {
     // true connected-components fixpoint via the recursive CTE —
     // verifies the Spark side's 3 unrolled propagation rounds reached
     // convergence, not just a plausible intermediate state
+    // the alternating contraction must reach the SAME true fixpoint
+    // as d11's propagation ⇒ d11's recursive-CTE SQL verbatim
+    "d24_cc_largestar" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), edges AS (
+        SELECT d1, d2
+        FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+        WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      ), sym AS (
+        SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+      ), reach(v, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.v
+        WHERE r.lbl < s.src
+      )
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        array_to_string(list_sort(list(v)), ',') AS members
+      FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
+      GROUP BY cluster_id ORDER BY cluster_id""",
+
     "d11_dup_clusters" -> """
       WITH RECURSIVE sh AS (
         SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]

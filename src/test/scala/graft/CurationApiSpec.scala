@@ -541,6 +541,15 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("dupClustersAlternating over renamed columns equals the d24 entry") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2))
+    val api = Curation.dupClustersAlternating(userDocs, 0.5,
+      idCol = "docnum", textCol = "body").collect().map(key).toSet
+    val ref = entry("d24_cc_largestar").collect().map(key).toSet
+    assert(api == ref)
+  }
+
   test("bloomDedupGate over renamed columns equals the d23 entry") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))

@@ -763,6 +763,29 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("d24 alternating CC: converges on a diameter-9 path that defeats 3-round propagation; corpus equals d11") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{ccAlternatingOf, dupClustersOf}
+    // the motivating case: a 10-node path (diameter 9). 3-round
+    // min-label propagation CANNOT finish it; the alternating
+    // contraction must — and the contrast is asserted, not assumed.
+    val path = (1L to 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val alt = ccAlternatingOf(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(alt.toSeq == Seq((1L, 10L, (1L to 10L).mkString(","))),
+      s"path must contract to one cluster rooted at 1: ${alt.toSeq}")
+    val prop3 = dupClustersOf(path, rounds = 3).collect()
+    assert(prop3.length > 1,
+      "3-round propagation unexpectedly finished a diameter-9 path — contrast case broken")
+    // full corpus: identical clusters to the oracle-verified d11
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2))
+    val d24 = run("d24_cc_largestar").collect().map(key).toSet
+    val d11 = run("d11_dup_clusters").collect().map(key).toSet
+    assert(d24 == d11)
+    assert(d24.nonEmpty && d24.exists(_._2 > 2), "corpus must have a >2-member cluster")
+  }
+
   test("st09 streaming bloom gate: sink equals batch d23, sketch artifact round-trips bit-exact") {
     import graft.queries.PipelineOps
     def key(r: org.apache.spark.sql.Row) =

@@ -928,6 +928,21 @@ class PlanSpec extends AnyFunSuite {
       s"in-row operator grew an aggregation shuffle:\n$plan")
   }
 
+  test("d24 alternating CC round: equi-joins on node ids only, no cartesian") {
+    // one large-star + small-star round over an edge frame — the plan
+    // the driver loop repeats; both stars must meet their min tables
+    // through equi-joins (the loop's eager actions hide this from the
+    // entry's final plan, so the round is pinned directly)
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val plan = planOf(graft.queries.PipelineOps.ccSmallStar(
+      graft.queries.PipelineOps.ccLargeStar(e)))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"star round grew a cartesian:\n$plan")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findFirstIn(plan).isDefined, "node-id equi-join missing")
+  }
+
   test("d15 skew-robust incremental dedup: prefix equi-joins only, no cartesian") {
     val df = graft.queries.PipelineOps.defs("d15_incremental_skew")(spark, dir)
     val plan = planOf(df)
