@@ -323,6 +323,17 @@ object Curation {
     PipelineOps.c4LineGateOf(canon(docs, idCol, textCol), lineWords,
       minLineWords, lineBlock, docBlock, minKeptLines)
 
+  /** Multi-epoch training-order manifest audit (p08's kernel): per
+    * epoch every doc gets a deterministic md5 order key and a
+    * hash-balanced shard; each epoch is a decorrelated permutation of
+    * the corpus and a rerun rebuilds the identical order. Returns the
+    * per-(epoch, shard) audit (n_docs, n_tokens, id_checksum,
+    * key_checksum, first_key). */
+  def trainingOrderManifest(docs: DataFrame, epochs: Int = 2,
+      shards: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.trainingOrderManifestOf(canon(docs, idCol, textCol), epochs, shards)
+
   /** Soft dedup (d21's kernel): duplicate-aware DOWNWEIGHTING instead
     * of removal — every doc survives with weight 1/|near-dup cluster|
     * (singletons 1.0), plus token count and weighted effective mass,

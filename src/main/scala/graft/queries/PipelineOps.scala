@@ -701,6 +701,42 @@ object PipelineOps {
       .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
+  /** p08's kernel — multi-epoch training-order manifest: the artifact
+    * the DATA LOADER consumes after curation ships. Per epoch every
+    * doc gets a deterministic order key md5_bits60(epoch ':' doc_id)
+    * and a shard = key mod `shards`; the loader reads shard files in
+    * key order — so each epoch is a permutation of the corpus, epochs
+    * are decorrelated (the key re-derives per epoch: a doc's shard AND
+    * position both move), shards are hash-balanced, and a rerun
+    * rebuilds the identical order with no RNG state to persist. The
+    * oracled output is the per-(epoch, shard) audit that pins EXACT
+    * membership and order: doc/token counts, id checksum, an order-key
+    * checksum in modular arithmetic (sum of okey mod 1e9+7 — exact in
+    * BIGINT in both engines; a raw 60-bit sum would wrap Spark's long
+    * while DuckDB widens to HUGEINT), and the shard's first key.
+    * Everything before the rollup is a pure map (epoch explode is
+    * in-row); ONE partial-agg shuffle on (epoch, shard) — epochs·
+    * shards rows out. At 100 TB the manifest itself writes
+    * partitionBy(epoch, shard) sorted by okey (sink02's layout) and
+    * downstream jobs prune on both. */
+  private[graft] def trainingOrderManifestOf(docs: DataFrame, epochs: Int,
+      shards: Int): DataFrame = {
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("epoch", explode(expr(s"sequence(0, ${epochs - 1})")))
+      .withColumn("okey", expr("md5_bits60(concat(epoch, ':', doc_id))"))
+      .select(col("epoch").cast("long").as("epoch"),
+        pmod(col("okey"), lit(shards.toLong)).as("shard"),
+        col("doc_id"), col("n_tok"), col("okey"))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("doc_id").as("id_checksum"),
+        sum(col("okey") % lit(1000000007L)).as("key_checksum"),
+        min("okey").as("first_key"))
+      .orderBy("epoch", "shard")
+  }
+
   /** t15's kernel — corpus-hapax novelty ratio: per doc, the fraction
     * of its distinct tokens that appear nowhere else in the corpus.
     * Skew-free: a hapax term's `min(doc_id)` IS its owner, so no term
@@ -4369,6 +4405,16 @@ object PipelineOps {
         .orderBy("split", "lang")
     }),
 
+    "p08_training_order" -> ((s, d) => {
+      // Multi-epoch training-order manifest: 2 epochs × 4 shards over
+      // the corpus — per-(epoch, shard) audit pinning exact membership
+      // (id checksum) and exact order (modular key checksum + first
+      // key). Kernel scaladoc has the scale notes (pure map + one
+      // partial-agg shuffle; the full manifest writes partitionBy
+      // (epoch, shard) sorted by okey).
+      trainingOrderManifestOf(t(s, d, "documents"), epochs = 2, shards = 4)
+    }),
+
     "spl02_split_leakage" -> ((s, d) => {
       // The audit every split needs before it ships: val/test docs
       // with a near-dup in TRAIN (jaccard >= 0.5 over spl01's exact
@@ -5675,6 +5721,24 @@ object PipelineOps {
              CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_checksum
       FROM quota q LEFT JOIN sel s ON q.lang = s.lang
       GROUP BY q.lang, q.n_docs, q.quota ORDER BY q.lang""",
+
+    // epoch ':' doc_id through the portable 60-bit md5; key checksum
+    // in mod-1e9+7 arithmetic so BIGINT holds the sum in both engines
+    "p08_training_order" -> """
+      WITH e AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, k AS epoch
+        FROM documents, unnest(generate_series(0, 1)) t(k)),
+      keyed AS (
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, n_tok,
+               ('0x' || substring(md5(epoch || ':' || doc_id), 1, 15))::BIGINT AS okey
+        FROM e)
+      SELECT epoch, okey % 4 AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(sum(okey % 1000000007) AS BIGINT) AS key_checksum,
+             min(okey) AS first_key
+      FROM keyed GROUP BY 1, 2 ORDER BY epoch, shard""",
 
     "spl01_train_val_test_split" -> """
       WITH s AS (

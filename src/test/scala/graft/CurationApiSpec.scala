@@ -541,6 +541,16 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("trainingOrderManifest over renamed columns equals the p08 entry") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    val api = Curation.trainingOrderManifest(userDocs, 2, 4,
+      idCol = "docnum", textCol = "body").collect().map(key).toSet
+    val ref = entry("p08_training_order").collect().map(key).toSet
+    assert(api == ref)
+  }
+
   test("dupClustersAlternating over renamed columns equals the d24 entry") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getString(2))

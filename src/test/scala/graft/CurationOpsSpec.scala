@@ -763,6 +763,39 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("p08 training order: plain-Scala recompute, epochs decorrelated, permutation per epoch") {
+    import spark.implicits._
+    def okey(e: Long, id: Long): Long =
+      graft.exprs.Md5Bits60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$e:$id"))
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // full recompute of the audit
+    val rows = for { (id, t) <- docs; e <- 0L to 1L } yield {
+      val k = okey(e, id)
+      (e, k % 4, id, t.split(" ", -1).length.toLong, k)
+    }
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case ((e, sh), g) =>
+      (e, sh, g.size.toLong, g.map(_._4).sum, g.map(_._3).sum,
+        g.map(_._5 % 1000000007L).sum, g.map(_._5).min)
+    }.toSet
+    val got = run("p08_training_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    // each epoch is a full permutation of the corpus...
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.values.forall(_.map(_._3).toSet == docs.map(_._1).toSet))
+    // ...and epochs are DECORRELATED: shard placement differs between
+    // epoch 0 and epoch 1 for a substantial fraction of docs
+    val sh0 = rows.filter(_._1 == 0L).map(r => r._3 -> r._2).toMap
+    val moved = rows.filter(_._1 == 1L).count(r => sh0(r._3) != r._2)
+    assert(moved > docs.length / 2,
+      s"only $moved/${docs.length} docs changed shard between epochs")
+    // every (epoch, shard) cell is populated (hash balance at 4 shards)
+    assert(got.size == 8, s"expected 8 cells, got ${got.size}")
+  }
+
   test("d24 alternating CC: converges on a diameter-9 path that defeats 3-round propagation; corpus equals d11") {
     import spark.implicits._
     import graft.queries.PipelineOps.{ccAlternatingOf, dupClustersOf}

@@ -928,6 +928,18 @@ class PlanSpec extends AnyFunSuite {
       s"in-row operator grew an aggregation shuffle:\n$plan")
   }
 
+  test("p08 training order: pure map + one partial-agg rollup, no join, no window") {
+    val df = graft.queries.PipelineOps.defs("p08_training_order")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"manifest audit grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"manifest audit grew a window:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one rollup shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "rollup must partial-aggregate map-side")
+  }
+
   test("d24 alternating CC round: equi-joins on node ids only, no cartesian") {
     // one large-star + small-star round over an edge frame — the plan
     // the driver loop repeats; both stars must meet their min tables
