@@ -1526,6 +1526,60 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** idx04's build half — the doc-length sidecar next to the
+    * positional index (BM25 needs dl per doc and computing it from the
+    * index at serve time would scan every bucket; the sidecar is one
+    * narrow corpus-cardinality table written once at build). */
+  private[graft] def docLengthBuild(docs: DataFrame, dir: String): Unit =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** idx04's kernel — BM25 ranked retrieval served ENTIRELY from
+    * stored artifacts (s07 is the scan-per-query baseline; this is
+    * what a search system actually runs once idx02's positional index
+    * exists — ONE artifact, two serve modes: idx02 locates phrases,
+    * this ranks). Per query term the postings scan carries a literal
+    * bucket PartitionFilter + pushed term predicate (df(term) rows
+    * read, never the corpus); tf = positions-per-doc count; df = the
+    * stream's doc count; N/avgdl aggregate over the doclen sidecar.
+    * Candidates are the union of the query terms' postings docs — a
+    * doc matching NO query term scores 0 while every matched term
+    * contributes positively (Lucene idf is always > 0), so the cut
+    * equals s07's full ranking whenever ≥ k docs match ≥ 1 term
+    * (spec-pinned equal to the live s07 scan on this corpus; a
+    * production top-k never surfaces zero-match docs). The scoring
+    * expression replicates s07's tree term-for-term (same fixed
+    * left-to-right sum, tf 0 via coalesce) so the rounded scores are
+    * IEEE-identical. Top-k is TakeOrdered on (rounded score desc,
+    * doc_id). 100 TB: serve reads df-sized streams + one narrow
+    * sidecar; the corpus text is never touched. */
+  private[graft] def bm25ServeFromIndex(index: DataFrame, doclen: DataFrame,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query must have at least one term")
+    val tfs = terms.zipWithIndex.map { case (tm, i) =>
+      index.filter(col("bucket") === termBucket(tm) && col("term") === tm)
+        .groupBy("doc_id").agg(count(lit(1)).cast("double").as(s"tf$i"))
+    }
+    val cands = tfs.map(_.select("doc_id")).reduce(_ union _).distinct()
+    var feat = cands.join(doclen, Seq("doc_id"))
+    tfs.foreach(tfI => feat = feat.join(tfI, Seq("doc_id"), "left"))
+    val stats = (doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl")) +:
+      terms.indices.map(i =>
+        tfs(i).agg(count(lit(1)).cast("double").as(s"df$i"))))
+      .reduce(_ crossJoin _)
+    val score = terms.indices.map { i =>
+      val tf = coalesce(col(s"tf$i"), lit(0.0))
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
+      idf * tf * (k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    feat.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** t20's kernel — unigram-LM (SentencePiece-style) Viterbi
     * segmentation (Kudo 2018), the OTHER production tokenizer family
     * next to the BPE line (t13/t16-t19): pieces are every 1..`maxPiece`
@@ -4839,6 +4893,23 @@ object PipelineOps {
       phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
     }),
 
+    "idx04_bm25_serve" -> ((s, d) => {
+      // BM25 ranked retrieval served from the STORED artifacts —
+      // completes the search lifecycle (idx01 builds the ranked head,
+      // idx02 locates, idx03 merges, this RANKS at serve time): same
+      // positional index + a doc-length sidecar, query = s07's exact
+      // terms and k, verdict pinned equal to the live s07 scan (same
+      // oracle SQL). Kernel scaladoc has the serve-plan scale notes
+      // (df-sized pruned streams, corpus text never touched).
+      val base = EngineOps.tempDir("graft-idx04")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      positionalIndexBuild(docs, s"$base/index")
+      docLengthBuild(docs, s"$base/doclen")
+      bm25ServeFromIndex(
+        s.read.parquet(s"$base/index"), s.read.parquet(s"$base/doclen"),
+        Seq("spark", "join", "vector"), k = 20)
+    }),
+
     "idx03_index_merge" -> ((s, d) => {
       // Index segment merge — the maintenance op that completes the
       // artifact lifecycle (idx02 builds, idx02 serves, s17 appends,
@@ -6999,6 +7070,30 @@ object PipelineOps {
                                      ' ' ORDER BY tp.tpos), '')) AS cleaned_md5
       FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.tpos = tp.tpos
       GROUP BY tp.doc_id ORDER BY tp.doc_id""",
+
+    // the index-served ranking must equal the live scan ⇒ s07's SQL
+    // verbatim (>= k docs match >= 1 query term on this corpus, so the
+    // candidates-only serve sees the same top-k)
+    "idx04_bm25_serve" -> """
+      WITH feat AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
+               len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
+               len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf2
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM feat)
+      SELECT doc_id, round(
+          ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+          ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+          ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)),
+          4) AS score
+      FROM feat, stats
+      ORDER BY score DESC, doc_id LIMIT 20""",
 
     "s07_bm25_topk" -> """
       WITH feat AS (

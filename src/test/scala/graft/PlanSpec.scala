@@ -536,6 +536,24 @@ class PlanSpec extends AnyFunSuite {
       s"adjacency degenerated from an equi-join:\n$plan")
   }
 
+  test("idx04 BM25 serve: pruned index scans, no corpus scan, TakeOrdered top-k") {
+    // serve must read ONLY the artifacts: each query term's postings
+    // scan carries its literal bucket PartitionFilter + pushed term
+    // predicate, the corpus text never appears, and the top-k is a
+    // bounded TakeOrdered — never a global sort
+    val df = graft.queries.PipelineOps.defs("idx04_bm25_serve")(spark, dir)
+    val plan = planOf(df)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket literal did not become a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the index scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"serve plan touched the corpus text:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("idx03 index merge: merged-artifact probe prunes and equals the single build") {
     // segment merge must be invisible at serve time: same partition
     // pruning + pushed term predicate as idx02, and the answer over

@@ -86,6 +86,18 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("idx04: index-served BM25 equals the live s07 scan row-for-row") {
+    // same query, same k — the artifact round trip must be invisible
+    // in the ranking (and >= k docs match >= 1 term here, the
+    // candidates-only precondition the kernel documents)
+    val live = run("s07_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = run("idx04_bm25_serve").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == live, s"index-served ranking diverged:\n$served\nvs\n$live")
+    assert(live.forall(_._2 > 0), "precondition: all top-k docs match a term")
+  }
+
   test("s07: adjacent repeated terms both count (regexp tf is exact)") {
     import spark.implicits._
     val tf = Seq("spark spark spark", "a spark b", "sparkle spark", "spark")
