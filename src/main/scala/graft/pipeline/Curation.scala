@@ -323,6 +323,16 @@ object Curation {
     PipelineOps.c4LineGateOf(canon(docs, idCol, textCol), lineWords,
       minLineWords, lineBlock, docBlock, minKeptLines)
 
+  /** Canary extraction audit (guard03's kernel): plant md5-unique
+    * canary phrases into two doc classes, run the real span cleaner
+    * on class A's phrases, keep B as the deliberate control, and
+    * report per class whether any canary survived — a release
+    * certifies only if A is clear AND the audit catches B leaking.
+    * Returns (class, n_planted, n_leaked, leak_rate, clear). */
+  def canaryAudit(docs: DataFrame, runLen: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.canaryAuditOf(canon(docs, idCol, textCol), runLen)
+
   /** Multi-epoch training-order manifest audit (p08's kernel): per
     * epoch every doc gets a deterministic md5 order key and a
     * hash-balanced shard; each epoch is a decorrelated permutation of

@@ -165,6 +165,58 @@ object PipelineOps {
         carry.map(col): _*)
   }
 
+  /** guard03's kernel — canary extraction audit (the Carlini-style
+    * planted-canary drill, run before a release certifies its
+    * decontamination): plant UNIQUE known canary phrases into two doc
+    * classes, run the REAL span cleaner (dec04's kernel) with class
+    * A's phrases as the eval set, leave class B as the deliberate
+    * control, and report per class whether any canary survived. A
+    * clean pass must show A clear AND B leaking — an audit that cannot
+    * catch the control's leak proves nothing (the spec asserts both
+    * sides). Canary tokens are md5-derived ('cn<cls><hex8>' etc.), so
+    * they collide with nothing: the planted 3-gram is the ONLY gram
+    * the eval set matches and the cover removes exactly the plant.
+    * Plants and class assignment are md5-coin deterministic — both
+    * engines re-derive them with no state. Returns per class:
+    * (class, n_planted, n_leaked, leak_rate, clear).
+    *
+    * 100 TB: planting is a pure map; the cleaner runs dec04's plan
+    * (broadcast eval grams, map-side cover); the audit rollup is one
+    * partial-agg shuffle over the two planted classes only. */
+  private[graft] def canaryAuditOf(docs: DataFrame, runLen: Int = 3): DataFrame = {
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    val tagged = docs.select(col("doc_id"), col("text"),
+        expr("pmod(md5_bits60(concat('g3:', doc_id)), 100)").as("bk"),
+        expr("substring(md5(cast(doc_id as string)), 1, 8)").as("h"))
+      .withColumn("cls",
+        when(col("bk") < 5, "A").when(col("bk") < 10, "B"))
+      .withColumn("canary", when(col("cls").isNotNull,
+        concat(lit("cn"), col("cls"), col("h"),
+          lit(" sc"), col("cls"), col("h"),
+          lit(" pr"), col("cls"), col("h"))))
+      .withColumn("aug",
+        when(col("cls").isNotNull, concat(col("text"), lit(" "), col("canary")))
+          .otherwise(col("text")))
+    val corpusRows = tagged
+      .select(col("doc_id"), col("aug").as("text"),
+        coalesce(col("cls"), lit("-")).as("cls"), lit(false).as("ev"))
+    val evalRows = tagged.filter(col("cls") === "A")
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("canary").as("text"), lit("EV").as("cls"), lit(true).as("ev"))
+    val cleaned = spanDecontaminateOf(
+      corpusRows.unionByName(evalRows), col("ev"), runLen, carry = Seq("cls"))
+    cleaned.filter(col("cls").isin("A", "B"))
+      .withColumn("leak", expr(
+        "exists(split(cleaned_text, ' '), t -> startswith(t, concat('cn', cls)))"))
+      .groupBy(col("cls").as("class"))
+      .agg(count(lit(1)).as("n_planted"),
+        sum(when(col("leak"), 1L).otherwise(0L)).as("n_leaked"))
+      .select(col("class"), col("n_planted"), col("n_leaked"),
+        round(col("n_leaked") / col("n_planted"), 4).as("leak_rate"),
+        (col("n_leaked") === 0).as("clear"))
+      .orderBy("class")
+  }
+
   /** s07's kernel: BM25 (Lucene idf) scores of `terms` over the corpus,
     * top `k` docs on the rounded score with doc_id tiebreak. Returns
     * (doc_id, score). Scale notes at the s07 entry. */
@@ -3531,6 +3583,15 @@ object PipelineOps {
       // corpus explode, rollups only over rare hit rows).
       contaminationAuditOf(t(s, d, "documents"), col("doc_id") % 50 === 0)
         .orderBy("eval_id")
+    }),
+
+    "guard03_canary_audit" -> ((s, d) => {
+      // Canary extraction audit: plant md5-unique canary phrases into
+      // two classes (25 A / 26 B docs at sf0.01), clean class A's
+      // phrases with the REAL dec04 span cleaner, keep B as the
+      // control — the release certifies only if A is clear AND the
+      // audit catches B leaking (a leak-blind audit proves nothing).
+      canaryAuditOf(t(s, d, "documents"))
     }),
 
     "dec04_span_decontaminate" -> ((s, d) => {
@@ -7045,6 +7106,26 @@ object PipelineOps {
                                      ' ' ORDER BY tp.t), '')) AS cleaned_md5
       FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.t = tp.t
       GROUP BY tp.doc_id ORDER BY tp.doc_id""",
+
+    // the construction makes the outcome provable, and the oracle
+    // re-derives it from data: canary tokens are md5-unique (collide
+    // with nothing, so the eval set matches EXACTLY the planted
+    // 3-gram and the cover removes exactly the plant) ⇒ class A
+    // cleans fully, the untouched control B leaks fully; class sizes
+    // come from the same md5 coin both engines compute
+    "guard03_canary_audit" -> """
+      WITH cls AS (
+        SELECT doc_id,
+               CASE WHEN bk < 5 THEN 'A' WHEN bk < 10 THEN 'B' END AS class
+        FROM (SELECT doc_id,
+                ('0x' || substring(md5('g3:' || doc_id), 1, 15))::BIGINT % 100 AS bk
+              FROM documents)
+        WHERE bk < 10)
+      SELECT class, CAST(count(*) AS BIGINT) AS n_planted,
+             CAST(CASE WHEN class = 'A' THEN 0 ELSE count(*) END AS BIGINT) AS n_leaked,
+             round(CASE WHEN class = 'A' THEN 0.0 ELSE 1.0 END, 4) AS leak_rate,
+             (class = 'A') AS clear
+      FROM cls GROUP BY class ORDER BY class""",
 
     "dec04_span_decontaminate" -> """
       WITH t AS (

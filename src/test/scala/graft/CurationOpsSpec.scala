@@ -763,6 +763,55 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("guard03 canary audit: A cleans to the original text, control B caught leaking") {
+    import spark.implicits._
+    val got = run("guard03_canary_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    // class sizes recomputed independently from the md5 coin
+    def bk(id: Long): Long = {
+      val h = graft.exprs.Md5Bits60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"g3:$id"))
+      ((h % 100) + 100) % 100
+    }
+    val ids = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id").as[Long].collect()
+    val nA = ids.count(bk(_) < 5).toLong
+    val nB = ids.count(i => bk(i) >= 5 && bk(i) < 10).toLong
+    assert(got("A") == ((nA, 0L, 0.0, true)), got("A").toString)
+    assert(got("B") == ((nB, nB, 1.0, false)), got("B").toString)
+    assert(nA > 0 && nB > 0, "both canary classes must be populated")
+    // the deep pin: the cleaner removed EXACTLY the plant — cleaned
+    // class-A text equals the pristine original, token for token
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val tagged = docs.select(col("doc_id"), col("text"),
+        expr("pmod(md5_bits60(concat('g3:', doc_id)), 100)").as("bk"),
+        expr("substring(md5(cast(doc_id as string)), 1, 8)").as("h"))
+      .withColumn("cls", when(col("bk") < 5, "A").when(col("bk") < 10, "B"))
+      .withColumn("canary", when(col("cls").isNotNull,
+        concat(lit("cn"), col("cls"), col("h"), lit(" sc"), col("cls"), col("h"),
+          lit(" pr"), col("cls"), col("h"))))
+      .withColumn("aug", when(col("cls").isNotNull,
+        concat(col("text"), lit(" "), col("canary"))).otherwise(col("text")))
+    val corpusRows = tagged.select(col("doc_id"), col("aug").as("text"),
+      coalesce(col("cls"), lit("-")).as("cls"), lit(false).as("ev"))
+    val evalRows = tagged.filter(col("cls") === "A")
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("canary").as("text"), lit("EV").as("cls"), lit(true).as("ev"))
+    val cleaned = graft.queries.PipelineOps.spanDecontaminateOf(
+        corpusRows.unionByName(evalRows), col("ev"), 3, carry = Seq("cls"))
+      .select("doc_id", "cleaned_text", "cls")
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val aug = tagged.select("doc_id", "aug").as[(Long, String)].collect().toMap
+    cleaned.filter(col("cls") === "A").as[(Long, String, String)].collect()
+      .foreach { case (id, ct, _) =>
+        assert(ct == orig(id), s"A doc $id: cleaner removed more/less than the plant") }
+    cleaned.filter(col("cls") === "B").as[(Long, String, String)].collect()
+      .foreach { case (id, ct, _) =>
+        assert(ct == aug(id), s"B doc $id: control was modified") }
+  }
+
   test("p08 training order: plain-Scala recompute, epochs decorrelated, permutation per epoch") {
     import spark.implicits._
     def okey(e: Long, id: Long): Long =
