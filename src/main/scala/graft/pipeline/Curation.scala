@@ -323,6 +323,13 @@ object Curation {
     PipelineOps.c4LineGateOf(canon(docs, idCol, textCol), lineWords,
       minLineWords, lineBlock, docBlock, minKeptLines)
 
+  /** Per-document TF-IDF keyword extraction (t22's kernel): each
+    * doc's top `k` terms by tf · ln(N/df), rounded-score ranking with
+    * term tiebreak. Returns (doc_id, rk, term, score). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.tfidfKeywordsOf(canon(docs, idCol, textCol), k)
+
   /** Canary extraction audit (guard03's kernel): plant md5-unique
     * canary phrases into two doc classes, run the real span cleaner
     * on class A's phrases, keep B as the deliberate control, and

@@ -789,6 +789,33 @@ object PipelineOps {
       .orderBy("epoch", "shard")
   }
 
+  /** t22's kernel — per-document TF-IDF keyword extraction: each doc's
+    * top `k` terms by tf · ln(N/df) — the classic tagging/routing/
+    * summarization signal (and the feature behind TF-IDF retrieval).
+    * Deterministic cut: score rounds to 4 BEFORE ranking, term-asc
+    * tiebreak, so both engines elect identical keywords. Plan: one
+    * (doc, term) partial-agg shuffle for tf, one term-keyed partial
+    * agg for df (vocab-sized, broadcast back — at 100 TB a vocabulary
+    * is millions of rows, still broadcastable; beyond that the join
+    * keys on term), corpus size N as a broadcast 1-row stat (s07's
+    * idiom), and the per-doc top-k is a literal-bounded rank →
+    * WindowGroupLimit bounded heap over the scored stream — never a
+    * global sort. Every-doc terms get idf ln(1) = 0 and rank last.
+    * Returns (doc_id, rk, term, score). */
+  private[graft] def tfidfKeywordsOf(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+  }
+
   /** t15's kernel — corpus-hapax novelty ratio: per doc, the fraction
     * of its distinct tokens that appear nowhere else in the corpus.
     * Skew-free: a hapax term's `min(doc_id)` IS its owner, so no term
@@ -4816,6 +4843,16 @@ object PipelineOps {
         .orderBy("cluster", "rk")
     }),
 
+    "t22_tfidf_keywords" -> ((s, d) => {
+      // Per-doc top-3 TF-IDF keywords — deterministic (rounded score,
+      // term tiebreak). The rare token 'dup' (df 25/500) dominates its
+      // docs' keyword slots; every-doc terms score 0 and rank last.
+      // Kernel scaladoc has the plan notes (two partial aggs, broadcast
+      // df + N, bounded per-doc heap).
+      tfidfKeywordsOf(t(s, d, "documents"), k = 3)
+        .orderBy("doc_id", "rk")
+    }),
+
     "s18_knn_graph" -> ((s, d) => {
       // kNN graph — the edge-list artifact graph-based curation starts
       // from (NN-descent, graph clustering, connectivity SemDeDup):
@@ -5617,6 +5654,21 @@ object PipelineOps {
       SELECT vec_id, cluster, min(keep_id) AS kept_by, max(c) AS max_cos
       FROM pairs WHERE c >= 0.4
       GROUP BY vec_id, cluster ORDER BY vec_id"""),
+
+    // tf · ln(N/df), rounded before ranking, term-asc ties
+    "t22_tfidf_keywords" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (
+        SELECT doc_id, term, round(tf * ln(n * 1.0 / df), 4) AS score
+        FROM tf JOIN df USING (term), n)
+      SELECT doc_id, rk, term, score FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM sc)
+      WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     // the shared trajectory again; per-vector top-3 neighbors by
     // (cos desc, nbr_id) within the final cell

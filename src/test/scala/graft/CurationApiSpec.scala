@@ -541,6 +541,15 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("tfidfKeywords over renamed columns equals the t22 entry") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))
+    val api = Curation.tfidfKeywords(userDocs, 3,
+      idCol = "docnum", textCol = "body").collect().map(key).toSet
+    val ref = entry("t22_tfidf_keywords").collect().map(key).toSet
+    assert(api == ref)
+  }
+
   test("canaryAudit over renamed columns equals the guard03 entry") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))

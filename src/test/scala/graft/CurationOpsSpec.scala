@@ -763,6 +763,36 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("t22 tfidf keywords: plain-Scala recompute, rare term dominates its docs") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length.toDouble
+    val dfm = docs.flatMap { case (id, t) => t.split(" ", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, g) => t -> g.size }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).toSeq
+        .map { case (tm, occ) => (tm, r4(occ.length * math.log(n / dfm(tm)))) }
+        .sortBy { case (tm, s) => (-s, tm) }
+        .take(3).zipWithIndex
+        .map { case ((tm, s), i) => (id, i + 1, tm, s) }
+    }.toSet
+    val got = run("t22_tfidf_keywords").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    // the rare token must take slot 1 in every doc that contains it
+    val dupDocs = docs.filter(_._2.split(" ", -1).contains("dup")).map(_._1).toSet
+    assert(dupDocs.nonEmpty)
+    dupDocs.foreach { id =>
+      assert(got.contains((id, 1,
+        "dup", got.find(e => e._1 == id && e._2 == 1).get._4)),
+        s"doc $id: rare term not the top keyword")
+      assert(got.find(e => e._1 == id && e._2 == 1).get._3 == "dup")
+    }
+  }
+
   test("guard03 canary audit: A cleans to the original text, control B caught leaking") {
     import spark.implicits._
     val got = run("guard03_canary_audit").collect()

@@ -946,6 +946,19 @@ class PlanSpec extends AnyFunSuite {
       s"in-row operator grew an aggregation shuffle:\n$plan")
   }
 
+  test("t22 tfidf keywords: broadcast df join, per-doc bounded heap, no cartesian") {
+    // the df table and the 1-row N stat must broadcast; the per-doc
+    // top-k must be a WindowGroupLimit over (score desc) — never a
+    // global sort; no real cartesian (the 1-row N crossJoin is a
+    // broadcast nested loop by construction)
+    val df = graft.queries.PipelineOps.defs("t22_tfidf_keywords")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "df table join is not broadcast")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert("WindowGroupLimit \\[doc_id[^\\]]*\\], \\[score".r.findFirstIn(plan).isDefined,
+      s"per-doc top-k must be a bounded heap over score:\n$plan")
+  }
+
   test("p08 training order: pure map + one partial-agg rollup, no join, no window") {
     val df = graft.queries.PipelineOps.defs("p08_training_order")(spark, dir)
     val plan = planOf(df)
