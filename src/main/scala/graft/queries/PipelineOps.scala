@@ -165,6 +165,57 @@ object PipelineOps {
         carry.map(col): _*)
   }
 
+  /** p09's kernel — composed curation v4, chaining the r8s3 operator
+    * family in ONE plan: (1) d22's intra-doc dedup (2-word keep-first
+    * windows) and (2) t21's C4 line gate (10-word lines, ≥6 words, no
+    * 'vector'; 'dup' doc blocklist, ≥2 surviving lines) both run
+    * IN-ROW on the batch — zero joins, zero shuffles, the cleaned
+    * text of stage 1 feeding stage 2's windows; (3) survivors pass
+    * d23's Bloom-prefiltered exact chunk-membership gate against the
+    * raw corpus (the SHARED bloomGateWith kernel — code-level reuse,
+    * and the spec pins stage-by-stage equality with the standalone
+    * d22/t21 kernels); (4) one per-lang release card with stage
+    * counts, final token mass, and id checksum. The only corpus-keyed
+    * shuffle in the whole composition is the d23 confirm semi-join;
+    * the gate verdict joins back broadcast (batch-sized); the card is
+    * one partial-agg rollup. Returns (lang, n_raw, n_gate, n_final,
+    * tokens_out, id_checksum). */
+  private[graft] def curationV4Of(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.exprs.Md5Bits60.register(batch.sparkSession)
+    val s1 = batch.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .withColumn("w1", expr(
+        "split(array_join(array_distinct(" +
+          "transform(sequence(0, cast(ceil(size(w) / 2.0) as int) - 1), " +
+          "k -> concat_ws(' ', slice(w, k * 2 + 1, 2)))), ' '), ' ')"))
+    val s2 = s1
+      .withColumn("lines", expr(
+        "transform(sequence(0, cast(ceil(size(w1) / 10.0) as int) - 1), " +
+          "k -> slice(w1, k * 10 + 1, 10))"))
+      .withColumn("keptl", expr(
+        "filter(lines, l -> size(l) >= 6 AND NOT arrays_overlap(l, array('vector')))"))
+      .withColumn("gate_pass", expr(
+        "NOT arrays_overlap(w1, array('dup')) AND size(keptl) >= 2"))
+      .withColumn("cleaned2",
+        expr("array_join(transform(keptl, l -> array_join(l, ' ')), ' ')"))
+      .select("doc_id", "lang", "gate_pass", "cleaned2")
+    val corpusH = bloomCorpusHashes(corpus, 3)
+    val gate = bloomGateWith(
+      s2.filter(col("gate_pass")).select(col("doc_id"), col("cleaned2").as("text")),
+      corpusH, bloomSketchOf(corpusH, 0.03), chunkWords = 3, tau = 0.5)
+      .select(col("doc_id"), col("keep"))
+    s2.join(broadcast(gate), Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+      .withColumn("n_tok",
+        when(col("keep"), size(split(col("cleaned2"), " "))).otherwise(lit(0)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("gate_pass"), 1L).otherwise(0L)).as("n_gate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_final"),
+        sum("n_tok").as("tokens_out"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("lang")
+  }
+
   /** guard03's kernel — canary extraction audit (the Carlini-style
     * planted-canary drill, run before a release certifies its
     * decontamination): plant UNIQUE known canary phrases into two doc
@@ -3610,6 +3661,18 @@ object PipelineOps {
       // corpus explode, rollups only over rare hit rows).
       contaminationAuditOf(t(s, d, "documents"), col("doc_id") % 50 === 0)
         .orderBy("eval_id")
+    }),
+
+    "p09_curation_v4" -> ((s, d) => {
+      // Composed curation v4 — the r8s3 family in one plan: d22
+      // intra-doc dedup → t21 C4 line gate (both in-row) → d23 bloom
+      // exact-dup gate vs the raw corpus (shared kernel) → per-lang
+      // release card. At sf0.01: 71 raw → 60 gate → 56 final across
+      // 5 langs; exactly ONE corpus-keyed shuffle join (plan-pinned).
+      val docs = t(s, d, "documents")
+      curationV4Of(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id", "lang", "text"),
+        docs.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text"))
     }),
 
     "guard03_canary_audit" -> ((s, d) => {
@@ -7165,6 +7228,65 @@ object PipelineOps {
     // 3-gram and the cover removes exactly the plant) ⇒ class A
     // cleans fully, the untouched control B leaks fully; class sizes
     // come from the same md5 coin both engines compute
+    // full three-stage replay: d22 keep-first windows → t21 gate on
+    // the cleaned text → d23 membership vs the raw corpus → card
+    "p09_curation_v4" -> """
+      WITH batch AS (SELECT doc_id, lang, string_split(text,' ') AS w
+                     FROM documents WHERE doc_id % 7 = 3),
+      ch AS (
+        SELECT doc_id, k, array_to_string(w[(k*2+1):(k*2+2)], ' ') AS chunk
+        FROM batch, unnest(generate_series(0, CAST(ceil(len(w)/2.0) AS INT)-1)) AS t(k)),
+      kept1 AS (
+        SELECT doc_id, k, chunk FROM (
+          SELECT doc_id, k, chunk,
+                 row_number() OVER (PARTITION BY doc_id, chunk ORDER BY k) AS rn FROM ch)
+        WHERE rn = 1),
+      s1 AS (
+        SELECT b.doc_id, b.lang,
+               string_split(string_agg(c.chunk, ' ' ORDER BY c.k), ' ') AS w1
+        FROM batch b JOIN kept1 c USING (doc_id) GROUP BY b.doc_id, b.lang),
+      lines AS (
+        SELECT doc_id, k, w1[(k*10+1):(k*10+10)] AS line,
+               list_has_any(w1, ['dup']) AS doc_block
+        FROM s1, unnest(generate_series(0, CAST(ceil(len(w1)/10.0) AS INT)-1)) AS t(k)),
+      flag AS (SELECT doc_id, k, line, doc_block,
+               (len(line) >= 6 AND NOT list_has_any(line, ['vector'])) AS keep_line
+               FROM lines),
+      s2g AS (
+        SELECT doc_id, bool_or(doc_block) AS doc_block,
+               CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               string_agg(array_to_string(line,' '), ' ' ORDER BY k)
+                 FILTER (WHERE keep_line) AS cleaned2
+        FROM flag GROUP BY doc_id),
+      s2 AS (
+        SELECT s1.doc_id, s1.lang, g.cleaned2,
+               (NOT g.doc_block AND g.n_kept >= 2) AS gate_pass
+        FROM s1 JOIN s2g g USING (doc_id)),
+      cw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 7 <> 3),
+      corpus AS (
+        SELECT DISTINCT ('0x'||substring(md5(array_to_string(w[(k*3+1):(k*3+3)],' ')),1,15))::BIGINT AS h
+        FROM cw, unnest(generate_series(0, CAST(ceil(len(w)/3.0) AS INT)-1)) AS t(k)),
+      sv AS (SELECT doc_id, lang, string_split(cleaned2,' ') AS w2 FROM s2 WHERE gate_pass),
+      bh AS (
+        SELECT doc_id, ('0x'||substring(md5(array_to_string(w2[(k*3+1):(k*3+3)],' ')),1,15))::BIGINT AS h
+        FROM sv, unnest(generate_series(0, CAST(ceil(len(w2)/3.0) AS INT)-1)) AS t(k)),
+      dup AS (
+        SELECT b.doc_id, count(*) AS n,
+               sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS nd
+        FROM bh b LEFT JOIN corpus c USING (h) GROUP BY 1),
+      final AS (
+        SELECT sv.doc_id, sv.lang, len(sv.w2) AS n_tok,
+               (d.nd * 1.0 / d.n < 0.5) AS keep
+        FROM sv JOIN dup d USING (doc_id))
+      SELECT s2.lang,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN s2.gate_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gate,
+             CAST(sum(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+             CAST(sum(CASE WHEN f.keep THEN f.n_tok ELSE 0 END) AS BIGINT) AS tokens_out,
+             CAST(sum(CASE WHEN f.keep THEN s2.doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+      FROM s2 LEFT JOIN final f ON s2.doc_id = f.doc_id
+      GROUP BY s2.lang ORDER BY s2.lang""",
+
     "guard03_canary_audit" -> """
       WITH cls AS (
         SELECT doc_id,

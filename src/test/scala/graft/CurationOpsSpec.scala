@@ -763,6 +763,42 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("p09 curation v4: stages equal the standalone d22/t21 kernels; every stage bites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.PipelineOps
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 7 === 3).select("doc_id", "lang", "text")
+    // stage-1 equivalence: the in-row cleaned text hashes to exactly
+    // what the standalone d22 kernel reports
+    val s1 = batch.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("c1", expr(
+        "array_join(array_distinct(transform(sequence(0, cast(ceil(size(w) / 2.0) as int) - 1), " +
+          "k -> concat_ws(' ', slice(w, k * 2 + 1, 2)))), ' ')"))
+      .select("doc_id", "c1")
+    val s1Map = s1.as[(Long, String)].collect().toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d22Map = PipelineOps.intraDocDedupOf(batch.select("doc_id", "text"), 2)
+      .select("doc_id", "cleaned_md5").as[(Long, String)].collect().toMap
+    assert(s1Map.keySet == d22Map.keySet)
+    s1Map.foreach { case (id, c1) => assert(m(c1) == d22Map(id), s"stage-1 drift at $id") }
+    // stage-2 equivalence: t21 on the stage-1 text agrees on verdicts
+    val t21 = PipelineOps.c4LineGateOf(
+        s1.select(col("doc_id"), col("c1").as("text")), 10, 6, Seq("vector"), Seq("dup"), 2)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    // the composed entry's card must match the verdict counts
+    val card = run("p09_curation_v4").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val nGate = t21.values.count(_ == "kept").toLong
+    assert(card.values.map(_._2).sum == nGate, "stage-2 survivor count drift")
+    // stage funnel strictly narrows and nothing vanishes
+    val (raw, gate, fin) = (card.values.map(_._1).sum, card.values.map(_._2).sum,
+      card.values.map(_._3).sum)
+    assert(raw > gate && gate > fin && fin > 0, s"funnel $raw -> $gate -> $fin must bite at every stage")
+  }
+
   test("t22 tfidf keywords: plain-Scala recompute, rare term dominates its docs") {
     import spark.implicits._
     val docs = graft.Tables.t(spark, dir, "documents")

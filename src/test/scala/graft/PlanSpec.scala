@@ -946,6 +946,20 @@ class PlanSpec extends AnyFunSuite {
       s"in-row operator grew an aggregation shuffle:\n$plan")
   }
 
+  test("p09 curation v4: exactly one corpus-keyed shuffle join in the whole composition") {
+    // stages 1-2 are in-row; the only non-broadcast join allowed is
+    // the d23 confirm semi-join on chunk hashes; the gate verdict and
+    // the card join back broadcast
+    val df = graft.queries.PipelineOps.defs("p09_curation_v4")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cartesian grew:\n$plan")
+    val shuffleJoins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
+    assert(shuffleJoins <= 1,
+      s"expected at most one corpus-keyed shuffle join, got $shuffleJoins:\n$plan")
+    assert(plan.contains("UDF"), "bloom probe prefilter missing from the composition")
+  }
+
   test("t22 tfidf keywords: broadcast df join, per-doc bounded heap, no cartesian") {
     // the df table and the 1-row N stat must broadcast; the per-doc
     // top-k must be a WindowGroupLimit over (score desc) — never a
