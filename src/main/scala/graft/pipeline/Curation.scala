@@ -330,6 +330,18 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.tfidfKeywordsOf(canon(docs, idCol, textCol), k)
 
+  /** k-anonymity release suppression (u04's kernel): analytics cells
+    * (event type, day, 6-hour bucket) release their metrics only when
+    * backed by ≥ `k` distinct users; below that the cell ships with
+    * suppressed = true and NULL metrics. Returns (event_type, day,
+    * bucket, suppressed, n_events, n_users, value_cents). */
+  def kAnonRelease(events: DataFrame, k: Int = 10,
+      typeCol: String = "event_type", tsCol: String = "ts",
+      userCol: String = "user_id", valueCol: String = "value"): DataFrame =
+    PipelineOps.kAnonReleaseOf(
+      events.select(col(typeCol).as("event_type"), col(tsCol).as("ts"),
+        col(userCol).as("user_id"), col(valueCol).as("value")), k)
+
   /** Canary extraction audit (guard03's kernel): plant md5-unique
     * canary phrases into two doc classes, run the real span cleaner
     * on class A's phrases, keep B as the deliberate control, and

@@ -216,6 +216,34 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** u04's kernel — k-anonymity release suppression over an event
+    * stream (the telemetry-release privacy gate: an analytics cell
+    * backed by fewer than `k` distinct users re-identifies them, so
+    * the released table keeps the CELL but withholds its metrics).
+    * Cells are (event_type, day, 6-hour bucket); a cell releases its
+    * event count, user count, and value total only at ≥ k distinct
+    * users — below that it ships with suppressed = true and NULL
+    * metrics (the cell's existence is not secret; its contents are).
+    * Value totals sum in integer cents (values are 2-decimal, so the
+    * micro-unit sum is association-order-exact — a double sum could
+    * straddle the round). One partial-agg shuffle on the cell key
+    * (countDistinct adds its expand pass); cells-count rows out.
+    * Returns (event_type, day, bucket, suppressed, n_events, n_users,
+    * value_cents). */
+  private[graft] def kAnonReleaseOf(events: DataFrame, k: Int): DataFrame =
+    events.select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("hour(ts) div 6").as("bucket"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("ne"), countDistinct("user_id").as("nu"),
+        sum("cents").as("tvc"))
+      .select(col("event_type"), col("day"), col("bucket"),
+        (col("nu") < k).as("suppressed"),
+        when(col("nu") >= k, col("ne")).as("n_events"),
+        when(col("nu") >= k, col("nu")).as("n_users"),
+        when(col("nu") >= k, col("tvc")).as("value_cents"))
+      .orderBy("event_type", "day", "bucket")
+
   /** guard03's kernel — canary extraction audit (the Carlini-style
     * planted-canary drill, run before a release certifies its
     * decontamination): plant UNIQUE known canary phrases into two doc
@@ -3661,6 +3689,13 @@ object PipelineOps {
       // corpus explode, rollups only over rare hit rows).
       contaminationAuditOf(t(s, d, "documents"), col("doc_id") % 50 === 0)
         .orderBy("eval_id")
+    }),
+
+    "u04_kanon_release" -> ((s, d) => {
+      // k-anonymity release suppression at k=10 over (event_type, day,
+      // 6h) cells: 585 of 600 cells release, 15 suppress at sf0.01 —
+      // a real cut. Kernel scaladoc has the plan notes.
+      kAnonReleaseOf(t(s, d, "events"), k = 10)
     }),
 
     "p09_curation_v4" -> ((s, d) => {
@@ -7228,6 +7263,21 @@ object PipelineOps {
     // 3-gram and the cover removes exactly the plant) ⇒ class A
     // cleans fully, the untouched control B leaks fully; class sizes
     // come from the same md5 coin both engines compute
+    // suppressed cells exist with NULL metrics; cents keep the value
+    // sum association-order-exact
+    "u04_kanon_release" -> """
+      WITH cells AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) // 6 AS bucket,
+               count(*) AS ne, count(DISTINCT user_id) AS nu,
+               sum(CAST(round(value * 100) AS BIGINT)) AS tvc
+        FROM events GROUP BY 1, 2, 3)
+      SELECT event_type, day, CAST(bucket AS BIGINT) AS bucket,
+             (nu < 10) AS suppressed,
+             CASE WHEN nu >= 10 THEN CAST(ne AS BIGINT) END AS n_events,
+             CASE WHEN nu >= 10 THEN CAST(nu AS BIGINT) END AS n_users,
+             CASE WHEN nu >= 10 THEN CAST(tvc AS BIGINT) END AS value_cents
+      FROM cells ORDER BY event_type, day, bucket""",
+
     // full three-stage replay: d22 keep-first windows → t21 gate on
     // the cleaned text → d23 membership vs the raw corpus → card
     "p09_curation_v4" -> """

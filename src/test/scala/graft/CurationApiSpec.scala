@@ -541,6 +541,22 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("kAnonRelease over renamed columns equals the u04 entry") {
+    val userEvents = Tables.t(spark, dir, "events")
+      .select(col("event_type").as("etype"), col("ts").as("when"),
+        col("user_id").as("uid"), col("value").as("v"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6))
+    val api = Curation.kAnonRelease(userEvents, 10,
+      typeCol = "etype", tsCol = "when", userCol = "uid", valueCol = "v")
+      .collect().map(key).toSet
+    val ref = entry("u04_kanon_release").collect().map(key).toSet
+    assert(api == ref)
+  }
+
   test("tfidfKeywords over renamed columns equals the t22 entry") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))

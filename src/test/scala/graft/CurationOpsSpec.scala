@@ -763,6 +763,33 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("u04 k-anon release: plain-Scala recompute, suppressed cells withhold every metric") {
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "CAST(ts AS STRING) AS ts", "user_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .as[(String, String, Long, Long)].collect()
+    val cells = ev.groupBy { case (t, ts, _, _) =>
+      (t, ts.substring(0, 10), ts.substring(11, 13).toInt / 6) }
+    val expected = cells.map { case ((t, day, b), g) =>
+      val nu = g.map(_._3).distinct.size.toLong
+      if (nu >= 10)
+        (t, day, b.toLong, false, Some(g.size.toLong), Some(nu), Some(g.map(_._4).sum))
+      else (t, day, b.toLong, true, None, None, None)
+    }.toSet
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = run("u04_kanon_release").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getBoolean(3), opt(r, 4), opt(r, 5), opt(r, 6))).toSet
+    assert(got == expected)
+    val sup = got.count(_._4)
+    assert(sup > 0 && sup < got.size, s"suppression must bite partially: $sup/${got.size}")
+    got.filter(_._4).foreach(c =>
+      assert(c._5.isEmpty && c._6.isEmpty && c._7.isEmpty,
+        s"suppressed cell leaked a metric: $c"))
+  }
+
   test("p09 curation v4: stages equal the standalone d22/t21 kernels; every stage bites") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
