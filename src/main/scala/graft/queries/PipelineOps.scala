@@ -1648,6 +1648,22 @@ object PipelineOps {
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }
 
+  /** idx05's build half — incremental positional-index APPEND (the
+    * text-index analog of s17's vector-side append): a daily batch's
+    * (term, doc_id, pos) postings write partition-wise into the SAME
+    * 16-way term-bucket layout with append mode — no rebuild, no read
+    * of the existing generations, bucket-in = bucket-out so serve
+    * pruning is unchanged. Doc ids must be disjoint from the stored
+    * generations (the ingest contract; a replay dedup composes via
+    * diff01 upstream). */
+  private[graft] def positionalIndexAppend(docs: DataFrame, dir: String): Unit = {
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .withColumn("bucket", pmod(expr("md5_bits60(term)"), lit(16L)))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
+
   /** The driver-side twin of the md5_bits60 bucket (same formula, same
     * 16-way pmod) — lets a phrase query pin each term's PARTITION
     * FILTER as a literal, so the stored-index scan prunes to the
@@ -5089,6 +5105,21 @@ object PipelineOps {
       phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
     }),
 
+    "idx05_index_append" -> ((s, d) => {
+      // Incremental index append — the text-side daily-ingest story
+      // (s17 is the vector side): the corpus-minus-batch index is the
+      // stored artifact, the batch's postings append partition-wise
+      // into the same bucket layout (never reading the stored
+      // generations), and the phrase probe over the appended artifact
+      // must equal idx02's single full-corpus build (same oracle SQL
+      // + spec equality). Serve pruning unchanged — plan-pinned.
+      val base = EngineOps.tempDir("graft-idx05")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      positionalIndexBuild(docs.filter(col("doc_id") % 7 =!= 3), base)
+      positionalIndexAppend(docs.filter(col("doc_id") % 7 === 3), base)
+      phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
+    }),
+
     "idx04_bm25_serve" -> ((s, d) => {
       // BM25 ranked retrieval served from the STORED artifacts —
       // completes the search lifecycle (idx01 builds the ranked head,
@@ -7506,6 +7537,22 @@ object PipelineOps {
     // the merge must be lossless: the oracle is the full-corpus truth,
     // identical to idx02's (segment structure must never show through)
     "idx03_index_merge" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      m AS (
+        SELECT a.doc_id, a.pos
+        FROM p a
+        JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(min(pos) AS BIGINT) AS first_pos
+      FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    // the appended artifact must serve exactly like a single
+    // full-corpus build ⇒ idx02's SQL verbatim
+    "idx05_index_append" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
             FROM w, unnest(generate_series(1, len(w))) t(i)),

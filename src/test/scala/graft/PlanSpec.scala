@@ -536,6 +536,26 @@ class PlanSpec extends AnyFunSuite {
       s"adjacency degenerated from an equi-join:\n$plan")
   }
 
+  test("idx05 index append: appended-artifact probe prunes and equals the single build") {
+    // append must be invisible at serve time: same partition pruning +
+    // pushed term predicate as idx02, and the answer over the appended
+    // artifact is bit-identical to the single full-corpus build
+    val df = graft.queries.PipelineOps.defs("idx05_index_append")(spark, dir)
+    val plan = planOf(df)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket literal did not become a partition filter on the appended index:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the appended-index scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"adjacency degenerated from an equi-join:\n$plan")
+    val appended = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val single = graft.queries.PipelineOps.defs("idx02_phrase_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(appended.toSeq == single.toSeq,
+      "appended-artifact probe diverged from the single-build index")
+  }
+
   test("idx04 BM25 serve: pruned index scans, no corpus scan, TakeOrdered top-k") {
     // serve must read ONLY the artifacts: each query term's postings
     // scan carries its literal bucket PartitionFilter + pushed term
