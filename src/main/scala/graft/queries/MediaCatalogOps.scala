@@ -424,6 +424,46 @@ object MediaCatalogOps {
       s.read.parquet(s"$base/out").orderBy("doc_id")
     }),
 
+    "st10_stream_index_append" -> ((s0, d) => {
+      // Search indexing AT INGEST — idx05's partition-wise append as a
+      // foreachBatch stage: the corpus-minus-batch positional index is
+      // the stored artifact, each micro-batch's postings land in the
+      // same 16-way bucket layout (append mode, the stored generations
+      // are never read), and after two batches the phrase probe over
+      // the artifact must equal idx02's single full-corpus build (same
+      // oracle SQL + spec equality). This is how a search system keeps
+      // its index fresh: per-batch work is one map-side posting explode
+      // + a partitioned write, serve pruning unchanged throughout.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docsDf = graft.Tables.t(s, d, "documents")
+      val base = EngineOps.tempDir("graft-st10")
+      graft.queries.PipelineOps.positionalIndexBuild(
+        docsDf.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text"), base)
+      val batchDocs = docsDf.filter(col("doc_id") % 7 === 3)
+        .select("doc_id", "text", "lang")
+        .as[graft.streaming.Streams.Doc].collect().toSeq
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.queries.PipelineOps.positionalIndexAppend(
+            batch.select("doc_id", "text"), base)
+        }
+        .option("checkpointLocation", s"${EngineOps.tempDir("graft-st10-ck")}/ck")
+        .start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.queries.PipelineOps.phraseSearchOf(
+        s.read.parquet(base), Seq("slow", "hash", "batch"))
+    }),
+
     "st07_stream_drift" -> ((s0, d) => {
       // Distribution drift AT INGEST — guard02's release gate as a
       // streaming stage: the candidate corpus arrives in micro-batches,
@@ -985,6 +1025,22 @@ object MediaCatalogOps {
       FROM documents
       WHERE doc_id % 7 = 3 AND doc_id NOT IN (SELECT b_id FROM dup)
       GROUP BY lang ORDER BY lang""",
+
+    // after the stream drains, the index must serve exactly like a
+    // single full-corpus build ⇒ idx02's SQL verbatim
+    "st10_stream_index_append" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      m AS (
+        SELECT a.doc_id, a.pos
+        FROM p a
+        JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(min(pos) AS BIGINT) AS first_pos
+      FROM m GROUP BY doc_id ORDER BY doc_id""",
 
     // the stream's sink must equal batch d23 exactly (batches
     // partition the slice, the gate is per-doc) ⇒ d23's SQL verbatim

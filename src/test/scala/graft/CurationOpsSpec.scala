@@ -763,6 +763,17 @@ class CurationOpsSpec extends AnyFunSuite {
       "both verdicts must bite on the corpus")
   }
 
+  test("st10 streaming index append: drained stream serves exactly like the single build") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = graft.queries.MediaCatalogOps
+      .defs("st10_stream_index_append")(spark, dir).collect().map(key).toSeq
+    val single = graft.queries.PipelineOps
+      .defs("idx02_phrase_search")(spark, dir).collect().map(key).toSeq
+    assert(streamed == single,
+      s"streamed-append index diverged from the single build:\n$streamed\nvs\n$single")
+    assert(streamed.nonEmpty, "phrase must hit on this corpus")
+  }
+
   test("u04 k-anon release: plain-Scala recompute, suppressed cells withhold every metric") {
     import spark.implicits._
     val ev = graft.Tables.t(spark, dir, "events")
