@@ -434,6 +434,13 @@ object MediaCatalogOps {
       // oracle SQL + spec equality). This is how a search system keeps
       // its index fresh: per-batch work is one map-side posting explode
       // + a partitioned write, serve pruning unchanged throughout.
+      // Delivery note: a batch writer inside foreachBatch is
+      // at-least-once — a FAILED-AND-RETRIED micro-batch would append
+      // its postings twice (st05's direct file sink gets exactly-once
+      // from the sink's own commit log; this one does not). Production
+      // form: route each batch to a batchId-named subdirectory with
+      // overwrite, making the retry idempotent — the serve-side scan
+      // shape is identical.
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "2")
       import s.implicits._
