@@ -825,12 +825,16 @@ class CurationOpsSpec extends AnyFunSuite {
     val t21 = PipelineOps.c4LineGateOf(
         s1.select(col("doc_id"), col("c1").as("text")), 10, 6, Seq("vector"), Seq("dup"), 2)
       .select("doc_id", "verdict").as[(Long, String)].collect().toMap
-    // the composed entry's card must match the verdict counts
+    // the composed entry's card must match the t21 verdicts per LANG,
+    // not just in total
     val card = run("p09_curation_v4").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
-    val nGate = t21.values.count(_ == "kept").toLong
-    assert(card.values.map(_._2).sum == nGate, "stage-2 survivor count drift")
+    val langOf = batch.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val gateByLang = t21.toSeq.filter(_._2 == "kept")
+      .groupBy { case (id, _) => langOf(id) }.map { case (l, g) => l -> g.size.toLong }
+    assert(card.map { case (l, c) => l -> c._2 } == gateByLang,
+      s"stage-2 per-lang survivor drift: ${card.map { case (l, c) => l -> c._2 }} vs $gateByLang")
     // stage funnel strictly narrows and nothing vanishes
     val (raw, gate, fin) = (card.values.map(_._1).sum, card.values.map(_._2).sum,
       card.values.map(_._3).sum)
