@@ -976,6 +976,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(d24.nonEmpty && d24.exists(_._2 > 2), "corpus must have a >2-member cluster")
   }
 
+  test("d24 alternating CC equals plain union-find on cycle/star/complete/multi-component graphs") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.ccAlternatingOf
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // relabel each component by its minimum member
+      val byRoot = nodes.groupBy(find)
+      byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
+    }
+    val graphs = Seq(
+      "cycle" -> (1L to 6L).map(i => (i, i % 6 + 1)),
+      "star" -> (2L to 7L).map(i => (1L, i)),
+      "complete" -> (for { a <- 1L to 5L; b <- a + 1 to 5L } yield (a, b)),
+      "two components + chain" ->
+        (Seq((10L, 11L), (11L, 12L), (20L, 21L)) ++ (30L to 36L).map(i => (i, i + 1))),
+      "reversed edges" -> Seq((5L, 2L), (9L, 5L), (2L, 1L), (7L, 9L))
+    )
+    graphs.foreach { case (name, edges) =>
+      val expected = unionFind(edges).groupBy(_._2).map { case (root, g) =>
+        (root, g.keys.size.toLong, g.keys.toSeq.sorted.mkString(","))
+      }.toSet
+      val got = ccAlternatingOf(edges.toDF("d1", "d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == expected, s"graph '$name': $got vs $expected")
+    }
+  }
+
   test("st09 streaming bloom gate: sink equals batch d23, sketch artifact round-trips bit-exact") {
     import graft.queries.PipelineOps
     def key(r: org.apache.spark.sql.Row) =
