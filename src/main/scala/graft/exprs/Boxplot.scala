@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * dashboard path (≤3000-row results, reference row cap) — but SQL is
   * not row-capped on the task path, so `register` (and
   * GraftExtensions) also installs [[graft.plans.BoxplotScaleRule]],
-  * which rewrites boxplot_info aggregates into [[tukey]]'s
-  * percentile + broadcast join-back plan. The UDAFs remain the
-  * reference implementations BoxplotTukeySpec pins both the rule and
-  * the kernel against.
+  * which rewrites BOTH registered forms: boxplot_info into [[tukey]]'s
+  * percentile + broadcast join-back plan, and the 1-arg BOXPLOT in
+  * place into native max/min/percentile (no join-back — the ELSE
+  * branch has no outlier list). The UDAFs remain the reference
+  * implementations BoxplotTukeySpec pins both the rule and the kernel
+  * against.
   */
 object Boxplot {
 

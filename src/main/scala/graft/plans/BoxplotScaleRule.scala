@@ -33,9 +33,15 @@ import org.apache.spark.sql.types._
   * one-row result of a global aggregate over empty input. Other
   * aggregate functions in the same SELECT ride along unchanged (the
   * join-back is 1:1 per row, so the final Aggregate sees exactly the
-  * original rows per group). Calls that are DISTINCT, FILTERed, in a
-  * streaming plan, or not the 2-arg form stay on the UDAF, which
-  * remains registered as the reference implementation
+  * original rows per group).
+  *
+  * The 1-arg `BOXPLOT(v)` UDAF (the macro's ELSE branch) routes too,
+  * and more cheaply: no outlier list means no join-back — the call
+  * substitutes IN PLACE for a struct of native max/min/percentile
+  * aggregates (all partial-aggregable), so task SQL can never reach a
+  * collect-per-group buffer through either registered name. Calls that
+  * are DISTINCT, FILTERed, or in a streaming plan stay on the UDAF,
+  * which remains registered as the reference implementation
   * (BoxplotTukeySpec pins kernel == UDAF on every branch).
   *
   * Injected both via `GraftExtensions` (post-hoc resolution — the
@@ -54,6 +60,21 @@ object BoxplotScaleRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The 1-arg `BOXPLOT(v)` UDAF (the reference macro's ELSE branch —
+    * no outlier list). Unlike the info form it needs NO join-back:
+    * max/min/percentile are native partial-aggregable builtins, so the
+    * call rewrites in place inside the same Aggregate. */
+  private def plainCall(e: Expression): Option[ScalaAggregator[_, _, _]] =
+    e match {
+      case sa: ScalaAggregator[_, _, _]
+          if sa.agg.isInstanceOf[graft.exprs.Boxplot.BoxplotAgg] &&
+            sa.children.length == 1 => Some(sa)
+      case _ => None
+    }
+
+  private def anyCall(e: Expression): Option[ScalaAggregator[_, _, _]] =
+    boxplotCall(e).orElse(plainCall(e))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(ge, ae, child, _) if eligible(agg) =>
       rewrite(ge, ae, child)
@@ -65,14 +86,14 @@ object BoxplotScaleRule extends Rule[LogicalPlan] {
     var blocked = false
     agg.aggregateExpressions.foreach(_.foreach {
       case ax: AggregateExpression =>
-        boxplotCall(ax.aggregateFunction).foreach { _ =>
+        anyCall(ax.aggregateFunction).foreach { _ =>
           found = true
           if (ax.isDistinct || ax.filter.isDefined) blocked = true
         }
       case sa: ScalaAggregator[_, _, _] =>
-        // a boxplot_info outside a plain AggregateExpression wrapper
+        // a boxplot call outside a plain AggregateExpression wrapper
         // (shouldn't occur) — leave the plan alone rather than guess
-        if (boxplotCall(sa).isDefined && !agg.aggregateExpressions.exists(_.exists {
+        if (anyCall(sa).isDefined && !agg.aggregateExpressions.exists(_.exists {
             case ax: AggregateExpression => ax.aggregateFunction eq sa
             case _ => false
           })) blocked = true
@@ -84,10 +105,39 @@ object BoxplotScaleRule extends Rule[LogicalPlan] {
   private def aggE(f: aggregate.AggregateFunction): AggregateExpression =
     f.toAggregateExpression()
 
-  private def rewrite(ge: Seq[Expression], ae: Seq[NamedExpression],
+  private val outliersType: DataType = ArrayType(StructType(Seq(
+    StructField("value", DoubleType, nullable = false),
+    StructField("info", MapType(StringType, StringType)))))
+
+  /** The macro's ELSE branch as builtin aggregates: max/min/percentile
+    * are natively partial-aggregable, so the 1-arg call substitutes in
+    * place — no second pass. Matches BoxplotAgg.finish: nulls skipped
+    * by the builtins, empty group → null scalars + EMPTY outlier list. */
+  private def plainStruct(vRaw: Expression): Expression = {
+    val v = Cast(vRaw, DoubleType)
+    def pct(p: Double) = aggE(Percentile(v, Literal(p), Literal(1L)))
+    CreateNamedStruct(Seq(
+      Literal("max"), aggE(Max(v)),
+      Literal("min"), aggE(Min(v)),
+      Literal("outliers"), Literal.create(Seq.empty[Any], outliersType),
+      Literal("q1"), pct(0.25), Literal("q2"), pct(0.5),
+      Literal("q3"), pct(0.75)))
+  }
+
+  private def rewrite(ge: Seq[Expression], ae0: Seq[NamedExpression],
       child: LogicalPlan): LogicalPlan = {
-    // distinct boxplot calls by canonicalized (value, info) inputs —
-    // repeated identical calls share one quartile computation
+    // 1-arg calls first: in-place substitution, nothing else changes
+    val ae = ae0.map { ne =>
+      ne.transformUp {
+        case ax: AggregateExpression =>
+          plainCall(ax.aggregateFunction) match {
+            case Some(sa) => plainStruct(sa.children.head)
+            case None => ax
+          }
+      }.asInstanceOf[NamedExpression]
+    }
+    // distinct boxplot_info calls by canonicalized (value, info) inputs
+    // — repeated identical calls share one quartile computation
     val calls = scala.collection.mutable.LinkedHashMap
       .empty[Seq[Expression], (Expression, Expression)]
     ae.foreach(_.foreach {
@@ -98,6 +148,8 @@ object BoxplotScaleRule extends Rule[LogicalPlan] {
         }
       case _ => ()
     })
+
+    if (calls.isEmpty) return Aggregate(ge, ae, child)
 
     // pass 1: per-group quartiles + has-info flag (BoxplotInfoAgg's
     // branch condition: any pair with non-null info AND non-null value)

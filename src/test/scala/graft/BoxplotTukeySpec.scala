@@ -167,6 +167,46 @@ class BoxplotTukeySpec extends AnyFunSuite {
       "outliers must be empty, not null")
   }
 
+  test("BoxplotScaleRule: 1-arg BOXPLOT routes to native aggregates, UDAF-identical") {
+    // r8 prescription: the no-info ELSE branch. The rule substitutes
+    // the registered 1-arg UDAF in place for builtin max/min/percentile
+    // (no join-back), including alongside other aggregates, a mixed
+    // query with the 2-arg form, and the empty-input global aggregate.
+    graft.exprs.Boxplot.register(spark)
+    sampleDf().createOrReplaceTempView("bp_plain_rule_src")
+    val sql =
+      """SELECT g, count(*) AS n, BOXPLOT(CAST(v AS DOUBLE)) AS bp
+        |FROM bp_plain_rule_src GROUP BY g""".stripMargin
+    val routed = spark.sql(sql)
+    val plan = routed.queryExecution.executedPlan.toString
+    // native Percentile executes via ObjectHashAggregate too (its
+    // buffer is a value->count map, partial-aggregable map-side) —
+    // the pin is that no ScalaAggregator (the Kryo collect-per-group
+    // UDAF) survives
+    assert(!plan.contains("ScalaAggregator") && !plan.contains("BoxplotAgg"),
+      s"1-arg UDAF still in routed plan:\n$plan")
+    assert(plan.contains("percentile"), s"native quartiles missing:\n$plan")
+    assert(canon(routed) === viaUdaf(canon(spark.sql(sql))))
+    // mixed 1-arg + 2-arg in one SELECT: both route, both agree
+    val mixed =
+      """SELECT g, BOXPLOT(CAST(v AS DOUBLE)) AS bp,
+        |       boxplot_info(CAST(v AS DOUBLE), map('k', i)) AS bpi
+        |FROM bp_plain_rule_src GROUP BY g""".stripMargin
+    val routedM = spark.sql(mixed)
+    val planM = routedM.queryExecution.executedPlan.toString
+    assert(!planM.contains("ScalaAggregator"), s"mixed query left a UDAF:\n$planM")
+    def canonM(df: DataFrame): Seq[String] =
+      canon(df.select(col("g"), col("bp"))) ++
+        canon(df.select(col("g"), col("bpi").as("bp")))
+    assert(canonM(routedM) === viaUdaf(canonM(spark.sql(mixed))))
+    // empty input: one row, null scalars, EMPTY (not null) outliers
+    val empty = spark.sql(
+      "SELECT BOXPLOT(CAST(v AS DOUBLE)) AS bp FROM bp_plain_rule_src WHERE v > 1e18")
+    val r = empty.collect().head.getStruct(0)
+    assert(r.isNullAt(3), "q1 must be null on empty input")
+    assert(r.getSeq[Any](2).isEmpty, "outliers must be empty, not null")
+  }
+
   test("BoxplotScaleRule: FILTERed calls stay on the UDAF (unsupported shape)") {
     graft.exprs.Boxplot.register(spark)
     sampleDf().createOrReplaceTempView("bp_filt_src")

@@ -624,6 +624,28 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == 3, "lineitem has 3 return flags")
   }
 
+  test("task-SQL 1-arg BOXPLOT over full lineitem: native aggregates, no UDAF (BoxplotScaleRule)") {
+    // r8 weak mark closed: the no-info ELSE branch. The Dialect pass
+    // already rewrites the TEXT form, but SQL that reaches spark.sql
+    // without it (programmatic callers, the registered-name path) hit
+    // the 1-arg BoxplotAgg UDAF — the rule now substitutes the call
+    // in place for builtin max/min/percentile (no join-back needed),
+    // so neither registered name can reach a collect-per-group buffer
+    graft.exprs.Boxplot.register(spark)
+    graft.Tables.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_bp1")
+    val df = spark.sql(
+      "SELECT l_returnflag, BOXPLOT(CAST(l_quantity AS DOUBLE)) AS bp " +
+        "FROM lineitem_bp1 GROUP BY l_returnflag")
+    val plan = planOf(df)
+    // native Percentile legitimately executes via ObjectHashAggregate
+    // (bounded value->count map buffer, map-side combine); the pin is
+    // that no ScalaAggregator — the Kryo collect-per-group UDAF — runs
+    assert(!plan.contains("ScalaAggregator") && !plan.contains("BoxplotAgg"),
+      s"1-arg BOXPLOT still reaches the collect-per-group UDAF:\n$plan")
+    assert(plan.contains("percentile"), s"native quartiles missing:\n$plan")
+    assert(df.count() == 3, "lineitem has 3 return flags")
+  }
+
   test("d18 exact-substring dedup: grams-only joins, text shuffles once by doc_id") {
     // the ExactSubstr promise: corpus TEXT never self-joins — the
     // gram-df aggregation and the dup join-back run on 60-bit longs
