@@ -239,11 +239,15 @@ object Curation {
   /** Unigram-LM (SentencePiece-style) Viterbi segmentation (t20's
     * kernel — Kudo 2018): exact optimal segmentation of every word
     * under an occurrence-weighted substring piece model, ties resolved
-    * to the fewest pieces through a packed integer DP key. Returns
-    * (doc_id, n_words, n_pieces, bits_micro) per document. */
+    * to the fewest pieces through a packed integer DP key. The piece
+    * model seed-prunes to the top-`seedVocab` multi-char pieces by
+    * frequency (single chars always retained — the DP's closure
+    * guarantee), bounding the driver-collected model by contract.
+    * Returns (doc_id, n_words, n_pieces, bits_micro) per document. */
   def unigramSegment(docs: DataFrame, maxPiece: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    PipelineOps.unigramSegmentOf(canon(docs, idCol, textCol), maxPiece)
+      idCol: String = "doc_id", textCol: String = "text",
+      seedVocab: Int = 65536): DataFrame =
+    PipelineOps.unigramSegmentOf(canon(docs, idCol, textCol), maxPiece, seedVocab)
 
   /** Tokenizer fairness audit (t19's kernel — Petrov et al. 2023):
     * train the [[bpeMergeLoop]] tokenizer on the whole corpus, then

@@ -1767,11 +1767,19 @@ object PipelineOps {
     * Returns (doc_id, n_words, n_pieces, bits_micro) per document.
     *
     * 100 TB: the piece inventory derives from the DISTINCT-word
-    * frequency table (Zipf — o(corpus)) in one partial-agg shuffle and
-    * is tokenizer METADATA (SentencePiece vocabs are ~32k pieces): the
-    * bounded driver collect ships it into the plan as a map literal
-    * (a broadcast variable in a mapPartitions serves the same role at
-    * vocab sizes where a literal is unwieldy). The DP runs IN-ROW over
+    * frequency table (Zipf — o(corpus)) in one partial-agg shuffle,
+    * then PRUNES to the top-`seedVocab` multi-char pieces by frequency
+    * (Kudo 2018's seed-vocabulary pruning — TakeOrdered, a bounded
+    * heap, never a global sort) with single-char pieces ALWAYS
+    * retained (the closure guarantee the DP's never-strands invariant
+    * relies on). Piece costs normalize against the PRE-cut total, so a
+    * retained piece's cost is independent of V. The driver collect is
+    * therefore bounded by contract at V + charset rows regardless of
+    * corpus charset (the r8 weak mark: uncapped, a CJK corpus's
+    * distinct-piece table is tens of millions of rows) and ships as a
+    * map literal (a broadcast variable in a mapPartitions serves the
+    * same role at vocab sizes where a literal is unwieldy). The DP
+    * runs IN-ROW over
     * the distinct-word table (an aggregate HOF over the word's
     * positions — arbitrary word length, only the ORACLE's replay
     * unrolls to a fixed bound), the word → (key) table broadcasts onto
@@ -1779,7 +1787,8 @@ object PipelineOps {
     * partial-agg shuffle — t17's exact serve shape. Single chars are
     * always pieces, so the DP never strands (closure guarantee). */
   private[graft] def unigramSegmentOf(docs: DataFrame,
-      maxPiece: Int = 4): DataFrame = {
+      maxPiece: Int = 4, seedVocab: Int = 65536): DataFrame = {
+    require(seedVocab >= 1, "seedVocab must be at least 1")
     val docWords = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -1790,9 +1799,18 @@ object PipelineOps {
         s"k -> substring(w, st, k))))")).as(Seq("junk", "p")))
       .groupBy("p").agg(sum("cnt").as("freq"))
     val total = pieceFreq.agg(sum("freq")).head().getLong(0)
-    // the piece model is tokenizer metadata: bounded, collected once,
-    // shipped as a literal map (the t18 stored-artifact contract)
-    val pieces: Map[String, Long] = pieceFreq.collect().map { r =>
+    // seed-vocab pruning (Kudo 2018): top-V multi-char pieces by
+    // (freq desc, piece asc — a total order, ties impossible beyond
+    // the unique piece string); single-char pieces always retained so
+    // the DP can never strand. orderBy+limit plans as TakeOrdered — a
+    // bounded heap, no global sort. Costs use the PRE-cut total.
+    val retained = pieceFreq.filter(length(col("p")) === 1).unionAll(
+      pieceFreq.filter(length(col("p")) > 1)
+        .orderBy(col("freq").desc, col("p")).limit(seedVocab))
+    // the piece model is tokenizer metadata: bounded BY CONTRACT at
+    // seedVocab + charset rows, collected once, shipped as a literal
+    // map (the t18 stored-artifact contract)
+    val pieces: Map[String, Long] = retained.collect().map { r =>
       val bits = -(math.log(r.getLong(1).toDouble / total) / math.log(2.0))
       r.getString(0) -> math.floor(bits * 1000000 + 0.5).toLong
     }.toMap
@@ -1823,11 +1841,15 @@ object PipelineOps {
   }
 
   /** DuckDB replay of [[unigramSegmentOf]] — the piece model from the
-    * same weighted substring explode, then the Viterbi DP unrolled to
-    * `maxLen` per-position stages (the corpus word-length bound; the
-    * Spark DP itself is unbounded). Same packed integer key, so min()
-    * resolves ties identically. */
-  private[graft] def unigramSegmentOracle(maxPiece: Int, maxLen: Int): String = {
+    * same weighted substring explode with the SAME top-`seedVocab`
+    * seed-pruning cut (single chars always kept, costs against the
+    * pre-cut total), then the Viterbi DP unrolled to `maxLen`
+    * per-position stages (the corpus word-length bound; the Spark DP
+    * itself is unbounded). Same packed integer key, so min() resolves
+    * ties identically; a pruned piece simply has no `pieces` row, so
+    * the join drops that candidate — Spark's coalesce-to-inf twin. */
+  private[graft] def unigramSegmentOracle(maxPiece: Int, maxLen: Int,
+      seedVocab: Int): String = {
     val stages = (1 to maxLen).map { i =>
       val cands = (1 to math.min(maxPiece, i)).map { k =>
         s"""SELECT b.w, b.klen, st.key + p.bits * 64 + 1 AS key
@@ -1851,10 +1873,16 @@ object PipelineOps {
         WHERE st + k - 1 <= length(w)
         GROUP BY 1),
       tot AS (SELECT sum(freq)::BIGINT AS total FROM pf),
+      keep AS (
+        SELECT p, freq FROM pf WHERE length(p) = 1
+        UNION ALL
+        SELECT p, freq FROM (
+          SELECT p, freq FROM pf WHERE length(p) > 1
+          ORDER BY freq DESC, p LIMIT $seedVocab)),
       pieces AS (
         SELECT p, CAST(floor(-(ln(freq / tot.total) / ln(2.0::DOUBLE))
           * 1000000 + 0.5) AS BIGINT) AS bits
-        FROM pf, tot),
+        FROM keep, tot),
       base AS (SELECT w, length(w) AS klen FROM vocab),
       st0 AS (SELECT w, klen, 0::BIGINT AS key FROM base),
       ${stages.mkString(",\n      ")},
@@ -5039,10 +5067,13 @@ object PipelineOps {
       // of every word under an occurrence-weighted substring piece
       // model, (bits, piece-count) packed into one integer DP key so
       // the optimum is bit-identical across engines. Per-doc rollup
-      // of piece counts and total bits. Scale notes on the kernel
-      // scaladoc (distinct-word DP, metadata-sized piece model,
-      // t17's broadcast serve shape).
-      unigramSegmentOf(t(s, d, "documents").select("doc_id", "text"))
+      // of piece counts and total bits. seedVocab=128 makes the
+      // top-V seed-pruning cut BITE at sf0.01 (204 multi-char pieces
+      // pre-cut), so the capped path is what the oracle certifies.
+      // Scale notes on the kernel scaladoc (distinct-word DP,
+      // contract-bounded piece model, t17's broadcast serve shape).
+      unigramSegmentOf(t(s, d, "documents").select("doc_id", "text"),
+        seedVocab = 128)
     }),
 
     "t19_tokenizer_fertility" -> ((s, d) => {
@@ -7529,7 +7560,7 @@ object PipelineOps {
 
     "t19_tokenizer_fertility" -> bpeFertilityOracle(6),
 
-    "t20_unigram_segmentation" -> unigramSegmentOracle(4, 8),
+    "t20_unigram_segmentation" -> unigramSegmentOracle(4, 8, 128),
 
     // the stored-tokenizer round trip must be loss-free => t17's SQL
     "t18_tokenizer_artifact" -> bpeTokenizeOracle(6),

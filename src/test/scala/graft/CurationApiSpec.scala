@@ -315,7 +315,8 @@ class CurationApiSpec extends AnyFunSuite {
   test("unigramSegment over renamed columns equals the t20 entry") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    val api = key(Curation.unigramSegment(userDocs, idCol = "docnum", textCol = "body"))
+    val api = key(Curation.unigramSegment(userDocs, idCol = "docnum",
+      textCol = "body", seedVocab = 128))
     assert(api == key(entry("t20_unigram_segmentation")))
   }
 

@@ -169,9 +169,10 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < as.size, "margin cut must be real")
   }
 
-  test("t20 unigram segmentation: plain-Scala Viterbi recompute, optimality invariant") {
+  test("t20 unigram segmentation: plain-Scala Viterbi recompute, optimality invariant, capped seed model") {
     import spark.implicits._
     val maxPiece = 4
+    val seedVocab = 128
     val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
       .as[(Long, String)].collect()
       .map { case (id, t) => (id, t.split(" ", -1).filter(_.nonEmpty)) }
@@ -182,9 +183,21 @@ class CurationOpsSpec extends AnyFunSuite {
       for (st <- 0 until w.length; k <- 1 to math.min(maxPiece, w.length - st))
         pf(w.substring(st, st + k)) = pf.getOrElse(w.substring(st, st + k), 0L) + cnt
     }
-    val total = pf.values.sum
-    val bits = pf.map { case (p, f) =>
-      p -> math.floor(-(math.log(f.toDouble / total) / math.log(2.0)) * 1000000 + 0.5).toLong }
+    val total = pf.values.sum // pre-cut: retained piece costs don't depend on V
+    // seed-vocab pruning replay: top-V multi-char by (freq desc, piece
+    // asc), single chars always kept — and the cut must genuinely BITE
+    // at this scale, or the capped path the contract promises is untested
+    val multi = pf.toSeq.filter(_._1.length > 1)
+    assert(multi.size > seedVocab,
+      s"seed cut must bite: ${multi.size} multi-char pieces <= V=$seedVocab")
+    val keep = pf.toSeq.filter(_._1.length == 1) ++
+      multi.sortBy { case (p, f) => (-f, p) }.take(seedVocab)
+    // the contract the r8 verdict asked for: the driver-collected model
+    // is bounded at V + charset rows regardless of corpus charset
+    assert(keep.size <= seedVocab + pf.count(_._1.length == 1),
+      "piece model exceeds the V + charset contract bound")
+    val bits = keep.map { case (p, f) =>
+      p -> math.floor(-(math.log(f.toDouble / total) / math.log(2.0)) * 1000000 + 0.5).toLong }.toMap
     def viterbi(w: String): Long = {
       val dp = Array.fill(w.length + 1)(Long.MaxValue / 4); dp(0) = 0L
       for (i <- 1 to w.length; k <- 1 to math.min(maxPiece, i))
