@@ -434,30 +434,31 @@ object MediaCatalogOps {
       // oracle SQL + spec equality). This is how a search system keeps
       // its index fresh: per-batch work is one map-side posting explode
       // + a partitioned write, serve pruning unchanged throughout.
-      // Delivery note: a batch writer inside foreachBatch is
-      // at-least-once — a FAILED-AND-RETRIED micro-batch would append
-      // its postings twice (st05's direct file sink gets exactly-once
-      // from the sink's own commit log; this one does not). Production
-      // form: route each batch to a batchId-named subdirectory with
-      // overwrite, making the retry idempotent — the serve-side scan
-      // shape is identical.
+      // Delivery: foreachBatch replays are at-least-once, so the sink
+      // is the IDEMPOTENT batchId-subdir form — each batch overwrites
+      // its own gen=<batchId> partition directory (the base build is
+      // gen=-1), so a failed-and-retried micro-batch replaces its
+      // prior attempt instead of double-appending postings.
+      // StreamsSpec replays a batch and pins the drained index
+      // row-identical; the serve plan still bucket-prunes.
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "2")
       import s.implicits._
       implicit val ctx = s.sqlContext
       val docsDf = graft.Tables.t(s, d, "documents")
       val base = EngineOps.tempDir("graft-st10")
-      graft.queries.PipelineOps.positionalIndexBuild(
-        docsDf.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text"), base)
+      graft.queries.PipelineOps.positionalIndexWriteGen(
+        docsDf.filter(col("doc_id") % 7 =!= 3).select("doc_id", "text"),
+        base, batchId = -1L)
       val batchDocs = docsDf.filter(col("doc_id") % 7 === 3)
         .select("doc_id", "text", "lang")
         .as[graft.streaming.Streams.Doc].collect().toSeq
       val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
       val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
       val q = input.toDF().writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.queries.PipelineOps.positionalIndexAppend(
-            batch.select("doc_id", "text"), base)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.queries.PipelineOps.positionalIndexWriteGen(
+            batch.select("doc_id", "text"), base, batchId)
         }
         .option("checkpointLocation", s"${EngineOps.tempDir("graft-st10-ck")}/ck")
         .start()

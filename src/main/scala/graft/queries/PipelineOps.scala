@@ -1664,6 +1664,27 @@ object PipelineOps {
       .write.mode("append").partitionBy("bucket").parquet(dir)
   }
 
+  /** st10's idempotent production sink — the exactly-once form of
+    * [[positionalIndexAppend]] for foreachBatch, where delivery is
+    * at-least-once (a failed-and-retried micro-batch re-runs with the
+    * SAME batchId): each batch's postings land under a gen=<batchId>
+    * partition directory with OVERWRITE, so a replay REPLACES its own
+    * prior attempt instead of double-appending, and no other
+    * generation is ever read or touched. The artifact root therefore
+    * carries a gen level above the 16-way term bucket; partition
+    * pruning is level-independent, so a phrase probe still prunes to
+    * each term's bucket directories (df(term)-sized scans — serve
+    * shape unchanged, plan-pinned in StreamsSpec). The base corpus
+    * build is gen=-1 by convention. */
+  private[graft] def positionalIndexWriteGen(docs: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .withColumn("bucket", pmod(expr("md5_bits60(term)"), lit(16L)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/gen=$batchId")
+  }
+
   /** The driver-side twin of the md5_bits60 bucket (same formula, same
     * 16-way pmod) — lets a phrase query pin each term's PARTITION
     * FILTER as a literal, so the stored-index scan prunes to the

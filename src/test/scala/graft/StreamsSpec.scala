@@ -114,4 +114,44 @@ class StreamsSpec extends AnyFunSuite {
     val batch = key("guard02_distribution_drift")
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("st10 idempotent sink: a replayed micro-batch leaves the index row-identical") {
+    // foreachBatch delivery is at-least-once: a failed-and-retried
+    // micro-batch re-runs with the SAME batchId. The gen=<batchId>
+    // overwrite sink must make that replay a no-op — the r8 verdict's
+    // missing exactly-once form (the old append sink double-appended).
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-st10-replay")
+      .toString + "/index"
+    graft.queries.PipelineOps.positionalIndexWriteGen(
+      docs.filter(col("doc_id") % 7 =!= 3), base, batchId = -1L)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val (b1, b2) = (batch.filter(col("doc_id") % 2 === 0),
+      batch.filter(col("doc_id") % 2 =!= 0))
+    graft.queries.PipelineOps.positionalIndexWriteGen(b1, base, batchId = 0L)
+    graft.queries.PipelineOps.positionalIndexWriteGen(b2, base, batchId = 1L)
+    def snapshot() = spark.read.parquet(base)
+      .select("doc_id", "pos", "term", "bucket", "gen").collect()
+      .map(_.toString).sorted.toSeq
+    def serve() = graft.queries.PipelineOps.phraseSearchOf(
+      spark.read.parquet(base), Seq("slow", "hash", "batch")).collect()
+      .map(_.toString).toSeq
+    val (before, servedBefore) = (snapshot(), serve())
+    // the REPLAY: batch 1 runs again with the same batchId
+    graft.queries.PipelineOps.positionalIndexWriteGen(b2, base, batchId = 1L)
+    assert(snapshot() == before,
+      "replayed batch changed the index — sink is not idempotent")
+    assert(serve() == servedBefore && servedBefore.nonEmpty)
+    // serve pruning unchanged by the gen level: the probe still
+    // carries each term's literal bucket as a PartitionFilter
+    val plan = graft.queries.PipelineOps.phraseSearchOf(
+      spark.read.parquet(base), Seq("slow", "hash", "batch"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket literal no longer prunes under the gen layout:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed under the gen layout:\n$plan")
+  }
 }
