@@ -81,14 +81,30 @@ object Curation {
     * boilerplate chains defeat any fixed propagation unrolling).
     * Returns (cluster_id, n_members, members). */
   def dupClustersAlternating(docs: DataFrame, minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      maxRounds: Int = 16, membersCap: Int = 10000): DataFrame =
     PipelineOps.ccAlternatingOf(
-      nearDupPairs(docs, minJaccard, idCol, textCol).select(col("d1"), col("d2")))
+      nearDupPairs(docs, minJaccard, idCol, textCol).select(col("d1"), col("d2")),
+      maxRounds, membersCap)
 
   /** [[dupClustersAlternating]] over a caller-supplied edge set
-    * `(d1, d2)` — any pair source composes. */
-  def dupClustersAlternatingFromEdges(edges: DataFrame): DataFrame =
-    PipelineOps.ccAlternatingOf(edges.select(col("d1"), col("d2")))
+    * `(d1, d2)` — any pair source composes. `maxRounds` is the
+    * runaway backstop above the verified fixpoint (the paper's round
+    * bound grows with graph size — raise it for a very large or
+    * adversarial duplicate graph); `membersCap` truncates the
+    * members-csv review rollup (n_members stays the true count). */
+  def dupClustersAlternatingFromEdges(edges: DataFrame,
+      maxRounds: Int = 16, membersCap: Int = 10000): DataFrame =
+    PipelineOps.ccAlternatingOf(edges.select(col("d1"), col("d2")),
+      maxRounds, membersCap)
+
+  /** The member-level (v, lbl) cluster assignment — the PRIMARY
+    * artifact behind [[dupClustersAlternating]]'s review rollup;
+    * downstream joins (keep decisions, weighting) consume this table,
+    * never the members-csv. */
+  def dupLabelsAlternatingFromEdges(edges: DataFrame,
+      maxRounds: Int = 16): DataFrame =
+    PipelineOps.ccLabelsOf(edges.select(col("d1"), col("d2")), maxRounds)
 
   /** The dedup keep decision (d19's kernel): per duplicate cluster of
     * the ≥ `minJaccard` graph, elect the HIGHEST-quality member (t14's

@@ -852,6 +852,11 @@ object PipelineOps {
     * downstream jobs prune on both. */
   private[graft] def trainingOrderManifestOf(docs: DataFrame, epochs: Int,
       shards: Int): DataFrame = {
+    // sequence(0, epochs-1) DESCENDS for epochs <= 0 (emitting a bogus
+    // epoch -1) and pmod(okey, shards) is null at shards <= 0 — fail
+    // loudly instead (the sibling kernels' require discipline)
+    require(epochs >= 1, s"epochs must be at least 1, got $epochs")
+    require(shards >= 1, s"shards must be at least 1, got $shards")
     graft.exprs.Md5Bits60.register(docs.sparkSession)
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -2834,11 +2839,36 @@ object PipelineOps {
     * iteration doesn't re-execute the edge lineage (at 100 TB: a
     * reliable checkpoint to cluster storage). Returns (cluster_id,
     * n_members, members-csv). */
-  private[graft] def dupClustersOf(edges: DataFrame, rounds: Int = 3): DataFrame =
-    dupLabelsOf(edges, rounds)
-      .groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("n_members"),
-        concat_ws(",", sort_array(collect_list(col("v")))).as("members"))
+  private[graft] def dupClustersOf(edges: DataFrame, rounds: Int = 3,
+      membersCap: Int = 10000): DataFrame =
+    clusterRollup(dupLabelsOf(edges, rounds), membersCap)
+
+  /** The (cluster_id, n_members, members-csv) rollup shared by d11 and
+    * d24. The member-level (node, label) pair table is the PRIMARY
+    * artifact downstream joins consume (d19/d21 already do); the csv
+    * is a review rollup, and it truncates: `members` lists at most
+    * `membersCap` ids in ascending order while `n_members` always
+    * carries the TRUE count, so a truncated cluster is visible as
+    * n_members > listed ids. The cap binds BEFORE the collect through
+    * a literal row_number cut (WindowGroupLimit bounded heap), so no
+    * aggregation buffer ever materializes a giant cluster's full
+    * member list — the r8 watch: one pathological boilerplate cluster
+    * at 100 TB would otherwise become a multi-GB row. Both exchanges
+    * key on lbl, so the rollup costs one shuffle (exchange reuse). */
+  private[graft] def clusterRollup(labels: DataFrame,
+      membersCap: Int = 10000): DataFrame = {
+    require(membersCap >= 1, s"membersCap must be at least 1, got $membersCap")
+    val counts = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    val capped = labels
+      .withColumn("r", row_number().over(
+        Window.partitionBy("lbl").orderBy("v")))
+      .filter(col("r") <= membersCap)
+      .groupBy(col("lbl"))
+      .agg(concat_ws(",", sort_array(collect_list(col("v")))).as("members"))
+    counts.join(capped, Seq("lbl"))
+      .select(col("lbl").as("cluster_id"), col("n_members"), col("members"))
+  }
 
   /** The member-level (v, lbl) cluster assignment behind
     * [[dupClustersOf]] — shared with d19's keep decision. */
@@ -2902,7 +2932,21 @@ object PipelineOps {
       .distinct()
   }
 
-  private[graft] def ccAlternatingOf(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+  private[graft] def ccAlternatingOf(edges: DataFrame, maxRounds: Int = 16,
+      membersCap: Int = 10000): DataFrame =
+    clusterRollup(ccLabelsOf(edges, maxRounds), membersCap)
+
+  /** The member-level (v, lbl) assignment behind [[ccAlternatingOf]] —
+    * the primary artifact (d24's analog of [[dupLabelsOf]]). The round
+    * loop runs to a VERIFIED fixpoint (set-equal edge comparison);
+    * `maxRounds` is the intended runaway backstop, not the
+    * convergence test: Kiveris et al. 2014 (Thm 4.1/4.2) prove the
+    * alternation monotonically contracts toward component-minimum
+    * stars, so a cycle of the composition cannot occur — if the
+    * require ever fires it means a broken edge set (NaN-ish ids,
+    * nondeterministic input), and failing loudly beats spinning. */
+  private[graft] def ccLabelsOf(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be at least 1, got $maxRounds")
     def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
     def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
     var e = edges.select(col("d1").as("u"), col("d2").as("v"))
@@ -2918,14 +2962,11 @@ object PipelineOps {
     require(converged, s"alternating CC did not converge in $maxRounds rounds")
     // at the fixpoint e is child→root stars; roots label themselves
     val childL = e.groupBy("u").agg(min("v").as("lbl"))
-      .select(col("u").as("node"), col("lbl"))
-    val rootL = e.select(col("v").as("node")).distinct()
-      .join(childL.select("node"), Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("lbl"))
+      .select(col("u").as("v"), col("lbl"))
+    val rootL = e.select(col("v")).distinct()
+      .join(childL.select("v"), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("lbl"))
     childL.union(rootL)
-      .groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("n_members"),
-        concat_ws(",", sort_array(collect_list(col("node")))).as("members"))
   }
 
   /** d19's kernel — the dedup KEEP DECISION: given the verified
@@ -5406,7 +5447,7 @@ object PipelineOps {
         WHERE r.lbl < s.src
       )
       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-        array_to_string(list_sort(list(v)), ',') AS members
+        array_to_string((list_sort(list(v)))[1:10000], ',') AS members
       FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
       GROUP BY cluster_id ORDER BY cluster_id""",
 
@@ -5435,7 +5476,7 @@ object PipelineOps {
         WHERE r.lbl < s.src
       )
       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-        array_to_string(list_sort(list(v)), ',') AS members
+        array_to_string((list_sort(list(v)))[1:10000], ',') AS members
       FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
       GROUP BY cluster_id ORDER BY cluster_id""",
 

@@ -1025,6 +1025,26 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster rollup: members-csv truncates at the cap, n_members keeps the true count") {
+    // the r8 watch: a pathological giant cluster must not become a
+    // multi-GB members row. The cap binds before the collect (bounded
+    // heap) and truncation is VISIBLE — n_members stays the true count.
+    import spark.implicits._
+    import graft.queries.PipelineOps.{ccAlternatingOf, dupClustersOf}
+    val edges = ((1L to 6L).map(i => (i, i + 1)) :+ (10L, 11L)).toDF("d1", "d2")
+    val expected = Seq((1L, 7L, "1,2,3"), (10L, 2L, "10,11"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(key(ccAlternatingOf(edges, membersCap = 3)) == expected)
+    assert(key(dupClustersOf(edges, rounds = 7, membersCap = 3)) == expected)
+    // and the bounded heap is in the plan: a literal row_number cut
+    // (WindowGroupLimit), not a full-cluster collect then slice
+    val plan = ccAlternatingOf(edges, membersCap = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"members cap must bind pre-collect as a bounded heap:\n$plan")
+  }
+
   test("st09 streaming bloom gate: sink equals batch d23, sketch artifact round-trips bit-exact") {
     import graft.queries.PipelineOps
     def key(r: org.apache.spark.sql.Row) =
