@@ -721,13 +721,24 @@ object Multimodal {
     *
     * Scale: payloads reduce to 8-byte fingerprints map-side before
     * anything shuffles; the join keys on the 60-bit hash, ids-only on
-    * the wire; a pathologically common window (silence) fans out
-    * f²-style — mm12/d09's stop-frame df cap composes as one filter
-    * before the join. Payload bytes never cross an exchange
-    * (plan-pinned).
+    * the wire; payload bytes never cross an exchange (plan-pinned).
+    * The f² fanout remedy is wired in BY DEFAULT (the r8 watch —
+    * mm14 was the suite's worst scaling point uncapped): a STOP-PRINT
+    * cut drops any fingerprint carried by more than `stopDfFrac` of
+    * all clips before the candidate join (chromaprint's silence /
+    * color-bar remedy, d10's two-phase shape). The threshold is a
+    * FRACTION, not an absolute df — an absolute cap silently empties
+    * the result once the corpus outgrows it, while "a quarter of the
+    * whole corpus shares this window" is scale-invariant evidence of
+    * content-free boilerplate. The stop set is tiny by definition →
+    * broadcast anti-join; clip signature sizes (na/nb) stay
+    * decode-time values, so surviving pairs score identically whether
+    * or not the cut bites elsewhere. MultimodalSpec's crafted silence
+    * fixture pins the f² path bounded; the oracle replays the same
+    * fractional cut (no bite at sf0.01: max print df 18 vs cap 41).
     */
   def audioNearDup(spark: SparkSession, dir: String, frameLen: Int,
-      tau: Double): DataFrame = {
+      tau: Double, stopDfFrac: Double = 0.25): DataFrame = {
     import spark.implicits._
     val prints = mediaTable(spark, dir)
       .filter(_.media_type == "audio")
@@ -744,7 +755,23 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fp", "nf")
-    prints.as("a").join(prints.as("b"),
+    audioNearDupFromPrints(prints, tau, stopDfFrac)
+  }
+
+  /** mm14's join half over a prepared (doc_id, fp, nf) print table —
+    * split out so the skew fixture can drive the stop-print cut
+    * directly. `stopDfFrac >= 1` disables the cut (every print is
+    * carried by ≤ 100% of clips). */
+  def audioNearDupFromPrints(prints: DataFrame, tau: Double,
+      stopDfFrac: Double): DataFrame = {
+    require(stopDfFrac > 0, s"stopDfFrac must be positive, got $stopDfFrac")
+    val pdf = prints.groupBy("fp").agg(count(lit(1)).as("pdf"))
+    val tot = prints.agg(countDistinct(col("doc_id")).as("nclips"))
+    val stop = pdf.crossJoin(broadcast(tot))
+      .filter(col("pdf") > col("nclips") * stopDfFrac)
+      .select("fp")
+    val kept = prints.join(broadcast(stop), Seq("fp"), "left_anti")
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.nf").as("na"), col("b.nf").as("nb"))

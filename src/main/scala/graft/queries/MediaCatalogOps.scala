@@ -49,8 +49,12 @@ object MediaCatalogOps {
       // fingerprints, candidate pairs on a shared print, Jaccard >=
       // 0.5 — a real cut on this fixture (725 of 2554 candidate pairs
       // survive; the sample arithmetic gives partial overlaps, so the
-      // score spans 0.02..0.84 rather than degenerate 0/1)
-      Multimodal.audioNearDup(s, d, frameLen = 20, tau = 0.5)),
+      // score spans 0.02..0.84 rather than degenerate 0/1). The
+      // stop-print cut (df > 25% of clips) is the DEFAULT path; it
+      // does not bite on this fixture (max print df 18 vs cap 41) and
+      // the oracle replays the identical fractional cut.
+      Multimodal.audioNearDup(s, d, frameLen = 20, tau = 0.5,
+        stopDfFrac = 0.25)),
 
     "mm09_image_text_alignment" -> ((s, d) =>
       // CLIP-style pair gate: decoded-raster 64-bucket image embedding
@@ -658,16 +662,24 @@ object MediaCatalogOps {
 
     // the WAV fixture is sample[i] = (doc_id*17 + i) % 256 (mm06's
     // oracle pins the decode); the fingerprint is the engine's 60-bit
-    // md5 of the comma-joined unsigned samples per 20-sample window
+    // md5 of the comma-joined unsigned samples per 20-sample window.
+    // The stop-print cut (print df > 25% of clips dropped before the
+    // pair join) replays in lockstep — a no-op at this scale, the
+    // skew fixture in MultimodalSpec proves the biting case.
     "mm14_audio_near_dup" -> """
       WITH aud AS (
         SELECT doc_id, 256 + doc_id % 512 AS n FROM documents WHERE doc_id % 3 = 1),
-      fr AS (
+      fr0 AS (
         SELECT DISTINCT doc_id,
           ('0x' || substring(md5(array_to_string(
              [ (doc_id*17 + k*20 + j) % 256 for j in generate_series(0, 19) ], ',')), 1, 15))::BIGINT AS fp
         FROM aud, generate_series(0, 37) t(k) WHERE (k+1)*20 <= n),
-      sizes AS (SELECT doc_id, count(*) AS s FROM fr GROUP BY doc_id),
+      sizes AS (SELECT doc_id, count(*) AS s FROM fr0 GROUP BY doc_id),
+      tot AS (SELECT count(DISTINCT doc_id) AS nclips FROM fr0),
+      stop AS (
+        SELECT fp FROM fr0, tot GROUP BY fp, nclips
+        HAVING count(*) > nclips * 0.25),
+      fr AS (SELECT * FROM fr0 WHERE fp NOT IN (SELECT fp FROM stop)),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -252,6 +252,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must produce at least one near-dup audio pair")
     assert(expected.size < ids.length * (ids.length - 1) / 2, "gate must cut most pairs")
     assert(out == expected, s"operator pairs != formula recompute:\n${out.take(5)}\nvs\n${expected.take(5)}")
+    // the default stop-print cut must NOT bite on this fixture — the
+    // recompute above is cut-free, so equality already proves it; pin
+    // the reason too (max print df well under 25% of clips)
+    val maxDf = sets.values.toSeq.flatten.groupBy(identity).values.map(_.size).max
+    assert(maxDf <= ids.length / 4,
+      s"fixture print df $maxDf reaches the stop cut — recompute no longer cut-free")
+  }
+
+  test("mm14 stop-print cut: a corpus-wide silence window cannot fan out f²") {
+    // the r8 watch: mm14 measured 9.7x wall on 10x data — the f²
+    // candidate-join family. The default fractional stop-print cut
+    // bounds it: plant a silence print shared by ALL clips next to the
+    // real content prints and the pathological print must generate
+    // ZERO candidate pairs, while genuine near-dup pairs keep their
+    // decode-time-size scores exactly.
+    import spark.implicits._
+    val silence = 999999L
+    // 40 clips all carrying the silence print; clips 2p/2p+1 also
+    // share 4 content prints and carry 1 unique print each, so each
+    // signature is 6 prints and a genuine pair scores
+    // 4/(6+6-4) = 0.5 after the cut (sizes stay decode-time values,
+    // so the dropped silence print shrinks only the shared count)
+    val prints = (0L until 40L).flatMap { id =>
+      val shared4 = (0 until 4).map(k => 1000L * (id / 2) + k)
+      val unique = 500000L + id
+      (shared4 :+ unique :+ silence).map(fp => (id, fp, 6))
+    }.toDF("doc_id", "fp", "nf")
+    val capped = Multimodal.audioNearDupFromPrints(prints, tau = 0.5, stopDfFrac = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = (0L until 20L).map(p => (2 * p, 2 * p + 1, 4L, 0.5))
+    assert(capped.toSeq == expected,
+      s"capped pairs wrong:\n${capped.toSeq}\nvs\n$expected")
+    // uncapped contrast (stopDfFrac >= 1 disables): the silence print
+    // alone couples every clip to every other — the f² blowup is real,
+    // not hypothetical
+    val uncapped = Multimodal.audioNearDupFromPrints(prints, tau = 0.0, stopDfFrac = 1.0)
+    assert(uncapped.count() == 40L * 39 / 2,
+      "uncapped silence print must couple all clip pairs (contrast case)")
+    // and the stop set rides a broadcast anti-join — the corpus print
+    // stream never shuffles to be cut
+    val plan = Multimodal.audioNearDupFromPrints(prints, 0.5, 0.25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"stop cut must be a broadcast anti-join:\n$plan")
   }
 
   test("frame containment: image-vs-frame fingerprint equality matches the formula recompute") {
