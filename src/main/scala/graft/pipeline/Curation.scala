@@ -343,6 +343,19 @@ object Curation {
     PipelineOps.c4LineGateOf(canon(docs, idCol, textCol), lineWords,
       minLineWords, lineBlock, docBlock, minKeptLines)
 
+  /** HTML/boilerplate main-text extraction (t23's kernel —
+    * trafilatura/jusText family), the step before [[c4LineGate]] /
+    * [[intraDocDedup]] in a crawl pipeline: newline-separated HTML
+    * blocks classify by link density (integer test: 2·anchorChars >
+    * textChars) with precedence over a `minWords` length cut; the
+    * extracted document is the surviving blocks' text in order. Pure
+    * in-row map at scan speed. Returns (doc_id, n_blocks, n_kept,
+    * n_drop_link, n_drop_short, extracted_md5, extracted_wc). */
+  def htmlExtract(pages: DataFrame, minWords: Int = 3,
+      idCol: String = "doc_id", htmlCol: String = "html"): DataFrame =
+    PipelineOps.htmlExtractOf(
+      pages.select(col(idCol).as("doc_id"), col(htmlCol).as("html")), minWords)
+
   /** Per-document TF-IDF keyword extraction (t22's kernel): each
     * doc's top `k` terms by tf · ln(N/df), rounded-score ranking with
     * term tiebreak. Returns (doc_id, rk, term, score). */

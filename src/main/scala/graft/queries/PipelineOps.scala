@@ -1133,6 +1133,73 @@ object PipelineOps {
           .as("cleaned_md5"))
   }
 
+  /** t23's page builder — a deterministic raw-HTML page per document,
+    * the fixture for [[htmlExtractOf]] (the corpus ships clean text;
+    * real crawl pipelines start from HTML, so the page wraps each
+    * doc's text in the boilerplate a crawler actually sees — mm's
+    * synthesize-from-documents discipline). Layout, one block per
+    * line: a nav bar (pure links), an `<h1>` title (2 words), the
+    * doc's text as non-overlapping `paraWords`-word `<p>` paragraphs,
+    * a "See also" sidebar whose link mass depends on the doc's own
+    * first two words (so the link-density rule flips BOTH ways across
+    * the corpus), and a link-heavy footer. Pure in-row map. */
+  private[graft] def htmlPageOf(docs: DataFrame, paraWords: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("html", expr(
+        "concat_ws(char(10), " +
+          "'<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>', " +
+          "concat('<h1>Doc ', doc_id, '</h1>'), " +
+          s"array_join(transform(sequence(0, cast(ceil(size(w) / ${paraWords}.0) as int) - 1), " +
+          s"  k -> concat('<p>', array_join(slice(w, k * $paraWords + 1, $paraWords), ' '), '</p>')), char(10)), " +
+          "concat('<div>See <a href=\"/r1\">', element_at(w, 1), " +
+          "  '</a> <a href=\"/r2\">', element_at(w, 2), '</a></div>'), " +
+          "'<footer><a href=\"/tos\">Terms of Service and Privacy</a> example com</footer>')"))
+      .select("doc_id", "html")
+
+  /** t23's kernel — HTML/boilerplate main-text extraction, the
+    * trafilatura/jusText-shaped step that runs BEFORE t21/d22 in every
+    * real crawl pipeline (the r8 verdict's top missing operator): the
+    * page splits into block-level segments, each block is classified
+    * by LINK DENSITY (anchor-text chars vs total text chars — jusText
+    * rule 1: a block that is mostly links is navigation) then by
+    * LENGTH (word count < `minWords` — headings, crumbs), and the
+    * extracted document is the surviving blocks' text in order.
+    * Link-density precedence over length, so a two-word nav bar
+    * reports as boilerplate, not as short. The density test is the
+    * INTEGER comparison 2·linkChars > textChars — exact, no float
+    * cross-engine ambiguity. Returns (doc_id, n_blocks, n_kept,
+    * n_drop_link, n_drop_short, extracted_md5, extracted_wc).
+    *
+    * 100 TB: entirely IN-ROW — block split, per-block tag strip +
+    * anchor mass (regexp inside a `transform` HOF), the two rules, and
+    * the ordered reassembly all sit in one projection: a pure map at
+    * scan speed, zero exchanges beyond the presentation sort
+    * (plan-pinned, t21's shape). Input: (doc_id, html). */
+  private[graft] def htmlExtractOf(pages: DataFrame,
+      minWords: Int = 3): DataFrame = {
+    require(minWords >= 1, s"minWords must be at least 1, got $minWords")
+    pages
+      .withColumn("bs", expr(
+        "transform(split(html, char(10)), b -> named_struct(" +
+          "'t', regexp_replace(b, '<[^>]*>', ''), " +
+          "'l', aggregate(regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1), " +
+          "       0, (a, x) -> a + length(x))))"))
+      .withColumn("keep", expr(
+        s"filter(bs, s -> NOT (2 * s.l > length(s.t)) " +
+          s"AND size(split(s.t, ' ')) >= $minWords)"))
+      .withColumn("nlink", expr(
+        "size(filter(bs, s -> 2 * s.l > length(s.t)))").cast("long"))
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_blocks"),
+        size(col("keep")).cast("long").as("n_kept"),
+        col("nlink").as("n_drop_link"),
+        (size(col("bs")).cast("long") - size(col("keep")) - col("nlink"))
+          .as("n_drop_short"),
+        md5(expr("array_join(transform(keep, s -> s.t), ' ')")).as("extracted_md5"),
+        expr("size(split(array_join(transform(keep, s -> s.t), ' '), ' '))")
+          .cast("long").as("extracted_wc"))
+  }
+
   /** d23's kernel — Bloom-prefiltered EXACT chunk-membership dedup
     * gate, the Dolma-style ingest-time deduper: "has this batch
     * chunk been seen in the corpus?" answered by a broadcast Bloom
@@ -4569,6 +4636,24 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "t23_html_extract" -> ((s, d) => {
+      // HTML/boilerplate main-text extraction (trafilatura/jusText
+      // family) — the step before t21/d22 in every crawl pipeline:
+      // each doc's deterministic raw-HTML page (nav + title + content
+      // paragraphs + doc-dependent sidebar + footer; the mm fixture
+      // discipline) classifies per block by link density then length,
+      // and the extracted text is the surviving blocks in order. Every
+      // rule branch bites at sf0.01: nav/footer always link-drop, the
+      // h1 always short-drops, paragraphs keep, and the sidebar flips
+      // both ways across docs (23 keep / 477 drop — the density
+      // depends on the doc's own first two words). Zero exchanges
+      // beyond the presentation sort (plan-pinned, t21's shape).
+      htmlExtractOf(htmlPageOf(
+          t(s, d, "documents").select("doc_id", "text"), paraWords = 12),
+          minWords = 3)
+        .orderBy("doc_id")
+    }),
+
     "d18_exact_substring" -> ((s, d) => {
       // Exact-substring dedup (Lee et al. 2022's ExactSubstr — the
       // remaining standard production dedup family next to doc-level
@@ -7337,6 +7422,39 @@ object PipelineOps {
                   WHEN n_kept < 2 THEN 'too_few_lines' ELSE 'kept' END AS verdict,
              CASE WHEN NOT doc_block AND n_kept >= 2 THEN kept_md5 END AS cleaned_md5
       FROM per_doc ORDER BY doc_id""",
+
+    // replays the page construction AND the block rule cascade: same
+    // deterministic page per doc, same integer link-density test
+    // (2·linkChars > textChars), same minWords cut, ordered reassembly
+    "t23_html_extract" -> """
+      WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      page AS (
+        SELECT doc_id,
+          '<nav><a href="/">Home</a> <a href="/about">About</a></nav>' || chr(10) ||
+          '<h1>Doc ' || doc_id || '</h1>' || chr(10) ||
+          array_to_string([ '<p>' || array_to_string(w[(k*12+1):(k*12+12)], ' ') || '</p>'
+            for k in generate_series(0, CAST(ceil(len(w)/12.0) AS INT)-1) ], chr(10)) || chr(10) ||
+          '<div>See <a href="/r1">' || w[1] || '</a> <a href="/r2">' || w[2] || '</a></div>' || chr(10) ||
+          '<footer><a href="/tos">Terms of Service and Privacy</a> example com</footer>' AS html
+        FROM d),
+      cls AS (
+        SELECT doc_id,
+          [ { t: regexp_replace(b, '<[^>]*>', '', 'g'),
+              l: coalesce(list_sum([ len(x) for x in regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1) ]), 0) }
+            for b in string_split(html, chr(10)) ] AS bs
+        FROM page),
+      ext AS (
+        SELECT doc_id, bs,
+          [ s.t for s in bs if NOT (2*s.l > len(s.t)) AND len(string_split(s.t, ' ')) >= 3 ] AS keep,
+          len([ s for s in bs if 2*s.l > len(s.t) ]) AS nlink
+        FROM cls)
+      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_blocks,
+             CAST(len(keep) AS BIGINT) AS n_kept,
+             CAST(nlink AS BIGINT) AS n_drop_link,
+             CAST(len(bs) - len(keep) - nlink AS BIGINT) AS n_drop_short,
+             md5(array_to_string(keep, ' ')) AS extracted_md5,
+             CAST(len(string_split(array_to_string(keep, ' '), ' ')) AS BIGINT) AS extracted_wc
+      FROM ext ORDER BY doc_id""",
 
     // the sketch is invisible to the verdict (exact confirm removes
     // its false positives), so the oracle replays plain exact

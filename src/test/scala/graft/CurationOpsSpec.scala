@@ -1025,6 +1025,43 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t23 html extraction: every rule branch bites on a crafted page") {
+    import spark.implicits._
+    val nl = "\n"
+    // one page exercising each branch: pure-link nav (link-drop even
+    // though also short — precedence), short heading (short-drop),
+    // normal paragraph (keep), exactly-at-the-boundary block
+    // (2·linkChars == textChars → KEPT: the rule is strict-greater),
+    // link-heavy sidebar (link-drop), empty-anchor link (counts zero
+    // link chars → length rule decides), and order preservation
+    val page =
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav>" + nl + // link-drop
+        "<h1>Tiny heading</h1>" + nl +                       // short-drop (2 words)
+        "<p>alpha beta gamma delta</p>" + nl +               // keep
+        "<div><a href=\"/y\">abcde</a> abcd</div>" + nl +    // EXACT boundary: 2·5 == len("abcde abcd")=10 → strict-greater keeps it off the link path; wc=2 → short-drop
+        "<p>one <a href=\"/z\">two three four</a> five</p>" + nl + // l=14, t="one two three four five"=23, 28>23 → link-drop
+        "<p><a href=\"/e\"></a>solo word here</p>"           // empty anchor: l=0 → keep (3 words)
+    val out = graft.queries.PipelineOps.htmlExtractOf(
+      Seq((1L, page)).toDF("doc_id", "html"), minWords = 3).collect().head
+    assert(out.getLong(1) == 6, "n_blocks")
+    assert(out.getLong(2) == 2, s"n_kept: $out")
+    assert(out.getLong(3) == 2, s"n_drop_link: $out")
+    assert(out.getLong(4) == 2, s"n_drop_short: $out")
+    // extracted text preserves block order: paragraph then the
+    // empty-anchor block
+    val expected = "alpha beta gamma delta solo word here"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out.getString(5) == md5, "extracted_md5 must hash the ordered kept text")
+    assert(out.getLong(6) == 7, "extracted_wc")
+    // corpus sanity: the doc-dependent sidebar flips both ways (the
+    // density depends on the doc's own first two words)
+    val corpus = run("t23_html_extract").collect()
+    assert(corpus.count(_.getLong(3) == 2) > 0, "sidebar-kept branch never bites")
+    assert(corpus.count(_.getLong(3) == 3) > 0, "sidebar-dropped branch never bites")
+    assert(corpus.forall(_.getLong(2) >= 1), "every doc keeps at least one paragraph")
+  }
+
   test("cluster rollup: members-csv truncates at the cap, n_members keeps the true count") {
     // the r8 watch: a pathological giant cluster must not become a
     // multi-GB members row. The cap binds before the collect (bounded

@@ -976,6 +976,18 @@ class PlanSpec extends AnyFunSuite {
       s"in-row operator grew an aggregation shuffle:\n$plan")
   }
 
+  test("t23 html extraction: pure map — no join, no window, no hash exchange") {
+    // page build + block classification + reassembly are all in-row;
+    // the only exchange permitted is the presentation sort
+    val df = graft.queries.PipelineOps.defs("t23_html_extract")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"in-row operator grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"in-row operator grew a window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"in-row operator grew an aggregation shuffle:\n$plan")
+  }
+
   test("d22 intra-doc dedup: pure map — no join, no window, no hash exchange") {
     // the whole operator is in-row; the only exchange permitted is the
     // presentation sort's range partitioning
