@@ -258,4 +258,20 @@ object Similarity {
   def knnGraph(emb: DataFrame, k: Int, topK: Int = 3, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.knnGraphOf(canon(emb, idCol, vecCol), k, iters, topK)
+
+  /** NN-descent refinement (s19's kernel — Dong et al. 2011) over
+    * [[knnGraph]]'s within-cell build: deterministic md5-bucket
+    * bridges (the paper's random initialization — size `bridgeBuckets`
+    * so buckets hold ~N/bridgeBuckets vectors) seed cross-cell edges,
+    * then `rounds` neighbor-of-neighbor expansion rounds recover the
+    * true neighbors blocking misses, re-ranked by exact cosine through
+    * bounded per-vertex heaps. Edge-keyed equi-joins only — the corpus
+    * never self-joins. Returns (vec_id, rk, nbr_id, cos). */
+  def nnDescent(emb: DataFrame, k: Int, topK: Int = 3, iters: Int = 3,
+      rounds: Int = 1, bridgeBuckets: Int = 31,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = canon(emb, idCol, vecCol)
+    PipelineOps.nnDescentOf(c,
+      PipelineOps.knnGraphOf(c, k, iters, topK), topK, rounds, bridgeBuckets)
+  }
 }

@@ -832,6 +832,88 @@ object PipelineOps {
       .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
+  /** s19's kernel — NN-DESCENT refinement over a kNN graph (Dong et
+    * al. 2011, "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures"): the blocked [[knnGraphOf]] graph
+    * misses true neighbors that k-means put in a different cell, and
+    * — the structural trap — its edges all stay INSIDE cells, so
+    * neighbor-of-neighbor expansion over it alone can never leave a
+    * cell either (measured: zero recall gain). The paper's remedy is
+    * its own initialization: a RANDOM seed graph. Here the random
+    * seeds are deterministic cross-cell BRIDGES — every vector lands
+    * in a content-independent md5 bucket (`bridgeBuckets` of them, so
+    * ~N/bridgeBuckets vectors each) and its in-bucket top-`topK`
+    * cosine neighbors join the seed set. Then each round the
+    * symmetrized edge set joins itself on the shared middle vertex
+    * (candidates = neighbors-of-neighbors incl. reverse edges, the
+    * paper's general join), new candidates re-rank by EXACT cosine
+    * (rounded to 4 with nbr_id tiebreak — engine-exact edges), and
+    * each vertex keeps its best `topK` through a literal-bounded
+    * heap. Returns (vec_id, rk, nbr_id, cos).
+    *
+    * 100 TB: every join is edge-keyed — the candidate expansion is
+    * O(N·(4K)²) pairs from an O(N·K) edge list, the bridge block is
+    * Σ(N/B)² with B scaling like k-means K, vector fetches are two
+    * id equi-joins against the (bucketed, at scale) embedding table,
+    * and the per-vertex cut is a WindowGroupLimit bounded heap. The
+    * corpus never self-joins; each round's edge set localCheckpoints
+    * (reliable checkpoint at cluster scale) so lineage stays flat.
+    * s06's recall harness grades the refinement (CurationOpsSpec
+    * measures the recall@k gain over the within-cell graph live). */
+  private[graft] def nnDescentOf(emb: DataFrame, base: DataFrame,
+      topK: Int, rounds: Int, bridgeBuckets: Int): DataFrame = {
+    require(topK >= 1, s"topK must be at least 1, got $topK")
+    require(rounds >= 1, s"rounds must be at least 1, got $rounds")
+    require(bridgeBuckets >= 1,
+      s"bridgeBuckets must be at least 1, got $bridgeBuckets")
+    graft.exprs.CosineSim.register(emb.sparkSession)
+    graft.exprs.Md5Bits60.register(emb.sparkSession)
+    val vecs = emb.select(col("vec_id"), col("e"))
+    val wSeed = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    val bkted = vecs.withColumn("bkt",
+      pmod(expr("md5_bits60(cast(vec_id as string))"), lit(bridgeBuckets.toLong)))
+    val bridges = bkted.as("x")
+      .join(bkted.select(col("bkt"), col("vec_id").as("nbr_id"),
+        col("e").as("ne")), Seq("bkt"))
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .withColumn("cos", round(expr("cosine_sim(e, ne)"), 4))
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= topK)
+      .select("vec_id", "nbr_id", "cos")
+    var edges = base.select("vec_id", "nbr_id", "cos")
+      .union(bridges).distinct().localCheckpoint()
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    (1 to rounds).foreach { _ =>
+      val sym = edges.select(col("vec_id").as("a"), col("nbr_id").as("b"))
+        .union(edges.select(col("nbr_id").as("a"), col("vec_id").as("b")))
+        .distinct()
+      val cand = sym.as("x").join(sym.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("vec_id"), col("y.b").as("nbr_id"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .distinct()
+      val scored = cand
+        .join(vecs, Seq("vec_id"))
+        .join(vecs.select(col("vec_id").as("nbr_id"), col("e").as("ne")),
+          Seq("nbr_id"))
+        .withColumn("cos", round(expr("cosine_sim(e, ne)"), 4))
+        .select("vec_id", "nbr_id", "cos")
+      edges = edges.union(scored)
+        .groupBy("vec_id", "nbr_id").agg(max("cos").as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("vec_id", "nbr_id", "cos")
+        .localCheckpoint()
+    }
+    // the filter is a no-op on the ≤ topK checkpointed edges, but it
+    // keeps the final rank a WindowGroupLimit bounded heap like the
+    // per-round cuts (which checkpointing hides from the final plan)
+    edges.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
   /** p08's kernel — multi-epoch training-order manifest: the artifact
     * the DATA LOADER consumes after curation ships. Per epoch every
     * doc gets a deterministic order key md5_bits60(epoch ':' doc_id)
@@ -5158,6 +5240,24 @@ object PipelineOps {
         .orderBy("vec_id", "rk")
     }),
 
+    "s19_nn_descent" -> ((s, d) => {
+      // NN-descent refinement (Dong et al. 2011) over s18's
+      // within-cell graph: deterministic md5-bucket bridges (the
+      // paper's random initialization — 31 buckets ≈ 16 vectors each
+      // at sf0.01) seed cross-cell edges, then one
+      // neighbor-of-neighbor expansion round re-ranked by exact
+      // cosine, per-vertex top-3 kept. Recovers cross-cell true
+      // neighbors the blocked build misses — CurationOpsSpec measures
+      // the recall@3 gain against the exact brute-force graph via
+      // s06's harness. Edge-keyed equi-joins only, never a corpus
+      // self-join (plan-pinned).
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      nnDescentOf(emb, knnGraphOf(emb, k = 8, iters = 3, topK = 3),
+          topK = 3, rounds = 1, bridgeBuckets = 31)
+        .orderBy("vec_id", "rk")
+    }),
+
     "t14_quality_classifier" -> ((s, d) => {
       // fastText-shaped linear quality classifier — the model-based
       // document filter every production corpus runs (pages scored by
@@ -5988,6 +6088,61 @@ object PipelineOps {
         SELECT vec_id, nbr_id, cos,
                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
         FROM pairs)
+      WHERE rk <= 3 ORDER BY vec_id, rk"""),
+
+    // s18's base graph plus deterministic md5-bucket bridges (the
+    // paper's random init), then ONE NN-descent round: symmetrize,
+    // join on the middle vertex, exact cosine on new candidates,
+    // re-rank top-3. 31 buckets matches the entry at sf0.01.
+    "s19_nn_descent" -> (kmeansOracleCte + """,
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT vec_id, nbr_id, cos FROM (
+          SELECT vec_id, nbr_id, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+          FROM pairs)
+        WHERE rk <= 3),
+      bk AS (
+        SELECT vec_id, e,
+               ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 31 AS bkt
+        FROM emb),
+      bpairs AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+      bridge AS (
+        SELECT vec_id, nbr_id, cos FROM (
+          SELECT vec_id, nbr_id, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+          FROM bpairs)
+        WHERE rk <= 3),
+      base AS (
+        SELECT DISTINCT vec_id, nbr_id, cos FROM (
+          SELECT * FROM knn UNION ALL SELECT * FROM bridge)),
+      sym AS (
+        SELECT vec_id AS a, nbr_id AS b FROM base
+        UNION
+        SELECT nbr_id, vec_id FROM base),
+      cand AS (
+        SELECT DISTINCT x.a AS vec_id, y.b AS nbr_id
+        FROM sym x JOIN sym y ON x.b = y.a WHERE x.a <> y.b),
+      scored AS (
+        SELECT c.vec_id, c.nbr_id,
+               round(list_cosine_similarity(e1.e, e2.e), 4) AS cos
+        FROM cand c
+        JOIN emb e1 ON e1.vec_id = c.vec_id
+        JOIN emb e2 ON e2.vec_id = c.nbr_id),
+      merged AS (
+        SELECT vec_id, nbr_id, max(cos) AS cos FROM (
+          SELECT * FROM base UNION ALL SELECT * FROM scored)
+        GROUP BY vec_id, nbr_id)
+      SELECT vec_id, rk, nbr_id, cos FROM (
+        SELECT vec_id, nbr_id, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+        FROM merged)
       WHERE rk <= 3 ORDER BY vec_id, rk"""),
 
     // the shared trajectory again; per-cluster top-3 by (dist, vec_id)

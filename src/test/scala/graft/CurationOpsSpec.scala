@@ -1025,6 +1025,41 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s19 NN-descent: measured recall@3 gain over the within-cell graph (s06's harness)") {
+    import spark.implicits._
+    // exact ground truth: brute-force top-3 per vector under the same
+    // (rounded cosine desc, nbr_id asc) order the operators use
+    val vecs = Tables.t(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.round(d / math.sqrt(na * nb) * 10000) / 10000.0
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val exact = ids.map { v =>
+      v -> ids.filter(_ != v)
+        .map(n => (n, cos(vecs(v), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(name: String): Double = {
+      val got = run(name).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      val hits = ids.map(v => (exact(v) & got.getOrElse(v, Set.empty)).size).sum
+      hits.toDouble / (ids.size * 3)
+    }
+    val (base, refined) = (recall("s18_knn_graph"), recall("s19_nn_descent"))
+    assert(refined > base,
+      f"NN-descent must improve recall: base $base%.4f vs refined $refined%.4f")
+    assert(refined >= base + 0.02,
+      f"refinement gain too small to be real: $base%.4f -> $refined%.4f")
+    // every vertex still carries exactly topK=3 refined edges
+    val perVec = run("s19_nn_descent").groupBy("vec_id").count().collect()
+    assert(perVec.forall(_.getLong(1) == 3L))
+  }
+
   test("t23 html extraction: every rule branch bites on a crafted page") {
     import spark.implicits._
     val nl = "\n"

@@ -976,6 +976,19 @@ class PlanSpec extends AnyFunSuite {
       s"in-row operator grew an aggregation shuffle:\n$plan")
   }
 
+  test("s19 NN-descent: edge-keyed equi-joins only, bounded per-vertex heap, no corpus self-join") {
+    // the refinement's promise: candidates come from the edge list
+    // joining ITSELF on the middle vertex plus two id point-lookups
+    // into the embedding table — never a corpus x corpus shape
+    val df = graft.queries.PipelineOps.defs("s19_nn_descent")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"NN-descent degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-vertex top-k must be a bounded heap:\n$plan")
+  }
+
   test("t23 html extraction: pure map — no join, no window, no hash exchange") {
     // page build + block classification + reassembly are all in-row;
     // the only exchange permitted is the presentation sort
