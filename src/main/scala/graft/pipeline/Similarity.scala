@@ -274,4 +274,17 @@ object Similarity {
     PipelineOps.nnDescentOf(c,
       PipelineOps.knnGraphOf(c, k, iters, topK), topK, rounds, bridgeBuckets)
   }
+
+  /** Graph-ANN serve (s20's kernel — the HNSW-shaped single-layer
+    * beam search): queries walk a caller-supplied kNN edge graph
+    * ((vec_id, nbr_id) — [[nnDescent]]'s output composes directly)
+    * from fixed entry points through `rounds` bounded expansion
+    * rounds. Returns (qid, rk, nid, c, n_visited) — n_visited is the
+    * serve-cost certificate (vertices scored, not the corpus). */
+  def graphAnnServe(emb: DataFrame, graph: DataFrame, queries: DataFrame,
+      entries: Int = 4, beam: Int = 4, rounds: Int = 3, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.graphAnnServeOf(canon(emb, idCol, vecCol),
+      graph.select(col("vec_id"), col("nbr_id")),
+      canon(queries, idCol, vecCol), entries, beam, rounds, k)
 }

@@ -914,6 +914,68 @@ object PipelineOps {
       .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
+  /** s20's kernel — graph-based ANN SERVE over the [[nnDescentOf]]
+    * kNN graph: the HNSW-shaped beam search (Malkov & Yashunin 2018,
+    * single-layer form) that turns the graph artifact into a query
+    * engine. Per query: start from `entries` fixed entry points (the
+    * smallest vec_ids — deterministic), then `rounds` expansion steps
+    * — the current top-`beam` visited vertices pull their graph
+    * neighbors (symmetrized edges), new candidates score by exact
+    * cosine (rounded to 4, nbr tiebreak — engine-exact), and the
+    * visited set accumulates. Fixed `rounds` instead of HNSW's
+    * converge-check keeps the computation a deterministic bounded
+    * dataflow both engines replay identically (a production server
+    * loops to convergence; the per-round dataflow is the same).
+    * Returns (qid, rk, nid, c, n_visited) — n_visited is the serve
+    * cost certificate: the search scored that many vertices, not the
+    * corpus.
+    *
+    * 100 TB: queries broadcast (bounded by contract); each round is
+    * one frontier-to-edges equi-join + an id point-lookup into the
+    * (bucketed, at scale) vector table; visited stays ≤ entries +
+    * rounds·beam·2K rows per query and checkpoints per round; the
+    * frontier/final cuts are literal-bounded WindowGroupLimit heaps.
+    * The corpus is never scanned at serve time beyond the id lookups
+    * — the graph IS the index. */
+  private[graft] def graphAnnServeOf(emb: DataFrame, graph: DataFrame,
+      queries: DataFrame, entries: Int, beam: Int, rounds: Int,
+      k: Int): DataFrame = {
+    require(entries >= 1 && beam >= 1 && rounds >= 1 && k >= 1,
+      "entries, beam, rounds, k must all be at least 1")
+    graft.exprs.CosineSim.register(emb.sparkSession)
+    val sym = graph.select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      .union(graph.select(col("nbr_id").as("a"), col("vec_id").as("b")))
+      .distinct().localCheckpoint()
+    val vecs = emb.select(col("vec_id").as("nid"), col("e").as("ne"))
+    val qs = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .localCheckpoint() // bounded by contract; checkpoint so every
+                         // round's broadcast reuses one materialization
+    def score(cand: DataFrame): DataFrame =
+      cand.join(broadcast(qs), Seq("qid"))
+        .join(vecs, Seq("nid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(expr("cosine_sim(qe, ne)"), 4).as("c"))
+    val wB = Window.partitionBy("qid").orderBy(col("c").desc, col("nid").asc)
+    val entryPts = vecs.orderBy("nid").limit(entries).select("nid")
+    var visited = score(broadcast(qs.select("qid")).crossJoin(entryPts))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val frontier = visited.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= beam).select(col("qid"), col("nid").as("a"))
+      val cand = frontier.join(sym, Seq("a"))
+        .select(col("qid"), col("b").as("nid")).distinct()
+      visited = visited.union(score(cand))
+        .groupBy("qid", "nid").agg(max("c").as("c"))
+        .localCheckpoint()
+    }
+    val nv = visited.groupBy("qid").agg(count(lit(1)).as("n_visited"))
+    visited.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= k)
+      .join(broadcast(nv), Seq("qid"))
+      .select(col("qid"), col("rk"), col("nid"), col("c"), col("n_visited"))
+  }
+
   /** p08's kernel — multi-epoch training-order manifest: the artifact
     * the DATA LOADER consumes after curation ships. Per epoch every
     * doc gets a deterministic order key md5_bits60(epoch ':' doc_id)
@@ -1225,8 +1287,10 @@ object PipelineOps {
     * a "See also" sidebar whose link mass depends on the doc's own
     * first two words (so the link-density rule flips BOTH ways across
     * the corpus), and a link-heavy footer. Pure in-row map. */
-  private[graft] def htmlPageOf(docs: DataFrame, paraWords: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+  private[graft] def htmlPageOf(docs: DataFrame, paraWords: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id"), split(col("text"), " ").as("w")) ++
+        carry.map(col): _*)
       .withColumn("html", expr(
         "concat_ws(char(10), " +
           "'<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>', " +
@@ -1236,7 +1300,7 @@ object PipelineOps {
           "concat('<div>See <a href=\"/r1\">', element_at(w, 1), " +
           "  '</a> <a href=\"/r2\">', element_at(w, 2), '</a></div>'), " +
           "'<footer><a href=\"/tos\">Terms of Service and Privacy</a> example com</footer>')"))
-      .select("doc_id", "html")
+      .select((Seq("doc_id", "html") ++ carry).map(col): _*)
 
   /** t23's kernel — HTML/boilerplate main-text extraction, the
     * trafilatura/jusText-shaped step that runs BEFORE t21/d22 in every
@@ -1258,7 +1322,7 @@ object PipelineOps {
     * scan speed, zero exchanges beyond the presentation sort
     * (plan-pinned, t21's shape). Input: (doc_id, html). */
   private[graft] def htmlExtractOf(pages: DataFrame,
-      minWords: Int = 3): DataFrame = {
+      minWords: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     require(minWords >= 1, s"minWords must be at least 1, got $minWords")
     pages
       .withColumn("bs", expr(
@@ -1271,15 +1335,63 @@ object PipelineOps {
           s"AND size(split(s.t, ' ')) >= $minWords)"))
       .withColumn("nlink", expr(
         "size(filter(bs, s -> 2 * s.l > length(s.t)))").cast("long"))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
         size(col("bs")).cast("long").as("n_blocks"),
         size(col("keep")).cast("long").as("n_kept"),
         col("nlink").as("n_drop_link"),
         (size(col("bs")).cast("long") - size(col("keep")) - col("nlink"))
           .as("n_drop_short"),
+        expr("array_join(transform(keep, s -> s.t), ' ')").as("extracted"),
         md5(expr("array_join(transform(keep, s -> s.t), ' ')")).as("extracted_md5"),
         expr("size(split(array_join(transform(keep, s -> s.t), ' '), ' '))")
-          .cast("long").as("extracted_wc"))
+          .cast("long").as("extracted_wc")): _*)
+  }
+
+  /** p10's kernel — the composed CRAWL chain, in one plan: (1) t23's
+    * HTML main-text extraction (12-word paragraphs, link-density +
+    * minWords-3 block rules), (2) t21's C4 line gate on the EXTRACTED
+    * text (10-word lines, ≥6 words, 'vector' line blocklist, 'dup'
+    * doc blocklist, ≥2 surviving lines), (3) d22's intra-doc
+    * keep-first 2-word-window dedup on the gate survivors, then one
+    * per-lang release card: (lang, n_raw, n_gate, tokens_extracted,
+    * tokens_final, id_checksum).
+    *
+    * 100 TB: every stage is IN-ROW — the whole composition is a pure
+    * map feeding ONE partial-agg shuffle on lang; there is no join in
+    * the plan at all (plan-pinned). This is the operative difference
+    * from p09: the crawl-side stages (extract/clean/intra-doc) never
+    * need corpus state, so the pipeline runs at scan speed end to
+    * end; corpus-level dedup (d23/d16) composes after it as a
+    * separate keyed stage when needed. */
+  private[graft] def crawlV1Of(docs: DataFrame): DataFrame = {
+    val ext = htmlExtractOf(
+      htmlPageOf(docs, paraWords = 12, carry = Seq("lang")),
+      minWords = 3, carry = Seq("lang"))
+    ext
+      .withColumn("w1", split(col("extracted"), " "))
+      .withColumn("lines", expr(
+        "transform(sequence(0, cast(ceil(size(w1) / 10.0) as int) - 1), " +
+          "k -> slice(w1, k * 10 + 1, 10))"))
+      .withColumn("keptl", expr(
+        "filter(lines, l -> size(l) >= 6 AND NOT arrays_overlap(l, array('vector')))"))
+      .withColumn("gate_pass", expr(
+        "NOT arrays_overlap(w1, array('dup')) AND size(keptl) >= 2"))
+      .withColumn("w2", expr(
+        "split(array_join(transform(keptl, l -> array_join(l, ' ')), ' '), ' ')"))
+      // d22's keep-first window dedup on the survivors' cleaned text
+      .withColumn("w3", expr(
+        "split(array_join(array_distinct(" +
+          "transform(sequence(0, cast(ceil(size(w2) / 2.0) as int) - 1), " +
+          "k -> concat_ws(' ', slice(w2, k * 2 + 1, 2)))), ' '), ' ')"))
+      .withColumn("tokens_final",
+        when(col("gate_pass"), size(col("w3"))).otherwise(lit(0)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("gate_pass"), 1L).otherwise(0L)).as("n_gate"),
+        sum(col("extracted_wc")).as("tokens_extracted"),
+        sum("tokens_final").as("tokens_final"),
+        sum(when(col("gate_pass"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("lang")
   }
 
   /** d23's kernel — Bloom-prefiltered EXACT chunk-membership dedup
@@ -4733,7 +4845,23 @@ object PipelineOps {
       htmlExtractOf(htmlPageOf(
           t(s, d, "documents").select("doc_id", "text"), paraWords = 12),
           minWords = 3)
+        .drop("extracted") // the audit row; p10 consumes the text
         .orderBy("doc_id")
+    }),
+
+    "p10_crawl_v1" -> ((s, d) => {
+      // The crawl-ingest chain composed in ONE plan — t23's missing
+      // first stage now exists, so the full pipeline a crawl corpus
+      // actually runs is expressible: (1) HTML main-text extraction
+      // (t23, in-row), (2) C4 line gate on the EXTRACTED text (t21's
+      // rules, in-row), (3) intra-doc keep-first window dedup on the
+      // survivors (d22's pass, in-row), then one per-lang release
+      // card. ZERO joins anywhere — the whole composition is a pure
+      // map feeding ONE partial-agg shuffle on lang (plan-pinned;
+      // p09's d23 stage is the only reason that one has a join).
+      // Stage outputs are spec-pinned equal to the standalone t23
+      // kernel on the shared extraction half.
+      crawlV1Of(t(s, d, "documents").select("doc_id", "lang", "text"))
     }),
 
     "d18_exact_substring" -> ((s, d) => {
@@ -5258,6 +5386,28 @@ object PipelineOps {
         .orderBy("vec_id", "rk")
     }),
 
+    "s20_graph_ann_serve" -> ((s, d) => {
+      // Graph-ANN serve (HNSW-shaped single-layer beam search) over a
+      // degree-6 refined graph (serving wants a denser graph than
+      // s19's analysis artifact — HNSW's M vs the kNN k): s01's 10
+      // queries, 4 entry points, beam 4, 3 expansion rounds, top-5
+      // out with the per-query visited count (the serve-cost
+      // certificate — ≤93 of 500 vertices scored, not the corpus).
+      // Fixture note: these synthetic embeddings are near-random, so
+      // ANY locality-structure method tops out low here — the oracled
+      // IVF baseline (s06) measures 0.32 mean recall@5 and this serve
+      // measures 0.20 at 1/5 of the corpus visited; CurationOpsSpec
+      // asserts the comparative floor (≥ half of IVF's recall) and
+      // the visit bound, both via s06's harness.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val graph = nnDescentOf(emb, knnGraphOf(emb, k = 8, iters = 3, topK = 6),
+        topK = 6, rounds = 1, bridgeBuckets = 31)
+      graphAnnServeOf(emb, graph, emb.filter(col("vec_id") < 10),
+          entries = 4, beam = 4, rounds = 3, k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     "t14_quality_classifier" -> ((s, d) => {
       // fastText-shaped linear quality classifier — the model-based
       // document filter every production corpus runs (pages scored by
@@ -5475,6 +5625,101 @@ object PipelineOps {
   // oracles: deterministic init (lowest vec_ids), (dist, cluster)
   // tie-break, 9-decimal centroid quantization — ends at a3, the
   // final assignment
+  /** s19's refined-graph CTE chain (appended after [[kmeansOracleCte]],
+    * which provides `emb` and the assignment table `a3`): the
+    * within-cell top-3 graph, the 31-bucket deterministic bridges, one
+    * NN-descent expansion round, and the re-ranked `refined` edge
+    * table (vec_id, rk, nbr_id, cos). Shared by the s19 and s20
+    * oracles. */
+  private def nnDescentGraphCtes(topK: Int): String = s""",
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT vec_id, nbr_id, cos FROM (
+          SELECT vec_id, nbr_id, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+          FROM pairs)
+        WHERE rk <= $topK),
+      bk AS (
+        SELECT vec_id, e,
+               ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 31 AS bkt
+        FROM emb),
+      bpairs AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+      bridge AS (
+        SELECT vec_id, nbr_id, cos FROM (
+          SELECT vec_id, nbr_id, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+          FROM bpairs)
+        WHERE rk <= $topK),
+      base AS (
+        SELECT DISTINCT vec_id, nbr_id, cos FROM (
+          SELECT * FROM knn UNION ALL SELECT * FROM bridge)),
+      symx AS (
+        SELECT vec_id AS a, nbr_id AS b FROM base
+        UNION
+        SELECT nbr_id, vec_id FROM base),
+      candx AS (
+        SELECT DISTINCT x.a AS vec_id, y.b AS nbr_id
+        FROM symx x JOIN symx y ON x.b = y.a WHERE x.a <> y.b),
+      scoredx AS (
+        SELECT c.vec_id, c.nbr_id,
+               round(list_cosine_similarity(e1.e, e2.e), 4) AS cos
+        FROM candx c
+        JOIN emb e1 ON e1.vec_id = c.vec_id
+        JOIN emb e2 ON e2.vec_id = c.nbr_id),
+      merged AS (
+        SELECT vec_id, nbr_id, max(cos) AS cos FROM (
+          SELECT * FROM base UNION ALL SELECT * FROM scoredx)
+        GROUP BY vec_id, nbr_id),
+      refined AS (
+        SELECT vec_id, rk, nbr_id, cos FROM (
+          SELECT vec_id, nbr_id, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
+          FROM merged)
+        WHERE rk <= $topK)"""
+
+  /** s20's beam-search CTE chain over `refined` (appended after
+    * [[nnDescentGraphCtes]]): symmetrized serve edges, the fixed entry
+    * points, and `rounds` unrolled expansion rounds ending at
+    * `vis<rounds>` plus the per-query visited count `nv`. */
+  private def graphServeCtes(entries: Int, beam: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""fr$r AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+          FROM vis${r - 1})
+        WHERE rk <= $beam),
+      cand$r AS (
+        SELECT DISTINCT f.qid, s.b AS nid FROM fr$r f JOIN gsym s ON s.a = f.nid),
+      sc$r AS (
+        SELECT cd.qid, cd.nid, round(list_cosine_similarity(q.qe, v.e), 4) AS c
+        FROM cand$r cd JOIN qq q ON q.qid = cd.qid JOIN emb v ON v.vec_id = cd.nid
+        WHERE cd.qid <> cd.nid),
+      vis$r AS (
+        SELECT qid, nid, max(c) AS c FROM (
+          SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM sc$r)
+        GROUP BY qid, nid)"""
+    }.mkString(",\n      ")
+    s""",
+      gsym AS (
+        SELECT vec_id AS a, nbr_id AS b FROM refined
+        UNION
+        SELECT nbr_id, vec_id FROM refined),
+      qq AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10),
+      ep AS (SELECT vec_id AS nid FROM emb ORDER BY vec_id LIMIT $entries),
+      vis0 AS (
+        SELECT q.qid, p.nid, round(list_cosine_similarity(q.qe, v.e), 4) AS c
+        FROM qq q CROSS JOIN ep p JOIN emb v ON v.vec_id = p.nid
+        WHERE q.qid <> p.nid),
+      $roundCtes,
+      nv AS (SELECT qid, count(*) AS n_visited FROM vis$rounds GROUP BY qid)"""
+  }
+
   private val kmeansOracleCte = """
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       c0 AS (SELECT vec_id::INT AS cluster, e AS ce FROM emb WHERE vec_id < 8),
@@ -6094,56 +6339,19 @@ object PipelineOps {
     // paper's random init), then ONE NN-descent round: symmetrize,
     // join on the middle vertex, exact cosine on new candidates,
     // re-rank top-3. 31 buckets matches the entry at sf0.01.
-    "s19_nn_descent" -> (kmeansOracleCte + """,
-      pairs AS (
-        SELECT a.vec_id, b.vec_id AS nbr_id,
-               round(list_cosine_similarity(a.e, b.e), 4) AS cos
-        FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
-      knn AS (
-        SELECT vec_id, nbr_id, cos FROM (
-          SELECT vec_id, nbr_id, cos,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
-          FROM pairs)
-        WHERE rk <= 3),
-      bk AS (
-        SELECT vec_id, e,
-               ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 31 AS bkt
-        FROM emb),
-      bpairs AS (
-        SELECT a.vec_id, b.vec_id AS nbr_id,
-               round(list_cosine_similarity(a.e, b.e), 4) AS cos
-        FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
-      bridge AS (
-        SELECT vec_id, nbr_id, cos FROM (
-          SELECT vec_id, nbr_id, cos,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
-          FROM bpairs)
-        WHERE rk <= 3),
-      base AS (
-        SELECT DISTINCT vec_id, nbr_id, cos FROM (
-          SELECT * FROM knn UNION ALL SELECT * FROM bridge)),
-      sym AS (
-        SELECT vec_id AS a, nbr_id AS b FROM base
-        UNION
-        SELECT nbr_id, vec_id FROM base),
-      cand AS (
-        SELECT DISTINCT x.a AS vec_id, y.b AS nbr_id
-        FROM sym x JOIN sym y ON x.b = y.a WHERE x.a <> y.b),
-      scored AS (
-        SELECT c.vec_id, c.nbr_id,
-               round(list_cosine_similarity(e1.e, e2.e), 4) AS cos
-        FROM cand c
-        JOIN emb e1 ON e1.vec_id = c.vec_id
-        JOIN emb e2 ON e2.vec_id = c.nbr_id),
-      merged AS (
-        SELECT vec_id, nbr_id, max(cos) AS cos FROM (
-          SELECT * FROM base UNION ALL SELECT * FROM scored)
-        GROUP BY vec_id, nbr_id)
-      SELECT vec_id, rk, nbr_id, cos FROM (
-        SELECT vec_id, nbr_id, cos,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rk
-        FROM merged)
-      WHERE rk <= 3 ORDER BY vec_id, rk"""),
+    "s19_nn_descent" -> (kmeansOracleCte + nnDescentGraphCtes(3) + """
+      SELECT vec_id, rk, nbr_id, cos FROM refined ORDER BY vec_id, rk"""),
+
+    // s19's refined graph served by the fixed-round beam search: 10
+    // queries, 4 smallest-id entry points, beam 4, 3 expansion rounds,
+    // top-5 + per-query visited count
+    "s20_graph_ann_serve" -> (kmeansOracleCte + nnDescentGraphCtes(6) +
+      graphServeCtes(entries = 4, beam = 4, rounds = 3) + """
+      SELECT qid, rk, nid, c, n_visited FROM (
+        SELECT v.qid, v.nid, v.c, nv.n_visited,
+               row_number() OVER (PARTITION BY v.qid ORDER BY v.c DESC, v.nid) AS rk
+        FROM vis3 v JOIN nv ON nv.qid = v.qid)
+      WHERE rk <= 5 ORDER BY qid, rk"""),
 
     // the shared trajectory again; per-cluster top-3 by (dist, vec_id)
     "s10_cluster_exemplars" -> (kmeansOracleCte + """
@@ -7610,6 +7818,69 @@ object PipelineOps {
              md5(array_to_string(keep, ' ')) AS extracted_md5,
              CAST(len(string_split(array_to_string(keep, ' '), ' ')) AS BIGINT) AS extracted_wc
       FROM ext ORDER BY doc_id""",
+
+    // replays the full crawl chain: t23's page + extraction, t21's
+    // line gate over the extracted words, d22's keep-first window
+    // dedup over the survivors, per-lang card
+    "p10_crawl_v1" -> """
+      WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+      page AS (
+        SELECT doc_id, lang,
+          '<nav><a href="/">Home</a> <a href="/about">About</a></nav>' || chr(10) ||
+          '<h1>Doc ' || doc_id || '</h1>' || chr(10) ||
+          array_to_string([ '<p>' || array_to_string(w[(k*12+1):(k*12+12)], ' ') || '</p>'
+            for k in generate_series(0, CAST(ceil(len(w)/12.0) AS INT)-1) ], chr(10)) || chr(10) ||
+          '<div>See <a href="/r1">' || w[1] || '</a> <a href="/r2">' || w[2] || '</a></div>' || chr(10) ||
+          '<footer><a href="/tos">Terms of Service and Privacy</a> example com</footer>' AS html
+        FROM d),
+      cls AS (
+        SELECT doc_id, lang,
+          [ { t: regexp_replace(b, '<[^>]*>', '', 'g'),
+              l: coalesce(list_sum([ len(x) for x in regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1) ]), 0) }
+            for b in string_split(html, chr(10)) ] AS bs
+        FROM page),
+      ext AS (
+        SELECT doc_id, lang,
+          array_to_string([ s.t for s in bs if NOT (2*s.l > len(s.t)) AND len(string_split(s.t, ' ')) >= 3 ], ' ') AS extracted
+        FROM cls),
+      e2 AS (SELECT doc_id, lang, string_split(extracted, ' ') AS w1,
+                    len(string_split(extracted, ' ')) AS wc FROM ext),
+      lines AS (
+        SELECT doc_id, k, w1[(k*10+1):(k*10+10)] AS line,
+               list_has_any(w1, ['dup']) AS doc_block
+        FROM e2, unnest(generate_series(0, CAST(ceil(len(w1)/10.0) AS INT)-1)) AS t(k)),
+      flag AS (SELECT doc_id, k, line, doc_block,
+               (len(line) >= 6 AND NOT list_has_any(line, ['vector'])) AS keep_line FROM lines),
+      s2g AS (
+        SELECT doc_id, bool_or(doc_block) AS doc_block,
+               CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               string_agg(array_to_string(line,' '), ' ' ORDER BY k) FILTER (WHERE keep_line) AS cleaned2
+        FROM flag GROUP BY doc_id),
+      s2 AS (
+        SELECT e2.doc_id, e2.lang, e2.wc, coalesce(g.cleaned2, '') AS cleaned2,
+               (NOT g.doc_block AND g.n_kept >= 2) AS gate_pass
+        FROM e2 JOIN s2g g USING (doc_id)),
+      sv AS (SELECT doc_id, string_split(cleaned2, ' ') AS w2 FROM s2 WHERE gate_pass),
+      ch AS (
+        SELECT doc_id, k, array_to_string(w2[(k*2+1):(k*2+2)], ' ') AS chunk
+        FROM sv, unnest(generate_series(0, CAST(ceil(len(w2)/2.0) AS INT)-1)) AS t(k)),
+      kept1 AS (
+        SELECT doc_id, k, chunk FROM (
+          SELECT doc_id, k, chunk,
+                 row_number() OVER (PARTITION BY doc_id, chunk ORDER BY k) AS rn FROM ch)
+        WHERE rn = 1),
+      s3 AS (
+        SELECT doc_id,
+               len(string_split(string_agg(chunk, ' ' ORDER BY k), ' ')) AS n_final_tok
+        FROM kept1 GROUP BY doc_id)
+      SELECT s2.lang,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(sum(CASE WHEN s2.gate_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gate,
+             CAST(sum(s2.wc) AS BIGINT) AS tokens_extracted,
+             CAST(sum(CASE WHEN s2.gate_pass THEN s3.n_final_tok ELSE 0 END) AS BIGINT) AS tokens_final,
+             CAST(sum(CASE WHEN s2.gate_pass THEN s2.doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+      FROM s2 LEFT JOIN s3 ON s2.doc_id = s3.doc_id
+      GROUP BY s2.lang ORDER BY s2.lang""",
 
     // the sketch is invisible to the verdict (exact confirm removes
     // its false positives), so the oracle replays plain exact

@@ -312,6 +312,38 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == key(entry("samp05_epoch_plan")))
   }
 
+  test("htmlExtract over renamed columns equals the t23 entry's rule cascade") {
+    // the facade takes a caller HTML column; feed it the same
+    // deterministic pages the entry builds and compare the audit
+    val pages = graft.queries.PipelineOps.htmlPageOf(
+        Tables.t(spark, dir, "documents").select("doc_id", "text"), 12)
+      .select(col("doc_id").as("docnum"), col("html").as("markup"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_blocks", "n_kept", "n_drop_link", "n_drop_short",
+        "extracted_md5", "extracted_wc")
+      .collect().map(_.toString).sorted.toSeq
+    val api = key(graft.pipeline.Curation.htmlExtract(pages,
+      idCol = "docnum", htmlCol = "markup"))
+    assert(api == key(entry("t23_html_extract")))
+  }
+
+  test("nnDescent and graphAnnServe over renamed columns equal the s19/s20 entries") {
+    val userEmb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    import graft.pipeline.Similarity
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val g = Similarity.nnDescent(userEmb, k = 8, idCol = "vid", vecCol = "vec")
+    assert(key(g) == key(entry("s19_nn_descent")))
+    // the s20 entry serves over a DENSER degree-6 graph (serving wants
+    // HNSW's M, not the analysis artifact's k)
+    val g6 = Similarity.nnDescent(userEmb, k = 8, topK = 6,
+      idCol = "vid", vecCol = "vec")
+    val served = Similarity.graphAnnServe(userEmb, g6,
+      userEmb.filter(col("vid") < 10), idCol = "vid", vecCol = "vec")
+    assert(key(served) == key(entry("s20_graph_ann_serve")))
+  }
+
   test("unigramSegment over renamed columns equals the t20 entry") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

@@ -1060,6 +1060,48 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(perVec.forall(_.getLong(1) == 3L))
   }
 
+  test("s20 graph-ANN serve: recall@5 comparable to IVF, bounded visit certificate") {
+    // the serve side of verdict gap #2. Absolute recall is CAPPED by
+    // the fixture: these synthetic embeddings are near-random, so the
+    // oracled IVF baseline itself (s06) measures only ~0.32 mean
+    // recall@5 — no locality-structure method can do much better
+    // here. The honest bar is comparative: the graph serve must reach
+    // at least half of IVF's recall while scoring a bounded
+    // neighborhood (n_visited, the serve-cost certificate).
+    val exact = run("s01_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val served = run("s20_graph_ann_serve").collect()
+    val got = served.map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(got.keySet == exact.keySet, "every query must be served")
+    val hits = exact.keys.map(q => (exact(q) & got(q)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    val ivfRecall = run("s06_ann_recall").collect()
+      .map(_.getDouble(2)).sum / exact.size
+    assert(recall >= ivfRecall * 0.5,
+      f"graph serve recall@5 $recall%.4f below half of IVF's $ivfRecall%.4f")
+    assert(recall >= 0.15, f"graph serve recall@5 $recall%.4f below the floor")
+    // visit bound: the search scored a neighborhood, not the corpus.
+    // Out-degree is the graph topK but a hub vertex's SYMMETRIZED
+    // degree is unbounded, so the formula bound uses the measured max
+    // degree of the degree-6 serve graph: entries + rounds·beam·maxdeg
+    import org.apache.spark.sql.functions._
+    val emb = Tables.t(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+    val g = graft.queries.PipelineOps.nnDescentOf(emb,
+      graft.queries.PipelineOps.knnGraphOf(emb, 8, 3, 6), 6, 1, 31)
+    val maxDeg = g.select(col("vec_id").as("v"), col("nbr_id").as("o"))
+      .union(g.select(col("nbr_id").as("v"), col("vec_id").as("o")))
+      .distinct().groupBy("v").count().agg(max("count")).head().getLong(0)
+    val n = emb.count()
+    val maxVisited = served.map(_.getLong(4)).max
+    assert(maxVisited <= 4 + 3 * 4 * maxDeg + 1,
+      s"visited $maxVisited exceeds entries + rounds*beam*maxdeg($maxDeg)")
+    assert(maxVisited < n / 4,
+      s"visited $maxVisited is not a small fraction of the $n-vector corpus")
+  }
+
   test("t23 html extraction: every rule branch bites on a crafted page") {
     import spark.implicits._
     val nl = "\n"
@@ -1095,6 +1137,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(corpus.count(_.getLong(3) == 2) > 0, "sidebar-kept branch never bites")
     assert(corpus.count(_.getLong(3) == 3) > 0, "sidebar-dropped branch never bites")
     assert(corpus.forall(_.getLong(2) >= 1), "every doc keeps at least one paragraph")
+  }
+
+  test("p10 crawl chain: stage 1 equals standalone t23; every stage bites") {
+    import spark.implicits._
+    // stage-1 cross-check: the composition's extraction must equal the
+    // standalone t23 kernel doc-for-doc (shared code, pinned anyway —
+    // p09's discipline)
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "lang", "text")
+    val standalone = graft.queries.PipelineOps.htmlExtractOf(
+      graft.queries.PipelineOps.htmlPageOf(docs.select("doc_id", "text"), 12), 3)
+      .select("doc_id", "extracted_md5").as[(Long, String)].collect().toMap
+    val composed = graft.queries.PipelineOps.htmlExtractOf(
+      graft.queries.PipelineOps.htmlPageOf(docs, 12, carry = Seq("lang")),
+      3, carry = Seq("lang"))
+      .select("doc_id", "extracted_md5").as[(Long, String)].collect().toMap
+    assert(composed == standalone, "carry-columns variant diverged from t23")
+    // funnel sanity: the gate and the dedup both bite
+    val card = run("p10_crawl_v1").collect()
+    val (nRaw, nGate) = (card.map(_.getLong(1)).sum, card.map(_.getLong(2)).sum)
+    val (tokExt, tokFin) = (card.map(_.getLong(3)).sum, card.map(_.getLong(4)).sum)
+    assert(nGate < nRaw, "line gate never bites")
+    assert(nGate > 0 && tokFin > 0, "pipeline must pass something")
+    assert(tokFin < tokExt, "intra-doc dedup never bites")
   }
 
   test("cluster rollup: members-csv truncates at the cap, n_members keeps the true count") {

@@ -457,17 +457,29 @@ class PlanSpec extends AnyFunSuite {
       s"binary payload column crossed an exchange:\n$plan")
   }
 
-  test("mm14 audio near-dup: print equi-join only, payload never shuffles") {
+  test("mm14 audio near-dup: print equi-joins only, payload never shuffles") {
     // decode + window fingerprinting stay inside the map stage; the
     // candidate join keys on the 60-bit print with ids-only on the
-    // wire, and the per-clip print count rides along (no second join)
+    // wire, the per-clip print count rides along (no second join),
+    // and (r9) the stop-print cut adds exactly one broadcast
+    // anti-join against the tiny stop set plus the documented
+    // 1-row-stat crossJoin (the suite's accepted BNLJ pattern —
+    // s07/idx04's stats frame) for the fractional threshold
     val df = graft.queries.MediaCatalogOps.defs("mm14_audio_near_dup")(spark, dir)
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), "print join degenerated to a cartesian")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join sneaked in")
+    // the 1-row nclips stat crossJoin appears once per self-join side
+    // (the kept subtree is duplicated, like the decode itself — the
+    // entry's pre-existing shape); nothing else may be a BNLJ
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 2 && bnlj.forall(_.contains("nclips")),
+      s"a non-stat BNLJ sneaked in:\n$plan")
     val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
       .findAllIn(plan).size
-    assert(joins == 1, s"expected exactly one candidate join, got $joins:\n$plan")
+    assert(joins == 3,
+      s"expected the candidate join + one stop anti-join per side, got $joins:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"stop-print cut must be an anti-join:\n$plan")
     assert(!plan.linesIterator.exists(l =>
       l.toLowerCase.contains("exchange") && l.toLowerCase.contains("payload")),
       s"binary payload column crossed an exchange:\n$plan")
@@ -999,6 +1011,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"in-row operator grew a window:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"in-row operator grew an aggregation shuffle:\n$plan")
+  }
+
+  test("p10 crawl chain: ZERO joins — pure map into one lang rollup") {
+    // extract → line gate → intra-doc dedup are all in-row, so the
+    // whole composition is a map feeding exactly one partial-agg
+    // shuffle (plus the 5-row presentation sort)
+    val df = graft.queries.PipelineOps.defs("p10_crawl_v1")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"the crawl chain grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"the crawl chain grew a window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one aggregation shuffle:\n$plan")
   }
 
   test("d22 intra-doc dedup: pure map — no join, no window, no hash exchange") {
