@@ -1118,19 +1118,24 @@ class CurationOpsSpec extends AnyFunSuite {
         "<div><a href=\"/y\">abcde</a> abcd</div>" + nl +    // EXACT boundary: 2·5 == len("abcde abcd")=10 → strict-greater keeps it off the link path; wc=2 → short-drop
         "<p>one <a href=\"/z\">two three four</a> five</p>" + nl + // l=14, t="one two three four five"=23, 28>23 → link-drop
         "<p><a href=\"/e\"></a>solo word here</p>"           // empty anchor: l=0 → keep (3 words)
-    val out = graft.queries.PipelineOps.htmlExtractOf(
-      Seq((1L, page)).toDF("doc_id", "html"), minWords = 3).collect().head
-    assert(out.getLong(1) == 6, "n_blocks")
-    assert(out.getLong(2) == 2, s"n_kept: $out")
-    assert(out.getLong(3) == 2, s"n_drop_link: $out")
-    assert(out.getLong(4) == 2, s"n_drop_short: $out")
+    val df = graft.queries.PipelineOps.htmlExtractOf(
+      Seq((1L, page)).toDF("doc_id", "html"), minWords = 3)
+    val out = df.collect().head
+    def l(c: String) = out.getLong(out.fieldIndex(c))
+    assert(l("n_blocks") == 6, "n_blocks")
+    assert(l("n_kept") == 2, s"n_kept: $out")
+    assert(l("n_drop_link") == 2, s"n_drop_link: $out")
+    assert(l("n_drop_short") == 2, s"n_drop_short: $out")
     // extracted text preserves block order: paragraph then the
     // empty-anchor block
     val expected = "alpha beta gamma delta solo word here"
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(expected.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    assert(out.getString(5) == md5, "extracted_md5 must hash the ordered kept text")
-    assert(out.getLong(6) == 7, "extracted_wc")
+    assert(out.getString(out.fieldIndex("extracted")) == expected,
+      "extracted text must be the ordered kept blocks")
+    assert(out.getString(out.fieldIndex("extracted_md5")) == md5,
+      "extracted_md5 must hash the ordered kept text")
+    assert(l("extracted_wc") == 7, "extracted_wc")
     // corpus sanity: the doc-dependent sidebar flips both ways (the
     // density depends on the doc's own first two words)
     val corpus = run("t23_html_extract").collect()
