@@ -755,6 +755,12 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fp", "nf")
+      // the print table is 8 bytes/window — checkpoint it so the stop
+      // cut's stat pass, the anti-join, and both self-join sides read
+      // the materialized prints instead of re-decoding every WAV
+      // (uncheckpointed, the decode lineage re-executes ~5x: measured
+      // 28 s vs 8 s at sf1)
+      .localCheckpoint()
     audioNearDupFromPrints(prints, tau, stopDfFrac)
   }
 
