@@ -396,6 +396,16 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.trainingOrderManifestOf(canon(docs, idCol, textCol), epochs, shards)
 
+  /** Annealed curriculum schedule (samp06's kernel — Bengio et al.
+    * 2009; production "data annealing"): quality terciles via t14's
+    * score and exact percentiles, 3 epochs annealing hi → hi+mid →
+    * all, deterministic md5 order keys (p08's contract). Returns the
+    * per-(epoch, bin) audit (n_docs, n_tokens, id_checksum,
+    * key_checksum, first_key). */
+  def curriculumSchedule(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
+
   /** Soft dedup (d21's kernel): duplicate-aware DOWNWEIGHTING instead
     * of removal — every doc survives with weight 1/|near-dup cluster|
     * (singletons 1.0), plus token count and weighted effective mass,

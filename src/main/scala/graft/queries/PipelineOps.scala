@@ -976,6 +976,49 @@ object PipelineOps {
       .select(col("qid"), col("rk"), col("nid"), col("c"), col("n_visited"))
   }
 
+  /** samp06's kernel — annealed CURRICULUM schedule (Bengio et al.
+    * 2009 curriculum learning; the quality-staged "data annealing"
+    * mix production pretraining runs): every doc bins into a global
+    * quality tercile (t14's native in-row score rounded at 4, exact
+    * partial-aggregable percentile thresholds broadcast back —
+    * lm02's machinery), and a 3-epoch schedule anneals from clean to
+    * full: epoch 0 trains on hi only, epoch 1 on hi+mid, epoch 2 on
+    * everything. Within an epoch, order and shard derive from p08's
+    * deterministic md5 key, so a rerun rebuilds the identical
+    * schedule with no RNG state. The oracled output is the audit
+    * pinning exact membership AND order per (epoch, bin): doc/token
+    * counts, id checksum, mod-1e9+7 order-key checksum, first key.
+    *
+    * 100 TB: scoring and binning are map-side (the threshold frame is
+    * one row, broadcast); the per-bin epoch list is an in-row literal
+    * explode; ONE partial-agg shuffle on (epoch, bin) — epochs·bins
+    * rows out. The schedule artifact itself writes partitionBy(epoch,
+    * shard) sorted by okey exactly like p08. */
+  private[graft] def curriculumScheduleOf(docs: DataFrame): DataFrame = {
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    graft.exprs.QualityScore.register(docs.sparkSession)
+    val scored = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      expr("round(quality_score(text), 4)").as("score"))
+    val th = scored.agg(
+      round(percentile(col("score"), lit(1.0 / 3)), 4).as("t1"),
+      round(percentile(col("score"), lit(2.0 / 3)), 4).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bin", when(col("score") > col("t2"), "hi")
+        .when(col("score") > col("t1"), "mid").otherwise("lo"))
+      .withColumn("epoch", explode(
+        when(col("bin") === "hi", typedLit(Seq(0, 1, 2)))
+          .when(col("bin") === "mid", typedLit(Seq(1, 2)))
+          .otherwise(typedLit(Seq(2)))))
+      .withColumn("okey", expr("md5_bits60(concat(epoch, ':', doc_id))"))
+      .groupBy(col("epoch").cast("long").as("epoch"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("doc_id").as("id_checksum"),
+        sum(col("okey") % lit(1000000007L)).as("key_checksum"),
+        min("okey").as("first_key"))
+      .orderBy("epoch", "bin")
+  }
+
   /** p08's kernel — multi-epoch training-order manifest: the artifact
     * the DATA LOADER consumes after curation ships. Per epoch every
     * doc gets a deterministic order key md5_bits60(epoch ':' doc_id)
@@ -5056,6 +5099,17 @@ object PipelineOps {
       trainingOrderManifestOf(t(s, d, "documents"), epochs = 2, shards = 4)
     }),
 
+    "samp06_curriculum_schedule" -> ((s, d) => {
+      // Annealed curriculum schedule (Bengio et al. 2009; production
+      // "data annealing"): global quality terciles (t14's score, exact
+      // percentile thresholds), 3 epochs annealing hi → hi+mid → all,
+      // p08's deterministic order keys. Per-(epoch, bin) audit pins
+      // exact membership AND order. Kernel scaladoc has the scale
+      // notes (map-side score/bin, in-row epoch explode, one
+      // partial-agg shuffle).
+      curriculumScheduleOf(t(s, d, "documents").select("doc_id", "text"))
+    }),
+
     "spl02_split_leakage" -> ((s, d) => {
       // The audit every split needs before it ships: val/test docs
       // with a near-dup in TRAIN (jaccard >= 0.5 over spl01's exact
@@ -6593,6 +6647,40 @@ object PipelineOps {
              CAST(sum(okey % 1000000007) AS BIGINT) AS key_checksum,
              min(okey) AS first_key
       FROM keyed GROUP BY 1, 2 ORDER BY epoch, shard""",
+
+    // t14's score formula + quantile_cont terciles (Spark percentile
+    // parity), the annealed epoch lists as literal arrays, p08's key
+    "samp06_curriculum_schedule" -> """
+      WITH sc AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               round(1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
+        FROM documents),
+      th AS (SELECT round(quantile_cont(score, 1.0/3), 4) AS t1,
+                    round(quantile_cont(score, 2.0/3), 4) AS t2 FROM sc),
+      b AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN score > t2 THEN 'hi'
+                    WHEN score > t1 THEN 'mid' ELSE 'lo' END AS bin
+        FROM sc, th),
+      e AS (
+        SELECT doc_id, n_tok, bin,
+               unnest(CASE bin WHEN 'hi' THEN [0, 1, 2]
+                               WHEN 'mid' THEN [1, 2] ELSE [2] END) AS epoch
+        FROM b),
+      keyed AS (
+        SELECT CAST(epoch AS BIGINT) AS epoch, bin, doc_id, n_tok,
+               ('0x' || substring(md5(epoch || ':' || doc_id), 1, 15))::BIGINT AS okey
+        FROM e)
+      SELECT epoch, bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(sum(okey % 1000000007) AS BIGINT) AS key_checksum,
+             min(okey) AS first_key
+      FROM keyed GROUP BY 1, 2 ORDER BY epoch, bin""",
 
     "spl01_train_val_test_split" -> """
       WITH s AS (

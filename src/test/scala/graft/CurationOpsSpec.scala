@@ -1144,6 +1144,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(corpus.forall(_.getLong(2) >= 1), "every doc keeps at least one paragraph")
   }
 
+  test("samp06 curriculum schedule: plain-Scala recompute, annealing invariants") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val scored = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val score = r4(1.0 / (1.0 + math.exp(
+        -4 * toks.map(tok => (h60(tok) % 2049 - 1024) / 1024.0).sum / toks.length)))
+      (id, toks.length.toLong, score)
+    }
+    val sortedScores = scored.map(_._3).sorted.toIndexedSeq
+    val t1 = r4(graft.exprs.Boxplot.quantileCont(sortedScores, 1.0 / 3))
+    val t2 = r4(graft.exprs.Boxplot.quantileCont(sortedScores, 2.0 / 3))
+    val binned = scored.map { case (id, n, s) =>
+      (id, n, if (s > t2) "hi" else if (s > t1) "mid" else "lo")
+    }
+    val rows = binned.flatMap { case (id, n, b) =>
+      val epochs = b match {
+        case "hi" => Seq(0, 1, 2); case "mid" => Seq(1, 2); case _ => Seq(2) }
+      epochs.map(e => (e.toLong, b, id, n, h60(s"$e:$id")))
+    }
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1).map {
+      case ((e, b), g) =>
+        (e, b, g.size.toLong, g.map(_._4).sum, g.map(_._3).sum,
+          g.map(_._5 % 1000000007L).sum, g.map(_._5).min)
+    }
+    val got = run("samp06_curriculum_schedule").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // annealing invariants: epoch 0 = hi only; epoch 1 = hi+mid;
+    // epoch 2 = all three bins; terciles are real (each bin populated)
+    def bins(e: Long) = got.filter(_._1 == e).map(_._2).toSet
+    assert(bins(0) == Set("hi"))
+    assert(bins(1) == Set("hi", "mid"))
+    assert(bins(2) == Set("hi", "mid", "lo"))
+    val binSizes = binned.groupBy(_._3).map { case (b, g) => b -> g.size }
+    assert(binSizes.values.forall(_ >= docs.length / 5),
+      s"terciles badly unbalanced: $binSizes")
+    // hi membership is exactly t14's top tercile
+    val hiIds = binned.filter(_._3 == "hi").map(_._1).toSet
+    assert(hiIds == scored.filter(_._3 > t2).map(_._1).toSet)
+  }
+
   test("p10 crawl chain: stage 1 equals standalone t23; every stage bites") {
     import spark.implicits._
     // stage-1 cross-check: the composition's extraction must equal the

@@ -1013,6 +1013,19 @@ class PlanSpec extends AnyFunSuite {
       s"in-row operator grew an aggregation shuffle:\n$plan")
   }
 
+  test("samp06 curriculum: map-side score/bin, broadcast 1-row thresholds, no corpus join") {
+    // the threshold frame is one row (the suite's accepted stat-frame
+    // BNLJ); everything else is in-row + two partial-agg exchanges
+    // (the percentile pass and the (epoch, bin) rollup)
+    val df = graft.queries.PipelineOps.defs("samp06_curriculum_schedule")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct)".r
+      .findFirstIn(plan).isDefined, s"curriculum grew a corpus join:\n$plan")
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1, s"more than the 1-row threshold crossJoin:\n$plan")
+    assert(!plan.contains("Window"), s"curriculum grew a window:\n$plan")
+  }
+
   test("p10 crawl chain: ZERO joins — pure map into one lang rollup") {
     // extract → line gate → intra-doc dedup are all in-row, so the
     // whole composition is a map feeding exactly one partial-agg
