@@ -478,6 +478,9 @@ object Multimodal {
       .mapPartitions(rows =>
         rows.map(r => (r.doc_id, dHash(Codecs.decodeImage(r.payload)))))
       .toDF("doc_id", "dhash")
+      // 8-byte signatures — checkpoint so the band self-join's two
+      // sides don't each re-run the image decode (mm14's lesson)
+      .localCheckpoint()
     val bands = hashes.select(col("doc_id"), col("dhash"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("(dhash >> (band * 7)) & 127"))
@@ -690,6 +693,11 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fhash", "nf")
+      // signatures are 8 bytes/frame — checkpoint so the self-join's
+      // two sides read the materialized hashes instead of decoding
+      // every clip twice (mm14's measured lesson: re-executed decode
+      // lineage dominates at scale)
+      .localCheckpoint()
     frames.as("a").join(frames.as("b"),
         col("a.fhash") === col("b.fhash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
