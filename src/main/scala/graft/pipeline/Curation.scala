@@ -632,6 +632,16 @@ object Curation {
   def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame =
     PipelineOps.phraseSearchOf(index, phrase)
 
+  /** Unordered proximity ("NEAR") search over a stored positional
+    * index (idx06's kernel): docs where every term falls inside a
+    * `window`-token span in any order, reported with the minimal
+    * span — between [[phraseSearch]]'s strict adjacency and ranked
+    * bag-of-words. Same pruned df(term)-sized scans. Returns
+    * (doc_id, min_span). */
+  def proximitySearch(index: DataFrame, terms: Seq[String],
+      window: Int): DataFrame =
+    PipelineOps.proximitySearchOf(index, terms, window)
+
   /** Corpus distribution drift monitor (guard02's kernel — the release
     * gate next to [[corpusDiff]]: diff answers WHICH docs changed,
     * this answers did the MIXTURE move): per `dimCol` cell (lang,

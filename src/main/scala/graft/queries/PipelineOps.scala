@@ -2030,6 +2030,39 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** idx06's kernel — unordered PROXIMITY search ("NEAR" / Lucene's
+    * sloppy span) over the stored positional index: a doc qualifies
+    * when all `terms` occur within a `window`-token span in ANY order
+    * — the query phrase search (idx02) is too strict for and bag-of-
+    * words (idx04) too loose. Each term reads its pruned df(term)
+    * stream (literal bucket PartitionFilter + pushed term predicate,
+    * idx02's scans), the streams equi-join on doc_id, and the span of
+    * each position combination is greatest − least; the doc reports
+    * its minimal span, kept at ≤ window.
+    *
+    * 100 TB: the scans are df-sized and never touch the corpus; the
+    * per-doc combination count is Π tf(term, doc) — bounded in
+    * practice by short tfs, and a production engine replaces the
+    * in-doc cross product with a sorted-positions merge
+    * (mapGroups O(Σtf·log k)) when a term is pathologically frequent
+    * inside single docs; the declarative join form keeps the plan
+    * fully Catalyst-optimizable. Returns (doc_id, min_span). */
+  private[graft] def proximitySearchOf(index: DataFrame,
+      terms: Seq[String], window: Int): DataFrame = {
+    require(terms.size >= 2, "proximity needs at least two terms")
+    require(window >= terms.size - 1, "window can't fit the terms")
+    val streams = terms.zipWithIndex.map { case (tm, i) =>
+      index.filter(col("bucket") === termBucket(tm) && col("term") === tm)
+        .select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val joined = streams.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val ps = terms.indices.map(i => col(s"p$i"))
+    joined.withColumn("span", greatest(ps: _*) - least(ps: _*))
+      .groupBy("doc_id").agg(min("span").cast("long").as("min_span"))
+      .filter(col("min_span") <= window)
+      .orderBy("doc_id")
+  }
+
   /** idx04's build half — the doc-length sidecar next to the
     * positional index (BM25 needs dl per doc and computing it from the
     * index at serve time would scan every bucket; the sidecar is one
@@ -5587,6 +5620,20 @@ object PipelineOps {
       phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
     }),
 
+    "idx06_proximity_search" -> ((s, d) => {
+      // Unordered NEAR search — the serve mode between idx02's strict
+      // phrase and idx04's bag-of-words ranking: docs where 'slow',
+      // 'hash', 'batch' all fall inside a 6-token window in any order,
+      // reported with the minimal span. Same pruned per-term scans as
+      // idx02 (plan-pinned); every idx02 phrase hit must re-qualify
+      // here at span 2 (spec). 69 docs at sf0.01 vs idx02's 5 — the
+      // slop genuinely widens the hit set.
+      val base = EngineOps.tempDir("graft-idx06")
+      positionalIndexBuild(t(s, d, "documents").select("doc_id", "text"), base)
+      proximitySearchOf(s.read.parquet(base),
+        Seq("slow", "hash", "batch"), window = 6)
+    }),
+
     "idx05_index_append" -> ((s, d) => {
       // Incremental index append — the text-side daily-ingest story
       // (s17 is the vector side): the corpus-minus-batch index is the
@@ -8277,6 +8324,19 @@ object PipelineOps {
 
     // the appended artifact must serve exactly like a single
     // full-corpus build ⇒ idx02's SQL verbatim
+    "idx06_proximity_search" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      spans AS (
+        SELECT a.doc_id,
+               greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) AS span
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'slow') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'hash') b USING (doc_id)
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'batch') c USING (doc_id))
+      SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+      FROM spans GROUP BY doc_id HAVING min(span) <= 6 ORDER BY doc_id""",
+
     "idx05_index_append" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term

@@ -548,6 +548,21 @@ class PlanSpec extends AnyFunSuite {
       s"adjacency degenerated from an equi-join:\n$plan")
   }
 
+  test("idx06 proximity search: per-term scans prune to their buckets, equi-joins only") {
+    // same serve contract as idx02: each term's scan carries its
+    // literal bucket PartitionFilter + pushed term predicate; the
+    // doc_id joins are equi-joins — never a corpus scan or cartesian
+    val df = graft.queries.PipelineOps.defs("idx06_proximity_search")(spark, dir)
+    val plan = planOf(df)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket literal did not become a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the index scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"proximity degenerated from an equi-join:\n$plan")
+  }
+
   test("idx05 index append: appended-artifact probe prunes and equals the single build") {
     // append must be invisible at serve time: same partition pruning +
     // pushed term predicate as idx02, and the answer over the appended

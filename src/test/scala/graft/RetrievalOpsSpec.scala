@@ -365,6 +365,49 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "fixture drift: expected 8 hits across 5 docs")
   }
 
+  // ---- idx06 proximity (NEAR) search --------------------------------------
+
+  test("idx06: unordered window corners + phrase subset + corpus recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow hash batch end"),        // adjacent in order: span 2
+      (2L, "batch x hash y slow"),        // reversed with gaps: span 4
+      (3L, "slow x x x x x hash batch"),  // span 7 > window 6: miss
+      (4L, "slow hash x slow y batch"),   // min over combos: slow@3,hash@1,batch@5 -> 4 (not the first-occurrence 5)
+      (5L, "slow hash nothing"),          // missing term: miss
+      (6L, "batch slow hash"))            // any order adjacent: span 2
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx06-spec").toString
+    graft.queries.PipelineOps.positionalIndexBuild(docs, idxDir)
+    val index = spark.read.parquet(idxDir)
+    val got = graft.queries.PipelineOps.proximitySearchOf(
+        index, Seq("slow", "hash", "batch"), window = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 4L), (4L, 4L), (6L, 2L)),
+      s"proximity corners wrong: $got")
+    // every idx02 phrase hit re-qualifies at span = terms-1
+    val phraseDocs = run("idx02_phrase_search").collect().map(_.getLong(0)).toSet
+    val corpusNear = run("idx06_proximity_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(phraseDocs.subsetOf(corpusNear.keySet),
+      "a strict phrase hit must qualify under any-order slop")
+    phraseDocs.foreach(d => assert(corpusNear(d) == 2L,
+      s"phrase doc $d must have min span 2"))
+    assert(corpusNear.size > phraseDocs.size,
+      "the slop must genuinely widen the hit set")
+    // plain-Scala recompute over the corpus
+    val corpus = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val expected = corpus.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      def ps(tm: String) = w.indices.filter(w(_) == tm)
+      val spans = for (a <- ps("slow"); b <- ps("hash"); c <- ps("batch"))
+        yield Seq(a, b, c).max - Seq(a, b, c).min
+      if (spans.isEmpty || spans.min > 6) None else Some(id -> spans.min.toLong)
+    }.toMap
+    assert(corpusNear == expected)
+  }
+
   // ---- s14 IVF-PQ search --------------------------------------------------
 
   test("s14: plain-Scala recompute of the whole IVFPQ pipeline matches exactly") {
