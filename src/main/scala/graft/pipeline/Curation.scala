@@ -406,6 +406,21 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
 
+  /** DoReMi-style domain reweighting (samp07's kernel — Xie et al.
+    * 2023): one exponentiated group-DRO step from the token-share
+    * prior toward domains with excess proxy loss (t14's quality-score
+    * complement vs the corpus mean), normalized into the mixture the
+    * samplers consume. `eta` is the group-DRO step size. Returns the
+    * per-domain mixture table (source, n_docs, n_tokens, mean_loss,
+    * excess, weight). */
+  def doremiWeights(docs: DataFrame, eta: Double = 10.0,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    PipelineOps.doremiWeightsOf(
+      docs.select(col(sourceCol).cast("string").as("source"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("source").isNotNull && col("text").isNotNull),
+      eta)
+
   /** Soft dedup (d21's kernel): duplicate-aware DOWNWEIGHTING instead
     * of removal — every doc survives with weight 1/|near-dup cluster|
     * (singletons 1.0), plus token count and weighted effective mass,

@@ -1019,6 +1019,65 @@ object PipelineOps {
       .orderBy("epoch", "bin")
   }
 
+  /** samp07's kernel — DoReMi-style domain reweighting (Xie et al.
+    * 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): the group-DRO multiplicative-weights update that
+    * turns a per-domain excess-loss signal into the mixture the
+    * sampler (samp01/samp03/samp04) consumes. The proxy loss here is
+    * the complement of t14's native quality score (no reference model
+    * ships in this corpus, so the corpus-wide mean loss stands in for
+    * the reference run — the same substitution CCNet makes for its
+    * bucket thresholds); excess_d = mean_loss_d − mean_loss_corpus,
+    * and the update is one exponentiated step from the token-share
+    * prior: w_d ∝ share_d · exp(eta · excess_d), normalized. With a
+    * static per-domain signal, T multiplicative rounds collapse to a
+    * single step at T·eta, so one step IS the converged DoReMi weight
+    * for a fixed proxy — the iterative form only matters when the
+    * proxy re-trains between rounds, which is out of scope for a
+    * data-engine kernel. Numeric discipline is lm01/samp06's: per-doc
+    * loss rounds at 4 (both engines then aggregate the same multiset
+    * of doubles), per-domain means and excesses round at 4, the final
+    * normalized weight rounds at 6 (exp() parity across engines holds
+    * to well under a ulp-amplified 1e-12 here).
+    *
+    * 100 TB: scoring is map-side (native codegen'd quality_score) and
+    * the corpus is read EXACTLY ONCE — one partial-agg shuffle on the
+    * domain key (domains number in the hundreds) produces the
+    * domain-count-sized sum frame, a localCheckpoint cuts the corpus
+    * lineage there (d24's idiom; naive frame-reuse would re-scan the
+    * corpus once per stat pass — the first draft's plan read it 4×),
+    * and the corpus mean, the normalizer, and the final mixture all
+    * derive from that tiny frame. No window, no corpus join — the
+    * output is a domain-count-sized mixture table a driver can hold.
+    * (At cluster scale swap localCheckpoint for a reliable checkpoint
+    * or a persisted artifact — same note as d24's fixpoint barrier.) */
+  private[graft] def doremiWeightsOf(docs: DataFrame, eta: Double)
+      : DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    graft.exprs.QualityScore.register(docs.sparkSession)
+    val scored = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      expr("round(1 - quality_score(text), 4)").as("loss"))
+    val dom = scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("loss").as("sum_loss"))
+      .localCheckpoint()
+    val ref = dom.agg(
+      round(sum("sum_loss") / sum("n_docs"), 4).as("ref_loss"),
+      sum("n_tokens").as("tot_tok"))
+    val raw = dom.crossJoin(broadcast(ref))
+      .withColumn("mean_loss", round(col("sum_loss") / col("n_docs"), 4))
+      .withColumn("excess", round(col("mean_loss") - col("ref_loss"), 4))
+      .withColumn("raw", col("n_tokens").cast("double") /
+        col("tot_tok").cast("double") * exp(lit(eta) * col("excess")))
+    val z = raw.agg(sum("raw").as("z"))
+    raw.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_loss"), col("excess"),
+        round(col("raw") / col("z"), 6).as("weight"))
+      .orderBy("source")
+  }
+
   /** p08's kernel — multi-epoch training-order manifest: the artifact
     * the DATA LOADER consumes after curation ships. Per epoch every
     * doc gets a deterministic order key md5_bits60(epoch ':' doc_id)
@@ -5143,6 +5202,17 @@ object PipelineOps {
       curriculumScheduleOf(t(s, d, "documents").select("doc_id", "text"))
     }),
 
+    "samp07_doremi_reweight" -> ((s, d) => {
+      // DoReMi domain reweighting (Xie et al. 2023): one exponentiated
+      // group-DRO step from the token-share prior toward domains with
+      // excess proxy loss — the mixture-weight optimizer that feeds
+      // samp01/samp03/samp04. Kernel scaladoc has the scale notes
+      // (map-side scoring, one domain-keyed partial-agg shuffle,
+      // 1-row stat broadcasts, domain-count-sized output).
+      doremiWeightsOf(
+        t(s, d, "documents").select("source", "text"), eta = 10.0)
+    }),
+
     "spl02_split_leakage" -> ((s, d) => {
       // The audit every split needs before it ships: val/test docs
       // with a near-dup in TRAIN (jaccard >= 0.5 over spl01's exact
@@ -6728,6 +6798,39 @@ object PipelineOps {
              CAST(sum(okey % 1000000007) AS BIGINT) AS key_checksum,
              min(okey) AS first_key
       FROM keyed GROUP BY 1, 2 ORDER BY epoch, bin""",
+
+    // t14's score complement as the proxy loss, corpus mean as the
+    // reference run, one exponentiated group-DRO step from the
+    // token-share prior (eta = 10), round-6 normalized weight
+    "samp07_doremi_reweight" -> """
+      WITH sc AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               round(1 - 1 / (1 + exp(-4 * list_sum([
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT % 2049 - 1024) / 1024.0
+                 for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS loss
+        FROM documents),
+      dom AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               sum(loss) AS sum_loss
+        FROM sc GROUP BY 1),
+      ref AS (SELECT round(sum(sum_loss) / sum(n_docs), 4) AS ref_loss,
+                     CAST(sum(n_tokens) AS BIGINT) AS tot_tok FROM dom),
+      domm AS (
+        SELECT source, n_docs, n_tokens,
+               round(sum_loss / n_docs, 4) AS mean_loss
+        FROM dom),
+      raw AS (
+        SELECT source, n_docs, n_tokens, mean_loss,
+               round(mean_loss - ref_loss, 4) AS excess,
+               (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE))
+                 * exp(10.0 * round(mean_loss - ref_loss, 4)) AS raw
+        FROM domm, ref),
+      z AS (SELECT sum(raw) AS z FROM raw)
+      SELECT source, n_docs, n_tokens, mean_loss, excess,
+             round(raw / z, 6) AS weight
+      FROM raw, z ORDER BY source""",
 
     "spl01_train_val_test_split" -> """
       WITH s AS (

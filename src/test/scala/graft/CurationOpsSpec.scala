@@ -1193,6 +1193,67 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(hiIds == scored.filter(_._3 > t2).map(_._1).toSet)
   }
 
+  test("samp07 doremi: plain-Scala recompute, group-DRO invariants") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def r(x: Double, n: Int) =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.t(spark, dir, "documents").select("source", "text")
+      .as[(String, String)].collect()
+    val scored = docs.map { case (src, t) =>
+      val toks = t.split(" ", -1)
+      val loss = r(1.0 - 1.0 / (1.0 + math.exp(
+        -4 * toks.map(tok => (h60(tok) % 2049 - 1024) / 1024.0).sum / toks.length)), 4)
+      (src, toks.length.toLong, loss)
+    }
+    // mirror the kernel's two-level mean: per-domain loss sums first,
+    // the corpus mean from the domain sums (the one-pass shape)
+    val domSums = scored.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      (src, g.length.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    }
+    val refLoss = r(domSums.map(_._4).sum / domSums.map(_._2).sum, 4)
+    val totTok = domSums.map(_._3).sum
+    val dom = domSums.map { case (src, nDocs, nTok, sumLoss) =>
+      val meanLoss = r(sumLoss / nDocs, 4)
+      val excess = r(meanLoss - refLoss, 4)
+      val raw = nTok.toDouble / totTok * math.exp(10.0 * excess)
+      (src, nDocs, nTok, meanLoss, excess, raw)
+    }
+    val z = dom.map(_._6).sum
+    val expected = dom.map { case (src, nd, nt, ml, ex, raw) =>
+      (src, nd, nt, ml, ex, r(raw / z, 6)) }
+    val got = run("samp07_doremi_reweight").collect().map(rr =>
+      (rr.getString(0), rr.getLong(1), rr.getLong(2), rr.getDouble(3),
+        rr.getDouble(4), rr.getDouble(5))).toSeq
+    assert(got == expected)
+    // group-DRO invariants: weights are a distribution; the update
+    // must actually move mass. After normalization only the RATIO
+    // w/share is monotone in excess (a small positive excess can
+    // still end below its prior when others move more), so pin the
+    // ratio ordering plus the guaranteed extremes: the max-excess
+    // domain gains over its prior, the min-excess domain loses.
+    val wsum = got.map(_._6).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights not normalized: $wsum")
+    val byExcess = got.map { case (src, _, nt, _, ex, w) =>
+      (ex, w / (nt.toDouble / totTok), src, w, nt.toDouble / totTok)
+    }.sortBy(_._1)
+    // tolerance covers the round-6 weight quantization (w error up to
+    // 5e-7 on shares ~0.05 → ratio error up to ~1e-5)
+    byExcess.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2 + 1e-4,
+        s"w/share not monotone in excess: ${a._3} vs ${b._3}")
+    }
+    assert(byExcess.last._4 > byExcess.last._5,
+      s"${byExcess.last._3}: max-excess domain did not upweight")
+    assert(byExcess.head._4 < byExcess.head._5,
+      s"${byExcess.head._3}: min-excess domain did not downweight")
+    // the signal must discriminate on this corpus (a flat mixture
+    // means the proxy loss is degenerate, oracle or not)
+    assert(got.map(_._5).distinct.length > 1, "degenerate mixture")
+  }
+
   test("p10 crawl chain: stage 1 equals standalone t23; every stage bites") {
     import spark.implicits._
     // stage-1 cross-check: the composition's extraction must equal the

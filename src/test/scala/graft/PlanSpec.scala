@@ -1041,6 +1041,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"curriculum grew a window:\n$plan")
   }
 
+  test("samp07 doremi: one corpus pass — checkpoint barrier, no downstream rescan") {
+    // the domain rollup is localCheckpointed (the corpus is read
+    // exactly once); everything after it — corpus mean, normalizer,
+    // mixture — derives from the tiny checkpointed frame, so the
+    // final plan must contain NO parquet scan at all, only the two
+    // 1-row stat BNLJs over the checkpoint RDD
+    val df = graft.queries.PipelineOps.defs("samp07_doremi_reweight")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("FileScan parquet"),
+      s"doremi re-scanned the corpus after the domain rollup:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed domain frame as the scan barrier:\n$plan")
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct)".r
+      .findFirstIn(plan).isDefined, s"doremi grew a corpus join:\n$plan")
+    // 3 BNLJs: the ref and z stat crossJoins plus the normalizer
+    // branch re-deriving raw (its own ref crossJoin) — all over the
+    // domain-count checkpoint frame, zero corpus work
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 3, s"more than the tiny-frame stat crossJoins:\n$plan")
+    assert(!plan.contains("Window"), s"doremi grew a window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"post-checkpoint stats grew a hash shuffle:\n$plan")
+  }
+
   test("p10 crawl chain: ZERO joins — pure map into one lang rollup") {
     // extract → line gate → intra-doc dedup are all in-row, so the
     // whole composition is a map feeding exactly one partial-agg
