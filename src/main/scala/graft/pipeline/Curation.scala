@@ -406,6 +406,24 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
 
+  /** Differentially-private release statistics (u05's kernel — Dwork
+    * et al. 2006 Laplace mechanism): per-(lang, source) doc and token
+    * counts with calibrated noise, token contributions clipped at
+    * `clip` before the sum so the sensitivity (and therefore ε) is
+    * real. The draw is keyed-hash deterministic for replayability —
+    * swap in a secret seed for an actual private release. Returns
+    * (lang, source, eps, released_docs, released_tokens). */
+  def dpRelease(docs: DataFrame, eps: Double = 1.0, clip: Long = 2000L,
+      langCol: String = "lang", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    PipelineOps.dpReleaseOf(
+      docs.select(col(langCol).cast("string").as("lang"),
+          col(sourceCol).cast("string").as("source"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("text").isNotNull),
+      eps, clip)
+
   /** DoReMi-style domain reweighting (samp07's kernel — Xie et al.
     * 2023): one exponentiated group-DRO step from the token-share
     * prior toward domains with excess proxy loss (t14's quality-score

@@ -244,6 +244,53 @@ object PipelineOps {
         when(col("nu") >= k, col("tvc")).as("value_cents"))
       .orderBy("event_type", "day", "bucket")
 
+  /** u05's kernel — differentially-private corpus release statistics
+    * (Dwork et al. 2006 Laplace mechanism; the governance sibling of
+    * u04's k-anonymity: instead of suppressing small cells, every
+    * released per-(lang, source) doc and token count carries
+    * calibrated Laplace noise, so no single document's presence is
+    * inferable from the release). Sensitivity is made finite the way
+    * production DP pipelines do: each document contributes exactly 1
+    * to its cell's doc count (Δ=1) and at most `clip` tokens to its
+    * token count (contributions are clipped BEFORE the sum, Δ=clip —
+    * an unclipped sum has unbounded sensitivity and no ε holds).
+    * Noise is inverse-CDF Laplace with scale b = Δ/ε: u derives from
+    * md5_bits60(lang|source|stat) mapped to (0,1), noise =
+    * −b·sign(u−½)·ln(1−2|u−½|). The keyed-hash seed makes the draw
+    * deterministic so the oracle can replay it bit-for-bit — a TEST
+    * discipline; a production release swaps the public hash for a
+    * secret-keyed PRF or CSPRNG draw (determinism is the point of
+    * difference, the mechanism is identical). ln() parity across
+    * engines is ~1 ulp, amplified by b ≤ clip to well under the
+    * round-4 quantum.
+    *
+    * 100 TB: the clip is in-row, ONE partial-agg shuffle on the cell
+    * key, and the noise is a map-side expression over the cells-count
+    * result — no window, no join, no driver state. Returns
+    * (lang, source, eps, released_docs, released_tokens). */
+  private[graft] def dpReleaseOf(docs: DataFrame, eps: Double,
+      clip: Long): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    require(clip >= 1, s"clip must be at least 1, got $clip")
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    def lap(stat: String, delta: Double) = {
+      val u = (expr(s"md5_bits60(concat(lang, '|', source, '|', '$stat'))")
+        % lit(1000000L) + lit(0.5)) / lit(1000000.0)
+      val b = lit(delta / eps)
+      -b * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    }
+    docs.select(col("lang"), col("source"),
+        least(size(split(col("text"), " ")).cast("long"), lit(clip))
+          .as("clipped"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("clipped").as("n_tokens"))
+      .select(col("lang"), col("source"), lit(eps).as("eps"),
+        round(col("n_docs") + lap("docs", 1.0), 4).as("released_docs"),
+        round(col("n_tokens") + lap("tokens", clip.toDouble), 4)
+          .as("released_tokens"))
+      .orderBy("lang", "source")
+  }
+
   /** guard03's kernel — canary extraction audit (the Carlini-style
     * planted-canary drill, run before a release certifies its
     * decontamination): plant UNIQUE known canary phrases into two doc
@@ -4198,6 +4245,16 @@ object PipelineOps {
       // 6h) cells: 585 of 600 cells release, 15 suppress at sf0.01 —
       // a real cut. Kernel scaladoc has the plan notes.
       kAnonReleaseOf(t(s, d, "events"), k = 10)
+    }),
+
+    "u05_dp_release" -> ((s, d) => {
+      // Differentially-private release stats (Laplace mechanism,
+      // ε = 1 per stat, token contribution clipped at 2000): noised
+      // per-(lang, source) doc and token counts — the release gate
+      // when cells must ship but no document's presence may leak.
+      // Kernel scaladoc has the sensitivity, seed, and plan notes.
+      dpReleaseOf(t(s, d, "documents").select("lang", "source", "text"),
+        eps = 1.0, clip = 2000L)
     }),
 
     "p09_curation_v4" -> ((s, d) => {
@@ -8183,6 +8240,30 @@ object PipelineOps {
              CASE WHEN nu >= 10 THEN CAST(nu AS BIGINT) END AS n_users,
              CASE WHEN nu >= 10 THEN CAST(tvc AS BIGINT) END AS value_cents
       FROM cells ORDER BY event_type, day, bucket""",
+
+    // Laplace mechanism with the same keyed-hash inverse-CDF draw:
+    // u = (md5_bits60(lang|source|stat) % 1e6 + 0.5) / 1e6,
+    // noise = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|), b = Δ/ε
+    // (Δ = 1 for docs, Δ = clip = 2000 for the clipped token sum)
+    "u05_dp_release" -> """
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(len(string_split(text, ' ')), 2000)) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY 1, 2),
+      seeded AS (
+        SELECT lang, source, n_docs, n_tokens,
+               ((('0x' || substring(md5(lang || '|' || source || '|' || 'docs'), 1, 15))::BIGINT
+                 % 1000000 + 0.5) / 1000000.0) AS ud,
+               ((('0x' || substring(md5(lang || '|' || source || '|' || 'tokens'), 1, 15))::BIGINT
+                 % 1000000 + 0.5) / 1000000.0) AS ut
+        FROM cells)
+      SELECT lang, source, 1.0 AS eps,
+             round(n_docs + (-(1.0 / 1.0) * sign(ud - 0.5)
+               * ln(1 - 2 * abs(ud - 0.5))), 4) AS released_docs,
+             round(n_tokens + (-(2000.0 / 1.0) * sign(ut - 0.5)
+               * ln(1 - 2 * abs(ut - 0.5))), 4) AS released_tokens
+      FROM seeded ORDER BY lang, source""",
 
     // full three-stage replay: d22 keep-first windows → t21 gate on
     // the cleaned text → d23 membership vs the raw corpus → card

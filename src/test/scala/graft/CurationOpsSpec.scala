@@ -1254,6 +1254,59 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.length > 1, "degenerate mixture")
   }
 
+  test("u05 dp release: plain-Scala recompute, Laplace invariants, clip bites") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lap(seed: String, b: Double): Double = {
+      val u = (h60(seed) % 1000000L + 0.5) / 1000000.0
+      -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select("lang", "source", "text").as[(String, String, String)].collect()
+    val expected = docs.groupBy(d => (d._1, d._2)).toSeq.sortBy(_._1).map {
+      case ((lang, src), g) =>
+        val nDocs = g.length.toLong
+        val nTok = g.map(d => math.min(d._3.split(" ", -1).length.toLong, 2000L)).sum
+        (lang, src, 1.0,
+          r4(nDocs + lap(s"$lang|$src|docs", 1.0)),
+          r4(nTok + lap(s"$lang|$src|tokens", 2000.0)))
+    }
+    val got = run("u05_dp_release").collect().map(rr =>
+      (rr.getString(0), rr.getString(1), rr.getDouble(2), rr.getDouble(3),
+        rr.getDouble(4))).toSeq
+    assert(got == expected)
+    // Laplace invariants: noise is bounded by the inverse-CDF tail at
+    // the 1e-6 grid (b·ln(1e6) ≈ 13.8·b) and actually perturbs —
+    // a release equal to the true counts means the mechanism is off
+    val trueCells = docs.groupBy(d => (d._1, d._2)).map { case (k, g) =>
+      k -> (g.length.toLong,
+        g.map(d => math.min(d._3.split(" ", -1).length.toLong, 2000L)).sum)
+    }
+    val maxD = 1.0 * math.log(1e6); val maxT = 2000.0 * math.log(1e6)
+    var perturbed = 0
+    got.foreach { case (lang, src, _, rd, rt) =>
+      val (td, tt) = trueCells((lang, src))
+      assert(math.abs(rd - td) <= maxD + 1e-6, s"$lang/$src doc noise out of range")
+      assert(math.abs(rt - tt) <= maxT + 1e-6, s"$lang/$src token noise out of range")
+      if (rd != td.toDouble || rt != tt.toDouble) perturbed += 1
+    }
+    assert(perturbed > got.length / 2, s"mechanism barely fired: $perturbed cells")
+    // the clip must actually bound sensitivity: a crafted 3000-token
+    // doc contributes exactly 2000 (this corpus has no doc that long,
+    // so the gate alone cannot exercise the clip)
+    val big = Seq(("zz", "crafted", ("tok " * 3000).trim),
+      ("zz", "crafted", "short doc")).toDF("lang", "source", "text")
+    val rel = graft.queries.PipelineOps.dpReleaseOf(big, eps = 1.0, clip = 2000L)
+      .collect().head
+    val expTok = r4(2000L + 2L + lap("zz|crafted|tokens", 2000.0))
+    assert(rel.getDouble(4) == expTok,
+      s"clip did not bound the 3000-token doc: ${rel.getDouble(4)} vs $expTok")
+  }
+
   test("p10 crawl chain: stage 1 equals standalone t23; every stage bites") {
     import spark.implicits._
     // stage-1 cross-check: the composition's extraction must equal the

@@ -1065,6 +1065,19 @@ class PlanSpec extends AnyFunSuite {
       s"post-checkpoint stats grew a hash shuffle:\n$plan")
   }
 
+  test("u05 dp release: in-row clip, one cell rollup, map-side noise — no join") {
+    // the clip is in-row before the partial agg, the Laplace draw is
+    // a projection over the cells-count result: one hash exchange,
+    // nothing else
+    val df = graft.queries.PipelineOps.defs("u05_dp_release")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"dp release grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"dp release grew a window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one cell-keyed aggregation shuffle:\n$plan")
+  }
+
   test("p10 crawl chain: ZERO joins — pure map into one lang rollup") {
     // extract → line gate → intra-doc dedup are all in-row, so the
     // whole composition is a map feeding exactly one partial-agg
