@@ -406,6 +406,19 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
 
+  /** Cross-source duplicate overlap matrix (cur04's kernel): per
+    * unordered source pair, the distinct d02 content fingerprints
+    * present in both and the doc mass each side commits to them — the
+    * release audit that catches mirrored/rescraped sources before
+    * they double-count mixture mass. Returns (src_a, src_b,
+    * n_shared_fps, docs_a, docs_b). */
+  def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    PipelineOps.sourceOverlapOf(
+      docs.select(col(sourceCol).cast("string").as("source"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("source").isNotNull && col("text").isNotNull))
+
   /** Differentially-private release statistics (u05's kernel — Dwork
     * et al. 2006 Laplace mechanism): per-(lang, source) doc and token
     * counts with calibrated noise, token contributions clipped at

@@ -2365,6 +2365,46 @@ object PipelineOps {
       GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** cur04's kernel — the cross-source duplicate OVERLAP MATRIX (the
+    * datasheet's pairwise companion: when two ingested sources carry
+    * the same content — mirrors, scrapes of the same upstream, vendor
+    * re-sales — the release must know before mixture weights are set,
+    * because overlapping sources double-count their mass). For every
+    * unordered source pair (src_a < src_b): the number of distinct
+    * d02 content fingerprints present in BOTH, and the doc counts each
+    * side commits to those shared fingerprints. `docs`: (source,
+    * text).
+    *
+    * 100 TB: the fingerprint is map-side; shuffle 1 reduces the corpus
+    * to the (fp, source, n_docs) table; shuffle 2 groups THAT by fp —
+    * the per-fp list is bounded by the SOURCE COUNT (hundreds), never
+    * by dup-cluster size, which is why this deliberately does NOT
+    * self-join the fingerprint table (a fp-keyed self-join is the
+    * classic f² blowup on a boilerplate fingerprint) and does not
+    * collect doc ids (d11's giant-cluster row caveat doesn't apply);
+    * the pair explode is in-row and the final rollup is
+    * source-pair-keyed — at most sources² rows out at any corpus
+    * size. */
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val perSrc = docs.select(col("source"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("fp"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("n_docs"))
+    perSrc.groupBy("fp")
+      .agg(collect_list(struct(col("source"), col("n_docs"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """filter(
+             flatten(transform(srcs, a -> transform(srcs, b ->
+               named_struct('src_a', a.source, 'src_b', b.source,
+                            'da', a.n_docs, 'db', b.n_docs)))),
+             p -> p.src_a < p.src_b)""")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum("p.da").as("docs_a"), sum("p.db").as("docs_b"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** cur03's kernel — the per-source DATASHEET ("Datasheets for
     * Datasets", Gebru et al. 2018 — the per-provenance summary table a
     * corpus release publishes): for every source, document and token
@@ -5318,6 +5358,17 @@ object PipelineOps {
         t(s, d, "documents").select("doc_id", "source", "lang", "text"))
     }),
 
+    "cur04_source_overlap" -> ((s, d) => {
+      // Cross-source duplicate overlap matrix — the datasheet's
+      // pairwise companion: per source pair, shared d02 fingerprints
+      // and the doc mass each side commits to them (mirrored/rescraped
+      // sources double-count mixture mass invisibly without this).
+      // Kernel scaladoc has the scale notes (two reduce-side shuffles,
+      // per-fp list bounded by source count, NO fingerprint self-join,
+      // in-row pair explode).
+      sourceOverlapOf(t(s, d, "documents").select("source", "text"))
+    }),
+
     "spl03_temporal_split" -> ((s, d) => {
       // Temporal train/test split over the event log (train strictly
       // strictly before 2024-01-30 20:00, test after) with the leakage
@@ -6991,6 +7042,23 @@ object PipelineOps {
              coalesce(n_dup_docs, 0)::BIGINT AS n_dup_docs
       FROM card LEFT JOIN dups ON card.source = dups.source
       ORDER BY card.source""",
+
+    // d02's fingerprint per (fp, source) with doc counts, then the
+    // pairwise overlap via a fp equi-join (the oracle may self-join;
+    // the Spark kernel deliberately does not — see its scaladoc)
+    "cur04_source_overlap" -> """
+      WITH ps AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+               source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n_docs AS da, b.n_docs AS db
+        FROM ps a JOIN ps b ON a.fp = b.fp AND a.source < b.source)
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_fps,
+             CAST(sum(da) AS BIGINT) AS docs_a,
+             CAST(sum(db) AS BIGINT) AS docs_b
+      FROM pairs GROUP BY 1, 2 ORDER BY src_a, src_b""",
 
     "spl03_temporal_split" -> """
       WITH pu AS (

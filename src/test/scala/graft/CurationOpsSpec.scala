@@ -1254,6 +1254,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.length > 1, "degenerate mixture")
   }
 
+  test("cur04 source overlap: plain-Scala recompute, pair completeness") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Tables.t(spark, dir, "documents").select("source", "text")
+      .as[(String, String)].collect()
+    val perSrc = docs.map { case (src, t) =>
+      (md5hex(t.split(" ", -1).distinct.sorted.mkString(" ")), src)
+    }.groupBy(identity).map { case ((fp, src), g) => (fp, src, g.length.toLong) }
+    val expected = perSrc.groupBy(_._1).values.filter(_.size > 1).toSeq
+      .flatMap { g =>
+        for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2, a._3, b._3)
+      }
+      .groupBy(p => (p._1, p._2)).toSeq.sortBy(_._1).map { case ((sa, sb), g) =>
+        (sa, sb, g.size.toLong, g.map(_._3).sum, g.map(_._4).sum)
+      }
+    val got = run("cur04_source_overlap").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "no cross-source overlap found — degenerate corpus")
+    got.foreach { case (sa, sb, n, da, db) =>
+      assert(sa < sb, s"unordered pair $sa/$sb")
+      assert(n >= 1 && da >= n && db >= n, s"inconsistent masses for $sa/$sb")
+    }
+    // a fingerprint spanning 3 sources must emit all 3 pairs, with
+    // per-side doc multiplicity carried through
+    val crafted = Seq(("sA", "x y z"), ("sB", "z y x"), ("sB", "x z y"),
+      ("sC", "y x z"), ("sA", "only here")).toDF("source", "text")
+    val m = graft.queries.PipelineOps.sourceOverlapOf(crafted).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m.toSet == Set(("sA", "sB", 1L, 1L, 2L), ("sA", "sC", 1L, 1L, 1L),
+      ("sB", "sC", 1L, 2L, 1L)), s"crafted matrix wrong: ${m.mkString(", ")}")
+  }
+
   test("u05 dp release: plain-Scala recompute, Laplace invariants, clip bites") {
     import spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

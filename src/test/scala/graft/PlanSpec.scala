@@ -1065,6 +1065,20 @@ class PlanSpec extends AnyFunSuite {
       s"post-checkpoint stats grew a hash shuffle:\n$plan")
   }
 
+  test("cur04 source overlap: NO fingerprint self-join — reduce-side rollups only") {
+    // the classic implementation self-joins the fingerprint table
+    // (f² on a boilerplate fp); this kernel must instead reduce to
+    // per-fp source lists and explode pairs in-row: zero joins, three
+    // hash exchanges ((fp, source) rollup, fp grouping, pair rollup)
+    val df = graft.queries.PipelineOps.defs("cur04_source_overlap")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"overlap matrix grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"overlap matrix grew a window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3,
+      s"more than the three reduce-side exchanges:\n$plan")
+  }
+
   test("u05 dp release: in-row clip, one cell rollup, map-side noise — no join") {
     // the clip is in-row before the partial agg, the Laplace draw is
     // a projection over the cells-count result: one hash exchange,
