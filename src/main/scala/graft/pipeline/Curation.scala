@@ -406,6 +406,17 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
 
+  /** MinHash-LSH banding calibration (d25's kernel): the S-curve
+    * audit over the corpus's own candidate-pair similarity
+    * distribution — per 16-hash (bands, rows) factorization, its s50
+    * threshold, true/background pair counts at `tau`, and the
+    * expected detections on each side (p = 1 − (1 − J^r)^b). Run on a
+    * hash-sample (d08) at scale. Returns (bands, rows_per_band, s50,
+    * n_true, n_background, exp_true_detected, exp_false_candidates). */
+  def lshCalibration(docs: DataFrame, tau: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.lshCalibrationOf(canon(docs, idCol, textCol), tau)
+
   /** Cross-source duplicate overlap matrix (cur04's kernel): per
     * unordered source pair, the distinct d02 content fingerprints
     * present in both and the doc mass each side commits to them — the

@@ -3524,6 +3524,57 @@ object PipelineOps {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** d25's kernel — MinHash-LSH parameter CALIBRATION (the S-curve
+    * audit run before a d04-style deployment picks its banding: for a
+    * signature budget of b·r = 16 hashes, each (bands, rows-per-band)
+    * factorization fires on a pair of true Jaccard J with probability
+    * p = 1 − (1 − J^r)^b — Broder/MMDS ch.3). Over the corpus's OWN
+    * observed candidate-pair similarity distribution (every pair
+    * sharing ≥ 1 shingle, exact round-4 J from d03's inverted-index
+    * join), each config reports: its threshold s50 = (1/b)^(1/r),
+    * true-pair and background-pair counts at the `tau` production
+    * cut, and the EXPECTED detections the S-curve yields on each side
+    * — expected recall on true pairs vs expected false-candidate load
+    * from the background mass, the precision/recall trade the banding
+    * choice is. On this corpus the background is 11.5k pairs at
+    * J < 0.1 vs 25 planted near-dups at J ≥ 0.9: (16,1) catches all
+    * true pairs but fires on ~half the background; (2,8) is clean but
+    * loses recall — the table makes the (4,4)-style middle visible.
+    *
+    * 100 TB: the pair table is d03/d09's cost — production calibrates
+    * on a d08-style deterministic hash-sample of the corpus (the
+    * S-curve needs the SHAPE of the similarity distribution, not the
+    * full mass; compose `docs` through hashSampleOf upstream). The
+    * config explode is an in-row 5-way literal; the rollup is one
+    * (bands, rows)-keyed partial-agg shuffle — 5 rows out. */
+  private[graft] def lshCalibrationOf(docs: DataFrame, tau: Double)
+      : DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    val cfgs = "array(" +
+      Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8, 1 -> 16).map { case (b, r) =>
+        s"named_struct('bands', $b, 'rws', $r)"
+      }.mkString(", ") + ")"
+    exactJaccardPairsOf(docs, minJ = 0.0)
+      .select(col("jaccard"), explode(expr(cfgs)).as("c"))
+      .select(col("c.bands").cast("long").as("bands"),
+        col("c.rws").cast("long").as("rows_per_band"), col("jaccard"))
+      .withColumn("p", lit(1.0) -
+        pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")), col("bands")))
+      .groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("jaccard") >= tau, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("jaccard") < tau, 1L).otherwise(0L)).as("n_background"),
+        round(sum(when(col("jaccard") >= tau, col("p")).otherwise(lit(0.0))), 4)
+          .as("exp_true_detected"),
+        round(sum(when(col("jaccard") < tau, col("p")).otherwise(lit(0.0))), 4)
+          .as("exp_false_candidates"))
+      .withColumn("s50",
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 4))
+      .select("bands", "rows_per_band", "s50", "n_true", "n_background",
+        "exp_true_detected", "exp_false_candidates")
+      .orderBy("bands")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- deduplication -------------------------------------------------
@@ -3604,6 +3655,18 @@ object PipelineOps {
       // output contract, same oracle (the true recursive-CTE fixpoint).
       val edges = exactJaccardPairs(s, d, 0.5).select(col("d1"), col("d2"))
       ccAlternatingOf(edges).orderBy("cluster_id")
+    }),
+
+    "d25_lsh_calibration" -> ((s, d) => {
+      // MinHash-LSH banding calibration — the S-curve audit run before
+      // a d04 deployment picks (bands, rows): per 16-hash config, its
+      // s50 threshold, true/background pair counts at tau = 0.5, and
+      // the expected detections on each side over the corpus's OWN
+      // pair-similarity distribution. Kernel scaladoc has the scale
+      // notes (calibrate on a d08 hash-sample at 100 TB; in-row
+      // config explode; one 5-rows-out rollup).
+      lshCalibrationOf(t(s, d, "documents").select("doc_id", "text"),
+        tau = 0.5)
     }),
 
     "d19_quality_keep" -> ((s, d) => {
@@ -6125,6 +6188,37 @@ object PipelineOps {
       FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
       ORDER BY d1, d2""",
+
+    // d03's pair-J table with NO floor (every pair sharing a shingle),
+    // then the S-curve p = 1 - (1 - J^r)^b per 16-hash banding config
+    "d25_lsh_calibration" -> """
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      prs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), pj AS (
+        SELECT round(inter * 1.0 / (x.n + y.n - inter), 4) AS j
+        FROM prs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      ), cfg AS (
+        SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+          t(bands, rws)
+      ), scored AS (
+        SELECT bands, rws, j, 1 - pow(1 - pow(j, rws), bands) AS p
+        FROM pj, cfg)
+      SELECT CAST(bands AS BIGINT) AS bands,
+             CAST(rws AS BIGINT) AS rows_per_band,
+             round(pow(1.0 / bands, 1.0 / rws), 4) AS s50,
+             CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN j < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_background,
+             round(sum(CASE WHEN j >= 0.5 THEN p ELSE 0 END), 4) AS exp_true_detected,
+             round(sum(CASE WHEN j < 0.5 THEN p ELSE 0 END), 4) AS exp_false_candidates
+      FROM scored GROUP BY bands, rws ORDER BY bands""",
 
     // true connected-components fixpoint via the recursive CTE —
     // verifies the Spark side's 3 unrolled propagation rounds reached

@@ -1254,6 +1254,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.length > 1, "degenerate mixture")
   }
 
+  test("d25 lsh calibration: closed-form S-curve, monotonicity, d03 consistency") {
+    import spark.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("d25_lsh_calibration").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    assert(got.map(g => (g._1, g._2)).toSeq ==
+      Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    // s50 falls as bands grow (fixed 16-hash budget): more bands =
+    // more permissive
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3, s"s50 not decreasing: ${a._1} vs ${b._1} bands")
+    }
+    // expectations are probabilities over their pair sets
+    got.foreach { g =>
+      assert(g._6 >= 0 && g._6 <= g._4 + 1e-9, s"exp_true out of range: $g")
+      assert(g._7 >= 0 && g._7 <= g._5 + 1e-9, s"exp_false out of range: $g")
+    }
+    // the trade the audit exists to expose, on this corpus: the
+    // all-bands config catches every true pair but drowns in
+    // background candidates; the one-band config is clean but blind
+    val b16 = got.find(_._1 == 16L).get; val b1 = got.find(_._1 == 1L).get
+    assert(b16._6 > 0.999 * b16._4, s"(16,1) should detect ~all true pairs: $b16")
+    assert(b16._7 > 100, s"(16,1) should flood with background candidates: $b16")
+    assert(b1._7 < 1.0, s"(1,16) background load should be ~zero: $b1")
+    assert(b1._6 < b1._4, s"(1,16) must lose some recall: $b1")
+    // n_true at tau = 0.5 is exactly d03's pair count
+    val d03n = run("d03_ngram_jaccard").count()
+    got.foreach(g => assert(g._4 == d03n, s"n_true disagrees with d03: $g"))
+    // closed-form check on a crafted pair of known J = 0.5
+    val crafted = Seq((1L, "a b c d e"), (2L, "a b c d x"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val m = graft.queries.PipelineOps.lshCalibrationOf(crafted, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    m.foreach { case (b, rr, expTrue) =>
+      val p = r4(1.0 - math.pow(1.0 - math.pow(0.5, rr.toDouble), b.toDouble))
+      assert(expTrue == p, s"closed-form mismatch at ($b,$rr): $expTrue vs $p")
+    }
+  }
+
   test("cur04 source overlap: plain-Scala recompute, pair completeness") {
     import spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

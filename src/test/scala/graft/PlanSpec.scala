@@ -1065,6 +1065,19 @@ class PlanSpec extends AnyFunSuite {
       s"post-checkpoint stats grew a hash shuffle:\n$plan")
   }
 
+  test("d25 lsh calibration: shingle equi-join only, in-row config explode") {
+    // the pair table is d03's inverted-index equi-join (never a
+    // cartesian); the 5-config explode is in-row and the rollup is
+    // one tiny partial-agg — no window, no broadcast-loop join
+    val df = graft.queries.PipelineOps.defs("d25_lsh_calibration")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"calibration grew a cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"calibration grew a window:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"config explode should be in-row:\n$plan")
+  }
+
   test("cur04 source overlap: NO fingerprint self-join — reduce-side rollups only") {
     // the classic implementation self-joins the fingerprint table
     // (f² on a boilerplate fp); this kernel must instead reduce to
