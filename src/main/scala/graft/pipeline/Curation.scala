@@ -406,6 +406,29 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
 
+  /** Zipf rank-frequency corpus-health audit (t24's kernel): log-log
+    * least-squares slope/intercept over the top-`v` terms plus exact
+    * head-coverage shares — boilerplate flooding or a broken
+    * tokenizer shows as a slope far from −1 or a degenerate head.
+    * Returns one row (v, total_tokens, distinct_terms, zipf_slope,
+    * zipf_intercept, top10_share, top100_share). */
+  def zipfAudit(docs: DataFrame, v: Int = 1000,
+      textCol: String = "text"): DataFrame =
+    PipelineOps.zipfAuditOf(
+      docs.select(col(textCol).cast("string").as("text"))
+        .filter(col("text").isNotNull), v)
+
+  /** Source-concentration audit (cur05's kernel): exact-integer Gini
+    * of token mass across sources plus top-1/top-5 shares — the "one
+    * provenance wearing twenty names" red flag. Returns one row
+    * (n_sources, total_tokens, gini, top1_share, top5_share). */
+  def sourceConcentration(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    PipelineOps.sourceConcentrationOf(
+      docs.select(col(sourceCol).cast("string").as("source"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("source").isNotNull && col("text").isNotNull))
+
   /** MinHash-LSH banding calibration (d25's kernel): the S-curve
     * audit over the corpus's own candidate-pair similarity
     * distribution — per 16-hash (bands, rows) factorization, its s50

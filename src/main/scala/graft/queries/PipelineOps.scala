@@ -1193,6 +1193,59 @@ object PipelineOps {
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
   }
 
+  /** t24's kernel — Zipf rank-frequency corpus-health audit (the
+    * eyeball check every corpus release gets, made a gated number: a
+    * natural-language corpus's term frequencies follow f ∝ rank^s
+    * with s ≈ −1; a slope far from −1 or a degenerate head means
+    * boilerplate flooding, template spam, or a broken tokenizer
+    * upstream). Over the top-`v` terms by frequency (count desc, term
+    * asc — the deterministic tiebreak both engines share): the
+    * log-log least-squares slope and intercept of the rank-frequency
+    * curve, plus exact integer head-coverage shares (top-10 / top-100
+    * token mass over the whole corpus) and the global token/term
+    * counts. Slope fit is the closed form
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over (ln rank, ln freq) — ln() of
+    * exact integers on both engines, round-6 absorbing association
+    * noise (lm01's discipline).
+    *
+    * 100 TB: the corpus is read EXACTLY ONCE — the term count is ONE
+    * partial-agg shuffle (the d03 family's reduce) into a
+    * localCheckpointed vocabulary-sized frame (samp07's idiom: the
+    * frame feeds BOTH the global totals and the top-v cut, and naive
+    * reuse would re-scan the corpus per branch); the top-v cut is a
+    * TakeOrdered (never a global sort materialization); ranking and
+    * the fit run on the v-row frame. Head shares stay exact BIGINT
+    * until the final division. One audit row out. */
+  private[graft] def zipfAuditOf(docs: DataFrame, v: Int): DataFrame = {
+    require(v >= 10, s"v must be at least 10, got $v")
+    val counts = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("f").as("total_tokens"),
+      count(lit(1)).as("distinct_terms"))
+    val top = counts.orderBy(col("f").desc, col("term").asc).limit(v)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("f").desc, col("term").asc)))
+    val fit = top.select(
+        log(col("rk").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"),
+        col("rk"), col("f"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(when(col("rk") <= 10, col("f")).otherwise(0L)).as("top10_mass"),
+        sum(when(col("rk") <= 100, col("f")).otherwise(0L)).as("top100_mass"))
+    fit.crossJoin(broadcast(tot))
+      .select(lit(v.toLong).as("v"), col("total_tokens"), col("distinct_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("zipf_intercept"),
+        round(col("top10_mass") / col("total_tokens"), 6).as("top10_share"),
+        round(col("top100_mass") / col("total_tokens"), 6).as("top100_share"))
+  }
+
   /** t15's kernel — corpus-hapax novelty ratio: per doc, the fraction
     * of its distinct tokens that appear nowhere else in the corpus.
     * Skew-free: a hapax term's `min(doc_id)` IS its owner, so no term
@@ -2363,6 +2416,44 @@ object PipelineOps {
              sum(bits_micro)::BIGINT AS bits_micro
       FROM docw JOIN wkeys USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** cur05's kernel — source-concentration audit (the "one source
+    * dominates the corpus" red flag as a gated number): the Gini
+    * coefficient of token mass across sources plus the top-1/top-5
+    * source shares. Gini uses the exact discrete form over masses
+    * sorted ascending (source-asc tiebreak): G = 2·Σ(i·mᵢ)/(n·Σm) −
+    * (n+1)/n — every term stays BIGINT until the final division, so
+    * both engines divide the same exact integers (u04's
+    * integer-cents discipline). A release with G near 1 trains on
+    * one provenance wearing twenty names; near 0, the mixture is
+    * flat.
+    *
+    * 100 TB: ONE source-keyed partial-agg shuffle reduces the corpus
+    * to the sources-count mass table; the rank windows and the final
+    * fold run on that tiny frame (sources number in the hundreds —
+    * the d11 giant-row caveat cannot apply). One audit row out. */
+  private[graft] def sourceConcentrationOf(docs: DataFrame): DataFrame = {
+    val mass = docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("m"))
+    val ranked = mass
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("m").asc, col("source").asc)))
+      .withColumn("j", row_number().over(
+        Window.orderBy(col("m").desc, col("source").desc)))
+    ranked.agg(
+        count(lit(1)).as("n_sources"), sum("m").as("total_tokens"),
+        sum(col("i") * col("m")).as("s_im"),
+        sum(when(col("j") <= 1, col("m")).otherwise(0L)).as("top1_mass"),
+        sum(when(col("j") <= 5, col("m")).otherwise(0L)).as("top5_mass"))
+      .select(col("n_sources"), col("total_tokens"),
+        round(lit(2.0) * col("s_im") /
+            (col("n_sources") * col("total_tokens")) -
+          (col("n_sources") + lit(1L)) / col("n_sources").cast("double"), 6)
+          .as("gini"),
+        round(col("top1_mass") / col("total_tokens"), 6).as("top1_share"),
+        round(col("top5_mass") / col("total_tokens"), 6).as("top5_share"))
   }
 
   /** cur04's kernel — the cross-source duplicate OVERLAP MATRIX (the
@@ -5432,6 +5523,15 @@ object PipelineOps {
       sourceOverlapOf(t(s, d, "documents").select("source", "text"))
     }),
 
+    "cur05_source_concentration" -> ((s, d) => {
+      // Source-concentration audit: exact-integer Gini of token mass
+      // across sources + top-1/top-5 shares — the "one provenance
+      // wearing twenty names" red flag next to cur03's datasheet.
+      // Kernel scaladoc has the plan notes (one corpus rollup, rank
+      // windows on the sources-count frame, one audit row).
+      sourceConcentrationOf(t(s, d, "documents").select("source", "text"))
+    }),
+
     "spl03_temporal_split" -> ((s, d) => {
       // Temporal train/test split over the event log (train strictly
       // strictly before 2024-01-30 20:00, test after) with the leakage
@@ -5678,6 +5778,16 @@ object PipelineOps {
       // df + N, bounded per-doc heap).
       tfidfKeywordsOf(t(s, d, "documents"), k = 3)
         .orderBy("doc_id", "rk")
+    }),
+
+    "t24_zipf_audit" -> ((s, d) => {
+      // Zipf rank-frequency corpus-health audit: log-log slope +
+      // intercept over the top-1000 terms and exact head-coverage
+      // shares — boilerplate flooding or a broken tokenizer shows as
+      // a slope far from -1 or a degenerate head. Kernel scaladoc has
+      // the plan notes (one term rollup, TakeOrdered top-v, fit on
+      // the v-row frame, one audit row out).
+      zipfAuditOf(t(s, d, "documents").select("text"), v = 1000)
     }),
 
     "s18_knn_graph" -> ((s, d) => {
@@ -6695,6 +6805,33 @@ object PipelineOps {
         FROM sc)
       WHERE rk <= 3 ORDER BY doc_id, rk""",
 
+    // top-1000 terms by (count desc, term asc), closed-form log-log
+    // least squares over (ln rank, ln freq), exact BIGINT head shares
+    "t24_zipf_audit" -> """
+      WITH c AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+                     CAST(count(*) AS BIGINT) AS distinct_terms FROM c),
+      top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS rk
+        FROM c ORDER BY f DESC, term ASC LIMIT 1000),
+      fit AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(ln(rk)) AS sx, sum(ln(f)) AS sy,
+               sum(ln(rk) * ln(f)) AS sxy, sum(ln(rk) * ln(rk)) AS sxx,
+               CAST(sum(CASE WHEN rk <= 10 THEN f ELSE 0 END) AS BIGINT) AS top10_mass,
+               CAST(sum(CASE WHEN rk <= 100 THEN f ELSE 0 END) AS BIGINT) AS top100_mass
+        FROM top)
+      SELECT CAST(1000 AS BIGINT) AS v, total_tokens, distinct_terms,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+             round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS zipf_intercept,
+             round(top10_mass / total_tokens, 6) AS top10_share,
+             round(top100_mass / total_tokens, 6) AS top100_share
+      FROM fit, tot""",
+
     // the shared trajectory again; per-vector top-3 neighbors by
     // (cos desc, nbr_id) within the final cell
     "s18_knn_graph" -> (kmeansOracleCte + """,
@@ -7153,6 +7290,31 @@ object PipelineOps {
              CAST(sum(da) AS BIGINT) AS docs_a,
              CAST(sum(db) AS BIGINT) AS docs_b
       FROM pairs GROUP BY 1, 2 ORDER BY src_a, src_b""",
+
+    // exact discrete Gini over per-source token mass, ascending rank
+    // (source tiebreak); every term BIGINT until the final division
+    "cur05_source_concentration" -> """
+      WITH mass AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS m
+        FROM documents GROUP BY 1),
+      ranked AS (
+        SELECT m,
+               row_number() OVER (ORDER BY m ASC, source ASC) AS i,
+               row_number() OVER (ORDER BY m DESC, source DESC) AS j
+        FROM mass),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(m) AS BIGINT) AS total_tokens,
+               CAST(sum(i * m) AS BIGINT) AS s_im,
+               CAST(sum(CASE WHEN j <= 1 THEN m ELSE 0 END) AS BIGINT) AS top1_mass,
+               CAST(sum(CASE WHEN j <= 5 THEN m ELSE 0 END) AS BIGINT) AS top5_mass
+        FROM ranked)
+      SELECT n_sources, total_tokens,
+             round(2.0 * s_im / (n_sources * total_tokens)
+               - (n_sources + 1) / CAST(n_sources AS DOUBLE), 6) AS gini,
+             round(top1_mass / total_tokens, 6) AS top1_share,
+             round(top5_mass / total_tokens, 6) AS top5_share
+      FROM agg""",
 
     "spl03_temporal_split" -> """
       WITH pu AS (

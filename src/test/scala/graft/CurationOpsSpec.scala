@@ -1254,6 +1254,77 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.length > 1, "degenerate mixture")
   }
 
+  test("t24 zipf audit: plain-Scala recompute; exact-Zipf fixture fits slope -1") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def recompute(texts: Seq[String], v: Int) = {
+      val counts = texts.flatMap(_.split(" ", -1)).groupBy(identity)
+        .map { case (t, g) => (t, g.size.toLong) }.toSeq
+      val total = counts.map(_._2).sum
+      val top = counts.sortBy { case (t, f) => (-f, t) }.take(v).zipWithIndex
+        .map { case ((_, f), i) => (i + 1L, f) }
+      val (n, sx, sy, sxy, sxx) = (top.size.toDouble,
+        top.map(p => math.log(p._1.toDouble)).sum,
+        top.map(p => math.log(p._2.toDouble)).sum,
+        top.map(p => math.log(p._1.toDouble) * math.log(p._2.toDouble)).sum,
+        top.map(p => math.log(p._1.toDouble) * math.log(p._1.toDouble)).sum)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (counts.size.toLong, total,
+        r6(slope), r6((sy - slope * sx) / n),
+        r6(top.filter(_._1 <= 10).map(_._2).sum.toDouble / total),
+        r6(top.filter(_._1 <= 100).map(_._2).sum.toDouble / total))
+    }
+    val texts = Tables.t(spark, dir, "documents").select("text")
+      .as[String].collect().toSeq
+    val exp = recompute(texts, 1000)
+    val r = run("t24_zipf_audit").collect().head
+    assert((r.getLong(2), r.getLong(1), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6)) == exp)
+    assert(r.getDouble(3) < 0, "frequencies must decay with rank")
+    assert(r.getDouble(5) < r.getDouble(6) && r.getDouble(6) <= 1.0)
+    // crafted exact-Zipf corpus (term k appears ~C/k times) must fit
+    // slope ≈ -1 — the audit must RECOGNIZE a healthy distribution
+    val zipf = (1 to 50).flatMap(k => Seq.fill(600 / k)(s"w$k"))
+    val crafted = Seq(zipf.mkString(" ")).toDF("text")
+    val slope = graft.queries.PipelineOps.zipfAuditOf(crafted, v = 50)
+      .collect().head.getDouble(3)
+    assert(math.abs(slope + 1.0) < 0.05, s"exact-Zipf fixture fit $slope")
+  }
+
+  test("cur05 source concentration: plain-Scala recompute, Gini extremes") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.t(spark, dir, "documents").select("source", "text")
+      .as[(String, String)].collect()
+    val mass = docs.groupBy(_._1).map { case (s, g) =>
+      (s, g.map(_._2.split(" ", -1).length.toLong).sum) }.toSeq
+    val asc = mass.sortBy { case (s, m) => (m, s) }.zipWithIndex
+    val n = mass.size.toLong; val total = mass.map(_._2).sum
+    val sIm = asc.map { case ((_, m), i) => (i + 1) * m }.sum
+    val gini = r6(2.0 * sIm / (n * total) - (n + 1) / n.toDouble)
+    // the kernel's j-order is (m desc, source desc) = asc order reversed
+    val desc = mass.sortBy { case (s, m) => (m, s) }.reverse
+    val r = run("cur05_source_concentration").collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == total)
+    assert(r.getDouble(2) == gini)
+    assert(r.getDouble(3) == r6(desc.head._2.toDouble / total))
+    assert(r.getDouble(4) == r6(desc.take(5).map(_._2).sum.toDouble / total))
+    // extremes: equal masses → 0; a 2-source [1, 999] split →
+    // 2·1999/2000 − 3/2 = 0.499, just under the n=2 supremum 0.5
+    // (and top1 carries ~everything)
+    val flat = Seq(("a", "x y"), ("b", "x y"), ("c", "x y"))
+      .toDF("source", "text")
+    assert(graft.queries.PipelineOps.sourceConcentrationOf(flat)
+      .collect().head.getDouble(2) == 0.0)
+    val skew = Seq(("a", "t"), ("b", Seq.fill(999)("t").mkString(" ")))
+      .toDF("source", "text")
+    val g2 = graft.queries.PipelineOps.sourceConcentrationOf(skew)
+      .collect().head
+    assert(g2.getDouble(2) == 0.499 && g2.getDouble(3) == 0.999)
+  }
+
   test("d25 lsh calibration: closed-form S-curve, monotonicity, d03 consistency") {
     import spark.implicits._
     def r4(x: Double) =

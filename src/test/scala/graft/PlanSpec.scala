@@ -1065,6 +1065,37 @@ class PlanSpec extends AnyFunSuite {
       s"post-checkpoint stats grew a hash shuffle:\n$plan")
   }
 
+  test("t24 zipf audit: one corpus pass — checkpointed vocab, TakeOrdered cut") {
+    // the term rollup is localCheckpointed (the corpus is read once);
+    // totals and the top-v fit both derive from the vocab frame, so
+    // the final plan has NO parquet scan; the top-v cut must be a
+    // TakeOrdered, never a global sort materialization
+    val df = graft.queries.PipelineOps.defs("t24_zipf_audit")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("FileScan parquet"),
+      s"zipf audit re-scanned the corpus after the term rollup:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed vocab frame as the scan barrier:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-v cut should be a TakeOrdered:\n$plan")
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct)".r
+      .findFirstIn(plan).isDefined, s"zipf audit grew a corpus join:\n$plan")
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1, s"more than the 1-row totals crossJoin:\n$plan")
+  }
+
+  test("cur05 source concentration: one corpus rollup, windows on the tiny frame") {
+    // one source-keyed hash exchange reduces the corpus; the rank
+    // windows and the fold run on the sources-count frame (their
+    // single-partition exchange is over ~20 rows)
+    val df = graft.queries.PipelineOps.defs("cur05_source_concentration")(spark, dir)
+    val plan = planOf(df)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"concentration audit grew a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one source-keyed aggregation shuffle:\n$plan")
+  }
+
   test("d25 lsh calibration: shingle equi-join only, in-row config explode") {
     // the pair table is d03's inverted-index equi-join (never a
     // cartesian); the 5-config explode is in-row and the rollup is
