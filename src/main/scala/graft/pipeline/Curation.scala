@@ -406,6 +406,27 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
 
+  /** WebDataset-style tar training shards (sink04's kernels): write
+    * `shards` deterministic md5-sharded tar files (each sample a
+    * `<key>.json` + `<key>.txt` member pair, doc_id order, epoch
+    * mtimes — byte-identical reruns), and audit them cold per shard
+    * (n_docs, payload_bytes, id_checksum, n_meta). */
+  def writeTarShards(docs: DataFrame, path: String, shards: Int = 8,
+      idCol: String = "doc_id", langCol: String = "lang",
+      sourceCol: String = "source", textCol: String = "text"): Unit =
+    PipelineOps.tarShardWrite(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          col(langCol).cast("string").as("lang"),
+          col(sourceCol).cast("string").as("source"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+      path, shards)
+
+  /** The read-side audit over a [[writeTarShards]] directory. */
+  def tarShardAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    PipelineOps.tarShardAudit(spark, path)
+
   /** Zipf rank-frequency corpus-health audit (t24's kernel): log-log
     * least-squares slope/intercept over the top-`v` terms plus exact
     * head-coverage shares — boilerplate flooding or a broken

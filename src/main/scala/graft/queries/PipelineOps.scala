@@ -3580,6 +3580,109 @@ object PipelineOps {
   private[graft] def shardCol(id: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % nShards
 
+  /** sink04's write half — WebDataset-style TAR training shards (the
+    * exchange format multimodal/streaming trainers consume: each
+    * sample is a group of same-key members — here `<key>.json`
+    * metadata + `<key>.txt` payload — inside fixed tar shards, so a
+    * loader streams samples with zero per-file round trips). Docs land
+    * in `shards` deterministic md5_bits60 shards; within a shard,
+    * members are written in doc_id order with epoch mtimes and fixed
+    * modes, so a rerun produces BYTE-IDENTICAL shard files (the spec
+    * pins write-twice md5 equality). Metadata JSON is engine-built
+    * (to_json — proper escaping), payload bytes are the UTF-8 text.
+    *
+    * 100 TB: ONE hash shuffle co-locates each shard on one task
+    * (sortWithinPartitions gives the in-shard order; a partition may
+    * carry several whole shards, never a split one); the writer
+    * STREAMS rows into the tar via Hadoop FS (cloud-path-safe, no
+    * shard ever materializes in memory); shard count scales with the
+    * corpus under webdataset's ~1 GB/shard sizing contract. */
+  private[graft] def tarShardWrite(docs: DataFrame, dir: String,
+      shards: Int): Unit = {
+    require(shards >= 1, s"shards must be at least 1, got $shards")
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"))).as("meta"),
+        col("text"),
+        pmod(expr("md5_bits60(cast(doc_id as string))"), lit(shards.toLong))
+          .as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        import org.apache.commons.compress.archivers.tar.{
+          TarArchiveEntry, TarArchiveOutputStream}
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var cur = -1L
+        var out: TarArchiveOutputStream = null
+        def close(): Unit =
+          if (out != null) { out.finish(); out.close(); out = null }
+        def open(shard: Long): Unit = {
+          close()
+          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
+          out = new TarArchiveOutputStream(p.getFileSystem(conf).create(p, true))
+          out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+        }
+        def put(name: String, bytes: Array[Byte]): Unit = {
+          val e = new TarArchiveEntry(name)
+          e.setSize(bytes.length.toLong)
+          e.setModTime(0L) // epoch mtime -> byte-identical reruns
+          out.putArchiveEntry(e)
+          out.write(bytes)
+          out.closeArchiveEntry()
+        }
+        rows.foreach { r =>
+          val shard = r.getLong(3)
+          if (shard != cur) { open(shard); cur = shard }
+          val key = f"${r.getLong(0)}%012d"
+          put(s"$key.json", r.getString(1).getBytes("UTF-8"))
+          put(s"$key.txt", r.getString(2).getBytes("UTF-8"))
+        }
+        close()
+      }
+  }
+
+  /** sink04's read half — the per-shard audit over the COLD tar files
+    * (binaryFile loads one whole shard per row — bounded by the
+    * writer's shard-size contract, the unit a webdataset loader
+    * streams anyway): per shard, sample count, exact payload bytes,
+    * id checksum (keys parse back from member names), and the
+    * metadata-member count (a sample missing its pair is corruption).
+    * The oracle replays all four from the source parquet, so the audit
+    * certifies the bytes that actually landed on disk. */
+  private[graft] def tarShardAudit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    // pathGlobFilter instead of a glob-in-path: the latter trips the
+    // FileStreamSink metadata probe into a noisy (benign) WARN
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+          .getOrElse(sys.error(s"unexpected shard file name: $path"))
+          .group(1).toLong
+        val in = new org.apache.commons.compress.archivers.tar
+          .TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(in.getNextEntry).takeWhile(_ != null).flatMap {
+          e =>
+            val name = e.getName
+            if (name.endsWith(".txt"))
+              Some((shard, name.stripSuffix(".txt").toLong, e.getSize, 0L))
+            else if (name.endsWith(".json")) Some((shard, -1L, 0L, 1L))
+            else None
+        }.toVector
+      }
+      .toDF("shard", "doc_id", "txt_bytes", "is_json")
+      .groupBy("shard")
+      .agg(sum(when(col("doc_id") >= 0, 1L).otherwise(0L)).as("n_docs"),
+        sum("txt_bytes").as("payload_bytes"),
+        sum(when(col("doc_id") >= 0, col("doc_id")).otherwise(0L))
+          .as("id_checksum"),
+        sum("is_json").as("n_meta"))
+      .orderBy("shard")
+  }
+
   /** Per-doc character-distribution entropy (t11's kernel): one
     * (doc_id, ch) count shuffle, then an order-stable fold over the
     * sorted char histogram. Returns (doc_id, n_distinct_chars,
@@ -5146,6 +5249,22 @@ object PipelineOps {
             "transform(array_sort(collect_list(struct(doc_id, value))), x -> x.value)"),
             "\n")).as("shard_md5"))
         .orderBy("shard")
+    }),
+
+    "sink04_tar_shards" -> ((s, d) => {
+      // WebDataset-style tar shards — the multimodal/streaming
+      // trainers' exchange format: 8 deterministic md5 shards, each
+      // sample a <key>.json + <key>.txt member pair in doc_id order
+      // with epoch mtimes (byte-identical reruns, spec-pinned); the
+      // audit re-reads the COLD tars and the oracle replays counts,
+      // exact payload bytes, id checksums, and the meta-pair count
+      // from the source parquet. Kernel scaladocs have the plan notes
+      // (one co-locating shuffle, streaming writer via Hadoop FS).
+      val out = EngineOps.tempDir("graft-sink04")
+      tarShardWrite(
+        t(s, d, "documents").select("doc_id", "lang", "source", "text"),
+        out, shards = 8)
+      tarShardAudit(s, out)
     }),
 
     "d16_chunk_dedup" -> ((s, d) => {
@@ -8343,6 +8462,19 @@ object PipelineOps {
       SELECT shard, count(*) AS n_lines,
              md5(string_agg(line, chr(10) ORDER BY doc_id)) AS shard_md5
       FROM j GROUP BY shard ORDER BY shard""",
+
+    // the same md5_bits60 shard assignment; payload bytes are UTF-8
+    // strlen; every sample carries exactly one metadata member
+    "sink04_tar_shards" -> """
+      WITH a AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+               doc_id, strlen(text) AS b
+        FROM documents)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(b) AS BIGINT) AS payload_bytes,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(count(*) AS BIGINT) AS n_meta
+      FROM a GROUP BY 1 ORDER BY shard""",
 
     "d16_chunk_dedup" -> """
       WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1065,6 +1065,22 @@ class PlanSpec extends AnyFunSuite {
       s"post-checkpoint stats grew a hash shuffle:\n$plan")
   }
 
+  test("sink04 tar audit: one shard-keyed rollup over the binary scan, no join") {
+    // the audit is a flatMap over whole-shard rows feeding one
+    // partial-agg shuffle — shard files are the parallelism unit
+    val dir0 = java.nio.file.Files.createTempDirectory("sink04plan").toString
+    import spark.implicits._
+    val docs = Seq((1L, "en", "s", "a b"), (2L, "fr", "s", "c"))
+      .toDF("doc_id", "lang", "source", "text")
+    graft.queries.PipelineOps.tarShardWrite(docs, dir0, shards = 2)
+    val plan = planOf(graft.queries.PipelineOps.tarShardAudit(spark, dir0))
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"tar audit grew a join:\n$plan")
+    assert(!plan.contains("Window"), s"tar audit grew a window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shard-keyed aggregation shuffle:\n$plan")
+  }
+
   test("t24 zipf audit: one corpus pass — checkpointed vocab, TakeOrdered cut") {
     // the term rollup is localCheckpointed (the corpus is read once);
     // totals and the top-v fit both derive from the vocab frame, so
