@@ -56,6 +56,25 @@ object MediaCatalogOps {
       Multimodal.audioNearDup(s, d, frameLen = 20, tau = 0.5,
         stopDfFrac = 0.25)),
 
+    "mm15_tar_shards" -> ((s, d) => {
+      // Multimodal WebDataset shards — the format multimodal trainers
+      // stream: each sample is a <key>.json metadata member + a
+      // <key>.<format> BINARY payload (PNG/WAV/GVID bytes) inside 4
+      // deterministic md5 tar shards (sink04's writer core, epoch
+      // mtimes). The audit re-reads the COLD tars and REALLY DECODES
+      // every payload (ImageIO/AudioSystem/container parse) — per
+      // shard: sample counts by modality, decoded unit totals
+      // (pixels/samples/frames), id checksum, meta-pair count. The
+      // oracle replays all of it from the generator formulas, so a
+      // payload corrupted anywhere in the write-read cycle breaks the
+      // decode or the unit totals. 100 TB: one co-locating shuffle,
+      // streaming writer; a tar shard is the read unit (webdataset's
+      // ~1 GB sizing contract bounds the binaryFile row).
+      val out = EngineOps.tempDir("graft-mm15")
+      mediaTarWrite(Multimodal.mediaTable(s, d).toDF(), out, shards = 4)
+      mediaTarAudit(s, out)
+    }),
+
     "mm09_image_text_alignment" -> ((s, d) =>
       // CLIP-style pair gate: decoded-raster 64-bucket image embedding
       // vs the caption's text embedding through native cosine_sim,
@@ -592,6 +611,94 @@ object MediaCatalogOps {
     })
   )
 
+  /** mm15's write half — multimodal WebDataset shards over the binary
+    * media table: per sample a `<key>.json` (engine-built to_json
+    * metadata) + `<key>.<format>` member carrying the RAW payload
+    * bytes, grouped into `shards` md5 shards via [[TarIO]] (epoch
+    * mtimes, doc_id member order — byte-identical reruns, the same
+    * contract sink04's spec pins). One co-locating hash shuffle; the
+    * writer streams rows, no shard materializes in memory. */
+  private[graft] def mediaTarWrite(media: DataFrame, dir: String,
+      shards: Int): Unit = {
+    require(shards >= 1, s"shards must be at least 1, got $shards")
+    graft.exprs.Md5Bits60.register(media.sparkSession)
+    media.select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("media_type"), col("format")))
+          .as("meta"),
+        col("format"), col("payload"),
+        pmod(expr("md5_bits60(cast(doc_id as string))"), lit(shards.toLong))
+          .as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        TarIO.writeGrouped(dir, rows.map { r =>
+          val key = f"${r.getLong(0)}%012d"
+          (r.getLong(4), Seq(
+            s"$key.json" -> r.getString(1).getBytes("UTF-8"),
+            s"$key.${r.getString(2)}" -> r.getAs[Array[Byte]](3)))
+        })
+      }
+  }
+
+  /** mm15's read half — the decode-after-round-trip audit: every
+    * payload member parses back by its REAL decoder (ImageIO PNG,
+    * AudioSystem WAV, the GVID container walk), so corruption anywhere
+    * in the tar write/read cycle either throws or moves the decoded
+    * unit totals off the oracle's formula replay. Per shard:
+    * modality-split sample counts, decoded unit total, id checksum,
+    * metadata-member count. */
+  private[graft] def mediaTarAudit(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+          .getOrElse(sys.error(s"unexpected shard file name: $path"))
+          .group(1).toLong
+        val in = new org.apache.commons.compress.archivers.tar
+          .TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
+          val name = e.getName
+          val body = new Array[Byte](e.getSize.toInt)
+          var off = 0
+          while (off < body.length) {
+            val n = in.read(body, off, body.length - off)
+            require(n > 0, s"truncated tar member $name"); off += n
+          }
+          val (stem, ext) = (name.substring(0, name.lastIndexOf('.')),
+            name.substring(name.lastIndexOf('.') + 1))
+          ext match {
+            case "json" => (shard, -1L, "meta", 0L)
+            case "png" =>
+              val img = Multimodal.Codecs.decodeImage(body)
+              (shard, stem.toLong, "image",
+                img.getWidth.toLong * img.getHeight)
+            case "wav" =>
+              (shard, stem.toLong, "audio", Multimodal.Codecs.decodeWav(body)._1)
+            case "gvid" =>
+              (shard, stem.toLong, "video",
+                Multimodal.Codecs.decodeVideo(body).size.toLong)
+            case other => sys.error(s"unexpected member extension: $other")
+          }
+        }.toVector
+      }
+      .toDF("shard", "doc_id", "kind", "units")
+      .groupBy("shard")
+      .agg(
+        sum(when(col("kind") =!= "meta", 1L).otherwise(0L)).as("n_samples"),
+        sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_images"),
+        sum(when(col("kind") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("kind") === "video", 1L).otherwise(0L)).as("n_video"),
+        sum("units").as("units_total"),
+        sum(when(col("kind") =!= "meta", col("doc_id")).otherwise(0L))
+          .as("id_checksum"),
+        sum(when(col("kind") === "meta", 1L).otherwise(0L)).as("n_meta"))
+      .orderBy("shard")
+  }
+
   val oracles: Map[String, String] = Map(
     // mm01–mm04 oracles recompute the decoded statistics from the
     // generator formulas (Multimodal.Codecs): pixel i of image id is
@@ -609,6 +716,28 @@ object MediaCatalogOps {
                   WHEN 1 THEN 256 + doc_id % 512
                   ELSE 4 + doc_id % 8 END AS BIGINT) AS n_units
       FROM documents ORDER BY doc_id""",
+
+    // the same md5_bits60 shard assignment as sink04; modality and
+    // decoded unit totals replay from the generator formulas — the
+    // Spark side must get them back through the tar + real decoders
+    "mm15_tar_shards" -> """
+      WITH m AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS shard,
+               doc_id % 3 AS k,
+               CAST(CASE doc_id % 3
+                    WHEN 0 THEN (4 * (2 + doc_id % 5)) * (4 * (2 + doc_id % 4))
+                    WHEN 1 THEN 256 + doc_id % 512
+                    ELSE 4 + doc_id % 8 END AS BIGINT) AS units
+        FROM documents)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+             CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+             CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+             CAST(sum(units) AS BIGINT) AS units_total,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(count(*) AS BIGINT) AS n_meta
+      FROM m GROUP BY 1 ORDER BY shard""",
 
     // consecutive-frame mean |Δpixel| recomputed from the generative
     // formula — the PNG/GVID round trip is lossless, so the decoded

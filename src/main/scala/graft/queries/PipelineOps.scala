@@ -3609,35 +3609,12 @@ object PipelineOps {
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        import org.apache.commons.compress.archivers.tar.{
-          TarArchiveEntry, TarArchiveOutputStream}
-        val conf = new org.apache.hadoop.conf.Configuration()
-        var cur = -1L
-        var out: TarArchiveOutputStream = null
-        def close(): Unit =
-          if (out != null) { out.finish(); out.close(); out = null }
-        def open(shard: Long): Unit = {
-          close()
-          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
-          out = new TarArchiveOutputStream(p.getFileSystem(conf).create(p, true))
-          out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-        }
-        def put(name: String, bytes: Array[Byte]): Unit = {
-          val e = new TarArchiveEntry(name)
-          e.setSize(bytes.length.toLong)
-          e.setModTime(0L) // epoch mtime -> byte-identical reruns
-          out.putArchiveEntry(e)
-          out.write(bytes)
-          out.closeArchiveEntry()
-        }
-        rows.foreach { r =>
-          val shard = r.getLong(3)
-          if (shard != cur) { open(shard); cur = shard }
+        TarIO.writeGrouped(dir, rows.map { r =>
           val key = f"${r.getLong(0)}%012d"
-          put(s"$key.json", r.getString(1).getBytes("UTF-8"))
-          put(s"$key.txt", r.getString(2).getBytes("UTF-8"))
-        }
-        close()
+          (r.getLong(3), Seq(
+            s"$key.json" -> r.getString(1).getBytes("UTF-8"),
+            s"$key.txt" -> r.getString(2).getBytes("UTF-8")))
+        })
       }
   }
 

@@ -225,6 +225,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == expected, s"operator pairs != formula recompute:\n$out\nvs\n$expected")
   }
 
+  test("mm15 tar shards: payload bytes recover exactly; every sample has its meta pair") {
+    import Multimodal.Codecs
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    // a crafted fixture spanning all three modalities: the payload
+    // bytes must come back from the tar BYTE-EXACT, not just decodable
+    val media = Multimodal.mediaTable(spark, dir).toDF()
+    val wanted = media.orderBy("doc_id").limit(6).collect().map(r =>
+      (r.getLong(0), r.getString(2), r.getAs[Array[Byte]](3)))
+    import spark.implicits._
+    val small = wanted.toSeq
+      .map { case (id, fmt, p) =>
+        val mt = if (fmt == "png") "image" else if (fmt == "wav") "audio" else "video"
+        (id, mt, fmt, p)
+      }.toDF("doc_id", "media_type", "format", "payload")
+    val out = java.nio.file.Files.createTempDirectory("mm15spec").toFile
+    graft.queries.MediaCatalogOps.mediaTarWrite(small, out.getPath, shards = 2)
+    val got = out.listFiles.filter(_.getName.endsWith(".tar")).flatMap { f =>
+      val in = new TarArchiveInputStream(new java.io.FileInputStream(f))
+      Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
+        val buf = new Array[Byte](e.getSize.toInt)
+        var off = 0
+        while (off < buf.length) {
+          val n = in.read(buf, off, buf.length - off); require(n > 0); off += n
+        }
+        e.getName -> buf
+      }.toVector
+    }.toMap
+    wanted.foreach { case (id, fmt, payload) =>
+      val name = f"$id%012d.$fmt"
+      assert(got.contains(name), s"missing member $name")
+      assert(java.util.Arrays.equals(got(name), payload),
+        s"payload bytes changed through the tar cycle for $name")
+      // and the recovered bytes still decode with the real decoder
+      fmt match {
+        case "png" => Codecs.decodeImage(got(name))
+        case "wav" => Codecs.decodeWav(got(name))
+        case _ => Codecs.decodeVideo(got(name))
+      }
+    }
+    // the corpus entry: modality counts split correctly and every
+    // sample carries exactly one metadata member
+    val audit = graft.queries.MediaCatalogOps.defs("mm15_tar_shards")(spark, dir)
+      .collect()
+    audit.foreach { r =>
+      assert(r.getLong(1) == r.getLong(7),
+        s"shard ${r.getLong(0)}: ${r.getLong(1)} samples vs ${r.getLong(7)} meta")
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1))
+    }
+    assert(audit.map(_.getLong(2)).sum > 0 && audit.map(_.getLong(3)).sum > 0 &&
+      audit.map(_.getLong(4)).sum > 0, "a modality went missing")
+  }
+
   test("mm14 audio near-dup: fingerprint-set Jaccard matches the formula recompute") {
     import Multimodal.Codecs
     import org.apache.spark.sql.functions.col
