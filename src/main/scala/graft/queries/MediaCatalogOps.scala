@@ -56,6 +56,51 @@ object MediaCatalogOps {
       Multimodal.audioNearDup(s, d, frameLen = 20, tau = 0.5,
         stopDfFrac = 0.25)),
 
+    "st11_stream_tar_shards" -> ((s0, d) => {
+      // Training-shard export AT INGEST — sink04's tar shards as a
+      // foreachBatch stage under st10's idempotent generation-dir
+      // pattern: the corpus-minus-batch shards are the stored artifact
+      // (gen=-1), each micro-batch's docs land as tar shards under a
+      // CLEARED gen=<batchId> directory (a replayed batch replaces its
+      // own prior attempt — no stale shard files, no double samples),
+      // and the audit over the whole generation tree must equal
+      // sink04's single-build audit (same oracle SQL verbatim) — the
+      // streaming-assembled shard set IS the batch-built one.
+      // StreamsSpec replays a batch and pins the audit unchanged.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docsDf = graft.Tables.t(s, d, "documents")
+      val base = EngineOps.tempDir("graft-st11")
+      graft.queries.PipelineOps.tarShardWriteGen(
+        docsDf.filter(col("doc_id") % 7 =!= 3)
+          .select("doc_id", "lang", "source", "text"),
+        base, batchId = -1L, shards = 8)
+      val batchDocs = docsDf.filter(col("doc_id") % 7 === 3)
+        .select("doc_id", "text", "lang", "source")
+        .collect().map(r => graft.streaming.Streams.SrcDoc(
+          r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSeq
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.SrcDoc]
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.queries.PipelineOps.tarShardWriteGen(
+            batch.select("doc_id", "lang", "source", "text"),
+            base, batchId, shards = 8)
+        }
+        .option("checkpointLocation", s"${EngineOps.tempDir("graft-st11-ck")}/ck")
+        .start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.queries.PipelineOps.tarShardAudit(s, base)
+    }),
+
     "mm15_tar_shards" -> ((s, d) => {
       // Multimodal WebDataset shards — the format multimodal trainers
       // stream: each sample is a <key>.json metadata member + a
@@ -716,6 +761,19 @@ object MediaCatalogOps {
                   WHEN 1 THEN 256 + doc_id % 512
                   ELSE 4 + doc_id % 8 END AS BIGINT) AS n_units
       FROM documents ORDER BY doc_id""",
+
+    // sink04's replay VERBATIM: the streaming-assembled generation
+    // tree must audit exactly like the single batch build
+    "st11_stream_tar_shards" -> """
+      WITH a AS (
+        SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+               doc_id, strlen(text) AS b
+        FROM documents)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(b) AS BIGINT) AS payload_bytes,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(count(*) AS BIGINT) AS n_meta
+      FROM a GROUP BY 1 ORDER BY shard""",
 
     // the same md5_bits60 shard assignment as sink04; modality and
     // decoded unit totals replay from the generator formulas — the

@@ -3618,6 +3618,23 @@ object PipelineOps {
       }
   }
 
+  /** st11's idempotent streaming form of [[tarShardWrite]] — the
+    * st10 generation-directory pattern for foreachBatch, where
+    * delivery is at-least-once: each micro-batch's tar shards land
+    * under `gen=<batchId>` after the directory is CLEARED, so a
+    * failed-and-retried batch REPLACES its own prior attempt instead
+    * of leaving stale shard files (the base corpus build is gen=-1 by
+    * convention). The audit and any loader read the whole tree — the
+    * gen level is invisible to them (shard numbers aggregate across
+    * generations). */
+  private[graft] def tarShardWriteGen(docs: DataFrame, dir: String,
+      batchId: Long, shards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"gen=$batchId")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    tarShardWrite(docs, p.toString, shards)
+  }
+
   /** sink04's read half — the per-shard audit over the COLD tar files
     * (binaryFile loads one whole shard per row — bounded by the
     * writer's shard-size contract, the unit a webdataset loader
@@ -3630,8 +3647,11 @@ object PipelineOps {
       : DataFrame = {
     import spark.implicits._
     // pathGlobFilter instead of a glob-in-path: the latter trips the
-    // FileStreamSink metadata probe into a noisy (benign) WARN
+    // FileStreamSink metadata probe into a noisy (benign) WARN.
+    // recursiveFileLookup makes the same audit serve st11's
+    // generation-directory tree (shard numbers aggregate across gens).
     spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+      .option("recursiveFileLookup", "true")
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

@@ -51,6 +51,10 @@ object Streams {
   /** Document shape for streaming curation (st04). */
   case class Doc(doc_id: Long, text: String, lang: String)
 
+  /** Document shape carrying provenance, for the streaming tar-shard
+    * sink (st11). */
+  case class SrcDoc(doc_id: Long, text: String, lang: String, source: String)
+
   /** Ingest-time decontamination: drop every streamed document sharing
     * a word 3-gram with the (broadcast) benchmark gram set. The gate is
     * a pure map-side filter — the per-doc shingle set is computed by

@@ -115,6 +115,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("st11 idempotent tar sink: a replayed micro-batch leaves the shard tree identical") {
+    // same at-least-once argument as st10, for the tar sink: the
+    // gen=<batchId> CLEAR-then-write must make a replay a no-op at
+    // the BYTE level (tar bytes are deterministic), and the audit
+    // over the generation tree must equal a single batch build's
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-st11-replay")
+      .toString + "/tars"
+    graft.queries.PipelineOps.tarShardWriteGen(
+      docs.filter(col("doc_id") % 7 =!= 3), base, batchId = -1L, shards = 8)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val (b1, b2) = (batch.filter(col("doc_id") % 2 === 0),
+      batch.filter(col("doc_id") % 2 =!= 0))
+    graft.queries.PipelineOps.tarShardWriteGen(b1, base, batchId = 0L, shards = 8)
+    graft.queries.PipelineOps.tarShardWriteGen(b2, base, batchId = 1L, shards = 8)
+    def fileMd5s(): Map[String, String] = {
+      val root = new java.io.File(base)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".tar")).map { f =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+        f.getPath.stripPrefix(base) ->
+          d.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map(b => f"$b%02x").mkString
+      }.toMap
+    }
+    def audit() = graft.queries.PipelineOps.tarShardAudit(spark, base)
+      .collect().map(_.toString).toSeq
+    val (before, auditBefore) = (fileMd5s(), audit())
+    // the REPLAY: batch 1 runs again with the same batchId
+    graft.queries.PipelineOps.tarShardWriteGen(b2, base, batchId = 1L, shards = 8)
+    assert(fileMd5s() == before,
+      "replayed batch changed the shard tree — tar sink is not idempotent")
+    assert(audit() == auditBefore && auditBefore.nonEmpty)
+    // the generation tree audits exactly like one single-build shard set
+    val single = java.nio.file.Files.createTempDirectory("graft-st11-single")
+      .toString + "/tars"
+    graft.queries.PipelineOps.tarShardWrite(docs, single, shards = 8)
+    val singleAudit = graft.queries.PipelineOps.tarShardAudit(spark, single)
+      .collect().map(_.toString).toSeq
+    assert(audit() == singleAudit,
+      "streaming-assembled tree diverges from the single batch build")
+  }
+
   test("st10 idempotent sink: a replayed micro-batch leaves the index row-identical") {
     // foreachBatch delivery is at-least-once: a failed-and-retried
     // micro-batch re-runs with the SAME batchId. The gen=<batchId>
