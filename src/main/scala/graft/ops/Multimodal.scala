@@ -471,6 +471,70 @@ object Multimodal {
     * data never crosses the network — and hot buckets stay bounded
     * because a 7-bit band has 128 values per band index.
     */
+  /** p11's kernel — the composed MULTIMODAL RELEASE in one plan (the
+    * LAION-style image pipeline capstone: alignment gate, then
+    * near-dup cut, then the shard manifest a release ships):
+    * every image decodes EXACTLY ONCE into both release features
+    * (the 64-bucket alignment embedding and the 64-bit dHash — one
+    * mapPartitions pass, localCheckpointed so the downstream gate and
+    * band self-join never re-decode; mm08/mm12's decode-once lesson
+    * applied at composition scope), then: stage 1 keeps images whose
+    * caption alignment ≥ `tau` (mm09's exact gate — one id equi-join
+    * + native cosine); stage 2 drops every aligned image with an
+    * ALIGNED smaller-id near-dup at hamming ≤ 7 (mm08's 8-band LSH
+    * restricted to survivors — the greedy min-id keep, d17's policy);
+    * stage 3 rolls the kept set into a per-md5-shard release card
+    * (n_kept, id checksum, alignment mass in exact micro-units).
+    *
+    * 100 TB: decode features ride mapPartitions (payload bytes never
+    * cross an exchange); the checkpoint is 8 + 512 bytes per image;
+    * the band join is banded-LSH-bounded and only over aligned
+    * survivors; the card is one shard-keyed partial-agg. */
+  private[graft] def mediaReleaseCard(spark: SparkSession, dir: String,
+      textEmb: DataFrame, tau: Double, shards: Int): DataFrame = {
+    import spark.implicits._
+    graft.exprs.CosineSim.register(spark)
+    graft.exprs.Md5Bits60.register(spark)
+    val feats = mediaTable(spark, dir)
+      .filter(_.media_type == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Codecs.decodeImage(r.payload)
+          (r.doc_id, poolImage64(img), dHash(img))
+        }
+      }
+      .toDF("doc_id", "ie", "dhash")
+      .localCheckpoint() // decode-once barrier
+    // checkpointed like feats: three consumers (both band sides and
+    // the final anti-join) would otherwise each re-run the embeddings
+    // join — three scans of the caption table at 100 TB
+    val aligned = feats
+      .join(textEmb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("te")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("align_cos", round(expr("cosine_sim(ie, te)"), 4))
+      .filter(col("align_cos") >= tau)
+      .select("doc_id", "dhash", "align_cos")
+      .localCheckpoint()
+    val bands = aligned.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("(dhash >> (band * 7)) & 127"))
+    val drop = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)") <= 7)
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    aligned.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        pmod(expr("md5_bits60(cast(doc_id as string))"), lit(shards.toLong))
+          .as("shard"),
+        round(col("align_cos") * 1000000).cast("long").as("micro"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"),
+        sum("micro").as("align_micro_sum"))
+      .orderBy("shard")
+  }
+
   def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashes = mediaTable(spark, dir)
@@ -517,6 +581,31 @@ object Multimodal {
     * the codegen'd cosine_sim and the gate a map-side filter. No
     * window, no cartesian, no driver collect.
     */
+  /** The 64-bucket pooled "image embedding" shared by mm09's
+    * alignment gate and p11's fused release pass: bucket k = mean of
+    * the flat-RGB bytes at index ≡ k mod 64 (TYPE_3BYTE_BGR stores
+    * B,G,R per pixel, so flat RGB index base+c lives at raster byte
+    * base+(2−c)). Every bucket is populated: the smallest image is
+    * 8×8 = 192 raster bytes at consecutive flat indices ≥ 64. */
+  private[graft] def poolImage64(img: BufferedImage): Array[Double] = {
+    val data = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    val n = img.getWidth * img.getHeight
+    var p = 0
+    while (p < n) {
+      val base = p * 3
+      var c = 0
+      while (c < 3) {
+        sums((base + c) % 64) += data(base + (2 - c)) & 0xff
+        cnts((base + c) % 64) += 1
+        c += 1
+      }
+      p += 1
+    }
+    Array.tabulate(64)(k => sums(k).toDouble / cnts(k))
+  }
+
   def imageTextAlignment(spark: SparkSession, dir: String,
       textEmb: DataFrame, tau: Double): DataFrame = {
     import spark.implicits._
@@ -524,29 +613,7 @@ object Multimodal {
     val imgVec = mediaTable(spark, dir)
       .filter(_.media_type == "image")
       .mapPartitions { rows =>
-        rows.map { r =>
-          val img = Codecs.decodeImage(r.payload)
-          val data = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-          val sums = new Array[Long](64)
-          val cnts = new Array[Long](64)
-          val n = img.getWidth * img.getHeight
-          var p = 0
-          while (p < n) {
-            val base = p * 3
-            var c = 0
-            while (c < 3) {
-              // flat RGB index base+c lives at data(base + (2-c)):
-              // TYPE_3BYTE_BGR stores B,G,R per pixel
-              sums((base + c) % 64) += data(base + (2 - c)) & 0xff
-              cnts((base + c) % 64) += 1
-              c += 1
-            }
-            p += 1
-          }
-          // every bucket is populated: the smallest image is 8x8 =
-          // 192 raster bytes at consecutive flat indices >= 64
-          (r.doc_id, Array.tabulate(64)(k => sums(k).toDouble / cnts(k)))
-        }
+        rows.map(r => (r.doc_id, poolImage64(Codecs.decodeImage(r.payload))))
       }
       .toDF("doc_id", "ie")
     imgVec

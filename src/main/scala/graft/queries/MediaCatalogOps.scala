@@ -56,6 +56,19 @@ object MediaCatalogOps {
       Multimodal.audioNearDup(s, d, frameLen = 20, tau = 0.5,
         stopDfFrac = 0.25)),
 
+    "p11_media_release" -> ((s, d) => {
+      // Composed multimodal release in one plan: decode-once features
+      // (alignment embedding + dHash from a single pass), mm09's
+      // alignment gate at tau=0.05, mm08's banded near-dup cut
+      // restricted to survivors (greedy min-id keep), per-shard
+      // release card with exact micro-unit alignment mass. Kernel
+      // scaladoc has the scale notes; MultimodalSpec pins stage 1
+      // equal to standalone mm09 and the drop set consistent with
+      // mm08's pair list.
+      Multimodal.mediaReleaseCard(s, d, Tables.t(s, d, "embeddings"),
+        tau = 0.05, shards = 4)
+    }),
+
     "st11_stream_tar_shards" -> ((s0, d) => {
       // Training-shard export AT INGEST — sink04's tar shards as a
       // foreachBatch stage under st10's idempotent generation-dir
@@ -761,6 +774,62 @@ object MediaCatalogOps {
                   WHEN 1 THEN 256 + doc_id % 512
                   ELSE 4 + doc_id % 8 END AS BIGINT) AS n_units
       FROM documents ORDER BY doc_id""",
+
+    // mm09's alignment CTEs + mm08's dHash CTEs composed: the drop
+    // set is all-pairs hamming <= 7 over ALIGNED images (pigeonhole
+    // makes the Spark side's 8-band LSH recall exact at that radius —
+    // mm08's argument), greedy min-id keep, micro-unit card
+    "p11_media_release" -> """
+      WITH img AS (
+        SELECT doc_id, 4 * (2 + doc_id % 5) AS w, 4 * (2 + doc_id % 4) AS h
+        FROM documents WHERE doc_id % 3 = 0
+      ), px AS (
+        SELECT doc_id, i % 64 AS k, (doc_id * 31 + i) % 256 AS v
+        FROM img, generate_series(0, 3 * 24 * 20 - 1) t(i)
+        WHERE i < 3 * w * h
+      ), bkt AS (
+        SELECT doc_id, k, avg(v) AS m FROM px GROUP BY doc_id, k
+      ), ie AS (
+        SELECT doc_id, list(m ORDER BY k) AS ie FROM bkt GROUP BY doc_id
+      ), aligned AS (
+        SELECT ie.doc_id,
+               round(list_cosine_similarity(ie.ie, e.embedding::DOUBLE[]), 4) AS align_cos
+        FROM ie JOIN embeddings e ON e.vec_id = ie.doc_id
+        WHERE round(list_cosine_similarity(ie.ie, e.embedding::DOUBLE[]), 4) >= 0.05
+      ), gpx AS (
+        SELECT doc_id,
+               (x * 8) // w AS cx, (y * 8) // h AS cy,
+               ((doc_id * 31 + (y * w + x) * 3 + 0) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 1) % 256
+              + (doc_id * 31 + (y * w + x) * 3 + 2) % 256) // 3 AS g
+        FROM img, generate_series(0, 23) tx(x), generate_series(0, 19) ty(y)
+        WHERE x < w AND y < h
+      ), cells AS (
+        SELECT doc_id, cx, cy, sum(g) // count(*) AS v
+        FROM gpx GROUP BY doc_id, cx, cy
+      ), hashes AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN a.v < b.v
+                 THEN 1::BIGINT << (a.cy * 7 + a.cx) ELSE 0 END) AS BIGINT) AS dhash
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        GROUP BY a.doc_id
+      ), drop_set AS (
+        SELECT DISTINCT b.doc_id
+        FROM aligned a
+        JOIN hashes ha ON ha.doc_id = a.doc_id
+        JOIN aligned b ON b.doc_id > a.doc_id
+        JOIN hashes hb ON hb.doc_id = b.doc_id
+        WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 7
+      ), kept AS (
+        SELECT doc_id, align_cos FROM aligned
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_set)
+      )
+      SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS shard,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(sum(CAST(round(align_cos * 1000000) AS BIGINT)) AS BIGINT) AS align_micro_sum
+      FROM kept GROUP BY 1 ORDER BY shard""",
 
     // sink04's replay VERBATIM: the streaming-assembled generation
     // tree must audit exactly like the single batch build

@@ -225,6 +225,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == expected, s"operator pairs != formula recompute:\n$out\nvs\n$expected")
   }
 
+  test("p11 media release: card recomputes from the standalone mm09/mm08 entries; every stage bites") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def shard(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16) % 4
+    // the composition must equal the two independently-oracled
+    // entries chained by hand: mm09's survivors, minus every survivor
+    // with an ALIGNED smaller-id mate in mm08's pair list
+    val aligned = graft.queries.MediaCatalogOps.defs(
+        "mm09_image_text_alignment")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairs = graft.queries.MediaCatalogOps.defs(
+        "mm08_perceptual_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.collect {
+      case (a, b) if aligned.contains(a) && aligned.contains(b) => b
+    }.toSet
+    val kept = aligned.view.filterKeys(!dropped.contains(_)).toMap
+    val expected = kept.groupBy { case (id, _) => shard(id) }.toSeq.sortBy(_._1)
+      .map { case (sh, g) =>
+        (sh, g.size.toLong, g.keys.sum,
+          g.values.map(c => math.round(c * 1000000)).sum)
+      }
+    val got = graft.queries.MediaCatalogOps.defs("p11_media_release")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the funnel is real: the gate cuts, the dedup cuts, and
+    // something ships
+    val nImages = graft.Tables.t(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).count()
+    assert(aligned.size < nImages, "alignment gate did not bite")
+    assert(dropped.nonEmpty, "near-dup cut did not bite")
+    assert(kept.nonEmpty && kept.size < aligned.size)
+  }
+
   test("mm15 tar shards: payload bytes recover exactly; every sample has its meta pair") {
     import Multimodal.Codecs
     import org.apache.commons.compress.archivers.tar.TarArchiveInputStream

@@ -1065,6 +1065,22 @@ class PlanSpec extends AnyFunSuite {
       s"post-checkpoint stats grew a hash shuffle:\n$plan")
   }
 
+  test("p11 media release: decode-once barrier — no second media scan, banded self-join only") {
+    // payload decode happens in ONE mapPartitions pass behind the
+    // feats checkpoint; downstream may only scan the embeddings
+    // parquet (the caption side) — a second media scan means the
+    // composition re-decodes
+    val df = graft.queries.MediaCatalogOps.defs("p11_media_release")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("ExistingRDD"),
+      s"expected the decode-once checkpoint barrier:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"a post-barrier scan — media re-decoded or captions re-joined:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"release grew a cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"release grew a window:\n$plan")
+  }
+
   test("sink04 tar audit: one shard-keyed rollup over the binary scan, no join") {
     // the audit is a flatMap over whole-shard rows feeding one
     // partial-agg shuffle — shard files are the parallelism unit
