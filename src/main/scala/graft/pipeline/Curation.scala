@@ -406,6 +406,24 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     PipelineOps.curriculumScheduleOf(canon(docs, idCol, textCol))
 
+  /** Right-to-be-forgotten deletion drill (u06's kernel): rebuild the
+    * tar-shard artifact from the survivors of `isDeleted` and certify
+    * the erasure — the absence proof parses the REBUILT bytes (member
+    * ids semi-join the deletion set; leak_count must be 0). Returns
+    * one row (n_total, n_deleted, n_remaining, id_checksum,
+    * leak_count). */
+  def deletionDrill(docs: DataFrame, isDeleted: Column, path: String,
+      shards: Int = 8, idCol: String = "doc_id", langCol: String = "lang",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    PipelineOps.deletionDrillOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).cast("string").as("lang"),
+        col(sourceCol).cast("string").as("source"),
+        col(textCol).cast("string").as("text"),
+        coalesce(isDeleted.cast("boolean"), lit(false)).as("_del"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+      col("_del"), path, shards)
+
   /** WebDataset-style tar training shards (sink04's kernels): write
     * `shards` deterministic md5-sharded tar files (each sample a
     * `<key>.json` + `<key>.txt` member pair, doc_id order, epoch

@@ -3643,7 +3643,11 @@ object PipelineOps {
     * metadata-member count (a sample missing its pair is corruption).
     * The oracle replays all four from the source parquet, so the audit
     * certifies the bytes that actually landed on disk. */
-  private[graft] def tarShardAudit(spark: SparkSession, dir: String)
+  /** The member table behind [[tarShardAudit]] and u06's absence
+    * proof: one row per tar member parsed from the COLD shard files —
+    * (shard, doc_id, txt_bytes, is_json), doc_id = −1 for metadata
+    * members. */
+  private[graft] def tarShardMembers(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
     // pathGlobFilter instead of a glob-in-path: the latter trips the
@@ -3671,6 +3675,11 @@ object PipelineOps {
         }.toVector
       }
       .toDF("shard", "doc_id", "txt_bytes", "is_json")
+  }
+
+  private[graft] def tarShardAudit(spark: SparkSession, dir: String)
+      : DataFrame =
+    tarShardMembers(spark, dir)
       .groupBy("shard")
       .agg(sum(when(col("doc_id") >= 0, 1L).otherwise(0L)).as("n_docs"),
         sum("txt_bytes").as("payload_bytes"),
@@ -3678,6 +3687,40 @@ object PipelineOps {
           .as("id_checksum"),
         sum("is_json").as("n_meta"))
       .orderBy("shard")
+
+  /** u06's kernel — the right-to-be-forgotten DELETION DRILL (the
+    * GDPR/CCPA erasure run a data custodian must be able to execute
+    * AND certify): given a deletion predicate, rebuild the shipped
+    * artifact (sink04's tar shards) from the survivors and emit a
+    * certificate whose absence proof comes from the REBUILT BYTES —
+    * the member ids parsed back out of the cold tar files semi-join
+    * the deletion set, and that count must be zero (the oracle pins
+    * the constant; a purge that leaves any deleted doc in the
+    * artifact breaks the hash match). The spec's control class runs
+    * the same certificate over a BAD purge and must see the leak —
+    * guard03's an-audit-that-cannot-fail-proves-nothing discipline.
+    *
+    * 100 TB: the purge is one anti-join-shaped filter (here a map-side
+    * predicate; a caller-supplied id list broadcasts or semi-joins),
+    * the rebuild is sink04's one-shuffle streaming writer, and the
+    * proof is one pass over the member table (8 bytes per sample)
+    * semi-joined against the broadcast deletion set. Returns ONE row:
+    * (n_total, n_deleted, n_remaining, id_checksum, leak_count). */
+  private[graft] def deletionDrillOf(docs: DataFrame, isDeleted: Column,
+      out: String, shards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val tagged = docs.withColumn("is_del", isDeleted)
+    tarShardWrite(tagged.filter(!col("is_del"))
+      .select("doc_id", "lang", "source", "text"), out, shards)
+    val ids = tarShardMembers(spark, out)
+      .filter(col("doc_id") >= 0).select("doc_id")
+    val delIds = tagged.filter(col("is_del")).select("doc_id")
+    val leak = ids.join(broadcast(delIds), Seq("doc_id"), "left_semi")
+    tagged.agg(count(lit(1)).as("n_total"),
+        sum(when(col("is_del"), 1L).otherwise(0L)).as("n_deleted"))
+      .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_remaining"),
+        sum("doc_id").as("id_checksum"))))
+      .crossJoin(broadcast(leak.agg(count(lit(1)).as("leak_count"))))
   }
 
   /** Per-doc character-distribution entropy (t11's kernel): one
@@ -5246,6 +5289,19 @@ object PipelineOps {
             "transform(array_sort(collect_list(struct(doc_id, value))), x -> x.value)"),
             "\n")).as("shard_md5"))
         .orderBy("shard")
+    }),
+
+    "u06_deletion_drill" -> ((s, d) => {
+      // Right-to-be-forgotten drill: a deterministic ~5% md5-coin
+      // deletion set, artifact rebuilt from survivors, certificate
+      // whose absence proof parses the REBUILT tar bytes (leak_count
+      // must equal the oracle's constant 0). Kernel scaladoc has the
+      // scale and control-class notes.
+      graft.exprs.Md5Bits60.register(s)
+      deletionDrillOf(
+        t(s, d, "documents").select("doc_id", "lang", "source", "text"),
+        expr("md5_bits60(concat(cast(doc_id as string), ':del')) % 20 = 0"),
+        EngineOps.tempDir("graft-u06"), shards = 8)
     }),
 
     "sink04_tar_shards" -> ((s, d) => {
@@ -8459,6 +8515,22 @@ object PipelineOps {
       SELECT shard, count(*) AS n_lines,
              md5(string_agg(line, chr(10) ORDER BY doc_id)) AS shard_md5
       FROM j GROUP BY shard ORDER BY shard""",
+
+    // the deterministic deletion coin replayed; leak_count is the
+    // PINNED CONSTANT 0 — the Spark side computes it from the rebuilt
+    // artifact's bytes, so a leaky purge breaks the hash match
+    "u06_deletion_drill" -> """
+      WITH del AS (
+        SELECT doc_id,
+               (('0x' || substring(md5(doc_id || ':del'), 1, 15))::BIGINT % 20 = 0)
+                 AS is_del
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+             CAST(sum(CASE WHEN is_del THEN 0 ELSE 1 END) AS BIGINT) AS n_remaining,
+             CAST(sum(CASE WHEN is_del THEN 0 ELSE doc_id END) AS BIGINT) AS id_checksum,
+             CAST(0 AS BIGINT) AS leak_count
+      FROM del""",
 
     // the same md5_bits60 shard assignment; payload bytes are UTF-8
     // strlen; every sample carries exactly one metadata member

@@ -1254,6 +1254,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.length > 1, "degenerate mixture")
   }
 
+  test("u06 deletion drill: clean purge certifies; a stale generation leaks and is CAUGHT") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L).map(i =>
+      (i, "en", "src", s"doc $i body")).toDF("doc_id", "lang", "source", "text")
+    graft.exprs.Md5Bits60.register(spark)
+    val isDel = col("doc_id") % 5 === 0 // 8 of 40
+    val out = java.nio.file.Files.createTempDirectory("u06spec").toString
+    val cert = graft.queries.PipelineOps.deletionDrillOf(docs, isDel, out, shards = 4)
+      .collect().head
+    assert((cert.getLong(0), cert.getLong(1), cert.getLong(2)) == (40L, 8L, 32L))
+    assert(cert.getLong(3) == (1L to 40L).filter(_ % 5 != 0).sum)
+    assert(cert.getLong(4) == 0L, "clean purge reported a leak")
+    // CONTROL: plant a stale generation carrying deleted docs — an
+    // erasure that misses an old artifact generation. The same
+    // certificate must now see the leak (an absence proof that cannot
+    // fail proves nothing — guard03's discipline).
+    graft.queries.PipelineOps.tarShardWriteGen(
+      docs.filter(isDel), out, batchId = 7L, shards = 4)
+    val bad = graft.queries.PipelineOps.deletionDrillOf(docs, isDel, out, shards = 4)
+      .collect().head
+    assert(bad.getLong(4) == 8L,
+      s"the drill missed the planted stale-generation leak: ${bad.getLong(4)}")
+    assert(bad.getLong(2) == 40L, "remaining count should include the stale members")
+  }
+
   test("sink04 tar shards: byte-identical reruns, full round-trip fidelity") {
     import spark.implicits._
     import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
