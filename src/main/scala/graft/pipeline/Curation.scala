@@ -510,6 +510,20 @@ object Curation {
           col("text").isNotNull),
       eps, clip)
 
+  /** Temperature-grid mixture design table (samp08's kernel): per
+    * candidate τ and language, the mixture share mass^τ/Σ and its
+    * uniform-share delta — the audit read before committing a
+    * temperature to [[temperatureMixture]]/[[tokenBudgetMixture]].
+    * Returns (tau, lang, n_tokens, share, vs_uniform). */
+  def temperatureGrid(docs: DataFrame,
+      taus: Seq[Double] = Seq(0.3, 0.5, 0.7, 1.0),
+      langCol: String = "lang", textCol: String = "text"): DataFrame =
+    PipelineOps.temperatureGridOf(
+      docs.select(col(langCol).cast("string").as("lang"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("lang").isNotNull && col("text").isNotNull),
+      taus)
+
   /** DoReMi-style domain reweighting (samp07's kernel — Xie et al.
     * 2023): one exponentiated group-DRO step from the token-share
     * prior toward domains with excess proxy loss (t14's quality-score

@@ -1125,6 +1125,42 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** samp08's kernel — the temperature-GRID mixture design table
+    * (samp03/samp04 sample at one committed τ; this is the audit a
+    * team reads to COMMIT one: per candidate temperature, each
+    * language's share of the mixture under share_τ(l) ∝ mass_l^τ —
+    * τ = 1 is proportional, τ → 0 flattens toward uniform, the
+    * multilingual-pretraining dial of Conneau & Lample 2019 / mBERT's
+    * exponent). Per (τ, lang): the exact token mass, the mixture
+    * share at round-6, and the uniform-share delta that shows what
+    * the temperature moves.
+    *
+    * 100 TB: ONE corpus-keyed partial-agg shuffle into a
+    * localCheckpointed lang-mass frame (samp07's idiom — the grid and
+    * its per-τ normalizers both derive from it); the τ grid is an
+    * in-row 4-way literal explode and the normalizer join-back is
+    * broadcast over a τ-count frame. langs·τ rows out. */
+  private[graft] def temperatureGridOf(docs: DataFrame,
+      taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t => t > 0 && t <= 1),
+      s"taus must be in (0, 1], got $taus")
+    val mass = docs.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum("n_tok").as("n_tokens"))
+      .localCheckpoint()
+    val grid = mass
+      .withColumn("tau", explode(typedLit(taus)))
+      .withColumn("w", pow(col("n_tokens").cast("double"), col("tau")))
+    val z = grid.groupBy("tau").agg(sum("w").as("z"),
+      count(lit(1)).as("n_langs"))
+    grid.join(broadcast(z), Seq("tau"))
+      .select(col("tau"), col("lang"), col("n_tokens"),
+        round(col("w") / col("z"), 6).as("share"),
+        round(col("w") / col("z") -
+          lit(1.0) / col("n_langs").cast("double"), 6).as("vs_uniform"))
+      .orderBy("tau", "lang")
+  }
+
   /** p08's kernel — multi-epoch training-order manifest: the artifact
     * the DATA LOADER consumes after curation ships. Per epoch every
     * doc gets a deterministic order key md5_bits60(epoch ':' doc_id)
@@ -5625,6 +5661,17 @@ object PipelineOps {
       curriculumScheduleOf(t(s, d, "documents").select("doc_id", "text"))
     }),
 
+    "samp08_temperature_grid" -> ((s, d) => {
+      // Temperature-grid mixture design table: per τ in {0.3, 0.5,
+      // 0.7, 1.0} and language, the mixture share mass^τ/Σ and its
+      // uniform-share delta — the table a team reads before
+      // committing samp03/samp04's exponent. Kernel scaladoc has the
+      // plan notes (one checkpointed corpus rollup, in-row τ explode,
+      // broadcast normalizer join-back).
+      temperatureGridOf(t(s, d, "documents").select("lang", "text"),
+        taus = Seq(0.3, 0.5, 0.7, 1.0))
+    }),
+
     "samp07_doremi_reweight" -> ((s, d) => {
       // DoReMi domain reweighting (Xie et al. 2023): one exponentiated
       // group-DRO step from the token-share prior toward domains with
@@ -7309,6 +7356,24 @@ object PipelineOps {
              CAST(sum(okey % 1000000007) AS BIGINT) AS key_checksum,
              min(okey) AS first_key
       FROM keyed GROUP BY 1, 2 ORDER BY epoch, bin""",
+
+    // share_tau(l) = mass^tau / sum over langs, per tau in the grid;
+    // exact BIGINT masses, round-6 shares and uniform deltas
+    "samp08_temperature_grid" -> """
+      WITH mass AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      grid AS (
+        SELECT tau, lang, n_tokens,
+               pow(CAST(n_tokens AS DOUBLE), tau) AS w
+        FROM mass, unnest([0.3, 0.5, 0.7, 1.0]) t(tau)),
+      z AS (SELECT tau, sum(w) AS z, CAST(count(*) AS BIGINT) AS n_langs
+            FROM grid GROUP BY 1)
+      SELECT g.tau, g.lang, g.n_tokens,
+             round(g.w / z.z, 6) AS share,
+             round(g.w / z.z - 1.0 / n_langs, 6) AS vs_uniform
+      FROM grid g JOIN z ON g.tau = z.tau
+      ORDER BY g.tau, g.lang""",
 
     // t14's score complement as the proxy loss, corpus mean as the
     // reference run, one exponentiated group-DRO step from the

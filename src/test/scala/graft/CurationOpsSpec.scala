@@ -1193,6 +1193,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(hiIds == scored.filter(_._3 > t2).map(_._1).toSet)
   }
 
+  test("samp08 temperature grid: plain-Scala recompute, flattening monotonicity") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.t(spark, dir, "documents").select("lang", "text")
+      .as[(String, String)].collect()
+    val mass = docs.groupBy(_._1).map { case (l, g) =>
+      (l, g.map(_._2.split(" ", -1).length.toLong).sum) }.toSeq.sortBy(_._1)
+    val taus = Seq(0.3, 0.5, 0.7, 1.0)
+    val expected = taus.flatMap { tau =>
+      val ws = mass.map { case (l, m) => (l, m, math.pow(m.toDouble, tau)) }
+      val z = ws.map(_._3).sum
+      ws.map { case (l, m, w) =>
+        (tau, l, m, r6(w / z), r6(w / z - 1.0 / mass.size)) }
+    }
+    val got = run("samp08_temperature_grid").collect().map(r =>
+      (r.getDouble(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // each tau's shares are a distribution, and lowering tau must
+    // FLATTEN: the biggest language loses share, the smallest gains
+    taus.foreach { tau =>
+      val sl = got.filter(_._1 == tau)
+      assert(math.abs(sl.map(_._4).sum - 1.0) < 1e-4, s"tau=$tau not normalized")
+    }
+    val big = mass.maxBy(_._2)._1; val small = mass.minBy(_._2)._1
+    def share(tau: Double, l: String) =
+      got.find(g => g._1 == tau && g._2 == l).get._4
+    assert(share(0.3, big) < share(1.0, big),
+      "low tau did not downweight the dominant language")
+    assert(share(0.3, small) > share(1.0, small),
+      "low tau did not upweight the smallest language")
+    // tau = 1 is exactly proportional
+    val tot = mass.map(_._2).sum
+    mass.foreach { case (l, m) =>
+      assert(share(1.0, l) == r6(m.toDouble / tot), s"tau=1 not proportional for $l")
+    }
+  }
+
   test("samp07 doremi: plain-Scala recompute, group-DRO invariants") {
     import spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")

@@ -1041,6 +1041,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"curriculum grew a window:\n$plan")
   }
 
+  test("samp08 temperature grid: one corpus pass — checkpointed mass, broadcast normalizer") {
+    // the lang-mass rollup is localCheckpointed; the grid and its
+    // per-tau normalizers derive from it, so no parquet scan survives
+    // in the final plan and the join-back is a broadcast over the
+    // tau-count frame
+    val df = graft.queries.PipelineOps.defs("samp08_temperature_grid")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("FileScan parquet"),
+      s"grid re-scanned the corpus after the mass rollup:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed mass frame as the scan barrier:\n$plan")
+    assert(!"(SortMergeJoin|ShuffledHashJoin|CartesianProduct)".r
+      .findFirstIn(plan).isDefined, s"grid grew a shuffle join:\n$plan")
+    assert(!plan.contains("Window"), s"grid grew a window:\n$plan")
+  }
+
   test("samp07 doremi: one corpus pass — checkpoint barrier, no downstream rescan") {
     // the domain rollup is localCheckpointed (the corpus is read
     // exactly once); everything after it — corpus mean, normalizer,
