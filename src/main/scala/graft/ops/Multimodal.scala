@@ -516,14 +516,8 @@ object Multimodal {
       .filter(col("align_cos") >= tau)
       .select("doc_id", "dhash", "align_cos")
       .localCheckpoint()
-    val bands = aligned.select(col("doc_id"), col("dhash"),
-        explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", expr("(dhash >> (band * 7)) & 127"))
-    val drop = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .filter(expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)") <= 7)
-      .select(col("b.doc_id").as("doc_id")).distinct()
+    val drop = dHashBandPairs(aligned.select(col("doc_id"), col("dhash")))
+      .select(col("doc_b").as("doc_id")).distinct()
     aligned.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         pmod(expr("md5_bits60(cast(doc_id as string))"), lit(shards.toLong))
@@ -535,16 +529,13 @@ object Multimodal {
       .orderBy("shard")
   }
 
-  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hashes = mediaTable(spark, dir)
-      .filter(_.media_type == "image")
-      .mapPartitions(rows =>
-        rows.map(r => (r.doc_id, dHash(Codecs.decodeImage(r.payload)))))
-      .toDF("doc_id", "dhash")
-      // 8-byte signatures — checkpoint so the band self-join's two
-      // sides don't each re-run the image decode (mm14's lesson)
-      .localCheckpoint()
+  /** The 8-band dHash LSH near-dup core shared by mm08's standalone
+    * entry and p11's composed release (factored so the band count,
+    * bit width, and hamming radius live ONCE — recall at hamming ≤ 7
+    * is exact by pigeonhole: ≤ 7 differing bits across 8 bands leaves
+    * some band identical). `hashes`: (doc_id, dhash). Returns ordered
+    * candidate pairs (doc_a < doc_b, hamming). */
+  private[graft] def dHashBandPairs(hashes: DataFrame): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("dhash"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("(dhash >> (band * 7)) & 127"))
@@ -557,7 +548,19 @@ object Multimodal {
       .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS INT)"))
       .filter(col("hamming") <= 7)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  def perceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = mediaTable(spark, dir)
+      .filter(_.media_type == "image")
+      .mapPartitions(rows =>
+        rows.map(r => (r.doc_id, dHash(Codecs.decodeImage(r.payload)))))
+      .toDF("doc_id", "dhash")
+      // 8-byte signatures — checkpoint so the band self-join's two
+      // sides don't each re-run the image decode (mm14's lesson)
+      .localCheckpoint()
+    dHashBandPairs(hashes).orderBy("doc_a", "doc_b")
   }
 
   /** mm09: CLIP-style image-text alignment gate — the pair filter a

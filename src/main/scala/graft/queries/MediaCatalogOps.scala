@@ -713,19 +713,8 @@ object MediaCatalogOps {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
-          .getOrElse(sys.error(s"unexpected shard file name: $path"))
-          .group(1).toLong
-        val in = new org.apache.commons.compress.archivers.tar
-          .TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
-        Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
-          val name = e.getName
-          val body = new Array[Byte](e.getSize.toInt)
-          var off = 0
-          while (off < body.length) {
-            val n = in.read(body, off, body.length - off)
-            require(n > 0, s"truncated tar member $name"); off += n
-          }
+        val shard = TarIO.shardOf(path)
+        TarIO.members(bytes).map { case (name, body) =>
           val (stem, ext) = (name.substring(0, name.lastIndexOf('.')),
             name.substring(name.lastIndexOf('.') + 1))
           ext match {
@@ -741,7 +730,7 @@ object MediaCatalogOps {
                 Multimodal.Codecs.decodeVideo(body).size.toLong)
             case other => sys.error(s"unexpected member extension: $other")
           }
-        }.toVector
+        }
       }
       .toDF("shard", "doc_id", "kind", "units")
       .groupBy("shard")

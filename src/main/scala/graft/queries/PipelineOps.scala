@@ -1044,9 +1044,13 @@ object PipelineOps {
   private[graft] def curriculumScheduleOf(docs: DataFrame): DataFrame = {
     graft.exprs.Md5Bits60.register(docs.sparkSession)
     graft.exprs.QualityScore.register(docs.sparkSession)
+    // checkpointed: scored feeds the threshold pass AND the main
+    // pass — without the barrier the corpus text is read and
+    // quality_score evaluated twice (samp07's frame-reuse lesson)
     val scored = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       expr("round(quality_score(text), 4)").as("score"))
+      .localCheckpoint()
     val th = scored.agg(
       round(percentile(col("score"), lit(1.0 / 3)), 4).as("t1"),
       round(percentile(col("score"), lit(2.0 / 3)), 4).as("t2"))
@@ -1535,8 +1539,8 @@ object PipelineOps {
           "concat('<h1>Doc ', doc_id, '</h1>'), " +
           s"array_join(transform(sequence(0, cast(ceil(size(w) / ${paraWords}.0) as int) - 1), " +
           s"  k -> concat('<p>', array_join(slice(w, k * $paraWords + 1, $paraWords), ' '), '</p>')), char(10)), " +
-          "concat('<div>See <a href=\"/r1\">', element_at(w, 1), " +
-          "  '</a> <a href=\"/r2\">', element_at(w, 2), '</a></div>'), " +
+          "concat('<div>See <a href=\"/r1\">', coalesce(element_at(w, 1), ''), " +
+          "  '</a> <a href=\"/r2\">', coalesce(element_at(w, 2), ''), '</a></div>'), " +
           "'<footer><a href=\"/tos\">Terms of Service and Privacy</a> example com</footer>')"))
       .select((Seq("doc_id", "html") ++ carry).map(col): _*)
 
@@ -2245,6 +2249,12 @@ object PipelineOps {
   private[graft] def proximitySearchOf(index: DataFrame,
       terms: Seq[String], window: Int): DataFrame = {
     require(terms.size >= 2, "proximity needs at least two terms")
+    // a repeated term would satisfy itself at one position (both
+    // streams are the same postings scan, so p_i = p_j at span 0 for
+    // a single occurrence) — multi-occurrence NEAR semantics need a
+    // distinct-positions join, which no caller asks for; fail loudly
+    require(terms.distinct.size == terms.size,
+      s"proximity terms must be distinct, got $terms")
     require(window >= terms.size - 1, "window can't fit the terms")
     val streams = terms.zipWithIndex.map { case (tm, i) =>
       index.filter(col("bucket") === termBucket(tm) && col("term") === tm)
@@ -2350,12 +2360,20 @@ object PipelineOps {
     val docWords = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
+    // both vocab-sized frames feed multiple consumers (vocab → the
+    // piece explode AND the DP; pieceFreq → the total, the single-char
+    // branch, AND the top-V branch) — checkpoint each so the corpus
+    // scan and the substring-explode shuffle run ONCE, not once per
+    // consumer (samp07's naive-frame-reuse lesson; pre-fix this kernel
+    // executed the explode aggregation three times)
     val vocab = docWords.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val pieceFreq = vocab.select(col("w"), col("cnt"), posexplode(expr(
       s"flatten(transform(sequence(1, length(w)), " +
         s"st -> transform(sequence(1, least($maxPiece, length(w) - st + 1)), " +
         s"k -> substring(w, st, k))))")).as(Seq("junk", "p")))
       .groupBy("p").agg(sum("cnt").as("freq"))
+      .localCheckpoint()
     val total = pieceFreq.agg(sum("freq")).head().getLong(0)
     // seed-vocab pruning (Kudo 2018): top-V multi-char pieces by
     // (freq desc, piece asc — a total order, ties impossible beyond
@@ -3696,19 +3714,14 @@ object PipelineOps {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
-          .getOrElse(sys.error(s"unexpected shard file name: $path"))
-          .group(1).toLong
-        val in = new org.apache.commons.compress.archivers.tar
-          .TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
-        Iterator.continually(in.getNextEntry).takeWhile(_ != null).flatMap {
-          e =>
-            val name = e.getName
-            if (name.endsWith(".txt"))
-              Some((shard, name.stripSuffix(".txt").toLong, e.getSize, 0L))
-            else if (name.endsWith(".json")) Some((shard, -1L, 0L, 1L))
-            else None
-        }.toVector
+        val shard = TarIO.shardOf(path)
+        TarIO.members(bytes).flatMap { case (name, body) =>
+          if (name.endsWith(".txt"))
+            Some((shard, name.stripSuffix(".txt").toLong,
+              body.length.toLong, 0L))
+          else if (name.endsWith(".json")) Some((shard, -1L, 0L, 1L))
+          else None
+        }
       }
       .toDF("shard", "doc_id", "txt_bytes", "is_json")
   }
@@ -3748,11 +3761,18 @@ object PipelineOps {
     val tagged = docs.withColumn("is_del", isDeleted)
     tarShardWrite(tagged.filter(!col("is_del"))
       .select("doc_id", "lang", "source", "text"), out, shards)
+    // the certificate's corpus-side facts come from ONE narrow
+    // column-pruned pass, checkpointed: naive reuse of `tagged` would
+    // scan the source once more for the totals and again for the
+    // deletion set — and a non-deterministic caller predicate could
+    // then certify a different corpus than the one just written
+    val idFlags = tagged.select(col("doc_id"), col("is_del"))
+      .localCheckpoint()
     val ids = tarShardMembers(spark, out)
       .filter(col("doc_id") >= 0).select("doc_id")
-    val delIds = tagged.filter(col("is_del")).select("doc_id")
+    val delIds = idFlags.filter(col("is_del")).select("doc_id")
     val leak = ids.join(broadcast(delIds), Seq("doc_id"), "left_semi")
-    tagged.agg(count(lit(1)).as("n_total"),
+    idFlags.agg(count(lit(1)).as("n_total"),
         sum(when(col("is_del"), 1L).otherwise(0L)).as("n_deleted"))
       .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_remaining"),
         sum("doc_id").as("id_checksum"))))
@@ -8682,7 +8702,7 @@ object PipelineOps {
           '<h1>Doc ' || doc_id || '</h1>' || chr(10) ||
           array_to_string([ '<p>' || array_to_string(w[(k*12+1):(k*12+12)], ' ') || '</p>'
             for k in generate_series(0, CAST(ceil(len(w)/12.0) AS INT)-1) ], chr(10)) || chr(10) ||
-          '<div>See <a href="/r1">' || w[1] || '</a> <a href="/r2">' || w[2] || '</a></div>' || chr(10) ||
+          '<div>See <a href="/r1">' || coalesce(w[1], '') || '</a> <a href="/r2">' || coalesce(w[2], '') || '</a></div>' || chr(10) ||
           '<footer><a href="/tos">Terms of Service and Privacy</a> example com</footer>' AS html
         FROM d),
       cls AS (
@@ -8715,7 +8735,7 @@ object PipelineOps {
           '<h1>Doc ' || doc_id || '</h1>' || chr(10) ||
           array_to_string([ '<p>' || array_to_string(w[(k*12+1):(k*12+12)], ' ') || '</p>'
             for k in generate_series(0, CAST(ceil(len(w)/12.0) AS INT)-1) ], chr(10)) || chr(10) ||
-          '<div>See <a href="/r1">' || w[1] || '</a> <a href="/r2">' || w[2] || '</a></div>' || chr(10) ||
+          '<div>See <a href="/r1">' || coalesce(w[1], '') || '</a> <a href="/r2">' || coalesce(w[2], '') || '</a></div>' || chr(10) ||
           '<footer><a href="/tos">Terms of Service and Privacy</a> example com</footer>' AS html
         FROM d),
       cls AS (

@@ -8,10 +8,44 @@ package graft.queries
   * callers pass members in a deterministic order; entries get epoch
   * mtimes and default modes, so a rerun produces BYTE-IDENTICAL shard
   * files (pinned by the sink04 spec). Nothing buffers a shard in
-  * memory — members stream straight to the archive. */
+  * memory — members stream straight to the archive.
+  *
+  * The sorted-by-shard contract is ENFORCED, not just documented: a
+  * shard revisited after another shard began would silently truncate
+  * the earlier file (fs.create overwrites), so out-of-order arrival
+  * fails loudly instead. Writes go to final paths with no task-commit
+  * protocol — correct under Spark's default one-attempt-per-partition
+  * execution; with speculative execution a production deployment
+  * writes to an attempt-id temp path and renames on task commit (the
+  * snapshots module's write-then-rename discipline). */
 private[graft] object TarIO {
   import org.apache.commons.compress.archivers.tar.{
     TarArchiveEntry, TarArchiveOutputStream}
+
+  /** The shard number encoded in a [[writeGrouped]] file name. */
+  def shardOf(path: String): Long =
+    "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+      .getOrElse(sys.error(s"unexpected shard file name: $path"))
+      .group(1).toLong
+
+  /** Walks a whole-shard byte array back into (member name, body)
+    * pairs — the single read-side twin both audits build on
+    * (PipelineOps.tarShardMembers, MediaCatalogOps.mediaTarAudit), so
+    * format handling lives once. */
+  def members(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val in = new TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
+    Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
+      val body = new Array[Byte](e.getSize.toInt)
+      var off = 0
+      while (off < body.length) {
+        val n = in.read(body, off, body.length - off)
+        require(n > 0, s"truncated tar member ${e.getName}")
+        off += n
+      }
+      e.getName -> body
+    }.toVector
+  }
 
   def writeGrouped(dir: String,
       rows: Iterator[(Long, Seq[(String, Array[Byte])])]): Unit = {
@@ -28,7 +62,12 @@ private[graft] object TarIO {
     }
     try {
       rows.foreach { case (shard, members) =>
-        if (shard != cur) { open(shard); cur = shard }
+        if (shard != cur) {
+          require(shard > cur,
+            s"rows not sorted by shard: $shard after $cur — a revisit " +
+              "would truncate the earlier shard file")
+          open(shard); cur = shard
+        }
         members.foreach { case (name, bytes) =>
           val e = new TarArchiveEntry(name)
           e.setSize(bytes.length.toLong)

@@ -385,6 +385,12 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 2L), (2L, 4L), (4L, 4L), (6L, 2L)),
       s"proximity corners wrong: $got")
+    // a repeated query term would satisfy itself at one position
+    // (span 0 from a single occurrence) — the kernel must refuse it
+    intercept[IllegalArgumentException] {
+      graft.queries.PipelineOps.proximitySearchOf(
+        index, Seq("slow", "slow"), window = 3)
+    }
     // every idx02 phrase hit re-qualifies at span = terms-1
     val phraseDocs = run("idx02_phrase_search").collect().map(_.getLong(0)).toSet
     val corpusNear = run("idx06_proximity_search").collect()
