@@ -2268,6 +2268,41 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** idx07's kernel — stored-index HEALTH AUDIT (the consistency
+    * check a search system runs after builds/merges/appends, before
+    * trusting the artifact: the index's own statistics must replay
+    * exactly from the corpus it claims to index — a lost postings
+    * file, a double-append, or a truncated bucket shows up as a df or
+    * posting-count drift long before a query goes wrong). Over the
+    * COLD stored positional index: term count, total postings, doc
+    * count, hapax-term count (df = 1), the top-10-df term mass share
+    * (micro-units — a stopword-head explosion means boilerplate
+    * flooded the build), and the bucket count (the partition layout
+    * survived). The oracle replays every number from `documents`, so
+    * artifact == corpus is the hash match itself.
+    *
+    * 100 TB: one (term)-keyed partial-agg over the postings (the
+    * index is already bucket-partitioned, so the shuffle is
+    * bucket-local in practice); the head cut is a TakeOrdered; one
+    * audit row out. */
+  private[graft] def indexHealthOf(index: DataFrame): DataFrame = {
+    val tf = index.groupBy("term")
+      .agg(count(lit(1)).as("n_post"), countDistinct("doc_id").as("df"))
+      .localCheckpoint() // feeds totals AND the head cut (samp07's idiom)
+    val head = tf.orderBy(col("df").desc, col("term").asc).limit(10)
+      .agg(sum("n_post").as("head_post"))
+    val docs = index.agg(countDistinct("doc_id").as("n_docs"),
+      countDistinct("bucket").as("n_buckets"))
+    tf.agg(count(lit(1)).as("n_terms"), sum("n_post").as("n_postings"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(head))
+      .crossJoin(broadcast(docs))
+      .select(col("n_terms"), col("n_postings"), col("n_docs"),
+        col("n_buckets"), col("n_hapax"),
+        floor(col("head_post") * 1000000.0 / col("n_postings"))
+          .cast("long").as("head_share_micro"))
+  }
+
   /** idx04's build half — the doc-length sidecar next to the
     * positional index (BM25 needs dl per doc and computing it from the
     * index at serve time would scan every bucket; the sidecar is one
@@ -6239,6 +6274,18 @@ object PipelineOps {
       phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
     }),
 
+    "idx07_index_health" -> ((s, d) => {
+      // Stored-index health audit: the artifact's own stats (terms,
+      // postings, docs, buckets, hapax count, stopword-head mass)
+      // must replay exactly from the corpus it indexes — a lost
+      // postings file or double-append breaks the hash match. Kernel
+      // scaladoc has the plan notes (one term rollup over the cold
+      // artifact, TakeOrdered head, one audit row).
+      val base = EngineOps.tempDir("graft-idx07")
+      positionalIndexBuild(t(s, d, "documents").select("doc_id", "text"), base)
+      indexHealthOf(s.read.parquet(base))
+    }),
+
     "idx04_bm25_serve" -> ((s, d) => {
       // BM25 ranked retrieval served from the STORED artifacts —
       // completes the search lifecycle (idx01 builds the ranked head,
@@ -9130,6 +9177,34 @@ object PipelineOps {
         JOIN (SELECT doc_id, pos FROM p WHERE term = 'batch') c USING (doc_id))
       SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
       FROM spans GROUP BY doc_id HAVING min(span) <= 6 ORDER BY doc_id""",
+
+    // every number replays from the corpus text, including the
+    // populated-bucket count (the vocabulary's md5 buckets — the
+    // Spark side counts the stored artifact's partition directories)
+    "idx07_index_health" -> """
+      WITH p AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n_post,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM p GROUP BY 1),
+      head AS (
+        SELECT CAST(sum(n_post) AS BIGINT) AS head_post
+        FROM (SELECT n_post FROM tf ORDER BY df DESC, term ASC LIMIT 10)),
+      d AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM p),
+      t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(n_post) AS BIGINT) AS n_postings,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(count(DISTINCT
+                 ('0x' || substring(md5(term), 1, 15))::BIGINT % 16)
+                 AS BIGINT) AS n_buckets
+        FROM tf)
+      SELECT n_terms, n_postings, n_docs, n_buckets,
+             n_hapax,
+             CAST(floor(head_post * 1000000.0 / n_postings) AS BIGINT)
+               AS head_share_micro
+      FROM t, head, d""",
 
     "idx05_index_append" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -365,6 +365,37 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "fixture drift: expected 8 hits across 5 docs")
   }
 
+  test("idx07 index health: catches a lost bucket and a double-append") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("idx07spec").toString
+    graft.queries.PipelineOps.positionalIndexBuild(docs, base)
+    def audit() = graft.queries.PipelineOps
+      .indexHealthOf(spark.read.parquet(base)).collect().head
+    val clean = audit()
+    // the corruption the audit exists for, case 1: a bucket directory
+    // lost (partial copy, failed merge) — postings and bucket count
+    // must both move
+    val victim = new java.io.File(base).listFiles
+      .filter(_.getName.startsWith("bucket=")).head
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(victim)
+    val lost = audit()
+    assert(lost.getLong(3) == clean.getLong(3) - 1, "bucket loss not visible")
+    assert(lost.getLong(1) < clean.getLong(1), "posting loss not visible")
+    // case 2: a double-append (the non-idempotent replay idx05/st10
+    // guard against) — postings double where terms and docs don't
+    graft.queries.PipelineOps.positionalIndexAppend(docs, base)
+    val doubled = audit()
+    assert(doubled.getLong(1) > clean.getLong(1),
+      "double-append not visible in posting count")
+    assert(doubled.getLong(2) == clean.getLong(2),
+      "doc count should not change under a double-append")
+  }
+
   // ---- idx06 proximity (NEAR) search --------------------------------------
 
   test("idx06: unordered window corners + phrase subset + corpus recompute") {
