@@ -690,6 +690,11 @@ object MediaCatalogOps {
       .sortWithinPartitions("shard", "doc_id")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         TarIO.writeGrouped(dir, rows.map { r =>
+          // metadata members read back as doc_id = -1 (sink04's
+          // sentinel) — a negative sample id would collide with it
+          // and vanish from the audit, so reject at write time
+          require(r.getLong(0) >= 0,
+            s"doc_id must be non-negative, got ${r.getLong(0)}")
           val key = f"${r.getLong(0)}%012d"
           (r.getLong(4), Seq(
             s"$key.json" -> r.getString(1).getBytes("UTF-8"),

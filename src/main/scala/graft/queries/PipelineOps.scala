@@ -255,7 +255,8 @@ object PipelineOps {
     * token count (contributions are clipped BEFORE the sum, Δ=clip —
     * an unclipped sum has unbounded sensitivity and no ε holds).
     * Noise is inverse-CDF Laplace with scale b = Δ/ε: u derives from
-    * md5_bits60(lang|source|stat) mapped to (0,1), noise =
+    * md5_bits60 of the length-prefixed cell seed
+    * (len:lang len:source stat) mapped to (0,1), noise =
     * −b·sign(u−½)·ln(1−2|u−½|). The keyed-hash seed makes the draw
     * deterministic so the oracle can replay it bit-for-bit — a TEST
     * discipline; a production release swaps the public hash for a
@@ -273,8 +274,13 @@ object PipelineOps {
     require(eps > 0, s"eps must be positive, got $eps")
     require(clip >= 1, s"clip must be at least 1, got $clip")
     graft.exprs.Md5Bits60.register(docs.sparkSession)
+    // seed encoding is length-prefixed (len:lang len:source stat) so
+    // a '|' (or any delimiter) inside lang/source can never make two
+    // distinct cells share a seed and draw identical noise
     def lap(stat: String, delta: Double) = {
-      val u = (expr(s"md5_bits60(concat(lang, '|', source, '|', '$stat'))")
+      val u = (expr("md5_bits60(concat(cast(length(lang) as string), ':', " +
+        "lang, cast(length(source) as string), ':', source, " +
+        s"'$stat'))")
         % lit(1000000L) + lit(0.5)) / lit(1000000.0)
       val b = lit(delta / eps)
       -b * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
@@ -1148,6 +1154,10 @@ object PipelineOps {
       taus: Seq[Double]): DataFrame = {
     require(taus.nonEmpty && taus.forall(t => t > 0 && t <= 1),
       s"taus must be in (0, 1], got $taus")
+    // a duplicated τ would double its group in the z rollup and
+    // silently halve every share for that τ — fail loudly instead
+    require(taus.distinct.size == taus.size,
+      s"taus must be distinct, got $taus")
     val mass = docs.select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy("lang").agg(sum("n_tok").as("n_tokens"))
@@ -3699,6 +3709,12 @@ object PipelineOps {
       .sortWithinPartitions("shard", "doc_id")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         TarIO.writeGrouped(dir, rows.map { r =>
+          // the read-side member table encodes metadata members as
+          // doc_id = -1 and consumers filter doc_id >= 0, so a
+          // negative id would be invisible to the audits and to
+          // u06's leak certificate — reject it at write time
+          require(r.getLong(0) >= 0,
+            s"doc_id must be non-negative, got ${r.getLong(0)}")
           val key = f"${r.getLong(0)}%012d"
           (r.getLong(3), Seq(
             s"$key.json" -> r.getString(1).getBytes("UTF-8"),
@@ -3793,16 +3809,19 @@ object PipelineOps {
   private[graft] def deletionDrillOf(docs: DataFrame, isDeleted: Column,
       out: String, shards: Int): DataFrame = {
     val spark = docs.sparkSession
-    val tagged = docs.withColumn("is_del", isDeleted)
+    // the predicate is evaluated EXACTLY ONCE, on a frame checkpointed
+    // BEFORE anything consumes it: the rebuild write and the
+    // certificate both derive from this materialization, so even a
+    // non-deterministic caller predicate cannot make the certificate
+    // judge a different corpus than the one just written (a re-scan
+    // per consumer would re-run the predicate independently)
+    val tagged = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        isDeleted.as("is_del"))
+      .localCheckpoint()
     tarShardWrite(tagged.filter(!col("is_del"))
       .select("doc_id", "lang", "source", "text"), out, shards)
-    // the certificate's corpus-side facts come from ONE narrow
-    // column-pruned pass, checkpointed: naive reuse of `tagged` would
-    // scan the source once more for the totals and again for the
-    // deletion set — and a non-deterministic caller predicate could
-    // then certify a different corpus than the one just written
     val idFlags = tagged.select(col("doc_id"), col("is_del"))
-      .localCheckpoint()
     val ids = tarShardMembers(spark, out)
       .filter(col("doc_id") >= 0).select("doc_id")
     val delIds = idFlags.filter(col("is_del")).select("doc_id")
@@ -8899,7 +8918,7 @@ object PipelineOps {
       FROM cells ORDER BY event_type, day, bucket""",
 
     // Laplace mechanism with the same keyed-hash inverse-CDF draw:
-    // u = (md5_bits60(lang|source|stat) % 1e6 + 0.5) / 1e6,
+    // u = (md5_bits60(len:lang len:source stat) % 1e6 + 0.5) / 1e6,
     // noise = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|), b = Δ/ε
     // (Δ = 1 for docs, Δ = clip = 2000 for the clipped token sum)
     "u05_dp_release" -> """
@@ -8910,9 +8929,11 @@ object PipelineOps {
         FROM documents GROUP BY 1, 2),
       seeded AS (
         SELECT lang, source, n_docs, n_tokens,
-               ((('0x' || substring(md5(lang || '|' || source || '|' || 'docs'), 1, 15))::BIGINT
+               ((('0x' || substring(md5(len(lang)::VARCHAR || ':' || lang
+                   || len(source)::VARCHAR || ':' || source || 'docs'), 1, 15))::BIGINT
                  % 1000000 + 0.5) / 1000000.0) AS ud,
-               ((('0x' || substring(md5(lang || '|' || source || '|' || 'tokens'), 1, 15))::BIGINT
+               ((('0x' || substring(md5(len(lang)::VARCHAR || ':' || lang
+                   || len(source)::VARCHAR || ':' || source || 'tokens'), 1, 15))::BIGINT
                  % 1000000 + 0.5) / 1000000.0) AS ut
         FROM cells)
       SELECT lang, source, 1.0 AS eps,

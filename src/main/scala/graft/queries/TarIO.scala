@@ -11,22 +11,38 @@ package graft.queries
   * memory — members stream straight to the archive.
   *
   * The sorted-by-shard contract is ENFORCED, not just documented: a
-  * shard revisited after another shard began would silently truncate
-  * the earlier file (fs.create overwrites), so out-of-order arrival
-  * fails loudly instead. Writes go to final paths with no task-commit
-  * protocol — correct under Spark's default one-attempt-per-partition
-  * execution; with speculative execution a production deployment
-  * writes to an attempt-id temp path and renames on task commit (the
-  * snapshots module's write-then-rename discipline). */
+  * shard revisited after another shard began would silently replace
+  * the earlier file, so out-of-order arrival fails loudly instead.
+  *
+  * Commit protocol (speculative-execution safe): each shard streams
+  * to an attempt-scoped dotfile (`.tmp-shard-%05d.tar-<attempt>`) and
+  * is atomically renamed over the final path on completion. Two
+  * racing attempts of the same partition (speculation, or a retried
+  * task whose first attempt is still running) each write their own
+  * temp file and each rename-overwrite the SAME final path — the
+  * writer is deterministic, so both renames install identical bytes
+  * and no reader ever sees a torn shard. The readers' `*.tar` glob
+  * never matches an in-flight temp file. */
 private[graft] object TarIO {
   import org.apache.commons.compress.archivers.tar.{
     TarArchiveEntry, TarArchiveOutputStream}
+  import org.apache.hadoop.fs.{FileContext, Options, Path}
 
-  /** The shard number encoded in a [[writeGrouped]] file name. */
-  def shardOf(path: String): Long =
-    "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+  /** Fallback attempt discriminator for writes outside a Spark task
+    * (specs, driver-side drills) — inside a task the unique
+    * taskAttemptId scopes the temp file instead. */
+  private val localAttempt = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The shard number encoded in a [[writeGrouped]] file name.
+    * Matches the BASENAME only — a parent directory crafted to look
+    * like `shard-N.tar` (an st11 gen dir, a user-named corpus root)
+    * must not hijack the shard number. */
+  def shardOf(path: String): Long = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    "^shard-(\\d+)\\.tar$".r.findFirstMatchIn(base)
       .getOrElse(sys.error(s"unexpected shard file name: $path"))
       .group(1).toLong
+  }
 
   /** Walks a whole-shard byte array back into (member name, body)
     * pairs — the single read-side twin both audits build on
@@ -36,6 +52,11 @@ private[graft] object TarIO {
     import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
     val in = new TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
     Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
+      // getSize.toInt would overflow negative past 2 GiB and mis-size
+      // the body buffer — this reader holds a member in one array, so
+      // oversized members fail loudly instead
+      require(e.getSize >= 0 && e.getSize <= Int.MaxValue,
+        s"tar member ${e.getName} size ${e.getSize} exceeds reader limit")
       val body = new Array[Byte](e.getSize.toInt)
       var off = 0
       while (off < body.length) {
@@ -50,14 +71,28 @@ private[graft] object TarIO {
   def writeGrouped(dir: String,
       rows: Iterator[(Long, Seq[(String, Array[Byte])])]): Unit = {
     val conf = new org.apache.hadoop.conf.Configuration()
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"a${tc.taskAttemptId}")
+      .getOrElse(s"l${localAttempt.incrementAndGet()}")
     var cur = -1L
     var out: TarArchiveOutputStream = null
-    def close(): Unit =
-      if (out != null) { out.finish(); out.close(); out = null }
+    var tmp: Path = null
+    var dst: Path = null
+    def commit(): Unit =
+      if (out != null) {
+        out.finish(); out.close(); out = null
+        // atomic rename-overwrite: identical to the plain overwriting
+        // create for the single-attempt case, but a racing duplicate
+        // attempt can never leave a half-written final file
+        FileContext.getFileContext(tmp.toUri, conf)
+          .rename(tmp, dst, Options.Rename.OVERWRITE)
+      }
     def open(shard: Long): Unit = {
-      close()
-      val p = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
-      out = new TarArchiveOutputStream(p.getFileSystem(conf).create(p, true))
+      commit()
+      val name = f"shard-$shard%05d.tar"
+      dst = new Path(dir, name)
+      tmp = new Path(dir, s".tmp-$name-$attempt")
+      out = new TarArchiveOutputStream(tmp.getFileSystem(conf).create(tmp, true))
       out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
     }
     try {
@@ -65,7 +100,7 @@ private[graft] object TarIO {
         if (shard != cur) {
           require(shard > cur,
             s"rows not sorted by shard: $shard after $cur — a revisit " +
-              "would truncate the earlier shard file")
+              "would replace the earlier shard file")
           open(shard); cur = shard
         }
         members.foreach { case (name, bytes) =>
@@ -77,6 +112,13 @@ private[graft] object TarIO {
           out.closeArchiveEntry()
         }
       }
-    } finally close()
+      commit()
+    } finally {
+      if (out != null) { // abandon a failed attempt, keep the dir clean
+        out.close()
+        val fs = tmp.getFileSystem(conf)
+        if (fs.exists(tmp)) { fs.delete(tmp, false); () }
+      }
+    }
   }
 }

@@ -1376,6 +1376,96 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tar sink commit: duplicate attempts install byte-identical shards, no residue") {
+    // speculative-execution drill: the same partition written twice
+    // (a retried/speculated task) must leave the final tree
+    // byte-identical to a single clean write, with no temp files
+    def md5f(f: java.io.File): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map(b => f"$b%02x").mkString
+    }
+    val rows = Seq(
+      0L -> Seq("000000000001.txt" -> "alpha".getBytes("UTF-8"),
+        "000000000002.txt" -> "beta".getBytes("UTF-8")),
+      2L -> Seq("000000000009.txt" -> "gamma".getBytes("UTF-8")))
+    def tree(dir: java.io.File) =
+      dir.listFiles.filterNot(_.getName.endsWith(".crc"))
+        .map(f => f.getName -> md5f(f)).toMap
+    val clean = java.nio.file.Files.createTempDirectory("tarc1").toFile
+    graft.queries.TarIO.writeGrouped(clean.getPath, rows.iterator)
+    val dup = java.nio.file.Files.createTempDirectory("tarc2").toFile
+    graft.queries.TarIO.writeGrouped(dup.getPath, rows.iterator)
+    graft.queries.TarIO.writeGrouped(dup.getPath, rows.iterator) // twin attempt
+    assert(tree(dup) == tree(clean),
+      s"duplicate attempt changed the final tree: ${tree(dup)} vs ${tree(clean)}")
+    def residue(dir: java.io.File) = dir.listFiles.filterNot(f =>
+      f.getName.matches("shard-\\d{5}\\.tar") || f.getName.endsWith(".crc"))
+    assert(residue(dup).isEmpty,
+      s"temp residue left behind: ${residue(dup).map(_.getName).toSeq}")
+    // a failed attempt (bad input mid-stream) must clean its temp up
+    val fail = java.nio.file.Files.createTempDirectory("tarc3").toFile
+    intercept[Exception] {
+      graft.queries.TarIO.writeGrouped(fail.getPath,
+        Iterator(3L -> Seq("a.txt" -> "x".getBytes("UTF-8")),
+          1L -> Seq("b.txt" -> "y".getBytes("UTF-8")))) // out of order
+    }
+    assert(residue(fail).isEmpty,
+      s"failed attempt left temp residue: ${residue(fail).map(_.getName).toSeq}")
+  }
+
+  test("tar sink guards: negative doc_id rejected; shardOf binds to the basename") {
+    import spark.implicits._
+    // a negative doc_id would read back as the metadata sentinel -1's
+    // neighborhood and vanish from every audit filter — write rejects
+    val bad = Seq((-3L, "en", "src", "ghost doc"))
+      .toDF("doc_id", "lang", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tarneg").toString
+    val ex = intercept[Exception] {
+      graft.queries.PipelineOps.tarShardWrite(bad, dir, shards = 1)
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // require surfaced
+    // shardOf: a parent directory crafted like a shard file must not
+    // hijack the number; only the basename binds
+    assert(graft.queries.TarIO.shardOf(
+      "/data/shard-9.tar/gen=1/shard-00002.tar") == 2L)
+    intercept[Exception] {
+      graft.queries.TarIO.shardOf("/data/shard-7.tar/part-0001.bin")
+    }
+    ()
+  }
+
+  test("u06 deletion drill: a non-deterministic predicate still certifies ONE corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the tagged frame checkpoints before the write AND the
+    // certificate, so even a per-evaluation-random predicate yields a
+    // self-consistent drill: totals add up and the rebuilt artifact
+    // matches the deletion set judged (leak_count 0). Without the
+    // barrier the write and the certificate would flip coins
+    // independently.
+    val docs = (1L to 60L).map(i =>
+      (i, "en", "src", s"doc $i body")).toDF("doc_id", "lang", "source", "text")
+    val out = java.nio.file.Files.createTempDirectory("u06nd").toString
+    val c = graft.queries.PipelineOps.deletionDrillOf(
+      docs, rand() < 0.5, out, shards = 2).collect().head
+    assert(c.getLong(0) == 60L)
+    assert(c.getLong(1) + c.getLong(2) == 60L,
+      s"deleted+remaining != total: ${c.getLong(1)}+${c.getLong(2)}")
+    assert(c.getLong(4) == 0L,
+      "a checkpointed predicate must never certify a leak against its own write")
+  }
+
+  test("samp08 temperature grid: duplicate taus fail loudly") {
+    import spark.implicits._
+    val docs = Seq(("en", "a b c"), ("fr", "d e"))
+      .toDF("lang", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.PipelineOps.temperatureGridOf(docs, Seq(0.5, 0.7, 0.5))
+    }
+    assert(ex.getMessage.contains("distinct"), ex.getMessage)
+  }
+
   test("t24 zipf audit: plain-Scala recompute; exact-Zipf fixture fits slope -1") {
     import spark.implicits._
     def r6(x: Double) =
@@ -1540,9 +1630,10 @@ class CurationOpsSpec extends AnyFunSuite {
       case ((lang, src), g) =>
         val nDocs = g.length.toLong
         val nTok = g.map(d => math.min(d._3.split(" ", -1).length.toLong, 2000L)).sum
+        val seed = s"${lang.length}:$lang${src.length}:$src"
         (lang, src, 1.0,
-          r4(nDocs + lap(s"$lang|$src|docs", 1.0)),
-          r4(nTok + lap(s"$lang|$src|tokens", 2000.0)))
+          r4(nDocs + lap(seed + "docs", 1.0)),
+          r4(nTok + lap(seed + "tokens", 2000.0)))
     }
     val got = run("u05_dp_release").collect().map(rr =>
       (rr.getString(0), rr.getString(1), rr.getDouble(2), rr.getDouble(3),
@@ -1571,9 +1662,18 @@ class CurationOpsSpec extends AnyFunSuite {
       ("zz", "crafted", "short doc")).toDF("lang", "source", "text")
     val rel = graft.queries.PipelineOps.dpReleaseOf(big, eps = 1.0, clip = 2000L)
       .collect().head
-    val expTok = r4(2000L + 2L + lap("zz|crafted|tokens", 2000.0))
+    val expTok = r4(2000L + 2L + lap("2:zz7:craftedtokens", 2000.0))
     assert(rel.getDouble(4) == expTok,
       s"clip did not bound the 3000-token doc: ${rel.getDouble(4)} vs $expTok")
+    // the length-prefixed seed keeps delimiter-carrying cells apart:
+    // ("a|b", "c") and ("a", "b|c") collided under the old 'l|s|stat'
+    // encoding — their releases must now draw DIFFERENT noise
+    val tricky = Seq(("a|b", "c", "one two"), ("a", "b|c", "one two"))
+      .toDF("lang", "source", "text")
+    val tr = graft.queries.PipelineOps.dpReleaseOf(tricky, eps = 1.0, clip = 2000L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(tr("a|b")._1 != tr("a")._1 && tr("a|b")._2 != tr("a")._2,
+      s"delimiter-carrying cells still share a noise draw: $tr")
   }
 
   test("p10 crawl chain: stage 1 equals standalone t23; every stage bites") {
