@@ -2245,17 +2245,23 @@ object PipelineOps {
     * — the query phrase search (idx02) is too strict for and bag-of-
     * words (idx04) too loose. Each term reads its pruned df(term)
     * stream (literal bucket PartitionFilter + pushed term predicate,
-    * idx02's scans), the streams equi-join on doc_id, and the span of
-    * each position combination is greatest − least; the doc reports
-    * its minimal span, kept at ≤ window.
+    * idx02's scans) and aggregates it to ONE (doc_id, sorted
+    * positions) row per (doc, term); the k streams equi-join on
+    * doc_id (inner join = the all-terms-present gate) and the minimal
+    * covering span is computed IN-ROW by the classic sliding-window
+    * merge over the k sorted lists (Lucene's sloppy-span plan): walk
+    * the merged position stream in order, carry the latest position
+    * seen per term, and whenever all terms have been seen the window
+    * ending here is pos − min(carried) — the minimum over the walk is
+    * the doc's minimal span, kept at ≤ window.
     *
-    * 100 TB: the scans are df-sized and never touch the corpus; the
-    * per-doc combination count is Π tf(term, doc) — bounded in
-    * practice by short tfs, and a production engine replaces the
-    * in-doc cross product with a sorted-positions merge
-    * (mapGroups O(Σtf·log k)) when a term is pathologically frequent
-    * inside single docs; the declarative join form keeps the plan
-    * fully Catalyst-optimizable. Returns (doc_id, min_span). */
+    * 100 TB: the scans are df-sized and never touch the corpus;
+    * exactly one row per (doc, term) crosses the join (plan-pinned),
+    * so a boilerplate doc carrying every term 1 000× costs O(doc
+    * length) in-row work instead of the Π tf(term, doc) row blowup a
+    * per-position cross-join would make (10⁹ intermediate rows from
+    * ONE such doc); the fold state is k+1 BIGINTs. Returns
+    * (doc_id, min_span). */
   private[graft] def proximitySearchOf(index: DataFrame,
       terms: Seq[String], window: Int): DataFrame = {
     require(terms.size >= 2, "proximity needs at least two terms")
@@ -2266,15 +2272,35 @@ object PipelineOps {
     require(terms.distinct.size == terms.size,
       s"proximity terms must be distinct, got $terms")
     require(window >= terms.size - 1, "window can't fit the terms")
+    val k = terms.size
     val streams = terms.zipWithIndex.map { case (tm, i) =>
       index.filter(col("bucket") === termBucket(tm) && col("term") === tm)
-        .select(col("doc_id"), col("pos").as(s"p$i"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos").cast("long"))).as(s"ps$i"))
     }
     val joined = streams.reduce((a, b) => a.join(b, Seq("doc_id")))
-    val ps = terms.indices.map(i => col(s"p$i"))
-    joined.withColumn("span", greatest(ps: _*) - least(ps: _*))
-      .groupBy("doc_id").agg(min("span").cast("long").as("min_span"))
+    // positions are distinct across the k lists (one token owns one
+    // position and the terms are distinct), so the merged walk is a
+    // total order and the fold is evaluation-order deterministic
+    val merged = (0 until k)
+      .map(i => s"transform(ps$i, p -> named_struct('pos', p, 'tid', $i))")
+      .mkString("array_sort(concat(", ", ", "))")
+    val lasts = (0 until k).map(i => s"'l$i', cast(-1 as bigint)").mkString(", ")
+    val updVals = (0 until k).map(i => s"if(x.tid = $i, x.pos, a.l$i)")
+    val upd = (0 until k)
+      .map(i => s"'l$i', ${updVals(i)}").mkString(", ")
+    val allSeen = updVals.map(v => s"$v >= 0").mkString(" and ")
+    val fold =
+      s"""aggregate($merged,
+         named_struct($lasts, 'best', cast(9223372036854775807 as bigint)),
+         (a, x) -> named_struct($upd,
+           'best', if($allSeen,
+             least(a.best, x.pos - least(${updVals.mkString(", ")})),
+             a.best)),
+         a -> a.best)"""
+    joined.withColumn("min_span", expr(fold))
       .filter(col("min_span") <= window)
+      .select(col("doc_id"), col("min_span"))
       .orderBy("doc_id")
   }
 

@@ -561,6 +561,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"proximity degenerated from an equi-join:\n$plan")
+    // the scale guarantee: exactly ONE row per (doc, term) crosses the
+    // join — every join input aggregates its postings to a sorted
+    // per-doc position array FIRST, so a high-tf doc can never blow up
+    // into a per-position cross-product (the span is an in-row fold)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = df.queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.size == 2, s"expected the 2 doc_id equi-joins:\n$lp")
+    joins.foreach { j =>
+      assert(j.right.collectFirst { case a: Aggregate => a }.isDefined &&
+        j.left.collectFirst { case a: Aggregate => a }.isDefined,
+        s"a join side is not a per-(doc, term) aggregated stream:\n$lp")
+    }
+    assert(plan.contains("collect_list"),
+      s"positions are not aggregated per (doc, term) before the join:\n$plan")
   }
 
   test("idx05 index append: appended-artifact probe prunes and equals the single build") {

@@ -445,6 +445,25 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(corpusNear == expected)
   }
 
+  test("idx06: a high-tf doc costs O(doc length), not the position cross-product") {
+    import spark.implicits._
+    // the r9 plan joined raw position streams on doc_id — this doc
+    // (each query term 100×) would cross 100³ = 10⁶ combination rows
+    // from ONE doc before the span filter; the sliding-window plan
+    // folds its 300 merged positions in-row. Correctness pins: the
+    // block layout's true minimal span (99→200 = 101), and a second
+    // doc with an adjacent pocket that must win over its blocks.
+    val blocks = (("slow " * 100) + ("hash " * 100) + ("batch " * 100)).trim
+    val pocket = blocks + " x slow hash batch"
+    val docs = Seq((1L, blocks), (2L, pocket)).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx06-tf").toString
+    graft.queries.PipelineOps.positionalIndexBuild(docs, idxDir)
+    val got = graft.queries.PipelineOps.proximitySearchOf(
+        spark.read.parquet(idxDir), Seq("slow", "hash", "batch"), window = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 101L), (2L, 2L)), s"high-tf spans wrong: $got")
+  }
+
   // ---- s14 IVF-PQ search --------------------------------------------------
 
   test("s14: plain-Scala recompute of the whole IVFPQ pipeline matches exactly") {
