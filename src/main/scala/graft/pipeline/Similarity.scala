@@ -287,4 +287,22 @@ object Similarity {
     PipelineOps.graphAnnServeOf(canon(emb, idCol, vecCol),
       graph.select(col("vec_id"), col("nbr_id")),
       canon(queries, idCol, vecCol), entries, beam, rounds, k)
+
+  /** Persist a kNN graph ([[nnDescent]]'s output composes directly)
+    * as the graph-ANN serve artifact: the symmetrized adjacency edge
+    * list, parquet-partitioned by a 16-way md5 vertex bucket. The
+    * build half of the build-vs-serve split — [[graphAnnServeFrom]]
+    * reads it back cold. */
+  def nnGraphPersist(graph: DataFrame, dir: String): Unit =
+    PipelineOps.nnGraphPersist(graph.select(col("vec_id"), col("nbr_id")), dir)
+
+  /** Graph-ANN serve over the COLD stored [[nnGraphPersist]] artifact
+    * — no build work in the serve session; bit-identical to
+    * [[graphAnnServe]] over the live graph. */
+  def graphAnnServeFrom(dir: String, emb: DataFrame, queries: DataFrame,
+      entries: Int = 4, beam: Int = 4, rounds: Int = 3, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.graphAnnServeFrom(emb.sparkSession, dir,
+      canon(emb, idCol, vecCol), canon(queries, idCol, vecCol),
+      entries, beam, rounds, k)
 }

@@ -1100,6 +1100,16 @@ class CurationOpsSpec extends AnyFunSuite {
       s"visited $maxVisited exceeds entries + rounds*beam*maxdeg($maxDeg)")
     assert(maxVisited < n / 4,
       s"visited $maxVisited is not a small fraction of the $n-vector corpus")
+    // build-vs-serve split: the entry serves COLD from the persisted
+    // adjacency artifact — it must be row-identical to the live-graph
+    // serve over the same degree-6 graph (idx04's stored-artifact
+    // discipline: the artifact round trip changes nothing)
+    val live = graft.queries.PipelineOps.graphAnnServeOf(emb, g,
+        emb.filter(col("vec_id") < 10),
+        entries = 4, beam = 4, rounds = 3, k = 5)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(served.toSeq == live,
+      "cold artifact serve diverged from the live-graph serve")
   }
 
   test("t23 html extraction: every rule branch bites on a crafted page") {

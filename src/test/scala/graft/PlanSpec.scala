@@ -1031,6 +1031,47 @@ class PlanSpec extends AnyFunSuite {
       s"per-vertex top-k must be a bounded heap:\n$plan")
   }
 
+  test("s20 graph-ANN serve: serve session scans the cold artifact + id lookups — no build subtree") {
+    // the build-vs-serve pin: once the graph artifact exists (built by
+    // the memoized index job), a serve session must execute ONLY the
+    // beam-search dataflow — the stored adjacency parquet plus id
+    // point-lookups into the embedding table. A kmeans/kNN/NN-descent
+    // subtree in any serve-time plan means the index is being rebuilt
+    // per session (the r9 design flag). Per-round localCheckpoints
+    // hide the early rounds from the final plan, so the pin captures
+    // EVERY plan the serve session executes via a listener.
+    graft.queries.PipelineOps.defs("s20_graph_ann_serve")(spark, dir).count() // ensure the artifact is built
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.queries.PipelineOps.defs("s20_graph_ann_serve")(spark, dir).count()
+      // the listener bus is async — wait until the artifact-scan plan
+      // lands, then a grace beat for any stragglers
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      import scala.jdk.CollectionConverters._
+      while (!plans.asScala.exists(_.contains("graft-s20")) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      val got = plans.asScala.toVector
+      assert(got.exists(_.contains("graft-s20")),
+        "serve never scanned the stored graph artifact")
+      assert(got.exists(_.contains("embeddings")),
+        "serve lost its id point-lookups into the embedding table")
+      got.foreach { p =>
+        assert(!p.contains("cluster#"),
+          s"a serve-time plan contains a kmeans build subtree:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("t23 html extraction: pure map — no join, no window, no hash exchange") {
     // page build + block classification + reassembly are all in-row;
     // the only exchange permitted is the presentation sort
