@@ -82,29 +82,42 @@ object Curation {
     * Returns (cluster_id, n_members, members). */
   def dupClustersAlternating(docs: DataFrame, minJaccard: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      maxRounds: Int = 16, membersCap: Int = 10000): DataFrame =
+      maxRounds: Int = 16, membersCap: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame =
     PipelineOps.ccAlternatingOf(
       nearDupPairs(docs, minJaccard, idCol, textCol).select(col("d1"), col("d2")),
-      maxRounds, membersCap)
+      maxRounds, membersCap, checkpointDir)
 
   /** [[dupClustersAlternating]] over a caller-supplied edge set
     * `(d1, d2)` — any pair source composes. `maxRounds` is the
     * runaway backstop above the verified fixpoint (the paper's round
     * bound grows with graph size — raise it for a very large or
     * adversarial duplicate graph); `membersCap` truncates the
-    * members-csv review rollup (n_members stays the true count). */
+    * members-csv review rollup (n_members stays the true count).
+    *
+    * `checkpointDir` picks the per-round barrier: None (default) is
+    * localCheckpoint — executor-cached, zero cluster-storage traffic,
+    * but losing ONE executor mid-run kills the job since the
+    * truncated lineage lives only in those executors' block managers;
+    * a reliable dir (HDFS/S3 at scale) writes each round through the
+    * Hadoop FS so any replacement executor rebuilds — the production
+    * setting for long iterative jobs, at the price of one FS write
+    * per round. Results are identical either way (spec-pinned). */
   def dupClustersAlternatingFromEdges(edges: DataFrame,
-      maxRounds: Int = 16, membersCap: Int = 10000): DataFrame =
+      maxRounds: Int = 16, membersCap: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame =
     PipelineOps.ccAlternatingOf(edges.select(col("d1"), col("d2")),
-      maxRounds, membersCap)
+      maxRounds, membersCap, checkpointDir)
 
   /** The member-level (v, lbl) cluster assignment — the PRIMARY
     * artifact behind [[dupClustersAlternating]]'s review rollup;
     * downstream joins (keep decisions, weighting) consume this table,
     * never the members-csv. */
   def dupLabelsAlternatingFromEdges(edges: DataFrame,
-      maxRounds: Int = 16): DataFrame =
-    PipelineOps.ccLabelsOf(edges.select(col("d1"), col("d2")), maxRounds)
+      maxRounds: Int = 16,
+      checkpointDir: Option[String] = None): DataFrame =
+    PipelineOps.ccLabelsOf(edges.select(col("d1"), col("d2")), maxRounds,
+      checkpointDir)
 
   /** The dedup keep decision (d19's kernel): per duplicate cluster of
     * the ≥ `minJaccard` graph, elect the HIGHEST-quality member (t14's

@@ -266,13 +266,21 @@ object Similarity {
     * then `rounds` neighbor-of-neighbor expansion rounds recover the
     * true neighbors blocking misses, re-ranked by exact cosine through
     * bounded per-vertex heaps. Edge-keyed equi-joins only — the corpus
-    * never self-joins. Returns (vec_id, rk, nbr_id, cos). */
+    * never self-joins. Returns (vec_id, rk, nbr_id, cos).
+    *
+    * `checkpointDir`: the per-round barrier. None (default) =
+    * localCheckpoint (executor-cached; an executor loss mid-run kills
+    * the job); a reliable dir (HDFS/S3) writes each round's edge set
+    * through the Hadoop FS so any executor rebuilds — the production
+    * setting for long refinement runs. Identical results either way. */
   def nnDescent(emb: DataFrame, k: Int, topK: Int = 3, iters: Int = 3,
       rounds: Int = 1, bridgeBuckets: Int = 31,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
     val c = canon(emb, idCol, vecCol)
     PipelineOps.nnDescentOf(c,
-      PipelineOps.knnGraphOf(c, k, iters, topK), topK, rounds, bridgeBuckets)
+      PipelineOps.knnGraphOf(c, k, iters, topK), topK, rounds, bridgeBuckets,
+      checkpointDir)
   }
 
   /** Graph-ANN serve (s20's kernel — the HNSW-shaped single-layer

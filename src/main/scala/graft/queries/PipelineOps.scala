@@ -923,7 +923,8 @@ object PipelineOps {
     * s06's recall harness grades the refinement (CurationOpsSpec
     * measures the recall@k gain over the within-cell graph live). */
   private[graft] def nnDescentOf(emb: DataFrame, base: DataFrame,
-      topK: Int, rounds: Int, bridgeBuckets: Int): DataFrame = {
+      topK: Int, rounds: Int, bridgeBuckets: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(topK >= 1, s"topK must be at least 1, got $topK")
     require(rounds >= 1, s"rounds must be at least 1, got $rounds")
     require(bridgeBuckets >= 1,
@@ -943,8 +944,8 @@ object PipelineOps {
       .withColumn("rk", row_number().over(wSeed))
       .filter(col("rk") <= topK)
       .select("vec_id", "nbr_id", "cos")
-    var edges = base.select("vec_id", "nbr_id", "cos")
-      .union(bridges).distinct().localCheckpoint()
+    var edges = iterBarrier(base.select("vec_id", "nbr_id", "cos")
+      .union(bridges).distinct(), checkpointDir)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("nbr_id").asc)
     (1 to rounds).foreach { _ =>
@@ -961,12 +962,11 @@ object PipelineOps {
           Seq("nbr_id"))
         .withColumn("cos", round(expr("cosine_sim(e, ne)"), 4))
         .select("vec_id", "nbr_id", "cos")
-      edges = edges.union(scored)
+      edges = iterBarrier(edges.union(scored)
         .groupBy("vec_id", "nbr_id").agg(max("cos").as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= topK)
-        .select("vec_id", "nbr_id", "cos")
-        .localCheckpoint()
+        .select("vec_id", "nbr_id", "cos"), checkpointDir)
     }
     // the filter is a no-op on the ≤ topK checkpointed edges, but it
     // keeps the final rank a WindowGroupLimit bounded heap like the
@@ -1395,6 +1395,146 @@ object PipelineOps {
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       qualityScoreCol(docs.sparkSession).as("score"))
+
+  /** t25's feature frame — the training half t14's scaladoc defers to.
+    * Per doc: a silver label `y` (t10's full Gopher gate — the CCNet /
+    * fastText recipe of labeling with a cheap heuristic and training a
+    * model that generalizes it), five integer micro-unit features
+    * (bias, capped word count, capped mean word length, duplicate-word
+    * fraction, capped stopword count — each scaled into [0, 1e6]), and
+    * an `is_train` split flag (doc_id % 5 != 0 trains; % 5 == 0 is
+    * held out). Integer features make every gradient sum EXACT in
+    * both engines regardless of association order. The mean-word-
+    * length / dup-fraction roundings replay t10's oracle-proven
+    * formulas verbatim (ref: the Gopher rule family,
+    * server/core/query.go's filter stage is the reference's closest
+    * analog of a per-row doc gate). */
+  private[graft] def qualityTrainFeaturesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("mean_wlen",
+        round((length(col("text")) - (col("n_words") - 1)) / col("n_words"), 4))
+      .withColumn("n_stop",
+        size(expr("filter(w, x -> x = 'the' OR x = 'a')")).cast("long"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - size(array_distinct(col("w"))) / col("n_words"), 4))
+      .select(col("doc_id"),
+        ((col("n_words") >= 50 && col("n_words") <= 100000) &&
+          (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0) &&
+          (col("n_stop") >= 2) && (col("dup_frac") <= 0.7))
+          .cast("long").as("y"),
+        lit(1000000L).as("x0"),
+        (least(col("n_words"), lit(1000L)) * 1000L).as("x1"),
+        floor(least(col("mean_wlen"), lit(20.0)) * 50000 + 0.5).as("x2"),
+        floor(col("dup_frac") * 1000000 + 0.5).as("x3"),
+        (least(col("n_stop"), lit(50L)) * 20000L).as("x4"),
+        (col("doc_id") % 5 =!= 0).as("is_train"))
+
+  /** The model state of one t25 training step: weights (micro-units),
+    * train loss (micro-Brier), and held-out accuracy counts. */
+  private[graft] final case class QualityModelStep(iter: Int, w0: Long,
+      w1: Long, w2: Long, w3: Long, w4: Long, lossMicro: Long,
+      hoCorrect: Long, hoN: Long)
+
+  /** t25's kernel — a DETERMINISTIC fixed-iteration trained quality
+    * classifier: batch gradient descent on a linear model over
+    * [[qualityTrainFeaturesOf]], the trained counterpart of t14's
+    * hash-weight scorer (fastText-style model-based filtering, the
+    * CCNet / FineWeb-Edu stage). Engine-exact by construction — NO
+    * transcendental functions anywhere in the loop:
+    *
+    *   - the squashing is the rational fast sigmoid
+    *     p = floor(1e6 * (0.5 + 0.5*z/(1+|z|))), z = (w·x)/1e12 —
+    *     every step (BIGINT dot product, one IEEE division, one
+    *     floor) is correctly-rounded-identical in Spark, DuckDB and
+    *     the JVM driver, unlike exp/ln whose libm's differ in ulps
+    *     that an ITERATED loop would amplify;
+    *   - gradients are the classic logistic-regression form
+    *     G_j = Σ (y·1e6 − p)·x_j, summed in exact BIGINTs
+    *     (association-order-free, so distributed partial aggregation
+    *     is safe);
+    *   - the update w_j += floor(lr·G_j / (n·1e6)) and the micro-Brier
+    *     loss floor(Σ(y·1e6 − p)² / (n·1e6)) quantize once per
+    *     iteration through floor (no round-half ties).
+    *
+    * Returns one [[QualityModelStep]] per iteration (0 = init).
+    * 100 TB: the corpus is read ONCE into the checkpointed integer
+    * feature frame (5 BIGINTs/doc — the text never re-scans); each
+    * iteration is ONE map-side-combined aggregation to a single
+    * 8-number row on the driver (MLlib's treeAggregate shape — model
+    * state is driver-resident by design, the data never moves). In
+    * production the labeled training set is a bounded sample anyway;
+    * scoring at corpus scale is [[trainedQualityScoreOf]], a pure map
+    * with the weights inlined as literals. */
+  private[graft] def trainedQualityTraceOf(docs: DataFrame, lr: Double,
+      iters: Int): Seq[QualityModelStep] = {
+    require(iters >= 1 && iters <= 64,
+      s"iters must be in [1, 64], got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val feats = qualityTrainFeaturesOf(docs).localCheckpoint()
+    val xs = Array("x0", "x1", "x2", "x3", "x4")
+    def sCol(w: Array[Long]): Column =
+      xs.zip(w).map { case (x, wj) => col(x) * lit(wj) }.reduce(_ + _)
+    def pCol(w: Array[Long]): Column = {
+      val z = sCol(w) / lit(1.0e12)
+      floor(lit(1000000) * (lit(0.5) + lit(0.5) * z / (lit(1) + abs(z))))
+    }
+    val w = Array.fill(5)(0L)
+    val trace = Seq.newBuilder[QualityModelStep]
+    var nTrain = 0L
+    (0 to iters).foreach { k =>
+      val resid = col("y") * 1000000L - pCol(w)
+      val gs = xs.map(x =>
+        sum(when(col("is_train"), resid * col(x)).otherwise(0L)).as(s"g_$x"))
+      val stats = Array(
+        sum(when(col("is_train"), resid * resid).otherwise(0L)).as("s2"),
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n"),
+        sum(when(!col("is_train") &&
+          ((sCol(w) >= 0) === (col("y") === 1L)), 1L).otherwise(0L))
+          .as("ho_correct"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("ho_n"))
+      val aggs = gs ++ stats
+      val r = feats.agg(aggs.head, aggs.tail: _*).head()
+      nTrain = r.getLong(6)
+      require(nTrain > 0, "t25 needs a non-empty training split")
+      trace += QualityModelStep(k, w(0), w(1), w(2), w(3), w(4),
+        math.floor(r.getLong(5) / (nTrain * 1000000.0)).toLong,
+        r.getLong(7), r.getLong(8))
+      if (k < iters)
+        (0 until 5).foreach { j =>
+          w(j) += math.floor(lr * r.getLong(j) / (nTrain * 1000000.0)).toLong
+        }
+    }
+    trace.result()
+  }
+
+  /** The final trained weights of [[trainedQualityTraceOf]]'s run —
+    * what a production pipeline persists as the model artifact. */
+  private[graft] def trainedQualityWeightsOf(docs: DataFrame, lr: Double,
+      iters: Int): Array[Long] = {
+    val last = trainedQualityTraceOf(docs, lr, iters).last
+    Array(last.w0, last.w1, last.w2, last.w3, last.w4)
+  }
+
+  /** Score every document with a trained t25 model — t14's scoring
+    * dataflow with learned weights: the weights ride as LITERALS
+    * (stronger than a broadcast join — zero exchange, pure map over
+    * the scan), the score is the same rational fast sigmoid the
+    * trainer used, in [0, 1e6] micro-units. Returns
+    * (doc_id, y, is_train, s, score_micro). */
+  private[graft] def trainedQualityScoreOf(docs: DataFrame,
+      w: Array[Long]): DataFrame = {
+    require(w.length == 5, s"expected 5 weights, got ${w.length}")
+    val xs = Array("x0", "x1", "x2", "x3", "x4")
+    val s = xs.zip(w).map { case (x, wj) => col(x) * lit(wj) }
+      .reduce(_ + _)
+    val z = s / lit(1.0e12)
+    qualityTrainFeaturesOf(docs).select(col("doc_id"), col("y"),
+      col("is_train"), s.as("s"),
+      floor(lit(1000000) * (lit(0.5) + lit(0.5) * z / (lit(1) + abs(z))))
+        .as("score_micro"))
+  }
 
   /** s09's kernel — product-quantization encode (Jégou et al. 2011,
     * the storage half of IVF+PQ): split each `dims`-wide vector into
@@ -3314,6 +3454,123 @@ object PipelineOps {
     * bounded sample, which is also what makes this the ground-truth
     * side of an ANN evaluation. Both frames: (vec_id, e: array of
     * double). Returns (qid, rk, nid, c). */
+  /** u07's canary fixture — 16 deterministic canary documents, each
+    * injected at a known duplication multiplicity (1/2/4/8 copies;
+    * Kandpal et al. 2022 measure memorization growing superlinearly
+    * with duplication, which is why a custodian plants these): the
+    * `verbatim` family's copies are byte-identical (what exact dedup
+    * MUST collapse), the `mutated` family's copies each carry one
+    * trailing variant token (what exact dedup CANNOT collapse — the
+    * blind spot the drill exists to surface; the near-dup gate's job,
+    * spec-drilled). Token shapes embed the canary id so no two
+    * canaries — or any corpus doc — ever collide. Returns
+    * (doc_id, canary_id, family, mult, text), 60 rows. */
+  private[graft] def canaryDocsOf(spark: SparkSession): DataFrame = {
+    val mults = Array(1L, 2L, 4L, 8L)
+    val rows = for {
+      c <- 0 until 16
+      m = mults(c % 4)
+      i <- 0L until m
+    } yield {
+      val base = (1 to 40).map(j => s"canary${c}_$j").mkString(" ")
+      val text = if (c >= 8) s"$base variant$i" else base
+      (10000000L + c * 100L + i, c.toLong,
+        if (c >= 8) "mutated" else "verbatim", m, text)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "canary_id", "family", "mult", "text")
+  }
+
+  /** u07's kernel — the canary memorization-risk drill (Carlini et
+    * al. 2021 extraction attacks; Kandpal et al. 2022 "Deduplicating
+    * Training Data Mitigates Privacy Risks"): plant [[canaryDocsOf]]'s
+    * canaries in the corpus, run the exact-dedup gate (d01's md5
+    * keep-min discipline) over the union, and report per
+    * (family, multiplicity) how much duplication SURVIVES the gate —
+    * amp_after is the duplication factor the training set would still
+    * amplify memorization by. The verbatim rows certify the gate
+    * works (amp 8 → 1); the mutated rows certify the audit can FAIL
+    * (amp 8 stays 8 — exact dedup cannot see a one-token variant;
+    * guard03's an-audit-that-cannot-fail-proves-nothing discipline),
+    * which is the documented handoff to the near-dup gate (the spec
+    * drills that minJaccard clustering collapses exactly this family).
+    *
+    * 100 TB: ONE digest-keyed partial-agg shuffle over the union
+    * (16-byte md5 keys, never raw text — d01's scale shape); the
+    * survivor table filters map-side to the canary id range (60 rows)
+    * before a broadcast join back to the canary fixture; the rollup
+    * is exact integers until the final rounded divisions. */
+  private[graft] def canaryDrillOf(corpus: DataFrame,
+      canaries: DataFrame): DataFrame = {
+    val all = corpus.select(col("doc_id"), col("text"))
+      .unionByName(canaries.select(col("doc_id"), col("text")))
+    val keptCanaries = all
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keep_id"))
+      .filter(col("keep_id") >= 10000000L) // canary id range: tiny frame
+      .select("keep_id")
+    canaries.join(broadcast(keptCanaries),
+        col("doc_id") === col("keep_id"), "left")
+      .groupBy("family", "mult")
+      .agg(countDistinct("canary_id").as("n_canaries"),
+        count(lit(1)).as("copies_injected"),
+        sum(when(col("keep_id").isNotNull, 1L).otherwise(0L)).as("survivors"))
+      .withColumn("amp_before",
+        round(col("copies_injected") / col("n_canaries"), 4))
+      .withColumn("amp_after",
+        round(col("survivors") / col("n_canaries"), 4))
+      .orderBy("family", "mult")
+  }
+
+  /** s21's kernel — Matryoshka truncated-dimension retrieval audit
+    * (Kusupati et al. 2022, "Matryoshka Representation Learning"):
+    * for each candidate prefix dimension, the top-k under cosine over
+    * the FIRST `dim` components is compared against the full-dimension
+    * exact top-k — recall@k per dim is the table a team reads before
+    * serving truncated embeddings (the MRL promise: a prefix slice
+    * retrieves almost as well at a fraction of the memory/compute; an
+    * embedding column that was NOT trained matryoshka-style fails this
+    * audit, which is exactly the point of running it). Returns
+    * (dim, n_queries, hits, recall).
+    *
+    * 100 TB: the (query × dim) block is broadcast-tiny and the corpus
+    * is scanned ONCE — all truncation levels score in-row against the
+    * same vector read (slice + cosine inside the row); per-(dim, qid)
+    * top-k are literal-bounded WindowGroupLimit heaps, the bounded
+    * top table localCheckpoints (dims·queries·k rows) so the
+    * full-vs-truncated comparison never rescans the corpus, and the
+    * rollup is exact integers until one final rounded division. */
+  private[graft] def matryoshkaRecallOf(emb: DataFrame, queries: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"dims must be non-empty positive, got $dims")
+    require(dims.distinct.size == dims.size, s"duplicate dims in $dims")
+    require(k >= 1, s"k must be at least 1, got $k")
+    graft.exprs.CosineSim.register(emb.sparkSession)
+    val full = dims.max
+    val qdim = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .withColumn("dim", explode(typedLit(dims)))
+    val scored = emb.select(col("vec_id").as("nid"), col("e"))
+      .join(broadcast(qdim), col("nid") =!= col("qid"))
+      .withColumn("c",
+        round(expr("cosine_sim(slice(e, 1, dim), slice(qe, 1, dim))"), 4))
+    val w = Window.partitionBy("dim", "qid")
+      .orderBy(col("c").desc, col("nid").asc)
+    val top = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("dim", "qid", "nid")
+      .localCheckpoint() // bounded: dims * queries * k rows
+    val fullTop = top.filter(col("dim") === full)
+      .select(col("qid").as("fqid"), col("nid").as("fnid"))
+    top.join(fullTop,
+        col("qid") === col("fqid") && col("nid") === col("fnid"), "left")
+      .groupBy("dim")
+      .agg(countDistinct("qid").as("n_queries"),
+        sum(when(col("fqid").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall",
+        round(col("hits") / (lit(k) * col("n_queries")), 4))
+      .orderBy("dim")
+  }
+
   private[graft] def bruteForceTopKOf(emb: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
     val s = emb.sparkSession
@@ -3615,9 +3872,10 @@ object PipelineOps {
 
   /** The member-level (v, lbl) cluster assignment behind
     * [[dupClustersOf]] — shared with d19's keep decision. */
-  private[graft] def dupLabelsOf(edges: DataFrame, rounds: Int): DataFrame = {
-    val sym = edges.union(edges.select(col("d2"), col("d1")))
-      .toDF("src", "dst").localCheckpoint()
+  private[graft] def dupLabelsOf(edges: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sym = iterBarrier(edges.union(edges.select(col("d2"), col("d1")))
+      .toDF("src", "dst"), checkpointDir)
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     (1 to rounds).foreach { _ =>
@@ -3648,6 +3906,27 @@ object PipelineOps {
     * 100 TB a reliable checkpoint to cluster storage). Output contract
     * is [[dupClustersOf]]'s exactly: (cluster_id, n_members,
     * members-csv), labels = component minima. */
+  /** The checkpoint barrier every iterative kernel (d11/d24 label
+    * propagation, s19 NN-descent) places between rounds. Default
+    * (None) is `localCheckpoint` — round state cached on the
+    * executors, zero cluster-storage traffic, but the truncated
+    * lineage PINS those executors: on a real cluster losing ONE
+    * executor past the barrier kills the whole job. A reliable
+    * `checkpointDir` (HDFS/S3 at scale, any Hadoop FS path) writes
+    * the barrier through cluster storage instead, so a replacement
+    * executor rebuilds from the checkpoint — the production setting
+    * for long iterative jobs; the local default keeps tests and
+    * bench hermetic. Both are EAGER, so the barrier semantics
+    * (compute once, sever lineage) are identical. */
+  private[graft] def iterBarrier(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** One large-star round: every node's larger neighbors re-point at
     * its neighborhood minimum (self included). Equi-joins only. */
   private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
@@ -3676,8 +3955,9 @@ object PipelineOps {
   }
 
   private[graft] def ccAlternatingOf(edges: DataFrame, maxRounds: Int = 16,
-      membersCap: Int = 10000): DataFrame =
-    clusterRollup(ccLabelsOf(edges, maxRounds), membersCap)
+      membersCap: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame =
+    clusterRollup(ccLabelsOf(edges, maxRounds, checkpointDir), membersCap)
 
   /** The member-level (v, lbl) assignment behind [[ccAlternatingOf]] —
     * the primary artifact (d24's analog of [[dupLabelsOf]]). The round
@@ -3688,16 +3968,17 @@ object PipelineOps {
     * stars, so a cycle of the composition cannot occur — if the
     * require ever fires it means a broken edge set (NaN-ish ids,
     * nondeterministic input), and failing loudly beats spinning. */
-  private[graft] def ccLabelsOf(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+  private[graft] def ccLabelsOf(edges: DataFrame, maxRounds: Int = 16,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be at least 1, got $maxRounds")
     def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
     def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
-    var e = edges.select(col("d1").as("u"), col("d2").as("v"))
-      .distinct().localCheckpoint()
+    var e = iterBarrier(edges.select(col("d1").as("u"), col("d2").as("v"))
+      .distinct(), checkpointDir)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = iterBarrier(smallStar(largeStar(e)), checkpointDir)
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
       e = next
       round += 1
@@ -4479,6 +4760,21 @@ object PipelineOps {
         .orderBy("qid", "rk")
     }),
 
+    "s21_matryoshka_recall" -> ((s, d) => {
+      // Matryoshka truncated-dimension retrieval audit (Kusupati et
+      // al. 2022): recall@5 of prefix-sliced cosine retrieval at
+      // d = 8/16/32/64 vs the full 64-dim exact top-5 — the
+      // go/no-go table before serving truncated embeddings. These
+      // synthetic vectors are NOT MRL-trained and the audit says so
+      // (recall 0.08 at d=8): detecting that is its job. One corpus
+      // scan scores every truncation level in-row; scale notes on
+      // the kernel scaladoc.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      matryoshkaRecallOf(emb, emb.filter(col("vec_id") < 10),
+        dims = Seq(8, 16, 32, 64), k = 5)
+    }),
+
     "s12_bitext_mining" -> ((s, d) => {
       // Margin-based bitext mining de->en over the embedding column —
       // the parallel-corpus construction step of multilingual training
@@ -4762,6 +5058,18 @@ object PipelineOps {
       // 6h) cells: 585 of 600 cells release, 15 suppress at sf0.01 —
       // a real cut. Kernel scaladoc has the plan notes.
       kAnonReleaseOf(t(s, d, "events"), k = 10)
+    }),
+
+    "u07_canary_drill" -> ((s, d) => {
+      // Canary memorization-risk drill (Carlini et al. 2021, Kandpal
+      // et al. 2022): plant 16 canaries at duplication 1/2/4/8, run
+      // the exact-dedup gate over corpus ∪ canaries, report the
+      // duplication factor that SURVIVES per (family, multiplicity).
+      // verbatim: amp 8 -> 1 (the gate works); mutated (one variant
+      // token per copy): amp 8 stays 8 — exact dedup's blind spot,
+      // surfaced by design; the spec drills the near-dup gate
+      // collapsing exactly that family. Scale notes on the kernel.
+      canaryDrillOf(t(s, d, "documents"), canaryDocsOf(s))
     }),
 
     "u05_dp_release" -> ((s, d) => {
@@ -6235,6 +6543,30 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "t25_trained_quality" -> ((s, d) => {
+      // The TRAINING half of the model-based quality filter (t14 is
+      // the scoring shape): 8 iterations of deterministic batch
+      // gradient descent over integer micro-unit features with t10's
+      // Gopher gate as silver labels — the CCNet/fastText recipe.
+      // Output is the full training trace: weights, train micro-Brier
+      // loss (monotone decreasing, spec-pinned) and held-out accuracy
+      // per iteration (50% -> 76% on this corpus; held-out AUC 0.94
+      // vs hash-weight t14's 0.48 — QualityTrainSpec). Engine-exact:
+      // the loop is transcendental-free (rational fast sigmoid + floor
+      // quantization), so DuckDB's recursive CTE replays it to the
+      // BIT. 100 TB: one corpus scan into the checkpointed 5-BIGINT
+      // feature frame, then one map-side-combined aggregation per
+      // iteration collapsing to a single driver row — the data never
+      // moves, only the 5-number model does (treeAggregate's shape).
+      import s.implicits._
+      trainedQualityTraceOf(t(s, d, "documents"), lr = 2.0, iters = 8)
+        .map(st => (st.iter, st.w0, st.w1, st.w2, st.w3, st.w4,
+          st.lossMicro, st.hoCorrect, st.hoN))
+        .toDF("iter", "w0", "w1", "w2", "w3", "w4", "loss_micro",
+          "ho_correct", "ho_n")
+        .orderBy("iter")
+    }),
+
     "t13_bpe_pair_counts" -> ((s, d) => {
       // The BPE-training inner loop: count every adjacent symbol pair
       // corpus-wide and surface the next merge candidates (top 20,
@@ -7102,6 +7434,29 @@ object PipelineOps {
       )
       SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
 
+    "s21_matryoshka_recall" -> """
+      WITH dims(dim) AS (VALUES (8),(16),(32),(64)),
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT d.dim, q.qid, e.vec_id AS nid,
+          round(list_cosine_similarity(q.qe[1:d.dim],
+            (e.embedding::DOUBLE[])[1:d.dim]), 4) AS c
+        FROM dims d, q, embeddings e WHERE e.vec_id <> q.qid
+      ), r AS (
+        SELECT dim, qid, nid,
+          row_number() OVER (PARTITION BY dim, qid ORDER BY c DESC, nid ASC) AS rk
+        FROM scored
+      ), top AS (SELECT dim, qid, nid FROM r WHERE rk <= 5),
+      f AS (SELECT qid, nid FROM top WHERE dim = 64)
+      SELECT t.dim,
+        CAST(count(DISTINCT t.qid) AS BIGINT) AS n_queries,
+        CAST(sum(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        round(sum(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END)
+          / (5.0 * count(DISTINCT t.qid)), 4) AS recall
+      FROM top t LEFT JOIN f ON t.qid = f.qid AND t.nid = f.nid
+      GROUP BY t.dim ORDER BY t.dim""",
+
     // the persisted-artifact probe must equal the in-memory build exactly
     "s11_ivf_persist" -> """
       WITH dims AS (
@@ -7942,6 +8297,66 @@ object PipelineOps {
                for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
       FROM documents ORDER BY doc_id""",
 
+    // t25: the oracle REPLAYS the training loop as a recursive CTE —
+    // the iterate carries the 5 micro-unit weights, the recursive term
+    // computes the full-batch gradient with the same rational fast
+    // sigmoid and floor quantization (transcendental-free, so the
+    // doubles agree to the bit), and the final SELECT re-measures
+    // loss and held-out accuracy at every iterate's weights.
+    "t25_trained_quality" -> """
+      WITH RECURSIVE fx AS (
+        SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+        FROM documents
+      ), fy AS (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          round((n_chars - (len(w) - 1)) * 1.0 / len(w), 4) AS mean_wlen,
+          CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+          round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_frac
+        FROM fx
+      ), feats AS (
+        SELECT doc_id,
+          CAST((n_words >= 50 AND n_words <= 100000) AND
+               (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AND
+               n_stop >= 2 AND dup_frac <= 0.7 AS BIGINT) AS y,
+          1000000::BIGINT AS x0,
+          least(n_words, 1000) * 1000 AS x1,
+          CAST(floor(least(mean_wlen, 20.0) * 50000 + 0.5) AS BIGINT) AS x2,
+          CAST(floor(dup_frac * 1000000 + 0.5) AS BIGINT) AS x3,
+          least(n_stop, 50) * 20000 AS x4,
+          (doc_id % 5) != 0 AS is_train
+        FROM fy
+      ), it(iter, w0, w1, w2, w3, w4) AS (
+        SELECT 0, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT it.iter + 1,
+          it.w0 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x0) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w1 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x1) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w2 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x2) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w3 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x3) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w4 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x4) / (count(*) * 1000000.0)) AS BIGINT)
+        FROM it
+        CROSS JOIN feats f
+        CROSS JOIN LATERAL (
+          SELECT CAST(floor(1000000 * (0.5 + 0.5 * (s.s / 1000000000000.0) / (1 + abs(s.s / 1000000000000.0)))) AS BIGINT) AS p
+          FROM (SELECT it.w0 * f.x0 + it.w1 * f.x1 + it.w2 * f.x2 + it.w3 * f.x3 + it.w4 * f.x4 AS s) s
+        ) p
+        WHERE f.is_train AND it.iter < 8
+        GROUP BY it.iter, it.w0, it.w1, it.w2, it.w3, it.w4
+      )
+      SELECT it.iter, it.w0, it.w1, it.w2, it.w3, it.w4,
+        CAST(floor(sum(CASE WHEN f.is_train THEN (f.y * 1000000 - p.p) * (f.y * 1000000 - p.p) ELSE 0 END)
+             / (sum(CASE WHEN f.is_train THEN 1 ELSE 0 END) * 1000000.0)) AS BIGINT) AS loss_micro,
+        CAST(sum(CASE WHEN NOT f.is_train AND ((p.s >= 0) = (f.y = 1)) THEN 1 ELSE 0 END) AS BIGINT) AS ho_correct,
+        CAST(sum(CASE WHEN NOT f.is_train THEN 1 ELSE 0 END) AS BIGINT) AS ho_n
+      FROM it
+      CROSS JOIN feats f
+      CROSS JOIN LATERAL (
+        SELECT s.s, CAST(floor(1000000 * (0.5 + 0.5 * (s.s / 1000000000000.0) / (1 + abs(s.s / 1000000000000.0)))) AS BIGINT) AS p
+        FROM (SELECT it.w0 * f.x0 + it.w1 * f.x1 + it.w2 * f.x2 + it.w3 * f.x3 + it.w4 * f.x4 AS s) s
+      ) p
+      GROUP BY it.iter, it.w0, it.w1, it.w2, it.w3, it.w4
+      ORDER BY iter""",
 
     "t01_langid" -> """
       WITH scored AS (
@@ -9002,6 +9417,41 @@ object PipelineOps {
     // u = (md5_bits60(len:lang len:source stat) % 1e6 + 0.5) / 1e6,
     // noise = -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|), b = Δ/ε
     // (Δ = 1 for docs, Δ = clip = 2000 for the clipped token sum)
+    // u07: the oracle constructs the canary fixture INDEPENDENTLY
+    // (SQL comprehension vs the kernel's driver-side build — two
+    // constructions that must agree byte-for-byte through the md5
+    // gate) and replays the keep-min dedup over the union.
+    "u07_canary_drill" -> """
+      WITH base AS (
+        SELECT c, unnest(generate_series(0, ([1,2,4,8])[(c % 4) + 1] - 1)) AS i
+        FROM generate_series(0, 15) t(c)
+      ), can AS (
+        SELECT 10000000 + c * 100 + i AS doc_id, c AS canary_id,
+          CASE WHEN c >= 8 THEN 'mutated' ELSE 'verbatim' END AS family,
+          ([1,2,4,8])[(c % 4) + 1] AS mult,
+          array_to_string([ 'canary' || c || '_' || j
+            for j in generate_series(1, 40) ], ' ')
+            || CASE WHEN c >= 8 THEN ' variant' || i ELSE '' END AS text
+        FROM base
+      ), all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM can
+      ), keep AS (
+        SELECT md5(text) AS h, min(doc_id) AS keep_id
+        FROM all_docs GROUP BY md5(text)
+      ), flagged AS (
+        SELECT c.family, c.mult, c.canary_id,
+          CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END AS surv
+        FROM can c LEFT JOIN keep k ON c.doc_id = k.keep_id
+      )
+      SELECT family, CAST(mult AS BIGINT) AS mult,
+        CAST(count(DISTINCT canary_id) AS BIGINT) AS n_canaries,
+        CAST(count(*) AS BIGINT) AS copies_injected,
+        CAST(sum(surv) AS BIGINT) AS survivors,
+        round(count(*) * 1.0 / count(DISTINCT canary_id), 4) AS amp_before,
+        round(sum(surv) * 1.0 / count(DISTINCT canary_id), 4) AS amp_after
+      FROM flagged GROUP BY family, mult ORDER BY family, mult""",
+
     "u05_dp_release" -> """
       WITH cells AS (
         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -989,6 +989,116 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(d24.nonEmpty && d24.exists(_._2 > 2), "corpus must have a >2-member cluster")
   }
 
+  test("s21 matryoshka audit: full-dim row is exact recall 1.0, counts bounded, no rescan after the top cut") {
+    val rows = run("s21_matryoshka_recall").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(8, 16, 32, 64))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L) // n_queries
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 50L, s"hits out of range: $r")
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val full = rows.find(_.getInt(0) == 64).get
+    assert(full.getLong(2) == 50L && full.getDouble(3) == 1.0,
+      s"full-dim recall must be exactly 1.0: $full")
+    // the comparison never rescans the corpus: the bounded top table
+    // checkpointed, so the final plan carries no file scan at all
+    val plan = run("s21_matryoshka_recall").queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"post-checkpoint comparison rescanned the corpus:\n$plan")
+  }
+
+  test("s21 recognizes a TRULY matryoshka embedding: zero tail dims -> recall 1.0 at every truncation") {
+    // vectors whose dims 9..16 are zero: the 8-dim prefix carries all
+    // the geometry, so truncated retrieval must equal full retrieval —
+    // the audit must say so (its job is to distinguish this from the
+    // corpus embeddings, where recall@8 reads 0.08)
+    import spark.implicits._
+    import graft.queries.PipelineOps.matryoshkaRecallOf
+    val vecs = (0L until 40L).map { id =>
+      val e = Array.tabulate(16)(j =>
+        if (j < 8) math.sin(id * 37.0 + j * 11.0) else 0.0)
+      (id, e)
+    }.toDF("vec_id", "e")
+    val got = matryoshkaRecallOf(vecs, vecs.filter(col("vec_id") < 5),
+        dims = Seq(8, 16), k = 3)
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(got(8) == 1.0 && got(16) == 1.0,
+      s"prefix-complete embedding must audit at recall 1.0: $got")
+  }
+
+  test("u07 canary drill: pinned grid — exact gate collapses verbatim, cannot see mutated") {
+    val got = run("u07_canary_drill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    val want = Seq(
+      ("mutated", 1L, 2L, 2L, 2L, 1.0, 1.0),
+      ("mutated", 2L, 2L, 4L, 4L, 2.0, 2.0),
+      ("mutated", 4L, 2L, 8L, 8L, 4.0, 4.0),
+      ("mutated", 8L, 2L, 16L, 16L, 8.0, 8.0),
+      ("verbatim", 1L, 2L, 2L, 2L, 1.0, 1.0),
+      ("verbatim", 2L, 2L, 4L, 2L, 2.0, 1.0),
+      ("verbatim", 4L, 2L, 8L, 2L, 4.0, 1.0),
+      ("verbatim", 8L, 2L, 16L, 2L, 8.0, 1.0))
+    assert(got == want, s"canary grid diverged:\n$got")
+    // gate shape: one digest rollup + a broadcast join back — never a
+    // corpus-keyed sort-merge join
+    val plan = run("u07_canary_drill").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"lost the broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"canary drill grew a corpus-keyed join:\n$plan")
+  }
+
+  test("u07 handoff: the NEAR-dup gate collapses the mutated family the exact gate cannot") {
+    // each mutated canary's copies differ by one trailing token —
+    // shingle jaccard ~0.9, so minJaccard=0.8 clusters them; the
+    // amp_after=mult rows in the entry are exactly what this gate fixes
+    import graft.queries.PipelineOps.canaryDocsOf
+    val mutated = canaryDocsOf(spark).filter(col("family") === "mutated" &&
+      col("mult") >= 2)
+    val clusters = graft.pipeline.Curation
+      .dupClustersAlternating(mutated, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one cluster per canary, each holding exactly its mult copies
+    val expected = canaryDocsOf(spark)
+      .filter(col("family") === "mutated" && col("mult") >= 2)
+      .groupBy("canary_id").agg(min("doc_id").as("root"),
+        count(org.apache.spark.sql.functions.lit(1)).as("m"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(clusters.toSet == expected,
+      s"near-dup gate failed to collapse the mutated family: ${clusters.toSeq} vs $expected")
+  }
+
+  test("d24 under a RELIABLE checkpoint dir: identical clusters, rounds really write through the dir") {
+    // the 100 TB story the localCheckpoint barrier can't tell: a
+    // reliable checkpointDir writes each round through the (Hadoop)
+    // FS so an executor loss doesn't kill the lineage. Same kernel,
+    // same clusters — and the dir must actually receive RDD
+    // checkpoint data, or the option silently no-ops.
+    import spark.implicits._
+    import graft.queries.PipelineOps.ccAlternatingOf
+    val ckDir = java.nio.file.Files.createTempDirectory("d24ck").toString
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (30L, 30L))).toDF("d1", "d2")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2))
+    val local = ccAlternatingOf(edges).collect().map(key).toSet
+    val reliable = ccAlternatingOf(edges, checkpointDir = Some(ckDir))
+      .collect().map(key).toSet
+    assert(reliable == local,
+      s"reliable-checkpoint run diverged: $reliable vs $local")
+    val written = new java.io.File(ckDir).listFiles()
+    assert(written != null && written.nonEmpty,
+      "checkpointDir received no checkpoint data — the reliable barrier never engaged")
+    // d11's propagation kernel honors the same option
+    import graft.queries.PipelineOps.dupLabelsOf
+    val l1 = dupLabelsOf(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l2 = dupLabelsOf(edges, rounds = 3, checkpointDir = Some(ckDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l1 == l2)
+  }
+
   test("d24 alternating CC equals plain union-find on cycle/star/complete/multi-component graphs") {
     import spark.implicits._
     import graft.queries.PipelineOps.ccAlternatingOf

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t25 — the trained quality classifier. Pins (1) the full training
+  * trace bit-identical to an independent replay of the loop (the
+  * DuckDB recursive-CTE oracle and a plain-Python IEEE replay agree on
+  * these rows — the loop is transcendental-free by design, so all
+  * three engines compute the same doubles), (2) monotone train-loss
+  * decrease, (3) that the TRAINED scorer beats the hash-weight t14
+  * scorer on held-out AUC — the point of training, and (4) that the
+  * per-iteration jobs aggregate the checkpointed feature frame and
+  * never rescan the corpus text. */
+class QualityTrainSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables.t(spark, dir, "documents")
+
+  // Independent replay of the 8-iteration lr=2.0 run at sf0.001:
+  // computed by the DuckDB recursive-CTE oracle AND a pure-Python
+  // IEEE-double replay of the loop — both produce exactly these rows.
+  private val pinned = Seq(
+    (0, 0L, 0L, 0L, 0L, 0L, 250000L, 49L, 100L),
+    (1, 25000L, 20080L, 5641L, 128091L, 30650L, 244094L, 49L, 100L),
+    (2, -36190L, 34838L, -8105L, 209105L, 54206L, 238924L, 55L, 100L),
+    (3, -79210L, 50275L, -17774L, 297008L, 78633L, 234314L, 61L, 100L),
+    (4, -123170L, 65316L, -27662L, 382083L, 102508L, 229932L, 66L, 100L),
+    (5, -165938L, 80098L, -37289L, 465540L, 126012L, 225840L, 70L, 100L),
+    (6, -207915L, 94615L, -46745L, 547304L, 149138L, 222009L, 73L, 100L),
+    (7, -249127L, 108882L, -56035L, 627482L, 171908L, 218416L, 74L, 100L),
+    (8, -289623L, 122912L, -65170L, 706158L, 194339L, 215040L, 76L, 100L))
+
+  test("t25 trace is bit-identical to the independent replay") {
+    val got = graft.queries.PipelineOps
+      .trainedQualityTraceOf(docs, lr = 2.0, iters = 8)
+      .map(s => (s.iter, s.w0, s.w1, s.w2, s.w3, s.w4, s.lossMicro,
+        s.hoCorrect, s.hoN))
+    assert(got == pinned)
+  }
+
+  test("train loss decreases strictly monotonically") {
+    val losses = pinned.map(_._7)
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss did not decrease: $a -> $b")
+    }
+  }
+
+  /** Mann-Whitney AUC with tie handling (average rank). */
+  private def aucOf(pairs: Seq[(Double, Long)]): Double = {
+    val nPos = pairs.count(_._2 == 1L).toDouble
+    val nNeg = pairs.size - nPos
+    assert(nPos > 0 && nNeg > 0, "degenerate held-out split")
+    val byScore = pairs.sortBy(_._1)
+    // average ranks over tie groups (1-based ranks)
+    val ranks = new Array[Double](byScore.size)
+    var i = 0
+    while (i < byScore.size) {
+      var j = i
+      while (j + 1 < byScore.size && byScore(j + 1)._1 == byScore(i)._1) j += 1
+      val avg = (i + j + 2) / 2.0
+      (i to j).foreach(k => ranks(k) = avg)
+      i = j + 1
+    }
+    val posRankSum = byScore.zip(ranks).collect {
+      case ((_, y), r) if y == 1L => r
+    }.sum
+    (posRankSum - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+  }
+
+  test("trained scorer beats the hash-weight t14 on held-out AUC") {
+    val w = graft.queries.PipelineOps
+      .trainedQualityWeightsOf(docs, lr = 2.0, iters = 8)
+    assert(w.toSeq == Seq(-289623L, 122912L, -65170L, 706158L, 194339L))
+    val scored = graft.queries.PipelineOps.trainedQualityScoreOf(docs, w)
+      .filter(!col("is_train"))
+      .select("doc_id", "y", "score_micro")
+    val t14 = graft.queries.PipelineOps.qualityScoreOf(docs)
+      .select(col("doc_id"), col("score"))
+    val both = scored.join(t14, "doc_id")
+      .select("y", "score_micro", "score")
+      .collect()
+    assert(both.length == 100) // held-out split is doc_id % 5 == 0
+    val trained = aucOf(both.toSeq.map(r =>
+      (r.getLong(1).toDouble, r.getLong(0))))
+    val hash = aucOf(both.toSeq.map(r => (r.getDouble(2), r.getLong(0))))
+    assert(trained >= 0.85, s"trained AUC too low: $trained")
+    assert(hash <= 0.6, s"hash-weight t14 unexpectedly predictive: $hash")
+    assert(trained > hash + 0.2,
+      s"training did not beat hash weights: $trained vs $hash")
+  }
+
+  test("scoring is a pure map: no join, no window, no hash exchange") {
+    val w = Array(-289623L, 122912L, -65170L, 706158L, 194339L)
+    val plan = graft.queries.PipelineOps.trainedQualityScoreOf(docs, w)
+      .queryExecution.executedPlan.toString
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findFirstIn(plan).isDefined, s"scoring grew a join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring grew a shuffle:\n$plan")
+  }
+
+  test("training never rescans the corpus after the feature checkpoint") {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.queries.PipelineOps.trainedQualityTraceOf(docs, 2.0, iters = 8)
+      // listener bus is async: wait for the 9 per-iteration agg plans
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      import scala.jdk.CollectionConverters._
+      while (plans.asScala.count(_.contains("g_x0")) < 9 &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      val aggPlans = plans.asScala.toVector.filter(_.contains("g_x0"))
+      assert(aggPlans.size >= 9, s"expected 9 iteration jobs, saw ${aggPlans.size}")
+      aggPlans.foreach { p =>
+        assert(!p.contains("documents.parquet") && !p.contains("FileScan"),
+          s"an iteration job rescanned the corpus:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
