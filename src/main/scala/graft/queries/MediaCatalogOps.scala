@@ -597,6 +597,40 @@ object MediaCatalogOps {
         s.read.parquet(s"$base/cells").select("dim", "n_tok"))
     }),
 
+    "st12_stream_interval_join" -> ((s0, d) => {
+      // Stream-stream INTERVAL join (Streams.attributionJoin): views
+      // and purchases replay through two memory sources; each purchase
+      // attributes to same-user views within a 4-hour window. The
+      // two-sided time bound + both-side watermarks are what bound the
+      // join state at scale (the canonical stateful-streaming operator
+      // the st-family lacked); the oracle is the equivalent BATCH
+      // interval join — inner stream-stream joins emit exactly the
+      // batch result when nothing arrives late. 55 attributed pairs at
+      // sf0.01; the late-replay drill lives in StreamsSpec.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val events = graft.Tables.t(s, d, "events")
+        .orderBy("event_id").limit(5000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.Streams.Event].collect().toSeq
+      val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Event]
+      val bIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Event]
+      val joined = graft.streaming.Streams.attributionJoin(
+        vIn.toDF().filter(col("event_type") === "view"),
+        bIn.toDF().filter(col("event_type") === "purchase"),
+        windowMinutes = 240, delay = "24 hours")
+      val name = "st12_sink_" + math.abs(d.hashCode)
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      vIn.addData(events)
+      bIn.addData(events)
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy("buy_id", "view_id")
+    }),
+
     "st03_stream_sessions" -> ((s0, d) => {
       // Streaming gap-sessionization through flatMapGroupsWithState
       // (Streams.sessionize): the first 5000 events replay through a
@@ -1225,6 +1259,21 @@ object MediaCatalogOps {
       SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM first5k GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    // st12: the stream-stream interval join equals the BATCH interval
+    // join when nothing is late — that equivalence IS the oracle
+    "st12_stream_interval_join" -> """
+      WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+      v AS (SELECT user_id, event_id AS view_id, ts AS vts
+            FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id, event_id AS buy_id, ts AS pts, value
+            FROM e WHERE event_type = 'purchase')
+      SELECT p.buy_id, v.view_id, v.user_id,
+        (epoch_ms(p.pts) // 1000 - epoch_ms(v.vts) // 1000) AS lag_seconds,
+        round(p.value, 2) AS value
+      FROM v JOIN p ON v.user_id = p.user_id
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 240 MINUTE
+      ORDER BY buy_id, view_id""",
 
     "mm05_ppm_decode" -> """
       WITH img AS (

@@ -31,6 +31,36 @@ object Streams {
       org.apache.spark.sql.functions.window(c, w)
   }
 
+  /** st12's dataflow — stream-stream INTERVAL join, the ad-attribution
+    * shape (impression stream ⋈ conversion stream): each purchase
+    * joins the views of the SAME user whose timestamp falls within
+    * [view_ts, view_ts + windowMinutes]. Both sides carry event-time
+    * watermarks and the join condition bounds the time range in BOTH
+    * directions, which is what lets Spark EVICT state: at scale the
+    * per-user join state holds only rows inside the interval + delay
+    * horizon — without the two-sided time bound, stream-stream join
+    * state grows with the stream and the job dies by memory, not by
+    * logic. Inner join: matches emit as soon as both sides have
+    * arrived (no watermark wait); rows older than the watermark are
+    * dropped on arrival (spec-drilled). Returns
+    * (buy_id, view_id, user_id, lag_seconds, value). */
+  def attributionJoin(views: DataFrame, buys: DataFrame,
+      windowMinutes: Int, delay: String): DataFrame = {
+    require(windowMinutes >= 1, s"windowMinutes must be >= 1, got $windowMinutes")
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", delay)
+    val b = buys.select(col("user_id").as("buyer_id"),
+        col("event_id").as("buy_id"), col("ts").as("pts"), col("value"))
+      .withWatermark("pts", delay)
+    v.join(b, col("user_id") === col("buyer_id") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("buy_id"), col("view_id"), col("user_id"),
+        (col("pts").cast("long") - col("vts").cast("long")).as("lag_seconds"),
+        round(col("value"), 2).as("value"))
+  }
+
   /** Streaming exactly-once-per-id dedup: drops rows whose `idCols`
     * were already seen, with state bounded by the watermark (the
     * streaming analog of the ingest path's Nats-Msg-Id window —

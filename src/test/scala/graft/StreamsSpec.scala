@@ -18,6 +18,75 @@ class StreamsSpec extends AnyFunSuite {
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.Instant.parse(s))
 
+  test("st12 interval join: crafted fixture — stream equals batch, window boundary exact, late replay dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // user 1: view at 00:00; purchases at +239 min (in), +240 min (in,
+    // boundary inclusive), +241 min (out). user 2: purchase with no
+    // prior view (no attribution). user 3: purchase BEFORE its view
+    // (no attribution — the interval is one-directional).
+    val views = Seq(
+      Event(10, ts("2024-01-01T00:00:00Z"), 1, "view", 0.0),
+      Event(11, ts("2024-01-01T08:00:00Z"), 3, "view", 0.0))
+    val buys = Seq(
+      Event(20, ts("2024-01-01T03:59:00Z"), 1, "purchase", 5.0),
+      Event(21, ts("2024-01-01T04:00:00Z"), 1, "purchase", 6.0),
+      Event(22, ts("2024-01-01T04:01:00Z"), 1, "purchase", 7.0),
+      Event(23, ts("2024-01-01T05:00:00Z"), 2, "purchase", 8.0),
+      Event(24, ts("2024-01-01T07:00:00Z"), 3, "purchase", 9.0))
+    val vIn = MemoryStream[Event]
+    val bIn = MemoryStream[Event]
+    val joined = Streams.attributionJoin(vIn.toDF(), bIn.toDF(),
+      windowMinutes = 240, delay = "1 hour")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("st12_spec").start()
+    vIn.addData(views)
+    bIn.addData(buys)
+    q.processAllAvailable()
+    val got = spark.table("st12_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == Set(
+      (20L, 10L, 1L, 14340L, 5.0),
+      (21L, 10L, 1L, 14400L, 6.0)),
+      s"interval-join fixture diverged: $got")
+    // late replay: watermark sits near 07:00 (max event-time minus 1h
+    // delay); re-publishing the matched day-old pair must add NOTHING —
+    // the watermark drops the rows and the evicted state cannot re-match
+    vIn.addData(Seq(views.head))
+    bIn.addData(Seq(buys.head))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("st12_spec").count() == 2L,
+      "late replay re-emitted attribution pairs — watermark state discipline broken")
+  }
+
+  test("st12 entry: stream-stream interval join equals the batch interval join on the corpus slice") {
+    val dir = "/root/testdata/sf0.01"
+    val stream = SparkEntry.queries("st12_stream_interval_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(stream.size == 55, s"expected 55 attributed pairs, got ${stream.size}")
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.t(spark, dir, "events")
+      .orderBy("event_id").limit(5000)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("bu"), col("event_id").as("buy_id"),
+        col("ts").as("pts"), col("value"))
+    val batch = v.join(p, col("user_id") === col("bu") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 240 MINUTES"))
+      .select(col("buy_id"), col("view_id"), col("user_id"),
+        (col("pts").cast("long") - col("vts").cast("long")).as("lag_seconds"),
+        round(col("value"), 2).as("value"))
+      .orderBy("buy_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(stream == batch, "stream-stream join diverged from the batch interval join")
+  }
+
   test("windowed counts with watermark (complete mode over memory sink)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
