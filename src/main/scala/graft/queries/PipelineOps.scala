@@ -2488,6 +2488,45 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** idx08's kernel — BOOLEAN retrieval over the stored positional
+    * index (the fourth serve mode: idx02 locates phrases, idx04
+    * ranks, idx06 bounds spans, this one is the classic
+    * `a AND b AND NOT c` filter every search system ships first):
+    * candidates are the doc-id equi-join of the MUST terms' pruned
+    * per-term scans (literal bucket PartitionFilter + pushed term
+    * predicate — df(term) rows each, never the corpus), and the NOT
+    * terms subtract by anti-join of THEIR pruned scans against the
+    * candidate set. NOT must anchor to a positive clause — a bare
+    * negation is the corpus complement, which no index can serve at
+    * scale (fail-loud require). Returns (doc_id, n_must_hits) — the
+    * summed MUST-term tf, the ranking signal a downstream scorer
+    * consumes. 100 TB: k + m bounded postings scans, doc_id
+    * equi-joins on df-sized streams, one distinct on the NOT union. */
+  private[graft] def booleanSearchOf(index: DataFrame, must: Seq[String],
+      mustNot: Seq[String]): DataFrame = {
+    require(must.nonEmpty,
+      "boolean search needs at least one MUST term — NOT cannot anchor a scan")
+    require((must ++ mustNot).distinct.size == must.size + mustNot.size,
+      s"terms must be distinct across MUST=$must and MUST NOT=$mustNot")
+    def scan(tm: String) = index
+      .filter(col("bucket") === termBucket(tm) && col("term") === tm)
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("tf"))
+    val pos = must.zipWithIndex
+      .map { case (tm, i) => scan(tm).withColumnRenamed("tf", s"tf$i") }
+      .reduce((a, b) => a.join(b, Seq("doc_id")))
+    val kept =
+      if (mustNot.isEmpty) pos
+      else pos.join(
+        mustNot.map(tm => scan(tm).select("doc_id"))
+          .reduce(_ unionByName _).distinct(),
+        Seq("doc_id"), "left_anti")
+    kept
+      .withColumn("n_must_hits",
+        must.indices.map(i => col(s"tf$i")).reduce(_ + _))
+      .select("doc_id", "n_must_hits")
+      .orderBy("doc_id")
+  }
+
   /** idx07's kernel — stored-index HEALTH AUDIT (the consistency
     * check a search system runs after builds/merges/appends, before
     * trusting the artifact: the index's own statistics must replay
@@ -3519,6 +3558,74 @@ object PipelineOps {
       .withColumn("amp_after",
         round(col("survivors") / col("n_canaries"), 4))
       .orderBy("family", "mult")
+  }
+
+  /** samp09's kernel — the packing-efficiency audit (Ding et al.
+    * 2024): pack the corpus into fixed `budget`-token bins under three
+    * deterministic packers and report each one's waste, the table a
+    * team reads before committing a batch-assembly strategy:
+    *
+    *   - `arrival`: docs fill bins in doc_id order (p02's scheme) —
+    *     zero reordering cost, straddling docs truncate;
+    *   - `sorted`: docs fill in (n_tok desc, doc_id) order — similar
+    *     lengths sit adjacent so bin boundaries cut less (the paper's
+    *     core observation), at the cost of a per-source sort;
+    *   - `bucketed`: docs route to 32-token-wide length sub-streams
+    *     first (integer bucket key — a log2 bucket would risk libm
+    *     boundary divergence between engines), each packed
+    *     independently — truncation variance collapses but every
+    *     thin bucket pays a padded tail.
+    *
+    * A bin's tokens over `budget` count as overflow (truncation),
+    * under it as padding; waste = (overflow + padding) / total.
+    * Returns (scheme, n_docs, n_bins, total_tokens, overflow_tokens,
+    * padding_tokens, waste_frac) — one row per scheme.
+    *
+    * 100 TB: every packer is a window per source (or per
+    * (source, bucket)) — p02's partitioning story, no global sort,
+    * the three schemes union BEFORE one (scheme, part, bin) partial-agg
+    * shuffle; all masses are exact BIGINTs until one rounded
+    * division. */
+  private[graft] def packingAuditOf(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be at least 1, got $budget")
+    val d = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    def cum(w: org.apache.spark.sql.expressions.WindowSpec) =
+      coalesce(sum("n_tok").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val arrival = d
+      .withColumn("scheme", lit("arrival"))
+      .withColumn("part", col("source"))
+      .withColumn("cum_before",
+        cum(Window.partitionBy("source").orderBy("doc_id")))
+    val bySize = d
+      .withColumn("scheme", lit("sorted"))
+      .withColumn("part", col("source"))
+      .withColumn("cum_before", cum(Window.partitionBy("source")
+        .orderBy(col("n_tok").desc, col("doc_id"))))
+    val bucketed = d
+      .withColumn("bkt", floor(col("n_tok") / 32).cast("long"))
+      .withColumn("scheme", lit("bucketed"))
+      .withColumn("part",
+        concat(col("source"), lit("/"), col("bkt").cast("string")))
+      .withColumn("cum_before",
+        cum(Window.partitionBy("source", "bkt").orderBy("doc_id")))
+      .drop("bkt")
+    arrival.unionByName(bySize).unionByName(bucketed)
+      .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
+      .groupBy("scheme", "part", "bin")
+      .agg(sum("n_tok").as("bin_tokens"), count(lit(1)).as("nd"))
+      .groupBy("scheme")
+      .agg(sum("nd").as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("total_tokens"),
+        sum(greatest(col("bin_tokens") - budget, lit(0L)))
+          .as("overflow_tokens"),
+        sum(greatest(lit(budget.toLong) - col("bin_tokens"), lit(0L)))
+          .as("padding_tokens"))
+      .withColumn("waste_frac", round(
+        (col("overflow_tokens") + col("padding_tokens")) / col("total_tokens"), 4))
+      .orderBy("scheme")
   }
 
   /** s21's kernel — Matryoshka truncated-dimension retrieval audit
@@ -5531,6 +5638,22 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "samp09_packing_audit" -> ((s, d) => {
+      // Packing-efficiency audit (Ding et al. 2024, "Fewer Truncations
+      // Improve Language Modeling"): the SAME corpus packed into
+      // 256-token bins under three deterministic packers — arrival
+      // order (p02's scheme), length-sorted (the paper's observation:
+      // similar lengths adjacent cut truncation — measured −31% here),
+      // and length-bucketed sub-streams (kills truncation variance but
+      // pays padding on thin buckets at this corpus size; the honest
+      // tradeoff table). Per scheme: bins, truncated (overflow) and
+      // padded token mass, waste fraction. 100 TB: every packer is a
+      // per-source (or per-(source, bucket)) window — no global sort,
+      // p02's partitioning story; the rollup is exact integers until
+      // one rounded division. Scale notes on the kernel scaladoc.
+      packingAuditOf(t(s, d, "documents"), budget = 256)
+    }),
+
     "p02_sequence_packing" -> ((s, d) => {
       // Greedy contiguous sequence packing into fixed token-budget bins
       // (pretraining batch assembly): docs in doc_id order fill
@@ -6675,6 +6798,19 @@ object PipelineOps {
       val base = EngineOps.tempDir("graft-idx02")
       positionalIndexBuild(t(s, d, "documents").select("doc_id", "text"), base)
       phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
+    }),
+
+    "idx08_boolean_search" -> ((s, d) => {
+      // Boolean retrieval from the stored index — the fourth serve
+      // mode: 'data' AND 'query' AND NOT 'slow'. Every clause bites
+      // at sf0.01 (312 docs carry both MUST terms, NOT cuts them to
+      // 44). The oracle replays from the corpus text, so index-served
+      // == corpus truth IS the hash match (idx-family convention).
+      // Scale notes on the kernel scaladoc.
+      val base = EngineOps.tempDir("graft-idx08")
+      positionalIndexBuild(t(s, d, "documents").select("doc_id", "text"), base)
+      booleanSearchOf(s.read.parquet(base),
+        must = Seq("data", "query"), mustNot = Seq("slow"))
     }),
 
     "idx06_proximity_search" -> ((s, d) => {
@@ -8973,6 +9109,41 @@ object PipelineOps {
       WHERE k * 48 < n_tok
       ORDER BY doc_id, chunk_idx""",
 
+    "samp09_packing_audit" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+      ), schemes AS (
+        SELECT 'arrival' AS scheme, source AS part, n_tok,
+          coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM d
+        UNION ALL
+        SELECT 'sorted', source, n_tok,
+          coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        FROM d
+        UNION ALL
+        SELECT 'bucketed', source || '/' || (n_tok // 32), n_tok,
+          coalesce(sum(n_tok) OVER (PARTITION BY source, n_tok // 32 ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        FROM d
+      ), binned AS (
+        SELECT scheme, part, cum_before // 256 AS bin,
+               sum(n_tok) AS bin_tokens, count(*) AS nd
+        FROM schemes GROUP BY 1, 2, 3
+      )
+      SELECT scheme,
+        CAST(sum(nd) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_bins,
+        CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(greatest(bin_tokens - 256, 0)) AS BIGINT) AS overflow_tokens,
+        CAST(sum(greatest(256 - bin_tokens, 0)) AS BIGINT) AS padding_tokens,
+        round((sum(greatest(bin_tokens - 256, 0)) + sum(greatest(256 - bin_tokens, 0)))
+          * 1.0 / sum(bin_tokens), 4) AS waste_frac
+      FROM binned GROUP BY scheme ORDER BY scheme""",
+
     "p02_sequence_packing" -> """
       WITH x AS (
         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
@@ -9717,6 +9888,19 @@ object PipelineOps {
 
     // the appended artifact must serve exactly like a single
     // full-corpus build ⇒ idx02's SQL verbatim
+    // idx08: the oracle replays boolean retrieval from the corpus
+    // TEXT, so the stored-index serve must equal corpus truth
+    "idx08_boolean_search" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+        CAST(len(list_filter(w, x -> x = 'data'))
+           + len(list_filter(w, x -> x = 'query')) AS BIGINT) AS n_must_hits
+      FROM w
+      WHERE len(list_filter(w, x -> x = 'data')) > 0
+        AND len(list_filter(w, x -> x = 'query')) > 0
+        AND len(list_filter(w, x -> x = 'slow')) = 0
+      ORDER BY doc_id""",
+
     "idx06_proximity_search" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term

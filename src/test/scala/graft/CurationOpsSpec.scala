@@ -1069,6 +1069,40 @@ class CurationOpsSpec extends AnyFunSuite {
       s"near-dup gate failed to collapse the mutated family: ${clusters.toSeq} vs $expected")
   }
 
+  test("samp09 packing audit: mass conserved, sorted cuts truncation, crafted fixture exact") {
+    val rows = run("samp09_packing_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(rows.keySet == Set("arrival", "sorted", "bucketed"))
+    // every scheme packs the same corpus: docs and token mass conserved
+    rows.values.foreach { case (nd, _, tot, o, p, w) =>
+      assert(nd == 500L && tot == rows("arrival")._3)
+      assert(o >= 0 && p >= 0 && w >= 0.0 && w <= 1.0)
+    }
+    // the paper's observation, pinned on this corpus: length-sorted
+    // packing truncates less than arrival-order packing
+    assert(rows("sorted")._4 < rows("arrival")._4,
+      s"sorted should cut overflow: ${rows("sorted")._4} vs ${rows("arrival")._4}")
+    // crafted fixture: sizes 200/100/200/100, one source, budget 256.
+    // arrival (doc_id order): bins {300, 300} -> overflow 88, pad 0.
+    // sorted (desc): 200,200,100,100 -> bins {400, 200} -> overflow
+    // 144, pad 56 (sorted is NOT universally better — the audit
+    // measures, it does not assume). bucketed (32-wide): sub-streams
+    // {200,200} and {100,100} -> bins {400, 200} likewise.
+    import spark.implicits._
+    import graft.queries.PipelineOps.packingAuditOf
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val fx = Seq((1L, "s", doc(200)), (2L, "s", doc(100)),
+      (3L, "s", doc(200)), (4L, "s", doc(100)))
+      .toDF("doc_id", "source", "text")
+    val got = packingAuditOf(fx, budget = 256).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(got("arrival") == ((2L, 600L, 88L, 0L)), s"arrival: ${got("arrival")}")
+    assert(got("sorted") == ((2L, 600L, 144L, 56L)), s"sorted: ${got("sorted")}")
+    assert(got("bucketed") == ((2L, 600L, 144L, 56L)), s"bucketed: ${got("bucketed")}")
+  }
+
   test("d24 under a RELIABLE checkpoint dir: identical clusters, rounds really write through the dir") {
     // the 100 TB story the localCheckpoint barrier can't tell: a
     // reliable checkpointDir writes each round through the (Hadoop)

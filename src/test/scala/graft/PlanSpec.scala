@@ -548,6 +548,31 @@ class PlanSpec extends AnyFunSuite {
       s"adjacency degenerated from an equi-join:\n$plan")
   }
 
+  test("idx08 boolean search: pruned per-term scans, equi-join AND, anti-join NOT — never the corpus") {
+    val df = graft.queries.PipelineOps.defs("idx08_boolean_search")(spark, dir)
+    val plan = planOf(df)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket literal did not become a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the index scan:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the NOT clause lost its anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"boolean retrieval degenerated from equi-joins:\n$plan")
+  }
+
+  test("samp09 packing audit: per-source windows, no single-partition global sort") {
+    // every packer's running total is a window partitioned by source
+    // (or source x length-bucket); a Window over one global partition
+    // would serialize the corpus through a single task at scale
+    val df = graft.queries.PipelineOps.defs("samp09_packing_audit")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Window"), s"packing lost its window form:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a packer serialized the corpus through one partition:\n$plan")
+  }
+
   test("idx06 proximity search: per-term scans prune to their buckets, equi-joins only") {
     // same serve contract as idx02: each term's scan carries its
     // literal bucket PartitionFilter + pushed term predicate; the

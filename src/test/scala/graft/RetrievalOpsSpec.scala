@@ -396,6 +396,64 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "doc count should not change under a double-append")
   }
 
+  // ---- idx08 boolean search ------------------------------------------------
+
+  test("idx08: every clause verified against the raw text; crafted corners; fail-loud requires") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{booleanSearchOf, positionalIndexBuild}
+    // corpus entry: each of the 44 hits really carries both MUST terms
+    // and zero 'slow' tokens, and no qualifying doc is missing
+    val hits = run("idx08_boolean_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val truth = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x = 'data')")).cast("long").as("a"),
+        size(expr("filter(split(text, ' '), x -> x = 'query')")).cast("long").as("b"),
+        size(expr("filter(split(text, ' '), x -> x = 'slow')")).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(hits.size == 44)
+    hits.foreach { case (id, n) =>
+      val (a, b, c) = truth(id)
+      assert(a > 0 && b > 0 && c == 0, s"doc $id violates a clause: a=$a b=$b c=$c")
+      assert(n == a + b, s"doc $id n_must_hits $n != tf sum ${a + b}")
+    }
+    truth.foreach { case (id, (a, b, c)) =>
+      if (a > 0 && b > 0 && c == 0)
+        assert(hits.contains(id), s"qualifying doc $id missing from the result")
+    }
+    // crafted corners over a tiny index: AND-only query, NOT killing
+    // everything, and a MUST term with zero postings
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx08-spec").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta beta block"),
+      (3L, "alpha gamma")).toDF("doc_id", "text")
+    positionalIndexBuild(docs, idxDir)
+    val idx = spark.read.parquet(idxDir)
+    assert(booleanSearchOf(idx, Seq("alpha", "beta"), Nil).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 3L)))
+    // NOT subtracting most of the candidates
+    assert(booleanSearchOf(idx, Seq("alpha"), Seq("gamma")).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // a MUST term with zero postings empties the conjunction
+    assert(booleanSearchOf(idx, Seq("alpha", "zzz"), Nil).collect().isEmpty)
+  }
+
+  test("idx08: requires fail loudly — empty MUST, overlapping term sets") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{booleanSearchOf, positionalIndexBuild}
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx08-req").toString
+    positionalIndexBuild(Seq((1L, "a b")).toDF("doc_id", "text"), idxDir)
+    val idx = spark.read.parquet(idxDir)
+    intercept[IllegalArgumentException] {
+      booleanSearchOf(idx, Nil, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      booleanSearchOf(idx, Seq("a"), Seq("a"))
+    }
+  }
+
   // ---- idx06 proximity (NEAR) search --------------------------------------
 
   test("idx06: unordered window corners + phrase subset + corpus recompute") {
