@@ -3869,6 +3869,26 @@ object PipelineOps {
       .select("qid", "rk", "nid", "c")
   }
 
+  /** s22's kernel — FILTERED ANN, the attribute-constrained vector
+    * search every production vector store serves ("top-k among the
+    * vectors this tenant / license / language may see" — FAISS's
+    * IDSelector, Filtered-DiskANN's filter-aware search): the IVF
+    * index is built over the FULL corpus (one shared artifact — you
+    * do not rebuild an index per predicate), and the predicate
+    * applies AT THE POSTINGS SCAN — map-side on the probe's pruned
+    * cells, BEFORE any distance math, never as a post-filter on an
+    * unfiltered top-k. Post-filtering under-fills k whenever the
+    * predicate is selective (the classic filtered-ANN bug: filter
+    * half the corpus out of an already-cut top-5 and you serve ~2.5
+    * results) — the spec drills exactly that contrast. Same output
+    * contract as s02: (qid, rk, nid, c). */
+  private[graft] def filteredIvfTopKOf(emb: DataFrame, queries: DataFrame,
+      pred: Column, k: Int, probes: Int): DataFrame =
+    ivfProbeOf(
+      meanVectors(emb.select(col("label"), col("e")), "label")
+        .select(col("label").as("clabel"), col("ce")),
+      emb.filter(pred), queries, k, probes)
+
   /** Recall@k of an approximate top-k table against an exact one (s06's
     * kernel). Both frames: (qid, nid). Returns (qid, n_hit, recall). */
   private[graft] def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
@@ -4864,6 +4884,23 @@ object PipelineOps {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       bruteForceTopKOf(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("qid", "rk")
+    }),
+
+    "s22_filtered_ann" -> ((s, d) => {
+      // Filtered ANN: top-5 by cosine among EVEN vec_ids only (the
+      // stand-in for a tenant/license predicate), served through the
+      // shared full-corpus IVF index with the predicate applied at
+      // the postings scan. Every query still fills k=5 — the
+      // post-filter formulation would under-fill (spec drill). Scale
+      // notes on the kernel scaladoc.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      filteredIvfTopKOf(emb,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe")),
+        pred = col("vec_id") % 2 === 0, k = 5, probes = 2)
         .orderBy("qid", "rk")
     }),
 
@@ -7641,6 +7678,35 @@ object PipelineOps {
         SELECT p.qid, e.vec_id AS nid,
                round(list_cosine_similarity(p.qe, e.embedding::DOUBLE[]), 4) AS c
         FROM probes p JOIN embeddings e ON e.label = p.clabel AND e.vec_id <> p.qid
+      ), r AS (
+        SELECT qid, nid, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM cand
+      )
+      SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
+    // s22: s02's probe with the predicate INSIDE the candidate scan
+    "s22_filtered_ann" -> """
+      WITH dims AS (
+        SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 10
+      ), qc AS (
+        SELECT qid, qe, clabel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, clabel ASC) AS crk
+        FROM q, cent
+      ), probes AS (SELECT qid, qe, clabel FROM qc WHERE crk <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id AS nid,
+               round(list_cosine_similarity(p.qe, e.embedding::DOUBLE[]), 4) AS c
+        FROM probes p JOIN embeddings e ON e.label = p.clabel AND e.vec_id <> p.qid
+        WHERE e.vec_id % 2 = 0
       ), r AS (
         SELECT qid, nid, c,
                row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk

@@ -1069,6 +1069,36 @@ class CurationOpsSpec extends AnyFunSuite {
       s"near-dup gate failed to collapse the mutated family: ${clusters.toSeq} vs $expected")
   }
 
+  test("s22 filtered ANN: predicate holds on every result, k fills, post-filter would under-fill") {
+    import org.apache.spark.sql.functions.{col => c}
+    val served = run("s22_filtered_ann").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every served neighbor satisfies the predicate, every query fills k
+    served.foreach { case (_, _, nid) =>
+      assert(nid % 2 == 0, s"filtered ANN served an odd vec_id $nid")
+    }
+    val perQ = served.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.size == 10 && perQ.values.forall(_ == 5),
+      s"scan-level filtering must still fill k=5: $perQ")
+    // the post-filter bug, demonstrated: filtering s02's UNFILTERED
+    // top-5 down to even ids under-fills at least one query
+    val post = run("s02_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._2 % 2 == 0)
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert((0L until 10L).exists(q => post.getOrElse(q, 0) < 5),
+      s"post-filtering never under-filled here — drill lost its bite: $post")
+    // recall against the FILTERED exact ground truth is a real number
+    import graft.queries.PipelineOps.{bruteForceTopKOf, recallOf}
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+      .select(c("vec_id"), c("label"), c("embedding").cast("array<double>").as("e"))
+    val exact = bruteForceTopKOf(emb.filter(c("vec_id") % 2 === 0),
+      emb.filter(c("vec_id") < 10), 5)
+    val rec = recallOf(exact, run("s22_filtered_ann"))
+      .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+    assert(rec > 0.2 && rec <= 1.0, s"filtered-ANN recall implausible: $rec")
+  }
+
   test("samp09 packing audit: mass conserved, sorted cuts truncation, crafted fixture exact") {
     val rows = run("samp09_packing_audit").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
