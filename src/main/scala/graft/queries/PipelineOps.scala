@@ -4331,6 +4331,131 @@ object PipelineOps {
 
   /** docs-parameterized form of d03's pipeline — SKEW.md measures it
     * against [[prefixFilterJaccardOf]] on a hot-shingle corpus. */
+  /** d26's kernel — the dedup THRESHOLD SWEEP (the decision table a
+    * team reads before committing a minJaccard: FineWeb/CCNet-style
+    * ablations pick the threshold off exactly this curve): for each
+    * candidate τ, the ≥τ near-dup graph's edge count, duplicate-doc
+    * count, verified-fixpoint cluster count ([[ccLabelsOf]] — labels
+    * are component minima, so "removed" = every non-root member), and
+    * the removed token mass. On this corpus the table shows the
+    * classic cliff: the background pair-J mass bleeds in below 0.05
+    * (τ=0.02 triples the edge set) while everything above sits on the
+    * clean ~0.99 duplicate margin — the over-aggressive-threshold
+    * disaster and the safe band, one table.
+    *
+    * 100 TB: the pair table builds ONCE at the lowest τ (the d03/d09
+    * family cost) and localCheckpoints; the per-τ graphs then run as
+    * ONE fixpoint CC — each (τ, doc) encodes into a composite node id
+    * (doc·|τ| + τ-index; components never cross τ, and the component
+    * minimum of encoded ids decodes to the component-minimum doc of
+    * the same τ), so the sweep pays ONE round-loop's job overhead and
+    * each round processes the union edge set, not |τ| separate
+    * iteration ladders (measured 8.2 → ~4 s at sf0.1 vs per-τ CC
+    * runs). The corpus text is never rescanned per threshold. */
+  private[graft] def dedupSweepOf(docs: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1),
+      s"thresholds must be in (0, 1], got $thresholds")
+    require(thresholds.distinct.size == thresholds.size,
+      s"duplicate thresholds in $thresholds")
+    val ts = thresholds.sorted
+    val nT = ts.size
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val pairs = exactJaccardPairsOf(docs, ts.head).localCheckpoint()
+    // composite node ids: one CC over the union of the per-tau graphs
+    val tagged = ts.zipWithIndex.map { case (t, i) =>
+      pairs.filter(col("jaccard") >= t)
+        .select((col("d1") * nT + i).as("d1"), (col("d2") * nT + i).as("d2"))
+    }.reduce(_ unionByName _)
+    val edgeCounts = tagged
+      .groupBy(pmod(col("d1"), lit(nT.toLong)).cast("int").as("ti"))
+      .agg(count(lit(1)).as("n_edges"))
+    val stats = ccLabelsOf(tagged)
+      .select(pmod(col("v"), lit(nT.toLong)).cast("int").as("ti"),
+        expr(s"v div $nT").as("doc"), expr(s"lbl div $nT").as("lbl_doc"))
+      .join(toks, col("doc") === col("doc_id"))
+      .groupBy("ti")
+      .agg(count(lit(1)).as("n_dup_docs"),
+        countDistinct("lbl_doc").as("n_clusters"),
+        sum(when(col("lbl_doc") =!= col("doc"), 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("lbl_doc") =!= col("doc"), col("n_tok")).otherwise(0L))
+          .as("removed_tokens"))
+    import spark.implicits._
+    val thrDf = ts.zipWithIndex
+      .map { case (t, i) => (i, math.round(t * 10000)) }
+      .toDF("ti", "thr_bp")
+    thrDf
+      .join(edgeCounts, Seq("ti"), "left")
+      .join(stats, Seq("ti"), "left")
+      .select(col("thr_bp"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+      .orderBy("thr_bp")
+  }
+
+  /** The generated DuckDB replay for [[dedupSweepOf]]: one shared
+    * pair-J table, then per threshold a recursive component-minimum
+    * reach (d11's fixpoint oracle pattern) and a summary row. */
+  private[graft] def dedupSweepOracle(thresholds: Seq[Double]): String = {
+    val blocks = thresholds.sorted.map { t =>
+      val bp = math.round(t * 10000)
+      s""", edges_$bp AS (SELECT d1, d2 FROM pj WHERE j >= $t
+      ), sym_$bp AS (
+        SELECT d1 AS src, d2 AS dst FROM edges_$bp
+        UNION ALL SELECT d2, d1 FROM edges_$bp
+      ), reach_$bp(v, lbl) AS (
+        SELECT src, src FROM sym_$bp
+        UNION
+        SELECT s.src, r.lbl FROM sym_$bp s JOIN reach_$bp r ON s.dst = r.v
+        WHERE r.lbl < s.src
+      ), lab_$bp AS (
+        SELECT l.v, min(l.lbl) AS lbl, t.n_tok
+        FROM reach_$bp l JOIN toks t ON l.v = t.doc_id GROUP BY l.v, t.n_tok
+      ), sum_$bp AS (
+        SELECT $bp AS thr_bp,
+          (SELECT count(*) FROM edges_$bp) AS n_edges,
+          coalesce(count(*), 0) AS n_dup_docs,
+          coalesce(count(DISTINCT lbl), 0) AS n_clusters,
+          coalesce(sum(CASE WHEN lbl <> v THEN 1 ELSE 0 END), 0) AS n_removed,
+          coalesce(sum(CASE WHEN lbl <> v THEN n_tok ELSE 0 END), 0) AS removed_tokens
+        FROM lab_$bp
+      )"""
+    }.mkString("")
+    val union = thresholds.sorted.map(t => math.round(t * 10000))
+      .map(bp =>
+        s"""SELECT CAST(thr_bp AS BIGINT) AS thr_bp, CAST(n_edges AS BIGINT) AS n_edges,
+          CAST(n_dup_docs AS BIGINT) AS n_dup_docs, CAST(n_clusters AS BIGINT) AS n_clusters,
+          CAST(n_removed AS BIGINT) AS n_removed, CAST(removed_tokens AS BIGINT) AS removed_tokens
+        FROM sum_$bp""")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), pj AS (
+        SELECT d1, d2, round(inter * 1.0 / (x.n + y.n - inter), 4) AS j
+        FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      ), toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+      )$blocks
+      $union
+      ORDER BY thr_bp"""
+  }
+
   private[graft] def exactJaccardPairsOf(docs: DataFrame, minJ: Double): DataFrame = {
     val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -5711,6 +5836,20 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
         .withColumn("fill", round(col("bin_tokens") / lit(budget.toDouble), 4))
         .orderBy("source", "bin")
+    }),
+
+    "d26_dedup_sweep" -> ((s, d) => {
+      // Dedup threshold sweep — the minJaccard decision table: per
+      // candidate τ, edges / dup docs / verified-fixpoint clusters /
+      // removed docs+tokens. On this corpus: τ=0.03 pulls in the
+      // background pair mass (66 edges at sf0.01, 4.7k at sf0.1 — the
+      // over-aggressive band), ≥0.05 sits on the clean ~0.99
+      // duplicate margin — the cliff a team picks its threshold off.
+      // (τ=0.02 was measured and cut: its 31k-edge background CC at
+      // sf0.1 added ~8 s for no extra signal over 0.03's cliff.)
+      // Pair table builds ONCE; scale notes on the kernel scaladoc.
+      dedupSweepOf(t(s, d, "documents"),
+        thresholds = Seq(0.03, 0.05, 0.5, 0.9))
     }),
 
     "d13_bloom_decontaminate" -> ((s, d) => {
@@ -7254,6 +7393,9 @@ object PipelineOps {
         array_to_string((list_sort(list(v)))[1:10000], ',') AS members
       FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
       GROUP BY cluster_id ORDER BY cluster_id""",
+
+    "d26_dedup_sweep" ->
+      dedupSweepOracle(Seq(0.03, 0.05, 0.5, 0.9)),
 
     "d11_dup_clusters" -> """
       WITH RECURSIVE sh AS (

@@ -1069,6 +1069,39 @@ class CurationOpsSpec extends AnyFunSuite {
       s"near-dup gate failed to collapse the mutated family: ${clusters.toSeq} vs $expected")
   }
 
+  test("d26 dedup sweep: monotone curve, the 0.02 cliff, accounting identities, crafted grades") {
+    val rows = run("d26_dedup_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(300L, 500L, 5000L, 9000L))
+    // raising tau can only shrink the graph
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3 && hi._5 <= lo._5,
+        s"sweep not monotone: $lo -> $hi")
+    }
+    // accounting: every dup doc is either a cluster root or removed
+    rows.foreach { case (_, _, dup, clusters, removed, _) =>
+      assert(clusters + removed == dup)
+    }
+    // the cliff this corpus shows: background mass below 0.05
+    val byThr = rows.map(r => r._1 -> r._2).toMap
+    assert(byThr(300L) > 2 * byThr(5000L),
+      s"expected the sub-0.05 background cliff: $byThr")
+    assert(byThr(500L) == byThr(9000L) + 4,
+      s"clean margin band drifted: $byThr")
+    // crafted grades: identical pair J=1.0, half-overlap pair J=0.3333
+    import spark.implicits._
+    import graft.queries.PipelineOps.dedupSweepOf
+    val fx = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "p q r s t u"), (4L, "p q r s x y"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = dedupSweepOf(fx, Seq(0.3, 0.95)).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap // thr_bp -> n_removed
+    assert(got == Map(3000L -> 2L, 9500L -> 1L),
+      s"graded fixture diverged: $got")
+  }
+
   test("s22 filtered ANN: predicate holds on every result, k fills, post-filter would under-fill") {
     import org.apache.spark.sql.functions.{col => c}
     val served = run("s22_filtered_ann").collect()
