@@ -2592,19 +2592,39 @@ object PipelineOps {
   private[graft] def bm25ServeFromIndex(index: DataFrame, doclen: DataFrame,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "query must have at least one term")
-    val tfs = terms.zipWithIndex.map { case (tm, i) =>
+    val tfs = bm25TermScans(index, terms)
+    val cands = tfs.map(_.select("doc_id")).reduce(_ union _).distinct()
+    bm25RankCandidates(tfs, doclen, cands, k, k1, b)
+  }
+
+  /** The per-term pruned tf scans both ranked serve modes share
+    * (idx04's union-candidates form and p12's boolean-prefiltered
+    * form): each term reads df(term) rows via its literal bucket
+    * PartitionFilter + pushed term predicate. */
+  private[graft] def bm25TermScans(index: DataFrame,
+      terms: Seq[String]): Seq[DataFrame] =
+    terms.zipWithIndex.map { case (tm, i) =>
       index.filter(col("bucket") === termBucket(tm) && col("term") === tm)
         .groupBy("doc_id").agg(count(lit(1)).cast("double").as(s"tf$i"))
     }
-    val cands = tfs.map(_.select("doc_id")).reduce(_ union _).distinct()
+
+  /** The scoring core of [[bm25ServeFromIndex]], factored so a caller
+    * can rank a DIFFERENT candidate set (p12 ranks the boolean
+    * prefilter's survivors) under identical scoring: idf stays the
+    * term's FULL-corpus df (restriction changes who is ranked, never
+    * how — the production semantics; a restricted df would re-weight
+    * terms by the filter). */
+  private[graft] def bm25RankCandidates(tfs: Seq[DataFrame],
+      doclen: DataFrame, cands: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
     var feat = cands.join(doclen, Seq("doc_id"))
     tfs.foreach(tfI => feat = feat.join(tfI, Seq("doc_id"), "left"))
     val stats = (doclen.agg(count(lit(1)).cast("double").as("n"),
       avg("dl").as("avgdl")) +:
-      terms.indices.map(i =>
+      tfs.indices.map(i =>
         tfs(i).agg(count(lit(1)).cast("double").as(s"df$i"))))
       .reduce(_ crossJoin _)
-    val score = terms.indices.map { i =>
+    val score = tfs.indices.map { i =>
       val tf = coalesce(col(s"tf$i"), lit(0.0))
       val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
       idf * tf * (k1 + 1) /
@@ -2614,6 +2634,33 @@ object PipelineOps {
       .select(col("doc_id"), round(score, 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** p12's kernel — the composed SEARCH-SERVE pipeline over one
+    * stored artifact pair (index + doclen sidecar): the boolean
+    * prefilter (idx08's semantics — MUST equi-joins, NOT anti-join)
+    * narrows to candidates, BM25 (idx04's scoring, verbatim) ranks
+    * ONLY those survivors. This is how a search system actually
+    * executes `a AND b AND NOT c` ranked: filter on df-sized postings
+    * streams first, score the small survivor set, never the corpus.
+    * The MUST terms' tf scans build ONCE and feed both the filter and
+    * the scorer. Returns (doc_id, score), top-k. */
+  private[graft] def booleanRankedServeOf(index: DataFrame,
+      doclen: DataFrame, must: Seq[String], mustNot: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(must.nonEmpty,
+      "ranked boolean serve needs at least one MUST term")
+    require((must ++ mustNot).distinct.size == must.size + mustNot.size,
+      s"terms must be distinct across MUST=$must and MUST NOT=$mustNot")
+    val tfs = bm25TermScans(index, must)
+    val pos = tfs.map(_.select("doc_id")).reduce((a, b) => a.join(b, Seq("doc_id")))
+    val kept =
+      if (mustNot.isEmpty) pos
+      else pos.join(
+        bm25TermScans(index, mustNot).map(_.select("doc_id"))
+          .reduce(_ unionByName _).distinct(),
+        Seq("doc_id"), "left_anti")
+    bm25RankCandidates(tfs, doclen, kept, k, k1, b)
   }
 
   /** t20's kernel — unigram-LM (SentencePiece-style) Viterbi
@@ -7030,6 +7077,22 @@ object PipelineOps {
       indexHealthOf(s.read.parquet(base))
     }),
 
+    "p12_search_pipeline" -> ((s, d) => {
+      // The composed search-serve chain over ONE stored artifact
+      // pair: boolean prefilter ('data' AND 'query' AND NOT 'slow',
+      // idx08's semantics) -> BM25 rank of the 44 survivors (idx04's
+      // scoring verbatim, full-corpus idf) -> top-10. The MUST terms'
+      // pruned tf scans build once and feed both stages. Scale notes
+      // on the kernel scaladoc.
+      val base = EngineOps.tempDir("graft-p12")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      positionalIndexBuild(docs, s"$base/index")
+      docLengthBuild(docs, s"$base/doclen")
+      booleanRankedServeOf(
+        s.read.parquet(s"$base/index"), s.read.parquet(s"$base/doclen"),
+        must = Seq("data", "query"), mustNot = Seq("slow"), k = 10)
+    }),
+
     "idx04_bm25_serve" -> ((s, d) => {
       // BM25 ranked retrieval served from the STORED artifacts —
       // completes the search lifecycle (idx01 builds the ranked head,
@@ -9954,6 +10017,28 @@ object PipelineOps {
     // the index-served ranking must equal the live scan ⇒ s07's SQL
     // verbatim (>= k docs match >= 1 query term on this corpus, so the
     // candidates-only serve sees the same top-k)
+    // p12: idx04's scoring formula restricted to idx08's boolean
+    // survivors — full-corpus df/n, candidates filtered by the clauses
+    "p12_search_pipeline" -> """
+      WITH feat AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               len(list_filter(string_split(text, ' '), x -> x = 'data'))  AS tf0,
+               len(list_filter(string_split(text, ' '), x -> x = 'query')) AS tf1,
+               len(list_filter(string_split(text, ' '), x -> x = 'slow'))  AS tfn
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+        FROM feat)
+      SELECT doc_id, round(
+          ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+          ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl)),
+          4) AS score
+      FROM feat, stats
+      WHERE tf0 > 0 AND tf1 > 0 AND tfn = 0
+      ORDER BY score DESC, doc_id LIMIT 10""",
+
     "idx04_bm25_serve" -> """
       WITH feat AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl,

@@ -454,6 +454,42 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- p12 composed search serve -------------------------------------------
+
+  test("p12: ranked serve = boolean candidates sorted by a text-recomputed BM25") {
+    val served = run("p12_search_pipeline").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.size == 10)
+    // every served doc is an idx08 candidate (stage composition holds)
+    val cands = run("idx08_boolean_search").collect().map(_.getLong(0)).toSet
+    served.foreach { case (id, _) =>
+      assert(cands.contains(id), s"served doc $id is not a boolean candidate")
+    }
+    // independent ground truth: recompute BM25 from the raw text with
+    // full-corpus df/n, restrict to the clauses, sort, cut
+    val f = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"),
+        size(expr("filter(split(text, ' '), x -> x = 'data')")).cast("double").as("tf0"),
+        size(expr("filter(split(text, ' '), x -> x = 'query')")).cast("double").as("tf1"),
+        size(expr("filter(split(text, ' '), x -> x = 'slow')")).cast("double").as("tfn"))
+    val st = f.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"),
+      sum(when(col("tf0") > 0, 1.0).otherwise(0.0)).as("df0"),
+      sum(when(col("tf1") > 0, 1.0).otherwise(0.0)).as("df1"))
+    def part(tf: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column) =
+      log((col("n") - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val truth = f.crossJoin(st)
+      .filter(col("tf0") > 0 && col("tf1") > 0 && col("tfn") === 0)
+      .select(col("doc_id"),
+        round(part(col("tf0"), col("df0")) + part(col("tf1"), col("df1")), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == truth,
+      s"index-served ranking diverged from the text recompute:\n$served\nvs\n$truth")
+  }
+
   // ---- idx06 proximity (NEAR) search --------------------------------------
 
   test("idx06: unordered window corners + phrase subset + corpus recompute") {
