@@ -3936,6 +3936,61 @@ object PipelineOps {
         .select(col("label").as("clabel"), col("ce")),
       emb.filter(pred), queries, k, probes)
 
+  /** s23's kernel — the IVF nprobe TUNING SWEEP (the recall-vs-cost
+    * curve a serving team reads before fixing nprobe, the ANN-side
+    * sibling of d25's LSH calibration and d26's threshold sweep): per
+    * candidate probe count, recall@k against the exact brute-force
+    * top-k AND the number of candidates actually scored — the cost
+    * axis (at nprobe = #cells the scan IS the corpus; the table shows
+    * where recall saturates below that). Engineered as ONE pass:
+    * candidates score ONCE at max(nprobe) carrying their cell's probe
+    * rank, then every smaller setting derives by `crk <= p` (probed
+    * cell sets are nested by construction) — an in-row explode over
+    * the probe grid, not |grid| separate scans. Returns
+    * (probes, n_queries, hits, recall, n_scored). */
+  private[graft] def ivfProbeSweepOf(emb: DataFrame, queries: DataFrame,
+      k: Int, probesList: Seq[Int]): DataFrame = {
+    require(probesList.nonEmpty && probesList.forall(_ >= 1),
+      s"probe counts must be positive, got $probesList")
+    require(probesList.distinct.size == probesList.size,
+      s"duplicate probe counts in $probesList")
+    graft.exprs.CosineSim.register(emb.sparkSession)
+    val maxP = probesList.max
+    val cent = meanVectors(emb.select(col("label"), col("e")), "label")
+      .select(col("label").as("clabel"), col("ce"))
+    val wc = Window.partitionBy("qid").orderBy(col("cc").desc, col("clabel").asc)
+    val probed = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("qe"), col("clabel"),
+        round(expr("cosine_sim(qe, ce)"), 6).as("cc"))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= maxP)
+      .select("qid", "qe", "clabel", "crk")
+    val scored = probed
+      .join(emb, col("label") === col("clabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("crk"), col("vec_id").as("nid"),
+        round(expr("cosine_sim(qe, e)"), 4).as("c"))
+      .localCheckpoint() // one scoring pass serves every probe setting
+    val withP = scored.withColumn("p", explode(typedLit(probesList)))
+      .filter(col("crk") <= col("p"))
+    val w = Window.partitionBy("p", "qid").orderBy(col("c").desc, col("nid").asc)
+    val top = withP.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("p", "qid", "nid")
+    val exact = bruteForceTopKOf(emb, queries, k)
+      .select(col("qid").as("eqid"), col("nid").as("enid"))
+    val hits = top.join(exact,
+        col("qid") === col("eqid") && col("nid") === col("enid"), "left")
+      .groupBy("p")
+      .agg(countDistinct("qid").as("n_queries"),
+        sum(when(col("eqid").isNotNull, 1L).otherwise(0L)).as("hits"))
+    val scanned = withP.groupBy("p").agg(count(lit(1)).as("n_scored"))
+    hits.join(scanned, Seq("p"))
+      .select(col("p").as("probes"), col("n_queries"), col("hits"),
+        round(col("hits") / (lit(k) * col("n_queries")), 4).as("recall"),
+        col("n_scored"))
+      .orderBy("probes")
+  }
+
   /** Recall@k of an approximate top-k table against an exact one (s06's
     * kernel). Both frames: (qid, nid). Returns (qid, n_hit, recall). */
   private[graft] def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
@@ -5057,6 +5112,19 @@ object PipelineOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       bruteForceTopKOf(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("qid", "rk")
+    }),
+
+    "s23_nprobe_sweep" -> ((s, d) => {
+      // IVF nprobe tuning sweep: recall@5 vs candidates scored at
+      // nprobe = 1/2/4/8 of 10 cells — the serving decision table
+      // (d25 calibrates LSH banding, this calibrates the IVF probe).
+      // One scoring pass at nprobe=8 serves every smaller setting
+      // (probe sets are nested). Scale notes on the kernel scaladoc.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      ivfProbeSweepOf(emb, emb.filter(col("vec_id") < 10),
+        k = 5, probesList = Seq(1, 2, 4, 8))
     }),
 
     "s22_filtered_ann" -> ((s, d) => {
@@ -7889,6 +7957,55 @@ object PipelineOps {
         FROM cand
       )
       SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
+
+    // s23: one scoring pass at max nprobe, every smaller setting
+    // derived by crk <= p; recall joined against the exact top-k
+    "s23_nprobe_sweep" -> """
+      WITH dims AS (
+        SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 10
+      ), qc AS (
+        SELECT qid, qe, clabel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, clabel ASC) AS crk
+        FROM q, cent
+      ), probed AS (SELECT qid, qe, clabel, crk FROM qc WHERE crk <= 8),
+      scored AS (
+        SELECT p.qid, p.crk, e.vec_id AS nid,
+               round(list_cosine_similarity(p.qe, e.embedding::DOUBLE[]), 4) AS c
+        FROM probed p JOIN embeddings e ON e.label = p.clabel AND e.vec_id <> p.qid
+      ), wp AS (
+        SELECT pr.p, s.qid, s.crk, s.nid, s.c
+        FROM scored s, (VALUES (1),(2),(4),(8)) pr(p) WHERE s.crk <= pr.p
+      ), top AS (
+        SELECT p, qid, nid FROM (
+          SELECT p, qid, nid,
+                 row_number() OVER (PARTITION BY p, qid ORDER BY c DESC, nid ASC) AS rk
+          FROM wp) WHERE rk <= 5
+      ), exq AS (
+        SELECT qid, nid FROM (
+          SELECT q.qid, e.vec_id AS nid,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 4) DESC,
+                            e.vec_id ASC) AS rk
+          FROM q, embeddings e WHERE e.vec_id <> q.qid) WHERE rk <= 5
+      ), hits AS (
+        SELECT t.p, count(DISTINCT t.qid) AS n_queries,
+               sum(CASE WHEN x.qid IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        FROM top t LEFT JOIN exq x ON t.qid = x.qid AND t.nid = x.nid
+        GROUP BY t.p
+      ), sc AS (SELECT p, count(*) AS n_scored FROM wp GROUP BY p)
+      SELECT h.p AS probes, CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(hits AS BIGINT) AS hits,
+             round(hits / (5.0 * n_queries), 4) AS recall,
+             CAST(n_scored AS BIGINT) AS n_scored
+      FROM hits h JOIN sc USING (p) ORDER BY probes""",
 
     // s22: s02's probe with the predicate INSIDE the candidate scan
     "s22_filtered_ann" -> """

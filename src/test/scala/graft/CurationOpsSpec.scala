@@ -1102,6 +1102,29 @@ class CurationOpsSpec extends AnyFunSuite {
       s"graded fixture diverged: $got")
   }
 
+  test("s23 nprobe sweep: recall monotone in probes, cost axis strictly grows, p=2 row equals s06's measurement") {
+    val rows = run("s23_nprobe_sweep").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.foreach { case (_, nq, hits, rec, _) =>
+      assert(nq == 10L && hits <= 50L && rec >= 0.0 && rec <= 1.0)
+    }
+    // probe sets are nested, so recall can only grow and the scan
+    // cost strictly grows with nprobe
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._4 >= lo._4, s"recall dropped as probes grew: $lo -> $hi")
+      assert(hi._5 > lo._5, s"scan cost must strictly grow: $lo -> $hi")
+    }
+    // cross-check: the p=2 row must reproduce s06's measured recall
+    // (s06 = recall of s02's nprobe=2 serve vs s01's exact top-5)
+    import org.apache.spark.sql.functions.avg
+    val s06 = run("s06_ann_recall").agg(avg("recall")).head.getDouble(0)
+    val p2 = rows.find(_._1 == 2).get._4
+    assert(math.abs(p2 - s06) < 1e-9,
+      s"sweep p=2 recall $p2 != s06's measurement $s06")
+  }
+
   test("s22 filtered ANN: predicate holds on every result, k fills, post-filter would under-fill") {
     import org.apache.spark.sql.functions.{col => c}
     val served = run("s22_filtered_ann").collect()
