@@ -1403,7 +1403,9 @@ object PipelineOps {
     * (bias, capped word count, capped mean word length, duplicate-word
     * fraction, capped stopword count — each scaled into [0, 1e6]), and
     * an `is_train` split flag (doc_id % 5 != 0 trains; % 5 == 0 is
-    * held out). Integer features make every gradient sum EXACT in
+    * held out), plus pass-through `lang`/`n_tok` so a composed
+    * release (p13) scores and rolls up off this ONE scan. Integer
+    * features make every gradient sum EXACT in
     * both engines regardless of association order. The mean-word-
     * length / dup-fraction roundings replay t10's oracle-proven
     * formulas verbatim (ref: the Gopher rule family,
@@ -1419,7 +1421,7 @@ object PipelineOps {
         size(expr("filter(w, x -> x = 'the' OR x = 'a')")).cast("long"))
       .withColumn("dup_frac",
         round(lit(1.0) - size(array_distinct(col("w"))) / col("n_words"), 4))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), col("n_words").as("n_tok"),
         ((col("n_words") >= 50 && col("n_words") <= 100000) &&
           (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0) &&
           (col("n_stop") >= 2) && (col("dup_frac") <= 0.7))
@@ -1534,6 +1536,32 @@ object PipelineOps {
       col("is_train"), s.as("s"),
       floor(lit(1000000) * (lit(0.5) + lit(0.5) * z / (lit(1) + abs(z))))
         .as("score_micro"))
+  }
+
+  /** p13's kernel — the composed MODEL-BASED FILTERING chain (the
+    * FineWeb-Edu shape end-to-end): t25's trainer produces the
+    * weights, the trained scorer gates every document (keep iff the
+    * linear score s = w·x ≥ 0 — the exact-integer decision boundary,
+    * no float edge), and the survivors roll into a per-language
+    * release card (docs, kept docs, kept token mass, id checksum
+    * pinning EXACT membership). One feature scan serves scoring AND
+    * the rollup ([[qualityTrainFeaturesOf]] carries lang/n_tok
+    * through); training reads its own checkpointed feature frame
+    * (t25's scale story — in production the weights would load from
+    * the model artifact instead of retraining per release). */
+  private[graft] def trainedQualityReleaseOf(docs: DataFrame, lr: Double,
+      iters: Int): DataFrame = {
+    val w = trainedQualityWeightsOf(docs, lr, iters)
+    val s = Array("x0", "x1", "x2", "x3", "x4").zip(w)
+      .map { case (x, wj) => col(x) * lit(wj) }.reduce(_ + _)
+    qualityTrainFeaturesOf(docs)
+      .select(col("lang"), col("n_tok"), col("doc_id"), s.as("s"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("s") >= 0, col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("s") >= 0, col("doc_id")).otherwise(0L)).as("id_checksum"))
+      .orderBy("lang")
   }
 
   /** s09's kernel — product-quantization encode (Jégou et al. 2011,
@@ -6957,6 +6985,15 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "p13_model_release" -> ((s, d) => {
+      // The composed model-based filtering chain (FineWeb-Edu's
+      // shape, end-to-end): t25's trainer -> the trained linear gate
+      // (keep iff w·x >= 0, an exact-integer boundary) -> per-lang
+      // release card with id checksum. One feature scan serves
+      // scoring and the rollup. Scale notes on the kernel scaladoc.
+      trainedQualityReleaseOf(t(s, d, "documents"), lr = 2.0, iters = 8)
+    }),
+
     "t25_trained_quality" -> ((s, d) => {
       // The TRAINING half of the model-based quality filter (t14 is
       // the scoring shape): 8 iterations of deterministic batch
@@ -7375,6 +7412,54 @@ object PipelineOps {
                                   for i in generate_series(1, 64) ]) AS dist
                 FROM emb m, c2 c))
         WHERE rk = 1)"""
+
+  /** The shared t25/p13 oracle prefix: feature construction + the
+    * recursive-CTE training loop (rational fast sigmoid, exact BIGINT
+    * gradients, floor quantization — every double IEEE-identical to
+    * the Spark kernel's). Ends inside the WITH clause so each entry
+    * appends its own final SELECT (t25: the per-iterate trace; p13:
+    * the trained-weight gate + release rollup). */
+  private[graft] def qualityTrainCtes: String = """
+      WITH RECURSIVE fx AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w, length(text) AS n_chars
+        FROM documents
+      ), fy AS (
+        SELECT doc_id, lang,
+          CAST(len(w) AS BIGINT) AS n_words,
+          round((n_chars - (len(w) - 1)) * 1.0 / len(w), 4) AS mean_wlen,
+          CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
+          round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_frac
+        FROM fx
+      ), feats AS (
+        SELECT doc_id, lang, n_words AS n_tok,
+          CAST((n_words >= 50 AND n_words <= 100000) AND
+               (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AND
+               n_stop >= 2 AND dup_frac <= 0.7 AS BIGINT) AS y,
+          1000000::BIGINT AS x0,
+          least(n_words, 1000) * 1000 AS x1,
+          CAST(floor(least(mean_wlen, 20.0) * 50000 + 0.5) AS BIGINT) AS x2,
+          CAST(floor(dup_frac * 1000000 + 0.5) AS BIGINT) AS x3,
+          least(n_stop, 50) * 20000 AS x4,
+          (doc_id % 5) != 0 AS is_train
+        FROM fy
+      ), it(iter, w0, w1, w2, w3, w4) AS (
+        SELECT 0, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT it.iter + 1,
+          it.w0 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x0) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w1 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x1) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w2 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x2) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w3 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x3) / (count(*) * 1000000.0)) AS BIGINT),
+          it.w4 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x4) / (count(*) * 1000000.0)) AS BIGINT)
+        FROM it
+        CROSS JOIN feats f
+        CROSS JOIN LATERAL (
+          SELECT CAST(floor(1000000 * (0.5 + 0.5 * (s.s / 1000000000000.0) / (1 + abs(s.s / 1000000000000.0)))) AS BIGINT) AS p
+          FROM (SELECT it.w0 * f.x0 + it.w1 * f.x1 + it.w2 * f.x2 + it.w3 * f.x3 + it.w4 * f.x4 AS s) s
+        ) p
+        WHERE f.is_train AND it.iter < 8
+        GROUP BY it.iter, it.w0, it.w1, it.w2, it.w3, it.w4
+      )"""
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> """
@@ -8821,53 +8906,30 @@ object PipelineOps {
                for t in string_split(text, ' ') ]) / len(string_split(text, ' ')))), 4) AS score
       FROM documents ORDER BY doc_id""",
 
+    // p13: the shared training CTEs, then the trained weights (iter 8)
+    // gate every doc at the exact-integer boundary w·x >= 0
+    "p13_model_release" -> (qualityTrainCtes + """
+      , wf AS (SELECT w0, w1, w2, w3, w4 FROM it WHERE iter = 8),
+      scored AS (
+        SELECT f.doc_id, f.lang, f.n_tok,
+          (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) AS s
+        FROM feats f, wf w
+      )
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN s >= 0 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        CAST(sum(CASE WHEN s >= 0 THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+      FROM scored GROUP BY lang ORDER BY lang"""),
+
     // t25: the oracle REPLAYS the training loop as a recursive CTE —
     // the iterate carries the 5 micro-unit weights, the recursive term
     // computes the full-batch gradient with the same rational fast
     // sigmoid and floor quantization (transcendental-free, so the
     // doubles agree to the bit), and the final SELECT re-measures
     // loss and held-out accuracy at every iterate's weights.
-    "t25_trained_quality" -> """
-      WITH RECURSIVE fx AS (
-        SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
-        FROM documents
-      ), fy AS (
-        SELECT doc_id,
-          CAST(len(w) AS BIGINT) AS n_words,
-          round((n_chars - (len(w) - 1)) * 1.0 / len(w), 4) AS mean_wlen,
-          CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop,
-          round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_frac
-        FROM fx
-      ), feats AS (
-        SELECT doc_id,
-          CAST((n_words >= 50 AND n_words <= 100000) AND
-               (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AND
-               n_stop >= 2 AND dup_frac <= 0.7 AS BIGINT) AS y,
-          1000000::BIGINT AS x0,
-          least(n_words, 1000) * 1000 AS x1,
-          CAST(floor(least(mean_wlen, 20.0) * 50000 + 0.5) AS BIGINT) AS x2,
-          CAST(floor(dup_frac * 1000000 + 0.5) AS BIGINT) AS x3,
-          least(n_stop, 50) * 20000 AS x4,
-          (doc_id % 5) != 0 AS is_train
-        FROM fy
-      ), it(iter, w0, w1, w2, w3, w4) AS (
-        SELECT 0, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
-        UNION ALL
-        SELECT it.iter + 1,
-          it.w0 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x0) / (count(*) * 1000000.0)) AS BIGINT),
-          it.w1 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x1) / (count(*) * 1000000.0)) AS BIGINT),
-          it.w2 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x2) / (count(*) * 1000000.0)) AS BIGINT),
-          it.w3 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x3) / (count(*) * 1000000.0)) AS BIGINT),
-          it.w4 + CAST(floor(2.0 * sum((f.y * 1000000 - p.p) * f.x4) / (count(*) * 1000000.0)) AS BIGINT)
-        FROM it
-        CROSS JOIN feats f
-        CROSS JOIN LATERAL (
-          SELECT CAST(floor(1000000 * (0.5 + 0.5 * (s.s / 1000000000000.0) / (1 + abs(s.s / 1000000000000.0)))) AS BIGINT) AS p
-          FROM (SELECT it.w0 * f.x0 + it.w1 * f.x1 + it.w2 * f.x2 + it.w3 * f.x3 + it.w4 * f.x4 AS s) s
-        ) p
-        WHERE f.is_train AND it.iter < 8
-        GROUP BY it.iter, it.w0, it.w1, it.w2, it.w3, it.w4
-      )
+    // The fx/fy/feats/it chain is shared with p13 (qualityTrainCtes).
+    "t25_trained_quality" -> (qualityTrainCtes + """
       SELECT it.iter, it.w0, it.w1, it.w2, it.w3, it.w4,
         CAST(floor(sum(CASE WHEN f.is_train THEN (f.y * 1000000 - p.p) * (f.y * 1000000 - p.p) ELSE 0 END)
              / (sum(CASE WHEN f.is_train THEN 1 ELSE 0 END) * 1000000.0)) AS BIGINT) AS loss_micro,
@@ -8880,7 +8942,7 @@ object PipelineOps {
         FROM (SELECT it.w0 * f.x0 + it.w1 * f.x1 + it.w2 * f.x2 + it.w3 * f.x3 + it.w4 * f.x4 AS s) s
       ) p
       GROUP BY it.iter, it.w0, it.w1, it.w2, it.w3, it.w4
-      ORDER BY iter""",
+      ORDER BY iter"""),
 
     "t01_langid" -> """
       WITH scored AS (

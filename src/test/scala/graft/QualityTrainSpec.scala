@@ -100,6 +100,28 @@ class QualityTrainSpec extends AnyFunSuite {
       s"training did not beat hash weights: $trained vs $hash")
   }
 
+  test("p13 release: gate bites, kept set identical to the trained scorer's s >= 0") {
+    val rows = graft.queries.PipelineOps
+      .trainedQualityReleaseOf(docs, lr = 2.0, iters = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._2).sum
+    val kept = rows.map(_._3).sum
+    assert(total == 500L)
+    assert(kept > 0 && kept < total, s"gate must really bite: $kept/$total")
+    // membership identity vs the scorer facade, per lang
+    val w = Array(-289623L, 122912L, -65170L, 706158L, 194339L)
+    val scored = graft.queries.PipelineOps.trainedQualityScoreOf(docs, w)
+      .filter(col("s") >= 0).select("doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang").agg(sum("doc_id").as("ck"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach { case (lang, _, _, _, ck) =>
+      assert(scored.getOrElse(lang, 0L) == ck,
+        s"release checksum for $lang diverged from the scorer: $ck vs ${scored.get(lang)}")
+    }
+  }
+
   test("scoring is a pure map: no join, no window, no hash exchange") {
     val w = Array(-289623L, 122912L, -65170L, 706158L, 194339L)
     val plan = graft.queries.PipelineOps.trainedQualityScoreOf(docs, w)
