@@ -1002,11 +1002,19 @@ object PipelineOps {
   private[graft] def graphAnnServeOf(emb: DataFrame, graph: DataFrame,
       queries: DataFrame, entries: Int, beam: Int, rounds: Int,
       k: Int): DataFrame = {
+    // validate BEFORE the eager symmetrize+checkpoint job — a bad
+    // argument must not cost a full graph materialization to reject
+    requireServeParams(entries, beam, rounds, k)
     val sym = graph.select(col("vec_id").as("a"), col("nbr_id").as("b"))
       .union(graph.select(col("nbr_id").as("a"), col("vec_id").as("b")))
       .distinct().localCheckpoint()
     graphAnnServeCore(emb, sym, queries, entries, beam, rounds, k)
   }
+
+  private def requireServeParams(entries: Int, beam: Int, rounds: Int,
+      k: Int): Unit =
+    require(entries >= 1 && beam >= 1 && rounds >= 1 && k >= 1,
+      "entries, beam, rounds, k must all be at least 1")
 
   /** s20's build half — persist the refined kNN graph as the SERVE
     * artifact: the symmetrized (a, b) adjacency edge list, parquet-
@@ -1040,8 +1048,7 @@ object PipelineOps {
   private def graphAnnServeCore(emb: DataFrame, sym: DataFrame,
       queries: DataFrame, entries: Int, beam: Int, rounds: Int,
       k: Int): DataFrame = {
-    require(entries >= 1 && beam >= 1 && rounds >= 1 && k >= 1,
-      "entries, beam, rounds, k must all be at least 1")
+    requireServeParams(entries, beam, rounds, k)
     graft.exprs.CosineSim.register(emb.sparkSession)
     val vecs = emb.select(col("vec_id").as("nid"), col("e").as("ne"))
     val qs = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
@@ -2530,24 +2537,40 @@ object PipelineOps {
     * summed MUST-term tf, the ranking signal a downstream scorer
     * consumes. 100 TB: k + m bounded postings scans, doc_id
     * equi-joins on df-sized streams, one distinct on the NOT union. */
-  private[graft] def booleanSearchOf(index: DataFrame, must: Seq[String],
-      mustNot: Seq[String]): DataFrame = {
+  /** The one definition of `a AND b AND NOT c` both boolean serve
+    * modes share (idx08's filter and p12's ranked form must never
+    * diverge on the semantics): MUST frames — each (doc_id, ...) —
+    * equi-join on doc_id (their extra columns survive), NOT frames
+    * subtract by anti-join of their unioned doc ids. */
+  private[graft] def booleanCandidatesOf(mustScans: Seq[DataFrame],
+      notScans: Seq[DataFrame]): DataFrame = {
+    val pos = mustScans.reduce((a, b) => a.join(b, Seq("doc_id")))
+    if (notScans.isEmpty) pos
+    else pos.join(
+      notScans.map(_.select("doc_id")).reduce(_ unionByName _).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The shared fail-loud contract of the boolean serve modes. */
+  private[graft] def requireBooleanQuery(must: Seq[String],
+      mustNot: Seq[String]): Unit = {
     require(must.nonEmpty,
       "boolean search needs at least one MUST term — NOT cannot anchor a scan")
     require((must ++ mustNot).distinct.size == must.size + mustNot.size,
       s"terms must be distinct across MUST=$must and MUST NOT=$mustNot")
+  }
+
+  private[graft] def booleanSearchOf(index: DataFrame, must: Seq[String],
+      mustNot: Seq[String]): DataFrame = {
+    requireBooleanQuery(must, mustNot)
     def scan(tm: String) = index
       .filter(col("bucket") === termBucket(tm) && col("term") === tm)
       .groupBy("doc_id").agg(count(lit(1)).cast("long").as("tf"))
-    val pos = must.zipWithIndex
-      .map { case (tm, i) => scan(tm).withColumnRenamed("tf", s"tf$i") }
-      .reduce((a, b) => a.join(b, Seq("doc_id")))
-    val kept =
-      if (mustNot.isEmpty) pos
-      else pos.join(
-        mustNot.map(tm => scan(tm).select("doc_id"))
-          .reduce(_ unionByName _).distinct(),
-        Seq("doc_id"), "left_anti")
+    val kept = booleanCandidatesOf(
+      must.zipWithIndex.map { case (tm, i) =>
+        scan(tm).withColumnRenamed("tf", s"tf$i")
+      },
+      mustNot.map(scan))
     kept
       .withColumn("n_must_hits",
         must.indices.map(i => col(s"tf$i")).reduce(_ + _))
@@ -2676,18 +2699,10 @@ object PipelineOps {
   private[graft] def booleanRankedServeOf(index: DataFrame,
       doclen: DataFrame, must: Seq[String], mustNot: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(must.nonEmpty,
-      "ranked boolean serve needs at least one MUST term")
-    require((must ++ mustNot).distinct.size == must.size + mustNot.size,
-      s"terms must be distinct across MUST=$must and MUST NOT=$mustNot")
+    requireBooleanQuery(must, mustNot)
     val tfs = bm25TermScans(index, must)
-    val pos = tfs.map(_.select("doc_id")).reduce((a, b) => a.join(b, Seq("doc_id")))
-    val kept =
-      if (mustNot.isEmpty) pos
-      else pos.join(
-        bm25TermScans(index, mustNot).map(_.select("doc_id"))
-          .reduce(_ unionByName _).distinct(),
-        Seq("doc_id"), "left_anti")
+    val kept = booleanCandidatesOf(tfs.map(_.select("doc_id")),
+      bm25TermScans(index, mustNot))
     bm25RankCandidates(tfs, doclen, kept, k, k1, b)
   }
 
@@ -3616,6 +3631,13 @@ object PipelineOps {
     * is exact integers until the final rounded divisions. */
   private[graft] def canaryDrillOf(corpus: DataFrame,
       canaries: DataFrame): DataFrame = {
+    // fail loudly if the corpus reaches into the canary id range: a
+    // corpus doc_id >= 1e7 would fan out the keep_id join and
+    // silently inflate the per-family counts (r10 self-review)
+    val maxId = corpus.agg(max("doc_id")).head()
+    require(maxId.isNullAt(0) || maxId.getLong(0) < 10000000L,
+      s"corpus doc_ids must stay below the canary id base 10000000; " +
+        s"max seen = ${maxId.get(0)}")
     val all = corpus.select(col("doc_id"), col("text"))
       .unionByName(canaries.select(col("doc_id"), col("text")))
     val keptCanaries = all
@@ -3729,6 +3751,15 @@ object PipelineOps {
     require(k >= 1, s"k must be at least 1, got $k")
     graft.exprs.CosineSim.register(emb.sparkSession)
     val full = dims.max
+    // the recall reference is the dims.max prefix — it is only the
+    // honest "full-dimension exact top-k" if dims.max IS the true
+    // dimensionality; a silent shorter max would certify truncation
+    // against a truncation (r10 self-review). Fail loudly instead.
+    val trueDim = emb.select(size(col("e"))).head().getInt(0)
+    require(full == trueDim,
+      s"dims must include the embedding's true dimensionality $trueDim " +
+        s"as its max (got ${dims.max}) — the full-dim exact top-k is the " +
+        "recall reference")
     val qdim = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
       .withColumn("dim", explode(typedLit(dims)))
     val scored = emb.select(col("vec_id").as("nid"), col("e"))
@@ -4174,13 +4205,23 @@ object PipelineOps {
     * executor rebuilds from the checkpoint — the production setting
     * for long iterative jobs; the local default keeps tests and
     * bench hermetic. Both are EAGER, so the barrier semantics
-    * (compute once, sever lineage) are identical. */
+    * (compute once, sever lineage) are identical.
+    *
+    * The reliable form writes parquet under a per-call unique subdir
+    * and reads it back, NOT `Dataset.checkpoint()`: the latter rides
+    * the SparkContext-GLOBAL checkpoint dir, so two kernels sharing a
+    * context would race on `setCheckpointDir` and checkpoint into
+    * each other's directories (and the last dir would leak as
+    * permanent context state) — the r10 self-review's finding. A
+    * plain FS write has the identical durability story with zero
+    * global state; callers own the dir's lifecycle either way. */
   private[graft] def iterBarrier(df: DataFrame,
       checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+        val path = s"$dir/barrier-${java.util.UUID.randomUUID()}"
+        df.write.parquet(path)
+        df.sparkSession.read.schema(df.schema).parquet(path)
       case None => df.localCheckpoint()
     }
 
@@ -4417,19 +4458,24 @@ object PipelineOps {
   private[graft] def deletionDrillOf(docs: DataFrame, isDeleted: Column,
       out: String, shards: Int): DataFrame = {
     val spark = docs.sparkSession
-    // the predicate is evaluated EXACTLY ONCE, on a frame checkpointed
-    // BEFORE anything consumes it: the rebuild write and the
-    // certificate both derive from this materialization, so even a
-    // non-deterministic caller predicate cannot make the certificate
-    // judge a different corpus than the one just written (a re-scan
-    // per consumer would re-run the predicate independently)
-    val tagged = docs
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        isDeleted.as("is_del"))
+    // the predicate is evaluated EXACTLY ONCE, on a NARROW
+    // (doc_id, is_del) frame checkpointed BEFORE anything consumes
+    // it: the rebuild write and the certificate both derive from this
+    // materialization, so even a non-deterministic caller predicate
+    // cannot make the certificate judge a different corpus than the
+    // one just written. The payload columns re-join from the
+    // DETERMINISTIC corpus scan instead of riding the checkpoint —
+    // pinning one boolean per doc costs two BIGINT-ish columns of
+    // executor cache, not the whole corpus text (the r10 self-review
+    // found the wide form cached text for no added guarantee)
+    val idFlags = docs
+      .select(col("doc_id"), isDeleted.as("is_del"))
       .localCheckpoint()
+    val tagged = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .join(idFlags, Seq("doc_id"))
     tarShardWrite(tagged.filter(!col("is_del"))
       .select("doc_id", "lang", "source", "text"), out, shards)
-    val idFlags = tagged.select(col("doc_id"), col("is_del"))
     val ids = tarShardMembers(spark, out)
       .filter(col("doc_id") >= 0).select("doc_id")
     val delIds = idFlags.filter(col("is_del")).select("doc_id")

@@ -115,7 +115,13 @@ private[graft] object TarIO {
       commit()
     } finally {
       if (out != null) { // abandon a failed attempt, keep the dir clean
-        out.close()
+        // close() on an archive holding an unclosed entry (failure
+        // mid-member-body) itself throws "unclosed entries" — swallow
+        // it so the ORIGINAL cause propagates and the temp delete
+        // below still runs (r10 self-review: the masked-exception +
+        // leaked-.tmp path)
+        try out.close()
+        catch { case _: java.io.IOException => () }
         val fs = tmp.getFileSystem(conf)
         if (fs.exists(tmp)) { fs.delete(tmp, false); () }
       }

@@ -1049,6 +1049,26 @@ class CurationOpsSpec extends AnyFunSuite {
       s"canary drill grew a corpus-keyed join:\n$plan")
   }
 
+  test("u07/s21 guards: canary id-range collision and a short dims.max fail loudly") {
+    import spark.implicits._
+    // a corpus doc inside the canary id range would fan out the
+    // keep_id join and silently inflate the per-family counts
+    val bad = Seq((10000000L, "text in the canary range"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.queries.PipelineOps.canaryDrillOf(bad,
+        graft.queries.PipelineOps.canaryDocsOf(spark)).collect()
+    }
+    // s21: a dims list whose max is below the true dimensionality
+    // would measure recall against a truncation, not the full vector
+    val vecs = Seq((0L, Array(1.0, 2.0, 3.0, 4.0)),
+      (1L, Array(4.0, 3.0, 2.0, 1.0))).toDF("vec_id", "e")
+    intercept[IllegalArgumentException] {
+      graft.queries.PipelineOps.matryoshkaRecallOf(vecs, vecs,
+        dims = Seq(2), k = 1).collect()
+    }
+  }
+
   test("u07 handoff: the NEAR-dup gate collapses the mutated family the exact gate cannot") {
     // each mutated canary's copies differ by one trailing token —
     // shingle jaccard ~0.9, so minJaccard=0.8 clusters them; the
@@ -1652,6 +1672,30 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(residue(fail).isEmpty,
       s"failed attempt left temp residue: ${residue(fail).map(_.getName).toSeq}")
+    // failure mid-members (after a shard opened): the ORIGINAL cause
+    // must propagate and the temp still deletes
+    val fail2 = java.nio.file.Files.createTempDirectory("tarc4").toFile
+    val thrown = intercept[Exception] {
+      graft.queries.TarIO.writeGrouped(fail2.getPath,
+        Iterator(0L -> Seq("a.txt" -> "x".getBytes("UTF-8"),
+          "b.txt" -> null))) // null body fails inside the member loop
+    }
+    assert(thrown.isInstanceOf[NullPointerException],
+      s"original failure was masked: $thrown")
+    assert(residue(fail2).isEmpty,
+      s"mid-stream failure left temp residue: ${residue(fail2).map(_.getName).toSeq}")
+    // and the commons-compress behavior that motivates the guarded
+    // close in the finally: close() on an archive with an UNCLOSED
+    // entry throws — unguarded, that IOException would replace the
+    // real cause and skip the temp delete
+    val bos = new java.io.ByteArrayOutputStream()
+    val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(bos)
+    val entry = new org.apache.commons.compress.archivers.tar.TarArchiveEntry("open.txt")
+    entry.setSize(4L)
+    tar.putArchiveEntry(entry)
+    val maskEx = intercept[java.io.IOException] { tar.close() }
+    assert(String.valueOf(maskEx.getMessage).toLowerCase.contains("unclosed"),
+      s"commons-compress close() contract changed: $maskEx")
   }
 
   test("tar sink guards: negative doc_id rejected; shardOf binds to the basename") {
