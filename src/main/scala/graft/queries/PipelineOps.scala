@@ -2491,16 +2491,33 @@ object PipelineOps {
     require(terms.distinct.size == terms.size,
       s"proximity terms must be distinct, got $terms")
     require(window >= terms.size - 1, "window can't fit the terms")
-    val k = terms.size
-    val streams = terms.zipWithIndex.map { case (tm, i) =>
+    joined_(index, terms)
+      .withColumn("min_span", expr(spanFold(terms.size,
+        cand = vals => s"x.pos - least($vals)")))
+      .filter(col("min_span") <= window)
+      .select(col("doc_id"), col("min_span"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared NEAR/snippet join: one (doc_id, sorted positions) row
+    * per (doc, term) crosses each equi-join (the r9 verdict's bound —
+    * a high-tf doc can never blow into a position cross-product). */
+  private def joined_(index: DataFrame, terms: Seq[String]): DataFrame =
+    terms.zipWithIndex.map { case (tm, i) =>
       index.filter(col("bucket") === termBucket(tm) && col("term") === tm)
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("pos").cast("long"))).as(s"ps$i"))
-    }
-    val joined = streams.reduce((a, b) => a.join(b, Seq("doc_id")))
-    // positions are distinct across the k lists (one token owns one
-    // position and the terms are distinct), so the merged walk is a
-    // total order and the fold is evaluation-order deterministic
+    }.reduce((a, b) => a.join(b, Seq("doc_id")))
+
+  /** The shared in-row sliding-window fold (Lucene's sloppy-span
+    * walk) over the k merged position lists: `cand(vals)` is the
+    * candidate value minimized when every term has been seen, where
+    * `vals` is the comma-joined last-seen positions (so
+    * `least($vals)` is the window START and `x.pos` its END).
+    * Positions are distinct across the k lists (one token owns one
+    * position and the terms are distinct), so the merged walk is a
+    * total order and the fold is evaluation-order deterministic. */
+  private def spanFold(k: Int, cand: String => String): String = {
     val merged = (0 until k)
       .map(i => s"transform(ps$i, p -> named_struct('pos', p, 'tid', $i))")
       .mkString("array_sort(concat(", ", ", "))")
@@ -2509,17 +2526,58 @@ object PipelineOps {
     val upd = (0 until k)
       .map(i => s"'l$i', ${updVals(i)}").mkString(", ")
     val allSeen = updVals.map(v => s"$v >= 0").mkString(" and ")
-    val fold =
-      s"""aggregate($merged,
-         named_struct($lasts, 'best', cast(9223372036854775807 as bigint)),
-         (a, x) -> named_struct($upd,
-           'best', if($allSeen,
-             least(a.best, x.pos - least(${updVals.mkString(", ")})),
-             a.best)),
-         a -> a.best)"""
-    joined.withColumn("min_span", expr(fold))
+    s"""aggregate($merged,
+       named_struct($lasts, 'best', cast(9223372036854775807 as bigint)),
+       (a, x) -> named_struct($upd,
+         'best', if($allSeen,
+           least(a.best, ${cand(updVals.mkString(", "))}),
+           a.best)),
+       a -> a.best)"""
+  }
+
+  /** idx09's kernel — search-result SNIPPET generation, the last
+    * serve mode of the lifecycle (idx04 ranks, idx02/idx06 locate,
+    * this SHOWS): for docs where the query terms fall inside a
+    * `window`-token span, the minimal covering window (idx06's
+    * sliding-span walk) plus `pad` context tokens on each side,
+    * reconstructed from the document text. The argmin needs the
+    * window START, not just its length, so the fold minimizes ONE
+    * packed BIGINT key = span·2^40 + start — tie-break is therefore
+    * (min span, then min start), bit-identical in both engines (the
+    * oracle minimizes the same packed key; 2^40 bounds doc positions
+    * far above any real document). Returns
+    * (doc_id, start, min_span, snippet).
+    *
+    * 100 TB: the span search is idx06's plan verbatim (pruned
+    * df(term)-sized per-term scans, one row per (doc, term) across
+    * the joins, in-row fold); ONLY the hit docs — a query-bounded
+    * set — join back to the corpus text for the snippet slice, the
+    * point-lookup a result page performs anyway. */
+  private[graft] def proximitySnippetsOf(index: DataFrame, docs: DataFrame,
+      terms: Seq[String], window: Int, pad: Int): DataFrame = {
+    require(terms.size >= 2, "proximity needs at least two terms")
+    require(terms.distinct.size == terms.size,
+      s"proximity terms must be distinct, got $terms")
+    require(window >= terms.size - 1, "window can't fit the terms")
+    require(pad >= 0, s"pad must be non-negative, got $pad")
+    val base = 1099511627776L // 2^40
+    val hits = joined_(index, terms)
+      .withColumn("key", expr(spanFold(terms.size,
+        cand = vals =>
+          s"(x.pos - least($vals)) * cast($base as bigint) + least($vals)")))
+      .withColumn("min_span", expr(s"key div $base"))
+      .withColumn("start", col("key") % base)
       .filter(col("min_span") <= window)
-      .select(col("doc_id"), col("min_span"))
+      .select("doc_id", "start", "min_span")
+    hits
+      .join(docs.select(col("doc_id"), split(col("text"), " ").as("toks")),
+        Seq("doc_id"))
+      .withColumn("lo", greatest(col("start") - pad + 1, lit(1L)))
+      .withColumn("hi", least(size(col("toks")).cast("long"),
+        col("start") + col("min_span") + pad + 1))
+      .select(col("doc_id"), col("start"), col("min_span"),
+        concat_ws(" ", slice(col("toks"), col("lo").cast("int"),
+          (col("hi") - col("lo") + 1).cast("int"))).as("snippet"))
       .orderBy("doc_id")
   }
 
@@ -7174,6 +7232,21 @@ object PipelineOps {
       phraseSearchOf(s.read.parquet(base), Seq("slow", "hash", "batch"))
     }),
 
+    "idx09_snippets" -> ((s, d) => {
+      // Search-result snippets — the serve mode a result PAGE needs:
+      // idx06's minimal-window hits ('slow' 'hash' 'batch' within 6
+      // tokens, any order) plus 3 context tokens each side, sliced
+      // from the document text. The argmin tracks the window START
+      // via one packed BIGINT key (span*2^40 + start) so the
+      // (min span, min start) tie-break is bit-identical in both
+      // engines. Only hit docs fetch text. Scale notes on the kernel.
+      val base = EngineOps.tempDir("graft-idx09")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      positionalIndexBuild(docs, base)
+      proximitySnippetsOf(s.read.parquet(base), docs,
+        Seq("slow", "hash", "batch"), window = 6, pad = 3)
+    }),
+
     "idx08_boolean_search" -> ((s, d) => {
       // Boolean retrieval from the stored index — the fourth serve
       // mode: 'data' AND 'query' AND NOT 'slow'. Every clause bites
@@ -10406,6 +10479,33 @@ object PipelineOps {
 
     // the appended artifact must serve exactly like a single
     // full-corpus build ⇒ idx02's SQL verbatim
+    // idx09: the all-combinations span join replays the minimal
+    // window; the packed key (span*2^40 + start) reproduces the
+    // Spark fold's (min span, min start) tie-break exactly, and the
+    // snippet slices the same 1-based inclusive token range
+    "idx09_snippets" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      spans AS (
+        SELECT a.doc_id,
+               (greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos))
+                 * 1099511627776 + least(a.pos, b.pos, c.pos) AS key
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'slow') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'hash') b USING (doc_id)
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'batch') c USING (doc_id)),
+      best AS (SELECT doc_id, min(key) AS key FROM spans GROUP BY doc_id),
+      hit AS (
+        SELECT doc_id, key // 1099511627776 AS span,
+               key % 1099511627776 AS start
+        FROM best WHERE key // 1099511627776 <= 6)
+      SELECT h.doc_id, CAST(h.start AS BIGINT) AS start,
+             CAST(h.span AS BIGINT) AS min_span,
+             array_to_string(
+               w.w[greatest(h.start - 3 + 1, 1) :
+                   least(len(w.w), h.start + h.span + 3 + 1)], ' ') AS snippet
+      FROM hit h JOIN w USING (doc_id) ORDER BY doc_id""",
+
     // idx08: the oracle replays boolean retrieval from the corpus
     // TEXT, so the stored-index serve must equal corpus truth
     "idx08_boolean_search" -> """

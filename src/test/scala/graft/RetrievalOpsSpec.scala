@@ -454,6 +454,44 @@ class RetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- idx09 snippets --------------------------------------------------------
+
+  test("idx09: spans equal idx06, every snippet carries all terms, crafted edges clamp exactly") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{positionalIndexBuild, proximitySnippetsOf}
+    // corpus: the snippet layer must not change WHO matches or their span
+    val snips = run("idx09_snippets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val near = run("idx06_proximity_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snips.map(s => (s._1, s._3)).toMap == near,
+      "snippet hits/spans diverged from idx06's NEAR result")
+    snips.foreach { case (id, start, span, text) =>
+      val toks = text.split(" ")
+      Seq("slow", "hash", "batch").foreach(t =>
+        assert(toks.contains(t), s"doc $id snippet lost term '$t': $text"))
+      assert(start >= 0 && span >= 2 && span <= 6, s"doc $id bad span: $start/$span")
+    }
+    // crafted edges: window at the very start (left pad clamps to the
+    // doc head) and at the very end (right pad clamps to the tail)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-idx09-spec").toString
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"), // middle window
+      (2L, "aa bb zz zz zz zz zz zz"), // window at pos 0..1
+      (3L, "zz zz zz zz zz zz aa bb")) // window at the tail
+      .toDF("doc_id", "text")
+    positionalIndexBuild(docs, idxDir)
+    val got = proximitySnippetsOf(spark.read.parquet(idxDir), docs,
+      Seq("aa", "bb"), window = 3, pad = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L, "aa bb cc dd"),      // left pad clamped at doc head
+      (2L, 0L, 1L, "aa bb zz zz"),
+      (3L, 6L, 1L, "zz zz aa bb")),     // right pad clamped at doc tail
+      s"crafted snippets diverged: $got")
+  }
+
   // ---- p12 composed search serve -------------------------------------------
 
   test("p12: ranked serve = boolean candidates sorted by a text-recomputed BM25") {
