@@ -3715,6 +3715,70 @@ object PipelineOps {
       .orderBy("family", "mult")
   }
 
+  /** Distributed two-level PREFIX SUM — the scale-safe replacement
+    * for `sum(value) OVER (PARTITION BY part ORDER BY ord ROWS
+    * UNBOUNDED PRECEDING EXCLUDING CURRENT)`. A bare per-`part`
+    * running-sum window puts an ENTIRE part in one window task; on a
+    * source-skewed corpus (90 % of a 100 TB crawl in one source) that
+    * serializes 90 TB through a single task. This helper decomposes
+    * the running sum exactly (bit-equal on BIGINTs, spec-pinned):
+    *
+    *   1. rows group into order-CONTIGUOUS blocks: the unique
+    *      `doc_id` tiebreak buckets into ≤ `buckets` equal-width id
+    *      ranges (integer `div` — engine-exact), nested under any
+    *      `ordPrefix` columns, so a block never straddles the order;
+    *   2. the LOCAL running sum windows over (part, ordPrefix, block)
+    *      — each window task holds one block of one part, never a
+    *      whole part;
+    *   3. block SUBTOTALS (one row per block — a frame compressed by
+    *      the mean block size, independent of corpus row count)
+    *      running-sum in block order per part and join back as each
+    *      block's OFFSET; `cum_before = offset + local`.
+    *
+    * The subtotal-side window does partition by bare `part`, but over
+    * block-subtotal rows only: ≤ buckets rows per (part, ordPrefix
+    * value) — for the packers that is ≤ distinct-doc-length × 256
+    * narrow rows per source, megabytes where the naive window held
+    * terabytes. The offset join is subtotal-sized (AQE broadcasts it
+    * when it fits; an equi-join shuffle otherwise).
+    *
+    * `ordPrefix` lists (column, ascending) pairs that precede the
+    * `doc_id` tiebreak in the window order; blocks nest under their
+    * exact values so within-block order is doc_id alone. Input must
+    * carry a unique BIGINT `doc_id` and should be MATERIALIZED by the
+    * caller (localCheckpoint) — the plan reads it three times (id
+    * span, local cums, subtotals); for tokenize-heavy packer inputs
+    * that barrier is the difference between one text scan and three. */
+  private[graft] def distPrefixSumOf(d: DataFrame, part: Seq[String],
+      ordPrefix: Seq[(String, Boolean)], valueCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be at least 1, got $buckets")
+    val reserved = Seq("lo_", "hi_", "bkt_", "loc_", "off_", "gsum_", "cum_before")
+    reserved.foreach(c => require(!d.columns.contains(c),
+      s"input column $c collides with a prefix-sum internal name"))
+    val span = d.agg(min(col("doc_id")).as("lo_"), max(col("doc_id")).as("hi_"))
+    val withB = d.crossJoin(broadcast(span))
+      .withColumn("bkt_",
+        expr(s"(doc_id - lo_) div ((hi_ - lo_) div $buckets + 1)"))
+      .drop("lo_", "hi_")
+    val grpCols = part ++ ordPrefix.map(_._1) :+ "bkt_"
+    val localW = Window.partitionBy(grpCols.map(col): _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withB.withColumn("loc_",
+      coalesce(sum(col(valueCol)).over(localW), lit(0L)))
+    val subs = withB.groupBy(grpCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("gsum_"))
+    val ordCols = ordPrefix.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc } :+ col("bkt_").asc
+    val offW = Window.partitionBy(part.map(col): _*).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = subs.withColumn("off_", coalesce(sum("gsum_").over(offW), lit(0L)))
+      .select(grpCols.map(col) :+ col("off_"): _*)
+    local.join(offs, grpCols)
+      .withColumn("cum_before", col("off_") + col("loc_"))
+      .drop("off_", "loc_", "bkt_")
+  }
+
   /** samp09's kernel — the packing-efficiency audit (Ding et al.
     * 2024): pack the corpus into fixed `budget`-token bins under three
     * deterministic packers and report each one's waste, the table a
@@ -3736,36 +3800,32 @@ object PipelineOps {
     * Returns (scheme, n_docs, n_bins, total_tokens, overflow_tokens,
     * padding_tokens, waste_frac) — one row per scheme.
     *
-    * 100 TB: every packer is a window per source (or per
-    * (source, bucket)) — p02's partitioning story, no global sort,
-    * the three schemes union BEFORE one (scheme, part, bin) partial-agg
-    * shuffle; all masses are exact BIGINTs until one rounded
-    * division. */
+    * 100 TB: every packer's running total is [[distPrefixSumOf]] —
+    * the two-level prefix sum whose window tasks hold one id-range
+    * block, never a whole source, so a 90 %-one-source corpus packs
+    * in parallel (the bare per-source window this replaces would
+    * serialize it; skew fixture + bit-equality spec-pinned). The
+    * narrow (doc_id, source, n_tok) frame materializes ONCE (text
+    * tokenizes once); the three schemes union BEFORE one
+    * (scheme, part, bin) partial-agg shuffle; all masses are exact
+    * BIGINTs until one rounded division. */
   private[graft] def packingAuditOf(docs: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be at least 1, got $budget")
     val d = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    def cum(w: org.apache.spark.sql.expressions.WindowSpec) =
-      coalesce(sum("n_tok").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val arrival = d
+      .localCheckpoint()
+    val arrival = distPrefixSumOf(
+        d.withColumn("part", col("source")), Seq("part"), Nil, "n_tok")
       .withColumn("scheme", lit("arrival"))
-      .withColumn("part", col("source"))
-      .withColumn("cum_before",
-        cum(Window.partitionBy("source").orderBy("doc_id")))
-    val bySize = d
+    val bySize = distPrefixSumOf(
+        d.withColumn("part", col("source")), Seq("part"),
+        Seq(("n_tok", false)), "n_tok")
       .withColumn("scheme", lit("sorted"))
-      .withColumn("part", col("source"))
-      .withColumn("cum_before", cum(Window.partitionBy("source")
-        .orderBy(col("n_tok").desc, col("doc_id"))))
-    val bucketed = d
-      .withColumn("bkt", floor(col("n_tok") / 32).cast("long"))
+    val bucketed = distPrefixSumOf(
+        d.withColumn("part", concat(col("source"), lit("/"),
+          floor(col("n_tok") / 32).cast("long").cast("string"))),
+        Seq("part"), Nil, "n_tok")
       .withColumn("scheme", lit("bucketed"))
-      .withColumn("part",
-        concat(col("source"), lit("/"), col("bkt").cast("string")))
-      .withColumn("cum_before",
-        cum(Window.partitionBy("source", "bkt").orderBy("doc_id")))
-      .drop("bkt")
     arrival.unionByName(bySize).unionByName(bucketed)
       .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
       .groupBy("scheme", "part", "bin")
@@ -6068,16 +6128,18 @@ object PipelineOps {
       // (pretraining batch assembly): docs in doc_id order fill
       // 256-token bins; a doc lands in the bin where its running total
       // STARTS (bins may overflow by one doc's tail — splitting docs is
-      // tokenizer-level work, not engine-level). Partitioned per
-      // source: at 100 TB each source/shard packs independently in
-      // parallel, so the window never holds more than one source's
-      // docs and there is no global sort.
+      // tokenizer-level work, not engine-level). The per-source running
+      // total is distPrefixSumOf's two-level prefix sum: window tasks
+      // hold one doc_id-range block, never a whole source, so a
+      // 90%-one-source crawl packs in parallel (the bare per-source
+      // window it replaces would serialize that source through one
+      // task; bit-equality + skew fixture spec-pinned).
       val budget = 256
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, d, "documents")
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      val narrow = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .localCheckpoint()
+      distPrefixSumOf(narrow, Seq("source"), Nil, "n_tok")
         .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))

@@ -1209,6 +1209,63 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("bucketed") == ((2L, 600L, 144L, 56L)), s"bucketed: ${got("bucketed")}")
   }
 
+  test("distPrefixSumOf: bit-equal to the running-sum window, incl. a desc ordPrefix") {
+    // the two-level decomposition must reproduce the naive window's
+    // cum_before EXACTLY on every row — offsets + local sums are pure
+    // BIGINT arithmetic, so equality is bitwise, not approximate
+    import graft.queries.PipelineOps.distPrefixSumOf
+    val d = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .localCheckpoint()
+    def naive(ord: org.apache.spark.sql.Column*) =
+      d.withColumn("cum_before", coalesce(sum("n_tok").over(
+        Window.partitionBy("source").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("doc_id", "cum_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(pfx: Seq[(String, Boolean)]) =
+      distPrefixSumOf(d.withColumnRenamed("source", "part"), Seq("part"),
+        pfx, "n_tok")
+        .select("doc_id", "cum_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(Nil) == naive(col("doc_id")), "arrival-order prefix sum diverged")
+    assert(dist(Seq(("n_tok", false))) ==
+      naive(col("n_tok").desc, col("doc_id")),
+      "desc-prefix (sorted scheme) prefix sum diverged")
+  }
+
+  test("distPrefixSumOf: a 95%-one-source skew fixture splits into many blocks, still exact") {
+    // the reason the helper exists: a bare per-source window puts the
+    // whole giant source in ONE task. The id-range blocking must
+    // actually split it (many (source, bkt_) groups), and the result
+    // must still equal the naive window bit-for-bit.
+    import spark.implicits._
+    import graft.queries.PipelineOps.distPrefixSumOf
+    val n = 2000
+    val rows = (1 to n).map { i =>
+      val src = if (i % 20 == 0) "tail" else "giant" // 95% one source
+      (i.toLong, src, (i % 37 + 1).toLong)
+    }
+    val fx = rows.toDF("doc_id", "part", "n_tok").localCheckpoint()
+    val got = distPrefixSumOf(fx, Seq("part"), Nil, "n_tok")
+      .select("doc_id", "cum_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = fx.withColumn("cum_before", coalesce(sum("n_tok").over(
+      Window.partitionBy("part").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "cum_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "skewed prefix sum diverged from the window form")
+    // the giant source must spread over many id-range blocks — the
+    // same `div`-width formula the helper uses (buckets default 256)
+    val width = (n - 1) / 256 + 1
+    val giantBlocks = rows.filter(_._2 == "giant")
+      .map(r => (r._1 - 1) / width).distinct.size
+    assert(giantBlocks >= 64,
+      s"giant source landed in only $giantBlocks blocks — not parallelized")
+  }
+
   test("d24 under a RELIABLE checkpoint dir: identical clusters, rounds really write through the dir") {
     // the 100 TB story the localCheckpoint barrier can't tell: a
     // reliable checkpointDir writes each round through the (Hadoop)

@@ -280,13 +280,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("p02 sequence packing: windows partition per source — no global single-partition sort") {
-    // Window.partitionBy(source) keeps packing parallel; an empty
-    // partitionBy would funnel the whole corpus through one task
+  test("p02 sequence packing: doc-row windows are id-range blocked — never a bare per-source window") {
+    // the running sum is distPrefixSumOf's two-level form: any window
+    // ordered by doc_id (the one that touches DOC rows) must carry the
+    // bkt_ id-range block in its spec — a bare (source | doc_id ASC)
+    // window would hold an entire source in one task, which on a
+    // 90%-one-source crawl serializes 90% of the corpus
     val plan = planOf(graft.queries.PipelineOps.defs("p02_sequence_packing")(spark, dir))
-    assert(!plan.contains("SinglePartition"),
-      "packing window collapsed to a single partition — global sort at scale")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty, s"packing lost its window form:\n$plan")
+    specs.filter(_.contains("doc_id")).foreach(sp =>
+      assert(sp.contains("bkt_"),
+        s"doc-row window is not id-range blocked (whole-source task): $sp"))
+    // the only SinglePartition exchanges allowed are the one-row
+    // min/max id-span reduces (their child is a partial agg with no
+    // keys — constant data volume); a window or sort over one
+    // partition would be the whole-corpus funnel this pin exists for
+    singlePartitionFeedsOnlyScalarAgg(plan)
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  /** Every `Exchange SinglePartition` in `plan` must feed from a
+    * keyless partial aggregate (a scalar reduce — rows in flight are
+    * one per task, not the corpus). */
+  private def singlePartitionFeedsOnlyScalarAgg(plan: String): Unit = {
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (l, i) =>
+        val child = lines.drop(i + 1).headOption.getOrElse("")
+        assert(child.contains("HashAggregate(keys=[], functions=[partial_") ||
+          child.contains("SortAggregate(key=[], functions=[partial_"),
+          s"SinglePartition exchange carries non-scalar rows:\n$l\n$child")
+      }
   }
 
   test("p01 composed pipeline prunes the documents scan to (doc_id, text), no cartesian") {
@@ -562,15 +587,20 @@ class PlanSpec extends AnyFunSuite {
       s"boolean retrieval degenerated from equi-joins:\n$plan")
   }
 
-  test("samp09 packing audit: per-source windows, no single-partition global sort") {
-    // every packer's running total is a window partitioned by source
-    // (or source x length-bucket); a Window over one global partition
-    // would serialize the corpus through a single task at scale
+  test("samp09 packing audit: every doc-row window is id-range blocked, no single-partition sort") {
+    // all three packers' running totals are distPrefixSumOf's
+    // two-level form: every window ordered by doc_id (the ones that
+    // touch DOC rows) must carry the bkt_ id-range block in its spec;
+    // only the block-SUBTOTAL windows (compressed frames, ≤ buckets
+    // rows per source and length) may partition by the bare part key
     val df = graft.queries.PipelineOps.defs("samp09_packing_audit")(spark, dir)
     val plan = planOf(df)
-    assert(plan.contains("Window"), s"packing lost its window form:\n$plan")
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"a packer serialized the corpus through one partition:\n$plan")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toSeq
+    assert(specs.nonEmpty, s"packing lost its window form:\n$plan")
+    specs.filter(_.contains("doc_id")).foreach(sp =>
+      assert(sp.contains("bkt_"),
+        s"doc-row window is not id-range blocked (whole-source task): $sp"))
+    singlePartitionFeedsOnlyScalarAgg(plan)
   }
 
   test("idx06 proximity search: per-term scans prune to their buckets, equi-joins only") {
