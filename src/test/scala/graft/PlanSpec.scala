@@ -603,6 +603,25 @@ class PlanSpec extends AnyFunSuite {
     singlePartitionFeedsOnlyScalarAgg(plan)
   }
 
+  test("idx09 snippet serve: artifacts only — no live corpus scan, DPP prunes the doc-store buckets") {
+    // the serve plan must touch ONLY stored artifacts: the span search
+    // reads pruned index buckets, and the text join-back reads the
+    // doc-store sidecar with a dynamic-pruning partition filter fed by
+    // the broadcast hit set — a scan of the live documents parquet
+    // here would be the full-corpus-text-per-query cost the sidecar
+    // exists to avoid
+    val df = graft.queries.PipelineOps.defs("idx09_snippets")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("documents.parquet"),
+      s"snippet serve scanned the live corpus:\n$plan")
+    assert(plan.contains("dynamicpruningexpression"),
+      s"doc-store scan lost its dynamic partition pruning:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the index scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("idx06 proximity search: per-term scans prune to their buckets, equi-joins only") {
     // same serve contract as idx02: each term's scan carries its
     // literal bucket PartitionFilter + pushed term predicate; the

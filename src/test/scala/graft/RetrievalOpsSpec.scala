@@ -492,6 +492,30 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"crafted snippets diverged: $got")
   }
 
+  test("idx09: store-sidecar serve is row-identical to the live-docs form") {
+    // the serve path reads the doc-store artifact, never the corpus;
+    // the text it slices must be byte-equal to what a live-docs join
+    // would have produced — any divergence means the sidecar drifted
+    // from the index's corpus (build-time consistency broken)
+    import spark.implicits._
+    import graft.queries.PipelineOps.{positionalIndexBuild, docStoreBuild,
+      proximitySnippetsOf, snippetsServeOf}
+    val root = java.nio.file.Files.createTempDirectory("graft-idx09-store").toString
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    positionalIndexBuild(docs, s"$root/index")
+    docStoreBuild(docs, s"$root/store")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val live = proximitySnippetsOf(spark.read.parquet(s"$root/index"), docs,
+      Seq("slow", "hash", "batch"), window = 6, pad = 3)
+      .collect().map(key).toSet
+    val served = snippetsServeOf(spark, s"$root/index", s"$root/store",
+      Seq("slow", "hash", "batch"), window = 6, pad = 3)
+      .collect().map(key).toSet
+    assert(served.nonEmpty && served == live,
+      s"store-served snippets diverged from the live-docs form")
+  }
+
   // ---- p12 composed search serve -------------------------------------------
 
   test("p12: ranked serve = boolean candidates sorted by a text-recomputed BM25") {
