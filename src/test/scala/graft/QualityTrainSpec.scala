@@ -159,4 +159,55 @@ class QualityTrainSpec extends AnyFunSuite {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("model artifact round-trip: stored weights == trained weights, stored serve == live serve") {
+    // the build-vs-serve split for the model: persist writes the full
+    // trace, load returns the FINAL iteration's weights, and the
+    // release card served from the artifact is bit-identical to the
+    // retrain-in-session form
+    import graft.queries.PipelineOps._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t25-model").toString
+    qualityModelPersist(docs, lr = 2.0, iters = 8, dir)
+    val loaded = qualityModelLoad(spark, dir)
+    assert(loaded.toSeq == Seq(-289623L, 122912L, -65170L, 706158L, 194339L),
+      s"loaded weights diverged from the pinned trained run: ${loaded.toSeq}")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val live = trainedQualityReleaseOf(docs, lr = 2.0, iters = 8)
+      .collect().map(key).toSeq
+    val stored = trainedQualityReleaseFrom(docs, dir)
+      .collect().map(key).toSeq
+    assert(stored.nonEmpty && stored == live,
+      s"stored-model release diverged from live-train release")
+    // the stored trace carries the full loss curve (the release audit)
+    val trace = spark.read.parquet(dir).orderBy("iter").collect()
+    assert(trace.length == 9 && trace.map(_.getInt(0)).toSeq == (0 to 8))
+  }
+
+  test("serving from the stored model runs NO trainer: bounded pre-scoring work") {
+    // a scoring session must not pay the 9 per-iteration corpus
+    // aggregations — its only pre-scoring job is the (iters+1)-row
+    // artifact read. Count jobs during serve construction (load +
+    // literal inlining happen there; the release query itself runs at
+    // collect): the trainer's construction alone runs 10+ jobs.
+    import graft.queries.PipelineOps._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t25-serve").toString
+    qualityModelPersist(docs, lr = 2.0, iters = 8, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = trainedQualityReleaseFrom(docs, dir)
+      Thread.sleep(500) // listener bus is async; job starts land fast
+      val n = jobs.get()
+      assert(n <= 3, s"serve construction ran $n jobs — a trainer subtree " +
+        "sneaked into the scoring session (expected only the model read)")
+      assert(df.collect().nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
