@@ -631,6 +631,56 @@ object MediaCatalogOps {
       s.table(name).orderBy("buy_id", "view_id")
     }),
 
+    "st13_stream_outer_interval_join" -> ((s0, d) => {
+      // LEFT-OUTER stream-stream interval join
+      // (Streams.attributionJoinOuter): st12's attribution shape, but
+      // every purchase emits — matched ones as views arrive, UNMATCHED
+      // ones with null view columns only after the event-time
+      // watermark closes their join window (watermark-driven emission,
+      // the part the inner form never exercises). Two far-future
+      // sentinel batches push the watermark past every real purchase's
+      // horizon so the unmatched tail flushes (st03's two-sentinel
+      // discipline: eviction runs on the batch AFTER the watermark
+      // advances); sentinels ride user_id -1 and are filtered from the
+      // result. The oracle is the equivalent BATCH left-outer interval
+      // join. The exactly-once / not-before-horizon drill lives in
+      // StreamsSpec.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val events = graft.Tables.t(s, d, "events")
+        .orderBy("event_id").limit(5000)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.Streams.Event].collect().toSeq
+      val maxTs = events.map(_.ts.getTime).max
+      def sentinel(id: Long, typ: String, offMs: Long) =
+        graft.streaming.Streams.Event(id,
+          new java.sql.Timestamp(maxTs + offMs), -1L, typ, 0.0)
+      val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Event]
+      val bIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Event]
+      val joined = graft.streaming.Streams.attributionJoinOuter(
+        vIn.toDF().filter(col("event_type") === "view"),
+        bIn.toDF().filter(col("event_type") === "purchase"),
+        windowMinutes = 240, delay = "24 hours")
+      val name = "st13_sink_" + math.abs(d.hashCode)
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      vIn.addData(events)
+      bIn.addData(events)
+      q.processAllAvailable()
+      // horizon = delay + window + margin, in ms past the last event
+      val horizon = (24L * 60 + 240 + 60) * 60 * 1000
+      Seq(horizon, horizon + 60000).zipWithIndex.foreach { case (off, i) =>
+        vIn.addData(Seq(sentinel(-101L - 2 * i, "view", off)))
+        bIn.addData(Seq(sentinel(-102L - 2 * i, "purchase", off)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(name).filter(col("user_id") >= 0)
+        .orderBy(col("buy_id"), coalesce(col("view_id"), lit(-1L)))
+    }),
+
     "st03_stream_sessions" -> ((s0, d) => {
       // Streaming gap-sessionization through flatMapGroupsWithState
       // (Streams.sessionize): the first 5000 events replay through a
@@ -1259,6 +1309,23 @@ object MediaCatalogOps {
       SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM first5k GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    // st13: the left-outer stream-stream interval join equals the
+    // BATCH left-outer interval join once the watermark has flushed
+    // every unmatched purchase — batch-equivalence certifies BOTH the
+    // matched rows and the watermark-driven null emissions
+    "st13_stream_outer_interval_join" -> """
+      WITH e AS (SELECT * FROM events ORDER BY event_id LIMIT 5000),
+      v AS (SELECT user_id, event_id AS view_id, ts AS vts
+            FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id, event_id AS buy_id, ts AS pts, value
+            FROM e WHERE event_type = 'purchase')
+      SELECT p.buy_id, v.view_id, p.user_id,
+        (epoch_ms(p.pts) // 1000 - epoch_ms(v.vts) // 1000) AS lag_seconds,
+        round(p.value, 2) AS value
+      FROM p LEFT JOIN v ON v.user_id = p.user_id
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 240 MINUTE
+      ORDER BY buy_id, coalesce(view_id, -1)""",
 
     // st12: the stream-stream interval join equals the BATCH interval
     // join when nothing is late — that equivalence IS the oracle

@@ -61,6 +61,34 @@ object Streams {
         round(col("value"), 2).as("value"))
   }
 
+  /** st13's dataflow — the LEFT-OUTER form of [[attributionJoin]]:
+    * every purchase emits, attributed to its in-window views when they
+    * exist, or ONCE with null view columns after the watermark closes
+    * the join window (the part of stream-stream joins that actually
+    * exercises watermark-driven emission: an unmatched purchase cannot
+    * emit until Spark has PROVEN no matching view can still arrive —
+    * i.e. the watermark passed `pts`'s window bound). Same two-sided
+    * time bound, so state stays evictable; the left side is the
+    * purchase stream (the side that must always emit). Returns
+    * (buy_id, view_id?, user_id, lag_seconds?, value). */
+  def attributionJoinOuter(views: DataFrame, buys: DataFrame,
+      windowMinutes: Int, delay: String): DataFrame = {
+    require(windowMinutes >= 1, s"windowMinutes must be >= 1, got $windowMinutes")
+    val v = views.select(col("user_id").as("viewer_id"),
+        col("event_id").as("view_id"), col("ts").as("vts"))
+      .withWatermark("vts", delay)
+    val b = buys.select(col("user_id"),
+        col("event_id").as("buy_id"), col("ts").as("pts"), col("value"))
+      .withWatermark("pts", delay)
+    b.join(v, col("user_id") === col("viewer_id") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "leftOuter")
+      .select(col("buy_id"), col("view_id"), col("user_id"),
+        (col("pts").cast("long") - col("vts").cast("long")).as("lag_seconds"),
+        round(col("value"), 2).as("value"))
+  }
+
   /** Streaming exactly-once-per-id dedup: drops rows whose `idCols`
     * were already seen, with state bounded by the watermark (the
     * streaming analog of the ingest path's Nats-Msg-Id window —

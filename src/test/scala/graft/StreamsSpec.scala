@@ -61,6 +61,52 @@ class StreamsSpec extends AnyFunSuite {
       "late replay re-emitted attribution pairs — watermark state discipline broken")
   }
 
+  test("st13 outer interval join: unmatched purchase emits ONLY after the watermark horizon, exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // user 1: view + in-window purchase (matched pair — emits as soon
+    // as both sides arrive). user 2: purchase with NO view — the
+    // null-view row may NOT emit until the watermark proves no
+    // matching view can still arrive, and then exactly once.
+    val vIn = MemoryStream[Event]
+    val bIn = MemoryStream[Event]
+    val joined = Streams.attributionJoinOuter(vIn.toDF(), bIn.toDF(),
+      windowMinutes = 240, delay = "1 hour")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("st13_spec").start()
+    vIn.addData(Seq(Event(10, ts("2024-01-01T00:00:00Z"), 1, "view", 0.0)))
+    bIn.addData(Seq(
+      Event(20, ts("2024-01-01T01:00:00Z"), 1, "purchase", 5.0),
+      Event(21, ts("2024-01-01T01:00:00Z"), 2, "purchase", 8.0)))
+    q.processAllAvailable()
+    def rows() = spark.table("st13_spec").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSeq
+    assert(rows().toSet == Set((20L, Some(10L), 1L)),
+      s"before the horizon only the matched pair may emit: ${rows()}")
+    // watermark sits at 01:00 - 1h delay = 00:00; purchase 21's window
+    // ([21.pts - 240min, 21.pts]) is still open — push event time past
+    // pts + delay so the join state can close, then one more batch to
+    // run the eviction (st03's two-sentinel discipline)
+    Seq("2024-01-02T00:00:00Z", "2024-01-02T01:00:00Z").zipWithIndex
+      .foreach { case (t, i) =>
+        vIn.addData(Seq(Event(-101L - i, ts(t), -1, "view", 0.0)))
+        bIn.addData(Seq(Event(-102L - i, ts(t), -1, "purchase", 0.0)))
+        q.processAllAvailable()
+      }
+    val real = rows().filter(_._3 >= 0)
+    assert(real.count(_ == ((21L, None, 2L))) == 1,
+      s"unmatched purchase must emit exactly once with a null view: $real")
+    assert(real.toSet == Set((20L, Some(10L), 1L), (21L, None, 2L)),
+      s"outer join emitted unexpected rows: $real")
+    // a further watermark push must not re-emit the evicted row
+    vIn.addData(Seq(Event(-110L, ts("2024-01-02T03:00:00Z"), -1, "view", 0.0)))
+    bIn.addData(Seq(Event(-111L, ts("2024-01-02T03:00:00Z"), -1, "purchase", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().filter(_._3 >= 0).count(_ == ((21L, None, 2L))) == 1,
+      "watermark advance re-emitted an already-flushed unmatched purchase")
+  }
+
   test("st12 entry: stream-stream interval join equals the batch interval join on the corpus slice") {
     val dir = "/root/testdata/sf0.01"
     val stream = SparkEntry.queries("st12_stream_interval_join")(spark, dir)
