@@ -3955,6 +3955,112 @@ object PipelineOps {
       .orderBy("scheme")
   }
 
+  /** One packed bin of [[bfdPackBinsOf]]: its sub-stream key, the
+    * step-numbered bin id, and the doc/token mass it closed with. */
+  private[graft] final case class BfdBin(source: String, shard: Long,
+      bin_id: Long, n_docs: Long, bin_tokens: Long)
+
+  /** samp10's kernel — the packer samp09's audit exists to justify:
+    * Ding et al. 2024's BEST-FIT-DECREASING bin packing ("Fewer
+    * Truncations Improve Language Modeling"), as a deterministic
+    * streaming operator. Docs never split, so overflow is zero by
+    * construction for docs ≤ budget (the paper's point — the three
+    * samp09 baselines all pay truncation); the cost is padding alone.
+    *
+    * Within each (source, doc_id-mod shard) sub-stream, docs arrive
+    * in (n_tok desc, doc_id) order and each places into the OPEN BIN
+    * WITH THE SMALLEST REMAINING CAPACITY that fits (tie: lowest bin
+    * id); no fit opens a new bin (id = the item's 0-based rank —
+    * engine-portable). The sub-stream deliberately keeps the FULL
+    * size mix: BFD's win comes from small docs filling big docs'
+    * gaps, and a 32-token length-bucket split (samp09's `bucketed`
+    * shape) was measured to fragment it to 0.357 waste on this corpus
+    * vs 0.131 for the full mix — worse than every baseline. State is
+    * hard-bounded: at most `cap` bins stay open; opening past the cap
+    * closes the fullest (min remaining, min id) bin first — the
+    * streaming-BFD bound, since classic BFD's open set is O(bins). A
+    * doc over `budget` gets its own bin (negative remaining =
+    * overflow), so token mass is conserved and the audit stays
+    * comparable.
+    *
+    * 100 TB: groupByKey on (source, shard) — the shard key is what
+    * samp09's packers cannot have (a running sum needs order
+    * contiguity; independent BFD sub-streams don't), so a
+    * 90%-one-source corpus splits across `shards` parallel tasks,
+    * each with O(cap) state over a sorted-group iterator (sort-based
+    * group sort spills, never collects). Shards is the parallelism
+    * knob: each sub-stream pays ~one padded tail bin, negligible when
+    * streams are large, so scale it with the cluster, not above the
+    * data. The DuckDB oracle replays the exact loop as a recursive
+    * CTE over all sub-streams simultaneously. */
+  private[graft] def bfdPackBinsOf(docs: DataFrame, budget: Int,
+      shards: Int, cap: Int): org.apache.spark.sql.Dataset[BfdBin] = {
+    require(budget >= 1, s"budget must be at least 1, got $budget")
+    require(shards >= 1, s"shards must be at least 1, got $shards")
+    require(cap >= 1, s"cap must be at least 1, got $cap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (docId, src, _) =>
+        (src, ((docId % shards) + shards) % shards) }
+      .flatMapSortedGroups(col("n_tok").desc, col("doc_id").asc) {
+        case ((src, shard), it) =>
+          val open = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          val out = List.newBuilder[BfdBin]
+          var step = 0L
+          it.foreach { case (_, _, s) =>
+            var bestIdx = -1
+            var bestRem = Long.MaxValue
+            var bestId = Long.MaxValue
+            var i = 0
+            while (i < open.length) {
+              val (bid, rem, _) = open(i)
+              if (rem >= s && (rem < bestRem || (rem == bestRem && bid < bestId))) {
+                bestIdx = i; bestRem = rem; bestId = bid
+              }
+              i += 1
+            }
+            if (bestIdx >= 0) {
+              val (bid, rem, nd) = open(bestIdx)
+              open(bestIdx) = (bid, rem - s, nd + 1)
+            } else {
+              if (open.length == cap) {
+                val v = open.indices.minBy(j => (open(j)._2, open(j)._1))
+                val (bid, rem, nd) = open(v)
+                out += BfdBin(src, shard, bid, nd, budget - rem)
+                open.remove(v)
+              }
+              open += ((step, budget - s, 1L))
+            }
+            step += 1
+          }
+          open.foreach { case (bid, rem, nd) =>
+            out += BfdBin(src, shard, bid, nd, budget - rem) }
+          out.result()
+      }
+  }
+
+  /** samp10's rollup — the per-source waste card for [[bfdPackBinsOf]]
+    * in samp09's audit schema (plus the source column): docs, bins,
+    * token mass, overflow (zero unless a doc exceeds the budget),
+    * padding, waste fraction. */
+  private[graft] def bfdPackAuditOf(docs: DataFrame, budget: Int,
+      shards: Int, cap: Int): DataFrame =
+    bfdPackBinsOf(docs, budget, shards, cap).toDF()
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("total_tokens"),
+        sum(greatest(col("bin_tokens") - budget, lit(0L)))
+          .as("overflow_tokens"),
+        sum(greatest(lit(budget.toLong) - col("bin_tokens"), lit(0L)))
+          .as("padding_tokens"))
+      .withColumn("waste_frac", round(
+        (col("overflow_tokens") + col("padding_tokens")) / col("total_tokens"), 4))
+      .orderBy("source")
+
   /** s21's kernel — Matryoshka truncated-dimension retrieval audit
     * (Kusupati et al. 2022, "Matryoshka Representation Learning"):
     * for each candidate prefix dimension, the top-k under cosine over
@@ -6233,6 +6339,24 @@ object PipelineOps {
       // p02's partitioning story; the rollup is exact integers until
       // one rounded division. Scale notes on the kernel scaladoc.
       packingAuditOf(t(s, d, "documents"), budget = 256)
+    }),
+
+    "samp10_bfd_packing" -> ((s, d) => {
+      // The packer samp09's table points at: Ding et al. 2024
+      // best-fit-decreasing packing into 256-token bins — docs never
+      // split, so truncation is ZERO by construction (vs arrival's
+      // overflow mass); padding is the whole cost, and on this corpus
+      // total waste beats every samp09 baseline (spec-pinned ≤ the
+      // sorted scheme; 0.131 vs sorted's 0.172 here). Sub-streams are
+      // (source, doc_id-mod-4 shard) with the FULL size mix — a
+      // length-bucket split was measured to fragment BFD to 0.357 —
+      // bounded O(cap=64) state per task, and the shard key (legal
+      // for BFD, impossible for a running sum) keeps a skewed source
+      // parallel. The oracle
+      // replays the exact placement loop as a recursive CTE. Scale
+      // notes on the kernel scaladoc.
+      bfdPackAuditOf(t(s, d, "documents"), budget = 256, shards = 4,
+        cap = 64)
     }),
 
     "p02_sequence_packing" -> ((s, d) => {
@@ -9870,6 +9994,90 @@ object PipelineOps {
       FROM x, generate_series(0, 63) t(k)
       WHERE k * 48 < n_tok
       ORDER BY doc_id, chunk_idx""",
+
+    // samp10: the DuckDB side replays the EXACT best-fit-decreasing
+    // placement loop as a recursive CTE stepping one item rank per
+    // iteration across ALL (source, shard) sub-streams at
+    // once: the working table is each sub-stream's open bins (+step),
+    // choice/evict pick per-group argmins with the packed
+    // (remaining*1e6 + bin_id) key, closed bins emit exactly once,
+    // and groups whose items ran out close their bins and vanish.
+    "samp10_bfd_packing" -> """
+      WITH RECURSIVE d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+      ), items AS (
+        SELECT source, doc_id % 4 AS shard, n_tok, doc_id,
+               row_number() OVER (PARTITION BY source, doc_id % 4
+                                  ORDER BY n_tok DESC, doc_id) AS rk
+        FROM d
+      ), pack(source, shard, bin_id, remaining, n_docs, closed, step) AS (
+        SELECT source, shard, 0::BIGINT, 256 - n_tok, 1::BIGINT, false, 0::BIGINT
+        FROM items WHERE rk = 1
+        UNION ALL
+        SELECT p.source, p.shard, p.bin_id, p.remaining, p.n_docs, p.closed, p.step
+        FROM (
+          WITH st AS (SELECT * FROM pack WHERE NOT closed),
+          cur AS (
+            SELECT i.source, i.shard, i.n_tok
+            FROM items i JOIN (SELECT DISTINCT source, shard, step FROM st) g
+              ON i.source = g.source AND i.shard = g.shard
+             AND i.rk = g.step + 2
+          ),
+          choice AS (
+            SELECT s.source, s.shard,
+                   arg_min(s.bin_id, s.remaining * 1000000 + s.bin_id) AS chosen
+            FROM st s JOIN cur c
+              ON s.source = c.source AND s.shard = c.shard
+             AND s.remaining >= c.n_tok
+            GROUP BY 1, 2
+          ),
+          evict AS (
+            SELECT s.source, s.shard,
+                   arg_min(s.bin_id, s.remaining * 1000000 + s.bin_id) AS victim
+            FROM st s
+            JOIN cur c ON s.source = c.source AND s.shard = c.shard
+            LEFT JOIN choice ch ON s.source = ch.source AND s.shard = ch.shard
+            WHERE ch.source IS NULL
+            GROUP BY 1, 2
+            HAVING count(*) >= 64
+          )
+          SELECT s.source, s.shard, s.bin_id,
+                 s.remaining - CASE WHEN ch.chosen = s.bin_id THEN c.n_tok ELSE 0 END AS remaining,
+                 s.n_docs + CASE WHEN ch.chosen = s.bin_id THEN 1 ELSE 0 END AS n_docs,
+                 (c.source IS NULL) AS closed,
+                 s.step + 1 AS step
+          FROM st s
+          LEFT JOIN cur c ON s.source = c.source AND s.shard = c.shard
+          LEFT JOIN choice ch ON s.source = ch.source AND s.shard = ch.shard
+          LEFT JOIN evict e ON s.source = e.source AND s.shard = e.shard
+          WHERE e.victim IS NULL OR e.victim <> s.bin_id
+          UNION ALL
+          SELECT s.source, s.shard, s.bin_id, s.remaining, s.n_docs, true, s.step + 1
+          FROM st s JOIN evict e
+            ON s.source = e.source AND s.shard = e.shard AND s.bin_id = e.victim
+          UNION ALL
+          SELECT c.source, c.shard, g.step + 1, 256 - c.n_tok, 1, false, g.step + 1
+          FROM cur c
+          JOIN (SELECT DISTINCT source, shard, step FROM st) g
+            ON c.source = g.source AND c.shard = g.shard
+          LEFT JOIN choice ch ON c.source = ch.source AND c.shard = ch.shard
+          WHERE ch.source IS NULL
+        ) p
+      ), bins AS (
+        SELECT source, 256 - remaining AS bin_tokens, n_docs
+        FROM pack WHERE closed
+      )
+      SELECT source,
+        CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_bins,
+        CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(greatest(bin_tokens - 256, 0)) AS BIGINT) AS overflow_tokens,
+        CAST(sum(greatest(256 - bin_tokens, 0)) AS BIGINT) AS padding_tokens,
+        round((sum(greatest(bin_tokens - 256, 0)) + sum(greatest(256 - bin_tokens, 0)))
+          * 1.0 / sum(bin_tokens), 4) AS waste_frac
+      FROM bins GROUP BY source ORDER BY source""",
 
     "samp09_packing_audit" -> """
       WITH d AS (

@@ -1209,6 +1209,64 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("bucketed") == ((2L, 600L, 144L, 56L)), s"bucketed: ${got("bucketed")}")
   }
 
+  test("samp10 BFD packing: zero truncation, beats samp09's best baseline, mass conserved") {
+    val bfd = run("samp10_bfd_packing").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val toks = Tables.t(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .agg(sum("n_tok"), sum(greatest(col("n_tok") - 256, lit(0L))),
+        count(lit(1)))
+      .head()
+    // docs never split: token and doc mass conserved, and overflow is
+    // EXACTLY the over-budget docs' tail mass (zero truncation of
+    // anything that fits — the paper's point)
+    assert(bfd.map(_._4).sum == toks.getLong(0), "token mass not conserved")
+    assert(bfd.map(_._2).sum == toks.getLong(2), "doc count not conserved")
+    assert(bfd.map(_._5).sum == toks.getLong(1),
+      s"overflow must be only the >budget docs' tails: ${bfd.map(_._5).sum} vs ${toks.getLong(1)}")
+    // corpus-level waste beats samp09's best baseline (the sorted
+    // scheme) — the row teams pick exists for a reason
+    val wasteBfd = (bfd.map(_._5).sum + bfd.map(_._6).sum).toDouble / bfd.map(_._4).sum
+    val s09 = run("samp09_packing_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(4) + r.getLong(5)).toDouble / r.getLong(3)))
+      .toMap
+    assert(wasteBfd <= s09.values.min,
+      s"BFD waste $wasteBfd worse than a samp09 baseline: $s09")
+  }
+
+  test("samp10 BFD: crafted fixture exact, cap eviction closes the fullest bin first") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.bfdPackBinsOf
+    def doc(id: Long, n: Int) = (id, "s", (1 to n).map(i => s"w$i").mkString(" "))
+    // samp09's crafted corpus (200/100/200/100, budget 256): BFD in
+    // decreasing order (200,200,100,100) packs the two 100s together
+    // and each 200 alone — waste 168/600 = 0.28, beating samp09's
+    // sorted scheme's 0.3333 on the same fixture
+    val fx = Seq(doc(1, 200), doc(2, 100), doc(3, 200), doc(4, 100))
+      .toDF("doc_id", "source", "text")
+    val bins = bfdPackBinsOf(fx, budget = 256, shards = 1, cap = 64)
+      .collect().map(b => (b.bin_id, b.n_docs, b.bin_tokens)).toSet
+    assert(bins == Set((0L, 1L, 200L), (1L, 1L, 200L), (2L, 2L, 200L)),
+      s"crafted BFD placement diverged: $bins")
+    // eviction drill (cap 2, budget 100, one 32-token bucket): after
+    // the third 63 evicts bin 0, the two 33s must land in bins 1 and 2
+    // — an unevicted bin 0 would have taken the first 33 (min id wins
+    // among equal remainders), so the per-bin doc counts pin that the
+    // FULLEST-FIRST eviction really happened
+    val ev = Seq(doc(1, 63), doc(2, 63), doc(3, 63), doc(4, 33), doc(5, 33))
+      .toDF("doc_id", "source", "text")
+    val evBins = bfdPackBinsOf(ev, budget = 100, shards = 1, cap = 2)
+      .collect().map(b => (b.bin_id, b.n_docs, b.bin_tokens)).toSet
+    assert(evBins == Set((0L, 1L, 63L), (1L, 2L, 96L), (2L, 2L, 96L)),
+      s"cap-eviction placement diverged: $evBins")
+    // an over-budget doc gets its own overflow bin; mass conserved
+    val big = Seq(doc(1, 300)).toDF("doc_id", "source", "text")
+    val bigBins = bfdPackBinsOf(big, budget = 256, shards = 1, cap = 64)
+      .collect().map(b => (b.bin_id, b.n_docs, b.bin_tokens)).toSet
+    assert(bigBins == Set((0L, 1L, 300L)), s"oversize doc mishandled: $bigBins")
+  }
+
   test("distPrefixSumOf: bit-equal to the running-sum window, incl. a desc ordPrefix") {
     // the two-level decomposition must reproduce the naive window's
     // cum_before EXACTLY on every row — offsets + local sums are pure
