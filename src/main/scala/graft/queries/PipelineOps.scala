@@ -944,8 +944,9 @@ object PipelineOps {
       .withColumn("rk", row_number().over(wSeed))
       .filter(col("rk") <= topK)
       .select("vec_id", "nbr_id", "cos")
-    var edges = iterBarrier(base.select("vec_id", "nbr_id", "cos")
-      .union(bridges).distinct(), checkpointDir)
+    val chain = new BarrierChain(checkpointDir)
+    var edges = chain.barrier(base.select("vec_id", "nbr_id", "cos")
+      .union(bridges).distinct())
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("nbr_id").asc)
     (1 to rounds).foreach { _ =>
@@ -962,11 +963,11 @@ object PipelineOps {
           Seq("nbr_id"))
         .withColumn("cos", round(expr("cosine_sim(e, ne)"), 4))
         .select("vec_id", "nbr_id", "cos")
-      edges = iterBarrier(edges.union(scored)
+      edges = chain.barrier(edges.union(scored)
         .groupBy("vec_id", "nbr_id").agg(max("cos").as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= topK)
-        .select("vec_id", "nbr_id", "cos"), checkpointDir)
+        .select("vec_id", "nbr_id", "cos"))
     }
     // the filter is a no-op on the ≤ topK checkpointed edges, but it
     // keeps the final rank a WindowGroupLimit bounded heap like the
@@ -4089,11 +4090,21 @@ object PipelineOps {
     val full = dims.max
     // the recall reference is the dims.max prefix — it is only the
     // honest "full-dimension exact top-k" if dims.max IS the true
-    // dimensionality; a silent shorter max would certify truncation
-    // against a truncation (r10 self-review). Fail loudly instead.
-    val trueDim = emb.select(size(col("e"))).head().getInt(0)
-    require(full == trueDim,
-      s"dims must include the embedding's true dimensionality $trueDim " +
+    // dimensionality of EVERY row; a silent shorter max would certify
+    // truncation against a truncation (r10 self-review), and a ragged
+    // column would score silently through slice semantics (r10
+    // ADVICE). One aggregate pins min=max=dims.max and gives the
+    // empty corpus a real message instead of a bare head() throw.
+    val dimRow = emb.agg(min(size(col("e"))).as("lo"),
+      max(size(col("e"))).as("hi"), count(lit(1)).as("n")).head()
+    require(dimRow.getLong(2) > 0,
+      "matryoshka audit needs a non-empty embedding corpus")
+    val (loDim, hiDim) = (dimRow.getInt(0), dimRow.getInt(1))
+    require(loDim == hiDim,
+      s"ragged embedding column: row sizes span [$loDim, $hiDim] — " +
+        "prefix-slice recall over mixed dimensionalities is meaningless")
+    require(full == loDim,
+      s"dims must include the embedding's true dimensionality $loDim " +
         s"as its max (got ${dims.max}) — the full-dim exact top-k is the " +
         "recall reference")
     val qdim = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
@@ -4561,6 +4572,38 @@ object PipelineOps {
       case None => df.localCheckpoint()
     }
 
+  /** The barrier sequencer for ITERATIVE kernels (ccLabelsOf,
+    * nnDescent): same semantics as [[iterBarrier]] per call, plus
+    * bounded reliable-checkpoint storage. Writing round k's barrier
+    * retires round k−2's files: k−1 must survive the k write because
+    * the convergence checks read rounds k and k−1 together, but
+    * anything older is provably dead — so a long run holds at most
+    * two live barrier dirs (RDD reliable-checkpoint semantics:
+    * latest-alive, not unbounded accumulation). State is per-chain,
+    * so two kernels sharing a checkpointDir never retire each other's
+    * files; the final one-or-two dirs are the caller's to clean (the
+    * documented dir-lifecycle contract). */
+  private[graft] final class BarrierChain(checkpointDir: Option[String]) {
+    private var prev: Option[String] = None
+    private var prevPrev: Option[String] = None
+    def barrier(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/barrier-${java.util.UUID.randomUUID()}"
+        df.write.parquet(path)
+        val out = df.sparkSession.read.schema(df.schema).parquet(path)
+        prevPrev.foreach { dead =>
+          val p = new org.apache.hadoop.fs.Path(dead)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          ()
+        }
+        prevPrev = prev
+        prev = Some(path)
+        out
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** One large-star round: every node's larger neighbors re-point at
     * its neighborhood minimum (self included). Equi-joins only. */
   private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
@@ -4607,12 +4650,13 @@ object PipelineOps {
     require(maxRounds >= 1, s"maxRounds must be at least 1, got $maxRounds")
     def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
     def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
-    var e = iterBarrier(edges.select(col("d1").as("u"), col("d2").as("v"))
-      .distinct(), checkpointDir)
+    val chain = new BarrierChain(checkpointDir)
+    var e = chain.barrier(edges.select(col("d1").as("u"), col("d2").as("v"))
+      .distinct())
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = iterBarrier(smallStar(largeStar(e)), checkpointDir)
+      val next = chain.barrier(smallStar(largeStar(e)))
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
       e = next
       round += 1
@@ -4803,13 +4847,25 @@ object PipelineOps {
     // DETERMINISTIC corpus scan instead of riding the checkpoint —
     // pinning one boolean per doc costs two BIGINT-ish columns of
     // executor cache, not the whole corpus text (the r10 self-review
-    // found the wide form cached text for no added guarantee)
+    // found the wide form cached text for no added guarantee). A text
+    // DIGEST rides along and is re-checked at the payload join: the
+    // narrow checkpoint assumes the docs frame re-scans
+    // deterministically — if a nondeterministic caller frame (a
+    // sample, a racing overwrite) drifts between the two scans, the
+    // tar payload would silently disagree with the certificate, so
+    // drift raises instead of shipping (fail-loud beats wrong)
     val idFlags = docs
-      .select(col("doc_id"), isDeleted.as("is_del"))
+      .select(col("doc_id"), isDeleted.as("is_del"),
+        md5(coalesce(col("text"), lit(""))).as("tdig"))
       .localCheckpoint()
     val tagged = docs
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .join(idFlags, Seq("doc_id"))
+      .withColumn("text",
+        when(md5(coalesce(col("text"), lit(""))) === col("tdig"), col("text"))
+          .otherwise(raise_error(concat(
+            lit("deletion drill: corpus text drifted between scans at doc_id "),
+            col("doc_id").cast("string")))))
     tarShardWrite(tagged.filter(!col("is_del"))
       .select("doc_id", "lang", "source", "text"), out, shards)
     val ids = tarShardMembers(spark, out)
@@ -4871,6 +4927,15 @@ object PipelineOps {
     require(thresholds.distinct.size == thresholds.size,
       s"duplicate thresholds in $thresholds")
     val ts = thresholds.sorted
+    // the shared pair table builds ONCE at min(τ) — the sweep's whole
+    // amortization. A floor keeps a careless τ from pulling the f²
+    // background pair mass into that build and regressing the one-pass
+    // design to all-pairs (measured: τ=0.02 cost ~8 s of background CC
+    // at sf0.1 for zero extra signal over 0.03's cliff); sweeps below
+    // it belong on d10's df-capped two-phase pair build instead.
+    require(ts.head >= 0.025,
+      s"dedup sweep floor is 0.025 (got ${ts.head}): a lower min-tau " +
+        "rebuilds the shared pair table over the background pair mass")
     val nT = ts.size
     val spark = docs.sparkSession
     val toks = docs.select(col("doc_id"),

@@ -1855,6 +1855,78 @@ class CurationOpsSpec extends AnyFunSuite {
       "a checkpointed predicate must never certify a leak against its own write")
   }
 
+  test("reliable barrier chain: a long run retires old rounds — at most two barrier dirs survive") {
+    // r10 ADVICE: the reliable mode wrote a fresh barrier-<UUID> dir
+    // per round and never deleted any. The chain retires round k-2 at
+    // round k's write (k-1 must outlive the write: the convergence
+    // checks read k and k-1 together), so a long iterative run holds
+    // bounded checkpoint storage — and the labels stay identical.
+    import spark.implicits._
+    import graft.queries.PipelineOps.ccLabelsOf
+    val ckDir = java.nio.file.Files.createTempDirectory("chainck").toString
+    // a 24-node path needs several alternating rounds to converge
+    val edges = (1L to 23L).map(i => (i, i + 1)).toDF("d1", "d2")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val local = ccLabelsOf(edges).collect().map(key).toSet
+    val reliable = ccLabelsOf(edges, checkpointDir = Some(ckDir))
+      .collect().map(key).toSet
+    assert(reliable == local, "chain-retired run diverged from local form")
+    val left = new java.io.File(ckDir).listFiles()
+      .filter(_.getName.startsWith("barrier-"))
+    assert(left.length <= 2,
+      s"barrier retirement broke: ${left.length} dirs survived the run")
+    assert(left.nonEmpty, "the live barrier must survive (labels read it)")
+  }
+
+  test("d26 sweep floor: a background-mass min-tau fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.PipelineOps.dedupSweepOf(docs, Seq(0.01, 0.5))
+    }
+    assert(ex.getMessage.contains("floor"), ex.getMessage)
+  }
+
+  test("u06 deletion drill: corpus text drifting between scans raises instead of shipping") {
+    // the narrow (doc_id, is_del, digest) checkpoint assumes the docs
+    // frame re-scans deterministically; a frame whose text CHANGES
+    // between the certificate scan and the payload scan must fail
+    // loudly — a silent pass would tar one corpus and certify another
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val flips = new java.util.concurrent.atomic.AtomicLong(0)
+    val drifty = udf(() => s"body ${flips.incrementAndGet()}").asNondeterministic()
+    val docs = (1L to 20L).map(i => (i, "en", "src"))
+      .toDF("doc_id", "lang", "source")
+      .withColumn("text", drifty())
+    val out = java.nio.file.Files.createTempDirectory("u06drift").toString
+    val ex = intercept[Exception] {
+      graft.queries.PipelineOps.deletionDrillOf(
+        docs, col("doc_id") % 2 === 0, out, shards = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("drifted")),
+      s"expected the drift raise, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("s21 matryoshka: ragged and empty embedding corpora fail with real messages") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.matryoshkaRecallOf
+    val ragged = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "e")
+    val exR = intercept[IllegalArgumentException] {
+      matryoshkaRecallOf(ragged, ragged.limit(1), dims = Seq(2, 4), k = 1)
+    }
+    assert(exR.getMessage.contains("ragged"), exR.getMessage)
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "e")
+    val exE = intercept[IllegalArgumentException] {
+      matryoshkaRecallOf(empty, empty, dims = Seq(2, 4), k = 1)
+    }
+    assert(exE.getMessage.contains("non-empty"), exE.getMessage)
+  }
+
   test("samp08 temperature grid: duplicate taus fail loudly") {
     import spark.implicits._
     val docs = Seq(("en", "a b c"), ("fr", "d e"))
