@@ -528,6 +528,26 @@ object Curation {
     * uniform-share delta — the audit read before committing a
     * temperature to [[temperatureMixture]]/[[tokenBudgetMixture]].
     * Returns (tau, lang, n_tokens, share, vs_uniform). */
+  /** Best-fit-decreasing sequence packing (samp10's kernel — Ding et
+    * al. 2024 "Fewer Truncations Improve Language Modeling"): docs
+    * sort decreasing within (source, doc_id-mod-`shards`) sub-streams
+    * and best-fit into `budget`-token bins — docs never split, so
+    * anything ≤ budget packs with zero truncation; state is bounded at
+    * `cap` open bins per sub-stream (fullest-first eviction past the
+    * cap). Returns the per-source waste card (docs, bins, token mass,
+    * overflow, padding, waste fraction). `shards` is the parallelism
+    * knob for skewed sources; each sub-stream pays ~one padded tail
+    * bin, so scale it with the cluster, not above the data. */
+  def bfdPack(docs: DataFrame, budget: Int = 256, shards: Int = 4,
+      cap: Int = 64, idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    PipelineOps.bfdPackAuditOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          col(sourceCol).cast("string").as("source"),
+          col(textCol).cast("string").as("text"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull),
+      budget, shards, cap)
+
   def temperatureGrid(docs: DataFrame,
       taus: Seq[Double] = Seq(0.3, 0.5, 0.7, 1.0),
       langCol: String = "lang", textCol: String = "text"): DataFrame =

@@ -706,6 +706,20 @@ class CurationApiSpec extends AnyFunSuite {
     assert(api == ref)
   }
 
+  test("bfdPack over renamed columns equals the samp10 entry") {
+    val userSrc = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("docnum"), col("source").as("origin"),
+        col("text").as("body"))
+    val api = Curation.bfdPack(userSrc, idCol = "docnum",
+        sourceCol = "origin", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val ref = entry("samp10_bfd_packing")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(api == ref)
+  }
+
   test("noveltyRatio over renamed columns equals the t15 entry") {
     val api = Curation.noveltyRatio(userDocs, idCol = "docnum", textCol = "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
