@@ -3866,7 +3866,9 @@ object PipelineOps {
       ordPrefix: Seq[(String, Boolean)], valueCol: String,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 1, s"buckets must be at least 1, got $buckets")
-    val reserved = Seq("lo_", "hi_", "bkt_", "loc_", "off_", "gsum_", "cum_before")
+    val keyCols = part ++ ordPrefix.map(_._1)
+    val reserved = Seq("lo_", "hi_", "bkt_", "loc_", "off_", "gsum_",
+      "cum_before") ++ (keyCols :+ "bkt_").map(_ + "o_")
     reserved.foreach(c => require(!d.columns.contains(c),
       s"input column $c collides with a prefix-sum internal name"))
     val span = d.agg(min(col("doc_id")).as("lo_"), max(col("doc_id")).as("hi_"))
@@ -3874,7 +3876,7 @@ object PipelineOps {
       .withColumn("bkt_",
         expr(s"(doc_id - lo_) div ((hi_ - lo_) div $buckets + 1)"))
       .drop("lo_", "hi_")
-    val grpCols = part ++ ordPrefix.map(_._1) :+ "bkt_"
+    val grpCols = keyCols :+ "bkt_"
     val localW = Window.partitionBy(grpCols.map(col): _*).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withB.withColumn("loc_",
@@ -3887,9 +3889,15 @@ object PipelineOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = subs.withColumn("off_", coalesce(sum("gsum_").over(offW), lit(0L)))
       .select(grpCols.map(col) :+ col("off_"): _*)
-    local.join(offs, grpCols)
+    // NULL-SAFE join back: the bare window treats a NULL part (or
+    // NULL ordPrefix value) as an ordinary group, so the offset join
+    // must too — a plain equi-join would silently drop those rows
+    // (NULL != NULL) and break mass conservation
+    val offsR = grpCols.foldLeft(offs)((d, c) => d.withColumnRenamed(c, c + "o_"))
+    local.join(offsR,
+        grpCols.map(c => col(c) <=> col(c + "o_")).reduce(_ && _))
       .withColumn("cum_before", col("off_") + col("loc_"))
-      .drop("off_", "loc_", "bkt_")
+      .drop(grpCols.map(_ + "o_") ++ Seq("off_", "loc_", "bkt_"): _*)
   }
 
   /** samp09's kernel — the packing-efficiency audit (Ding et al.
@@ -4564,13 +4572,7 @@ object PipelineOps {
     * global state; callers own the dir's lifecycle either way. */
   private[graft] def iterBarrier(df: DataFrame,
       checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
-      case Some(dir) =>
-        val path = s"$dir/barrier-${java.util.UUID.randomUUID()}"
-        df.write.parquet(path)
-        df.sparkSession.read.schema(df.schema).parquet(path)
-      case None => df.localCheckpoint()
-    }
+    new BarrierChain(checkpointDir).barrier(df) // fresh chain: nothing retires
 
   /** The barrier sequencer for ITERATIVE kernels (ccLabelsOf,
     * nnDescent): same semantics as [[iterBarrier]] per call, plus
@@ -4782,15 +4784,39 @@ object PipelineOps {
     * (shard, doc_id, txt_bytes, is_json), doc_id = −1 for metadata
     * members. */
   private[graft] def tarShardMembers(spark: SparkSession, dir: String)
-      : DataFrame = {
-    import spark.implicits._
+      : DataFrame =
     // pathGlobFilter instead of a glob-in-path: the latter trips the
     // FileStreamSink metadata probe into a noisy (benign) WARN.
     // recursiveFileLookup makes the same audit serve st11's
     // generation-directory tree (shard numbers aggregate across gens).
-    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
-      .option("recursiveFileLookup", "true")
-      .load(dir)
+    tarMembersFrom(spark,
+      spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+        .option("recursiveFileLookup", "true")
+        .load(dir))
+
+  /** The top-level-only form of [[tarShardMembers]]: reads exactly the
+    * shard files sitting directly in `dir` — the set one
+    * [[tarShardWrite]] call produced — via an explicit file list, so
+    * neither generation subdirs nor partition discovery (a `gen=N`
+    * subdir makes the non-recursive binaryFile reader infer partitions
+    * and skip root files) can widen or narrow the scope. Returns None
+    * when the dir holds no top-level shard files. */
+  private[graft] def tarShardMembersTopLevel(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".tar"))
+      .map(_.getPath.toString)
+    if (files.isEmpty) None
+    else Some(tarMembersFrom(spark,
+      spark.read.format("binaryFile").load(files.toIndexedSeq: _*)))
+  }
+
+  private def tarMembersFrom(spark: SparkSession,
+      loaded: DataFrame): DataFrame = {
+    import spark.implicits._
+    loaded
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -4845,10 +4871,11 @@ object PipelineOps {
     // cannot make the certificate judge a different corpus than the
     // one just written. The payload columns re-join from the
     // DETERMINISTIC corpus scan instead of riding the checkpoint —
-    // pinning one boolean per doc costs two BIGINT-ish columns of
-    // executor cache, not the whole corpus text (the r10 self-review
-    // found the wide form cached text for no added guarantee). A text
-    // DIGEST rides along and is re-checked at the payload join: the
+    // pinning one boolean per doc costs two BIGINT-ish columns plus a
+    // 32-char digest of executor cache, not the whole corpus text (the
+    // r10 self-review found the wide form cached text for no added
+    // guarantee). The text DIGEST rides along and is re-checked at the
+    // payload join: the
     // narrow checkpoint assumes the docs frame re-scans
     // deterministically — if a nondeterministic caller frame (a
     // sample, a racing overwrite) drifts between the two scans, the
@@ -4868,6 +4895,22 @@ object PipelineOps {
             col("doc_id").cast("string")))))
     tarShardWrite(tagged.filter(!col("is_del"))
       .select("doc_id", "lang", "source", "text"), out, shards)
+    // MEMBERSHIP drift guard (the digest above only covers ids present
+    // in BOTH scans): a payload scan that LOST judged ids would tar
+    // fewer docs than the certificate counts — the inner join drops
+    // them silently, so compare the member count of the files THIS
+    // write produced (top-level shards only; stale generations are the
+    // certificate's own job, reported as leak_count, not an exception)
+    // against the judged survivor count, eagerly and fail-loud. (Extra
+    // ids in the payload scan were never judged and never ship — the
+    // inner join excludes them from both the tar and the certificate.)
+    val expectedRemaining = idFlags.filter(!col("is_del")).count()
+    val writtenRemaining = tarShardMembersTopLevel(spark, out)
+      .map(_.filter(col("doc_id") >= 0).count()).getOrElse(0L)
+    require(writtenRemaining == expectedRemaining,
+      s"deletion drill: tar shipped $writtenRemaining docs but the " +
+        s"certificate judged $expectedRemaining survivors — corpus " +
+        "membership drifted between scans")
     val ids = tarShardMembers(spark, out)
       .filter(col("doc_id") >= 0).select("doc_id")
     val delIds = idFlags.filter(col("is_del")).select("doc_id")
@@ -10062,19 +10105,23 @@ object PipelineOps {
 
     // samp10: the DuckDB side replays the EXACT best-fit-decreasing
     // placement loop as a recursive CTE stepping one item rank per
-    // iteration across ALL (source, shard) sub-streams at
-    // once: the working table is each sub-stream's open bins (+step),
-    // choice/evict pick per-group argmins with the packed
-    // (remaining*1e6 + bin_id) key, closed bins emit exactly once,
-    // and groups whose items ran out close their bins and vanish.
+    // iteration across ALL (source, shard) sub-streams at once: the
+    // working table is each sub-stream's open bins (+step); choice and
+    // evict pick per-group argmins EXACTLY via two-step min (min
+    // remaining among eligible, then min bin_id at that remaining — a
+    // packed remaining*C+bin_id key would corrupt the ordering once
+    // bin ids reach C, the r11 self-review catch); closed bins emit
+    // exactly once, and groups whose items ran out close their bins
+    // and vanish. The shard modulo is sign-normalized to match the
+    // kernel on negative doc ids.
     "samp10_bfd_packing" -> """
       WITH RECURSIVE d AS (
         SELECT source, doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         FROM documents
       ), items AS (
-        SELECT source, doc_id % 4 AS shard, n_tok, doc_id,
-               row_number() OVER (PARTITION BY source, doc_id % 4
+        SELECT source, ((doc_id % 4) + 4) % 4 AS shard, n_tok, doc_id,
+               row_number() OVER (PARTITION BY source, ((doc_id % 4) + 4) % 4
                                   ORDER BY n_tok DESC, doc_id) AS rk
         FROM d
       ), pack(source, shard, bin_id, remaining, n_docs, closed, step) AS (
@@ -10090,23 +10137,32 @@ object PipelineOps {
               ON i.source = g.source AND i.shard = g.shard
              AND i.rk = g.step + 2
           ),
-          choice AS (
-            SELECT s.source, s.shard,
-                   arg_min(s.bin_id, s.remaining * 1000000 + s.bin_id) AS chosen
-            FROM st s JOIN cur c
-              ON s.source = c.source AND s.shard = c.shard
+          elig AS (
+            SELECT s.source, s.shard, s.bin_id, s.remaining
+            FROM st s JOIN cur c ON s.source = c.source AND s.shard = c.shard
              AND s.remaining >= c.n_tok
+          ),
+          mn AS (SELECT source, shard, min(remaining) AS mr FROM elig GROUP BY 1, 2),
+          choice AS (
+            SELECT e.source, e.shard, min(e.bin_id) AS chosen
+            FROM elig e JOIN mn ON e.source = mn.source AND e.shard = mn.shard
+             AND e.remaining = mn.mr
             GROUP BY 1, 2
           ),
-          evict AS (
-            SELECT s.source, s.shard,
-                   arg_min(s.bin_id, s.remaining * 1000000 + s.bin_id) AS victim
+          evict0 AS (
+            SELECT s.source, s.shard, min(s.remaining) AS mr
             FROM st s
             JOIN cur c ON s.source = c.source AND s.shard = c.shard
             LEFT JOIN choice ch ON s.source = ch.source AND s.shard = ch.shard
             WHERE ch.source IS NULL
             GROUP BY 1, 2
             HAVING count(*) >= 64
+          ),
+          evict AS (
+            SELECT s.source, s.shard, min(s.bin_id) AS victim
+            FROM st s JOIN evict0 e0 ON s.source = e0.source AND s.shard = e0.shard
+             AND s.remaining = e0.mr
+            GROUP BY 1, 2
           )
           SELECT s.source, s.shard, s.bin_id,
                  s.remaining - CASE WHEN ch.chosen = s.bin_id THEN c.n_tok ELSE 0 END AS remaining,
