@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.PipelineOps
@@ -807,6 +807,33 @@ object Curation {
   def proximitySearch(index: DataFrame, terms: Seq[String],
       window: Int): DataFrame =
     PipelineOps.proximitySearchOf(index, terms, window)
+
+  /** Term-dictionary build (idx10/idx11's build half): the (term, df,
+    * cf) vocabulary artifact written to `path` range-partitioned by
+    * term and sorted within files, so parquet min/max stats prune a
+    * prefix or point lookup to the one file that can hold it.
+    * Vocabulary-sized — serve cost over it is corpus-independent. */
+  def buildTermDict(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    PipelineOps.termDictBuild(canon(docs, idCol, textCol), path)
+
+  /** Prefix suggest / query autocomplete over a stored term
+    * dictionary (idx10's kernel): terms starting with `prefix`,
+    * ranked df desc (term asc ties), top `k`. One range-pruned
+    * dictionary scan + a bounded top-k heap; the corpus is never
+    * touched. Returns (term, df, cf). */
+  def prefixSuggest(spark: SparkSession, dictPath: String,
+      prefix: String, k: Int = 10): DataFrame =
+    PipelineOps.prefixSuggestOf(spark, dictPath, prefix, k)
+
+  /** SymSpell fuzzy term correction over a stored term dictionary
+    * (idx11's kernel — "did you mean"): deletion-neighborhood
+    * equi-join candidates, exact levenshtein ≤ 1 verify, ranked
+    * (dist, df desc, term) top `k` per query term. No pairwise
+    * vocabulary scan. Returns (q, rk, term, dist, df). */
+  def fuzzyCorrect(spark: SparkSession, dictPath: String,
+      queries: Seq[String], k: Int = 3): DataFrame =
+    PipelineOps.fuzzyCorrectOf(spark, dictPath, queries, k)
 
   /** Corpus distribution drift monitor (guard02's kernel — the release
     * gate next to [[corpusDiff]]: diff answers WHICH docs changed,

@@ -799,4 +799,23 @@ class CurationApiSpec extends AnyFunSuite {
       .filter(_._2 > 0).toSet
     assert(tb == tbRef)
   }
+
+  test("buildTermDict + prefixSuggest/fuzzyCorrect over renamed columns equal the idx10/idx11 entries") {
+    val dictDir = java.nio.file.Files
+      .createTempDirectory("graft-api-termdict").toString
+    Curation.buildTermDict(userDocs, dictDir, idCol = "docnum", textCol = "body")
+    val sug = Curation.prefixSuggest(spark, dictDir, prefix = "s", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val sugRef = entry("idx10_prefix_suggest")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sug == sugRef)
+    val fz = Curation.fuzzyCorrect(spark, dictDir,
+        Seq("scann", "tabl", "scen", "data", "zzz"), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    val fzRef = entry("idx11_fuzzy_correct")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(fz == fzRef)
+  }
 }

@@ -622,6 +622,38 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("idx10 prefix suggest: dictionary-only serve — prefix pushed to the scan, bounded top-k") {
+    // the autocomplete promise: suggest cost is vocabulary-shaped and
+    // corpus-independent — the serve plan's only FileScan is the
+    // range-sorted term dictionary with the StartsWith predicate
+    // pushed to parquet (min/max stats prune non-matching files), and
+    // the cut is a TakeOrdered heap, never a global sort
+    val df = graft.queries.PipelineOps.defs("idx10_prefix_suggest")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("documents"),
+      s"prefix suggest scanned the live corpus:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*StringStartsWith\\(term".r.findFirstIn(plan).isDefined,
+      s"StartsWith predicate not pushed to the dictionary scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k degenerated into a global sort:\n$plan")
+  }
+
+  test("idx11 fuzzy correct: variant equi-join, queries broadcast — no pairwise vocabulary scan") {
+    // the SymSpell promise: candidate generation is an EQUI-join on
+    // the shared deletion variant with the (len+1)-per-query side
+    // broadcast; a cartesian / nested-loop here would be the
+    // quadratic all-pairs distance scan the method exists to avoid
+    val df = graft.queries.PipelineOps.defs("idx11_fuzzy_correct")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("documents"),
+      s"fuzzy correct scanned the live corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query variants lost their broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy correct degenerated into a pairwise scan:\n$plan")
+  }
+
   test("idx06 proximity search: per-term scans prune to their buckets, equi-joins only") {
     // same serve contract as idx02: each term's scan carries its
     // literal bucket PartitionFilter + pushed term predicate; the

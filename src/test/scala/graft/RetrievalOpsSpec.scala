@@ -516,6 +516,103 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"store-served snippets diverged from the live-docs form")
   }
 
+  // ---- idx10 prefix suggest / idx11 fuzzy correct ---------------------------
+
+  test("idx10: suggestions equal corpus truth; crafted ranking, k-cut, empty-prefix corners") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{termDictBuild, prefixSuggestOf}
+    // corpus entry: every suggestion's (df, cf) must equal an
+    // independent recount, and the five rows must be exactly the
+    // corpus top-5 for the prefix under (df desc, term asc)
+    val got = run("idx10_prefix_suggest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val truth = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").startsWith("s"))
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.size == 5 && truth.size > 5,
+      "corpus must have more 's' terms than k, or the cut is untested")
+    val want = truth.sortBy { case (t, df, _) => (-df, t) }.take(5).toSeq
+    assert(got == want, s"suggest diverged from corpus recount: $got vs $want")
+    // crafted dictionary: ranking across distinct df, the k cut, a
+    // miss prefix, and the fail-loud requires
+    val dictDir = java.nio.file.Files.createTempDirectory("graft-idx10-spec").toString
+    val docs = Seq(
+      (1L, "apple apply ape banana"),
+      (2L, "apple ape"),
+      (3L, "apple banana")).toDF("doc_id", "text")
+    termDictBuild(docs, dictDir)
+    // df: apple 3, ape 2, apply 1 — rank order, then cf sanity
+    assert(prefixSuggestOf(spark, dictDir, "ap", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("apple", 3L, 3L), ("ape", 2L, 2L), ("apply", 1L, 1L)))
+    assert(prefixSuggestOf(spark, dictDir, "ap", 2).collect()
+      .map(_.getString(0)).toSeq == Seq("apple", "ape"))
+    assert(prefixSuggestOf(spark, dictDir, "zz", 3).collect().isEmpty)
+    intercept[IllegalArgumentException](prefixSuggestOf(spark, dictDir, "", 3))
+    intercept[IllegalArgumentException](prefixSuggestOf(spark, dictDir, "a", 0))
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    // reference Wagner–Fischer, independent of the plan under test
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("idx11: every hit is a true dist<=1 pair; the dist-2 shared-variant drill; ranking") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{termDictBuild, fuzzyCorrectOf}
+    // corpus entry: each (q, term) verified against an independent
+    // levenshtein; garbage 'zzz' must surface nothing; rk is dense
+    // from 1 within each query under (dist, df desc, term)
+    val got = run("idx11_fuzzy_correct").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && !got.exists(_._1 == "zzz"),
+      "garbage query must return no candidates")
+    got.foreach { case (q, _, term, dist, _) =>
+      assert(levRef(q, term) == dist && dist <= 1,
+        s"($q, $term) claims dist $dist, truth ${levRef(q, term)}") }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.size), s"$q rk not dense")
+      val sorted = rows.sortBy { case (_, _, t, dist, df) => (dist, -df, t) }
+      assert(rows.sortBy(_._2).map(_._3) == sorted.map(_._3),
+        s"$q ranking violates (dist, df desc, term)") }
+    // the SymSpell false-positive drill: 'ab' and 'ba' SHARE deletion
+    // variants ('a', 'b') so the equi-join surfaces the pair, but
+    // plain levenshtein('ab','ba') = 2 (a transposition is two edits)
+    // — the exact verify must discard it, returning nothing
+    val dictDir = java.nio.file.Files.createTempDirectory("graft-idx11-spec").toString
+    val docs = Seq(
+      (1L, "ba ba ba"),
+      (2L, "cart card ba"),
+      (3L, "card")).toDF("doc_id", "text")
+    termDictBuild(docs, dictDir)
+    val r = fuzzyCorrectOf(spark, dictDir, Seq("ab", "cart", "carx"), 5)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2),
+        x.getInt(3), x.getLong(4))).toSeq
+    assert(!r.exists(_._1 == "ab"),
+      s"dist-2 transposition 'ab'~'ba' survived the exact verify: $r")
+    // edit classes: exact hit ranks before the substitution neighbor;
+    // df desc breaks the carx tie (card df=2 beats cart df=1)
+    assert(r.filter(_._1 == "cart").map(x => (x._2, x._3, x._4)) ==
+      Seq((1, "cart", 0), (2, "card", 1)))
+    assert(r.filter(_._1 == "carx").map(x => (x._2, x._3, x._4, x._5)) ==
+      Seq((1, "card", 1, 2L), (2, "cart", 1, 1L)))
+    // fail-loud requires
+    intercept[IllegalArgumentException](fuzzyCorrectOf(spark, dictDir, Nil, 3))
+    intercept[IllegalArgumentException](
+      fuzzyCorrectOf(spark, dictDir, Seq("a", "a"), 3))
+    intercept[IllegalArgumentException](
+      fuzzyCorrectOf(spark, dictDir, Seq("a"), 0))
+  }
+
   // ---- p12 composed search serve -------------------------------------------
 
   test("p12: ranked serve = boolean candidates sorted by a text-recomputed BM25") {
