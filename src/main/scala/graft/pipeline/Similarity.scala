@@ -313,4 +313,16 @@ object Similarity {
     PipelineOps.graphAnnServeFrom(emb.sparkSession, dir,
       canon(emb, idCol, vecCol), canon(queries, idCol, vecCol),
       entries, beam, rounds, k)
+
+  /** MMR diversified re-ranking (s24's kernel, Carbonell & Goldstein
+    * 1998): greedily re-rank each query's top-`poolK` relevance pool
+    * to `k` results maximizing λ·rel − (1−λ)·max-sim-to-selected,
+    * λ = lamTimes10/10 — the serve-side cure for a result page of
+    * near-duplicates. Exact integer micro-unit trajectory. Returns
+    * (qid, rk, nid, rel, mmr). */
+  def mmrRerank(emb: DataFrame, queries: DataFrame,
+      poolK: Int = 20, k: Int = 5, lamTimes10: Int = 7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.mmrRerankOf(canon(emb, idCol, vecCol),
+      canon(queries, idCol, vecCol), poolK, k, lamTimes10)
 }

@@ -4265,6 +4265,91 @@ object PipelineOps {
       .select("qid", "rk", "nid", "c")
   }
 
+  /** s24's kernel — MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein
+    * 1998 maximal marginal relevance), the serve-side stage between
+    * retrieval and the result page: from each query's top-`poolK`
+    * relevance pool, greedily select `k` results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — relevance traded against
+    * redundancy with what is already shown, the standard cure for a
+    * result page of near-duplicates. λ = lamTimes10/10; scores stay
+    * in EXACT integer arithmetic (micro-unit cosines ×10⁴, the s12
+    * idiom; mmr = lam·rel − (10−lam)·maxsim, every product < 2⁵³) so
+    * the greedy trajectory is bit-identical across engines.
+    *
+    * 100 TB: candidate generation is the scale part and is the
+    * oracled brute-force BASELINE here — production feeds the same
+    * pool shape from any ANN serve (s02/s14/s20). Everything after
+    * is query-bounded: pool vectors fetch by broadcast point-lookup
+    * (s15's discipline — a bucketed vector table at scale), the
+    * pairwise sim table is ≤ poolK² rows per query, and the greedy
+    * loop runs inside ONE task per query over that bounded state —
+    * serve cost independent of corpus size. */
+  private[graft] def mmrRerankOf(emb: DataFrame, queries: DataFrame,
+      poolK: Int, k: Int, lamTimes10: Int = 7): DataFrame = {
+    require(k >= 1 && poolK >= k,
+      s"need poolK >= k >= 1, got poolK=$poolK k=$k")
+    require(lamTimes10 >= 1 && lamTimes10 <= 10,
+      s"lambda must be in (0,1] tenths, got $lamTimes10/10")
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.exprs.CosineSim.register(s)
+    val lam = lamTimes10.toLong; val mu = 10L - lamTimes10
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val pool = emb.select(col("vec_id").as("nid"), col("e"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        floor(expr("cosine_sim(e, qe)") * lit(10000d) + lit(0.5))
+          .cast("long").as("rel"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))))
+      .filter(col("prk") <= lit(poolK))
+      .select("qid", "nid", "rel")
+    // pool vectors by broadcast point-lookup, then localCheckpoint the
+    // BOUNDED (queries x poolK) frame — s21's discipline — so the
+    // pairwise self-join and the candidate rollup never rescan the
+    // corpus: the whole kernel reads it exactly twice (pool build +
+    // vector fetch), everything downstream is pool-sized
+    val pv = emb.select(col("vec_id").as("nid"), col("e"))
+      .join(broadcast(pool), "nid")
+      .localCheckpoint()
+    val pairs = pv.select(col("qid"), col("nid").as("a"), col("e").as("ea"))
+      .join(pv.select(col("qid"), col("nid").as("b"), col("e").as("eb")),
+        Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        floor(expr("cosine_sim(ea, eb)") * lit(10000d) + lit(0.5))
+          .cast("long").as("sim"))
+    val grouped = pv
+      .groupBy("qid")
+      .agg(collect_list(struct(col("nid"), col("rel"))).as("cands"))
+      .join(pairs.groupBy("qid")
+        .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims")),
+        Seq("qid"))
+    grouped.as[(Long, Seq[(Long, Long)], Seq[(Long, Long, Long)])]
+      .flatMap { case (qid, cands, sims) =>
+        val simOf = sims.map { case (a, b, v) => (a, b) -> v }.toMap
+        var remaining = cands.sortBy { case (nid, _) => nid }
+        var chosen = List.empty[Long]
+        val out = Seq.newBuilder[(Long, Int, Long, Long, Long)]
+        for (it <- 1 to k if remaining.nonEmpty) {
+          val scored = remaining.map { case (nid, rel) =>
+            val maxSim =
+              if (chosen.isEmpty) 0L
+              else chosen.iterator.map(c => simOf((nid, c))).max
+            (nid, rel, lam * rel - mu * maxSim)
+          }
+          val (nid, rel, mmr) = scored.minBy { case (n, _, m) => (-m, n) }
+          out += ((qid, it, nid, rel, mmr))
+          chosen ::= nid
+          remaining = remaining.filterNot(_._1 == nid)
+        }
+        out.result()
+      }
+      .toDF("qid", "rk", "nid", "rel", "mmr")
+      .orderBy("qid", "rk")
+  }
+
   /** s13's lexical half: per-query top-`r` corpus docs by distinct-token
     * Jaccard overlap. `docs`/`queries`: (doc_id, text); queries are a
     * bounded sample by contract (the broadcast side). Returns
@@ -5721,6 +5806,20 @@ object PipelineOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       bruteForceTopKOf(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("qid", "rk")
+    }),
+
+    "s24_mmr_rerank" -> ((s, d) => {
+      // MMR diversified re-ranking (Carbonell & Goldstein 1998): each
+      // query's top-20 relevance pool greedily re-ranks to 5 results
+      // under lambda=0.7 — relevance traded against similarity to
+      // what is already selected, the cure for a result page of
+      // near-duplicates. Exact integer micro-unit trajectory, so the
+      // greedy picks are bit-identical across engines; the oracle
+      // replays the whole loop as a recursive CTE with a correlated
+      // LATERAL argmax. Scale notes on the kernel scaladoc.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      mmrRerankOf(emb, emb.filter(col("vec_id") < 10), poolK = 20, k = 5)
     }),
 
     "s23_nprobe_sweep" -> ((s, d) => {
@@ -8621,6 +8720,47 @@ object PipelineOps {
           ON a.c_idx = b.c_idx AND a.chunk = b.chunk AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.45)
       SELECT v1, v2, cos FROM pairs ORDER BY v1, v2"""),
+
+    // s24: the oracle replays the ENTIRE greedy MMR trajectory — pool,
+    // pairwise sims, then one recursive-CTE iteration per selection
+    // with a correlated LATERAL argmax over the not-yet-chosen pool
+    "s24_mmr_rerank" -> """
+      WITH RECURSIVE
+      q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      scored AS (
+        SELECT qid, vec_id AS nid,
+               CAST(floor(list_cosine_similarity(qe, e) * 10000 + 0.5) AS BIGINT) AS rel
+        FROM q, e WHERE vec_id <> qid
+      ), pool AS (
+        SELECT qid, nid, rel,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS prk
+        FROM scored QUALIFY prk <= 20
+      ), psim AS (
+        SELECT a.qid, a.nid AS a, b.nid AS b,
+               CAST(floor(list_cosine_similarity(ea.e, eb.e) * 10000 + 0.5) AS BIGINT) AS sim
+        FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid
+        JOIN e ea ON ea.vec_id = a.nid JOIN e eb ON eb.vec_id = b.nid
+      ), sel AS (
+        (SELECT qid, 1 AS it, nid AS picked, rel,
+                CAST(7 * rel AS BIGINT) AS mmr, [nid] AS chosen
+         FROM pool WHERE prk = 1)
+        UNION ALL
+        (SELECT s.qid, s.it + 1, pick.nid, pick.rel, pick.mmr,
+                list_append(s.chosen, pick.nid)
+         FROM sel s, LATERAL (
+           SELECT p.nid, p.rel,
+                  7 * p.rel - 3 * (SELECT max(ps.sim) FROM psim ps
+                                   WHERE ps.qid = s.qid AND ps.a = p.nid
+                                     AND list_contains(s.chosen, ps.b)) AS mmr
+           FROM pool p
+           WHERE p.qid = s.qid AND NOT list_contains(s.chosen, p.nid)
+           ORDER BY mmr DESC, p.nid ASC LIMIT 1) pick
+         WHERE s.it < 5)
+      )
+      SELECT qid, CAST(it AS INT) AS rk, picked AS nid, rel, mmr
+      FROM sel ORDER BY qid, rk""",
 
     "s01_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

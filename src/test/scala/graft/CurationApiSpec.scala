@@ -169,6 +169,14 @@ class CurationApiSpec extends AnyFunSuite {
     val ref = entry("s06_ann_recall").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(grade == ref)
+    val mmr = Similarity.mmrRerank(userEmb, queries,
+        idCol = "vid", vecCol = "vec").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val mmrRef = entry("s24_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(mmr == mmrRef)
   }
 
   test("shardedWrite round trip: total partition, one directory per shard") {

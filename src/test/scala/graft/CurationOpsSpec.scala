@@ -2500,4 +2500,82 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.map(_._3).sum == 5000L, "session flush lost or duplicated events")
   }
+
+  // ---- s24 MMR diversified re-rank -----------------------------------------
+
+  test("s24: greedy trajectory equals a plain-Scala replay; diversity actually bites") {
+    // independent full recompute: pool, micro-unit sims, greedy loop —
+    // all in plain Scala against the raw embeddings
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+    }
+    val vecs = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val got = run("s24_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    var diversityBit = false
+    queries.foreach { qid =>
+      val rel = vecs.keys.filter(_ != qid)
+        .map(n => n -> cosMicro(vecs(qid), vecs(n))).toSeq
+      val pool = rel.sortBy { case (n, r) => (-r, n) }.take(20)
+      var remaining = pool
+      var chosen = List.empty[Long]
+      val expect = (1 to 5).map { it =>
+        val scored = remaining.map { case (n, r) =>
+          val ms = if (chosen.isEmpty) 0L
+            else chosen.map(c => cosMicro(vecs(n), vecs(c))).max
+          (n, r, 7L * r - 3L * ms)
+        }
+        val (n, r, m) = scored.minBy { case (n, _, m) => (-m, n) }
+        chosen ::= n
+        remaining = remaining.filterNot(_._1 == n)
+        (qid, it, n, r, m)
+      }
+      assert(got.filter(_._1 == qid) == expect,
+        s"MMR trajectory diverged for query $qid")
+      // diversity must genuinely reorder at least one query vs pure rel
+      val byRel = pool.take(5).map(_._1)
+      if (expect.map(_._3) != byRel) diversityBit = true
+    }
+    assert(diversityBit,
+      "MMR equalled pure relevance order on every query: lambda untested")
+  }
+
+  test("s24: crafted near-dup fixture — the diverse candidate outranks the duplicate") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.mmrRerankOf
+    // q = x-axis; b is the most relevant, a its near-duplicate (sim
+    // 1.0000 in micro units), c the -45 deg mirror: pure relevance
+    // ranks (b, a, c) but MMR must defer the duplicate a to LAST
+    val emb = Seq(
+      (1L, Array(1.0, 1.0, 0.0)),
+      (2L, Array(1.0, 0.999, 0.0)),
+      (3L, Array(1.0, -1.0, 0.0)),
+      (100L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "e")
+    val r = mmrRerankOf(emb, emb.filter(col("vec_id") === 100L),
+        poolK = 3, k = 3)
+      .collect().map(x => (x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq((1, 2L), (2, 3L), (3, 1L)),
+      s"expected picks (2, 3, 1) — near-dup a deferred to last — got $r")
+    // lambda = 1 degenerates to pure relevance order (b, a by nid tie, c)
+    val pure = mmrRerankOf(emb, emb.filter(col("vec_id") === 100L),
+        poolK = 3, k = 3, lamTimes10 = 10)
+      .collect().map(x => (x.getInt(1), x.getLong(2))).toSeq
+    assert(pure == Seq((1, 2L), (2, 1L), (3, 3L)),
+      s"lambda=1 must reproduce pure relevance order, got $pure")
+    assert(r != pure, "fixture failed to separate MMR from pure relevance")
+    intercept[IllegalArgumentException](
+      mmrRerankOf(emb, emb.filter(col("vec_id") === 100L), poolK = 2, k = 3))
+    intercept[IllegalArgumentException](
+      mmrRerankOf(emb, emb.filter(col("vec_id") === 100L),
+        poolK = 3, k = 3, lamTimes10 = 0))
+  }
 }

@@ -654,6 +654,23 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy correct degenerated into a pairwise scan:\n$plan")
   }
 
+  test("s24 MMR re-rank: post-checkpoint serve plan never rescans the corpus, no cartesian") {
+    // the MMR stage is query-bounded by contract: after the bounded
+    // (queries x poolK) pool localCheckpoints, the pairwise self-join
+    // and the greedy rollup must read ONLY that checkpointed frame —
+    // a parquet scan here would mean pool-sized work regressed to
+    // corpus-sized (s21's discipline, pinned the same way)
+    val df = graft.queries.PipelineOps.defs("s24_mmr_rerank")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Scan parquet"),
+      s"MMR serve stage rescanned the corpus:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"bounded pool checkpoint missing from the serve plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pool self-join degenerated from the qid equi-join:\n$plan")
+  }
+
   test("idx06 proximity search: per-term scans prune to their buckets, equi-joins only") {
     // same serve contract as idx02: each term's scan carries its
     // literal bucket PartitionFilter + pushed term predicate; the
