@@ -671,6 +671,28 @@ class PlanSpec extends AnyFunSuite {
       s"pool self-join degenerated from the qid equi-join:\n$plan")
   }
 
+  test("p14 RAG serve: the only scan is the doc store with literal bucket + id pruning") {
+    // the composed serve's promise: retrieval latency is index-shaped,
+    // not corpus-shaped — the IVF pool and MMR stages run before this
+    // plan (bounded, checkpointed), and the ONLY FileScan left is the
+    // doc-store fetch carrying the result page's LITERAL bucket INSET
+    // (static partition pruning) and doc_id IN (row-group pruning);
+    // a scan of the live embeddings or documents here would be the
+    // corpus-sized serve cost the artifacts exist to avoid
+    val df = graft.queries.PipelineOps.defs("p14_rag_serve")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("embeddings") && !plan.contains("documents.parquet"),
+      s"RAG serve scanned a live corpus:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly the doc-store scan:\n$plan")
+    assert("PartitionFilters: \\[bucket\\S* INSET".r.findFirstIn(plan).isDefined,
+      s"store scan lost its literal bucket partition pruning:\n$plan")
+    assert("PushedFilters: \\[In\\(doc_id".r.findFirstIn(plan).isDefined,
+      s"store scan lost its pushed doc_id IN filter:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("idx06 proximity search: per-term scans prune to their buckets, equi-joins only") {
     // same serve contract as idx02: each term's scan carries its
     // literal bucket PartitionFilter + pushed term predicate; the

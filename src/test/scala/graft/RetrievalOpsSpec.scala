@@ -613,6 +613,42 @@ class RetrievalOpsSpec extends AnyFunSuite {
       fuzzyCorrectOf(spark, dictDir, Seq("a"), 0))
   }
 
+  // ---- p14 composed RAG serve -----------------------------------------------
+
+  test("p14: artifact serve equals the live IVF->MMR->text recompute; previews slice the real docs") {
+    import graft.queries.PipelineOps.{ivfTopKOf, mmrFromPoolOf}
+    val served = run("p14_rag_serve").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(served.size == 50, s"expected 10 queries x 5, got ${served.size}")
+    // live recompute: the same pool (IVF probes=2, top-20) and the
+    // same MMR stage over the LIVE embeddings — the stored index,
+    // postings and doc store must reproduce it bit-for-bit
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val pool = ivfTopKOf(emb,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe")),
+        k = 20, probes = 2)
+      .select(col("qid"), col("nid"),
+        floor(col("c") * lit(10000d) + lit(0.5)).cast("long").as("rel"))
+    val live = mmrFromPoolOf(emb.select("vec_id", "e"), pool,
+        poolK = 20, k = 5, lamTimes10 = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(served.map(x => (x._1, x._2, x._3, x._4, x._5)) == live,
+      "stored-artifact serve diverged from the live IVF->MMR recompute")
+    // previews really slice the documents' text
+    val texts = Tables.t(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    served.foreach { case (_, _, docId, _, _, preview) =>
+      assert(preview == texts(docId).take(80),
+        s"doc $docId preview is not the 80-char text prefix")
+      assert(preview.length <= 80)
+    }
+  }
+
   // ---- p12 composed search serve -------------------------------------------
 
   test("p12: ranked serve = boolean candidates sorted by a text-recomputed BM25") {
