@@ -835,6 +835,23 @@ object Curation {
       queries: Seq[String], k: Int = 3): DataFrame =
     PipelineOps.fuzzyCorrectOf(spark, dictPath, queries, k)
 
+  /** License taint propagation through duplicate clusters (u08's
+    * kernel — the governance audit dedup makes necessary): a doc whose
+    * near-dup cluster contains a copy under a more restrictive license
+    * escalates to the cluster's max license rank. `licenses`:
+    * (source, license, lrank), higher rank = more restrictive. Returns
+    * the (license, eff_license, n_docs, id_checksum, tainted) matrix;
+    * off-diagonal rows are the mass a release must pull or
+    * re-license. */
+  def licenseTaint(docs: DataFrame, licenses: DataFrame,
+      minJaccard: Double = 0.5, rounds: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame =
+    PipelineOps.licenseTaintOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).cast("string").as("source"),
+        col(textCol).cast("string").as("text")),
+      licenses, minJaccard, rounds)
+
   /** Corpus distribution drift monitor (guard02's kernel — the release
     * gate next to [[corpusDiff]]: diff answers WHICH docs changed,
     * this answers did the MIXTURE move): per `dimCol` cell (lang,

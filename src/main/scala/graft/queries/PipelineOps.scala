@@ -2105,6 +2105,51 @@ object PipelineOps {
           .as("eff_tokens"))
   }
 
+  /** u08's kernel — LICENSE TAINT PROPAGATION through duplicate
+    * clusters, the governance audit dedup makes NECESSARY: if a doc's
+    * near-duplicate cluster contains any copy under a more restrictive
+    * license, training on the "permissive" copy still trains on the
+    * restricted content — the cluster's EFFECTIVE license is its most
+    * restrictive member's (max rank), and a doc whose effective rank
+    * exceeds its own is TAINTED. `docs`: (doc_id, source, text);
+    * `licenses`: (source, license, lrank) with higher rank = more
+    * restrictive. Returns the (license, eff_license) matrix —
+    * n_docs, id checksum, tainted flag — ordered; the off-diagonal
+    * rows are the mass a release must pull or re-license.
+    *
+    * 100 TB: the cluster labels come from the shared d11 propagation
+    * (the pair build is the linear part and is the SAME artifact the
+    * dedup pass already computes — this audit rides it, adding one
+    * label-frame rollup and two broadcast joins); the label frame
+    * covers only clustered docs (vanishing vs the corpus), the
+    * license table is sources-sized (broadcast literal), and the
+    * final matrix is |licenses|² rows. No new corpus shuffle. */
+  private[graft] def licenseTaintOf(docs: DataFrame, licenses: DataFrame,
+      minJ: Double, rounds: Int): DataFrame = {
+    val edges = exactJaccardPairsOf(docs, minJ).select(col("d1"), col("d2"))
+    val labels = dupLabelsOf(edges, rounds)
+    val dl = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(licenses), "source")
+      .select(col("doc_id"), col("license"), col("lrank"))
+    val clusterRank = dl.join(broadcast(labels), col("doc_id") === col("v"))
+      .groupBy("lbl").agg(max("lrank").as("cluster_rank"))
+    val effNames = licenses
+      .select(col("lrank").as("eff_rank"), col("license").as("eff_license"))
+      .distinct()
+    dl.join(broadcast(labels), col("doc_id") === col("v"), "left")
+      .join(broadcast(clusterRank), Seq("lbl"), "left")
+      .select(col("doc_id"), col("license"), col("lrank"),
+        greatest(col("lrank"),
+          coalesce(col("cluster_rank"), col("lrank"))).as("eff_rank"))
+      .join(broadcast(effNames), "eff_rank")
+      .groupBy("license", "eff_license")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+      // eff_rank >= lrank by construction (greatest), so a name
+      // mismatch IS the strict escalation
+      .withColumn("tainted", col("license") =!= col("eff_license"))
+      .orderBy("license", "eff_license")
+  }
+
   /** s15's kernel — two-stage retrieval refine (the FAISS
     * `index.refine` / production ANN-serving pattern): s14's IVF-PQ
     * ADC pass produces a `kShort`-deep candidate shortlist from the
@@ -6220,6 +6265,30 @@ object PipelineOps {
       kAnonReleaseOf(t(s, d, "events"), k = 10)
     }),
 
+    "u08_license_taint" -> ((s, d) => {
+      // License taint propagation through duplicate clusters: sources
+      // carry a 3-tier license ladder (srcN % 3 -> cc0 < cc-by <
+      // proprietary, a deterministic stand-in for a real license
+      // registry), and a doc whose near-dup cluster (d03 pairs at
+      // 0.5, d11's propagation) contains a more-restrictive copy is
+      // TAINTED — its effective license escalates to the cluster max.
+      // The (license, eff_license) matrix's off-diagonal rows are the
+      // mass a release must pull or re-license; 16 of the corpus's 25
+      // dup edges cross license tiers, so the audit genuinely fires.
+      // Scale notes on the kernel scaladoc.
+      val docs = t(s, d, "documents")
+      val lic = docs.select(col("source")).distinct()
+        .withColumn("lrank",
+          (regexp_extract(col("source"), "src(\\d+)", 1).cast("int") % 3)
+            .cast("long"))
+        .withColumn("license",
+          when(col("lrank") === 0, "cc0")
+            .when(col("lrank") === 1, "cc-by")
+            .otherwise("proprietary"))
+        .select("source", "license", "lrank")
+      licenseTaintOf(docs, lic, minJ = 0.5, rounds = 3)
+    }),
+
     "u07_canary_drill" -> ((s, d) => {
       // Canary memorization-risk drill (Carlini et al. 2021, Kandpal
       // et al. 2022): plant 16 canaries at duplication 1/2/4/8, run
@@ -8513,6 +8582,58 @@ object PipelineOps {
         array_to_string((list_sort(list(v)))[1:10000], ',') AS members
       FROM (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
       GROUP BY cluster_id ORDER BY cluster_id""",
+
+    // u08: d11's fixpoint labels + the deterministic license ladder;
+    // effective rank = cluster max, matrix rollup over every doc
+    "u08_license_taint" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), edges AS (
+        SELECT d1, d2
+        FROM pairs JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+        WHERE round(inter * 1.0 / (x.n + y.n - inter), 4) >= 0.5
+      ), sym AS (
+        SELECT d1 AS src, d2 AS dst FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+      ), reach(v, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.lbl FROM sym s JOIN reach r ON s.dst = r.v
+        WHERE r.lbl < s.src
+      ), lab AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+      lic AS (
+        SELECT doc_id,
+               CAST(CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 3 AS BIGINT) AS lrank
+        FROM documents
+      ), cr AS (
+        SELECT l.lbl, max(lc.lrank) AS cluster_rank
+        FROM lab l JOIN lic lc ON lc.doc_id = l.v GROUP BY 1
+      ), eff AS (
+        SELECT lc.doc_id, lc.lrank,
+               greatest(lc.lrank, coalesce(cr.cluster_rank, lc.lrank)) AS eff_rank
+        FROM lic lc
+        LEFT JOIN lab l ON l.v = lc.doc_id
+        LEFT JOIN cr ON cr.lbl = l.lbl
+      ), named AS (
+        SELECT CASE lrank WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                          ELSE 'proprietary' END AS license,
+               CASE eff_rank WHEN 0 THEN 'cc0' WHEN 1 THEN 'cc-by'
+                             ELSE 'proprietary' END AS eff_license,
+               doc_id
+        FROM eff
+      )
+      SELECT license, eff_license, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             (license <> eff_license) AS tainted
+      FROM named GROUP BY 1, 2 ORDER BY license, eff_license""",
 
     // d11's fixpoint labels + cluster sizes, left-joined onto every doc
     "d21_soft_dedup_weights" -> """

@@ -2501,6 +2501,61 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum == 5000L, "session flush lost or duplicated events")
   }
 
+  // ---- u08 license taint ----------------------------------------------------
+
+  test("u08: matrix equals the d11-members recompute; taint only escalates; crafted fixture") {
+    def rankOf(src: String) = src.stripPrefix("src").toInt % 3
+    def nameOf(r: Int) = r match {
+      case 0 => "cc0"; case 1 => "cc-by"; case _ => "proprietary" }
+    val srcOf = Tables.t(spark, dir, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent recompute from d11's own cluster members (the
+    // propagation is that entry's contract; this pins the taint logic)
+    val clusterOf = run("d11_dup_clusters").collect().flatMap { r =>
+      val members = r.getString(2).split(",").map(_.toLong)
+      members.map(_ -> members.toSet)
+    }.toMap
+    val expect = srcOf.toSeq.map { case (id, src) =>
+      val own = rankOf(src)
+      val eff = clusterOf.get(id)
+        .map(_.map(m => rankOf(srcOf(m))).max.max(own)).getOrElse(own)
+      (nameOf(own), nameOf(eff), id)
+    }.groupBy(x => (x._1, x._2)).map { case ((l, e), rows) =>
+      (l, e, rows.size.toLong, rows.map(_._3).sum, l != e)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = run("u08_license_taint").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expect, s"taint matrix diverged:\n$got\nvs\n$expect")
+    assert(got.map(_._3).sum == 500L, "matrix must account every doc")
+    assert(got.exists(_._5), "no tainted mass: the audit is untested")
+    // taint only escalates: eff rank >= own rank on every row
+    got.foreach { case (l, e, _, _, tainted) =>
+      val (rl, re) = (Seq("cc0", "cc-by", "proprietary").indexOf(l),
+        Seq("cc0", "cc-by", "proprietary").indexOf(e))
+      assert(re >= rl, s"effective license $e DOWNGRADED from $l")
+      assert(tainted == (l != e))
+    }
+    // crafted fixture: identical docs across cc0/proprietary taint the
+    // cc0 copy; the cc-by singleton is untouched
+    import spark.implicits._
+    import graft.queries.PipelineOps.licenseTaintOf
+    val docs = Seq(
+      (1L, "src0", "alpha beta gamma delta"),
+      (2L, "src2", "alpha beta gamma delta"),
+      (3L, "src1", "nothing like the others here")).toDF("doc_id", "source", "text")
+    val lic = Seq(("src0", "cc0", 0L), ("src1", "cc-by", 1L),
+      ("src2", "proprietary", 2L)).toDF("source", "license", "lrank")
+    val r = licenseTaintOf(docs, lic, minJ = 0.5, rounds = 3)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getBoolean(4))).toSeq
+    assert(r == Seq(
+      ("cc-by", "cc-by", 1L, 3L, false),
+      ("cc0", "proprietary", 1L, 1L, true),
+      ("proprietary", "proprietary", 1L, 2L, false)),
+      s"crafted taint matrix diverged: $r")
+  }
+
   // ---- s24 MMR diversified re-rank -----------------------------------------
 
   test("s24: greedy trajectory equals a plain-Scala replay; diversity actually bites") {
