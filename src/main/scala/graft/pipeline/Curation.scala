@@ -835,6 +835,14 @@ object Curation {
       queries: Seq[String], k: Int = 3): DataFrame =
     PipelineOps.fuzzyCorrectOf(spark, dictPath, queries, k)
 
+  /** Schema and column-health drift between two snapshots (guard04's
+    * kernel — the Deequ-class monitor): per column, presence
+    * (kept/added/removed), null counts, exact distinct counts, and
+    * null-rate drift in integer micro-units. Column-generic: works on
+    * any pair of frames. One multi-aggregate scan per snapshot. */
+  def schemaDrift(oldSnapshot: DataFrame, newSnapshot: DataFrame): DataFrame =
+    PipelineOps.schemaDriftOf(oldSnapshot, newSnapshot)
+
   /** License taint propagation through duplicate clusters (u08's
     * kernel — the governance audit dedup makes necessary): a doc whose
     * near-dup cluster contains a copy under a more restrictive license

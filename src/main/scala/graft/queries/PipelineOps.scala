@@ -3331,6 +3331,51 @@ object PipelineOps {
     * scalar totals broadcast back, and the full-outer join sees two
     * cells-count frames — never corpus rows. All comparisons happen on
     * exact integers. */
+  /** guard04's kernel — SCHEMA AND COLUMN-HEALTH DRIFT between two
+    * corpus snapshots, the release gate guard02 (mixture drift) and
+    * diff01 (row diff) do not cover: per column, presence
+    * (kept/added/removed), null counts, exact distinct counts, and the
+    * null-RATE drift in integer micro-units. A column that silently
+    * vanished, appeared, or started nulling out is the classic
+    * upstream-pipeline breakage that row counts and token mass never
+    * catch (the Deequ/Great-Expectations monitor class).
+    *
+    * 100 TB: one scan per snapshot — every per-column stat partial-
+    * aggregates map-side in a single multi-aggregate pass; the tall
+    * (|columns|-row) stat frames full-outer-join on the column name.
+    * The oracled form uses EXACT distinct counts for engine parity;
+    * at production scale swap `countDistinct` for
+    * `approx_count_distinct` (HLL — same plan shape, no exactness
+    * shuffle for wide text columns). */
+  private[graft] def schemaDriftOf(oldDf: DataFrame,
+      newDf: DataFrame): DataFrame = {
+    def stats(df: DataFrame, pfx: String): DataFrame = {
+      val cols = df.schema.fieldNames.toSeq
+      val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"dist_$c")) }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"nulls_$c").as(s"${pfx}_nulls"),
+          col(s"dist_$c").as(s"${pfx}_distinct"),
+          col("n").as(s"${pfx}_n"))): _*)).as("s"))
+        .select("s.*")
+    }
+    stats(oldDf, "old").join(stats(newDf, "new"), Seq("col_name"),
+        "full_outer")
+      .withColumn("status",
+        when(col("old_n").isNull, "added")
+          .when(col("new_n").isNull, "removed").otherwise("kept"))
+      .withColumn("null_drift_micro",
+        floor(abs(coalesce(col("new_nulls") / col("new_n"), lit(0.0)) -
+          coalesce(col("old_nulls") / col("old_n"), lit(0.0)))
+          * 1000000.0 + 0.5).cast("long"))
+      .select("col_name", "status", "old_nulls", "new_nulls",
+        "old_distinct", "new_distinct", "null_drift_micro")
+      .orderBy("col_name")
+  }
+
   private[graft] def corpusDriftOf(ref: DataFrame, cur: DataFrame): DataFrame = {
     def shares(df: DataFrame, out: String) = {
       val m = df.groupBy("dim").agg(sum("n_tok").as("mass"))
@@ -7493,6 +7538,26 @@ object PipelineOps {
         "2024-01-30 20:00:00")
     }),
 
+    "guard04_schema_drift" -> ((s, d) => {
+      // Schema and column-health drift between two snapshots: the
+      // "new" snapshot deterministically simulates the classic
+      // upstream breakages — n_chars DROPPED, a quality column
+      // ADDED, lang nulling out on every 10th doc — and the audit
+      // must report each with exact null/distinct counts and the
+      // null-rate drift in micro-units. Scale notes on the kernel
+      // scaladoc.
+      val docs = t(s, d, "documents")
+      val next = docs.drop("n_chars")
+        .withColumn("lang",
+          when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))
+        .withColumn("quality",
+          round((col("doc_id") % 100) / 100.0, 2))
+      schemaDriftOf(docs.select("doc_id", "text", "lang", "source",
+        "n_chars"), next.select("doc_id", "text", "lang", "source",
+        "quality"))
+    }),
+
     "guard02_distribution_drift" -> ((s, d) => {
       // Distribution drift between two corpus snapshots (the release
       // gate next to diff01's content diff: diff01 answers WHICH docs
@@ -9793,6 +9858,52 @@ object PipelineOps {
                sp.n_spanning_users
         FROM pu, sp WHERE n_train > 0 GROUP BY sp.n_spanning_users)
       ORDER BY split""",
+
+    // guard04: per-column stats via one UNION ALL block per snapshot,
+    // full-outer-joined on the column name — the 'new' snapshot
+    // replays the entry's deterministic breakages
+    "guard04_schema_drift" -> """
+      WITH o AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      n AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+               source, round((doc_id % 100) / 100.0, 2) AS quality
+        FROM documents
+      ), os AS (
+        SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS old_nulls,
+               count(DISTINCT doc_id) AS old_distinct, count(*) AS old_n FROM o
+        UNION ALL SELECT 'text', count(*) - count(text),
+               count(DISTINCT text), count(*) FROM o
+        UNION ALL SELECT 'lang', count(*) - count(lang),
+               count(DISTINCT lang), count(*) FROM o
+        UNION ALL SELECT 'source', count(*) - count(source),
+               count(DISTINCT source), count(*) FROM o
+        UNION ALL SELECT 'n_chars', count(*) - count(n_chars),
+               count(DISTINCT n_chars), count(*) FROM o
+      ), ns AS (
+        SELECT 'doc_id' AS col_name, count(*) - count(doc_id) AS new_nulls,
+               count(DISTINCT doc_id) AS new_distinct, count(*) AS new_n FROM n
+        UNION ALL SELECT 'text', count(*) - count(text),
+               count(DISTINCT text), count(*) FROM n
+        UNION ALL SELECT 'lang', count(*) - count(lang),
+               count(DISTINCT lang), count(*) FROM n
+        UNION ALL SELECT 'source', count(*) - count(source),
+               count(DISTINCT source), count(*) FROM n
+        UNION ALL SELECT 'quality', count(*) - count(quality),
+               count(DISTINCT quality), count(*) FROM n
+      )
+      SELECT col_name,
+        CASE WHEN os.old_n IS NULL THEN 'added'
+             WHEN ns.new_n IS NULL THEN 'removed' ELSE 'kept' END AS status,
+        CAST(old_nulls AS BIGINT) AS old_nulls,
+        CAST(new_nulls AS BIGINT) AS new_nulls,
+        CAST(old_distinct AS BIGINT) AS old_distinct,
+        CAST(new_distinct AS BIGINT) AS new_distinct,
+        CAST(floor(abs(coalesce(new_nulls * 1.0 / new_n, 0.0) -
+          coalesce(old_nulls * 1.0 / old_n, 0.0)) * 1000000 + 0.5) AS BIGINT)
+          AS null_drift_micro
+      FROM os FULL OUTER JOIN ns USING (col_name)
+      ORDER BY col_name""",
 
     "guard02_distribution_drift" -> """
       WITH toks AS (

@@ -2501,6 +2501,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum == 5000L, "session flush lost or duplicated events")
   }
 
+  // ---- guard04 schema drift -------------------------------------------------
+
+  test("guard04: breakage classes land in the right rows; identical snapshots are silent") {
+    val rows = run("guard04_schema_drift").collect()
+      .map(r => r.getString(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(6))).toMap
+    assert(rows.keySet == Set("doc_id", "text", "lang", "source",
+      "n_chars", "quality"))
+    // the three planted breakages, each in its own row
+    assert(rows("quality")._1 == "added" && rows("n_chars")._1 == "removed")
+    assert(rows("lang") == (("kept", 0L, 50L, 100000L)),
+      s"lang nulling (50/500 = 0.1 rate = 100000 micro) misreported: ${rows("lang")}")
+    // untouched columns drift zero
+    Seq("doc_id", "text", "source").foreach { c =>
+      assert(rows(c)._1 == "kept" && rows(c)._4 == 0L, s"$c drifted: ${rows(c)}") }
+    // identical snapshots: every column kept, zero drift everywhere
+    import spark.implicits._
+    import graft.queries.PipelineOps.schemaDriftOf
+    val snap = Seq((1L, "a", "en"), (2L, "b", null.asInstanceOf[String]))
+      .toDF("id", "t", "l")
+    val same = schemaDriftOf(snap, snap).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(same == Seq(
+      ("id", "kept", 0L, 0L, 2L, 2L, 0L),
+      ("l", "kept", 1L, 1L, 1L, 1L, 0L),
+      ("t", "kept", 0L, 0L, 2L, 2L, 0L)), s"identical snapshots not silent: $same")
+    // a null-rate REPAIR (new nulls < old) still reports the absolute drift
+    val fixed = schemaDriftOf(snap,
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "t", "l"))
+      .collect().map(r => (r.getString(0), r.getLong(6))).toMap
+    assert(fixed("l") == 500000L, s"repair drift |0 - 0.5| misreported: $fixed")
+  }
+
   // ---- u08 license taint ----------------------------------------------------
 
   test("u08: matrix equals the d11-members recompute; taint only escalates; crafted fixture") {
