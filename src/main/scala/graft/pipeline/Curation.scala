@@ -835,6 +835,20 @@ object Curation {
       queries: Seq[String], k: Int = 3): DataFrame =
     PipelineOps.fuzzyCorrectOf(spark, dictPath, queries, k)
 
+  /** Neyman variance-optimal stratified allocation (samp11's kernel):
+    * a fixed audit budget splits across language strata ∝ N_h·S_h of
+    * the token count (the survey-sampling optimum — high-variance
+    * strata get more budget), each quota filled by the deterministic
+    * md5-rank draw. Returns (lang, n_docs, sq_micro, alloc, n_drawn,
+    * drawn_checksum). */
+  def neymanAllocation(docs: DataFrame, budget: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.neymanAllocOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).cast("string").as("lang"),
+        col(textCol).cast("string").as("text")), budget)
+
   /** Schema and column-health drift between two snapshots (guard04's
     * kernel — the Deequ-class monitor): per column, presence
     * (kept/added/removed), null counts, exact distinct counts, and

@@ -2424,6 +2424,57 @@ object PipelineOps {
     * WindowGroupLimit bounded-heap trigger; every per-lang quota is ≤
     * total by construction), then the broadcast quota cut. Returns the
     * SELECTED (doc_id, lang) rows. */
+  /** samp11's kernel — NEYMAN (variance-optimal) STRATIFIED
+    * ALLOCATION (Neyman 1934), the statistical upgrade over samp01's
+    * proportional draw: a fixed evaluation/audit budget `n` splits
+    * across strata ∝ N_h·S_h — high-variance strata get MORE budget,
+    * uniform strata less — which minimizes the variance of the
+    * stratified estimate at fixed cost (the survey-sampling optimum;
+    * the corpus-QA audit sizing every serious release runs).
+    * Exactness: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) — the sum-of-squares
+    * identity keeps everything integer until ONE sqrt (IEEE
+    * correctly-rounded, engine-identical), quantized to micro-units
+    * before the share division so the allocation rounding can never
+    * ride a summation-order ULP. The draw itself is the samp03
+    * deterministic md5-rank per stratum. Returns
+    * (lang, n_docs, sq_micro, alloc, n_drawn, drawn_checksum).
+    *
+    * 100 TB: one corpus scan partial-aggregates the three stratum
+    * moments; the allocation table is strata-sized (broadcast); the
+    * per-stratum rank is samp03's accepted shape (rank by 60-bit
+    * hash inside each stratum — for extreme single-stratum skew the
+    * documented alternative is threshold selection on the hash
+    * value). Micro-quantization assumes sqrt(SS)·1e6 < 2⁶³ (SS <
+    * ~8.5e25 — beyond any real token-count variance). */
+  private[graft] def neymanAllocOf(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be at least 1, got $budget")
+    graft.exprs.Md5Bits60.register(docs.sparkSession)
+    val x = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("x"))
+    val st = x.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("ss", col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("sq_micro",
+        floor(sqrt(col("ss").cast("double")) * 1000000.0 + 0.5).cast("long"))
+    val alloc = st.crossJoin(broadcast(st.agg(sum("sq_micro").as("denom"))))
+      .withColumn("alloc",
+        floor(lit(budget.toDouble) * col("sq_micro") / col("denom") + 0.5)
+          .cast("long"))
+      .select("lang", "n_docs", "sq_micro", "alloc")
+    val ranked = x.withColumn("rk", row_number().over(
+      Window.partitionBy("lang")
+        .orderBy(expr("md5_bits60(cast(doc_id as string))"), col("doc_id"))))
+    val drawn = ranked.join(broadcast(alloc.select("lang", "alloc")), "lang")
+      .filter(col("rk") <= col("alloc"))
+      .groupBy("lang").agg(count(lit(1)).as("n_drawn"),
+        sum("doc_id").as("drawn_checksum"))
+    alloc.join(drawn, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("sq_micro"), col("alloc"),
+        coalesce(col("n_drawn"), lit(0L)).as("n_drawn"),
+        coalesce(col("drawn_checksum"), lit(0L)).as("drawn_checksum"))
+      .orderBy("lang")
+  }
+
   private[graft] def temperatureMixtureOf(docs: DataFrame, total: Int,
       alpha: Double): DataFrame = {
     val quota = temperatureQuotasOf(docs, total, alpha)
@@ -7374,6 +7425,16 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "samp11_neyman_alloc" -> ((s, d) => {
+      // Neyman variance-optimal stratified allocation: a 100-doc
+      // audit budget splits across langs proportional to N_h*S_h of
+      // the token count (high-variance strata get more budget — the
+      // survey-sampling optimum), then the samp03 md5-rank draw fills
+      // each quota deterministically. Scale notes on the kernel
+      // scaladoc.
+      neymanAllocOf(t(s, d, "documents"), budget = 100)
+    }),
+
     "samp03_temperature_sample" -> ((s, d) => {
       // Temperature-scaled language mixture (the multilingual-training
       // standard: sample languages ∝ p^α, α=0.7, so low-resource
@@ -9567,6 +9628,42 @@ object PipelineOps {
 
     // counts are integers into pow(), md5 rank and the +0.5 floor are
     // engine-identical; the id checksum pins the exact draw
+    // samp11: the sum-of-squares identity keeps N_h*S_h integer until
+    // one sqrt; micro-quantized shares, then the samp03 md5-rank draw
+    "samp11_neyman_alloc" -> """
+      WITH x AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents
+      ), st AS (
+        SELECT lang, count(*) AS n_docs, sum(x) AS sx, sum(x * x) AS sxx
+        FROM x GROUP BY 1
+      ), st2 AS (
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT) AS sq_micro
+        FROM st
+      ), al AS (
+        SELECT lang, n_docs, sq_micro,
+               CAST(floor(100.0 * sq_micro /
+                 (SELECT sum(sq_micro) FROM st2) + 0.5) AS BIGINT) AS alloc
+        FROM st2
+      ), rk AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                          doc_id) AS rk
+        FROM x
+      ), dr AS (
+        SELECT r.lang, count(*) AS n_drawn, sum(r.doc_id) AS chk
+        FROM rk r JOIN al ON al.lang = r.lang AND r.rk <= al.alloc
+        GROUP BY 1
+      )
+      SELECT al.lang, al.n_docs, al.sq_micro, al.alloc,
+             CAST(coalesce(dr.n_drawn, 0) AS BIGINT) AS n_drawn,
+             CAST(coalesce(dr.chk, 0) AS BIGINT) AS drawn_checksum
+      FROM al LEFT JOIN dr USING (lang) ORDER BY lang""",
+
     "samp03_temperature_sample" -> """
       WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
       tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),

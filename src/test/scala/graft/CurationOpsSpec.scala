@@ -2501,6 +2501,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum == 5000L, "session flush lost or duplicated events")
   }
 
+  // ---- samp11 Neyman allocation ----------------------------------------------
+
+  test("samp11: plain-Scala recompute; variance, not size, drives the budget") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h60(id: Long) =
+      graft.exprs.Md5Bits60.compute(UTF8String.fromString(id.toString))
+    // full independent recompute from the raw corpus
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    val sq = byLang.map { case (l, rows) =>
+      val n = rows.size.toLong
+      val sx = rows.map(_._3).sum; val sxx = rows.map(r => r._3 * r._3).sum
+      l -> math.floor(math.sqrt((n * sxx - sx * sx).toDouble) * 1e6 + 0.5).toLong
+    }
+    val denom = sq.values.sum
+    val expect = byLang.toSeq.map { case (l, rows) =>
+      val alloc = math.floor(100.0 * sq(l) / denom + 0.5).toLong
+      val drawn = rows.sortBy(r => (h60(r._1), r._1)).take(alloc.toInt)
+      (l, rows.size.toLong, sq(l), alloc, drawn.size.toLong,
+        drawn.map(_._1).sum)
+    }.sortBy(_._1)
+    val got = run("samp11_neyman_alloc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"Neyman table diverged:\n$got\nvs\n$expect")
+    assert(got.map(_._4).sum >= 95 && got.map(_._4).sum <= 105,
+      "rounded allocations must stay near the budget")
+    // crafted fixture: equal-size strata, one uniform (zero variance),
+    // one wildly varying — the WHOLE budget goes to the varying one
+    import spark.implicits._
+    import graft.queries.PipelineOps.neymanAllocOf
+    val crafted = ((1 to 10).map(i => (i.toLong, "flat",
+        Seq.fill(10)("w").mkString(" "))) ++
+      (11 to 20).map(i => (i.toLong, "wild",
+        Seq.fill(if (i % 2 == 0) 2 else 200)("w").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val r = neymanAllocOf(crafted, budget = 10).collect()
+      .map(x => (x.getString(0), x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq(("flat", 0L, 0L), ("wild", 10L, 10L)),
+      s"variance-optimal allocation diverged: $r")
+  }
+
   // ---- guard04 schema drift -------------------------------------------------
 
   test("guard04: breakage classes land in the right rows; identical snapshots are silent") {
