@@ -325,4 +325,13 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.mmrRerankOf(canon(emb, idCol, vecCol),
       canon(queries, idCol, vecCol), poolK, k, lamTimes10)
+
+  /** Greedy k-center coreset selection (sel02's kernel, Gonzalez
+    * farthest-first — the max-min diversity pick data-pruning runs):
+    * k maximally-spread vectors plus the coverage-radius curve.
+    * Returns (rk, vec_id, radius_micro), radius strictly
+    * decreasing. */
+  def kcenterSelect(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    PipelineOps.kcenterSelectOf(canon(emb, idCol, vecCol), k)
 }

@@ -4505,6 +4505,59 @@ object PipelineOps {
       .orderBy("qid", "rk")
   }
 
+  /** sel02's kernel — K-CENTER CORESET SELECTION by greedy
+    * farthest-first traversal (Gonzalez 1985; the max-min diversity
+    * selection data-pruning pipelines run to pick a representative
+    * subset, and the classic 2-approximation of the k-center
+    * objective): seed = min vec_id, then each round picks the vector
+    * FARTHEST from everything selected so far; the picked vector's
+    * distance IS the current coverage radius, so the output doubles
+    * as the coverage curve a pruning team reads to choose k.
+    * Distances are integer micro-units (10000 − cosine micro), so
+    * the trajectory is bit-identical across engines.
+    *
+    * 100 TB: the classic distributed form — the corpus-sized
+    * (vec_id, e, mind) state updates against ONLY the newly-picked
+    * center each round (one broadcast row, map-side `least`), never
+    * re-scoring against the whole selected set; each round is one
+    * map pass + a one-row argmax reduce, localCheckpointed so round
+    * r's lineage does not replay rounds 1..r−1 (d11's barrier
+    * discipline). k driver rows total — bounded by contract. The
+    * oracle replays the same greedy with a per-round LATERAL argmax. */
+  private[graft] def kcenterSelectOf(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be at least 1, got $k")
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.exprs.CosineSim.register(s)
+    val seed = emb.agg(min("vec_id")).first.getLong(0)
+    val out = scala.collection.mutable.ArrayBuffer((1, seed, 20000L))
+    var state = emb.select(col("vec_id"), col("e"))
+      .filter(col("vec_id") =!= seed)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === seed)
+        .select(col("e").as("ce"))))
+      .select(col("vec_id"), col("e"),
+        (lit(10000L) - floor(expr("cosine_sim(e, ce)") * lit(10000d)
+          + lit(0.5)).cast("long")).as("mind"))
+      .localCheckpoint()
+    (2 to k).foreach { it =>
+      val top = state.orderBy(col("mind").desc, col("vec_id").asc)
+        .select("vec_id", "mind").limit(1).first()
+      val nid = top.getLong(0)
+      out += ((it, nid, top.getLong(1)))
+      if (it < k) {
+        state = state.filter(col("vec_id") =!= nid)
+          .crossJoin(broadcast(state.filter(col("vec_id") === nid)
+            .select(col("e").as("ce"))))
+          .select(col("vec_id"), col("e"),
+            least(col("mind"),
+              lit(10000L) - floor(expr("cosine_sim(e, ce)") * lit(10000d)
+                + lit(0.5)).cast("long")).as("mind"))
+          .localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("rk", "vec_id", "radius_micro").orderBy("rk")
+  }
+
   /** p14's kernel — the composed RAG RETRIEVAL SERVE, end-to-end from
     * STORED artifacts only (how a retrieval-augmented system actually
     * answers: no build work, no corpus scan, in the serve session):
@@ -6015,6 +6068,17 @@ object PipelineOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       bruteForceTopKOf(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("qid", "rk")
+    }),
+
+    "sel02_kcenter_select" -> ((s, d) => {
+      // Greedy k-center coreset selection (Gonzalez farthest-first):
+      // 8 maximally-spread vectors plus the coverage-radius curve —
+      // the representative-subset pick plus the "how big must k be"
+      // table a data-pruning team reads. Radius strictly decreases
+      // (spec-pinned). Scale notes on the kernel scaladoc.
+      kcenterSelectOf(
+        t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")), k = 8)
     }),
 
     "s24_mmr_rerank" -> ((s, d) => {
@@ -9069,6 +9133,31 @@ object PipelineOps {
           ON a.c_idx = b.c_idx AND a.chunk = b.chunk AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.45)
       SELECT v1, v2, cos FROM pairs ORDER BY v1, v2"""),
+
+    // sel02: the oracle replays the greedy farthest-first trajectory
+    // with a per-round LATERAL argmax over the not-yet-chosen corpus
+    "sel02_kcenter_select" -> """
+      WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      ), sel AS (
+        (SELECT 1 AS it, (SELECT min(vec_id) FROM e) AS picked,
+                CAST(20000 AS BIGINT) AS radius,
+                [(SELECT min(vec_id) FROM e)] AS chosen)
+        UNION ALL
+        (SELECT s.it + 1, pick.vec_id, pick.d,
+                list_append(s.chosen, pick.vec_id)
+         FROM sel s, LATERAL (
+           SELECT v.vec_id,
+                  (SELECT min(10000 - CAST(floor(
+                     list_cosine_similarity(v.emb, c.emb) * 10000 + 0.5)
+                     AS BIGINT))
+                   FROM e c WHERE list_contains(s.chosen, c.vec_id)) AS d
+           FROM e v WHERE NOT list_contains(s.chosen, v.vec_id)
+           ORDER BY d DESC, v.vec_id ASC LIMIT 1) pick
+         WHERE s.it < 8)
+      )
+      SELECT CAST(it AS INT) AS rk, picked AS vec_id, radius AS radius_micro
+      FROM sel ORDER BY rk""",
 
     // p14: the oracle replays the WHOLE composed serve — s02's IVF
     // probe CTEs (k=20) feed s24's recursive greedy MMR, and the

@@ -2501,6 +2501,54 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum == 5000L, "session flush lost or duplicated events")
   }
 
+  // ---- sel02 k-center coreset ------------------------------------------------
+
+  test("sel02: greedy trajectory equals a plain-Scala replay; radius strictly decreases") {
+    def cm(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+    }
+    val vecs = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = run("sel02_kcenter_select").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent greedy replay
+    val seed = vecs.keys.min
+    var chosen = List(seed)
+    var mind = (vecs.keys.toSet - seed)
+      .map(v => v -> (10000L - cm(vecs(v), vecs(seed)))).toMap
+    val expect = Seq((1, seed, 20000L)) ++ (2 to 8).map { it =>
+      val (nid, rad) = mind.toSeq.minBy { case (v, d) => (-d, v) }
+      chosen ::= nid
+      mind = (mind - nid).map { case (v, d) =>
+        v -> math.min(d, 10000L - cm(vecs(v), vecs(nid))) }
+      (it, nid, rad)
+    }
+    assert(got == expect, s"k-center trajectory diverged:\n$got\nvs\n$expect")
+    // coverage radius strictly decreases and picks are distinct
+    got.sliding(2).foreach { case Seq((_, _, r1), (_, _, r2)) =>
+      assert(r2 < r1, s"radius did not decrease: $r1 -> $r2") }
+    assert(got.map(_._2).distinct.size == 8)
+    // crafted fixture: a tight cluster + one outlier — the outlier is
+    // picked SECOND (it is the farthest thing from the seed cluster)
+    import spark.implicits._
+    import graft.queries.PipelineOps.kcenterSelectOf
+    val crafted = Seq(
+      (1L, Array(1.0, 0.0, 0.01)),
+      (2L, Array(1.0, 0.01, 0.0)),
+      (3L, Array(1.0, 0.0, 0.02)),
+      (9L, Array(-1.0, 0.5, 0.0))).toDF("vec_id", "e")
+    val r = kcenterSelectOf(crafted, k = 3).collect()
+      .map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(r.map(_._2).take(2) == Seq(1L, 9L),
+      s"outlier not picked second: $r")
+    intercept[IllegalArgumentException](kcenterSelectOf(crafted, 0))
+  }
+
   // ---- samp11 Neyman allocation ----------------------------------------------
 
   test("samp11: plain-Scala recompute; variance, not size, drives the budget") {
