@@ -334,4 +334,15 @@ object Similarity {
   def kcenterSelect(emb: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     PipelineOps.kcenterSelectOf(canon(emb, idCol, vecCol), k)
+
+  /** k-means|| init-quality audit (s25's kernel, Bahmani et al. 2012):
+    * `rounds` oversampling passes drawing ~`l` candidates each by the
+    * deterministic D²-hash-race, weighted farthest-first reduction to
+    * k, and BOTH inits' inertias (kmeans|| vs the k-lowest-ids rank
+    * baseline) over one shared corpus pass. Returns (method, k,
+    * n_candidates, inertia_micro). */
+  def kmeansParallelInit(emb: DataFrame, k: Int, l: Int = 8,
+      rounds: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    PipelineOps.kmeansParallelInitOf(canon(emb, idCol, vecCol), k, l, rounds)
 }

@@ -4558,6 +4558,117 @@ object PipelineOps {
     out.toSeq.toDF("rk", "vec_id", "radius_micro").orderBy("rk")
   }
 
+  /** s25's kernel — K-MEANS|| OVERSAMPLING INITIALIZATION (Bahmani et
+    * al. 2012, "Scalable K-Means++"): k-means++'s D²-weighted seeding
+    * needs k SEQUENTIAL corpus passes, which kills it at cluster
+    * scale; k-means|| replaces them with `rounds` passes that each
+    * sample ~`l` candidates INDEPENDENTLY with p = l·d²(x,C)/φ(C),
+    * then reduces the small weighted candidate set to k centers.
+    * This operator is the INIT-QUALITY AUDIT: it runs the kmeans||
+    * init and the engine's rank baseline (s04's k-lowest-ids) and
+    * reports both inertias — the table that justifies the fancier
+    * init before anyone pays for Lloyd iterations on 100 TB.
+    * Determinism: the Bernoulli draw is u(r, x) < l·d²/φ with
+    * u = md5₆₀(r|x)/2⁶⁰ — a hash-race, engine-replayable; d² in
+    * integer micro-units; φ an exact integer sum; the final
+    * reduction is weighted farthest-first (seed = max weight, then
+    * Gonzalez spread — a deterministic stand-in for the paper's
+    * k-means++ recluster of the weighted candidates).
+    *
+    * 100 TB: exactly the paper's dataflow — per round ONE map pass
+    * over the checkpointed (vec_id, e, mind) state against only the
+    * NEW candidate batch (broadcast), a one-number φ reduce, and a
+    * filter whose survivors are ~l rows; the candidate set
+    * (~l·rounds, driver-bounded by contract) never exceeds a page.
+    * Weights are one more map pass + a tiny rollup; the reduction is
+    * driver-side over ≤ l·rounds candidates; the two inertia sums
+    * share one final pass. */
+  private[graft] def kmeansParallelInitOf(emb: DataFrame, k: Int, l: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && l >= 1 && rounds >= 1,
+      s"need k, l, rounds >= 1, got k=$k l=$l rounds=$rounds")
+    val s = emb.sparkSession
+    import s.implicits._
+    def d2m(a: Array[Double], b: Array[Double]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      math.floor(acc * 1000000.0 + 0.5).toLong
+    }
+    def h60(r: Int, id: Long): Long = graft.exprs.Md5Bits60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$r|$id"))
+    val typed = emb.select(col("vec_id"), col("e")).as[(Long, Array[Double])]
+    val seed = typed.toDF().agg(min("vec_id")).first().getLong(0)
+    val seedVec = typed.filter(_._1 == seed).head()._2
+    var candIds = Vector(seed)
+    var candVecs = Map(seed -> seedVec)
+    // corpus-sized running state: (vec_id, e, mind micro vs cands)
+    var state = typed.filter(_._1 != seed)
+      .map { case (id, e) => (id, e, d2m(e, seedVec)) }
+      .localCheckpoint()
+    (0 until rounds).foreach { r =>
+      // an exhausted or fully-covered remainder (empty state, or every
+      // remaining point at distance 0) has nothing left to sample
+      val phiRow = state.toDF().agg(sum("_3")).first()
+      val phi = if (phiRow.isNullAt(0)) 0L else phiRow.getLong(0)
+      val sampled = if (phi == 0L) Array.empty[(Long, Array[Double])]
+        else state
+          .filter(t => h60(r, t._1).toDouble / 1152921504606846976.0 <
+            l.toDouble * t._3 / phi.toDouble)
+          .map(t => (t._1, t._2)).collect().sortBy(_._1)
+      if (sampled.nonEmpty) {
+        candIds = candIds ++ sampled.map(_._1)
+        candVecs = candVecs ++ sampled
+        val bc = s.sparkContext.broadcast(sampled)
+        val sampledIds = sampled.map(_._1).toSet
+        state = state.filter(t => !sampledIds.contains(t._1))
+          .map { t =>
+            var m = t._3
+            bc.value.foreach { case (_, ce) =>
+              val d = d2m(t._2, ce); if (d < m) m = d }
+            (t._1, t._2, m)
+          }.localCheckpoint()
+      }
+    }
+    // weights: each corpus point votes for its nearest candidate
+    // (min d2, min candidate id tie)
+    val cbc = s.sparkContext.broadcast(
+      candIds.sorted.map(id => (id, candVecs(id))).toArray)
+    val weights = typed.map { case (_, e) =>
+      var best = -1L; var bd = Long.MaxValue
+      cbc.value.foreach { case (cid, ce) =>
+        val d = d2m(e, ce)
+        if (d < bd || (d == bd && cid < best)) { best = cid; bd = d }
+      }
+      best
+    }.toDF("cid").groupBy("cid").agg(count(lit(1)).as("wt"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    // weighted farthest-first reduction to k centers (driver-side over
+    // the bounded candidate set)
+    val first = candIds.minBy(id => (-weights.getOrElse(id, 0L), id))
+    var centers = Vector(first)
+    var candMind = (candIds.toSet - first)
+      .map(id => id -> d2m(candVecs(id), candVecs(first))).toMap
+    while (centers.size < k && candMind.nonEmpty) {
+      val (nid, _) = candMind.minBy { case (id, dd) => (-dd, id) }
+      centers :+= nid
+      candMind = (candMind - nid).map { case (id, dd) =>
+        id -> math.min(dd, d2m(candVecs(id), candVecs(nid))) }
+    }
+    // inertia of both inits over one shared corpus pass
+    val baseline = typed.toDF().orderBy("vec_id").limit(k)
+      .as[(Long, Array[Double])].collect()
+    val kmVecs = centers.map(id => candVecs(id)).toArray
+    val bbc = s.sparkContext.broadcast((baseline.map(_._2), kmVecs))
+    val (ib, ik) = typed.map { case (_, e) =>
+      val (bv, kv) = bbc.value
+      (bv.map(c => d2m(e, c)).min, kv.map(c => d2m(e, c)).min)
+    }.toDF("b", "m").agg(sum("b"), sum("m")).as[(Long, Long)].first()
+    Seq(("baseline_rank", k, k, ib),
+      ("kmeans_par", k, candIds.size, ik))
+      .toDF("method", "k", "n_candidates", "inertia_micro")
+      .orderBy("method")
+  }
+
   /** p14's kernel — the composed RAG RETRIEVAL SERVE, end-to-end from
     * STORED artifacts only (how a retrieval-augmented system actually
     * answers: no build work, no corpus scan, in the serve session):
@@ -6068,6 +6179,19 @@ object PipelineOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       bruteForceTopKOf(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("qid", "rk")
+    }),
+
+    "s25_kmeanspar_init" -> ((s, d) => {
+      // k-means|| init-quality audit (Bahmani et al. 2012): 3
+      // oversampling rounds at l=8 (deterministic md5 hash-race
+      // Bernoulli draws), weighted farthest-first reduction to k=8,
+      // then BOTH inits' inertias over one shared corpus pass — the
+      // kmeans|| init must beat the rank baseline (spec-pinned).
+      // Scale notes on the kernel scaladoc.
+      kmeansParallelInitOf(
+        t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")),
+        k = 8, l = 8, rounds = 3)
     }),
 
     "sel02_kcenter_select" -> ((s, d) => {
@@ -9133,6 +9257,85 @@ object PipelineOps {
           ON a.c_idx = b.c_idx AND a.chunk = b.chunk AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.45)
       SELECT v1, v2, cos FROM pairs ORDER BY v1, v2"""),
+
+    // s25: the oracle replays the WHOLE kmeans|| trajectory — the
+    // hash-race sampling rounds (recursive CTE #1), nearest-candidate
+    // weights, the weighted farthest-first reduction (recursive CTE
+    // #2), and both inertias. d2 is s04's list_sum comprehension in
+    // micro-units; u = md5_60(r|id)/2^60 exactly as the kernel draws.
+    "s25_kmeanspar_init" -> """
+      WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      ), rounds AS (
+        (SELECT 0 AS r, [(SELECT min(vec_id) FROM e)] AS cands)
+        UNION ALL
+        (SELECT r.r + 1, list_concat(r.cands, coalesce((
+           SELECT list(vec_id ORDER BY vec_id) FROM (
+             SELECT vec_id, d2, sum(d2) OVER () AS phi FROM (
+               SELECT v.vec_id,
+                  (SELECT min(CAST(floor(list_sum(list_transform(
+                      list_zip(v.emb, c.emb),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000 + 0.5)
+                    AS BIGINT))
+                   FROM e c WHERE list_contains(r.cands, c.vec_id)) AS d2
+               FROM e v WHERE NOT list_contains(r.cands, v.vec_id)) t0) t
+           WHERE CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || '|' ||
+                   CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                 / 1152921504606846976.0 < 8.0 * d2 / phi), []))
+         FROM rounds r WHERE r.r < 3)
+      ), cand AS (
+        SELECT c.vec_id, c.emb FROM e c
+        JOIN (SELECT unnest(cands) AS vec_id FROM rounds WHERE r = 3) u
+          ON u.vec_id = c.vec_id
+      ), near AS (
+        SELECT v.vec_id AS pid, (
+          SELECT cd.vec_id FROM cand cd
+          ORDER BY CAST(floor(list_sum(list_transform(
+                      list_zip(v.emb, cd.emb),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000 + 0.5) AS BIGINT),
+            cd.vec_id LIMIT 1) AS cid
+        FROM e v
+      ), w AS (SELECT cid AS vec_id, count(*) AS wt FROM near GROUP BY 1),
+      ff AS (
+        (SELECT 1 AS it,
+                (SELECT vec_id FROM w ORDER BY wt DESC, vec_id LIMIT 1) AS picked,
+                [(SELECT vec_id FROM w ORDER BY wt DESC, vec_id LIMIT 1)] AS chosen)
+        UNION ALL
+        (SELECT f.it + 1, pick.vec_id, list_append(f.chosen, pick.vec_id)
+         FROM ff f, LATERAL (
+           SELECT cd.vec_id,
+                  (SELECT min(CAST(floor(list_sum(list_transform(
+                      list_zip(cd.emb, ch.emb),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000 + 0.5)
+                    AS BIGINT))
+                   FROM cand ch WHERE list_contains(f.chosen, ch.vec_id)) AS d
+           FROM cand cd WHERE NOT list_contains(f.chosen, cd.vec_id)
+           ORDER BY d DESC, cd.vec_id ASC LIMIT 1) pick
+         WHERE f.it < 8)
+      ), km AS (SELECT c.vec_id, c.emb FROM cand c
+                JOIN ff ON ff.picked = c.vec_id),
+      base AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8),
+      pim AS (
+        SELECT v.vec_id,
+          (SELECT min(CAST(floor(list_sum(list_transform(
+                      list_zip(v.emb, b.emb),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000 + 0.5) AS BIGINT))
+           FROM base b) AS db,
+          (SELECT min(CAST(floor(list_sum(list_transform(
+                      list_zip(v.emb, m.emb),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000 + 0.5) AS BIGINT))
+           FROM km m) AS dk
+        FROM e v
+      ), inert AS (
+        SELECT CAST(sum(db) AS BIGINT) AS ib,
+               CAST(sum(dk) AS BIGINT) AS ik FROM pim
+      )
+      SELECT 'baseline_rank' AS method, CAST(8 AS INT) AS k,
+             CAST(8 AS INT) AS n_candidates, ib AS inertia_micro FROM inert
+      UNION ALL
+      SELECT 'kmeans_par', 8, (SELECT CAST(count(*) AS INT) FROM cand),
+             ik FROM inert
+      ORDER BY method""",
 
     // sel02: the oracle replays the greedy farthest-first trajectory
     // with a per-round LATERAL argmax over the not-yet-chosen corpus

@@ -2501,6 +2501,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum == 5000L, "session flush lost or duplicated events")
   }
 
+  // ---- s25 kmeans|| init ------------------------------------------------------
+
+  test("s25: oversampling fired, the kmeans|| init beats the rank baseline, fixture recovers clusters") {
+    val rows = run("s25_kmeanspar_init").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toMap
+    val (bk, bc, bi) = rows("baseline_rank")
+    val (kk, kc, ki) = rows("kmeans_par")
+    assert(bk == 8 && kk == 8 && bc == 8)
+    assert(kc > 8, s"oversampling produced only $kc candidates — the draw never fired")
+    assert(ki < bi,
+      s"kmeans|| init ($ki) must beat the rank baseline ($bi) — the audit's whole point")
+    // crafted fixture: three well-separated clusters; the rank
+    // baseline's 3 lowest ids all sit in cluster A, so its inertia
+    // carries both far clusters; kmeans|| oversamples by D^2 and its
+    // reduction must cover all three — a large, structural win
+    import spark.implicits._
+    import graft.queries.PipelineOps.kmeansParallelInitOf
+    def pt(base: Array[Double], eps: Double) = base.map(_ + eps)
+    val a = Array(0.0, 0.0, 0.0); val b = Array(100.0, 0.0, 0.0)
+    val c = Array(0.0, 100.0, 0.0)
+    val crafted = Seq(
+      (1L, pt(a, 0.0)), (2L, pt(a, 0.1)), (3L, pt(a, 0.2)),
+      (11L, pt(b, 0.0)), (12L, pt(b, 0.1)), (13L, pt(b, 0.2)),
+      (21L, pt(c, 0.0)), (22L, pt(c, 0.1)), (23L, pt(c, 0.2)))
+      .toDF("vec_id", "e")
+    val r = kmeansParallelInitOf(crafted, k = 3, l = 8, rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r("kmeans_par") * 10 < r("baseline_rank"),
+      s"separated-cluster fixture should be a 10x+ win: $r")
+    intercept[IllegalArgumentException](
+      kmeansParallelInitOf(crafted, k = 0, l = 8, rounds = 3))
+  }
+
   // ---- sel02 k-center coreset ------------------------------------------------
 
   test("sel02: greedy trajectory equals a plain-Scala replay; radius strictly decreases") {
