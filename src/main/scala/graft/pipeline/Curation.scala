@@ -808,6 +808,23 @@ object Curation {
       window: Int): DataFrame =
     PipelineOps.proximitySearchOf(index, terms, window)
 
+  /** Tombstoned view of a stored positional index (idx12's delete
+    * half, the Lucene lifecycle): deletions are an O(|deletes|)
+    * tombstone write; this applies them as a broadcast anti-join on
+    * the pruned postings — compose with [[phraseSearch]] /
+    * [[proximitySearch]]. */
+  def tombstonedIndex(spark: SparkSession, indexPath: String,
+      tombstonesPath: String): DataFrame =
+    PipelineOps.tombstonedIndexOf(spark, indexPath, tombstonesPath)
+
+  /** Compact a tombstoned index into a new generation without the
+    * deleted postings (idx12's compaction half): one filtered scan,
+    * bucket-in = bucket-out, serve pruning unchanged; clear the
+    * tombstones after. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      tombstonesPath: String, outPath: String): Unit =
+    PipelineOps.indexCompactOf(spark, indexPath, tombstonesPath, outPath)
+
   /** Term-dictionary build (idx10/idx11's build half): the (term, df,
     * cf) vocabulary artifact written to `path` range-partitioned by
     * term and sorted within files, so parquet min/max stats prune a

@@ -2557,6 +2557,34 @@ object PipelineOps {
       .write.mode("append").partitionBy("bucket").parquet(dir)
   }
 
+  /** idx12's delete half — DOCUMENT DELETION from a stored positional
+    * index by TOMBSTONES, the Lucene delete lifecycle (and the one
+    * the u06 right-to-be-forgotten drill needs on the index side): a
+    * delete is an O(|deletes|) write of the doc-id tombstone table —
+    * the index generations are never touched — and every serve mode
+    * applies the tombstones as a broadcast ANTI-JOIN on its pruned
+    * postings stream (the tombstone table is deletion-batch-sized by
+    * contract). [[indexCompactOf]] later rewrites a generation
+    * without the tombstoned postings (idx03's compaction discipline,
+    * bucket-in = bucket-out so serve pruning is unchanged) and the
+    * tombstones clear. Tombstoned serve == compacted serve ==
+    * purged-corpus rebuild, bit-identical (the entry's oracle hashes
+    * both stages against the same purged replay). */
+  private[graft] def tombstonedIndexOf(spark: SparkSession,
+      indexDir: String, tombDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+      .join(broadcast(spark.read.parquet(tombDir)), Seq("doc_id"),
+        "left_anti")
+
+  /** idx12's compaction half — rewrite the index without tombstoned
+    * postings into a new generation, same 16-way term-bucket layout.
+    * One filtered scan, no shuffle (the bucket column rides along),
+    * partition-preserving write. */
+  private[graft] def indexCompactOf(spark: SparkSession, indexDir: String,
+      tombDir: String, outDir: String): Unit =
+    tombstonedIndexOf(spark, indexDir, tombDir)
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+
   /** st10's idempotent production sink — the exactly-once form of
     * [[positionalIndexAppend]] for foreachBatch, where delivery is
     * at-least-once (a failed-and-retried micro-batch re-runs with the
@@ -8347,6 +8375,34 @@ object PipelineOps {
         Seq("slow", "hash", "batch"), window = 6, pad = 3)
     }),
 
+    "idx12_index_delete" -> ((s, d) => {
+      // Index deletion lifecycle (Lucene's): tombstone write (O(del),
+      // generations untouched) -> tombstoned serve (broadcast
+      // anti-join on the pruned postings) -> compaction rewrite
+      // (new generation, same bucket layout) -> compacted serve.
+      // Docs with doc_id % 7 == 0 are deleted; the NEAR serve runs at
+      // BOTH stages and the oracle hashes both against one
+      // purged-corpus replay — tombstoned == compacted == rebuild IS
+      // the hash match. Scale notes on the kernel scaladocs.
+      val root = graphArtifacts.computeIfAbsent(s"$d|idx12", _ => {
+        val out = EngineOps.tempDir("graft-idx12")
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        positionalIndexBuild(docs, s"$out/g1")
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+          .write.mode("overwrite").parquet(s"$out/tomb")
+        indexCompactOf(s, s"$out/g1", s"$out/tomb", s"$out/g2")
+        out
+      })
+      val terms = Seq("slow", "hash", "batch")
+      val ts = proximitySearchOf(
+          tombstonedIndexOf(s, s"$root/g1", s"$root/tomb"), terms, 6)
+        .withColumn("stage", lit("tombstoned"))
+      val cp = proximitySearchOf(s.read.parquet(s"$root/g2"), terms, 6)
+        .withColumn("stage", lit("compacted"))
+      ts.unionByName(cp).select("stage", "doc_id", "min_span")
+        .orderBy("stage", "doc_id")
+    }),
+
     "idx10_prefix_suggest" -> ((s, d) => {
       // Query autocomplete from the stored term dictionary — the
       // serve mode in front of every search box: terms starting with
@@ -12076,6 +12132,26 @@ object PipelineOps {
 
     // idx08: the oracle replays boolean retrieval from the corpus
     // TEXT, so the stored-index serve must equal corpus truth
+    // idx12: ONE purged-corpus NEAR replay, hashed against BOTH serve
+    // stages — tombstoned == compacted == rebuild IS the hash match
+    "idx12_index_delete" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE doc_id % 7 <> 0),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      spans AS (
+        SELECT a.doc_id,
+               greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) AS span
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'slow') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'hash') b USING (doc_id)
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'batch') c USING (doc_id)),
+      res AS (
+        SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+        FROM spans GROUP BY doc_id HAVING min(span) <= 6)
+      SELECT s.stage, r.doc_id, r.min_span
+      FROM res r, (VALUES ('compacted'), ('tombstoned')) s(stage)
+      ORDER BY s.stage, r.doc_id""",
+
     // idx10: recompute the term dictionary from the corpus — the
     // stored-artifact serve must equal corpus truth (idx convention)
     "idx10_prefix_suggest" -> """

@@ -654,6 +654,23 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy correct degenerated into a pairwise scan:\n$plan")
   }
 
+  test("idx12 index delete: tombstones apply as a broadcast anti-join, term scans stay pruned") {
+    // the delete promise: a tombstoned serve costs the same pruned
+    // df(term)-sized scans as an untouched index plus ONE broadcast
+    // anti-join of the deletion-batch-sized tombstone table — never a
+    // rebuild, never a corpus scan
+    val df = graft.queries.PipelineOps.defs("idx12_index_delete")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("documents.parquet"),
+      s"delete serve scanned the live corpus:\n$plan")
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"tombstones lost their broadcast anti-join:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
+      s"term predicate not pushed to the index scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s24 MMR re-rank: post-checkpoint serve plan never rescans the corpus, no cartesian") {
     // the MMR stage is query-bounded by contract: after the bounded
     // (queries x poolK) pool localCheckpoints, the pairwise self-join

@@ -613,6 +613,49 @@ class RetrievalOpsSpec extends AnyFunSuite {
       fuzzyCorrectOf(spark, dictDir, Seq("a"), 0))
   }
 
+  // ---- idx12 index deletes ---------------------------------------------------
+
+  test("idx12: both stages equal idx06 minus the deleted docs; compaction leaves no trace; crafted term vanishes") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{positionalIndexBuild, tombstonedIndexOf,
+      indexCompactOf, proximitySearchOf}
+    val rows = run("idx12_index_delete").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ts = rows.filter(_._1 == "tombstoned").map(x => (x._2, x._3)).toSet
+    val cp = rows.filter(_._1 == "compacted").map(x => (x._2, x._3)).toSet
+    assert(ts == cp, "tombstoned and compacted serves diverged")
+    val before = run("idx06_proximity_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ts == before.filterNot(_._1 % 7 == 0),
+      "delete result is not exactly idx06 minus the deleted docs")
+    assert(before.exists(_._1 % 7 == 0),
+      "no pre-delete hit was actually deleted: the drill is untested")
+    // the compacted generation carries zero tombstoned postings
+    val root = java.nio.file.Files.createTempDirectory("graft-idx12-spec").toString
+    val docs = Seq(
+      (7L, "unique slow marker"),      // deleted; sole holder of 'unique'
+      (8L, "slow marker common here"),
+      (9L, "slow marker also here")).toDF("doc_id", "text")
+    positionalIndexBuild(docs, s"$root/g1")
+    Seq(7L).toDF("doc_id").write.parquet(s"$root/tomb")
+    indexCompactOf(spark, s"$root/g1", s"$root/tomb", s"$root/g2")
+    assert(spark.read.parquet(s"$root/g2")
+      .filter(col("doc_id") === 7L).count() == 0,
+      "compacted generation still carries tombstoned postings")
+    // a term whose only holder was deleted vanishes from BOTH stages
+    val tsv = proximitySearchOf(tombstonedIndexOf(spark, s"$root/g1",
+      s"$root/tomb"), Seq("unique", "slow"), 5).collect()
+    val cpv = proximitySearchOf(spark.read.parquet(s"$root/g2"),
+      Seq("unique", "slow"), 5).collect()
+    assert(tsv.isEmpty && cpv.isEmpty,
+      "a term whose sole holder was deleted still serves hits")
+    // surviving docs still serve identically at both stages
+    val tss = proximitySearchOf(tombstonedIndexOf(spark, s"$root/g1",
+        s"$root/tomb"), Seq("slow", "marker"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tss == Set((8L, 1L), (9L, 1L)))
+  }
+
   // ---- p14 composed RAG serve -----------------------------------------------
 
   test("p14: artifact serve equals the live IVF->MMR->text recompute; previews slice the real docs") {
