@@ -2126,6 +2126,22 @@ object PipelineOps {
     * final matrix is |licenses|² rows. No new corpus shuffle. */
   private[graft] def licenseTaintOf(docs: DataFrame, licenses: DataFrame,
       minJ: Double, rounds: Int): DataFrame = {
+    // the kernel's rank arithmetic assumes rank <-> name is a
+    // bijection (the eff_rank join-back would fan out otherwise), and
+    // a governance audit must not fail OPEN on unregistered sources —
+    // both checked loud on the tiny registry / distinct-source frames
+    val reg = licenses.select(col("lrank").cast("long"), col("license"))
+      .distinct().collect()
+    require(reg.map(_.getLong(0)).distinct.length == reg.length &&
+      reg.map(_.getString(1)).distinct.length == reg.length,
+      "licenses must map rank <-> name bijectively; got " +
+        reg.map(r => (r.getLong(0), r.getString(1))).mkString(", "))
+    val unregistered = docs.select("source").distinct()
+      .join(broadcast(licenses.select("source")), Seq("source"), "left_anti")
+      .limit(5).collect().map(_.getString(0))
+    require(unregistered.isEmpty,
+      s"sources without a license registration: ${unregistered.mkString(", ")}" +
+        " — a taint audit must not silently drop them")
     val edges = exactJaccardPairsOf(docs, minJ).select(col("d1"), col("d2"))
     val labels = dupLabelsOf(edges, rounds)
     val dl = docs.select(col("doc_id"), col("source"))
@@ -2444,22 +2460,39 @@ object PipelineOps {
     * per-stratum rank is samp03's accepted shape (rank by 60-bit
     * hash inside each stratum — for extreme single-stratum skew the
     * documented alternative is threshold selection on the hash
-    * value). Micro-quantization assumes sqrt(SS)·1e6 < 2⁶³ (SS <
-    * ~8.5e25 — beyond any real token-count variance). */
+    * value). The moments accumulate in Decimal(38,0) — Long would
+    * wrap once a stratum's sx exceeds ~3e9 tokens — so SS stays
+    * exact to 1e38, matching the oracle's HUGEINT; micro-quantization
+    * then assumes sqrt(SS)·1e6 < 2⁶³ (SS < ~8.5e25 — beyond any real
+    * token-count variance). An all-zero-variance corpus fails loud
+    * (Neyman is undefined there; fall back to proportional). */
   private[graft] def neymanAllocOf(docs: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be at least 1, got $budget")
     graft.exprs.Md5Bits60.register(docs.sparkSession)
     val x = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("x"))
+    // moments in DecimalType(38,0): sx*sx over a multi-billion-token
+    // stratum overflows Long (sx > ~3e9 wraps) — decimal keeps the
+    // sum-of-squares identity exact to 1e38, matching the oracle's
+    // HUGEINT promotion; the strata-sized frame then checkpoints so
+    // the denom reduce and the allocation join share one computation
+    val xd = col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val st = x.groupBy("lang").agg(count(lit(1)).as("n_docs"),
-        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+        sum(xd).as("sx"), sum(xd * xd).as("sxx"))
       .withColumn("ss", col("n_docs") * col("sxx") - col("sx") * col("sx"))
       .withColumn("sq_micro",
         floor(sqrt(col("ss").cast("double")) * 1000000.0 + 0.5).cast("long"))
-    val alloc = st.crossJoin(broadcast(st.agg(sum("sq_micro").as("denom"))))
+      .select("lang", "n_docs", "sq_micro")
+      .localCheckpoint()
+    val denomRow = st.agg(sum("sq_micro")).first()
+    val denom = if (denomRow.isNullAt(0)) 0L else denomRow.getLong(0)
+    require(denom > 0L,
+      "every stratum has zero token-count variance: Neyman allocation " +
+        "is undefined (fall back to a proportional draw)")
+    val alloc = st
       .withColumn("alloc",
-        floor(lit(budget.toDouble) * col("sq_micro") / col("denom") + 0.5)
-          .cast("long"))
+        floor(lit(budget.toDouble) * col("sq_micro") / lit(denom.toDouble)
+          + 0.5).cast("long"))
       .select("lang", "n_docs", "sq_micro", "alloc")
     val ranked = x.withColumn("rk", row_number().over(
       Window.partitionBy("lang")
@@ -3430,9 +3463,20 @@ object PipelineOps {
       newDf: DataFrame): DataFrame = {
     def stats(df: DataFrame, pfx: String): DataFrame = {
       val cols = df.schema.fieldNames.toSeq
+      // map-typed columns are unorderable — countDistinct would throw;
+      // their distinct count reports NULL, presence/nulls still audit
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.exists(f => hasMap(f.dataType))
+        case _ => false
+      }
+      def distinctable(c: String): Boolean = !hasMap(df.schema(c).dataType)
       val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { c =>
         Seq(sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
-          countDistinct(col(c)).as(s"dist_$c")) }
+          (if (distinctable(c)) countDistinct(col(c))
+           else first(lit(null).cast("long"))).as(s"dist_$c")) }
       df.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(cols.map(c => struct(
           lit(c).as("col_name"),
@@ -4503,14 +4547,17 @@ object PipelineOps {
       .select(col("qid"), col("a"), col("b"),
         floor(expr("cosine_sim(ea, eb)") * lit(10000d) + lit(0.5))
           .cast("long").as("sim"))
+    // LEFT join: a query whose pool has exactly one candidate
+    // produces zero pairwise rows and must still emit its rk=1 pick
     val grouped = pv
       .groupBy("qid")
       .agg(collect_list(struct(col("nid"), col("rel"))).as("cands"))
       .join(pairs.groupBy("qid")
         .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims")),
-        Seq("qid"))
+        Seq("qid"), "left")
     grouped.as[(Long, Seq[(Long, Long)], Seq[(Long, Long, Long)])]
-      .flatMap { case (qid, cands, sims) =>
+      .flatMap { case (qid, cands, simsOrNull) =>
+        val sims = Option(simsOrNull).getOrElse(Seq.empty)
         val simOf = sims.map { case (a, b, v) => (a, b) -> v }.toMap
         var remaining = cands.sortBy { case (nid, _) => nid }
         var chosen = List.empty[Long]
@@ -4552,36 +4599,44 @@ object PipelineOps {
     * r's lineage does not replay rounds 1..r−1 (d11's barrier
     * discipline). k driver rows total — bounded by contract. The
     * oracle replays the same greedy with a per-round LATERAL argmax. */
-  private[graft] def kcenterSelectOf(emb: DataFrame, k: Int): DataFrame = {
+  private[graft] def kcenterSelectOf(emb: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be at least 1, got $k")
     val s = emb.sparkSession
     import s.implicits._
     graft.exprs.CosineSim.register(s)
+    val chain = new BarrierChain(checkpointDir)
     val seed = emb.agg(min("vec_id")).first.getLong(0)
     val out = scala.collection.mutable.ArrayBuffer((1, seed, 20000L))
-    var state = emb.select(col("vec_id"), col("e"))
+    var state = chain.barrier(emb.select(col("vec_id"), col("e"))
       .filter(col("vec_id") =!= seed)
       .crossJoin(broadcast(emb.filter(col("vec_id") === seed)
         .select(col("e").as("ce"))))
       .select(col("vec_id"), col("e"),
         (lit(10000L) - floor(expr("cosine_sim(e, ce)") * lit(10000d)
-          + lit(0.5)).cast("long")).as("mind"))
-      .localCheckpoint()
-    (2 to k).foreach { it =>
-      val top = state.orderBy(col("mind").desc, col("vec_id").asc)
-        .select("vec_id", "mind").limit(1).first()
-      val nid = top.getLong(0)
-      out += ((it, nid, top.getLong(1)))
-      if (it < k) {
-        state = state.filter(col("vec_id") =!= nid)
-          .crossJoin(broadcast(state.filter(col("vec_id") === nid)
-            .select(col("e").as("ce"))))
-          .select(col("vec_id"), col("e"),
-            least(col("mind"),
-              lit(10000L) - floor(expr("cosine_sim(e, ce)") * lit(10000d)
-                + lit(0.5)).cast("long")).as("mind"))
-          .localCheckpoint()
+          + lit(0.5)).cast("long")).as("mind")))
+    var it = 2
+    var exhausted = false
+    while (it <= k && !exhausted) {
+      // a k larger than the corpus simply ends the trajectory early
+      // (the oracle's recursion stops the same way)
+      state.orderBy(col("mind").desc, col("vec_id").asc)
+        .select("vec_id", "mind").limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(top) =>
+          val nid = top.getLong(0)
+          out += ((it, nid, top.getLong(1)))
+          if (it < k) {
+            state = chain.barrier(state.filter(col("vec_id") =!= nid)
+              .crossJoin(broadcast(state.filter(col("vec_id") === nid)
+                .select(col("e").as("ce"))))
+              .select(col("vec_id"), col("e"),
+                least(col("mind"),
+                  lit(10000L) - floor(expr("cosine_sim(e, ce)") * lit(10000d)
+                    + lit(0.5)).cast("long")).as("mind")))
+          }
       }
+      it += 1
     }
     out.toSeq.toDF("rk", "vec_id", "radius_micro").orderBy("rk")
   }
@@ -4612,11 +4667,15 @@ object PipelineOps {
     * driver-side over ≤ l·rounds candidates; the two inertia sums
     * share one final pass. */
   private[graft] def kmeansParallelInitOf(emb: DataFrame, k: Int, l: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && l >= 1 && rounds >= 1,
       s"need k, l, rounds >= 1, got k=$k l=$l rounds=$rounds")
     val s = emb.sparkSession
     import s.implicits._
+    val chain = new BarrierChain(checkpointDir)
+    def barrierT(ds: org.apache.spark.sql.Dataset[(Long, Array[Double], Long)])
+        : org.apache.spark.sql.Dataset[(Long, Array[Double], Long)] =
+      chain.barrier(ds.toDF("_1", "_2", "_3")).as[(Long, Array[Double], Long)]
     def d2m(a: Array[Double], b: Array[Double]): Long = {
       var acc = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
@@ -4630,9 +4689,8 @@ object PipelineOps {
     var candIds = Vector(seed)
     var candVecs = Map(seed -> seedVec)
     // corpus-sized running state: (vec_id, e, mind micro vs cands)
-    var state = typed.filter(_._1 != seed)
-      .map { case (id, e) => (id, e, d2m(e, seedVec)) }
-      .localCheckpoint()
+    var state = barrierT(typed.filter(_._1 != seed)
+      .map { case (id, e) => (id, e, d2m(e, seedVec)) })
     (0 until rounds).foreach { r =>
       // an exhausted or fully-covered remainder (empty state, or every
       // remaining point at distance 0) has nothing left to sample
@@ -4648,13 +4706,13 @@ object PipelineOps {
         candVecs = candVecs ++ sampled
         val bc = s.sparkContext.broadcast(sampled)
         val sampledIds = sampled.map(_._1).toSet
-        state = state.filter(t => !sampledIds.contains(t._1))
+        state = barrierT(state.filter(t => !sampledIds.contains(t._1))
           .map { t =>
             var m = t._3
             bc.value.foreach { case (_, ce) =>
               val d = d2m(t._2, ce); if (d < m) m = d }
             (t._1, t._2, m)
-          }.localCheckpoint()
+          })
       }
     }
     // weights: each corpus point votes for its nearest candidate
@@ -4716,14 +4774,14 @@ object PipelineOps {
     * (plan-pinned), which is the entire point: retrieval latency is
     * index-shaped, not corpus-shaped. */
   private[graft] def ragServeOf(spark: SparkSession, ivfDir: String,
-      storeDir: String, poolK: Int, k: Int, lamTimes10: Int,
-      probes: Int, previewChars: Int): DataFrame = {
+      storeDir: String, queryFilter: Column, poolK: Int, k: Int,
+      lamTimes10: Int, probes: Int, previewChars: Int): DataFrame = {
     require(previewChars >= 1,
       s"previewChars must be at least 1, got $previewChars")
     graft.exprs.Md5Bits60.register(spark)
     val cent = spark.read.parquet(s"$ivfDir/centroids")
     val post = spark.read.parquet(s"$ivfDir/postings")
-    val queries = post.filter(col("vec_id") < 10)
+    val queries = post.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val pool = ivfProbeOf(cent, post, queries, poolK, probes)
       .select(col("qid"), col("nid"),
@@ -8347,8 +8405,8 @@ object PipelineOps {
         docStoreBuild(docs, s"$out/store")
         out
       })
-      ragServeOf(s, ivf, s"$store/store", poolK = 20, k = 5,
-        lamTimes10 = 7, probes = 2, previewChars = 80)
+      ragServeOf(s, ivf, s"$store/store", queryFilter = col("vec_id") < 10,
+        poolK = 20, k = 5, lamTimes10 = 7, probes = 2, previewChars = 80)
     }),
 
     "idx09_snippets" -> ((s, d) => {

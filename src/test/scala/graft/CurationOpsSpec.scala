@@ -2581,6 +2581,12 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.map(_._2).take(2) == Seq(1L, 9L),
       s"outlier not picked second: $r")
     intercept[IllegalArgumentException](kcenterSelectOf(crafted, 0))
+    // k beyond the corpus ends the trajectory early instead of
+    // crashing (self-review catch; the oracle's recursion stops the
+    // same way)
+    val short = kcenterSelectOf(crafted, k = 10).collect()
+    assert(short.length == 4,
+      s"4-vector corpus must yield a 4-pick trajectory, got ${short.length}")
   }
 
   // ---- samp11 Neyman allocation ----------------------------------------------
@@ -2626,6 +2632,13 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getLong(3), x.getLong(4))).toSeq
     assert(r == Seq(("flat", 0L, 0L), ("wild", 10L, 10L)),
       s"variance-optimal allocation diverged: $r")
+    // an all-zero-variance corpus fails loud (self-review catch: the
+    // denom=0 NaN allocation used to silently draw nothing)
+    val uniform = (1 to 6).map(i =>
+      (i.toLong, if (i <= 3) "a" else "b", "w w w")).toDF("doc_id", "lang", "text")
+    val ex = intercept[IllegalArgumentException](
+      neymanAllocOf(uniform, budget = 10))
+    assert(ex.getMessage.contains("zero token-count variance"))
   }
 
   // ---- guard04 schema drift -------------------------------------------------
@@ -2662,6 +2675,16 @@ class CurationOpsSpec extends AnyFunSuite {
       Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "t", "l"))
       .collect().map(r => (r.getString(0), r.getLong(6))).toMap
     assert(fixed("l") == 500000L, s"repair drift |0 - 0.5| misreported: $fixed")
+    // map-typed columns audit presence/nulls but report NULL distinct
+    // instead of throwing (self-review catch on the column-generic
+    // contract)
+    val withMap = Seq((1L, Map("k" -> "v")), (2L, Map("k" -> "w")))
+      .toDF("id", "props")
+    val mp = schemaDriftOf(withMap, withMap).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(mp == Seq(("id", "kept", 2L), ("props", "kept", -1L)),
+      s"map column broke the audit: $mp")
   }
 
   // ---- u08 license taint ----------------------------------------------------
@@ -2717,6 +2740,18 @@ class CurationOpsSpec extends AnyFunSuite {
       ("cc0", "proprietary", 1L, 1L, true),
       ("proprietary", "proprietary", 1L, 2L, false)),
       s"crafted taint matrix diverged: $r")
+    // self-review catches: a registry whose ranks are not a bijection
+    // would fan out the matrix; an unregistered source would fail OPEN
+    val badReg = Seq(("src0", "mit", 1L), ("src1", "apache-2.0", 1L),
+      ("src2", "proprietary", 2L)).toDF("source", "license", "lrank")
+    assert(intercept[IllegalArgumentException](
+      licenseTaintOf(docs, badReg, 0.5, 3))
+      .getMessage.contains("bijectively"))
+    val partialReg = Seq(("src0", "cc0", 0L), ("src1", "cc-by", 1L))
+      .toDF("source", "license", "lrank")
+    assert(intercept[IllegalArgumentException](
+      licenseTaintOf(docs, partialReg, 0.5, 3))
+      .getMessage.contains("without a license registration"))
   }
 
   // ---- s24 MMR diversified re-rank -----------------------------------------
@@ -2790,6 +2825,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(pure == Seq((1, 2L), (2, 1L), (3, 3L)),
       s"lambda=1 must reproduce pure relevance order, got $pure")
     assert(r != pure, "fixture failed to separate MMR from pure relevance")
+    // a query whose pool holds exactly ONE candidate (zero pairwise
+    // rows) must still emit its rk=1 pick — the self-review catch:
+    // an inner sims join silently dropped it
+    val lone = mmrRerankOf(
+      Seq((1L, Array(1.0, 0.0, 0.0)), (100L, Array(1.0, 0.1, 0.0)))
+        .toDF("vec_id", "e"),
+      Seq((100L, Array(1.0, 0.1, 0.0))).toDF("vec_id", "e"),
+      poolK = 1, k = 1)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(lone == Seq((100L, 1, 1L)),
+      s"single-candidate pool lost its query: $lone")
     intercept[IllegalArgumentException](
       mmrRerankOf(emb, emb.filter(col("vec_id") === 100L), poolK = 2, k = 3))
     intercept[IllegalArgumentException](
