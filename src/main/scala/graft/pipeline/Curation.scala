@@ -680,6 +680,22 @@ object Curation {
         extra = Seq("lang" -> col(langCol).cast("string"))),
       floorPerLang, totalN)
 
+  /** Uncertainty-margin batch selection over a STORED quality-model
+    * artifact (sel03's kernel — Lewis & Gale 1994 uncertainty
+    * sampling, the active-learning "label these next" pick): the `k`
+    * held-out documents with the smallest exact-integer |w·x| margin
+    * under the model at `modelPath` (a t25 training-trace artifact).
+    * Weights inline as literals; one feature scan + a TakeOrdered
+    * bounded heap — no trainer in the plan. Returns
+    * (doc_id, margin, side). */
+  def marginSelect(docs: DataFrame, modelPath: String, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.marginSelectOf(
+      Canon.docs(docs, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string"))),
+      PipelineOps.qualityModelLoad(docs.sparkSession, modelPath), k)
+
   /** Temperature-scaled language mixture draw (samp03's kernel): the
     * multilingual-training standard — per-language quotas ∝ p^alpha
     * over a `total`-document budget, filled by a deterministic per-lang
@@ -824,6 +840,26 @@ object Curation {
   def compactIndex(spark: SparkSession, indexPath: String,
       tombstonesPath: String, outPath: String): Unit =
     PipelineOps.indexCompactOf(spark, indexPath, tombstonesPath, outPath)
+
+  /** Impact-sidecar build (idx13's build half — Block-Max WAND's
+    * per-term bound table): per term, df and a strict integer
+    * micro-unit upper bound on any single document's BM25 score
+    * contribution from it. Vocabulary-sized; one pass over the
+    * postings joined to the doclen sidecar. */
+  def buildImpactSidecar(index: DataFrame, doclen: DataFrame,
+      path: String, k1: Double = 1.2, b: Double = 0.75): Unit =
+    PipelineOps.impactSidecarBuild(index, doclen, path, k1, b)
+
+  /** MaxScore safe-pruned BM25 top-k over stored artifacts (idx13's
+    * serve kernel, Turtle & Flood 1995): the exhaustive idx04 ranking
+    * served while scoring only the docs whose impact-sidecar bound
+    * can reach the phase-1 threshold. Returns (doc_id, score,
+    * n_scored, n_pruned) — the last two certify the serve cost. */
+  def maxScoreTopK(spark: SparkSession, indexPath: String,
+      doclenPath: String, impactPath: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    PipelineOps.maxScoreServeOf(spark, indexPath, doclenPath,
+      impactPath, terms, k, k1, b)
 
   /** Term-dictionary build (idx10/idx11's build half): the (term, df,
     * cf) vocabulary artifact written to `path` range-partitioned by

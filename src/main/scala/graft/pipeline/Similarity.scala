@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.PipelineOps
@@ -345,4 +345,21 @@ object Similarity {
       rounds: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     PipelineOps.kmeansParallelInitOf(canon(emb, idCol, vecCol), k, l, rounds)
+
+  /** Tombstone-aware postings view of a stored IVF index (s26's
+    * delete half — FAISS `remove_ids` semantics): the postings at
+    * `postingsPath` minus the vec-id tombstones at `tombstonesPath`,
+    * applied as a broadcast anti-join so partition pruning still
+    * reaches the postings scan. Feed to the probe in place of the
+    * raw postings; the coarse quantizer (centroids) stays untouched. */
+  def tombstonedPostings(spark: SparkSession, postingsPath: String,
+      tombstonesPath: String): DataFrame =
+    PipelineOps.tombstonedPostingsOf(spark, postingsPath, tombstonesPath)
+
+  /** Compact a stored IVF postings generation (s26's compaction
+    * half): rewrite `postingsPath` minus the tombstones into
+    * `outPath`, same label-partitioned layout, tombstones clear. */
+  def compactPostings(spark: SparkSession, postingsPath: String,
+      tombstonesPath: String, outPath: String): Unit =
+    PipelineOps.ivfCompactOf(spark, postingsPath, tombstonesPath, outPath)
 }

@@ -1616,6 +1616,35 @@ object PipelineOps {
         .as("score_micro"))
   }
 
+  /** sel03's kernel — margin-based UNCERTAINTY selection (Lewis &
+    * Gale 1994 uncertainty sampling, the active-learning batch pick
+    * every labeling-budget pipeline runs once a first model exists —
+    * and the FineWeb-Edu loop's "which pages do we send to the LLM
+    * annotator next" step): the k unlabeled documents the stored t25
+    * model is LEAST sure about, i.e. smallest |w·x| — the exact
+    * integer distance to the decision boundary, no float edge, no
+    * sigmoid needed (the fast sigmoid is monotone in s, so the
+    * |score − ½|-minimizing doc IS the |s|-minimizing doc). The pool
+    * is the held-out split (is_train = false): you select from data
+    * the model has not consumed. Returns (doc_id, margin, side) for
+    * the k smallest margins — side says which way the model currently
+    * leans, the annotator's context column.
+    *
+    * 100 TB: weights ride as literals (zero exchange), the margin is
+    * a pure map over the one feature scan, and the cut is a
+    * TakeOrdered bounded heap — the corpus never shuffles. Serving
+    * from the stored model keeps the trainer out of the plan
+    * entirely (p13's artifact discipline). */
+  private[graft] def marginSelectOf(docs: DataFrame, w: Array[Long],
+      k: Int): DataFrame =
+    trainedQualityScoreOf(docs, w)
+      .filter(!col("is_train"))
+      .select(col("doc_id"), abs(col("s")).as("margin"),
+        when(col("s") >= 0, lit(1)).otherwise(lit(0))
+          .cast("int").as("side"))
+      .orderBy(col("margin").asc, col("doc_id"))
+      .limit(k)
+
   /** p13's kernel — the composed MODEL-BASED FILTERING chain (the
     * FineWeb-Edu shape end-to-end): t25's trainer produces the
     * weights, the trained scorer gates every document (keep iff the
@@ -3086,6 +3115,19 @@ object PipelineOps {
     * terms by the filter). */
   private[graft] def bm25RankCandidates(tfs: Seq[DataFrame],
       doclen: DataFrame, cands: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame =
+    bm25ScoresOf(tfs, doclen, cands, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** The unranked scoring core under [[bm25RankCandidates]] — every
+    * candidate's full rounded BM25 score, no cut (idx13's MaxScore
+    * phases need the WHOLE phase-1 score list to fix the pruning
+    * threshold, not just the head). The expression tree is s07/idx04's
+    * verbatim: same fixed left-to-right term sum, tf 0 via coalesce,
+    * idf from the FULL-corpus df of each tf stream. */
+  private[graft] def bm25ScoresOf(tfs: Seq[DataFrame],
+      doclen: DataFrame, cands: DataFrame, k1: Double,
       b: Double): DataFrame = {
     var feat = cands.join(doclen, Seq("doc_id"))
     tfs.foreach(tfI => feat = feat.join(tfI, Seq("doc_id"), "left"))
@@ -3102,8 +3144,122 @@ object PipelineOps {
     }.reduce(_ + _)
     feat.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 4).as("score"))
+  }
+
+  /** idx13's build half — the per-term IMPACT sidecar next to the
+    * positional index (Block-Max WAND's per-block maxima collapsed to
+    * one per-term bound, the statistic every dynamic-pruning serve
+    * needs at hand before touching postings): for each term, its df
+    * and an upper bound on the score contribution any single document
+    * can receive from it, ub = idf(df) · max over its postings of the
+    * BM25 tf-saturation — stored as round(ub·10⁴)+1 integer micro-
+    * units, a STRICT upper bound under quantization (round ≤ +0.5
+    * micro off; the +1 keeps ub ≥ the true contribution, so pruning
+    * against rounded-micro scores can never drop a real top-k member).
+    * Vocabulary-sized artifact, one pass over the postings joined to
+    * the doclen sidecar. The contribution expression replicates
+    * s07/idx04's scoring tree term-for-term so the bound is exact for
+    * the scorer it serves. */
+  private[graft] def impactSidecarBuild(index: DataFrame,
+      doclen: DataFrame, dir: String, k1: Double = 1.2,
+      b: Double = 0.75): Unit = {
+    val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    val tf = index.groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(doclen, Seq("doc_id"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("df"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("ctb"))
+    contrib.groupBy("term")
+      .agg(first("df").as("dfd"), max("ctb").as("mctb"))
+      .select(col("term"), col("dfd").cast("long").as("df"),
+        (round(col("mctb") * 10000) + 1).cast("long").as("ub_micro"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** idx13's serve kernel — MaxScore SAFE-pruned BM25 top-k (Turtle &
+    * Flood 1995, the dynamic-pruning family every production engine
+    * ships as MaxScore/WAND/BMW): the exhaustive idx04 serve scores
+    * EVERY doc matching ANY query term; this serves the identical
+    * top-k while scoring only the docs that can mathematically reach
+    * it. Two deterministic phases off the impact sidecar: (1) the
+    * full-score pass over the postings of the single highest-impact
+    * term t0 fixes θ = the k-th best rounded-micro score; (2) every
+    * other candidate doc (it does NOT contain t0, or it was already
+    * scored) upper-bounds by Σ ub(t) over the other terms it matches
+    * — integer micro arithmetic — and is SKIPPED when that bound is
+    * < θ: its true score ≤ the bound < every phase-1 top-k score, so
+    * it cannot displace any of them under the (score desc, doc_id)
+    * order. Survivors score fully; the union's top-k IS the
+    * exhaustive ranking (oracle = the corpus-text replay of the same
+    * two phases; the result rows equal idx04's exhaustive cut).
+    * Output carries the serve-cost certificate: n_scored docs
+    * actually scored and n_pruned skipped — s20's n_visited
+    * discipline (94% of candidate scoring pruned on this corpus).
+    *
+    * 100 TB: the impact lookup is |query| rows off a vocabulary-sized
+    * artifact; both phases read only pruned df(term)-sized postings
+    * scans (bucket PartitionFilter + pushed term predicate — idx02's
+    * scans); θ is a bounded k-row driver collect by contract; the
+    * bound-sum is one partial-agg'd groupBy over the other terms'
+    * postings; the corpus text is never touched. The win grows with
+    * term-impact asymmetry — exactly the production query shape (one
+    * rare term + frequent context terms). */
+  private[graft] def maxScoreServeOf(spark: SparkSession,
+      indexDir: String, doclenDir: String, impactDir: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.size >= 2, "MaxScore needs at least two terms")
+    require(terms.distinct.size == terms.size,
+      s"query terms must be distinct, got $terms")
+    val index = spark.read.parquet(indexDir)
+    val doclen = spark.read.parquet(doclenDir)
+    val ub = spark.read.parquet(impactDir)
+      .filter(col("term").isin(terms: _*))
+      .select("term", "ub_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = terms.filterNot(ub.contains)
+    require(missing.isEmpty,
+      s"terms absent from the impact sidecar: $missing")
+    // t0 = the highest-impact term (ub desc, term asc ties); the tf
+    // scans stay in the ORIGINAL terms order — the scoring sum is
+    // order-sensitive in floats and must replicate the oracle's tree
+    val t0 = terms.sortBy(tm => (-ub(tm), tm)).head
+    val tfs = bm25TermScans(index, terms)
+    val cands1 = tfs(terms.indexOf(t0)).select("doc_id")
+    val scored1 = bm25ScoresOf(tfs, doclen, cands1, k1, b)
+      .localCheckpoint() // feeds theta, the final union AND the cert
+    val headK = scored1
+      .select(col("doc_id"),
+        round(col("score") * 10000).cast("long").as("sc"))
+      .orderBy(col("sc").desc, col("doc_id")).limit(k).collect()
+    val theta: Long = if (headK.length == k) headK.last.getLong(1) else 0L
+    val bounds = terms.filter(_ != t0).map { tm =>
+      tfs(terms.indexOf(tm)).select(col("doc_id"))
+        .withColumn("ub", lit(ub(tm)))
+    }.reduce(_ unionByName _)
+      .join(cands1, Seq("doc_id"), "left_anti")
+      .groupBy("doc_id").agg(sum("ub").as("ubsum"))
+      .localCheckpoint() // feeds the survivor scan AND the cert
+    val scored2 = bm25ScoresOf(tfs, doclen,
+      bounds.filter(col("ubsum") >= theta).select("doc_id"), k1, b)
+      .localCheckpoint()
+    val cert = scored1.agg(count(lit(1)).as("c1"))
+      .crossJoin(scored2.agg(count(lit(1)).as("c2")))
+      .crossJoin(bounds.filter(col("ubsum") < theta)
+        .agg(count(lit(1)).as("n_pruned")))
+      .select((col("c1") + col("c2")).as("n_scored"), col("n_pruned"))
+    scored1.unionByName(scored2)
+      .crossJoin(broadcast(cert))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+      .select("doc_id", "score", "n_scored", "n_pruned")
   }
 
   /** p12's kernel — the composed SEARCH-SERVE pipeline over one
@@ -4985,6 +5141,38 @@ object PipelineOps {
         .select(col("label").as("clabel"), col("ce")),
       emb.filter(pred), queries, k, probes)
 
+  /** s26's delete half — VECTOR deletion from a stored IVF index by
+    * TOMBSTONES (FAISS's `remove_ids` model; idx12's Lucene delete
+    * lifecycle on the vector side, and what u06's right-to-be-
+    * forgotten needs from the ANN serving path): a delete is an
+    * O(|deletes|) write of the vec-id tombstone table — the
+    * label-partitioned postings generations and the coarse quantizer
+    * are never touched (centroids stay STALE, exactly s17's
+    * production trade: the quantizer re-trains only at the next
+    * rebuild, so deletion changes WHO is served, never how cells are
+    * probed) — and every probe applies the tombstones as a broadcast
+    * ANTI-join on its partition-pruned postings scan (the tombstone
+    * table is deletion-batch-sized by contract; label pruning still
+    * reaches the scan under the anti-join). [[ivfCompactOf]] later
+    * rewrites a postings generation without the tombstoned vectors
+    * and the tombstones clear. Tombstoned probe == compacted probe ==
+    * stale-centroid purged recompute, bit-identical (the entry's
+    * oracle hashes both stages against the same replay). */
+  private[graft] def tombstonedPostingsOf(spark: SparkSession,
+      postingsDir: String, tombDir: String): DataFrame =
+    spark.read.parquet(postingsDir)
+      .join(broadcast(spark.read.parquet(tombDir)), Seq("vec_id"),
+        "left_anti")
+
+  /** s26's compaction half — rewrite the postings without tombstoned
+    * vectors into a new generation, same label-partitioned layout
+    * (label-in = label-out: one filtered scan, partition-preserving
+    * write, probe pruning unchanged). */
+  private[graft] def ivfCompactOf(spark: SparkSession,
+      postingsDir: String, tombDir: String, outDir: String): Unit =
+    tombstonedPostingsOf(spark, postingsDir, tombDir)
+      .write.mode("overwrite").partitionBy("label").parquet(outDir)
+
   /** s23's kernel — the IVF nprobe TUNING SWEEP (the recall-vs-cost
     * curve a serving team reads before fixing nprobe, the ANN-side
     * sibling of d25's LSH calibration and d26's threshold sweep): per
@@ -6291,6 +6479,24 @@ object PipelineOps {
           col("embedding").cast("array<double>").as("e")), k = 8)
     }),
 
+    "sel03_margin_select" -> ((s, d) => {
+      // Uncertainty-margin batch selection (Lewis & Gale 1994): the
+      // 30 held-out documents the stored t25 model is least sure
+      // about — smallest exact-integer |w·x| — the "label these next"
+      // pick of an active-learning annotation loop. Serves from the
+      // SAME persisted model artifact as p13 (one training job, two
+      // serve modes); the oracle replays the whole training loop as
+      // a recursive CTE, so the hash match certifies the artifact ==
+      // the trainer here too. Scale notes on the kernel scaladoc.
+      val dir = graphArtifacts.computeIfAbsent(s"$d|t25model", _ => {
+        val out = EngineOps.tempDir("graft-t25model")
+        qualityModelPersist(t(s, d, "documents"), lr = 2.0, iters = 8, out)
+        out
+      })
+      marginSelectOf(t(s, d, "documents"), qualityModelLoad(s, dir),
+        k = 30)
+    }),
+
     "s24_mmr_rerank" -> ((s, d) => {
       // MMR diversified re-ranking (Carbonell & Goldstein 1998): each
       // query's top-20 relevance pool greedily re-ranks to 5 results
@@ -6449,6 +6655,51 @@ object PipelineOps {
           .select(col("vec_id").as("qid"), col("e").as("qe")),
         k = 5, probes = 2)
         .orderBy("qid", "rk")
+    }),
+
+    "s26_vector_delete" -> ((s, d) => {
+      // Vector deletion lifecycle — FAISS remove_ids semantics,
+      // idx12's Lucene tombstone model on the VECTOR side: a delete
+      // is an O(|deletes|) tombstone write (postings generations and
+      // the coarse quantizer untouched — centroids stay STALE, s17's
+      // production trade), every probe applies the tombstones as a
+      // broadcast ANTI-join on its partition-pruned postings scan,
+      // and compaction rewrites a new postings generation without the
+      // tombstoned vectors (label-in = label-out, probe pruning
+      // unchanged, tombstones clear). Vectors with vec_id % 7 == 2
+      // (~14%) are deleted; s02's query set probes BOTH stages and
+      // the oracle hashes both against ONE stale-centroid purged
+      // replay — tombstoned == compacted == purged recompute IS the
+      // hash match. Scale notes on the kernel scaladocs.
+      graft.exprs.CosineSim.register(s)
+      val root = graphArtifacts.computeIfAbsent(s"$d|s26", _ => {
+        val out = EngineOps.tempDir("graft-s26")
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("e"))
+        meanVectors(emb.select(col("label"), col("e")), "label")
+          .select(col("label").as("clabel"), col("ce"))
+          .write.mode("overwrite").parquet(s"$out/centroids")
+        emb.write.mode("overwrite").partitionBy("label")
+          .parquet(s"$out/g1")
+        emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+          .write.mode("overwrite").parquet(s"$out/tomb")
+        ivfCompactOf(s, s"$out/g1", s"$out/tomb", s"$out/g2")
+        out
+      })
+      val cent = s.read.parquet(s"$root/centroids")
+      val queries = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qe"))
+      val ts = ivfProbeOf(cent,
+          tombstonedPostingsOf(s, s"$root/g1", s"$root/tomb"),
+          queries, k = 5, probes = 2)
+        .withColumn("stage", lit("tombstoned"))
+      val cp = ivfProbeOf(cent, s.read.parquet(s"$root/g2"),
+          queries, k = 5, probes = 2)
+        .withColumn("stage", lit("compacted"))
+      ts.unionByName(cp).select("stage", "qid", "rk", "nid", "c")
+        .orderBy("stage", "qid", "rk")
     }),
 
     "s16_embedding_outliers" -> ((s, d) => {
@@ -8461,6 +8712,30 @@ object PipelineOps {
         .orderBy("stage", "doc_id")
     }),
 
+    "idx13_maxscore_topk" -> ((s, d) => {
+      // MaxScore safe-pruned BM25 top-10 (Turtle & Flood 1995) for
+      // 'dup vector sort' — the production query shape: one rare term
+      // ('dup', df 25) + frequent context terms. The impact sidecar's
+      // per-term bounds let phase 2 skip every candidate that cannot
+      // mathematically reach the phase-1 threshold; the served top-10
+      // IS the exhaustive idx04 ranking (the oracle replays both
+      // phases from the corpus text), and n_scored/n_pruned certify
+      // the serve cost: 25 docs scored, 441 skipped of 466 candidates
+      // at sf0.01. Builds memoized (one index job, many serves).
+      // Scale notes on the kernel scaladocs.
+      val root = graphArtifacts.computeIfAbsent(s"$d|idx13", _ => {
+        val out = EngineOps.tempDir("graft-idx13")
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        positionalIndexBuild(docs, s"$out/index")
+        docLengthBuild(docs, s"$out/doclen")
+        impactSidecarBuild(s.read.parquet(s"$out/index"),
+          s.read.parquet(s"$out/doclen"), s"$out/impact")
+        out
+      })
+      maxScoreServeOf(s, s"$root/index", s"$root/doclen",
+        s"$root/impact", Seq("dup", "vector", "sort"), k = 10)
+    }),
+
     "idx10_prefix_suggest" -> ((s, d) => {
       // Query autocomplete from the stored term dictionary — the
       // serve mode in front of every search box: terms starting with
@@ -9665,6 +9940,40 @@ object PipelineOps {
       )
       SELECT qid, rk, nid, c FROM r WHERE rk <= 5 ORDER BY qid, rk""",
 
+    // s26: ONE stale-centroid purged replay (centroids from the FULL
+    // corpus — the quantizer is untouched by deletion; candidates
+    // minus the deleted ids), hashed against BOTH serve stages —
+    // tombstoned == compacted == purged recompute IS the hash match
+    "s26_vector_delete" -> """
+      WITH dims AS (
+        SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 10
+      ), qc AS (
+        SELECT qid, qe, clabel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, clabel ASC) AS crk
+        FROM q, cent
+      ), probes AS (SELECT qid, qe, clabel FROM qc WHERE crk <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id AS nid,
+               round(list_cosine_similarity(p.qe, e.embedding::DOUBLE[]), 4) AS c
+        FROM probes p JOIN embeddings e ON e.label = p.clabel AND e.vec_id <> p.qid
+        WHERE e.vec_id % 7 <> 2
+      ), r AS (
+        SELECT qid, nid, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM cand
+      )
+      SELECT s.stage, qid, rk, nid, c
+      FROM r, (VALUES ('compacted'), ('tombstoned')) s(stage)
+      WHERE rk <= 5 ORDER BY s.stage, qid, rk""",
+
     // s23: one scoring pass at max nprobe, every smaller setting
     // derived by crk <= p; recall joined against the exact top-k
     "s23_nprobe_sweep" -> """
@@ -10625,6 +10934,19 @@ object PipelineOps {
         CAST(sum(CASE WHEN s >= 0 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
         CAST(sum(CASE WHEN s >= 0 THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
       FROM scored GROUP BY lang ORDER BY lang"""),
+
+    // sel03: the final weights' margin |w·x| over the held-out pool,
+    // smallest-k — the training replay is shared with t25/p13
+    "sel03_margin_select" -> (qualityTrainCtes + """
+      , wf AS (SELECT w0, w1, w2, w3, w4 FROM it WHERE iter = 8),
+      scored AS (
+        SELECT f.doc_id,
+          (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) AS s
+        FROM feats f, wf w WHERE NOT f.is_train
+      )
+      SELECT doc_id, CAST(abs(s) AS BIGINT) AS margin,
+             CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS INT) AS side
+      FROM scored ORDER BY margin, doc_id LIMIT 30"""),
 
     // t25: the oracle REPLAYS the training loop as a recursive CTE —
     // the iterate carries the 5 micro-unit weights, the recursive term
@@ -12209,6 +12531,71 @@ object PipelineOps {
       SELECT s.stage, r.doc_id, r.min_span
       FROM res r, (VALUES ('compacted'), ('tombstoned')) s(stage)
       ORDER BY s.stage, r.doc_id""",
+
+    // idx13: the oracle replays BOTH MaxScore phases from the corpus
+    // text — term bounds (round(ub*1e4)+1 micro, idf*sat tree
+    // verbatim), data-driven top-term pick, phase-1 theta = k-th best
+    // rounded-micro score, bound-sum pruning, survivor scoring — so
+    // the result rows AND the n_scored/n_pruned certificate must both
+    // match; the served top-k also equals idx04's exhaustive cut
+    "idx13_maxscore_topk" -> """
+      WITH feat AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               len(list_filter(string_split(text, ' '), x -> x = 'dup'))    AS tf0,
+               len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1,
+               len(list_filter(string_split(text, ' '), x -> x = 'sort'))   AS tf2
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM feat),
+      ub AS (
+        SELECT
+          CAST(round(max(CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) END) * 10000) + 1 AS BIGINT) AS ub0,
+          CAST(round(max(CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) END) * 10000) + 1 AS BIGINT) AS ub1,
+          CAST(round(max(CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) END) * 10000) + 1 AS BIGINT) AS ub2
+        FROM feat, stats),
+      topt AS (
+        -- argmax ub, term-asc ties: 'dup'(0) < 'sort'(2) < 'vector'(1)
+        SELECT CASE
+          WHEN ub0 >= ub1 AND ub0 >= ub2 THEN 0
+          WHEN ub2 >= ub1 THEN 2 ELSE 1 END AS ti, ub0, ub1, ub2 FROM ub),
+      scored_all AS (
+        SELECT doc_id, tf0, tf1, tf2,
+          CAST(round(round(
+            ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+            ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+            ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)),
+            4) * 10000) AS BIGINT) AS sc
+        FROM feat, stats
+        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
+      p1 AS (
+        SELECT s.doc_id, s.sc,
+               row_number() OVER (ORDER BY s.sc DESC, s.doc_id) AS rk
+        FROM scored_all s, topt t
+        WHERE (t.ti = 0 AND s.tf0 > 0) OR (t.ti = 1 AND s.tf1 > 0)
+           OR (t.ti = 2 AND s.tf2 > 0)),
+      theta AS (SELECT coalesce(max(CASE WHEN rk = 10 THEN sc END), 0) AS th FROM p1),
+      p2 AS (
+        SELECT s.doc_id, s.sc,
+               (CASE WHEN t.ti <> 0 AND s.tf0 > 0 THEN t.ub0 ELSE 0 END +
+                CASE WHEN t.ti <> 1 AND s.tf1 > 0 THEN t.ub1 ELSE 0 END +
+                CASE WHEN t.ti <> 2 AND s.tf2 > 0 THEN t.ub2 ELSE 0 END) AS ubsum
+        FROM scored_all s, topt t
+        WHERE NOT ((t.ti = 0 AND s.tf0 > 0) OR (t.ti = 1 AND s.tf1 > 0)
+                OR (t.ti = 2 AND s.tf2 > 0))),
+      surv AS (SELECT doc_id, sc FROM p2, theta WHERE ubsum >= th),
+      cert AS (
+        SELECT (SELECT count(*) FROM p1) + (SELECT count(*) FROM surv) AS n_scored,
+               (SELECT count(*) FROM p2, theta WHERE ubsum < th) AS n_pruned),
+      final AS (
+        SELECT doc_id, sc FROM p1 UNION ALL SELECT doc_id, sc FROM surv)
+      SELECT doc_id, round(sc / 10000.0, 4) AS score,
+             CAST(n_scored AS BIGINT) AS n_scored,
+             CAST(n_pruned AS BIGINT) AS n_pruned
+      FROM final, cert ORDER BY sc DESC, doc_id LIMIT 10""",
 
     // idx10: recompute the term dictionary from the corpus — the
     // stored-artifact serve must equal corpus truth (idx convention)

@@ -210,4 +210,50 @@ class QualityTrainSpec extends AnyFunSuite {
       assert(df.collect().nonEmpty)
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("sel03 margin selection: exactly the k min-|w·x| held-out docs, sides match the lean, no trainer at serve") {
+    import graft.queries.PipelineOps._
+    val mdir = java.nio.file.Files.createTempDirectory("graft-sel03").toString
+    qualityModelPersist(docs, lr = 2.0, iters = 8, mdir)
+    val w = qualityModelLoad(spark, mdir)
+    val got = marginSelectOf(docs, w, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.length == 10)
+    // independent replay: score EVERY doc with the loaded weights,
+    // restrict to the held-out pool, cut by (|s| asc, doc_id asc)
+    val all = trainedQualityScoreOf(docs, w)
+      .select("doc_id", "is_train", "s").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val expected = all.filterNot(_._2)
+      .map { case (id, _, s) => (id, math.abs(s), if (s >= 0L) 1 else 0) }
+      .sortBy(x => (x._2, x._1)).take(10).toSeq
+    assert(got == expected, s"selection diverged from the scoring replay:\n$got\nvs\n$expected")
+    // pool discipline: the train split may never be selected — the
+    // model must not pick its own training data for annotation
+    val trainIds = all.filter(_._2).map(_._1).toSet
+    assert(got.forall(g => !trainIds.contains(g._1)),
+      "a training-split doc leaked into the annotation batch")
+    // the held-out pool is bigger than k (the cut is a real cut)
+    assert(all.count(!_._2) > 10, "held-out pool no larger than k: cut untested")
+    // serve-construction discipline (p13's pin, applied to the facade):
+    // building the selection from the stored model runs no trainer
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val sel = graft.pipeline.Curation.marginSelect(docs, mdir, k = 10)
+      Thread.sleep(500) // listener bus is async; job starts land fast
+      val n = jobs.get()
+      assert(n <= 3, s"marginSelect construction ran $n jobs — a trainer " +
+        "subtree sneaked into the selection session")
+      assert(sel.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2))).toSeq == expected,
+        "facade selection diverged from the kernel")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

@@ -1045,4 +1045,154 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._5 == 0 && r._6 == 1), "no lexical-only doc fused")
     assert(got.exists(r => r._5 == 1 && r._6 == 1), "no doc retrieved by both")
   }
+
+  // ---- idx13 MaxScore safe pruning -------------------------------------------
+
+  test("idx13: pruned top-k IS the exhaustive ranking; the certificate accounts for every candidate; bounds are strict") {
+    import graft.queries.PipelineOps.{positionalIndexBuild, docLengthBuild,
+      impactSidecarBuild, maxScoreServeOf, bm25TermScans, bm25ScoresOf}
+    val root = java.nio.file.Files.createTempDirectory("graft-idx13-spec").toString
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    positionalIndexBuild(docs, s"$root/index")
+    docLengthBuild(docs, s"$root/doclen")
+    impactSidecarBuild(spark.read.parquet(s"$root/index"),
+      spark.read.parquet(s"$root/doclen"), s"$root/impact")
+    val index = spark.read.parquet(s"$root/index")
+    val doclen = spark.read.parquet(s"$root/doclen")
+    // safety over varied term-impact mixes: one rare + frequent terms
+    // (the entry's shape), all-frequent, and a two-term pair
+    for (terms <- Seq(Seq("dup", "vector", "sort"),
+        Seq("data", "table", "query"), Seq("scan", "join"))) {
+      val got = maxScoreServeOf(spark, s"$root/index", s"$root/doclen",
+        s"$root/impact", terms, k = 10).collect()
+      val tfs = bm25TermScans(index, terms)
+      val cands = tfs.map(_.select("doc_id")).reduce(_ unionByName _).distinct()
+      val exhaustive = bm25ScoresOf(tfs, doclen, cands, 1.2, 0.75)
+        .orderBy(col("score").desc, col("doc_id")).limit(10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == exhaustive,
+        s"pruned serve diverged from the exhaustive ranking for $terms")
+      // the certificate accounts for EVERY candidate exactly once
+      val (nScored, nPruned) = (got.head.getLong(2), got.head.getLong(3))
+      assert(nScored + nPruned == cands.count(),
+        s"certificate does not partition the candidate set for $terms")
+    }
+    // pruning is actually exercised on the entry's query
+    val entry = maxScoreServeOf(spark, s"$root/index", s"$root/doclen",
+      s"$root/impact", Seq("dup", "vector", "sort"), k = 10).collect()
+    assert(entry.head.getLong(3) > 0, "no candidate was pruned: op untested")
+    // sidecar strictness: no single doc's one-term score exceeds its
+    // term's stored bound (the property that makes skipping SAFE)
+    val impact = spark.read.parquet(s"$root/impact").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    for (tm <- Seq("dup", "vector", "sort")) {
+      val tf = bm25TermScans(index, Seq(tm))
+      val mx = bm25ScoresOf(tf, doclen, tf.head.select("doc_id"), 1.2, 0.75)
+        .agg(max("score")).head().getDouble(0)
+      assert(math.round(mx * 10000) <= impact(tm),
+        s"'$tm' contribution ${mx} exceeds its sidecar bound ${impact(tm)}")
+    }
+    // fail-loud requires
+    intercept[IllegalArgumentException](maxScoreServeOf(spark,
+      s"$root/index", s"$root/doclen", s"$root/impact", Seq("dup"), 5))
+    intercept[IllegalArgumentException](maxScoreServeOf(spark,
+      s"$root/index", s"$root/doclen", s"$root/impact", Seq("dup", "dup"), 5))
+    intercept[IllegalArgumentException](maxScoreServeOf(spark,
+      s"$root/index", s"$root/doclen", s"$root/impact",
+      Seq("dup", "zzzzabsent"), 5))
+  }
+
+  test("idx13 under-fill: fewer phase-1 hits than k disables pruning and still serves the exact ranking") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{positionalIndexBuild, docLengthBuild,
+      impactSidecarBuild, maxScoreServeOf, bm25TermScans, bm25ScoresOf}
+    // theta = 0 when phase 1 cannot fill k: every other-term doc must
+    // survive the bound check and score — the correctness edge of the
+    // threshold rule (a wrong theta here silently drops results)
+    val root = java.nio.file.Files.createTempDirectory("graft-idx13-uf").toString
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha"),
+      (3L, "beta beta beta"), (4L, "gamma")).toDF("doc_id", "text")
+    positionalIndexBuild(docs, s"$root/index")
+    docLengthBuild(docs, s"$root/doclen")
+    impactSidecarBuild(spark.read.parquet(s"$root/index"),
+      spark.read.parquet(s"$root/doclen"), s"$root/impact")
+    val got = maxScoreServeOf(spark, s"$root/index", s"$root/doclen",
+      s"$root/impact", Seq("alpha", "beta"), k = 5).collect()
+    val index = spark.read.parquet(s"$root/index")
+    val tfs = bm25TermScans(index, Seq("alpha", "beta"))
+    val cands = tfs.map(_.select("doc_id")).reduce(_ unionByName _).distinct()
+    val exhaustive = bm25ScoresOf(tfs,
+        spark.read.parquet(s"$root/doclen"), cands, 1.2, 0.75)
+      .orderBy(col("score").desc, col("doc_id")).limit(5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == exhaustive)
+    assert(got.length == 3 && got.head.getLong(3) == 0,
+      "under-filled phase 1 must disable pruning (theta = 0)")
+  }
+
+  // ---- s26 vector deletes ----------------------------------------------------
+
+  test("s26: tombstoned == compacted == stale-centroid purged recompute; deleted vectors vanish from serving") {
+    val rows = run("s26_vector_delete").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    val ts = rows.filter(_._1 == "tombstoned")
+      .map(x => (x._2, x._3, x._4, x._5)).toSet
+    val cp = rows.filter(_._1 == "compacted")
+      .map(x => (x._2, x._3, x._4, x._5)).toSet
+    assert(ts == cp, "tombstoned and compacted probes diverged")
+    // independent replay: probe the LIVE embeddings minus the deleted
+    // ids under the SAME stale full-corpus centroids (deletion changes
+    // who is served, never how cells are probed)
+    import graft.queries.PipelineOps.ivfProbeOf
+    graft.exprs.CosineSim.register(spark)
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val cent = emb.select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg("v").as("v"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("pv"))
+      .select(col("label").as("clabel"), expr("transform(pv, x -> x.v)").as("ce"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val purged = ivfProbeOf(cent, emb.filter(col("vec_id") % 7 =!= 2),
+        queries, k = 5, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ts == purged, "delete stages diverged from the purged recompute")
+    // no tombstoned vector is served, and the drill is real: the
+    // pre-delete probe DID serve some now-deleted neighbors
+    assert(ts.forall(_._3 % 7 != 2), "a tombstoned vector was served")
+    val before = ivfProbeOf(cent, emb, queries, k = 5, probes = 2).collect()
+      .map(_.getLong(2))
+    assert(before.exists(_ % 7 == 2),
+      "no pre-delete result was actually deleted: the drill is untested")
+  }
+
+  test("s26 compaction: new generation carries no tombstones, keeps the label layout; anti-join stays broadcast with pruning intact") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{tombstonedPostingsOf, ivfCompactOf}
+    val root = java.nio.file.Files.createTempDirectory("graft-s26-spec").toString
+    Seq((1L, 0L, Seq(1.0, 0.0)), (2L, 0L, Seq(0.9, 0.1)),
+        (3L, 1L, Seq(0.0, 1.0)), (4L, 1L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "label", "e")
+      .write.partitionBy("label").parquet(s"$root/g1")
+    Seq(2L).toDF("vec_id").write.parquet(s"$root/tomb")
+    ivfCompactOf(spark, s"$root/g1", s"$root/tomb", s"$root/g2")
+    val g2 = spark.read.parquet(s"$root/g2")
+    assert(g2.filter(col("vec_id") === 2L).count() == 0,
+      "compacted generation still carries a tombstoned vector")
+    assert(g2.count() == 3)
+    val dirs = new java.io.File(s"$root/g2").list().toSet
+    assert(dirs.contains("label=0") && dirs.contains("label=1"),
+      s"compaction lost the label partitioning: $dirs")
+    // serve-plan shape: tombstones apply as a broadcast ANTI-join and
+    // a label predicate still prunes partitions underneath it
+    val plan = planOf(tombstonedPostingsOf(spark, s"$root/g1", s"$root/tomb")
+      .filter(col("label") === 0L))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstones lost their broadcast anti-join:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*label".r.findFirstIn(plan).nonEmpty,
+      s"label pruning no longer reaches the postings scan:\n$plan")
+  }
 }
