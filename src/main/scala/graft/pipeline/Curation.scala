@@ -861,6 +861,27 @@ object Curation {
     PipelineOps.maxScoreServeOf(spark, indexPath, doclenPath,
       impactPath, terms, k, k1, b)
 
+  /** Document-update serve view over index generations (idx15's
+    * kernel — Lucene's update = delete + reinsert with a
+    * GENERATION-scoped tombstone): generations list in build order,
+    * tombstones carry (doc_id, asof_gen), and each posting survives
+    * unless its doc re-indexed at a LATER generation. Feed the view
+    * to any index serve kernel. */
+  def updatedIndexView(spark: SparkSession, generationDirs: Seq[String],
+      tombstonesPath: String): DataFrame =
+    PipelineOps.updatedIndexViewOf(spark, generationDirs, tombstonesPath)
+
+  /** Federated BM25 top-k across index generations (idx14's kernel —
+    * Lucene's multi-segment search): each dir holds an `index` +
+    * `doclen` artifact pair over a disjoint corpus slice; the serve
+    * unions the pruned per-term scans and computes df/N/avgdl
+    * GLOBALLY, so the ranking is bit-identical to a single merged
+    * build — no compaction needed to answer queries. */
+  def federatedBm25TopK(spark: SparkSession, generationDirs: Seq[String],
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    PipelineOps.federatedBm25TopKOf(spark, generationDirs, terms, k, k1, b)
+
   /** Term-dictionary build (idx10/idx11's build half): the (term, df,
     * cf) vocabulary artifact written to `path` range-partitioned by
     * term and sorted within files, so parquet min/max stats prune a

@@ -362,4 +362,15 @@ object Similarity {
   def compactPostings(spark: SparkSession, postingsPath: String,
       tombstonesPath: String, outPath: String): Unit =
     PipelineOps.ivfCompactOf(spark, postingsPath, tombstonesPath, outPath)
+
+  /** IVF staleness audit over stored artifacts (s27's kernel — the
+    * rebuild gate the tombstone-and-serve trade defers to): per cell,
+    * total/live/deleted postings counts, live vectors now nearer
+    * another stored centroid than their own, and live mean
+    * own-centroid cosine in integer micro-units. One pass over the
+    * index; the corpus is never read. */
+  def ivfStaleness(spark: SparkSession, postingsPath: String,
+      tombstonesPath: String, centroidsPath: String): DataFrame =
+    PipelineOps.ivfStalenessOf(spark, postingsPath, tombstonesPath,
+      centroidsPath)
 }

@@ -2647,6 +2647,42 @@ object PipelineOps {
     tombstonedIndexOf(spark, indexDir, tombDir)
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
 
+  /** idx15's kernel — the document UPDATE lifecycle over index
+    * generations (Lucene's update model: an update IS delete +
+    * reinsert, and the delete is GENERATION-SCOPED — it kills the
+    * doc's postings in every segment OLDER than its re-index, never
+    * the fresh ones. A bare doc_id tombstone, idx12's delete shape,
+    * cannot express this: it would erase the new postings too).
+    * `genDirs` lists the index generations in build order (each a
+    * positionalIndexBuild artifact, 16-way bucket layout); the
+    * tombstone table carries (doc_id, asof_gen) = "this doc was
+    * re-indexed at generation asof_gen". The serve view is the union
+    * of the generations with each posting kept unless its doc has a
+    * tombstone with asof_gen > its generation — a broadcast LEFT join
+    * (the tombstone table is update-batch-sized by contract) whose
+    * filter cannot be an anti-join precisely because the keep
+    * decision needs BOTH sides' generation numbers. Completes the
+    * index CRUD story: idx05 appends, idx12 deletes, this updates.
+    *
+    * 100 TB: term/bucket predicates push below the left join and the
+    * Union to every generation's scan (df(term)-sized pruned reads,
+    * plan-pinned), the tombstones ride as one broadcast, and no
+    * artifact is rewritten — an update costs one batch-sized index
+    * build plus a tombstone write, exactly like production Lucene
+    * until a merge folds the generations. */
+  private[graft] def updatedIndexViewOf(spark: SparkSession,
+      genDirs: Seq[String], tombDir: String): DataFrame = {
+    require(genDirs.nonEmpty, "need at least one index generation")
+    require(genDirs.distinct.size == genDirs.size,
+      s"duplicate generation dirs: $genDirs")
+    val gens = genDirs.zipWithIndex.map { case (dir, i) =>
+      spark.read.parquet(dir).withColumn("gen", lit((i + 1).toLong))
+    }.reduce(_ unionByName _)
+    gens.join(broadcast(spark.read.parquet(tombDir)), Seq("doc_id"), "left")
+      .filter(col("asof_gen").isNull || col("gen") >= col("asof_gen"))
+      .drop("gen", "asof_gen")
+  }
+
   /** st10's idempotent production sink — the exactly-once form of
     * [[positionalIndexAppend]] for foreachBatch, where delivery is
     * at-least-once (a failed-and-retried micro-batch re-runs with the
@@ -3094,6 +3130,39 @@ object PipelineOps {
     val tfs = bm25TermScans(index, terms)
     val cands = tfs.map(_.select("doc_id")).reduce(_ union _).distinct()
     bm25RankCandidates(tfs, doclen, cands, k, k1, b)
+  }
+
+  /** idx14's kernel — FEDERATED BM25 serve across index GENERATIONS
+    * (Lucene's multi-segment search model, the serving half idx03's
+    * merge exists to amortize: between compactions a live index IS a
+    * pile of segments, and queries must answer over all of them
+    * without waiting for — or paying — a merge). Each generation is a
+    * (positional index, doclen sidecar) artifact pair over a disjoint
+    * corpus slice; the serve unions the per-term PRUNED scans across
+    * segments (Catalyst pushes the bucket PartitionFilter + term
+    * predicate below the Union, so every segment still reads df(term)
+    * rows, never its corpus) and computes the collection statistics
+    * GLOBALLY — df/N/avgdl over the union, exactly what a single
+    * full-corpus build would use, which makes the federated ranking
+    * bit-identical to the merged-artifact serve (spec-pinned). The
+    * global-stats step is the whole point: the classic distributed-IR
+    * bug scores each shard with its LOCAL idf and merges by score,
+    * silently re-weighting terms by how they happen to shard — the
+    * spec drills that the naive form actually diverges on this
+    * corpus. 100 TB: serve cost is Σ_seg df_seg(term) rows + one
+    * narrow sidecar union — segment count multiplies small pruned
+    * scans, not corpus scans, and no artifact is rewritten. */
+  private[graft] def federatedBm25TopKOf(spark: SparkSession,
+      segDirs: Seq[String], terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(segDirs.nonEmpty, "need at least one index generation")
+    require(segDirs.distinct.size == segDirs.size,
+      s"duplicate generation dirs: $segDirs")
+    val index = segDirs.map(sd => spark.read.parquet(s"$sd/index"))
+      .reduce(_ unionByName _)
+    val doclen = segDirs.map(sd => spark.read.parquet(s"$sd/doclen"))
+      .reduce(_ unionByName _)
+    bm25ServeFromIndex(index, doclen, terms, k, k1, b)
   }
 
   /** The per-term pruned tf scans both ranked serve modes share
@@ -5173,6 +5242,79 @@ object PipelineOps {
     tombstonedPostingsOf(spark, postingsDir, tombDir)
       .write.mode("overwrite").partitionBy("label").parquet(outDir)
 
+  /** The shared s26/s27 IVF artifact root for a corpus dir (memoized —
+    * one build, many serve/audit sessions): full-corpus centroids, a
+    * label-partitioned postings generation g1, the vec_id % 7 == 2
+    * tombstone batch, and the compacted generation g2. */
+  private def s26ArtifactsOf(s: SparkSession, d: String): String =
+    graphArtifacts.computeIfAbsent(s"$d|s26", _ => {
+      val out = EngineOps.tempDir("graft-s26")
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+      meanVectors(emb.select(col("label"), col("e")), "label")
+        .select(col("label").as("clabel"), col("ce"))
+        .write.mode("overwrite").parquet(s"$out/centroids")
+      emb.write.mode("overwrite").partitionBy("label")
+        .parquet(s"$out/g1")
+      emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+        .write.mode("overwrite").parquet(s"$out/tomb")
+      ivfCompactOf(s, s"$out/g1", s"$out/tomb", s"$out/g2")
+      out
+    })
+
+  /** s27's kernel — IVF index STALENESS audit (idx07's index-health
+    * discipline on the vector side, and the "when do we rebuild" gate
+    * s26's stale-centroid trade defers to: FAISS/Milvus production
+    * practice is tombstone-and-serve until an audit says the quantizer
+    * has drifted too far, then retrain+compact). Per cell, off the
+    * stored artifacts alone: total/live/deleted postings counts, how
+    * many LIVE vectors are now closer to ANOTHER stored centroid than
+    * their own (the misassignment count — recall decays with it,
+    * because probes ranked by the stale quantizer stop visiting the
+    * cell that actually holds the vector), and the live members' mean
+    * cosine to their own centroid in integer micro-units (cell
+    * cohesion). Ties in the argmax break (cosine desc, clabel asc);
+    * the mean is an exact-integer floor(Σ round(cc·10⁶) / n) so no
+    * summation-order ULP rides into the hash.
+    *
+    * 100 TB: tombstones and centroids ride as broadcasts; the k-way
+    * centroid compare is a map over ONE postings scan (the explode
+    * never shuffles — partial aggregation collapses it back to one
+    * narrow row per vector before the exchange), then a cell-count
+    * rollup. The audit is one pass over the index it grades; the
+    * corpus is never touched. */
+  private[graft] def ivfStalenessOf(spark: SparkSession,
+      postingsDir: String, tombDir: String, centDir: String): DataFrame = {
+    graft.exprs.CosineSim.register(spark)
+    val cent = spark.read.parquet(centDir)
+    val tomb = spark.read.parquet(tombDir)
+      .select(col("vec_id"), lit(1).as("tombed"))
+    val marked = spark.read.parquet(postingsDir)
+      .join(broadcast(tomb), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("e"),
+        col("tombed").isNotNull.as("del"))
+    val sims = marked.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("del"), col("clabel"),
+        round(expr("cosine_sim(e, ce)"), 6).as("cc"))
+    val per = sims.groupBy("vec_id", "label", "del")
+      .agg(max(struct(col("cc"), (-col("clabel")).as("nlab"))).as("bst"),
+        max(when(col("clabel") === col("label"), col("cc"))).as("own"))
+      .select(col("label"), col("del"),
+        (-col("bst.nlab")).as("best_label"),
+        round(col("own") * 1e6).cast("long").as("own_micro"))
+    per.groupBy("label").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(!col("del"), 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(!col("del") && col("best_label") =!= col("label"), 1L)
+          .otherwise(0L)).as("n_misassigned"),
+        floor(sum(when(!col("del"), col("own_micro")).otherwise(0L)) /
+          sum(when(!col("del"), 1L).otherwise(0L)))
+          .cast("long").as("mean_live_sim_micro"))
+      .orderBy("label")
+  }
+
   /** s23's kernel — the IVF nprobe TUNING SWEEP (the recall-vs-cost
     * curve a serving team reads before fixing nprobe, the ANN-side
     * sibling of d25's LSH calibration and d26's threshold sweep): per
@@ -6672,21 +6814,7 @@ object PipelineOps {
       // replay — tombstoned == compacted == purged recompute IS the
       // hash match. Scale notes on the kernel scaladocs.
       graft.exprs.CosineSim.register(s)
-      val root = graphArtifacts.computeIfAbsent(s"$d|s26", _ => {
-        val out = EngineOps.tempDir("graft-s26")
-        val emb = t(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("e"))
-        meanVectors(emb.select(col("label"), col("e")), "label")
-          .select(col("label").as("clabel"), col("ce"))
-          .write.mode("overwrite").parquet(s"$out/centroids")
-        emb.write.mode("overwrite").partitionBy("label")
-          .parquet(s"$out/g1")
-        emb.filter(col("vec_id") % 7 === 2).select("vec_id")
-          .write.mode("overwrite").parquet(s"$out/tomb")
-        ivfCompactOf(s, s"$out/g1", s"$out/tomb", s"$out/g2")
-        out
-      })
+      val root = s26ArtifactsOf(s, d)
       val cent = s.read.parquet(s"$root/centroids")
       val queries = t(s, d, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"),
@@ -6700,6 +6828,18 @@ object PipelineOps {
         .withColumn("stage", lit("compacted"))
       ts.unionByName(cp).select("stage", "qid", "rk", "nid", "c")
         .orderBy("stage", "qid", "rk")
+    }),
+
+    "s27_ivf_staleness" -> ((s, d) => {
+      // IVF staleness audit over s26's artifacts — the rebuild gate
+      // the stale-centroid trade defers to: per cell, live/deleted
+      // postings counts, live vectors now closer to another stored
+      // centroid than their own (probe recall decays with this), and
+      // live mean own-centroid cosine in exact integer micro-units.
+      // One pass over the stored index; the corpus is never read.
+      // Scale notes on the kernel scaladoc.
+      val root = s26ArtifactsOf(s, d)
+      ivfStalenessOf(s, s"$root/g1", s"$root/tomb", s"$root/centroids")
     }),
 
     "s16_embedding_outliers" -> ((s, d) => {
@@ -8842,6 +8982,62 @@ object PipelineOps {
         must = Seq("data", "query"), mustNot = Seq("slow"), k = 10)
     }),
 
+    "idx15_index_update" -> ((s, d) => {
+      // Document UPDATE lifecycle (Lucene's delete + reinsert with a
+      // generation-scoped tombstone): docs with doc_id % 9 == 4 get
+      // re-indexed with 'revised ' prepended as generation 2; the
+      // serve view kills only their GEN-1 postings. Two probes over
+      // the one view: 'revised data' reaches ONLY the updated docs'
+      // new postings, 'slow hash batch' spans updated and unchanged
+      // docs alike (updated docs answer from shifted gen-2 positions).
+      // The oracle replays both probes from the post-update corpus
+      // text. Builds memoized. Scale notes on the kernel scaladoc.
+      val root = graphArtifacts.computeIfAbsent(s"$d|idx15", _ => {
+        val out = EngineOps.tempDir("graft-idx15")
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        positionalIndexBuild(docs, s"$out/gen1")
+        val upd = docs.filter(col("doc_id") % 9 === 4)
+          .select(col("doc_id"),
+            concat(lit("revised "), col("text")).as("text"))
+        positionalIndexBuild(upd, s"$out/gen2")
+        upd.select(col("doc_id"), lit(2L).as("asof_gen"))
+          .write.mode("overwrite").parquet(s"$out/tomb")
+        out
+      })
+      val view = updatedIndexViewOf(s,
+        Seq(s"$root/gen1", s"$root/gen2"), s"$root/tomb")
+      val a = proximitySearchOf(view, Seq("revised", "data"), window = 12)
+        .withColumn("probe", lit("updated"))
+      val b = proximitySearchOf(view, Seq("slow", "hash", "batch"), window = 6)
+        .withColumn("probe", lit("general"))
+      a.unionByName(b).select("probe", "doc_id", "min_span")
+        .orderBy("probe", "doc_id")
+    }),
+
+    "idx14_federated_search" -> ((s, d) => {
+      // Federated BM25 serve across three index generations (Lucene's
+      // multi-segment search): the corpus ships as three disjoint
+      // era-slices (doc_id % 3), each with its own index + doclen
+      // artifact pair, and the query answers over ALL of them with
+      // GLOBAL df/N/avgdl — bit-identical to a single merged build
+      // (the oracle replays the full-corpus scoring; the spec also
+      // drills that naive per-segment local-idf scoring diverges).
+      // Builds memoized (one index job per era, many serves). Scale
+      // notes on the kernel scaladoc.
+      val root = graphArtifacts.computeIfAbsent(s"$d|idx14", _ => {
+        val out = EngineOps.tempDir("graft-idx14")
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        for (g <- 0 to 2) {
+          val slice = docs.filter(col("doc_id") % 3 === g)
+          positionalIndexBuild(slice, s"$out/g$g/index")
+          docLengthBuild(slice, s"$out/g$g/doclen")
+        }
+        out
+      })
+      federatedBm25TopKOf(s, (0 to 2).map(g => s"$root/g$g"),
+        Seq("merge", "filter", "stream"), k = 15)
+    }),
+
     "idx04_bm25_serve" -> ((s, d) => {
       // BM25 ranked retrieval served from the STORED artifacts —
       // completes the search lifecycle (idx01 builds the ranked head,
@@ -9973,6 +10169,45 @@ object PipelineOps {
       SELECT s.stage, qid, rk, nid, c
       FROM r, (VALUES ('compacted'), ('tombstoned')) s(stage)
       WHERE rk <= 5 ORDER BY s.stage, qid, rk""",
+
+    // s27: the staleness audit replayed from the raw embeddings —
+    // same full-corpus centroids, same %7 tombstones, argmax ties
+    // (cc desc, clabel asc), exact-integer floor mean
+    "s27_ivf_staleness" -> """
+      WITH dims AS (
+        SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               vec_id % 7 = 2 AS is_del
+        FROM embeddings
+      ), sims AS (
+        SELECT vec_id, label, is_del, clabel,
+               round(list_cosine_similarity(e, ce), 6) AS cc
+        FROM emb, cent
+      ), own AS (
+        SELECT vec_id, label, is_del,
+               CAST(round(cc * 1000000) AS BIGINT) AS own_micro
+        FROM sims WHERE clabel = label
+      ), best AS (
+        SELECT vec_id, clabel AS best_label FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cc DESC, clabel ASC) AS rk
+          FROM sims) WHERE rk = 1
+      )
+      SELECT label,
+        CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN NOT is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        CAST(sum(CASE WHEN NOT is_del AND best_label <> label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_misassigned,
+        CAST(floor(sum(CASE WHEN NOT is_del THEN own_micro ELSE 0 END) * 1.0
+             / sum(CASE WHEN NOT is_del THEN 1 ELSE 0 END)) AS BIGINT)
+             AS mean_live_sim_micro
+      FROM own JOIN best USING (vec_id)
+      GROUP BY label ORDER BY label""",
 
     // s23: one scoring pass at max nprobe, every smaller setting
     // derived by crk <= p; recall joined against the exact top-k
@@ -12340,6 +12575,57 @@ object PipelineOps {
       FROM feat, stats
       WHERE tf0 > 0 AND tf1 > 0 AND tfn = 0
       ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // idx15: both probes replay from the POST-update corpus text —
+    // the CASE applies the revision, gen-scoped tombstoning in Spark
+    // must serve exactly this
+    "idx15_index_update" -> """
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 4 THEN 'revised ' || text
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      sa AS (
+        SELECT a.doc_id, greatest(a.pos, b.pos) - least(a.pos, b.pos) AS span
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'revised') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'data') b USING (doc_id)),
+      sb AS (
+        SELECT a.doc_id,
+               greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) AS span
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'slow') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'hash') b USING (doc_id)
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'batch') c USING (doc_id))
+      SELECT * FROM (
+        SELECT 'updated' AS probe, doc_id, CAST(min(span) AS BIGINT) AS min_span
+        FROM sa GROUP BY doc_id HAVING min(span) <= 12
+        UNION ALL
+        SELECT 'general' AS probe, doc_id, CAST(min(span) AS BIGINT) AS min_span
+        FROM sb GROUP BY doc_id HAVING min(span) <= 6)
+      ORDER BY probe, doc_id""",
+
+    "idx14_federated_search" -> """
+      WITH feat AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               len(list_filter(string_split(text, ' '), x -> x = 'merge'))  AS tf0,
+               len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS tf1,
+               len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf2
+        FROM documents),
+      stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM feat)
+      SELECT doc_id, round(
+          ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+          ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+          ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)),
+          4) AS score
+      FROM feat, stats
+      ORDER BY score DESC, doc_id LIMIT 15""",
 
     "idx04_bm25_serve" -> """
       WITH feat AS (

@@ -1130,6 +1130,112 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "under-filled phase 1 must disable pruning (theta = 0)")
   }
 
+  // ---- idx15 document updates ------------------------------------------------
+
+  test("idx15: gen-scoped update == fresh build of the edited corpus; stale postings invisible; doc-id tombstone would over-kill") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{positionalIndexBuild,
+      updatedIndexViewOf, proximitySearchOf}
+    val root = java.nio.file.Files.createTempDirectory("graft-idx15-spec").toString
+    val docs = Seq((1L, "alpha old beta"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    positionalIndexBuild(docs, s"$root/gen1")
+    val upd = Seq((1L, "alpha new beta")).toDF("doc_id", "text")
+    positionalIndexBuild(upd, s"$root/gen2")
+    Seq((1L, 2L)).toDF("doc_id", "asof_gen").write.parquet(s"$root/tomb")
+    val view = updatedIndexViewOf(spark,
+      Seq(s"$root/gen1", s"$root/gen2"), s"$root/tomb")
+    def hits(ix: org.apache.spark.sql.DataFrame, ts: Seq[String], w: Int) =
+      proximitySearchOf(ix, ts, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the doc's OLD content no longer serves; its NEW content does
+    assert(hits(view, Seq("old", "beta"), 5).isEmpty,
+      "a stale gen-1 posting of an updated doc still serves")
+    assert(hits(view, Seq("new", "beta"), 5) == Seq((1L, 1L)),
+      "the updated doc's gen-2 content does not serve")
+    // the view answers exactly what a fresh build of the edited
+    // corpus answers — the whole update contract
+    val edited = Seq((1L, "alpha new beta"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    positionalIndexBuild(edited, s"$root/fresh")
+    val fresh = spark.read.parquet(s"$root/fresh")
+    for ((ts, w) <- Seq((Seq("alpha", "beta"), 5), (Seq("new", "beta"), 5)))
+      assert(hits(view, ts, w) == hits(fresh, ts, w),
+        s"view diverged from the fresh-build serve for $ts")
+    // the drill: idx12's bare doc_id tombstone over the unioned
+    // generations kills the NEW postings too — the reason the
+    // tombstone must be generation-scoped
+    val naive = spark.read.parquet(s"$root/gen1")
+      .unionByName(spark.read.parquet(s"$root/gen2"))
+      .join(Seq(1L).toDF("doc_id"), Seq("doc_id"), "left_anti")
+    assert(hits(naive, Seq("alpha", "beta"), 5) !=
+      hits(fresh, Seq("alpha", "beta"), 5),
+      "bare doc-id tombstone coincided with the update serve: drill inert")
+    // serve plan: broadcast tombstone join, term scans stay pruned in
+    // EVERY generation
+    val plan = planOf(proximitySearchOf(view, Seq("alpha", "beta"), 5))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tombstones lost their broadcast join:\n$plan")
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findAllIn(plan).size
+    assert(pruned >= 4, // 2 terms x 2 generations
+      s"expected >=4 bucket-pruned generation scans, saw $pruned:\n$plan")
+    intercept[IllegalArgumentException](
+      updatedIndexViewOf(spark, Nil, s"$root/tomb"))
+    intercept[IllegalArgumentException](updatedIndexViewOf(spark,
+      Seq(s"$root/gen1", s"$root/gen1"), s"$root/tomb"))
+  }
+
+  // ---- idx14 federated multi-segment serve -----------------------------------
+
+  test("idx14: federated serve == single merged build; naive local-idf shard scoring diverges; segment scans stay pruned") {
+    import graft.queries.PipelineOps.{positionalIndexBuild, docLengthBuild,
+      bm25ServeFromIndex, federatedBm25TopKOf}
+    val root = java.nio.file.Files.createTempDirectory("graft-idx14-spec").toString
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    for (g <- 0 to 2) {
+      val slice = docs.filter(col("doc_id") % 3 === g)
+      positionalIndexBuild(slice, s"$root/g$g/index")
+      docLengthBuild(slice, s"$root/g$g/doclen")
+    }
+    positionalIndexBuild(docs, s"$root/full/index")
+    docLengthBuild(docs, s"$root/full/doclen")
+    val terms = Seq("merge", "filter", "stream")
+    val fed = federatedBm25TopKOf(spark, (0 to 2).map(g => s"$root/g$g"),
+      terms, k = 15).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val single = bm25ServeFromIndex(
+      spark.read.parquet(s"$root/full/index"),
+      spark.read.parquet(s"$root/full/doclen"), terms, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fed == single,
+      "federated serve diverged from the single merged-build serve")
+    // the drill: the classic distributed-IR bug — score each segment
+    // with its LOCAL idf, merge by score — must NOT equal the truth
+    // (if it did, the global-stats correction would be dead code)
+    val naive = (0 to 2).flatMap { g =>
+      bm25ServeFromIndex(spark.read.parquet(s"$root/g$g/index"),
+        spark.read.parquet(s"$root/g$g/doclen"), terms, k = 15).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    }.sortBy { case (id, sc) => (-sc, id) }.take(15)
+    assert(naive != single,
+      "local-idf shard scoring coincided with global scoring: drill inert")
+    // plan: every segment's term scan keeps its bucket PartitionFilter
+    // + pushed term predicate under the Union — federation never
+    // degrades to an unpruned index scan
+    val plan = planOf(federatedBm25TopKOf(spark,
+      (0 to 2).map(g => s"$root/g$g"), terms, k = 15))
+    val scans = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findAllIn(plan).size
+    assert(scans >= 9, // 3 segments x 3 terms
+      s"expected >=9 bucket-pruned segment scans, saw $scans:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,"),
+      s"term predicate no longer pushes to the segment scans:\n$plan")
+    intercept[IllegalArgumentException](
+      federatedBm25TopKOf(spark, Nil, terms, 5))
+    intercept[IllegalArgumentException](federatedBm25TopKOf(spark,
+      Seq(s"$root/g0", s"$root/g0"), terms, 5))
+  }
+
   // ---- s26 vector deletes ----------------------------------------------------
 
   test("s26: tombstoned == compacted == stale-centroid purged recompute; deleted vectors vanish from serving") {
@@ -1167,6 +1273,52 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .map(_.getLong(2))
     assert(before.exists(_ % 7 == 2),
       "no pre-delete result was actually deleted: the drill is untested")
+  }
+
+  test("s27: staleness audit matches exact hand arithmetic on a crafted drift fixture; totals partition; corpus never scanned") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.ivfStalenessOf
+    val root = java.nio.file.Files.createTempDirectory("graft-s27-spec").toString
+    // cell 0's centroid points at [1,0], cell 1's at [0,1]; v2 sits in
+    // cell 0 but points at [0,1] — the drifted member a stale
+    // quantizer keeps serving from the wrong cell; v4 is deleted
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("clabel", "ce").write.parquet(s"$root/centroids")
+    Seq((1L, 0L, Seq(1.0, 0.0)), (2L, 0L, Seq(0.1, 0.99)),
+        (3L, 1L, Seq(0.0, 1.0)), (4L, 0L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "label", "e")
+      .write.partitionBy("label").parquet(s"$root/g1")
+    Seq(4L).toDF("vec_id").write.parquet(s"$root/tomb")
+    val got = ivfStalenessOf(spark, s"$root/g1", s"$root/tomb",
+        s"$root/centroids").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ccV2 = r6(0.1 / math.sqrt(0.1 * 0.1 + 0.99 * 0.99)) // v2 . c0
+    val mean0 = ((1000000L + math.round(ccV2 * 1e6)) / 2.0).floor.toLong
+    assert(got == Seq((0L, 3L, 2L, 1L, 1L, mean0),
+      (1L, 1L, 1L, 0L, 0L, 1000000L)),
+      s"audit diverged from hand arithmetic: $got")
+    // the real-corpus entry: totals partition and the audit sees the
+    // whole index (sum of cells == corpus), misassignment has signal
+    val rows = run("s27_ivf_staleness").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.forall(r => r._3 + r._4 == r._2),
+      "live + deleted != total in some cell")
+    val corpusN = Tables.t(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum == corpusN,
+      "cells do not partition the corpus")
+    assert(rows.map(_._5).sum > 0, "zero misassignment: audit has no signal")
+    // the audit runs off the stored artifacts alone
+    val plan = planOf(graft.queries.PipelineOps.ivfStalenessOf(spark,
+      s"$root/g1", s"$root/tomb", s"$root/centroids"))
+    assert(!plan.contains("embeddings.parquet"),
+      s"the audit scanned the live corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"tombstone/centroid sides lost their broadcasts:\n$plan")
   }
 
   test("s26 compaction: new generation carries no tombstones, keeps the label layout; anti-join stays broadcast with pruning intact") {
