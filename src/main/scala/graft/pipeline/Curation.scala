@@ -861,6 +861,25 @@ object Curation {
     PipelineOps.maxScoreServeOf(spark, indexPath, doclenPath,
       impactPath, terms, k, k1, b)
 
+  /** Composed incremental corpus refresh (p15's kernel): the incoming
+    * batch near-dedups against the standing corpus (d14's
+    * batch-vs-corpus join), survivors gate on the STORED quality
+    * model at `modelPath` (exact-integer w·x ≥ 0), and the kept docs
+    * land as a new index generation at `gen2Path`. Returns the
+    * one-row refresh card, with `postings_written` read back from the
+    * written generation as the round-trip certificate. */
+  def incrementalRefresh(batch: DataFrame, corpus: DataFrame,
+      modelPath: String, gen2Path: String, minJaccard: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    PipelineOps.incrementalRefreshOf(
+      Canon.docs(batch, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string"))),
+      Canon.docs(corpus, idCol, textCol,
+        extra = Seq("lang" -> col(langCol).cast("string"))),
+      PipelineOps.qualityModelLoad(batch.sparkSession, modelPath),
+      gen2Path, minJaccard)
+
   /** Document-update serve view over index generations (idx15's
     * kernel — Lucene's update = delete + reinsert with a
     * GENERATION-scoped tombstone): generations list in build order,

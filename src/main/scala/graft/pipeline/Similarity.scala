@@ -373,4 +373,20 @@ object Similarity {
       tombstonesPath: String, centroidsPath: String): DataFrame =
     PipelineOps.ivfStalenessOf(spark, postingsPath, tombstonesPath,
       centroidsPath)
+
+  /** Assign vectors to their nearest STORED centroid (s28's build
+    * half — the stale coarse quantizer): the step a re-embedded batch
+    * runs before landing as a new postings generation. `vecs` needs
+    * (vec_id, e); centroids artifact needs (clabel, ce). */
+  def reassignToCentroids(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    PipelineOps.reassignToCentroidsOf(vecs, centroids)
+
+  /** Generation-scoped tombstone view over vector postings (s28's
+    * serve half — idx15's update model on the vector side): union the
+    * postings generations, keep a vector unless it re-embedded at a
+    * LATER generation. Feed to the probe in place of raw postings. */
+  def updatedPostingsView(spark: SparkSession, generationDirs: Seq[String],
+      tombstonesPath: String): DataFrame =
+    PipelineOps.generationViewOf(spark, generationDirs, tombstonesPath,
+      "vec_id")
 }

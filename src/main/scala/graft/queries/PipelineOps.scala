@@ -2671,14 +2671,22 @@ object PipelineOps {
     * build plus a tombstone write, exactly like production Lucene
     * until a merge folds the generations. */
   private[graft] def updatedIndexViewOf(spark: SparkSession,
-      genDirs: Seq[String], tombDir: String): DataFrame = {
-    require(genDirs.nonEmpty, "need at least one index generation")
+      genDirs: Seq[String], tombDir: String): DataFrame =
+    generationViewOf(spark, genDirs, tombDir, "doc_id")
+
+  /** The shared gen-scoped tombstone view under idx15 (text postings,
+    * keyed doc_id) and s28 (vector postings, keyed vec_id): union the
+    * generations, keep a row unless its key re-indexed at a LATER
+    * generation. */
+  private[graft] def generationViewOf(spark: SparkSession,
+      genDirs: Seq[String], tombDir: String, keyCol: String): DataFrame = {
+    require(genDirs.nonEmpty, "need at least one generation")
     require(genDirs.distinct.size == genDirs.size,
       s"duplicate generation dirs: $genDirs")
     val gens = genDirs.zipWithIndex.map { case (dir, i) =>
       spark.read.parquet(dir).withColumn("gen", lit((i + 1).toLong))
     }.reduce(_ unionByName _)
-    gens.join(broadcast(spark.read.parquet(tombDir)), Seq("doc_id"), "left")
+    gens.join(broadcast(spark.read.parquet(tombDir)), Seq(keyCol), "left")
       .filter(col("asof_gen").isNull || col("gen") >= col("asof_gen"))
       .drop("gen", "asof_gen")
   }
@@ -4357,6 +4365,57 @@ object PipelineOps {
       .orderBy("family", "mult")
   }
 
+  /** p15's kernel — the composed INCREMENTAL REFRESH chain, the job a
+    * live corpus runs every ingest cycle (the daily loop d14/p13/idx05
+    * exist for, now composed end-to-end): the incoming batch (1)
+    * near-dedups against the STANDING corpus — d14's batch-vs-corpus
+    * pair join verbatim, O(batch · df), the corpus never self-joins —
+    * (2) survivors gate on the STORED quality model's exact-integer
+    * boundary w·x ≥ 0 (p13's serve: weights as literals, no trainer
+    * anywhere in the plan), and (3) the kept docs land as a NEW index
+    * generation (idx05/idx15's append discipline — standing postings
+    * are never rewritten). Returns the one-row refresh card: batch
+    * size, drops per gate, kept doc/token mass, an id checksum of the
+    * admitted set, and `postings_written` READ BACK from the written
+    * generation — the round-trip certificate (it must equal the kept
+    * token mass; the oracle derives both from the corpus text, so a
+    * lossy write breaks the hash match).
+    *
+    * 100 TB: the dedup join touches batch grams × their corpus
+    * postings only; the gate is a pure map over the survivor scan;
+    * the index write is batch-sized; every card number is a
+    * partial-agg'd one-row frame crossJoined broadcast — nothing
+    * corpus-sized moves except the d14 pair probe that IS the
+    * refresh's irreducible cost. */
+  private[graft] def incrementalRefreshOf(batch: DataFrame,
+      corpus: DataFrame, w: Array[Long], gen2Dir: String,
+      minJ: Double = 0.5): DataFrame = {
+    val dups = crossJaccardPairsOf(batch, corpus, minJ)
+      .select(col("b_id").as("doc_id")).distinct()
+    val surv = batch.join(dups, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds the gate, the join-back AND the card
+    val scored = trainedQualityScoreOf(surv, w)
+      .select(col("doc_id"), col("s")).localCheckpoint()
+    val kept = scored.filter(col("s") >= 0)
+      .join(surv.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .localCheckpoint() // feeds the index write AND the card
+    positionalIndexBuild(kept.select("doc_id", "text"), gen2Dir)
+    val cBatch = batch.agg(count(lit(1)).cast("long").as("n_batch"))
+    val cDup = dups.agg(count(lit(1)).cast("long").as("n_dup_dropped"))
+    val cGate = scored.agg(sum(when(col("s") < 0, 1L).otherwise(0L))
+      .as("n_lowq_dropped"))
+    val cKept = kept.agg(count(lit(1)).cast("long").as("n_kept"),
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("kept_tokens"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum"))
+    val cPost = batch.sparkSession.read.parquet(gen2Dir)
+      .agg(count(lit(1)).cast("long").as("postings_written"))
+    cBatch.crossJoin(broadcast(cDup)).crossJoin(broadcast(cGate))
+      .crossJoin(broadcast(cKept)).crossJoin(broadcast(cPost))
+      .select("n_batch", "n_dup_dropped", "n_lowq_dropped", "n_kept",
+        "kept_tokens", "postings_written", "id_checksum")
+  }
+
   /** Distributed two-level PREFIX SUM — the scale-safe replacement
     * for `sum(value) OVER (PARTITION BY part ORDER BY ord ROWS
     * UNBOUNDED PRECEDING EXCLUDING CURRENT)`. A bare per-`part`
@@ -5262,6 +5321,26 @@ object PipelineOps {
       ivfCompactOf(s, s"$out/g1", s"$out/tomb", s"$out/g2")
       out
     })
+
+  /** s28's build half — assign vectors to their nearest STORED
+    * centroid (the stale coarse quantizer — s17/s26's production
+    * trade): a re-embedded vector does not keep its old cell, it
+    * re-quantizes, because the probe ranks cells by the stored
+    * centroids and would otherwise never visit the cell that holds
+    * the new vector. Argmax ties break (cosine desc, clabel asc);
+    * the k-way compare is a broadcast map over one pass, collapsed
+    * back to one row per vector by partial aggregation. */
+  private[graft] def reassignToCentroidsOf(vecs: DataFrame,
+      cent: DataFrame): DataFrame = {
+    graft.exprs.CosineSim.register(vecs.sparkSession)
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("e"), col("clabel"),
+        round(expr("cosine_sim(e, ce)"), 6).as("cc"))
+      .groupBy("vec_id")
+      .agg(first(col("e")).as("e"),
+        max(struct(col("cc"), (-col("clabel")).as("nlab"))).as("bst"))
+      .select(col("vec_id"), (-col("bst.nlab")).as("label"), col("e"))
+  }
 
   /** s27's kernel — IVF index STALENESS audit (idx07's index-health
     * discipline on the vector side, and the "when do we rebuild" gate
@@ -6828,6 +6907,47 @@ object PipelineOps {
         .withColumn("stage", lit("compacted"))
       ts.unionByName(cp).select("stage", "qid", "rk", "nid", "c")
         .orderBy("stage", "qid", "rk")
+    }),
+
+    "s28_vector_update" -> ((s, d) => {
+      // Vector UPDATE lifecycle — re-embed + re-quantize, completing
+      // vector CRUD (s17 appends, s26 deletes, this updates), idx15's
+      // generation-scoped tombstone on the vector side: vectors with
+      // vec_id % 9 == 4 re-embed (deterministic reverse) as
+      // generation 2, each assigned to its nearest STORED centroid
+      // (the stale quantizer — 50 of 56 change cells here, which is
+      // exactly why lazy relabeling would break probe recall), and
+      // the (vec_id, asof_gen) tombstone kills only their gen-1
+      // postings. s02's query set probes the view; the oracle replays
+      // re-embed, re-quantize and probe from the raw table. Builds
+      // memoized. Scale notes on the kernel scaladocs.
+      graft.exprs.CosineSim.register(s)
+      val root = graphArtifacts.computeIfAbsent(s"$d|s28", _ => {
+        val out = EngineOps.tempDir("graft-s28")
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("e"))
+        meanVectors(emb.select(col("label"), col("e")), "label")
+          .select(col("label").as("clabel"), col("ce"))
+          .write.mode("overwrite").parquet(s"$out/centroids")
+        emb.write.mode("overwrite").partitionBy("label").parquet(s"$out/g1")
+        val upd = emb.filter(col("vec_id") % 9 === 4)
+          .select(col("vec_id"), reverse(col("e")).as("e"))
+        reassignToCentroidsOf(upd, s.read.parquet(s"$out/centroids"))
+          .select(col("vec_id"), col("label"), col("e"))
+          .write.mode("overwrite").partitionBy("label").parquet(s"$out/g2")
+        upd.select(col("vec_id"), lit(2L).as("asof_gen"))
+          .write.mode("overwrite").parquet(s"$out/tomb")
+        out
+      })
+      val view = generationViewOf(s,
+        Seq(s"$root/g1", s"$root/g2"), s"$root/tomb", "vec_id")
+      val queries = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qe"))
+      ivfProbeOf(s.read.parquet(s"$root/centroids"), view, queries,
+          k = 5, probes = 2)
+        .orderBy("qid", "rk")
     }),
 
     "s27_ivf_staleness" -> ((s, d) => {
@@ -8613,6 +8733,29 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    "p15_incremental_refresh" -> ((s, d) => {
+      // The composed incremental-refresh chain, end-to-end: the
+      // incoming batch (doc_id % 7 == 3, d14's split) near-dedups
+      // against the standing corpus, survivors gate on the STORED
+      // quality model (p13's artifact, memoized), and the kept docs
+      // land as a new index generation whose read-back postings count
+      // certifies the write. The oracle replays every stage from the
+      // corpus text: d14's pair CTE, the full training loop, the
+      // exact-integer gate, the token mass. Scale notes on the
+      // kernel scaladoc.
+      val docs = t(s, d, "documents")
+      val mdir = graphArtifacts.computeIfAbsent(s"$d|t25model", _ => {
+        val out = EngineOps.tempDir("graft-t25model")
+        qualityModelPersist(docs, lr = 2.0, iters = 8, out)
+        out
+      })
+      val gen2 = graphArtifacts.computeIfAbsent(s"$d|p15gen2",
+        _ => EngineOps.tempDir("graft-p15"))
+      incrementalRefreshOf(docs.filter(col("doc_id") % 7 === 3),
+        docs.filter(col("doc_id") % 7 =!= 3),
+        qualityModelLoad(s, mdir), gen2)
+    }),
+
     "p13_model_release" -> ((s, d) => {
       // The composed model-based filtering chain (FineWeb-Edu's
       // shape, end-to-end), served from the STORED model: t25's
@@ -10170,6 +10313,50 @@ object PipelineOps {
       FROM r, (VALUES ('compacted'), ('tombstoned')) s(stage)
       WHERE rk <= 5 ORDER BY s.stage, qid, rk""",
 
+    // s28: re-embed (reverse), re-quantize against the STALE stored
+    // centroids (argmax ties cc desc, clabel asc), then the standard
+    // probe replay over the updated postings
+    "s28_vector_update" -> """
+      WITH dims AS (
+        SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i
+      ), cent AS (
+        SELECT label AS clabel, list(v ORDER BY dim) AS ce FROM dims GROUP BY label
+      ), emb2 AS (
+        SELECT vec_id, label,
+               CASE WHEN vec_id % 9 = 4 THEN list_reverse(embedding::DOUBLE[])
+                    ELSE embedding::DOUBLE[] END AS e,
+               vec_id % 9 = 4 AS updd
+        FROM embeddings
+      ), relab AS (
+        SELECT vec_id, e, best_label AS label FROM (
+          SELECT vec_id, e, clabel AS best_label,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                            clabel ASC) AS rk
+          FROM emb2, cent WHERE updd) WHERE rk = 1
+        UNION ALL
+        SELECT vec_id, e, label FROM emb2 WHERE NOT updd
+      ), q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 10
+      ), qc AS (
+        SELECT qid, qe, clabel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC,
+                          clabel ASC) AS crk
+        FROM q, cent
+      ), probes AS (SELECT qid, qe, clabel FROM qc WHERE crk <= 2),
+      cand AS (
+        SELECT p.qid, r.vec_id AS nid,
+               round(list_cosine_similarity(p.qe, r.e), 4) AS c
+        FROM probes p JOIN relab r ON r.label = p.clabel AND r.vec_id <> p.qid
+      ), rr AS (
+        SELECT qid, nid, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        FROM cand)
+      SELECT qid, rk, nid, c FROM rr WHERE rk <= 5 ORDER BY qid, rk""",
+
     // s27: the staleness audit replayed from the raw embeddings —
     // same full-corpus centroids, same %7 tombstones, argmax ties
     // (cc desc, clabel asc), exact-integer floor mean
@@ -11156,6 +11343,42 @@ object PipelineOps {
 
     // p13: the shared training CTEs, then the trained weights (iter 8)
     // gate every doc at the exact-integer boundary w·x >= 0
+    // p15: every stage replays from the text — d14's pair CTE names
+    // prefixed p- to dodge the training CTEs; postings_written equals
+    // the kept token mass BY CONSTRUCTION here, while Spark reads it
+    // back from the written artifact (the round-trip certificate)
+    "p15_incremental_refresh" -> (qualityTrainCtes + """
+      , wf AS (SELECT w0, w1, w2, w3, w4 FROM it WHERE iter = 8),
+      psh AS (
+        SELECT doc_id, unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2) ])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+      ), psizes AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id),
+      dup AS (
+        SELECT DISTINCT p.b_id AS doc_id FROM (
+          SELECT a.doc_id AS b_id, b.doc_id AS c_id, count(*) AS inter
+          FROM psh a JOIN psh b ON a.s = b.s
+          WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3 GROUP BY 1, 2) p
+        JOIN psizes x ON p.b_id = x.doc_id
+        JOIN psizes y ON p.c_id = y.doc_id
+        WHERE round(p.inter * 1.0 / (x.n + y.n - p.inter), 4) >= 0.5),
+      batch AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+      surv AS (SELECT b.doc_id FROM batch b ANTI JOIN dup d USING (doc_id)),
+      gated AS (
+        SELECT f.doc_id, f.n_tok,
+          (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) AS s
+        FROM feats f JOIN surv USING (doc_id), wf w),
+      kept AS (SELECT doc_id, n_tok FROM gated WHERE s >= 0)
+      SELECT
+        CAST((SELECT count(*) FROM batch) AS BIGINT) AS n_batch,
+        CAST((SELECT count(*) FROM dup) AS BIGINT) AS n_dup_dropped,
+        CAST((SELECT count(*) FROM gated WHERE s < 0) AS BIGINT) AS n_lowq_dropped,
+        CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept,
+        CAST((SELECT coalesce(sum(n_tok), 0) FROM kept) AS BIGINT) AS kept_tokens,
+        CAST((SELECT coalesce(sum(n_tok), 0) FROM kept) AS BIGINT) AS postings_written,
+        CAST((SELECT coalesce(sum(doc_id), 0) FROM kept) AS BIGINT) AS id_checksum"""),
+
     "p13_model_release" -> (qualityTrainCtes + """
       , wf AS (SELECT w0, w1, w2, w3, w4 FROM it WHERE iter = 8),
       scored AS (

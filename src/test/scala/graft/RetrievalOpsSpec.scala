@@ -1130,6 +1130,53 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "under-filled phase 1 must disable pruning (theta = 0)")
   }
 
+  // ---- p15 incremental refresh ----------------------------------------------
+
+  test("p15: card partitions the batch; stages agree with the standalone operators; the written generation is exactly the kept set") {
+    import graft.queries.PipelineOps.{incrementalRefreshOf,
+      qualityModelPersist, qualityModelLoad, trainedQualityScoreOf}
+    val card = run("p15_incremental_refresh").collect().head
+    val (nBatch, nDup, nLowq, nKept, keptTok, postings, checksum) =
+      (card.getLong(0), card.getLong(1), card.getLong(2), card.getLong(3),
+        card.getLong(4), card.getLong(5), card.getLong(6))
+    // the three gates partition the batch exactly
+    assert(nDup + nLowq + nKept == nBatch,
+      s"card does not partition the batch: $nDup+$nLowq+$nKept != $nBatch")
+    assert(nDup > 0 && nLowq > 0 && nKept > 0,
+      "a stage dropped nothing: the composition is untested")
+    // round-trip certificate: the written generation's postings count
+    // equals the kept token mass
+    assert(postings == keptTok,
+      s"index write lost postings: $postings != $keptTok")
+    // stage 1 agrees with d14 (same split, same threshold): the dup
+    // drops are exactly d14's distinct batch-side ids
+    val d14b = run("d14_incremental_dedup").collect()
+      .map(_.getLong(0)).distinct.length
+    assert(nDup == d14b, s"dup stage diverged from d14: $nDup != $d14b")
+    // stage 2+3 replay: rebuild via the kernel into a fresh dir; the
+    // card matches and the generation holds exactly the kept docs
+    val docs = Tables.t(spark, dir, "documents")
+    val mdir = java.nio.file.Files.createTempDirectory("graft-p15-m").toString
+    qualityModelPersist(docs, lr = 2.0, iters = 8, mdir)
+    val w = qualityModelLoad(spark, mdir)
+    val gen2 = java.nio.file.Files.createTempDirectory("graft-p15-g").toString
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val replay = incrementalRefreshOf(batch,
+      docs.filter(col("doc_id") % 7 =!= 3), w, gen2).collect().head
+    assert(replay.toSeq == card.toSeq,
+      s"kernel replay diverged from the entry: ${replay.toSeq} vs ${card.toSeq}")
+    val written = spark.read.parquet(gen2).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(written.size.toLong == nKept && written.map(identity).sum == checksum,
+      "the written generation is not exactly the admitted set")
+    // every admitted doc really clears the stored-model boundary
+    val scores = trainedQualityScoreOf(batch, w)
+      .select("doc_id", "s").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(written.forall(id => scores(id) >= 0L),
+      "an admitted doc scores below the model boundary")
+  }
+
   // ---- idx15 document updates ------------------------------------------------
 
   test("idx15: gen-scoped update == fresh build of the edited corpus; stale postings invisible; doc-id tombstone would over-kill") {
@@ -1273,6 +1320,66 @@ class RetrievalOpsSpec extends AnyFunSuite {
       .map(_.getLong(2))
     assert(before.exists(_ % 7 == 2),
       "no pre-delete result was actually deleted: the drill is untested")
+  }
+
+  test("s28: update == re-embed + re-quantize replay; old vector stops serving; lazy relabeling would diverge") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{reassignToCentroidsOf,
+      generationViewOf, ivfProbeOf}
+    graft.exprs.CosineSim.register(spark)
+    // crafted re-quantization: v2 re-embeds from cell 0's direction to
+    // cell 1's — it must land in cell 1, not keep its stale label
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("clabel", "ce")
+    val re = reassignToCentroidsOf(
+      Seq((2L, Seq(0.1, 0.9))).toDF("vec_id", "e"), cent).collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)),
+      "re-embedded vector did not re-quantize to its nearest centroid")
+    // entry vs a live replay: re-embed (reverse), re-quantize against
+    // the stale centroids, probe — the artifacts must serve exactly it
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val cents = emb.select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg("v").as("v"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("pv"))
+      .select(col("label").as("clabel"), expr("transform(pv, x -> x.v)").as("ce"))
+    val updated = reassignToCentroidsOf(
+      emb.filter(col("vec_id") % 9 === 4)
+        .select(col("vec_id"), reverse(col("e")).as("e")), cents)
+    val relab = emb.filter(col("vec_id") % 9 =!= 4)
+      .select("vec_id", "label", "e")
+      .unionByName(updated.select("vec_id", "label", "e"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val live = ivfProbeOf(cents, relab, queries, k = 5, probes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val served = run("s28_vector_update").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(served == live, "artifact serve diverged from the live replay")
+    // the drill: keeping updated vectors in their OLD cells (lazy
+    // relabeling) must diverge — re-quantization is load-bearing
+    val lazyRelab = emb.filter(col("vec_id") % 9 =!= 4)
+      .select("vec_id", "label", "e")
+      .unionByName(emb.filter(col("vec_id") % 9 === 4)
+        .select(col("vec_id"), col("label"), reverse(col("e")).as("e")))
+    val lazyServe = ivfProbeOf(cents, lazyRelab, queries, k = 5, probes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(lazyServe != live,
+      "lazy relabeling coincided with re-quantization: drill inert")
+    // the re-embed is real on this corpus: some updated vector serves
+    // differently than before the update
+    val before = ivfProbeOf(cents, emb.select("vec_id", "label", "e"),
+        queries, k = 5, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(before != live, "the update changed nothing: drill untested")
   }
 
   test("s27: staleness audit matches exact hand arithmetic on a crafted drift fixture; totals partition; corpus never scanned") {
