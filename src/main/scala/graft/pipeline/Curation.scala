@@ -861,6 +861,17 @@ object Curation {
     PipelineOps.maxScoreServeOf(spark, indexPath, doclenPath,
       impactPath, terms, k, k1, b)
 
+  /** Corpus-vs-index freshness audit (idx16's kernel — the trust gate
+    * in front of every index serve mode): MISSING docs (ingest lag),
+    * GHOST postings (uncompacted deletes) and length mismatches
+    * (partial generations), with id checksums of the defect sets.
+    * One full-outer join of two narrow count streams. */
+  def indexFreshness(docs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.indexFreshnessOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text")), index)
+
   /** Composed incremental corpus refresh (p15's kernel): the incoming
     * batch near-dedups against the standing corpus (d14's
     * batch-vs-corpus join), survivors gate on the STORED quality

@@ -505,6 +505,61 @@ object MediaCatalogOps {
       s.read.parquet(s"$base/out").orderBy("doc_id")
     }),
 
+    "st14_stream_index_upsert" -> ((s0, d) => {
+      // CDC UPSERT at ingest — st10 streams NEW docs into the index,
+      // this streams REVISIONS of existing ones (the other half of a
+      // live index: edits). Each micro-batch lands idempotently as
+      // its own gen=<batchId> postings subdir (st10's replay-safe
+      // sink) PLUS a gen-scoped tombstone batch (idx15's update
+      // model); the serve view collapses tombstones to latest-wins
+      // max(asof_gen) per doc — batch 0 revises doc_id % 9 == 4,
+      // batch 1 RE-revises the % 18 == 4 half, so a doc carries up
+      // to three generations of postings and only the newest serves.
+      // Oracle replays both probes from the latest-revision corpus.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docsDf = graft.Tables.t(s, d, "documents")
+      val base = EngineOps.tempDir("graft-st14")
+      val tombDir = EngineOps.tempDir("graft-st14-tomb")
+      graft.queries.PipelineOps.positionalIndexWriteGen(
+        docsDf.select("doc_id", "text"), base, batchId = -1L)
+      val b1 = docsDf.filter(col("doc_id") % 9 === 4)
+        .select(col("doc_id"),
+          concat(lit("revised "), col("text")).as("text"), col("lang"))
+        .as[graft.streaming.Streams.Doc].collect().toSeq
+      val b2 = docsDf.filter(col("doc_id") % 18 === 4)
+        .select(col("doc_id"),
+          concat(lit("final revised "), col("text")).as("text"), col("lang"))
+        .as[graft.streaming.Streams.Doc].collect().toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Streams.Doc]
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.queries.PipelineOps.positionalIndexWriteGen(
+            batch.select("doc_id", "text"), base, batchId)
+          graft.queries.PipelineOps.tombstoneWriteGen(
+            batch.select("doc_id"), tombDir, batchId)
+        }
+        .option("checkpointLocation", s"${EngineOps.tempDir("graft-st14-ck")}/ck")
+        .start()
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        input.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      val view = graft.queries.PipelineOps.genPartitionedViewOf(s, base, tombDir)
+      val a = graft.queries.PipelineOps.proximitySearchOf(
+          view, Seq("final", "revised"), window = 3)
+        .withColumn("probe", lit("rerevised"))
+      val b = graft.queries.PipelineOps.proximitySearchOf(
+          view, Seq("revised", "data"), window = 12)
+        .withColumn("probe", lit("revised"))
+      a.unionByName(b).select("probe", "doc_id", "min_span")
+        .orderBy("probe", "doc_id")
+    }),
+
     "st10_stream_index_append" -> ((s0, d) => {
       // Search indexing AT INGEST — idx05's partition-wise append as a
       // foreachBatch stage: the corpus-minus-batch positional index is
@@ -1414,6 +1469,34 @@ object MediaCatalogOps {
 
     // after the stream drains, the index must serve exactly like a
     // single full-corpus build ⇒ idx02's SQL verbatim
+    // st14: both probes replay from the LATEST-revision corpus — the
+    // nested CASE is the latest-wins rule the tombstone max encodes
+    "st14_stream_index_upsert" -> """
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 18 = 4 THEN 'final revised ' || text
+                    WHEN doc_id % 9 = 4 THEN 'revised ' || text
+                    ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+      p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+            FROM w, unnest(generate_series(1, len(w))) t(i)),
+      sa AS (
+        SELECT a.doc_id, greatest(a.pos, b.pos) - least(a.pos, b.pos) AS span
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'final') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'revised') b USING (doc_id)),
+      sb AS (
+        SELECT a.doc_id, greatest(a.pos, b.pos) - least(a.pos, b.pos) AS span
+        FROM (SELECT doc_id, pos FROM p WHERE term = 'revised') a
+        JOIN (SELECT doc_id, pos FROM p WHERE term = 'data') b USING (doc_id))
+      SELECT * FROM (
+        SELECT 'rerevised' AS probe, doc_id, CAST(min(span) AS BIGINT) AS min_span
+        FROM sa GROUP BY doc_id HAVING min(span) <= 3
+        UNION ALL
+        SELECT 'revised' AS probe, doc_id, CAST(min(span) AS BIGINT) AS min_span
+        FROM sb GROUP BY doc_id HAVING min(span) <= 12)
+      ORDER BY probe, doc_id""",
+
     "st10_stream_index_append" -> """
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       p AS (SELECT doc_id, i - 1 AS pos, w[i] AS term

@@ -2712,6 +2712,78 @@ object PipelineOps {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/gen=$batchId")
   }
 
+  /** idx16's kernel — the corpus↔index FRESHNESS/CONSISTENCY audit
+    * (the trust gate in front of every serve mode idx04–idx15 built:
+    * before you believe a ranking, prove the index actually covers
+    * the corpus). Three defect classes off ONE full-outer join of
+    * the corpus's per-doc token counts against the artifact's per-doc
+    * postings counts: MISSING docs (in the corpus, no postings —
+    * ingest lag, the doc is unsearchable), GHOST docs (postings with
+    * no corpus doc — deletes not yet compacted, the serve can return
+    * dead ids), and LENGTH MISMATCHES (both present but token count ≠
+    * postings count — a partial or corrupt generation; exact equality
+    * is the invariant because positionalIndexBuild writes one posting
+    * per token). One audit row with counts + id checksums of the two
+    * defect sets (guard01's checksum discipline — the hash match
+    * certifies WHICH docs, not just how many).
+    *
+    * 100 TB: two narrow partial-agg'd streams (doc_id, count) meet in
+    * one equi-shuffled full-outer join — corpus-cardinality narrow
+    * rows, no text crosses the exchange — and collapse to a single
+    * row. */
+  private[graft] def indexFreshnessOf(docs: DataFrame,
+      index: DataFrame): DataFrame = {
+    val corpus = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val idx = index.groupBy("doc_id").agg(count(lit(1)).as("n_post"))
+    corpus.join(idx, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(col("n_tok").isNotNull, 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("n_post").isNotNull, 1L).otherwise(0L)).as("n_indexed"),
+        sum(when(col("n_tok").isNotNull && col("n_post").isNull, 1L)
+          .otherwise(0L)).as("n_missing"),
+        sum(when(col("n_tok").isNull && col("n_post").isNotNull, 1L)
+          .otherwise(0L)).as("n_ghost"),
+        sum(when(col("n_tok").isNotNull && col("n_post").isNotNull &&
+          col("n_tok") =!= col("n_post"), 1L).otherwise(0L))
+          .as("n_len_mismatch"),
+        coalesce(sum(when(col("n_tok").isNotNull && col("n_post").isNull,
+          col("doc_id"))), lit(0L)).as("missing_checksum"),
+        coalesce(sum(when(col("n_tok").isNull && col("n_post").isNotNull,
+          col("doc_id"))), lit(0L)).as("ghost_checksum"))
+  }
+
+  /** st14's sink half — the tombstone twin of
+    * [[positionalIndexWriteGen]] for a CDC revision stream: each
+    * micro-batch's (doc_id, asof_gen = batchId) rows land under their
+    * own gen=<batchId> subdir with OVERWRITE, so an at-least-once
+    * replay REPLACES its prior attempt instead of double-writing
+    * tombstones. `asof_gen` rides in the DATA (not the directory) so
+    * the read-back view needs no partition-column coupling. */
+  private[graft] def tombstoneWriteGen(batch: DataFrame, dir: String,
+      batchId: Long): Unit =
+    batch.select(col("doc_id"), lit(batchId).as("asof_gen"))
+      .write.mode("overwrite").parquet(s"$dir/gen=$batchId")
+
+  /** st14's serve half — the gen-scoped view over a PARTITION-encoded
+    * generation artifact (positionalIndexWriteGen's gen=<batchId>
+    * layout, where idx15's [[generationViewOf]] takes an explicit dir
+    * list): latest revision WINS — tombstones collapse to max(asof_gen)
+    * per doc first (a doc revised in two batches must not duplicate
+    * its postings through the join), then each posting survives unless
+    * its doc re-indexed at a LATER generation. The tombstone side is
+    * revision-stream-sized by contract and rides as one broadcast;
+    * term/bucket predicates push below the join to the pruned scans. */
+  private[graft] def genPartitionedViewOf(spark: SparkSession,
+      indexDir: String, tombDir: String): DataFrame = {
+    val tomb = spark.read.parquet(tombDir)
+      .groupBy("doc_id").agg(max("asof_gen").as("asof_gen"))
+    spark.read.parquet(indexDir)
+      .join(broadcast(tomb), Seq("doc_id"), "left")
+      .filter(col("asof_gen").isNull || col("gen") >= col("asof_gen"))
+      .drop("gen", "asof_gen")
+  }
+
   /** The driver-side twin of the md5_bits60 bucket (same formula, same
     * 16-way pmod) — lets a phrase query pin each term's PARTITION
     * FILTER as a literal, so the stored-index scan prunes to the
@@ -9125,6 +9197,32 @@ object PipelineOps {
         must = Seq("data", "query"), mustNot = Seq("slow"), k = 10)
     }),
 
+    "idx16_index_freshness" -> ((s, d) => {
+      // Corpus-vs-index consistency audit over a deliberately damaged
+      // artifact: the build skips doc_id % 11 == 7 (ingest lag →
+      // MISSING), carries % 13 == 2 under shifted ids (+1e7) whose
+      // corpus docs "were deleted" (GHOSTS), and truncates % 17 == 3
+      // docs' postings to the first 5 positions (partial generation →
+      // LENGTH MISMATCH). The audit must find exactly these sets —
+      // counts AND id checksums replay in the oracle. Builds
+      // memoized. Scale notes on the kernel scaladoc.
+      val root = graphArtifacts.computeIfAbsent(s"$d|idx16", _ => {
+        val out = EngineOps.tempDir("graft-idx16")
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val indexed = docs.filter(col("doc_id") % 11 =!= 7)
+        val ghosts = docs.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        positionalIndexBuild(indexed.unionByName(ghosts), s"$out/full")
+        s.read.parquet(s"$out/full")
+          .filter(!(col("doc_id") % 17 === 3 && col("pos") >= 5))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$out/index")
+        out
+      })
+      indexFreshnessOf(t(s, d, "documents").select("doc_id", "text"),
+        s.read.parquet(s"$root/index"))
+    }),
+
     "idx15_index_update" -> ((s, d) => {
       // Document UPDATE lifecycle (Lucene's delete + reinsert with a
       // generation-scoped tombstone): docs with doc_id % 9 == 4 get
@@ -12798,6 +12896,41 @@ object PipelineOps {
       FROM feat, stats
       WHERE tf0 > 0 AND tf1 > 0 AND tfn = 0
       ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // idx16: the perturbed index replays as per-doc postings COUNTS
+    // (truncation to pos < 5 makes n_post = least(n_tok, 5)), then
+    // the same full-outer defect rollup
+    "idx16_index_freshness" -> """
+      WITH corpus AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      ind AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 3 THEN least(n_tok, 5)
+                    ELSE n_tok END AS n_post
+        FROM (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+          FROM documents WHERE doc_id % 11 <> 7
+          UNION ALL
+          SELECT doc_id + 10000000, len(string_split(text, ' '))
+          FROM documents WHERE doc_id % 13 = 2)),
+      j AS (
+        SELECT coalesce(c.doc_id, i.doc_id) AS doc_id, c.n_tok, i.n_post
+        FROM corpus c FULL OUTER JOIN ind i ON c.doc_id = i.doc_id)
+      SELECT
+        CAST(sum(CASE WHEN n_tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+        CAST(sum(CASE WHEN n_post IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed,
+        CAST(sum(CASE WHEN n_tok IS NOT NULL AND n_post IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_missing,
+        CAST(sum(CASE WHEN n_tok IS NULL AND n_post IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ghost,
+        CAST(sum(CASE WHEN n_tok IS NOT NULL AND n_post IS NOT NULL
+                       AND n_tok <> n_post THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_len_mismatch,
+        CAST(coalesce(sum(CASE WHEN n_tok IS NOT NULL AND n_post IS NULL
+                          THEN doc_id END), 0) AS BIGINT) AS missing_checksum,
+        CAST(coalesce(sum(CASE WHEN n_tok IS NULL AND n_post IS NOT NULL
+                          THEN doc_id END), 0) AS BIGINT) AS ghost_checksum
+      FROM j""",
 
     // idx15: both probes replay from the POST-update corpus text —
     // the CASE applies the revision, gen-scoped tombstoning in Spark

@@ -1177,6 +1177,43 @@ class RetrievalOpsSpec extends AnyFunSuite {
       "an admitted doc scores below the model boundary")
   }
 
+  // ---- idx16 index freshness -------------------------------------------------
+
+  test("idx16: clean index audits clean; crafted defects found exactly; entry checksums match the perturbation predicates") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.{positionalIndexBuild, indexFreshnessOf}
+    val root = java.nio.file.Files.createTempDirectory("graft-idx16-spec").toString
+    // false-positive check: a healthy build must audit with zero
+    // defects — otherwise every real alert is noise
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    positionalIndexBuild(docs, s"$root/clean")
+    val clean = indexFreshnessOf(docs, spark.read.parquet(s"$root/clean"))
+      .collect().head
+    assert(clean.getLong(0) == clean.getLong(1) &&
+      clean.getLong(2) == 0 && clean.getLong(3) == 0 && clean.getLong(4) == 0,
+      s"healthy index audited dirty: ${clean.toSeq}")
+    // crafted defects: doc 1 unindexed, ghost 99, doc 3 truncated
+    positionalIndexBuild(Seq((2L, "alpha beta"), (3L, "one two three"),
+      (99L, "ghost words here")).toDF("doc_id", "text"), s"$root/full")
+    spark.read.parquet(s"$root/full")
+      .filter(!(col("doc_id") === 3L && col("pos") >= 2))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/bad")
+    val got = indexFreshnessOf(
+      Seq((1L, "solo doc"), (2L, "alpha beta"), (3L, "one two three"))
+        .toDF("doc_id", "text"),
+      spark.read.parquet(s"$root/bad")).collect().head
+    assert(got.toSeq == Seq(3L, 3L, 1L, 1L, 1L, 1L, 99L),
+      s"crafted defects not found exactly: ${got.toSeq}")
+    // the entry's checksums identify exactly the perturbed id sets
+    val row = run("idx16_index_freshness").collect().head
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(row.getLong(5) == ids.filter(_ % 11 == 7).sum,
+      "missing checksum != the skipped-build id set")
+    assert(row.getLong(6) == ids.filter(_ % 13 == 2).map(_ + 10000000L).sum,
+      "ghost checksum != the shifted-id set")
+    assert(row.getLong(4) > 0, "no length mismatch found: truncation inert")
+  }
+
   // ---- idx15 document updates ------------------------------------------------
 
   test("idx15: gen-scoped update == fresh build of the edited corpus; stale postings invisible; doc-id tombstone would over-kill") {

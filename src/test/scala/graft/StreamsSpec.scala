@@ -316,4 +316,51 @@ class StreamsSpec extends AnyFunSuite {
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(term".r.findFirstIn(plan).isDefined,
       s"term predicate not pushed under the gen layout:\n$plan")
   }
+
+  test("st14 upsert: latest revision wins across generations, no duplicate postings, replayed batch is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.PipelineOps.{positionalIndexWriteGen,
+      tombstoneWriteGen, genPartitionedViewOf, proximitySearchOf}
+    val base = java.nio.file.Files.createTempDirectory("graft-st14-spec")
+      .toString
+    val (idx, tomb) = (s"$base/index", s"$base/tomb")
+    // base doc + two successive revisions of doc 1: only the NEWEST
+    // text may serve, and the middle generation must be as invisible
+    // as the base one
+    positionalIndexWriteGen(
+      Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text"),
+      idx, batchId = -1L)
+    val r1 = Seq((1L, "gamma alpha beta")).toDF("doc_id", "text")
+    positionalIndexWriteGen(r1, idx, 0L)
+    tombstoneWriteGen(r1.select("doc_id"), tomb, 0L)
+    val r2 = Seq((1L, "delta alpha beta")).toDF("doc_id", "text")
+    positionalIndexWriteGen(r2, idx, 1L)
+    tombstoneWriteGen(r2.select("doc_id"), tomb, 1L)
+    def view() = genPartitionedViewOf(spark, idx, tomb)
+    def hits(ts: Seq[String], w: Int) = proximitySearchOf(view(), ts, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits(Seq("gamma", "beta"), 5).isEmpty,
+      "the overwritten middle revision still serves")
+    assert(hits(Seq("delta", "beta"), 5) == Seq((1L, 2L)),
+      "the newest revision does not serve")
+    // no duplicate postings: the doc revised twice carries exactly one
+    // live copy of each token
+    assert(view().count() == 3 + 2,
+      "latest-wins collapse failed: a doc serves more than one generation")
+    // replay: re-running batch 1 (same batchId) changes nothing
+    val before = view().collect().map(_.toString).sorted.toSeq
+    positionalIndexWriteGen(r2, idx, 1L)
+    tombstoneWriteGen(r2.select("doc_id"), tomb, 1L)
+    assert(view().collect().map(_.toString).sorted.toSeq == before,
+      "replayed upsert batch changed the served view")
+    // real-corpus entry: the rerevised docs answer from generation 2
+    // only (the 'final revised' prefix puts the probe at span 1)
+    val rows = SparkEntry.queries("st14_stream_index_upsert")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rere = rows.filter(_._1 == "rerevised")
+    assert(rere.nonEmpty && rere.forall(x => x._2 % 18 == 4 && x._3 == 1L),
+      "rerevised probe hit a non-rerevised doc or a stale generation")
+  }
 }
