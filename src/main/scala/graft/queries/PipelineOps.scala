@@ -2686,10 +2686,22 @@ object PipelineOps {
     val gens = genDirs.zipWithIndex.map { case (dir, i) =>
       spark.read.parquet(dir).withColumn("gen", lit((i + 1).toLong))
     }.reduce(_ unionByName _)
-    gens.join(broadcast(spark.read.parquet(tombDir)), Seq(keyCol), "left")
+    tombstonesApplied(gens, spark.read.parquet(tombDir), keyCol)
+  }
+
+  /** The one tombstone-application path under BOTH gen-view forms:
+    * collapse tombstones to max(asof_gen) per key FIRST — latest
+    * revision wins, and a key tombstoned in several batches must not
+    * fan its postings out through the join (it would both duplicate
+    * the newest postings and resurrect mid-generation ones) — then
+    * broadcast-left-join and keep rows with gen >= the key's newest
+    * re-index. */
+  private def tombstonesApplied(gens: DataFrame, tomb: DataFrame,
+      keyCol: String): DataFrame =
+    gens.join(broadcast(tomb.groupBy(keyCol)
+        .agg(max("asof_gen").as("asof_gen"))), Seq(keyCol), "left")
       .filter(col("asof_gen").isNull || col("gen") >= col("asof_gen"))
       .drop("gen", "asof_gen")
-  }
 
   /** st10's idempotent production sink — the exactly-once form of
     * [[positionalIndexAppend]] for foreachBatch, where delivery is
@@ -2775,14 +2787,9 @@ object PipelineOps {
     * revision-stream-sized by contract and rides as one broadcast;
     * term/bucket predicates push below the join to the pruned scans. */
   private[graft] def genPartitionedViewOf(spark: SparkSession,
-      indexDir: String, tombDir: String): DataFrame = {
-    val tomb = spark.read.parquet(tombDir)
-      .groupBy("doc_id").agg(max("asof_gen").as("asof_gen"))
-    spark.read.parquet(indexDir)
-      .join(broadcast(tomb), Seq("doc_id"), "left")
-      .filter(col("asof_gen").isNull || col("gen") >= col("asof_gen"))
-      .drop("gen", "asof_gen")
-  }
+      indexDir: String, tombDir: String): DataFrame =
+    tombstonesApplied(spark.read.parquet(indexDir),
+      spark.read.parquet(tombDir), "doc_id")
 
   /** The driver-side twin of the md5_bits60 bucket (same formula, same
     * 16-way pmod) — lets a phrase query pin each term's PARTITION
@@ -4464,6 +4471,7 @@ object PipelineOps {
       minJ: Double = 0.5): DataFrame = {
     val dups = crossJaccardPairsOf(batch, corpus, minJ)
       .select(col("b_id").as("doc_id")).distinct()
+      .localCheckpoint() // the d14 join runs ONCE for the gate + card
     val surv = batch.join(dups, Seq("doc_id"), "left_anti")
       .localCheckpoint() // feeds the gate, the join-back AND the card
     val scored = trainedQualityScoreOf(surv, w)
@@ -5460,8 +5468,11 @@ object PipelineOps {
         sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
         sum(when(!col("del") && col("best_label") =!= col("label"), 1L)
           .otherwise(0L)).as("n_misassigned"),
-        floor(sum(when(!col("del"), col("own_micro")).otherwise(0L)) /
-          sum(when(!col("del"), 1L).otherwise(0L)))
+        // a fully-deleted cell has no live mean — NULL, not a 0/0
+        // artifact (the oracle's CASE mirrors this)
+        when(sum(when(!col("del"), 1L).otherwise(0L)) > 0,
+          floor(sum(when(!col("del"), col("own_micro")).otherwise(0L)) /
+            sum(when(!col("del"), 1L).otherwise(0L))))
           .cast("long").as("mean_live_sim_micro"))
       .orderBy("label")
   }
@@ -6994,18 +7005,18 @@ object PipelineOps {
       // re-embed, re-quantize and probe from the raw table. Builds
       // memoized. Scale notes on the kernel scaladocs.
       graft.exprs.CosineSim.register(s)
+      // centroids + the g1 postings generation are s26's artifacts
+      // verbatim — one shared build serves s26/s27/s28 (delete,
+      // staleness audit, update), like a real index deployment
+      val shared = s26ArtifactsOf(s, d)
       val root = graphArtifacts.computeIfAbsent(s"$d|s28", _ => {
         val out = EngineOps.tempDir("graft-s28")
         val emb = t(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
+          .select(col("vec_id"),
             col("embedding").cast("array<double>").as("e"))
-        meanVectors(emb.select(col("label"), col("e")), "label")
-          .select(col("label").as("clabel"), col("ce"))
-          .write.mode("overwrite").parquet(s"$out/centroids")
-        emb.write.mode("overwrite").partitionBy("label").parquet(s"$out/g1")
         val upd = emb.filter(col("vec_id") % 9 === 4)
           .select(col("vec_id"), reverse(col("e")).as("e"))
-        reassignToCentroidsOf(upd, s.read.parquet(s"$out/centroids"))
+        reassignToCentroidsOf(upd, s.read.parquet(s"$shared/centroids"))
           .select(col("vec_id"), col("label"), col("e"))
           .write.mode("overwrite").partitionBy("label").parquet(s"$out/g2")
         upd.select(col("vec_id"), lit(2L).as("asof_gen"))
@@ -7013,11 +7024,11 @@ object PipelineOps {
         out
       })
       val view = generationViewOf(s,
-        Seq(s"$root/g1", s"$root/g2"), s"$root/tomb", "vec_id")
+        Seq(s"$shared/g1", s"$root/g2"), s"$root/tomb", "vec_id")
       val queries = t(s, d, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"),
           col("embedding").cast("array<double>").as("qe"))
-      ivfProbeOf(s.read.parquet(s"$root/centroids"), view, queries,
+      ivfProbeOf(s.read.parquet(s"$shared/centroids"), view, queries,
           k = 5, probes = 2)
         .orderBy("qid", "rk")
     }),
@@ -10488,8 +10499,9 @@ object PipelineOps {
         CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
         CAST(sum(CASE WHEN NOT is_del AND best_label <> label THEN 1 ELSE 0 END)
              AS BIGINT) AS n_misassigned,
-        CAST(floor(sum(CASE WHEN NOT is_del THEN own_micro ELSE 0 END) * 1.0
-             / sum(CASE WHEN NOT is_del THEN 1 ELSE 0 END)) AS BIGINT)
+        CAST(CASE WHEN sum(CASE WHEN NOT is_del THEN 1 ELSE 0 END) > 0
+             THEN floor(sum(CASE WHEN NOT is_del THEN own_micro ELSE 0 END) * 1.0
+                  / sum(CASE WHEN NOT is_del THEN 1 ELSE 0 END)) END AS BIGINT)
              AS mean_live_sim_micro
       FROM own JOIN best USING (vec_id)
       GROUP BY label ORDER BY label""",

@@ -1268,6 +1268,21 @@ class RetrievalOpsSpec extends AnyFunSuite {
       updatedIndexViewOf(spark, Nil, s"$root/tomb"))
     intercept[IllegalArgumentException](updatedIndexViewOf(spark,
       Seq(s"$root/gen1", s"$root/gen1"), s"$root/tomb"))
+    // a doc updated TWICE (tombstone rows (1,2) and (1,3)): only the
+    // newest generation may serve, with no duplicated postings — the
+    // raw-tombstone join would both resurrect gen-2 content and emit
+    // gen-3 postings twice (self-review regression)
+    positionalIndexBuild(Seq((1L, "alpha newest beta"))
+      .toDF("doc_id", "text"), s"$root/gen3")
+    Seq((1L, 2L), (1L, 3L)).toDF("doc_id", "asof_gen")
+      .write.parquet(s"$root/tomb2")
+    val v3 = updatedIndexViewOf(spark,
+      Seq(s"$root/gen1", s"$root/gen2", s"$root/gen3"), s"$root/tomb2")
+    assert(hits(v3, Seq("new", "beta"), 5).isEmpty,
+      "a twice-updated doc's middle generation still serves")
+    assert(hits(v3, Seq("newest", "beta"), 5) == Seq((1L, 1L)))
+    assert(v3.filter(col("doc_id") === 1L).count() == 3,
+      "multi-row tombstones duplicated the newest generation's postings")
   }
 
   // ---- idx14 federated multi-segment serve -----------------------------------
@@ -1444,6 +1459,14 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 3L, 2L, 1L, 1L, mean0),
       (1L, 1L, 1L, 0L, 0L, 1000000L)),
       s"audit diverged from hand arithmetic: $got")
+    // a FULLY-deleted cell reports a NULL live mean, not a 0/0
+    // artifact (self-review regression): tombstone every cell-1 member
+    Seq(3L, 4L).toDF("vec_id").write.parquet(s"$root/tombAll1")
+    val dead = ivfStalenessOf(spark, s"$root/g1", s"$root/tombAll1",
+        s"$root/centroids").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(2), r.isNullAt(5)))
+    assert(dead.toSeq == Seq((0L, 2L, false), (1L, 0L, true)),
+      s"fully-deleted cell mean is not NULL: ${dead.toSeq}")
     // the real-corpus entry: totals partition and the audit sees the
     // whole index (sum of cells == corpus), misassignment has signal
     val rows = run("s27_ivf_staleness").collect()
