@@ -861,6 +861,25 @@ object Curation {
     PipelineOps.maxScoreServeOf(spark, indexPath, doclenPath,
       impactPath, terms, k, k1, b)
 
+  /** Persist the interpolated-Kneser-Ney bigram LM as a parquet
+    * artifact (lm04's build half): four vocabulary-sized tables off
+    * one seed aggregation — the KenLM binary of a CCNet deployment,
+    * in columnar form. Seed slice = doc_id % 10 == 0 (lm03's split). */
+  def buildKnModel(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    PipelineOps.knModelPersist(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text")), path)
+
+  /** Score documents against a STORED KN model (lm04's serve half):
+    * byte-for-byte lm03's scoring dataflow with the model tables read
+    * cold — a scoring session never re-aggregates the seed. */
+  def knScoreFrom(docs: DataFrame, modelPath: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    PipelineOps.knScoreFrom(docs.sparkSession,
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text")), modelPath)
+
   /** Corpus-vs-index freshness audit (idx16's kernel — the trust gate
     * in front of every index serve mode): MISSING docs (ingest lag),
     * GHOST postings (uncompacted deletes) and length mismatches

@@ -2842,4 +2842,81 @@ class CurationOpsSpec extends AnyFunSuite {
       mmrRerankOf(emb, emb.filter(col("vec_id") === 100L),
         poolK = 3, k = 3, lamTimes10 = 0))
   }
+
+  test("lm04: stored-model serve == live trainer bit-identical; the scoring plan reads the corpus once, not the seed slice") {
+    import graft.queries.PipelineOps.{knModelPersist, knScoreFrom,
+      knBigramScoreOf}
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "text")
+    val mdir = java.nio.file.Files.createTempDirectory("graft-lm04-spec").toString
+    knModelPersist(docs, mdir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val stored = knScoreFrom(spark, docs, mdir).collect().map(key).toSeq
+    val live = knBigramScoreOf(docs).collect().map(key).toSeq
+    assert(stored.nonEmpty && stored == live,
+      "stored-model KN serve diverged from the live trainer")
+    // the stored artifact IS the live model: the bigram table matches
+    // an independent recompute through the live path's own aggregation
+    val bigStored = spark.read.parquet(s"$mdir/bigrams").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    import spark.implicits._
+    val bigLive = docs.as[(Long, String)].collect()
+      .filter { case (id, t) => id % 10 == 0 && t.split(" ", -1).length >= 2 }
+      .flatMap { case (_, t) =>
+        val w = t.split(" ", -1); (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+      }.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    assert(bigStored == bigLive, "persisted bigram table drifted from the seed")
+    // serve-plan discipline: the stored form scans the corpus text
+    // ONCE (the scoring stream); the live form must read it again for
+    // the seed aggregation — that second scan is what the artifact
+    // removes from every scoring session
+    def corpusScans(df: org.apache.spark.sql.DataFrame) =
+      "documents\\.parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(corpusScans(knScoreFrom(spark, docs, mdir)) == 1,
+      "stored serve reads the corpus more than once")
+    assert(corpusScans(knBigramScoreOf(docs)) >= 2,
+      "live-form baseline changed: the plan pin no longer distinguishes")
+  }
+
+  test("u09: one deletion request purges all three stores; serve-level evidence bites before and is silent after") {
+    val rows = run("u09_forget_me_e2e").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq("corpus", "text_index", "vector_index"))
+    val subjN = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 31 === 5).count()
+    rows.foreach { case (store, nb, na, nsa, ssb, ssa) =>
+      assert(nb - na == subjN, s"$store did not drop exactly the subject set")
+      assert(nsa == 0, s"$store still holds subject rows after deletion")
+      assert(ssa == 0, s"$store still SERVES the subject after deletion")
+    }
+    // the drill bites: the subject really was served pre-deletion by
+    // both search modalities (a certificate over an unfindable-anyway
+    // subject would prove nothing)
+    val served = rows.map(r => r._1 -> r._5).toMap
+    assert(served("text_index") > 0, "text probe never served the subject")
+    assert(served("vector_index") > 0, "ANN probe never served the subject")
+    // independent replay of the vector evidence: live probe counts
+    // with and without the subject
+    import graft.queries.PipelineOps.ivfProbeOf
+    graft.exprs.CosineSim.register(spark)
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val cent = emb.select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg("v").as("v"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("pv"))
+      .select(col("label").as("clabel"), expr("transform(pv, x -> x.v)").as("ce"))
+    val queries = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val liveBefore = ivfProbeOf(cent, emb, queries, k = 10, probes = 2)
+      .filter(col("nid") % 31 === 5).count()
+    val liveAfter = ivfProbeOf(cent, emb.filter(col("vec_id") % 31 =!= 5),
+        queries, k = 10, probes = 2)
+      .filter(col("nid") % 31 === 5).count()
+    assert(liveBefore == served("vector_index") && liveAfter == 0,
+      "card evidence diverged from the live probe replay")
+  }
 }
