@@ -374,6 +374,15 @@ object Similarity {
     PipelineOps.ivfStalenessOf(spark, postingsPath, tombstonesPath,
       centroidsPath)
 
+  /** Embeddings-vs-postings freshness audit (s29's kernel — idx16's
+    * trust gate on the vector side, plus the IVF-specific defect
+    * classes): missing vectors, ghost postings, multi-cell vectors
+    * (one vec under >1 label) and duplicate copies, with id checksums
+    * of the missing/ghost sets. `emb` needs vec_id; `postings` needs
+    * (vec_id, label). */
+  def vectorIndexFreshness(emb: DataFrame, postings: DataFrame): DataFrame =
+    PipelineOps.ivfFreshnessOf(emb.select("vec_id"), postings)
+
   /** Assign vectors to their nearest STORED centroid (s28's build
     * half — the stale coarse quantizer): the step a re-embedded batch
     * runs before landing as a new postings generation. `vecs` needs

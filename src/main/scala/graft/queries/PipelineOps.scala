@@ -5473,6 +5473,42 @@ object PipelineOps {
       .select(col("vec_id"), (-col("bst.nlab")).as("label"), col("e"))
   }
 
+  /** s29's kernel — the embeddings↔IVF-postings FRESHNESS/CONSISTENCY
+    * audit (idx16's discipline on the vector side, with the defect
+    * classes an IVF layout adds): MISSING vectors (in the corpus, no
+    * posting — unsearchable), GHOST postings (no corpus vector —
+    * uncompacted deletes serving dead ids), MULTI-CELL vectors (one
+    * vec posted under >1 label — breaks the IVF invariant that a
+    * probe visiting the right cell finds the vector exactly once,
+    * and double-counts it in cell stats), and DUPLICATE COPIES
+    * (same cell twice — a replayed append without the idempotent
+    * sink; the vector serves twice at the same rank position). One
+    * audit row with counts + id checksums of the missing/ghost sets.
+    * 100 TB: one partial-agg'd (vec_id, cells, copies) rollup of the
+    * postings meets the corpus id stream in a full-outer equi-join —
+    * narrow rows only, no embedding array crosses the exchange. */
+  private[graft] def ivfFreshnessOf(emb: DataFrame,
+      postings: DataFrame): DataFrame = {
+    val corpus = emb.select(col("vec_id"), lit(true).as("in_corpus"))
+    val istats = postings.groupBy("vec_id")
+      .agg(countDistinct("label").as("n_cells"), count(lit(1)).as("n_copies"))
+    corpus.join(istats, Seq("vec_id"), "full_outer")
+      .agg(
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("n_cells").isNotNull, 1L).otherwise(0L)).as("n_indexed"),
+        sum(when(col("in_corpus") && col("n_cells").isNull, 1L)
+          .otherwise(0L)).as("n_missing"),
+        sum(when(col("in_corpus").isNull && col("n_cells").isNotNull, 1L)
+          .otherwise(0L)).as("n_ghost"),
+        sum(when(col("n_cells") > 1, 1L).otherwise(0L)).as("n_multi_cell"),
+        sum(when(col("n_copies") > col("n_cells"), 1L).otherwise(0L))
+          .as("n_dup_copies"),
+        coalesce(sum(when(col("in_corpus") && col("n_cells").isNull,
+          col("vec_id"))), lit(0L)).as("missing_checksum"),
+        coalesce(sum(when(col("in_corpus").isNull && col("n_cells").isNotNull,
+          col("vec_id"))), lit(0L)).as("ghost_checksum"))
+  }
+
   /** s27's kernel — IVF index STALENESS audit (idx07's index-health
     * discipline on the vector side, and the "when do we rebuild" gate
     * s26's stale-centroid trade defers to: FAISS/Milvus production
@@ -7082,6 +7118,38 @@ object PipelineOps {
       ivfProbeOf(s.read.parquet(s"$shared/centroids"), view, queries,
           k = 5, probes = 2)
         .orderBy("qid", "rk")
+    }),
+
+    "s29_vector_index_freshness" -> ((s, d) => {
+      // Embeddings-vs-postings consistency audit over a deliberately
+      // damaged IVF artifact: the build skips vec_id % 11 == 7
+      // (MISSING), carries % 13 == 2 under shifted ids (+1e7, GHOSTS),
+      // posts % 19 == 3 into a SECOND cell (multi-cell — breaks the
+      // one-vector-one-cell IVF invariant), and double-inserts
+      // % 23 == 6 into their own cell (duplicate copies — a replayed
+      // append without the idempotent sink). The audit must find
+      // exactly these sets; counts and checksums replay in the
+      // oracle. Builds memoized. Scale notes on the kernel scaladoc.
+      val root = graphArtifacts.computeIfAbsent(s"$d|s29", _ => {
+        val out = EngineOps.tempDir("graft-s29")
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("e"))
+        val kept = emb.filter(col("vec_id") % 11 =!= 7)
+        kept
+          .unionByName(emb.filter(col("vec_id") % 13 === 2)
+            .select((col("vec_id") + 10000000L).as("vec_id"),
+              col("label"), col("e")))
+          .unionByName(kept.filter(col("vec_id") % 19 === 3)
+            .select(col("vec_id"), ((col("label") + 1) % 10).as("label"),
+              col("e")))
+          .unionByName(kept.filter(col("vec_id") % 23 === 6))
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$out/postings")
+        out
+      })
+      ivfFreshnessOf(t(s, d, "embeddings").select("vec_id"),
+        s.read.parquet(s"$root/postings"))
     }),
 
     "s27_ivf_staleness" -> ((s, d) => {
@@ -10630,6 +10698,45 @@ object PipelineOps {
       SELECT s.stage, qid, rk, nid, c
       FROM r, (VALUES ('compacted'), ('tombstoned')) s(stage)
       WHERE rk <= 5 ORDER BY s.stage, qid, rk""",
+
+    // s29: the damaged postings replay as per-vec (cells, copies)
+    // arithmetic, then the same full-outer defect rollup
+    "s29_vector_index_freshness" -> """
+      WITH ind AS (
+        SELECT vec_id, label FROM embeddings WHERE vec_id % 11 <> 7
+        UNION ALL
+        SELECT vec_id + 10000000, label FROM embeddings WHERE vec_id % 13 = 2
+        UNION ALL
+        SELECT vec_id, (label + 1) % 10 FROM embeddings
+        WHERE vec_id % 11 <> 7 AND vec_id % 19 = 3
+        UNION ALL
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id % 11 <> 7 AND vec_id % 23 = 6),
+      istats AS (
+        SELECT vec_id, count(DISTINCT label) AS n_cells, count(*) AS n_copies
+        FROM ind GROUP BY vec_id),
+      j AS (
+        SELECT coalesce(c.vec_id, i.vec_id) AS vec_id,
+               c.vec_id IS NOT NULL AS in_corpus, i.n_cells, i.n_copies
+        FROM (SELECT vec_id FROM embeddings) c
+        FULL OUTER JOIN istats i ON c.vec_id = i.vec_id)
+      SELECT
+        CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+        CAST(sum(CASE WHEN n_cells IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_indexed,
+        CAST(sum(CASE WHEN in_corpus AND n_cells IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_missing,
+        CAST(sum(CASE WHEN NOT in_corpus AND n_cells IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_ghost,
+        CAST(sum(CASE WHEN n_cells > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_multi_cell,
+        CAST(sum(CASE WHEN n_copies > n_cells THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_copies,
+        CAST(coalesce(sum(CASE WHEN in_corpus AND n_cells IS NULL
+          THEN vec_id END), 0) AS BIGINT) AS missing_checksum,
+        CAST(coalesce(sum(CASE WHEN NOT in_corpus AND n_cells IS NOT NULL
+          THEN vec_id END), 0) AS BIGINT) AS ghost_checksum
+      FROM j""",
 
     // s28: re-embed (reverse), re-quantize against the STALE stored
     // centroids (argmax ties cc desc, clabel asc), then the standard

@@ -1488,6 +1488,35 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"tombstone/centroid sides lost their broadcasts:\n$plan")
   }
 
+  test("s29: clean postings audit clean; crafted IVF defects found exactly; entry checksums match the damage predicates") {
+    import spark.implicits._
+    import graft.queries.PipelineOps.ivfFreshnessOf
+    val emb = Tables.t(spark, dir, "embeddings")
+    // false-positive check: the exact corpus posted once per vector
+    val cleanPost = emb.select("vec_id", "label")
+    val clean = ivfFreshnessOf(emb.select("vec_id"), cleanPost).collect().head
+    assert(clean.getLong(0) == clean.getLong(1) &&
+      (2 to 5).forall(clean.getLong(_) == 0),
+      s"healthy postings audited dirty: ${clean.toSeq}")
+    // crafted defects, one of each class: v1 missing, ghost 99,
+    // v3 in two cells, v4 twice in one cell
+    val post = Seq((2L, 0L), (99L, 1L), (3L, 0L), (3L, 1L),
+      (4L, 1L), (4L, 1L)).toDF("vec_id", "label")
+    val corpus = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val got = ivfFreshnessOf(corpus, post).collect().head
+    assert(got.toSeq == Seq(4L, 4L, 1L, 1L, 1L, 1L, 1L, 99L),
+      s"crafted defects not found exactly: ${got.toSeq}")
+    // the entry's checksums identify exactly the perturbed id sets
+    val row = run("s29_vector_index_freshness").collect().head
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    assert(row.getLong(6) == ids.filter(_ % 11 == 7).sum,
+      "missing checksum != the skipped-build id set")
+    assert(row.getLong(7) == ids.filter(_ % 13 == 2).map(_ + 10000000L).sum,
+      "ghost checksum != the shifted-id set")
+    assert(row.getLong(4) > 0 && row.getLong(5) > 0,
+      "a damage class found nothing: perturbation inert")
+  }
+
   test("s26 compaction: new generation carries no tombstones, keeps the label layout; anti-join stays broadcast with pruning intact") {
     import spark.implicits._
     import graft.queries.PipelineOps.{tombstonedPostingsOf, ivfCompactOf}
