@@ -1511,7 +1511,18 @@ object PipelineOps {
     * state is driver-resident by design, the data never moves). In
     * production the labeled training set is a bounded sample anyway;
     * scoring at corpus scale is [[trainedQualityScoreOf]], a pure map
-    * with the weights inlined as literals. */
+    * with the weights inlined as literals.
+    *
+    * EXACTNESS BOUND on the training-set size: the per-row
+    * gradient/loss terms reach ~1e12 in magnitude and sum into Spark
+    * LongType (non-ANSI — silent wrap past 2^63), while the DuckDB
+    * replay widens BIGINT sums to HUGEINT; past ~9.2M labeled rows
+    * the engines can diverge with no error. The labeled train split
+    * must stay under that bound (production fine-web-style labeled
+    * sets are 1e5-1e6 docs; enforce via an upstream sample when
+    * composing over a larger slice) — or widen the sums to
+    * DecimalType(38,0) at a measured ~15% iteration cost if a larger
+    * split is ever needed. */
   private[graft] def trainedQualityTraceOf(docs: DataFrame, lr: Double,
       iters: Int): Seq[QualityModelStep] = {
     require(iters >= 1 && iters <= 64,
