@@ -807,13 +807,22 @@ object PipelineOps {
     // CodegenFallback, and the unrolled Lloyd trajectory duplicates
     // this subtree ~20x (semantics identical: strict left-to-right sum)
     val sqDist = expr("sq_dist(e, ce)")
+    // the nearest-centroid election is the WINDOWLESS min(struct) form
+    // (s17's pattern): struct ordering compares (dist, cluster) first —
+    // exactly the old window's (dist asc, cluster asc) rank-1 row, and
+    // (dist, cluster) is unique per candidate row so the trailing `e`
+    // never participates in ordering. A groupBy partial-aggregates
+    // map-side, so each Lloyd iteration shuffles ~N pre-combined rows
+    // instead of window-sorting all N·k scored candidates (guide §2.3
+    // "aggregate before you shuffle"; the trajectory — same elections,
+    // same quantized centroids — is bit-identical, oracle-pinned)
     def assign(c: DataFrame) = {
-      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cluster").asc)
       emb.crossJoin(broadcast(c))
         .withColumn("dist", sqDist)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("e"), col("cluster"), col("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"), col("e"))).as("m"))
+        .select(col("vec_id"), col("m.e").as("e"),
+          col("m.cluster").as("cluster"), col("m.dist").as("dist"))
     }
     var assigned = assign(cent)
     (2 to iters).foreach { _ =>
