@@ -434,6 +434,21 @@ object MediaCatalogOps {
       val docsDf = graft.Tables.t(s, d, "documents")
       val corpusStatic = docsDf.filter(col("doc_id") % 7 =!= 3)
         .select("doc_id", "text")
+      // the corpus inverted index IS the stored artifact (this entry's
+      // own 100 TB story, d20's layout) — memoized like st14's base;
+      // before, every micro-batch re-shingled the whole standing
+      // corpus. Each batch now probes the cold artifacts through
+      // crossJaccardAgainstIndex — the d20 serve kernel, which
+      // crossJaccardPairsOf delegates to, so the verdict is
+      // definitionally identical.
+      val idx = baseIndexes.computeIfAbsent(s"$d|st06idx", _ => {
+        val out = EngineOps.tempDir("graft-st06idx")
+        val csh = graft.queries.PipelineOps.shingles(corpusStatic)
+        csh.write.mode("overwrite").parquet(s"$out/postings")
+        csh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$out/sizes")
+        out
+      })
       val batchDocs = docsDf.filter(col("doc_id") % 7 === 3)
         .select("doc_id", "text", "lang")
         .as[graft.streaming.Streams.Doc].collect().toSeq
@@ -442,8 +457,10 @@ object MediaCatalogOps {
       val base = EngineOps.tempDir("graft-st06")
       val q = input.toDF().writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val dupIds = graft.queries.PipelineOps.crossJaccardPairsOf(
-            batch.select("doc_id", "text"), corpusStatic, 0.5)
+          val dupIds = graft.queries.PipelineOps.crossJaccardAgainstIndex(
+            batch.select("doc_id", "text"),
+            s.read.parquet(s"$idx/postings"),
+            s.read.parquet(s"$idx/sizes"), 0.5)
             .select(col("b_id").as("doc_id")).distinct()
           batch.join(dupIds, Seq("doc_id"), "left_anti")
             .write.mode("append").parquet(s"$base/out")
