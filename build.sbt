@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and keeps only the last
+// ~2000 chars of merged output, parsed as a JSON line. sbt's default fork
+// logger prefixes the program's stdout with "[info] " and appends its own
+// "[success] Total time: ..." line, so the bench's JSON line was never
+// the last parseable line (BENCH_r01-r11 all have parsed:null). Inherit
+// the console instead of logging through sbt, and drop the [success]
+// trailer, so the bench's println is the absolute last line of output.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

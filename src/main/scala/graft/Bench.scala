@@ -105,11 +105,19 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
+    // "sf" as the bare number when the dir is named sfN.N (matches the
+    // driver's own numeric representation); the raw name otherwise
+    val sfJson = {
+      val n = sfName.stripPrefix("sf")
+      if (n.nonEmpty && n.forall(c => c.isDigit || c == '.') && n != ".")
+        n
+      else "\"" + sfName + "\""
+    }
     val fullJson = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val rt = retried.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"retried":$rt,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"retried":$rt,"sf":$sfJson}"""
     }
     if (only.isEmpty) { // filtered isolation runs must not clobber the full map
       try {
@@ -118,18 +126,29 @@ object Bench {
       } catch { case _: Exception => () }
     }
     // line budget 1700 bytes: keep the slowest queries (the regression
-    // surface), drop cheapest first, count what was dropped
+    // surface), drop cheapest first. The line carries EXACTLY the
+    // contract keys (metric, value, unit, queries, sf) — the dropped-
+    // entry count and the complete per-query map live in
+    // BENCH_FULL.json; extra keys here would risk a strict parser.
     val byCost = results.sortBy(-_._2)
     def lineFor(keep: Int): String = {
       val kept = byCost.take(keep).sortBy(_._1)
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-        s""""omitted_fastest":${results.length - keep},"full":"BENCH_FULL.json","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
     }
     var keep = results.length
     while (keep > 1 && lineFor(keep).length > 1700) keep -= 1
-    println(lineFor(keep))
+    val line = lineFor(keep)
+    // stop the session BEFORE printing: Spark's stop-time WARN lines
+    // land on the merged stdout/stderr capture AHEAD of the JSON, so
+    // the JSON is the absolute last line of output. (Every BENCH_r*
+    // tail shows the driver keeps only the final ~2000 chars and has
+    // never parsed a line that was [info]-prefixed by sbt's fork
+    // logger or followed by sbt's "[success] Total time" line — the
+    // build now forks with StdoutOutput and showSuccess := false so
+    // neither happens.)
     spark.stop()
+    println(line)
   }
 }
