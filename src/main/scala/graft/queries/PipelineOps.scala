@@ -801,32 +801,57 @@ object PipelineOps {
     * notes at the s04 entry. */
   private[graft] def kmeansAssignOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     graft.exprs.SqDist.register(emb.sparkSession)
-    var cent = seedByRank(emb, k, "cluster")
-      .select(col("cluster"), col("e").as("ce"))
-    // native codegen'd sq_dist — the aggregate/zip_with HOF ran as
-    // CodegenFallback, and the unrolled Lloyd trajectory duplicates
-    // this subtree ~20x (semantics identical: strict left-to-right sum)
-    val sqDist = expr("sq_dist(e, ce)")
-    // the nearest-centroid election is the WINDOWLESS min(struct) form
-    // (s17's pattern): struct ordering compares (dist, cluster) first —
-    // exactly the old window's (dist asc, cluster asc) rank-1 row, and
-    // (dist, cluster) is unique per candidate row so the trailing `e`
-    // never participates in ordering. A groupBy partial-aggregates
-    // map-side, so each Lloyd iteration shuffles ~N pre-combined rows
-    // instead of window-sorting all N·k scored candidates (guide §2.3
-    // "aggregate before you shuffle"; the trajectory — same elections,
-    // same quantized centroids — is bit-identical, oracle-pinned)
-    def assign(c: DataFrame) = {
-      emb.crossJoin(broadcast(c))
-        .withColumn("dist", sqDist)
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cluster"), col("e"))).as("m"))
-        .select(col("vec_id"), col("m.e").as("e"),
+    // Centroids are DRIVER-RESIDENT between iterations (MLlib KMeans'
+    // shape — k·dims doubles, bounded by contract) and the
+    // nearest-centroid election is IN-ROW (guide §8's "decide with
+    // small rows" taken to its limit — the corpus row never moves):
+    // each iteration folds the k centroids into ONE constant array of
+    // (cluster, ce) structs and every vector elects
+    // array_min(transform(...)) over it — the SAME (dist, cluster)
+    // struct ordering as the previous
+    // groupBy(vec_id).min(struct(dist, cluster, e)) form ((dist,
+    // cluster) is unique per candidate so nothing after it ever
+    // orders), evaluated per row instead of per shuffled group.
+    //
+    // What this removes, per Lloyd iteration: the shuffle of all N
+    // rows WITH their embedding payload (guide §2.3/§8 — the heavy
+    // bytes now move zero times; only the (cluster, dim) centroid
+    // partial-agg still shuffles, K·dims pre-combined rows), the
+    // SortAggregate sort that struct-min forced on every partition,
+    // and — because the per-iteration collect ends the lineage — the
+    // Lloyd subtree no longer replays inside every downstream plan
+    // (the unrolled trajectory used to duplicate it ~20×; planning
+    // cost and the self-join's double-subtree both die with it).
+    // transform/array_min run interpreted (CodegenFallback) but
+    // sq_dist inside stays the native kernel — §1.2's order: the
+    // removed N-row exchange dominates any per-row interpretive cost.
+    // The trajectory — same elections (collected doubles re-enter as
+    // exact literals, no string roundtrip), same quantized centroids —
+    // is bit-identical, oracle-pinned. At a k·dims too big for a plan
+    // constant, the same dataflow takes the centroid array as a
+    // broadcast variable instead; the contract ks are literal-sized.
+    def centConst(cs: Seq[(Int, Seq[Double])]): Column =
+      if (cs.isEmpty) // empty corpus: typed empty array, no elections
+        array().cast("array<struct<cluster:int,ce:array<double>>>")
+      else array(cs.map { case (cl, ce) =>
+        struct(lit(cl).as("cluster"), array(ce.map(lit(_)): _*).as("ce"))
+      }: _*)
+    def collectCent(c: DataFrame): Seq[(Int, Seq[Double])] =
+      c.collect().toSeq.map(r =>
+        r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    def assign(cs: Seq[(Int, Seq[Double])]) = {
+      emb.withColumn("carr", centConst(cs))
+        .withColumn("m", expr(
+          "array_min(transform(carr, cc -> " +
+            "named_struct('dist', sq_dist(e, cc.ce), 'cluster', cc.cluster)))"))
+        .select(col("vec_id"), col("e"),
           col("m.cluster").as("cluster"), col("m.dist").as("dist"))
     }
+    var cent = collectCent(seedByRank(emb, k, "cluster")
+      .select(col("cluster"), col("e").as("ce")))
     var assigned = assign(cent)
     (2 to iters).foreach { _ =>
-      cent = meanVectors(assigned, "cluster", quantize = Some(9))
+      cent = collectCent(meanVectors(assigned, "cluster", quantize = Some(9)))
       assigned = assign(cent)
     }
     assigned
@@ -850,7 +875,11 @@ object PipelineOps {
     // localCheckpoint measured 1.6x WORSE at sf1 (6.55 s -> 10.67 s
     // isolated min-of-2) while adding eager execution and non-
     // replicated executor-local state a long-lived app can lose
+    // same single-exchange self-join as knnGraphOf: both sides read
+    // the one repartition(cluster) stage instead of exchanging the
+    // Lloyd subtree twice (guide §2.4)
     val assigned = kmeansAssignOf(emb, k, iters).select("vec_id", "e", "cluster")
+      .repartition(col("cluster"))
     val keep = assigned.select(col("cluster"), col("vec_id").as("keep_id"),
       col("e").as("ke"))
     assigned.join(keep, Seq("cluster"))
@@ -916,7 +945,14 @@ object PipelineOps {
   private[graft] def knnGraphOf(emb: DataFrame, k: Int, iters: Int,
       topK: Int): DataFrame = {
     graft.exprs.CosineSim.register(emb.sparkSession)
+    // ONE exchange serves both sides of the within-cell self-join
+    // (guide §2.4): both join inputs derive from the same
+    // repartition(cluster), so the shuffle materializes once (runtime
+    // stage reuse) and the join sees both sides already clustered —
+    // where the bare join exchanged the full Lloyd subtree TWICE, once
+    // per side.
     val assigned = kmeansAssignOf(emb, k, iters).select("vec_id", "e", "cluster")
+      .repartition(col("cluster"))
     val nbrs = assigned.select(col("cluster"), col("vec_id").as("nbr_id"),
       col("e").as("ne"))
     val w = Window.partitionBy("vec_id")
@@ -969,8 +1005,13 @@ object PipelineOps {
     val vecs = emb.select(col("vec_id"), col("e"))
     val wSeed = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("nbr_id").asc)
+    // ONE exchange serves both sides of the bridge-bucket self-join
+    // (knnGraphOf's pattern, guide §2.4): both join inputs read the
+    // same repartition(bkt) stage instead of exchanging the bucketed
+    // corpus twice.
     val bkted = vecs.withColumn("bkt",
       pmod(expr("md5_bits60(cast(vec_id as string))"), lit(bridgeBuckets.toLong)))
+      .repartition(col("bkt"))
     val bridges = bkted.as("x")
       .join(bkted.select(col("bkt"), col("vec_id").as("nbr_id"),
         col("e").as("ne")), Seq("bkt"))
@@ -980,17 +1021,30 @@ object PipelineOps {
       .filter(col("rk") <= topK)
       .select("vec_id", "nbr_id", "cos")
     val chain = new BarrierChain(checkpointDir)
+    // NO distinct on the seed union: both consumers dedupe on their own
+    // — sym ends in .distinct(), and the round's (vec_id, nbr_id)
+    // groupBy max(cos) collapses any base∩bridge overlap (cos is a
+    // function of the pair, so overlapping rows are identical) — so the
+    // seed distinct was one full exchange + AQE round for nothing
+    // (guide §2.4: "a distinct on data that is already unique", here a
+    // distinct under consumers that re-dedupe)
     var edges = chain.barrier(base.select("vec_id", "nbr_id", "cos")
-      .union(bridges).distinct())
+      .union(bridges))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("nbr_id").asc)
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val sym = edges.select(col("vec_id").as("a"), col("nbr_id").as("b"))
         .union(edges.select(col("nbr_id").as("a"), col("vec_id").as("b")))
         .distinct()
+      // repartition(vec_id) BEFORE the dedup: hashpartitioning(vec_id)
+      // satisfies the distinct's (vec_id, nbr_id) clustering AND the
+      // vector-fetch join's vec_id key, so the candidate stream crosses
+      // the wire once instead of twice (guide §2.4 — the same fusion as
+      // the round's tail repartition below)
       val cand = sym.as("x").join(sym.as("y"), col("x.b") === col("y.a"))
         .select(col("x.a").as("vec_id"), col("y.b").as("nbr_id"))
         .filter(col("vec_id") =!= col("nbr_id"))
+        .repartition(col("vec_id"))
         .distinct()
       val scored = cand
         .join(vecs, Seq("vec_id"))
@@ -1004,19 +1058,23 @@ object PipelineOps {
       // window's vec_id partitioning, where the bare groupBy keyed the
       // exchange on the full pair and forced a second exchange for
       // the window)
-      edges = chain.barrier(edges.union(scored)
+      val next = edges.union(scored)
         .repartition(col("vec_id"))
         .groupBy("vec_id", "nbr_id").agg(max("cos").as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= topK)
-        .select("vec_id", "nbr_id", "cos"))
+      // the LAST round stays LAZY: its tail already carries the final
+      // per-vertex rank, so the output projection below consumes it
+      // directly — no final-round barrier job, no re-window (the old
+      // shape checkpointed round R and then ranked the checkpoint
+      // again; only rounds that feed ANOTHER round need the barrier's
+      // lineage cut, which is what keeps lineage flat at cluster scale)
+      edges = if (r < rounds) chain.barrier(next.select("vec_id", "nbr_id", "cos"))
+        else next
     }
-    // the filter is a no-op on the ≤ topK checkpointed edges, but it
-    // keeps the final rank a WindowGroupLimit bounded heap like the
-    // per-round cuts (which checkpointing hides from the final plan)
-    edges.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
+    // after the loop `edges` is the last round's lazy tail and still
+    // carries its per-vertex rank — project it straight through
+    edges.select(col("vec_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
   /** s20's kernel — graph-based ANN SERVE over the [[nnDescentOf]]
