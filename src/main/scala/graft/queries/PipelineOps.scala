@@ -3516,6 +3516,26 @@ object PipelineOps {
       .select(col("doc_id"), round(score, 4).as("score"))
   }
 
+  /** [[bm25ScoresWith]] with DRIVER-LITERAL statistics (idx13's
+    * MaxScore serve): the expression tree is s07/idx04's verbatim with
+    * col("n")/col("df_i")/col("avgdl") replaced by literals carrying
+    * the SAME doubles the one-row stats frame carried — bit-identical
+    * scores, but no stats subtree (4 aggregates + crossJoin +
+    * broadcast) replayed in each phase's plan. */
+  private[graft] def bm25ScoresWithLit(tfs: Seq[DataFrame], nDocs: Double,
+      avgdl: Double, dfs: Seq[Double], doclen: DataFrame, cands: DataFrame,
+      k1: Double, b: Double): DataFrame = {
+    var feat = cands.join(doclen, Seq("doc_id"))
+    tfs.foreach(tfI => feat = feat.join(tfI, Seq("doc_id"), "left"))
+    val score = tfs.indices.map { i =>
+      val tf = coalesce(col(s"tf$i"), lit(0.0))
+      val idf = log((lit(nDocs) - lit(dfs(i)) + 0.5) / (lit(dfs(i)) + 0.5) + 1)
+      idf * tf * (k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    feat.select(col("doc_id"), round(score, 4).as("score"))
+  }
+
   /** idx13's build half — the per-term IMPACT sidecar next to the
     * positional index (Block-Max WAND's per-block maxima collapsed to
     * one per-term bound, the statistic every dynamic-pruning serve
@@ -3594,27 +3614,55 @@ object PipelineOps {
       s"query terms must be distinct, got $terms")
     val index = spark.read.parquet(indexDir)
     val doclen = spark.read.parquet(doclenDir)
-    val ub = spark.read.parquet(impactDir)
+    // ONE pruned pass over the postings builds EVERY term's tf stream
+    // (the per-term scans pivoted into one — guide §1.2, r11 verdict
+    // #4): the scan prunes to the union of the terms' bucket
+    // directories (PartitionFilter) with the term set pushed, and the
+    // (term, doc_id, tf) frame checkpoints once; each per-term tf view
+    // is a local filter of it. Per-term tf values are identical to the
+    // old bm25TermScans streams (bucket is a function of term, so the
+    // filtered row set is the same union).
+    val combined = index
+      .filter(col("bucket").isin(terms.map(termBucket).distinct: _*) &&
+        col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
+    val tfs = terms.zipWithIndex.map { case (tm, i) =>
+      combined.filter(col("term") === tm)
+        .select(col("doc_id"), col("tf").as(s"tf$i"))
+    }
+    // collection stats + per-term sidecar bounds in ONE driver
+    // round-trip (the old shape collected ub, then built a one-row
+    // stats frame that every phase crossJoined — 4 more aggregate
+    // stages and a broadcast in each phase's plan): n, avgdl, each
+    // term's df and ub land together; the scoring tree below takes
+    // them as literals carrying the SAME doubles the stats frame
+    // carried, so the scores are bit-identical.
+    val statsRows = spark.read.parquet(impactDir)
       .filter(col("term").isin(terms: _*))
-      .select("term", "ub_micro").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .select(col("term"), col("ub_micro"))
+      .join(combined.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df")), Seq("term"), "left")
+      .crossJoin(broadcast(doclen.agg(count(lit(1)).cast("double").as("n"),
+        avg("dl").as("avgdl"))))
+      .collect()
+    val ub = statsRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfm = statsRows.map(r => r.getString(0) ->
+      (if (r.isNullAt(2)) 0.0 else r.getDouble(2))).toMap
     val missing = terms.filterNot(ub.contains)
     require(missing.isEmpty,
       s"terms absent from the impact sidecar: $missing")
+    val nDocs = statsRows.head.getDouble(3)
+    val avgdl = statsRows.head.getDouble(4)
+    val dfs = terms.map(dfm)
     // t0 = the highest-impact term (ub desc, term asc ties); the tf
     // scans stay in the ORIGINAL terms order — the scoring sum is
     // order-sensitive in floats and must replicate the oracle's tree
     val t0 = terms.sortBy(tm => (-ub(tm), tm)).head
-    // the tf streams are df(term)-sized by contract and feed BOTH
-    // phases, the candidate set, the bound sums and the collection
-    // stats — checkpoint each once so the postings buckets are read
-    // once per term, not once per consumer (guide §1.2; at cluster
-    // scale a reliable checkpoint or a cache of the same frames)
-    val tfs = bm25TermScans(index, terms).map(_.localCheckpoint())
-    // one stats row shared by both phases (bm25StatsOf scaladoc)
-    val stats = bm25StatsOf(tfs, doclen).localCheckpoint()
     val cands1 = tfs(terms.indexOf(t0)).select("doc_id")
-    val scored1 = bm25ScoresWith(tfs, stats, doclen, cands1, k1, b)
+    val scored1 = bm25ScoresWithLit(tfs, nDocs, avgdl, dfs, doclen,
+      cands1, k1, b)
       .localCheckpoint() // feeds theta, the final union AND the cert
     val headK = scored1
       .select(col("doc_id"),
@@ -3632,13 +3680,21 @@ object PipelineOps {
     }.reduce(_ unionByName _)
       .join(cands1, Seq("doc_id"), "left_anti")
       .groupBy("doc_id").agg(sum("ub").as("ubsum"))
-    val scored2 = bm25ScoresWith(tfs, stats, doclen,
+    val scored2 = bm25ScoresWithLit(tfs, nDocs, avgdl, dfs, doclen,
       bounds.filter(col("ubsum") >= theta).select("doc_id"), k1, b)
-    val cert = scored1.agg(count(lit(1)).as("c1"))
-      .crossJoin(scored2.agg(count(lit(1)).as("c2")))
-      .crossJoin(bounds.filter(col("ubsum") < theta)
-        .agg(count(lit(1)).as("n_pruned")))
-      .select((col("c1") + col("c2")).as("n_scored"), col("n_pruned"))
+    // the cost certificate from ONE aggregate over bounds: phase-1
+    // scored exactly df(t0) docs (cands1 = t0's tf stream, every doc
+    // has a doclen row — already a driver literal), and phase 2 scores
+    // exactly the ubsum >= θ survivors, so counting scored1/scored2
+    // re-evaluated the whole phase-2 join tree for numbers the bound
+    // frame already determines. Values identical (oracle-pinned);
+    // coalesce keeps the empty-bounds edge at 0 like count() was.
+    val cert = bounds.agg(
+      (lit(dfs(terms.indexOf(t0)).toLong) + coalesce(
+        sum(when(col("ubsum") >= theta, 1L).otherwise(0L)),
+        lit(0L))).as("n_scored"),
+      coalesce(sum(when(col("ubsum") < theta, 1L).otherwise(0L)),
+        lit(0L)).as("n_pruned"))
     scored1.unionByName(scored2)
       .crossJoin(broadcast(cert))
       .orderBy(col("score").desc, col("doc_id"))
