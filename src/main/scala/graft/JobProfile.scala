@@ -53,17 +53,28 @@ object JobProfile {
       SparkEntry.queries.get(name) match {
         case None => println(s"[jobprofile] unknown query: $name")
         case Some(fn) =>
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm pass
+          // NonFatal only, and the timed passes get the same guard: a
+          // failing query must report and move on, not abort the whole
+          // multi-query profile after a masked warmup
+          try { fn(spark, sfDir).count() } // warm pass
+          catch { case scala.util.control.NonFatal(e) =>
+            println(s"[jobprofile] $name warm pass failed: $e") }
           Seq(1, 2).foreach { it =>
             jobs.set(0); stages.set(0); tasks.set(0)
             taskTimeMs.set(0); shuffleRead.set(0); shuffleWrite.set(0)
             val t0 = System.nanoTime()
-            val n = fn(spark, sfDir).count()
-            val wall = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(200) // let the listener bus drain
-            println(f"[jobprofile] $name%-36s it$it wall=$wall%7.3f s jobs=${jobs.get}%3d " +
-              f"stages=${stages.get}%3d tasks=${tasks.get}%5d taskTime=${taskTimeMs.get / 1000.0}%8.3f s " +
-              f"shufR=${shuffleRead.get / 1024}%8d KB shufW=${shuffleWrite.get / 1024}%8d KB rows=$n")
+            try {
+              val n = fn(spark, sfDir).count()
+              val wall = (System.nanoTime() - t0) / 1e9
+              // deterministic listener drain (the fixed sleep raced on
+              // a slow bus and under-counted stages)
+              org.apache.spark.graftdev.ListenerDrain.drain(spark.sparkContext)
+              println(f"[jobprofile] $name%-36s it$it wall=$wall%7.3f s jobs=${jobs.get}%3d " +
+                f"stages=${stages.get}%3d tasks=${tasks.get}%5d taskTime=${taskTimeMs.get / 1000.0}%8.3f s " +
+                f"shufR=${shuffleRead.get / 1024}%8d KB shufW=${shuffleWrite.get / 1024}%8d KB rows=$n")
+            } catch { case scala.util.control.NonFatal(e) =>
+              println(s"[jobprofile] $name it$it FAILED: $e")
+            }
           }
       }
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }

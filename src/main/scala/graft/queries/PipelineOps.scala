@@ -1590,6 +1590,20 @@ object PipelineOps {
     * composing over a larger slice) — or widen the sums to
     * DecimalType(38,0) at a measured ~15% iteration cost if a larger
     * split is ever needed. */
+  /** t25's exactness-bound guard, factored so the contract is
+    * unit-testable without a 9M-row fixture: per-row gradient/loss
+    * terms reach ~1e12 and sum into Spark LongType (non-ANSI — silent
+    * wrap past 2^63) while the DuckDB oracle widens BIGINT sums to
+    * HUGEINT, so past ~9.2M labeled rows the engines diverge with no
+    * error. Production trains on a bounded labeled sample anyway; fail
+    * loudly rather than diverge silently. */
+  private[graft] def requireTrainBound(nTrain: Long): Unit = {
+    require(nTrain > 0, "t25 needs a non-empty training split")
+    require(nTrain <= 9000000L,
+      s"t25's exact-BIGINT gradient sums overflow past ~9.2M training " +
+        s"rows (got $nTrain); train on a bounded sample split")
+  }
+
   private[graft] def trainedQualityTraceOf(docs: DataFrame, lr: Double,
       iters: Int): Seq[QualityModelStep] = {
     require(iters >= 1 && iters <= 64,
@@ -1620,15 +1634,7 @@ object PipelineOps {
       val aggs = gs ++ stats
       val r = feats.agg(aggs.head, aggs.tail: _*).head()
       nTrain = r.getLong(6)
-      require(nTrain > 0, "t25 needs a non-empty training split")
-      // exactness bound: per-row gradient/loss terms reach 1e12 and
-      // sum into LongType (non-ANSI — silent wrap past ~9.2e6 train
-      // rows, where the DuckDB oracle's HUGEINT would keep going).
-      // Production trains on a bounded labeled sample anyway; fail
-      // loudly rather than diverge silently.
-      require(nTrain <= 9000000L,
-        s"t25's exact-BIGINT gradient sums overflow past ~9.2M training " +
-          s"rows (got $nTrain); train on a bounded sample split")
+      requireTrainBound(nTrain)
       trace += QualityModelStep(k, w(0), w(1), w(2), w(3), w(4),
         math.floor(r.getLong(5) / (nTrain * 1000000.0)).toLong,
         r.getLong(7), r.getLong(8))
@@ -2772,7 +2778,12 @@ object PipelineOps {
   private[graft] def clusteredArtifactWrite(df: DataFrame, part: String,
       saltKey: Column, sortCols: Seq[String], dir: String,
       mode: String = "overwrite"): Unit = {
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // defensive parse: "auto" (some AQE/cluster configs) or any
+    // non-numeric value must not throw at every artifact write —
+    // fall back to the context's default parallelism
+    val p = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val salt = math.max(1L, (p / 16).toLong)
     df.repartition(col(part), pmod(xxhash64(saltKey), lit(salt)))
       .sortWithinPartitions(part +: sortCols map col: _*)

@@ -256,4 +256,21 @@ class QualityTrainSpec extends AnyFunSuite {
         "facade selection diverged from the kernel")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("t25 exactness bound: the trainer refuses a split past ~9.2M rows") {
+    // the guard is factored (requireTrainBound) so the over-bound
+    // contract is testable without materializing a 9M-row corpus: the
+    // trainer calls it with the aggregated split count each iteration
+    graft.queries.PipelineOps.requireTrainBound(1L)
+    graft.queries.PipelineOps.requireTrainBound(9000000L)
+    val over = intercept[IllegalArgumentException] {
+      graft.queries.PipelineOps.requireTrainBound(9000001L)
+    }
+    assert(over.getMessage.contains("overflow"),
+      s"over-bound message should name the overflow: ${over.getMessage}")
+    val empty = intercept[IllegalArgumentException] {
+      graft.queries.PipelineOps.requireTrainBound(0L)
+    }
+    assert(empty.getMessage.contains("non-empty"))
+  }
 }
