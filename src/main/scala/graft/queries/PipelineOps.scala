@@ -7645,14 +7645,23 @@ object PipelineOps {
       })
       val docs = t(s, d, "documents")
       val subjDoc = col("doc_id") % 31 === 5
-      val corpusAfter = docs.filter(!subjDoc)
-      val cRow = docs.agg(count(lit(1)).as("n_before"))
-        .crossJoin(broadcast(corpusAfter.agg(count(lit(1)).as("n_after"),
-          sum(when(subjDoc, 1L).otherwise(0L)).as("n_subject_after"))))
-        .crossJoin(broadcast(docs.filter(subjDoc)
-          .agg(count(lit(1)).as("served_subject_before"))))
-        .crossJoin(broadcast(corpusAfter.filter(subjDoc)
-          .agg(count(lit(1)).as("served_subject_after"))))
+      // the corpus-store certificate in ONE pass (guide §1.2): the old
+      // shape aggregated docs, the filtered survivor set, and the two
+      // subject probes as four separate scans crossJoined back
+      // together — every number is a conditional count over the same
+      // rows, so one aggregate computes the identical certificate
+      // (survivor membership = !subjDoc, the plain anti-join's
+      // predicate) with three fewer corpus reads
+      val cRow = docs.agg(
+        count(lit(1)).as("n_before"),
+        coalesce(sum(when(!subjDoc, 1L).otherwise(0L)), lit(0L))
+          .as("n_after"),
+        coalesce(sum(when(!subjDoc && subjDoc, 1L).otherwise(0L)), lit(0L))
+          .as("n_subject_after"),
+        coalesce(sum(when(subjDoc, 1L).otherwise(0L)), lit(0L))
+          .as("served_subject_before"),
+        coalesce(sum(when(!subjDoc && subjDoc, 1L).otherwise(0L)), lit(0L))
+          .as("served_subject_after"))
         .withColumn("store", lit("corpus"))
       val idx = s.read.parquet(s"$root/tindex")
       val idxAfter = tombstonedIndexOf(s, s"$root/tindex", s"$root/tdoc")
